@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, language-ID heuristics, quality scoring, document
+  * fingerprinting. All built from codegen'd Spark built-ins (no UDFs)
+  * so they vectorize over 100 TB of documents without leaving
+  * whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * proxy for byte-pair-encoded token counts. */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Normalized text: lowercase, punctuation stripped, whitespace
+    * collapsed — the canonical form used for fingerprints and dedup. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Two documents
+    * with the same fingerprint are exact near-case/punct duplicates. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Distinct-word array of the normalized text. */
+  def wordSet(text: Column): Column = array_distinct(tokens(normalized(text)))
+
+  /** Word w-shingles (default w=3) over normalized text, as
+    * space-joined strings. Basis for MinHash / n-gram Jaccard dedup. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val ws = tokens(normalized(text))
+    when(size(ws) < w, array(concat_ws(" ", ws)))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - lit(w - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(w)))))
+  }
+
+  /** Stopword-ratio language-ID heuristic: score text against small
+    * per-language stopword inventories; returns the argmax language or
+    * "und" when nothing matches. Deterministic tie-break by language
+    * code. For real pipelines swap in fastText — the plumbing (a scalar
+    * Column in, a label out) is identical. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "por", "una", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "que", "pour", "dans", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val ws = tokens(normalized(text))
+    size(filter(ws, w => w.isInCollection(stopwords(lang))))
+  }
+
+  def detectLanguage(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScore(text, l)))
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality-score components: char length, token count, mean token
+    * length, punctuation ratio, stopword(en) ratio, uppercase ratio.
+    * Returned as a struct; a composite score is a weighted sum the
+    * caller can tune. All ratios are double divisions of exact integer
+    * counts — deterministic across engines. */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text).cast("long")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val nUpper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("long")
+    val nStop = langScore(text, "en").cast("long")
+    struct(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      when(nToks > 0, nChars.cast("double") / nToks.cast("double")).otherwise(0d).as("mean_token_len"),
+      when(nChars > 0, nPunct.cast("double") / nChars.cast("double")).otherwise(0d).as("punct_ratio"),
+      when(nToks > 0, nStop.cast("double") / nToks.cast("double")).otherwise(0d).as("stopword_ratio"),
+      when(nChars > 0, nUpper.cast("double") / nChars.cast("double")).otherwise(0d).as("upper_ratio"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB): every variant here avoids the O(n²) all-pairs
+  * trap — exact dedup is one hash-aggregate shuffle on a fingerprint;
+  * MinHash and SimHash reduce near-dup detection to equi-joins on band
+  * buckets (shuffle on small keys, AQE-skew-safe), and only candidate
+  * pairs inside a bucket are scored. The only quadratic code path is
+  * [[ngramJaccardPairs]] without a candidate restriction — kept as the
+  * small-data oracle/baseline.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per exact-content group.
+    * One hash aggregate; at 100 TB this is a single shuffle keyed by a
+    * 128-bit fingerprint (no skew: fingerprints are uniform). */
+  def exactKeepFirst(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(md5(text)).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups: fingerprint → group size + surviving id.
+    * Map-side partial aggregation makes this cheap even when almost
+    * every document is unique. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
+
+  /** Near-case/punctuation dedup via normalized fingerprint (lowercase,
+    * strip punct, collapse whitespace). */
+  def fingerprintGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
+
+  /** MinHash signature column: `numHashes` independent min-hashes over
+    * word `w`-shingles. Each hash family member is min(md5(seed ‖ "|" ‖
+    * shingle)) — md5 is a well-mixed hash, the per-seed prefix makes the
+    * families independent, and taking the lexicographic min of the hex
+    * digest is equivalent to a min over a uniform 128-bit permutation.
+    * Pure built-ins → codegen'd, shuffle-free (computed map-side). */
+  def minHashSignature(text: Column, numHashes: Int = 16, shingleWidth: Int = 3): Column = {
+    val sh = TextAnalysis.shingles(text, shingleWidth)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5(concat(lit(seed + "|"), s))))
+    }: _*)
+  }
+
+  /** MinHash/LSH candidate pairs: band the signature, bucket-join, then
+    * estimate Jaccard as the fraction of agreeing signature slots and
+    * keep pairs ≥ `threshold`.
+    *
+    * Scale path: the join is an equi-join on (band_index, band_hash) —
+    * documents only meet if they collide in some band, so the shuffle
+    * moves (doc × bands) rows, not doc² pairs. `bands × rowsPerBand`
+    * must equal `numHashes`. */
+  def minHashPairs(
+      df: DataFrame, text: Column, id: Column,
+      numHashes: Int = 16, bands: Int = 4,
+      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(id.as("id"), minHashSignature(text, numHashes, shingleWidth).as("sig"))
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(" ", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit-style SimHash (here `bits` ≤ 60 so the value fits a signed
+    * long built from a 15-hex-digit md5 prefix). Each distinct word
+    * 3-shingle votes ±1 per bit position according to its hash; the
+    * sign of each bit-sum forms the signature. Shingles (not words) are
+    * the feature set so small-vocabulary corpora still discriminate.
+    * Computed entirely map-side. */
+  def simHash(text: Column, bits: Int = 32): Column = {
+    require(bits <= 60, "feature hash has 60 usable bits")
+    val words = array_distinct(TextAnalysis.shingles(text))
+    val hashes = transform(words, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: band the signature into `bands` chunks,
+    * equi-join on (band, chunk), keep pairs with Hamming distance ≤
+    * `maxHamming`. By pigeonhole, any pair within distance `bands - 1`
+    * shares at least one exact chunk, so recall is exact for
+    * maxHamming < bands. */
+  def simHashPairs(
+      df: DataFrame, text: Column, id: Column,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val chunk = bits / bands
+    val mask = (1L << chunk) - 1
+    val sigs = df.select(id.as("id"), simHash(text, bits).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (shingle-set) Jaccard similarity for pairs. Without a
+    * candidate set this is O(n²) via the shingle-level self-join —
+    * correct but quadratic; at scale feed it MinHash candidates instead
+    * (restrict to the output of [[minHashPairs]]). */
+  def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
+    val words = df.select(id.as("id"), array_distinct(TextAnalysis.shingles(text)).as("ws"))
+      .select(col("id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
+    val l = words.select(col("w"), col("id").as("id_a"), col("n").as("n_a"))
+    val r = words.select(col("w"), col("id").as("id_b"), col("n").as("n_b"))
+    l.join(r, "w")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

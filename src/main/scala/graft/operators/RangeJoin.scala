@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantity-tier / band resolution (SURVEY §2.4 J5/J6): "price for
+  * quantity Q" is a range lookup into `[min, max)` (or open-ended)
+  * tiers — the pattern behind MidOcean price scales, Laltex
+  * Min/MaxQuantity rows and Keramikos qty×colours grids.
+  *
+  * Scale design: tier tables are tiny dimensions → broadcast the tier
+  * side so the "range join" is a broadcast nested-loop probe that never
+  * shuffles the fact table. For big×big range joins, pre-bucket both
+  * sides on coarse range buckets to recover an equi-join (see
+  * [[bucketedRangeJoin]]).
+  */
+object RangeJoin {
+
+  /** Inclusive-min / inclusive-max (null max = open-ended) tier lookup.
+    * `facts ⟕ broadcast(tiers)` on minCol <= v AND (maxCol is null OR
+    * v <= maxCol). Tiers must be non-overlapping for a 1:1 result. */
+  def resolveTier(facts: DataFrame, tiers: DataFrame, value: Column,
+                  minCol: Column, maxCol: Column): DataFrame =
+    facts.join(broadcast(tiers), value >= minCol && (maxCol.isNull || value <= maxCol), "left_outer")
+
+  /** Two-dimensional band resolution (J6): e.g. print-price grids keyed
+    * by area band × minimum quantity. */
+  def resolveBands2D(facts: DataFrame, bands: DataFrame,
+                     v1: Column, min1: Column, max1: Column,
+                     v2: Column, min2: Column, max2: Column): DataFrame =
+    facts.join(broadcast(bands),
+      v1 >= min1 && (max1.isNull || v1 <= max1) &&
+      v2 >= min2 && (max2.isNull || v2 <= max2), "left_outer")
+
+  /** As-of style resolution: when tiers carry only ascending `minCol`,
+    * the match is the greatest min ≤ value (open-ended last tier).
+    * Implemented as inequality join + max_by — one broadcast probe plus
+    * one aggregate on the fact key. */
+  def resolveAsOf(facts: DataFrame, factKey: Seq[String], tiers: DataFrame,
+                  value: Column, minCol: Column): DataFrame = {
+    val joined = facts.join(broadcast(tiers), value >= minCol, "left_outer")
+    val keyCols = factKey.map(col)
+    joined.groupBy(keyCols: _*)
+      .agg(max(struct(minCol.as("__m"), struct(tiers.columns.map(col): _*).as("__t"))).as("__best"))
+      .select(keyCols :+ col("__best.__t.*"): _*)
+  }
+
+  /** Big×big range join without a nested loop: overlay a fixed-width
+    * bucket grid, explode each tier onto the buckets it spans, equi-join
+    * on bucket, then re-check the exact predicate. Shuffle is linear in
+    * rows × average buckets-per-tier instead of |facts|×|tiers|. */
+  def bucketedRangeJoin(facts: DataFrame, tiers: DataFrame, value: Column,
+                        minCol: Column, maxCol: Column, bucketWidth: Long,
+                        maxValue: Long): DataFrame = {
+    val factB = facts.withColumn("__bucket", floor(value / bucketWidth))
+    val tierB = tiers.withColumn("__bucket",
+      explode(sequence(floor(minCol / bucketWidth),
+        floor(coalesce(maxCol, lit(maxValue)) / bucketWidth))))
+    factB.join(tierB, Seq("__bucket"))
+      .filter(value >= minCol && (maxCol.isNull || value <= maxCol))
+      .drop("__bucket")
+  }
+}
