@@ -144,4 +144,29 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact shingle-set Jaccard scored ONLY for the given candidate
+    * pairs — the 100 TB path: feed it [[minHashPairs]] output so cost
+    * is linear in candidates × shingles-per-doc, never doc².
+    * `candidates` carries (id_a, id_b); pairs with no shingle overlap
+    * score 0. */
+  def ngramJaccardFor(df: DataFrame, text: Column, id: Column,
+                      candidates: DataFrame): DataFrame = {
+    val words = df.select(id.as("id"), array_distinct(TextAnalysis.shingles(text)).as("ws"))
+    val sizes = words.select(col("id"), size(col("ws")).as("n"))
+    val exploded = words.select(col("id"), explode(col("ws")).as("w"))
+    val cand = candidates.select(col("id_a"), col("id_b"))
+    val common = cand
+      .join(exploded.select(col("id").as("id_a"), col("w")), Seq("id_a"))
+      .join(exploded.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    cand
+      .join(common, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("common"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
 }

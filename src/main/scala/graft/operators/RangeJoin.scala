@@ -34,15 +34,16 @@ object RangeJoin {
 
   /** As-of style resolution: when tiers carry only ascending `minCol`,
     * the match is the greatest min ≤ value (open-ended last tier).
-    * Implemented as inequality join + max_by — one broadcast probe plus
-    * one aggregate on the fact key. */
+    * Broadcast inequality probe, then keep the best tier per fact row
+    * via a window on the fact key — ALL fact columns are carried
+    * through (the key must uniquely identify fact rows). */
   def resolveAsOf(facts: DataFrame, factKey: Seq[String], tiers: DataFrame,
                   value: Column, minCol: Column): DataFrame = {
     val joined = facts.join(broadcast(tiers), value >= minCol, "left_outer")
-    val keyCols = factKey.map(col)
-    joined.groupBy(keyCols: _*)
-      .agg(max(struct(minCol.as("__m"), struct(tiers.columns.map(col): _*).as("__t"))).as("__best"))
-      .select(keyCols :+ col("__best.__t.*"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(factKey.map(col): _*).orderBy(minCol.desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Big×big range join without a nested loop: overlay a fixed-width

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -13,17 +13,24 @@ import graft.functions.Vectors
   * parallel, no shuffle until the final per-query top-k (a windowed
   * rank over query_id — tiny). The LSH variant buckets the corpus by
   * anchor-projection sign bits so each query only scans its bucket:
-  * the 100 TB path, at the cost of recall.
+  * the 100 TB path, at the cost of recall. Anchors travel as ONE
+  * broadcast row (array of vectors), never as driver-side literals.
   */
 object Similarity {
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` and `corpus` both carry (idCol, vecCol). Self-matches are
-    * excluded. Result: (query_id, neighbor_id, cosine, rank). */
+    * excluded. Result: (query_id, neighbor_id, cosine, rank).
+    *
+    * Scale guard: the query side is broadcast — callers must keep it
+    * small (≤ ~10k vectors); `maxQueries` fails fast instead of OOMing
+    * executors at 100×. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .limit(maxQueries + 1)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -34,35 +41,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Random-hyperplane-style LSH bucket signature using the first
-    * `numAnchors` corpus vectors as hyperplanes (deterministic, data-
-    * derived — no RNG needed). Vectors whose cosine is high agree on
-    * most projection signs, so they land in the same bucket with high
-    * probability. Returns (id, bucket) where bucket packs the sign bits
-    * into a long. */
-  def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
-                 anchors: DataFrame, numAnchors: Int = 8): DataFrame = {
-    val anchorRows = anchors.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(numAnchors).collect()
-    val anchorLits = anchorRows.map { r =>
-      val arr = r.getSeq[Float](1)
-      array(arr.map(x => lit(x)): _*)
-    }
-    val bits = anchorLits.zipWithIndex.map { case (a, i) =>
-      shiftleft(Vectors.projectionBit(col(vecCol), a).cast("long"), i)
-    }
-    corpus.select(col(idCol).as("id"), bits.reduce(_ + _).as("bucket"))
+  /** One broadcast-able row holding the first `numAnchors` vectors (by
+    * ascending id) as an ordered array — the LSH hyperplane set.
+    * Deterministic and data-derived (no RNG), computed distributed
+    * (sort+limit+collect_list), never `.collect()`ed to the driver. */
+  private def anchorRow(anchors: DataFrame, idCol: String, vecCol: String,
+                        numAnchors: Int): DataFrame =
+    anchors.select(col(idCol).as("__aid"), Vectors.toDouble(col(vecCol)).as("__av"))
+      .orderBy(col("__aid")).limit(numAnchors)
+      .agg(array_sort(collect_list(struct(col("__aid"), col("__av")))).as("__anchors"))
+
+  /** Random-hyperplane-style LSH bucket as a bit-string: one '0'/'1'
+    * character per anchor according to the sign of the projection.
+    * Vectors with high cosine agree on most signs, so they share a
+    * bucket with high probability. Computed map-side after a broadcast
+    * cross-join with the single anchor row. */
+  def withLshBucket(corpus: DataFrame, vecCol: String,
+                    anchors: DataFrame, anchorIdCol: String, anchorVecCol: String,
+                    numAnchors: Int = 8): DataFrame = {
+    val a = anchorRow(anchors, anchorIdCol, anchorVecCol, numAnchors)
+    corpus.crossJoin(broadcast(a))
+      .withColumn("bucket",
+        aggregate(col("__anchors"), lit(""),
+          (acc, anc) => concat(acc,
+            when(Vectors.dot(col(vecCol), anc.getField("__av")) >= 0.0, lit("1"))
+              .otherwise(lit("0")))))
+      .drop("__anchors")
   }
 
+  /** (id, bucket) projection — kept for API compatibility. */
+  def lshBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                 anchors: DataFrame, numAnchors: Int = 8): DataFrame =
+    withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol)),
+      vecCol, anchors, idCol, vecCol, numAnchors)
+      .select(col("id"), col("bucket"))
+
   /** Bucketed ANN: top-k per query restricted to the query's LSH bucket.
-    * The join is an equi-join on bucket — shuffle moves each corpus row
+    * The bucket column is computed inline on the corpus (no self-join);
+    * the join is an equi-join on bucket — shuffle moves each corpus row
     * once; no cross product. Recall < 1 by construction (report it
     * against [[bruteForceTopK]] on a sample when tuning numAnchors). */
   def bucketedTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queryIds: DataFrame, k: Int, numAnchors: Int = 8): DataFrame = {
-    val buckets = lshBuckets(corpus, idCol, vecCol, corpus, numAnchors)
-    val withB = corpus.join(buckets, corpus(idCol) === buckets("id")).drop("id")
+    val withB = withLshBucket(corpus, vecCol, corpus, idCol, vecCol, numAnchors)
     val q = withB.join(queryIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
     val c = withB.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
@@ -75,23 +97,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Quadratic baseline (corpus × corpus) — at scale, restrict via
-    * [[lshBuckets]] first (join on bucket), which this does when
-    * `bucketed` is true. */
+  /** Embedding near-duplicate pairs: pairs with cosine ≥ threshold.
+    * Default is the LSH-bucketed (scale-safe) path: candidate pairs are
+    * restricted to a shared sign-bucket, so the join is an equi-join.
+    * Pass `bucketed = false` ONLY as the small-data oracle — that path
+    * is an explicit O(n²) all-pairs comparison. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, bucketed: Boolean = false,
+                   threshold: Double, bucketed: Boolean = true,
                    numAnchors: Int = 8): DataFrame = {
-    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val (l, r) =
       if (bucketed) {
-        val b = lshBuckets(corpus, idCol, vecCol, corpus, numAnchors)
-        val withB = base.join(b, "id")
+        val withB = withLshBucket(corpus, vecCol, corpus, idCol, vecCol, numAnchors)
+          .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("v"))
         (withB.select(col("bucket"), col("id").as("id_a"), col("v").as("va")),
          withB.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")))
       } else {
-        (base.select(lit(0).as("bucket"), col("id").as("id_a"), col("v").as("va")),
-         base.select(lit(0).as("bucket"), col("id").as("id_b"), col("v").as("vb")))
+        val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        (base.select(lit("0").as("bucket"), col("id").as("id_a"), col("v").as("va")),
+         base.select(lit("0").as("bucket"), col("id").as("id_b"), col("v").as("vb")))
       }
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

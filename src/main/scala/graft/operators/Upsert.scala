@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,38 +10,56 @@ import org.apache.spark.sql.functions._
   * window dedup (ref: mongodb_loader.py:93-197, 130-134).
   *
   * Scale notes: the window shuffles once on the key — the same cost an
-  * upsert-capable table format (Delta/Iceberg MERGE) pays. Writes are
-  * partitioned by a caller-chosen column (e.g. supplier id) so 100 TB
-  * targets prune to the touched partitions.
+  * upsert-capable table format (Delta/Iceberg MERGE) pays. The parquet
+  * merge writes with dynamic partition overwrite so only partitions
+  * touched by the incoming batch are rewritten — a 100 TB target with
+  * per-supplier partitions rewrites one supplier's data, not the world.
   */
 object Upsert {
 
-  /** K1 — bulk keyed upsert: last writer (by `versionCol`, then
-    * deterministic tie-break on key) wins per `keyCol`. */
+  /** K1 — bulk keyed upsert: last writer wins per `keyCols`, ordered by
+    * `orderBy` (descending priority first), then incoming-over-existing,
+    * then a final deterministic tie-break on the key columns. */
   def merge(existing: DataFrame, incoming: DataFrame,
-            keyCol: String, versionCol: String): DataFrame = {
+            keyCols: Seq[String], orderBy: Seq[Column]): DataFrame = {
     val unioned = existing.withColumn("__src", lit(0))
       .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderBy :+ col("__src").desc: _*)
     unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__src")
   }
 
-  /** K1 applied to a parquet path (read-merge-overwrite). */
-  def mergeIntoParquet(spark: SparkSession, incoming: DataFrame,
-                       path: String, keyCol: String, versionCol: String): Unit = {
+  /** Single-key, version-column convenience (K1/K2). */
+  def merge(existing: DataFrame, incoming: DataFrame,
+            keyCol: String, versionCol: String): DataFrame =
+    merge(existing, incoming, Seq(keyCol), Seq(col(versionCol).desc_nulls_last))
+
+  /** K1 applied to a parquet table partitioned by `partitionCol` (e.g.
+    * supplier id). Only partitions present in `incoming` are read,
+    * merged, and overwritten (dynamic partition overwrite) — the rest
+    * of the table is untouched, so merge cost is proportional to the
+    * incoming batch, not the table. First write creates the table. */
+  def mergeIntoParquet(spark: SparkSession, incoming: DataFrame, path: String,
+                       keyCol: String, versionCol: String,
+                       partitionCol: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (fs.exists(target)) merge(spark.read.parquet(path), incoming, keyCol, versionCol)
-      else incoming
-    // Stage to a temp dir then swap: the source partitions of an
-    // overwrite cannot also be its input.
-    val tmp = path + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+      if (fs.exists(target)) {
+        val parts = incoming.select(col(partitionCol)).distinct()
+        val existing = spark.read.parquet(path)
+          .join(broadcast(parts), Seq(partitionCol), "left_semi")
+        merge(existing, incoming, keyCol, versionCol)
+      } else incoming
+    // Staging keeps the read and the overwrite of the same partitions
+    // from racing; dynamic mode then replaces only staged partitions.
+    val staged = merged.localCheckpoint(true)
+    staged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
   }
 
   /** K3 — keyed delete: remove rows whose key appears in `ids`. */
@@ -49,11 +67,20 @@ object Upsert {
     target.join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
 
   /** K4 — predicate delete (retention): keep rows NOT matching cond. */
-  def deleteWhere(target: DataFrame, cond: org.apache.spark.sql.Column): DataFrame =
+  def deleteWhere(target: DataFrame, cond: Column): DataFrame =
     target.filter(!coalesce(cond, lit(false)))
+
+  /** K5 — backup / CTAS snapshot. */
+  def backup(df: DataFrame, backupPath: String): Unit =
+    df.write.mode("overwrite").parquet(backupPath)
 
   /** K6 — uniqueness check replacing the reference's unique index:
     * returns the violating keys (empty = constraint holds). */
   def duplicateKeys(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** K7 — mutation timestamping before a write (per-batch, not per-row:
+    * deterministic across retries). Ref: mongodb_loader.py:124,205. */
+  def stamped(df: DataFrame, tsCol: String = "updated_at"): DataFrame =
+    df.withColumn(tsCol, current_timestamp())
 }
