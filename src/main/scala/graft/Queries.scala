@@ -1,0 +1,633 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, RangeJoin, Similarity, Upsert}
+import graft.functions.{Parsers, TextAnalysis, Vectors}
+
+/** The registered query inventory: every implemented operator from
+  * SURVEY.md §2 (and the LLM-pipeline extensions) exercised as a
+  * deterministic query over the driver's testdata tables, each paired
+  * with ANSI SQL that DuckDB runs as the correctness oracle.
+  *
+  * Determinism rules applied throughout (the driver hash-compares
+  * values after sorting columns by name):
+  *  - every query ends in an ORDER BY over a unique key;
+  *  - double-typed SUMs go through exact DECIMAL(18,2) accumulation
+  *    and only the final (exact) value is cast back to double, so
+  *    Spark's partition-order float addition can never drift from
+  *    DuckDB's sequential addition;
+  *  - cosine similarities are rounded to 4 decimals on both sides.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
+      // reader rejects; read the raw int64 nanos and truncate to micros
+      // (integer div — a double division would lose precision at 1e18).
+      // DuckDB's nanos→micros conversion truncates the same way.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal accumulation for double money/qty columns. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name -> (spark query, optional DuckDB oracle SQL). */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+
+    // ── Star-schema query surface (SURVEY §3.3 Q1–Q9 analogs) ──────────
+
+    ("q01_pricing_summary", (s: SparkSession, d: String) => {
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") <= lit("2000-12-01"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q02_filter_project", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(500)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01' AND l_quantity > 45
+      ORDER BY l_orderkey, l_linenumber LIMIT 500""")),
+
+    ("q03_join_agg_segment", (s: SparkSession, d: String) => {
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    ("q04_count_by_supplier", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n")).orderBy(col("l_suppkey"))
+    }, Some("SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey")),
+
+    ("q05_count_by_status", (s: SparkSession, d: String) => {
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n")).orderBy(col("o_orderstatus"))
+    }, Some("SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+
+    ("q06_point_lookup", (s: SparkSession, d: String) => {
+      t(s, d, "orders").filter(col("o_orderkey") === 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    }, Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 100")),
+
+    ("q07_first_n", (s: SparkSession, d: String) => {
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(3)
+    }, Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 3")),
+
+    ("q08_stale_selection", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01") && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate < '1996-01-01' AND o_orderpriority = '1-URGENT'
+      ORDER BY o_orderkey""")),
+
+    // J5 — quantity-tier range resolution via broadcast range join.
+    ("q09_tier_pricing", (s: SparkSession, d: String) => {
+      val tiers = s.createDataFrame(Seq(
+        (1.0, Some(9.0), "small"), (10.0, Some(24.0), "mid"), (25.0, None, "bulk")))
+        .toDF("min_qty", "max_qty", "tier")
+      RangeJoin.resolveTier(t(s, d, "lineitem"), tiers,
+          col("l_quantity"), col("min_qty"), col("max_qty"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("tier"))
+    }, Some("""
+      SELECT t.tier, count(*) AS n,
+        CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l
+      LEFT JOIN (VALUES (1.0, 9.0, 'small'), (10.0, 24.0, 'mid'), (25.0, NULL, 'bulk'))
+        t(min_qty, max_qty, tier)
+        ON l.l_quantity >= t.min_qty AND (t.max_qty IS NULL OR l.l_quantity <= t.max_qty)
+      GROUP BY t.tier ORDER BY t.tier""")),
+
+    // J1-style broadcast dimension join.
+    ("q10_dim_join_brand", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    ("q11_star_multijoin", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }, Some("""
+      SELECT r_name, count(*) AS n_customers,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // W3 — window dedup / top-1 per key.
+    ("q12_top_order_per_customer", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // J8/U1 — unionByName across sources.
+    ("q13_union_sources", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_orderkey"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_orderstatus"), col("o_orderkey"))
+      a.unionByName(b).groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // J7/K3 — anti join.
+    ("q14_customers_without_orders", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    ("q15_customers_with_urgent", (s: SparkSession, d: String) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment")).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")),
+
+    // K1 — keyed merge upsert: last writer wins, incoming over existing.
+    ("q16_merge_upsert", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val existing = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("ts"), col("value"))
+      val incoming = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), col("ts"), (col("value") * 2).as("value"))
+      Upsert.merge(existing, incoming, "event_id", "ts")
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, ts, value FROM (
+        SELECT event_id, ts, value,
+          row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, src DESC) AS rn
+        FROM (
+          SELECT event_id, ts, value, 0 AS src FROM events WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_id, ts, value * 2 AS value, 1 AS src FROM events WHERE event_id % 3 = 0))
+      WHERE rn = 1 ORDER BY event_id""")),
+
+    // K6 — uniqueness check.
+    ("q17_duplicate_keys", (s: SparkSession, d: String) => {
+      Upsert.duplicateKeys(t(s, d, "lineitem"), "l_orderkey").orderBy(col("l_orderkey"))
+    }, Some("""
+      SELECT l_orderkey, count(*) AS n FROM lineitem
+      GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""")),
+
+    // K3 — keyed delete via anti join, then accounting.
+    ("q18_delete_by_keys", (s: SparkSession, d: String) => {
+      val badCustomers = t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("o_custkey"))
+      Upsert.deleteByKeys(t(s, d, "orders"), badCustomers, "o_custkey")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // K4 — predicate delete (retention).
+    ("q19_retention_delete", (s: SparkSession, d: String) => {
+      Upsert.deleteWhere(t(s, d, "orders"),
+          col("o_orderstatus") === "F" && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderdate < '1997-01-01')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // A5 — order-sensitive first element per group.
+    ("q20_first_per_group", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey")))
+          .getField("l_partkey").as("first_partkey"))
+        .orderBy(col("l_orderkey"))
+    }, Some("""
+      SELECT l_orderkey, l_partkey AS first_partkey FROM lineitem
+      QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) = 1
+      ORDER BY l_orderkey""")),
+
+    // W4 — in-group ordering into a sorted array.
+    ("q21_sorted_linenumbers", (s: SparkSession, d: String) => {
+      t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("l_linenumber"))), x => x.cast("string")))
+          .as("linenumbers"))
+        .orderBy(col("l_orderkey"))
+    }, Some("""
+      SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // F16 — JSON field extraction.
+    ("q22_json_extract", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, count(*) AS n FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // Time-bucketed aggregation (streaming-shaped, batch-executed).
+    ("q23_events_hourly", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // J5 as-of variant — greatest threshold <= value.
+    ("q24_asof_band", (s: SparkSession, d: String) => {
+      val tiers = s.createDataFrame(Seq(
+        (0.0, "b0"), (100.0, "b1"), (200.0, "b2"), (300.0, "b3"), (400.0, "b4")))
+        .toDF("thr", "band")
+      RangeJoin.resolveAsOf(t(s, d, "events"), Seq("event_id"), tiers,
+          col("value"), col("thr"))
+        .select(col("event_id"), col("band")).orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, band FROM (
+        SELECT e.event_id, t.band,
+          row_number() OVER (PARTITION BY e.event_id ORDER BY t.thr DESC) AS rn
+        FROM events e
+        LEFT JOIN (VALUES (0.0,'b0'),(100.0,'b1'),(200.0,'b2'),(300.0,'b3'),(400.0,'b4')) t(thr, band)
+          ON e.value >= t.thr)
+      WHERE rn = 1 ORDER BY event_id""")),
+
+    // ── Scalar parser functions (SURVEY §2.7) over testdata columns ────
+
+    ("q25_parse_float_comma", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Parsers.parseFloatComma(
+            concat(col("doc_id").cast("string"), lit(","), (col("n_chars") % 10).cast("string")))
+            .as("parsed"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(replace(doc_id || ',' || (n_chars % 10), ',', '.') AS DOUBLE) AS parsed
+      FROM documents ORDER BY doc_id""")),
+
+    ("q26_parse_int_thousands", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Parsers.parseIntSeparators(
+            concat(col("doc_id").cast("string"), lit("."),
+              lpad((col("n_chars") % 1000).cast("string"), 3, "0")))
+            .as("parsed"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(replace(doc_id || '.' || lpad(CAST(n_chars % 1000 AS VARCHAR), 3, '0'), '.', '') AS INTEGER) AS parsed
+      FROM documents ORDER BY doc_id""")),
+
+    ("q27_parse_currency", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .select(col("event_id"),
+          Parsers.parseCurrency(
+            when(col("event_type") === "error", lit("N/A"))
+              .otherwise(concat(lit("£"), col("value").cast("string"))))
+            .as("parsed"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS parsed
+      FROM events ORDER BY event_id""")),
+
+    ("q28_parse_iso_date", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          Parsers.parseIsoDate(
+            when(col("o_orderkey") % 10 === 0, lit("not-a-date"))
+              .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+            .as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS parsed
+      FROM orders ORDER BY o_orderkey""")),
+
+    ("q29_yes_no_flag", (s: SparkSession, d: String) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          Parsers.yesNoFlag(when(col("p_size") % 2 === 0, lit("Yes")).otherwise(lit("no")))
+            .as("flag"))
+        .orderBy(col("p_partkey"))
+    }, Some("SELECT p_partkey, p_size % 2 = 0 AS flag FROM part ORDER BY p_partkey")),
+
+    ("q30_snake_to_title", (s: SparkSession, d: String) => {
+      t(s, d, "events").select(col("event_type")).distinct()
+        .select(col("event_type"),
+          Parsers.snakeToTitle(concat(col("event_type"), lit("_rate"))).as("title"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+        upper(substr(event_type, 1, 1)) || substr(event_type, 2) || ' Rate' AS title
+      FROM (SELECT DISTINCT event_type FROM events) ORDER BY event_type""")),
+
+    ("q31_namespaced_key", (s: SparkSession, d: String) => {
+      t(s, d, "supplier")
+        .select(col("s_suppkey"), Parsers.namespacedKey("sup_", col("s_suppkey")).as("key"))
+        .orderBy(col("s_suppkey"))
+    }, Some("SELECT s_suppkey, 'sup_' || s_suppkey AS key FROM supplier ORDER BY s_suppkey")),
+
+    ("q32_code_lookup", (s: SparkSession, d: String) => {
+      val mapping = Map("A" -> "returned", "N" -> "none", "R" -> "refused")
+      t(s, d, "lineitem")
+        .select(Parsers.codeLookup(mapping)(col("l_returnflag")).as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }, Some("""
+      SELECT CASE l_returnflag WHEN 'A' THEN 'returned' WHEN 'N' THEN 'none'
+        WHEN 'R' THEN 'refused' END AS label, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY label""")),
+
+    ("q33_derive_status", (s: SparkSession, d: String) => {
+      val df = t(s, d, "documents")
+      val disc = when(col("doc_id") % 3 === 0, lit("2099-12-31"))
+        .when(col("doc_id") % 3 === 1, lit("2020-01-01"))
+        .otherwise(lit(null).cast("string"))
+      val plc = when(col("doc_id") % 5 === 0, lit("PRODUCT DISCONTINUED")).otherwise(lit("OK"))
+      df.select(col("doc_id"), Parsers.deriveStatus(disc, plc).as("status"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 1 THEN 'discontinued'
+             WHEN doc_id % 5 = 0 THEN 'discontinued'
+             ELSE 'active' END AS status
+      FROM documents ORDER BY doc_id""")),
+
+    ("q34_struct_or_null", (s: SparkSession, d: String) => {
+      val df = t(s, d, "part")
+      val l = when(col("p_size") > 25, col("p_size").cast("double"))
+      val dims = Parsers.structOrNull(Seq(
+        "length" -> l, "width" -> lit(null).cast("double"), "height" -> lit(null).cast("double")))
+      df.select(col("p_partkey"), dims.isNotNull.as("has_dims"),
+          dims.getField("length").as("length"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_size > 25 AS has_dims,
+        CASE WHEN p_size > 25 THEN CAST(p_size AS DOUBLE) END AS length
+      FROM part ORDER BY p_partkey""")),
+
+    ("q35_parse_dims", (s: SparkSession, d: String) => {
+      val df = t(s, d, "part")
+      val str = when(col("p_partkey") % 2 === 0,
+          concat(col("p_size").cast("string"), lit("x"), (col("p_size") * 2).cast("string"),
+            lit("x"), (col("p_size") * 3).cast("string"), lit("mm")))
+        .otherwise(
+          concat(col("p_size").cast("string"), lit(" x "), (col("p_size") + 1).cast("string"),
+            lit(" x "), (col("p_size") + 2).cast("string"), lit(" cm")))
+      val p = Parsers.parseDims(str)
+      df.select(col("p_partkey"),
+          p.getField("length").as("length"), p.getField("width").as("width"),
+          p.getField("height").as("height"), p.getField("unit").as("unit"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey,
+        CAST(p_size AS DOUBLE) AS length,
+        CAST(CASE WHEN p_partkey % 2 = 0 THEN p_size * 2 ELSE p_size + 1 END AS DOUBLE) AS width,
+        CAST(CASE WHEN p_partkey % 2 = 0 THEN p_size * 3 ELSE p_size + 2 END AS DOUBLE) AS height,
+        CASE WHEN p_partkey % 2 = 0 THEN 'mm' ELSE 'cm' END AS unit
+      FROM part ORDER BY p_partkey""")),
+
+    ("q36_parse_weight", (s: SparkSession, d: String) => {
+      val p = Parsers.parseWeight(concat(col("p_size").cast("string"), lit(".5 kg")))
+      t(s, d, "part")
+        .select(col("p_partkey"), p.getField("value").as("value"), p.getField("unit").as("unit"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_size + 0.5 AS value, 'kg' AS unit FROM part ORDER BY p_partkey""")),
+
+    ("q37_split_keywords", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws("|", Parsers.splitKeywords(
+            concat(col("source"), lit(","), col("lang"), lit(" , extra")))).as("keywords"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, source || '|' || lang || '|extra' AS keywords
+      FROM documents ORDER BY doc_id""")),
+
+    ("q38_merge_singleton_maps", (s: SparkSession, d: String) => {
+      val merged = Parsers.mergeSingletonMaps(array(
+        map(lit("lang"), col("lang")), map(lit("src"), col("source"))))
+      t(s, d, "documents")
+        .select(col("doc_id"), element_at(merged, "lang").as("lang_val"),
+          element_at(merged, "src").as("src_val"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang AS lang_val, source AS src_val FROM documents ORDER BY doc_id""")),
+
+    // ── Text analysis over the documents table ─────────────────────────
+
+    ("q39_token_count", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents ORDER BY doc_id""")),
+
+    ("q40_subtoken_count", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .select(col("event_id"), TextAnalysis.subTokenCount(col("props")).as("n_subtokens"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id,
+        len(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+      FROM events ORDER BY event_id""")),
+
+    ("q41_fingerprint_groups", (s: SparkSession, d: String) => {
+      Dedup.fingerprintGroups(t(s, d, "documents"), col("text"), col("doc_id"))
+        .orderBy(col("fingerprint"))
+    }, Some("""
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+        count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")),
+
+    ("q42_exact_keep_first", (s: SparkSession, d: String) => {
+      Dedup.exactKeepFirst(t(s, d, "documents"), col("text"), col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      ORDER BY doc_id""")),
+
+    ("q43_detect_language", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("detected"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH sc AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      scores AS (
+        SELECT doc_id,
+          len(list_filter(ws, w -> w IN ('der','die','und','das','ist','nicht','mit','ein','für'))) AS de,
+          len(list_filter(ws, w -> w IN ('the','and','of','to','in','is','that','for','with'))) AS en,
+          len(list_filter(ws, w -> w IN ('el','la','de','que','los','por','una','con','para'))) AS es,
+          len(list_filter(ws, w -> w IN ('le','la','les','des','est','que','pour','dans','une'))) AS fr
+        FROM sc)
+      SELECT doc_id,
+        CASE WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+             WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+             WHEN es >= fr AND es > 0 THEN 'es'
+             WHEN fr > 0 THEN 'fr'
+             ELSE 'und' END AS detected
+      FROM scores ORDER BY doc_id""")),
+
+    ("q44_quality_features", (s: SparkSession, d: String) => {
+      val q = TextAnalysis.qualityFeatures(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          q.getField("n_chars").as("n_chars"), q.getField("n_tokens").as("n_tokens"),
+          q.getField("mean_token_len").as("mean_token_len"),
+          q.getField("punct_ratio").as("punct_ratio"),
+          q.getField("stopword_ratio").as("stopword_ratio"),
+          q.getField("upper_ratio").as("upper_ratio"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','and','of','to','in','is','that','for','with'))) AS BIGINT) AS n_stop,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+        FROM documents)
+      SELECT doc_id, n_chars, n_tokens,
+        CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+        CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS upper_ratio
+      FROM b ORDER BY doc_id""")),
+
+    // Multimodal plumbing: opaque binary column + content hash (the
+    // decode step is stubbed; the Spark-side schema/partitioning is real).
+    ("q45_binary_fingerprint", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("content_sha"))
+        .orderBy(col("doc_id"))
+    }, Some("SELECT doc_id, sha256(text) AS content_sha FROM documents ORDER BY doc_id")),
+
+    // ── Similarity / ANN over the embeddings table ─────────────────────
+
+    ("q46_cosine_topk", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      s AS (
+        SELECT query_id, neighbor_id,
+          list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      r AS (
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM s)
+      SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    ("q47_near_dup_pairs_exact", (s: SparkSession, d: String) => {
+      Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, bucketed = false)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      ORDER BY id_a, id_b""")),
+
+    // LSH sign-bucket assignment (the scale path's partitioning step).
+    ("q48_lsh_buckets", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshBuckets(e, "vec_id", "embedding", e.filter(col("vec_id") < 8), 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }, Some("""
+      WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 8),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT e.vec_id,
+        string_agg(CASE WHEN list_dot_product(e.v, a.av) >= 0 THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+      FROM e CROSS JOIN a GROUP BY e.vec_id ORDER BY e.vec_id"""))
+  )
+
+  def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql.stripMargin.trim }.toMap
+}
