@@ -614,6 +614,18 @@ object Queries {
       ORDER BY id_a, id_b""")),
 
     // LSH sign-bucket assignment (the scale path's partitioning step).
+    // ── PIM ingestion pipeline (rows-only check: the oracle can't read
+    //    JSONC; correctness is covered by the MidOcean golden spec) ────
+    ("q49_midocean_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
+      graft.suppliers.MidOcean.unified(s, sample)
+        .select(col("product_id"), col("supplier_product_code"), col("name"),
+          col("is_printable"), size(col("variants")).as("n_variants"),
+          size(col("print_positions")).as("n_print_positions"),
+          size(col("print_options")).as("n_print_options"), col("status"))
+        .orderBy(col("product_id"))
+    }, None),
+
     ("q48_lsh_buckets", (s: SparkSession, d: String) => {
       val e = t(s, d, "embeddings")
       Similarity.lshBuckets(e, "vec_id", "embedding", e.filter(col("vec_id") < 8), 8)

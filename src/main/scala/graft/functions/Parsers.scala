@@ -19,19 +19,19 @@ object Parsers {
     * ("3,63" → 3.63); garbage → null.
     * Ref: midocean_transformer.py:491-502. */
   def parseFloatComma(c: Column): Column =
-    regexp_replace(c, ",", ".").cast("double")
+    regexp_replace(c, ",", ".").try_cast("double")
 
   /** F2 — None-safe int parse stripping `.`/`,` thousands separators
     * ("1.000" → 1000); garbage → null.
     * Ref: midocean_transformer.py:504-515. */
   def parseIntSeparators(c: Column): Column =
-    regexp_replace(c, "[.,]", "").cast("int")
+    regexp_replace(c, "[.,]", "").try_cast("int")
 
   /** F3 — currency-symbol strip + "N/A" → null + cast
     * ("£0.42" → 0.42). Ref: Laltex Sample Data.jsonc:186-233,
     * unified.jsonc:394-396. */
   def parseCurrency(c: Column): Column =
-    nullif(regexp_replace(c, "[£$€,]", ""), lit("N/A")).cast("double")
+    nullif(regexp_replace(c, "[£$€,]", ""), lit("N/A")).try_cast("double")
 
   /** F4 — ISO date parse (yyyy-MM-dd); invalid → null.
     * Ref: midocean_transformer.py:344-346. */
@@ -70,9 +70,9 @@ object Parsers {
     val num = "([0-9]+(?:\\.[0-9]+)?)"
     val pat = s"^\\s*$num\\s*x\\s*$num\\s*x\\s*$num\\s*(mm|cm|m)?\\s*$$"
     struct(
-      regexp_extract(norm, pat, 1).cast("double").as("length"),
-      regexp_extract(norm, pat, 2).cast("double").as("width"),
-      regexp_extract(norm, pat, 3).cast("double").as("height"),
+      regexp_extract(norm, pat, 1).try_cast("double").as("length"),
+      regexp_extract(norm, pat, 2).try_cast("double").as("width"),
+      regexp_extract(norm, pat, 3).try_cast("double").as("height"),
       nullif(regexp_extract(norm, pat, 4), lit("")).as("unit"))
   }
 
@@ -81,7 +81,7 @@ object Parsers {
     val pat = "^\\s*([0-9]+(?:[.,][0-9]+)?)\\s*(kg|g|gr|lb|oz)?\\s*$"
     val norm = lower(c)
     struct(
-      regexp_replace(regexp_extract(norm, pat, 1), ",", ".").cast("double").as("value"),
+      regexp_replace(regexp_extract(norm, pat, 1), ",", ".").try_cast("double").as("value"),
       nullif(regexp_extract(norm, pat, 2), lit("")).as("unit"))
   }
 

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Supplier feed ingestion (SURVEY §2.1 S1–S3): JSONC comment
+  * stripping + multiLine JSON parse + section extraction.
+  *
+  * The reference line-scans pretty-printed capture files for marker
+  * substrings (ref: etl/extractors/midocean_extractor.py:95-138) — an
+  * artifact of the capture format. The semantics are "parse the
+  * document, take the array/object under key K", which is what we do:
+  * strip `//` comments (string-aware), hand the whole document to
+  * Spark's JSON reader with the section path, and explode.
+  *
+  * Scale design: one capture file is one JSON document, so the parse
+  * itself is single-task — that's inherent to the source format, and
+  * these feeds are MB-scale API responses. The DataFrame that comes
+  * OUT of a section is immediately distributed (explode happens on
+  * executors). For a directory of many feed files, `readSections`
+  * parallelizes per-file via `wholeTextFiles`.
+  */
+object FeedReader {
+
+  /** Strip `//` line comments from JSONC, string-aware: `//` inside a
+    * JSON string (e.g. "https://…") is content, not a comment. JSON
+    * strings cannot contain raw newlines, so per-line scanning with a
+    * small in-string state machine is exact. (S3; e.g. comments at
+    * MidOcean Sample Data.jsonc:14.) */
+  def stripComments(line: String): String = {
+    var inString = false
+    var escaped = false
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (escaped) escaped = false
+      else if (inString) {
+        if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else {
+        if (c == '"') inString = true
+        else if (c == '/' && i + 1 < n && line.charAt(i + 1) == '/')
+          return line.substring(0, i)
+      }
+      i += 1
+    }
+    line
+  }
+
+  def stripJsonc(text: String): String =
+    text.linesIterator.map(stripComments).mkString("\n")
+
+  /** S1 — load a whole feed file as text through the Hadoop FS layer
+    * (works for any Spark-supported filesystem); missing file → None
+    * (the reference warns and yields nothing —
+    * midocean_extractor.py:279-290). */
+  def loadText(spark: SparkSession, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Parse a JSONC document into a single-row DataFrame with inferred
+    * schema. `dropFields` prunes capture-noise keys (like "GET" URLs)
+    * before inference. */
+  def readJsonc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
+    spark.read.json(Seq(doc).toDS)
+  }
+
+  /** S2 — extract the array under a dotted section path (e.g.
+    * "products.Response") as one row per element. Works for both
+    * array-of-objects sections and struct sections (struct → single
+    * row). */
+  def readSection(spark: SparkSession, path: String, section: String): DataFrame = {
+    val doc = readJsonc(spark, path)
+    sectionOf(doc, section)
+  }
+
+  def sectionOf(doc: DataFrame, section: String): DataFrame = {
+    val c = section.split('.').foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, field) => Some(acc.map(_.getField(field)).getOrElse(col(field)))
+    }.get
+    val dt = doc.select(c.as("__s")).schema.head.dataType
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        doc.select(explode(c).as("__s")).select(col("__s.*"))
+      case _: org.apache.spark.sql.types.StructType =>
+        doc.select(c.as("__s")).select(col("__s.*"))
+      case _ => doc.select(c.as("value"))
+    }
+  }
+
+  /** Directory-of-feeds variant: each file parsed independently in
+    * parallel (one task per file), schemas merged by name. */
+  def readSections(spark: SparkSession, dir: String, section: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.sparkContext.wholeTextFiles(dir).map(_._2).map(stripJsonc)
+    val docs = spark.read.json(spark.createDataset(files))
+    sectionOf(docs, section)
+  }
+
+  /** S7 — connection/validation probe: the source exists and parses to
+    * a nonempty document (ref: midocean_extractor.py:292-310). */
+  def validate(spark: SparkSession, path: String): Boolean =
+    loadText(spark, path).exists(_.trim.nonEmpty)
+}

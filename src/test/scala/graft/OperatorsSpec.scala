@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, RangeJoin, Similarity, Upsert}
+import graft.functions.{TextAnalysis, Vectors}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog!"),  // case/punct dup of 1
+    (4L, "entirely different content about spark pipelines"),
+    (5L, "the quick brown fox jumps over the lazy cat"))   // near dup of 1
+
+  private def df = docs.toDF("id", "text")
+
+  test("exactKeepFirst keeps the lowest id per exact text") {
+    val kept = Dedup.exactKeepFirst(df, $"text", $"id").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups counts duplicates") {
+    val g = Dedup.exactGroups(df, $"text", $"id")
+      .filter($"n_dups" > 1).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 2 && g(0).getLong(2) == 1L)
+  }
+
+  test("fingerprintGroups unifies case/punctuation variants") {
+    val g = Dedup.fingerprintGroups(df, $"text", $"id")
+      .filter($"n_dups" > 1).collect()
+    assert(g.length == 1 && g(0).getLong(1) == 3 && g(0).getLong(2) == 1L)
+  }
+
+  test("minHashPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(df, $"text", $"id", numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simHashPairs finds near-dup cluster and skips unrelated docs") {
+    val pairs = Dedup.simHashPairs(df, $"text", $"id", bits = 48, bands = 8, maxHamming = 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngramJaccardPairs: exact dups score 1.0; candidates overload restricts scoring") {
+    val all = Dedup.ngramJaccardPairs(df, $"text", $"id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    val cand = Seq((1L, 4L), (1L, 2L)).toDF("id_a", "id_b")
+    val scored = Dedup.ngramJaccardFor(df, $"text", $"id", cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(scored.size == 2)
+    assert(scored((1L, 2L)) == 1.0 && scored((1L, 4L)) == 0.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus: 1≈2 (same direction), 3 orthogonal, 4 opposite.
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))
+  private def df = vecs.toDF("id", "vec")
+
+  test("vector math: dot, norm, cosine") {
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(Vectors.dot($"a", $"b"), Vectors.norm($"a"), Vectors.cosine($"a", $"a"))
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    val q = df.filter($"id" === 1)
+    val top = Similarity.bruteForceTopK(q, df, "id", "vec", 2)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // 2 closest, 3 orthogonal, 4 excluded-by-rank
+    assert(top(0).getInt(3) == 1)
+  }
+
+  test("nearDupPairs exact path finds the aligned pair only") {
+    val pairs = Similarity.nearDupPairs(df, "id", "vec", threshold = 0.9, bucketed = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bucketed LSH: same-direction vectors share a bucket, opposite do not") {
+    val b = Similarity.lshBuckets(df, "id", "vec", df, numAnchors = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(4L))
+  }
+}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tiers = Seq((1, Some(9), "small"), (10, Some(24), "mid"), (25, None, "bulk"))
+    .toDF("min_q", "max_q", "tier")
+  private val facts = Seq((100L, 1), (101L, 9), (102L, 10), (103L, 24), (104L, 25), (105L, 9999))
+    .toDF("id", "qty")
+
+  test("resolveTier: inclusive bounds, open-ended last tier") {
+    val r = RangeJoin.resolveTier(facts, tiers, $"qty", $"min_q", $"max_q")
+      .select("id", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r == Map(100L -> "small", 101L -> "small", 102L -> "mid",
+      103L -> "mid", 104L -> "bulk", 105L -> "bulk"))
+  }
+
+  test("resolveAsOf keeps all fact columns and picks greatest min <= value") {
+    val t = Seq((1, "a"), (10, "b"), (100, "c")).toDF("thr", "band")
+    val r = RangeJoin.resolveAsOf(facts, Seq("id"), t, $"qty", $"thr")
+      .select("id", "qty", "band").collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getString(2))).toMap
+    assert(r(100L) == (1, "a") && r(102L) == (10, "b") && r(105L) == (9999, "c"))
+  }
+
+  test("bucketedRangeJoin matches the nested-loop result") {
+    val nested = RangeJoin.resolveTier(facts, tiers, $"qty", $"min_q", $"max_q")
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = RangeJoin.bucketedRangeJoin(facts, tiers, $"qty", $"min_q", $"max_q",
+        bucketWidth = 8, maxValue = 10000)
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bucketed == nested)
+  }
+
+  test("resolveBands2D resolves area x quantity grid") {
+    val bands = Seq((0, Some(10), 1, Some(49), "A"), (0, Some(10), 50, None, "B"))
+      .toDF("a_min", "a_max", "q_min", "q_max", "price")
+    val f = Seq((1L, 5, 10), (2L, 5, 60)).toDF("id", "area", "qty")
+    val r = RangeJoin.resolveBands2D(f, bands, $"area", $"a_min", $"a_max", $"qty", $"q_min", $"q_max")
+      .select("id", "price").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "A", 2L -> "B"))
+  }
+}
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val existing = Seq((1L, 1L, "old1"), (2L, 1L, "old2")).toDF("k", "v", "payload")
+  private val incoming = Seq((2L, 2L, "new2"), (3L, 1L, "new3")).toDF("k", "v", "payload")
+
+  test("merge: last version wins, incoming beats existing on tie") {
+    val m = Upsert.merge(existing, incoming, "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m == Map(1L -> "old1", 2L -> "new2", 3L -> "new3"))
+    // tie on version: incoming wins
+    val tie = Upsert.merge(existing, Seq((1L, 1L, "tied")).toDF("k", "v", "payload"), "k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tie(1L) == "tied")
+  }
+
+  test("merge is idempotent (merging the same batch twice = once)") {
+    val once = Upsert.merge(existing, incoming, "k", "v")
+    val twice = Upsert.merge(once, incoming, "k", "v")
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("mergeIntoParquet rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/t"
+    val b1 = Seq((1L, 1L, "a", "s1"), (2L, 1L, "b", "s2")).toDF("k", "v", "p", "part")
+    Upsert.mergeIntoParquet(spark, b1, dir, "k", "v", "part")
+    val b2 = Seq((1L, 2L, "a2", "s1")).toDF("k", "v", "p", "part")
+    Upsert.mergeIntoParquet(spark, b2, dir, "k", "v", "part")
+    val r = spark.read.parquet(dir).collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("deleteByKeys / deleteWhere / duplicateKeys") {
+    val t = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "w")).toDF("k", "v")
+    assert(Upsert.deleteByKeys(t, Seq(2L).toDF("k"), "k").count() == 2)
+    assert(Upsert.deleteWhere(t, $"v" === "x").count() == 3)
+    val dups = Upsert.duplicateKeys(t, "k").collect()
+    assert(dups.length == 1 && dups(0).getLong(0) == 2L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and sub-token counts") {
+    val r = Seq("Hello, world! 42 times").toDF("t")
+      .select(TextAnalysis.tokenCount($"t"), TextAnalysis.subTokenCount($"t")).collect()(0)
+    assert(r.getInt(0) == 4)
+    // Hello , world ! 42 times -> 6 subtokens
+    assert(r.getInt(1) == 6)
+  }
+
+  test("normalization and fingerprint equality across case/punct") {
+    val r = Seq(("The QUICK fox.", "the quick fox")).toDF("a", "b")
+      .select(TextAnalysis.fingerprint($"a") === TextAnalysis.fingerprint($"b")).collect()(0)
+    assert(r.getBoolean(0))
+  }
+
+  test("shingles: w=3 over tokens; short docs collapse to one shingle") {
+    val r = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3).as("s")).collect()(0).getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles($"t", 3).as("s")).collect()(0).getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("language detection picks stopword-majority language, und when none") {
+    val r = Seq("the cat and the dog is here", "el gato y la casa de que",
+      "xyzzy plugh").toDF("t")
+      .select(TextAnalysis.detectLanguage($"t").as("l")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality features ratios") {
+    val r = Seq("The cat, the hat!").toDF("t")
+      .select(TextAnalysis.qualityFeatures($"t").as("q"))
+      .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.stopword_ratio").collect()(0)
+    assert(r.getLong(0) == 17 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.0 / 17)
+    assert(r.getDouble(3) == 0.5) // 'the' twice of 4 tokens ('The' counts after lower)
+  }
+}
