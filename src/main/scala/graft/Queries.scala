@@ -626,6 +626,26 @@ object Queries {
         .orderBy(col("product_id"))
     }, None),
 
+    ("q50_laltex_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/Laltex Sample Data.jsonc"
+      graft.suppliers.Laltex.unified(s, sample)
+        .select(col("product_id"), col("name"), size(col("variants")).as("n_variants"),
+          size(col("base_prices")).as("n_price_tiers"),
+          size(col("keywords")).as("n_keywords"), col("is_printable"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q51_pipeline_full_sync", (s: SparkSession, d: String) => {
+      import graft.pipeline.{Pipeline, SupplierConfig}
+      val sink = java.nio.file.Files.createTempDirectory("graft-q51").toString + "/products"
+      val results = Pipeline.runFullSync(s, Seq(
+        SupplierConfig("midocean", "/root/reference/sample data/MidOcean Sample Data.jsonc"),
+        SupplierConfig("laltex", "/root/reference/sample data/Laltex Sample Data.jsonc")), sink)
+      require(results.forall(_.status == "success"),
+        s"pipeline statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
+      Pipeline.statusReport(s, sink)
+    }, None),
+
     ("q48_lsh_buckets", (s: SparkSession, d: String) => {
       val e = t(s, d, "embeddings")
       Similarity.lshBuckets(e, "vec_id", "embedding", e.filter(col("vec_id") < 8), 8)

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Pipeline orchestration (SURVEY §2.8 R1–R5) + the error-channel /
+  * partial-success semantics (§2.9, A4) the reference treats as an
+  * observable output (ref: etl/base.py:247-253, 294-313).
+  *
+  * Spark-first re-expression:
+  *  - The reference's 100-row micro-batches disappear — partitions are
+  *    the batches.
+  *  - Per-record skip-and-log becomes a declarative validation split:
+  *    rows failing any rule route to an errors DataFrame (persisted,
+  *    then counted — counts come from the persisted frame, not
+  *    best-effort accumulators, so they're exact under task retry).
+  *  - Per-supplier isolation (orchestrator.py:72-78) is a driver-side
+  *    try/catch per supplier; one supplier's failure never kills the
+  *    run.
+  *  - The sink is the partitioned-parquet keyed merge (K1, W3 window)
+  *    partitioned by supplier_id, so a sync rewrites one supplier's
+  *    partition, not the table.
+  */
+object ErrorChannel {
+
+  /** Validation rules the unified boundary enforces (the role Pydantic
+    * required-field validation plays in the reference —
+    * etl/base.py:135-145). Each rule: (message, predicate-that-must-hold). */
+  val standardRules: Seq[(String, Column)] = Seq(
+    "missing product_id" -> (col("product_id").isNotNull && col("product_id") =!= ""),
+    "missing name" -> (col("name").isNotNull && col("name") =!= ""),
+    "missing supplier id" -> col("supplier.id").isNotNull,
+    "invalid status" -> col("status").isin(graft.schema.Enums.productStatuses.toSeq: _*))
+
+  /** Split into (valid rows, invalid rows + `__errors` array column).
+    * One pass, no shuffle; the predicate evaluates map-side. */
+  def split(df: DataFrame, rules: Seq[(String, Column)] = standardRules)
+      : (DataFrame, DataFrame) = {
+    val errs = array_compact(array(rules.map { case (msg, ok) =>
+      when(!coalesce(ok, lit(false)), lit(msg)) }: _*))
+    val tagged = df.withColumn("__errors", errs)
+    (tagged.filter(size(col("__errors")) === 0).drop("__errors"),
+      tagged.filter(size(col("__errors")) > 0))
+  }
+}
+
+/** A4 run accounting — the reference's ETLResult (etl/base.py:22-44). */
+case class ETLResult(
+    supplier: String,
+    status: String, // success | partial_success | failed
+    processed: Long,
+    success: Long,
+    errors: Long,
+    errorSamples: Seq[String],
+    durationMs: Long)
+
+/** R1 — registry of supplier pipelines (the factory at
+  * etl/base.py:315-369, as an explicit idiomatic map). */
+trait SupplierPipeline {
+  def id: String
+  def unified(spark: SparkSession, feedPath: String): DataFrame
+}
+
+object Registry {
+  import graft.suppliers.{Laltex, MidOcean}
+
+  object MidOceanPipeline extends SupplierPipeline {
+    val id = MidOcean.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      MidOcean.unified(spark, feedPath)
+  }
+  object LaltexPipeline extends SupplierPipeline {
+    val id = Laltex.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Laltex.unified(spark, feedPath)
+  }
+
+  val all: Map[String, SupplierPipeline] =
+    Seq(MidOceanPipeline, LaltexPipeline).map(p => p.id -> p).toMap
+}
+
+case class SupplierConfig(id: String, feedPath: String)
+
+object Pipeline {
+
+  /** R2/R4 — run one supplier end-to-end: transform → validate-split →
+    * stamp (K7) → keyed merge into the partitioned unified table (K1).
+    * `since` (§2.10 incremental): None = full sync. */
+  def runSupplier(spark: SparkSession, cfg: SupplierConfig, sinkPath: String,
+                  since: Option[java.sql.Timestamp] = None): ETLResult = {
+    val t0 = System.nanoTime()
+    try {
+      val pipeline = Registry.all.getOrElse(cfg.id,
+        throw new IllegalArgumentException(s"unknown supplier: ${cfg.id}"))
+      val unified0 = pipeline.unified(spark, cfg.feedPath)
+      // Incremental mode: the reference declares --since but falls back
+      // to full sync (etl/base.py:267-273); we actually filter when the
+      // source carries a modification timestamp, else full-sync too.
+      val unified = since match {
+        case Some(ts) if unified0.columns.contains("updated_at") =>
+          unified0.filter(col("updated_at").isNull || col("updated_at") >= lit(ts))
+        case _ => unified0
+      }
+      val (good0, bad) = ErrorChannel.split(unified)
+      val good = Upsert.stamped(Upsert.stamped(Upsert.stamped(
+        good0, "updated_at"), "created_at"), "last_sync")
+        .withColumn("supplier_id", col("supplier.id"))
+      bad.persist(); good.persist()
+      val errorCount = bad.count()
+      val successCount = good.count()
+      if (successCount > 0)
+        Upsert.mergeIntoParquet(spark, good, sinkPath,
+          keyCol = "product_id", versionCol = "last_sync", partitionCol = "supplier_id")
+      val samples = bad.select(concat_ws("; ", col("__errors"))).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      bad.unpersist(); good.unpersist()
+      val status =
+        if (errorCount == 0) "success"
+        else if (successCount > 0) "partial_success"
+        else "failed"
+      ETLResult(cfg.id, status, successCount + errorCount, successCount,
+        errorCount, samples, (System.nanoTime() - t0) / 1000000)
+    } catch {
+      case e: Exception =>
+        ETLResult(cfg.id, "failed", 0, 0, 1,
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)),
+          (System.nanoTime() - t0) / 1000000)
+    }
+  }
+
+  /** R3 — full sync across suppliers with per-supplier isolation (J8:
+    * all land in one unified table). */
+  def runFullSync(spark: SparkSession, cfgs: Seq[SupplierConfig],
+                  sinkPath: String): Seq[ETLResult] =
+    cfgs.map(cfg => runSupplier(spark, cfg, sinkPath))
+
+  /** R5/A1-A3 — status report over the unified table. */
+  def statusReport(spark: SparkSession, sinkPath: String): DataFrame = {
+    val df = spark.read.parquet(sinkPath)
+    df.groupBy(col("supplier_id"), col("status"))
+      .agg(count(lit(1)).as("n_products"),
+        sum(size(col("variants"))).as("n_variants"))
+      .orderBy(col("supplier_id"), col("status"))
+  }
+}
+
+/** R3 — CLI entry point: sync / validate / status
+  * (ref: etl/orchestrator.py:314-399). Config is a JSON file:
+  * {"sink": "...", "suppliers": [{"id": "...", "feedPath": "..."}]} */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val action = args.headOption.getOrElse("sync")
+    val configPath = args.lift(1).getOrElse("config/graft.json")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val cfgText = graft.sources.FeedReader.loadText(spark, configPath)
+        .getOrElse(sys.error(s"config not found: $configPath"))
+      import spark.implicits._
+      val cfg = spark.read.json(Seq(cfgText).toDS)
+      val sink = cfg.select("sink").collect()(0).getString(0)
+      val suppliers = cfg.select(explode(col("suppliers")).as("s"))
+        .select("s.id", "s.feedPath").collect()
+        .map(r => SupplierConfig(r.getString(0), r.getString(1))).toSeq
+      action match {
+        case "sync" =>
+          Pipeline.runFullSync(spark, suppliers, sink).foreach { r =>
+            println(s"[${r.supplier}] ${r.status}: processed=${r.processed} " +
+              s"success=${r.success} errors=${r.errors} in ${r.durationMs}ms" +
+              (if (r.errorSamples.nonEmpty) s" first-errors=${r.errorSamples.mkString(" | ")}" else ""))
+          }
+        case "validate" =>
+          suppliers.foreach { s =>
+            val ok = graft.sources.FeedReader.validate(spark, s.feedPath)
+            println(s"[${s.id}] feed ${if (ok) "OK" else "MISSING"}: ${s.feedPath}")
+          }
+        case "status" =>
+          Pipeline.statusReport(spark, sink).show(100, truncate = false)
+        case other => sys.error(s"unknown action: $other (sync|validate|status)")
+      }
+    } finally spark.stop()
+  }
+}
