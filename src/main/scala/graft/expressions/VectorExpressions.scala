@@ -1,0 +1,152 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** Native codegen vector kernels.
+  *
+  * The HOF formulation (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * is correct but interpreted — lambda functions don't participate in
+  * whole-stage codegen, so an all-pairs similarity scan pays a
+  * per-element virtual-call tax ~50× the arithmetic. These expressions
+  * generate a tight primitive loop instead (and keep the exact same
+  * semantics: sequential left-to-right double accumulation, null when
+  * either side is null, lengths differ, or any element is null — the
+  * same result the HOF version produces, bit for bit).
+  *
+  * This is the SURVEY §7.3 "custom Catalyst Expression" tier: used only
+  * where built-ins genuinely can't express the performance shape.
+  */
+trait VectorBinaryLoop extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) return null
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var i = 0
+    val n = xs.numElements()
+    var acc0, acc1, acc2 = 0.0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val xa = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val xb = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
+      val (a0, a1, a2) = evalStep(acc0, acc1, acc2, xa, xb)
+      acc0 = a0; acc1 = a1; acc2 = a2
+      i += 1
+    }
+    evalResult(acc0, acc1, acc2)
+  }
+
+  protected def evalStep(acc0: Double, acc1: Double, acc2: Double,
+                         xa: Double, xb: Double): (Double, Double, Double)
+  protected def evalResult(acc0: Double, acc1: Double, acc2: Double): Any
+}
+
+/** Sequential dot product in double precision. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryLoop {
+  override def prettyName: String = "vec_dot"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+        |}
+      """.stripMargin
+    })
+  }
+  protected def evalStep(acc0: Double, acc1: Double, acc2: Double,
+                         xa: Double, xb: Double): (Double, Double, Double) =
+    (acc0 + xa * xb, 0.0, 0.0)
+  protected def evalResult(acc0: Double, acc1: Double, acc2: Double): Any = acc0
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused cosine similarity: one pass accumulating dot, ‖a‖², ‖b‖².
+  * Identical result to dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) with
+  * sequential accumulation; null for zero-norm inputs. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryLoop {
+  override def prettyName: String = "vec_cosine"
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    double xa = (double) $a.$lGet($i);
+        |    double xb = (double) $b.$rGet($i);
+        |    $d += xa * xb; $na += xa * xa; $nb += xb * xb;
+        |  }
+        |  if (!${ev.isNull}) {
+        |    double sa = java.lang.Math.sqrt($na);
+        |    double sb = java.lang.Math.sqrt($nb);
+        |    if (sa == 0.0 || sb == 0.0) { ${ev.isNull} = true; }
+        |    else { ${ev.value} = $d / (sa * sb); }
+        |  }
+        |}
+      """.stripMargin
+    })
+  }
+  protected def evalStep(acc0: Double, acc1: Double, acc2: Double,
+                         xa: Double, xb: Double): (Double, Double, Double) =
+    (acc0 + xa * xb, acc1 + xa * xa, acc2 + xb * xb)
+  protected def evalResult(dot: Double, na: Double, nb: Double): Any = {
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) null else dot / (sa * sb)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** The codegen kernels must agree bit-for-bit with the HOF reference
+  * formulation (same sequential double accumulation), including null /
+  * zero-vector / length-mismatch edges. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen dot and cosine equal the HOF formulation on random float vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+      (Vectors.dot($"a", $"b") === Vectors.dotHof($"a", $"b")).as("dotEq"),
+      (Vectors.cosine($"a", $"b") === Vectors.cosineHof($"a", $"b")).as("cosEq"))
+      .filter(!$"dotEq" || !$"cosEq").count()
+    assert(diff == 0)
+  }
+
+  test("null / zero-vector / length-mismatch edges") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),       // normal
+      (2L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)),       // zero norm -> cosine null
+      (3L, Array(1.0f), Array(1.0f, 2.0f)),             // length mismatch -> null
+      (4L, null.asInstanceOf[Array[Float]], Array(1.0f)) // null input -> null
+    ).toDF("id", "a", "b")
+    val r = df.select($"id", Vectors.dot($"a", $"b").as("d"), Vectors.cosine($"a", $"b").as("c"))
+      .orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 11.0 && !r(0).isNullAt(2))
+    assert(r(1).getDouble(1) == 0.0 && r(1).isNullAt(2))
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2))
+    assert(r(3).isNullAt(1) && r(3).isNullAt(2))
+  }
+
+  test("interpreted eval path (outside codegen) agrees too") {
+    // Force the interpreted path by evaluating inside a literal-only context.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.expressions.{CosineSimilarity, DotProduct}
+    val a = Literal.create(Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val b = Literal.create(Array(4.0, 5.0, 6.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(DotProduct(a, b).eval(null) == 32.0)
+    val c = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    assert(math.abs(c - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-15)
+  }
+}
