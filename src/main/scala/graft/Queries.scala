@@ -646,6 +646,15 @@ object Queries {
       Pipeline.statusReport(s, sink)
     }, None),
 
+    // Multimodal plumbing: documents' text bytes stand in for media
+    // content; decode is the documented stub (rows-only check).
+    ("q52_media_decode", (s: SparkSession, d: String) => {
+      val media = t(s, d, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      graft.operators.Multimodal.decodeMeta(media).toDF()
+        .orderBy(col("media_id"))
+    }, None),
+
     ("q48_lsh_buckets", (s: SparkSession, d: String) => {
       val e = t(s, d, "embeddings")
       Similarity.lshBuckets(e, "vec_id", "embedding", e.filter(col("vec_id") < 8), 8)

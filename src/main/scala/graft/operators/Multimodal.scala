@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: images/audio/video travel as opaque
+  * `binary` columns plus typed metadata, exactly as a 100 TB training
+  * -data pipeline stores them (the bytes never deserialize into JVM
+  * objects until a kernel touches them).
+  *
+  * The Spark-side plumbing here is real — schema, partition sizing,
+  * batched per-partition iteration, deterministic outputs — while the
+  * actual codec calls are STUBBED behind [[StubCodec]] (image/audio
+  * libraries are not available in this environment). Swapping in a real
+  * decoder changes one function, not the pipeline shape.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: id, source uri, modality tag, raw
+    * bytes, sidecar metadata. */
+  val mediaSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, uri STRING, media_type STRING, content BINARY, " +
+        "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: BIGINT>")
+
+  /** Exact binary dedup key: content hash, computed codegen-side. */
+  def contentHash(content: Column): Column = sha2(content, 256)
+
+  def exactDupGroups(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.groupBy(contentHash(content).as("content_sha"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"))
+
+  /** Byte size without deserializing. */
+  def byteSize(content: Column): Column = length(content)
+
+  /** STUB codec: deterministic pseudo-decode derived from the bytes.
+    * A real implementation calls the image/audio library here — the
+    * signature (bytes in, fixed-shape features out) is the contract
+    * the rest of the pipeline compiles against. */
+  object StubCodec {
+    /** Pretend-decode image dimensions from content bytes. */
+    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(bytes)
+      (256 + math.abs(h % 1024), 256 + math.abs((h >> 10) % 1024))
+    }
+    /** Pretend feature vector (`dim` floats in [-0.5, 0.5]) — a
+      * deterministic hash-seeded embedding standing in for a model
+      * forward pass. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
+      Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    }
+  }
+
+  case class DecodedMeta(media_id: Long, width: Int, height: Int, n_bytes: Long)
+  case class MediaFeatures(media_id: Long, embedding: Array[Float])
+
+  /** Per-partition batched decode (the mapInPandas analog in Scala:
+    * one iterator pass per partition, no per-row task overhead, bytes
+    * stay off-heap until touched). Input needs (media_id BIGINT,
+    * content BINARY). */
+  def decodeMeta(df: DataFrame): Dataset[DecodedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h) = StubCodec.decodeDims(bytes)
+        DecodedMeta(id, w, h, bytes.length.toLong)
+      })
+  }
+
+  /** Per-partition batched feature extraction → embedding column that
+    * feeds directly into [[Similarity]] / [[Dedup]] operators. */
+  def extractFeatures(df: DataFrame, dim: Int = 64): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaFeatures(id, StubCodec.features(bytes, dim))
+      })
+  }
+
+  /** Frame-sampling plan for video content: evenly spaced offsets —
+    * pure column math, the decode of each frame is the stubbed part. */
+  def frameOffsets(durationMs: Column, everyMs: Long): Column =
+    sequence(lit(0L), greatest(durationMs - 1L, lit(0L)), lit(everyMs))
+
+  /** Right-size partitions for binary payloads before a decode pass:
+    * target ~`targetMb` of content per task so executor memory is
+    * bounded regardless of media size skew. */
+  def repartitionForDecode(df: DataFrame, content: Column, targetMb: Int = 64): DataFrame = {
+    val totalBytes = df.select(sum(length(content)).cast("long")).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, (totalBytes / (targetMb.toLong * 1024 * 1024)).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming stock refresher (SURVEY §2.10): the natural
+  * streaming input in the reference's data — MidOcean stock rows with
+  * modified_at, Laltex DueIns ETAs (ref: MidOcean Sample
+  * Data.jsonc:13194-13250, Laltex Sample Data.jsonc:4628-4636).
+  *
+  * Semantics: tumbling "latest per key" — exactly the reference's
+  * upsert sink applied continuously. No session/sliding windows are
+  * implied by the reference.
+  *
+  * Scale: state is one row per sku (keyed state store, RocksDB-backed
+  * on a real cluster); the watermark bounds it — updates older than
+  * the watermark are dropped instead of resurrecting dead keys.
+  */
+object StockStream {
+
+  case class StockUpdate(sku: String, qty: Int, modified_at: Timestamp)
+  case class StockState(sku: String, qty: Int, modified_at: Timestamp)
+
+  /** Latest-update-per-sku with event-time semantics: later
+    * modified_at wins regardless of arrival order. */
+  def latestPerSku(updates: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .withWatermark("modified_at", watermarkDelay)
+      .dropDuplicates("sku", "modified_at")
+      .as[StockUpdate]
+      .groupByKey(_.sku)
+      .mapGroupsWithState[StockState, StockState](GroupStateTimeout.NoTimeout) {
+        (sku, rows, state: GroupState[StockState]) =>
+          val newest = (rows ++ state.getOption.map(s => StockUpdate(s.sku, s.qty, s.modified_at)))
+            .maxBy(_.modified_at.getTime)
+          val next = StockState(sku, newest.qty, newest.modified_at)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Sink: continuous upsert of the latest stock rows into a keyed
+    * parquet table via the batch merge (K1) — the streaming analog of
+    * the reference's ReplaceOne loop, one merge per micro-batch. */
+  def writer(latest: DataFrame, tablePath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    latest.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Upsert.mergeIntoParquet(
+          batch.sparkSession, batch.withColumn("part", lit("stock")),
+          tablePath, keyCol = "sku", versionCol = "modified_at", partitionCol = "part")
+      }
+
+  /** File-source entry point: watch a directory of JSON-lines stock
+    * updates (schema: sku STRING, qty INT, modified_at TIMESTAMP). */
+  def fromJsonDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("sku STRING, qty INT, modified_at TIMESTAMP")
+      .json(dir)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "s3://m/1.jpg", "image", "same-bytes".getBytes("UTF-8")),
+    (2L, "s3://m/2.jpg", "image", "same-bytes".getBytes("UTF-8")),   // exact dup of 1
+    (3L, "s3://m/3.jpg", "image", "other-bytes".getBytes("UTF-8")),
+    (4L, "s3://m/4.mp4", "video", "video-bytes".getBytes("UTF-8")))
+    .toDF("media_id", "uri", "media_type", "content")
+
+  test("binary exact-dup groups by content hash") {
+    val dups = Multimodal.exactDupGroups(media, $"content", $"media_id")
+      .filter($"n_dups" > 1).collect()
+    assert(dups.length == 1 && dups(0).getLong(2) == 1L)
+  }
+
+  test("batched decode produces deterministic metadata per content") {
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).width == meta(2L).width && meta(1L).height == meta(2L).height)
+    assert(meta(1L).n_bytes == "same-bytes".getBytes("UTF-8").length)
+    assert(meta(3L).width != meta(1L).width || meta(3L).height != meta(1L).height)
+  }
+
+  test("feature extraction feeds the similarity operators end-to-end") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+      .withColumnRenamed("media_id", "id").withColumnRenamed("embedding", "vec")
+    val pairs = graft.operators.Similarity
+      .nearDupPairs(feats, "id", "vec", threshold = 0.999, bucketed = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // identical bytes -> identical stub embedding
+  }
+
+  test("frame offsets are even and bounded by duration") {
+    val r = Seq((10_000L)).toDF("duration_ms")
+      .select(Multimodal.frameOffsets($"duration_ms", 3000).as("f")).collect()(0)
+      .getSeq[Long](0)
+    assert(r == Seq(0L, 3000L, 6000L, 9000L))
+  }
+}
+
+class StockStreamSpec extends SparkSpec {
+  import graft.streaming.StockStream
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("streaming latest-per-sku: later event time wins regardless of arrival order") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(String, Int, Timestamp)]
+    val updates = input.toDF().toDF("sku", "qty", "modified_at")
+    val latest = StockStream.latestPerSku(updates)
+
+    val query = latest.writeStream
+      .format("memory").queryName("stock_latest")
+      .outputMode("update")
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // batch 1: two skus
+      input.addData(("A", 10, ts("2025-04-15 10:00:00")), ("B", 5, ts("2025-04-15 10:00:00")))
+      query.processAllAvailable()
+      // batch 2: A updated forward; B gets an OUT-OF-ORDER older event
+      input.addData(("A", 20, ts("2025-04-15 11:00:00")), ("B", 99, ts("2025-04-15 09:00:00")))
+      query.processAllAvailable()
+      val state = spark.sql("SELECT sku, qty FROM stock_latest")
+        .collect().groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.last.getInt(1) }
+      assert(state("A") == 20)   // newer event applied
+      assert(state("B") == 5)    // stale event did not overwrite
+    } finally query.stop()
+  }
+}
