@@ -646,6 +646,15 @@ object Queries {
       Pipeline.statusReport(s, sink)
     }, None),
 
+    ("q53_ralawise_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/Ralawise Sample Data.jsonc"
+      graft.suppliers.Ralawise.unified(s, sample)
+        .select(col("product_id"), col("name"), col("brand"),
+          size(col("variants")).as("n_variants"),
+          size(col("categories")).as("n_categories"))
+        .orderBy(col("product_id"))
+    }, None),
+
     // Multimodal plumbing: documents' text bytes stand in for media
     // content; decode is the documented stub (rows-only check).
     ("q52_media_decode", (s: SparkSession, d: String) => {

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flat child rows → ordered nested arrays (the pivot suppliers like
+  * Ralawise/Sanmar need: per-SKU rows grouped up into a product with a
+  * variant array — SURVEY §7.4 risk 5; MidOcean never needed it
+  * because its feed arrives pre-nested).
+  *
+  * Scale: one hash-aggregate shuffle on the parent key — the minimum
+  * possible for this reshape. Order inside the array is explicit
+  * (`order` column), never partition-dependent.
+  */
+object Nest {
+
+  /** Group `df` by `keyCols`, collecting `value` per row into an array
+    * sorted by `order`. Result: keyCols + `as` array column. */
+  def rollup(df: DataFrame, keyCols: Seq[String], value: Column,
+             order: Column, as: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(order.as("o"), value.as("v")))),
+        x => x.getField("v")).as(as))
+
+  /** Rollup plus "first row wins" for the remaining parent-level
+    * columns (deterministic: first by `order`). */
+  def rollupWithParent(df: DataFrame, keyCols: Seq[String],
+                       parentCols: Seq[String], value: Column,
+                       order: Column, as: String): DataFrame = {
+    val parentStruct = struct(parentCols.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        min_by(parentStruct, order).as("__parent"),
+        transform(
+          array_sort(collect_list(struct(order.as("o"), value.as("v")))),
+          x => x.getField("v")).as(as))
+      .select((keyCols.map(col) ++
+        parentCols.map(c => col(s"__parent.`$c`").as(c)) :+ col(as)): _*)
+  }
+}

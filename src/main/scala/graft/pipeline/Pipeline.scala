@@ -63,7 +63,7 @@ trait SupplierPipeline {
 }
 
 object Registry {
-  import graft.suppliers.{Laltex, MidOcean}
+  import graft.suppliers.{Laltex, MidOcean, Ralawise}
 
   object MidOceanPipeline extends SupplierPipeline {
     val id = MidOcean.supplierId
@@ -76,8 +76,14 @@ object Registry {
       Laltex.unified(spark, feedPath)
   }
 
+  object RalawisePipeline extends SupplierPipeline {
+    val id = Ralawise.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Ralawise.unified(spark, feedPath)
+  }
+
   val all: Map[String, SupplierPipeline] =
-    Seq(MidOceanPipeline, LaltexPipeline).map(p => p.id -> p).toMap
+    Seq(MidOceanPipeline, LaltexPipeline, RalawisePipeline).map(p => p.id -> p).toMap
 }
 
 case class SupplierConfig(id: String, feedPath: String)

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S4 — HTTP API scan shape (ref: midocean_extractor.py:140-173):
+  * driver-side fetch of a bounded API response, parallelized into a
+  * DataFrame via the JSON reader. The transport is pluggable — this
+  * environment has zero egress, so the default transport refuses and
+  * tests inject a file-backed one; swapping in a real HTTP client
+  * changes one function.
+  *
+  * Scale note: this shape is for KB–MB dimension endpoints (pricelist,
+  * printdata). A paginated bulk API at 100 TB scale would instead be a
+  * DataSource V2 `TableProvider` with one InputPartition per page —
+  * out of parity scope (the reference only ever fetches whole
+  * responses).
+  */
+object HttpSource {
+
+  type Transport = HttpRequest => String
+  case class HttpRequest(url: String, headers: Map[String, String] = Map.empty,
+                         params: Map[String, String] = Map.empty)
+
+  /** Default transport: refuses (offline environment). */
+  val offline: Transport = req =>
+    throw new UnsupportedOperationException(
+      s"no network transport configured (offline build); requested ${req.url}")
+
+  /** File-backed transport for tests/sample mode: url → local path
+    * lookup, mirroring `use_sample_data` (S8;
+    * midocean_extractor.py:37-38). */
+  def fileTransport(spark: SparkSession, mapping: Map[String, String]): Transport = req =>
+    mapping.get(req.url) match {
+      case Some(path) => FeedReader.loadText(spark, path)
+        .map(FeedReader.stripJsonc)
+        .getOrElse(throw new java.io.FileNotFoundException(path))
+      case None => throw new IllegalArgumentException(s"no mapping for ${req.url}")
+    }
+
+  /** Fetch one endpoint and parse the JSON response body. */
+  def fetchJson(spark: SparkSession, req: HttpRequest,
+                transport: Transport = offline): DataFrame = {
+    import spark.implicits._
+    val body = transport(req)
+    spark.read.json(Seq(body).toDS)
+  }
+
+  /** S7 probe against an endpoint. */
+  def validate(req: HttpRequest, transport: Transport = offline): Boolean =
+    try transport(req).trim.nonEmpty
+    catch { case _: Exception => false }
+}
