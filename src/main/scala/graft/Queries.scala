@@ -646,6 +646,86 @@ object Queries {
       Pipeline.statusReport(s, sink)
     }, None),
 
+    // MinHash/LSH with a DuckDB oracle: near-dups are synthesized by
+    // unioning a mutated copy of each doc (append 3 words), so the
+    // banding join must find every (id, id+100000) pair.
+    ("q54_minhash_pairs", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      Dedup.minHashPairs(base.unionByName(mutated), col("text"), col("doc_id"),
+          numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id < 200),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+          len(list_filter(generate_series(1, 12), i -> l.sig[i] = r.sig[i])) / 12.0 AS est
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+      SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM pairs
+      WHERE est >= 0.3 ORDER BY id_a, id_b"""
+    }),
+
+    // SimHash banded Hamming pairs (rows-only: hex->int64 isn't
+    // cleanly expressible in the oracle dialect).
+    ("q55_simhash_pairs", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      Dedup.simHashPairs(base.unionByName(mutated), col("text"), col("doc_id"),
+          bits = 48, bands = 8, maxHamming = 7)
+        .orderBy(col("id_a"), col("id_b"))
+    }, None),
+
+    // Exact shingle-set Jaccard scored only for given candidate pairs
+    // (the 100 TB path: candidates come from MinHash, not all-pairs).
+    ("q56_jaccard_candidates", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val candidates = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.ngramJaccardFor(docs, col("text"), col("doc_id"), candidates)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      shingled AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(generate_series(1, len(ws) - 2),
+                      i -> array_to_string(ws[i:i+2], ' ')) END) AS sh
+        FROM w),
+      cand AS (
+        SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b FROM documents a
+        WHERE EXISTS (SELECT 1 FROM documents b WHERE b.doc_id = a.doc_id + 1))
+      SELECT c.id_a, c.id_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b
+      ORDER BY id_a, id_b""")),
+
     ("q53_ralawise_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/Ralawise Sample Data.jsonc"
       graft.suppliers.Ralawise.unified(s, sample)
