@@ -364,14 +364,15 @@ object Queries {
     ("q28_parse_iso_date", (s: SparkSession, d: String) => {
       t(s, d, "orders")
         .select(col("o_orderkey"),
-          Parsers.parseIsoDate(
+          date_format(Parsers.parseIsoDate(
             when(col("o_orderkey") % 10 === 0, lit("not-a-date"))
-              .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+              .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))), "yyyy-MM-dd")
             .as("parsed"))
         .orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey,
-        CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS parsed
+        CASE WHEN o_orderkey % 10 = 0 THEN NULL
+             ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS parsed
       FROM orders ORDER BY o_orderkey""")),
 
     ("q29_yes_no_flag", (s: SparkSession, d: String) => {
@@ -732,6 +733,22 @@ object Queries {
         .select(col("product_id"), col("name"), col("brand"),
           size(col("variants")).as("n_variants"),
           size(col("categories")).as("n_categories"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q57_keramikos_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/Keramikos Sample Data.jsonc"
+      graft.suppliers.Keramikos.unified(s, sample)
+        .select(col("product_id"), col("name"), col("status"), col("is_printable"),
+          size(col("print_options")).as("n_print_options"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q58_preseli_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/Preseli Sample Data.jsonc"
+      graft.suppliers.Preseli.unified(s, sample)
+        .select(col("product_id"), col("name"), size(col("base_prices")).as("n_price_tiers"),
+          size(col("images")).as("n_images"))
         .orderBy(col("product_id"))
     }, None),
 

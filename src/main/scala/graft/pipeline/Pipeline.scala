@@ -63,7 +63,7 @@ trait SupplierPipeline {
 }
 
 object Registry {
-  import graft.suppliers.{Laltex, MidOcean, Ralawise}
+  import graft.suppliers.{Keramikos, Laltex, MidOcean, Preseli, Ralawise}
 
   object MidOceanPipeline extends SupplierPipeline {
     val id = MidOcean.supplierId
@@ -82,8 +82,20 @@ object Registry {
       Ralawise.unified(spark, feedPath)
   }
 
+  object KeramikosPipeline extends SupplierPipeline {
+    val id = Keramikos.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Keramikos.unified(spark, feedPath)
+  }
+  object PreseliPipeline extends SupplierPipeline {
+    val id = Preseli.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Preseli.unified(spark, feedPath)
+  }
+
   val all: Map[String, SupplierPipeline] =
-    Seq(MidOceanPipeline, LaltexPipeline, RalawisePipeline).map(p => p.id -> p).toMap
+    Seq(MidOceanPipeline, LaltexPipeline, RalawisePipeline,
+      KeramikosPipeline, PreseliPipeline).map(p => p.id -> p).toMap
 }
 
 case class SupplierConfig(id: String, feedPath: String)
