@@ -752,6 +752,46 @@ object Queries {
         .orderBy(col("product_id"))
     }, None),
 
+    ("q59_xd_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/XD Sample Data.jsonc"
+      graft.suppliers.Xd.unified(s, sample)
+        .select(col("product_id"), col("name"), col("brand"),
+          size(col("variants")).as("n_variants"),
+          size(element_at(col("variants"), 1).getField("prices")).as("n_price_tiers"),
+          element_at(col("variants"), 1).getField("stock").getField("available")
+            .as("stock_available"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q60_pfconcept_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/PFConcept Sample Data.jsonc"
+      graft.suppliers.PfConcept.unified(s, sample)
+        .select(col("product_id"), col("name"), col("brand"),
+          col("weight.value").as("weight_value"), col("weight.unit").as("weight_unit"),
+          size(col("print_options")).as("n_print_options"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q61_sands_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/s&s.jsonc"
+      graft.suppliers.SandS.unified(s, sample)
+        .select(col("product_id"), col("name"), col("brand"),
+          size(col("variants")).as("n_variants"),
+          element_at(col("variants"), 1).getField("stock").getField("available")
+            .as("stock_available"))
+        .orderBy(col("product_id"))
+    }, None),
+
+    ("q62_sanmar_unified", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/Sanmar Sample Data.jsonc"
+      graft.suppliers.Sanmar.unified(s, sample)
+        .select(col("product_id"), col("name"), col("brand"),
+          size(col("variants")).as("n_variants"),
+          size(col("keywords")).as("n_keywords"),
+          size(col("categories")).as("n_categories"))
+        .orderBy(col("product_id"))
+    }, None),
+
     // Multimodal plumbing: documents' text bytes stand in for media
     // content; decode is the documented stub (rows-only check).
     ("q52_media_decode", (s: SparkSession, d: String) => {

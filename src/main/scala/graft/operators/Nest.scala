@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Nest {
 
+  /** Sort an array of `{o, v}` structs by `o` ONLY — required when `v`
+    * contains non-orderable types (maps), where array_sort's default
+    * whole-struct comparison fails analysis. */
+  def sortByKey(arr: Column): Column =
+    array_sort(arr, (a, b) =>
+      when(a.getField("o") < b.getField("o"), -1)
+        .when(a.getField("o") > b.getField("o"), 1)
+        .otherwise(0))
+
   /** Group `df` by `keyCols`, collecting `value` per row into an array
     * sorted by `order`. Result: keyCols + `as` array column. */
   def rollup(df: DataFrame, keyCols: Seq[String], value: Column,

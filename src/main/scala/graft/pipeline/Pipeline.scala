@@ -63,7 +63,8 @@ trait SupplierPipeline {
 }
 
 object Registry {
-  import graft.suppliers.{Keramikos, Laltex, MidOcean, Preseli, Ralawise}
+  import graft.suppliers.{Keramikos, Laltex, MidOcean, PfConcept, Preseli,
+    Ralawise, SandS, Sanmar, Xd}
 
   object MidOceanPipeline extends SupplierPipeline {
     val id = MidOcean.supplierId
@@ -92,10 +93,31 @@ object Registry {
     def unified(spark: SparkSession, feedPath: String): DataFrame =
       Preseli.unified(spark, feedPath)
   }
+  object XdPipeline extends SupplierPipeline {
+    val id = Xd.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Xd.unified(spark, feedPath)
+  }
+  object PfConceptPipeline extends SupplierPipeline {
+    val id = PfConcept.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      PfConcept.unified(spark, feedPath)
+  }
+  object SandSPipeline extends SupplierPipeline {
+    val id = SandS.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      SandS.unified(spark, feedPath)
+  }
+  object SanmarPipeline extends SupplierPipeline {
+    val id = Sanmar.supplierId
+    def unified(spark: SparkSession, feedPath: String): DataFrame =
+      Sanmar.unified(spark, feedPath)
+  }
 
   val all: Map[String, SupplierPipeline] =
     Seq(MidOceanPipeline, LaltexPipeline, RalawisePipeline,
-      KeramikosPipeline, PreseliPipeline).map(p => p.id -> p).toMap
+      KeramikosPipeline, PreseliPipeline, XdPipeline, PfConceptPipeline,
+      SandSPipeline, SanmarPipeline).map(p => p.id -> p).toMap
 }
 
 case class SupplierConfig(id: String, feedPath: String)

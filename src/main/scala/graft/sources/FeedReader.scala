@@ -48,8 +48,38 @@ object FeedReader {
     line
   }
 
+  /** Remove trailing commas (`,` followed by only whitespace and then
+    * `}` or `]`) — the other JSONC-ism in the captures (e.g. XD Sample
+    * Data.jsonc ProductPrices rows end `},` before `]`; the reference
+    * line-scanner strips them at midocean_extractor.py:104). String-
+    * aware single pass. */
+  def stripTrailingCommas(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    var inString = false
+    var escaped = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (escaped) { escaped = false; sb.append(c) }
+      else if (inString) {
+        if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+        sb.append(c)
+      } else if (c == '"') { inString = true; sb.append(c) }
+      else if (c == ',') {
+        var j = i + 1
+        while (j < n && Character.isWhitespace(text.charAt(j))) j += 1
+        if (j < n && (text.charAt(j) == '}' || text.charAt(j) == ']')) ()
+        else sb.append(c)
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   def stripJsonc(text: String): String =
-    text.linesIterator.map(stripComments).mkString("\n")
+    stripTrailingCommas(text.linesIterator.map(stripComments).mkString("\n"))
 
   /** S1 — load a whole feed file as text through the Hadoop FS layer
     * (works for any Spark-supported filesystem); missing file → None
@@ -111,4 +141,21 @@ object FeedReader {
     * a nonempty document (ref: midocean_extractor.py:292-310). */
   def validate(spark: SparkSession, path: String): Boolean =
     loadText(spark, path).exists(_.trim.nonEmpty)
+
+  /** Normalize the XML-converted singleton quirk (PromoStandards-style
+    * captures, e.g. Sanmar Sample Data.jsonc:160 ProductCategory): a
+    * one-element list serializes as a bare object, so the same path is
+    * a struct in one capture and an array in another. Resolves the
+    * column's type against `df` and wraps struct → 1-element array;
+    * null-safe. Plan-time schema dispatch — no runtime branching. */
+  def asArray(df: DataFrame, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dt = df.select(c.as("__a")).schema.head.dataType
+    dt match {
+      case at: org.apache.spark.sql.types.ArrayType =>
+        coalesce(c, array().cast(at))
+      case other =>
+        when(c.isNotNull, array(c))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(other)))
+    }
+  }
 }

@@ -1,0 +1,301 @@
+package graft.suppliers
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.FeedReader
+
+/** XD / Xindao supplier pipeline: five correlated feeds → unified rows.
+  *
+  * Feed shapes (ref: sample data/XD Sample Data.jsonc:3 Products,
+  * :89 ProductPrices, :125 PrintData, :152 PrintPrices, :469 Stock):
+  * one flat row per ItemCode (colour variant), grouped into a product
+  * by ModelCode; item price tiers arrive PIVOTED as `Qty1..Qty6` ×
+  * `ItemPriceNet_Qty1..6` column pairs and print price tiers as
+  * `PrintPriceNet_<q>` at fixed breakpoints — both are unpivoted into
+  * the unified tier-array form (SURVEY J5 semantics, A.6 fixture
+  * notes). Stock is the J4 equi-join on ItemCode.
+  *
+  * Scale: Products/Prices/Stock all key on ItemCode with ~equal
+  * cardinality → plain shuffled equi-joins (not broadcast — at 100 TB
+  * none of them is a small side; AQE may still downgrade to broadcast
+  * at test SF). PrintPrices is a genuine technique dimension →
+  * broadcast. One hash-aggregate per ModelCode does the nesting; the
+  * unpivot itself is a map-side array construction, no explode needed.
+  */
+object Xd {
+
+  val supplierId = "xd"
+
+  /** PrintTechnique label → canonical enum (graft.schema.Enums).
+    * Unknown labels are kept lowercased/underscored rather than
+    * dropped — XD's labels are open-ended. */
+  val techniqueMap: Map[String, String] = Map(
+    "pad print" -> "pad_print",
+    "co2 engraving" -> "laser_engraving",
+    "laser engraving" -> "laser_engraving",
+    "silkscreen" -> "screen_print",
+    "screen print" -> "screen_print",
+    "screen round" -> "screen_print",
+    "digital" -> "digital_print",
+    "digital print" -> "digital_print",
+    "doming" -> "full_color",
+    "embroidery" -> "embroidery",
+    "sublimation" -> "sublimation",
+    "transfer" -> "transfer")
+
+  private val techniqueMapCol: Column =
+    map(techniqueMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  private def canonTechnique(label: Column): Column =
+    coalesce(
+      element_at(techniqueMapCol, lower(coalesce(label, lit("")))),
+      regexp_replace(lower(coalesce(label, lit(""))), "[^a-z0-9]+", "_"))
+
+  case class Feed(doc: DataFrame) {
+    def products: DataFrame = FeedReader.sectionOf(doc, "Products.Response")
+    def prices: DataFrame = FeedReader.sectionOf(doc, "ProductPrices.Response")
+    def printData: DataFrame = FeedReader.sectionOf(doc, "PrintData.Response")
+    def printPrices: DataFrame = FeedReader.sectionOf(doc, "PrintPrices.Response")
+    def stock: DataFrame = FeedReader.sectionOf(doc, "Stock.Response")
+  }
+
+  def readFeed(spark: SparkSession, path: String): Feed =
+    Feed(FeedReader.readJsonc(spark, path))
+
+  private val priceType = graft.schema.Unified.schema("base_prices").dataType
+
+  /** Unpivot the Qty1..Qty6 / ItemPriceNet_Qty1..6 column pairs into a
+    * tier array; max_quantity of tier i is Qty(i+1)-1 (open-ended last
+    * tier). Map-side only. */
+  private def itemTiers(currency: Column): Column = {
+    val entries = (1 to 6).map { i =>
+      val nextQty =
+        if (i < 6) col(s"Qty${i + 1}").try_cast("int") - 1
+        else lit(null).cast("int")
+      struct(
+        col(s"ItemPriceNet_Qty$i").try_cast("double").as("value"),
+        coalesce(currency, lit("GBP")).as("currency"),
+        coalesce(col(s"Qty$i").try_cast("int"), lit(1)).as("min_quantity"),
+        nextQty.as("max_quantity"),
+        lit("unit").as("type"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("timestamp").as("valid_until"))
+    }
+    filter(array(entries: _*), t => t.getField("value").isNotNull)
+  }
+
+  /** Print tiers arrive at fixed breakpoints as PrintPriceNet_<q>. */
+  private val printBreaks = Seq(1, 50, 100, 250, 500, 1000, 2500, 5000, 10000)
+
+  private def printTiers(currency: Column): Column = {
+    val entries = printBreaks.zipWithIndex.map { case (q, i) =>
+      val maxQ =
+        if (i < printBreaks.size - 1) lit(printBreaks(i + 1) - 1).cast("int")
+        else lit(null).cast("int")
+      struct(
+        col(s"PrintPriceNet_$q").try_cast("double").as("value"),
+        coalesce(currency, lit("GBP")).as("currency"),
+        lit(q).as("min_quantity"),
+        maxQ.as("max_quantity"),
+        lit("unit").as("type"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("timestamp").as("valid_until"))
+    }
+    filter(array(entries: _*), t => t.getField("value").isNotNull)
+  }
+
+  def unified(feed: Feed): DataFrame = {
+    val items = feed.products
+    // Schema-tolerant access: feeds only materialize the dimension
+    // columns a given capture uses (the sample has Height/Diameter but
+    // no Length/Width) — absent → typed null.
+    val itemCols = items.columns.toSet
+    def opt(name: String): Column =
+      if (itemCols.contains(name)) col(name) else lit(null).cast("double")
+
+    // J5 data, pivoted form → tier array keyed by ItemCode.
+    val tiers = feed.prices.select(
+      col("ItemCode").as("__price_item"),
+      itemTiers(col("Currency")).as("__tier_prices"))
+
+    // J4: stock by ItemCode.
+    val stock = feed.stock.select(
+      col("ItemCode").as("__stock_item"),
+      struct(
+        coalesce(col("CurrentStock").try_cast("int"), lit(0)).as("available"),
+        array().cast(graft.schema.Unified.schema("variants").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]("stock").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]("due_ins").dataType)
+          .as("due_ins"),
+        lit(null).cast("timestamp").as("last_updated")).as("__stock"))
+
+    // PrintPrices: small technique dimension keyed by PrintCode → broadcast.
+    val printPriceDim = broadcast(feed.printPrices.select(
+      col("PrintCode").as("__pp_code"),
+      col("SetupNet").try_cast("double").as("__pp_setup"),
+      printTiers(col("Currency")).as("__pp_tiers")))
+
+    // Print options + positions per model: PrintData ⋈ PrintPrices.
+    val printByModel = feed.printData
+      .join(printPriceDim, col("PrintCode") === col("__pp_code"), "left_outer")
+      .groupBy(col("ModelCode"))
+      .agg(
+        transform(
+          graft.operators.Nest.sortByKey(collect_list(struct(
+            struct(col("PrintCode"), col("PrintPosition")).as("o"),
+            struct(
+              canonTechnique(col("PrintTechnique")).as("technique"),
+              coalesce(col("PrintPosition"), lit("")).as("position"),
+              coalesce(col("MaxColors").try_cast("int"), lit(1)).as("max_colors"),
+              col("__pp_setup").as("setup_charge"),
+              coalesce(col("__pp_tiers"), array().cast(priceType)).as("prices"),
+              lit(null).cast("string").as("lead_time"),
+              coalesce(col("Default").try_cast("boolean"), lit(false)).as("is_default"))
+              .as("v")))),
+          x => x.getField("v")).as("__print_options"),
+        transform(
+          graft.operators.Nest.sortByKey(collect_list(struct(
+            struct(col("PrintPositionCode"), col("PrintCode")).as("o"),
+            struct(
+              coalesce(col("PrintPositionCode"), col("PrintPosition"), lit("")).as("id"),
+              coalesce(col("PrintPosition"), lit("")).as("name"),
+              col("MaxPrintWidthMM").try_cast("double").as("max_width"),
+              col("MaxPrintHeightMM").try_cast("double").as("max_height"),
+              lit(null).cast("double").as("max_area"),
+              lit("mm").as("unit"),
+              array(canonTechnique(col("PrintTechnique"))).as("techniques"),
+              col("MaxColors").try_cast("int").as("max_colors"),
+              map(
+                lit("top_left_x"), col("VRP_X").cast("string"),
+                lit("top_left_y"), col("VRP_Y").cast("string"),
+                lit("width"), col("VRP_Width").cast("string"),
+                lit("height"), col("VRP_Height").cast("string")).as("coordinates"),
+              filter(array(
+                struct(col("VRP_URL").as("url"), lit("vrp").as("type"),
+                  lit(null).cast("string").as("description"),
+                  lit(null).cast("string").as("color_variant")),
+                struct(col("LineDrawing").as("url"), lit("line_drawing").as("type"),
+                  lit(null).cast("string").as("description"),
+                  lit(null).cast("string").as("color_variant"))),
+                i => i.getField("url").isNotNull).as("images"))
+              .as("v")))),
+          x => x.getField("v")).as("__print_positions"))
+
+    val joined = items
+      .join(tiers, col("ItemCode") === col("__price_item"), "left_outer")
+      .join(stock, col("ItemCode") === col("__stock_item"), "left_outer")
+
+    val status = when(
+      upper(coalesce(col("ProductLifeCycle"), lit(""))).contains("DISCONTINU"),
+      "discontinued").otherwise("active")
+
+    val dims = when(
+      coalesce(opt("ItemLengthCM"), opt("ItemWidthCM"),
+        opt("ItemHeightCM"), opt("ItemDiameterCM")).isNotNull,
+      struct(
+        opt("ItemLengthCM").try_cast("double").as("length"),
+        opt("ItemWidthCM").try_cast("double").as("width"),
+        opt("ItemHeightCM").try_cast("double").as("height"),
+        opt("ItemDiameterCM").try_cast("double").as("diameter"),
+        lit("cm").as("unit")))
+
+    // F10: gross weight preferred over net; grams.
+    val weight = {
+      val w = coalesce(col("ItemWeightGrossGr").try_cast("double"),
+        col("ItemWeightNetGr").try_cast("double"))
+      when(w.isNotNull, struct(w.as("value"), lit("g").as("unit")))
+    }
+
+    val variantStruct = struct(
+      coalesce(col("ItemCode"), lit("")).as("sku"),
+      col("ItemCode").as("variant_id"),
+      when(col("Color").isNotNull, struct(
+        coalesce(col("Color"), lit("")).as("code"),
+        coalesce(col("Color"), lit("")).as("name"),
+        nullif(col("HexColor1"), lit("")).as("hex_color"),
+        nullif(col("PMSColor1"), lit("")).as("pms_color"),
+        array().cast(graft.schema.Unified.schema("images").dataType).as("images"),
+        lit("active").as("status"))).as("color"),
+      lit(null).cast("string").as("size"),
+      nullif(col("Material"), lit("")).as("material_variant"),
+      dims.as("dimensions"),
+      weight.as("weight"),
+      coalesce(col("__tier_prices"), array().cast(priceType)).as("prices"),
+      col("__stock").as("stock"),
+      array().cast(graft.schema.Unified.schema("images").dataType).as("images"),
+      status.as("status"),
+      nullif(col("EANCode"), lit("")).as("gtin"))
+
+    val parentCols = Seq("ItemName", "Brand", "MainCategory", "SubCategory",
+      "Material", "LongDescription", "CountryOfOrigin", "CommodityCode",
+      "OuterCartonQty", "PackagingTypeItem")
+
+    val grouped = graft.operators.Nest.rollupWithParent(
+      joined, Seq("ModelCode"), parentCols,
+      variantStruct.cast(graft.schema.Unified.schema("variants").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType),
+      col("ItemCode"), "variants")
+      .join(printByModel, Seq("ModelCode"), "left_outer")
+
+    val colorsAvailable = array_distinct(filter(
+      transform(col("variants"), v => v.getField("color").getField("name")),
+      c => c.isNotNull))
+
+    val categories = filter(array(
+      struct(lit(null).cast("string").as("id"), col("MainCategory").as("name"),
+        lit(1).as("level"), lit(null).cast("string").as("parent_id")),
+      struct(lit(null).cast("string").as("id"), col("SubCategory").as("name"),
+        lit(2).as("level"), col("MainCategory").as("parent_id"))),
+      c => c.getField("name").isNotNull && c.getField("name") =!= "")
+
+    grouped.select(
+      concat(lit("xd_"), coalesce(col("ModelCode"), lit(""))).as("product_id"),
+      struct(lit(supplierId).as("id"), lit("XD Connects").as("name"),
+        lit(null).cast("string").as("api_version"),
+        lit(null).cast("map<string,string>").as("contact_info")).as("supplier"),
+      coalesce(col("ModelCode"), lit("")).as("supplier_product_code"),
+      coalesce(col("ItemName"), lit("")).as("name"),
+      lit(null).cast("string").as("title"),
+      lit(null).cast("string").as("short_description"),
+      col("LongDescription").as("long_description"),
+      array().cast("array<string>").as("keywords"),
+      categories.cast(graft.schema.Unified.schema("categories").dataType).as("categories"),
+      nullif(col("Brand"), lit("")).as("brand"),
+      element_at(col("variants"), 1).getField("dimensions").as("dimensions"),
+      element_at(col("variants"), 1).getField("weight").as("weight"),
+      nullif(col("Material"), lit("")).as("material"),
+      colorsAvailable.as("colors_available"),
+      col("variants"),
+      element_at(col("variants"), 1).getField("prices").as("base_prices"),
+      (size(coalesce(col("__print_options"),
+        array().cast(graft.schema.Unified.schema("print_options").dataType))) > 0)
+        .as("is_printable"),
+      coalesce(col("__print_positions"),
+        array().cast(graft.schema.Unified.schema("print_positions").dataType))
+        .cast(graft.schema.Unified.schema("print_positions").dataType)
+        .as("print_positions"),
+      coalesce(col("__print_options"),
+        array().cast(graft.schema.Unified.schema("print_options").dataType))
+        .cast(graft.schema.Unified.schema("print_options").dataType)
+        .as("print_options"),
+      array().cast(graft.schema.Unified.schema("images").dataType).as("images"),
+      array().cast("array<string>").as("artwork_templates"),
+      lit(1).as("minimum_order_quantity"),
+      col("OuterCartonQty").try_cast("int").as("carton_quantity"),
+      lit(null).cast("string").as("lead_time"),
+      array().cast(graft.schema.Unified.schema("shipping_options").dataType).as("shipping_options"),
+      nullif(col("CountryOfOrigin"), lit("")).as("country_of_origin"),
+      nullif(col("CommodityCode"), lit("")).as("tariff_code"),
+      lit(null).cast("string").as("commodity_code"),
+      when(exists(col("variants"), v => v.getField("status") === "active"), "active")
+        .otherwise("discontinued").as("status"),
+      lit(null).cast("timestamp").as("created_at"),
+      lit(null).cast("timestamp").as("updated_at"),
+      lit(null).cast("timestamp").as("last_sync"),
+      lit(null).cast("string").as("raw_data"))
+  }
+
+  def unified(spark: SparkSession, path: String): DataFrame =
+    unified(readFeed(spark, path))
+}
