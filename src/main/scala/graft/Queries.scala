@@ -811,7 +811,73 @@ object Queries {
       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       SELECT e.vec_id,
         string_agg(CASE WHEN list_dot_product(e.v, a.av) >= 0 THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
-      FROM e CROSS JOIN a GROUP BY e.vec_id ORDER BY e.vec_id"""))
+      FROM e CROSS JOIN a GROUP BY e.vec_id ORDER BY e.vec_id""")),
+
+    // IVF-style ANN: corpus partitioned into 16 inverted lists by
+    // nearest-centroid; queries probe their 2 nearest cells.
+    ("q63_ivf_topk", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select(col("vec_id")), k = 5,
+        numCells = 16, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ranked AS (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, cent.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+            DESC, cent.cid ASC) AS rk
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk <= 2 AND vec_id < 8),
+      scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          list_dot_product(q.v, c.v) /
+            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        JOIN e q ON q.vec_id = p.vec_id
+        JOIN e c ON c.vec_id = a.vec_id),
+      r AS (
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // §2.10 incremental mode: "rows modified since --since" selection
+    // that feeds the upsert sink (ref: etl/base.py:267-273).
+    ("q64_incremental_since", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+      FROM orders WHERE o_orderdate >= DATE '1998-06-01'
+      ORDER BY o_orderkey""")),
+
+    // K5 backup/CTAS + A3 collection stats: snapshot a table, then
+    // report physical stats of the backup (rows-only: file bytes are
+    // not oracle-expressible).
+    ("q65_backup_stats", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_backup_q65").getAbsolutePath
+      graft.operators.Upsert.backup(t(s, d, "nation"), dir)
+      val st = graft.operators.Stats.tableStats(s, dir)
+      Seq((st.rowCount, st.fileCount, st.totalBytes > 0))
+        .toDF("row_count", "file_count", "has_bytes")
+    }, None)
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -97,6 +97,55 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** One broadcast-able row of IVF centroids: the first `numCells`
+    * corpus vectors by ascending id (deterministic data-derived coarse
+    * quantizer — k-means would improve recall but adds nondeterminism;
+    * swap in trained centroids via the same row shape when needed). */
+  private def centroidRow(corpus: DataFrame, idCol: String, vecCol: String,
+                          numCells: Int): DataFrame =
+    corpus.select(col(idCol).as("__cid"), Vectors.toDouble(col(vecCol)).as("__cv"))
+      .orderBy(col("__cid")).limit(numCells)
+      .agg(array_sort(collect_list(struct(col("__cid"), col("__cv")))).as("__cents"))
+
+  /** Centroid ids ranked by cosine to `vec`, nearest first (map-side
+    * HOF over the broadcast centroid array). */
+  private def rankedCells(vec: Column, cents: Column): Column =
+    transform(
+      array_sort(transform(cents, c =>
+        struct((lit(-1.0) * Vectors.cosine(vec, c.getField("__cv"))).as("negcos"),
+          c.getField("__cid").as("cid")))),
+      s => s.getField("cid"))
+
+  /** IVF-style ANN top-k: the corpus is partitioned into `numCells`
+    * inverted lists by nearest centroid; each query probes its `nprobe`
+    * nearest cells only. The 100 TB path alongside [[bucketedTopK]]:
+    * cell assignment is map-side (one broadcast of the centroid row),
+    * the probe is an equi-join on cell id — each corpus row moves once,
+    * and recall/cost trades via nprobe instead of bucket bit-count.
+    * Result: (query_id, neighbor_id, cosine, rank). */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryIds: DataFrame, k: Int,
+              numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = centroidRow(corpus, idCol, vecCol, numCells)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("__cell", element_at(rankedCells(col(vecCol), col("__cents")), 1))
+    val c = assigned.select(col("__cell"), col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val q = assigned.join(queryIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(rankedCells(col(vecCol), col("__cents")), 1, nprobe))
+          .as("__cell"))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+    // No dedup needed: each corpus row is assigned to exactly one cell,
+    // so a (query, neighbor) pair appears at most once across probes.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: pairs with cosine ≥ threshold.
     * Default is the LSH-bucketed (scale-safe) path: candidate pairs are
     * restricted to a shared sign-bucket, so the join is an equi-join.

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class IvfTopKSpec extends SparkSpec {
+  import graft.operators.Similarity
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)),
+    (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.2f, 0.8f)),
+    (6L, Seq(-1.0f, 0.0f)), (7L, Seq(-0.9f, -0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("probing enough cells reproduces brute-force exactly") {
+    val q = corpus.filter($"vec_id" < 3).select($"vec_id")
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 3,
+      numCells = 4, nprobe = 4)
+      .select($"query_id", $"neighbor_id", $"rank").collect().toSet
+    val bf = Similarity.bruteForceTopK(
+      corpus.filter($"vec_id" < 3), corpus, "vec_id", "embedding", 3)
+      .select($"query_id", $"neighbor_id", $"rank").collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("nprobe=1 restricts neighbors to the query's own cell") {
+    // Centroids are vectors 0..3, so each centroid sits in its own
+    // cell; non-centroid vectors 4..7 all assign to cell 3 (nearest or
+    // least-negative centroid (0,1)). Query 3 with nprobe=1 sees
+    // exactly that cell — never the centroid-only cells 0..2.
+    val q = corpus.filter($"vec_id" === 3).select($"vec_id")
+    val res = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 10,
+      numCells = 4, nprobe = 1)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(res.contains(4L) && res.contains(5L))
+    assert(!res.contains(0L) && !res.contains(1L) && !res.contains(2L))
+  }
+
+  test("ranks are dense, start at 1, and scores non-increasing per query") {
+    val q = corpus.select($"vec_id")
+    val rows = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, k = 5,
+      numCells = 4, nprobe = 2)
+      .select($"query_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(2)).toSeq
+      assert(ranks == (1 to ranks.size))
+      val cosines = rs.map(_.getDouble(1)).toSeq
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
+
+class StatsBackupSpec extends SparkSpec {
+  import graft.operators.{Stats, Upsert}
+  import spark.implicits._
+
+  test("K5 backup + A3 tableStats round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    val df = (1 to 100).map(i => (i.toLong, s"name_$i", i % 3)).toDF("id", "name", "grp")
+    Upsert.backup(df, path)
+    val st = Stats.tableStats(spark, path)
+    assert(st.rowCount == 100)
+    assert(st.fileCount >= 1)
+    assert(st.totalBytes > 0)
+    val counts = Stats.groupCounts(spark.read.parquet(path), "grp")
+      .as[(Int, Long)].collect().toMap
+    assert(counts == Map(0 -> 33L, 1 -> 34L, 2 -> 33L))
+  }
+}
