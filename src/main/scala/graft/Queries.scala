@@ -877,7 +877,25 @@ object Queries {
       val st = graft.operators.Stats.tableStats(s, dir)
       Seq((st.rowCount, st.fileCount, st.totalBytes > 0))
         .toDF("row_count", "file_count", "has_bytes")
-    }, None)
+    }, None),
+
+    // Skew-salted join: semantically identical to the plain equi-join
+    // (which is exactly what the oracle checks), physically spread over
+    // `salts` reducers per key.
+    ("q66_salted_join", (s: SparkSession, d: String) => {
+      graft.operators.Skew.saltedJoin(
+        t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity")),
+        t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey", salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        COUNT(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand ORDER BY p_brand"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -96,13 +96,25 @@ object FeedReader {
     }
   }
 
-  /** Parse a JSONC document into a single-row DataFrame with inferred
-    * schema. `dropFields` prunes capture-noise keys (like "GET" URLs)
-    * before inference. */
+  /** Parse JSONC into a DataFrame of documents — one row per capture
+    * file. `path` may be a single file (one-row result, the sample-data
+    * mode) or a directory of captures (the at-scale mode: one task per
+    * file via wholeTextFiles, comment-stripping on executors, schemas
+    * merged by the JSON reader). Every supplier pipeline therefore
+    * scales from one sample file to a feed archive with no code change:
+    * `sectionOf` explodes each document's section and the rows union. */
   def readJsonc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
-    spark.read.json(Seq(doc).toDS)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+      val texts = spark.sparkContext.wholeTextFiles(path).map(_._2)
+        .map(stripJsonc)
+      spark.read.json(spark.createDataset(texts))
+    } else {
+      val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
+      spark.read.json(Seq(doc).toDS)
+    }
   }
 
   /** S2 — extract the array under a dotted section path (e.g.

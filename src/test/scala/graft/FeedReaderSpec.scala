@@ -4,6 +4,21 @@ import graft.sources.FeedReader
 
 class FeedReaderSpec extends SparkSpec {
 
+  test("directory of captures parses one document per file, sections union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feeds")
+    java.nio.file.Files.writeString(dir.resolve("a.jsonc"),
+      """{
+        |  "products": { // capture 1
+        |    "Response": [{"id": 1}, {"id": 2},]
+        |  }
+        |}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("b.jsonc"),
+      """{"products": {"Response": [{"id": 3}]}}""")
+    val rows = FeedReader.readSection(spark, dir.toString, "products.Response")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L))
+  }
+
   test("stripComments is string-aware: '//' inside URLs survives") {
     assert(FeedReader.stripComments("""  "url": "https://cdn.example.com/x.jpg", // comment""")
       == """  "url": "https://cdn.example.com/x.jpg", """)

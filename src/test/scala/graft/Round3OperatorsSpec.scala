@@ -51,6 +51,29 @@ class IvfTopKSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import graft.operators.Skew
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join on a hot-key distribution") {
+    // 90% of big rows share one key — the classic hot-key shape.
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong else 7L, s"v$i"))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty"), (999L, "none"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select($"k", $"payload", $"name").collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+      .select($"k", $"payload", $"name").collect().toSet
+    assert(salted == plain)
+    val plainLeft = big.join(small, Seq("k"), "left")
+      .select($"k", $"payload", $"name").collect().toSet
+    val saltedLeft = Skew.saltedJoin(big, small, "k", salts = 8, "left")
+      .select($"k", $"payload", $"name").collect().toSet
+    assert(saltedLeft == plainLeft)
+  }
+}
+
 class StatsBackupSpec extends SparkSpec {
   import graft.operators.{Stats, Upsert}
   import spark.implicits._
