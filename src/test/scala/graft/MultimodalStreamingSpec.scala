@@ -43,6 +43,49 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class EventStreamSpec extends SparkSpec {
+  import graft.streaming.EventStream
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("watermarked tumbling window emits closed windows and drops late data") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.windowedCounts(
+      input.toDF().toDF("ts", "event_type", "value"),
+      width = "1 hour", delay = "30 minutes")
+
+    val query = agg.writeStream
+      .format("memory").queryName("event_hourly")
+      .outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (ts("2025-04-15 10:05:00"), "click", 1.0),
+        (ts("2025-04-15 10:55:00"), "click", 2.0),
+        (ts("2025-04-15 10:10:00"), "view", 5.0))
+      query.processAllAvailable()
+      // Advance event time far enough that the 10:00 window closes
+      // (watermark = max ts - 30 min must pass 11:00).
+      input.addData((ts("2025-04-15 11:40:00"), "click", 1.0))
+      query.processAllAvailable()
+      // This event falls in the closed 10:00 window AND behind the
+      // watermark -> dropped, emits nothing.
+      input.addData((ts("2025-04-15 10:20:00"), "click", 100.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n_events, sum_value FROM event_hourly " +
+          "WHERE window_start = TIMESTAMP '2025-04-15 10:00:00'")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally query.stop()
+  }
+}
+
 class StockStreamSpec extends SparkSpec {
   import graft.streaming.StockStream
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
