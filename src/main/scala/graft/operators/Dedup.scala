@@ -81,7 +81,10 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    // shuffle_hash (not broadcast): both sides then shuffle on the same
+    // keys from canonically-identical children, so ReusedExchange
+    // computes the signature pipeline ONCE instead of once per side.
+    l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
@@ -130,7 +133,9 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "chunk"))
+    // See minHashPairs: shuffle_hash + identical children → one
+    // ReusedExchange, signatures computed once.
+    l.hint("shuffle_hash").join(r, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
