@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{CosineSimilarity, DotProduct}
+
+/** SparkSessionExtensions hook exposing graft's native kernels to pure
+  * SQL — a user can `SELECT graft_cosine(a.embedding, b.embedding)`
+  * without touching the Scala API.
+  *
+  * Enable at build time with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`), or on a live session
+  * with [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+                 build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name takes $arity arguments")
+        build(children)
+      })
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_dot", classOf[DotProduct], 2, c => DotProduct(c(0), c(1))),
+    fn("graft_cosine", classOf[CosineSimilarity], 2, c => CosineSimilarity(c(0), c(1))))
+
+  /** Register the same functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

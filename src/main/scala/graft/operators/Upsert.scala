@@ -83,4 +83,18 @@ object Upsert {
     * deterministic across retries). Ref: mongodb_loader.py:124,205. */
   def stamped(df: DataFrame, tsCol: String = "updated_at"): DataFrame =
     df.withColumn(tsCol, current_timestamp())
+
+  /** Co-located-join layout: persist as a bucketed + sorted catalog
+    * table. Two tables bucketed the same way join with NO shuffle on
+    * either side — the 100 TB answer to repeated key-joins (variants ⋈
+    * stock ⋈ prices on sku): pay the partitioning once at write time,
+    * never again per query. (The index-replacement role of the
+    * reference's MongoDB indexes — unified_product_schema.py:229-248.) */
+  def writeBucketed(df: DataFrame, tableName: String, keyCol: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(tableName)
 }

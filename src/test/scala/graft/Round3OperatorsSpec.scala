@@ -74,6 +74,31 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class BucketedJoinSpec extends SparkSpec {
+  import graft.operators.Upsert
+  import spark.implicits._
+
+  test("co-bucketed tables join without a shuffle on either side") {
+    val left = (1 to 500).map(i => (i.toLong, s"p$i")).toDF("sku", "payload")
+    val right = (1 to 500).map(i => (i.toLong, i * 10)).toDF("sku", "qty")
+    Upsert.writeBucketed(left, "bj_variants", "sku", buckets = 4)
+    Upsert.writeBucketed(right, "bj_stock", "sku", buckets = 4)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bj_variants").join(spark.table("bj_stock"), "sku")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+        assert(joined.count() == 500)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bj_variants")
+      spark.sql("DROP TABLE IF EXISTS bj_stock")
+    }
+  }
+}
+
 class StatsBackupSpec extends SparkSpec {
   import graft.operators.{Stats, Upsert}
   import spark.implicits._

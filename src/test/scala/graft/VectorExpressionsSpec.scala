@@ -6,6 +6,22 @@ import graft.functions.Vectors
 /** The codegen kernels must agree bit-for-bit with the HOF reference
   * formulation (same sequential double accumulation), including null /
   * zero-vector / length-mismatch edges. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_dot / graft_cosine are callable from pure SQL") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      "SELECT round(graft_dot(a, b), 6) AS d, round(graft_cosine(a, b), 6) AS c FROM vecs")
+      .as[(Double, Double)].collect().toSeq
+    assert(rows == Seq((1.0, 1.0), (0.0, 0.0)))
+    val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").collect())
+    assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("graft_dot"))
+  }
+}
+
 class VectorExpressionsSpec extends SparkSpec {
   import spark.implicits._
 
