@@ -696,7 +696,7 @@ object Queries {
       val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
       Dedup.simHashPairs(base.unionByName(mutated), col("text"), col("doc_id"),
-          bits = 48, bands = 8, maxHamming = 7)
+          bits = 64, bands = 4, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }, None),
 

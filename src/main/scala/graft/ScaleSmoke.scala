@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: amplifies the test corpus N× (distinct-but-
+  * similar replicas, so dedup candidate structure stays realistic) and
+  * times the operators whose scale behavior matters most. Run with
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.ScaleSmoke 20"
+  * and compare against amplification=1 — the LSH/IVF paths should grow
+  * ~linearly in rows (candidate pairs are bucket-bounded), never
+  * quadratically.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val amp = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val reps = spark.range(amp).select(col("id").as("rep"))
+    // Each replica keeps the duplicate-cluster structure but is not an
+    // exact copy of another replica (suffix differs).
+    val docs = docs0.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embs = emb0.crossJoin(reps)
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(0.0001f)).as("embedding"))
+
+    def time(name: String)(body: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      (name, (System.nanoTime() - t0) / 1e9, n)
+    }
+
+    import graft.operators.{Dedup, Similarity}
+    val results = Seq(
+      time("exact_groups") {
+        Dedup.exactGroups(docs, col("text"), col("doc_id"))
+          .filter(col("n_dups") > 1).count()
+      },
+      time("minhash_pairs") {
+        Dedup.minHashPairs(docs, col("text"), col("doc_id"),
+          numHashes = 12, bands = 4, threshold = 0.5, fastHash = true).count()
+      },
+      time("simhash_pairs") {
+        Dedup.simHashPairs(docs, col("text"), col("doc_id"),
+          bits = 64, bands = 4, maxHamming = 3).count()
+      },
+      time("ivf_topk") {
+        Similarity.ivfTopK(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 64).select(col("vec_id")),
+          k = 10, numCells = 64, nprobe = 2).count()
+      },
+      time("lsh_bucketed_topk") {
+        Similarity.bucketedTopK(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 64).select(col("vec_id")),
+          k = 10, numAnchors = 10).count()
+      })
+
+    val nDocs = docs.count(); val nVecs = embs.count()
+    val parts = results.map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
+    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+}

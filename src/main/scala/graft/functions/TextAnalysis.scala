@@ -36,15 +36,25 @@ object TextAnalysis {
   /** Distinct-word array of the normalized text. */
   def wordSet(text: Column): Column = array_distinct(tokens(normalized(text)))
 
-  /** Word w-shingles (default w=3) over normalized text, as
-    * space-joined strings. Basis for MinHash / n-gram Jaccard dedup. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val ws = tokens(normalized(text))
+  /** Word w-shingles over a PRE-MATERIALIZED token-array column.
+    *
+    * PERFORMANCE CONTRACT: pass an attribute reference (a column
+    * staged by a previous projection), not an inline expression — the
+    * lambda body references `ws` once per element, and Catalyst
+    * re-evaluates non-attribute subexpressions per element (measured
+    * 20× slower when the tokenization pipeline is inlined here). */
+  def shinglesOf(ws: Column, w: Int = 3): Column =
     when(size(ws) < w, array(concat_ws(" ", ws)))
       .otherwise(transform(
         sequence(lit(1), size(ws) - lit(w - 1)),
         i => concat_ws(" ", slice(ws, i, lit(w)))))
-  }
+
+  /** Word w-shingles (default w=3) over normalized text, as
+    * space-joined strings. Basis for MinHash / n-gram Jaccard dedup.
+    * Single-expression convenience — inside per-row loops prefer
+    * staging [[tokens]] in a projection and using [[shinglesOf]]. */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesOf(tokens(normalized(text)), w)
 
   /** Stopword-ratio language-ID heuristic: score text against small
     * per-language stopword inventories; returns the argmax language or

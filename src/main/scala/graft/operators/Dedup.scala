@@ -44,19 +44,59 @@ object Dedup {
     * families independent, and taking the lexicographic min of the hex
     * digest is equivalent to a min over a uniform 128-bit permutation.
     * Pure built-ins → codegen'd, shuffle-free (computed map-side). */
-  def minHashSignature(text: Column, numHashes: Int = 16, shingleWidth: Int = 3): Column = {
+  def minHashSignature(text: Column, numHashes: Int = 16, shingleWidth: Int = 3,
+                       fastHash: Boolean = false): Column =
+    minHashSignatureOf(TextAnalysis.tokens(TextAnalysis.normalized(text)),
+      numHashes, shingleWidth, fastHash)
+
+  /** [[minHashSignature]] over a pre-materialized token-array column —
+    * the fast path (see TextAnalysis.shinglesOf's performance
+    * contract). */
+  def minHashSignatureOf(ws: Column, numHashes: Int = 16, shingleWidth: Int = 3,
+                         fastHash: Boolean = false): Column = {
     // Single fold over the shingle array: the shingle expression is
-    // evaluated ONCE per row and each md5 subtree once per
+    // evaluated ONCE per row and each hash subtree once per
     // (shingle, seed) — the naive per-seed `transform` form duplicates
     // the whole shingle pipeline numHashes times in the plan (measured
     // ~50× slower at 48 hashes). `least` ignores nulls, so a
     // null-initialised accumulator is the identity.
-    val seeds = array((0 until numHashes).map(i => lit(s"$i|")): _*)
-    aggregate(
-      TextAnalysis.shingles(text, shingleWidth),
-      array_repeat(lit(null).cast("string"), numHashes),
-      (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, md5(concat(seed, s)))))
+    //
+    // Hash families: md5-hex (default) is reproducible in any engine —
+    // the DuckDB oracle replicates it bit-for-bit. xxhash64
+    // (`fastHash`) is the production path: a native long hash, ~5×
+    // cheaper per (shingle, seed), same estimator statistics.
+    if (fastHash) {
+      val seeds = array((0 until numHashes).map(i => lit(i.toLong)): _*)
+      aggregate(
+        TextAnalysis.shinglesOf(ws, shingleWidth),
+        array_repeat(lit(null).cast("long"), numHashes),
+        (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, xxhash64(seed, s))))
+    } else {
+      val seeds = array((0 until numHashes).map(i => lit(s"$i|")): _*)
+      aggregate(
+        TextAnalysis.shinglesOf(ws, shingleWidth),
+        array_repeat(lit(null).cast("string"), numHashes),
+        (acc, s) => zip_with(acc, seeds, (a, seed) => least(a, md5(concat(seed, s)))))
+    }
   }
+
+  /** Stage (id, token-array) as real columns so downstream shingle
+    * lambdas see attribute references (per-element re-evaluation of the
+    * tokenizer is the dominant cost otherwise). */
+  private def tokenized(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("id"),
+      TextAnalysis.tokens(TextAnalysis.normalized(text)).as("__ws"))
+
+  /** (id, shingle) rows — the relational form of the shingle set.
+    * Signature computation over this shape runs as codegen'd hash
+    * aggregates (per-id partial aggregation collapses map-side, so the
+    * shuffle moves ~one row per document, not per shingle). The
+    * HOF-fold form of the same computation is interpreted per element
+    * and measures 5-10× slower. */
+  private def shingleRows(df: DataFrame, text: Column, id: Column,
+                          shingleWidth: Int = 3): DataFrame =
+    tokenized(df, text, id).select(col("id"),
+      explode(array_distinct(TextAnalysis.shinglesOf(col("__ws"), shingleWidth))).as("w"))
 
   /** MinHash/LSH candidate pairs: band the signature, bucket-join, then
     * estimate Jaccard as the fraction of agreeing signature slots and
@@ -69,15 +109,28 @@ object Dedup {
   def minHashPairs(
       df: DataFrame, text: Column, id: Column,
       numHashes: Int = 16, bands: Int = 4,
-      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      fastHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(id.as("id"), minHashSignature(text, numHashes, shingleWidth).as("sig"))
+    // Relational signature: numHashes codegen'd min-aggregates over the
+    // exploded shingle rows (identical values to minHashSignatureOf —
+    // min ignores duplicate shingles).
+    val hashAggs = (0 until numHashes).map { i =>
+      if (fastHash) min(xxhash64(lit(i.toLong), col("w"))).as(s"__h$i")
+      else min(md5(concat(lit(s"$i|"), col("w")))).as(s"__h$i")
+    }
+    val sig = shingleRows(df, text, id, shingleWidth)
+      .groupBy(col("id"))
+      .agg(hashAggs.head, hashAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    val bucketOf = (b: Int) =>
+      if (fastHash) xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).cast("string")
+      else md5(concat_ws(" ", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
     val banded = sig.select(
       col("id"), col("sig"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(" ", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      posexplode(array((0 until bands).map(bucketOf): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -93,40 +146,59 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit-style SimHash (here `bits` ≤ 60 so the value fits a signed
-    * long built from a 15-hex-digit md5 prefix). Each distinct word
-    * 3-shingle votes ±1 per bit position according to its hash; the
+  /** SimHash signature as a long (`bits` ≤ 64). Each distinct word
+    * 3-shingle votes ±1 per bit position according to its xxhash64; the
     * sign of each bit-sum forms the signature. Shingles (not words) are
     * the feature set so small-vocabulary corpora still discriminate.
-    * Computed entirely map-side. */
-  def simHash(text: Column, bits: Int = 32): Column = {
-    require(bits <= 60, "feature hash has 60 usable bits")
-    // One md5 per shingle and ONE fold accumulating every bit's vote
-    // count in an array — the per-bit-aggregate form re-evaluates the
-    // hash array `bits` times in the plan (measured ~50× slower at 48
-    // bits on the bench corpus).
+    * Computed entirely map-side: one native hash per shingle and ONE
+    * fold accumulating every bit's vote count in an array — the
+    * per-bit-aggregate form re-evaluates the hash array `bits` times in
+    * the plan (measured ~50× slower at 48 bits on the bench corpus). */
+  def simHash(text: Column, bits: Int = 64): Column =
+    simHashOf(TextAnalysis.tokens(TextAnalysis.normalized(text)), bits)
+
+  /** [[simHash]] over a pre-materialized token-array column — the fast
+    * path (see TextAnalysis.shinglesOf's performance contract). */
+  def simHashOf(ws: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     val powers = array((0 until bits).map(b => lit(1L << b)): _*)
-    val hashes = transform(array_distinct(TextAnalysis.shingles(text)),
-      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val hashes = transform(array_distinct(TextAnalysis.shinglesOf(ws)),
+      w => xxhash64(w))
     val votes = aggregate(hashes, array_repeat(lit(0L), bits),
       (acc, h) => zip_with(acc, powers,
         (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0L, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
   /** SimHash near-dup pairs: band the signature into `bands` chunks,
     * equi-join on (band, chunk), keep pairs with Hamming distance ≤
     * `maxHamming`. By pigeonhole, any pair within distance `bands - 1`
     * shares at least one exact chunk, so recall is exact for
-    * maxHamming < bands. */
+    * maxHamming < bands.
+    *
+    * Bucket-width tradeoff: each band's bucket space is 2^(bits/bands)
+    * values — band too finely (many bands over few bits) and every
+    * bucket holds n / 2^(bits/bands) rows, degrading the equi-join
+    * toward all-pairs. The 64-bit / 4-band default gives 16-bit chunks
+    * (65k buckets per band) with exact recall to Hamming 3 — the
+    * standard web-dedup configuration. */
   def simHashPairs(
       df: DataFrame, text: Column, id: Column,
-      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val chunk = bits / bands
     val mask = (1L << chunk) - 1
-    val sigs = df.select(id.as("id"), simHash(text, bits).as("sig"))
+    // Relational signature: per-bit vote sums as codegen'd aggregates
+    // over exploded shingle rows (identical values to simHashOf).
+    val h = shingleRows(df, text, id).select(col("id"), xxhash64(col("w")).as("h"))
+    val bitAggs = (0 until bits).map(b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"__b$b"))
+    val sigs = h.groupBy(col("id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*)))
@@ -148,7 +220,8 @@ object Dedup {
     * correct but quadratic; at scale feed it MinHash candidates instead
     * (restrict to the output of [[minHashPairs]]). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
-    val words = df.select(id.as("id"), array_distinct(TextAnalysis.shingles(text)).as("ws"))
+    val words = tokenized(df, text, id)
+      .select(col("id"), array_distinct(TextAnalysis.shinglesOf(col("__ws"))).as("ws"))
       .select(col("id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
     val l = words.select(col("w"), col("id").as("id_a"), col("n").as("n_a"))
     val r = words.select(col("w"), col("id").as("id_b"), col("n").as("n_b"))
@@ -169,7 +242,8 @@ object Dedup {
     * score 0. */
   def ngramJaccardFor(df: DataFrame, text: Column, id: Column,
                       candidates: DataFrame): DataFrame = {
-    val words = df.select(id.as("id"), array_distinct(TextAnalysis.shingles(text)).as("ws"))
+    val words = tokenized(df, text, id)
+      .select(col("id"), array_distinct(TextAnalysis.shinglesOf(col("__ws"))).as("ws"))
     val sizes = words.select(col("id"), size(col("ws")).as("n"))
     val exploded = words.select(col("id"), explode(col("ws")).as("w"))
     val cand = candidates.select(col("id_a"), col("id_b"))

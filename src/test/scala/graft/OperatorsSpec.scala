@@ -35,10 +35,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minHashPairs finds exact and near duplicates, not unrelated docs") {
-    val pairs = Dedup.minHashPairs(df, $"text", $"id", numHashes = 32, bands = 8, threshold = 0.5)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
-    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    for (fast <- Seq(false, true)) {
+      val pairs = Dedup.minHashPairs(df, $"text", $"id",
+        numHashes = 32, bands = 8, threshold = 0.5, fastHash = fast)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), s"fastHash=$fast")
+      assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, s"fastHash=$fast")
+    }
   }
 
   test("simHashPairs finds near-dup cluster and skips unrelated docs") {
