@@ -108,7 +108,11 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__cid"), col("__cv")))).as("__cents"))
 
   /** Centroid ids ranked by cosine to `vec`, nearest first (map-side
-    * HOF over the broadcast centroid array). */
+    * HOF over the broadcast centroid array). One FUSED cosine kernel
+    * call per (row, centroid): inside an interpreted lambda the
+    * per-element expression-node count dominates, so a single fused
+    * kernel beats hoisted-norm dot + divide + branch forms (measured
+    * ~30% faster end-to-end despite 3× more flops). */
   private def rankedCells(vec: Column, cents: Column): Column =
     transform(
       array_sort(transform(cents, c =>
