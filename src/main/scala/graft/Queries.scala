@@ -895,7 +895,44 @@ object Queries {
       SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
         COUNT(*) AS n
       FROM lineitem JOIN part ON p_partkey = l_partkey
-      GROUP BY p_brand ORDER BY p_brand"""))
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Gopher-style quality gate over documents: pass/fail + reasons.
+    ("q67_quality_filter", (s: SparkSession, d: String) => {
+      val q = TextAnalysis.qualityFilter(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), q.getField("passes").as("passes"),
+          concat_ws(",", q.getField("reject_reasons")).as("reasons"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+          len(list_filter(
+            regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+            x -> x IN ('the','and','of','to','in','is','that','for','with'))) AS n_stop
+        FROM documents),
+      m AS (
+        SELECT doc_id, n_tokens,
+          CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE)/n_tokens ELSE 0 END AS mtl,
+          CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END AS pr,
+          CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0 END AS sr
+        FROM f),
+      r AS (
+        SELECT doc_id, list_filter([
+          CASE WHEN n_tokens < 50 THEN 'too_few_tokens' END,
+          CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+          CASE WHEN mtl < 3.0 THEN 'mean_token_too_short' END,
+          CASE WHEN mtl > 10.0 THEN 'mean_token_too_long' END,
+          CASE WHEN pr > 0.2 THEN 'punct_heavy' END,
+          CASE WHEN sr < 0.01 THEN 'no_stopwords' END], x -> x IS NOT NULL) AS reasons
+        FROM m)
+      SELECT doc_id, len(reasons) = 0 AS passes,
+        COALESCE(array_to_string(reasons, ','), '') AS reasons
+      FROM r ORDER BY doc_id"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -81,6 +81,29 @@ object TextAnalysis {
     pick
   }
 
+  /** Gopher-style quality filter: the standard training-data heuristic
+    * gate composed from [[qualityFeatures]]. Returns the rows that pass
+    * plus a `quality_reject_reason` column on the rejects via the
+    * second element. Thresholds follow the published heuristics (doc
+    * length bounds, mean-token-length band, symbol ratio, stopword
+    * floor) — tune per corpus. Fully map-side: one projection, no
+    * shuffle, ~zero cost next to the scan at 100 TB. */
+  def qualityFilter(text: Column,
+                    minTokens: Int = 50, maxTokens: Int = 100000,
+                    minMeanTokenLen: Double = 3.0, maxMeanTokenLen: Double = 10.0,
+                    maxPunctRatio: Double = 0.2,
+                    minStopwordRatio: Double = 0.01): Column = {
+    val f = qualityFeatures(text)
+    val reasons = array_compact(array(
+      when(f.getField("n_tokens") < minTokens, lit("too_few_tokens")),
+      when(f.getField("n_tokens") > maxTokens, lit("too_many_tokens")),
+      when(f.getField("mean_token_len") < minMeanTokenLen, lit("mean_token_too_short")),
+      when(f.getField("mean_token_len") > maxMeanTokenLen, lit("mean_token_too_long")),
+      when(f.getField("punct_ratio") > maxPunctRatio, lit("punct_heavy")),
+      when(f.getField("stopword_ratio") < minStopwordRatio, lit("no_stopwords"))))
+    struct((size(reasons) === 0).as("passes"), reasons.as("reject_reasons"))
+  }
+
   /** Quality-score components: char length, token count, mean token
     * length, punctuation ratio, stopword(en) ratio, uppercase ratio.
     * Returned as a struct; a composite score is a weighted sum the
