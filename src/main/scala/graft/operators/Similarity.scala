@@ -76,17 +76,33 @@ object Similarity {
       vecCol, anchors, idCol, vecCol, numAnchors)
       .select(col("id"), col("bucket"))
 
-  /** Bucketed ANN: top-k per query restricted to the query's LSH bucket.
-    * The bucket column is computed inline on the corpus (no self-join);
-    * the join is an equi-join on bucket — shuffle moves each corpus row
-    * once; no cross product. Recall < 1 by construction (report it
-    * against [[bruteForceTopK]] on a sample when tuning numAnchors). */
+  /** Bucketed ANN: top-k per query restricted to the query's LSH bucket
+    * plus (multi-probe) every bucket at Hamming distance 1 — flipping
+    * one sign bit. Exact-bucket-only LSH measured recall@10 ≈ 0.08 on
+    * the test embeddings (a near neighbor must agree on ALL sign bits);
+    * one-bit probing lifts it to a useful level at the cost of
+    * (numAnchors+1)× the query-side rows — the corpus side is
+    * unchanged, each corpus row still lives in exactly one bucket, so
+    * no duplicate pairs arise. The join stays an equi-join on bucket. */
   def bucketedTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
-      queryIds: DataFrame, k: Int, numAnchors: Int = 8): DataFrame = {
+      queryIds: DataFrame, k: Int, numAnchors: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val withB = withLshBucket(corpus, vecCol, corpus, idCol, vecCol, numAnchors)
-    val q = withB.join(queryIds, Seq(idCol), "left_semi")
+    val q0 = withB.join(queryIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else {
+        val flips = (0 until numAnchors).map { i =>
+          concat(
+            substring(col("bucket"), 1, i),
+            when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+            substring(col("bucket"), i + 2, numAnchors))
+        }
+        q0.select(col("query_id"), col("qv"),
+          explode(array(col("bucket") +: flips: _*)).as("bucket"))
+      }
     val c = withB.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -51,6 +51,45 @@ class IvfTopKSpec extends SparkSpec {
   }
 }
 
+class AnnRecallSpec extends SparkSpec {
+  import graft.operators.Similarity
+  import org.apache.spark.sql.functions._
+
+  private val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+  private def available = new java.io.File(embPath).exists()
+
+  /** recall@k of an approximate result against brute force. */
+  private def recallAt(k: Int, approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+    if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+
+  test("IVF and LSH ANN reach useful recall@10 against brute force on real embeddings") {
+    assume(available)
+    val corpus = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(col("vec_id") < 16).select(col("vec_id"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") < 16), corpus, "vec_id", "embedding", 10))
+    val ivf = pairs(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, k = 10, numCells = 16, nprobe = 4))
+    val lsh = pairs(Similarity.bucketedTopK(corpus, "vec_id", "embedding",
+      queries, k = 10, numAnchors = 6))
+    val rIvf = recallAt(10, ivf, exact)
+    val rLsh = recallAt(10, lsh, exact)
+    info(f"recall@10: ivf(nprobe=4/16)=$rIvf%.2f lsh(6 anchors)=$rLsh%.2f")
+    // Floors are deliberately conservative — they catch structural
+    // regressions (wrong cell assignment, broken bucketing), not
+    // statistical noise.
+    assert(rIvf >= 0.35, s"IVF recall collapsed: $rIvf")
+    assert(rLsh >= 0.25, s"LSH recall collapsed: $rLsh")
+    // Probing every cell must reproduce brute force exactly.
+    val ivfFull = pairs(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, k = 10, numCells = 16, nprobe = 16))
+    assert(ivfFull == exact)
+  }
+}
+
 class SkewSpec extends SparkSpec {
   import graft.operators.Skew
   import spark.implicits._
