@@ -50,12 +50,11 @@ object Upsert {
         val parts = incoming.select(col(partitionCol)).distinct()
         val existing = spark.read.parquet(path)
           .join(broadcast(parts), Seq(partitionCol), "left_semi")
-        merge(existing, incoming, keyCol, versionCol)
+        // Staging keeps the read and the overwrite of the same
+        // partitions from racing (first write has nothing to race).
+        merge(existing, incoming, keyCol, versionCol).localCheckpoint(true)
       } else incoming
-    // Staging keeps the read and the overwrite of the same partitions
-    // from racing; dynamic mode then replaces only staged partitions.
-    val staged = merged.localCheckpoint(true)
-    staged.write
+    merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)

@@ -33,13 +33,21 @@ object ErrorChannel {
     "missing supplier id" -> col("supplier.id").isNotNull,
     "invalid status" -> col("status").isin(graft.schema.Enums.productStatuses.toSeq: _*))
 
-  /** Split into (valid rows, invalid rows + `__errors` array column).
-    * One pass, no shuffle; the predicate evaluates map-side. */
-  def split(df: DataFrame, rules: Seq[(String, Column)] = standardRules)
-      : (DataFrame, DataFrame) = {
+  /** Tag rows with an `__errors` array column (empty = valid). One
+    * map-side projection, no shuffle. Callers that consume both halves
+    * should persist THIS frame once and filter it twice — persisting
+    * the two filtered halves separately materializes the upstream
+    * pipeline twice. */
+  def tag(df: DataFrame, rules: Seq[(String, Column)] = standardRules): DataFrame = {
     val errs = array_compact(array(rules.map { case (msg, ok) =>
       when(!coalesce(ok, lit(false)), lit(msg)) }: _*))
-    val tagged = df.withColumn("__errors", errs)
+    df.withColumn("__errors", errs)
+  }
+
+  /** Split into (valid rows, invalid rows + `__errors` array column). */
+  def split(df: DataFrame, rules: Seq[(String, Column)] = standardRules)
+      : (DataFrame, DataFrame) = {
+    val tagged = tag(df, rules)
     (tagged.filter(size(col("__errors")) === 0).drop("__errors"),
       tagged.filter(size(col("__errors")) > 0))
   }
@@ -142,11 +150,15 @@ object Pipeline {
           unified0.filter(col("updated_at").isNull || col("updated_at") >= lit(ts))
         case _ => unified0
       }
-      val (good0, bad) = ErrorChannel.split(unified)
+      // Persist the TAGGED frame once; both halves are filters over it,
+      // so the supplier transform runs a single time.
+      val tagged = ErrorChannel.tag(unified)
+      tagged.persist()
+      val bad = tagged.filter(size(col("__errors")) > 0)
       val good = Upsert.stamped(Upsert.stamped(Upsert.stamped(
-        good0, "updated_at"), "created_at"), "last_sync")
+        tagged.filter(size(col("__errors")) === 0).drop("__errors"),
+        "updated_at"), "created_at"), "last_sync")
         .withColumn("supplier_id", col("supplier.id"))
-      bad.persist(); good.persist()
       val errorCount = bad.count()
       val successCount = good.count()
       if (successCount > 0)
@@ -154,7 +166,7 @@ object Pipeline {
           keyCol = "product_id", versionCol = "last_sync", partitionCol = "supplier_id")
       val samples = bad.select(concat_ws("; ", col("__errors"))).limit(5)
         .collect().map(_.getString(0)).toSeq
-      bad.unpersist(); good.unpersist()
+      tagged.unpersist()
       val status =
         if (errorCount == 0) "success"
         else if (successCount > 0) "partial_success"
