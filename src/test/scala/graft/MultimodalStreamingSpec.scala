@@ -43,6 +43,35 @@ class MultimodalSpec extends SparkSpec {
   }
 }
 
+class StockStreamSinkSpec extends SparkSpec {
+  import graft.streaming.StockStream
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("streaming sink continuously upserts latest stock into the keyed table") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+    val dir = java.nio.file.Files.createTempDirectory("graft_stock_sink")
+    val table = dir.resolve("stock").toString
+    val checkpoint = dir.resolve("ckpt").toString
+
+    val input = MemoryStream[(String, Int, Timestamp)]
+    val latest = StockStream.latestPerSku(input.toDF().toDF("sku", "qty", "modified_at"))
+    val query = StockStream.writer(latest, table, checkpoint).start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(("A", 10, ts("2025-04-15 10:00:00")), ("B", 5, ts("2025-04-15 10:00:00")))
+      query.processAllAvailable()
+      input.addData(("A", 20, ts("2025-04-15 11:00:00")), ("C", 7, ts("2025-04-15 11:00:00")))
+      query.processAllAvailable()
+      val state = spark.read.parquet(table)
+        .select($"sku", $"qty").as[(String, Int)].collect().toMap
+      assert(state == Map("A" -> 20, "B" -> 5, "C" -> 7))
+    } finally query.stop()
+  }
+}
+
 class EventStreamSpec extends SparkSpec {
   import graft.streaming.EventStream
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
