@@ -182,10 +182,12 @@ object Pipeline {
   }
 
   /** R3 — full sync across suppliers with per-supplier isolation (J8:
-    * all land in one unified table). */
+    * all land in one unified table). `since` → incremental mode
+    * (§2.10). */
   def runFullSync(spark: SparkSession, cfgs: Seq[SupplierConfig],
-                  sinkPath: String): Seq[ETLResult] =
-    cfgs.map(cfg => runSupplier(spark, cfg, sinkPath))
+                  sinkPath: String,
+                  since: Option[java.sql.Timestamp] = None): Seq[ETLResult] =
+    cfgs.map(cfg => runSupplier(spark, cfg, sinkPath, since))
 
   /** R5/A1-A3 — status report over the unified table. */
   def statusReport(spark: SparkSession, sinkPath: String): DataFrame = {
@@ -197,13 +199,27 @@ object Pipeline {
   }
 }
 
-/** R3 — CLI entry point: sync / validate / status
-  * (ref: etl/orchestrator.py:314-399). Config is a JSON file:
-  * {"sink": "...", "suppliers": [{"id": "...", "feedPath": "..."}]} */
+/** R3 — CLI entry point: sync / incremental / validate / status /
+  * create-config (ref: etl/orchestrator.py:314-399). Config is a JSON
+  * file: {"sink": "...", "suppliers": [{"id": "...", "feedPath": "..."}]} */
 object Main {
   def main(args: Array[String]): Unit = {
     val action = args.headOption.getOrElse("sync")
     val configPath = args.lift(1).getOrElse("config/graft.json")
+    if (action == "create-config") {
+      // No Spark session needed: write a starter config and exit
+      // (ref: orchestrator.py create-config action).
+      val starter =
+        """{
+          |  "sink": "/tmp/graft-unified/products",
+          |  "suppliers": [
+          |    {"id": "midocean", "feedPath": "/path/to/MidOcean feed.jsonc"}
+          |  ]
+          |}""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(configPath), starter)
+      println(s"wrote starter config to $configPath")
+      return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-etl")
@@ -221,13 +237,21 @@ object Main {
       val suppliers = cfg.select(explode(col("suppliers")).as("s"))
         .select("s.id", "s.feedPath").collect()
         .map(r => SupplierConfig(r.getString(0), r.getString(1))).toSeq
+      def report(results: Seq[ETLResult]): Unit = results.foreach { r =>
+        println(s"[${r.supplier}] ${r.status}: processed=${r.processed} " +
+          s"success=${r.success} errors=${r.errors} in ${r.durationMs}ms" +
+          (if (r.errorSamples.nonEmpty) s" first-errors=${r.errorSamples.mkString(" | ")}" else ""))
+      }
       action match {
         case "sync" =>
-          Pipeline.runFullSync(spark, suppliers, sink).foreach { r =>
-            println(s"[${r.supplier}] ${r.status}: processed=${r.processed} " +
-              s"success=${r.success} errors=${r.errors} in ${r.durationMs}ms" +
-              (if (r.errorSamples.nonEmpty) s" first-errors=${r.errorSamples.mkString(" | ")}" else ""))
-          }
+          report(Pipeline.runFullSync(spark, suppliers, sink))
+        case "incremental" =>
+          // --since <ISO timestamp>; sources without a modification
+          // timestamp fall back to full sync (ref: etl/base.py:267-273).
+          val since = args.lift(2)
+            .map(s => java.sql.Timestamp.valueOf(s.replace('T', ' ')))
+            .orElse(Some(new java.sql.Timestamp(0L)))
+          report(Pipeline.runFullSync(spark, suppliers, sink, since))
         case "validate" =>
           suppliers.foreach { s =>
             val ok = graft.sources.FeedReader.validate(spark, s.feedPath)
@@ -235,7 +259,8 @@ object Main {
           }
         case "status" =>
           Pipeline.statusReport(spark, sink).show(100, truncate = false)
-        case other => sys.error(s"unknown action: $other (sync|validate|status)")
+        case other =>
+          sys.error(s"unknown action: $other (sync|incremental|validate|status|create-config)")
       }
     } finally spark.stop()
   }
