@@ -933,6 +933,49 @@ object Queries {
       SELECT doc_id, len(reasons) = 0 AS passes,
         COALESCE(array_to_string(reasons, ','), '') AS reasons
       FROM r ORDER BY doc_id"""))
+  ,
+
+    // End-to-end near-dup dedup: MinHash candidates → keep-first drop.
+    // Survivors = docs that never collide with a lower id.
+    ("q68_dedup_corpus", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      val corpus = base.unionByName(mutated)
+      val pairs = Dedup.minHashPairs(corpus, col("text"), col("doc_id"),
+        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+      Dedup.dedupCorpus(corpus, pairs, col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id < 200),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+          len(list_filter(generate_series(1, 12), i -> l.sig[i] = r.sig[i])) / 12.0 AS est
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      drops AS (SELECT DISTINCT id_b FROM pairs WHERE est >= 0.3)
+      SELECT doc_id FROM base WHERE doc_id NOT IN (SELECT id_b FROM drops)
+      ORDER BY doc_id"""
+    })
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

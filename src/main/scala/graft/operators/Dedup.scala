@@ -215,6 +215,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Apply a near-dup pair set to the corpus: keep-first policy — any
+    * document that collides with a LOWER-id document is dropped
+    * (`pairs` carries id_a < id_b, so dropping the id_b side removes
+    * exactly the non-canonical members; no connected-components pass
+    * needed for this policy). One anti-join — the standard final step
+    * after [[minHashPairs]]/[[simHashPairs]] at corpus scale. */
+  def dedupCorpus(df: DataFrame, pairs: DataFrame, id: Column): DataFrame =
+    df.join(pairs.select(col("id_b").as("__drop")).distinct(),
+      id === col("__drop"), "left_anti")
+
   /** Exact n-gram (shingle-set) Jaccard similarity for pairs. Without a
     * candidate set this is O(n²) via the shingle-level self-join —
     * correct but quadratic; at scale feed it MinHash candidates instead

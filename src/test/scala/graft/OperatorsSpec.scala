@@ -51,6 +51,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dedupCorpus keep-first: drops every doc that collides with a lower id") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(df, pairs, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(4L)) // never paired -> survives
+  }
+
   test("ngramJaccardPairs: exact dups score 1.0; candidates overload restricts scoring") {
     val all = Dedup.ngramJaccardPairs(df, $"text", $"id", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
