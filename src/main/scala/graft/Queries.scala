@@ -975,7 +975,28 @@ object Queries {
       drops AS (SELECT DISTINCT id_b FROM pairs WHERE est >= 0.3)
       SELECT doc_id FROM base WHERE doc_id NOT IN (SELECT id_b FROM drops)
       ORDER BY doc_id"""
-    })
+    }),
+
+    // Engine capability beyond reference parity (SURVEY §2.5 note):
+    // hierarchical ROLLUP aggregation — subtotals + grand total free
+    // from Catalyst.
+    ("q69_rollup", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
