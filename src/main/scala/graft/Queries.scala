@@ -997,6 +997,26 @@ object Queries {
       FROM orders
       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY status, priority"""))
+  ,
+
+    // Engine capability: running aggregation window (per-customer
+    // cumulative spend in order-date order).
+    ("q70_running_total", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
