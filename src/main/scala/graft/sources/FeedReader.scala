@@ -127,6 +127,13 @@ object FeedReader {
   }
 
   def sectionOf(doc: DataFrame, section: String): DataFrame = {
+    // A document that failed to parse surfaces as a lone
+    // _corrupt_record column — raise a clear error instead of the
+    // UNRESOLVED_COLUMN the section path would otherwise throw.
+    if (doc.columns.sameElements(Array("_corrupt_record")))
+      throw new IllegalArgumentException(
+        s"feed document is not valid JSON(C) — cannot extract section '$section' " +
+          "(check for unsupported syntax; // comments and trailing commas are stripped)")
     val c = section.split('.').foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (acc, field) => Some(acc.map(_.getField(field)).getOrElse(col(field)))
     }.get

@@ -4,6 +4,28 @@ import graft.sources.FeedReader
 
 class FeedReaderSpec extends SparkSpec {
 
+  test("malformed feed raises a clear error, not an unresolved-column failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badfeed")
+    val bad = dir.resolve("bad.jsonc")
+    java.nio.file.Files.writeString(bad, "{ definitely not json }")
+    val e = intercept[IllegalArgumentException](
+      FeedReader.readSection(spark, bad.toString, "products.Response"))
+    assert(e.getMessage.contains("not valid JSON"))
+  }
+
+  test("unified rows load into the typed Dataset[Product] boundary") {
+    val samplePath = "/root/reference/sample data/Laltex Sample Data.jsonc"
+    assume(new java.io.File(samplePath).exists())
+    import graft.schema.Product
+    val spark0 = spark
+    import spark0.implicits._
+    val products: Seq[Product] = graft.suppliers.Laltex.unified(spark, samplePath)
+      .to(graft.schema.Unified.schema).as[Product].collect().toSeq
+    assert(products.nonEmpty)
+    assert(products.forall(_.supplier.id == "laltex"))
+    assert(products.exists(_.variants.nonEmpty))
+  }
+
   test("directory of captures parses one document per file, sections union") {
     val dir = java.nio.file.Files.createTempDirectory("graft_feeds")
     java.nio.file.Files.writeString(dir.resolve("a.jsonc"),
