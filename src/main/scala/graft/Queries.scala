@@ -1017,6 +1017,42 @@ object Queries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       FROM orders WHERE o_custkey < 100
       ORDER BY o_custkey, o_orderkey"""))
+  ,
+
+    // The reference's read-side query surface over the REAL unified
+    // table (mongodb_loader.py:259-286 / README.md:290-304): nested
+    // supplier.id predicate (P2), boolean is_printable (P3), array-of-
+    // structs category match (P4), group-count (A1) — run against a
+    // fresh 9-supplier sync. Rows-only (the pipeline itself is not
+    // SQL-expressible in DuckDB).
+    ("q71_unified_readside", (s: SparkSession, d: String) => {
+      import graft.pipeline.{Pipeline, SupplierConfig}
+      val sink = java.nio.file.Files.createTempDirectory("graft-q71").toString + "/products"
+      val refDir = "/root/reference/sample data"
+      val cfgs = Seq(
+        "midocean" -> s"$refDir/MidOcean Sample Data.jsonc",
+        "laltex" -> s"$refDir/Laltex Sample Data.jsonc",
+        "ralawise" -> s"$refDir/Ralawise Sample Data.jsonc",
+        "keramikos" -> s"$refDir/Keramikos Sample Data.jsonc",
+        "preseli" -> s"$refDir/Preseli Sample Data.jsonc",
+        "xd" -> s"$refDir/XD Sample Data.jsonc",
+        "pfconcept" -> s"$refDir/PFConcept Sample Data.jsonc",
+        "ss_activewear" -> s"$refDir/s&s.jsonc",
+        "sanmar" -> s"$refDir/Sanmar Sample Data.jsonc"
+      ).map { case (id, p) => SupplierConfig(id, p) }
+      val results = Pipeline.runFullSync(s, cfgs, sink)
+      require(results.forall(_.status == "success"),
+        s"sync statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
+      val unified = s.read.parquet(sink)
+      unified
+        .filter(col("is_printable") ||                                   // P3
+          exists(col("categories"), c => c.getField("name") === "Drinkware") || // P4
+          col("supplier.id") === "laltex")                               // P2
+        .groupBy(col("supplier.id").as("supplier"))                      // A1
+        .agg(count(lit(1)).as("n_matching"),
+          sum(size(col("variants"))).as("n_variants"))
+        .orderBy(col("supplier"))
+    }, None)
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
