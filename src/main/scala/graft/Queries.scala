@@ -1022,23 +1022,18 @@ object Queries {
     // The reference's read-side query surface over the REAL unified
     // table (mongodb_loader.py:259-286 / README.md:290-304): nested
     // supplier.id predicate (P2), boolean is_printable (P3), array-of-
-    // structs category match (P4), group-count (A1) — run against a
-    // fresh 9-supplier sync. Rows-only (the pipeline itself is not
-    // SQL-expressible in DuckDB).
+    // structs category match (P4), group-count (A1). Three suppliers
+    // cover all three predicate shapes (all nine sync through the CLI
+    // and RemainingSuppliersSpec); rows-only — the pipeline itself is
+    // not SQL-expressible in DuckDB.
     ("q71_unified_readside", (s: SparkSession, d: String) => {
       import graft.pipeline.{Pipeline, SupplierConfig}
       val sink = java.nio.file.Files.createTempDirectory("graft-q71").toString + "/products"
       val refDir = "/root/reference/sample data"
       val cfgs = Seq(
-        "midocean" -> s"$refDir/MidOcean Sample Data.jsonc",
-        "laltex" -> s"$refDir/Laltex Sample Data.jsonc",
-        "ralawise" -> s"$refDir/Ralawise Sample Data.jsonc",
-        "keramikos" -> s"$refDir/Keramikos Sample Data.jsonc",
-        "preseli" -> s"$refDir/Preseli Sample Data.jsonc",
-        "xd" -> s"$refDir/XD Sample Data.jsonc",
-        "pfconcept" -> s"$refDir/PFConcept Sample Data.jsonc",
-        "ss_activewear" -> s"$refDir/s&s.jsonc",
-        "sanmar" -> s"$refDir/Sanmar Sample Data.jsonc"
+        "midocean" -> s"$refDir/MidOcean Sample Data.jsonc",  // P3 printable
+        "laltex" -> s"$refDir/Laltex Sample Data.jsonc",      // P2 supplier.id
+        "xd" -> s"$refDir/XD Sample Data.jsonc"               // P4 Drinkware category
       ).map { case (id, p) => SupplierConfig(id, p) }
       val results = Pipeline.runFullSync(s, cfgs, sink)
       require(results.forall(_.status == "success"),
