@@ -63,4 +63,46 @@ object StockStream {
     spark.readStream
       .schema("sku STRING, qty INT, modified_at TIMESTAMP")
       .json(dir)
+
+  case class StockAlert(sku: String, qty: Int, threshold: Int,
+                        kind: String, modified_at: Timestamp)
+
+  /** Low-stock alerting via flatMapGroupsWithState: emits a row ONLY
+    * when a sku crosses the threshold (below → "low_stock", back above
+    * → "restocked") — variable output cardinality per group per batch
+    * is exactly what flatMap-with-state exists for. State per sku is
+    * one (qty, modified_at) pair; out-of-order events older than the
+    * held state are ignored. */
+  def lowStockAlerts(updates: DataFrame, threshold: Int,
+                     watermarkDelay: String = "1 hour"): DataFrame = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .withWatermark("modified_at", watermarkDelay)
+      .dropDuplicates("sku", "modified_at")
+      .as[StockUpdate]
+      .groupByKey(_.sku)
+      .flatMapGroupsWithState[StockState, StockAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sku, rows, state: GroupState[StockState]) =>
+          val sorted = rows.toSeq.sortBy(_.modified_at.getTime)
+          var cur = state.getOption
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[StockAlert]
+          sorted.foreach { u =>
+            val newerThanState = cur.forall(_.modified_at.getTime < u.modified_at.getTime)
+            if (newerThanState) {
+              val wasLow = cur.exists(_.qty < threshold)
+              val isLow = u.qty < threshold
+              if (isLow && !wasLow)
+                alerts += StockAlert(sku, u.qty, threshold, "low_stock", u.modified_at)
+              else if (!isLow && wasLow)
+                alerts += StockAlert(sku, u.qty, threshold, "restocked", u.modified_at)
+              cur = Some(StockState(sku, u.qty, u.modified_at))
+            }
+          }
+          cur.foreach(state.update)
+          alerts.iterator
+      }
+      .toDF()
+  }
 }

@@ -72,6 +72,43 @@ class StockStreamSinkSpec extends SparkSpec {
   }
 }
 
+class LowStockAlertSpec extends SparkSpec {
+  import graft.streaming.StockStream
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("flatMapGroupsWithState emits only on threshold crossings") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(String, Int, Timestamp)]
+    val alerts = StockStream.lowStockAlerts(
+      input.toDF().toDF("sku", "qty", "modified_at"), threshold = 10)
+    val query = alerts.writeStream
+      .format("memory").queryName("stock_alerts")
+      .outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(("A", 100, ts("2025-04-15 10:00:00")), ("B", 2, ts("2025-04-15 10:00:00")))
+      query.processAllAvailable()
+      input.addData(("A", 5, ts("2025-04-15 11:00:00")))   // crosses below
+      query.processAllAvailable()
+      input.addData(("A", 3, ts("2025-04-15 12:00:00")))   // still low: no alert
+      query.processAllAvailable()
+      input.addData(("A", 50, ts("2025-04-15 13:00:00")))  // restocked
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT sku, kind, qty FROM stock_alerts")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set(
+        ("B", "low_stock", 2),   // initially low
+        ("A", "low_stock", 5),
+        ("A", "restocked", 50)))
+    } finally query.stop()
+  }
+}
+
 class EventStreamSpec extends SparkSpec {
   import graft.streaming.EventStream
   import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
