@@ -139,8 +139,15 @@ object FeedReader {
     }.get
     val dt = doc.select(c.as("__s")).schema.head.dataType
     dt match {
-      case _: org.apache.spark.sql.types.ArrayType =>
-        doc.select(explode(c).as("__s")).select(col("__s.*"))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.elementType match {
+          case _: org.apache.spark.sql.types.StructType =>
+            doc.select(explode(c).as("__s")).select(col("__s.*"))
+          case _ =>
+            // Scalar array — including the EMPTY-section case, where
+            // JSON inference types `[]` as array<string>.
+            doc.select(explode(c).as("value"))
+        }
       case _: org.apache.spark.sql.types.StructType =>
         doc.select(c.as("__s")).select(col("__s.*"))
       case _ => doc.select(c.as("value"))
@@ -160,6 +167,38 @@ object FeedReader {
     * a nonempty document (ref: midocean_extractor.py:292-310). */
   def validate(spark: SparkSession, path: String): Boolean =
     loadText(spark, path).exists(_.trim.nonEmpty)
+
+  /** Conform a feed section to its expected column contract: present
+    * columns pass through untouched (schema inference may type them
+    * more precisely than declared — use-sites try_cast), absent ones
+    * become typed nulls. Captures only materialize the fields they use
+    * (a sparse capture, or an empty section that infers no columns at
+    * all), so supplier pipelines conform each section before
+    * referencing columns. `expected` maps column name → DDL type used
+    * for the null fallback. */
+  def conform(df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    // A present complex column must also match the declared SHAPE — an
+    // empty JSON array infers array<string>, which would break struct
+    // field access downstream. Scalars always pass (use-sites try_cast).
+    def shapeOk(actual: DataType, declared: DataType): Boolean = (actual, declared) match {
+      case (a: ArrayType, d: ArrayType) => shapeOk(a.elementType, d.elementType)
+      case (_: StructType, _: StructType) => true
+      case (_: MapType, _: MapType) => true
+      case (_: StructType, _) | (_, _: StructType) => false
+      case (_: ArrayType, _) | (_, _: ArrayType) => false
+      case (_: MapType, _) | (_, _: MapType) => false
+      case _ => true
+    }
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(expected.map { case (n, t) =>
+      val declared = DataType.fromDDL(t)
+      fields.get(n) match {
+        case Some(actual) if shapeOk(actual, declared) => col(s"`$n`").as(n)
+        case _ => lit(null).cast(declared).as(n)
+      }
+    }: _*)
+  }
 
   /** Normalize the XML-converted singleton quirk (PromoStandards-style
     * captures, e.g. Sanmar Sample Data.jsonc:160 ProductCategory): a

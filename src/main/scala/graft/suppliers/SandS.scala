@@ -51,14 +51,36 @@ object SandS {
       regexp_replace(c, "<[^>]*>", " "),
       "&nbsp;", " "), "&#39;", "'"), "\\s+", " "))
 
+  /** Column contracts per feed section (FeedReader.conform): a sparse
+    * or empty capture still resolves every referenced column. */
+  private val productCols: Seq[(String, String)] =
+    Seq("sku", "brandName", "styleName", "colorName", "colorCode", "color1",
+      "sizeName", "saleExpiration", "countryOfOrigin", "gtin",
+      "colorFrontImage", "colorBackImage", "colorSideImage",
+      "colorSwatchImage").map(_ -> "string") ++
+      Seq("styleID" -> "long", "skuID_Master" -> "long", "caseQty" -> "int",
+        "qty" -> "int", "unitWeight" -> "double", "piecePrice" -> "double",
+        "dozenPrice" -> "double", "casePrice" -> "double",
+        "salePrice" -> "double",
+        "warehouses" -> "array<struct<qty:int,expectedInventory:string>>")
+  private val categoryCols: Seq[(String, String)] =
+    Seq("categoryID" -> "long", "name" -> "string")
+  private val styleCols: Seq[(String, String)] =
+    Seq("title", "description", "baseCategory", "styleImage", "categories")
+      .map(_ -> "string") ++ Seq("styleID" -> "long")
+  private val specCols: Seq[(String, String)] =
+    Seq("specName" -> "string", "value" -> "string") ++ Seq("styleID" -> "long")
+
   def unified(feed: Feed): DataFrame = {
+    val productsC = FeedReader.conform(feed.products, productCols)
+    val stylesC = FeedReader.conform(feed.styles, styleCols)
     // Category dimension: id → name (broadcast).
-    val catDim = broadcast(feed.categories.select(
+    val catDim = broadcast(FeedReader.conform(feed.categories, categoryCols).select(
       col("categoryID").cast("string").as("__cat_id"),
       trim(col("name")).as("__cat_name")))
 
     // styles.categories is a CSV of ids: explode → join → re-nest.
-    val styleCats = feed.styles
+    val styleCats = stylesC
       .select(col("styleID").as("__sc_style"),
         posexplode_outer(split(coalesce(col("categories"), lit("")), ","))
           .as(Seq("__pos", "__cat_id")))
@@ -74,12 +96,12 @@ object SandS {
         x => x.getField("v")).as("__style_cats"))
 
     // Specs: per-style key/value rows → a map (F19 flavor).
-    val specDim = feed.specs
+    val specDim = FeedReader.conform(feed.specs, specCols)
       .groupBy(col("styleID").as("__spec_style"))
       .agg(map_from_entries(array_distinct(collect_list(
         struct(col("specName"), col("value"))))).as("__specs"))
 
-    val styleDim = broadcast(feed.styles
+    val styleDim = broadcast(stylesC
       .join(styleCats, col("styleID") === col("__sc_style"), "left_outer")
       .join(specDim, col("styleID") === col("__spec_style"), "left_outer")
       .select(
@@ -91,7 +113,7 @@ object SandS {
         col("__style_cats"),
         col("__specs")))
 
-    val rows = feed.products
+    val rows = productsC
       .join(styleDim, col("styleID") === col("__style_id"), "left_outer")
 
     // Tiered wholesale prices: piece (1+), dozen (12+), case (caseQty+),

@@ -66,7 +66,8 @@ object Xd {
 
   /** Unpivot the Qty1..Qty6 / ItemPriceNet_Qty1..6 column pairs into a
     * tier array; max_quantity of tier i is Qty(i+1)-1 (open-ended last
-    * tier). Map-side only. */
+    * tier). Map-side only; the input must be conformed (see
+    * [[FeedReader.conform]]) so every tier column resolves. */
   private def itemTiers(currency: Column): Column = {
     val entries = (1 to 6).map { i =>
       val nextQty =
@@ -104,22 +105,45 @@ object Xd {
     filter(array(entries: _*), t => t.getField("value").isNotNull)
   }
 
+  /** Column contracts per feed section (FeedReader.conform): a sparse
+    * or empty capture still resolves every referenced column. */
+  private val productCols: Seq[(String, String)] =
+    Seq("ModelCode", "ItemCode", "ItemName", "Brand", "MainCategory",
+      "SubCategory", "Material", "Color", "PMSColor1", "HexColor1",
+      "CountryOfOrigin", "CommodityCode", "EANCode", "PackagingTypeItem",
+      "ProductLifeCycle", "LongDescription").map(_ -> "string") ++
+      Seq("ItemLengthCM", "ItemWidthCM", "ItemHeightCM", "ItemDiameterCM",
+        "ItemWeightNetGr", "ItemWeightGrossGr").map(_ -> "double") ++
+      Seq("OuterCartonQty" -> "int")
+  private val priceCols: Seq[(String, String)] =
+    Seq("ItemCode" -> "string", "Currency" -> "string") ++
+      (1 to 6).flatMap(i => Seq(s"Qty$i" -> "int", s"ItemPriceNet_Qty$i" -> "double"))
+  private val stockCols: Seq[(String, String)] =
+    Seq("ItemCode" -> "string", "CurrentStock" -> "int")
+  private val printDataCols: Seq[(String, String)] =
+    Seq("ModelCode", "ItemCode", "PrintCode", "PrintTechnique",
+      "PrintPosition", "PrintPositionCode", "VRP_URL", "LineDrawing")
+      .map(_ -> "string") ++
+      Seq("MaxPrintWidthMM" -> "double", "MaxPrintHeightMM" -> "double",
+        "MaxColors" -> "int", "Default" -> "boolean",
+        "VRP_X" -> "long", "VRP_Y" -> "long",
+        "VRP_Width" -> "long", "VRP_Height" -> "long")
+  private val printPriceCols: Seq[(String, String)] =
+    Seq("PrintCode" -> "string", "Currency" -> "string", "SetupNet" -> "double") ++
+      printBreaks.map(q => s"PrintPriceNet_$q" -> "double")
+
   def unified(feed: Feed): DataFrame = {
-    val items = feed.products
-    // Schema-tolerant access: feeds only materialize the dimension
-    // columns a given capture uses (the sample has Height/Diameter but
-    // no Length/Width) — absent → typed null.
-    val itemCols = items.columns.toSet
-    def opt(name: String): Column =
-      if (itemCols.contains(name)) col(name) else lit(null).cast("double")
+    val items = FeedReader.conform(feed.products, productCols)
+    def opt(name: String): Column = col(name)
 
     // J5 data, pivoted form → tier array keyed by ItemCode.
-    val tiers = feed.prices.select(
+    val pricesC = FeedReader.conform(feed.prices, priceCols)
+    val tiers = pricesC.select(
       col("ItemCode").as("__price_item"),
       itemTiers(col("Currency")).as("__tier_prices"))
 
     // J4: stock by ItemCode.
-    val stock = feed.stock.select(
+    val stock = FeedReader.conform(feed.stock, stockCols).select(
       col("ItemCode").as("__stock_item"),
       struct(
         coalesce(col("CurrentStock").try_cast("int"), lit(0)).as("available"),
@@ -131,13 +155,14 @@ object Xd {
         lit(null).cast("timestamp").as("last_updated")).as("__stock"))
 
     // PrintPrices: small technique dimension keyed by PrintCode → broadcast.
-    val printPriceDim = broadcast(feed.printPrices.select(
-      col("PrintCode").as("__pp_code"),
-      col("SetupNet").try_cast("double").as("__pp_setup"),
-      printTiers(col("Currency")).as("__pp_tiers")))
+    val printPriceDim = broadcast(
+      FeedReader.conform(feed.printPrices, printPriceCols).select(
+        col("PrintCode").as("__pp_code"),
+        col("SetupNet").try_cast("double").as("__pp_setup"),
+        printTiers(col("Currency")).as("__pp_tiers")))
 
     // Print options + positions per model: PrintData ⋈ PrintPrices.
-    val printByModel = feed.printData
+    val printByModel = FeedReader.conform(feed.printData, printDataCols)
       .join(printPriceDim, col("PrintCode") === col("__pp_code"), "left_outer")
       .groupBy(col("ModelCode"))
       .agg(

@@ -62,6 +62,88 @@ class XdSpec extends SparkSpec {
   }
 }
 
+class MultiVariantNestingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** The reference samples carry a single item per model; these
+    * synthetic captures verify the rollup actually nests multiple
+    * variants in feed order with per-item joins applied. */
+  test("XD: multiple ItemCodes nest under one ModelCode with per-item prices/stock") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xd_multi")
+    val capture = dir.resolve("xd.jsonc")
+    java.nio.file.Files.writeString(capture,
+      """{
+        |  "Products": {"Response": [
+        |    {"ModelCode": "M1", "ItemCode": "I2", "ItemName": "Bottle", "Brand": "B",
+        |     "Color": "red", "HexColor1": "FF0000", "ItemHeightCM": 20.0,
+        |     "ItemWeightGrossGr": 100.0, "ProductLifeCycle": "Active",
+        |     "MainCategory": "Drinkware", "SubCategory": "Bottles",
+        |     "EANCode": "111", "OuterCartonQty": 10},
+        |    {"ModelCode": "M1", "ItemCode": "I1", "ItemName": "Bottle", "Brand": "B",
+        |     "Color": "blue", "HexColor1": "0000FF", "ItemHeightCM": 20.0,
+        |     "ItemWeightGrossGr": 100.0, "ProductLifeCycle": "Active",
+        |     "MainCategory": "Drinkware", "SubCategory": "Bottles",
+        |     "EANCode": "222", "OuterCartonQty": 10}
+        |  ]},
+        |  "ProductPrices": {"Response": [
+        |    {"ModelCode": "M1", "ItemCode": "I1", "Currency": "EUR",
+        |     "Qty1": 1, "Qty2": 50, "ItemPriceNet_Qty1": 3.00, "ItemPriceNet_Qty2": 2.50}
+        |  ]},
+        |  "PrintData": {"Response": []},
+        |  "PrintPrices": {"Response": []},
+        |  "Stock": {"Response": [
+        |    {"ModelCode": "M1", "ItemCode": "I1", "CurrentStock": 42},
+        |    {"ModelCode": "M1", "ItemCode": "I2", "CurrentStock": 7}
+        |  ]}
+        |}""".stripMargin)
+    val u = graft.suppliers.Xd.unified(spark, capture.toString)
+      .filter(col("product_id") === "xd_M1")
+    val r = u.select(size(col("variants")),
+      transform(col("variants"), v => v.getField("sku")),
+      transform(col("variants"), v => v.getField("stock").getField("available")),
+      element_at(col("variants"), 1).getField("prices"),
+      col("colors_available")).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[String](1) == Seq("I1", "I2")) // feed-order by ItemCode
+    assert(r.getSeq[Int](2) == Seq(42, 7))         // per-item stock joined
+    val p = r.getSeq[org.apache.spark.sql.Row](3)
+    assert(p.length == 2 && p.head.getAs[String]("currency") == "EUR")
+    assert(r.getSeq[String](4).toSet == Set("blue", "red"))
+  }
+
+  test("S&S: multiple SKUs nest under one styleID with per-SKU stock") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_multi")
+    val capture = dir.resolve("ss.jsonc")
+    java.nio.file.Files.writeString(capture,
+      """{
+        |  "products": {"Response": [
+        |    {"sku": "S2", "styleID": 7, "brandName": "G", "styleName": "ST",
+        |     "colorName": "White", "colorCode": "00", "sizeName": "L",
+        |     "unitWeight": 0.5, "piecePrice": 3.0, "qty": 10, "gtin": "g2",
+        |     "caseQty": 72, "countryOfOrigin": "US", "warehouses": []},
+        |    {"sku": "S1", "styleID": 7, "brandName": "G", "styleName": "ST",
+        |     "colorName": "Black", "colorCode": "01", "sizeName": "M",
+        |     "unitWeight": 0.4, "piecePrice": 3.0, "qty": 20, "gtin": "g1",
+        |     "caseQty": 72, "countryOfOrigin": "US", "warehouses": []}
+        |  ]},
+        |  "categories": {"Response": []},
+        |  "styles": {"Response": []},
+        |  "specs": {"Response": []},
+        |  "brands": {"Response": []}
+        |}""".stripMargin)
+    val u = graft.suppliers.SandS.unified(spark, capture.toString)
+      .filter(col("product_id") === "ss_7")
+    val r = u.select(size(col("variants")),
+      transform(col("variants"), v => v.getField("sku")),
+      transform(col("variants"), v => v.getField("stock").getField("available")),
+      col("colors_available")).collect()(0)
+    assert(r.getInt(0) == 2)
+    assert(r.getSeq[String](1) == Seq("S1", "S2"))
+    assert(r.getSeq[Int](2) == Seq(20, 10))
+    assert(r.getSeq[String](3).toSet == Set("Black", "White"))
+  }
+}
+
 class SandSSpec extends SparkSpec {
   import graft.suppliers.SandS
 
