@@ -29,8 +29,19 @@ object Ralawise {
     Feed(spark.read.json(Seq(text).toDS))
   }
 
+  /** Column contract (FeedReader.conform): sparse captures resolve
+    * every referenced column. */
+  private val skuCols: Seq[(String, String)] =
+    Seq("Sku Code", "Style Code", "Style Name", "Brand", "Colour Code",
+      "Colour Name", "Colour Image", "Pantone", "Size Name", "Sku Status",
+      "Specification", "Retail Description", "Fabric", "Categorisation",
+      "Commodity Code", "Country of Origin", "Primary Product Image URL",
+      "Product Type", "EAN Code").map(_ -> "string") ++
+      Seq("Carton Quantity" -> "int", "Item Weight in KG" -> "double",
+        "Single Price" -> "double")
+
   def unified(feed: Feed): DataFrame = {
-    val rows = feed.skuRows
+    val rows = FeedReader.conform(feed.skuRows, skuCols)
 
     val img = (url: Column, t: String) => struct(
       url.as("url"), lit(t).as("type"),

@@ -111,6 +111,27 @@ class MultiVariantNestingSpec extends SparkSpec {
     assert(r.getSeq[String](4).toSet == Set("blue", "red"))
   }
 
+  test("Ralawise: a sparse capture (minimal columns) still produces unified rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ral_sparse")
+    val capture = dir.resolve("ral.jsonc")
+    java.nio.file.Files.writeString(capture,
+      """[
+        |  {"Sku Code": "K1", "Style Code": "S9", "Style Name": "Tee",
+        |   "Colour Name": "Red", "Size Name": "M"},
+        |  {"Sku Code": "K2", "Style Code": "S9", "Style Name": "Tee",
+        |   "Colour Name": "Blue", "Size Name": "L"}
+        |]""".stripMargin)
+    val u = graft.suppliers.Ralawise.unified(spark, capture.toString)
+      .filter(col("product_id") === "ralawise_S9")
+    val r = u.select(col("name"), size(col("variants")),
+      transform(col("variants"), v => v.getField("sku")),
+      col("colors_available")).collect()(0)
+    assert(r.getString(0) == "Tee")
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("K1", "K2"))
+    assert(r.getSeq[String](3).toSet == Set("Red", "Blue"))
+  }
+
   test("S&S: multiple SKUs nest under one styleID with per-SKU stock") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ss_multi")
     val capture = dir.resolve("ss.jsonc")
