@@ -33,8 +33,23 @@ object Keramikos {
   def readFeed(spark: SparkSession, path: String): Feed =
     Feed(FeedReader.readJsonc(spark, path))
 
+  /** Column contracts (FeedReader.conform): sparse captures resolve
+    * every referenced column/nested field. */
+  private val productCols: Seq[(String, String)] =
+    (Seq("Prodcode", "Name", "Description", "Brand", "CategoryName",
+      "ShapeName", "ImageUri", "HiresImageUri").map(_ -> "string") ++
+      printFlagMap.map(_._1 -> "boolean") ++ Seq(
+      "ProductId" -> "long", "Discontinued" -> "boolean",
+      "QuantityPerBox" -> "string",
+      "ProductSpecifications" ->
+        "array<struct<SpecificationText:string,SpecificationValue:string>>"))
+  private val priceCols: Seq[(String, String)] =
+    Seq("prodCode" -> "string", "printTypeName" -> "string",
+      "printPrices" ->
+        "array<struct<unitPrice:string,quantityFrom:string,numberOfColours:string>>")
+
   def unified(feed: Feed): DataFrame = {
-    val products = feed.products
+    val products = FeedReader.conform(feed.products, productCols)
 
     // Key-value specification rows → a lookup map per product.
     val specs = map_from_entries(transform(
@@ -44,7 +59,7 @@ object Keramikos {
     // J6 data: the prices endpoint carries one product's print-price
     // grid (quantityFrom × numberOfColours); join it on prodCode and
     // express it as tier prices on the matching print option.
-    val grid = broadcast(feed.prices.select(
+    val grid = broadcast(FeedReader.conform(feed.prices, priceCols).select(
       col("prodCode").as("__price_code"),
       col("printTypeName").as("__price_type"),
       transform(col("printPrices"), p => struct(

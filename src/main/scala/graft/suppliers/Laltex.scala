@@ -68,11 +68,31 @@ object Laltex {
       lit(null).cast("string").as("description"),
       lit(null).cast("string").as("color_variant")))
 
+  /** Column contracts (FeedReader.conform): sparse captures resolve
+    * every referenced column/nested field. */
+  private val productCols: Seq[(String, String)] =
+    Seq("ProductCode", "ProductName", "ProductTitle", "Description",
+      "WebDescription", "KeyWords", "Category", "SubCategory", "Material",
+      "ProductDims", "UnitWeight", "AvailableColours", "CountryOfOrigin",
+      "TariffCode").map(_ -> "string") ++ Seq(
+      "MinimumOrderQty" -> "string", "CartonQty" -> "string",
+      "ProductPrice" ->
+        "array<struct<Price:string,MinQuantity:string,MaxQuantity:string>>",
+      "Items" ->
+        ("array<struct<ItemCode:string,ItemColour:string,ItemSize:string," +
+          "PMS:string,ItemImages:array<string>,PlainImages:array<string>>>"),
+      "PrintDetails" ->
+        "array<struct<PrintPosition:string,PrintArea:string,PrintType:string>>",
+      "ArtworkTemplates" -> "array<struct<Template:string>>")
+  private val stockCols: Seq[(String, String)] =
+    Seq("ProductCode" -> "string", "FreeStock" -> "string",
+      "DueIns" -> "array<struct<DueInQty:string,DueInETA:string>>")
+
   def unified(feed: Feed): DataFrame = {
-    val products = feed.products
+    val products = FeedReader.conform(feed.products, productCols)
 
     // J4: per-item stock dimension, broadcast.
-    val stocks = broadcast(feed.stocks.select(
+    val stocks = broadcast(FeedReader.conform(feed.stocks, stockCols).select(
       col("ProductCode").as("__stock_code"),
       struct(
         coalesce(col("FreeStock").try_cast("int"), lit(0)).as("available"),

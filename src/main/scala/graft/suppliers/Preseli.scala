@@ -36,8 +36,20 @@ object Preseli {
   def readFeed(spark: SparkSession, path: String): Feed =
     Feed(FeedReader.readJsonc(spark, path))
 
+  /** Column contract (FeedReader.conform): sparse captures resolve
+    * every referenced column/nested field. */
+  private val productCols: Seq[(String, String)] =
+    Seq("ProductCode", "ProductName", "Description", "Material", "Size",
+      "DimensionUnit", "WeightUnit").map(_ -> "string") ++ Seq(
+      "Height" -> "double", "Width" -> "double", "Weight" -> "double",
+      "Artwork" -> "string",
+      "Prices" -> ("struct<Price:array<struct<Name:string,Quantity:string," +
+        "PriceDetails:array<struct<Type:string,Value:string>>>>>"),
+      "Images" -> "struct<Image:array<string>>",
+      "Colours" -> "struct<Colour:array<string>>")
+
   def unified(feed: Feed): DataFrame = {
-    val products = feed.products
+    val products = FeedReader.conform(feed.products, productCols)
 
     // Per-unit product price tiers: every (technique, quantity) block's
     // Type='Product' detail.
