@@ -187,6 +187,9 @@ object Dedup {
   def simHashPairs(
       df: DataFrame, text: Column, id: Column,
       bits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits): a remainder would leave the top " +
+        "bits outside every band and silently void the pigeonhole recall guarantee")
     val chunk = bits / bands
     val mask = (1L << chunk) - 1
     // Relational signature: per-bit vote sums as codegen'd aggregates

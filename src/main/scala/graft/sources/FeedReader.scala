@@ -103,17 +103,81 @@ object FeedReader {
     * merged by the JSON reader). Every supplier pipeline therefore
     * scales from one sample file to a feed archive with no code change:
     * `sectionOf` explodes each document's section and the rows union. */
-  def readJsonc(spark: SparkSession, path: String): DataFrame = {
+  def readJsonc(spark: SparkSession, path: String): DataFrame =
+    readJsonc(spark, path, None)
+
+  /** As above, with a declared minimal schema (a source CONTRACT): the
+    * document is parsed with `mergeSchemas(inferred, required)`, so
+    * every contract field resolves downstream — absent ones as typed
+    * nulls — while fields the contract doesn't know about keep their
+    * inferred types untouched. This is what makes sparse captures (a
+    * feed where no row materializes an optional field, or a whole
+    * endpoint is missing) analyze instead of throwing
+    * FIELD_NOT_FOUND / UNRESOLVED_COLUMN; the reference's row-at-a-time
+    * `.get(...)` tolerance (etl/transformers/midocean_transformer.py)
+    * is schema-level here. */
+  def readJsonc(spark: SparkSession, path: String,
+                required: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+    val inferred = if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
       val texts = spark.sparkContext.wholeTextFiles(path).map(_._2)
         .map(stripJsonc)
       spark.read.json(spark.createDataset(texts))
     } else {
       val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
       spark.read.json(Seq(doc).toDS)
+    }
+    required match {
+      // Leave corrupt docs on the inference path so sectionOf's
+      // clear-error check still fires.
+      case Some(req) if !inferred.columns.sameElements(Array("_corrupt_record")) =>
+        val merged = mergeSchemas(inferred.schema, req)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+          val texts = spark.sparkContext.wholeTextFiles(path).map(_._2).map(stripJsonc)
+          spark.read.schema(merged).json(spark.createDataset(texts))
+        } else {
+          val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
+          spark.read.schema(merged).json(Seq(doc).toDS)
+        }
+      case _ => inferred
+    }
+  }
+
+  /** Recursive union of an inferred schema with a declared contract.
+    * Rules: a field present in both keeps the INFERRED type (use-sites
+    * try_cast; the data wins) with its nested fields merged; a field
+    * only in the contract is added (parses to null). Struct-vs-array
+    * mismatches respect the PromoStandards singleton quirk: a declared
+    * array whose capture shape is a bare object merges into the
+    * object's struct (asArray re-wraps it at use sites). A scalar
+    * inferred against a declared complex type (empty `[]` infers
+    * array<string>, an all-null field infers string) takes the
+    * declared shape. */
+  def mergeSchemas(inferred: org.apache.spark.sql.types.DataType,
+                   declared: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (inferred, declared) match {
+      case (NullType, d) => d
+      case (i: StructType, d: StructType) =>
+        val inferredNames = i.fieldNames.toSet
+        StructType(
+          i.fields.map { f =>
+            d.fields.find(_.name == f.name) match {
+              case Some(df) => f.copy(dataType = mergeSchemas(f.dataType, df.dataType))
+              case None => f
+            }
+          } ++ d.fields.filterNot(f => inferredNames(f.name)))
+      case (i: ArrayType, d: ArrayType) =>
+        ArrayType(mergeSchemas(i.elementType, d.elementType),
+          i.containsNull || d.containsNull)
+      case (i: StructType, d: ArrayType) => mergeSchemas(i, d.elementType)
+      case (_: ArrayType | _: StructType | _: MapType, _) => inferred
+      case (_, _: ArrayType | _: StructType | _: MapType) => declared
+      case _ => inferred
     }
   }
 

@@ -64,8 +64,45 @@ object MidOcean {
       .select(explode(col("stock.Response.stock")).as("s")).select(col("s.*"))
   }
 
+  /** Source contract: every field the transform references, declared
+    * so sparse captures (fields no row materializes, or a missing
+    * endpoint) parse to typed nulls instead of failing analysis. Types
+    * are strings — use-sites parse/try_cast; present fields keep their
+    * inferred types (FeedReader.mergeSchemas). */
+  private val requiredSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """products STRUCT<Response: ARRAY<STRUCT<
+      |  master_code: STRING, product_name: STRING, short_description: STRING,
+      |  long_description: STRING, brand: STRING, material: STRING,
+      |  product_class: STRING, length: STRING, width: STRING, height: STRING,
+      |  length_unit: STRING, gross_weight: STRING, net_weight: STRING,
+      |  gross_weight_unit: STRING, printable: STRING,
+      |  outer_carton_quantity: STRING, country_of_origin: STRING,
+      |  commodity_code: STRING,
+      |  variants: ARRAY<STRUCT<
+      |    sku: STRING, variant_id: STRING, color_code: STRING,
+      |    color_description: STRING, pms_color: STRING, gtin: STRING,
+      |    category_level1: STRING, category_level2: STRING,
+      |    category_level3: STRING, plc_status_description: STRING,
+      |    discontinued_date: STRING,
+      |    digital_assets: ARRAY<STRUCT<type: STRING, subtype: STRING, url: STRING>>>>>>>,
+      |pricelist STRUCT<Response: STRUCT<price: ARRAY<STRUCT<
+      |  sku: STRING, price: STRING, valid_until: STRING>>>>,
+      |printdata STRUCT<Response: STRUCT<products: ARRAY<STRUCT<
+      |  master_code: STRING,
+      |  printing_positions: ARRAY<STRUCT<
+      |    position_id: STRING, max_print_size_width: STRING,
+      |    max_print_size_height: STRING,
+      |    printing_techniques: ARRAY<STRUCT<id: STRING>>,
+      |    images: ARRAY<STRUCT<print_position_image_with_area: STRING>>>>>>>>,
+      |printpricelist STRUCT<Response: STRUCT<print_techniques: ARRAY<STRUCT<
+      |  id: STRING, setup: STRING,
+      |  var_costs: ARRAY<STRUCT<scales: ARRAY<STRUCT<
+      |    price: STRING, minimum_quantity: STRING>>>>>>>>,
+      |stock STRUCT<Response: STRUCT<stock: ARRAY<STRUCT<sku: STRING, qty: STRING>>>>
+      |""".stripMargin)
+
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(requiredSchema)))
 
   // ── building blocks ──────────────────────────────────────────────────
 
@@ -208,8 +245,8 @@ object MidOcean {
         .as("__print_options"))
 
     // Assemble the unified row.
-    val firstVariant = element_at(col("variants"), 1)
-    val rawVariant1 = element_at(col("variants_raw"), 1)
+    val firstVariant = try_element_at(col("variants"), lit(1))
+    val rawVariant1 = try_element_at(col("variants_raw"), lit(1))
 
     val base = products
       .withColumnRenamed("variants", "variants_raw")

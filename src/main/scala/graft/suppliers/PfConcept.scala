@@ -59,8 +59,61 @@ object PfConcept {
     def labelFeed: DataFrame = FeedReader.sectionOf(doc, "ProductPrintLabelFeed.model")
   }
 
+  /** Source contract (see FeedReader.mergeSchemas): every referenced
+    * field declared so sparse captures parse to typed nulls instead of
+    * failing analysis; XML singleton wrappers tolerated (declared
+    * arrays merge into bare-object captures). */
+  private val requiredSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """productFeed STRUCT<model: ARRAY<STRUCT<
+      |  _modelCode: STRING, description: STRING, extDesc: STRING,
+      |  keywords: STRING, productComments: STRING,
+      |  items: STRUCT<item: ARRAY<STRUCT<
+      |    _itemCode: STRING, size: STRING, eanCode: STRING,
+      |    isDiscontinued: STRING, grossWeightKg: STRING, nettWeightKg: STRING,
+      |    countryOfOrigin: STRING, hsCode: STRING, brand: STRING,
+      |    material: STRING, videoUrl1: STRING, qtyPerCarton: STRING,
+      |    measurements: STRUCT<weightGr: STRING, lengthCm: STRING,
+      |      widthCm: STRING, heightCm: STRING, diameterCm: STRING>,
+      |    colors: STRUCT<color: ARRAY<STRUCT<_colorCode: STRING,
+      |      colorDesc: STRING, hexColor: STRING, pmsColorReference: STRING>>>,
+      |    decorationSettings: STRUCT<decoDefault: STRUCT<method: STRING,
+      |      impLocationDefault: STRING, maxColoursDefault: STRING,
+      |      leadTime: STRING>>,
+      |    categoryData: STRUCT<groupCode: STRING, groupDesc: STRING,
+      |      catCode: STRING, catDesc: STRING>,
+      |    imageData: STRUCT<imageMain: STRING, imageFront: STRING,
+      |      imageBack: STRING, imagePackage: STRING, imageModel: STRING,
+      |      imageMood1: STRING, imageMood2: STRING, imageMood3: STRING,
+      |      imageDetail1: STRING, imageDetail2: STRING, imageDetail3: STRING>>>>>>>,
+      |productPriceFeed STRUCT<model: ARRAY<STRUCT<
+      |  items: STRUCT<item: ARRAY<STRUCT<
+      |    _itemcode: STRING, decoCharge: STRING, minDecoQty: STRING,
+      |    currency: STRING,
+      |    scales: STRUCT<scale: ARRAY<STRUCT<nettPrice: STRING,
+      |      priceBar: STRING>>>>>>>>>,
+      |productStockFeed STRUCT<PFCStockFeed: STRUCT<stockFeed: STRUCT<
+      |  models: STRUCT<model: ARRAY<STRUCT<
+      |    items: STRUCT<item: ARRAY<STRUCT<_itemCode: STRING,
+      |      stockDirect: STRING, stockNextPo: STRING,
+      |      stockDateNextPo: STRING>>>>>>>>>,
+      |ProductPrintPriceFeed STRUCT<PFCPrintpricefeed: STRUCT<
+      |  decoCharges: STRUCT<_currency: STRING, decoCharge: ARRAY<STRUCT<
+      |    printCode: STRING, impMethod: STRING, maxColor: STRING,
+      |    logoSizes: STRUCT<logoSize: ARRAY<STRUCT<_logoSizeCm2: STRING,
+      |      amountColors: STRUCT<amountColor: ARRAY<STRUCT<
+      |        _amountColorsId: STRING,
+      |        amountSetupCharges: STRUCT<amountSetupCharge: ARRAY<STRUCT<
+      |          SetupCharge: STRING,
+      |          decoPrices: STRUCT<decoPrice: ARRAY<STRUCT<
+      |            __text: STRING, _decoPriceFromQty: STRING>>>>>>>>>>>>>>>>>,
+      |ProductPrintLabelFeed STRUCT<model: ARRAY<STRUCT<
+      |  items: STRUCT<item: ARRAY<STRUCT<_itemCode: STRING,
+      |    printfeedrefs: STRUCT<printfeedref: ARRAY<STRUCT<
+      |      imagePrintLine: STRING>>>>>>>>>
+      |""".stripMargin)
+
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(requiredSchema)))
 
   private val priceType = graft.schema.Unified.schema("base_prices").dataType
   private val imageType = graft.schema.Unified.schema("images").dataType
@@ -186,8 +239,8 @@ object PfConcept {
       .join(optionsByItem, col("__item._itemCode") === col("__opt_item"), "left_outer")
       .join(labelItems, col("__item._itemCode") === col("__label_item"), "left_outer")
 
-    val firstColor = element_at(
-      FeedReader.asArray(items, col("__item.colors.color")), 1)
+    val firstColor = try_element_at(
+      FeedReader.asArray(items, col("__item.colors.color")), lit(1))
 
     val m = (f: String) => Parsers.parseFloatComma(col(s"__item.measurements.$f"))
     val dims = when(coalesce(m("lengthCm"), m("widthCm"), m("heightCm"),
@@ -309,14 +362,14 @@ object PfConcept {
       Parsers.splitKeywords(col("keywords")).as("keywords"),
       categories.cast(graft.schema.Unified.schema("categories").dataType).as("categories"),
       nullif(col("__brand"), lit("")).as("brand"),
-      element_at(col("variants"), 1).getField("dimensions").as("dimensions"),
-      element_at(col("variants"), 1).getField("weight").as("weight"),
+      try_element_at(col("variants"), lit(1)).getField("dimensions").as("dimensions"),
+      try_element_at(col("variants"), lit(1)).getField("weight").as("weight"),
       nullif(col("__material"), lit("")).as("material"),
       array_distinct(filter(
         transform(col("variants"), v => v.getField("color").getField("name")),
         c => c.isNotNull)).as("colors_available"),
       col("variants"),
-      element_at(col("variants"), 1).getField("prices").as("base_prices"),
+      try_element_at(col("variants"), lit(1)).getField("prices").as("base_prices"),
       (size(printOptions) > 0).as("is_printable"),
       array().cast(graft.schema.Unified.schema("print_positions").dataType).as("print_positions"),
       printOptions.cast(graft.schema.Unified.schema("print_options").dataType)

@@ -56,8 +56,8 @@ object Preseli {
     val priceBlocks = coalesce(col("Prices.Price"), array())
     val tierPrices = filter(
       transform(priceBlocks, b => struct(
-        element_at(
-          filter(b.getField("PriceDetails"), d => d.getField("Type") === "Product"), 1)
+        try_element_at(
+          filter(b.getField("PriceDetails"), d => d.getField("Type") === "Product"), lit(1))
           .getField("Value").try_cast("double").as("value"),
         lit("GBP").as("currency"),
         b.getField("Quantity").try_cast("int").as("min_quantity"),
@@ -72,8 +72,8 @@ object Preseli {
         element_at(techniqueCol, b.getField("Name")).as("technique"),
         lit("various").as("position"),
         lit(1).as("max_colors"),
-        element_at(
-          filter(b.getField("PriceDetails"), d => d.getField("Type") === "Additional Charge"), 1)
+        try_element_at(
+          filter(b.getField("PriceDetails"), d => d.getField("Type") === "Additional Charge"), lit(1))
           .getField("Value").try_cast("double").as("setup_charge"),
         array().cast(graft.schema.Unified.schema("base_prices").dataType).as("prices"),
         lit(null).cast("string").as("lead_time"),

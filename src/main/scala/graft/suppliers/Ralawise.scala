@@ -123,7 +123,7 @@ object Ralawise {
       nullif(col("Fabric"), lit("")).as("material"),
       colorsAvailable.as("colors_available"),
       col("variants"),
-      slice(element_at(col("variants"), 1).getField("prices"), 1, 1).as("base_prices"),
+      slice(try_element_at(col("variants"), lit(1)).getField("prices"), 1, 1).as("base_prices"),
       lit(false).as("is_printable"),
       array().cast(graft.schema.Unified.schema("print_positions").dataType).as("print_positions"),
       array().cast(graft.schema.Unified.schema("print_options").dataType).as("print_options"),

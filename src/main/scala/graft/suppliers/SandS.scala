@@ -213,13 +213,13 @@ object SandS {
       categories.cast(graft.schema.Unified.schema("categories").dataType).as("categories"),
       nullif(col("brandName"), lit("")).as("brand"),
       lit(null).cast(graft.schema.Unified.schema("dimensions").dataType).as("dimensions"),
-      element_at(col("variants"), 1).getField("weight").as("weight"),
+      try_element_at(col("variants"), lit(1)).getField("weight").as("weight"),
       try_element_at(col("__specs"), lit("Fabric")).as("material"),
       array_distinct(filter(
         transform(col("variants"), v => v.getField("color").getField("name")),
         c => c.isNotNull)).as("colors_available"),
       col("variants"),
-      element_at(col("variants"), 1).getField("prices").as("base_prices"),
+      try_element_at(col("variants"), lit(1)).getField("prices").as("base_prices"),
       lit(false).as("is_printable"),
       array().cast(graft.schema.Unified.schema("print_positions").dataType).as("print_positions"),
       array().cast(graft.schema.Unified.schema("print_options").dataType).as("print_options"),

@@ -39,8 +39,43 @@ object Sanmar {
       FeedReader.sectionOf(doc, "GetInventoryLevels.Response.Inventory")
   }
 
+  /** Source contract (see FeedReader.mergeSchemas): every referenced
+    * field declared so sparse captures parse to typed nulls instead of
+    * failing analysis; PromoStandards singleton collapse is tolerated
+    * (declared arrays merge into bare-object captures). */
+  private val requiredSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    """GetProduct STRUCT<Response: STRUCT<Product: STRUCT<
+      |  productId: STRING, productName: STRING, productBrand: STRING,
+      |  primaryImageUrl: STRING, lastChangeDate: STRING, creationDate: STRING,
+      |  description: ARRAY<STRING>,
+      |  ProductCategoryArray: STRUCT<ProductCategory: ARRAY<STRUCT<
+      |    category: STRING, subCategory: STRING>>>,
+      |  ProductKeywordArray: STRUCT<ProductKeyword: ARRAY<STRUCT<keyword: STRING>>>,
+      |  ProductPartArray: STRUCT<ProductPart: ARRAY<STRUCT<
+      |    partId: STRING, isCloseout: STRING, gtin: STRING,
+      |    Dimension: STRUCT<dimensionUom: STRING, weightUom: STRING,
+      |      weight: STRING, depth: STRING, width: STRING, height: STRING>,
+      |    primaryColor: STRUCT<Color: STRUCT<colorName: STRING,
+      |      standardColorName: STRING>>,
+      |    ColorArray: STRUCT<Color: STRUCT<approximatePms: STRING>>,
+      |    ApparelSize: STRUCT<labelSize: STRING>>>>>>>,
+      |GetMediaContent STRUCT<Response: STRUCT<MediaContentArray: STRUCT<
+      |  MediaContent: ARRAY<STRUCT<partId: STRING, mediaType: STRING,
+      |    url: STRING, color: STRING,
+      |    ClassTypeArray: STRUCT<ClassType: STRUCT<classTypeName: STRING>>>>>>>,
+      |GetConfigurationAndPricing STRUCT<Response: STRUCT<Configuration: STRUCT<
+      |  currency: STRING,
+      |  PartArray: STRUCT<Part: ARRAY<STRUCT<partId: STRING,
+      |    PartPriceArray: STRUCT<PartPrice: ARRAY<STRUCT<
+      |      price: STRING, minQuantity: STRING, priceExpiryDate: STRING>>>>>>>>>,
+      |GetInventoryLevels STRUCT<Response: STRUCT<Inventory: STRUCT<
+      |  PartInventoryArray: STRUCT<PartInventory: ARRAY<STRUCT<
+      |    partId: STRING,
+      |    quantityAvailable: STRUCT<Quantity: STRUCT<value: STRING>>>>>>>>
+      |""".stripMargin)
+
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(requiredSchema)))
 
   private val priceType = graft.schema.Unified.schema("base_prices").dataType
   private val imageType = graft.schema.Unified.schema("images").dataType
@@ -191,20 +226,20 @@ object Sanmar {
       coalesce(col("productId"), lit("")).as("supplier_product_code"),
       coalesce(col("productName"), lit("")).as("name"),
       lit(null).cast("string").as("title"),
-      element_at(descArr, 1).cast("string").as("short_description"),
+      try_element_at(descArr, lit(1)).cast("string").as("short_description"),
       concat_ws("\n", descArr).as("long_description"),
       keywords.cast("array<string>").as("keywords"),
       categories.cast(graft.schema.Unified.schema("categories").dataType).as("categories"),
       nullif(col("productBrand"), lit("")).as("brand"),
-      element_at(col("variants"), 1).getField("dimensions").as("dimensions"),
-      element_at(col("variants"), 1).getField("weight").as("weight"),
+      try_element_at(col("variants"), lit(1)).getField("dimensions").as("dimensions"),
+      try_element_at(col("variants"), lit(1)).getField("weight").as("weight"),
       lit(null).cast("string").as("material"),
       array_distinct(filter(
         transform(col("variants"), v => v.getField("color").getField("name")),
         c => c.isNotNull)).as("colors_available"),
       coalesce(col("variants"),
         array().cast(graft.schema.Unified.schema("variants").dataType)).as("variants"),
-      element_at(col("variants"), 1).getField("prices").as("base_prices"),
+      try_element_at(col("variants"), lit(1)).getField("prices").as("base_prices"),
       lit(false).as("is_printable"),
       array().cast(graft.schema.Unified.schema("print_positions").dataType).as("print_positions"),
       array().cast(graft.schema.Unified.schema("print_options").dataType).as("print_options"),

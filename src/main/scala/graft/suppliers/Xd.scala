@@ -287,12 +287,12 @@ object Xd {
       array().cast("array<string>").as("keywords"),
       categories.cast(graft.schema.Unified.schema("categories").dataType).as("categories"),
       nullif(col("Brand"), lit("")).as("brand"),
-      element_at(col("variants"), 1).getField("dimensions").as("dimensions"),
-      element_at(col("variants"), 1).getField("weight").as("weight"),
+      try_element_at(col("variants"), lit(1)).getField("dimensions").as("dimensions"),
+      try_element_at(col("variants"), lit(1)).getField("weight").as("weight"),
       nullif(col("Material"), lit("")).as("material"),
       colorsAvailable.as("colors_available"),
       col("variants"),
-      element_at(col("variants"), 1).getField("prices").as("base_prices"),
+      try_element_at(col("variants"), lit(1)).getField("prices").as("base_prices"),
       (size(coalesce(col("__print_options"),
         array().cast(graft.schema.Unified.schema("print_options").dataType))) > 0)
         .as("is_printable"),
