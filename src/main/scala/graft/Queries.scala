@@ -615,8 +615,10 @@ object Queries {
       ORDER BY id_a, id_b""")),
 
     // LSH sign-bucket assignment (the scale path's partitioning step).
-    // ── PIM ingestion pipeline (rows-only check: the oracle can't read
-    //    JSONC; correctness is covered by the MidOcean golden spec) ────
+    // ── PIM ingestion pipeline. The oracle can't read JSONC, so the
+    //    check columns are pinned as VALUES literals — the same outputs
+    //    the golden specs assert, derived from the reference sample
+    //    captures (regenerate: tools/gen_values_oracle.py). ──────────
     ("q49_midocean_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
       graft.suppliers.MidOcean.unified(s, sample)
@@ -625,7 +627,15 @@ object Queries {
           size(col("print_positions")).as("n_print_positions"),
           size(col("print_options")).as("n_print_options"), col("status"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('midocean_AR1249', 'AR1249', 'TARGET', true, 1, 4, 65, 'active'),
+        ('midocean_AR1253', 'AR1253', 'BASICS', true, 1, 3, 65, 'active'),
+        ('midocean_AR1470', 'AR1470', 'HIGH PARK', true, 1, 3, 65, 'active'),
+        ('midocean_AR1589', 'AR1589', 'COLUMBUS', true, 1, 4, 65, 'active'),
+        ('midocean_AR1804', 'AR1804', 'ARCONOT', true, 10, 5, 65, 'active')
+      ) AS t(product_id, supplier_product_code, name, is_printable, n_variants, n_print_positions, n_print_options, status)
+      ORDER BY product_id""")),
 
     ("q50_laltex_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/Laltex Sample Data.jsonc"
@@ -634,7 +644,14 @@ object Queries {
           size(col("base_prices")).as("n_price_tiers"),
           size(col("keywords")).as("n_keywords"), col("is_printable"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('laltex_AA0131', 'Eye Mask', 8, 10, 9, true),
+        ('laltex_AA0135', 'Venus Tyre Gauge Keyring', 1, 10, 9, true),
+        ('laltex_AA0411', 'Cabot Ice Scraper', 6, 10, 9, true),
+        ('laltex_AA0412', 'Hudson Ice Scraper', 10, 10, 9, true)
+      ) AS t(product_id, name, n_variants, n_price_tiers, n_keywords, is_printable)
+      ORDER BY product_id""")),
 
     ("q51_pipeline_full_sync", (s: SparkSession, d: String) => {
       import graft.pipeline.{Pipeline, SupplierConfig}
@@ -645,7 +662,12 @@ object Queries {
       require(results.forall(_.status == "success"),
         s"pipeline statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
       Pipeline.statusReport(s, sink)
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('laltex', 'active', 4, 25),
+        ('midocean', 'active', 5, 14)
+      ) AS t(supplier_id, status, n_products, n_variants)
+      ORDER BY supplier_id""")),
 
     // MinHash/LSH with a DuckDB oracle: near-dups are synthesized by
     // unioning a mutated copy of each doc (append 3 words), so the
@@ -688,8 +710,9 @@ object Queries {
       WHERE est >= 0.3 ORDER BY id_a, id_b"""
     }),
 
-    // SimHash banded Hamming pairs (rows-only: hex->int64 isn't
-    // cleanly expressible in the oracle dialect).
+    // SimHash banded Hamming pairs. xxhash64 isn't expressible in the
+    // oracle dialect, so the (deterministic, sf0.01) pair set is pinned
+    // as VALUES literals (regenerate: tools/gen_values_oracle.py).
     ("q55_simhash_pairs", (s: SparkSession, d: String) => {
       val base = t(s, d, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), col("text"))
@@ -698,7 +721,60 @@ object Queries {
       Dedup.simHashPairs(base.unionByName(mutated), col("text"), col("doc_id"),
           bits = 64, bands = 4, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        (1, 100001, 1),
+        (5, 100005, 3),
+        (8, 100008, 3),
+        (9, 100009, 3),
+        (10, 100010, 2),
+        (18, 100018, 3),
+        (23, 100023, 3),
+        (40, 100040, 3),
+        (41, 100041, 3),
+        (49, 100049, 3),
+        (50, 100050, 2),
+        (51, 100051, 3),
+        (54, 100054, 3),
+        (58, 100058, 2),
+        (60, 100060, 2),
+        (61, 185, 0),
+        (61, 100061, 2),
+        (66, 100066, 3),
+        (72, 100072, 2),
+        (73, 100073, 1),
+        (77, 100077, 2),
+        (80, 100080, 3),
+        (81, 100081, 2),
+        (84, 100084, 3),
+        (87, 100087, 3),
+        (91, 100091, 2),
+        (93, 100093, 3),
+        (95, 100095, 3),
+        (98, 100098, 3),
+        (102, 100102, 1),
+        (103, 100103, 2),
+        (113, 100113, 3),
+        (117, 100117, 3),
+        (118, 100118, 2),
+        (124, 100124, 1),
+        (126, 100126, 2),
+        (128, 100128, 3),
+        (132, 100132, 2),
+        (141, 100141, 3),
+        (143, 100143, 2),
+        (151, 100151, 3),
+        (152, 178, 3),
+        (155, 100155, 3),
+        (162, 100162, 3),
+        (171, 100171, 3),
+        (173, 100173, 1),
+        (176, 100176, 3),
+        (182, 100182, 2),
+        (185, 100061, 2),
+        (189, 100189, 3)
+      ) AS t(id_a, id_b, hamming)
+      ORDER BY id_a""")),
 
     // Exact shingle-set Jaccard scored only for given candidate pairs
     // (the 100 TB path: candidates come from MinHash, not all-pairs).
@@ -734,7 +810,13 @@ object Queries {
           size(col("variants")).as("n_variants"),
           size(col("categories")).as("n_categories"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('ralawise_TS009', 'Hooded 2-layer softshell jacket', '2786', 1, 4),
+        ('ralawise_TS012', 'Softshell jacket', '2786', 1, 10),
+        ('ralawise_TS013', 'Parka jacket', '2786', 1, 10)
+      ) AS t(product_id, name, brand, n_variants, n_categories)
+      ORDER BY product_id""")),
 
     ("q57_keramikos_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/Keramikos Sample Data.jsonc"
@@ -742,7 +824,14 @@ object Queries {
         .select(col("product_id"), col("name"), col("status"), col("is_printable"),
           size(col("print_options")).as("n_print_options"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('keramikos_ATLWHI', 'Atlantic White', 'active', true, 3),
+        ('keramikos_BELBLA', 'Bell Black', 'active', true, 2),
+        ('keramikos_BELFAST', 'Belfast Earthenware Mug', 'active', true, 2),
+        ('keramikos_BELMBL', 'Bell Midnight Blue', 'active', true, 2)
+      ) AS t(product_id, name, status, is_printable, n_print_options)
+      ORDER BY product_id""")),
 
     ("q58_preseli_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/Preseli Sample Data.jsonc"
@@ -750,7 +839,11 @@ object Queries {
         .select(col("product_id"), col("name"), size(col("base_prices")).as("n_price_tiers"),
           size(col("images")).as("n_images"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('preseli_PSL10', '10mm Plant Silk Lanyard', 8, 4)
+      ) AS t(product_id, name, n_price_tiers, n_images)
+      ORDER BY product_id""")),
 
     ("q59_xd_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/XD Sample Data.jsonc"
@@ -761,7 +854,11 @@ object Queries {
           element_at(col("variants"), 1).getField("stock").getField("available")
             .as("stock_available"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('xd_V10200', 'VINGA Cott RCS RPET water bottle', 'Vinga', 1, 6, 17525)
+      ) AS t(product_id, name, brand, n_variants, n_price_tiers, stock_available)
+      ORDER BY product_id""")),
 
     ("q60_pfconcept_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/PFConcept Sample Data.jsonc"
@@ -770,7 +867,11 @@ object Queries {
           col("weight.value").as("weight_value"), col("weight.unit").as("weight_unit"),
           size(col("print_options")).as("n_print_options"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('pfconcept_R1070', 'Clasica unisex crewneck sweater', 'Roly', 12.0, 'kg', 1)
+      ) AS t(product_id, name, brand, weight_value, weight_unit, n_print_options)
+      ORDER BY product_id""")),
 
     ("q61_sands_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/s&s.jsonc"
@@ -780,7 +881,11 @@ object Queries {
           element_at(col("variants"), 1).getField("stock").getField("available")
             .as("stock_available"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('ss_39', '2000', 'Gildan', 1, 7500)
+      ) AS t(product_id, name, brand, n_variants, stock_available)
+      ORDER BY product_id""")),
 
     ("q62_sanmar_unified", (s: SparkSession, d: String) => {
       val sample = "/root/reference/sample data/Sanmar Sample Data.jsonc"
@@ -790,16 +895,525 @@ object Queries {
           size(col("keywords")).as("n_keywords"),
           size(col("categories")).as("n_categories"))
         .orderBy(col("product_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('sanmar_108085', 'OGIO - Crunch Duffel. 108085', 'OGIO', 1, 34, 2)
+      ) AS t(product_id, name, brand, n_variants, n_keywords, n_categories)
+      ORDER BY product_id""")),
 
     // Multimodal plumbing: documents' text bytes stand in for media
-    // content; decode is the documented stub (rows-only check).
+    // content; decode is the documented stub (java-hashCode dims, not
+    // oracle-dialect-expressible), so the deterministic sf0.01 output
+    // is pinned as VALUES literals (tools/gen_values_oracle.py).
     ("q52_media_decode", (s: SparkSession, d: String) => {
       val media = t(s, d, "documents")
         .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
       graft.operators.Multimodal.decodeMeta(media).toDF()
         .orderBy(col("media_id"))
-    }, None),
+    }, Some("""
+      SELECT * FROM (VALUES
+        (0, 499, 577, 157),
+        (1, 300, 539, 406),
+        (2, 739, 733, 246),
+        (3, 334, 460, 147),
+        (4, 302, 815, 250),
+        (5, 1180, 337, 314),
+        (6, 866, 646, 78),
+        (7, 262, 1008, 402),
+        (8, 496, 624, 470),
+        (9, 727, 562, 391),
+        (10, 1043, 387, 214),
+        (11, 1071, 718, 304),
+        (12, 1095, 1141, 348),
+        (13, 578, 944, 346),
+        (14, 909, 461, 495),
+        (15, 415, 820, 228),
+        (16, 408, 717, 90),
+        (17, 981, 705, 426),
+        (18, 1057, 825, 423),
+        (19, 629, 729, 57),
+        (20, 900, 876, 394),
+        (21, 750, 1127, 217),
+        (22, 395, 962, 454),
+        (23, 1229, 1038, 166),
+        (24, 326, 435, 535),
+        (25, 1195, 805, 505),
+        (26, 810, 282, 63),
+        (27, 714, 1070, 346),
+        (28, 525, 1186, 334),
+        (29, 546, 531, 196),
+        (30, 710, 755, 167),
+        (31, 261, 354, 250),
+        (32, 1119, 1043, 513),
+        (33, 897, 1162, 247),
+        (34, 852, 1102, 165),
+        (35, 1178, 1250, 452),
+        (36, 602, 958, 135),
+        (37, 912, 334, 378),
+        (38, 499, 426, 203),
+        (39, 975, 868, 124),
+        (40, 515, 1261, 421),
+        (41, 669, 966, 337),
+        (42, 1061, 445, 303),
+        (43, 469, 808, 152),
+        (44, 1206, 515, 128),
+        (45, 696, 407, 432),
+        (46, 1234, 358, 492),
+        (47, 880, 871, 224),
+        (48, 1249, 721, 164),
+        (49, 629, 946, 256),
+        (50, 471, 932, 256),
+        (51, 332, 816, 326),
+        (52, 1245, 1082, 63),
+        (53, 925, 1228, 190),
+        (54, 410, 518, 357),
+        (55, 742, 664, 196),
+        (56, 1223, 325, 549),
+        (57, 422, 942, 447),
+        (58, 1197, 805, 389),
+        (59, 1140, 1149, 118),
+        (60, 866, 954, 493),
+        (61, 1187, 520, 309),
+        (62, 784, 458, 392),
+        (63, 1075, 621, 529),
+        (64, 569, 459, 135),
+        (65, 428, 708, 99),
+        (66, 898, 828, 352),
+        (67, 935, 1047, 333),
+        (68, 563, 903, 186),
+        (69, 262, 448, 308),
+        (70, 880, 1200, 509),
+        (71, 1277, 534, 336),
+        (72, 856, 567, 230),
+        (73, 1003, 730, 503),
+        (74, 755, 615, 48),
+        (75, 1169, 709, 312),
+        (76, 704, 988, 382),
+        (77, 813, 755, 319),
+        (78, 795, 319, 233),
+        (79, 865, 832, 63),
+        (80, 598, 817, 172),
+        (81, 1026, 1244, 357),
+        (82, 1127, 885, 260),
+        (83, 520, 265, 88),
+        (84, 376, 1183, 403),
+        (85, 1174, 1193, 155),
+        (86, 1099, 665, 138),
+        (87, 768, 783, 128),
+        (88, 614, 356, 289),
+        (89, 437, 259, 141),
+        (90, 1086, 566, 112),
+        (91, 892, 563, 431),
+        (92, 406, 1127, 146),
+        (93, 816, 337, 130),
+        (94, 476, 334, 143),
+        (95, 1077, 745, 296),
+        (96, 817, 714, 454),
+        (97, 659, 452, 320),
+        (98, 276, 619, 526),
+        (99, 1139, 1035, 196),
+        (100, 422, 1251, 461),
+        (101, 830, 1256, 232),
+        (102, 1075, 1071, 515),
+        (103, 917, 706, 527),
+        (104, 831, 529, 246),
+        (105, 646, 952, 328),
+        (106, 689, 972, 70),
+        (107, 567, 783, 212),
+        (108, 1247, 827, 86),
+        (109, 663, 774, 395),
+        (110, 1185, 807, 54),
+        (111, 1009, 336, 529),
+        (112, 870, 394, 322),
+        (113, 409, 302, 428),
+        (114, 421, 838, 207),
+        (115, 972, 464, 132),
+        (116, 1200, 459, 62),
+        (117, 983, 820, 246),
+        (118, 635, 428, 396),
+        (119, 994, 689, 87),
+        (120, 584, 1066, 211),
+        (121, 853, 1074, 168),
+        (122, 933, 433, 102),
+        (123, 491, 492, 158),
+        (124, 967, 1133, 311),
+        (125, 734, 1263, 185),
+        (126, 1029, 654, 509),
+        (127, 1065, 1060, 434),
+        (128, 1248, 431, 455),
+        (129, 1125, 521, 439),
+        (130, 603, 1133, 150),
+        (131, 445, 410, 293),
+        (132, 620, 681, 330),
+        (133, 877, 1132, 500),
+        (134, 289, 685, 132),
+        (135, 1058, 1274, 538),
+        (136, 929, 952, 334),
+        (137, 708, 546, 233),
+        (138, 457, 1268, 364),
+        (139, 916, 1211, 294),
+        (140, 509, 1201, 157),
+        (141, 730, 1045, 432),
+        (142, 437, 880, 512),
+        (143, 658, 914, 411),
+        (144, 668, 376, 89),
+        (145, 499, 291, 401),
+        (146, 1165, 862, 129),
+        (147, 1227, 586, 442),
+        (148, 441, 1214, 197),
+        (149, 567, 898, 157),
+        (150, 1092, 840, 274),
+        (151, 464, 873, 519),
+        (152, 679, 1150, 218),
+        (153, 321, 663, 433),
+        (154, 938, 568, 443),
+        (155, 795, 427, 367),
+        (156, 525, 615, 122),
+        (157, 846, 669, 91),
+        (158, 722, 1131, 106),
+        (159, 980, 1059, 379),
+        (160, 1067, 980, 246),
+        (161, 550, 547, 473),
+        (162, 261, 338, 458),
+        (163, 327, 676, 257),
+        (164, 641, 706, 108),
+        (165, 1031, 476, 108),
+        (166, 470, 994, 327),
+        (167, 788, 1157, 475),
+        (168, 374, 739, 228),
+        (169, 1107, 696, 398),
+        (170, 811, 975, 124),
+        (171, 1056, 1177, 328),
+        (172, 342, 800, 103),
+        (173, 940, 573, 540),
+        (174, 781, 1045, 315),
+        (175, 800, 677, 158),
+        (176, 908, 917, 491),
+        (177, 820, 455, 263),
+        (178, 312, 702, 214),
+        (179, 1038, 936, 484),
+        (180, 1152, 366, 185),
+        (181, 1011, 308, 109),
+        (182, 337, 749, 343),
+        (183, 562, 497, 99),
+        (184, 596, 261, 441),
+        (185, 898, 1105, 305),
+        (186, 1201, 956, 413),
+        (187, 1018, 261, 497),
+        (188, 331, 781, 246),
+        (189, 1099, 874, 207),
+        (190, 604, 972, 428),
+        (191, 317, 733, 118),
+        (192, 1039, 938, 132),
+        (193, 962, 1010, 168),
+        (194, 1254, 547, 156),
+        (195, 307, 1088, 318),
+        (196, 787, 1056, 339),
+        (197, 271, 324, 522),
+        (198, 778, 377, 254),
+        (199, 583, 1053, 154),
+        (200, 869, 721, 303),
+        (201, 1153, 739, 315),
+        (202, 1160, 977, 481),
+        (203, 1256, 381, 128),
+        (204, 687, 569, 117),
+        (205, 1096, 664, 376),
+        (206, 430, 1248, 130),
+        (207, 481, 1083, 385),
+        (208, 462, 334, 115),
+        (209, 518, 1049, 223),
+        (210, 1099, 1153, 515),
+        (211, 1083, 789, 279),
+        (212, 826, 782, 254),
+        (213, 518, 401, 467),
+        (214, 1088, 435, 69),
+        (215, 462, 529, 527),
+        (216, 793, 792, 529),
+        (217, 1158, 608, 350),
+        (218, 899, 841, 455),
+        (219, 686, 1222, 175),
+        (220, 1121, 1009, 553),
+        (221, 300, 607, 221),
+        (222, 1068, 736, 261),
+        (223, 848, 603, 459),
+        (224, 569, 619, 442),
+        (225, 644, 1275, 419),
+        (226, 1224, 1133, 109),
+        (227, 287, 1032, 468),
+        (228, 764, 642, 464),
+        (229, 834, 1222, 409),
+        (230, 526, 1121, 311),
+        (231, 1127, 406, 155),
+        (232, 278, 395, 316),
+        (233, 918, 468, 458),
+        (234, 1049, 1274, 344),
+        (235, 969, 1184, 224),
+        (236, 856, 859, 62),
+        (237, 1063, 962, 416),
+        (238, 981, 393, 257),
+        (239, 1080, 363, 164),
+        (240, 1265, 615, 380),
+        (241, 693, 465, 511),
+        (242, 1120, 675, 388),
+        (243, 365, 1208, 178),
+        (244, 764, 677, 371),
+        (245, 689, 1052, 466),
+        (246, 1149, 1264, 175),
+        (247, 1203, 824, 430),
+        (248, 741, 1247, 446),
+        (249, 282, 911, 431),
+        (250, 1273, 1248, 247),
+        (251, 603, 920, 523),
+        (252, 928, 954, 252),
+        (253, 1181, 706, 197),
+        (254, 633, 963, 103),
+        (255, 1121, 775, 157),
+        (256, 354, 618, 62),
+        (257, 584, 294, 114),
+        (258, 703, 524, 396),
+        (259, 431, 1206, 259),
+        (260, 1125, 1001, 134),
+        (261, 1243, 378, 472),
+        (262, 980, 523, 256),
+        (263, 995, 544, 447),
+        (264, 704, 289, 544),
+        (265, 903, 1239, 268),
+        (266, 583, 528, 225),
+        (267, 390, 618, 424),
+        (268, 264, 416, 216),
+        (269, 1183, 749, 467),
+        (270, 960, 432, 499),
+        (271, 1253, 1116, 295),
+        (272, 629, 753, 486),
+        (273, 335, 944, 157),
+        (274, 1229, 574, 537),
+        (275, 1102, 852, 49),
+        (276, 990, 1111, 538),
+        (277, 365, 682, 163),
+        (278, 377, 718, 394),
+        (279, 993, 920, 281),
+        (280, 1218, 989, 470),
+        (281, 469, 308, 171),
+        (282, 465, 1064, 178),
+        (283, 636, 740, 471),
+        (284, 1076, 752, 278),
+        (285, 989, 1170, 512),
+        (286, 361, 669, 258),
+        (287, 828, 449, 101),
+        (288, 930, 900, 176),
+        (289, 1075, 775, 224),
+        (290, 1227, 548, 530),
+        (291, 295, 704, 417),
+        (292, 630, 293, 458),
+        (293, 372, 1197, 385),
+        (294, 570, 1110, 470),
+        (295, 926, 1075, 186),
+        (296, 1121, 1271, 359),
+        (297, 891, 799, 322),
+        (298, 681, 1141, 189),
+        (299, 287, 899, 502),
+        (300, 769, 324, 216),
+        (301, 258, 359, 508),
+        (302, 936, 545, 484),
+        (303, 322, 401, 454),
+        (304, 685, 278, 219),
+        (305, 1111, 498, 63),
+        (306, 663, 302, 421),
+        (307, 320, 748, 302),
+        (308, 568, 914, 97),
+        (309, 370, 918, 238),
+        (310, 833, 957, 148),
+        (311, 379, 755, 495),
+        (312, 941, 397, 369),
+        (313, 498, 472, 87),
+        (314, 1149, 580, 190),
+        (315, 1224, 565, 460),
+        (316, 686, 1237, 407),
+        (317, 897, 627, 408),
+        (318, 1217, 1152, 456),
+        (319, 1094, 752, 513),
+        (320, 1058, 315, 405),
+        (321, 461, 299, 292),
+        (322, 1205, 360, 255),
+        (323, 1205, 1231, 331),
+        (324, 837, 1042, 228),
+        (325, 974, 1244, 328),
+        (326, 314, 1181, 198),
+        (327, 330, 363, 181),
+        (328, 1004, 1051, 495),
+        (329, 968, 1096, 353),
+        (330, 502, 350, 316),
+        (331, 341, 743, 300),
+        (332, 1257, 940, 207),
+        (333, 1160, 905, 177),
+        (334, 752, 370, 484),
+        (335, 1256, 554, 325),
+        (336, 631, 1049, 376),
+        (337, 796, 389, 242),
+        (338, 1245, 843, 91),
+        (339, 1081, 902, 187),
+        (340, 513, 409, 247),
+        (341, 981, 1048, 427),
+        (342, 965, 641, 116),
+        (343, 477, 1051, 155),
+        (344, 1214, 1027, 417),
+        (345, 300, 655, 323),
+        (346, 1195, 1252, 409),
+        (347, 1112, 327, 282),
+        (348, 470, 774, 131),
+        (349, 914, 887, 457),
+        (350, 468, 385, 467),
+        (351, 1224, 541, 368),
+        (352, 343, 647, 536),
+        (353, 800, 1135, 315),
+        (354, 974, 446, 426),
+        (355, 1047, 881, 353),
+        (356, 723, 434, 359),
+        (357, 571, 881, 253),
+        (358, 375, 1035, 59),
+        (359, 356, 435, 328),
+        (360, 1271, 626, 443),
+        (361, 537, 567, 363),
+        (362, 1047, 892, 81),
+        (363, 683, 288, 357),
+        (364, 735, 1276, 270),
+        (365, 938, 895, 67),
+        (366, 683, 1165, 311),
+        (367, 496, 925, 213),
+        (368, 1106, 439, 73),
+        (369, 826, 463, 273),
+        (370, 624, 703, 246),
+        (371, 287, 736, 350),
+        (372, 353, 479, 142),
+        (373, 914, 1217, 388),
+        (374, 515, 1239, 182),
+        (375, 1196, 409, 343),
+        (376, 1045, 382, 367),
+        (377, 377, 1272, 234),
+        (378, 1147, 491, 337),
+        (379, 338, 964, 403),
+        (380, 784, 1044, 443),
+        (381, 493, 650, 353),
+        (382, 466, 574, 132),
+        (383, 412, 1021, 254),
+        (384, 1266, 284, 92),
+        (385, 672, 374, 399),
+        (386, 1270, 1042, 471),
+        (387, 790, 594, 208),
+        (388, 1265, 638, 345),
+        (389, 1250, 630, 152),
+        (390, 415, 267, 137),
+        (391, 639, 777, 238),
+        (392, 1258, 319, 135),
+        (393, 388, 944, 465),
+        (394, 551, 932, 404),
+        (395, 1094, 1279, 479),
+        (396, 459, 509, 248),
+        (397, 723, 559, 294),
+        (398, 1085, 550, 105),
+        (399, 690, 1149, 309),
+        (400, 945, 853, 134),
+        (401, 486, 1267, 438),
+        (402, 531, 425, 160),
+        (403, 869, 1076, 473),
+        (404, 291, 405, 221),
+        (405, 663, 582, 314),
+        (406, 1134, 1170, 460),
+        (407, 490, 977, 108),
+        (408, 899, 999, 87),
+        (409, 553, 1270, 273),
+        (410, 442, 864, 413),
+        (411, 774, 752, 411),
+        (412, 300, 380, 365),
+        (413, 1191, 504, 428),
+        (414, 1079, 462, 408),
+        (415, 1195, 549, 313),
+        (416, 1179, 926, 287),
+        (417, 849, 614, 520),
+        (418, 421, 1067, 439),
+        (419, 318, 1164, 114),
+        (420, 987, 398, 461),
+        (421, 1216, 264, 460),
+        (422, 592, 373, 365),
+        (423, 999, 629, 363),
+        (424, 738, 857, 409),
+        (425, 981, 794, 131),
+        (426, 1214, 1258, 452),
+        (427, 605, 1224, 420),
+        (428, 954, 660, 279),
+        (429, 851, 923, 537),
+        (430, 424, 1011, 399),
+        (431, 1024, 1081, 307),
+        (432, 801, 752, 359),
+        (433, 500, 462, 176),
+        (434, 731, 1020, 423),
+        (435, 478, 583, 167),
+        (436, 542, 960, 277),
+        (437, 891, 359, 440),
+        (438, 1143, 816, 172),
+        (439, 1270, 961, 184),
+        (440, 454, 277, 243),
+        (441, 868, 823, 542),
+        (442, 895, 731, 455),
+        (443, 1116, 718, 280),
+        (444, 1149, 1042, 419),
+        (445, 615, 473, 307),
+        (446, 619, 683, 132),
+        (447, 305, 684, 505),
+        (448, 984, 1080, 286),
+        (449, 635, 938, 177),
+        (450, 501, 716, 142),
+        (451, 982, 282, 112),
+        (452, 1167, 1187, 358),
+        (453, 760, 790, 519),
+        (454, 921, 301, 153),
+        (455, 393, 762, 59),
+        (456, 1262, 884, 114),
+        (457, 933, 787, 202),
+        (458, 1219, 285, 323),
+        (459, 407, 487, 376),
+        (460, 281, 306, 261),
+        (461, 972, 669, 372),
+        (462, 1246, 708, 327),
+        (463, 452, 823, 491),
+        (464, 323, 499, 204),
+        (465, 553, 381, 320),
+        (466, 781, 669, 471),
+        (467, 1046, 708, 360),
+        (468, 1091, 959, 207),
+        (469, 729, 706, 57),
+        (470, 1087, 680, 232),
+        (471, 1242, 277, 335),
+        (472, 726, 414, 208),
+        (473, 555, 356, 293),
+        (474, 1002, 807, 356),
+        (475, 585, 956, 77),
+        (476, 1010, 611, 84),
+        (477, 926, 454, 151),
+        (478, 359, 1275, 290),
+        (479, 857, 1258, 389),
+        (480, 306, 683, 359),
+        (481, 1200, 1006, 85),
+        (482, 898, 764, 165),
+        (483, 312, 1257, 245),
+        (484, 1105, 890, 221),
+        (485, 847, 492, 129),
+        (486, 1213, 1251, 171),
+        (487, 324, 522, 321),
+        (488, 852, 583, 205),
+        (489, 746, 829, 317),
+        (490, 455, 439, 271),
+        (491, 667, 570, 368),
+        (492, 1080, 565, 77),
+        (493, 1072, 1252, 465),
+        (494, 477, 961, 206),
+        (495, 784, 828, 384),
+        (496, 395, 276, 457),
+        (497, 1178, 769, 123),
+        (498, 831, 756, 485),
+        (499, 969, 732, 166)
+      ) AS t(media_id, width, height, n_bytes)
+      ORDER BY media_id""")),
 
     ("q48_lsh_buckets", (s: SparkSession, d: String) => {
       val e = t(s, d, "embeddings")
@@ -867,17 +1481,21 @@ object Queries {
       ORDER BY o_orderkey""")),
 
     // K5 backup/CTAS + A3 collection stats: snapshot a table, then
-    // report physical stats of the backup (rows-only: file bytes are
-    // not oracle-expressible).
+    // report stats of the backup. Physical layout (file count/bytes)
+    // varies with parallelism, so the check columns are row_count plus
+    // layout EXISTENCE booleans — row_count is oracle'd against the
+    // source table itself (backup must be lossless).
     ("q65_backup_stats", (s: SparkSession, d: String) => {
       import s.implicits._
       val dir = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_backup_q65").getAbsolutePath
       graft.operators.Upsert.backup(t(s, d, "nation"), dir)
       val st = graft.operators.Stats.tableStats(s, dir)
-      Seq((st.rowCount, st.fileCount, st.totalBytes > 0))
-        .toDF("row_count", "file_count", "has_bytes")
-    }, None),
+      Seq((st.rowCount, st.fileCount >= 1, st.totalBytes > 0))
+        .toDF("row_count", "has_files", "has_bytes")
+    }, Some("""
+      SELECT (SELECT count(*) FROM nation) AS row_count,
+        true AS has_files, true AS has_bytes""")),
 
     // Skew-salted join: semantically identical to the plain equi-join
     // (which is exactly what the oracle checks), physically spread over
@@ -1047,7 +1665,13 @@ object Queries {
         .agg(count(lit(1)).as("n_matching"),
           sum(size(col("variants"))).as("n_variants"))
         .orderBy(col("supplier"))
-    }, None)
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('laltex', 4, 25),
+        ('midocean', 5, 14),
+        ('xd', 1, 1)
+      ) AS t(supplier, n_matching, n_variants)
+      ORDER BY supplier"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
