@@ -625,16 +625,23 @@ object Queries {
         .select(col("product_id"), col("supplier_product_code"), col("name"),
           col("is_printable"), size(col("variants")).as("n_variants"),
           size(col("print_positions")).as("n_print_positions"),
-          size(col("print_options")).as("n_print_options"), col("status"))
+          size(col("print_options")).as("n_print_options"), col("status"),
+          // Language-map lookups: localized product name (unified.jsonc
+          // {lang} maps) and the first print option's per-language
+          // technique names (printdata descriptions via F19).
+          element_at(col("localized.name"), "en").as("name_en"),
+          element_at(try_element_at(col("print_options"), lit(1))
+            .getField("technique_names"), "de").as("first_technique_de"),
+          element_at(col("product_extra_data"), "master_id").as("master_id"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('midocean_AR1249', 'AR1249', 'TARGET', true, 1, 4, 65, 'active'),
-        ('midocean_AR1253', 'AR1253', 'BASICS', true, 1, 3, 65, 'active'),
-        ('midocean_AR1470', 'AR1470', 'HIGH PARK', true, 1, 3, 65, 'active'),
-        ('midocean_AR1589', 'AR1589', 'COLUMBUS', true, 1, 4, 65, 'active'),
-        ('midocean_AR1804', 'AR1804', 'ARCONOT', true, 10, 5, 65, 'active')
-      ) AS t(product_id, supplier_product_code, name, is_printable, n_variants, n_print_positions, n_print_options, status)
+        ('midocean_AR1249', 'AR1249', 'TARGET', true, 1, 4, 65, 'active', 'TARGET', 'Prägung', '40000011'),
+        ('midocean_AR1253', 'AR1253', 'BASICS', true, 1, 3, 65, 'active', 'BASICS', 'Prägung', '40000012'),
+        ('midocean_AR1470', 'AR1470', 'HIGH PARK', true, 1, 3, 65, 'active', 'HIGH PARK', 'Prägung', '40000048'),
+        ('midocean_AR1589', 'AR1589', 'COLUMBUS', true, 1, 4, 65, 'active', 'COLUMBUS', 'Prägung', '40000080'),
+        ('midocean_AR1804', 'AR1804', 'ARCONOT', true, 10, 5, 65, 'active', 'ARCONOT', 'Prägung', '40000190')
+      ) AS t(product_id, supplier_product_code, name, is_printable, n_variants, n_print_positions, n_print_options, status, name_en, first_technique_de, master_id)
       ORDER BY product_id""")),
 
     ("q50_laltex_unified", (s: SparkSession, d: String) => {

@@ -96,6 +96,28 @@ object Parsers {
   def mergeSingletonMaps(c: Column): Column =
     map_from_entries(flatten(transform(c, m => map_entries(m))))
 
+  /** F19 on the JSON-inferred shape: `[{"cs": …}, {"da": …}]` infers as
+    * array<struct<every key seen>> with one non-null field per element,
+    * not array<map>. Merge to a single key→value map, keyed by field
+    * name, taking each field's first non-null value across elements.
+    * Plan-time schema dispatch (needs `df` to resolve the element
+    * struct); non-array/struct input → null map. */
+  def structListToMap(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(c.as("__x")).schema.head.dataType match {
+      case ArrayType(st: StructType, _) =>
+        val entries = st.fieldNames.toSeq.map { f =>
+          struct(
+            lit(f).as("key"),
+            try_element_at(
+              filter(transform(c, e => e.getField(f).cast("string")),
+                v => v.isNotNull), lit(1)).as("value"))
+        }
+        map_from_entries(filter(array(entries: _*), e => e.getField("value").isNotNull))
+      case _ => lit(null).cast("map<string,string>")
+    }
+  }
+
   /** P7 — product-status derivation with the 2099-12-31 "never
     * discontinued" sentinel. Ref: midocean_transformer.py:477-489. */
   def deriveStatus(discontinuedDate: Column, plcStatusDesc: Column): Column =

@@ -71,7 +71,11 @@ case class PrintOption(
     setup_charge: Option[Double] = None,
     prices: Seq[Price] = Nil,
     lead_time: Option[String] = None,
-    is_default: Boolean = false)
+    is_default: Boolean = false,
+    /** Localized display names of the technique, language code → name
+      * (ref: unified.jsonc:25-33 `{lang}` convention; fed by MidOcean
+      * printdata's per-language name lists). */
+    technique_names: Option[Map[String, String]] = None)
 
 case class ColorVariant(
     code: String,
@@ -101,6 +105,22 @@ case class Variant(
     images: Seq[Image] = Nil,
     status: String = "active",
     gtin: Option[String] = None)
+
+/** Language-keyed content maps (ref: unified.jsonc:25-33 — the jsonc
+  * extension of the Pydantic schema types brand/name/title/
+  * descriptions/keywords as `{lang: string}` objects). A
+  * single-language feed fills its language key only; `null` maps mean
+  * the supplier feed carries no localized variant of that field (the
+  * plain string columns on [[Product]] remain the default-language
+  * values). */
+case class LocalizedText(
+    brand: Option[Map[String, String]] = None,
+    name: Option[Map[String, String]] = None,
+    title: Option[Map[String, String]] = None,
+    short_description: Option[Map[String, String]] = None,
+    long_description: Option[Map[String, String]] = None,
+    web_description: Option[Map[String, String]] = None,
+    keywords: Option[Map[String, String]] = None)
 
 case class Category(
     id: Option[String] = None,
@@ -152,6 +172,12 @@ case class Product(
     tariff_code: Option[String] = None,
     commodity_code: Option[String] = None,
     status: String = "active",
+    /** Language-keyed content maps (ref: unified.jsonc:25-33). */
+    localized: Option[LocalizedText] = None,
+    /** Open per-supplier attribute map (ref: unified.jsonc:86-122
+      * `productExtraData`) — values stringified; arbitrary nesting
+      * stays in `raw_data`. */
+    product_extra_data: Option[Map[String, String]] = None,
     created_at: Option[Timestamp] = None,
     updated_at: Option[Timestamp] = None,
     last_sync: Option[Timestamp] = None,

@@ -91,7 +91,8 @@ object Keramikos {
           .otherwise(array().cast(graft.schema.Unified.schema("base_prices").dataType))
           .as("prices"),
         lit(null).cast("string").as("lead_time"),
-        lit(false).as("is_default"))),
+        lit(false).as("is_default"),
+          lit(null).cast("map<string,string>").as("technique_names"))),
       o => o.getField("technique").isNotNull)
 
     val images = filter(array(
@@ -170,6 +171,8 @@ object Keramikos {
       lit(null).cast("string").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       status.as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -175,7 +175,8 @@ object Laltex {
         lit(null).cast("double").as("setup_charge"),
         array().cast("array<struct<value:double,currency:string,min_quantity:int,max_quantity:int,type:string,description:string,valid_until:timestamp>>").as("prices"),
         lit(null).cast("string").as("lead_time"),
-        lit(false).as("is_default")))
+        lit(false).as("is_default"),
+          lit(null).cast("map<string,string>").as("technique_names")))
 
     val weight = {
       val w = Parsers.parseWeight(col("UnitWeight"))
@@ -231,6 +232,8 @@ object Laltex {
       col("TariffCode").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -60,6 +60,12 @@ object MidOcean {
     def printTechniques: DataFrame = doc
       .select(posexplode(col("printpricelist.Response.print_techniques")))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "t")
+    /** Per-language technique display names (ref: MidOcean Sample
+      * Data.jsonc:861-960 — one `{lang: name}` singleton per list
+      * element, the F19 shape). */
+    def techniqueDescriptions: DataFrame = doc
+      .select(explode(col("printdata.Response.printing_technique_descriptions"))
+        .as("d")).select(col("d.*"))
     def stock: DataFrame = doc
       .select(explode(col("stock.Response.stock")).as("s")).select(col("s.*"))
   }
@@ -77,7 +83,9 @@ object MidOcean {
       |  length_unit: STRING, gross_weight: STRING, net_weight: STRING,
       |  gross_weight_unit: STRING, printable: STRING,
       |  outer_carton_quantity: STRING, country_of_origin: STRING,
-      |  commodity_code: STRING,
+      |  commodity_code: STRING, master_id: STRING, type_of_products: STRING,
+      |  number_of_print_positions: STRING, volume: STRING, volume_unit: STRING,
+      |  inner_carton_quantity: STRING,
       |  variants: ARRAY<STRUCT<
       |    sku: STRING, variant_id: STRING, color_code: STRING,
       |    color_description: STRING, pms_color: STRING, gtin: STRING,
@@ -87,7 +95,10 @@ object MidOcean {
       |    digital_assets: ARRAY<STRUCT<type: STRING, subtype: STRING, url: STRING>>>>>>>,
       |pricelist STRUCT<Response: STRUCT<price: ARRAY<STRUCT<
       |  sku: STRING, price: STRING, valid_until: STRING>>>>,
-      |printdata STRUCT<Response: STRUCT<products: ARRAY<STRUCT<
+      |printdata STRUCT<Response: STRUCT<
+      |  printing_technique_descriptions: ARRAY<STRUCT<
+      |    id: STRING, name: ARRAY<STRUCT<en: STRING>>>>,
+      |  products: ARRAY<STRUCT<
       |  master_code: STRING,
       |  printing_positions: ARRAY<STRUCT<
       |    position_id: STRING, max_print_size_width: STRING,
@@ -225,11 +236,18 @@ object MidOcean {
         // (midocean_transformer.py:452).
         p => p.getField("value").isNotNull && p.getField("value") =!= 0.0 &&
           p.getField("min_quantity").isNotNull && p.getField("min_quantity") =!= 0)))
+    // Localized technique display names: printdata's per-language
+    // `{lang: name}` singleton lists (F19 merge) keyed by technique id
+    // — a KB-scale dimension, broadcast onto the technique rows.
+    val descs = feed.techniqueDescriptions
+    val techNames = descs.select(col("id").as("__tech_id"),
+      Parsers.structListToMap(descs, col("name")).as("__tech_names"))
     val optionRow = feed.printTechniques
+      .join(broadcast(techNames), col("t.id") === col("__tech_id"), "left_outer")
       .select(col("__pos"),
         element_at(techMapCol, col("t.id")).as("technique"),
         Parsers.parseFloatComma(col("t.setup")).as("setup"),
-        scalePrices.as("prices"))
+        scalePrices.as("prices"), col("__tech_names"))
       .filter(col("technique").isNotNull)
       .select(struct(
         col("__pos"),
@@ -240,8 +258,15 @@ object MidOcean {
           col("setup").as("setup_charge"),
           col("prices").cast(fullPrice).as("prices"),
           lit(null).cast("string").as("lead_time"),
-          lit(false).as("is_default")).as("o")).as("po"))
-      .agg(transform(array_sort(collect_list(col("po"))), x => x.getField("o"))
+          lit(false).as("is_default"),
+          col("__tech_names").as("technique_names")).as("o")).as("po"))
+      // Explicit __pos comparator: the option struct now carries a map
+      // (technique_names), which default struct ordering can't compare.
+      .agg(transform(
+        array_sort(collect_list(col("po")), (l, r) =>
+          when(l.getField("__pos") < r.getField("__pos"), -1)
+            .when(l.getField("__pos") > r.getField("__pos"), 1).otherwise(0)),
+        x => x.getField("o"))
         .as("__print_options"))
 
     // Assemble the unified row.
@@ -323,6 +348,33 @@ object MidOcean {
       col("commodity_code").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      // Localized content maps (ref unified.jsonc:25-33 `{lang}`
+      // convention): the product feed is single-language English, so
+      // each non-null field fills its "en" key; per-language technique
+      // names ride in print_options.technique_names.
+      {
+        val en = (c: Column) => when(c.isNotNull, map(lit("en"), c))
+        struct(
+          en(col("brand")).as("brand"),
+          en(col("product_name")).as("name"),
+          lit(null).cast("map<string,string>").as("title"),
+          en(col("short_description")).as("short_description"),
+          en(col("long_description")).as("long_description"),
+          lit(null).cast("map<string,string>").as("web_description"),
+          lit(null).cast("map<string,string>").as("keywords"))
+          .cast(graft.schema.Unified.schema("localized").dataType).as("localized")
+      },
+      // Open attribute map (ref unified.jsonc:86-122 productExtraData):
+      // feed fields outside the core schema, stringified; null-valued
+      // entries dropped.
+      map_filter(map(
+        lit("master_id"), col("master_id").cast("string"),
+        lit("type_of_products"), col("type_of_products").cast("string"),
+        lit("number_of_print_positions"), col("number_of_print_positions").cast("string"),
+        lit("volume"), col("volume").cast("string"),
+        lit("volume_unit"), col("volume_unit").cast("string"),
+        lit("inner_carton_quantity"), col("inner_carton_quantity").cast("string")),
+        (_, v) => v.isNotNull).as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

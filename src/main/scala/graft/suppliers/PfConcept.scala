@@ -163,7 +163,8 @@ object PfConcept {
         Parsers.parseFloatComma(col("__sc.SetupCharge")).as("setup_charge"),
         tiers.cast(priceType).as("prices"),
         lit(null).cast("string").as("lead_time"),
-        lit(false).as("is_default")).as("__option"))
+        lit(false).as("is_default"),
+          lit(null).cast("map<string,string>").as("technique_names")).as("__option"))
   }
 
   def unified(feed: Feed): DataFrame = {
@@ -219,9 +220,13 @@ object PfConcept {
           .as("__print_code"))
       .join(deco, Seq("__print_code"), "inner")
       .groupBy(col("__price_item").as("__opt_item"))
+      // Explicit key comparator: the option struct carries a map
+      // (technique_names), which default struct ordering can't compare.
       .agg(transform(
         array_sort(collect_list(struct(col("__print_code").as("o"),
-          col("__option").as("v")))),
+          col("__option").as("v"))), (l, r) =>
+            when(l.getField("o") < r.getField("o"), -1)
+              .when(l.getField("o") > r.getField("o"), 1).otherwise(0)),
         x => x.getField("v")).as("__print_options"))
 
     // Label feed: artwork template refs per item.
@@ -270,7 +275,8 @@ object PfConcept {
       lit(null).cast("double").as("setup_charge"),
       array().cast(priceType).as("prices"),
       deco0.getField("leadTime").cast("string").as("lead_time"),
-      lit(true).as("is_default")))
+      lit(true).as("is_default"),
+      lit(null).cast("map<string,string>").as("technique_names")))
 
     val variantStruct = struct(
       coalesce(col("__item._itemCode"), lit("")).as("sku"),
@@ -316,7 +322,8 @@ object PfConcept {
       col("__item.videoUrl1").as("__video"),
       Parsers.parseIntSeparators(col("__item.qtyPerCarton")).as("__carton"),
       defaultOption.as("__default_option"),
-      col("__min_deco_qty"), col("__print_options"), col("__artwork"))
+      col("__min_deco_qty"), col("__print_options"), col("__artwork"),
+      col("__item").as("__raw_item"))
 
     val grouped = joined
       .select(Seq(col("__model"), col("__pos"),
@@ -329,7 +336,8 @@ object PfConcept {
           col("__brand"), col("__material"), col("__catdata"),
           col("__imagedata"), col("__video"),
           col("__carton"), col("__default_option"), col("__min_deco_qty"),
-          col("__print_options"), col("__artwork")): _*), col("__pos")).as("__p"),
+          col("__print_options"), col("__artwork"), col("__raw_item")): _*),
+          col("__pos")).as("__p"),
         transform(array_sort(collect_list(struct(col("__pos").as("o"),
           col("__variant").as("v")))), x => x.getField("v")).as("variants"))
       .select(col("__model"), col("__p.*"), col("variants"))
@@ -385,10 +393,14 @@ object PfConcept {
       lit(null).cast("string").as("commodity_code"),
       when(exists(col("variants"), v => v.getField("status") === "active"), "active")
         .otherwise("discontinued").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      to_json(struct(col("__catdata"), col("__video"))).as("raw_data"))
+      // First item's full source row (ref unified_product_schema.py:201).
+      to_json(struct(col("__model").as("modelCode"),
+        col("__raw_item").as("firstItem"))).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

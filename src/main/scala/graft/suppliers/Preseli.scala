@@ -77,7 +77,8 @@ object Preseli {
           .getField("Value").try_cast("double").as("setup_charge"),
         array().cast(graft.schema.Unified.schema("base_prices").dataType).as("prices"),
         lit(null).cast("string").as("lead_time"),
-        lit(false).as("is_default"))),
+        lit(false).as("is_default"),
+          lit(null).cast("map<string,string>").as("technique_names"))),
       o => o.getField("technique").isNotNull)
 
     val images = transform(coalesce(col("Images.Image"), array()), u => struct(
@@ -149,6 +150,8 @@ object Preseli {
       lit(null).cast("string").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -141,10 +141,15 @@ object Ralawise {
       nullif(col("`Commodity Code`"), lit("")).as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      lit(null).cast("string").as("raw_data"))
+      // Style-level source fields, as the reference keeps per-document
+      // raw_data (unified_product_schema.py:201).
+      to_json(struct((Seq("Style Code") ++ parentCols)
+        .map(c => col(s"`$c`").as(c)): _*)).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

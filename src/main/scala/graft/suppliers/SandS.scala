@@ -235,10 +235,18 @@ object SandS {
       lit(null).cast("string").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      when(col("__specs").isNotNull, to_json(col("__specs"))).as("raw_data"))
+      // Style-level source fields + spec map (ref
+      // unified_product_schema.py:201).
+      to_json(struct(col("styleID"), col("brandName"), col("styleName"),
+        col("countryOfOrigin"), col("caseQty"), col("__title").as("title"),
+        col("__description").as("description"),
+        col("__base_category").as("baseCategory"),
+        col("__specs").as("specs"))).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

@@ -257,10 +257,13 @@ object Sanmar {
       lit(null).cast("string").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       col("creationDate").try_cast("timestamp").as("created_at"),
       col("lastChangeDate").try_cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      lit(null).cast("string").as("raw_data"))
+      // Full product service body (ref unified_product_schema.py:201).
+      to_json(struct(product.columns.map(col): _*)).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

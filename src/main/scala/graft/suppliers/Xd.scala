@@ -176,7 +176,8 @@ object Xd {
               col("__pp_setup").as("setup_charge"),
               coalesce(col("__pp_tiers"), array().cast(priceType)).as("prices"),
               lit(null).cast("string").as("lead_time"),
-              coalesce(col("Default").try_cast("boolean"), lit(false)).as("is_default"))
+              coalesce(col("Default").try_cast("boolean"), lit(false)).as("is_default"),
+              lit(null).cast("map<string,string>").as("technique_names"))
               .as("v")))),
           x => x.getField("v")).as("__print_options"),
         transform(
@@ -315,10 +316,14 @@ object Xd {
       lit(null).cast("string").as("commodity_code"),
       when(exists(col("variants"), v => v.getField("status") === "active"), "active")
         .otherwise("discontinued").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      lit(null).cast("string").as("raw_data"))
+      // Model-level source fields (ref unified_product_schema.py:201).
+      to_json(struct((Seq("ModelCode") ++ parentCols).map(col): _*))
+        .as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

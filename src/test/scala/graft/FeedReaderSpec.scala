@@ -206,4 +206,8 @@ class MidOceanSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() == 5)
   }
+
+  test("midocean: raw_data present and parseable") {
+    if (available) assertRawData(unified, "midocean")
+  }
 }

@@ -54,6 +54,10 @@ class KeramikosSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("keramikos: raw_data present and parseable") {
+    if (available) assertRawData(unified, "keramikos")
+  }
 }
 
 class PreseliSpec extends SparkSpec {
@@ -103,5 +107,9 @@ class PreseliSpec extends SparkSpec {
     val out = unified.to(graft.schema.Unified.schema)
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
+  }
+
+  test("preseli: raw_data present and parseable") {
+    if (available) assertRawData(unified, "preseli")
   }
 }

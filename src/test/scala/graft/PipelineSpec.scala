@@ -64,6 +64,11 @@ class LaltexSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("laltex: raw_data present and parseable") {
+    assume(available)
+    assertRawData(unified, "laltex")
+  }
 }
 
 class PipelineSpec extends SparkSpec {

@@ -72,6 +72,10 @@ class RalawiseSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("ralawise: raw_data present and parseable") {
+    if (available) assertRawData(unified, "ralawise")
+  }
 }
 
 class HttpSourceSpec extends SparkSpec {

@@ -60,6 +60,10 @@ class XdSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("xd: raw_data present and parseable") {
+    if (available) assertRawData(unified, "xd")
+  }
 }
 
 class MultiVariantNestingSpec extends SparkSpec {
@@ -226,6 +230,10 @@ class SandSSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("ss_activewear: raw_data present and parseable") {
+    if (available) assertRawData(unified, "ss_activewear")
+  }
 }
 
 class PfConceptSpec extends SparkSpec {
@@ -302,6 +310,10 @@ class PfConceptSpec extends SparkSpec {
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
   }
+
+  test("pfconcept: raw_data present and parseable") {
+    if (available) assertRawData(unified, "pfconcept")
+  }
 }
 
 class SanmarSpec extends SparkSpec {
@@ -359,5 +371,9 @@ class SanmarSpec extends SparkSpec {
     val out = unified.to(graft.schema.Unified.schema)
     assert(out.schema.catalogString == graft.schema.Unified.schema.catalogString)
     assert(out.count() > 0)
+  }
+
+  test("sanmar: raw_data present and parseable") {
+    if (available) assertRawData(unified, "sanmar")
   }
 }
