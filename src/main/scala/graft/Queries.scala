@@ -523,8 +523,13 @@ object Queries {
       ORDER BY doc_id""")),
 
     ("q43_detect_language", (s: SparkSession, d: String) => {
+      // Stage the token array first (the shinglesOf performance
+      // contract) so the argmax tree references an attribute, not ~8
+      // inlined re-tokenizations.
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("detected"))
+        .select(col("doc_id"),
+          TextAnalysis.tokens(TextAnalysis.normalized(col("text"))).as("__ws"))
+        .select(col("doc_id"), TextAnalysis.detectLanguageFrom(col("__ws")).as("detected"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH sc AS (
@@ -1678,7 +1683,38 @@ object Queries {
         ('midocean', 5, 14),
         ('xd', 1, 1)
       ) AS t(supplier, n_matching, n_variants)
-      ORDER BY supplier"""))
+      ORDER BY supplier""")),
+
+    // Text-index analog (ref: unified_product_schema.py:241 declares a
+    // Mongo text index on name): substring search over the name
+    // column. At 100 TB this is a scan-side predicate (no index);
+    // contains() stays in whole-stage codegen and benefits from
+    // parquet row-group pruning on any leading predicates.
+    ("q72_name_search", (s: SparkSession, d: String) => {
+      t(s, d, "part")
+        .filter(contains(lower(col("p_name")), lit("green")))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_name, p_brand FROM part
+      WHERE contains(lower(p_name), 'green') ORDER BY p_partkey""")),
+
+    // §2.10 stateful logic, batch-checkable: the stream's
+    // latest-per-key fold (StockStream.latestPerSku) equals one
+    // max_by hash-aggregate over the full update history.
+    ("q73_stock_latest_batch", (s: SparkSession, d: String) => {
+      val updates = t(s, d, "events").select(
+        concat(lit("sku_"), col("user_id")).as("sku"),
+        col("value").as("qty"),
+        col("ts").as("modified_at"))
+      graft.streaming.StockStream.latestPerSkuBatch(updates)
+        .orderBy(col("sku"))
+    }, Some("""
+      WITH u AS (SELECT 'sku_' || user_id AS sku, value AS qty, ts FROM events),
+      r AS (SELECT sku, qty, ts,
+              row_number() OVER (PARTITION BY sku ORDER BY ts DESC, qty DESC) AS rn
+            FROM u)
+      SELECT sku, qty, ts AS modified_at FROM r WHERE rn = 1 ORDER BY sku"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

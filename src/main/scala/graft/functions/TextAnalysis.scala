@@ -67,19 +67,31 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "que", "pour", "dans", "une"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val ws = tokens(normalized(text))
+  /** Stopword hits over a PRE-MATERIALIZED token array (same
+    * performance contract as [[shinglesOf]]). */
+  def langScoreFrom(ws: Column, lang: String): Column =
     size(filter(ws, w => w.isInCollection(stopwords(lang))))
-  }
 
-  def detectLanguage(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScore(text, l)))
+  def langScore(text: Column, lang: String): Column =
+    langScoreFrom(tokens(normalized(text)), lang)
+
+  /** Language pick over a PRE-MATERIALIZED token array. The argmax
+    * tree references `ws` ~2× per language; with `ws` an attribute
+    * that's free, with an inline tokenization it re-runs the whole
+    * normalize+split per reference (the [[shinglesOf]] contract). */
+  def detectLanguageFrom(ws: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => (l, langScoreFrom(ws, l)))
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scored.foldRight(lit("und")) { case ((l, s), acc) =>
+    scored.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && s > 0, lit(l)).otherwise(acc)
     }
-    pick
   }
+
+  /** Single-expression convenience — inside hot paths stage
+    * `tokens(normalized(text))` in a projection and use
+    * [[detectLanguageFrom]]. */
+  def detectLanguage(text: Column): Column =
+    detectLanguageFrom(tokens(normalized(text)))
 
   /** Gopher-style quality filter: the standard training-data heuristic
     * gate composed from [[qualityFeatures]]. Returns the rows that pass

@@ -29,8 +29,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       maxQueries: Int = 100000): DataFrame = {
+    // Enforce the broadcast guard: counting a limit(maxQueries + 1)
+    // projection costs one cheap job on ≤ maxQueries+1 rows (never a
+    // full-query-side scan) and turns a silent executor OOM at 100×
+    // into an immediate, actionable error.
+    val overCap = queries.limit(maxQueries + 1).count() > maxQueries
+    require(!overCap,
+      s"bruteForceTopK query side exceeds maxQueries=$maxQueries; broadcasting it " +
+        "would risk executor OOM — partition the queries, raise maxQueries " +
+        "deliberately, or use lshTopK/ivfTopK for large query sets")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .limit(maxQueries + 1)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))

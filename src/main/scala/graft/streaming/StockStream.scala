@@ -44,6 +44,18 @@ object StockStream {
       .toDF()
   }
 
+  /** Batch-mode equivalent of [[latestPerSku]] for reconciliation and
+    * backfill: one hash-aggregate max_by over the full update history
+    * yields the same later-modified_at-wins state the stream holds
+    * (tie-break on qty for a deterministic fold). Columns: sku, qty,
+    * modified_at (qty type preserved). */
+  def latestPerSkuBatch(updates: DataFrame): DataFrame =
+    updates.groupBy(col("sku"))
+      .agg(max_by(struct(col("qty"), col("modified_at")),
+        struct(col("modified_at"), col("qty"))).as("__s"))
+      .select(col("sku"), col("__s.qty").as("qty"),
+        col("__s.modified_at").as("modified_at"))
+
   /** Sink: continuous upsert of the latest stock rows into a keyed
     * parquet table via the batch merge (K1) — the streaming analog of
     * the reference's ReplaceOne loop, one merge per micro-batch. */

@@ -62,6 +62,20 @@ class AnnRecallSpec extends SparkSpec {
   private def recallAt(k: Int, approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
     if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
 
+  test("bruteForceTopK rejects a query side over maxQueries instead of broadcasting it") {
+    assume(available)
+    val corpus = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
+        k = 3, maxQueries = 5).count()
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // At or under the cap the guard is silent.
+    val ok = Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 5), corpus,
+      "vec_id", "embedding", k = 3, maxQueries = 5)
+    assert(ok.select(col("query_id")).distinct().count() == 5)
+  }
+
   test("IVF and LSH ANN reach useful recall@10 against brute force on real embeddings") {
     assume(available)
     val corpus = spark.read.parquet(embPath).select(col("vec_id"), col("embedding"))
