@@ -183,11 +183,37 @@ object Pipeline {
 
   /** R3 — full sync across suppliers with per-supplier isolation (J8:
     * all land in one unified table). `since` → incremental mode
-    * (§2.10). */
+    * (§2.10).
+    *
+    * Suppliers are independent DAGs, so their jobs are submitted from a
+    * driver thread pool instead of serially — on a cluster the
+    * scheduler interleaves their stages and the sync takes
+    * max(supplier) rather than sum(supplier). Concurrent merges into
+    * the shared sink are safe because each supplier reads and
+    * dynamically overwrites ONLY its own `supplier_id` partitions
+    * (Upsert.mergeIntoParquet), and dynamic partition overwrite stages
+    * under a per-job directory. Isolation semantics are unchanged:
+    * runSupplier catches per-supplier failures and returns a "failed"
+    * ETLResult; results keep `cfgs` order. */
   def runFullSync(spark: SparkSession, cfgs: Seq[SupplierConfig],
                   sinkPath: String,
-                  since: Option[java.sql.Timestamp] = None): Seq[ETLResult] =
-    cfgs.map(cfg => runSupplier(spark, cfg, sinkPath, since))
+                  since: Option[java.sql.Timestamp] = None): Seq[ETLResult] = {
+    if (cfgs.isEmpty) Nil
+    else if (cfgs.size == 1) Seq(runSupplier(spark, cfgs.head, sinkPath, since))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(cfgs.size, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = cfgs.map(cfg =>
+          scala.concurrent.Future(runSupplier(spark, cfg, sinkPath, since)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+  }
 
   /** R5/A1-A3 — status report over the unified table. */
   def statusReport(spark: SparkSession, sinkPath: String): DataFrame = {
