@@ -37,6 +37,48 @@ object HttpSource {
       case None => throw new IllegalArgumentException(s"no mapping for ${req.url}")
     }
 
+  /** Real transport over `java.net.http` (JDK built-in, no added
+    * dependency). DEFAULT-OFF: nothing selects it implicitly — the
+    * offline default stands until a deployment opts in via
+    * [[forName]]("http"). Bearer auth mirrors the reference's
+    * Authorization header (midocean_extractor.py:140-173); non-2xx →
+    * IOException (the reference raises for status). */
+  def httpTransport(bearerToken: Option[String] = None,
+                    timeoutSeconds: Long = 30): Transport = req => {
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val query =
+      if (req.params.isEmpty) ""
+      else req.params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+        .mkString(if (req.url.contains("?")) "&" else "?", "&", "")
+    val timeout = java.time.Duration.ofSeconds(timeoutSeconds)
+    val builder = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(req.url + query))
+      .timeout(timeout).GET()
+    req.headers.foreach { case (k, v) => builder.header(k, v) }
+    bearerToken.foreach(t => builder.header("Authorization", s"Bearer $t"))
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val resp = client.send(builder.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} from ${req.url}")
+    resp.body()
+  }
+
+  /** Config-driven transport selection (S8): "offline" (default) or
+    * "http"; unknown names fail loudly rather than silently going
+    * offline. */
+  def forName(name: String, bearerToken: Option[String] = None): Transport =
+    name match {
+      case "offline" | "" => offline
+      case "http" => httpTransport(bearerToken)
+      case other => throw new IllegalArgumentException(
+        s"unknown transport '$other' (offline|http)")
+    }
+
   /** Fetch one endpoint and parse the JSON response body. */
   def fetchJson(spark: SparkSession, req: HttpRequest,
                 transport: Transport = offline): DataFrame = {

@@ -97,4 +97,46 @@ class HttpSourceSpec extends SparkSpec {
       HttpSource.offline(HttpSource.HttpRequest("https://api.example.com/x"))
     }
   }
+
+  test("http transport fetches from a local socket with bearer auth; default stays offline") {
+    // Loopback-only JDK HttpServer — no egress.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/gw/pricelist", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val (code, body) =
+          if (!auth.contains("Bearer tok-123")) (401, """{"error":"unauthorized"}""")
+          else if (ex.getRequestURI.getQuery != "lang=en")
+            (400, """{"error":"missing param"}""")
+          else (200, """{"price":[{"sku":"HT-1","price":"2,50"}]}""")
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/gw/pricelist"
+      val req = HttpSource.HttpRequest(base, params = Map("lang" -> "en"))
+
+      val df = HttpSource.fetchJson(spark, req,
+        HttpSource.forName("http", bearerToken = Some("tok-123")))
+      val r = df.select(explode(col("price")).as("p")).select("p.sku").collect()
+      assert(r.length == 1 && r(0).getString(0) == "HT-1")
+
+      // Missing/wrong auth → IOException with the status code.
+      val e = intercept[java.io.IOException] {
+        HttpSource.httpTransport(bearerToken = None)(req)
+      }
+      assert(e.getMessage.contains("401"))
+      // validate() probe maps transport failure to false.
+      assert(!HttpSource.validate(req, HttpSource.httpTransport(None)))
+      assert(HttpSource.validate(req, HttpSource.httpTransport(Some("tok-123"))))
+
+      // Config selection: default name resolves to the refusing
+      // offline transport; unknown names fail loudly.
+      intercept[UnsupportedOperationException] { HttpSource.forName("")(req) }
+      intercept[IllegalArgumentException] { HttpSource.forName("ftp") }
+    } finally server.stop(0)
+  }
 }
