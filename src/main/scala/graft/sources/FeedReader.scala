@@ -135,7 +135,10 @@ object FeedReader {
       case Some(req) if !inferred.columns.sameElements(Array("_corrupt_record")) =>
         val merged = mergeSchemas(inferred.schema, req)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
+        // Full captures usually materialize every contract field — the
+        // merge is then the identity and the second parse is skipped.
+        if (merged == inferred.schema) inferred
+        else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) {
           val texts = spark.sparkContext.wholeTextFiles(path).map(_._2).map(stripJsonc)
           spark.read.schema(merged).json(spark.createDataset(texts))
         } else {
