@@ -186,3 +186,59 @@ class StockStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 }
+
+class StreamBatchEquivalenceSpec extends SparkSpec {
+  import graft.streaming.StockStream
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import java.sql.Timestamp
+
+  test("latestPerSkuBatch over the full history equals the stream's final state") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Out-of-order + duplicate-timestamped history across three skus.
+    val history = Seq(
+      ("A", 10, ts("2025-04-15 10:00:00")),
+      ("B", 5,  ts("2025-04-15 10:05:00")),
+      ("A", 20, ts("2025-04-15 11:00:00")),
+      ("C", 7,  ts("2025-04-15 09:00:00")),
+      ("B", 9,  ts("2025-04-15 10:01:00")), // older than B@10:05 — must lose
+      ("C", 3,  ts("2025-04-15 12:00:00")))
+
+    val batch = StockStream
+      .latestPerSkuBatch(history.toDF("sku", "qty", "modified_at"))
+      .as[(String, Int, Timestamp)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val input = MemoryStream[(String, Int, Timestamp)]
+    val latest = StockStream.latestPerSku(
+      input.toDF().toDF("sku", "qty", "modified_at"))
+    val query = latest.writeStream.format("memory")
+      .queryName("stream_batch_eq").outputMode("update").start()
+    val streamed = try {
+      // Two micro-batches to exercise cross-batch state.
+      input.addData(history.take(3): _*)
+      query.processAllAvailable()
+      input.addData(history.drop(3): _*)
+      query.processAllAvailable()
+      // Update-mode memory sink appends per-batch updates; the final
+      // state per sku is the last emitted row for that key.
+      spark.table("stream_batch_eq")
+        .groupBy($"sku")
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"qty", $"modified_at"),
+          $"modified_at").as("s"))
+        .select($"sku", $"s.qty", $"s.modified_at")
+        .as[(String, Int, Timestamp)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    } finally query.stop()
+
+    assert(batch == streamed,
+      s"batch fold and stream state diverged: batch=$batch stream=$streamed")
+    assert(batch == Map(
+      "A" -> ((20, ts("2025-04-15 11:00:00"))),
+      "B" -> ((5, ts("2025-04-15 10:05:00"))),
+      "C" -> ((3, ts("2025-04-15 12:00:00")))))
+  }
+}

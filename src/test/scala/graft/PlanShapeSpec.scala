@@ -45,4 +45,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "minhash candidate join went quadratic")
     assert(!p.contains("BroadcastNestedLoopJoin"), "minhash candidate join went nested-loop")
   }
+
+  test("q72: name search prunes to the three projected columns") {
+    assume(available)
+    val p = plan("q72_name_search")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("p_retailprice"), "column pruning lost: p_retailprice read")
+    // contains() is not a parquet-pushable predicate — it must still sit
+    // directly on the scan (codegen'd filter), i.e. BELOW the sort's
+    // exchange in the tree (plans print top-down, so scan-side nodes
+    // have larger string offsets).
+    assert(p.indexOf("Filter") > p.indexOf("Exchange"),
+      "name-search filter ran above the shuffle")
+  }
+
+  test("q73: stock fold partially aggregates before the shuffle") {
+    assume(available)
+    val p = plan("q73_stock_latest_batch")
+    // max_by over a struct is sort-based; the partial aggregate must
+    // still run map-side so one row per key crosses the exchange.
+    val firstAgg = math.max(p.indexOf("SortAggregate"), p.indexOf("HashAggregate"))
+    assert(firstAgg >= 0, p.take(800))
+    assert(p.indexOf("partial") >= 0 && p.indexOf("partial") > p.indexOf("Exchange"),
+      "no map-side partial aggregation in the stock fold")
+  }
 }
