@@ -672,7 +672,8 @@ object Queries {
         SupplierConfig("midocean", "/root/reference/sample data/MidOcean Sample Data.jsonc"),
         SupplierConfig("laltex", "/root/reference/sample data/Laltex Sample Data.jsonc")), sink)
       require(results.forall(_.status == "success"),
-        s"pipeline statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
+        s"pipeline statuses: ${results.map(r =>
+          s"${r.supplier}=${r.status}${r.errorSamples.mkString("[", "; ", "]")}")}")
       Pipeline.statusReport(s, sink)
     }, Some("""
       SELECT * FROM (VALUES
@@ -1667,7 +1668,8 @@ object Queries {
       ).map { case (id, p) => SupplierConfig(id, p) }
       val results = Pipeline.runFullSync(s, cfgs, sink)
       require(results.forall(_.status == "success"),
-        s"sync statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
+        s"sync statuses: ${results.map(r =>
+          s"${r.supplier}=${r.status}${r.errorSamples.mkString("[", "; ", "]")}")}")
       val unified = s.read.parquet(sink)
       unified
         .filter(col("is_printable") ||                                   // P3

@@ -45,15 +45,27 @@ object Upsert {
                        partitionCol: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(target)) {
+    // Concurrent first-write race: another writer (a sibling supplier
+    // in the thread-pooled sync) may have CREATED the table root but
+    // not yet committed a parquet footer, so exists()=true while the
+    // read finds no schema. That state is semantically "no existing
+    // data for OUR partitions" — fall through to the first-write path.
+    val existingOpt =
+      if (!fs.exists(target)) None
+      else try Some(spark.read.parquet(path)) catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
+      }
+    val merged = existingOpt match {
+      case Some(existing0) =>
         val parts = incoming.select(col(partitionCol)).distinct()
-        val existing = spark.read.parquet(path)
+        val existing = existing0
           .join(broadcast(parts), Seq(partitionCol), "left_semi")
         // Staging keeps the read and the overwrite of the same
         // partitions from racing (first write has nothing to race).
         merge(existing, incoming, keyCol, versionCol).localCheckpoint(true)
-      } else incoming
+      case None => incoming
+    }
     merged.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -184,6 +184,29 @@ object FeedReader {
     }
   }
 
+  /** Lift per-section column contracts (the [[conform]] inputs) into a
+    * document-level required schema for [[readJsonc]]: each
+    * `(sectionPath, cols)` becomes `struct<path…: array<struct<cols>>>`
+    * and the sections merge into one doc schema. conform alone fixes
+    * only TOP-LEVEL absent/mis-shaped columns — a present nested array
+    * whose element struct lacks a contract field still fails
+    * `getField` at analysis; merging the contract into the reader
+    * schema makes those nested fields parse as typed nulls instead. */
+  def requiredFor(sections: (String, Seq[(String, String)])*):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def nest(path: List[String], dt: DataType): DataType = path match {
+      case Nil => dt
+      case head :: tail => StructType(Seq(StructField(head, nest(tail, dt))))
+    }
+    sections.map { case (path, cols) =>
+      val leaf = ArrayType(StructType(cols.map { case (n, t) =>
+        StructField(n, DataType.fromDDL(t))
+      }))
+      nest(path.split('.').toList, leaf)
+    }.reduce(mergeSchemas).asInstanceOf[StructType]
+  }
+
   /** S2 — extract the array under a dotted section path (e.g.
     * "products.Response") as one row per element. Works for both
     * array-of-objects sections and struct sections (struct → single

@@ -31,7 +31,9 @@ object Keramikos {
   }
 
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(FeedReader.requiredFor(
+      "all-products-and-prices.Response" -> productCols,
+      "prices.Response" -> priceCols))))
 
   /** Column contracts (FeedReader.conform): sparse captures resolve
     * every referenced column/nested field. */

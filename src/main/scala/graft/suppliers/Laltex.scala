@@ -40,7 +40,9 @@ object Laltex {
   }
 
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(FeedReader.requiredFor(
+      "products.Response" -> productCols,
+      "stocks.Response" -> stockCols))))
 
   /** ProductPrice tiers → Price structs: "£0.42" strip (F3),
     * MaxQuantity "N/A" → open tier. */

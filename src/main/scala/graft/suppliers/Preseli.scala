@@ -34,7 +34,8 @@ object Preseli {
   }
 
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(FeedReader.requiredFor(
+      "products.Response" -> productCols))))
 
   /** Column contract (FeedReader.conform): sparse captures resolve
     * every referenced column/nested field. */

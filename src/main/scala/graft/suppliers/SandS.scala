@@ -33,7 +33,11 @@ object SandS {
   }
 
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(FeedReader.requiredFor(
+      "products.Response" -> productCols,
+      "categories.Response" -> categoryCols,
+      "styles.Response" -> styleCols,
+      "specs.Response" -> specCols))))
 
   private val priceType = graft.schema.Unified.schema("base_prices").dataType
   private val imageType = graft.schema.Unified.schema("images").dataType

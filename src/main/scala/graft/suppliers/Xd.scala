@@ -60,7 +60,12 @@ object Xd {
   }
 
   def readFeed(spark: SparkSession, path: String): Feed =
-    Feed(FeedReader.readJsonc(spark, path))
+    Feed(FeedReader.readJsonc(spark, path, Some(FeedReader.requiredFor(
+      "Products.Response" -> productCols,
+      "ProductPrices.Response" -> priceCols,
+      "PrintData.Response" -> printDataCols,
+      "PrintPrices.Response" -> printPriceCols,
+      "Stock.Response" -> stockCols))))
 
   private val priceType = graft.schema.Unified.schema("base_prices").dataType
 
