@@ -69,6 +69,25 @@ object ScaleSmoke {
         Similarity.bucketedTopK(embs, "vec_id", "embedding",
           embs.filter(col("vec_id") < 64).select(col("vec_id")),
           k = 10, numAnchors = 10).count()
+      },
+      // Feed-archive mode: N capture files in one directory → one task
+      // per file (wholeTextFiles), rows union. Validates the "scales
+      // from one sample file to a feed archive with no code change"
+      // claim with an actual measurement.
+      time("midocean_unified_dir") {
+        val sample = new java.io.File(
+          "/root/reference/sample data/MidOcean Sample Data.jsonc")
+        if (!sample.exists()) 0L
+        else {
+          val dir = java.nio.file.Files.createTempDirectory("graft_scale_feed")
+          val text = java.nio.file.Files.readString(sample.toPath)
+          (0 until math.min(amp, 20)).foreach { i =>
+            java.nio.file.Files.writeString(dir.resolve(s"capture_$i.jsonc"),
+              text.replace("\"AR1", s"\"R${i}AR1")) // distinct master codes
+          }
+          graft.suppliers.MidOcean.unified(spark, dir.toString)
+            .agg(count(col("product_id"))).collect()(0).getLong(0)
+        }
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()
