@@ -865,12 +865,17 @@ object Queries {
           size(col("variants")).as("n_variants"),
           size(element_at(col("variants"), 1).getField("prices")).as("n_price_tiers"),
           element_at(col("variants"), 1).getField("stock").getField("available")
-            .as("stock_available"))
+            .as("stock_available"),
+          // unified.jsonc packaging/sustainability/lifecycle extension.
+          col("packaging.outer_carton.qty").as("carton_qty"),
+          col("sustainability.eco").as("eco"),
+          col("sustainability.recycled_content_pct").as("recycled_pct"),
+          col("lifecycle.product_lifecycle").as("product_lifecycle"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('xd_V10200', 'VINGA Cott RCS RPET water bottle', 'Vinga', 1, 6, 17525)
-      ) AS t(product_id, name, brand, n_variants, n_price_tiers, stock_available)
+        ('xd_V10200', 'VINGA Cott RCS RPET water bottle', 'Vinga', 1, 6, 17525, 48, true, 98.0, 'Outlet')
+      ) AS t(product_id, name, brand, n_variants, n_price_tiers, stock_available, carton_qty, eco, recycled_pct, product_lifecycle)
       ORDER BY product_id""")),
 
     ("q60_pfconcept_unified", (s: SparkSession, d: String) => {

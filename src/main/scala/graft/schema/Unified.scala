@@ -122,6 +122,48 @@ case class LocalizedText(
     web_description: Option[Map[String, String]] = None,
     keywords: Option[Map[String, String]] = None)
 
+/** Carton-level packaging facts (ref: unified.jsonc:136-161
+  * `packaging.innerCarton/outerCarton`). */
+case class CartonInfo(
+    qty: Option[Int] = None,
+    length: Option[Double] = None,
+    width: Option[Double] = None,
+    height: Option[Double] = None,
+    unit: String = "cm",
+    weight_net: Option[Double] = None,
+    weight_gross: Option[Double] = None,
+    weight_unit: String = "kg",
+    volume: Option[Double] = None,
+    volume_unit: Option[String] = None)
+
+case class Packaging(
+    inner_carton: Option[CartonInfo] = None,
+    outer_carton: Option[CartonInfo] = None,
+    `type`: Option[String] = None,
+    type_item: Option[String] = None)
+
+/** Eco/compliance facts (ref: unified.jsonc:188-231
+  * `sustainabilityInfo` + `complianceData.compliance/certificates`). */
+case class Sustainability(
+    eco: Option[Boolean] = None,
+    recycled_content_pct: Option[Double] = None,
+    co2_total: Option[Double] = None,
+    co2_total_benchmark: Option[Double] = None,
+    compliance: Option[String] = None,
+    social_audits: Seq[String] = Nil,
+    certificates: Seq[String] = Nil)
+
+/** Product lifecycle facts (ref: unified.jsonc:14-22
+  * status/productLifecycle/releaseDate/modifiedDate/discontinuedDate/
+  * introDate/typeOfProduct). */
+case class Lifecycle(
+    type_of_product: Option[String] = None,
+    product_lifecycle: Option[String] = None,
+    intro_date: Option[Timestamp] = None,
+    release_date: Option[Timestamp] = None,
+    modified_date: Option[Timestamp] = None,
+    discontinued_date: Option[Timestamp] = None)
+
 case class Category(
     id: Option[String] = None,
     name: String,
@@ -172,6 +214,12 @@ case class Product(
     tariff_code: Option[String] = None,
     commodity_code: Option[String] = None,
     status: String = "active",
+    /** Carton packaging (ref: unified.jsonc:136-161). */
+    packaging: Option[Packaging] = None,
+    /** Eco/compliance (ref: unified.jsonc:188-231). */
+    sustainability: Option[Sustainability] = None,
+    /** Lifecycle dates/flags (ref: unified.jsonc:14-22). */
+    lifecycle: Option[Lifecycle] = None,
     /** Language-keyed content maps (ref: unified.jsonc:25-33). */
     localized: Option[LocalizedText] = None,
     /** Open per-supplier attribute map (ref: unified.jsonc:86-122

@@ -85,7 +85,11 @@ object MidOcean {
       |  outer_carton_quantity: STRING, country_of_origin: STRING,
       |  commodity_code: STRING, master_id: STRING, type_of_products: STRING,
       |  number_of_print_positions: STRING, volume: STRING, volume_unit: STRING,
-      |  inner_carton_quantity: STRING,
+      |  inner_carton_quantity: STRING, timestamp: STRING,
+      |  carton_length: STRING, carton_length_unit: STRING,
+      |  carton_width: STRING, carton_height: STRING,
+      |  carton_volume: STRING, carton_volume_unit: STRING,
+      |  carton_gross_weight: STRING, carton_gross_weight_unit: STRING,
       |  variants: ARRAY<STRUCT<
       |    sku: STRING, variant_id: STRING, color_code: STRING,
       |    color_description: STRING, pms_color: STRING, gtin: STRING,
@@ -348,6 +352,49 @@ object MidOcean {
       col("commodity_code").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      // Carton packaging (ref unified.jsonc:136-161; feed units: carton
+      // dims in m, weight kg — kept as-declared via the unit fields).
+      struct(
+        when(Parsers.parseIntSeparators(col("inner_carton_quantity")).isNotNull,
+          struct(
+            Parsers.parseIntSeparators(col("inner_carton_quantity")).as("qty"),
+            lit(null).cast("double").as("length"),
+            lit(null).cast("double").as("width"),
+            lit(null).cast("double").as("height"),
+            lit("cm").as("unit"),
+            lit(null).cast("double").as("weight_net"),
+            lit(null).cast("double").as("weight_gross"),
+            lit("kg").as("weight_unit"),
+            lit(null).cast("double").as("volume"),
+            lit(null).cast("string").as("volume_unit"))).as("inner_carton"),
+        when(coalesce(Parsers.parseIntSeparators(col("outer_carton_quantity")),
+            Parsers.parseFloatComma(col("carton_length"))).isNotNull,
+          struct(
+            Parsers.parseIntSeparators(col("outer_carton_quantity")).as("qty"),
+            Parsers.parseFloatComma(col("carton_length")).as("length"),
+            Parsers.parseFloatComma(col("carton_width")).as("width"),
+            Parsers.parseFloatComma(col("carton_height")).as("height"),
+            coalesce(col("carton_length_unit"), lit("m")).as("unit"),
+            lit(null).cast("double").as("weight_net"),
+            Parsers.parseFloatComma(col("carton_gross_weight")).as("weight_gross"),
+            coalesce(col("carton_gross_weight_unit"), lit("kg")).as("weight_unit"),
+            Parsers.parseFloatComma(col("carton_volume")).as("volume"),
+            col("carton_volume_unit").cast("string").as("volume_unit"))).as("outer_carton"),
+        lit(null).cast("string").as("type"),
+        lit(null).cast("string").as("type_item"))
+        .cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
+      lit(null).cast(graft.schema.Unified.schema("sustainability").dataType)
+        .as("sustainability"),
+      // Lifecycle (ref unified.jsonc:14-22): feed carries type and a
+      // per-product modification timestamp.
+      struct(
+        col("type_of_products").cast("string").as("type_of_product"),
+        lit(null).cast("string").as("product_lifecycle"),
+        lit(null).cast("timestamp").as("intro_date"),
+        lit(null).cast("timestamp").as("release_date"),
+        col("timestamp").try_cast("timestamp").as("modified_date"),
+        lit(null).cast("timestamp").as("discontinued_date"))
+        .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       // Localized content maps (ref unified.jsonc:25-33 `{lang}`
       // convention): the product feed is single-language English, so
       // each non-null field fills its "en" key; per-language technique

@@ -393,6 +393,9 @@ object PfConcept {
       lit(null).cast("string").as("commodity_code"),
       when(exists(col("variants"), v => v.getField("status") === "active"), "active")
         .otherwise("discontinued").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
+      lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
+      lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),

@@ -257,6 +257,9 @@ object Sanmar {
       lit(null).cast("string").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
+      lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
+      lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
+      lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       col("creationDate").try_cast("timestamp").as("created_at"),

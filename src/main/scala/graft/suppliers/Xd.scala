@@ -119,7 +119,16 @@ object Xd {
       "ProductLifeCycle", "LongDescription").map(_ -> "string") ++
       Seq("ItemLengthCM", "ItemWidthCM", "ItemHeightCM", "ItemDiameterCM",
         "ItemWeightNetGr", "ItemWeightGrossGr").map(_ -> "double") ++
-      Seq("OuterCartonQty" -> "int")
+      Seq("OuterCartonQty" -> "int") ++
+      // unified.jsonc packaging/sustainability/lifecycle sources.
+      Seq("IntroDate", "Compliance", "Certifications", "Social Audits")
+        .map(_ -> "string") ++
+      Seq("Eco" -> "boolean", "InnerboxQty" -> "int") ++
+      Seq("Recycled Content Percent", "Total CO2 emissions",
+        "Total CO2 emissions benchmark", "OuterCartonLengthCM",
+        "OuterCartonWidthCM", "OuterCartonHeightCM",
+        "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG")
+        .map(_ -> "double")
   private val priceCols: Seq[(String, String)] =
     Seq("ItemCode" -> "string", "Currency" -> "string") ++
       (1 to 6).flatMap(i => Seq(s"Qty$i" -> "int", s"ItemPriceNet_Qty$i" -> "double"))
@@ -260,7 +269,12 @@ object Xd {
 
     val parentCols = Seq("ItemName", "Brand", "MainCategory", "SubCategory",
       "Material", "LongDescription", "CountryOfOrigin", "CommodityCode",
-      "OuterCartonQty", "PackagingTypeItem")
+      "OuterCartonQty", "PackagingTypeItem",
+      "ProductLifeCycle", "IntroDate", "Compliance", "Certifications",
+      "Social Audits", "Eco", "InnerboxQty", "Recycled Content Percent",
+      "Total CO2 emissions", "Total CO2 emissions benchmark",
+      "OuterCartonLengthCM", "OuterCartonWidthCM", "OuterCartonHeightCM",
+      "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG")
 
     val grouped = graft.operators.Nest.rollupWithParent(
       joined, Seq("ModelCode"), parentCols,
@@ -321,6 +335,61 @@ object Xd {
       lit(null).cast("string").as("commodity_code"),
       when(exists(col("variants"), v => v.getField("status") === "active"), "active")
         .otherwise("discontinued").as("status"),
+      // Carton packaging (ref unified.jsonc:136-161 — XD Sample
+      // Data.jsonc:31-42 outer carton dims/weights in cm/kg).
+      struct(
+        when(col("InnerboxQty").try_cast("int").isNotNull, struct(
+          col("InnerboxQty").try_cast("int").as("qty"),
+          lit(null).cast("double").as("length"),
+          lit(null).cast("double").as("width"),
+          lit(null).cast("double").as("height"),
+          lit("cm").as("unit"),
+          lit(null).cast("double").as("weight_net"),
+          lit(null).cast("double").as("weight_gross"),
+          lit("kg").as("weight_unit"),
+          lit(null).cast("double").as("volume"),
+          lit(null).cast("string").as("volume_unit"))).as("inner_carton"),
+        when(coalesce(col("OuterCartonQty").try_cast("int"),
+            col("OuterCartonLengthCM").try_cast("double")).isNotNull, struct(
+          col("OuterCartonQty").try_cast("int").as("qty"),
+          col("OuterCartonLengthCM").try_cast("double").as("length"),
+          col("OuterCartonWidthCM").try_cast("double").as("width"),
+          col("OuterCartonHeightCM").try_cast("double").as("height"),
+          lit("cm").as("unit"),
+          col("OuterCartonWeightNetKG").try_cast("double").as("weight_net"),
+          col("OuterCartonWeightGrossKG").try_cast("double").as("weight_gross"),
+          lit("kg").as("weight_unit"),
+          lit(null).cast("double").as("volume"),
+          lit(null).cast("string").as("volume_unit"))).as("outer_carton"),
+        lit(null).cast("string").as("type"),
+        nullif(col("PackagingTypeItem"), lit("")).as("type_item"))
+        .cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
+      // Eco/compliance (ref unified.jsonc:188-231 — XD Sample
+      // Data.jsonc:43-66 eco flags, recycled %, CO2, audits, certs).
+      struct(
+        col("Eco").try_cast("boolean").as("eco"),
+        col("`Recycled Content Percent`").try_cast("double")
+          .as("recycled_content_pct"),
+        col("`Total CO2 emissions`").try_cast("double").as("co2_total"),
+        col("`Total CO2 emissions benchmark`").try_cast("double")
+          .as("co2_total_benchmark"),
+        nullif(col("Compliance"), lit("")).as("compliance"),
+        filter(transform(split(coalesce(col("`Social Audits`"), lit("")), ","),
+          s => trim(s)), s => s =!= "").as("social_audits"),
+        filter(transform(split(coalesce(col("Certifications"), lit("")), ",\\s*"),
+          s => trim(s)), s => s =!= "").as("certificates"))
+        .cast(graft.schema.Unified.schema("sustainability").dataType)
+        .as("sustainability"),
+      // Lifecycle (ref unified.jsonc:14-22 — ProductLifeCycle enum +
+      // IntroDate).
+      struct(
+        lit(null).cast("string").as("type_of_product"),
+        nullif(col("ProductLifeCycle"), lit("")).as("product_lifecycle"),
+        col("IntroDate").try_cast("timestamp").as("intro_date"),
+        lit(null).cast("timestamp").as("release_date"),
+        lit(null).cast("timestamp").as("modified_date"),
+        lit(null).cast("timestamp").as("discontinued_date"))
+        .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** unified.jsonc packaging / sustainabilityInfo / lifecycle sections
+  * (ref: /root/reference/unified.jsonc:14-22,136-161,188-231), wired
+  * from the feeds that actually carry the data: XD (outer carton,
+  * eco/CO2/audits, ProductLifeCycle/IntroDate — XD Sample
+  * Data.jsonc:10-66) and MidOcean (carton dims in m, volume, feed
+  * timestamp — MidOcean Sample Data.jsonc:28-41).
+  */
+class PackagingLifecycleSpec extends SparkSpec {
+
+  private val refDir = "/root/reference/sample data"
+  private def ifSample(p: String)(body: => Unit): Unit =
+    if (new java.io.File(p).exists()) body else cancel(s"sample not present: $p")
+
+  test("XD: outer carton, sustainability, and lifecycle land in the unified row") {
+    ifSample(s"$refDir/XD Sample Data.jsonc") {
+      val u = graft.suppliers.Xd.unified(spark, s"$refDir/XD Sample Data.jsonc")
+        .filter(col("product_id") === "xd_V10200")
+      val r = u.select(
+        col("packaging.outer_carton.qty"),
+        col("packaging.outer_carton.length"),
+        col("packaging.outer_carton.weight_gross"),
+        col("packaging.type_item"),
+        col("sustainability.eco"),
+        col("sustainability.recycled_content_pct"),
+        col("sustainability.co2_total"),
+        size(col("sustainability.social_audits")),
+        size(col("sustainability.certificates")),
+        col("lifecycle.product_lifecycle"),
+        date_format(col("lifecycle.intro_date"), "yyyy-MM-dd")).collect()(0)
+      assert(r.getInt(0) == 48)
+      assert(r.getDouble(1) == 41.5)
+      assert(r.getDouble(2) == 7.3)
+      assert(r.getString(3) == "Polybag and bulk")
+      assert(r.getBoolean(4))
+      assert(r.getDouble(5) == 98.0)
+      assert(r.getDouble(6) == 0.43)
+      assert(r.getInt(7) == 2)  // SMETA, BSCI
+      assert(r.getInt(8) == 2)  // two certificate URLs
+      assert(r.getString(9) == "Outlet")
+      assert(r.getString(10) == "2022-12-30")
+    }
+  }
+
+  test("MidOcean: carton packaging and lifecycle timestamp land in the unified row") {
+    ifSample(s"$refDir/MidOcean Sample Data.jsonc") {
+      val u = graft.suppliers.MidOcean
+        .unified(spark, s"$refDir/MidOcean Sample Data.jsonc")
+        .filter(col("product_id") === "midocean_AR1249")
+      val r = u.select(
+        col("packaging.outer_carton.qty"),
+        col("packaging.outer_carton.length"),
+        col("packaging.outer_carton.unit"),
+        col("packaging.outer_carton.weight_gross"),
+        col("packaging.inner_carton.qty"),
+        col("lifecycle.type_of_product"),
+        date_format(col("lifecycle.modified_date"), "yyyy-MM-dd")).collect()(0)
+      assert(r.getInt(0) == 80)
+      assert(r.getDouble(1) == 0.57)
+      assert(r.getString(2) == "m")
+      assert(r.getDouble(3) == 10.96)
+      assert(r.getInt(4) == 10)
+      assert(r.getString(5) == "stock")
+      assert(r.getString(6) == "2025-03-07")
+    }
+  }
+}
