@@ -121,8 +121,8 @@ object Xd {
         "ItemWeightNetGr", "ItemWeightGrossGr").map(_ -> "double") ++
       Seq("OuterCartonQty" -> "int") ++
       // unified.jsonc packaging/sustainability/lifecycle sources.
-      Seq("IntroDate", "Compliance", "Certifications", "Social Audits")
-        .map(_ -> "string") ++
+      Seq("IntroDate", "Compliance", "Certifications", "Social Audits",
+        "MainImage", "AllImages").map(_ -> "string") ++
       Seq("Eco" -> "boolean", "InnerboxQty" -> "int") ++
       Seq("Recycled Content Percent", "Total CO2 emissions",
         "Total CO2 emissions benchmark", "OuterCartonLengthCM",
@@ -274,7 +274,8 @@ object Xd {
       "Social Audits", "Eco", "InnerboxQty", "Recycled Content Percent",
       "Total CO2 emissions", "Total CO2 emissions benchmark",
       "OuterCartonLengthCM", "OuterCartonWidthCM", "OuterCartonHeightCM",
-      "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG")
+      "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG",
+      "MainImage", "AllImages")
 
     val grouped = graft.operators.Nest.rollupWithParent(
       joined, Seq("ModelCode"), parentCols,
@@ -324,7 +325,24 @@ object Xd {
         array().cast(graft.schema.Unified.schema("print_options").dataType))
         .cast(graft.schema.Unified.schema("print_options").dataType)
         .as("print_options"),
-      array().cast(graft.schema.Unified.schema("images").dataType).as("images"),
+      // Feed images: MainImage as the primary plus the AllImages CSV as
+      // gallery entries (ref: XD Sample Data.jsonc:67-71 — the spec's
+      // "insert as gallery type in images" comment).
+      {
+        val main = nullif(col("MainImage"), lit(""))
+        val gallery = filter(transform(
+          split(coalesce(col("AllImages"), lit("")), ",\\s*"), u => trim(u)),
+          u => u =!= "" && u =!= coalesce(main, lit("")))
+        concat(
+          filter(array(struct(main.as("url"), lit("main").as("type"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("string").as("color_variant"))),
+            i => i.getField("url").isNotNull),
+          transform(gallery, u => struct(u.as("url"), lit("gallery").as("type"),
+            lit(null).cast("string").as("description"),
+            lit(null).cast("string").as("color_variant"))))
+          .cast(graft.schema.Unified.schema("images").dataType).as("images")
+      },
       array().cast("array<string>").as("artwork_templates"),
       lit(1).as("minimum_order_quantity"),
       col("OuterCartonQty").try_cast("int").as("carton_quantity"),

@@ -42,6 +42,11 @@ class PackagingLifecycleSpec extends SparkSpec {
       assert(r.getInt(8) == 2)  // two certificate URLs
       assert(r.getString(9) == "Outlet")
       assert(r.getString(10) == "2022-12-30")
+      // Feed images: MainImage → "main", AllImages CSV minus the main
+      // URL → "gallery" (XD Sample Data.jsonc:67-71).
+      val imgs = u.select(transform(col("images"),
+        i => i.getField("type"))).collect()(0).getSeq[String](0)
+      assert(imgs == Seq("main", "gallery", "gallery", "gallery"), imgs)
     }
   }
 
