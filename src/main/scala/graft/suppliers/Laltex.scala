@@ -78,6 +78,7 @@ object Laltex {
       "ProductDims", "UnitWeight", "AvailableColours", "CountryOfOrigin",
       "TariffCode").map(_ -> "string") ++ Seq(
       "MinimumOrderQty" -> "string", "CartonQty" -> "string",
+      "CartonDims" -> "string", "CartonGrossWeight" -> "string",
       "ProductPrice" ->
         "array<struct<Price:string,MinQuantity:string,MaxQuantity:string>>",
       "Items" ->
@@ -234,7 +235,31 @@ object Laltex {
       col("TariffCode").as("tariff_code"),
       lit(null).cast("string").as("commodity_code"),
       lit("active").as("status"),
-      lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
+      // Carton packaging (ref unified.jsonc:136-161): "42 x 37 x 55 cm"
+      // dims (F17 parse) + "9.000 kg" gross weight (F17 weight parse).
+      {
+        val d = Parsers.parseDims(col("CartonDims"))
+        val w = Parsers.parseWeight(col("CartonGrossWeight"))
+        struct(
+          lit(null).cast(graft.schema.Unified.schema("packaging").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]("inner_carton")
+            .dataType).as("inner_carton"),
+          when(coalesce(col("CartonQty").try_cast("int").cast("double"),
+              d.getField("length")).isNotNull, struct(
+            col("CartonQty").try_cast("int").as("qty"),
+            d.getField("length").as("length"),
+            d.getField("width").as("width"),
+            d.getField("height").as("height"),
+            coalesce(d.getField("unit"), lit("cm")).as("unit"),
+            lit(null).cast("double").as("weight_net"),
+            w.getField("value").as("weight_gross"),
+            coalesce(w.getField("unit"), lit("kg")).as("weight_unit"),
+            lit(null).cast("double").as("volume"),
+            lit(null).cast("string").as("volume_unit"))).as("outer_carton"),
+          lit(null).cast("string").as("type"),
+          lit(null).cast("string").as("type_item"))
+          .cast(graft.schema.Unified.schema("packaging").dataType).as("packaging")
+      },
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),

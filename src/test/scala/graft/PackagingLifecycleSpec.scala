@@ -50,6 +50,27 @@ class PackagingLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("Laltex: carton dims/weight strings parse into packaging") {
+    ifSample(s"$refDir/Laltex Sample Data.jsonc") {
+      val u = graft.suppliers.Laltex
+        .unified(spark, s"$refDir/Laltex Sample Data.jsonc")
+        .filter(col("product_id") === "laltex_AA0131")
+      val r = u.select(
+        col("packaging.outer_carton.qty"),
+        col("packaging.outer_carton.length"),
+        col("packaging.outer_carton.height"),
+        col("packaging.outer_carton.unit"),
+        col("packaging.outer_carton.weight_gross"),
+        col("packaging.outer_carton.weight_unit")).collect()(0)
+      assert(r.getInt(0) == 1000)
+      assert(r.getDouble(1) == 42.0)
+      assert(r.getDouble(2) == 55.0)
+      assert(r.getString(3) == "cm")
+      assert(r.getDouble(4) == 9.0)
+      assert(r.getString(5) == "kg")
+    }
+  }
+
   test("MidOcean: carton packaging and lifecycle timestamp land in the unified row") {
     ifSample(s"$refDir/MidOcean Sample Data.jsonc") {
       val u = graft.suppliers.MidOcean
