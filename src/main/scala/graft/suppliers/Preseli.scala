@@ -43,7 +43,8 @@ object Preseli {
     Seq("ProductCode", "ProductName", "Description", "Material", "Size",
       "DimensionUnit", "WeightUnit").map(_ -> "string") ++ Seq(
       "Height" -> "double", "Width" -> "double", "Weight" -> "double",
-      "Artwork" -> "string",
+      "Artwork" -> "string", "DataSheet" -> "string",
+      "LeadTime" -> "string", "EndUserWebsite" -> "string",
       "Prices" -> ("struct<Price:array<struct<Name:string,Quantity:string," +
         "PriceDetails:array<struct<Type:string,Value:string>>>>>"),
       "Images" -> "struct<Image:array<string>>",
@@ -145,7 +146,7 @@ object Preseli {
       filter(array(col("Artwork")), a => a.isNotNull).as("artwork_templates"),
       lit(1).as("minimum_order_quantity"),
       lit(null).cast("int").as("carton_quantity"),
-      lit(null).cast("string").as("lead_time"),
+      nullif(col("LeadTime"), lit("")).as("lead_time"),
       array().cast(graft.schema.Unified.schema("shipping_options").dataType).as("shipping_options"),
       lit(null).cast("string").as("country_of_origin"),
       lit(null).cast("string").as("tariff_code"),
@@ -155,7 +156,12 @@ object Preseli {
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
-      lit(null).cast("map<string,string>").as("product_extra_data"),
+      // Open attributes (ref unified.jsonc:108 dataSheet "Preseli
+      // style"): datasheet + end-user site URLs.
+      map_filter(map(
+        lit("dataSheet"), col("DataSheet").cast("string"),
+        lit("endUserWebsite"), col("EndUserWebsite").cast("string")),
+        (_, v) => v.isNotNull).as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -50,6 +50,20 @@ class PackagingLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("Preseli: dataSheet and lead time land in extra data / lead_time") {
+    ifSample(s"$refDir/Preseli Sample Data.jsonc") {
+      val u = graft.suppliers.Preseli
+        .unified(spark, s"$refDir/Preseli Sample Data.jsonc")
+        .filter(col("product_id") === "preseli_PSL10")
+      val r = u.select(col("lead_time"),
+        element_at(col("product_extra_data"), "dataSheet"),
+        element_at(col("product_extra_data"), "endUserWebsite")).collect()(0)
+      assert(r.getString(0) == "15 working days")
+      assert(r.getString(1).contains("datasheet.php"))
+      assert(r.getString(2).contains("promobestsellers"))
+    }
+  }
+
   test("Laltex: carton dims/weight strings parse into packaging") {
     ifSample(s"$refDir/Laltex Sample Data.jsonc") {
       val u = graft.suppliers.Laltex
