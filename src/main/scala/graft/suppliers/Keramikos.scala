@@ -177,7 +177,9 @@ object Keramikos {
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
-      lit(null).cast("map<string,string>").as("product_extra_data"),
+      // Open attributes (ref unified.jsonc:94 shapeName).
+      map_filter(map(lit("shapeName"), nullif(col("ShapeName"), lit(""))),
+        (_, v) => v.isNotNull).as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -123,7 +123,9 @@ object Xd {
       // unified.jsonc packaging/sustainability/lifecycle sources.
       Seq("IntroDate", "Compliance", "Certifications", "Social Audits",
         "MainImage", "AllImages").map(_ -> "string") ++
-      Seq("Eco" -> "boolean", "InnerboxQty" -> "int") ++
+      Seq("Eco" -> "boolean", "InnerboxQty" -> "int",
+        "GiftWrappingPossible" -> "boolean",
+        "VariableDataPrinting" -> "boolean") ++
       Seq("Recycled Content Percent", "Total CO2 emissions",
         "Total CO2 emissions benchmark", "OuterCartonLengthCM",
         "OuterCartonWidthCM", "OuterCartonHeightCM",
@@ -275,7 +277,8 @@ object Xd {
       "Total CO2 emissions", "Total CO2 emissions benchmark",
       "OuterCartonLengthCM", "OuterCartonWidthCM", "OuterCartonHeightCM",
       "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG",
-      "MainImage", "AllImages")
+      "MainImage", "AllImages", "GiftWrappingPossible",
+      "VariableDataPrinting")
 
     val grouped = graft.operators.Nest.rollupWithParent(
       joined, Seq("ModelCode"), parentCols,
@@ -409,7 +412,12 @@ object Xd {
         lit(null).cast("timestamp").as("discontinued_date"))
         .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
-      lit(null).cast("map<string,string>").as("product_extra_data"),
+      // Open attributes (ref unified.jsonc:91 giftWrappingPossible;
+      // :260-266 variableDataPrinting).
+      map_filter(map(
+        lit("giftWrappingPossible"), col("GiftWrappingPossible").cast("string"),
+        lit("variableDataPrinting"), col("VariableDataPrinting").cast("string")),
+        (_, v) => v.isNotNull).as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

@@ -47,6 +47,21 @@ class PackagingLifecycleSpec extends SparkSpec {
       val imgs = u.select(transform(col("images"),
         i => i.getField("type"))).collect()(0).getSeq[String](0)
       assert(imgs == Seq("main", "gallery", "gallery", "gallery"), imgs)
+      val x = u.select(
+        element_at(col("product_extra_data"), "giftWrappingPossible"),
+        element_at(col("product_extra_data"), "variableDataPrinting")).collect()(0)
+      assert(x.getString(0) == "true" && x.getString(1) == "true")
+    }
+  }
+
+  test("Keramikos: shapeName lands in extra data") {
+    ifSample(s"$refDir/Keramikos Sample Data.jsonc") {
+      val u = graft.suppliers.Keramikos
+        .unified(spark, s"$refDir/Keramikos Sample Data.jsonc")
+        .filter(col("product_id") === "keramikos_ATLWHI")
+      val r = u.select(
+        element_at(col("product_extra_data"), "shapeName")).collect()(0)
+      assert(r.getString(0) == "Atlantic")
     }
   }
 
