@@ -122,7 +122,8 @@ object Xd {
       Seq("OuterCartonQty" -> "int") ++
       // unified.jsonc packaging/sustainability/lifecycle sources.
       Seq("IntroDate", "Compliance", "Certifications", "Social Audits",
-        "MainImage", "AllImages").map(_ -> "string") ++
+        "MainImage", "AllImages", "RestrictedCountriesForSale")
+        .map(_ -> "string") ++
       Seq("Eco" -> "boolean", "InnerboxQty" -> "int",
         "GiftWrappingPossible" -> "boolean",
         "VariableDataPrinting" -> "boolean") ++
@@ -278,7 +279,7 @@ object Xd {
       "OuterCartonLengthCM", "OuterCartonWidthCM", "OuterCartonHeightCM",
       "OuterCartonWeightNetKG", "OuterCartonWeightGrossKG",
       "MainImage", "AllImages", "GiftWrappingPossible",
-      "VariableDataPrinting")
+      "VariableDataPrinting", "RestrictedCountriesForSale")
 
     val grouped = graft.operators.Nest.rollupWithParent(
       joined, Seq("ModelCode"), parentCols,
@@ -415,6 +416,7 @@ object Xd {
       // Open attributes (ref unified.jsonc:91 giftWrappingPossible;
       // :260-266 variableDataPrinting).
       map_filter(map(
+        lit("restrictedCountries"), nullif(col("RestrictedCountriesForSale"), lit("")),
         lit("giftWrappingPossible"), col("GiftWrappingPossible").cast("string"),
         lit("variableDataPrinting"), col("VariableDataPrinting").cast("string")),
         (_, v) => v.isNotNull).as("product_extra_data"),
