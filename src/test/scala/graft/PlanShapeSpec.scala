@@ -46,6 +46,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "minhash candidate join went nested-loop")
   }
 
+  test("q49: supplier dims join via broadcast; only single-row broadcast cross joins") {
+    assume(new java.io.File("/root/reference/sample data/MidOcean Sample Data.jsonc").exists())
+    val p = plan("q49_midocean_unified")
+    // pricelist / positions / technique-name dims must broadcast.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // The only nested-loop joins allowed are the broadcast single-row
+    // attachments (global print options); a plain CartesianProduct
+    // means a dim join lost its broadcast.
+    assert(!p.contains("CartesianProduct"), "supplier dim join went cartesian")
+  }
+
   test("q72: name search prunes to the three projected columns") {
     assume(available)
     val p = plan("q72_name_search")
