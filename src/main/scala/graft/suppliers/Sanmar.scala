@@ -259,7 +259,16 @@ object Sanmar {
       lit("active").as("status"),
       lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
-      lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      // Lifecycle (ref unified.jsonc:14-22): PromoStandards carries
+      // creation + last-change service dates.
+      struct(
+        lit(null).cast("string").as("type_of_product"),
+        lit(null).cast("string").as("product_lifecycle"),
+        lit(null).cast("timestamp").as("intro_date"),
+        col("creationDate").try_cast("timestamp").as("release_date"),
+        col("lastChangeDate").try_cast("timestamp").as("modified_date"),
+        lit(null).cast("timestamp").as("discontinued_date"))
+        .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       col("creationDate").try_cast("timestamp").as("created_at"),
