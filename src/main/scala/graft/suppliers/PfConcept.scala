@@ -68,7 +68,8 @@ object PfConcept {
       |  _modelCode: STRING, description: STRING, extDesc: STRING,
       |  keywords: STRING, productComments: STRING,
       |  items: STRUCT<item: ARRAY<STRUCT<
-      |    _itemCode: STRING, size: STRING, eanCode: STRING,
+      |    _itemCode: STRING, size: STRING, sizeGrid: STRING,
+      |    sizeRange: STRING, gender: STRING, eanCode: STRING,
       |    isDiscontinued: STRING, grossWeightKg: STRING, nettWeightKg: STRING,
       |    countryOfOrigin: STRING, hsCode: STRING, brand: STRING,
       |    material: STRING, videoUrl1: STRING, qtyPerCarton: STRING,
@@ -323,7 +324,10 @@ object PfConcept {
       Parsers.parseIntSeparators(col("__item.qtyPerCarton")).as("__carton"),
       defaultOption.as("__default_option"),
       col("__min_deco_qty"), col("__print_options"), col("__artwork"),
-      col("__item").as("__raw_item"))
+      col("__item").as("__raw_item"),
+      col("__item.sizeGrid").as("__size_grid"),
+      col("__item.sizeRange").as("__size_range"),
+      col("__item.gender").as("__gender"))
 
     val grouped = joined
       .select(Seq(col("__model"), col("__pos"),
@@ -336,7 +340,8 @@ object PfConcept {
           col("__brand"), col("__material"), col("__catdata"),
           col("__imagedata"), col("__video"),
           col("__carton"), col("__default_option"), col("__min_deco_qty"),
-          col("__print_options"), col("__artwork"), col("__raw_item")): _*),
+          col("__print_options"), col("__artwork"), col("__raw_item"),
+          col("__size_grid"), col("__size_range"), col("__gender")): _*),
           col("__pos")).as("__p"),
         transform(array_sort(collect_list(struct(col("__pos").as("o"),
           col("__variant").as("v")))), x => x.getField("v")).as("variants"))
@@ -397,7 +402,13 @@ object PfConcept {
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
-      lit(null).cast("map<string,string>").as("product_extra_data"),
+      // Open attributes (ref unified.jsonc:79-84 variantAttributes
+      // sizeGrid/sizeRange/gender — product-wide in the PFC feed).
+      map_filter(map(
+        lit("sizeGrid"), nullif(col("__size_grid"), lit("")),
+        lit("sizeRange"), nullif(col("__size_range"), lit("")),
+        lit("gender"), nullif(col("__gender"), lit(""))),
+        (_, v) => v.isNotNull).as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),

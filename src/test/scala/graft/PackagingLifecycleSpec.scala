@@ -54,6 +54,21 @@ class PackagingLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("PFConcept: size grid / range / gender land in extra data") {
+    ifSample(s"$refDir/PFConcept Sample Data.jsonc") {
+      val u = graft.suppliers.PfConcept
+        .unified(spark, s"$refDir/PFConcept Sample Data.jsonc")
+        .filter(col("product_id") === "pfconcept_R1070")
+      val r = u.select(
+        element_at(col("product_extra_data"), "sizeGrid"),
+        element_at(col("product_extra_data"), "sizeRange"),
+        element_at(col("product_extra_data"), "gender")).collect()(0)
+      assert(r.getString(0) == "XS,S,M,L,XL,2XL,3XL")
+      assert(r.getString(1) == "XS-3XL")
+      assert(r.getString(2) == "Unisex")
+    }
+  }
+
   test("Keramikos: shapeName lands in extra data") {
     ifSample(s"$refDir/Keramikos Sample Data.jsonc") {
       val u = graft.suppliers.Keramikos
