@@ -80,4 +80,24 @@ class SparseCaptureSpec extends SparkSpec {
       assert(u.count() > 0)
     }
   }
+
+  test("MidOcean: a directory of capture files unions per-file product sets") {
+    val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
+    ifSample(sample) {
+      // The at-scale mode: one task per file (wholeTextFiles), rows
+      // union, schemas merged. Two captures with distinct master codes
+      // must yield the union of both product sets.
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(sample))
+      val dir = java.nio.file.Files.createTempDirectory("graft_feed_dir")
+      java.nio.file.Files.writeString(dir.resolve("a.jsonc"), text)
+      java.nio.file.Files.writeString(dir.resolve("b.jsonc"),
+        text.replace("\"AR1", "\"BX1"))
+      val u = graft.suppliers.MidOcean.unified(spark, dir.toString)
+      val ids = u.select(col("supplier_product_code")).collect()
+        .map(_.getString(0)).toSet
+      assert(ids.size == 10, s"expected 10 products, got ${ids.size}: $ids")
+      assert(ids.count(_.startsWith("AR1")) == 5)
+      assert(ids.count(_.startsWith("BX1")) == 5)
+    }
+  }
 }
