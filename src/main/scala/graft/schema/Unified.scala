@@ -87,9 +87,20 @@ case class ColorVariant(
 
 case class DueIn(quantity: Option[Int] = None, expected_date: Option[String] = None)
 
+/** Per-warehouse stock snapshot (ref: unified.jsonc:249-257
+  * `stock.locations` — id/name/country/qty). Feeds with one aggregate
+  * quantity leave this empty; S&S warehouses and Sanmar PromoStandards
+  * InventoryLocationArray fill it. */
+case class StockLocation(
+    id: Option[String] = None,
+    name: Option[String] = None,
+    country: Option[String] = None,
+    qty: Option[Int] = None)
+
 case class StockInfo(
     available: Int = 0,
     due_ins: Seq[DueIn] = Nil,
+    locations: Seq[StockLocation] = Nil,
     last_updated: Option[Timestamp] = None)
 
 case class Variant(
@@ -220,6 +231,12 @@ case class Product(
     sustainability: Option[Sustainability] = None,
     /** Lifecycle dates/flags (ref: unified.jsonc:14-22). */
     lifecycle: Option[Lifecycle] = None,
+    /** Companion/cross-sell product codes (ref: unified.jsonc:21
+      * `relatedProducts`). */
+    related_products: Seq[String] = Nil,
+    /** Substitute product codes (ref: unified.jsonc:22
+      * `alternativeProducts`). */
+    alternative_products: Seq[String] = Nil,
     /** Language-keyed content maps (ref: unified.jsonc:25-33). */
     localized: Option[LocalizedText] = None,
     /** Open per-supplier attribute map (ref: unified.jsonc:86-122
@@ -250,4 +267,15 @@ object Unified {
     * property). */
   lazy val schema: StructType =
     nullable(Encoders.product[Product].schema).asInstanceOf[StructType]
+
+  /** The variants array's element struct. */
+  lazy val variantSchema: StructType = schema("variants").dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+
+  /** The per-variant stock struct. */
+  lazy val stockSchema: StructType =
+    variantSchema("stock").dataType.asInstanceOf[StructType]
+
+  /** The stock.locations array type (per-warehouse snapshots). */
+  lazy val stockLocationsType: DataType = stockSchema("locations").dataType
 }

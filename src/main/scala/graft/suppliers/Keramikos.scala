@@ -176,6 +176,8 @@ object Keramikos {
       lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       // Open attributes (ref unified.jsonc:94 shapeName).
       map_filter(map(lit("shapeName"), nullif(col("ShapeName"), lit(""))),

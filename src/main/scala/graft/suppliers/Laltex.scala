@@ -102,6 +102,7 @@ object Laltex {
         transform(coalesce(col("DueIns"), array()), d => struct(
           d.getField("DueInQty").try_cast("int").as("quantity"),
           d.getField("DueInETA").cast("string").as("expected_date"))).as("due_ins"),
+        array().cast(graft.schema.Unified.stockLocationsType).as("locations"),
         lit(null).cast("timestamp").as("last_updated")).as("__stock")))
 
     val v = products.select(
@@ -262,6 +263,8 @@ object Laltex {
       },
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),

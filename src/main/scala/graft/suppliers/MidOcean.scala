@@ -395,6 +395,8 @@ object MidOcean {
         col("timestamp").try_cast("timestamp").as("modified_date"),
         lit(null).cast("timestamp").as("discontinued_date"))
         .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       // Localized content maps (ref unified.jsonc:25-33 `{lang}`
       // convention): the product feed is single-language English, so
       // each non-null field fills its "en" key; per-language technique

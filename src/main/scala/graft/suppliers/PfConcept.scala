@@ -82,6 +82,7 @@ object PfConcept {
       |      leadTime: STRING>>,
       |    categoryData: STRUCT<groupCode: STRING, groupDesc: STRING,
       |      catCode: STRING, catDesc: STRING>,
+      |    relatedItems: STRUCT<related: ARRAY<STRING>>,
       |    imageData: STRUCT<imageMain: STRING, imageFront: STRING,
       |      imageBack: STRING, imagePackage: STRING, imageModel: STRING,
       |      imageMood1: STRING, imageMood2: STRING, imageMood3: STRING,
@@ -210,6 +211,7 @@ object PfConcept {
           col("__si.stockNextPo").try_cast("int").as("quantity"),
           col("__si.stockDateNextPo").cast("string").as("expected_date"))),
           d => d.getField("quantity").isNotNull).as("due_ins"),
+        array().cast(graft.schema.Unified.stockLocationsType).as("locations"),
         lit(null).cast("timestamp").as("last_updated")).as("__stock"))
 
     // Print options: item's decoCharge CSV → explode → broadcast join
@@ -327,7 +329,11 @@ object PfConcept {
       col("__item").as("__raw_item"),
       col("__item.sizeGrid").as("__size_grid"),
       col("__item.sizeRange").as("__size_range"),
-      col("__item.gender").as("__gender"))
+      col("__item.gender").as("__gender"),
+      // Item-level companion codes (ref PFConcept Sample Data.jsonc:
+      // 163-172 relatedItems.related) — unioned across items below.
+      FeedReader.asArray(joined, col("__item.relatedItems.related"))
+        .as("__related"))
 
     val grouped = joined
       .select(Seq(col("__model"), col("__pos"),
@@ -344,8 +350,13 @@ object PfConcept {
           col("__size_grid"), col("__size_range"), col("__gender")): _*),
           col("__pos")).as("__p"),
         transform(array_sort(collect_list(struct(col("__pos").as("o"),
-          col("__variant").as("v")))), x => x.getField("v")).as("variants"))
-      .select(col("__model"), col("__p.*"), col("variants"))
+          col("__variant").as("v")))), x => x.getField("v")).as("variants"),
+        // Sorted-distinct union of the per-item companion codes —
+        // collect_list order is nondeterministic, the sort restores a
+        // canonical form.
+        array_sort(array_distinct(flatten(collect_list(col("__related")))))
+          .as("__related_all"))
+      .select(col("__model"), col("__p.*"), col("variants"), col("__related_all"))
 
     val categories = filter(array(
       struct(col("__catdata").getField("groupCode").cast("string").as("id"),
@@ -401,6 +412,9 @@ object PfConcept {
       lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      coalesce(col("__related_all"), array().cast("array<string>"))
+        .cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       // Open attributes (ref unified.jsonc:79-84 variantAttributes
       // sizeGrid/sizeRange/gender — product-wide in the PFC feed).

@@ -144,6 +144,8 @@ object Ralawise {
       lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),

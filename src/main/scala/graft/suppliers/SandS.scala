@@ -66,7 +66,7 @@ object SandS {
         "qty" -> "int", "unitWeight" -> "double", "piecePrice" -> "double",
         "dozenPrice" -> "double", "casePrice" -> "double",
         "salePrice" -> "double",
-        "warehouses" -> "array<struct<qty:int,expectedInventory:string>>")
+        "warehouses" -> "array<struct<warehouseAbbr:string,qty:int,expectedInventory:string>>")
   private val categoryCols: Seq[(String, String)] =
     Seq("categoryID" -> "long", "name" -> "string")
   private val styleCols: Seq[(String, String)] =
@@ -146,13 +146,22 @@ object SandS {
         col("saleExpiration").try_cast("timestamp").as("valid_until"))),
       p => p.getField("value").isNotNull && p.getField("value") > 0)
 
-    // Stock: total qty plus per-warehouse due-ins (expected inventory).
+    // Stock: total qty, per-warehouse due-ins (expected inventory), and
+    // the per-warehouse snapshot itself (ref unified.jsonc:249-257
+    // stock.locations — warehouseAbbr is both id and name; the feed
+    // carries no per-warehouse country).
     val stock = struct(
       coalesce(col("qty").try_cast("int"), lit(0)).as("available"),
       filter(transform(coalesce(col("warehouses"), array()), w => struct(
         w.getField("qty").try_cast("int").as("quantity"),
         w.getField("expectedInventory").cast("string").as("expected_date"))),
         d => d.getField("quantity").isNotNull).as("due_ins"),
+      filter(transform(coalesce(col("warehouses"), array()), w => struct(
+        w.getField("warehouseAbbr").cast("string").as("id"),
+        w.getField("warehouseAbbr").cast("string").as("name"),
+        lit(null).cast("string").as("country"),
+        w.getField("qty").try_cast("int").as("qty"))),
+        l => l.getField("qty").isNotNull).as("locations"),
       lit(null).cast("timestamp").as("last_updated"))
 
     val colorImages = filter(array(
@@ -242,6 +251,8 @@ object SandS {
       lit(null).cast(graft.schema.Unified.schema("packaging").dataType).as("packaging"),
       lit(null).cast(graft.schema.Unified.schema("sustainability").dataType).as("sustainability"),
       lit(null).cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       lit(null).cast("timestamp").as("created_at"),

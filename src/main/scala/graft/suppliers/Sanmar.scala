@@ -50,6 +50,8 @@ object Sanmar {
       |  description: ARRAY<STRING>,
       |  ProductCategoryArray: STRUCT<ProductCategory: ARRAY<STRUCT<
       |    category: STRING, subCategory: STRING>>>,
+      |  RelatedProductArray: STRUCT<RelatedProduct: ARRAY<STRUCT<
+      |    relationType: STRING, productId: STRING>>>,
       |  ProductKeywordArray: STRUCT<ProductKeyword: ARRAY<STRUCT<keyword: STRING>>>,
       |  ProductPartArray: STRUCT<ProductPart: ARRAY<STRUCT<
       |    partId: STRING, isCloseout: STRING, gtin: STRING,
@@ -71,7 +73,11 @@ object Sanmar {
       |GetInventoryLevels STRUCT<Response: STRUCT<Inventory: STRUCT<
       |  PartInventoryArray: STRUCT<PartInventory: ARRAY<STRUCT<
       |    partId: STRING,
-      |    quantityAvailable: STRUCT<Quantity: STRUCT<value: STRING>>>>>>>>
+      |    quantityAvailable: STRUCT<Quantity: STRUCT<value: STRING>>,
+      |    InventoryLocationArray: STRUCT<InventoryLocation: ARRAY<STRUCT<
+      |      inventoryLocationId: STRING, inventoryLocationName: STRING,
+      |      country: STRING,
+      |      inventoryLocationQuantity: STRUCT<Quantity: STRUCT<value: STRING>>>>>>>>>>>
       |""".stripMargin)
 
   def readFeed(spark: SparkSession, path: String): Feed =
@@ -123,11 +129,21 @@ object Sanmar {
       struct(
         coalesce(col("__inv.quantityAvailable.Quantity.value").try_cast("int"),
           lit(0)).as("available"),
-        array().cast(graft.schema.Unified.schema("variants").dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]("stock").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]("due_ins").dataType)
+        array().cast(graft.schema.Unified.stockSchema("due_ins").dataType)
           .as("due_ins"),
+        // Per-warehouse snapshot (ref Sanmar Sample Data.jsonc:446-480
+        // InventoryLocationArray → unified.jsonc:249-257 locations).
+        filter(transform(
+          FeedReader.asArray(invParts,
+            col("__inv.InventoryLocationArray.InventoryLocation")),
+          l => struct(
+            l.getField("inventoryLocationId").cast("string").as("id"),
+            l.getField("inventoryLocationName").cast("string").as("name"),
+            l.getField("country").cast("string").as("country"),
+            l.getField("inventoryLocationQuantity").getField("Quantity")
+              .getField("value").try_cast("int").as("qty"))),
+          l => l.getField("qty").isNotNull)
+          .cast(graft.schema.Unified.stockLocationsType).as("locations"),
         lit(null).cast("timestamp").as("last_updated")).as("__stock"))
 
     // Parts (colour variants) out of the product body.
@@ -218,6 +234,19 @@ object Sanmar {
     // Sanmar Sample Data.jsonc:36-47).
     val descArr = FeedReader.asArray(product, col("description"))
 
+    // Related products (ref: Sanmar Sample Data.jsonc:165-170): the
+    // PromoStandards relation set; "Substitute" relations are the
+    // unified alternativeProducts, anything else (e.g. "Companion
+    // Sell") relatedProducts. Sorted-distinct — the envelope order is
+    // not meaningful.
+    val relatedArr =
+      FeedReader.asArray(product, col("RelatedProductArray.RelatedProduct"))
+    def relationCodes(pick: Column => Column): Column =
+      array_sort(array_distinct(transform(
+        filter(relatedArr, r => r.getField("productId").isNotNull &&
+          pick(coalesce(r.getField("relationType"), lit("")))),
+        r => r.getField("productId").cast("string"))))
+
     base.select(
       concat(lit("sanmar_"), coalesce(col("productId"), lit(""))).as("product_id"),
       struct(lit(supplierId).as("id"), lit("Sanmar").as("name"),
@@ -269,6 +298,10 @@ object Sanmar {
         col("lastChangeDate").try_cast("timestamp").as("modified_date"),
         lit(null).cast("timestamp").as("discontinued_date"))
         .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      relationCodes(t => t =!= "Substitute").cast("array<string>")
+        .as("related_products"),
+      relationCodes(t => t === "Substitute").cast("array<string>")
+        .as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       lit(null).cast("map<string,string>").as("product_extra_data"),
       col("creationDate").try_cast("timestamp").as("created_at"),

@@ -164,11 +164,9 @@ object Xd {
       col("ItemCode").as("__stock_item"),
       struct(
         coalesce(col("CurrentStock").try_cast("int"), lit(0)).as("available"),
-        array().cast(graft.schema.Unified.schema("variants").dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]("stock").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]("due_ins").dataType)
+        array().cast(graft.schema.Unified.stockSchema("due_ins").dataType)
           .as("due_ins"),
+        array().cast(graft.schema.Unified.stockLocationsType).as("locations"),
         lit(null).cast("timestamp").as("last_updated")).as("__stock"))
 
     // PrintPrices: small technique dimension keyed by PrintCode → broadcast.
@@ -412,6 +410,8 @@ object Xd {
         lit(null).cast("timestamp").as("modified_date"),
         lit(null).cast("timestamp").as("discontinued_date"))
         .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
+      array().cast("array<string>").as("related_products"),
+      array().cast("array<string>").as("alternative_products"),
       lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
       // Open attributes (ref unified.jsonc:91 giftWrappingPossible;
       // :260-266 variableDataPrinting).
