@@ -883,12 +883,15 @@ object Queries {
       graft.suppliers.PfConcept.unified(s, sample)
         .select(col("product_id"), col("name"), col("brand"),
           col("weight.value").as("weight_value"), col("weight.unit").as("weight_unit"),
-          size(col("print_options")).as("n_print_options"))
+          size(col("print_options")).as("n_print_options"),
+          // unified.jsonc:21 relatedProducts (sorted-distinct union).
+          array_join(col("related_products"), ",").as("related"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('pfconcept_R1070', 'Clasica unisex crewneck sweater', 'Roly', 12.0, 'kg', 1)
-      ) AS t(product_id, name, brand, weight_value, weight_unit, n_print_options)
+        ('pfconcept_R1070', 'Clasica unisex crewneck sweater', 'Roly', 12.0, 'kg', 1,
+         '37512,37513,38210,38231,38232,K1070,R1071')
+      ) AS t(product_id, name, brand, weight_value, weight_unit, n_print_options, related)
       ORDER BY product_id""")),
 
     ("q61_sands_unified", (s: SparkSession, d: String) => {
@@ -897,12 +900,17 @@ object Queries {
         .select(col("product_id"), col("name"), col("brand"),
           size(col("variants")).as("n_variants"),
           element_at(col("variants"), 1).getField("stock").getField("available")
-            .as("stock_available"))
+            .as("stock_available"),
+          // unified.jsonc:249-257 per-warehouse stock.locations.
+          element_at(element_at(col("variants"), 1).getField("stock")
+            .getField("locations"), 1).getField("id").as("location_id"),
+          element_at(element_at(col("variants"), 1).getField("stock")
+            .getField("locations"), 1).getField("qty").as("location_qty"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('ss_39', '2000', 'Gildan', 1, 7500)
-      ) AS t(product_id, name, brand, n_variants, stock_available)
+        ('ss_39', '2000', 'Gildan', 1, 7500, 'KS', 500)
+      ) AS t(product_id, name, brand, n_variants, stock_available, location_id, location_qty)
       ORDER BY product_id""")),
 
     ("q62_sanmar_unified", (s: SparkSession, d: String) => {
@@ -911,12 +919,16 @@ object Queries {
         .select(col("product_id"), col("name"), col("brand"),
           size(col("variants")).as("n_variants"),
           size(col("keywords")).as("n_keywords"),
-          size(col("categories")).as("n_categories"))
+          size(col("categories")).as("n_categories"),
+          // unified.jsonc:21-22 relation split (Companion Sell vs
+          // Substitute).
+          array_join(col("related_products"), ",").as("related"),
+          size(col("alternative_products")).as("n_alternatives"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('sanmar_108085', 'OGIO - Crunch Duffel. 108085', 'OGIO', 1, 34, 2)
-      ) AS t(product_id, name, brand, n_variants, n_keywords, n_categories)
+        ('sanmar_108085', 'OGIO - Crunch Duffel. 108085', 'OGIO', 1, 34, 2, '108085', 0)
+      ) AS t(product_id, name, brand, n_variants, n_keywords, n_categories, related, n_alternatives)
       ORDER BY product_id""")),
 
     // Multimodal plumbing: documents' text bytes stand in for media

@@ -86,6 +86,37 @@ object Sanmar {
   private val priceType = graft.schema.Unified.schema("base_prices").dataType
   private val imageType = graft.schema.Unified.schema("images").dataType
 
+  /** Inventory per part: available total + per-location snapshot
+    * (ref Sanmar Sample Data.jsonc:430-560 PartInventory with
+    * InventoryLocationArray → unified.jsonc:249-257 stock.locations).
+    * Package-visible so the golden spec can pin the location extraction
+    * even when a capture's inventory parts don't match its product
+    * parts (true of the reference sample). */
+  private[graft] def stockByPart(feed: Feed): DataFrame = {
+    val invParts = feed.inventory.select(
+      explode(FeedReader.asArray(feed.inventory,
+        col("PartInventoryArray.PartInventory"))).as("__inv"))
+    invParts.select(
+      col("__inv.partId").as("__stock_part"),
+      struct(
+        coalesce(col("__inv.quantityAvailable.Quantity.value").try_cast("int"),
+          lit(0)).as("available"),
+        array().cast(graft.schema.Unified.stockSchema("due_ins").dataType)
+          .as("due_ins"),
+        filter(transform(
+          FeedReader.asArray(invParts,
+            col("__inv.InventoryLocationArray.InventoryLocation")),
+          l => struct(
+            l.getField("inventoryLocationId").cast("string").as("id"),
+            l.getField("inventoryLocationName").cast("string").as("name"),
+            l.getField("country").cast("string").as("country"),
+            l.getField("inventoryLocationQuantity").getField("Quantity")
+              .getField("value").try_cast("int").as("qty"))),
+          l => l.getField("qty").isNotNull)
+          .cast(graft.schema.Unified.stockLocationsType).as("locations"),
+        lit(null).cast("timestamp").as("last_updated")).as("__stock"))
+  }
+
   def unified(feed: Feed): DataFrame = {
     val product = feed.product
 
@@ -120,31 +151,7 @@ object Sanmar {
           p.getField("priceExpiryDate").try_cast("timestamp").as("valid_until")))
         .as("__part_prices"))
 
-    // Inventory: available total + per-location snapshot per part.
-    val invParts = feed.inventory.select(
-      explode(FeedReader.asArray(feed.inventory,
-        col("PartInventoryArray.PartInventory"))).as("__inv"))
-    val stockByPart = invParts.select(
-      col("__inv.partId").as("__stock_part"),
-      struct(
-        coalesce(col("__inv.quantityAvailable.Quantity.value").try_cast("int"),
-          lit(0)).as("available"),
-        array().cast(graft.schema.Unified.stockSchema("due_ins").dataType)
-          .as("due_ins"),
-        // Per-warehouse snapshot (ref Sanmar Sample Data.jsonc:446-480
-        // InventoryLocationArray → unified.jsonc:249-257 locations).
-        filter(transform(
-          FeedReader.asArray(invParts,
-            col("__inv.InventoryLocationArray.InventoryLocation")),
-          l => struct(
-            l.getField("inventoryLocationId").cast("string").as("id"),
-            l.getField("inventoryLocationName").cast("string").as("name"),
-            l.getField("country").cast("string").as("country"),
-            l.getField("inventoryLocationQuantity").getField("Quantity")
-              .getField("value").try_cast("int").as("qty"))),
-          l => l.getField("qty").isNotNull)
-          .cast(graft.schema.Unified.stockLocationsType).as("locations"),
-        lit(null).cast("timestamp").as("last_updated")).as("__stock"))
+    val stockByPart = Sanmar.stockByPart(feed)
 
     // Parts (colour variants) out of the product body.
     val parts = product.select(

@@ -209,6 +209,21 @@ class SandSSpec extends SparkSpec {
     assert(r.getInt(1) >= 1)
   }
 
+  test("warehouse rows also snapshot into stock.locations") {
+    assume(available)
+    // One warehouse (KS, qty 500); warehouseAbbr doubles as id and
+    // name, and the feed carries no per-warehouse country.
+    val loc = unified.filter(col("product_id") === "ss_39")
+      .select(explode(element_at(col("variants"), 1)
+        .getField("stock").getField("locations")).as("l"))
+      .select(col("l.id"), col("l.name"), col("l.country"), col("l.qty"))
+      .collect()
+    assert(loc.length == 1)
+    assert(loc(0).getString(0) == "KS" && loc(0).getString(1) == "KS")
+    assert(loc(0).isNullAt(2))
+    assert(loc(0).getInt(3) == 500)
+  }
+
   test("style dimension misses resolve to null-safe defaults") {
     assume(available)
     // styleID 39 has no styles-dim row: name falls back to styleName.
@@ -293,6 +308,15 @@ class PfConceptSpec extends SparkSpec {
     assert(r.getString(2) == "2025-06-17")
   }
 
+  test("relatedItems union across items into sorted-distinct related_products") {
+    assume(available)
+    val r = unified.filter(col("product_id") === "pfconcept_R1070")
+      .select(col("related_products"), col("alternative_products")).collect()(0)
+    assert(r.getSeq[String](0) ==
+      Seq("37512", "37513", "38210", "38231", "38232", "K1070", "R1071"))
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
   test("deco-charge grid flattens to printCode-keyed tier dimension") {
     assume(available)
     val dim = PfConcept.decoChargeDim(PfConcept.readFeed(spark, samplePath))
@@ -364,6 +388,36 @@ class SanmarSpec extends SparkSpec {
         element_at(col("variants"), 1).getField("dimensions")).collect()(0)
     assert(r.getDouble(0) == 37.92 && r.getString(1) == "oz")
     assert(r.isNullAt(2)) // 0×0×0 collapses to null (P9 semantics)
+  }
+
+  test("inventory parts carry per-warehouse location snapshots") {
+    assume(available)
+    // The sample's inventory part (62822) has 9 US locations; their
+    // quantities sum to the part's quantityAvailable (349).
+    val r = Sanmar.stockByPart(Sanmar.readFeed(spark, samplePath))
+      .filter(col("__stock_part") === "62822")
+      .select(col("__stock.available"),
+        size(col("__stock.locations")),
+        aggregate(col("__stock.locations"), lit(0),
+          (acc, l) => acc + l.getField("qty")),
+        element_at(col("__stock.locations"), 1).getField("name"),
+        element_at(col("__stock.locations"), 1).getField("country"),
+        element_at(col("__stock.locations"), 2).getField("qty")).collect()(0)
+    assert(r.getInt(0) == 349)
+    assert(r.getInt(1) == 9)
+    assert(r.getInt(2) == 349) // locations are a partition of available
+    assert(r.getString(3) == "Seattle" && r.getString(4) == "US")
+    assert(r.getInt(5) == 96) // Cincinnati
+  }
+
+  test("PromoStandards relations split into related vs alternative products") {
+    assume(available)
+    // The sample declares one "Companion Sell" relation and no
+    // "Substitute" ones.
+    val r = unified.filter(col("product_id") === "sanmar_108085")
+      .select(col("related_products"), col("alternative_products")).collect()(0)
+    assert(r.getSeq[String](0) == Seq("108085"))
+    assert(r.getSeq[String](1).isEmpty)
   }
 
   test("unified output conforms to the canonical schema") {
