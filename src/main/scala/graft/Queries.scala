@@ -1733,7 +1733,57 @@ object Queries {
       r AS (SELECT sku, qty, ts,
               row_number() OVER (PARTITION BY sku ORDER BY ts DESC, qty DESC) AS rn
             FROM u)
-      SELECT sku, qty, ts AS modified_at FROM r WHERE rn = 1 ORDER BY sku"""))
+      SELECT sku, qty, ts AS modified_at FROM r WHERE rn = 1 ORDER BY sku""")),
+
+    // Transitive near-dup clustering: MinHash candidate pairs →
+    // connected components (min-label propagation + pointer jumping,
+    // O(log n) rounds — see Dedup.connectedComponents). The oracle
+    // rebuilds the same md5 MinHash pairs as q54 and closes them with a
+    // recursive transitive-reachability CTE.
+    ("q74_dup_clusters", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      val pairs = Dedup.minHashPairs(base.unionByName(mutated), col("text"),
+        col("doc_id"), numHashes = 12, bands = 4, shingleWidth = 3,
+        threshold = 0.3)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id < 200),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+          len(list_filter(generate_series(1, 12), i -> l.sig[i] = r.sig[i])) / 12.0 AS est
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs WHERE est >= 0.3
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs WHERE est >= 0.3),
+      reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a)
+      SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""
+    })
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

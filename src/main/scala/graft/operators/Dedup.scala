@@ -223,10 +223,80 @@ object Dedup {
     * (`pairs` carries id_a < id_b, so dropping the id_b side removes
     * exactly the non-canonical members; no connected-components pass
     * needed for this policy). One anti-join — the standard final step
-    * after [[minHashPairs]]/[[simHashPairs]] at corpus scale. */
+    * after [[minHashPairs]]/[[simHashPairs]] at corpus scale.
+    *
+    * Keep-first keeps every LOCAL minimum: a doc survives iff it has no
+    * smaller direct neighbor. When similarity is transitive only
+    * through a larger id — pairs (1,3),(2,3) — both 1 and 2 survive
+    * even though they sit in one near-dup cluster. For strict
+    * one-per-cluster retention use [[dedupCorpusClusters]]. */
   def dedupCorpus(df: DataFrame, pairs: DataFrame, id: Column): DataFrame =
     df.join(pairs.select(col("id_b").as("__drop")).distinct(),
       id === col("__drop"), "left_anti")
+
+  /** Connected components of the undirected candidate-pair graph
+    * (`id_a`/`id_b` columns): every node maps to the minimum id in its
+    * component — the transitive closure of the near-dup relation.
+    *
+    * Scale design (100 TB): min-label propagation with pointer jumping
+    * — each round sets label(u) ← min(label(u), min over neighbours'
+    * labels), then label(u) ← label(label(u)). The jump halves label
+    * chains, giving O(log n) rounds like the alternating
+    * large-star/small-star algorithm; each round is two shuffles keyed
+    * by node id over |V|+|E| rows, never an all-pairs product. Lineage
+    * is truncated every round (localCheckpoint here; swap for reliable
+    * `checkpoint` on a real cluster) so the plan cannot grow with the
+    * iteration count, and convergence is one count over |V| rows. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("__nc")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("__nc")).as("__nmin"))
+      val stepped = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component"))
+      // Pointer jump: labels are node ids, so each label's own label
+      // exists; following it halves chains (left_outer only guards the
+      // degenerate empty-graph case).
+      val jumped = stepped
+        .join(stepped.select(col("id").as("__jid"), col("component").as("__jc")),
+          stepped("component") === col("__jid"), "left_outer")
+        .select(col("id"), coalesce(col("__jc"), col("component")).as("component"))
+      val next = jumped.localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .filter(col("component") =!= col("__old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster-level corpus dedup: transitive-closure the pair set with
+    * [[connectedComponents]] and keep exactly the minimum-id document
+    * per component (every doc whose component label differs from its
+    * own id is dropped — one anti-join after the CC rounds). */
+  def dedupCorpusClusters(df: DataFrame, pairs: DataFrame, id: Column): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop"))
+    df.join(drops, id === col("__drop"), "left_anti")
+  }
 
   /** Exact n-gram (shingle-set) Jaccard similarity for pairs. Without a
     * candidate set this is O(n²) via the shingle-level self-join —

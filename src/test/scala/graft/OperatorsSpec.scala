@@ -59,6 +59,31 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(4L)) // never paired -> survives
   }
 
+  test("connectedComponents: transitive closure maps every node to its component min") {
+    // Two components ({1,2,3,5} via a chain through larger ids, {7,8})
+    // plus a 20-node chain that needs several propagation rounds.
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 3L), (2L, 3L), (3L, 5L), (7L, 8L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 5L).forall(comps(_) == 1L))
+    assert(comps(7L) == 7L && comps(8L) == 7L)
+    assert((100L to 119L).forall(comps(_) == 100L))
+  }
+
+  test("dedupCorpusClusters keeps one doc per component where keep-first over-keeps") {
+    // 1-3 and 2-3 are similar pairs: keep-first retains both 1 and 2
+    // (2's only neighbour is larger), cluster dedup retains only 1.
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val keepFirst = Dedup.dedupCorpus(df, pairs, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val clustered = Dedup.dedupCorpusClusters(df, pairs, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keepFirst == Set(1L, 2L, 4L, 5L))
+    assert(clustered == Set(1L, 4L, 5L))
+  }
+
   test("ngramJaccardPairs: exact dups score 1.0; candidates overload restricts scoring") {
     val all = Dedup.ngramJaccardPairs(df, $"text", $"id", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
