@@ -1783,7 +1783,42 @@ object Queries {
         UNION
         SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a)
       SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""
-    })
+    }),
+
+    // Atomic snapshot sink (SnapshotStore): K1 merge as a manifest
+    // commit — crash-safe alternative to dynamic partition overwrite.
+    // Two commits then a read-back; merge semantics match q16's oracle
+    // window (version desc, incoming wins ties).
+    ("q75_snapshot_merge", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-q75").toString + "/customers"
+      val c = t(s, d, "customer")
+      val base = c.filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(1).as("sync_version"))
+      val updates = c.filter(col("c_custkey") <= 1500 && col("c_custkey") % 3 === 0)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") * 2).as("c_acctbal"), lit(2).as("sync_version"))
+      graft.sinks.SnapshotStore.commit(s, base, root, "c_mktsegment")
+      graft.sinks.SnapshotStore.mergeCommit(s, updates, root,
+        "c_custkey", "sync_version", "c_mktsegment")
+      graft.sinks.SnapshotStore.read(s, root)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("sync_version"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment, round(acctbal, 2) AS acctbal, sync_version FROM (
+        SELECT c_custkey, c_mktsegment, acctbal, sync_version,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY sync_version DESC, src DESC) AS rn
+        FROM (
+          SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal, 1 AS sync_version, 0 AS src
+          FROM customer WHERE c_custkey <= 1000
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS acctbal, 2 AS sync_version, 1 AS src
+          FROM customer WHERE c_custkey <= 1500 AND c_custkey % 3 = 0
+            AND c_mktsegment IN ('BUILDING', 'MACHINERY')))
+      WHERE rn = 1 ORDER BY c_custkey"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.SnapshotStore
+
+/** Atomic snapshot sink: commit protocol, file reuse, crash safety,
+  * time travel, vacuum. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snapstore").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "version")
+
+  test("commit/read roundtrip with manifest-level partition pruning") {
+    val root = freshRoot()
+    val v = SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    assert(v == 1L)
+    assert(SnapshotStore.read(spark, root).count() == 3)
+    val pruned = SnapshotStore.read(spark, root, Some(Seq("b")))
+      .select("product_id").as[String].collect().toSet
+    assert(pruned == Set("p3"))
+    // Fully-pruned selection keeps schema, returns no rows.
+    val none = SnapshotStore.read(spark, root, Some(Seq("zz")))
+    assert(none.columns.contains("product_id") && none.isEmpty)
+  }
+
+  test("mergeCommit rewrites only touched partitions and reuses others by reference") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    val v2 = SnapshotStore.mergeCommit(spark,
+      table(("p1", "a", 2), ("p4", "a", 2)), root,
+      "product_id", "version", "supplier")
+    assert(v2 == 2L)
+    val out = SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toMap
+    // p1 upserted to v2, p4 inserted, p2 kept (older row survives the
+    // window), p3 untouched.
+    assert(out == Map("p1" -> 2, "p2" -> 1, "p3" -> 1, "p4" -> 2))
+
+    // Partition b's files must be carried over BY REFERENCE: identical
+    // paths in both manifests.
+    val m1 = SnapshotStore.manifest(spark, root, 1).filter(_.partition == "b").map(_.path).toSet
+    val m2 = SnapshotStore.manifest(spark, root, 2).filter(_.partition == "b").map(_.path).toSet
+    assert(m1 == m2 && m1.nonEmpty)
+    // And partition a's files must all be new in v2.
+    val a1 = SnapshotStore.manifest(spark, root, 1).filter(_.partition == "a").map(_.path).toSet
+    val a2 = SnapshotStore.manifest(spark, root, 2).filter(_.partition == "a").map(_.path).toSet
+    assert(a1.intersect(a2).isEmpty)
+  }
+
+  test("a crashed write (data files, no manifest) leaves the previous snapshot intact") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    // Simulate a committer that died after writing data files but
+    // before publishing the manifest: orphan files under data/.
+    table(("poison", "a", 9)).withColumn("__part", col("supplier"))
+      .write.partitionBy("__part")
+      .parquet(s"$root/data/v_2-deadbeef")
+    assert(SnapshotStore.currentVersion(spark, root).contains(1L))
+    val out = SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet
+    assert(out == Set("p1")) // the orphan is invisible
+    // The next successful commit wins version 2 regardless of orphans.
+    val v2 = SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+      "product_id", "version", "supplier")
+    assert(v2 == 2L)
+    assert(SnapshotStore.read(spark, root).count() == 2)
+  }
+
+  test("time travel reads historic versions until vacuum drops them") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p3", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 3)), root,
+      "product_id", "version", "supplier")
+    assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(SnapshotStore.readVersion(spark, root, 1)
+      .filter($"product_id" === "p1").select("version").as[Int].head() == 1)
+    assert(SnapshotStore.readVersion(spark, root, 2)
+      .filter($"product_id" === "p1").select("version").as[Int].head() == 2)
+
+    SnapshotStore.vacuum(spark, root, keep = 2)
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L))
+    // v2/v3 stay fully readable — including partition b's files, which
+    // were written by the vacuumed v1 but are still referenced.
+    assert(SnapshotStore.readVersion(spark, root, 2).count() == 2)
+    assert(SnapshotStore.read(spark, root)
+      .filter($"supplier" === "b").count() == 1)
+    // v1's exclusive files (partition a's original) are gone.
+    intercept[Exception] {
+      SnapshotStore.manifest(spark, root, 1)
+    }
+  }
+}
