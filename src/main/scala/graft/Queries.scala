@@ -1818,7 +1818,84 @@ object Queries {
           SELECT c_custkey, c_mktsegment, c_acctbal * 2 AS acctbal, 2 AS sync_version, 1 AS src
           FROM customer WHERE c_custkey <= 1500 AND c_custkey % 3 = 0
             AND c_mktsegment IN ('BUILDING', 'MACHINERY')))
-      WHERE rn = 1 ORDER BY c_custkey"""))
+      WHERE rn = 1 ORDER BY c_custkey""")),
+
+    // Quality-policy cluster dedup: keep the LONGEST member of each
+    // near-dup component (the mutated +' zz yy xx' variants win over
+    // their originals — the opposite of q74's min-id policy).
+    ("q76_dedup_best_per_cluster", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz yy xx")).as("text"))
+      val corpus = base.unionByName(mutated)
+      val pairs = Dedup.minHashPairs(corpus, col("text"), col("doc_id"),
+        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+      Dedup.dedupCorpusClustersBy(corpus, pairs, col("doc_id"),
+          length(col("text")))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id < 200),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+          len(list_filter(generate_series(1, 12), i -> l.sig[i] = r.sig[i])) / 12.0 AS est
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs WHERE est >= 0.3
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs WHERE est >= 0.3),
+      reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+      SELECT doc_id FROM (
+        SELECT b.doc_id,
+          row_number() OVER (
+            PARTITION BY coalesce(c.component, b.doc_id)
+            ORDER BY length(b.text) DESC, b.doc_id) AS rn
+        FROM base b LEFT JOIN comp c ON b.doc_id = c.id)
+      WHERE rn = 1 ORDER BY doc_id"""
+    }),
+
+    // Stratified token-budget sampling: deterministic md5-ordered
+    // prefix per language while the running token total fits the
+    // budget (Sampling.sampleToTokenBudget).
+    ("q77_token_budget_sample", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.sampleToTokenBudget(docs, col("n_tokens"),
+          col("doc_id"), col("lang"), budgetPerStratum = 2000L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM (SELECT doc_id, lang,
+                len(string_split(text, ' ')) AS n_tokens FROM documents))
+      WHERE running <= 2000 ORDER BY doc_id"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -265,22 +265,21 @@ object Dedup {
         .agg(min(col("__nc")).as("__nmin"))
       val stepped = labels
         .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
             .as("component"))
       // Pointer jump: labels are node ids, so each label's own label
       // exists; following it halves chains (left_outer only guards the
-      // degenerate empty-graph case).
+      // degenerate empty-graph case). The pre-round label rides along
+      // as __old so convergence needs no extra |V|-row join.
       val jumped = stepped
         .join(stepped.select(col("id").as("__jid"), col("component").as("__jc")),
           stepped("component") === col("__jid"), "left_outer")
-        .select(col("id"), coalesce(col("__jc"), col("component")).as("component"))
+        .select(col("id"), col("__old"),
+          coalesce(col("__jc"), col("component")).as("component"))
       val next = jumped.localCheckpoint(true)
-      converged = next
-        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
-        .filter(col("component") =!= col("__old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       iter += 1
     }
     sym.unpersist()
@@ -296,6 +295,29 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__drop"))
     df.join(drops, id === col("__drop"), "left_anti")
+  }
+
+  /** Cluster-level dedup with a QUALITY policy: keep the best document
+    * per near-dup component by `prefer` (descending; ties break on the
+    * lowest id) instead of the lowest id — e.g. keep the longest or
+    * highest-quality-score member of each cluster.
+    *
+    * Scale shape: only documents that appear in a pair enter the
+    * per-component window (two broadcast-size semi/anti-joins split the
+    * corpus); the untouched majority of a 100 TB corpus never shuffles.
+    * The window partitions by component — near-dup clusters are small,
+    * so no skew. */
+  def dedupCorpusClustersBy(df: DataFrame, pairs: DataFrame, id: Column,
+                            prefer: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component").as("__component"))
+    val paired = df.join(comps, id === col("__cc_id"), "inner")
+    val unpaired = df.join(comps, id === col("__cc_id"), "left_anti")
+    val w = Window.partitionBy(col("__component")).orderBy(prefer.desc, id.asc)
+    val best = paired.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cc_id", "__component")
+    unpaired.unionByName(best)
   }
 
   /** Exact n-gram (shingle-set) Jaccard similarity for pairs. Without a

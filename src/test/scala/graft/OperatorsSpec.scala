@@ -84,6 +84,20 @@ class DedupSpec extends SparkSpec {
     assert(clustered == Set(1L, 4L, 5L))
   }
 
+  test("dedupCorpusClustersBy keeps the best-quality member per cluster") {
+    // Component {1,2,3}: doc 3 has the longest text (trailing '!') so
+    // the quality policy keeps 3 where min-id policy keeps 1; ties
+    // (1 vs 2, equal length) would break to the lower id.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusClustersBy(df, pairs, $"id", length($"text"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    val tiePairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val tied = Dedup.dedupCorpusClustersBy(df, tiePairs, $"id", length($"text"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tied == Set(1L, 3L, 4L, 5L))
+  }
+
   test("ngramJaccardPairs: exact dups score 1.0; candidates overload restricts scoring") {
     val all = Dedup.ngramJaccardPairs(df, $"text", $"id", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
