@@ -46,7 +46,17 @@ object ScaleSmoke {
       (name, (System.nanoTime() - t0) / 1e9, n)
     }
 
-    import graft.operators.{Dedup, Similarity}
+    import graft.operators.{Dedup, Sampling, Similarity}
+
+    // Snapshot-store base table (written OUTSIDE the timed merge so the
+    // measurement isolates the incremental commit cost).
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("graft_scale_snap").toString + "/t"
+    val snapBase = docs
+      .withColumn("part", pmod(col("doc_id"), lit(16)))
+      .withColumn("v", lit(1))
+    graft.sinks.SnapshotStore.commit(spark, snapBase, snapRoot, "part")
+
     val results = Seq(
       time("exact_groups") {
         Dedup.exactGroups(docs, col("text"), col("doc_id"))
@@ -69,6 +79,33 @@ object ScaleSmoke {
         Similarity.bucketedTopK(embs, "vec_id", "embedding",
           embs.filter(col("vec_id") < 64).select(col("vec_id")),
           k = 10, numAnchors = 10).count()
+      },
+      // Transitive clustering over the full banded-LSH pair graph —
+      // the O(log n)-round min-label loop on ~1M pairs at 20×.
+      time("cc_clusters") {
+        val pairs = Dedup.minHashPairs(docs, col("text"), col("doc_id"),
+          numHashes = 12, bands = 4, threshold = 0.5, fastHash = true)
+        Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("component")).count()
+      },
+      // Incremental snapshot merge: 1 of 16 partitions touched — cost
+      // must track the batch, not the table.
+      time("snapshot_merge_incremental") {
+        val incr = snapBase.filter(col("part") === 3).withColumn("v", lit(2))
+        graft.sinks.SnapshotStore.mergeCommit(spark, incr, snapRoot,
+          "doc_id", "v", "part")
+        graft.sinks.SnapshotStore.read(spark, snapRoot,
+          Some(Seq("3"))).count()
+      },
+      // Stratified token-budget sample: one window shuffle keyed by
+      // stratum; budget scales with amplification so the kept fraction
+      // stays comparable.
+      time("token_budget_sample") {
+        val strat = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("stratum"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToTokenBudget(strat, col("n_tokens"), col("doc_id"),
+          col("stratum"), budgetPerStratum = 2000L * amp).count()
       },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
