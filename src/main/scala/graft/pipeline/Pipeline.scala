@@ -136,7 +136,8 @@ object Pipeline {
     * stamp (K7) → keyed merge into the partitioned unified table (K1).
     * `since` (§2.10 incremental): None = full sync. */
   def runSupplier(spark: SparkSession, cfg: SupplierConfig, sinkPath: String,
-                  since: Option[java.sql.Timestamp] = None): ETLResult = {
+                  since: Option[java.sql.Timestamp] = None,
+                  atomicSink: Boolean = false): ETLResult = {
     val t0 = System.nanoTime()
     try {
       val pipeline = Registry.all.getOrElse(cfg.id,
@@ -161,9 +162,20 @@ object Pipeline {
         .withColumn("supplier_id", col("supplier.id"))
       val errorCount = bad.count()
       val successCount = good.count()
-      if (successCount > 0)
-        Upsert.mergeIntoParquet(spark, good, sinkPath,
-          keyCol = "product_id", versionCol = "last_sync", partitionCol = "supplier_id")
+      if (successCount > 0) {
+        // Sink selection (S8): the default is dynamic-partition-
+        // overwrite parquet; "snapshot" mode commits through the atomic
+        // manifest store (crash-safe publish, optimistic retry against
+        // concurrent sibling suppliers).
+        if (atomicSink)
+          graft.sinks.SnapshotStore.mergeCommit(spark, good, sinkPath,
+            keyCol = "product_id", versionCol = "last_sync",
+            partitionCol = "supplier_id")
+        else
+          Upsert.mergeIntoParquet(spark, good, sinkPath,
+            keyCol = "product_id", versionCol = "last_sync",
+            partitionCol = "supplier_id")
+      }
       val samples = bad.select(concat_ws("; ", col("__errors"))).limit(5)
         .collect().map(_.getString(0)).toSeq
       tagged.unpersist()
@@ -197,9 +209,11 @@ object Pipeline {
     * ETLResult; results keep `cfgs` order. */
   def runFullSync(spark: SparkSession, cfgs: Seq[SupplierConfig],
                   sinkPath: String,
-                  since: Option[java.sql.Timestamp] = None): Seq[ETLResult] = {
+                  since: Option[java.sql.Timestamp] = None,
+                  atomicSink: Boolean = false): Seq[ETLResult] = {
     if (cfgs.isEmpty) Nil
-    else if (cfgs.size == 1) Seq(runSupplier(spark, cfgs.head, sinkPath, since))
+    else if (cfgs.size == 1)
+      Seq(runSupplier(spark, cfgs.head, sinkPath, since, atomicSink))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(cfgs.size, 8))
@@ -207,7 +221,7 @@ object Pipeline {
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
         val futures = cfgs.map(cfg =>
-          scala.concurrent.Future(runSupplier(spark, cfg, sinkPath, since)))
+          scala.concurrent.Future(runSupplier(spark, cfg, sinkPath, since, atomicSink)))
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
@@ -215,9 +229,15 @@ object Pipeline {
     }
   }
 
-  /** R5/A1-A3 — status report over the unified table. */
+  /** R5/A1-A3 — status report over the unified table. Snapshot-mode
+    * tables (a `manifests/` dir under the sink) read through the
+    * current manifest; plain parquet sinks read directly. */
   def statusReport(spark: SparkSession, sinkPath: String): DataFrame = {
-    val df = spark.read.parquet(sinkPath)
+    val manifests = new org.apache.hadoop.fs.Path(sinkPath, "manifests")
+    val fs = manifests.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.exists(manifests)) graft.sinks.SnapshotStore.read(spark, sinkPath)
+      else spark.read.parquet(sinkPath)
     df.groupBy(col("supplier_id"), col("status"))
       .agg(count(lit(1)).as("n_products"),
         sum(size(col("variants"))).as("n_variants"))
@@ -260,6 +280,11 @@ object Main {
       import spark.implicits._
       val cfg = spark.read.json(Seq(cfgText).toDS)
       val sink = cfg.select("sink").collect()(0).getString(0)
+      // Optional "sinkMode": "snapshot" selects the atomic manifest
+      // store; anything else (or absent) keeps partition-overwrite
+      // parquet.
+      val atomicSink = cfg.columns.contains("sinkMode") &&
+        cfg.select("sinkMode").collect()(0).getString(0) == "snapshot"
       val suppliers = cfg.select(explode(col("suppliers")).as("s"))
         .select("s.id", "s.feedPath").collect()
         .map(r => SupplierConfig(r.getString(0), r.getString(1))).toSeq
@@ -270,14 +295,15 @@ object Main {
       }
       action match {
         case "sync" =>
-          report(Pipeline.runFullSync(spark, suppliers, sink))
+          report(Pipeline.runFullSync(spark, suppliers, sink,
+            atomicSink = atomicSink))
         case "incremental" =>
           // --since <ISO timestamp>; sources without a modification
           // timestamp fall back to full sync (ref: etl/base.py:267-273).
           val since = args.lift(2)
             .map(s => java.sql.Timestamp.valueOf(s.replace('T', ' ')))
             .orElse(Some(new java.sql.Timestamp(0L)))
-          report(Pipeline.runFullSync(spark, suppliers, sink, since))
+          report(Pipeline.runFullSync(spark, suppliers, sink, since, atomicSink))
         case "validate" =>
           suppliers.foreach { s =>
             val ok = graft.sources.FeedReader.validate(spark, s.feedPath)

@@ -180,35 +180,43 @@ object SnapshotStore {
     * only partitions present in `incoming` are rewritten — every other
     * partition's files are carried into the new manifest by reference.
     * A crash anywhere leaves the previous snapshot fully readable.
-    * Returns the committed version. */
+    *
+    * Optimistic concurrency: losing the manifest rename means another
+    * writer committed first, so the ENTIRE merge recomputes against the
+    * winner's snapshot (a first-commit loser must not publish a
+    * manifest missing the winner's files, and a same-partition loser
+    * must merge on top of the winner's rows). Lost attempts' data files
+    * become orphans that [[vacuum]] collects. Returns the committed
+    * version. */
   def mergeCommit(spark: SparkSession, incoming: DataFrame, root: String,
-                  keyCol: String, versionCol: String,
-                  partitionCol: String): Long = {
-    currentVersion(spark, root) match {
-      case None => commit(spark, incoming, root, partitionCol)
-      case Some(cur) =>
-        val entries = manifest(spark, root, cur)
-        // Touched partitions: one small distinct-collect (bounded by the
-        // partition cardinality of the incoming batch, e.g. suppliers).
-        val touched = incoming.select(col(partitionCol).cast("string"))
-          .distinct().collect().map(_.getString(0)).toSet
-        val (replaced, kept) = entries.partition(e => touched(e.partition))
-        val existing = if (replaced.isEmpty) None
-          else Some(readEntries(spark, root, replaced))
-        // No checkpoint needed: data files are append-only, so reading
-        // the replaced files while writing the new version's files
-        // cannot race (unlike overwrite-in-place sinks).
-        val merged = existing match {
-          case Some(ex) => Upsert.merge(ex, incoming, keyCol, versionCol)
-          case None => incoming
-        }
-        val v = cur + 1
-        val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
-        if (!writeManifest(spark, root, v, kept ++ newEntries))
-          throw new java.util.ConcurrentModificationException(
-            s"snapshot $v already committed under $root")
-        v
+                  keyCol: String, versionCol: String, partitionCol: String,
+                  maxAttempts: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (kept, merged, v) = currentVersion(spark, root) match {
+        case None => (Seq.empty[ManifestEntry], incoming, 1L)
+        case Some(cur) =>
+          val entries = manifest(spark, root, cur)
+          // Touched partitions: one small distinct-collect (bounded by
+          // the partition cardinality of the incoming batch, e.g.
+          // suppliers).
+          val touched = incoming.select(col(partitionCol).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          val (replaced, keptEntries) = entries.partition(e => touched(e.partition))
+          // No checkpoint needed: data files are append-only, so reading
+          // the replaced files while writing the new version's files
+          // cannot race (unlike overwrite-in-place sinks).
+          val m = if (replaced.isEmpty) incoming
+            else Upsert.merge(readEntries(spark, root, replaced), incoming,
+              keyCol, versionCol)
+          (keptEntries, m, cur + 1)
+      }
+      val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries)) return v
+      attempt += 1
     }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the merge-commit race $maxAttempts times under $root")
   }
 
   /** Drop all but the newest `keep` manifests and delete data files no

@@ -74,6 +74,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 2)
   }
 
+  test("racing mergeCommits both land via optimistic retry, neither loses data") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p0", "z", 1)), root, "supplier")
+    // Two writers to DIFFERENT partitions race on the same next
+    // version; the loser must recompute against the winner's manifest
+    // (a lost first-write that dropped the other's files would shed a
+    // whole partition here).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(SnapshotStore.mergeCommit(spark, table(("pa", "a", 2)),
+      root, "product_id", "version", "supplier"))
+    val fb = Future(SnapshotStore.mergeCommit(spark, table(("pb", "b", 2)),
+      root, "product_id", "version", "supplier"))
+    val vs = Seq(Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    assert(vs.toSet == Set(2L, 3L)) // serialized, distinct versions
+    val out = SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet
+    assert(out == Set("p0", "pa", "pb"))
+  }
+
   test("time travel reads historic versions until vacuum drops them") {
     val root = freshRoot()
     SnapshotStore.commit(spark, table(("p1", "a", 1), ("p3", "b", 1)), root, "supplier")
