@@ -80,4 +80,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("partial") >= 0 && p.indexOf("partial") > p.indexOf("Exchange"),
       "no map-side partial aggregation in the stock fold")
   }
+
+  test("q77: token-budget sample is exactly one shuffle (the stratum window)") {
+    assume(available)
+    val p = plan("q77_token_budget_sample")
+    // One hashpartitioning exchange for the window; the final orderBy
+    // adds a rangepartitioning one. Anything more means the sampler
+    // grew a hidden extra shuffle.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 window exchange, found $hashEx:\n${p.take(800)}")
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("q76: quality-policy cluster dedup never goes quadratic") {
+    assume(available)
+    val p = plan("q76_dedup_best_per_cluster")
+    assert(!p.contains("CartesianProduct"), "cluster dedup went cartesian")
+    // The per-component keep-best window must exist, and the unpaired
+    // majority bypasses it (union of window branch + anti-join branch).
+    assert(p.contains("Window"), p.take(400))
+    assert(p.contains("Union"), "unpaired-bypass union missing")
+  }
 }

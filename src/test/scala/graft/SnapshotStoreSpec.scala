@@ -22,9 +22,16 @@ class SnapshotStoreSpec extends SparkSpec {
       table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
     assert(v == 1L)
     assert(SnapshotStore.read(spark, root).count() == 3)
-    val pruned = SnapshotStore.read(spark, root, Some(Seq("b")))
-      .select("product_id").as[String].collect().toSet
+    val prunedDf = SnapshotStore.read(spark, root, Some(Seq("b")))
+    val pruned = prunedDf.select("product_id").as[String].collect().toSet
     assert(pruned == Set("p3"))
+    // Manifest-level pruning: the scan's input files are exactly the
+    // manifest entries of partition b — no listing of other partitions.
+    val bPaths = SnapshotStore.manifest(spark, root, v)
+      .filter(_.partition == "b").map(_.path).toSet
+    val scanned = prunedDf.inputFiles.toSet
+    assert(scanned.forall(f => bPaths.exists(f.endsWith)),
+      s"scan read beyond partition b: $scanned vs $bPaths")
     // Fully-pruned selection keeps schema, returns no rows.
     val none = SnapshotStore.read(spark, root, Some(Seq("zz")))
     assert(none.columns.contains("product_id") && none.isEmpty)
