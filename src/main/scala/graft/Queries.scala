@@ -1895,7 +1895,75 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         FROM (SELECT doc_id, lang,
                 len(string_split(text, ' ')) AS n_tokens FROM documents))
-      WHERE running <= 2000 ORDER BY doc_id"""))
+      WHERE running <= 2000 ORDER BY doc_id""")),
+
+    // PII scrub (TextAnalysis.redactPii): ordered regex rewrite chain
+    // (email → IPv4 → phone) with typed placeholders + audit counts.
+    // PII is injected per-doc since the corpus carries none; both
+    // engines then apply identical RE2-subset patterns.
+    ("q78_redact_pii", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 (555) 010-"), col("doc_id"),
+          lit(" via 192.168.0.1")).as("text"))
+      docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.redactPii(col("text")).as("redacted"),
+          graft.functions.TextAnalysis.piiCounts(col("text")).as("c"))
+        .select(col("doc_id"), col("redacted"),
+          col("c.emails").as("emails"), col("c.ips").as("ips"),
+          col("c.phones").as("phones"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH injected AS (
+        SELECT doc_id,
+          concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+            '@example.com or +1 (555) 010-',
+            CAST(doc_id AS VARCHAR), ' via 192.168.0.1') AS text
+        FROM documents),
+      steps AS (
+        SELECT doc_id, text,
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        FROM injected),
+      steps2 AS (
+        SELECT *, regexp_replace(after_email,
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS after_ip
+        FROM steps)
+      SELECT doc_id,
+        regexp_replace(after_ip,
+          '\+?[0-9][0-9()\-\s.]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+        len(regexp_extract_all(after_email,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ips,
+        len(regexp_extract_all(after_ip,
+          '\+?[0-9][0-9()\-\s.]{7,}[0-9]')) AS phones
+      FROM steps2 ORDER BY doc_id""")),
+
+    // Repetition signal: duplicate-shingle ratio over staged token
+    // arrays (Gopher-style repetitive-text detector).
+    ("q79_repetition_ratio", (s: SparkSession, d: String) => {
+      import graft.functions.TextAnalysis
+      val ws = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      val sh = ws.select(col("doc_id"), TextAnalysis.shinglesOf(col("ws")).as("sh"))
+      sh.select(col("doc_id"),
+          round(TextAnalysis.duplicateShingleRatio(col("sh")), 4).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w)
+      SELECT doc_id,
+        round(CASE WHEN len(sh) > 0
+          THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+          ELSE 0.0 END, 4) AS dup_ratio
+      FROM shingled ORDER BY doc_id"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -136,4 +136,46 @@ object TextAnalysis {
       when(nToks > 0, nStop.cast("double") / nToks.cast("double")).otherwise(0d).as("stopword_ratio"),
       when(nChars > 0, nUpper.cast("double") / nChars.cast("double")).otherwise(0d).as("upper_ratio"))
   }
+
+  /** PII patterns, shared by [[redactPii]] and [[piiCounts]]. Kept in
+    * the RE2-compatible subset (no lookaround, no backrefs) so an
+    * external SQL engine can replay the exact redaction. Order
+    * matters: emails first (their digits must not half-match as
+    * phones), then IPv4, then phone-like digit runs. */
+  private val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9()\\-\\s.]{7,}[0-9]" -> "<PHONE>")
+
+  /** Redact emails, IPv4 addresses, and phone-like digit runs with
+    * typed placeholder tokens — the standard scrub before training-data
+    * release. Three chained codegen'd `regexp_replace`s; map-side, no
+    * shuffle. (A real deployment extends the pattern table; the
+    * operator shape — ordered regex rewrite chain — is the part that
+    * matters at 100 TB.) */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Per-category PII match counts (email/ip/phone) for audit reports
+    * — counted on the SAME ordered-rewrite basis as [[redactPii]]
+    * (later patterns count on the already-redacted text, so a digit
+    * run inside an email is never double-counted as a phone). */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, piiPatterns(0)._1, piiPatterns(0)._2)
+    val afterIp = regexp_replace(afterEmail, piiPatterns(1)._1, piiPatterns(1)._2)
+    struct(
+      size(regexp_extract_all(text, lit(piiPatterns(0)._1), lit(0))).as("emails"),
+      size(regexp_extract_all(afterEmail, lit(piiPatterns(1)._1), lit(0))).as("ips"),
+      size(regexp_extract_all(afterIp, lit(piiPatterns(2)._1), lit(0))).as("phones"))
+  }
+
+  /** Duplicate-shingle ratio (Gopher-style repetition signal): the
+    * fraction of word w-shingles that are repeats of an earlier one —
+    * 0.0 for fully diverse text, → 1.0 for a looped phrase. Expects a
+    * PRE-MATERIALIZED shingle array column (same performance contract
+    * as [[shinglesOf]]). */
+  def duplicateShingleRatio(sh: Column): Column =
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(0d)
 }

@@ -277,4 +277,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(2) == 2.0 / 17)
     assert(r.getDouble(3) == 0.5) // 'the' twice of 4 tokens ('The' counts after lower)
   }
+
+  test("PII redaction replaces emails, IPs, and phones with typed tokens") {
+    val text = "mail john.doe+x@corp.example.org, call +1 (555) 010-7788, " +
+      "server 10.0.0.1 ok"
+    val r = Seq(text).toDF("t")
+      .select(TextAnalysis.redactPii($"t").as("red"),
+        TextAnalysis.piiCounts($"t").as("c"))
+      .select($"red", $"c.emails", $"c.ips", $"c.phones").collect()(0)
+    assert(r.getString(0) == "mail <EMAIL>, call <PHONE>, server <IP> ok")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1)
+    // Digits inside an email never double-count as a phone; an IP's
+    // digit runs never count as a phone either (ordered rewrite).
+    val r2 = Seq("a12345678@ex.io and 192.168.0.254 only").toDF("t")
+      .select(TextAnalysis.piiCounts($"t").as("c"))
+      .select($"c.emails", $"c.ips", $"c.phones").collect()(0)
+    assert(r2.getInt(0) == 1 && r2.getInt(1) == 1 && r2.getInt(2) == 0)
+  }
+
+  test("duplicate-shingle ratio: 0 for diverse text, high for looped phrases") {
+    val df = Seq("a b c a b c a b c", "one two three four five six").toDF("t")
+      .select($"t", TextAnalysis.tokens($"t").as("ws"))
+      .select(TextAnalysis.duplicateShingleRatio(
+        TextAnalysis.shinglesOf($"ws")).as("r"))
+    val rs = df.collect().map(_.getDouble(0))
+    // 7 shingles, 3 distinct (abc/bca/cab) -> 1 - 3/7
+    assert(math.abs(rs(0) - (1.0 - 3.0 / 7.0)) < 1e-9)
+    assert(rs(1) == 0.0)
+  }
 }
