@@ -1963,7 +1963,35 @@ object Queries {
         round(CASE WHEN len(sh) > 0
           THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
           ELSE 0.0 END, 4) AS dup_ratio
-      FROM shingled ORDER BY doc_id"""))
+      FROM shingled ORDER BY doc_id""")),
+
+    // Corpus-level TF-IDF rarity (TfIdf.docRarity): per-term addends
+    // quantized to DECIMAL(18,6) so the fold is associative and the
+    // oracle replays it exactly.
+    ("q80_doc_rarity", (s: SparkSession, d: String) => {
+      graft.operators.TfIdf.docRarity(t(s, d, "documents"),
+          col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), round(col("rarity"), 4).as("rarity"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH norm AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'),
+          '\s+', ' ', 'g')) AS t
+        FROM documents),
+      toks AS (SELECT doc_id,
+        unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS term
+        FROM norm),
+      tc AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(cnt) AS len FROM tc GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      dfreq AS (SELECT term,
+        CAST(round(ln((n.n + 1.0) / (count(*) + 1.0)) + 1.0, 6)
+          AS DECIMAL(18,6)) AS idf6
+        FROM tc CROSS JOIN n GROUP BY term, n.n),
+      s AS (SELECT doc_id, sum(cnt * idf6) AS s
+        FROM tc JOIN dfreq USING (term) GROUP BY doc_id)
+      SELECT doc_id, round(CAST(s AS DOUBLE) / CAST(len AS DOUBLE), 4) AS rarity
+      FROM s JOIN dl USING (doc_id) ORDER BY doc_id"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Corpus-level TF-IDF scoring for training-data curation: documents
+  * dominated by corpus-common boilerplate score low, documents with
+  * rare vocabulary score high — the standard rarity/novelty signal
+  * next to the per-document quality features.
+  *
+  * Scale design (100 TB): the canonical three-aggregate shape — explode
+  * tokens once, hash-aggregate (doc, term) counts (map-side partial
+  * combine collapses repeats before the shuffle), derive document
+  * frequencies with a second aggregate keyed by term, join back on
+  * term, and fold per document. Every stage is a hash aggregate or an
+  * equi-join on a uniform key; nothing is quadratic and nothing
+  * collects to the driver except the corpus row count (one scalar).
+  */
+object TfIdf {
+
+  /** Per-document rarity: the token-frequency-weighted mean of smoothed
+    * IDF — `sum_t tf(t,d) * (ln((N+1)/(df_t+1)) + 1)` over the
+    * document's distinct normalized tokens.
+    *
+    * Determinism contract: IDF is quantized ONCE PER TERM to
+    * DECIMAL(18,6); per-document accumulation is then `sum(cnt *
+    * idf6) / len` — an exact integer-scaled decimal fold followed by a
+    * single double division. The fold is associative (reproducible
+    * across partitionings) and every engine-specific float operation
+    * (ln, the quantization, the division) happens once per distinct
+    * input value, not once per addend — which is what lets an external
+    * SQL engine replay the score bit-for-bit (summing per-addend
+    * doubles instead differs at round-off boundaries). */
+  def docRarity(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val n = df.count()
+    val toks = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
+    val termCounts = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val docLens = termCounts.groupBy(col("id")).agg(sum(col("cnt")).as("len"))
+    val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = round(log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0), 6)
+      .cast("decimal(18,6)")
+    termCounts
+      .join(docFreq.select(col("term"), idf6.as("idf6")), "term")
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("idf6")).as("s"))
+      .join(docLens, "id")
+      .select(col("id"),
+        (col("s").cast("double") / col("len").cast("double")).as("rarity"))
+  }
+
+  /** The `k` highest-IDF (rarest-in-corpus) of a document's terms —
+    * the "what makes this document unusual" summary. Ties break
+    * lexicographically for determinism. */
+  def topRareTerms(df: DataFrame, text: Column, id: Column, k: Int = 5): DataFrame = {
+    val n = df.count()
+    val toks = df.select(id.as("id"),
+      explode(array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(text))))
+        .as("term"))
+    val docFreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0)
+    toks.join(docFreq, "term")
+      .groupBy(col("id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-idf).as("nidf"), col("term")))), 1, k).as("top"))
+      .select(col("id"), transform(col("top"), t => t.getField("term")).as("rare_terms"))
+  }
+}
