@@ -27,4 +27,21 @@ object EventStream {
         sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on content fingerprint (the L1 exact-dedup
+    * operator for document STREAMS): the first document with a given
+    * normalized-text fingerprint passes, repeats are dropped.
+    *
+    * `dropDuplicatesWithinWatermark` keys the dedup state by
+    * fingerprint and — unlike plain streaming dropDuplicates, whose
+    * state grows forever — evicts a fingerprint once the watermark
+    * passes its event time + `delay`, so state is bounded by the
+    * dedup horizon, not the stream's lifetime. Input schema: ts
+    * TIMESTAMP, text STRING (+ any payload columns, all carried). */
+  def dedupStream(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }

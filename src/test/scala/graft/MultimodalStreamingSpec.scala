@@ -150,6 +150,35 @@ class EventStreamSpec extends SparkSpec {
       assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
     } finally query.stop()
   }
+
+  test("streaming dedup passes first fingerprint, drops repeats within the horizon") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = EventStream.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), delay = "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (ts("2025-04-15 10:00:00"), 1L, "the quick brown fox"),
+        (ts("2025-04-15 10:01:00"), 2L, "The QUICK brown fox!"), // dup by fingerprint
+        (ts("2025-04-15 10:02:00"), 3L, "something else entirely"))
+      query.processAllAvailable()
+      // Same batch AND later batch repeats are both dropped while the
+      // fingerprint is inside the watermark horizon.
+      input.addData((ts("2025-04-15 10:03:00"), 4L, "the quick brown fox"))
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally query.stop()
+  }
 }
 
 class StockStreamSpec extends SparkSpec {
