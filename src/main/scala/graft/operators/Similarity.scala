@@ -144,17 +144,52 @@ object Similarity {
           c.getField("__cid").as("cid")))),
       s => s.getField("cid"))
 
+  /** Lloyd's k-means refinement of the IVF coarse quantizer, expressed
+    * relationally: assign every vector to its nearest centroid
+    * (map-side, one broadcast centroid row), recompute each cell's
+    * mean by (cell, dimension) hash aggregate — `posexplode` → avg →
+    * re-nest — and repeat. Two shuffles per iteration, lineage
+    * truncated per round; cells that end up empty drop out (the
+    * quantizer shrinks rather than keeping a dead centroid).
+    * Returns the same one-row broadcastable shape [[ivfTopK]] uses, so
+    * trained and untrained quantizers are interchangeable. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     numCells: Int, iters: Int = 3): DataFrame = {
+    var cents = centroidRow(corpus, idCol, vecCol, numCells)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select(
+          element_at(rankedCells(col(vecCol), col("__cents")), 1).as("__cell"),
+          Vectors.toDouble(col(vecCol)).as("__v"))
+      cents = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cell"), col("__pos")).agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__cell").as("__cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__cv"))
+        .agg(array_sort(collect_list(struct(col("__cid"), col("__cv"))))
+          .as("__cents"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF-style ANN top-k: the corpus is partitioned into `numCells`
     * inverted lists by nearest centroid; each query probes its `nprobe`
     * nearest cells only. The 100 TB path alongside [[bucketedTopK]]:
     * cell assignment is map-side (one broadcast of the centroid row),
     * the probe is an equi-join on cell id — each corpus row moves once,
     * and recall/cost trades via nprobe instead of bucket bit-count.
+    * `trainIters > 0` refines the coarse quantizer with that many
+    * [[trainCentroids]] k-means rounds first.
     * Result: (query_id, neighbor_id, cosine, rank). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryIds: DataFrame, k: Int,
-              numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = centroidRow(corpus, idCol, vecCol, numCells)
+              numCells: Int = 16, nprobe: Int = 2,
+              trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainCentroids(corpus, idCol, vecCol, numCells, trainIters)
+      else centroidRow(corpus, idCol, vecCol, numCells)
     val assigned = corpus.crossJoin(broadcast(cents))
       .withColumn("__cell", element_at(rankedCells(col(vecCol), col("__cents")), 1))
     val c = assigned.select(col("__cell"), col(idCol).as("neighbor_id"),
