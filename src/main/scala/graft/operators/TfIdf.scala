@@ -36,8 +36,16 @@ object TfIdf {
     val n = df.count()
     val toks = df.select(id.as("id"),
       explode(TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
+    // Three consumers read termCounts (document frequencies, document
+    // lengths, the scoring join); without materialization Spark
+    // re-tokenizes the corpus once per consumer (three scans in the
+    // plan). One materialization of the aggregated (doc, term, cnt)
+    // rows — far smaller than the token explosion — replaces them.
+    // (localCheckpoint here; swap for reliable checkpoint or a staging
+    // table on a real cluster.)
     val termCounts = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val docLens = termCounts.groupBy(col("id")).agg(sum(col("cnt")).as("len"))
     val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf6 = round(log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0), 6)
