@@ -122,10 +122,24 @@ object Registry {
       Sanmar.unified(spark, feedPath)
   }
 
-  val all: Map[String, SupplierPipeline] =
+  private val builtins: Map[String, SupplierPipeline] =
     Seq(MidOceanPipeline, LaltexPipeline, RalawisePipeline,
       KeramikosPipeline, PreseliPipeline, XdPipeline, PfConceptPipeline,
       SandSPipeline, SanmarPipeline).map(p => p.id -> p).toMap
+
+  /** Runtime registrations (R1's open registry — the reference's
+    * `@etl_component` decorator lets deployments add suppliers without
+    * touching the factory; this is the explicit-call equivalent).
+    * Last registration per id wins; built-ins are not overridable. */
+  private val extras =
+    new java.util.concurrent.ConcurrentHashMap[String, SupplierPipeline]()
+
+  def register(p: SupplierPipeline): Unit = extras.put(p.id, p)
+
+  def all: Map[String, SupplierPipeline] = {
+    import scala.jdk.CollectionConverters._
+    extras.asScala.toMap ++ builtins
+  }
 }
 
 case class SupplierConfig(id: String, feedPath: String)
@@ -134,10 +148,15 @@ object Pipeline {
 
   /** R2/R4 — run one supplier end-to-end: transform → validate-split →
     * stamp (K7) → keyed merge into the partitioned unified table (K1).
-    * `since` (§2.10 incremental): None = full sync. */
+    * `since` (§2.10 incremental): None = full sync. `deadLetterPath`:
+    * rejected rows are APPENDED there (partitioned by supplier, with
+    * their `__errors` reasons and a batch timestamp) for offline triage
+    * and replay — the error channel's 5-sample report stays the quick
+    * look, the dead-letter table is the complete record. */
   def runSupplier(spark: SparkSession, cfg: SupplierConfig, sinkPath: String,
                   since: Option[java.sql.Timestamp] = None,
-                  atomicSink: Boolean = false): ETLResult = {
+                  atomicSink: Boolean = false,
+                  deadLetterPath: Option[String] = None): ETLResult = {
     val t0 = System.nanoTime()
     try {
       val pipeline = Registry.all.getOrElse(cfg.id,
@@ -178,6 +197,16 @@ object Pipeline {
       }
       val samples = bad.select(concat_ws("; ", col("__errors"))).limit(5)
         .collect().map(_.getString(0)).toSeq
+      deadLetterPath.foreach { dl =>
+        // Each supplier appends under its own hive-style directory:
+        // readers of `dl` still infer supplier_id as a partition
+        // column, and concurrent sibling suppliers never share a
+        // _temporary staging dir (the append-commit race a single
+        // partitionBy write into the shared root would have).
+        if (errorCount > 0)
+          bad.withColumn("rejected_at", current_timestamp())
+            .write.mode("append").parquet(s"$dl/supplier_id=${cfg.id}")
+      }
       tagged.unpersist()
       val status =
         if (errorCount == 0) "success"
@@ -210,10 +239,11 @@ object Pipeline {
   def runFullSync(spark: SparkSession, cfgs: Seq[SupplierConfig],
                   sinkPath: String,
                   since: Option[java.sql.Timestamp] = None,
-                  atomicSink: Boolean = false): Seq[ETLResult] = {
+                  atomicSink: Boolean = false,
+                  deadLetterPath: Option[String] = None): Seq[ETLResult] = {
     if (cfgs.isEmpty) Nil
     else if (cfgs.size == 1)
-      Seq(runSupplier(spark, cfgs.head, sinkPath, since, atomicSink))
+      Seq(runSupplier(spark, cfgs.head, sinkPath, since, atomicSink, deadLetterPath))
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(cfgs.size, 8))
@@ -221,7 +251,8 @@ object Pipeline {
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
         val futures = cfgs.map(cfg =>
-          scala.concurrent.Future(runSupplier(spark, cfg, sinkPath, since, atomicSink)))
+          scala.concurrent.Future(
+            runSupplier(spark, cfg, sinkPath, since, atomicSink, deadLetterPath)))
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
@@ -285,6 +316,11 @@ object Main {
       // parquet.
       val atomicSink = cfg.columns.contains("sinkMode") &&
         cfg.select("sinkMode").collect()(0).getString(0) == "snapshot"
+      // Optional "deadLetter": rejected rows append under this path.
+      val deadLetter =
+        if (cfg.columns.contains("deadLetter"))
+          Option(cfg.select("deadLetter").collect()(0).getString(0))
+        else None
       val suppliers = cfg.select(explode(col("suppliers")).as("s"))
         .select("s.id", "s.feedPath").collect()
         .map(r => SupplierConfig(r.getString(0), r.getString(1))).toSeq
@@ -296,14 +332,15 @@ object Main {
       action match {
         case "sync" =>
           report(Pipeline.runFullSync(spark, suppliers, sink,
-            atomicSink = atomicSink))
+            atomicSink = atomicSink, deadLetterPath = deadLetter))
         case "incremental" =>
           // --since <ISO timestamp>; sources without a modification
           // timestamp fall back to full sync (ref: etl/base.py:267-273).
           val since = args.lift(2)
             .map(s => java.sql.Timestamp.valueOf(s.replace('T', ' ')))
             .orElse(Some(new java.sql.Timestamp(0L)))
-          report(Pipeline.runFullSync(spark, suppliers, sink, since, atomicSink))
+          report(Pipeline.runFullSync(spark, suppliers, sink, since, atomicSink,
+            deadLetter))
         case "validate" =>
           suppliers.foreach { s =>
             val ok = graft.sources.FeedReader.validate(spark, s.feedPath)

@@ -219,6 +219,41 @@ object SnapshotStore {
       s"lost the merge-commit race $maxAttempts times under $root")
   }
 
+  /** Compact small files: rewrite the selected partitions (default:
+    * every partition with more files than `maxFilesPerPartition`) so
+    * each lands in one file per partition, published as a new snapshot
+    * version. Content is unchanged — only layout. The small-file
+    * problem is the chronic failure mode of long-lived incremental
+    * tables (every merge adds files; scans degrade to file-open
+    * overhead); compaction through the same manifest commit keeps it
+    * crash-safe and non-blocking for readers. Untouched partitions are
+    * carried by reference. Returns the new version, or the current one
+    * if nothing needed compacting. */
+  def compact(spark: SparkSession, root: String, partitionCol: String,
+              maxFilesPerPartition: Int = 1, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val oversized = entries.groupBy(_.partition)
+        .filter(_._2.size > maxFilesPerPartition).keySet
+      if (oversized.isEmpty) return cur
+      val (replaced, kept) = entries.partition(e => oversized(e.partition))
+      // One shuffle keyed by the partition column: every partition
+      // value lands in exactly one task, so partitionBy emits one file
+      // per compacted partition.
+      val compacted = readEntries(spark, root, replaced)
+        .repartition(col(partitionCol))
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries)) return v
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the compaction race $maxAttempts times under $root")
+  }
+
   /** Drop all but the newest `keep` manifests and delete data files no
     * kept manifest references. Files shared with kept versions survive
     * (reuse-by-reference makes per-version directory deletes WRONG —

@@ -139,4 +139,34 @@ class PipelineSpec extends SparkSpec {
     val sample = bad.select(concat_ws(";", col("__errors"))).collect()(0).getString(0)
     assert(sample.contains("missing name"))
   }
+
+  test("dead-letter path captures every rejected row with its reasons") {
+    assume(available)
+    Registry.register(new graft.pipeline.SupplierPipeline {
+      val id = "midocean_dl_test"
+      def unified(s: org.apache.spark.sql.SparkSession, p: String) =
+        graft.suppliers.MidOcean.unified(s, p)
+          .withColumn("name",
+            when(col("product_id") === "midocean_AR1249", lit(null))
+              .otherwise(col("name")))
+    })
+    val sink = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val r = Pipeline.runSupplier(spark,
+      SupplierConfig("midocean_dl_test", midocean), s"$sink/products",
+      deadLetterPath = Some(s"$sink/dead"))
+    assert(r.status == "partial_success" && r.errors == 1)
+    val dl = spark.read.parquet(s"$sink/dead")
+    val rows = dl.select(col("product_id"), col("supplier_id"),
+      concat_ws(";", col("__errors")).as("e")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "midocean_AR1249")
+    assert(rows(0).getString(1) == "midocean_dl_test")
+    assert(rows(0).getString(2).contains("missing name"))
+    // A second run APPENDS (the dead-letter table is the complete
+    // historic record, not a per-run overwrite).
+    Pipeline.runSupplier(spark,
+      SupplierConfig("midocean_dl_test", midocean), s"$sink/products",
+      deadLetterPath = Some(s"$sink/dead"))
+    assert(spark.read.parquet(s"$sink/dead").count() == 2)
+  }
 }

@@ -103,6 +103,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(out == Set("p0", "pa", "pb"))
   }
 
+  test("compaction collapses multi-file partitions to one file, content unchanged") {
+    val root = freshRoot()
+    // Force several files per partition by pre-shuffling the input.
+    val wide = (1 to 40).map(i => (s"p$i", if (i % 2 == 0) "a" else "b", 1))
+      .toDF("product_id", "supplier", "version").repartition(4)
+    SnapshotStore.commit(spark, wide, root, "supplier")
+    val before = SnapshotStore.manifest(spark, root, 1).groupBy(_.partition)
+    assert(before.values.exists(_.size > 1), "fixture failed to fragment files")
+
+    val v = SnapshotStore.compact(spark, root, "supplier")
+    assert(v == 2L)
+    val after = SnapshotStore.manifest(spark, root, 2).groupBy(_.partition)
+    assert(after.values.forall(_.size == 1), after.toString)
+    val out = SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet
+    assert(out == (1 to 40).map(i => s"p$i").toSet)
+    // Already-compact tables are a no-op returning the current version.
+    assert(SnapshotStore.compact(spark, root, "supplier") == 2L)
+  }
+
   test("time travel reads historic versions until vacuum drops them") {
     val root = freshRoot()
     SnapshotStore.commit(spark, table(("p1", "a", 1), ("p3", "b", 1)), root, "supplier")
