@@ -1991,7 +1991,72 @@ object Queries {
       s AS (SELECT doc_id, sum(cnt * idf6) AS s
         FROM tc JOIN dfreq USING (term) GROUP BY doc_id)
       SELECT doc_id, round(CAST(s AS DOUBLE) / CAST(len AS DOUBLE), 4) AS rarity
-      FROM s JOIN dl USING (doc_id) ORDER BY doc_id"""))
+      FROM s JOIN dl USING (doc_id) ORDER BY doc_id""")),
+
+    // The unified.jsonc per-variant DOCUMENT view (Nest.variantView):
+    // one row per variant with product context, over a real
+    // 3-supplier sync. Deterministic output pinned as VALUES
+    // (regenerate: tools/gen_values_oracle.py).
+    ("q81_variant_view", (s: SparkSession, d: String) => {
+      import graft.pipeline.{Pipeline, SupplierConfig}
+      val sink = java.nio.file.Files.createTempDirectory("graft-q81").toString + "/products"
+      val refDir = "/root/reference/sample data"
+      val cfgs = Seq(
+        "midocean" -> s"$refDir/MidOcean Sample Data.jsonc",
+        "laltex" -> s"$refDir/Laltex Sample Data.jsonc",
+        "xd" -> s"$refDir/XD Sample Data.jsonc"
+      ).map { case (id, p) => SupplierConfig(id, p) }
+      val results = Pipeline.runFullSync(s, cfgs, sink)
+      require(results.forall(_.status == "success"),
+        s"sync statuses: ${results.map(r => s"${r.supplier}=${r.status}")}")
+      graft.operators.Nest.variantView(s.read.parquet(sink))
+        .select(col("parent_product_id"), col("supplier"), col("sku"),
+          col("size"), col("color"), col("stock_available"), col("n_prices"))
+        .orderBy(col("parent_product_id"), col("sku"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('laltex_AA0131', 'laltex', 'AA0131BK', '190x80x2mm', 'Black', 19437.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131CY', '190x80x2mm', 'Cyan', 10928.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131GN', '190x80x2mm', 'Green', 2670.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131NBL', '190x80x2mm', 'Navy Blue', 5241.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131PK', '190x80x2mm', 'Pink', 1187.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131PL', '190x80x2mm', 'Purple', 4897.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131RD', '190x80x2mm', 'Red', 4865.0, 10),
+        ('laltex_AA0131', 'laltex', 'AA0131WH', '190x80x2mm', 'White', 6648.0, 10),
+        ('laltex_AA0135', 'laltex', 'AA0135WH', '75x33x6mm', 'White', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411BK', '112x121x3mm', 'Black', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411BL', '112x121x3mm', 'Blue', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411GN', '112x121x3mm', 'Green', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411PL', '112x121x3mm', 'Purple', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411RD', '112x121x3mm', 'Red', NULL, 10),
+        ('laltex_AA0411', 'laltex', 'AA0411WH', '112x121x3mm', 'White', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412AM', '96x215x25mm', 'Amber', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412BL', '96x215x25mm', 'Blue', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412GN', '96x215x25mm', 'Green', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412LBL', '96x215x25mm', 'Light Blue', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412PK', '96x215x25mm', 'Pink', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412PL', '96x215x25mm', 'Purple', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412RD', '96x215x25mm', 'Red', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412TR', '96x215x25mm', 'Transparent', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412WH', '96x215x25mm', 'White', NULL, 10),
+        ('laltex_AA0412', 'laltex', 'AA0412YL', '96x215x25mm', 'Yellow', NULL, 10),
+        ('midocean_AR1249', 'midocean', 'AR1249-16', NULL, 'Matt Silver', NULL, 1),
+        ('midocean_AR1253', 'midocean', 'AR1253-16', NULL, 'Matt Silver', NULL, 1),
+        ('midocean_AR1470', 'midocean', 'AR1470-01', NULL, 'Brown', NULL, 1),
+        ('midocean_AR1589', 'midocean', 'AR1589-03', NULL, 'Black', NULL, 1),
+        ('midocean_AR1804', 'midocean', 'AR1804-03', NULL, 'Black', NULL, 1),
+        ('midocean_AR1804', 'midocean', 'AR1804-04', NULL, 'Blue', NULL, 1),
+        ('midocean_AR1804', 'midocean', 'AR1804-05', NULL, 'Red', NULL, 1),
+        ('midocean_AR1804', 'midocean', 'AR1804-06', NULL, 'White', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-10', NULL, 'Orange', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-12', NULL, 'Turquoise', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-15', NULL, 'Stone Grey', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-37', NULL, 'Royal Blue', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-48', NULL, 'Lime', NULL, 0),
+        ('midocean_AR1804', 'midocean', 'AR1804-85', NULL, 'French Navy', NULL, 0),
+        ('xd_V10200', 'xd', '102001', NULL, 'grey', 17525.0, 6)
+      ) AS t(parent_product_id, supplier, sku, size, color, stock_available, n_prices)
+      ORDER BY parent_product_id, sku"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

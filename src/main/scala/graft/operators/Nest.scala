@@ -47,4 +47,33 @@ object Nest {
       .select((keyCols.map(col) ++
         parentCols.map(c => col(s"__parent.`$c`").as(c)) :+ col(as)): _*)
   }
+
+  /** The inverse reshape: the unified table (product rows with a
+    * variants array) → the unified.jsonc DOCUMENT shape, one row per
+    * variant with product context (the extension schema is
+    * variant-level — sourceProductCode/variantCode/sku/gtin sit at top
+    * level there, ref unified.jsonc:4-12 — so per-variant consumers of
+    * the reference read exactly this). Products with no variants still
+    * yield one row with null variant fields (explode_outer). Map-side:
+    * a generator plus projection, no shuffle. */
+  def variantView(unified: DataFrame): DataFrame =
+    unified
+      .select(col("*"), explode_outer(col("variants")).as("__v"))
+      .select(
+        col("product_id").as("parent_product_id"),
+        col("supplier.id").as("supplier"),
+        col("name"),
+        col("status"),
+        col("is_printable"),
+        col("__v.sku").as("sku"),
+        col("__v.variant_id").as("variant_id"),
+        col("__v.gtin").as("gtin"),
+        col("__v.size").as("size"),
+        col("__v.color.name").as("color"),
+        col("__v.stock.available").as("stock_available"),
+        size(coalesce(col("__v.prices"),
+          array().cast(graft.schema.Unified.variantSchema("prices").dataType)))
+          .as("n_prices"),
+        col("__v.dimensions").as("dimensions"),
+        col("__v.weight").as("weight"))
 }

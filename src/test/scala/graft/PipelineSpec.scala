@@ -25,6 +25,22 @@ class LaltexSpec extends SparkSpec {
     assert(r.getBoolean(7))
   }
 
+  test("variantView flattens to the unified.jsonc per-variant document shape") {
+    assume(available)
+    val v = graft.operators.Nest.variantView(unified)
+    // One row per variant, product context carried, variant fields at
+    // top level (ref unified.jsonc:4-12 — the extension schema is
+    // variant-level).
+    val nVariants = unified.select(sum(size(col("variants")))).collect()(0).getLong(0)
+    assert(v.count() == nVariants)
+    val r = v.filter(col("parent_product_id") === "laltex_AA0131")
+      .orderBy(col("sku")).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getString(1) == "laltex")) // supplier
+    assert(r.forall(_.getString(2) == "Eye Mask")) // product name carried
+    assert(r.head.getInt(r.head.fieldIndex("n_prices")) == 10)
+  }
+
   test("J5 tier semantics: open 'N/A' max tier parses to null max_quantity") {
     assume(available)
     val tiers = unified.filter(col("product_id") === "laltex_AA0131")
