@@ -2056,7 +2056,29 @@ object Queries {
         ('midocean_AR1804', 'midocean', 'AR1804-85', NULL, 'French Navy', NULL, 0),
         ('xd_V10200', 'xd', '102001', NULL, 'grey', 17525.0, 6)
       ) AS t(parent_product_id, supplier, sku, size, color, stock_available, n_prices)
-      ORDER BY parent_product_id, sku"""))
+      ORDER BY parent_product_id, sku""")),
+
+    // Derived decoration summaries (Nest.withPrintSummary — the
+    // reference materializes numberOfPrintPositions /
+    // allAvailableMethods / allAvailablePositions on the document,
+    // unified.jsonc:266-270). Deterministic over the MidOcean sample;
+    // VALUES oracle (tools/gen_values_oracle.py).
+    ("q82_print_summary", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
+      graft.operators.Nest.withPrintSummary(
+          graft.suppliers.MidOcean.unified(s, sample))
+        .select(col("product_id"), col("number_of_print_positions"),
+          col("all_available_methods"), col("all_available_positions"))
+        .orderBy(col("product_id"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('midocean_AR1249', 4, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'LASER COMPASS, PD BOX, TOP BOX, TOP COMPASS'),
+        ('midocean_AR1253', 3, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'BELOW BUTTONS, LEFT OF SOLAR CEL, RIGHT OF SOLAR CEL'),
+        ('midocean_AR1470', 3, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'FRONT POCKET, FRONT TRANSFER, TOP'),
+        ('midocean_AR1589', 4, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'BACK LEATHER PART, BACK SILVER PART, FRONT LEATHER PART, FRONT SILVER PART'),
+        ('midocean_AR1804', 5, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'BACK, BACK PD, FRONT, FRONT PAD, FRONT PD')
+      ) AS t(product_id, number_of_print_positions, all_available_methods, all_available_positions)
+      ORDER BY product_id"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -48,6 +48,22 @@ object Nest {
         parentCols.map(c => col(s"__parent.`$c`").as(c)) :+ col(as)): _*)
   }
 
+  /** Derived decoration summaries (ref unified.jsonc:266-270:
+    * `numberOfPrintPositions`, `allAvailableMethods`,
+    * `allAvailablePositions` — comma-separated rollups the reference
+    * materializes on the document). Sorted-distinct so the strings are
+    * canonical regardless of feed order. Map-side projection over the
+    * existing arrays — no shuffle, no join. */
+  def withPrintSummary(unified: DataFrame): DataFrame =
+    unified
+      .withColumn("number_of_print_positions", size(col("print_positions")))
+      .withColumn("all_available_methods",
+        concat_ws(", ", array_sort(array_distinct(
+          transform(col("print_options"), o => o.getField("technique"))))))
+      .withColumn("all_available_positions",
+        concat_ws(", ", array_sort(array_distinct(
+          transform(col("print_positions"), p => p.getField("name"))))))
+
   /** The inverse reshape: the unified table (product rows with a
     * variants array) → the unified.jsonc DOCUMENT shape, one row per
     * variant with product context (the extension schema is
