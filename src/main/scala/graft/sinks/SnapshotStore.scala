@@ -166,7 +166,11 @@ object SnapshotStore {
              partitionCol: String, maxAttempts: Int = 5): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
-      val v = currentVersion(spark, root).getOrElse(0L) + 1 + attempt
+      // Always target EXACTLY current+1 (re-read per attempt). Skipping
+      // ahead after a lost race would let another writer later publish
+      // the skipped number and have its newer commit shadowed, since
+      // "current" is the max committed version.
+      val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
       if (writeManifest(spark, root, v, entries)) return v
       attempt += 1
