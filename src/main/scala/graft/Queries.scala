@@ -2078,7 +2078,23 @@ object Queries {
         ('midocean_AR1589', 4, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'BACK LEATHER PART, BACK SILVER PART, FRONT LEATHER PART, FRONT SILVER PART'),
         ('midocean_AR1804', 5, 'debossing, digital_print, embroidery, laser_engraving, pad_print, screen_print, sublimation, transfer', 'BACK, BACK PD, FRONT, FRONT PAD, FRONT PD')
       ) AS t(product_id, number_of_print_positions, all_available_methods, all_available_positions)
-      ORDER BY product_id"""))
+      ORDER BY product_id""")),
+
+    // Z-order (Morton) interleave — the multi-dimensional file-pruning
+    // layout key (Layout.zValue2); pure shift/and/or arithmetic the
+    // oracle replays bit-for-bit.
+    ("q83_zorder_key", (s: SparkSession, d: String) => {
+      val z = graft.operators.Layout.zValue2(col("p_size"),
+        pmod(col("p_partkey"), lit(256)), bits = 16)
+      t(s, d, "part").select(col("p_partkey"), z.as("z"))
+        .orderBy(col("p_partkey"))
+    }, Some {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((p_size >> $i) & 1) << ${2 * i})",
+        s"((((p_partkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""
+      SELECT p_partkey, ($terms) AS z FROM part ORDER BY p_partkey"""
+    })
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
