@@ -2094,7 +2094,28 @@ object Queries {
         s"((((p_partkey % 256) >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
       s"""
       SELECT p_partkey, ($terms) AS z FROM part ORDER BY p_partkey"""
-    })
+    }),
+
+    // Per-column data-quality profile (Stats.columnProfile, exact
+    // mode): the "which feed column went sparse this sync" report.
+    ("q84_column_profile", (s: SparkSession, d: String) => {
+      graft.operators.Stats.columnProfile(t(s, d, "customer"),
+          Seq("c_mktsegment", "c_nationkey"))
+        .orderBy(col("col_name"))
+    }, Some("""
+      SELECT 'c_mktsegment' AS col_name, count(*) AS n_rows,
+        CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        count(DISTINCT c_mktsegment) AS n_distinct,
+        CAST(min(c_mktsegment) AS VARCHAR) AS min,
+        CAST(max(c_mktsegment) AS VARCHAR) AS max
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', count(*),
+        CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        count(DISTINCT c_nationkey),
+        CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+      FROM customer
+      ORDER BY col_name"""))
   )
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

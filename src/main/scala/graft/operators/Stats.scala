@@ -36,4 +36,47 @@ object Stats {
   /** A1/A2-style group-count breakdown as one row per group. */
   def groupCounts(df: DataFrame, groupCol: String): DataFrame =
     df.groupBy(col(groupCol)).agg(count(lit(1)).as("n")).orderBy(col(groupCol))
+
+  /** Per-column data-quality profile: row count, null count, distinct
+    * count, min/max — one output row per profiled column (the
+    * ingestion-debugging companion to [[tableStats]]: "which feed
+    * column went sparse/constant this sync?").
+    *
+    * `exact = true` computes exact distincts with one pass PER COLUMN
+    * (unioned single-row aggregates — verifiable against any SQL
+    * engine). `exact = false` is the 100 TB path: ONE pass over the
+    * data for all columns via approx_count_distinct (HLL, ±2% default),
+    * no Expand blowup, no per-column rescans. Min/max stringify
+    * through DECIMAL for floating columns upstream of the call if
+    * cross-engine compares matter (double→string notation differs
+    * between engines). */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    exact: Boolean = true): DataFrame =
+    if (exact)
+      cols.map { c =>
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min"),
+          max(col(c)).cast("string").as("max"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min"), col("max"))
+      }.reduce(_ unionByName _)
+    else {
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          approx_count_distinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+      }
+      val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      // stack takes FLAT row-major args (parenthesized groups would
+      // parse as named_structs, whose per-column field names differ).
+      val stacked = cols.map(c =>
+        s"'$c', __n, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+      one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min, max)")
+    }
 }

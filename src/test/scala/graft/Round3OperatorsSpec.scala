@@ -194,4 +194,23 @@ class StatsBackupSpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(counts == Map(0 -> 33L, 1 -> 34L, 2 -> 33L))
   }
+
+  test("columnProfile: exact per-column stats; approx mode agrees within HLL error") {
+    val df = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 10), (3L, None, 20),
+      (4L, Some("a"), 30), (5L, None, 30)).toDF("id", "s", "grp")
+    val exact = Stats.columnProfile(df, Seq("s", "grp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(exact("s") == (5L, 2L, 2L, "a", "b"))
+    assert(exact("grp") == (5L, 0L, 3L, "10", "30"))
+
+    val approx = Stats.columnProfile(df, Seq("s", "grp"), exact = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // Counts/nulls/min/max identical; distinct within HLL tolerance.
+    assert(approx("s")._1 == 5L && approx("s")._2 == 2L)
+    assert(approx("s")._4 == "a" && approx("s")._5 == "b")
+    assert(math.abs(approx("grp")._3 - 3L) <= 1)
+  }
 }
