@@ -51,32 +51,42 @@ object Stats {
     * cross-engine compares matter (double→string notation differs
     * between engines). */
   def columnProfile(df: DataFrame, cols: Seq[String],
-                    exact: Boolean = true): DataFrame =
+                    exact: Boolean = true): DataFrame = {
+    // col() PARSES its argument as a (possibly dotted) attribute path,
+    // so a name containing a backtick or dot needs identifier quoting.
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
     if (exact)
       cols.map { c =>
         df.agg(
           count(lit(1)).as("n_rows"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-          count_distinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min"),
-          max(col(c)).cast("string").as("max"))
+          sum(when(ref(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(ref(c)).as("n_distinct"),
+          min(ref(c)).cast("string").as("min"),
+          max(ref(c)).cast("string").as("max"))
           .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
             col("n_distinct"), col("min"), col("max"))
       }.reduce(_ unionByName _)
     else {
       val aggs = cols.flatMap { c =>
         Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-          approx_count_distinct(col(c)).as(s"__nd_$c"),
-          min(col(c)).cast("string").as(s"__mn_$c"),
-          max(col(c)).cast("string").as(s"__mx_$c"))
+          sum(when(ref(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          approx_count_distinct(ref(c)).as(s"__nd_$c"),
+          min(ref(c)).cast("string").as(s"__mn_$c"),
+          max(ref(c)).cast("string").as(s"__mx_$c"))
       }
       val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
       // stack takes FLAT row-major args (parenthesized groups would
       // parse as named_structs, whose per-column field names differ).
+      // Column names are interpolated into SQL literals/identifiers, so
+      // quotes and backticks must be escaped or a hostile/unlucky name
+      // breaks parsing (the exact branch uses the Column API throughout).
+      def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      def ident(s: String) = "`" + s.replace("`", "``") + "`"
       val stacked = cols.map(c =>
-        s"'$c', __n, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+        s"${lit1(c)}, __n, ${ident(s"__nn_$c")}, ${ident(s"__nd_$c")}, " +
+          s"${ident(s"__mn_$c")}, ${ident(s"__mx_$c")}").mkString(", ")
       one.selectExpr(s"stack(${cols.size}, $stacked) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min, max)")
     }
+  }
 }

@@ -45,22 +45,40 @@ object Upsert {
                        partitionCol: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Concurrent first-write race: another writer (a sibling supplier
-    // in the thread-pooled sync) may have CREATED the table root but
-    // not yet committed a parquet footer, so exists()=true while the
-    // read finds no schema. That state is semantically "no existing
-    // data for OUR partitions" — fall through to the first-write path.
+    // Scope the read to ONLY the incoming batch's partition
+    // DIRECTORIES (not a row-level semi filter over a whole-table
+    // listing): in the thread-pooled sync a sibling supplier's dynamic
+    // partition overwrite deletes the files it replaces concurrently,
+    // so listing all partitions here can hit FileNotFoundException
+    // between the listing and the checkpoint. A supplier never lists
+    // sibling partitions' files this way. ignoreMissingFiles is a
+    // second net for any straggler deletion inside our own dirs.
+    val wanted = incoming.select(col(partitionCol).cast("string")).distinct()
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      .toSet
+    val partDirs =
+      if (!fs.exists(target)) Seq.empty
+      else fs.listStatus(target).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+        .filter(d => wanted(graft.sinks.SnapshotStore.unescapePathName(
+          d.getPath.getName.stripPrefix(s"$partitionCol="))))
+    // Concurrent first-write race: another writer may have CREATED a
+    // partition dir but not yet committed a parquet footer, so the dir
+    // exists while the read finds no schema. That state is semantically
+    // "no existing data for OUR partitions" — first-write path.
     val existingOpt =
-      if (!fs.exists(target)) None
-      else try Some(spark.read.parquet(path)) catch {
+      if (partDirs.isEmpty) None
+      else try Some(spark.read
+        .option("basePath", path)
+        .option("ignoreMissingFiles", "true")
+        .parquet(partDirs.map(_.getPath.toString): _*))
+      catch {
         case e: org.apache.spark.sql.AnalysisException
             if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => None
       }
     val merged = existingOpt match {
-      case Some(existing0) =>
-        val parts = incoming.select(col(partitionCol)).distinct()
-        val existing = existing0
-          .join(broadcast(parts), Seq(partitionCol), "left_semi")
+      case Some(existing) =>
         // Staging keeps the read and the overwrite of the same
         // partitions from racing (first write has nothing to race).
         merge(existing, incoming, keyCol, versionCol).localCheckpoint(true)

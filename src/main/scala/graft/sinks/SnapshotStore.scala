@@ -67,36 +67,67 @@ object SnapshotStore {
     versions(spark, root).lastOption
 
   /** Parse a manifest. Partition values are URL-encoded on write so
-    * arbitrary strings survive the line format. */
+    * arbitrary strings survive the line format. Lines starting with
+    * `#` are metadata headers (committer token), not entries. */
   def manifest(spark: SparkSession, root: String, version: Long): Seq[ManifestEntry] = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       val Array(p, path) = line.split("\t", 2)
       ManifestEntry(URLDecoder.decode(p, UTF_8), path)
     }.toSeq
   }
 
+  private def manifestCommitter(spark: SparkSession, root: String, version: Long): Option[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("#committer\t") => l.stripPrefix("#committer\t")
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry]): Boolean = {
     val f = fs(spark, root)
-    val tmp = new Path(root, s"manifests/.v_$version.tmp-${java.util.UUID.randomUUID()}")
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
     val out = f.create(tmp, false)
-    try out.write(entries.map(e =>
-      s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}").mkString("\n").getBytes(UTF_8))
+    try out.write((s"#committer\t$token" +: entries.map(e =>
+      s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}")).mkString("\n").getBytes(UTF_8))
     finally out.close()
-    // Atomic publish: rename onto a name that must not exist. A loss
-    // here means a concurrent committer took this version.
-    val won = !f.exists(manifestPath(root, version)) &&
-      f.rename(tmp, manifestPath(root, version))
-    if (!won) f.delete(tmp, false)
+    val dst = manifestPath(root, version)
+    // Atomic publish. `FileSystem.rename` on the local filesystem (and
+    // many object-store connectors) silently OVERWRITES an existing
+    // destination, so exists()-then-rename lets two racing committers
+    // both "win" a version — the loser's commit would be silently
+    // replaced. `FileContext.rename(..., Rename.NONE)` instead fails
+    // when the destination exists on every Hadoop filesystem,
+    // including RawLocalFs, closing that window.
+    val renamed = try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException if f.exists(dst) &&
+          !manifestCommitter(spark, root, version).contains(token) => false
+    }
+    // Belt-and-suspenders: even if a filesystem's rename raced through,
+    // the published content carries the committer token — only the
+    // committer whose token survived owns the version; anyone else
+    // retries on the next number.
+    val won = renamed && manifestCommitter(spark, root, version).contains(token)
+    if (!won && f.exists(tmp)) f.delete(tmp, false)
     won
   }
 
   /** Undo Spark/Hive partition-directory escaping (`%XX` sequences
     * only — unlike URL decoding, a literal `+` is a plus). */
-  private def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -203,8 +234,14 @@ object SnapshotStore {
           val entries = manifest(spark, root, cur)
           // Touched partitions: one small distinct-collect (bounded by
           // the partition cardinality of the incoming batch, e.g.
-          // suppliers).
-          val touched = incoming.select(col(partitionCol).cast("string"))
+          // suppliers). NULL partition values land on disk (and in the
+          // manifest) under Hive's default-partition sentinel, so they
+          // must normalize to it here too — otherwise null-keyed rows
+          // are both carried as "kept" AND re-merged, duplicating them
+          // on every commit.
+          val touched = incoming
+            .select(coalesce(col(partitionCol).cast("string"),
+              lit("__HIVE_DEFAULT_PARTITION__")))
             .distinct().collect().map(_.getString(0)).toSet
           val (replaced, keptEntries) = entries.partition(e => touched(e.partition))
           // No checkpoint needed: data files are append-only, so reading
@@ -261,13 +298,23 @@ object SnapshotStore {
   /** Drop all but the newest `keep` manifests and delete data files no
     * kept manifest references. Files shared with kept versions survive
     * (reuse-by-reference makes per-version directory deletes WRONG —
-    * the referenced set is computed across all kept manifests). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    * the referenced set is computed across all kept manifests).
+    *
+    * `retainMillis` is the safety window against concurrent writers
+    * (same role as Delta's VACUUM retention): a commit in flight has
+    * written data files that no PUBLISHED manifest references yet, so
+    * an unguarded vacuum would delete them and corrupt the commit when
+    * its manifest then wins. Unreferenced files newer than the window
+    * are left alone; only set it to 0 when no writer can be active. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             retainMillis: Long = 24L * 3600 * 1000): Unit = {
     val vs = versions(spark, root)
-    if (vs.size <= keep) return
-    val (drop, keepVs) = vs.splitAt(vs.size - keep)
+    // Even with nothing to drop, the orphan sweep below still collects
+    // data files of crashed/lost commits (written, never published).
+    val (drop, keepVs) = vs.splitAt(math.max(0, vs.size - keep))
     val referenced = keepVs.flatMap(v => manifest(spark, root, v)).map(_.path).toSet
     val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - retainMillis
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { vdir =>
@@ -275,7 +322,8 @@ object SnapshotStore {
           if (pdir.isDirectory) {
             f.listStatus(pdir.getPath).foreach { file =>
               val rel = s"data/${vdir.getPath.getName}/${pdir.getPath.getName}/${file.getPath.getName}"
-              if (file.getPath.getName.endsWith(".parquet") && !referenced(rel))
+              if (file.getPath.getName.endsWith(".parquet") && !referenced(rel) &&
+                  file.getModificationTime < cutoff)
                 f.delete(file.getPath, false)
             }
           }

@@ -213,4 +213,13 @@ class StatsBackupSpec extends SparkSpec {
     assert(approx("s")._4 == "a" && approx("s")._5 == "b")
     assert(math.abs(approx("grp")._3 - 3L) <= 1)
   }
+
+  test("columnProfile one-pass mode survives quote/backtick column names") {
+    // Feed columns are arbitrary strings; the stacked SQL interpolates
+    // them into literals and identifiers, which must be escaped.
+    val df = Seq((1, "x"), (2, "y")).toDF("a'b", "c`d")
+    val prof = Stats.columnProfile(df, Seq("a'b", "c`d"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof == Map("a'b" -> 2L, "c`d" -> 2L))
+  }
 }

@@ -123,6 +123,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.compact(spark, root, "supplier") == 2L)
   }
 
+  test("null partition values merge under the Hive default sentinel, no duplication") {
+    val root = freshRoot()
+    val t0 = Seq(("p1", Option("a"), 1), ("p2", Option.empty[String], 1))
+      .toDF("product_id", "supplier", "version")
+    SnapshotStore.commit(spark, t0, root, "supplier")
+    // Upsert the null-partition key. Without normalizing null → the
+    // sentinel in the touched set, the old null-partition file is
+    // carried as "kept" AND the merged rows are appended — one extra
+    // duplicate of p2 per commit.
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p2", Option.empty[String], 2)).toDF("product_id", "supplier", "version"),
+      root, "product_id", "version", "supplier")
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() == 2)
+    assert(out.filter($"product_id" === "p2")
+      .select("version").as[Int].collect().toSeq == Seq(2))
+  }
+
   test("time travel reads historic versions until vacuum drops them") {
     val root = freshRoot()
     SnapshotStore.commit(spark, table(("p1", "a", 1), ("p3", "b", 1)), root, "supplier")
@@ -136,16 +154,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.readVersion(spark, root, 2)
       .filter($"product_id" === "p1").select("version").as[Int].head() == 2)
 
+    val v1Files = SnapshotStore.manifest(spark, root, 1)
+      .filter(_.partition == "a").map(_.path)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(rel: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(root, rel))
+
+    // Default retention window: unreferenced-but-fresh data files are
+    // RETAINED (they could belong to an in-flight commit whose manifest
+    // hasn't been published yet); only the old manifests drop.
     SnapshotStore.vacuum(spark, root, keep = 2)
     assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L))
+    assert(v1Files.forall(exists), "retention window must keep fresh files")
     // v2/v3 stay fully readable — including partition b's files, which
     // were written by the vacuumed v1 but are still referenced.
     assert(SnapshotStore.readVersion(spark, root, 2).count() == 2)
     assert(SnapshotStore.read(spark, root)
       .filter($"supplier" === "b").count() == 1)
-    // v1's exclusive files (partition a's original) are gone.
     intercept[Exception] {
       SnapshotStore.manifest(spark, root, 1)
     }
+
+    // With the window disabled (no writers active), v1's exclusive
+    // files (partition a's originals) are collected.
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0L)
+    assert(v1Files.nonEmpty && !v1Files.exists(exists),
+      "unreferenced files must be deleted once outside the window")
+    assert(SnapshotStore.read(spark, root).count() == 2)
   }
 }
