@@ -2115,8 +2115,118 @@ object Queries {
         count(DISTINCT c_nationkey),
         CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
       FROM customer
-      ORDER BY col_name"""))
+      ORDER BY col_name""")),
+
+    // J6 — two-dimensional band resolution (RangeJoin.resolveBands2D):
+    // the print-price-grid pattern (area band × quantity band, ref
+    // flat-structure/midocean.json:118-353 and the Keramikos
+    // qty×colours grid, flat-structure/keramikos.json:9-40), exercised
+    // as a size-band × price-band lookup the oracle replays as a
+    // relational range join. The bands tile the full (size, price)
+    // space so every part resolves to exactly one band.
+    ("q85_band2d_pricing", (s: SparkSession, d: String) => {
+      val bands = s.createDataFrame(Seq(
+        (1, Some(10), 0.0, Some(999.99), "S-low"),
+        (1, Some(10), 1000.0, None, "S-high"),
+        (11, Some(25), 0.0, Some(999.99), "M-low"),
+        (11, Some(25), 1000.0, None, "M-high"),
+        (26, None, 0.0, None, "L-any")))
+        .toDF("min_size", "max_size", "min_price", "max_price", "band")
+      RangeJoin.resolveBands2D(t(s, d, "part"), bands,
+          col("p_size"), col("min_size"), col("max_size"),
+          col("p_retailprice"), col("min_price"), col("max_price"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("band"))
+    }, Some("""
+      SELECT b.band, count(*) AS n,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM part p
+      LEFT JOIN (VALUES
+        (1, 10, 0.0, 999.99, 'S-low'), (1, 10, 1000.0, NULL, 'S-high'),
+        (11, 25, 0.0, 999.99, 'M-low'), (11, 25, 1000.0, NULL, 'M-high'),
+        (26, NULL, 0.0, NULL, 'L-any'))
+        b(min_size, max_size, min_price, max_price, band)
+        ON p.p_size >= b.min_size AND (b.max_size IS NULL OR p.p_size <= b.max_size)
+       AND p.p_retailprice >= b.min_price
+       AND (b.max_price IS NULL OR p.p_retailprice <= b.max_price)
+      GROUP BY b.band ORDER BY b.band""")),
+
+    // X5 — sparse-capture schema contract: a real capture with an
+    // optional section blanked must flow through the pipeline as typed
+    // nulls/empties, not crash the sync (ANSI element_at throws on
+    // empty arrays; the pipelines must stay on try_element_at and the
+    // declared-schema merge). Mirrors SparseCaptureSpec as a gated row.
+    ("q86_sparse_capture", (s: SparkSession, d: String) => {
+      val sparse = sparseFixture(
+        "/root/reference/sample data/Sanmar Sample Data.jsonc", "description")
+      graft.suppliers.Sanmar.unified(s, sparse)
+        .select(col("product_id"),
+          col("short_description").isNull.as("short_desc_null"),
+          col("long_description"),
+          size(col("variants")).as("n_variants"))
+        .orderBy(col("product_id"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('sanmar_108085', true, '', 1)
+      ) AS t(product_id, short_desc_null, long_description, n_variants)
+      ORDER BY product_id""")),
+
+    // X10 — named open attributes (unified.jsonc:86-122
+    // productExtraData): each supplier parks feed fields outside the
+    // core schema in the open map; exploded to (product, attr, value)
+    // rows across two suppliers with disjoint attribute vocabularies.
+    ("q87_extra_attributes", (s: SparkSession, d: String) => {
+      val pres = graft.suppliers.Preseli.unified(s,
+        "/root/reference/sample data/Preseli Sample Data.jsonc")
+      val xd = graft.suppliers.Xd.unified(s,
+        "/root/reference/sample data/XD Sample Data.jsonc")
+      pres.unionByName(xd, allowMissingColumns = true)
+        .select(col("product_id"),
+          explode(col("product_extra_data")).as(Seq("attr", "value")))
+        .orderBy(col("product_id"), col("attr"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('preseli_PSL10', 'dataSheet', 'https://www.preseli.biz/datasheet.php?product_id=2'),
+        ('preseli_PSL10', 'endUserWebsite', 'https://www.promobestsellers.co.uk/product/10mm-plant-silk-lanyard'),
+        ('xd_V10200', 'giftWrappingPossible', 'true'),
+        ('xd_V10200', 'restrictedCountries', 'NOR,SWE,ALA'),
+        ('xd_V10200', 'variableDataPrinting', 'true')
+      ) AS t(product_id, attr, value)
+      ORDER BY product_id, attr"""))
   )
+
+  /** Copy a JSONC capture with the first array under `key` blanked —
+    * the X5 sparse-capture fixture (string-aware bracket scan; sample
+    * data carries `]` inside strings and `//` comments). */
+  private def sparseFixture(samplePath: String, key: String): String = {
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(samplePath))
+    val m = ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\\[").r
+      .findFirstMatchIn(text)
+      .getOrElse(throw new IllegalArgumentException(s"no array under '$key'"))
+    val open = m.end - 1
+    var i = open; var depth = 0; var inStr = false; var esc = false; var close = -1
+    while (close < 0 && i < text.length) {
+      val c = text.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > open, s"unbalanced array under '$key'")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparse_q")
+    val out = dir.resolve("capture.jsonc")
+    java.nio.file.Files.writeString(out,
+      text.substring(0, open + 1) + text.substring(close))
+    out.toString
+  }
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
   def oracleSql: Map[String, String] =
