@@ -154,8 +154,17 @@ object MidOcean {
 
   /** Raw MidOcean feed → unified product DataFrame (rows conform to
     * graft.schema.Unified.schema minus the sink-stamped timestamps,
-    * which stay null until the sink applies K7). */
-  def unified(feed: Feed): DataFrame = {
+    * which stay null until the sink applies K7).
+    *
+    * `language` is the language the capture was fetched in (the
+    * reference re-requests the whole feed per `language` parameter,
+    * midocean_extractor.py:34,144): it keys this run's localized maps.
+    * Merge per-language runs with
+    * [[graft.operators.Localize.mergeLanguageRuns]] for full
+    * multilingual maps (unified.jsonc:25-33). */
+  def unified(feed: Feed): DataFrame = unified(feed, "en")
+
+  def unified(feed: Feed, language: String): DataFrame = {
     val products = feed.products
     val pricelist = feed.pricelist
 
@@ -398,11 +407,13 @@ object MidOcean {
       array().cast("array<string>").as("related_products"),
       array().cast("array<string>").as("alternative_products"),
       // Localized content maps (ref unified.jsonc:25-33 `{lang}`
-      // convention): the product feed is single-language English, so
-      // each non-null field fills its "en" key; per-language technique
-      // names ride in print_options.technique_names.
+      // convention): one capture is single-language, so each non-null
+      // field fills this run's language key; per-language technique
+      // names ride in print_options.technique_names, and full
+      // multilingual product maps come from merging per-language runs
+      // (Localize.mergeLanguageRuns).
       {
-        val en = (c: Column) => when(c.isNotNull, map(lit("en"), c))
+        val en = (c: Column) => when(c.isNotNull, map(lit(language), c))
         struct(
           en(col("brand")).as("brand"),
           en(col("product_name")).as("name"),
@@ -436,4 +447,8 @@ object MidOcean {
   /** Convenience: read + transform in one call. */
   def unified(spark: SparkSession, path: String): DataFrame =
     unified(readFeed(spark, path))
+
+  /** Read + transform a capture fetched in `language`. */
+  def unified(spark: SparkSession, path: String, language: String): DataFrame =
+    unified(readFeed(spark, path), language)
 }

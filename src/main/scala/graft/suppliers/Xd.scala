@@ -149,7 +149,14 @@ object Xd {
     Seq("PrintCode" -> "string", "Currency" -> "string", "SetupNet" -> "double") ++
       printBreaks.map(q => s"PrintPriceNet_$q" -> "double")
 
-  def unified(feed: Feed): DataFrame = {
+  def unified(feed: Feed): DataFrame = unified(feed, "en")
+
+  /** `language` is the language of the per-language feed this capture
+    * came from (XD publishes one feed per language — the `-en-gb`
+    * suffix in the feed URL, XD Sample Data.jsonc:3); it keys this
+    * run's localized maps. Merge runs with
+    * [[graft.operators.Localize.mergeLanguageRuns]]. */
+  def unified(feed: Feed, language: String): DataFrame = {
     val items = FeedReader.conform(feed.products, productCols)
     def opt(name: String): Column = col(name)
 
@@ -412,7 +419,21 @@ object Xd {
         .cast(graft.schema.Unified.schema("lifecycle").dataType).as("lifecycle"),
       array().cast("array<string>").as("related_products"),
       array().cast("array<string>").as("alternative_products"),
-      lit(null).cast(graft.schema.Unified.schema("localized").dataType).as("localized"),
+      // Localized content maps (ref unified.jsonc:25-33): the feed is
+      // single-language (one URL per language), so each non-null field
+      // fills this run's language key.
+      {
+        val l = (c: Column) => when(c.isNotNull, map(lit(language), c))
+        struct(
+          l(nullif(col("Brand"), lit(""))).as("brand"),
+          l(nullif(col("ItemName"), lit(""))).as("name"),
+          lit(null).cast("map<string,string>").as("title"),
+          lit(null).cast("map<string,string>").as("short_description"),
+          l(nullif(col("LongDescription"), lit(""))).as("long_description"),
+          lit(null).cast("map<string,string>").as("web_description"),
+          lit(null).cast("map<string,string>").as("keywords"))
+          .cast(graft.schema.Unified.schema("localized").dataType).as("localized")
+      },
       // Open attributes (ref unified.jsonc:91 giftWrappingPossible;
       // :260-266 variableDataPrinting).
       map_filter(map(
@@ -430,4 +451,8 @@ object Xd {
 
   def unified(spark: SparkSession, path: String): DataFrame =
     unified(readFeed(spark, path))
+
+  /** Read + transform a capture of the `language` feed variant. */
+  def unified(spark: SparkSession, path: String, language: String): DataFrame =
+    unified(readFeed(spark, path), language)
 }
