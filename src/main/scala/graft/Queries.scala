@@ -691,7 +691,8 @@ object Queries {
       val mutated = base.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" zz yy xx")).as("text"))
       Dedup.minHashPairs(base.unionByName(mutated), col("text"), col("doc_id"),
-          numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+          numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3,
+          fastHash = false)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }, Some {
@@ -870,12 +871,16 @@ object Queries {
           col("packaging.outer_carton.qty").as("carton_qty"),
           col("sustainability.eco").as("eco"),
           col("sustainability.recycled_content_pct").as("recycled_pct"),
-          col("lifecycle.product_lifecycle").as("product_lifecycle"))
+          col("lifecycle.product_lifecycle").as("product_lifecycle"),
+          // X1 — localized `{lang}` maps (unified.jsonc:25-33).
+          element_at(col("localized.name"), "en").as("name_en"),
+          element_at(col("localized.brand"), "en").as("brand_en"))
         .orderBy(col("product_id"))
     }, Some("""
       SELECT * FROM (VALUES
-        ('xd_V10200', 'VINGA Cott RCS RPET water bottle', 'Vinga', 1, 6, 17525, 48, true, 98.0, 'Outlet')
-      ) AS t(product_id, name, brand, n_variants, n_price_tiers, stock_available, carton_qty, eco, recycled_pct, product_lifecycle)
+        ('xd_V10200', 'VINGA Cott RCS RPET water bottle', 'Vinga', 1, 6, 17525, 48, true, 98.0, 'Outlet',
+         'VINGA Cott RCS RPET water bottle', 'Vinga')
+      ) AS t(product_id, name, brand, n_variants, n_price_tiers, stock_available, carton_qty, eco, recycled_pct, product_lifecycle, name_en, brand_en)
       ORDER BY product_id""")),
 
     ("q60_pfconcept_unified", (s: SparkSession, d: String) => {
@@ -1592,7 +1597,8 @@ object Queries {
         concat(col("text"), lit(" zz yy xx")).as("text"))
       val corpus = base.unionByName(mutated)
       val pairs = Dedup.minHashPairs(corpus, col("text"), col("doc_id"),
-        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3,
+          fastHash = false)
       Dedup.dedupCorpus(corpus, pairs, col("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }, Some {
@@ -1747,7 +1753,7 @@ object Queries {
         concat(col("text"), lit(" zz yy xx")).as("text"))
       val pairs = Dedup.minHashPairs(base.unionByName(mutated), col("text"),
         col("doc_id"), numHashes = 12, bands = 4, shingleWidth = 3,
-        threshold = 0.3)
+        threshold = 0.3, fastHash = false)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }, Some {
       val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
@@ -1830,7 +1836,8 @@ object Queries {
         concat(col("text"), lit(" zz yy xx")).as("text"))
       val corpus = base.unionByName(mutated)
       val pairs = Dedup.minHashPairs(corpus, col("text"), col("doc_id"),
-        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3)
+        numHashes = 12, bands = 4, shingleWidth = 3, threshold = 0.3,
+          fastHash = false)
       Dedup.dedupCorpusClustersBy(corpus, pairs, col("doc_id"),
           length(col("text")))
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -2193,7 +2200,58 @@ object Queries {
         ('xd_V10200', 'restrictedCountries', 'NOR,SWE,ALA'),
         ('xd_V10200', 'variableDataPrinting', 'true')
       ) AS t(product_id, attr, value)
-      ORDER BY product_id, attr"""))
+      ORDER BY product_id, attr""")),
+
+    // X1 — full multilingual localized maps (unified.jsonc:25-33): the
+    // reference fetches each feed once per language and the unified
+    // document accumulates one `{lang: text}` key per fetch
+    // (midocean_extractor.py:34,144). The same capture stands in for
+    // each language's fetch here (the sandbox holds one capture per
+    // supplier); what's under test is the merge mechanics — every
+    // language key lands in the map, entries sort deterministically,
+    // and base columns come from the preferred-language run.
+    ("q88_localized_merge", (s: SparkSession, d: String) => {
+      val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
+      val runs = Seq("en", "de", "fr").map(lang =>
+        lang -> graft.suppliers.MidOcean.unified(s, sample, lang))
+      graft.operators.Localize.mergeLanguageRuns(runs)
+        .select(col("product_id"),
+          array_join(map_keys(col("localized.name")), ",").as("name_langs"),
+          element_at(col("localized.name"), "de").as("name_de"),
+          size(col("localized.long_description")).as("n_desc_langs"),
+          col("localized.title").isNull.as("title_null"),
+          col("name"),
+          size(col("variants")).as("n_variants"))
+        .orderBy(col("product_id"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('midocean_AR1249', 'de,en,fr', 'TARGET', 3, true, 'TARGET', 1),
+        ('midocean_AR1253', 'de,en,fr', 'BASICS', 3, true, 'BASICS', 1),
+        ('midocean_AR1470', 'de,en,fr', 'HIGH PARK', 3, true, 'HIGH PARK', 1),
+        ('midocean_AR1589', 'de,en,fr', 'COLUMBUS', 3, true, 'COLUMBUS', 1),
+        ('midocean_AR1804', 'de,en,fr', 'ARCONOT', 3, true, 'ARCONOT', 10)
+      ) AS t(product_id, name_langs, name_de, n_desc_langs, title_null, name, n_variants)
+      ORDER BY product_id""")),
+
+    // N-key Z-order (Layout.zValue generalized past 2 dims): 3 keys
+    // interleaved round-robin — bit i of key j at position 3i+j. The
+    // oracle replays the interleave as shift/mask SQL.
+    ("q89_zorder3_key", (s: SparkSession, d: String) => {
+      // floor on BOTH sides: Spark's double→long cast truncates while
+      // DuckDB's rounds — floor is the portable integerization.
+      val z = graft.operators.Layout.zValue(Seq(col("p_size"),
+        pmod(col("p_partkey"), lit(256)),
+        pmod(floor(col("p_retailprice")).cast("long"), lit(1024))), bits = 12)
+      t(s, d, "part").select(col("p_partkey"), z.as("z"))
+        .orderBy(col("p_partkey"))
+    }, Some {
+      val terms = (0 until 12).flatMap(i => Seq(
+        s"(((p_size >> $i) & 1) << ${3 * i})",
+        s"((((p_partkey % 256) >> $i) & 1) << ${3 * i + 1})",
+        s"((((CAST(floor(p_retailprice) AS BIGINT) % 1024) >> $i) & 1) << ${3 * i + 2})")).mkString(" | ")
+      s"""
+      SELECT p_partkey, ($terms) AS z FROM part ORDER BY p_partkey"""
+    })
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

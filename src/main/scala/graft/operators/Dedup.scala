@@ -105,12 +105,18 @@ object Dedup {
     * Scale path: the join is an equi-join on (band_index, band_hash) —
     * documents only meet if they collide in some band, so the shuffle
     * moves (doc × bands) rows, not doc² pairs. `bands × rowsPerBand`
-    * must equal `numHashes`. */
+    * must equal `numHashes`.
+    *
+    * `fastHash = true` (the default — the production path) hashes with
+    * native codegen'd xxhash64 (~5× cheaper per shingle than the md5
+    * string path). Pass `fastHash = false` only when an external SQL
+    * engine must replay the signatures bit-for-bit (md5-hex is the
+    * portable encoding; the oracle queries pin it). */
   def minHashPairs(
       df: DataFrame, text: Column, id: Column,
       numHashes: Int = 16, bands: Int = 4,
       shingleWidth: Int = 3, threshold: Double = 0.5,
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // Relational signature: numHashes codegen'd min-aggregates over the
@@ -244,18 +250,22 @@ object Dedup {
     * chains, giving O(log n) rounds like the alternating
     * large-star/small-star algorithm; each round is two shuffles keyed
     * by node id over |V|+|E| rows, never an all-pairs product. Lineage
-    * is truncated every round (localCheckpoint here; swap for reliable
-    * `checkpoint` on a real cluster) so the plan cannot grow with the
-    * iteration count, and convergence is one count over |V| rows. */
+    * is truncated every round (Checkpoints.truncate — local by
+    * default, reliable under `graft.checkpointDir`) so the plan cannot
+    * grow with the iteration count. Convergence detection piggybacks
+    * on the checkpoint job via `observe` (CollectMetrics): the
+    * changed-label count is a metric of the materialization action
+    * itself, so a round costs exactly its two shuffles — no per-round
+    * driver-side count job. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
       .persist()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.truncate(
+      sym.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -277,8 +287,13 @@ object Dedup {
           stepped("component") === col("__jid"), "left_outer")
         .select(col("id"), col("__old"),
           coalesce(col("__jc"), col("component")).as("component"))
-      val next = jumped.localCheckpoint(true)
-      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val next = Checkpoints.truncate(jumped.observe(obs,
+        sum(when(col("component") =!= col("__old"), 1L).otherwise(0L))
+          .as("changed")))
+      // The eager checkpoint materialized the plan, so the metric is
+      // already resolved — get() returns without scheduling anything.
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.drop("__old")
       iter += 1
     }

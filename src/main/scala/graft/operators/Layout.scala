@@ -12,44 +12,58 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton (Z-order) value of two non-negative int keys: bit i of `a`
-    * lands at position 2i, bit i of `b` at 2i+1. Pure shift/and/or
-    * arithmetic — whole-stage codegen, no UDF — and simple enough for
-    * an external SQL engine to replay. Keys wider than `bits` bits
-    * must be range-rank-compressed first (at 100 TB: zvalue over
-    * `ntile` ranks, not raw keys, so skew can't crowd one prefix). */
-  def zValue2(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      val fromA = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-      val fromB = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-      fromA.bitwiseOR(fromB)
+  /** Morton (Z-order) value of N non-negative int keys, interleaved
+    * round-robin: bit i of key j lands at position i*N + j. Pure
+    * shift/and/or arithmetic — whole-stage codegen, no UDF — and
+    * simple enough for an external SQL engine to replay. Keys wider
+    * than `bits` bits must be range-rank-compressed first (at 100 TB:
+    * zvalue over `ntile` ranks, not raw keys, so skew can't crowd one
+    * prefix). `bits * N` must fit a signed long. */
+  def zValue(keys: Seq[Column], bits: Int = 16): Column = {
+    val n = keys.size
+    require(n >= 1, "zValue needs at least one key")
+    require(bits * n <= 63, s"$n keys at $bits bits overflow a long")
+    (0 until bits).flatMap { i =>
+      keys.zipWithIndex.map { case (k, j) =>
+        shiftleft(shiftright(k.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_ bitwiseOR _)
+  }
 
-  /** Rewrite `df` into `numFiles` output chunks z-ordered on (a, b):
+  /** Two-key convenience (bit i of `a` at 2i, of `b` at 2i+1). */
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column =
+    zValue(Seq(a, b), bits)
+
+  /** Rewrite `df` into `numFiles` output chunks z-ordered on `keys`:
     * range-partition then sort by the interleaved value, so each file
-    * covers a small rectangle of the (a, b) plane and min-max stats
-    * prune two-dimensional predicates. One range shuffle — the same
+    * covers a small hyper-rectangle of the key space and min-max stats
+    * prune multi-dimensional predicates. One range shuffle — the same
     * cost as a plain global sort — plus one tiny min/max stats job.
     *
-    * Both keys are first scaled to `bits`-bit ranks from their actual
+    * Every key is first scaled to `bits`-bit ranks from its actual
     * min/max: raw interleaving of unequal-width keys (say an 11-bit
     * and a 7-bit one) degenerates to a plain sort on the wide key,
     * because its high bits occupy the z-value's top positions with no
     * partner bits between them. */
-  def zorderBy(df: DataFrame, a: Column, b: Column, numFiles: Int,
-               bits: Int = 8): DataFrame = {
-    val stats = df.agg(
-      min(a.cast("double")), max(a.cast("double")),
-      min(b.cast("double")), max(b.cast("double"))).collect()(0)
-    val (amin, amax) = (stats.getDouble(0), stats.getDouble(1))
-    val (bmin, bmax) = (stats.getDouble(2), stats.getDouble(3))
+  def zorderBy(df: DataFrame, keys: Seq[Column], numFiles: Int,
+               bits: Int): DataFrame = {
+    val mm = keys.flatMap(k => Seq(min(k.cast("double")), max(k.cast("double"))))
+    val stats = df.agg(mm.head, mm.tail: _*).collect()(0)
     val buckets = (1L << bits).toDouble
     def rank(c: Column, lo: Double, hi: Double): Column =
       least(
         floor((c.cast("double") - lit(lo)) / lit(math.max(1e-12, hi - lo + 1)) * lit(buckets))
           .cast("long"),
         lit((1L << bits) - 1))
-    val z = zValue2(rank(a, amin, amax), rank(b, bmin, bmax), bits)
+    val ranked = keys.zipWithIndex.map { case (k, j) =>
+      rank(k, stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
+    }
+    val z = zValue(ranked, bits)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
+
+  /** Two-key convenience. */
+  def zorderBy(df: DataFrame, a: Column, b: Column, numFiles: Int,
+               bits: Int = 8): DataFrame =
+    zorderBy(df, Seq(a, b), numFiles, bits)
 }

@@ -169,7 +169,7 @@ object Similarity {
           s => s.getField("__m")).as("__cv"))
         .agg(array_sort(collect_list(struct(col("__cid"), col("__cv"))))
           .as("__cents"))
-        .localCheckpoint(true)
+      cents = Checkpoints.truncate(cents)
     }
     cents
   }

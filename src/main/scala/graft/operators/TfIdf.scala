@@ -33,24 +33,30 @@ object TfIdf {
     * SQL engine replay the score bit-for-bit (summing per-addend
     * doubles instead differs at round-off boundaries). */
   def docRarity(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val n = df.count()
+    // explode_outer keeps token-less documents as one null-term row so
+    // the corpus size N is derivable from the aggregate below — no
+    // separate full-corpus count() scan before the main job. (N counts
+    // distinct ids; docRarity is keyed per id, so duplicate-id input
+    // was never meaningful.)
     val toks = df.select(id.as("id"),
-      explode(TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
+      explode_outer(TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
     // Three consumers read termCounts (document frequencies, document
     // lengths, the scoring join); without materialization Spark
     // re-tokenizes the corpus once per consumer (three scans in the
     // plan). One materialization of the aggregated (doc, term, cnt)
     // rows — far smaller than the token explosion — replaces them.
-    // (localCheckpoint here; swap for reliable checkpoint or a staging
-    // table on a real cluster.)
-    val termCounts = toks.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val docLens = termCounts.groupBy(col("id")).agg(sum(col("cnt")).as("len"))
-    val docFreq = termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val termCounts = Checkpoints.truncate(
+      toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("cnt")))
+    // One scalar over the already-materialized aggregate, not the corpus.
+    val n = termCounts.agg(count_distinct(col("id"))).first().getLong(0)
+    // Null-term marker rows counted toward N, excluded from scoring —
+    // a token-less document has no rarity row (as before).
+    val tc = termCounts.filter(col("term").isNotNull)
+    val docLens = tc.groupBy(col("id")).agg(sum(col("cnt")).as("len"))
+    val docFreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf6 = round(log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0), 6)
       .cast("decimal(18,6)")
-    termCounts
+    tc
       .join(docFreq.select(col("term"), idf6.as("idf6")), "term")
       .groupBy(col("id"))
       .agg(sum(col("cnt") * col("idf6")).as("s"))

@@ -81,7 +81,7 @@ object Upsert {
       case Some(existing) =>
         // Staging keeps the read and the overwrite of the same
         // partitions from racing (first write has nothing to race).
-        merge(existing, incoming, keyCol, versionCol).localCheckpoint(true)
+        Checkpoints.truncate(merge(existing, incoming, keyCol, versionCol))
       case None => incoming
     }
     merged.write

@@ -165,7 +165,14 @@ object SnapshotStore {
   private def readEntries(spark: SparkSession, root: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
     val paths = entries.map(e => new Path(root, e.path).toString)
-    spark.read.parquet(paths: _*)
+    // Schema evolution: after a mergeCommit whose batch added columns,
+    // one manifest references old-schema files (carried by reference)
+    // AND new-schema files, so the footers must be merged — rows from
+    // pre-evolution files read the new columns as typed nulls (the
+    // reference evolves via Pydantic defaulting,
+    // unified_product_schema.py:145-207). Footer merging is a
+    // driver-side metadata operation over the listed files only.
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   /** Read the current snapshot; `partitions` prunes at the MANIFEST

@@ -183,4 +183,40 @@ class SnapshotStoreSpec extends SparkSpec {
       "unreferenced files must be deleted once outside the window")
     assert(SnapshotStore.read(spark, root).count() == 2)
   }
+
+  test("schema evolution: a batch adding a column merges; old versions and kept files read as typed nulls") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    // The evolved batch carries a new column (the reference evolves its
+    // schema via Pydantic defaults — unified_product_schema.py:145-207).
+    val evolved = Seq(("p1", "a", 2, "EAN-1"), ("p4", "a", 2, "EAN-4"))
+      .toDF("product_id", "supplier", "version", "gtin")
+    val v2 = SnapshotStore.mergeCommit(spark, evolved, root,
+      "product_id", "version", "supplier")
+    assert(v2 == 2L)
+
+    // Latest version: new column present everywhere; rows from
+    // pre-evolution files (p2 via the merge union, p3 via a kept
+    // old-schema file in the same manifest) read it as null.
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.columns.contains("gtin"))
+    val byId = cur.select("product_id", "gtin").as[(String, Option[String])]
+      .collect().toMap
+    assert(byId == Map("p1" -> Some("EAN-1"), "p4" -> Some("EAN-4"),
+      "p2" -> None, "p3" -> None))
+
+    // Time travel to the pre-evolution version keeps its own schema.
+    val v1 = SnapshotStore.readVersion(spark, root, 1)
+    assert(!v1.columns.contains("gtin") && v1.count() == 3)
+
+    // A further same-schema merge on top of the evolved table works and
+    // keeps the evolved column for carried rows.
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p3", "b", 2, "EAN-3")).toDF("product_id", "supplier", "version", "gtin"),
+      root, "product_id", "version", "supplier")
+    val cur3 = SnapshotStore.read(spark, root)
+      .select("product_id", "gtin").as[(String, Option[String])].collect().toMap
+    assert(cur3("p3").contains("EAN-3") && cur3("p1").contains("EAN-1"))
+  }
 }
