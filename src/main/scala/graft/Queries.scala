@@ -2251,7 +2251,26 @@ object Queries {
         s"((((CAST(floor(p_retailprice) AS BIGINT) % 1024) >> $i) & 1) << ${3 * i + 2})")).mkString(" | ")
       s"""
       SELECT p_partkey, ($terms) AS z FROM part ORDER BY p_partkey"""
-    })
+    }),
+
+    // Indexed text search (TextIndex): build the (token, file)
+    // inverted index over the documents table, search a word through
+    // it, and return exactly what the full-scan predicate returns —
+    // the index-side parity with the reference's Mongo text index
+    // (unified_product_schema.py:241; q72 is the scan-side parity).
+    ("q90_indexed_search", (s: SparkSession, d: String) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_q90_idx")
+        .resolve("index").toString
+      val table = s"$d/documents.parquet"
+      graft.operators.TextIndex.buildWordIndex(s, table, "text", idx)
+      graft.operators.TextIndex.searchWord(s, table, idx, "text", "dup")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE list_contains(string_split(trim(regexp_replace(regexp_replace(
+        lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
+      ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

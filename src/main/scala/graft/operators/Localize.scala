@@ -49,7 +49,12 @@ object Localize {
       df.withColumn("__lang_prio", lit(i))
     }
     val u = tagged.reduce(_.unionByName(_))
-    val locType = u.schema("localized").dataType.asInstanceOf[StructType]
+    // Nullable-ified target: merged maps are conditional (null when no
+    // run localized the field), so a source schema with NOT NULL map
+    // fields must relax or the output cast fails analysis.
+    val locType = StructType(
+      u.schema("localized").dataType.asInstanceOf[StructType]
+        .fields.map(_.copy(nullable = true)))
     val fields = locType.fieldNames.toSeq
 
     val baseCols = u.columns.filterNot(_ == "__lang_prio").toSeq

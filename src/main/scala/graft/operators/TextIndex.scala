@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** File-skipping inverted word index for text search over a parquet
+  * table — the scale path past a full-scan `contains()` (the reference
+  * declares a Mongo text INDEX on name,
+  * unified_product_schema.py:241; q72 is the scan-side parity, this is
+  * the index-side parity).
+  *
+  * The index is (token, file): for each parquet data file, the
+  * distinct normalized words of its rows' indexed column. Build cost
+  * is one explode + distinct (a shuffle on (token, file)); index size
+  * is bounded by per-file vocabulary, not row count. A word search
+  * consults the index for candidate files, then scans ONLY those
+  * files with the row predicate re-applied. Results are EXACT: the
+  * index uses the same tokenizer as the predicate, so a file holding
+  * a matching row necessarily indexes the token — skipping
+  * non-candidates cannot drop rows.
+  *
+  * At 100 TB: the index is ~vocabulary × files rows — itself a
+  * parquet table, range-laid-out on token so a one-token lookup
+  * pushes into the scan (PushedFilters) and touches a few row groups.
+  * The data scan shrinks from every file to the files that contain
+  * the word — for selective words, orders of magnitude fewer bytes;
+  * for stop-words it degrades gracefully to the full scan (never
+  * worse than q72). Rebuild is incremental by construction: files are
+  * immutable, so new data files only APPEND index rows (re-index the
+  * new files, union).
+  */
+object TextIndex {
+
+  /** Build the (token, file) index for `tablePath`'s `textCol`,
+    * written to `indexPath` range-laid-out on token (one-token
+    * lookups then prune row groups via min/max stats). */
+  def buildWordIndex(spark: SparkSession, tablePath: String,
+                     textCol: String, indexPath: String): Unit = {
+    spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"),
+        explode(TextAnalysis.wordSet(col(textCol))).as("token"))
+      .distinct()
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** Incremental maintenance: index ONLY `newFiles` (data files added
+    * since the last build — e.g. the new entries of a SnapshotStore
+    * commit's manifest) and append their (token, file) rows. Data
+    * files are immutable, so old index rows never go stale and the
+    * append equals a full rebuild — the 100 TB maintenance story:
+    * index cost tracks the incoming batch, not the table. */
+  def appendToWordIndex(spark: SparkSession, newFiles: Seq[String],
+                        textCol: String, indexPath: String): Unit = {
+    if (newFiles.nonEmpty)
+      spark.read.parquet(newFiles: _*)
+        .select(input_file_name().as("file"),
+          explode(TextAnalysis.wordSet(col(textCol))).as("token"))
+        .distinct()
+        .repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("append").parquet(indexPath)
+  }
+
+  /** Data files that may contain `word` — exact over-approximation
+    * (no false negatives; a listed file may still have no matching
+    * row when its matches were in other columns' rows). Driver-side
+    * list, bounded by the table's file count. */
+  def candidateFiles(spark: SparkSession, indexPath: String,
+                     word: String): Seq[String] =
+    spark.read.parquet(indexPath)
+      .filter(col("token") === lit(word))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** Word search through the index: scan only candidate files with
+    * the row predicate re-applied. Row-for-row equal to the full-scan
+    * `array_contains(wordSet(textCol), word)`. */
+  def searchWord(spark: SparkSession, tablePath: String, indexPath: String,
+                 textCol: String, word: String): DataFrame = {
+    val files = candidateFiles(spark, indexPath, word)
+    val base = spark.read.parquet(tablePath)
+    // basePath preserves Hive partition columns on a directory table;
+    // a single-file table has none (and basePath rejects files).
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(target).isDirectory
+    val reader = if (isDir) spark.read.option("basePath", tablePath) else spark.read
+    val pruned =
+      if (files.isEmpty) base.limit(0)
+      else reader.parquet(files: _*)
+    pruned.filter(array_contains(TextAnalysis.wordSet(col(textCol)), word))
+  }
+}

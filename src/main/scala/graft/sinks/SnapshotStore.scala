@@ -302,6 +302,55 @@ object SnapshotStore {
       s"lost the compaction race $maxAttempts times under $root")
   }
 
+  /** External-engine interop: export a snapshot version as a
+    * symlink-format manifest — the Hive/Presto/Trino/Athena
+    * `SymlinkTextInputFormat` convention (one text file per partition
+    * under `_symlink_format_manifest/`, each line the absolute URI of
+    * a data file; the same layout Delta Lake's `GENERATE
+    * symlink_format_manifest` emits). Any engine that can mount an
+    * external partitioned parquet table can then read the snapshot
+    * without this codebase:
+    * {{{
+    *   CREATE EXTERNAL TABLE t (…) PARTITIONED BY (__part string)
+    *   ROW FORMAT SERDE '…ParquetHiveSerDe'
+    *   STORED AS INPUTFORMAT '…SymlinkTextInputFormat'
+    *   OUTPUTFORMAT '…HiveIgnoreKeyTextOutputFormat'
+    *   LOCATION '<root>/_symlink_format_manifest'
+    * }}}
+    *
+    * The export reflects ONE committed version (default: current) —
+    * re-run it after commits that should be visible externally; stale
+    * export = stale-but-consistent external reads, never torn ones
+    * (data files are immutable). Longer-lived interop should migrate
+    * the manifest state machine to an open table format (Delta/
+    * Iceberg) whose commit protocol this store deliberately mirrors
+    * (append-only data files + atomic metadata publish). */
+  def writeSymlinkManifest(spark: SparkSession, root: String,
+                           version: Option[Long] = None): Path = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val f = fs(spark, root)
+    val outRoot = new Path(root, "_symlink_format_manifest")
+    val tmpRoot = new Path(root,
+      s"._symlink_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    manifest(spark, root, v).groupBy(_.partition).foreach { case (part, es) =>
+      // Hive-escape the partition value the same way writeDataFiles'
+      // partitionBy did, so external engines see familiar directories.
+      val dir = new Path(tmpRoot, s"$PartDir=" + es.head.path.split("/")
+        .find(_.startsWith(s"$PartDir=")).map(_.stripPrefix(s"$PartDir="))
+        .getOrElse(URLEncoder.encode(part, UTF_8)))
+      f.mkdirs(dir)
+      val out = f.create(new Path(dir, "manifest"), true)
+      try out.write(es.map(e => f.makeQualified(new Path(root, e.path)).toString)
+        .sorted.mkString("\n").getBytes(UTF_8))
+      finally out.close()
+    }
+    // Swap whole trees so readers never see a half-written export.
+    if (f.exists(outRoot)) f.delete(outRoot, true)
+    f.rename(tmpRoot, outRoot)
+    outRoot
+  }
+
   /** Drop all but the newest `keep` manifests and delete data files no
     * kept manifest references. Files shared with kept versions survive
     * (reuse-by-reference makes per-version directory deletes WRONG —

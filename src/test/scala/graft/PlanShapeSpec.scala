@@ -101,4 +101,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(400))
     assert(p.contains("Union"), "unpaired-bypass union missing")
   }
+
+  test("language-run merge is one hash aggregate, no join chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Minimal unified-shaped frame: the merge must stay a single
+    // union + groupBy (one hashpartitioning exchange), NOT become
+    // N-1 self-joins as languages are added.
+    def run(lang: String) = Seq(("p1", s"name-$lang"), ("p2", s"n2-$lang"))
+      .toDF("product_id", "name")
+      .withColumn("localized", struct(
+        map(lit(lang), col("name")).as("name"),
+        lit(null).cast("map<string,string>").as("title")))
+    val merged = graft.operators.Localize.mergeLanguageRuns(
+      Seq("en" -> run("en"), "de" -> run("de"), "fr" -> run("fr")))
+    val p = merged.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 merge exchange, found $hashEx:\n${p.take(800)}")
+    assert(!p.contains("Join"), "language merge grew a join")
+  }
 }

@@ -219,4 +219,44 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("product_id", "gtin").as[(String, Option[String])].collect().toMap
     assert(cur3("p3").contains("EAN-3") && cur3("p1").contains("EAN-1"))
   }
+
+  test("symlink-format manifest export lists exactly the version's files per partition") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    val out = SnapshotStore.writeSymlinkManifest(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def lines(part: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(out, s"__part=$part/manifest")
+      assert(fs.exists(p), s"missing symlink manifest for $part")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val m2 = SnapshotStore.manifest(spark, root, 2)
+    def expected(part: String) = m2.filter(_.partition == part)
+      .map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(root, e.path)).toString)
+      .sorted
+    assert(lines("a") == expected("a") && lines("b") == expected("b"))
+
+    // The exported paths are directly readable as parquet (what an
+    // external engine's SymlinkTextInputFormat does with each line),
+    // and together reproduce the snapshot.
+    val all = (lines("a") ++ lines("b"))
+    val readBack = spark.read.parquet(all: _*)
+      .select("product_id", "version").as[(String, Int)].collect().toMap
+    assert(readBack == Map("p1" -> 2, "p2" -> 1, "p3" -> 1))
+
+    // Re-export after another commit reflects the new version.
+    SnapshotStore.mergeCommit(spark, table(("p4", "b", 3)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.writeSymlinkManifest(spark, root)
+    val m3 = SnapshotStore.manifest(spark, root, 3)
+    assert(lines("b").toSet == m3.filter(_.partition == "b")
+      .map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(root, e.path)).toString).toSet)
+  }
 }

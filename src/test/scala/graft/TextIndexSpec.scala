@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.TextIndex
+
+/** File-skipping inverted word index: exactness (index search ==
+  * full-scan predicate) and the actual skip (candidate files are a
+  * strict subset for a word concentrated in one range of the data). */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val (tableDir, indexDir) = {
+    // 400 docs in 8 range-partitioned files; the marker word
+    // "zebrafish" exists only in ids 0-49 → exactly one file's range.
+    val docs = (0 until 400).map { i =>
+      val marker = if (i < 50) " zebrafish" else ""
+      (i.toLong, s"alpha beta gamma doc $i$marker")
+    }.toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix").toString
+    docs.repartitionByRange(8, $"id").write.parquet(s"$dir/table")
+    TextIndex.buildWordIndex(spark, s"$dir/table", "text", s"$dir/index")
+    (s"$dir/table", s"$dir/index")
+  }
+
+  test("index search returns exactly the full-scan predicate's rows") {
+    val viaIndex = TextIndex
+      .searchWord(spark, tableDir, indexDir, "text", "zebrafish")
+      .select("id").as[Long].collect().sorted.toSeq
+    val fullScan = spark.read.parquet(tableDir)
+      .filter(array_contains(TextAnalysis.wordSet($"text"), "zebrafish"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == fullScan && viaIndex.size == 50)
+  }
+
+  test("a selective word skips most data files; a ubiquitous word degrades to full scan") {
+    val allFiles = spark.read.parquet(tableDir).inputFiles.toSet
+    assert(allFiles.size >= 4, s"fixture wrote too few files: ${allFiles.size}")
+    val rare = TextIndex.candidateFiles(spark, indexDir, "zebrafish").toSet
+    assert(rare.size < allFiles.size / 2,
+      s"rare word should prune: ${rare.size} of ${allFiles.size}")
+    // The pruned scan's actual input is exactly the candidate set.
+    val scanned = TextIndex
+      .searchWord(spark, tableDir, indexDir, "text", "zebrafish")
+      .inputFiles.toSet
+    assert(scanned == rare)
+    val common = TextIndex.candidateFiles(spark, indexDir, "alpha").toSet
+    assert(common == allFiles, "ubiquitous word must list every file")
+  }
+
+  test("a word absent from the corpus returns an empty frame with the table schema") {
+    val out = TextIndex.searchWord(spark, tableDir, indexDir, "text", "nosuchword")
+    assert(out.columns.toSeq == Seq("id", "text") && out.isEmpty)
+  }
+
+  test("the index lookup pushes the token predicate into the parquet scan") {
+    val p = spark.read.parquet(indexDir)
+      .filter($"token" === "zebrafish")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(token,zebrafish)"),
+      p.take(600))
+  }
+
+  test("incremental append indexes only the new files; search sees old and new data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_incr").toString
+    val old = Seq((1L, "alpha common"), (2L, "beta common")).toDF("id", "text")
+    old.coalesce(1).write.parquet(s"$dir/table")
+    TextIndex.buildWordIndex(spark, s"$dir/table", "text", s"$dir/index")
+    val before = spark.read.parquet(s"$dir/table").inputFiles.toSet
+
+    // New batch lands as additional immutable files.
+    Seq((3L, "gamma common newword")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/table")
+    val newFiles = spark.read.parquet(s"$dir/table").inputFiles.toSet -- before
+    assert(newFiles.nonEmpty)
+    TextIndex.appendToWordIndex(spark, newFiles.toSeq, "text", s"$dir/index")
+
+    val hitNew = TextIndex.searchWord(spark, s"$dir/table", s"$dir/index",
+      "text", "newword").select("id").as[Long].collect().toSeq
+    assert(hitNew == Seq(3L))
+    val hitAll = TextIndex.searchWord(spark, s"$dir/table", s"$dir/index",
+      "text", "common").select("id").as[Long].collect().sorted.toSeq
+    assert(hitAll == Seq(1L, 2L, 3L))
+    // Old-word search is untouched by the append (no stale rows).
+    val hitOld = TextIndex.searchWord(spark, s"$dir/table", s"$dir/index",
+      "text", "alpha").select("id").as[Long].collect().toSeq
+    assert(hitOld == Seq(1L))
+  }
+}
