@@ -2270,7 +2270,61 @@ object Queries {
       SELECT doc_id, lang, source FROM documents
       WHERE list_contains(string_split(trim(regexp_replace(regexp_replace(
         lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // File-skipping stats (FileStats + GraftFileIndex): commit orders
+    // as a range-laid-out snapshot, then read it back THROUGH the
+    // planning-time pruning index — the query's own WHERE drives which
+    // files are opened (Delta/Iceberg-style data skipping over the
+    // custom manifest store). Results must equal the plain filtered
+    // scan the oracle runs; the pruning itself is measured in
+    // DataSkippingSpec and SCALE.md.
+    ("q91_snapshot_skipping", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q91_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderpriority")
+      graft.sinks.SnapshotStore.table(s, root)
+        .filter(col("o_orderkey") < 1000 && col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey < 1000 AND o_orderpriority = '1-URGENT'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Gap-based sessionization (Sessionize.sessions): per-user
+    // sessions with a 30-minute inactivity bound, replayed by the
+    // oracle as gaps-and-islands. Both sides work in integer epoch
+    // MICROseconds — the events table is nanosecond-precision parquet
+    // and Spark's reader truncates to micros, so the oracle truncates
+    // identically (epoch_ns // 1000) instead of comparing raw
+    // timestamps. Spark MERGES touching windows (SessionizeSpec), so
+    // the island break is strictly greater-than the gap.
+    ("q92_sessionize", (s: SparkSession, d: String) => {
+      graft.streaming.Sessionize.sessions(t(s, d, "events"), gap = "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      m AS (SELECT user_id, us,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        THEN 1 ELSE 0 END AS brk FROM e),
+      g AS (SELECT user_id, us,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -57,7 +57,32 @@ object ScaleSmoke {
       .withColumn("v", lit(1))
     graft.sinks.SnapshotStore.commit(spark, snapBase, snapRoot, "part")
 
+    // Range-laid snapshot for the data-skipping measurement: files
+    // carry narrow disjoint doc_id ranges (the post-Z-order layout),
+    // so a selective read should PLAN a small fraction of them.
+    val skipRoot = java.nio.file.Files
+      .createTempDirectory("graft_scale_skip").toString + "/t"
+    graft.sinks.SnapshotStore.commit(spark,
+      docs.withColumn("part", lit("x"))
+        .repartitionByRange(64, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      skipRoot, "part")
+    var skipFiles = (0, 0) // (candidates planned, total files)
+
     val results = Seq(
+      // The same selective predicate through the plain all-files read
+      // vs the stats-skipping FileIndex: identical answers, the
+      // skipping path opens only the files whose ranges intersect.
+      time("snapshot_scan_full") {
+        graft.sinks.SnapshotStore.read(spark, skipRoot)
+          .filter(col("doc_id") >= 2000 && col("doc_id") < 4000).count()
+      },
+      time("snapshot_scan_skipping") {
+        val (t, idx) = graft.sinks.SnapshotStore.tableWithIndex(spark, skipRoot)
+        val n = t.filter(col("doc_id") >= 2000 && col("doc_id") < 4000).count()
+        skipFiles = (idx.lastCandidateFiles, idx.totalFiles)
+        n
+      },
       time("exact_groups") {
         Dedup.exactGroups(docs, col("text"), col("doc_id"))
           .filter(col("n_dups") > 1).count()
@@ -129,7 +154,7 @@ object ScaleSmoke {
 
     val nDocs = docs.count(); val nVecs = embs.count()
     val parts = results.map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
-    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,${parts.mkString(",")}}""")
+    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -69,10 +69,15 @@ object TfIdf {
     * the "what makes this document unusual" summary. Ties break
     * lexicographically for determinism. */
   def topRareTerms(df: DataFrame, text: Column, id: Column, k: Int = 5): DataFrame = {
-    val n = df.count()
-    val toks = df.select(id.as("id"),
-      explode(array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(text))))
-        .as("term"))
+    // Same single-scan shape as docRarity: materialize the distinct
+    // (doc, term) rows once, then N is a scalar over that aggregate —
+    // not a second pass over the raw corpus. explode_outer keeps
+    // token-less documents in N (they just contribute no term rows).
+    val toks0 = Checkpoints.truncate(df.select(id.as("id"),
+      explode_outer(array_distinct(TextAnalysis.tokens(TextAnalysis.normalized(text))))
+        .as("term")))
+    val n = toks0.agg(count_distinct(col("id"))).first().getLong(0)
+    val toks = toks0.filter(col("term").isNotNull)
     val docFreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(n + 1.0) / (col("df") + lit(1.0))) + lit(1.0)
     toks.join(docFreq, "term")

@@ -1,0 +1,294 @@
+package graft.sinks
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.format.converter.ParquetMetadataConverter
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column min/max/null statistics for data skipping — the
+  * metadata layer that lets a 100 TB scan open only the files whose
+  * value ranges can satisfy the query's predicates (the same role as
+  * Delta/Iceberg per-file stats; pairs with [[graft.operators.Layout]]
+  * Z-ordering, which makes those ranges NARROW so skipping actually
+  * bites).
+  *
+  * Stats come from parquet footers (a metadata read, no row scan) and
+  * are persisted next to each [[SnapshotStore]] manifest, so planning
+  * never touches data files. Pruning is CONSERVATIVE by construction:
+  * any column, type, or comparison the stats can't decide keeps the
+  * file. Spark re-applies every predicate row-level after the scan, so
+  * skipping affects bytes read, never results.
+  *
+  * Type discipline (wrong-order comparisons would WRONGLY skip files):
+  *   - int32/int64 (plain, signed-int, DATE-days, TIMESTAMP-micros
+  *     logical) and float/double compare as exact [[BigDecimal]] — the
+  *     same total order Spark's comparisons use on these types.
+  *   - BINARY-UTF8 strings compare with Java string order ONLY when
+  *     both bound and literal are pure ASCII, where it coincides with
+  *     parquet's unsigned-byte stats order; anything non-ASCII is
+  *     undecided (kept).
+  *   - decimals, unsigned ints, millis/nanos timestamps, int96:
+  *     recorded as absent → never pruned on.
+  */
+object FileStats {
+
+  /** Merged-across-row-groups stats of one column: `nulls == -1` means
+    * the writer didn't record null counts. `min`/`max` are `None` when
+    * the column has no non-null values (or no usable stats — the two
+    * are distinguished by `nulls` vs `rows`). */
+  case class ColStats(tpe: String, nulls: Long, min: Option[String], max: Option[String])
+
+  /** One data file: row count, byte length, per-column stats. Columns
+    * with unsupported physical/logical types are simply absent. */
+  case class FileStatsEntry(rows: Long, len: Long, cols: Map[String, ColStats])
+
+  /** Read one file's footer and fold its row groups into per-column
+    * stats. Metadata-only: cost is one footer read per file, so a
+    * commit's stats pass is proportional to the incoming batch, never
+    * the table. */
+  def fromFooter(conf: Configuration, file: Path, len: Long): FileStatsEntry = {
+    val footer = ParquetFileReader.readFooter(conf, file, ParquetMetadataConverter.NO_FILTER)
+    val blocks = footer.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    // (type-tag, merged Statistics) per column; None once any block is
+    // unusable for that column — partial stats can't bound the file.
+    val merged = scala.collection.mutable.Map[String, Option[(String, org.apache.parquet.column.statistics.Statistics[_])]]()
+    blocks.foreach { b =>
+      b.getColumns.asScala.foreach { cc =>
+        val name = cc.getPath.toDotString
+        val tag = typeTag(cc.getPrimitiveType)
+        val st = cc.getStatistics
+        val usable = tag.isDefined && st != null && !st.isEmpty
+        merged.get(name) match {
+          case Some(None) => // already poisoned
+          case Some(Some((t, acc))) =>
+            if (usable && t == tag.get) acc.mergeStatistics(st.asInstanceOf[acc.type])
+            else merged(name) = None
+          case None =>
+            merged(name) = if (usable) Some((tag.get, st.copy())) else None
+        }
+      }
+    }
+    val cols = merged.collect { case (name, Some((tag, st))) =>
+      val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+      val (mn, mx) =
+        if (st.hasNonNullValue) (Some(stringify(tag, st.genericGetMin)), Some(stringify(tag, st.genericGetMax)))
+        else (None, None)
+      name -> ColStats(tag, nulls, mn, mx)
+    }.toMap
+    FileStatsEntry(rows, len, cols)
+  }
+
+  /** `Some("num")` / `Some("str")` for types whose stats order we can
+    * replay exactly; `None` (no stats) otherwise. */
+  private def typeTag(t: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import LogicalTypeAnnotation._
+    val logical = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => logical match {
+        case null => Some("num")
+        case i: IntLogicalTypeAnnotation if i.isSigned => Some("num")
+        case _: DateLogicalTypeAnnotation => Some("num")
+        case ts: TimestampLogicalTypeAnnotation
+          if ts.getUnit == TimeUnit.MICROS => Some("num")
+        case _ => None // unsigned, decimal-scaled, millis/nanos: raw order != value order or unit mismatch
+      }
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("num")
+      case PrimitiveTypeName.BINARY => logical match {
+        case _: StringLogicalTypeAnnotation => Some("str")
+        case _ => None
+      }
+      case _ => None // BOOLEAN (worthless), INT96, FIXED_LEN_BYTE_ARRAY
+    }
+  }
+
+  private def stringify(tag: String, v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
+  }
+
+  // ---------------------------------------------------------------- //
+  // Catalyst → sources.Filter (the subset stats can decide).          //
+  // ---------------------------------------------------------------- //
+
+  /** Translate a pushed-down Catalyst predicate into a data-source
+    * filter over top-level attributes. Only shapes the stats can act
+    * on are translated; `None` means "can't prune on this" (the row
+    * filter still runs, so this is purely an optimization boundary).
+    * A one-sided `And` still yields its translatable side — pruning on
+    * a conjunct is conservative-correct. */
+  def translate(e: Expression): Option[Filter] = e match {
+    case expressions.And(l, r) => (translate(l), translate(r)) match {
+      case (Some(a), Some(b)) => Some(sources.And(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case expressions.Or(l, r) =>
+      for { a <- translate(l); b <- translate(r) } yield sources.Or(a, b)
+    case expressions.EqualTo(a: expressions.AttributeReference, l: Literal) =>
+      external(l).map(sources.EqualTo(a.name, _))
+    case expressions.EqualTo(l: Literal, a: expressions.AttributeReference) =>
+      external(l).map(sources.EqualTo(a.name, _))
+    case expressions.GreaterThan(a: expressions.AttributeReference, l: Literal) =>
+      external(l).map(sources.GreaterThan(a.name, _))
+    case expressions.GreaterThan(l: Literal, a: expressions.AttributeReference) =>
+      external(l).map(sources.LessThan(a.name, _))
+    case expressions.GreaterThanOrEqual(a: expressions.AttributeReference, l: Literal) =>
+      external(l).map(sources.GreaterThanOrEqual(a.name, _))
+    case expressions.GreaterThanOrEqual(l: Literal, a: expressions.AttributeReference) =>
+      external(l).map(sources.LessThanOrEqual(a.name, _))
+    case expressions.LessThan(a: expressions.AttributeReference, l: Literal) =>
+      external(l).map(sources.LessThan(a.name, _))
+    case expressions.LessThan(l: Literal, a: expressions.AttributeReference) =>
+      external(l).map(sources.GreaterThan(a.name, _))
+    case expressions.LessThanOrEqual(a: expressions.AttributeReference, l: Literal) =>
+      external(l).map(sources.LessThanOrEqual(a.name, _))
+    case expressions.LessThanOrEqual(l: Literal, a: expressions.AttributeReference) =>
+      external(l).map(sources.GreaterThanOrEqual(a.name, _))
+    case expressions.In(a: expressions.AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      val ext = vs.map(v => external(v.asInstanceOf[Literal]))
+      if (ext.forall(_.isDefined)) Some(sources.In(a.name, ext.map(_.get).toArray)) else None
+    case expressions.InSet(a: expressions.AttributeReference, set) =>
+      val ext = set.toSeq.map(v => externalValue(v))
+      if (ext.forall(_.isDefined)) Some(sources.In(a.name, ext.map(_.get).toArray)) else None
+    case expressions.IsNull(a: expressions.AttributeReference) => Some(sources.IsNull(a.name))
+    case expressions.IsNotNull(a: expressions.AttributeReference) => Some(sources.IsNotNull(a.name))
+    case expressions.StartsWith(a: expressions.AttributeReference, l: Literal) =>
+      external(l).collect { case s: String => sources.StringStartsWith(a.name, s) }
+    case _ => None
+  }
+
+  private def external(l: Literal): Option[Any] =
+    if (l.value == null) None else externalValue(l.value)
+
+  private def externalValue(v: Any): Option[Any] = v match {
+    case u: UTF8String => Some(u.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => Some(n)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case _ => None // intervals, binary, structs — not prunable here
+  }
+
+  // ---------------------------------------------------------------- //
+  // Conservative evaluation: may this file contain a matching row?    //
+  // ---------------------------------------------------------------- //
+
+  def mayMatch(e: FileStatsEntry, f: Filter): Boolean = f match {
+    case sources.And(l, r) => mayMatch(e, l) && mayMatch(e, r)
+    case sources.Or(l, r) => mayMatch(e, l) || mayMatch(e, r)
+    case sources.EqualTo(c, v) => inRange(e, c, v)
+    case sources.EqualNullSafe(c, v) => if (v == null) nullPossible(e, c) else inRange(e, c, v)
+    case sources.GreaterThan(c, v) => cmpMax(e, c, v).forall(_ > 0)
+    case sources.GreaterThanOrEqual(c, v) => cmpMax(e, c, v).forall(_ >= 0)
+    case sources.LessThan(c, v) => cmpMin(e, c, v).forall(_ < 0)
+    case sources.LessThanOrEqual(c, v) => cmpMin(e, c, v).forall(_ <= 0)
+    case sources.In(c, vs) => vs.exists(inRange(e, c, _))
+    case sources.IsNull(c) => nullPossible(e, c)
+    case sources.IsNotNull(c) => nonNullPossible(e, c)
+    case sources.StringStartsWith(c, p) => prefixPossible(e, c, p)
+    case _ => true // Not, string contains/ends — undecided
+  }
+
+  private def nullPossible(e: FileStatsEntry, c: String): Boolean =
+    e.cols.get(c).forall(s => s.nulls != 0)
+
+  private def nonNullPossible(e: FileStatsEntry, c: String): Boolean =
+    e.cols.get(c).forall(s => s.min.isDefined || s.nulls < 0 || s.nulls < e.rows)
+
+  /** All-null column (known): no value predicate can match. */
+  private def allNull(s: ColStats, e: FileStatsEntry): Boolean =
+    s.min.isEmpty && s.nulls >= 0 && s.nulls == e.rows
+
+  /** compare(min, v): negative = min < v. None = undecidable. */
+  private def cmpMin(e: FileStatsEntry, c: String, v: Any): Option[Int] =
+    e.cols.get(c).flatMap { s =>
+      if (allNull(s, e)) Some(1) // "min > everything": value predicates all fail
+      else s.min.flatMap(m => cmp(s.tpe, m, v))
+    }
+
+  private def cmpMax(e: FileStatsEntry, c: String, v: Any): Option[Int] =
+    e.cols.get(c).flatMap { s =>
+      if (allNull(s, e)) Some(-1) // "max < everything"
+      else s.max.flatMap(m => cmp(s.tpe, m, v))
+    }
+
+  private def inRange(e: FileStatsEntry, c: String, v: Any): Boolean =
+    cmpMin(e, c, v).forall(_ <= 0) && cmpMax(e, c, v).forall(_ >= 0)
+
+  /** File may hold a string starting with `p` iff [min,max] intersects
+    * [p, next(p)): max >= p and (when next(p) is representable in
+    * ASCII) min < next(p). */
+  private def prefixPossible(e: FileStatsEntry, c: String, p: String): Boolean = {
+    val upperOk = cmpMax(e, c, p).forall(_ >= 0)
+    val nextP = if (p.nonEmpty && p.last < 0x7f) Some(p.init + (p.last + 1).toChar) else None
+    val lowerOk = nextP.forall(np => cmpMin(e, c, np).forall(_ < 0))
+    // An all-null column still skips: cmpMax says Some(-1) → upperOk false.
+    upperOk && lowerOk
+  }
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** Typed three-way compare of a stats bound against a literal; None
+    * when the orders can't be replayed exactly. */
+  private def cmp(tpe: String, bound: String, v: Any): Option[Int] = tpe match {
+    case "num" =>
+      val lit = v match {
+        case n: Byte => Some(BigDecimal(n.toInt))
+        case n: Short => Some(BigDecimal(n.toInt))
+        case n: Int => Some(BigDecimal(n))
+        case n: Long => Some(BigDecimal(n))
+        case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
+        case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
+        case n: java.math.BigDecimal => Some(BigDecimal(n))
+        case _ => None
+      }
+      val b = try Some(BigDecimal(bound)) catch { case _: NumberFormatException => None } // NaN/Inf bounds
+      for { bb <- b; ll <- lit } yield bb.compare(ll)
+    case "str" => v match {
+      case s: String if isAscii(s) && isAscii(bound) => Some(bound.compareTo(s))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------- //
+  // Sidecar serialization (one line per file, TSV, URL-encoded).      //
+  // ---------------------------------------------------------------- //
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String) = URLDecoder.decode(s, UTF_8)
+
+  /** `path TAB rows TAB len TAB col:tpe:nulls:min:max;...` — every
+    * variable field URL-encoded, absent min/max as empty. */
+  def encode(entries: Seq[(String, FileStatsEntry)]): String =
+    entries.map { case (path, e) =>
+      val cols = e.cols.toSeq.sortBy(_._1).map { case (c, s) =>
+        Seq(enc(c), s.tpe, s.nulls.toString,
+          s.min.map(enc).getOrElse(""), s.max.map(enc).getOrElse("")).mkString(":")
+      }.mkString(";")
+      s"${enc(path)}\t${e.rows}\t${e.len}\t$cols"
+    }.mkString("\n")
+
+  def decode(text: String): Map[String, FileStatsEntry] =
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+      val parts = line.split("\t", -1)
+      val cols = if (parts.length < 4 || parts(3).isEmpty) Map.empty[String, ColStats]
+        else parts(3).split(";", -1).iterator.map { cs =>
+          val f = cs.split(":", -1)
+          dec(f(0)) -> ColStats(f(1), f(2).toLong,
+            if (f(3).isEmpty) None else Some(dec(f(3))),
+            if (f(4).isEmpty) None else Some(dec(f(4))))
+        }.toMap
+      dec(parts(0)) -> FileStatsEntry(parts(1).toLong, parts(2).toLong, cols)
+    }.toMap
+}

@@ -1,0 +1,54 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** Planning-time file skipping for a [[SnapshotStore]] snapshot: a
+  * Catalyst [[FileIndex]] whose file listing is the manifest (never a
+  * directory walk) filtered by per-file [[FileStats]] ranges against
+  * the query's own pushed-down data filters.
+  *
+  * This is the piece that turns "WHERE k BETWEEN a AND b" into "open
+  * 3 of 400 files" on a Z-ordered table ([[graft.operators.Layout]])
+  * without the caller passing any hints — Catalyst hands `listFiles`
+  * the predicates it already pushed toward the scan, and files whose
+  * stats can't satisfy them are dropped before any split planning.
+  * Spark re-applies the predicates row-level afterwards, so pruning
+  * can only reduce I/O, never change results (conservative stats =
+  * correct-by-construction).
+  *
+  * File sizes come from the stats sidecar, so planning performs ZERO
+  * filesystem calls per data file — manifest + sidecar reads only
+  * (the Delta/Iceberg metadata-scaling property; a 100 TB table plans
+  * from a few small metadata files).
+  */
+class GraftFileIndex(root: Path,
+                     files: Seq[(FileStatus, Option[FileStats.FileStatsEntry])],
+                     override val partitionSchema: StructType = new StructType())
+    extends FileIndex {
+
+  /** Pruning observability (specs + SCALE measurements). */
+  val totalFiles: Int = files.size
+  @volatile var lastCandidateFiles: Int = files.size
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val filters = dataFilters.flatMap(FileStats.translate)
+    val kept =
+      if (filters.isEmpty) files.map(_._1)
+      else files.collect {
+        case (st, stats) if stats.forall(e => filters.forall(FileStats.mayMatch(e, _))) => st
+      }
+    lastCandidateFiles = kept.size
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+
+  override def inputFiles: Array[String] = files.map(_._1.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = files.map(_._1.getLen).sum
+}

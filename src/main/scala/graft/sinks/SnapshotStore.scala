@@ -51,6 +51,9 @@ object SnapshotStore {
   private def manifestPath(root: String, v: Long) =
     new Path(root, f"manifests/v_$v%06d.manifest")
 
+  private def statsPath(root: String, v: Long) =
+    new Path(root, f"manifests/v_$v%06d.stats")
+
   /** Committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(root, "manifests")
@@ -123,6 +126,143 @@ object SnapshotStore {
     val won = renamed && manifestCommitter(spark, root, version).contains(token)
     if (!won && f.exists(tmp)) f.delete(tmp, false)
     won
+  }
+
+  /** Per-file column stats of a committed version (file-skipping
+    * metadata, see [[FileStats]]), keyed by manifest-relative path.
+    * Empty when the version predates stats or its sidecar write was
+    * interrupted — readers then simply don't prune. */
+  def statsFor(spark: SparkSession, root: String, version: Long): Map[String, FileStats.FileStatsEntry] = {
+    val f = fs(spark, root)
+    val p = statsPath(root, version)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      FileStats.decode(text)
+    }
+  }
+
+  /** The snapshot schema recorded at commit time (evolution-merged
+    * across versions), if the stats sidecar carries one. */
+  def schemaFor(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, root)
+    val p = statsPath(root, version)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.linesIterator.collectFirst {
+        case l if l.startsWith("#schema\t") =>
+          org.apache.spark.sql.types.DataType.fromJson(
+            URLDecoder.decode(l.stripPrefix("#schema\t"), UTF_8))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+    }
+  }
+
+  /** Union-by-name schema evolution: `a`'s fields (typed as `b`'s when
+    * both carry the name — the newest write wins), then `b`'s new
+    * fields, everything nullable (pre-evolution files read the new
+    * columns as typed nulls). */
+  private def schemaUnion(a: org.apache.spark.sql.types.StructType,
+                          b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      a.fields.map(f => bByName.getOrElse(f.name, f).copy(nullable = true)) ++
+        b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Write version `v`'s stats sidecar: footer stats for the NEW data
+    * files (one metadata read each — cost ∝ incoming batch), stats of
+    * carried files copied from the previous sidecar (immutable files,
+    * stats never go stale). Called AFTER the manifest wins: the
+    * sidecar is derived metadata, so a crash between the two leaves a
+    * readable snapshot that merely doesn't skip. Sizing note: at a
+    * large file count, swap the driver-side loop for a parallelized
+    * footer read over the new paths — the format doesn't change. */
+  private def writeStats(spark: SparkSession, root: String, v: Long,
+                         entries: Seq[ManifestEntry],
+                         newSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = if (v > 1) statsFor(spark, root, v - 1) else Map.empty[String, FileStats.FileStatsEntry]
+    val priorSchema = if (v > 1) schemaFor(spark, root, v - 1) else None
+    val all = entries.map { e =>
+      e.path -> prior.getOrElse(e.path, {
+        val p = new Path(root, e.path)
+        FileStats.fromFooter(conf, p, f.getFileStatus(p).getLen)
+      })
+    }
+    // Carried files keep reading through the evolved schema, so the
+    // recorded schema is the running union across versions.
+    val schema = (priorSchema, newSchema) match {
+      case (Some(p), Some(n)) => Some(schemaUnion(p, n))
+      case (p, n) => n.orElse(p)
+    }
+    val tmp = new Path(root, s"manifests/.v_$v.stats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try {
+      val header = schema.map(s => s"#schema\t${URLEncoder.encode(s.json, UTF_8)}\n").getOrElse("")
+      out.write((header + FileStats.encode(all)).getBytes(UTF_8))
+    } finally out.close()
+    // Only the manifest winner reaches here, so a plain rename is fine.
+    f.delete(statsPath(root, v), false)
+    f.rename(tmp, statsPath(root, v))
+  }
+
+  /** Manifest-backed [[GraftFileIndex]] for a version: the file
+    * listing is the manifest, file sizes come from the stats sidecar
+    * (zero per-file filesystem calls when stats exist), and data
+    * filters prune via per-file min/max. */
+  def fileIndex(spark: SparkSession, root: String, version: Option[Long] = None,
+                partitions: Option[Seq[String]] = None): GraftFileIndex = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val all = manifest(spark, root, v)
+    val wanted = partitions match {
+      case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
+      case None => all
+    }
+    val stats = statsFor(spark, root, v)
+    val f = fs(spark, root)
+    val files = wanted.map { e =>
+      val p = f.makeQualified(new Path(root, e.path))
+      stats.get(e.path) match {
+        case Some(se) =>
+          (new org.apache.hadoop.fs.FileStatus(se.len, false, 1, 128L * 1024 * 1024, 0L, p), Some(se))
+        case None => (f.getFileStatus(p), None)
+      }
+    }
+    new GraftFileIndex(new Path(root), files)
+  }
+
+  /** Read a snapshot THROUGH the planning-time file-skipping index:
+    * `table(...).filter(...)` opens only the files whose stats ranges
+    * can satisfy the filters (plus Catalyst's usual parquet pushdown
+    * inside each file). [[read]]/[[readVersion]] stay as the plain
+    * all-files path; this is the scale path for selective queries
+    * over large snapshots. */
+  def table(spark: SparkSession, root: String, version: Option[Long] = None,
+            partitions: Option[Seq[String]] = None): DataFrame =
+    tableWithIndex(spark, root, version, partitions)._1
+
+  /** [[table]] plus its index, whose `lastCandidateFiles` records how
+    * many files the most recent planning pass kept (specs + SCALE). */
+  def tableWithIndex(spark: SparkSession, root: String, version: Option[Long] = None,
+                     partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val idx = fileIndex(spark, root, Some(v), partitions)
+    val schema = schemaFor(spark, root, v).getOrElse(
+      readEntries(spark, root, manifest(spark, root, v)).schema)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, new org.apache.spark.sql.types.StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(spark)
+    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel), idx)
   }
 
   /** Undo Spark/Hive partition-directory escaping (`%XX` sequences
@@ -210,7 +350,10 @@ object SnapshotStore {
       // "current" is the max committed version.
       val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
-      if (writeManifest(spark, root, v, entries)) return v
+      if (writeManifest(spark, root, v, entries)) {
+        writeStats(spark, root, v, entries, Some(df.schema))
+        return v
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -260,7 +403,10 @@ object SnapshotStore {
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) return v
+      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+        writeStats(spark, root, v, kept ++ newEntries, Some(merged.schema))
+        return v
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -295,7 +441,11 @@ object SnapshotStore {
         .repartition(col(partitionCol))
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) return v
+      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+        // Content unchanged — the recorded schema carries forward.
+        writeStats(spark, root, v, kept ++ newEntries, None)
+        return v
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -386,6 +536,9 @@ object SnapshotStore {
         }
       }
     }
-    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(statsPath(root, v), false)
+    }
   }
 }

@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.{FileStats, SnapshotStore}
+
+/** File-skipping stats: footer harvesting at commit, sidecar carry
+  * across merges, and planning-time pruning through the snapshot
+  * FileIndex — results must ALWAYS equal the unpruned read. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("dataskip").toString
+
+  /** 1000 rows range-laid-out on id into 4 files in one partition, so
+    * each file holds a narrow disjoint id (and k) range. */
+  private def rangedCommit(root: String): Unit = {
+    val df = spark.range(1000)
+      .select(col("id"), format_string("k%04d", col("id")).as("k"),
+        (col("id") * 1.5).as("v"), lit("x").as("p"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions(col("id"))
+    SnapshotStore.commit(spark, df, root, "p")
+  }
+
+  test("commit writes a stats sidecar with per-file ranges and row counts") {
+    val root = freshRoot()
+    rangedCommit(root)
+    val stats = SnapshotStore.statsFor(spark, root, 1)
+    assert(stats.size == 4, s"expected 4 files, got ${stats.keySet}")
+    assert(stats.values.map(_.rows).sum == 1000)
+    val idStats = stats.values.map(_.cols("id")).toSeq
+    assert(idStats.forall(s => s.min.isDefined && s.max.isDefined && s.nulls == 0))
+    assert(idStats.flatMap(_.min).map(_.toLong).min == 0)
+    assert(idStats.flatMap(_.max).map(_.toLong).max == 999)
+    // Files cover DISJOINT ranges (range layout makes skipping bite).
+    val ranges = idStats.map(s => (s.min.get.toLong, s.max.get.toLong)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Seq((_, hi), (lo, _)) => hi < lo; case _ => true })
+    // String and double columns carry stats too.
+    assert(stats.values.forall(e => e.cols.contains("k") && e.cols.contains("v")))
+  }
+
+  test("numeric range filter plans only the matching files, same answer as full read") {
+    val root = freshRoot()
+    rangedCommit(root)
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    val got = t.filter(col("id") >= 100 && col("id") < 150)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Double)].head()
+    assert(idx.lastCandidateFiles < idx.totalFiles,
+      s"no pruning: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+    val want = SnapshotStore.read(spark, root).filter(col("id") >= 100 && col("id") < 150)
+      .agg(count(lit(1)), sum(col("v"))).as[(Long, Double)].head()
+    assert(got == want && got._1 == 50)
+  }
+
+  test("string equality and prefix filters prune by file; point lookup hits one file") {
+    val root = freshRoot()
+    rangedCommit(root)
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("k") === "k0123").count() == 1)
+    assert(idx.lastCandidateFiles == 1, s"expected 1 candidate, got ${idx.lastCandidateFiles}")
+    val (t2, idx2) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t2.filter(col("k").startsWith("k09")).count() == 100)
+    assert(idx2.lastCandidateFiles < idx2.totalFiles)
+  }
+
+  test("a filter with no matching range plans zero files") {
+    val root = freshRoot()
+    rangedCommit(root)
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("id") > 5000).count() == 0)
+    assert(idx.lastCandidateFiles == 0)
+  }
+
+  test("non-ASCII string bounds are never pruned on (conservative)") {
+    val root = freshRoot()
+    val df = Seq(("ä1", 1L, "x"), ("ö2", 2L, "x")).toDF("k", "id", "p").coalesce(1)
+    SnapshotStore.commit(spark, df, root, "p")
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("k") === "zz").count() == 0)
+    // The predicate value is ASCII but the file bounds aren't: the
+    // comparison is undecided, so the file must be KEPT, not skipped.
+    assert(idx.lastCandidateFiles == idx.totalFiles)
+  }
+
+  test("null-aware pruning: IsNotNull skips all-null files, IsNull skips fully-valued ones") {
+    val root = freshRoot()
+    val df = spark.range(100)
+      .select(col("id"),
+        when(col("id") < 0, col("id").cast("double")).as("n"), // all null
+        lit("a").as("p"))
+      .coalesce(1)
+      .unionByName(spark.range(100, 200)
+        .select(col("id"), col("id").cast("double").as("n"), lit("b").as("p"))
+        .coalesce(1))
+    SnapshotStore.commit(spark, df, root, "p")
+    val (t1, idx1) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t1.filter(col("n").isNotNull).count() == 100)
+    assert(idx1.lastCandidateFiles == 1)
+    val (t2, idx2) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t2.filter(col("n").isNull).count() == 100)
+    assert(idx2.lastCandidateFiles == 1)
+    // A value predicate can't match an all-null file either.
+    val (t3, idx3) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t3.filter(col("n") === 150.0).count() == 1)
+    assert(idx3.lastCandidateFiles == 1)
+  }
+
+  test("mergeCommit carries stats for untouched partitions and stats new files") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq(("p1", "a", 1, 10L), ("p2", "b", 1, 20L)).toDF("product_id", "supplier", "version", "qty"),
+      root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p1", "a", 2, 11L)).toDF("product_id", "supplier", "version", "qty"),
+      root, "product_id", "version", "supplier")
+    val m2 = SnapshotStore.manifest(spark, root, 2)
+    val s2 = SnapshotStore.statsFor(spark, root, 2)
+    assert(m2.forall(e => s2.contains(e.path)), "every v2 entry has stats")
+    // The carried b file keeps the exact stats recorded at v1.
+    val s1 = SnapshotStore.statsFor(spark, root, 1)
+    val bPath = m2.find(_.partition == "b").get.path
+    assert(s2(bPath) == s1(bPath))
+    // Partition-value equality prunes to one partition's files via
+    // stats alone (min == max == the partition value per file).
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("supplier") === "b").count() == 1)
+    assert(idx.lastCandidateFiles == 1)
+  }
+
+  test("schema evolution: table() reads pre-evolution files with typed nulls") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq(("p1", "a", 1)).toDF("product_id", "supplier", "version"), root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p2", "b", 1, "new")).toDF("product_id", "supplier", "version", "extra"),
+      root, "product_id", "version", "supplier")
+    val t = SnapshotStore.table(spark, root)
+    assert(t.columns.contains("extra"))
+    val rows = t.select("product_id", "extra").as[(String, Option[String])].collect().toMap
+    assert(rows == Map("p1" -> None, "p2" -> Some("new")))
+  }
+
+  test("planning performs no per-file filesystem listing when stats exist") {
+    val root = freshRoot()
+    rangedCommit(root)
+    // Sizes in the index must come from the sidecar, matching the real
+    // file lengths (they feed split planning).
+    val idx = SnapshotStore.fileIndex(spark, root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.manifest(spark, root, 1).foreach { e =>
+      val real = f.getFileStatus(new org.apache.hadoop.fs.Path(root, e.path)).getLen
+      val listed = idx.inputFiles.find(_.endsWith(e.path)).isDefined
+      assert(listed)
+      assert(SnapshotStore.statsFor(spark, root, 1)(e.path).len == real)
+    }
+  }
+
+  test("translate covers the pushable subset and stays conservative elsewhere") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "id", org.apache.spark.sql.types.LongType)()
+    val lit5 = org.apache.spark.sql.catalyst.expressions.Literal(5L)
+    val f = FileStats.translate(
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(id, lit5))
+    assert(f.contains(org.apache.spark.sql.sources.GreaterThan("id", 5L)))
+    // Flipped operand order flips the comparison.
+    val g = FileStats.translate(
+      org.apache.spark.sql.catalyst.expressions.GreaterThan(lit5, id))
+    assert(g.contains(org.apache.spark.sql.sources.LessThan("id", 5L)))
+    // Unsupported shapes translate to None, never to a wrong filter.
+    assert(FileStats.translate(
+      org.apache.spark.sql.catalyst.expressions.Not(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(id, lit5))).isEmpty)
+  }
+}
