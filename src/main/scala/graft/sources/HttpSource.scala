@@ -10,10 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * changes one function.
   *
   * Scale note: this shape is for KB–MB dimension endpoints (pricelist,
-  * printdata). A paginated bulk API at 100 TB scale would instead be a
-  * DataSource V2 `TableProvider` with one InputPartition per page —
-  * out of parity scope (the reference only ever fetches whole
-  * responses).
+  * printdata — the reference only ever fetches whole responses). The
+  * paginated-bulk-API scale path is [[PagedJsonSource]]: a DataSource
+  * V2 `TableProvider` with one InputPartition per page
+  * (`spark.read.format("graft-paged")`).
   */
 object HttpSource {
 
