@@ -64,6 +64,27 @@ object TextIndex {
         .write.mode("append").parquet(indexPath)
   }
 
+  /** Snapshot-store maintenance: index exactly the data files version
+    * `version` ADDED over its predecessor (the manifest diff — carried
+    * files are immutable and already indexed). Run after each commit
+    * and the index tracks the table at batch cost. Note exact-dedup
+    * caveat: a REPLACED partition's old files stay in the index until
+    * a rebuild; [[searchWord]] re-applies the row predicate over the
+    * CURRENT table read, so dropped files never resurrect rows —
+    * stale index entries cost candidate-list slack, not correctness. */
+  def appendForSnapshotVersion(spark: SparkSession, root: String,
+                               version: Long, textCol: String,
+                               indexPath: String): Unit = {
+    import graft.sinks.SnapshotStore
+    val cur = SnapshotStore.manifest(spark, root, version).map(_.path)
+    val prev =
+      if (version <= 1) Set.empty[String]
+      else SnapshotStore.manifest(spark, root, version - 1).map(_.path).toSet
+    val fresh = cur.filterNot(prev)
+      .map(p => new org.apache.hadoop.fs.Path(root, p).toString)
+    appendToWordIndex(spark, fresh, textCol, indexPath)
+  }
+
   /** Data files that may contain `word` — exact over-approximation
     * (no false negatives; a listed file may still have no matching
     * row when its matches were in other columns' rows). Driver-side
@@ -74,6 +95,26 @@ object TextIndex {
       .filter(col("token") === lit(word))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
+
+  /** [[searchWord]] against a snapshot-store table: candidates are
+    * intersected with the CURRENT manifest first, so index entries for
+    * files a later merge replaced (or vacuum deleted) are ignored
+    * instead of read. Exactness still holds — replaced files' rows
+    * live on in their replacement files, whose index rows were added
+    * by [[appendForSnapshotVersion]] at that commit. */
+  def searchWordInSnapshot(spark: SparkSession, root: String, indexPath: String,
+                           textCol: String, word: String): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val v = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val rel = SnapshotStore.manifest(spark, root, v).map(_.path)
+    val live = candidateFiles(spark, indexPath, word)
+      .filter(c => rel.exists(c.endsWith))
+    if (live.isEmpty) SnapshotStore.table(spark, root, Some(v))
+      .filter(array_contains(TextAnalysis.wordSet(col(textCol)), word)).limit(0)
+    else spark.read.parquet(live: _*)
+      .filter(array_contains(TextAnalysis.wordSet(col(textCol)), word))
+  }
 
   /** Word search through the index: scan only candidate files with
     * the row predicate re-applied. Row-for-row equal to the full-scan

@@ -452,6 +452,46 @@ object SnapshotStore {
       s"lost the compaction race $maxAttempts times under $root")
   }
 
+  /** Layout maintenance: rewrite partitions (default: all) Z-ORDERED
+    * on `zKeys`, published as a new snapshot version. Incremental
+    * merges append files in arrival order, so a long-lived table's
+    * per-file ranges widen until [[FileStats]] skipping stops biting;
+    * this restores it — each rewritten file covers a narrow
+    * hyper-rectangle of the key space ([[graft.operators.Layout]]),
+    * and the commit's stats sidecar captures the new ranges, so
+    * multi-dimensional predicates through [[table]] go back to
+    * opening a handful of files. Cost: one range shuffle of the
+    * selected partitions (same as a global sort) + a min/max rank
+    * pass; untouched partitions are carried by reference, and the
+    * usual optimistic-commit loop makes it crash-safe/non-blocking. */
+  def compactZOrder(spark: SparkSession, root: String, partitionCol: String,
+                    zKeys: Seq[String], filesPerPartition: Int = 4,
+                    bits: Int = 8, partitions: Option[Seq[String]] = None,
+                    maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val sel = partitions.map(_.toSet).getOrElse(entries.map(_.partition).toSet)
+      val (replaced, kept) = entries.partition(e => sel(e.partition))
+      if (replaced.isEmpty) return cur
+      val nParts = replaced.map(_.partition).distinct.size
+      val laid = graft.operators.Layout.zorderBy(
+        readEntries(spark, root, replaced), zKeys.map(col),
+        numFiles = filesPerPartition * nParts, bits = bits)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, laid, root, v, partitionCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+        writeStats(spark, root, v, kept ++ newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the z-order compaction race $maxAttempts times under $root")
+  }
+
   /** External-engine interop: export a snapshot version as a
     * symlink-format manifest — the Hive/Presto/Trino/Athena
     * `SymlinkTextInputFormat` convention (one text file per partition

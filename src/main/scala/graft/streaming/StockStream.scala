@@ -69,6 +69,25 @@ object StockStream {
           tablePath, keyCol = "sku", versionCol = "modified_at", partitionCol = "part")
       }
 
+  /** Sink variant into the ATOMIC snapshot store: one crash-safe
+    * manifest commit per micro-batch (readers never see a torn
+    * partition, time travel spans micro-batches, and every commit
+    * records file-skipping stats). The checkpoint makes delivery
+    * effectively-once: a replayed micro-batch re-merges the same rows,
+    * which the keyed later-version-wins merge absorbs idempotently. */
+  def snapshotWriter(latest: DataFrame, root: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    latest.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.SnapshotStore.mergeCommit(
+            batch.sparkSession, batch.withColumn("part", lit("stock")),
+            root, keyCol = "sku", versionCol = "modified_at", partitionCol = "part")
+          ()
+        }
+      }
+
   /** File-source entry point: watch a directory of JSON-lines stock
     * updates (schema: sku STRING, qty INT, modified_at TIMESTAMP). */
   def fromJsonDir(spark: SparkSession, dir: String): DataFrame =

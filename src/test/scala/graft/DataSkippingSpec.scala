@@ -159,6 +159,69 @@ class DataSkippingSpec extends SparkSpec {
     }
   }
 
+  test("Z-ordered snapshot prunes files on BOTH dimensions") {
+    val root = freshRoot()
+    // 64×64 grid; Z-order into 16 files → each file covers a small
+    // hyper-rectangle, so single-dimension predicates on EITHER key
+    // prune, which a plain sort on x would only give for x.
+    val grid = spark.range(4096).select(
+      pmod(col("id"), lit(64)).as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      lit("g").as("p"))
+    val laid = graft.operators.Layout.zorderBy(grid, col("x"), col("y"),
+      numFiles = 16, bits = 8).withColumn("p", lit("g"))
+    SnapshotStore.commit(spark, laid, root, "p")
+    def candidates(pred: org.apache.spark.sql.Column): (Long, Int, Int) = {
+      val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+      val n = t.filter(pred).count()
+      (n, idx.lastCandidateFiles, idx.totalFiles)
+    }
+    val (nx, cx, total) = candidates(col("x") < 8)
+    val (ny, cy, _) = candidates(col("y") < 8)
+    val (nb, cb, _) = candidates(col("x") < 8 && col("y") < 8)
+    assert(nx == 512 && ny == 512 && nb == 64)
+    assert(total == 16)
+    assert(cx < total && cy < total, s"x:$cx y:$cy of $total")
+    assert(cb <= cx && cb <= cy, s"2-D predicate should prune at least as hard: $cb")
+  }
+
+  test("compactZOrder restores multi-dimensional skippability of an arrival-ordered table") {
+    val root = freshRoot()
+    // Hash-shuffled commit: every file spans nearly the full x/y range,
+    // so stats skipping has nothing to bite on.
+    val grid = spark.range(4096).select(
+      pmod(col("id"), lit(64)).as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      lit("g").as("p")).repartition(16)
+    SnapshotStore.commit(spark, grid, root, "p")
+    val (t0, i0) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t0.filter(col("x") < 8).count() == 512)
+    val before = i0.lastCandidateFiles
+
+    val v = SnapshotStore.compactZOrder(spark, root, "p", Seq("x", "y"),
+      filesPerPartition = 16, bits = 8)
+    assert(v == 2L)
+    val (t1, i1) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t1.filter(col("x") < 8).count() == 512)
+    assert(i1.lastCandidateFiles < before && i1.lastCandidateFiles < i1.totalFiles,
+      s"before=$before after=${i1.lastCandidateFiles}/${i1.totalFiles}")
+    // Content identical across the rewrite.
+    val a = SnapshotStore.read(spark, root).select("x", "y")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = grid.select("x", "y").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("the table() scan keeps parquet row-group pushdown inside surviving files") {
+    val root = freshRoot()
+    rangedCommit(root)
+    val plan = SnapshotStore.table(spark, root)
+      .filter(col("id") >= 100 && col("id") < 150)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(id,100)"),
+      plan.take(800))
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(

@@ -214,6 +214,36 @@ class StockStreamSpec extends SparkSpec {
       assert(state("B") == 5)    // stale event did not overwrite
     } finally query.stop()
   }
+
+  test("snapshotWriter lands one atomic snapshot version per micro-batch with time travel") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+    import graft.sinks.SnapshotStore
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stock_snap").toString
+    val root = s"$dir/store"
+    val input = MemoryStream[(String, Int, Timestamp)]
+    val latest = StockStream.latestPerSku(
+      input.toDF().toDF("sku", "qty", "modified_at"))
+    val query = StockStream.snapshotWriter(latest, root, s"$dir/ckpt").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      input.addData(("A", 10, ts("2025-04-15 10:00:00")), ("B", 5, ts("2025-04-15 10:00:00")))
+      query.processAllAvailable()
+      input.addData(("A", 20, ts("2025-04-15 11:00:00")))
+      query.processAllAvailable()
+
+      assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L))
+      val now = SnapshotStore.read(spark, root)
+        .select($"sku", $"qty").as[(String, Int)].collect().toMap
+      assert(now == Map("A" -> 20, "B" -> 5))
+      // Time travel: version 1 is the state after the first micro-batch.
+      val v1 = SnapshotStore.readVersion(spark, root, 1)
+        .select($"sku", $"qty").as[(String, Int)].collect().toMap
+      assert(v1 == Map("A" -> 10, "B" -> 5))
+    } finally query.stop()
+  }
 }
 
 class StreamBatchEquivalenceSpec extends SparkSpec {

@@ -86,4 +86,32 @@ class TextIndexSpec extends SparkSpec {
       "text", "alpha").select("id").as[Long].collect().toSeq
     assert(hitOld == Seq(1L))
   }
+
+  test("snapshot maintenance: index follows commits; replaced files never resurrect rows") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_snap").toString
+    val root = s"$dir/store"; val idx = s"$dir/index"
+    val v1 = SnapshotStore.commit(spark,
+      Seq(("d1", "alpha stale", "a", 1), ("d2", "beta keep", "b", 1))
+        .toDF("doc_id", "text", "part", "v"), root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v1, "text", idx)
+    // Replace partition a: d1's text loses "stale", gains "fresh".
+    val v2 = SnapshotStore.mergeCommit(spark,
+      Seq(("d1", "alpha fresh", "a", 2)).toDF("doc_id", "text", "part", "v"),
+      root, "doc_id", "v", "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v2, "text", idx)
+
+    def hits(w: String) = TextIndex
+      .searchWordInSnapshot(spark, root, idx, "text", w)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(hits("fresh") == Seq("d1"))
+    assert(hits("keep") == Seq("d2"))
+    // "stale" exists only in the REPLACED v1 file: its index entry is
+    // dead (not in the live manifest) and must yield nothing — and not
+    // attempt to read the dropped file after a vacuum either.
+    SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0)
+    assert(hits("stale") == Seq.empty)
+    // A word spanning versions still resolves through live files only.
+    assert(hits("alpha") == Seq("d1"))
+  }
 }
