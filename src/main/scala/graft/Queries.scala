@@ -2324,7 +2324,35 @@ object Queries {
                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
       SELECT user_id, min(us) AS start_us, max(us) AS end_us,
         CAST(count(*) AS BIGINT) AS n_events
-      FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""))
+      FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""")),
+
+    // Big×big temporal as-of join (RangeJoin.asofJoin): every 10th
+    // event acts as a per-user "state change" dim; each event picks up
+    // the latest state at or before its own timestamp. The engine runs
+    // union + one window pass (one shuffle, no inequality-join
+    // blowup); the oracle replays it as a correlated latest-dim
+    // lookup. Ties (same user, same microsecond) resolve to the
+    // greatest payload on both sides. The carried level is a raw
+    // column value — no arithmetic — so the hash compare is exact.
+    ("q93_asof_join", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val dims = e.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts"), col("value").as("level"))
+      graft.operators.RangeJoin.asofJoin(
+          e.drop("value"), dims, "user_id", "ts", "ts", Seq("level"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("level"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value
+                 FROM events),
+      d AS (SELECT user_id, us, value AS level FROM e WHERE event_id % 10 = 0)
+      SELECT e.event_id, e.user_id, e.us,
+        (SELECT dd.level FROM d dd
+          WHERE dd.user_id = e.user_id AND dd.us <= e.us
+          ORDER BY dd.us DESC, dd.level DESC LIMIT 1) AS level
+      FROM e ORDER BY event_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -46,6 +46,49 @@ object RangeJoin {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Temporal as-of join for BIG×BIG sides: each fact row picks up the
+    * payload of the latest dim row (by timestamp) at or before its own
+    * timestamp within the same key — the slowly-changing-dimension
+    * lookup. Implemented as union + ONE window pass: tag both sides,
+    * sort within key by (ts, dim-first, payload), and carry the last
+    * non-null payload forward. Cost is one shuffle on the key — never
+    * the |facts|×|dims| blowup of an inequality join, and no broadcast
+    * requirement on either side (contrast [[resolveAsOf]], which wants
+    * a broadcastable tier table).
+    *
+    * Tie rules: a dim AT a fact's exact timestamp is visible to it;
+    * multiple dims tied on (key, ts) resolve to the GREATEST payload
+    * (payload columns ascending in the sort, last wins) so results are
+    * deterministic. Facts before any dim get null payloads.
+    *
+    * Skew note: a hot key serializes into one task (window semantics);
+    * at 100 TB pre-split hot keys by a coarse time bucket and stitch
+    * the bucket boundaries with a per-(key, bucket) last-dim broadcast.
+    */
+  def asofJoin(facts: DataFrame, dims: DataFrame, key: String,
+               factTs: String, dimTs: String,
+               payloads: Seq[String]): DataFrame = {
+    require(payloads.forall(p => !facts.columns.contains(p)),
+      s"payload columns ${payloads.mkString(",")} must not collide with fact columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("__ts").asc +: col("__dim").desc +:
+        payloads.map(p => col(s"__p_$p").asc): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dimSide = dims.select(
+      col(key) +: col(dimTs).as("__ts") +: lit(1).as("__dim") +:
+        payloads.map(p => dims(p).as(s"__p_$p")): _*)
+    val factSide = facts
+      .withColumn("__ts", col(factTs)).withColumn("__dim", lit(0))
+    val union = factSide.unionByName(dimSide, allowMissingColumns = true)
+    val filled = payloads.foldLeft(union) { (df, p) =>
+      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__dim") === 0)
+      .select(facts.columns.map(col) ++ payloads.map(col): _*)
+  }
+
   /** Big×big range join without a nested loop: overlay a fixed-width
     * bucket grid, explode each tier onto the buckets it spans, equi-join
     * on bucket, then re-check the exact predicate. Shuffle is linear in
