@@ -222,6 +222,50 @@ class DataSkippingSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("date range predicates prune files (DATE stats are epoch-day ints)") {
+    val root = freshRoot()
+    val df = spark.range(365).select(
+      date_add(lit("2025-01-01").cast("date"), col("id").cast("int")).as("d"),
+      col("id"), lit("x").as("p"))
+      .repartitionByRange(4, col("d")).sortWithinPartitions(col("d"))
+    SnapshotStore.commit(spark, df, root, "p")
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    val n = t.filter(col("d") >= lit("2025-06-01").cast("date") &&
+      col("d") < lit("2025-06-15").cast("date")).count()
+    assert(n == 14)
+    assert(idx.lastCandidateFiles == 1,
+      s"date range should hit one file: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+  }
+
+  test("timestamp pruning: INT96 default stays conservative; MICROS opt-in prunes") {
+    def commitTs(root: String): Unit = {
+      val df = spark.range(240).select(
+        expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2025-04-15 00:00:00')").as("ts"),
+        col("id"), lit("x").as("p"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      SnapshotStore.commit(spark, df, root, "p")
+    }
+    def probe(root: String): (Long, Int, Int) = {
+      val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+      val n = t.filter(col("ts") >= lit("2025-04-16 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2025-04-17 00:00:00").cast("timestamp")).count()
+      (n, idx.lastCandidateFiles, idx.totalFiles)
+    }
+    // Default (INT96): no stats recorded for ts — correct, no pruning.
+    val r1 = freshRoot(); commitTs(r1)
+    val (n1, c1, tot1) = probe(r1)
+    assert(n1 == 24 && c1 == tot1)
+    // The documented 100 TB setting: micros-typed parquet timestamps
+    // carry comparable stats, and the same query prunes.
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val r2 = freshRoot(); commitTs(r2)
+      val (n2, c2, tot2) = probe(r2)
+      assert(n2 == 24 && c2 < tot2, s"micros timestamps should prune: $c2/$tot2")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(
