@@ -2352,7 +2352,72 @@ object Queries {
         (SELECT dd.level FROM d dd
           WHERE dd.user_id = e.user_id AND dd.us <= e.us
           ORDER BY dd.us DESC, dd.level DESC LIMIT 1) AS level
-      FROM e ORDER BY event_id"""))
+      FROM e ORDER BY event_id""")),
+
+    // Bloom-filter point lookup (SnapshotStore.addBloomFilters):
+    // customers committed in HASH order, so every file's c_name
+    // min/max spans the domain and range stats prune nothing — the
+    // per-file bloom skips by content instead (false positives only
+    // ever keep a file, so the answer is exactly the plain lookup the
+    // oracle runs). DataSkippingSpec pins the pruning counts; this row
+    // gates the result through the full table() read path.
+    ("q94_bloom_lookup", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q94_store")
+        .resolve("t").toString
+      val customers = t(s, d, "customer")
+        .withColumn("part", pmod(col("c_custkey"), lit(4)).cast("string"))
+        .repartition(8)
+      graft.sinks.SnapshotStore.commit(s, customers, root, "part")
+      graft.sinks.SnapshotStore.addBloomFilters(s, root, Seq("c_name"))
+      graft.sinks.SnapshotStore.table(s, root)
+        .filter(col("c_name") === "Customer#000000042")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_name = 'Customer#000000042'
+      ORDER BY c_custkey""")),
+
+    // Sequence packing (Sampling.packSequences): per-language token
+    // streams in deterministic md5 order, cut into 2048-token training
+    // sequences; a document's pack is its START offset's sequence
+    // (with-splitting pretraining packing). Window-replayable: the
+    // oracle reproduces the running sum exactly.
+    ("q95_pack_sequences", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.packSequences(docs, col("n_tokens"),
+          col("doc_id"), col("lang"), seqLen = 2048L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, n_tokens,
+        CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+      FROM (SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT doc_id, lang,
+                    len(string_split(text, ' ')) AS n_tokens FROM documents))
+      ORDER BY doc_id""")),
+
+    // Weighted source mix (Sampling.weightedMix): the "60% en / 20% de
+    // / 20% fr" recipe knob — per-stratum quotas from the weight map,
+    // filled in deterministic md5 order; unlisted strata drop out.
+    ("q96_weighted_mix", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      graft.operators.Sampling.weightedMix(docs, col("doc_id"), col("lang"),
+          Map("en" -> 0.6, "de" -> 0.2, "fr" -> 0.2), total = 200L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents WHERE lang IN ('en', 'de', 'fr'))
+      WHERE (lang = 'en' AND rn <= 120)
+         OR (lang = 'de' AND rn <= 40)
+         OR (lang = 'fr' AND rn <= 40)
+      ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -68,6 +68,7 @@ object ScaleSmoke {
         .sortWithinPartitions(col("doc_id")),
       skipRoot, "part")
     var skipFiles = (0, 0) // (candidates planned, total files)
+    var bloomFiles = (0, 0, 0) // (candidates before bloom, total, after bloom)
 
     val results = Seq(
       // The same selective predicate through the plain all-files read
@@ -132,6 +133,26 @@ object ScaleSmoke {
         Sampling.sampleToTokenBudget(strat, col("n_tokens"), col("doc_id"),
           col("stratum"), budgetPerStratum = 2000L * amp).count()
       },
+      // Point lookup on a hash-ordered snapshot: min/max stats cannot
+      // prune (every file spans the key domain) — the bloom sidecar
+      // skips by content. Build cost is one scan of the un-bloomed
+      // files; lookup cost drops to the true-positive files.
+      time("bloom_point_nobloom") {
+        val (t, idx) = graft.sinks.SnapshotStore.tableWithIndex(spark, snapRoot)
+        val n = t.filter(col("doc_id") === 4242L).count()
+        bloomFiles = (idx.lastCandidateFiles, idx.totalFiles, bloomFiles._3)
+        n
+      },
+      time("bloom_build") {
+        graft.sinks.SnapshotStore.addBloomFilters(spark, snapRoot, Seq("doc_id"))
+        1L
+      },
+      time("bloom_point_lookup") {
+        val (t, idx) = graft.sinks.SnapshotStore.tableWithIndex(spark, snapRoot)
+        val n = t.filter(col("doc_id") === 4242L).count()
+        bloomFiles = (bloomFiles._1, idx.totalFiles, idx.lastCandidateFiles)
+        n
+      },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
       // from one sample file to a feed archive with no code change"
@@ -154,7 +175,7 @@ object ScaleSmoke {
 
     val nDocs = docs.count(); val nVecs = embs.count()
     val parts = results.map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
-    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},${parts.mkString(",")}}""")
+    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},"bloom_files_before":${bloomFiles._1},"bloom_files_total":${bloomFiles._2},"bloom_files_after":${bloomFiles._3},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

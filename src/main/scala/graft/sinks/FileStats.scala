@@ -262,6 +262,78 @@ object FileStats {
   }
 
   // ---------------------------------------------------------------- //
+  // Per-file Bloom filters: point-lookup skipping where min/max       //
+  // can't bite (high-cardinality columns in arrival order).           //
+  // ---------------------------------------------------------------- //
+
+  /** `m`-bit Bloom filter over one column of one file, `k` probes of
+    * `xxhash64(seed, value)`. `tpe` is the column's Spark type simple
+    * string — the probe hashes the query literal AS THAT TYPE, because
+    * XxHash64 hashes ints and longs differently. */
+  case class BloomStats(tpe: String, m: Int, k: Int, bits: IndexedSeq[Long]) {
+    def contains(pos: Int): Boolean = (bits(pos >> 6) & (1L << (pos & 63))) != 0
+  }
+
+  /** Bloom membership probe for a literal, replaying the build-side
+    * `pmod(xxhash64(lit(seed), col), m)` exactly. `None` = undecided
+    * (type mismatch / unsupported) — caller keeps the file. */
+  def bloomMayContain(b: BloomStats, v: Any): Option[Boolean] = {
+    val lit: Option[Literal] = (b.tpe, v) match {
+      case ("int", n: Int) => Some(Literal(n))
+      case ("bigint", n: Long) => Some(Literal(n))
+      case ("bigint", n: Int) => Some(Literal(n.toLong))
+      case ("double", n: Double) => Some(Literal(n))
+      case ("string", s: String) => Some(Literal.create(s,
+        org.apache.spark.sql.types.StringType))
+      case _ => None
+    }
+    lit.map { l =>
+      (0 until b.k).forall { seed =>
+        val h = new expressions.XxHash64(Seq(Literal(seed), l)).eval(null).asInstanceOf[Long]
+        b.contains((((h % b.m) + b.m) % b.m).toInt)
+      }
+    }
+  }
+
+  /** May this file contain a row matching `f`, per its Bloom filters?
+    * Only equality shapes are decidable; everything else keeps the
+    * file (min/max handles ranges). */
+  def mayMatchBloom(blooms: Map[String, BloomStats], f: Filter): Boolean = f match {
+    case sources.And(l, r) => mayMatchBloom(blooms, l) && mayMatchBloom(blooms, r)
+    case sources.Or(l, r) => mayMatchBloom(blooms, l) || mayMatchBloom(blooms, r)
+    case sources.EqualTo(c, v) =>
+      blooms.get(c).flatMap(bloomMayContain(_, v)).getOrElse(true)
+    case sources.EqualNullSafe(c, v) if v != null =>
+      blooms.get(c).flatMap(bloomMayContain(_, v)).getOrElse(true)
+    case sources.In(c, vs) => blooms.get(c) match {
+      case Some(b) => vs.exists(v => bloomMayContain(b, v).getOrElse(true))
+      case None => true
+    }
+    case _ => true
+  }
+
+  private[sinks] def encodeBlooms(entries: Seq[(String, Map[String, BloomStats])]): String =
+    entries.flatMap { case (path, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        val bytes = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+        b.bits.foreach(bytes.putLong)
+        Seq(enc(path), enc(c), b.tpe, b.m.toString, b.k.toString,
+          java.util.Base64.getEncoder.encodeToString(bytes.array())).mkString("\t")
+      }
+    }.mkString("\n")
+
+  private[sinks] def decodeBlooms(text: String): Map[String, Map[String, BloomStats]] =
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+      val f = line.split("\t", -1)
+      val bytes = java.util.Base64.getDecoder.decode(f(5))
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val longs = IndexedSeq.fill(bytes.length / 8)(buf.getLong)
+      (dec(f(0)), dec(f(1)), BloomStats(f(2), f(3).toInt, f(4).toInt, longs))
+    }.toSeq.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.map(r => r._2 -> r._3).toMap
+    }
+
+  // ---------------------------------------------------------------- //
   // Sidecar serialization (one line per file, TSV, URL-encoded).      //
   // ---------------------------------------------------------------- //
 

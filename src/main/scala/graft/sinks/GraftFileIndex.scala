@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.StructType
   * from a few small metadata files).
   */
 class GraftFileIndex(root: Path,
-                     files: Seq[(FileStatus, Option[FileStats.FileStatsEntry])],
+                     files: Seq[(FileStatus, Option[FileStats.FileStatsEntry],
+                       Map[String, FileStats.BloomStats])],
                      override val partitionSchema: StructType = new StructType())
     extends FileIndex {
 
@@ -42,7 +43,9 @@ class GraftFileIndex(root: Path,
     val kept =
       if (filters.isEmpty) files.map(_._1)
       else files.collect {
-        case (st, stats) if stats.forall(e => filters.forall(FileStats.mayMatch(e, _))) => st
+        case (st, stats, blooms)
+          if stats.forall(e => filters.forall(FileStats.mayMatch(e, _))) &&
+            (blooms.isEmpty || filters.forall(FileStats.mayMatchBloom(blooms, _))) => st
       }
     lastCandidateFiles = kept.size
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))

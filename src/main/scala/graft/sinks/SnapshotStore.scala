@@ -54,6 +54,9 @@ object SnapshotStore {
   private def statsPath(root: String, v: Long) =
     new Path(root, f"manifests/v_$v%06d.stats")
 
+  private def bloomPath(root: String, v: Long) =
+    new Path(root, f"manifests/v_$v%06d.bloom")
+
   /** Committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(root, "manifests")
@@ -212,6 +215,107 @@ object SnapshotStore {
     f.rename(tmp, statsPath(root, v))
   }
 
+  /** Per-file Bloom filters of a committed version (see
+    * [[addBloomFilters]]), keyed by manifest-relative path then
+    * column. Empty when none were built. */
+  def bloomFor(spark: SparkSession, root: String, version: Long): Map[String, Map[String, FileStats.BloomStats]] = {
+    val f = fs(spark, root)
+    val p = bloomPath(root, version)
+    if (version < 1 || !f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      FileStats.decodeBlooms(text)
+    }
+  }
+
+  /** Opt-in point-lookup skipping: build per-file Bloom filters over
+    * `cols` for version `version` (default current) and publish them
+    * as a bloom sidecar. Min/max stats can't prune equality probes
+    * into high-cardinality columns in ARRIVAL order (every file's
+    * range spans the domain); a Bloom filter skips by content instead
+    * — the Delta "bloom filter index" use case.
+    *
+    * Each file's filter is sized from ITS distinct-value count
+    * (`bitsPerValue` bits each, Delta's default sizing) — a fixed
+    * width would saturate on large files and silently stop pruning.
+    * The build is fully distributed: positions fold into 64-bit words
+    * via a `bit_or` hash aggregate, so the driver collects only
+    * bitmap words (m/64 rows per file), never value sets.
+    *
+    * Cost: one `approx_count_distinct` pass + one build pass over the
+    * files that don't already carry a bloom for every requested
+    * column — carried files' filters copy forward (immutable files),
+    * so re-running after each commit costs ∝ the new batch. False
+    * positives only ever KEEP a file (~1% at 10 bits/value, k=3);
+    * false negatives are impossible, so results never change. */
+  def addBloomFilters(spark: SparkSession, root: String, cols: Seq[String],
+                      bitsPerValue: Int = 10, k: Int = 3,
+                      version: Option[Long] = None): Unit = {
+    require(bitsPerValue > 0 && k > 0, s"need positive sizing, got $bitsPerValue/$k")
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val entries = manifest(spark, root, v)
+    val prior = bloomFor(spark, root, v - 1) ++ bloomFor(spark, root, v)
+    val need = entries.filter(e =>
+      !cols.forall(c => prior.get(e.path).exists(_.contains(c))))
+    val f = fs(spark, root)
+    val built: Map[String, Map[String, FileStats.BloomStats]] =
+      if (need.isEmpty) Map.empty
+      else {
+        val paths = need.map(e => f.makeQualified(new Path(root, e.path)).toString)
+        // Qualified URI → manifest-relative path (suffix match is safe:
+        // data-file paths are UUID-unique within the table).
+        def relOf(uri: String): String =
+          need.map(_.path).find(uri.endsWith).getOrElse(
+            throw new IllegalStateException(s"scanned file not in manifest: $uri"))
+        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        cols.flatMap { c =>
+          val tpe = df.schema(c).dataType.simpleString
+          require(Set("int", "bigint", "double", "string")(tpe),
+            s"bloom filters support int/bigint/double/string, '$c' is $tpe")
+          val src = df.select(input_file_name().as("__f"), col(c))
+            .where(col(c).isNotNull)
+          val mByFile: Map[String, Long] = src
+            .groupBy(col("__f")).agg(approx_count_distinct(col(c)).as("__ndv"))
+            .collect()
+            .map(r => r.getString(0) ->
+              math.max(512L, ((r.getLong(1) * bitsPerValue + 63) / 64) * 64)).toMap
+          if (mByFile.isEmpty) Nil
+          else {
+            val mDf = broadcast(spark.createDataFrame(
+              spark.sparkContext.parallelize(mByFile.toSeq.map(x =>
+                org.apache.spark.sql.Row(x._1, x._2)), 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__f", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("__m", org.apache.spark.sql.types.LongType)))))
+            val words = src.join(mDf, "__f")
+              .select(col("__f"), explode(array((0 until k).map(s =>
+                pmod(xxhash64(lit(s), col(c)), col("__m"))): _*)).as("__pos"))
+              .select(col("__f"),
+                shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
+                expr("shiftleft(1L, CAST(__pos % 64 AS INT))").as("__b"))
+              .groupBy(col("__f"), col("__w")).agg(bit_or(col("__b")).as("__bits"))
+              .collect()
+            words.groupBy(_.getString(0)).toSeq.map { case (uri, rs) =>
+              val m = mByFile(uri).toInt
+              val arr = new Array[Long](m / 64)
+              rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+              (relOf(uri), c, FileStats.BloomStats(tpe, m, k, arr.toIndexedSeq))
+            }
+          }
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(x => x._2 -> x._3).toMap }
+      }
+    val merged = entries.map { e =>
+      e.path -> (prior.getOrElse(e.path, Map.empty) ++ built.getOrElse(e.path, Map.empty))
+    }.filter(_._2.nonEmpty)
+    val tmp = new Path(root, s"manifests/.v_$v.bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(FileStats.encodeBlooms(merged).getBytes(UTF_8)) finally out.close()
+    f.delete(bloomPath(root, v), false)
+    f.rename(tmp, bloomPath(root, v))
+  }
+
   /** Manifest-backed [[GraftFileIndex]] for a version: the file
     * listing is the manifest, file sizes come from the stats sidecar
     * (zero per-file filesystem calls when stats exist), and data
@@ -226,14 +330,16 @@ object SnapshotStore {
       case None => all
     }
     val stats = statsFor(spark, root, v)
+    val blooms = bloomFor(spark, root, v)
     val f = fs(spark, root)
     val files = wanted.map { e =>
       val p = f.makeQualified(new Path(root, e.path))
-      stats.get(e.path) match {
+      val st = stats.get(e.path) match {
         case Some(se) =>
           (new org.apache.hadoop.fs.FileStatus(se.len, false, 1, 128L * 1024 * 1024, 0L, p), Some(se))
         case None => (f.getFileStatus(p), None)
       }
+      (st._1, st._2, blooms.getOrElse(e.path, Map.empty[String, FileStats.BloomStats]))
     }
     new GraftFileIndex(new Path(root), files)
   }
@@ -579,6 +685,7 @@ object SnapshotStore {
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)
+      f.delete(bloomPath(root, v), false)
     }
   }
 }

@@ -266,6 +266,58 @@ class DataSkippingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
   }
 
+  test("bloom filters skip point lookups where min/max cannot (arrival-ordered keys)") {
+    val root = freshRoot()
+    // Hash-distributed high-cardinality skus: every file's min/max
+    // range spans the whole domain, so stats alone prune nothing.
+    val df = spark.range(4000).select(
+      concat(lit("sku-"), format_string("%05d", pmod(col("id") * 2654435761L, lit(100000L)))).as("sku"),
+      col("id"), lit("x").as("p")).repartition(8)
+    SnapshotStore.commit(spark, df, root, "p")
+    val probe = df.select("sku").as[String].head()
+
+    val (t0, i0) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t0.filter(col("sku") === probe).count() >= 1)
+    assert(i0.lastCandidateFiles == i0.totalFiles, "min/max can't prune this layout")
+
+    SnapshotStore.addBloomFilters(spark, root, Seq("sku"))
+    val (t1, i1) = SnapshotStore.tableWithIndex(spark, root)
+    val n1 = t1.filter(col("sku") === probe).count()
+    assert(n1 == t0.filter(col("sku") === probe).count())
+    assert(i1.lastCandidateFiles < i1.totalFiles,
+      s"bloom should prune: ${i1.lastCandidateFiles}/${i1.totalFiles}")
+    // A value absent from the table planlists ~0 files (false positives
+    // only ever KEEP files; at 8192 bits they are rare).
+    val (t2, i2) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t2.filter(col("sku") === "sku-nope").count() == 0)
+    assert(i2.lastCandidateFiles <= 1, s"absent key kept ${i2.lastCandidateFiles}")
+    // IN-lists probe per value; a column without a bloom is untouched.
+    val (t3, i3) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t3.filter(col("sku").isin(probe, "sku-nope")).count() == n1)
+    assert(i3.lastCandidateFiles < i3.totalFiles)
+  }
+
+  test("bloom sidecars carry forward across mergeCommit for untouched files") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq(("k1", "a", 1), ("k2", "b", 1)).toDF("sku", "part", "v")
+        .repartition(2), root, "part")
+    SnapshotStore.addBloomFilters(spark, root, Seq("sku"))
+    val b1 = SnapshotStore.bloomFor(spark, root, 1)
+    assert(b1.nonEmpty)
+    // Touch only partition a; partition b's file (and bloom) carries.
+    SnapshotStore.mergeCommit(spark,
+      Seq(("k3", "a", 2)).toDF("sku", "part", "v"), root, "sku", "v", "part")
+    SnapshotStore.addBloomFilters(spark, root, Seq("sku"))
+    val b2 = SnapshotStore.bloomFor(spark, root, 2)
+    val bPath = SnapshotStore.manifest(spark, root, 2).find(_.partition == "b").get.path
+    assert(b2.contains(bPath) && b2(bPath) == b1(bPath), "carried bloom must be byte-identical")
+    // And the new file got a bloom too: a k3 lookup prunes partition b.
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("sku") === "k3").count() == 1)
+    assert(idx.lastCandidateFiles == 1)
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(

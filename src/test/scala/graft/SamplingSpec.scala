@@ -36,4 +36,41 @@ class SamplingSpec extends SparkSpec {
     // Oversized cap returns everything.
     assert(Sampling.sampleNPerStratum(corpus, $"id", $"lang", 100).count() == 40)
   }
+
+  test("packSequences cuts each stratum's token stream at seqLen start offsets") {
+    // 10-token docs, seqLen 25: start offsets 0,10,20,30,... → packs
+    // 0,0,0,1,1,2,... and a doc straddles each 25-boundary.
+    val out = Sampling.packSequences(corpus, $"tokens", $"id", $"lang", 25L)
+      .select($"id", $"lang", $"pack_id", $"pack_offset")
+      .as[(Long, String, Long, Long)].collect()
+    val en = out.filter(_._2 == "en").sortBy(_._4).sortBy(_._3)
+    assert(en.length == 20)
+    // Offsets within a stratum are the running starts 0,10,20,...,190.
+    val starts = out.filter(_._2 == "en").map(r => r._3 * 25 + r._4).sorted
+    assert(starts.toSeq == (0L until 200L by 10L).toSeq)
+    // Pack ids partition those starts by 25.
+    assert(out.forall(r => r._3 == (r._3 * 25 + r._4) / 25))
+    // Total packs per stratum = ceil(200/25) = 8.
+    assert(out.filter(_._2 == "en").map(_._3).distinct.length == 8)
+    // Deterministic re-run.
+    val again = Sampling.packSequences(corpus, $"tokens", $"id", $"lang", 25L)
+      .select($"id", $"pack_id", $"pack_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
+  }
+
+  test("weightedMix fills per-stratum quotas, drops unlisted strata, under-fills small ones") {
+    val mixed = corpus.unionByName(
+      Seq((100L, "zh", 10L), (101L, "zh", 10L)).toDF("id", "lang", "tokens"))
+    val out = Sampling.weightedMix(mixed, $"id", $"lang",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), total = 16L)
+    val n = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Quotas: en 8, de 4, zh 4 — but zh only has 2 rows (under-fill).
+    assert(n == Map("en" -> 8L, "de" -> 4L, "zh" -> 2L))
+    // A stratum absent from the weights never appears.
+    val noDe = Sampling.weightedMix(mixed, $"id", $"lang",
+      Map("en" -> 1.0), total = 10L)
+    assert(noDe.select($"lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
 }
