@@ -2417,7 +2417,33 @@ object Queries {
       WHERE (lang = 'en' AND rn <= 120)
          OR (lang = 'de' AND rn <= 40)
          OR (lang = 'fr' AND rn <= 40)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Embedding near-dup CLUSTERS end-to-end: exact cosine pairs
+    // (q47's operator in oracle mode) fed into connected components
+    // (q74's operator) — the full "semantic dedup" composition over
+    // the embeddings table. The oracle replays pairs as an all-pairs
+    // cosine join and the clustering as a recursive reachability CTE.
+    // At scale the same composition runs with bucketed = true (LSH
+    // candidate generation) — identical downstream clustering.
+    ("q97_embedding_clusters", (s: SparkSession, d: String) => {
+      val pairs = Similarity.nearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, bucketed = false)
+      Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("id"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+      sym AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b AS a, id_a AS b FROM p),
+      reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a)
+      SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -139,10 +139,15 @@ object SnapshotStore {
     val f = fs(spark, root)
     val p = statsPath(root, version)
     if (!f.exists(p)) Map.empty
-    else {
+    else try {
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       FileStats.decode(text)
+    } catch {
+      // Sidecars are DERIVED metadata: a torn/corrupt one must degrade
+      // to "no pruning", never block the read (the manifest alone is
+      // authoritative).
+      case scala.util.control.NonFatal(_) => Map.empty
     }
   }
 
@@ -152,7 +157,7 @@ object SnapshotStore {
     val f = fs(spark, root)
     val p = statsPath(root, version)
     if (!f.exists(p)) None
-    else {
+    else try {
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       text.linesIterator.collectFirst {
@@ -161,6 +166,9 @@ object SnapshotStore {
             URLDecoder.decode(l.stripPrefix("#schema\t"), UTF_8))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
+    } catch {
+      // Degrade to the mergeSchema footer read in table().
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -222,10 +230,13 @@ object SnapshotStore {
     val f = fs(spark, root)
     val p = bloomPath(root, version)
     if (version < 1 || !f.exists(p)) Map.empty
-    else {
+    else try {
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       FileStats.decodeBlooms(text)
+    } catch {
+      // Same degradation contract as statsFor: derived metadata only.
+      case scala.util.control.NonFatal(_) => Map.empty
     }
   }
 

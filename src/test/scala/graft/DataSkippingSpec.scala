@@ -318,6 +318,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(idx.lastCandidateFiles == 1)
   }
 
+  test("corrupt sidecars degrade to no-pruning reads, never failures") {
+    val root = freshRoot()
+    rangedCommit(root)
+    // Garbage both sidecars in place.
+    val dir = java.nio.file.Paths.get(root, "manifests")
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (p.toString.endsWith(".stats"))
+        java.nio.file.Files.write(p, "not\ta\tvalid\tsidecar".getBytes)
+    }
+    java.nio.file.Files.write(dir.resolve("v_000001.bloom"), "garbage".getBytes)
+    assert(SnapshotStore.statsFor(spark, root, 1).isEmpty)
+    assert(SnapshotStore.bloomFor(spark, root, 1).isEmpty)
+    assert(SnapshotStore.schemaFor(spark, root, 1).isEmpty)
+    // table() falls back to footer schema + full file listing and the
+    // answer is still exact.
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("id") >= 100 && col("id") < 150).count() == 50)
+    assert(idx.lastCandidateFiles == idx.totalFiles)
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(
