@@ -89,6 +89,84 @@ object RangeJoin {
       .select(facts.columns.map(col) ++ payloads.map(col): _*)
   }
 
+  /** [[asofJoin]] with hot-key mitigation: the window partitions on
+    * (key, time bucket) instead of the bare key, so a key with
+    * billions of rows splits across `bucketWidth`-sized slices instead
+    * of serializing into one task. Buckets are stitched by
+    * carry-forward: each (key, bucket) first reduces to its LAST dim
+    * payload (a hash aggregate), a small per-key window over those
+    * aggregated rows computes what was in force when each bucket
+    * OPENED, and that state is injected as one synthetic dim row at
+    * the bucket start. Three shuffles total — (key,bucket) window,
+    * per-key window over |keys × buckets| aggregated rows (tiny), and
+    * the union — all hash-partitioned, none key-serialized.
+    *
+    * Timestamps must be castable to long micros via
+    * `unix_micros`-style arithmetic; `bucketWidthMicros` picks the
+    * slice (e.g. 86_400_000_000L for daily). Same tie rules and
+    * results as [[asofJoin]] (spec-pinned equivalence). */
+  def asofJoinBucketed(facts: DataFrame, dims: DataFrame, key: String,
+                       factTs: String, dimTs: String, payloads: Seq[String],
+                       bucketWidthMicros: Long): DataFrame = {
+    require(payloads.forall(p => !facts.columns.contains(p)),
+      s"payload columns ${payloads.mkString(",")} must not collide with fact columns")
+    val exprs = org.apache.spark.sql.expressions.Window
+    def bucketOf(ts: Column) = floor(unix_micros(ts) / bucketWidthMicros)
+
+    // __pri orders rows tied on __ts: injected seeds (0) lose to real
+    // dims (1), which are visible to facts (2) at the same instant —
+    // matching asofJoin's tie rules exactly.
+    val dimSide = dims.select(
+      col(key) +: col(dimTs).as("__ts") +: lit(1).as("__dim") +:
+        payloads.map(p => dims(p).as(s"__p_$p")): _*)
+      .withColumn("__pri", lit(1))
+      .withColumn("__bk", bucketOf(col("__ts")))
+    // Last dim state per (key, bucket): what a LATER bucket inherits.
+    val perBucket = dimSide
+      .groupBy(col(key), col("__bk"))
+      .agg(max_by(struct(payloads.map(p => col(s"__p_$p")): _*),
+        struct(col("__ts") +: payloads.map(p => col(s"__p_$p")): _*)).as("__last"))
+    // Synthetic boundary dims: every bucket that appears on EITHER
+    // side inherits the state of the largest dim bucket STRICTLY
+    // before it (gap buckets included). Computed as a per-key as-of
+    // over the tiny aggregated frame: state rows sort after bucket
+    // rows at the same bucket id, so a bucket only sees earlier
+    // buckets' state.
+    val factSide = facts
+      .withColumn("__ts", col(factTs)).withColumn("__dim", lit(0))
+      .withColumn("__pri", lit(2))
+      .withColumn("__bk", bucketOf(col("__ts")))
+    val allBuckets = factSide.select(col(key), col("__bk"))
+      .union(dimSide.select(col(key), col("__bk"))).distinct()
+    val lastType = perBucket.schema("__last").dataType
+    val tiny = perBucket.select(col(key), col("__bk"), lit(1).as("__s"), col("__last"))
+      .unionByName(allBuckets.select(col(key), col("__bk"), lit(0).as("__s"),
+        lit(null).cast(lastType).as("__last")))
+    val wSeed = exprs.partitionBy(col(key))
+      .orderBy(col("__bk").asc, col("__s").asc)
+      .rowsBetween(exprs.unboundedPreceding, exprs.currentRow)
+    val seeds = tiny
+      .withColumn("__seed", last(col("__last"), ignoreNulls = true).over(wSeed))
+      .filter(col("__s") === 0 && col("__seed").isNotNull)
+      .select(Seq(col(key), col("__bk")) ++
+        payloads.map(p => col(s"__seed.__p_$p").as(s"__p_$p")): _*)
+      .withColumn("__ts", timestamp_micros(col("__bk") * bucketWidthMicros))
+      .withColumn("__dim", lit(1))
+      .withColumn("__pri", lit(0))
+    val union = factSide
+      .unionByName(dimSide, allowMissingColumns = true)
+      .unionByName(seeds, allowMissingColumns = true)
+    val w = exprs.partitionBy(col(key), col("__bk"))
+      .orderBy(col("__ts").asc +: col("__pri").asc +:
+        payloads.map(p => col(s"__p_$p").asc): _*)
+      .rowsBetween(exprs.unboundedPreceding, exprs.currentRow)
+    val filled = payloads.foldLeft(union) { (df, p) =>
+      df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__dim") === 0)
+      .select(facts.columns.map(col) ++ payloads.map(col): _*)
+  }
+
   /** Big×big range join without a nested loop: overlay a fixed-width
     * bucket grid, explode each tier onto the buckets it spans, equi-join
     * on bucket, then re-check the exact predicate. Shuffle is linear in

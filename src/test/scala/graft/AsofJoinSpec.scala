@@ -61,6 +61,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed as-of equals the plain as-of on random data with gaps and boundary ties") {
+    val r = new scala.util.Random(11)
+    val hour = 3600L * 1000000L
+    // One HOT key (0) with most rows, sparse keys, dims clustered so
+    // whole buckets have no dims (exercises gap carry-forward), plus
+    // exact bucket-boundary timestamps (exercises seed tie rules).
+    def ts(off: Long) = new Timestamp(1700000000000L + off / 1000)
+    val facts = ((0 until 400).map { i =>
+      val k = if (i % 4 != 0) 0L else r.nextInt(3).toLong + 1
+      (k, ts(r.nextInt(48) * hour / 2 + r.nextInt(1000) * 1000000L), i.toLong)
+    } ++ Seq((0L, ts(4 * hour), 9001L), (1L, ts(8 * hour), 9002L)))
+      .toDF("k", "ts", "fact_id")
+    val dims = ((0 until 80).map { i =>
+      val k = if (i % 3 != 0) 0L else r.nextInt(3).toLong + 1
+      // Dims only in the first 12 hours: later buckets are all gaps.
+      (k, ts(r.nextInt(12) * hour + r.nextInt(1000) * 1000000L), i.toDouble)
+    } ++ Seq((0L, ts(4 * hour), 777.0), (0L, ts(4 * hour), 778.0)))
+      .toDF("k", "ts", "lvl")
+    val plain = RangeJoin.asofJoin(facts, dims, "k", "ts", "ts", Seq("lvl"))
+      .select($"fact_id", $"lvl").as[(Long, Option[Double])].collect().toMap
+    val bucketed = RangeJoin.asofJoinBucketed(facts, dims, "k", "ts", "ts",
+        Seq("lvl"), bucketWidthMicros = hour)
+      .select($"fact_id", $"lvl").as[(Long, Option[Double])].collect().toMap
+    assert(bucketed == plain,
+      s"diverged on ${plain.keySet.filter(k => plain(k) != bucketed.get(k).flatten).take(5)}")
+    // The boundary fact at exactly 4h must see the real dim at 4h
+    // (greatest payload 778.0), not a stale carried seed.
+    assert(plain(9001L).contains(778.0))
+    // A fact in a dim-less bucket inherits from hours before.
+    assert(plain(9002L).isDefined)
+  }
+
   test("one shuffle: the plan contains a single exchange for the window") {
     val facts = Seq((1L, ts("2025-04-15 10:00:00"), "f")).toDF("k", "ts", "fact_id")
     val dims = Seq((1L, ts("2025-04-15 09:00:00"), 1.0)).toDF("k", "ts", "lvl")
