@@ -2443,7 +2443,30 @@ object Queries {
         SELECT a, a FROM sym
         UNION
         SELECT reach.id, s.b FROM reach JOIN sym s ON reach.r = s.a)
-      SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id"""))
+      SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""")),
+
+    // Stream-stream interval join, batch-executed
+    // (EventStream.recentActivity): each event paired with the same
+    // user's events in the trailing 10 minutes, rolled up per event.
+    // The identical expression runs as a watermarked stream×stream
+    // join (EventStreamSpec pins the equivalence); the oracle replays
+    // the interval join in integer microseconds.
+    ("q98_recent_activity", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.streaming.EventStream.recentActivity(e, e, within = "10 minutes")
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_prior"), max(col("prior_value")).as("max_prior_value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value
+                 FROM events)
+      SELECT l.event_id, l.user_id, CAST(count(*) AS BIGINT) AS n_prior,
+        max(r.value) AS max_prior_value
+      FROM e l JOIN e r ON l.user_id = r.user_id
+        AND r.us >= l.us - 600000000 AND r.us <= l.us
+        AND r.event_id != l.event_id
+      GROUP BY l.event_id, l.user_id ORDER BY l.event_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

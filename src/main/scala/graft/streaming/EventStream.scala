@@ -28,6 +28,31 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval self/cross join: pair each fact event
+    * with the SAME key's history events in the trailing `within`
+    * window (at-or-before the fact, excluding the fact itself) — the
+    * "what happened just before this event" enrichment. The time
+    * bound on BOTH event-time columns plus the watermarks is exactly
+    * what lets Spark run this stream×stream with bounded state: a
+    * buffered row is dropped once the other side's watermark passes
+    * its join window. The same expression runs in batch (watermarks
+    * are no-ops there), so batch/stream equivalence is structural.
+    * Input schema both sides: `key`, ts TIMESTAMP, event_id, value. */
+  def recentActivity(facts: DataFrame, history: DataFrame,
+                     key: String = "user_id", within: String = "10 minutes",
+                     delay: String = "30 minutes"): DataFrame =
+    facts.withWatermark("ts", delay).alias("l")
+      .join(history.withWatermark("ts", delay).alias("r"),
+        expr(s"l.$key = r.$key" +
+          s" AND r.ts >= l.ts - INTERVAL $within AND r.ts <= l.ts" +
+          " AND r.event_id != l.event_id"),
+        "inner")
+      .select(col(s"l.$key").as(key), col("l.ts").as("ts"),
+        col("l.event_id").as("event_id"),
+        col("r.event_id").as("prior_event_id"),
+        col("r.ts").as("prior_ts"),
+        col("r.value").as("prior_value"))
+
   /** Streaming exact dedup on content fingerprint (the L1 exact-dedup
     * operator for document STREAMS): the first document with a given
     * normalized-text fingerprint passes, repeats are dropped.

@@ -151,6 +151,43 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join buffers across micro-batches and equals the batch join") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+    def ts(s: String) = Timestamp.valueOf(s)
+    val history = Seq(
+      (1L, ts("2025-04-15 10:00:00"), 1L, 1.0),
+      (2L, ts("2025-04-15 10:04:00"), 4L, 4.0),
+      (1L, ts("2025-04-15 10:05:00"), 2L, 2.0), // pairs with e1 (5 min)
+      (1L, ts("2025-04-15 10:20:00"), 3L, 3.0)) // 15 min after e2 — no pair
+
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val stream = EventStream.recentActivity(
+      input.toDF().toDF("user_id", "ts", "event_id", "value"),
+      input.toDF().toDF("user_id", "ts", "event_id", "value"),
+      within = "10 minutes", delay = "10 minutes")
+    val query = stream.writeStream.format("memory")
+      .queryName("recent_activity").outputMode("append").start()
+    val streamed = try {
+      // Split so the e1↔e2 pair spans TWO micro-batches: the join
+      // must find e1 in buffered state, not the current batch.
+      input.addData(history.take(2): _*)
+      query.processAllAvailable()
+      input.addData(history.drop(2): _*)
+      query.processAllAvailable()
+      spark.sql("SELECT event_id, prior_event_id FROM recent_activity")
+        .as[(Long, Long)].collect().toSet
+    } finally query.stop()
+
+    val batch = EventStream.recentActivity(
+      history.toDF("user_id", "ts", "event_id", "value"),
+      history.toDF("user_id", "ts", "event_id", "value"),
+      within = "10 minutes")
+      .select($"event_id", $"prior_event_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch == Set((2L, 1L)))
+  }
+
   test("streaming dedup passes first fingerprint, drops repeats within the horizon") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
