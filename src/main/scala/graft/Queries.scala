@@ -2466,7 +2466,104 @@ object Queries {
       FROM e l JOIN e r ON l.user_id = r.user_id
         AND r.us >= l.us - 600000000 AND r.us <= l.us
         AND r.event_id != l.event_id
-      GROUP BY l.event_id, l.user_id ORDER BY l.event_id"""))
+      GROUP BY l.event_id, l.user_id ORDER BY l.event_id""")),
+
+    // Winnowing rolling-window fingerprint (TextAnalysis
+    // .winnowFingerprintOf, the MOSS selection scheme): min md5 per
+    // sliding window over the shingle-hash sequence, dedup + sort.
+    // Shingle and token staging mirror q74's oracle shapes exactly, so
+    // the selection replays bit-for-bit in SQL.
+    ("q99_winnow_fingerprint", (s: SparkSession, d: String) => {
+      import graft.functions.TextAnalysis
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokens(TextAnalysis.normalized(col("text"))).as("ws"))
+        .select(col("doc_id"), TextAnalysis.shinglesOf(col("ws"), 3).as("sh"))
+        .select(col("doc_id"), TextAnalysis.winnowFingerprintOf(col("sh"), 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_first"),
+          element_at(col("fp"), -1).as("fp_last"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH nm AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh FROM nm),
+      hs AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh),
+      sel AS (SELECT doc_id,
+        CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+             ELSE list_transform(generate_series(1, len(hs) - 3),
+                    i -> list_min(hs[i:i+3])) END AS sel FROM hs),
+      fp AS (SELECT doc_id, list_sort(list_distinct(sel)) AS fp FROM sel)
+      SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+        fp[1] AS fp_first, fp[-1] AS fp_last
+      FROM fp ORDER BY doc_id""")),
+
+    // Capstone corpus-assembly composition: quality gate (q67's
+    // thresholds) → exact keep-first dedup (q42) → per-language token
+    // budget sample (q77) → sequence packing (q95), chained as ONE
+    // declarative plan — the operators compose because each is a
+    // filter/window over the previous stage's frame, and the oracle
+    // chains the same four replays.
+    ("q100_corpus_assembly", (s: SparkSession, d: String) => {
+      import graft.operators.{Dedup, Sampling}
+      val gated = t(s, d, "documents")
+        .filter(TextAnalysis.qualityFilter(col("text")).getField("passes"))
+      val deduped = Dedup.exactKeepFirst(gated, col("text"), col("doc_id"))
+      val withTok = deduped.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val sampled = Sampling.sampleToTokenBudget(withTok, col("n_tokens"),
+        col("doc_id"), col("lang"), budgetPerStratum = 3000L)
+      Sampling.packSequences(sampled, col("n_tokens"), col("doc_id"),
+          col("lang"), seqLen = 1024L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_toks,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+          len(list_filter(
+            regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '),
+            x -> x IN ('the','and','of','to','in','is','that','for','with'))) AS n_stop
+        FROM documents),
+      pass AS (
+        SELECT doc_id FROM f
+        WHERE n_toks >= 50 AND n_toks <= 100000
+          AND (CASE WHEN n_toks > 0 THEN CAST(n_chars AS DOUBLE)/n_toks ELSE 0 END) >= 3.0
+          AND (CASE WHEN n_toks > 0 THEN CAST(n_chars AS DOUBLE)/n_toks ELSE 0 END) <= 10.0
+          AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END) <= 0.2
+          AND (CASE WHEN n_toks > 0 THEN CAST(n_stop AS DOUBLE)/n_toks ELSE 0 END) >= 0.01),
+      ded AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT d.doc_id, d.lang, d.text,
+            row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+          FROM documents d JOIN pass USING (doc_id))
+        WHERE rn = 1),
+      tok AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM ded),
+      samp AS (
+        SELECT doc_id, lang, n_tokens FROM (
+          SELECT doc_id, lang, n_tokens,
+            sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM tok)
+        WHERE running <= 3000),
+      packed AS (
+        SELECT doc_id, lang, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM samp)
+      SELECT doc_id, lang, n_tokens,
+        CAST((cum - n_tokens) // 1024 AS BIGINT) AS pack_id,
+        CAST((cum - n_tokens) % 1024 AS BIGINT) AS pack_offset
+      FROM packed ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

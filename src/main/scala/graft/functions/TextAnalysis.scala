@@ -56,6 +56,32 @@ object TextAnalysis {
   def shingles(text: Column, w: Int = 3): Column =
     shinglesOf(tokens(normalized(text)), w)
 
+  /** Winnowing document fingerprint (the rolling-window selection
+    * scheme of MOSS): hash every w-shingle, slide a `window`-wide
+    * frame over the hash sequence, keep each frame's minimum, dedup
+    * and sort. Guarantees of winnowing: any shared run of at least
+    * `w + window - 1` tokens between two documents contributes at
+    * least one COMMON selected hash, while only ~2/(window+1) of all
+    * shingle hashes are kept — a compact fingerprint with a matching
+    * floor, unlike fixed sampling. md5 (not xxhash64) so an external
+    * SQL engine replays the selection bit-for-bit; map-side only.
+    *
+    * Same performance contract as [[shinglesOf]]: pass a STAGED
+    * shingle-array column. */
+  def winnowFingerprintOf(sh: Column, window: Int = 4): Column = {
+    val hs = transform(sh, s => md5(s.cast("binary")))
+    array_sort(array_distinct(
+      when(size(hs) < window, array(array_min(hs)))
+        .otherwise(transform(
+          sequence(lit(1), size(hs) - lit(window - 1)),
+          i => array_min(slice(hs, i, lit(window)))))))
+  }
+
+  /** Single-expression convenience over raw text (stage the shingles
+    * first in hot paths). */
+  def winnowFingerprint(text: Column, w: Int = 3, window: Int = 4): Column =
+    winnowFingerprintOf(shingles(text, w), window)
+
   /** Stopword-ratio language-ID heuristic: score text against small
     * per-language stopword inventories; returns the argmax language or
     * "und" when nothing matches. Deterministic tie-break by language

@@ -305,4 +305,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(rs(0) - (1.0 - 3.0 / 7.0)) < 1e-9)
     assert(rs(1) == 0.0)
   }
+
+  test("winnowing fingerprint: compact, deterministic, and shared-run guarantee") {
+    import graft.functions.TextAnalysis
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $common delta epsilon"),
+      (2L, s"one two three four five $common six seven"),
+      (3L, "entirely different content with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val fp = docs
+      .select($"id", TextAnalysis.tokens(TextAnalysis.normalized($"text")).as("ws"))
+      .select($"id", TextAnalysis.shinglesOf($"ws", 3).as("sh"))
+      .select($"id", size($"sh").as("n_sh"),
+        TextAnalysis.winnowFingerprintOf($"sh", 4).as("fp"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[String](2).toSet))).toMap
+    // Compact: selected hashes are a strict subset of all shingle hashes.
+    assert(fp(1)._2.size < fp(1)._1)
+    // Winnowing guarantee: a shared token run of >= w + window - 1
+    // tokens forces at least one COMMON selected hash.
+    assert(fp(1)._2.intersect(fp(2)._2).nonEmpty)
+    // Disjoint content shares nothing.
+    assert(fp(1)._2.intersect(fp(3)._2).isEmpty)
+    // Short doc (< window shingles) still fingerprints (single min).
+    val short = Seq((9L, "tiny doc")).toDF("id", "text")
+      .select(TextAnalysis.winnowFingerprint($"text").as("fp"))
+      .as[Seq[String]].head()
+    assert(short.size == 1)
+  }
 }
