@@ -70,6 +70,17 @@ object ScaleSmoke {
     var skipFiles = (0, 0) // (candidates planned, total files)
     var bloomFiles = (0, 0, 0) // (candidates before bloom, total, after bloom)
 
+    // Skewed event log for the as-of measurement: 80% of facts on one
+    // hot key, timestamps spread over amp×12 hours, dims every 50th.
+    val asofFacts = docs.select(
+      when(pmod(col("doc_id"), lit(5)) < 4, lit(0L))
+        .otherwise(pmod(col("doc_id"), lit(97))).as("k"),
+      timestamp_micros(pmod(col("doc_id") * 7919L, lit(amp * 12L * 3600L))
+        * 1000000L).as("ts"),
+      col("doc_id").as("fact_id"))
+    val asofDims = asofFacts.filter(pmod(col("fact_id"), lit(50)) === 0)
+      .select(col("k"), col("ts"), (col("fact_id") % 1000).cast("double").as("lvl"))
+
     val results = Seq(
       // The same selective predicate through the plain all-files read
       // vs the stats-skipping FileIndex: identical answers, the
@@ -152,6 +163,19 @@ object ScaleSmoke {
         val n = t.filter(col("doc_id") === 4242L).count()
         bloomFiles = (bloomFiles._1, idx.totalFiles, idx.lastCandidateFiles)
         n
+      },
+      // Hot-key as-of join: 80% of facts share ONE key, so the plain
+      // as-of serializes that key into a single window task while the
+      // bucketed variant splits it across hour buckets. Same results
+      // (spec-pinned); this measures the skew effect.
+      time("asof_plain_hotkey") {
+        graft.operators.RangeJoin.asofJoin(asofFacts, asofDims,
+          "k", "ts", "ts", Seq("lvl")).filter(col("lvl").isNotNull).count()
+      },
+      time("asof_bucketed_hotkey") {
+        graft.operators.RangeJoin.asofJoinBucketed(asofFacts, asofDims,
+          "k", "ts", "ts", Seq("lvl"), bucketWidthMicros = 3600L * 1000000L)
+          .filter(col("lvl").isNotNull).count()
       },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
