@@ -120,4 +120,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 merge exchange, found $hashEx:\n${p.take(800)}")
     assert(!p.contains("Join"), "language merge grew a join")
   }
+
+  test("packing and weighted mix are each exactly one stratum-keyed exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
+      .toDF("id", "lang", "tokens")
+    val packed = graft.operators.Sampling.packSequences(
+      docs, $"tokens", $"id", $"lang", 64L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(packed).size == 1, packed.take(600))
+    assert(!packed.contains("Join"))
+    val mixed = graft.operators.Sampling.weightedMix(
+      docs, $"id", $"lang", Map("en" -> 0.5, "de" -> 0.5), 20L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(mixed).size == 1, mixed.take(600))
+    assert(!mixed.contains("Join"), "quota lookup must stay a map literal, not a join")
+  }
 }
