@@ -2582,6 +2582,10 @@ object Queries {
         if (esc) esc = false
         else if (c == '\\') esc = true
         else if (c == '"') inStr = false
+      } else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '/') {
+        // JSONC line comment: brackets inside it must not count.
+        val nl = text.indexOf('\n', i)
+        i = if (nl < 0) text.length - 1 else nl
       } else c match {
         case '"' => inStr = true
         case '[' => depth += 1

@@ -32,7 +32,12 @@ object Checkpoints {
         // "already set" is the only cheap idempotence check available.
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // Persist first (the RDD.checkpoint-documented pattern): the
+        // eager action AND the checkpoint file write both consume the
+        // plan — unpersisted, each truncation point would recompute its
+        // full lineage twice.
+        df.persist()
+        try df.checkpoint(eager = true) finally df.unpersist()
       case None => df.localCheckpoint(eager = true)
     }
   }

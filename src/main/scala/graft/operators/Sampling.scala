@@ -84,6 +84,9 @@ object Sampling {
                   weights: Map[String, Double], total: Long): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0), "need non-negative weights")
     val sumW = weights.values.sum
+    // All-zero weights would make every quota floor(NaN) = 0 and
+    // silently return an empty mix — fail loudly instead.
+    require(sumW > 0, "weights must not all be zero")
     val quota = typedLit(weights.map { case (k, v) =>
       k -> math.floor(total * v / sumW).toLong })
     val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)

@@ -77,8 +77,14 @@ object TextIndex {
                                indexPath: String): Unit = {
     import graft.sinks.SnapshotStore
     val cur = SnapshotStore.manifest(spark, root, version).map(_.path)
+    // The predecessor manifest may have been vacuumed (first index
+    // build on an old table): treat it as empty — indexing carried
+    // files again only costs duplicate index rows, never correctness
+    // (candidate lists are re-filtered row-level).
     val prev =
-      if (version <= 1) Set.empty[String]
+      if (version <= 1 ||
+          !SnapshotStore.versions(spark, root).contains(version - 1))
+        Set.empty[String]
       else SnapshotStore.manifest(spark, root, version - 1).map(_.path).toSet
     val fresh = cur.filterNot(prev)
       .map(p => new org.apache.hadoop.fs.Path(root, p).toString)

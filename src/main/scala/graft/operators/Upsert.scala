@@ -53,9 +53,14 @@ object Upsert {
     // between the listing and the checkpoint. A supplier never lists
     // sibling partitions' files this way. ignoreMissingFiles is a
     // second net for any straggler deletion inside our own dirs.
+    // Spark writes BOTH null and empty-string partition values under
+    // the __HIVE_DEFAULT_PARTITION__ directory — normalize both, or an
+    // empty-string-keyed partition is never read back and the dynamic
+    // overwrite destroys its existing rows.
     val wanted = incoming.select(col(partitionCol).cast("string")).distinct()
       .collect()
-      .map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+      .map(r => Option(r.getString(0)).filter(_.nonEmpty)
+        .getOrElse("__HIVE_DEFAULT_PARTITION__"))
       .toSet
     val partDirs =
       if (!fs.exists(target)) Seq.empty

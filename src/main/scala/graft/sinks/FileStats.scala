@@ -247,7 +247,11 @@ object FileStats {
         case n: Short => Some(BigDecimal(n.toInt))
         case n: Int => Some(BigDecimal(n))
         case n: Long => Some(BigDecimal(n))
-        case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toDouble))
+        // Float.toString, NOT toDouble: the bound was stringified via
+        // Float.toString ("0.1"), while 0.1f.toDouble is
+        // 0.10000000149... — comparing across widenings would WRONGLY
+        // skip files on float columns.
+        case n: Float if !n.isNaN && !n.isInfinite => Some(BigDecimal(n.toString))
         case n: Double if !n.isNaN && !n.isInfinite => Some(BigDecimal(n))
         case n: java.math.BigDecimal => Some(BigDecimal(n))
         case _ => None

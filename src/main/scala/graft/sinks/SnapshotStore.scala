@@ -502,13 +502,14 @@ object SnapshotStore {
           // Touched partitions: one small distinct-collect (bounded by
           // the partition cardinality of the incoming batch, e.g.
           // suppliers). NULL partition values land on disk (and in the
-          // manifest) under Hive's default-partition sentinel, so they
-          // must normalize to it here too — otherwise null-keyed rows
-          // are both carried as "kept" AND re-merged, duplicating them
-          // on every commit.
+          // manifest) under Hive's default-partition sentinel — and so
+          // do EMPTY STRINGS — so both must normalize to it here too;
+          // otherwise rows with those keys are both carried as "kept"
+          // AND re-merged, duplicating them on every commit.
+          val norm = col(partitionCol).cast("string")
           val touched = incoming
-            .select(coalesce(col(partitionCol).cast("string"),
-              lit("__HIVE_DEFAULT_PARTITION__")))
+            .select(when(norm.isNull || norm === "",
+              lit("__HIVE_DEFAULT_PARTITION__")).otherwise(norm))
             .distinct().collect().map(_.getString(0)).toSet
           val (replaced, keptEntries) = entries.partition(e => touched(e.partition))
           // No checkpoint needed: data files are append-only, so reading
@@ -652,9 +653,17 @@ object SnapshotStore {
         .sorted.mkString("\n").getBytes(UTF_8))
       finally out.close()
     }
-    // Swap whole trees so readers never see a half-written export.
-    if (f.exists(outRoot)) f.delete(outRoot, true)
+    // Swap via rename-aside, not delete-then-rename: the old export
+    // stays readable until the instant the new one takes its place,
+    // and a crash mid-swap leaves either the old or the new tree — a
+    // brief missing-location window (or a permanently destroyed
+    // export on crash) would break external readers.
+    val old = new Path(root,
+      s"._symlink_old-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = f.exists(outRoot)
+    if (hadOld) f.rename(outRoot, old)
     f.rename(tmpRoot, outRoot)
+    if (hadOld) f.delete(old, true)
     outRoot
   }
 

@@ -338,6 +338,34 @@ class DataSkippingSpec extends SparkSpec {
     assert(idx.lastCandidateFiles == idx.totalFiles)
   }
 
+  test("float bounds compare in float precision — equality on a float column never skips its file") {
+    val root = freshRoot()
+    val df = spark.range(100)
+      .select((col("id") / lit(10.0)).cast("float").as("f"), col("id"), lit("x").as("p"))
+      .repartitionByRange(4, col("id"))
+    SnapshotStore.commit(spark, df, root, "p")
+    // 0.1f stringifies as "0.1" in the stats but widens to
+    // 0.10000000149... as a double — the comparison must stay in
+    // float-string precision or this lookup wrongly prunes every file.
+    val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t.filter(col("f") === lit(0.1f)).count() == 1)
+    assert(idx.lastCandidateFiles >= 1)
+  }
+
+  test("empty-string partition keys merge through the sentinel without duplication") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq(("p1", "", 1), ("p2", "b", 1)).toDF("product_id", "supplier", "version"),
+      root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p1", "", 2)).toDF("product_id", "supplier", "version"),
+      root, "product_id", "version", "supplier")
+    val rows = SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().sorted.toSeq
+    assert(rows == Seq(("p1", 2), ("p2", 1)),
+      s"empty-string partition duplicated or lost: $rows")
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(

@@ -227,6 +227,20 @@ class UpsertSpec extends SparkSpec {
     assert(r == Map(1L -> "a2", 2L -> "b"))
   }
 
+  test("empty-string partition values survive successive keyed merges") {
+    import graft.operators.Upsert
+    val dir = java.nio.file.Files.createTempDirectory("upsert_empty_part").toString + "/t"
+    // Spark files BOTH null and "" under __HIVE_DEFAULT_PARTITION__ —
+    // the second merge must read the first one's rows back, or the
+    // dynamic overwrite silently destroys them.
+    Upsert.mergeIntoParquet(spark,
+      Seq(("k1", "", 1)).toDF("id", "part", "v"), dir, "id", "v", "part")
+    Upsert.mergeIntoParquet(spark,
+      Seq(("k2", "", 1)).toDF("id", "part", "v"), dir, "id", "v", "part")
+    val rows = spark.read.parquet(dir).select("id").as[String].collect().sorted.toSeq
+    assert(rows == Seq("k1", "k2"), s"empty-string partition lost rows: $rows")
+  }
+
   test("deleteByKeys / deleteWhere / duplicateKeys") {
     val t = Seq((1L, "x"), (2L, "y"), (2L, "z"), (3L, "w")).toDF("k", "v")
     assert(Upsert.deleteByKeys(t, Seq(2L).toDF("k"), "k").count() == 2)
