@@ -144,6 +144,23 @@ object ScaleSmoke {
         Sampling.sampleToTokenBudget(strat, col("n_tokens"), col("doc_id"),
           col("stratum"), budgetPerStratum = 2000L * amp).count()
       },
+      // Hot-stratum sampling crossover: ALL docs in ONE stratum — the
+      // single-window reference serializes them through one task's
+      // sort, the hierarchical sampler cumsums per md5 shard in
+      // parallel and stitches with broadcast offsets. Same output
+      // (spec-pinned); this measures the skew effect.
+      time("sample_plain_hotstratum") {
+        val strat = docs.select(col("doc_id"), lit("web").as("stratum"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToTokenBudgetPlain(strat, col("n_tokens"),
+          col("doc_id"), col("stratum"), budgetPerStratum = 100000L * amp).count()
+      },
+      time("sample_bucketed_hotstratum") {
+        val strat = docs.select(col("doc_id"), lit("web").as("stratum"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Sampling.sampleToTokenBudget(strat, col("n_tokens"),
+          col("doc_id"), col("stratum"), budgetPerStratum = 100000L * amp).count()
+      },
       // Point lookup on a hash-ordered snapshot: min/max stats cannot
       // prune (every file spans the key domain) — the bloom sidecar
       // skips by content. Build cost is one scan of the un-bloomed

@@ -6,11 +6,27 @@ import org.apache.spark.sql.functions._
 
 /** Corpus sampling for training-data assembly.
   *
-  * Scale design (100 TB): both samplers are one window per stratum —
-  * a single shuffle keyed by the stratum column; no driver-side
-  * collection, no global sort. Determinism comes from ordering by a
-  * content-independent hash of the id, so re-runs (and retried stages)
-  * pick the same sample.
+  * Scale design (100 TB): every operator here needs a per-stratum
+  * RUNNING TOTAL in a deterministic order. The naive shape — one
+  * window partitioned by the stratum — serializes an entire stratum
+  * through a single task's sort; a real corpus mix has ~3–10 strata
+  * ("70% web, 20% code, 10% books"), so the web stratum's trillions
+  * of rows would funnel through one core. Instead the cumsum is
+  * HIERARCHICAL: the deterministic md5 order key is range-sliced into
+  * `buckets` contiguous shards by its leading hex digits, each
+  * (stratum, shard) computes a local cumsum in parallel, a tiny
+  * per-stratum window over the ≤ strata×buckets shard totals computes
+  * each shard's starting offset, and the offsets broadcast-join back.
+  * Three shuffles — the sharded window, a map-combined totals
+  * aggregate, and the metadata-sized offset window — none of them
+  * keyed by the bare stratum. This is the same bucket+carry-forward
+  * pattern as [[RangeJoin.asofJoinBucketed]] (measured 5× on a hot
+  * key in SCALE.md).
+  *
+  * Determinism is unchanged: the shard is a PREFIX of the md5 order
+  * key, so (shard asc, orderKey asc, id asc) IS the global
+  * (orderKey asc, id asc) order, and the hierarchical running totals
+  * equal the single-window ones exactly (spec-pinned equivalence).
   */
 object Sampling {
 
@@ -18,6 +34,59 @@ object Sampling {
     * form. md5 (not xxhash64) so an external SQL engine can replay the
     * exact sample for verification. */
   private def orderKey(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** Names used internally by the hierarchical cumsum; reject inputs
+    * that would silently collide (same contract as the as-of join). */
+  private val reservedNames = Set(
+    "__ok", "__bk", "__loc", "__s", "__tb", "__tot", "__off",
+    "__running", "__rn", "__q", "__start")
+
+  private def checkReserved(df: DataFrame): Unit = {
+    val bad = df.columns.filter(reservedNames)
+    require(bad.isEmpty,
+      s"input columns ${bad.mkString(",")} collide with Sampling internal names")
+  }
+
+  /** Contiguous order-key shard: the numeric value of the md5's first
+    * four hex digits scaled to [0, buckets). Monotone in the md5
+    * string order, so each shard is a contiguous range of the global
+    * order — the property the hierarchical cumsum rests on. */
+  private def shardOf(ok: Column, buckets: Int): Column =
+    (conv(substring(ok, 1, 4), 16, 10).cast("long") * buckets / 65536).cast("int")
+
+  /** Per-stratum running sum of `value` in the global deterministic
+    * (orderKey, id) order, computed hierarchically as described in the
+    * object doc. Appends `out` (and nothing else); row order and all
+    * input columns pass through. `buckets = 1` degenerates to the
+    * single-window shape plus a no-op broadcast join. */
+  private def withRunning(df: DataFrame, value: Column, id: Column,
+                          strata: Column, buckets: Int, out: String): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    checkReserved(df)
+    val base = df.withColumn("__ok", orderKey(id))
+      .withColumn("__bk", shardOf(col("__ok"), buckets))
+    val wLoc = Window.partitionBy(strata, col("__bk"))
+      .orderBy(col("__ok"), id.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Shard totals: map-side partial aggregation reduces the shuffle to
+    // ≤ strata×buckets rows regardless of input size.
+    val totals = base.groupBy(strata.as("__s"), col("__bk").as("__tb"))
+      .agg(sum(value).as("__tot"))
+    // Each shard's starting offset = sum of STRICTLY EARLIER shards'
+    // totals within its stratum — a window over the tiny aggregate.
+    val wOff = Window.partitionBy(col("__s")).orderBy(col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .drop("__tot")
+    base.withColumn("__loc", sum(value).over(wLoc))
+      // <=> so a null stratum matches its own offsets (a window's
+      // partitionBy groups nulls together; a plain === would not).
+      .join(broadcast(offs), strata <=> col("__s") && col("__bk") === col("__tb"), "left")
+      .withColumn(out, col("__loc") + coalesce(col("__off"), lit(0L)))
+      .drop("__ok", "__bk", "__loc", "__s", "__tb", "__off")
+  }
 
   /** Stratified sample up to a TOKEN budget per stratum: within each
     * stratum, documents are ordered by a deterministic uniform hash of
@@ -30,7 +99,19 @@ object Sampling {
     * intake (running-total semantics — intentionally simple and
     * exactly SQL-replayable, not best-fit packing). */
   def sampleToTokenBudget(df: DataFrame, tokens: Column, id: Column,
-                          strata: Column, budgetPerStratum: Long): DataFrame = {
+                          strata: Column, budgetPerStratum: Long,
+                          buckets: Int = 64): DataFrame =
+    withRunning(df, tokens, id, strata, buckets, "__running")
+      .filter(col("__running") <= budgetPerStratum)
+      .drop("__running")
+
+  /** Single-window reference implementation (the pre-hierarchical
+    * shape): correct, but serializes each stratum through one task —
+    * kept for the equivalence spec and the ScaleSmoke crossover
+    * measurement, not for production use. */
+  private[graft] def sampleToTokenBudgetPlain(
+      df: DataFrame, tokens: Column, id: Column,
+      strata: Column, budgetPerStratum: Long): DataFrame = {
     val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__running", sum(tokens).over(w))
@@ -41,14 +122,13 @@ object Sampling {
   /** Stratified sample of up to `perStratum` DOCUMENTS per stratum,
     * same deterministic hash order (a row-count variant of
     * [[sampleToTokenBudget]] for when the unit is documents, not
-    * tokens). */
+    * tokens — the running count in the unique (orderKey, id) order IS
+    * the row number). */
   def sampleNPerStratum(df: DataFrame, id: Column, strata: Column,
-                        perStratum: Int): DataFrame = {
-    val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)
-    df.withColumn("__rn", row_number().over(w))
+                        perStratum: Int, buckets: Int = 64): DataFrame =
+    withRunning(df, lit(1L), id, strata, buckets, "__rn")
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
-  }
 
   /** Sequence packing for pretraining batches: lay each stratum's
     * documents end-to-end in deterministic hash order and cut the
@@ -59,12 +139,23 @@ object Sampling {
     * sequential scan and is deliberately not this operator).
     *
     * Adds `pack_id` (sequence index within the stratum) and
-    * `pack_offset` (token offset within that sequence). One window per
-    * stratum — same single-shuffle shape as the samplers, so packing
-    * parallelizes across strata/shards exactly like corpus assembly
-    * does in practice. */
+    * `pack_offset` (token offset within that sequence). Hierarchical
+    * cumsum per the object doc — a hot stratum packs across all
+    * shards in parallel. */
   def packSequences(df: DataFrame, tokens: Column, id: Column,
-                    strata: Column, seqLen: Long): DataFrame = {
+                    strata: Column, seqLen: Long,
+                    buckets: Int = 64): DataFrame =
+    withRunning(df, tokens, id, strata, buckets, "__running")
+      .withColumn("__start", col("__running") - tokens)
+      .withColumn("pack_id", floor(col("__start") / seqLen))
+      .withColumn("pack_offset", col("__start") % seqLen)
+      .drop("__running", "__start")
+
+  /** Single-window reference implementation of [[packSequences]] (see
+    * [[sampleToTokenBudgetPlain]]). */
+  private[graft] def packSequencesPlain(
+      df: DataFrame, tokens: Column, id: Column,
+      strata: Column, seqLen: Long): DataFrame = {
     val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__start", sum(tokens).over(w) - tokens)
@@ -81,7 +172,8 @@ object Sampling {
     * rather than silently re-weighting — callers can renormalize and
     * re-run). */
   def weightedMix(df: DataFrame, id: Column, strata: Column,
-                  weights: Map[String, Double], total: Long): DataFrame = {
+                  weights: Map[String, Double], total: Long,
+                  buckets: Int = 64): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ >= 0), "need non-negative weights")
     val sumW = weights.values.sum
     // All-zero weights would make every quota floor(NaN) = 0 and
@@ -89,11 +181,9 @@ object Sampling {
     require(sumW > 0, "weights must not all be zero")
     val quota = typedLit(weights.map { case (k, v) =>
       k -> math.floor(total * v / sumW).toLong })
-    val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)
-    df.withColumn("__q", element_at(quota, strata.cast("string")))
-      .filter(col("__q").isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__q"))
-      .drop("__q", "__rn")
+    val myQuota = element_at(quota, strata.cast("string"))
+    withRunning(df.filter(myQuota.isNotNull), lit(1L), id, strata, buckets, "__rn")
+      .filter(col("__rn") <= myQuota)
+      .drop("__rn")
   }
 }

@@ -81,14 +81,21 @@ class PlanShapeSpec extends SparkSpec {
       "no map-side partial aggregation in the stock fold")
   }
 
-  test("q77: token-budget sample is exactly one shuffle (the stratum window)") {
+  test("q77: token-budget sample shards the stratum window; offsets broadcast back") {
     assume(available)
     val p = plan("q77_token_budget_sample")
-    // One hashpartitioning exchange for the window; the final orderBy
-    // adds a rangepartitioning one. Anything more means the sampler
-    // grew a hidden extra shuffle.
+    // The data-sized window must be keyed by (stratum, order-key
+    // shard) — a bare-stratum window would serialize a hot stratum
+    // through one task at 100 TB.
+    assert(p.contains("__bk"), p.take(800))
+    // Exactly three hash exchanges: the sharded window, the
+    // shard-totals aggregate, and the offset window (the latter two
+    // are metadata-sized: ≤ strata×buckets rows).
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx == 1, s"expected 1 window exchange, found $hashEx:\n${p.take(800)}")
+    assert(hashEx == 3, s"expected 3 exchanges, found $hashEx:\n${p.take(800)}")
+    // Shard offsets come back via broadcast, never a shuffled join.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "offset join lost its broadcast")
     assert(p.contains("Window"), p.take(400))
   }
 
@@ -121,20 +128,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "language merge grew a join")
   }
 
-  test("packing and weighted mix are each exactly one stratum-keyed exchange") {
+  test("packing and weighted mix shard the stratum window; no shuffled join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L))
       .toDF("id", "lang", "tokens")
-    val packed = graft.operators.Sampling.packSequences(
+    def pin(p: String, what: String): Unit = {
+      // Data-sized window keyed by (stratum, shard); three hash
+      // exchanges total (window + tiny totals agg + tiny offset
+      // window); shard offsets return via broadcast only.
+      assert(p.contains("__bk"), s"$what window not sharded:\n${p.take(600)}")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 3, s"$what: expected 3 exchanges, found $hashEx:\n${p.take(600)}")
+      assert(p.contains("BroadcastHashJoin"), s"$what offsets not broadcast:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$what offset join lost its broadcast")
+      assert(!p.contains("CartesianProduct"), s"$what went cartesian")
+    }
+    pin(graft.operators.Sampling.packSequences(
       docs, $"tokens", $"id", $"lang", 64L)
-      .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(packed).size == 1, packed.take(600))
-    assert(!packed.contains("Join"))
-    val mixed = graft.operators.Sampling.weightedMix(
+      .queryExecution.executedPlan.toString, "packSequences")
+    pin(graft.operators.Sampling.weightedMix(
       docs, $"id", $"lang", Map("en" -> 0.5, "de" -> 0.5), 20L)
-      .queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(mixed).size == 1, mixed.take(600))
-    assert(!mixed.contains("Join"), "quota lookup must stay a map literal, not a join")
+      .queryExecution.executedPlan.toString, "weightedMix")
   }
 }

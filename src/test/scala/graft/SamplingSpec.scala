@@ -59,6 +59,39 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
   }
 
+  test("hierarchical cumsum matches the single-window reference exactly, any bucket count") {
+    // Ragged token sizes, a hot stratum, a null stratum, and ids that
+    // land in many md5 shards — the hierarchical running totals must
+    // equal the single-window ones byte-for-byte at every bucket count
+    // (including the degenerate 1).
+    val ragged = (1L to 300L).map { i =>
+      val lang = if (i % 10 == 0) null else if (i % 3 == 0) "en" else "web"
+      (i, lang, 1L + (i * 7919L) % 23L)
+    }.toDF("id", "lang", "tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val refBudget = rows(Sampling.sampleToTokenBudgetPlain(
+      ragged, $"tokens", $"id", $"lang", 400L))
+    val refPack = rows(Sampling.packSequencesPlain(
+      ragged, $"tokens", $"id", $"lang", 128L))
+    for (b <- Seq(1, 7, 64, 1024)) {
+      assert(rows(Sampling.sampleToTokenBudget(
+        ragged, $"tokens", $"id", $"lang", 400L, buckets = b)) == refBudget,
+        s"budget sample diverged at buckets=$b")
+      assert(rows(Sampling.packSequences(
+        ragged, $"tokens", $"id", $"lang", 128L, buckets = b)) == refPack,
+        s"packing diverged at buckets=$b")
+    }
+  }
+
+  test("sampling rejects inputs whose columns collide with internal names") {
+    val bad = corpus.withColumn("__bk", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleToTokenBudget(bad, $"tokens", $"id", $"lang", 70L)
+    }
+    assert(e.getMessage.contains("__bk"))
+  }
+
   test("weightedMix fills per-stratum quotas, drops unlisted strata, under-fills small ones") {
     val mixed = corpus.unionByName(
       Seq((100L, "zh", 10L), (101L, "zh", 10L)).toDF("id", "lang", "tokens"))
