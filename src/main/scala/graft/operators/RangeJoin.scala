@@ -65,11 +65,25 @@ object RangeJoin {
     * at 100 TB pre-split hot keys by a coarse time bucket and stitch
     * the bucket boundaries with a per-(key, bucket) last-dim broadcast.
     */
+  /** Both as-of variants stage their state in `__ts`/`__dim`/`__pri`/
+    * `__bk`/`__p_*` columns; an input already carrying one of those
+    * names would be silently overwritten mid-plan — reject it. */
+  private def checkAsofReserved(facts: DataFrame, dims: DataFrame,
+                                payloads: Seq[String]): Unit = {
+    require(payloads.forall(p => !facts.columns.contains(p)),
+      s"payload columns ${payloads.mkString(",")} must not collide with fact columns")
+    val reserved = Set("__ts", "__dim", "__pri", "__bk")
+    val bad = (facts.columns ++ dims.columns)
+      .filter(c => reserved(c) || c.startsWith("__p_")).distinct
+    require(bad.isEmpty,
+      s"columns ${bad.mkString(",")} collide with as-of join internal names " +
+        "(__ts, __dim, __pri, __bk, __p_*) — rename them first")
+  }
+
   def asofJoin(facts: DataFrame, dims: DataFrame, key: String,
                factTs: String, dimTs: String,
                payloads: Seq[String]): DataFrame = {
-    require(payloads.forall(p => !facts.columns.contains(p)),
-      s"payload columns ${payloads.mkString(",")} must not collide with fact columns")
+    checkAsofReserved(facts, dims, payloads)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(col("__ts").asc +: col("__dim").desc +:
@@ -114,8 +128,7 @@ object RangeJoin {
   def asofJoinBucketed(facts: DataFrame, dims: DataFrame, key: String,
                        factTs: String, dimTs: String, payloads: Seq[String],
                        bucketWidthMicros: Long): DataFrame = {
-    require(payloads.forall(p => !facts.columns.contains(p)),
-      s"payload columns ${payloads.mkString(",")} must not collide with fact columns")
+    checkAsofReserved(facts, dims, payloads)
     val exprs = org.apache.spark.sql.expressions.Window
     def bucketOf(ts: Column) = floor(unix_micros(ts) / bucketWidthMicros)
 

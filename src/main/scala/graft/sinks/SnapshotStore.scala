@@ -131,46 +131,48 @@ object SnapshotStore {
     won
   }
 
-  /** Per-file column stats of a committed version (file-skipping
-    * metadata, see [[FileStats]]), keyed by manifest-relative path.
-    * Empty when the version predates stats or its sidecar write was
-    * interrupted — readers then simply don't prune. */
-  def statsFor(spark: SparkSession, root: String, version: Long): Map[String, FileStats.FileStatsEntry] = {
-    val f = fs(spark, root)
-    val p = statsPath(root, version)
-    if (!f.exists(p)) Map.empty
-    else try {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      FileStats.decode(text)
-    } catch {
-      // Sidecars are DERIVED metadata: a torn/corrupt one must degrade
-      // to "no pruning", never block the read (the manifest alone is
-      // authoritative).
-      case scala.util.control.NonFatal(_) => Map.empty
-    }
-  }
+  /** Observability hook for specs: number of raw stats-sidecar reads
+    * since JVM start. A planning pass through [[tableWithIndex]] must
+    * bump this exactly once — the sidecar is parsed one time and both
+    * the file index and the recorded schema derive from that parse. */
+  private[graft] val sidecarReads = new java.util.concurrent.atomic.AtomicLong
 
-  /** The snapshot schema recorded at commit time (evolution-merged
-    * across versions), if the stats sidecar carries one. */
-  def schemaFor(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] = {
+  /** One raw read+parse of version `v`'s stats sidecar: (per-file
+    * stats, recorded schema). Degrades to (empty, None) on a missing
+    * or torn sidecar — DERIVED metadata must never block a read (the
+    * manifest alone is authoritative). */
+  private def statsSidecar(spark: SparkSession, root: String, version: Long):
+      (Map[String, FileStats.FileStatsEntry], Option[org.apache.spark.sql.types.StructType]) = {
     val f = fs(spark, root)
     val p = statsPath(root, version)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) (Map.empty, None)
     else try {
+      sidecarReads.incrementAndGet()
       val in = f.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      text.linesIterator.collectFirst {
+      val schema = try text.linesIterator.collectFirst {
         case l if l.startsWith("#schema\t") =>
           org.apache.spark.sql.types.DataType.fromJson(
             URLDecoder.decode(l.stripPrefix("#schema\t"), UTF_8))
             .asInstanceOf[org.apache.spark.sql.types.StructType]
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      (FileStats.decode(text), schema)
     } catch {
-      // Degrade to the mergeSchema footer read in table().
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(_) => (Map.empty, None)
     }
   }
+
+  /** Per-file column stats of a committed version (file-skipping
+    * metadata, see [[FileStats]]), keyed by manifest-relative path.
+    * Empty when the version predates stats or its sidecar write was
+    * interrupted — readers then simply don't prune. */
+  def statsFor(spark: SparkSession, root: String, version: Long): Map[String, FileStats.FileStatsEntry] =
+    statsSidecar(spark, root, version)._1
+
+  /** The snapshot schema recorded at commit time (evolution-merged
+    * across versions), if the stats sidecar carries one. */
+  def schemaFor(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] =
+    statsSidecar(spark, root, version)._2
 
   /** Union-by-name schema evolution: `a`'s fields (typed as `b`'s when
     * both carry the name — the newest write wins), then `b`'s new
@@ -188,19 +190,32 @@ object SnapshotStore {
   /** Write version `v`'s stats sidecar: footer stats for the NEW data
     * files (one metadata read each — cost ∝ incoming batch), stats of
     * carried files copied from the previous sidecar (immutable files,
-    * stats never go stale). Called AFTER the manifest wins: the
-    * sidecar is derived metadata, so a crash between the two leaves a
-    * readable snapshot that merely doesn't skip. Sizing note: at a
+    * stats never go stale). Called AFTER the manifest wins — the
+    * sidecar is derived metadata, so this method must never fail the
+    * commit: any error degrades to "no sidecar" (readers fall back to
+    * footer merging and simply don't skip), matching [[statsFor]]'s
+    * read-side degradation; throwing here would make a retry of an
+    * already-published version publish a duplicate. Sizing note: at a
     * large file count, swap the driver-side loop for a parallelized
     * footer read over the new paths — the format doesn't change. */
   private def writeStats(spark: SparkSession, root: String, v: Long,
-                         entries: Seq[ManifestEntry],
-                         newSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+                         carried: Seq[ManifestEntry], fresh: Seq[ManifestEntry],
+                         newSchema: Option[org.apache.spark.sql.types.StructType]): Unit = try {
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     val prior = if (v > 1) statsFor(spark, root, v - 1) else Map.empty[String, FileStats.FileStatsEntry]
-    val priorSchema = if (v > 1) schemaFor(spark, root, v - 1) else None
-    val all = entries.map { e =>
+    // The recorded schema must cover every column readable from the
+    // manifest's files. Normally that is priorSchema ∪ newSchema, but
+    // when the previous version has no recorded schema (pre-stats
+    // table being upgraded, torn sidecar) the carried files' columns
+    // are NOT covered by the batch schema alone — recording just the
+    // batch would make table() silently drop carried-only columns.
+    // Derive the prior side from the carried files' own footers then
+    // (a metadata read over the carried list, once, at commit time).
+    val priorSchema = (if (v > 1) schemaFor(spark, root, v - 1) else None)
+      .orElse(if (carried.isEmpty) None
+              else Some(readEntries(spark, root, carried).schema))
+    val all = (carried ++ fresh).map { e =>
       e.path -> prior.getOrElse(e.path, {
         val p = new Path(root, e.path)
         FileStats.fromFooter(conf, p, f.getFileStatus(p).getLen)
@@ -221,6 +236,11 @@ object SnapshotStore {
     // Only the manifest winner reaches here, so a plain rename is fine.
     f.delete(statsPath(root, v), false)
     f.rename(tmp, statsPath(root, v))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"stats sidecar for v_$v under $root not written (${e.getClass.getSimpleName}: " +
+          s"${e.getMessage}); readers fall back to footer merging without skipping")
   }
 
   /** Per-file Bloom filters of a committed version (see
@@ -290,8 +310,18 @@ object SnapshotStore {
           val mByFile: Map[String, Long] = src
             .groupBy(col("__f")).agg(approx_count_distinct(col(c)).as("__ndv"))
             .collect()
-            .map(r => r.getString(0) ->
-              math.max(512L, ((r.getLong(1) * bitsPerValue + 63) / 64) * 64)).toMap
+            .map { r =>
+              val m = math.max(512L, ((r.getLong(1) * bitsPerValue + 63) / 64) * 64)
+              // BloomStats.m is an Int bit count: past ~2^31 bits the
+              // narrowing below would go negative and the bitmap
+              // allocation would throw far from the cause. A single
+              // file with >200M distinct values is mis-sized anyway —
+              // fail with the fix spelled out.
+              require(m <= Int.MaxValue - 63,
+                s"bloom for '$c' in ${r.getString(0)} needs $m bits " +
+                  s"(ndv=${r.getLong(1)} × $bitsPerValue); split the file or lower bitsPerValue")
+              r.getString(0) -> m
+            }.toMap
           if (mByFile.isEmpty) Nil
           else {
             val mDf = broadcast(spark.createDataFrame(
@@ -335,12 +365,20 @@ object SnapshotStore {
                 partitions: Option[Seq[String]] = None): GraftFileIndex = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
+    fileIndexFrom(spark, root, v, partitions, statsFor(spark, root, v))
+  }
+
+  /** [[fileIndex]] with the stats already parsed — lets a planning
+    * pass that also needs the recorded schema read the sidecar ONCE
+    * (see [[tableWithIndex]] and the sidecarReads spec). */
+  private def fileIndexFrom(spark: SparkSession, root: String, v: Long,
+                            partitions: Option[Seq[String]],
+                            stats: Map[String, FileStats.FileStatsEntry]): GraftFileIndex = {
     val all = manifest(spark, root, v)
     val wanted = partitions match {
       case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
       case None => all
     }
-    val stats = statsFor(spark, root, v)
     val blooms = bloomFor(spark, root, v)
     val f = fs(spark, root)
     val files = wanted.map { e =>
@@ -371,8 +409,11 @@ object SnapshotStore {
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    val idx = fileIndex(spark, root, Some(v), partitions)
-    val schema = schemaFor(spark, root, v).getOrElse(
+    // ONE sidecar parse feeds both the skipping index and the recorded
+    // schema (it used to be parsed twice per planning pass).
+    val (stats, recorded) = statsSidecar(spark, root, v)
+    val idx = fileIndexFrom(spark, root, v, partitions, stats)
+    val schema = recorded.getOrElse(
       readEntries(spark, root, manifest(spark, root, v)).schema)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
@@ -468,7 +509,7 @@ object SnapshotStore {
       val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
       if (writeManifest(spark, root, v, entries)) {
-        writeStats(spark, root, v, entries, Some(df.schema))
+        writeStats(spark, root, v, Nil, entries, Some(df.schema))
         return v
       }
       attempt += 1
@@ -522,7 +563,7 @@ object SnapshotStore {
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
       if (writeManifest(spark, root, v, kept ++ newEntries)) {
-        writeStats(spark, root, v, kept ++ newEntries, Some(merged.schema))
+        writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
         return v
       }
       attempt += 1
@@ -561,7 +602,7 @@ object SnapshotStore {
       val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
       if (writeManifest(spark, root, v, kept ++ newEntries)) {
         // Content unchanged — the recorded schema carries forward.
-        writeStats(spark, root, v, kept ++ newEntries, None)
+        writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
       attempt += 1
@@ -601,7 +642,7 @@ object SnapshotStore {
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v, partitionCol)
       if (writeManifest(spark, root, v, kept ++ newEntries)) {
-        writeStats(spark, root, v, kept ++ newEntries, None)
+        writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
       attempt += 1
@@ -639,6 +680,14 @@ object SnapshotStore {
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val f = fs(spark, root)
     val outRoot = new Path(root, "_symlink_format_manifest")
+    // Sweep leftovers of previously crashed swaps (a stranded old tree
+    // set aside mid-swap, or a half-built tmp tree) so they don't
+    // accumulate forever — this export is about to supersede them.
+    f.listStatus(new Path(root)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("._symlink_old-") || n.startsWith("._symlink_tmp-"))
+        f.delete(s.getPath, true)
+    }
     val tmpRoot = new Path(root,
       s"._symlink_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     manifest(spark, root, v).groupBy(_.partition).foreach { case (part, es) =>
@@ -654,10 +703,12 @@ object SnapshotStore {
       finally out.close()
     }
     // Swap via rename-aside, not delete-then-rename: the old export
-    // stays readable until the instant the new one takes its place,
-    // and a crash mid-swap leaves either the old or the new tree — a
-    // brief missing-location window (or a permanently destroyed
-    // export on crash) would break external readers.
+    // stays readable until the swap starts, and the data is never
+    // destroyed mid-export. A crash BETWEEN the two renames does
+    // leave the location briefly absent (the old tree parked under
+    // ._symlink_old-*, swept by the next export) — strictly narrower
+    // than delete-then-rebuild, whose window spans the whole rebuild
+    // and loses the old tree outright.
     val old = new Path(root,
       s"._symlink_old-${java.util.UUID.randomUUID().toString.take(8)}")
     val hadOld = f.exists(outRoot)

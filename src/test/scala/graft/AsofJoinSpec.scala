@@ -102,4 +102,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly one hash exchange:\n${plan.take(800)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("inputs carrying the join's internal column names are rejected, not corrupted") {
+    val facts = Seq((1L, ts("2025-04-15 10:00:00"), "f")).toDF("k", "ts", "fact_id")
+    val dims = Seq((1L, ts("2025-04-15 09:00:00"), 1.0)).toDF("k", "ts", "lvl")
+    // __bk on a fact, __p_* on a dim: both staged internally and both
+    // silently overwritten before this guard existed.
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.asofJoin(facts.withColumn("__bk", lit(9)), dims,
+        "k", "ts", "ts", Seq("lvl"))
+    }
+    assert(e1.getMessage.contains("__bk"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.asofJoinBucketed(facts, dims.withColumn("__p_lvl", lit(0.0)),
+        "k", "ts", "ts", Seq("lvl"), bucketWidthMicros = 3600000000L)
+    }
+    assert(e2.getMessage.contains("__p_lvl"))
+  }
 }

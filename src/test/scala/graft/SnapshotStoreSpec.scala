@@ -220,6 +220,44 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(cur3("p3").contains("EAN-3") && cur3("p1").contains("EAN-1"))
   }
 
+  test("pre-stats upgrade: carried-only columns survive the recorded schema") {
+    val root = freshRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1 carries an extra column; its stats sidecar then goes missing
+    // (pre-stats table being upgraded, or a torn write).
+    SnapshotStore.commit(spark,
+      Seq(("p1", "a", 1, "EAN-1"), ("p2", "b", 1, "EAN-2"))
+        .toDF("product_id", "supplier", "version", "gtin"),
+      root, "supplier")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "manifests/v_000001.stats"), false)
+    // v2's batch lands in a NEW partition with a NARROWER schema: every
+    // v1 file is carried by reference, and `gtin` exists ONLY in those
+    // carried files. The recorded schema must still cover it (derived
+    // from the carried footers), or table() would silently drop the
+    // column while read() kept returning it.
+    SnapshotStore.mergeCommit(spark,
+      Seq(("p3", "c", 1)).toDF("product_id", "supplier", "version"),
+      root, "product_id", "version", "supplier")
+    val viaTable = SnapshotStore.table(spark, root)
+    assert(viaTable.columns.contains("gtin"),
+      "carried-only column dropped from the recorded schema")
+    val byId = viaTable.select("product_id", "gtin")
+      .as[(String, Option[String])].collect().toMap
+    assert(byId == Map("p1" -> Some("EAN-1"), "p2" -> Some("EAN-2"), "p3" -> None))
+  }
+
+  test("a planning pass through tableWithIndex reads the stats sidecar exactly once") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    val before = SnapshotStore.sidecarReads.get()
+    val (t, _) = SnapshotStore.tableWithIndex(spark, root)
+    t.filter($"version" >= 1).count()
+    assert(SnapshotStore.sidecarReads.get() - before == 1,
+      s"expected 1 sidecar read per plan, got ${SnapshotStore.sidecarReads.get() - before}")
+  }
+
   test("symlink-format manifest export lists exactly the version's files per partition") {
     val root = freshRoot()
     SnapshotStore.commit(spark,
@@ -251,10 +289,16 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("product_id", "version").as[(String, Int)].collect().toMap
     assert(readBack == Map("p1" -> 2, "p2" -> 1, "p3" -> 1))
 
-    // Re-export after another commit reflects the new version.
+    // Re-export after another commit reflects the new version — and
+    // sweeps leftovers of a previously crashed swap (a parked old tree
+    // and a half-built tmp tree must not accumulate forever).
+    val stale = Seq("._symlink_old-dead01", "._symlink_tmp-dead02")
+      .map(n => new org.apache.hadoop.fs.Path(root, n))
+    stale.foreach(fs.mkdirs)
     SnapshotStore.mergeCommit(spark, table(("p4", "b", 3)), root,
       "product_id", "version", "supplier")
     SnapshotStore.writeSymlinkManifest(spark, root)
+    stale.foreach(p => assert(!fs.exists(p), s"stale swap dir $p not swept"))
     val m3 = SnapshotStore.manifest(spark, root, 3)
     assert(lines("b").toSet == m3.filter(_.partition == "b")
       .map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(root, e.path)).toString).toSet)
