@@ -2563,7 +2563,133 @@ object Queries {
       SELECT doc_id, lang, n_tokens,
         CAST((cum - n_tokens) // 1024 AS BIGINT) AS pack_id,
         CAST((cum - n_tokens) % 1024 AS BIGINT) AS pack_offset
-      FROM packed ORDER BY doc_id"""))
+      FROM packed ORDER BY doc_id""")),
+
+    // SQL/catalog surface for the snapshot store (SnapshotSource):
+    // the ENTIRE read — view registration, filter, aggregate — is
+    // plain SQL over the `graft-snapshot` format, so a pure-SQL user
+    // gets manifest-driven file skipping with no Scala API in sight.
+    // The relation behind the view is exactly SnapshotStore.table's
+    // (DataSkippingSpec pins the shared pruning counts).
+    ("q101_sql_snapshot", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q101_store")
+        .resolve("t").toString
+      val li = t(s, d, "lineitem")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+      graft.sinks.SnapshotStore.commit(s, li, root, "l_returnflag")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q101 " +
+        s"USING `graft-snapshot` OPTIONS (path '$root')")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM graft_q101
+        WHERE l_orderkey < 1000
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_orderkey < 1000
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Z-order layout maintenance through the full read path
+    // (SnapshotStore.compactZOrder): four arrival-ordered incremental
+    // commits build a table whose files all span the key domain, the
+    // compaction rewrites it Z-ordered on (custkey, orderkey), and the
+    // oracle checks the rewrite changed LAYOUT only — the filtered
+    // content equals the plain scan. DataSkippingSpec pins the
+    // pruning-count improvement on the same shape.
+    ("q102_compact_zorder", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q102_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").withColumn("part", lit("x"))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === 0).repartition(4),
+        root, "part")
+      (1 to 3).foreach { i =>
+        graft.sinks.SnapshotStore.mergeCommit(s,
+          orders.filter(pmod(col("o_orderkey"), lit(4)) === i).repartition(4),
+          root, "o_orderkey", "o_orderkey", "part")
+      }
+      graft.sinks.SnapshotStore.compactZOrder(s, root, "part",
+        Seq("o_custkey", "o_orderkey"), filesPerPartition = 8)
+      graft.sinks.SnapshotStore.table(s, root)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_custkey < 100 ORDER BY o_orderkey""")),
+
+    // Streaming → atomic snapshot sink, oracled by REPLAY
+    // (StockStream.snapshotWriter): a real micro-batch sequence —
+    // including a re-delivered batch, the crash/retry case — lands as
+    // keyed merge commits, and the final snapshot must equal the
+    // oracle's one-shot latest-per-key fold of the same update
+    // history. (sku, ts) is made unique up front so the fold has no
+    // tie ambiguity on either side.
+    ("q103_stream_snapshot_sink", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_q103").toString
+      val root = s"$dir/store"
+      val updates = t(s, d, "events").filter(col("user_id") < 50)
+        .groupBy(concat(lit("sku_"), col("user_id")).as("sku"), col("ts"))
+        .agg(max(col("value")).as("qty"))
+        .select(col("sku"), col("qty"), col("ts"))
+        .as[(String, Double, java.sql.Timestamp)]
+        .collect()
+      val batches = updates.groupBy(u => math.floorMod(u._3.getTime, 3L))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, java.sql.Timestamp)]
+      val q = graft.streaming.StockStream.snapshotWriter(
+        input.toDF().toDF("sku", "qty", "modified_at"), root, s"$dir/ckpt").start()
+      try {
+        (0L to 2L).foreach { b =>
+          input.addData(batches.getOrElse(b, Array.empty).toSeq)
+          q.processAllAvailable()
+        }
+        // Re-deliver batch 1: the later-version-wins merge absorbs the
+        // duplicate commit (effectively-once delivery).
+        input.addData(batches.getOrElse(1L, Array.empty).toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sinks.SnapshotStore.read(s, root)
+        .select(col("sku"), col("qty"), unix_micros(col("modified_at")).as("us"))
+        .orderBy(col("sku"))
+    }, Some("""
+      WITH u AS (SELECT 'sku_' || user_id AS sku, ts, max(value) AS qty
+                 FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      r AS (SELECT sku, qty, epoch_ns(ts) // 1000 AS us,
+              row_number() OVER (PARTITION BY sku ORDER BY ts DESC) AS rn
+            FROM u)
+      SELECT sku, qty, us FROM r WHERE rn = 1 ORDER BY sku""")),
+
+    // Automatic as-of variant selection (RangeJoin.asofJoinAuto):
+    // q93's join through the auto path — events keys are uniform at
+    // this scale, so the sampler must pick the plain single-window
+    // variant and reproduce q93's answer exactly (AsofJoinSpec pins
+    // that a hot key flips the choice to bucketed).
+    ("q104_asof_auto", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val dims = e.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts"), col("value").as("level"))
+      graft.operators.RangeJoin.asofJoinAuto(
+          e.drop("value"), dims, "user_id", "ts", "ts", Seq("level"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("level"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value
+                 FROM events),
+      d AS (SELECT user_id, us, value AS level FROM e WHERE event_id % 10 = 0)
+      SELECT e.event_id, e.user_id, e.us,
+        (SELECT dd.level FROM d dd
+          WHERE dd.user_id = e.user_id AND dd.us <= e.us
+          ORDER BY dd.us DESC, dd.level DESC LIMIT 1) AS level
+      FROM e ORDER BY event_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -194,6 +194,13 @@ object ScaleSmoke {
           "k", "ts", "ts", Seq("lvl"), bucketWidthMicros = 3600L * 1000000L)
           .filter(col("lvl").isNotNull).count()
       },
+      // Auto-selection: at this skew the sampler must land on the
+      // bucketed side of the measured crossover by itself (the
+      // count-per-key probe is included in the time).
+      time("asof_auto_hotkey") {
+        graft.operators.RangeJoin.asofJoinAuto(asofFacts, asofDims,
+          "k", "ts", "ts", Seq("lvl")).filter(col("lvl").isNotNull).count()
+      },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
       // from one sample file to a feed archive with no code change"

@@ -186,6 +186,45 @@ object RangeJoin {
       .select(facts.columns.map(col) ++ payloads.map(col): _*)
   }
 
+  /** [[asofJoin]] with AUTOMATIC variant selection — the scale-safe
+    * default when the caller doesn't know their key skew. The plain
+    * join serializes each key through one window task, which is
+    * optimal until a single key outgrows a task's sort; the bucketed
+    * variant adds two metadata-sized shuffles that are pure overhead
+    * on uniform keys. SCALE.md measures the crossover at roughly 100k
+    * rows on the hottest key (plain wins below; 5× bucketed win at a
+    * 12.8M-row key), so that is the default threshold.
+    *
+    * Selection costs one map-combined count-per-key aggregate over the
+    * fact side (shuffles |keys| rows, not |facts|) plus, only when
+    * bucketing is chosen, a min/max timestamp probe to derive the
+    * bucket width: the hot key's rows are spread over the observed
+    * time span, so `span / (maxKeyRows / targetRowsPerBucket)` sizes
+    * buckets to ~`targetRowsPerBucket` rows each under a uniform-ish
+    * event rate (the regime where bucketing matters; heavy temporal
+    * clumping within one key degrades toward plain behavior for the
+    * clumped buckets but never changes results). */
+  def asofJoinAuto(facts: DataFrame, dims: DataFrame, key: String,
+                   factTs: String, dimTs: String, payloads: Seq[String],
+                   hotKeyThreshold: Long = 100000L,
+                   targetRowsPerBucket: Long = 50000L): DataFrame = {
+    require(hotKeyThreshold > 0 && targetRowsPerBucket > 0,
+      "thresholds must be positive")
+    val hottest = facts.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).collect()(0)
+    val maxPerKey = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    if (maxPerKey <= hotKeyThreshold)
+      asofJoin(facts, dims, key, factTs, dimTs, payloads)
+    else {
+      val r = facts.agg(unix_micros(min(col(factTs))),
+        unix_micros(max(col(factTs)))).collect()(0)
+      val span = math.max(1L, r.getLong(1) - r.getLong(0))
+      val nBuckets = math.max(2L, maxPerKey / targetRowsPerBucket)
+      asofJoinBucketed(facts, dims, key, factTs, dimTs, payloads,
+        bucketWidthMicros = math.max(1L, span / nBuckets))
+    }
+  }
+
   /** Big×big range join without a nested loop: overlay a fixed-width
     * bucket grid, explode each tier onto the buckets it spans, equi-join
     * on bucket, then re-check the exact predicate. Shuffle is linear in

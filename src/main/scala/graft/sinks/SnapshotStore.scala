@@ -407,6 +407,17 @@ object SnapshotStore {
     * many files the most recent planning pass kept (specs + SCALE). */
   def tableWithIndex(spark: SparkSession, root: String, version: Option[Long] = None,
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
+    val (rel, idx) = relationWithIndex(spark, root, version, partitions)
+    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel), idx)
+  }
+
+  /** The skipping-indexed relation behind [[table]] — also what the
+    * `graft-snapshot` format ([[SnapshotSource]]) hands Spark, so SQL
+    * reads plan through the same [[GraftFileIndex]]. */
+  private[graft] def relationWithIndex(spark: SparkSession, root: String,
+                                       version: Option[Long], partitions: Option[Seq[String]]):
+      (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     // ONE sidecar parse feeds both the skipping index and the recorded
@@ -419,8 +430,7 @@ object SnapshotStore {
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(rel), idx)
+    (rel, idx)
   }
 
   /** Undo Spark/Hive partition-directory escaping (`%XX` sequences

@@ -103,6 +103,35 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("asofJoinAuto picks plain on uniform keys, bucketed on a hot key — same answers") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2025-04-15 00:00:00").getTime
+    val dims = (1L to 200L).map(i =>
+      (i % 50, new Timestamp(base + i * 9000), i.toDouble)).toDF("k", "ts", "lvl")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+
+    // Uniform: 50 keys × 40 rows — under the threshold, plain variant
+    // (no shard column in the window partitioning).
+    val uniform = (1L to 2000L).map(i =>
+      (i % 50, new Timestamp(base + i * 1000), i)).toDF("k", "ts", "fact_id")
+    val autoUniform = RangeJoin.asofJoinAuto(uniform, dims, "k", "ts", "ts",
+      Seq("lvl"), hotKeyThreshold = 100)
+    assert(!plan(autoUniform).contains("__bk"), "uniform keys should pick plain")
+
+    // Hot: one key holds 1500 of 2000 rows — over the threshold, the
+    // bucketed variant, with byte-identical results to plain.
+    val hot = (1L to 2000L).map(i =>
+      (if (i <= 1500) 0L else i % 50, new Timestamp(base + i * 1000), i))
+      .toDF("k", "ts", "fact_id")
+    val autoHot = RangeJoin.asofJoinAuto(hot, dims, "k", "ts", "ts",
+      Seq("lvl"), hotKeyThreshold = 100, targetRowsPerBucket = 200)
+    assert(plan(autoHot).contains("__bk"), "hot key should pick bucketed")
+    val want = RangeJoin.asofJoin(hot, dims, "k", "ts", "ts", Seq("lvl"))
+      .collect().map(_.toSeq).toSet
+    assert(autoHot.collect().map(_.toSeq).toSet == want)
+  }
+
   test("inputs carrying the join's internal column names are rejected, not corrupted") {
     val facts = Seq((1L, ts("2025-04-15 10:00:00"), "f")).toDF("k", "ts", "fact_id")
     val dims = Seq((1L, ts("2025-04-15 09:00:00"), 1.0)).toDF("k", "ts", "lvl")

@@ -366,6 +366,48 @@ class DataSkippingSpec extends SparkSpec {
       s"empty-string partition duplicated or lost: $rows")
   }
 
+  test("the graft-snapshot format plans through the skipping index, from Scala and SQL") {
+    val root = freshRoot()
+    rangedCommit(root)
+    // Format read = same relation the Scala surface builds; the
+    // resolved plan carries a GraftFileIndex, and a selective filter
+    // prunes files exactly like SnapshotStore.table.
+    val df = spark.read.format("graft-snapshot").load(root)
+      .filter(col("id") >= 100 && col("id") < 150)
+    assert(df.count() == 50)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val idx = df.queryExecution.analyzed.collectFirst {
+      case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation]
+        .location.asInstanceOf[graft.sinks.GraftFileIndex]
+    }.get
+    assert(idx.lastCandidateFiles == 1 && idx.totalFiles == 4,
+      s"format read should prune: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+
+    // Pure SQL: a temp view over the format gives SQL-only users the
+    // same skipping path, plus option-driven time travel.
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_t USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM snap_t WHERE id >= 100 AND id < 150")
+      .as[Long].head() == 50)
+
+    // Time travel + manifest-level partition pruning via options.
+    SnapshotStore.mergeCommit(spark,
+      spark.range(1000, 1010).select(col("id"),
+        format_string("k%04d", col("id")).as("k"),
+        (col("id") * 1.5).as("v"), lit("y").as("p")),
+      root, "id", "v", "p")
+    assert(spark.read.format("graft-snapshot").load(root).count() == 1010)
+    assert(spark.read.format("graft-snapshot").option("version", "1")
+      .load(root).count() == 1000)
+    assert(spark.read.format("graft-snapshot").option("partitions", "y")
+      .load(root).count() == 10)
+    // Misconfiguration fails at load, with the option named.
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("version", "nope").load(root)
+    }
+    assert(e.getMessage.contains("version"))
+  }
+
   test("translate covers the pushable subset and stays conservative elsewhere") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     val id = org.apache.spark.sql.catalyst.expressions.AttributeReference(
