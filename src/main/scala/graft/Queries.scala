@@ -2689,7 +2689,46 @@ object Queries {
         (SELECT dd.level FROM d dd
           WHERE dd.user_id = e.user_id AND dd.us <= e.us
           ORDER BY dd.us DESC, dd.level DESC LIMIT 1) AS level
-      FROM e ORDER BY event_id"""))
+      FROM e ORDER BY event_id""")),
+
+    // Benchmark decontamination (Dedup.benchmarkOverlap): every 50th
+    // document plays the evaluation set; each corpus document reports
+    // how many of its distinct 3-shingles appear in that set, the
+    // contaminated fraction, and which benchmark rows matched (the
+    // corpus near-dup structure makes partial overlaps, not just the
+    // 100% self-hits). The oracle replays the same normalized-shingle
+    // overlap; bench ids travel as a sorted comma-joined string so the
+    // hash compare stays scalar.
+    ("q105_decontaminate", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      graft.operators.Dedup.benchmarkOverlap(docs, col("text"), col("doc_id"),
+          bench, col("text"), col("doc_id"), shingleWidth = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_overlap"),
+          round(col("overlap_frac"), 4).as("overlap_frac"),
+          concat_ws(",", col("bench_ids")).as("bench_ids"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH nw AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+      sh AS (SELECT doc_id, list_distinct(
+           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(generate_series(1, len(ws) - 2),
+                       i -> array_to_string(ws[i:i+2], ' ')) END) AS sh FROM nw),
+      ex AS (SELECT doc_id, unnest(sh) AS w FROM sh),
+      bex AS (SELECT DISTINCT doc_id AS bid, unnest(sh) AS w FROM sh
+              WHERE doc_id % 50 = 0),
+      hits AS (SELECT e.doc_id, e.w, b.bid FROM ex e LEFT JOIN bex b USING (w)),
+      agg AS (SELECT doc_id,
+          count(DISTINCT w) AS n_shingles,
+          count(DISTINCT CASE WHEN bid IS NOT NULL THEN w END) AS n_overlap,
+          list_sort(list_distinct(list_filter(list(bid), x -> x IS NOT NULL))) AS bids
+        FROM hits GROUP BY doc_id)
+      SELECT doc_id, n_shingles, n_overlap,
+        round(CAST(n_overlap AS DOUBLE) / greatest(n_shingles, 1), 4) AS overlap_frac,
+        COALESCE(array_to_string(bids, ','), '') AS bench_ids
+      FROM agg ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

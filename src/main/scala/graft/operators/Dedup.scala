@@ -380,4 +380,52 @@ object Dedup {
           (col("n_a") + col("n_b") - coalesce(col("common"), lit(0L))).cast("double"))
           .as("jaccard"))
   }
+
+  /** Benchmark decontamination — the train/eval-overlap hygiene gate a
+    * pretraining corpus runs before training (the published GPT-3-style
+    * n-gram overlap check): for each document, how many of its distinct
+    * word `shingleWidth`-shingles appear anywhere in the evaluation set
+    * `bench`, the contaminated fraction, and which benchmark rows
+    * matched. Flag-then-filter: callers drop documents above a fraction
+    * threshold (or with any overlap at all) and keep the report for the
+    * audit trail.
+    *
+    * Output: (id, n_shingles, n_overlap, overlap_frac, bench_ids) —
+    * `bench_ids` sorted and de-duplicated for determinism. Documents
+    * shorter than `shingleWidth` tokens contribute one whole-text
+    * shingle (the [[minHashPairs]] convention), so nothing silently
+    * skips the check.
+    *
+    * Scale (100 TB): eval suites are thousands of rows next to the
+    * corpus, so the benchmark's (shingle → matching ids) map builds in
+    * one pass over the SMALL side and BROADCASTS pre-aggregated —
+    * joining it to a doc shingle is 1:1, so corpus rows never multiply
+    * even when one shingle matches many benchmark entries. The only
+    * data-sized shuffle is the per-document aggregation, which
+    * partially aggregates map-side. No corpus×bench comparison beyond
+    * shingle-hash equality ever materializes. */
+  def benchmarkOverlap(docs: DataFrame, text: Column, id: Column,
+                       bench: DataFrame, benchText: Column, benchId: Column,
+                       shingleWidth: Int = 8): DataFrame = {
+    val docSh = shingleRows(docs, text, id, shingleWidth)
+    // (shingle → sorted matching bench ids), tiny by construction.
+    val benchByShingle = shingleRows(bench, benchText, benchId, shingleWidth)
+      .select(col("id").as("__bid"), col("w")).distinct()
+      .groupBy(col("w"))
+      .agg(sort_array(collect_set(col("__bid"))).as("__bids"))
+    docSh.join(broadcast(benchByShingle), Seq("w"), "left_outer")
+      .groupBy(col("id"))
+      .agg(
+        // shingleRows emits DISTINCT shingles per id and the broadcast
+        // side is one row per shingle, so plain counts are exact.
+        count(lit(1)).as("n_shingles"),
+        count(col("__bids")).as("n_overlap"),
+        // collect_list skips the unmatched nulls; a fully-clean doc
+        // gets an EMPTY list (never null), flattened to an empty array.
+        sort_array(array_distinct(flatten(collect_list(col("__bids"))))).as("bench_ids"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / greatest(col("n_shingles"), lit(1L)))
+      .select(col("id"), col("n_shingles"), col("n_overlap"),
+        col("overlap_frac"), col("bench_ids"))
+  }
 }

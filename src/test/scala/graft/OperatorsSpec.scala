@@ -51,6 +51,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("benchmarkOverlap flags exact, partial, and zero train/eval contamination") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),          // = bench 10 → 100%
+      (2L, "alpha beta gamma zeta eta theta"),         // shares a prefix → partial
+      (3L, "one two three four five six"),             // clean
+      (4L, "hi")                                       // shorter than a shingle
+    ).toDF("id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "totally different benchmark prompt")).toDF("bid", "btext")
+    val out = Dedup.benchmarkOverlap(corpus, $"text", $"id",
+        bench, $"btext", $"bid", shingleWidth = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getSeq[Long](4)))).toMap
+    // doc 1: 3 shingles, all in bench 10.
+    assert(out(1L) == ((3L, 3L, 1.0, Seq(10L))))
+    // doc 2: 4 shingles, only "alpha beta gamma" matches.
+    assert(out(2L)._1 == 4L && out(2L)._2 == 1L && out(2L)._4 == Seq(10L))
+    assert(math.abs(out(2L)._3 - 0.25) < 1e-9)
+    // doc 3: clean — zero overlap, EMPTY id list (not null).
+    assert(out(3L) == ((4L, 0L, 0.0, Seq.empty[Long])))
+    // doc 4: shorter than the width still gets its whole-text shingle.
+    assert(out(4L)._1 == 1L && out(4L)._2 == 0L)
+    // A shingle matching MULTIPLE bench rows must not multiply counts.
+    val bench2 = bench.unionByName(
+      Seq((12L, "alpha beta gamma delta epsilon")).toDF("bid", "btext"))
+    val multi = Dedup.benchmarkOverlap(corpus, $"text", $"id",
+        bench2, $"btext", $"bid", shingleWidth = 3)
+      .filter($"id" === 1L).collect().head
+    assert(multi.getLong(1) == 3L && multi.getLong(2) == 3L &&
+      multi.getSeq[Long](4) == Seq(10L, 12L))
+  }
+
   test("dedupCorpus keep-first: drops every doc that collides with a lower id") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupCorpus(df, pairs, $"id")
