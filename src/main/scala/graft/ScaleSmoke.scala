@@ -144,22 +144,29 @@ object ScaleSmoke {
         Sampling.sampleToTokenBudget(strat, col("n_tokens"), col("doc_id"),
           col("stratum"), budgetPerStratum = 2000L * amp).count()
       },
-      // Hot-stratum sampling crossover: ALL docs in ONE stratum — the
+      // Hot-stratum sampling crossover: 500k×amp documents ALL in ONE
+      // stratum (the "70% of the corpus is web" shape) — the
       // single-window reference serializes them through one task's
-      // sort, the hierarchical sampler cumsums per md5 shard in
+      // sort, the hierarchical sampler cumsums per md5-prefix shard in
       // parallel and stitches with broadcast offsets. Same output
-      // (spec-pinned); this measures the skew effect.
+      // (spec-pinned); this measures the skew effect. Synthetic rows
+      // keep the measurement about the cumsum, not text tokenizing;
+      // the budget keeps ~half so the filter stays realistic.
       time("sample_plain_hotstratum") {
-        val strat = docs.select(col("doc_id"), lit("web").as("stratum"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val strat = spark.range(500000L * amp).select(
+          col("id").as("doc_id"), lit("web").as("stratum"),
+          (pmod(col("id") * 2654435761L, lit(900L)) + lit(100L)).as("n_tokens"))
         Sampling.sampleToTokenBudgetPlain(strat, col("n_tokens"),
-          col("doc_id"), col("stratum"), budgetPerStratum = 100000L * amp).count()
+          col("doc_id"), col("stratum"),
+          budgetPerStratum = 137500L * amp * 1000L).count()
       },
       time("sample_bucketed_hotstratum") {
-        val strat = docs.select(col("doc_id"), lit("web").as("stratum"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val strat = spark.range(500000L * amp).select(
+          col("id").as("doc_id"), lit("web").as("stratum"),
+          (pmod(col("id") * 2654435761L, lit(900L)) + lit(100L)).as("n_tokens"))
         Sampling.sampleToTokenBudget(strat, col("n_tokens"),
-          col("doc_id"), col("stratum"), budgetPerStratum = 100000L * amp).count()
+          col("doc_id"), col("stratum"),
+          budgetPerStratum = 137500L * amp * 1000L).count()
       },
       // Point lookup on a hash-ordered snapshot: min/max stats cannot
       // prune (every file spans the key domain) — the bloom sidecar

@@ -31,9 +31,13 @@ class GraftFileIndex(root: Path,
                      override val partitionSchema: StructType = new StructType())
     extends FileIndex {
 
-  /** Pruning observability (specs + SCALE measurements). */
+  /** Pruning observability (specs + SCALE measurements): the candidate
+    * count of the MOST RECENT `listFiles` call. Atomic last-writer-wins
+    * under concurrent plans over a shared index — strictly a probe for
+    * tests and measurements, never an input to planning. */
   val totalFiles: Int = files.size
-  @volatile var lastCandidateFiles: Int = files.size
+  private val lastCandidate = new java.util.concurrent.atomic.AtomicInteger(files.size)
+  def lastCandidateFiles: Int = lastCandidate.get
 
   override def rootPaths: Seq[Path] = Seq(root)
 
@@ -47,7 +51,7 @@ class GraftFileIndex(root: Path,
           if stats.forall(e => filters.forall(FileStats.mayMatch(e, _))) &&
             (blooms.isEmpty || filters.forall(FileStats.mayMatchBloom(blooms, _))) => st
       }
-    lastCandidateFiles = kept.size
+    lastCandidate.set(kept.size)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }
 
