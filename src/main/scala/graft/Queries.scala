@@ -2728,7 +2728,41 @@ object Queries {
       SELECT doc_id, n_shingles, n_overlap,
         round(CAST(n_overlap AS DOUBLE) / greatest(n_shingles, 1), 4) AS overlap_frac,
         COALESCE(array_to_string(bids, ','), '') AS bench_ids
-      FROM agg ORDER BY doc_id"""))
+      FROM agg ORDER BY doc_id""")),
+
+    // Corpus-wide line dedup (Dedup.lineDedup — the C4/RefinedWeb
+    // boilerplate scrub): the synthetic docs carry no newlines, so the
+    // fixture composes every 5 consecutive documents into one
+    // multi-line document — the corpus's exact-duplicate texts become
+    // the repeated "boilerplate" lines, dropped everywhere once they
+    // occur more than twice, with surviving lines kept in order and
+    // fully-boilerplate composites coming back empty (never missing).
+    ("q106_line_dedup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val comp = docs.groupBy((col("doc_id") / 5).cast("long").as("cid"))
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      graft.operators.Dedup.lineDedup(comp, col("text"), col("cid"),
+          maxOccurrences = 2)
+        .select(col("id").as("cid"), col("text"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("cid"))
+    }, Some("""
+      WITH comp AS (SELECT doc_id // 5 AS cid,
+             string_agg(text, chr(10) ORDER BY doc_id) AS text
+           FROM documents GROUP BY 1),
+      lt AS (SELECT cid, string_split(text, chr(10)) AS ls FROM comp),
+      ex AS (SELECT cid, unnest(generate_series(1, len(ls))) AS pos,
+               unnest(ls) AS line FROM lt),
+      freq AS (SELECT md5(line) AS h FROM ex GROUP BY 1 HAVING count(*) > 2),
+      kept AS (SELECT e.cid, e.pos, e.line FROM ex e
+               ANTI JOIN freq f ON md5(e.line) = f.h),
+      re AS (SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS text
+             FROM kept GROUP BY cid)
+      SELECT c.cid, COALESCE(r.text, '') AS text,
+        length(COALESCE(r.text, '')) AS n_chars
+      FROM comp c LEFT JOIN re r USING (cid) ORDER BY cid"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -381,6 +381,42 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Corpus-wide LINE deduplication — the C4/RefinedWeb boilerplate
+    * scrub: lines that repeat across many documents (nav menus, cookie
+    * banners, licence headers) are dropped EVERYWHERE once their
+    * corpus-wide occurrence count exceeds `maxOccurrences`, and each
+    * document is reassembled from its surviving lines in original
+    * order. Documents whose every line was boilerplate come back as an
+    * empty string (chain a length gate downstream), so the output
+    * keeps exactly one row per input document.
+    *
+    * Scale (100 TB): three shuffles, all equi-keyed and skew-free —
+    * the line-frequency hash aggregate and the anti-join both key on
+    * md5(line) (uniform 128-bit, and ~32 bytes crossing the exchange
+    * instead of the line text), and the per-document reassembly keys
+    * on the id. The frequent-line set is only the lines OVER the
+    * threshold, so the anti-join's build side stays far smaller than
+    * the corpus. Nothing is quadratic and no driver-side collection
+    * exists. */
+  def lineDedup(docs: DataFrame, text: Column, id: Column,
+                maxOccurrences: Long, sep: String = "\n"): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val lines = docs.select(id.as("id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("__h", md5(col("line").cast("binary")))
+    val frequent = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__h"))
+    val rebuilt = lines.join(frequent, Seq("__h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("text"))
+    docs.select(id.as("id")).join(rebuilt, Seq("id"), "left")
+      .withColumn("text", coalesce(col("text"), lit("")))
+  }
+
   /** Benchmark decontamination — the train/eval-overlap hygiene gate a
     * pretraining corpus runs before training (the published GPT-3-style
     * n-gram overlap check): for each document, how many of its distinct

@@ -84,6 +84,31 @@ class DedupSpec extends SparkSpec {
       multi.getSeq[Long](4) == Seq(10L, 12L))
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps order, empties but never loses docs") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nNAV MENU"),
+      (2L, "COOKIE BANNER\nreal content two\nNAV MENU"),
+      (3L, "COOKIE BANNER\nunique text here\nNAV MENU"),
+      (4L, "COOKIE BANNER\nNAV MENU"),              // all boilerplate
+      (5L, "standalone document")
+    ).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, $"text", $"id", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Both 4×/3×-repeated lines vanish everywhere; unique lines keep order.
+    assert(out(1L) == "real content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "unique text here")
+    assert(out(4L) == "", "fully-boilerplate doc must survive as empty, not vanish")
+    assert(out(5L) == "standalone document")
+    assert(out.size == 5)
+    // At the threshold boundary: a line occurring EXACTLY maxOccurrences
+    // times survives.
+    val twice = Dedup.lineDedup(docs.filter($"id" <= 2), $"text", $"id",
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice(1L) == "COOKIE BANNER\nreal content one\nNAV MENU")
+  }
+
   test("dedupCorpus keep-first: drops every doc that collides with a lower id") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupCorpus(df, pairs, $"id")

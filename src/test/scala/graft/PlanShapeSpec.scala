@@ -128,6 +128,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "language merge grew a join")
   }
 
+  test("decontamination broadcasts the benchmark; line dedup never goes quadratic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma doc $i content"))
+      .toDF("id", "text")
+    val bench = Seq((1L, "alpha beta gamma")).toDF("bid", "btext")
+    val p1 = graft.operators.Dedup.benchmarkOverlap(
+        docs, $"text", $"id", bench, $"btext", $"bid", shingleWidth = 3)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), p1.take(600))
+    assert(!p1.contains("SortMergeJoin"), "benchmark side lost its broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = graft.operators.Dedup.lineDedup(docs, $"text", $"id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("packing and weighted mix shard the stratum window; no shuffled join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
