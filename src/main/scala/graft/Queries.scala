@@ -2762,7 +2762,83 @@ object Queries {
              FROM kept GROUP BY cid)
       SELECT c.cid, COALESCE(r.text, '') AS text,
         length(COALESCE(r.text, '')) AS n_chars
-      FROM comp c LEFT JOIN re r USING (cid) ORDER BY cid"""))
+      FROM comp c LEFT JOIN re r USING (cid) ORDER BY cid""")),
+
+    // Capstone corpus assembly v2 — the round-6 operators composed as
+    // one pipeline: boilerplate line scrub (q106's fixture) → length
+    // gate → benchmark decontamination filter (drop > 50% overlap
+    // against the q105 eval set) → per-stratum token-budget sample.
+    // Like q100, every stage is a filter/aggregate over the previous
+    // frame, and the oracle chains the same replays.
+    ("q107_corpus_assembly_v2", (s: SparkSession, d: String) => {
+      import graft.operators.{Dedup, Sampling}
+      val docs = t(s, d, "documents")
+      val comp = docs.groupBy((col("doc_id") / 5).cast("long").as("cid"))
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      val scrubbed = Dedup.lineDedup(comp, col("text"), col("cid"),
+          maxOccurrences = 2)
+        .filter(length(col("text")) > 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val clean = scrubbed.join(
+        Dedup.benchmarkOverlap(scrubbed, col("text"), col("id"),
+            bench, col("text"), col("doc_id"), shingleWidth = 3)
+          .filter(col("overlap_frac") <= 0.5)
+          .select(col("id")),
+        Seq("id"))
+      val withTok = clean.select(col("id"),
+        (col("id") % 4).as("stratum"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.sampleToTokenBudget(withTok, col("n_tokens"), col("id"),
+          col("stratum"), budgetPerStratum = 2000L)
+        .select(col("id").as("cid"), col("stratum"), col("n_tokens"))
+        .orderBy(col("cid"))
+    }, Some("""
+      WITH comp AS (SELECT doc_id // 5 AS cid,
+             string_agg(text, chr(10) ORDER BY doc_id) AS text
+           FROM documents GROUP BY 1),
+      lt AS (SELECT cid, string_split(text, chr(10)) AS ls FROM comp),
+      lx AS (SELECT cid, unnest(generate_series(1, len(ls))) AS pos,
+               unnest(ls) AS line FROM lt),
+      lfreq AS (SELECT md5(line) AS h FROM lx GROUP BY 1 HAVING count(*) > 2),
+      lkept AS (SELECT l.cid, l.pos, l.line FROM lx l
+                ANTI JOIN lfreq f ON md5(l.line) = f.h),
+      scrub AS (SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM lkept GROUP BY cid),
+      nz AS (SELECT cid, text FROM scrub WHERE length(text) > 0),
+      nw AS (SELECT cid, string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+             FROM nz),
+      sh AS (SELECT cid, list_distinct(
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_transform(generate_series(1, len(ws) - 2),
+                         i -> array_to_string(ws[i:i+2], ' ')) END) AS sh FROM nw),
+      ex AS (SELECT cid, unnest(sh) AS w FROM sh),
+      bnw AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+             FROM documents WHERE doc_id % 50 = 0),
+      bsh AS (SELECT DISTINCT unnest(
+             CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                  ELSE list_transform(generate_series(1, len(ws) - 2),
+                         i -> array_to_string(ws[i:i+2], ' ')) END) AS w FROM bnw),
+      ov AS (SELECT e.cid,
+               count(*) AS n_sh,
+               count(*) FILTER (WHERE b.w IS NOT NULL) AS n_hit
+             FROM ex e LEFT JOIN bsh b USING (w) GROUP BY e.cid),
+      clean AS (SELECT n.cid, n.text FROM nz n JOIN ov o USING (cid)
+                WHERE CAST(o.n_hit AS DOUBLE) / greatest(o.n_sh, 1) <= 0.5),
+      tok AS (SELECT cid, cid % 4 AS stratum,
+               CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+             FROM clean),
+      samp AS (SELECT cid, stratum, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY stratum
+                 ORDER BY md5(CAST(cid AS VARCHAR)), cid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+             FROM tok)
+      SELECT cid, stratum, n_tokens FROM samp
+      WHERE running <= 2000 ORDER BY cid"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -84,6 +84,38 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical cumsum equivalence holds on randomized corpora (seeded)") {
+    // Randomized variant of the fixed-case equivalence: random sizes,
+    // token distributions (incl. zero-token docs), stratum counts
+    // (incl. null strata), budgets, sequence lengths, and bucket
+    // counts. Ids stay unique — duplicate ids make the tie order
+    // undefined in BOTH implementations, so they are out of contract.
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 4) {
+      val n = 50 + rnd.nextInt(400)
+      val nStrata = 1 + rnd.nextInt(6)
+      val offset = rnd.nextInt(1000000)
+      val rows = (1 to n).map { i =>
+        val lang = if (rnd.nextInt(10) == 0) null
+                   else s"s${rnd.nextInt(nStrata)}"
+        (i * 7919L + offset, lang, rnd.nextInt(50).toLong)
+      }
+      val df = rows.toDF("id", "lang", "tokens")
+      val budget = 1L + rnd.nextInt(2000)
+      val seqLen = 16L + rnd.nextInt(200)
+      val buckets = 1 + rnd.nextInt(512)
+      def rowsOf(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+      assert(rowsOf(Sampling.sampleToTokenBudget(df, $"tokens", $"id", $"lang",
+          budget, buckets)) ==
+        rowsOf(Sampling.sampleToTokenBudgetPlain(df, $"tokens", $"id", $"lang", budget)),
+        s"budget diverged: n=$n strata=$nStrata budget=$budget buckets=$buckets")
+      assert(rowsOf(Sampling.packSequences(df, $"tokens", $"id", $"lang",
+          seqLen, buckets)) ==
+        rowsOf(Sampling.packSequencesPlain(df, $"tokens", $"id", $"lang", seqLen)),
+        s"packing diverged: n=$n strata=$nStrata seqLen=$seqLen buckets=$buckets")
+    }
+  }
+
   test("sampling rejects inputs whose columns collide with internal names") {
     val bad = corpus.withColumn("__bk", lit(1))
     val e = intercept[IllegalArgumentException] {
