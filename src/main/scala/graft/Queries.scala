@@ -2838,7 +2838,48 @@ object Queries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
              FROM tok)
       SELECT cid, stratum, n_tokens FROM samp
-      WHERE running <= 2000 ORDER BY cid"""))
+      WHERE running <= 2000 ORDER BY cid""")),
+
+    // Token-share weighted mix (Sampling.weightedTokenMix): the "70%
+    // of the TOKENS from en, 30% from de" recipe — per-language token
+    // budgets derived from weights, filled in deterministic md5 order,
+    // unlisted languages dropped. Same window replay as q77 with a
+    // per-stratum budget map.
+    ("q108_weighted_token_mix", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.weightedTokenMix(docs, col("n_tokens"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.7, "de" -> 0.3), totalTokens = 8000L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents WHERE lang IN ('en', 'de')),
+      samp AS (SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM tok)
+      SELECT doc_id, lang, n_tokens FROM samp
+      WHERE running <= CASE lang WHEN 'en' THEN 5600 ELSE 2400 END
+      ORDER BY doc_id""")),
+
+    // Document-count stratified sample (Sampling.sampleNPerStratum):
+    // the row-count sibling of q77 — previously spec-only; the oracle
+    // replays the same md5-ordered row_number cap per language.
+    ("q109_n_per_stratum", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.sampleNPerStratum(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
+          col("doc_id"), col("lang"), perStratum = 30)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 30 ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -186,4 +186,25 @@ object Sampling {
       .filter(col("__rn") <= myQuota)
       .drop("__rn")
   }
+
+  /** [[weightedMix]] with TOKEN-share quotas — the form corpus recipes
+    * are actually written in ("70% of the TOKENS from web"): each
+    * stratum keeps documents in deterministic md5 order while its
+    * running token total stays within `floor(totalTokens × weight_s /
+    * Σweights)`. Same drop/under-fill semantics as [[weightedMix]];
+    * same hierarchical cumsum (a hot stratum parallelizes across
+    * shards). */
+  def weightedTokenMix(df: DataFrame, tokens: Column, id: Column,
+                       strata: Column, weights: Map[String, Double],
+                       totalTokens: Long, buckets: Int = 64): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0), "need non-negative weights")
+    val sumW = weights.values.sum
+    require(sumW > 0, "weights must not all be zero")
+    val quota = typedLit(weights.map { case (k, v) =>
+      k -> math.floor(totalTokens * v / sumW).toLong })
+    val myQuota = element_at(quota, strata.cast("string"))
+    withRunning(df.filter(myQuota.isNotNull), tokens, id, strata, buckets, "__running")
+      .filter(col("__running") <= myQuota)
+      .drop("__running")
+  }
 }

@@ -59,6 +59,23 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
   }
 
+  test("weightedTokenMix fills per-stratum TOKEN budgets from weights, drops unlisted strata") {
+    // en quota: floor(160 × 0.75) = 120 tokens → 12 docs; de: 40 → 4.
+    val out = Sampling.weightedTokenMix(corpus, $"tokens", $"id", $"lang",
+      Map("en" -> 0.75, "de" -> 0.25), totalTokens = 160L)
+    val perLang = out.groupBy($"lang").agg(sum($"tokens").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("en" -> 120L, "de" -> 40L))
+    // Unlisted stratum vanishes; zero-sum weights fail loudly.
+    assert(Sampling.weightedTokenMix(corpus, $"tokens", $"id", $"lang",
+      Map("en" -> 1.0), 100L).select($"lang").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("en"))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedTokenMix(corpus, $"tokens", $"id", $"lang",
+        Map("en" -> 0.0), 100L)
+    }
+  }
+
   test("hierarchical cumsum matches the single-window reference exactly, any bucket count") {
     // Ragged token sizes, a hot stratum, a null stratum, and ids that
     // land in many md5 shards — the hierarchical running totals must
