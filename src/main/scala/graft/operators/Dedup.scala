@@ -397,7 +397,11 @@ object Dedup {
     * on the id. The frequent-line set is only the lines OVER the
     * threshold, so the anti-join's build side stays far smaller than
     * the corpus. Nothing is quadratic and no driver-side collection
-    * exists. */
+    * exists. The exploded line frame is consumed twice (frequency
+    * pass + keep pass) — inherent to the operator; on a very large
+    * corpus persist the input (or let the snapshot store's skipping
+    * scan absorb the second read) rather than recomputing upstream
+    * transforms. */
   def lineDedup(docs: DataFrame, text: Column, id: Column,
                 maxOccurrences: Long, sep: String = "\n"): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
