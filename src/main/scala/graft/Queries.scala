@@ -2879,7 +2879,39 @@ object Queries {
           row_number() OVER (PARTITION BY lang
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM documents)
-      WHERE rn <= 30 ORDER BY doc_id"""))
+      WHERE rn <= 30 ORDER BY doc_id""")),
+
+    // Snapshot-driven text-index maintenance end-to-end (TextIndex
+    // .appendForSnapshotVersion / searchWordInSnapshot): index v1,
+    // replace ONE partition in v2 (a word-preserving text edit), index
+    // the v2 diff, then search through the index — candidates from
+    // BOTH carried v1 files and v2's new files, intersected with the
+    // live manifest. The result must equal the scan truth, which is
+    // exactly q90's oracle (the edit only prefixes text, so 'dup'
+    // membership is unchanged).
+    ("q110_snapshot_text_index", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q110").toString
+      val root = s"$dir/t"; val idx = s"$dir/idx"
+      val docs = t(s, d, "documents")
+        .withColumn("part", pmod(col("doc_id"), lit(4)).cast("string"))
+        .withColumn("v", lit(1))
+      val v1 = graft.sinks.SnapshotStore.commit(s, docs, root, "part")
+      graft.operators.TextIndex.appendForSnapshotVersion(s, root, v1, "text", idx)
+      val upd = docs
+        .filter(pmod(col("doc_id"), lit(4)) === 1 && col("doc_id") < 50)
+        .withColumn("text", concat(lit("freshword "), col("text")))
+        .withColumn("v", lit(2))
+      val v2 = graft.sinks.SnapshotStore.mergeCommit(s, upd, root,
+        "doc_id", "v", "part")
+      graft.operators.TextIndex.appendForSnapshotVersion(s, root, v2, "text", idx)
+      graft.operators.TextIndex.searchWordInSnapshot(s, root, idx, "text", "dup")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE list_contains(string_split(trim(regexp_replace(regexp_replace(
+        lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
+      ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

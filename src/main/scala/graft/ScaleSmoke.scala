@@ -134,9 +134,9 @@ object ScaleSmoke {
         graft.sinks.SnapshotStore.read(spark, snapRoot,
           Some(Seq("3"))).count()
       },
-      // Stratified token-budget sample: one window shuffle keyed by
-      // stratum; budget scales with amplification so the kept fraction
-      // stays comparable.
+      // Stratified token-budget sample (8 strata, the multi-strata
+      // default path of the hierarchical cumsum); budget scales with
+      // amplification so the kept fraction stays comparable.
       time("token_budget_sample") {
         val strat = docs.select(col("doc_id"),
           pmod(col("doc_id"), lit(8)).as("stratum"),
@@ -207,6 +207,24 @@ object ScaleSmoke {
       time("asof_auto_hotkey") {
         graft.operators.RangeJoin.asofJoinAuto(asofFacts, asofDims,
           "k", "ts", "ts", Seq("lvl")).filter(col("lvl").isNotNull).count()
+      },
+      // Benchmark decontamination at corpus scale: a 250-doc eval set
+      // against the full amplified corpus — the bench side broadcasts
+      // pre-aggregated, so cost should track the corpus shingle pass.
+      time("decontaminate") {
+        Dedup.benchmarkOverlap(docs, col("text"), col("doc_id"),
+          docs0.filter(col("doc_id") < 250), col("text"), col("doc_id"),
+          shingleWidth = 8).filter(col("n_overlap") > 0).count()
+      },
+      // Corpus-wide line dedup: 5-line composite docs over the whole
+      // amplified corpus; the within-replica dup clusters provide the
+      // repeated "boilerplate" lines.
+      time("line_dedup") {
+        val comp = docs
+          .groupBy(pmod(col("doc_id"), lit(20000L)).as("gid"))
+          .agg(concat_ws("\n", collect_list(col("text"))).as("text"))
+        Dedup.lineDedup(comp, col("text"), col("gid"), maxOccurrences = 4)
+          .filter(length(col("text")) > 0).count()
       },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
