@@ -2911,7 +2911,69 @@ object Queries {
       SELECT doc_id, lang, source FROM documents
       WHERE list_contains(string_split(trim(regexp_replace(regexp_replace(
         lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // Context-window chunking (Sampling.chunkDocuments): 12-token
+    // windows sliding by 10 (overlap 2) — the retrieval/embedding
+    // preprocessing cut for long documents. The oracle replays the
+    // arithmetic: chunk count from ceil((n − overlap)/step), token
+    // slices rejoined with single spaces, short docs whole, no
+    // degenerate tail chunk.
+    ("q111_chunk_documents", (s: SparkSession, d: String) => {
+      graft.operators.Sampling.chunkDocuments(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          col("text"), col("doc_id"), maxTokens = 12, overlap = 2)
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          col("chunk_text"), col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents WHERE doc_id < 100),
+      n AS (SELECT doc_id, ws,
+             greatest(1, CAST(ceil(CAST(len(ws) - 2 AS DOUBLE) / 10) AS BIGINT)) AS nc
+           FROM w),
+      ex AS (SELECT doc_id, ws,
+             unnest(generate_series(0, nc - 1)) AS chunk_id FROM n),
+      sl AS (SELECT doc_id, chunk_id,
+             ws[chunk_id * 10 + 1 : chunk_id * 10 + 12] AS chunk FROM ex)
+      SELECT doc_id, chunk_id,
+        COALESCE(array_to_string(chunk, ' '), '') AS chunk_text,
+        CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+      FROM sl ORDER BY doc_id, chunk_id""")),
+
+    // Pack assembly (Sampling.assemblePacks over q95's packing): one
+    // row per (language, pack) with the pack's documents concatenated
+    // in offset order — what actually ships to the trainer. The
+    // oracle chains q95's window replay with an ordered string_agg.
+    ("q112_assemble_packs", (s: SparkSession, d: String) => {
+      import graft.operators.Sampling
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("text"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val packed = Sampling.packSequences(docs, col("n_tokens"),
+        col("doc_id"), col("lang"), seqLen = 512L)
+      Sampling.assemblePacks(packed, col("text"), col("lang"), sep = "\n")
+        .select(col("stratum"), col("pack_id"),
+          length(col("seq_text")).as("n_chars"), col("n_docs"))
+        .orderBy(col("stratum"), col("pack_id"))
+    }, Some("""
+      WITH tok AS (SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+      packed AS (SELECT doc_id, lang, text, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM tok),
+      asg AS (SELECT lang AS stratum,
+             CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+             (cum - n_tokens) % 512 AS pack_offset, text
+           FROM packed)
+      SELECT stratum, pack_id,
+        length(string_agg(text, chr(10) ORDER BY pack_offset)) AS n_chars,
+        count(*) AS n_docs
+      FROM asg GROUP BY stratum, pack_id
+      ORDER BY stratum, pack_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -187,6 +187,54 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Context-window chunking: split each document's whitespace tokens
+    * into fixed `maxTokens` windows that slide by `maxTokens −
+    * overlap` — the retrieval/embedding preprocessing step for
+    * documents longer than a model's context. Emits one row per chunk:
+    * the id (as `id`), `chunk_id` (0-based), `chunk_text` (tokens
+    * re-joined with single spaces — whitespace is normalized by
+    * construction), and `n_chunk_tokens`. Every document yields at
+    * least one chunk (empty/short docs come through whole, never
+    * dropped), and no degenerate tail chunk is emitted when the last
+    * window already covers the remaining tokens.
+    *
+    * Scale: pure map-side — tokenize, compute the chunk count from
+    * arithmetic, explode, slice. No shuffle, stays in whole-stage
+    * codegen. */
+  def chunkDocuments(df: DataFrame, text: Column, id: Column,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val step = maxTokens - overlap
+    df.select(id.as("id"), graft.functions.TextAnalysis.tokens(text).as("__ws"))
+      .withColumn("__nc", greatest(lit(1L),
+        ceil((size(col("__ws")) - lit(overlap)).cast("double") / step)))
+      .select(col("id"), col("__ws"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .withColumn("__chunk", slice(col("__ws"),
+        (col("chunk_id") * step + 1).cast("int"), lit(maxTokens)))
+      .select(col("id"), col("chunk_id"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Materialize packed training sequences: one row per (stratum,
+    * pack_id) with the pack's documents concatenated by `sep` in
+    * offset order, from [[packSequences]] output. A straddling
+    * document belongs to its START offset's pack (the with-splitting
+    * convention — the trainer's tokenizer performs the actual cut), so
+    * a pack's token count can exceed `seqLen` by up to one document's
+    * tail. One hash-aggregate shuffle keyed by (stratum, pack_id) —
+    * pack ids are dense within a stratum, so the keys are uniform. */
+  def assemblePacks(packed: DataFrame, text: Column, strata: Column,
+                    sep: String = " "): DataFrame =
+    packed.groupBy(strata.as("stratum"), col("pack_id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pack_offset"), text.as("__t")))),
+          x => x.getField("__t"))).as("seq_text"),
+        count(lit(1)).as("n_docs"))
+
   /** [[weightedMix]] with TOKEN-share quotas — the form corpus recipes
     * are actually written in ("70% of the TOKENS from web"): each
     * stratum keeps documents in deterministic md5 order while its

@@ -59,6 +59,46 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r._1, r._3, r._4)).toSet)
   }
 
+  test("chunkDocuments slides fixed token windows with overlap, no degenerate tail") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"),                             // shorter than one window
+      (3L, "")                                 // empty
+    ).toDF("id", "text")
+    val out = Sampling.chunkDocuments(docs, $"text", $"id",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // step 3 → starts 0,3,6 then stop (start 9 would be a tail already
+    // covered): [t1..t4][t4..t7][t7..t10].
+    assert(d1.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.forall(_._4 == 4L))
+    // Consecutive chunks share `overlap` tokens.
+    assert(d1(0)._3.split(" ").last == d1(1)._3.split(" ").head)
+    // Short and empty docs come through whole as chunk 0.
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "", 0L)))
+    intercept[IllegalArgumentException] {
+      Sampling.chunkDocuments(docs, $"text", $"id", maxTokens = 4, overlap = 4)
+    }
+  }
+
+  test("assemblePacks concatenates each pack's documents in offset order") {
+    val docs = (1L to 12L).map(i => (i, "en", s"doc$i word word", 3L))
+      .toDF("id", "lang", "text", "tokens")
+    val packed = Sampling.packSequences(docs, $"tokens", $"id", $"lang", 9L)
+    val out = Sampling.assemblePacks(packed, $"text", $"lang", sep = "|")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // 12 docs × 3 tokens into 9-token packs → 4 packs of 3 docs.
+    assert(out.length == 4 && out.forall(_._4 == 3L))
+    // Offset order within the pack follows the deterministic md5
+    // order: rebuild the expectation from the packing itself.
+    val byPack = packed.orderBy($"pack_id", $"pack_offset")
+      .select($"pack_id", $"text").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).mkString("|")).toMap
+    assert(out.forall { case (_, pid, txt, _) => byPack(pid) == txt })
+  }
+
   test("weightedTokenMix fills per-stratum TOKEN budgets from weights, drops unlisted strata") {
     // en quota: floor(160 × 0.75) = 120 tokens → 12 docs; de: 40 → 4.
     val out = Sampling.weightedTokenMix(corpus, $"tokens", $"id", $"lang",
