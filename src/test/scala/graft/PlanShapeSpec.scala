@@ -128,6 +128,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), "language merge grew a join")
   }
 
+  test("document chunking is shuffle-free (pure map-side)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, ("tok " * 40).trim)).toDF("id", "text")
+    val p = graft.operators.Sampling.chunkDocuments(docs, $"text", $"id",
+        maxTokens = 8, overlap = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking grew a shuffle:\n${p.take(600)}")
+  }
+
   test("decontamination broadcasts the benchmark; line dedup never goes quadratic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
