@@ -2755,7 +2755,8 @@ object Queries {
       lt AS (SELECT cid, string_split(text, chr(10)) AS ls FROM comp),
       ex AS (SELECT cid, unnest(generate_series(1, len(ls))) AS pos,
                unnest(ls) AS line FROM lt),
-      freq AS (SELECT md5(line) AS h FROM ex GROUP BY 1 HAVING count(*) > 2),
+      freq AS (SELECT md5(line) AS h FROM ex GROUP BY 1
+               HAVING count(DISTINCT cid) > 2),
       kept AS (SELECT e.cid, e.pos, e.line FROM ex e
                ANTI JOIN freq f ON md5(e.line) = f.h),
       re AS (SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS text
@@ -2801,7 +2802,8 @@ object Queries {
       lt AS (SELECT cid, string_split(text, chr(10)) AS ls FROM comp),
       lx AS (SELECT cid, unnest(generate_series(1, len(ls))) AS pos,
                unnest(ls) AS line FROM lt),
-      lfreq AS (SELECT md5(line) AS h FROM lx GROUP BY 1 HAVING count(*) > 2),
+      lfreq AS (SELECT md5(line) AS h FROM lx GROUP BY 1
+                HAVING count(DISTINCT cid) > 2),
       lkept AS (SELECT l.cid, l.pos, l.line FROM lx l
                 ANTI JOIN lfreq f ON md5(l.line) = f.h),
       scrub AS (SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS text

@@ -408,8 +408,13 @@ object Dedup {
     val lines = docs.select(id.as("id"),
         posexplode(split(text, java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("__h", md5(col("line").cast("binary")))
+    // Cross-DOCUMENT frequency (the C4/RefinedWeb convention): a line
+    // repeated many times inside one document is that document's own
+    // structure, not corpus boilerplate — count distinct ids, not
+    // occurrences. Spark plans this as a two-key partial-aggregate
+    // (dedupe on (__h, id), then count), still skew-free on md5.
     val frequent = lines.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(countDistinct(col("id")).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select(col("__h"))
     val rebuilt = lines.join(frequent, Seq("__h"), "left_anti")

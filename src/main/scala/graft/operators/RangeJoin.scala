@@ -218,10 +218,17 @@ object RangeJoin {
     else {
       val r = facts.agg(unix_micros(min(col(factTs))),
         unix_micros(max(col(factTs)))).collect()(0)
-      val span = math.max(1L, r.getLong(1) - r.getLong(0))
-      val nBuckets = math.max(2L, maxPerKey / targetRowsPerBucket)
-      asofJoinBucketed(facts, dims, key, factTs, dimTs, payloads,
-        bucketWidthMicros = math.max(1L, span / nBuckets))
+      // min/max are null when every fact timestamp is null (a hot key
+      // can exist with no usable span) — no grid to bucket on, and the
+      // plain variant already handles null-ts rows, so degrade to it.
+      if (r.isNullAt(0) || r.isNullAt(1))
+        asofJoin(facts, dims, key, factTs, dimTs, payloads)
+      else {
+        val span = math.max(1L, r.getLong(1) - r.getLong(0))
+        val nBuckets = math.max(2L, maxPerKey / targetRowsPerBucket)
+        asofJoinBucketed(facts, dims, key, factTs, dimTs, payloads,
+          bucketWidthMicros = math.max(1L, span / nBuckets))
+      }
     }
   }
 

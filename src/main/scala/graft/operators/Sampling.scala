@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * key, so (shard asc, orderKey asc, id asc) IS the global
   * (orderKey asc, id asc) order, and the hierarchical running totals
   * equal the single-window ones exactly (spec-pinned equivalence).
+  *
+  * Cardinality assumption: the broadcast offset table holds up to
+  * |strata| × buckets rows. The default `buckets = 64` assumes the
+  * handful-of-strata corpus-recipe regime; for high-cardinality strata
+  * (per-user, per-domain — millions of groups, each small) pass
+  * `buckets = 1`, which skips the broadcast entirely and lets each
+  * small stratum flow through one window task.
   */
 object Sampling {
 
@@ -57,13 +64,28 @@ object Sampling {
   /** Per-stratum running sum of `value` in the global deterministic
     * (orderKey, id) order, computed hierarchically as described in the
     * object doc. Appends `out` (and nothing else); row order and all
-    * input columns pass through. `buckets = 1` degenerates to the
-    * single-window shape plus a no-op broadcast join. */
+    * input columns pass through. `buckets = 1` short-circuits to the
+    * single-window shape with no broadcast at all — pass it when strata
+    * cardinality is high (see inline note). */
   private def withRunning(df: DataFrame, value: Column, id: Column,
                           strata: Column, buckets: Int, out: String): DataFrame = {
     require(buckets >= 1 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
     checkReserved(df)
+    if (buckets == 1) {
+      // One shard means every shard offset is zero, so the totals
+      // aggregate and broadcast join would be pure overhead — use the
+      // single-window shape directly. This is also the escape hatch for
+      // HIGH-CARDINALITY strata (per-user, per-domain): the hierarchical
+      // shape's broadcast side holds |strata|×buckets rows, which stops
+      // being "metadata-sized" when strata number in the millions;
+      // buckets = 1 never materializes it. The trade is the documented
+      // one: each stratum's cumsum serializes through one task, which is
+      // exactly right when strata are many and individually small.
+      val w = Window.partitionBy(strata).orderBy(orderKey(id), id.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(out, sum(value).over(w))
+    }
     val base = df.withColumn("__ok", orderKey(id))
       .withColumn("__bk", shardOf(col("__ok"), buckets))
     val wLoc = Window.partitionBy(strata, col("__bk"))
@@ -206,7 +228,12 @@ object Sampling {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
     val step = maxTokens - overlap
-    df.select(id.as("id"), graft.functions.TextAnalysis.tokens(text).as("__ws"))
+    // Null text tokenizes to null; coalesce to the empty array so the
+    // "empty/short docs come through whole" contract holds (one chunk,
+    // chunk_text "" and n_chunk_tokens 0 — not NULL under ANSI size()).
+    df.select(id.as("id"),
+        coalesce(graft.functions.TextAnalysis.tokens(text),
+          array().cast("array<string>")).as("__ws"))
       .withColumn("__nc", greatest(lit(1L),
         ceil((size(col("__ws")) - lit(overlap)).cast("double") / step)))
       .select(col("id"), col("__ws"),

@@ -34,6 +34,16 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * and SQL surfaces, and runtime filters (DPP and friends) see an
   * ordinary file-source relation.
   *
+  * Snapshot pinning: `createRelation` resolves the manifest ONCE, at
+  * view-creation (or `.load`) time. A view created WITHOUT a `version`
+  * option therefore pins the snapshot that was current at creation —
+  * commits made afterwards are invisible through that view until it is
+  * re-created. This is NOT equivalent to calling
+  * [[SnapshotStore.table]] per query (which always re-reads the latest
+  * manifest); it is the read-your-creation-time semantics a V1
+  * relation gives. Re-create the view (or pass an explicit `version`)
+  * to observe newer commits — spec-pinned in DataSkippingSpec.
+  *
   * Reference read-surface analog: collection scans in
   * mongodb_loader.py:247-299 (the reference's only query surface is
   * driver code; the format registration is what makes ours reachable

@@ -132,6 +132,29 @@ class AsofJoinSpec extends SparkSpec {
     assert(autoHot.collect().map(_.toSeq).toSet == want)
   }
 
+  test("asofJoinAuto degrades to plain when a hot key has only null timestamps") {
+    import java.sql.Timestamp
+    // 1500 rows on one key, ALL with null ts: over the hot-key threshold
+    // but with no time span to bucket on — must fall back to the plain
+    // variant (which carries null-ts rows through unmatched), not NPE on
+    // the min/max probe.
+    val hot = (1L to 2000L).map { i =>
+      val t: Timestamp = if (i <= 1500) null
+        else Timestamp.valueOf("2025-04-15 10:00:00")
+      (if (i <= 1500) 0L else i % 50, t, i)
+    }.toDF("k", "ts", "fact_id")
+    // Every fact ts null (the probe's min/max both null).
+    val allNull = hot.withColumn("ts",
+      org.apache.spark.sql.functions.lit(null).cast("timestamp"))
+    val dims = Seq((0L, ts("2025-04-15 09:00:00"), 1.0)).toDF("k", "ts", "lvl")
+    val out = RangeJoin.asofJoinAuto(allNull, dims, "k", "ts", "ts",
+      Seq("lvl"), hotKeyThreshold = 100)
+    val want = RangeJoin.asofJoin(allNull, dims, "k", "ts", "ts", Seq("lvl"))
+      .collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == want)
+    assert(out.count() == 2000)
+  }
+
   test("inputs carrying the join's internal column names are rejected, not corrupted") {
     val facts = Seq((1L, ts("2025-04-15 10:00:00"), "f")).toDF("k", "ts", "fact_id")
     val dims = Seq((1L, ts("2025-04-15 09:00:00"), 1.0)).toDF("k", "ts", "lvl")

@@ -406,6 +406,25 @@ class DataSkippingSpec extends SparkSpec {
       spark.read.format("graft-snapshot").option("version", "nope").load(root)
     }
     assert(e.getMessage.contains("version"))
+
+    // An unversioned view pins the snapshot current at CREATION time:
+    // the relation (and its file index) resolve once, so a later commit
+    // is invisible until the view is re-created. Documented contract on
+    // SnapshotSource — this test is the pin.
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_pin USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    val before = spark.sql("SELECT count(*) FROM snap_pin").as[Long].head()
+    SnapshotStore.mergeCommit(spark,
+      spark.range(2000, 2005).select(col("id"),
+        format_string("k%04d", col("id")).as("k"),
+        (col("id") * 1.5).as("v"), lit("z").as("p")),
+      root, "id", "v", "p")
+    assert(spark.sql("SELECT count(*) FROM snap_pin").as[Long].head() == before,
+      "unversioned view must stay pinned to its creation-time snapshot")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_pin USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM snap_pin").as[Long].head() == before + 5,
+      "re-created view must observe the new commit")
   }
 
   test("translate covers the pushable subset and stays conservative elsewhere") {

@@ -107,6 +107,17 @@ class DedupSpec extends SparkSpec {
         maxOccurrences = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twice(1L) == "COOKIE BANNER\nreal content one\nNAV MENU")
+    // Cross-DOCUMENT convention: a line repeated 3x inside ONE document
+    // is that document's structure, not corpus boilerplate — it counts
+    // once toward the frequency threshold and survives.
+    val inDoc = Seq(
+      (1L, "la\nla\nla\nbody"),
+      (2L, "other text")
+    ).toDF("id", "text")
+    val kept = Dedup.lineDedup(inDoc, $"text", $"id", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "la\nla\nla\nbody",
+      "within-document repeats must not trip the corpus-wide threshold")
   }
 
   test("dedupCorpus keep-first: drops every doc that collides with a lower id") {

@@ -81,6 +81,15 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.chunkDocuments(docs, $"text", $"id", maxTokens = 4, overlap = 4)
     }
+    // NULL text follows the same contract as empty: one whole chunk,
+    // chunk_text "" and n_chunk_tokens 0 — not NULL (ANSI size(null)).
+    val withNull = Seq((9L, null: String)).toDF("id", "text")
+    val nulled = Sampling.chunkDocuments(withNull, $"text", $"id",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(nulled.toSeq == Seq((9L, 0L, "", 0L)),
+      s"null text must chunk like empty text, got ${nulled.toSeq}")
   }
 
   test("assemblePacks concatenates each pack's documents in offset order") {
