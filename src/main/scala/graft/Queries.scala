@@ -2975,7 +2975,132 @@ object Queries {
         length(string_agg(text, chr(10) ORDER BY pack_offset)) AS n_chars,
         count(*) AS n_docs
       FROM asg GROUP BY stratum, pack_id
-      ORDER BY stratum, pack_id"""))
+      ORDER BY stratum, pack_id""")),
+
+    // Streaming latest-per-sku (StockStream.latestPerSku) under a real
+    // MemoryStream run with a LATE batch — the L16 watermark-expiry
+    // semantics under oracle, not just spec. Timeline (1-hour delay,
+    // synthetic hours so the watermark math is exact on both sides):
+    // batch 0 sends each user's first ≤5 updates at base+rn h; batch 1
+    // advances event time to base+108h for users 0-14 only; batch 2 is
+    // late traffic — users 15-22 get an update at base+50h (beyond the
+    // base+107h watermark → DROPPED; their batch-0 state must survive,
+    // and qty 7777 would visibly win if the drop failed) while users
+    // 23-29 get one at base+107h30m (inside the allowed lateness →
+    // KEPT, wins with qty 9999). The memory sink accumulates every
+    // Update-mode state emission; the newest per sku is the final
+    // state, which the oracle replays from the surviving timeline.
+    ("q113_stream_latest_sku", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import java.sql.Timestamp
+      val baseMs = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def at(h: Double) = new Timestamp(baseMs + (h * 3600 * 1000).toLong)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val upd = t(s, d, "events").filter(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+        .select(col("user_id"), col("rn"),
+          floor(col("value") * 100).cast("int").as("qty"))
+        .as[(Long, Int, Int)].collect()
+      val b0 = upd.filter(_._2 <= 5)
+        .map { case (u, rn, q) => (s"sku_$u", q, at(rn.toDouble)) }.toSeq
+      val b1 = upd.filter(r => r._2 >= 6 && r._1 < 15)
+        .map { case (u, rn, q) => (s"sku_$u", q, at(100.0 + rn)) }.toSeq
+      val lateDropped = upd.map(_._1).distinct.filter(u => u >= 15 && u <= 22)
+        .map(u => (s"sku_$u", 7777, at(50.0))).toSeq
+      val lateKept = upd.map(_._1).distinct.filter(u => u >= 23 && u <= 29)
+        .map(u => (s"sku_$u", 9999, at(107.5))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Int, Timestamp)]
+      val qn = "q113_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StockStream.latestPerSku(
+          input.toDF().toDF("sku", "qty", "modified_at"), watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName(qn).outputMode("update").start()
+      try {
+        input.addData(b0); q.processAllAvailable()
+        input.addData(b1); q.processAllAvailable()
+        input.addData(lateDropped ++ lateKept); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).groupBy(col("sku"))
+        .agg(max_by(struct(col("qty"), col("modified_at")),
+          struct(col("modified_at"), col("qty"))).as("__s"))
+        .select(col("sku"), col("__s.qty").as("qty"),
+          unix_micros(col("__s.modified_at")).as("us"))
+        .orderBy(col("sku"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events WHERE user_id < 30),
+      u AS (SELECT user_id, rn, CAST(floor(value * 100) AS INT) AS qty
+            FROM e WHERE rn <= 8),
+      tl AS (
+        SELECT user_id, qty,
+          epoch_us(TIMESTAMP '2026-01-01 00:00:00' + to_hours(rn)) AS us
+        FROM u WHERE rn <= 5
+        UNION ALL
+        SELECT user_id, qty,
+          epoch_us(TIMESTAMP '2026-01-01 00:00:00' + to_hours(100 + rn))
+        FROM u WHERE rn BETWEEN 6 AND 8 AND user_id < 15
+        UNION ALL
+        SELECT DISTINCT user_id, 9999,
+          epoch_us(TIMESTAMP '2026-01-01 00:00:00'
+            + INTERVAL '107 hours' + INTERVAL '30 minutes')
+        FROM u WHERE user_id BETWEEN 23 AND 29)
+      SELECT 'sku_' || user_id AS sku, qty, us FROM tl
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY us DESC, qty DESC) = 1
+      ORDER BY sku""")),
+
+    // Streaming exact dedup (EventStream.dedupStream) under oracle —
+    // the L22 dropDuplicatesWithinWatermark semantics in BOTH
+    // directions: duplicates inside the horizon vanish, and state
+    // EVICTION lets the same fingerprint pass again afterwards. The
+    // stream carries pre-normalized text so duplicate rows are fully
+    // identical (whichever survives, the output is byte-equal).
+    // Timeline (1-hour delay): batch 0 = all docs at base (dups
+    // collapse to one row per fingerprint); batch 1 re-sends everything
+    // at base+30m (all dropped — watermark still behind, state alive);
+    // batch 2 = one sentinel at base+5h (watermark → base+4h, past
+    // every batch-0 expiry at base+1h → state evicted); batch 3
+    // re-sends at base+6h and everything passes AGAIN.
+    ("q114_stream_dedup_docs", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import java.sql.Timestamp
+      val baseMs = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def at(h: Double) = new Timestamp(baseMs + (h * 3600 * 1000).toLong)
+      val texts = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(TextAnalysis.normalized(col("text")).as("t"))
+        .as[String].collect().toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Timestamp, String)]
+      val qn = "q114_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStream.dedupStream(
+          input.toDF().toDF("ts", "text"), delay = "1 hour")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        input.addData(texts.map(t => (at(0.0), t))); q.processAllAvailable()
+        input.addData(texts.map(t => (at(0.5), t))); q.processAllAvailable()
+        input.addData(Seq((at(5.0), "watermark advance sentinel")))
+        q.processAllAvailable()
+        input.addData(texts.map(t => (at(6.0), t))); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).select(col("text"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("text"), col("us"))
+    }, Some("""
+      WITH n AS (SELECT DISTINCT trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')) AS text
+           FROM documents WHERE doc_id < 100),
+      tl AS (
+        SELECT text, epoch_us(TIMESTAMP '2026-01-01 00:00:00') AS us FROM n
+        UNION ALL
+        SELECT text,
+          epoch_us(TIMESTAMP '2026-01-01 00:00:00' + INTERVAL '6 hours') FROM n
+        UNION ALL
+        SELECT 'watermark advance sentinel',
+          epoch_us(TIMESTAMP '2026-01-01 00:00:00' + INTERVAL '5 hours'))
+      SELECT text, us FROM tl ORDER BY text, us"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
