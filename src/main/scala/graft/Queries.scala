@@ -3100,7 +3100,67 @@ object Queries {
         UNION ALL
         SELECT 'watermark advance sentinel',
           epoch_us(TIMESTAMP '2026-01-01 00:00:00' + INTERVAL '5 hours'))
-      SELECT text, us FROM tl ORDER BY text, us"""))
+      SELECT text, us FROM tl ORDER BY text, us""")),
+
+    // The real java.net.http transport under oracle (S4/E4): a
+    // loopback com.sun.net.httpserver fixture serves the documents
+    // table as four Bearer-authed JSON pages; the graft-paged DSv2
+    // source fetches each page in its own executor-side InputPartition
+    // and the bodies parse declaratively (from_json + explode). The
+    // scan is forced while the server is up, then returned localized
+    // (the server is a fixture, not part of the measured plan). The
+    // oracle replays the same pagination as a row_number bucketing.
+    ("q115_paged_http", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val token = "q115-token"
+      val docs = t(s, d, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+        .toJSON.collect().toSeq
+      val pages = docs.grouped(10).zipWithIndex
+        .map { case (g, i) => (i + 1) -> s"[${g.mkString(",")}]" }.toMap
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/pages/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val ok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer $token")
+        val (code, body) =
+          if (!ok) (401, """{"error":"unauthorized"}""")
+          else pages.get(ex.getRequestURI.getPath.stripPrefix("/pages/").toInt)
+            .map((200, _)).getOrElse((404, """{"error":"no such page"}"""))
+        val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, bytes.length)
+        val os = ex.getResponseBody; os.write(bytes); ex.close()
+      })
+      // Non-daemon pool: must be shut down explicitly or it pins the
+      // JVM open after main exits (HttpServer.stop does NOT stop a
+      // user-provided executor).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      server.setExecutor(pool)
+      server.start()
+      val fetched = try {
+        val port = server.getAddress.getPort
+        s.read.format("graft-paged")
+          .option("urlTemplate", s"http://127.0.0.1:$port/pages/{page}")
+          .option("pages", pages.size.toString)
+          .option("transport", "http")
+          .option("bearerToken", token)
+          .load()
+          .select(col("page"), explode(from_json(col("body"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "array<struct<doc_id:long,lang:string,text:string>>"))).as("r"))
+          .select(col("page"), col("r.doc_id").as("doc_id"),
+            col("r.lang").as("lang"), length(col("r.text")).as("n_chars"))
+          .collect().toSeq
+      } finally { server.stop(0); pool.shutdown() }
+      fetched.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toDF("page", "doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 10 + 1 AS INT)
+          AS page,
+        doc_id, lang, length(text) AS n_chars
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
