@@ -3160,7 +3160,51 @@ object Queries {
       SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 10 + 1 AS INT)
           AS page,
         doc_id, lang, length(text) AS n_chars
-      FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id < 40 ORDER BY doc_id""")),
+
+    // REAL image decode (Multimodal.ImageCodec over javax.imageio,
+    // L14): each document row becomes a deterministic single-color
+    // image — dimensions from doc_id arithmetic, format cycling
+    // jpeg/png/gif, every 10th-with-7 row corrupted to raw text bytes
+    // — encoded executor-side with the real ImageIO writers, then
+    // decoded back by the header-only reader. The oracle replays the
+    // dimension arithmetic; corrupt rows must come back null-decoded,
+    // not as task failures. The encode→decode round-trip is what makes
+    // the decode REAL: the reader parses actual PNG/JFIF/GIF headers.
+    ("q116_image_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else {
+              val w = (8 + id % 32).toInt
+              val h = (8 + (id * 7) % 32).toInt
+              val fmt = (id % 3).toInt match {
+                case 0 => "jpg"; case 1 => "png"; case _ => "gif"
+              }
+              Multimodal.ImageCodec.encode(w, h,
+                ((id * 2654435761L) & 0xFFFFFFL).toInt, fmt)
+            }
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeImageMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             WHEN doc_id % 3 = 0 THEN 'jpeg'
+             WHEN doc_id % 3 = 1 THEN 'png'
+             ELSE 'gif' END AS format,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(8 + doc_id % 32 AS INT) END AS width,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(8 + (doc_id * 7) % 32 AS INT) END AS height
+      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * objects until a kernel touches them).
   *
   * The Spark-side plumbing here is real — schema, partition sizing,
-  * batched per-partition iteration, deterministic outputs — while the
-  * actual codec calls are STUBBED behind [[StubCodec]] (image/audio
-  * libraries are not available in this environment). Swapping in a real
-  * decoder changes one function, not the pipeline shape.
+  * batched per-partition iteration, deterministic outputs. IMAGE
+  * dimension/format decode is also real ([[ImageCodec]], JDK
+  * `javax.imageio` — header-only reads). What remains stubbed behind
+  * [[StubCodec]] is the model forward pass for feature extraction and
+  * the audio/video codecs (no AV libraries in this environment);
+  * swapping in a real decoder changes one function, not the pipeline
+  * shape.
   */
 object Multimodal {
 
@@ -52,7 +55,60 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over JDK `javax.imageio` — no added dependency.
+    * Dimension decode is HEADER-ONLY: the matching `ImageReader`
+    * parses width/height from the container header without rasterizing
+    * pixels, so a 50 MB JPEG costs a stream open + a few KB of reads,
+    * not a full decode — the property that makes a metadata pass over
+    * 100 TB of media affordable. Bytes no installed reader recognizes
+    * (or truncated headers) return None rather than throwing: corrupt
+    * media is data, not an exception, in a corpus-scale pipeline. */
+  object ImageCodec {
+    /** (format, width, height) from the header; None if undecodable.
+      * Formats are lowercase ImageIO names ("png", "jpeg", "gif", …). */
+    def decodeDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic single-color test image, encoded with the real
+      * ImageIO writer — the fixture generator for decode round-trips
+      * (`format`: "png", "jpeg", "gif", "bmp"). */
+    def encode(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
+      require(width > 0 && height > 0, s"need positive dims, got ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
+      out.toByteArray
+    }
+  }
+
   case class DecodedMeta(media_id: Long, width: Int, height: Int, n_bytes: Long)
+  case class ImageMeta(media_id: Long, format: Option[String],
+                       width: Option[Int], height: Option[Int], n_bytes: Long)
   case class MediaFeatures(media_id: Long, embedding: Array[Float])
 
   /** Per-partition batched decode (the mapInPandas analog in Scala:
@@ -67,6 +123,26 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         val (w, h) = StubCodec.decodeDims(bytes)
         DecodedMeta(id, w, h, bytes.length.toLong)
+      })
+  }
+
+  /** Per-partition batched REAL image decode: header-only
+    * format/dimension extraction via [[ImageCodec]]; undecodable
+    * content yields null format/dims (never a task failure). Input
+    * needs (media_id BIGINT, content BINARY). Pair with
+    * [[repartitionForDecode]] upstream so each task holds a bounded
+    * byte volume. */
+  def decodeImageMeta(df: DataFrame): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        ImageCodec.decodeDims(bytes) match {
+          case Some((fmt, w, h)) => ImageMeta(id, Some(fmt), Some(w), Some(h), n)
+          case None => ImageMeta(id, None, None, None, n)
+        }
       })
   }
 

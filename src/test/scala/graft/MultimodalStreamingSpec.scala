@@ -41,6 +41,42 @@ class MultimodalSpec extends SparkSpec {
       .getSeq[Long](0)
     assert(r == Seq(0L, 3000L, 6000L, 9000L))
   }
+
+  test("ImageCodec: real encode→decode round-trip across formats, header-only") {
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val bytes = Multimodal.ImageCodec.encode(37, 21, 0x336699, fmt)
+      val Some((name, w, h)) = Multimodal.ImageCodec.decodeDims(bytes)
+      assert(w == 37 && h == 21, s"$fmt decoded ${w}x$h")
+      val expected = if (fmt == "jpg") "jpeg" else fmt
+      assert(name == expected, s"wrote $fmt, reader says $name")
+    }
+  }
+
+  test("ImageCodec: corrupt, truncated, and empty bytes decode to None, never throw") {
+    assert(Multimodal.ImageCodec.decodeDims("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(null).isEmpty)
+    // A real PNG signature with the header chopped off mid-IHDR: the
+    // reader matches by magic but cannot produce dimensions.
+    val png = Multimodal.ImageCodec.encode(16, 16, 0xFF0000, "png")
+    assert(Multimodal.ImageCodec.decodeDims(png.take(12)).isEmpty)
+  }
+
+  test("decodeImageMeta: distributed real decode with nulls for undecodable rows") {
+    val rows = Seq(
+      (1L, Multimodal.ImageCodec.encode(64, 48, 0x112233, "png")),
+      (2L, Multimodal.ImageCodec.encode(8, 300, 0x445566, "jpg")),
+      (3L, "definitely text".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeImageMeta(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).format.contains("png") &&
+      got(1L).width.contains(64) && got(1L).height.contains(48))
+    assert(got(2L).format.contains("jpeg") &&
+      got(2L).width.contains(8) && got(2L).height.contains(300))
+    assert(got(3L).format.isEmpty && got(3L).width.isEmpty &&
+      got(3L).height.isEmpty && got(3L).n_bytes > 0)
+  }
 }
 
 class StockStreamSinkSpec extends SparkSpec {
