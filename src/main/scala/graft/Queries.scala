@@ -3204,7 +3204,39 @@ object Queries {
              ELSE CAST(8 + doc_id % 32 AS INT) END AS width,
         CASE WHEN doc_id % 10 = 7 THEN NULL
              ELSE CAST(8 + (doc_id * 7) % 32 AS INT) END AS height
-      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
+      FROM documents WHERE doc_id < 60 ORDER BY media_id""")),
+
+    // mongoimport-compatible export (MongoExport.mongoJson — the K8
+    // recursive datetime serialization done declaratively): nested
+    // struct + array document per order, timestamps ISO-8601 at depth,
+    // _id leading. The oracle REBUILDS each JSON line by string
+    // concatenation — byte-for-byte, including the nested placed_at —
+    // so any drift in field order, quoting, decimal scale, or the
+    // recursive temporal formatting hash-mismatches.
+    ("q117_mongo_export", (s: SparkSession, d: String) => {
+      val doc = t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(
+          concat(lit("orders_"), col("o_orderkey")).as("pid"),
+          col("o_custkey").as("customer"),
+          col("o_totalprice").cast("decimal(18,2)").as("total"),
+          struct(col("o_orderstatus").as("status"),
+            col("o_orderdate").cast("timestamp").as("placed_at")).as("meta"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("tags"))
+      graft.sinks.MongoExport.mongoJson(doc, "pid").toDF("json")
+        .withColumn("_id", get_json_object(col("json"), "$._id"))
+        .select(col("_id"), col("json"))
+        .orderBy(col("_id"))
+    }, Some("""
+      SELECT 'orders_' || o_orderkey AS _id,
+        '{"_id":"orders_' || o_orderkey ||
+          '","customer":' || o_custkey ||
+          ',"total":' || CAST(o_totalprice AS DECIMAL(18,2)) ||
+          ',"meta":{"status":"' || o_orderstatus ||
+          '","placed_at":"' ||
+          strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') ||
+          '"},"tags":["' || o_orderpriority || '","' || o_orderstatus ||
+          '"]}' AS json
+      FROM orders WHERE o_orderkey < 500 ORDER BY _id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
