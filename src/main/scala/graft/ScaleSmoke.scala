@@ -125,6 +125,21 @@ object ScaleSmoke {
         Dedup.connectedComponents(pairs)
           .filter(col("id") =!= col("component")).count()
       },
+      // Adversarial CC worst case: a single 1M-node PATH component —
+      // the deepest graph per edge. Pointer jumping must close it in
+      // ~⌈log₂ 1M⌉ = 20 rounds (each two shuffles); naive propagation
+      // would take a million. The printed value encodes rounds so a
+      // regression to linear behavior is visible in the numbers, not
+      // just the wall time.
+      time("cc_chain_1m") {
+        val n = 1000000L
+        val chain = spark.range(n - 1)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        val (labels, iters) = Dedup.connectedComponentsIters(chain, maxIter = 40)
+        val wrong = labels.filter(col("component") =!= 0L).count()
+        require(wrong == 0, s"chain failed to collapse: $wrong stragglers")
+        iters.toLong * 1000000L + n // rounds in the millions digit(s)
+      },
       // Incremental snapshot merge: 1 of 16 partitions touched — cost
       // must track the batch, not the table.
       time("snapshot_merge_incremental") {

@@ -257,7 +257,14 @@ object Dedup {
     * changed-label count is a metric of the materialization action
     * itself, so a round costs exactly its two shuffles — no per-round
     * driver-side count job. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsIters(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the executed round count — exposed
+    * for the worst-case specs that pin the O(log n) claim (a path
+    * graph must converge in ~⌈log₂ n⌉ rounds, not n). */
+  private[graft] def connectedComponentsIters(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val sym = pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -298,7 +305,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    (labels, iter)
   }
 
   /** Cluster-level corpus dedup: transitive-closure the pair set with

@@ -120,6 +120,28 @@ class DedupSpec extends SparkSpec {
       "within-document repeats must not trip the corpus-wide threshold")
   }
 
+  test("connectedComponents adversarial worst case: a path graph converges in O(log n) rounds") {
+    // A 16384-node chain is the deepest possible component for its
+    // size: naive min-propagation needs n rounds to reach the far end.
+    // Pointer jumping must close it in ~log2(n) rounds — this is the
+    // empirical pin of the O(log n) claim in the scaladoc, and the
+    // difference between 14 shuffles and 16k shuffles at 100 TB.
+    val n = 1 << 14
+    val chain = spark.range(n - 1)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val (labels, iters) = Dedup.connectedComponentsIters(chain, maxIter = 40)
+    val agg = labels.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when($"component" =!= 0L, 1L).otherwise(0L)))
+      .collect()(0)
+    assert(agg.getLong(0) == n, s"all $n chain nodes must be labeled")
+    assert(agg.getLong(1) == 0L, "every node must collapse to component 0")
+    val bound = math.ceil(math.log(n) / math.log(2)).toInt + 3
+    assert(iters <= bound,
+      s"path graph took $iters rounds; pointer jumping should need <= $bound")
+  }
+
   test("dedupCorpus keep-first: drops every doc that collides with a lower id") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupCorpus(df, pairs, $"id")
