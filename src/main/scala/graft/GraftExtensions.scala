@@ -15,8 +15,14 @@ import graft.expressions.{CosineSimilarity, DotProduct}
   * with [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Snapshot-catalog analysis: converts the thin V2 catalog table
+    // (graft.<t> [VERSION AS OF n]) into the V1 skipping relation —
+    // see GraftCatalog's scaladoc for why reads resolve this way.
+    ext.injectResolutionRule(session =>
+      graft.sinks.ResolveGraftSnapshot(session))
+  }
 }
 
 object GraftExtensions {

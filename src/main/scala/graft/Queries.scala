@@ -3236,7 +3236,48 @@ object Queries {
           strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') ||
           '"},"tags":["' || o_orderpriority || '","' || o_orderstatus ||
           '"]}' AS json
-      FROM orders WHERE o_orderkey < 500 ORDER BY _id"""))
+      FROM orders WHERE o_orderkey < 500 ORDER BY _id""")),
+
+    // Standard time-travel SQL through the V2 snapshot catalog
+    // (GraftCatalog + ResolveGraftSnapshot): commit customers, merge a
+    // +1000 balance update onto every 3rd key as version 2, then read
+    // BOTH versions with plain `VERSION AS OF` — no format options, no
+    // Scala API. The oracle recomputes each version's aggregate from
+    // the base table and the update rule; GraftCatalogSpec pins that
+    // these reads still plan through the skipping file index.
+    ("q118_sql_time_travel", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q118_store")
+        .resolve("t").toString
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"),
+        col("c_mktsegment").as("part"), lit(1L).as("ver"))
+      graft.sinks.SnapshotStore.commit(s, c, root, "part")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+          .withColumn("bal", col("bal") + lit(1000).cast("decimal(18,2)"))
+          .withColumn("ver", lit(2L)),
+        root, "c_custkey", "ver", "part")
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""
+        SELECT 1 AS snap, count(*) AS n, CAST(sum(bal) AS DOUBLE) AS total
+        FROM graft_tt.`$root` VERSION AS OF 1
+        UNION ALL
+        SELECT 2 AS snap, count(*) AS n, CAST(sum(bal) AS DOUBLE) AS total
+        FROM graft_tt.`$root` VERSION AS OF 2
+        ORDER BY snap""")
+    }, Some("""
+      WITH c AS (SELECT c_custkey,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
+      SELECT 1 AS snap, count(*) AS n, CAST(sum(bal) AS DOUBLE) AS total
+      FROM c
+      UNION ALL
+      SELECT 2 AS snap, count(*) AS n,
+        CAST(sum(bal + CASE WHEN c_custkey % 3 = 0
+          THEN CAST(1000 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+          END) AS DOUBLE) AS total
+      FROM c
+      ORDER BY snap"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
