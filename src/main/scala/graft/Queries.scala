@@ -3277,7 +3277,46 @@ object Queries {
           THEN CAST(1000 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
           END) AS DOUBLE) AS total
       FROM c
-      ORDER BY snap"""))
+      ORDER BY snap""")),
+
+    // Calibrated token budgets (TextAnalysis.calibratedTokenCount →
+    // Sampling.sampleToTokenBudget): the rate is MEASURED in-query via
+    // tokenCalibrationRate on a held-out sample (every 7th doc, with
+    // whitespace-words × 1.3 playing the "real tokenizer" counts),
+    // then drives a per-language budget sample. The oracle recomputes
+    // the same rate as an exact ratio of sums and replays the proxy
+    // regex + ceil + md5 cumsum — so the full measure→scale→budget
+    // path is pinned end-to-end, not just the multiplication.
+    ("q119_calibrated_budget_sample", (s: SparkSession, d: String) => {
+      import graft.functions.TextAnalysis
+      val docs = t(s, d, "documents")
+      val sample = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val rate = TextAnalysis.tokenCalibrationRate(sample, col("text"),
+        ceil(size(split(col("text"), " ")) * lit(1.3)))
+      val withTok = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.calibratedTokenCount(col("text"), rate).as("est_tokens"))
+      graft.operators.Sampling.sampleToTokenBudget(withTok, col("est_tokens"),
+          col("doc_id"), col("lang"), budgetPerStratum = 3000L)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH proxy AS (SELECT doc_id, lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_proxy,
+             CAST(ceil(len(string_split(text, ' ')) * CAST(1.3 AS DOUBLE))
+               AS BIGINT) AS n_actual
+           FROM documents),
+      rate AS (SELECT CAST(sum(n_actual) AS DOUBLE) / sum(n_proxy) AS r
+               FROM proxy WHERE doc_id % 7 = 0),
+      est AS (SELECT doc_id, lang,
+             CAST(ceil(n_proxy * (SELECT r FROM rate)) AS BIGINT) AS est_tokens
+           FROM proxy)
+      SELECT doc_id, lang, est_tokens FROM (
+        SELECT doc_id, lang, est_tokens,
+          sum(est_tokens) OVER (PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM est)
+      WHERE running <= 3000 ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -24,6 +24,44 @@ object TextAnalysis {
   def subTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Calibrated token estimate for budget-driven sampling
+    * ([[graft.operators.Sampling]] takes any `tokens` Column — this is
+    * the recommended one when budgets must approximate a REAL
+    * tokenizer's counts): the [[subTokenCount]] proxy scaled by a
+    * measured per-corpus `rate` and rounded up.
+    *
+    * Calibration error bounds: `rate` from [[tokenCalibrationRate]]
+    * makes the estimate exactly unbiased IN AGGREGATE on the sampled
+    * distribution (Σ estimate = rate × Σ proxy ≈ Σ actual by
+    * construction), which is the quantity token BUDGETS consume — so a
+    * budget's fill error is the sampling error of the rate, shrinking
+    * as 1/√n over calibration docs, not the per-document error.
+    * PER-DOCUMENT error remains bounded by how much the corpus mixes
+    * content with different BPE densities (prose ≈1.3 tokens/word vs
+    * code/CJK substantially higher): a single English-web rate applied
+    * to a code stratum misestimates systematically. The fix is
+    * structural, not a better constant — calibrate per stratum and
+    * pass the stratum's own rate, which the per-stratum samplers
+    * compose with directly. */
+  def calibratedTokenCount(text: Column, rate: Double): Column = {
+    require(rate > 0, s"calibration rate must be positive, got $rate")
+    ceil(subTokenCount(text) * lit(rate)).cast("long")
+  }
+
+  /** Measure a calibration rate from a sample carrying REAL tokenizer
+    * counts (`actual`, e.g. from the training tokenizer run offline on
+    * a few thousand docs): Σ actual / Σ proxy. One map-side aggregate;
+    * apply per stratum for mixed corpora (see
+    * [[calibratedTokenCount]]'s error-bounds note). */
+  def tokenCalibrationRate(df: org.apache.spark.sql.DataFrame,
+                           text: Column, actual: Column): Double = {
+    val r = df.agg(sum(actual.cast("long")), sum(subTokenCount(text).cast("long")))
+      .collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) > 0L,
+      "calibration sample is empty or has zero proxy tokens")
+    r.getLong(0).toDouble / r.getLong(1).toDouble
+  }
+
   /** Normalized text: lowercase, punctuation stripped, whitespace
     * collapsed — the canonical form used for fingerprints and dedup. */
   def normalized(text: Column): Column =
