@@ -44,21 +44,27 @@ object Bench {
     var errors = ListMap.empty[String, String]
     val results = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map {
       case (name, fn) =>
-        // Min over `runs` attempts; a failure records the failing
-        // attempt's elapsed time and stops retrying (a deterministic
-        // error would just fail again and double the wasted wall time).
+        // Min over `runs` SUCCESSFUL attempts — a failing attempt's
+        // elapsed time must never become the reported min (a fast
+        // failure would understate the plan cost the 2x gate
+        // measures). A failure stops retrying (a deterministic error
+        // would just fail again); if no attempt succeeded, the failing
+        // attempt's elapsed is reported alongside the error entry.
         var best = Double.MaxValue
+        var failedElapsed = 0.0
         var run = 0
         while (run < runs && !errors.contains(name)) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
+          try {
+            fn(spark, sfDir).count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            failedElapsed = (System.nanoTime() - t0) / 1e9
           }
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
           run += 1
         }
-        name -> best
+        name -> (if (best != Double.MaxValue) best else failedElapsed)
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

@@ -3011,6 +3011,12 @@ object Queries {
         .map(u => (s"sku_$u", 7777, at(50.0))).toSeq
       val lateKept = upd.map(_._1).distinct.filter(u => u >= 23 && u <= 29)
         .map(u => (s"sku_$u", 9999, at(107.5))).toSeq
+      // The DROP assertion rests on batch 1 advancing the watermark to
+      // ~base+107h — which requires users 0-14 to have >= 6 events.
+      // Fail the fixture loudly if the dataset ever stops providing
+      // that, instead of silently keeping the 7777 rows.
+      require(b1.nonEmpty,
+        "q113 fixture precondition: users 0-14 need >= 6 events to advance the watermark")
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Int, Timestamp)]
       val qn = "q113_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -3022,11 +3028,12 @@ object Queries {
         input.addData(b1); q.processAllAvailable()
         input.addData(lateDropped ++ lateKept); q.processAllAvailable()
       } finally q.stop()
-      s.table(qn).groupBy(col("sku"))
-        .agg(max_by(struct(col("qty"), col("modified_at")),
-          struct(col("modified_at"), col("qty"))).as("__s"))
-        .select(col("sku"), col("__s.qty").as("qty"),
-          unix_micros(col("__s.modified_at")).as("us"))
+      // The emission log folds to final state via the operator's own
+      // batch analog (X6) — the same later-modified_at-wins semantics,
+      // defined once.
+      graft.streaming.StockStream.latestPerSkuBatch(s.table(qn))
+        .select(col("sku"), col("qty"),
+          unix_micros(col("modified_at")).as("us"))
         .orderBy(col("sku"))
     }, Some("""
       WITH e AS (SELECT user_id, event_id, value,

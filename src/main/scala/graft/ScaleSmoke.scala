@@ -18,6 +18,7 @@ object ScaleSmoke {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -130,7 +131,8 @@ object ScaleSmoke {
       // ~⌈log₂ 1M⌉ = 20 rounds (each two shuffles); naive propagation
       // would take a million. The printed value encodes rounds so a
       // regression to linear behavior is visible in the numbers, not
-      // just the wall time.
+      // just the wall time: value = rounds × 10^7 + nodes, so 20 rounds
+      // over 10^6 nodes prints 201000000.
       time("cc_chain_1m") {
         val n = 1000000L
         val chain = spark.range(n - 1)
@@ -138,7 +140,7 @@ object ScaleSmoke {
         val (labels, iters) = Dedup.connectedComponentsIters(chain, maxIter = 40)
         val wrong = labels.filter(col("component") =!= 0L).count()
         require(wrong == 0, s"chain failed to collapse: $wrong stragglers")
-        iters.toLong * 1000000L + n // rounds in the millions digit(s)
+        iters.toLong * 10000000L + n
       },
       // Incremental snapshot merge: 1 of 16 partitions touched — cost
       // must track the batch, not the table.

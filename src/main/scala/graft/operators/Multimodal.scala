@@ -69,7 +69,12 @@ object Multimodal {
     def decodeDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
       if (bytes == null || bytes.isEmpty) return None
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+        // the factory's default disk cache writes each image to a temp
+        // file (one create/delete per row — not a header-only pass) and
+        // turns a full or read-only tmpdir into silent None-decodes of
+        // valid images. The bytes are already in memory; cache there.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -79,7 +79,11 @@ class GraftCatalog extends TableCatalog {
       require(versions.contains(v),
         s"version $v not committed under $root (have ${versions.mkString(",")})")
     }
-    GraftSnapshotTable(spark, root, version)
+    // Resolve "latest" HERE (per loadTable = per query resolution, so
+    // freshness is unchanged) and pass the concrete version down —
+    // otherwise relationWithIndex would list the manifests directory a
+    // second time, doubling the metadata round-trips on object stores.
+    GraftSnapshotTable(spark, root, version, version.getOrElse(versions.last))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -121,9 +125,12 @@ class GraftCatalog extends TableCatalog {
   * so — unlike an unversioned `USING graft-snapshot` temp view — a
   * catalog table always reads the latest committed snapshot. */
 case class GraftSnapshotTable(spark: SparkSession, root: String,
-                              snapshotVersion: Option[Long]) extends Table {
-  /** Built once per loadTable (= once per query resolution). */
-  lazy val v1 = SnapshotStore.relationWithIndex(spark, root, snapshotVersion, None)._1
+                              snapshotVersion: Option[Long],
+                              resolvedVersion: Long) extends Table {
+  /** Built once per loadTable (= once per query resolution), against
+    * the version the catalog already resolved — no second listing. */
+  lazy val v1 = SnapshotStore.relationWithIndex(
+    spark, root, Some(resolvedVersion), None)._1
   override def name(): String =
     s"graft.`$root`" + snapshotVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = v1.schema

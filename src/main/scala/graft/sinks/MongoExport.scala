@@ -40,12 +40,22 @@ object MongoExport {
     require(df.columns.contains(idCol), s"id column '$idCol' not in ${df.columns.mkString(",")}")
     val spark = df.sparkSession
     import spark.implicits._
+    // A null key would serialize as a document with NO _id field —
+    // mongoimport would insert an unkeyed document instead of
+    // upserting. That is data corruption, not a formatting choice:
+    // fail the task at the offending row.
+    val id = when(col(idCol).isNull,
+      raise_error(lit(s"mongoJson: null $idCol cannot key an upsert document")))
+      .otherwise(col(idCol))
     val doc = struct(
-      col(idCol).as("_id") +:
+      id.as("_id") +:
         df.columns.filterNot(_ == idCol).map(col).toIndexedSeq: _*)
     df.select(to_json(doc, Map(
       "timestampFormat" -> timestampFormat,
-      "dateFormat" -> IsoDate)).as("json")).as[String]
+      "dateFormat" -> IsoDate,
+      // Pin the documented null-omission contract; without this it
+      // silently follows spark.sql.jsonGenerator.ignoreNullFields.
+      "ignoreNullFields" -> "true")).as("json")).as[String]
   }
 
   /** Write the export as JSON-lines text partitions under `path`

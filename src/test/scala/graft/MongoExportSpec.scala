@@ -37,6 +37,29 @@ class MongoExportSpec extends SparkSpec {
       back.columns.toSet == Set("_id", "qty", "modified_at"))
   }
 
+  test("null _id fails the task; null omission holds regardless of session conf") {
+    val df = Seq((Option("a"), 1), (None: Option[String], 2)).toDF("key", "v")
+    val e = intercept[Exception] {
+      MongoExport.mongoJson(df, "key").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null key")),
+      s"null _id must fail loudly, got: ${msgs(e).mkString(" | ")}")
+    // The omission contract is pinned by option, not inherited from
+    // the session's jsonGenerator conf.
+    val prev = spark.conf.getOption("spark.sql.jsonGenerator.ignoreNullFields")
+    spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", "false")
+    try {
+      val line = MongoExport.mongoJson(
+        Seq(("x", None: Option[Int])).toDF("key", "qty"), "key").head()
+      assert(line == """{"_id":"x"}""", s"null field leaked: $line")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.jsonGenerator.ignoreNullFields", v)
+      case None => spark.conf.unset("spark.sql.jsonGenerator.ignoreNullFields")
+    }
+  }
+
   test("export writes mongoimport-consumable text partitions") {
     val dir = java.nio.file.Files.createTempDirectory("mongo_export").toString
     val df = Seq(("x", 1), ("y", 2)).toDF("key", "v")
