@@ -3323,7 +3323,114 @@ object Queries {
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         FROM est)
-      WHERE running <= 3000 ORDER BY doc_id"""))
+      WHERE running <= 3000 ORDER BY doc_id""")),
+
+    // Threshold-crossing alerts (StockStream.lowStockAlerts,
+    // flatMapGroupsWithState) under oracle: deterministic per-user
+    // stock walks derived from events feed in two batches — the second
+    // REPLAYS a stale prefix (older than held state → must be ignored,
+    // no duplicate alerts) plus a genuinely newer tail. Alerts fire
+    // only on below/above crossings of the threshold, which the oracle
+    // replays as a lag() over the surviving ts-ordered walk.
+    ("q120_stream_stock_alerts", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import java.sql.Timestamp
+      val baseMs = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def at(k: Int) = new Timestamp(baseMs + k.toLong * 60000L)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val walk = t(s, d, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+        .select(col("user_id"), col("rn"),
+          pmod(floor(col("value") * 10), lit(20)).cast("int").as("qty"))
+        .as[(Long, Int, Int)].collect()
+        .map { case (u, rn, q) => (s"sku_$u", q, at(rn)) }.toSeq
+      val sorted = walk.sortBy(r => (r._1, r._3.getTime))
+      val batch1 = sorted.filter(_._3.getTime <= baseMs + 8 * 60000L)
+      val batch2 = sorted // full replay: stale prefix ignored, tail applies
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Int, Timestamp)]
+      val qn = "q120_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StockStream.lowStockAlerts(
+          input.toDF().toDF("sku", "qty", "modified_at"), threshold = 10)
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).select(col("sku"), col("qty"), col("kind"),
+          unix_micros(col("modified_at")).as("us"))
+        .orderBy(col("sku"), col("us"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events WHERE user_id < 20),
+      walk AS (SELECT 'sku_' || user_id AS sku,
+             CAST((CAST(floor(value * 10) AS BIGINT) % 20 + 20) % 20 AS INT)
+               AS qty,
+             epoch_us(TIMESTAMP '2026-01-01 00:00:00'
+               + to_minutes(rn)) AS us
+           FROM e WHERE rn <= 12),
+      lagged AS (SELECT sku, qty, us,
+             lag(qty) OVER (PARTITION BY sku ORDER BY us) AS prev
+           FROM walk)
+      SELECT sku, qty,
+        CASE WHEN qty < 10 THEN 'low_stock' ELSE 'restocked' END AS kind,
+        us
+      FROM lagged
+      WHERE (qty < 10 AND (prev IS NULL OR prev >= 10))
+         OR (qty >= 10 AND prev IS NOT NULL AND prev < 10)
+      ORDER BY sku, us""")),
+
+    // URL canonicalization + per-domain cap (Urls.canonicalUrl /
+    // domainOf → sampleNPerStratum): four deterministic URL shapes per
+    // doc — uppercase scheme/host with www and default port, tracking
+    // params out of order, a non-default port that must SURVIVE, and a
+    // non-URL that must drop — then at most 5 docs per domain in md5
+    // order. The oracle hand-DERIVES the expected canonical strings
+    // from the construction arithmetic (independent truth, not a
+    // replay of the same regexes) and replays only the md5 cap.
+    ("q121_url_canonical_cap", (s: SparkSession, d: String) => {
+      import graft.functions.Urls
+      val m4 = pmod(col("doc_id"), lit(4))
+      val site = pmod(col("doc_id"), lit(7))
+      val urls = t(s, d, "documents").select(col("doc_id")).withColumn("url",
+        when(m4 === 0, concat(lit("HTTP://WWW.Site"), site, lit(".com:80/a/b"),
+          col("doc_id"), lit("/?utm_source=x&b=2&a=1#frag")))
+        .when(m4 === 1, concat(lit("https://site"), site, lit(".com:443/path"),
+          col("doc_id"), lit("?a=1&utm_campaign=y&fbclid=z")))
+        .when(m4 === 2, concat(lit("https://Sub.site"), site,
+          lit(".com:8443/p?z=9&ref=tw")))
+        .otherwise(concat(lit("not a url "), col("doc_id"))))
+      val canon = urls.select(col("doc_id"),
+          Urls.domainOf(col("url")).as("domain"),
+          Urls.canonicalUrl(col("url")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+      graft.operators.Sampling.sampleNPerStratum(canon, col("doc_id"),
+          col("domain"), perStratum = 5)
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH u AS (SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'site' || (doc_id % 7) || '.com'
+            WHEN 1 THEN 'site' || (doc_id % 7) || '.com'
+            WHEN 2 THEN 'sub.site' || (doc_id % 7) || '.com'
+          END AS domain,
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'http://site' || (doc_id % 7) || '.com/a/b' ||
+              doc_id || '?a=1&b=2'
+            WHEN 1 THEN 'https://site' || (doc_id % 7) || '.com/path' ||
+              doc_id || '?a=1'
+            WHEN 2 THEN 'https://sub.site' || (doc_id % 7) || '.com:8443/p?z=9'
+          END AS canonical
+        FROM documents WHERE doc_id % 4 < 3)
+      SELECT doc_id, domain, canonical FROM (
+        SELECT doc_id, domain, canonical,
+          row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM u)
+      WHERE rn <= 5 ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
