@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.Shim
 import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.functions.Urls
 
 /** SparkSessionExtensions hook exposing graft's native kernels to pure
   * SQL — a user can `SELECT graft_cosine(a.embedding, b.embedding)`
@@ -36,9 +38,22 @@ object GraftExtensions {
         build(children)
       })
 
+  /** Lift a Column-composition function (built entirely from codegen'd
+    * built-ins) into a FunctionRegistry builder: wrap the child
+    * expressions as Columns, compose, unwrap the resulting tree. The
+    * registered SQL function IS the same expression tree the Scala
+    * API produces — same codegen, same pushdown. */
+  private def lifted(f: Seq[Column] => Column)
+      : Seq[Expression] => Expression =
+    children => Shim.eagerExpression(f(children.map(Shim.column)))
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("graft_dot", classOf[DotProduct], 2, c => DotProduct(c(0), c(1))),
-    fn("graft_cosine", classOf[CosineSimilarity], 2, c => CosineSimilarity(c(0), c(1))))
+    fn("graft_cosine", classOf[CosineSimilarity], 2, c => CosineSimilarity(c(0), c(1))),
+    fn("graft_canonical_url", Urls.getClass, 1,
+      lifted { case Seq(u) => Urls.canonicalUrl(u) }),
+    fn("graft_domain", Urls.getClass, 1,
+      lifted { case Seq(u) => Urls.domainOf(u) }))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

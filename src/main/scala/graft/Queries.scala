@@ -3430,7 +3430,74 @@ object Queries {
           row_number() OVER (PARTITION BY domain
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         FROM u)
-      WHERE rn <= 5 ORDER BY doc_id"""))
+      WHERE rn <= 5 ORDER BY doc_id""")),
+
+    // Domain blocklist scrub + per-domain accounting
+    // (Urls.scrubDomains / domainStats): same deterministic URL
+    // construction as q121; blocking site3.com must ALSO remove
+    // sub.site3.com (suffix-chain semantics) while sub.site5.com
+    // blocks only itself; survivors aggregate to per-domain doc
+    // counts, total text length, and corpus share. The oracle derives
+    // the domains and the block decision from the construction
+    // arithmetic — the suffix logic is replayed as explicit CASE
+    // conditions, not the chain-explode join.
+    ("q122_domain_scrub_stats", (s: SparkSession, d: String) => {
+      import graft.functions.Urls
+      val m4 = pmod(col("doc_id"), lit(4))
+      val site = pmod(col("doc_id"), lit(7))
+      val urls = t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("w")).withColumn("url",
+          when(m4 === 0, concat(lit("HTTP://WWW.Site"), site, lit(".com:80/a/b"),
+            col("doc_id"), lit("/?utm_source=x&b=2&a=1#frag")))
+          .when(m4 === 1, concat(lit("https://site"), site, lit(".com:443/path"),
+            col("doc_id"), lit("?a=1&utm_campaign=y&fbclid=z")))
+          .when(m4 === 2, concat(lit("https://Sub.site"), site,
+            lit(".com:8443/p?z=9&ref=tw")))
+          .otherwise(concat(lit("not a url "), col("doc_id"))))
+        .filter(Urls.canonicalUrl(col("url")).isNotNull)
+      val blocklist = {
+        import s.implicits._
+        Seq("site3.com", "sub.site5.com").toDF("domain")
+      }
+      val kept = Urls.scrubDomains(urls, col("doc_id"), col("url"), blocklist)
+      Urls.domainStats(kept, col("url"), col("w"))
+        .select(col("domain"), col("docs"), col("weight"),
+          round(col("weight_share"), 6).as("weight_share"))
+        .orderBy(col("domain"))
+    }, Some("""
+      WITH u AS (SELECT doc_id, length(text) AS w,
+          CASE WHEN doc_id % 4 = 2
+            THEN 'sub.site' || (doc_id % 7) || '.com'
+            ELSE 'site' || (doc_id % 7) || '.com' END AS domain
+        FROM documents WHERE doc_id % 4 < 3),
+      kept AS (SELECT * FROM u
+        WHERE domain NOT IN ('site3.com', 'sub.site3.com', 'sub.site5.com')),
+      agg AS (SELECT domain, count(*) AS docs,
+          CAST(sum(w) AS BIGINT) AS weight
+        FROM kept GROUP BY domain)
+      SELECT domain, docs, weight,
+        round(CAST(weight AS DOUBLE) / sum(weight) OVER (), 6) AS weight_share
+      FROM agg ORDER BY domain""")),
+
+    // Deterministic train/val/test assignment (Sampling.hashSplit):
+    // the split label is a pure function of (seed, doc_id) — the hex
+    // prefix of md5('graft|'||id) against precomputed fixed-width hex
+    // thresholds — so ANY engine with md5 replays the exact
+    // assignment, and membership never shifts as the corpus grows.
+    // The oracle recomputes the label from the same contract.
+    ("q123_hash_split", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      graft.operators.Sampling.hashSplit(docs, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN substr(md5('graft|' || doc_id), 1, 8) < 'cccccccd'
+               THEN 'train'
+             WHEN substr(md5('graft|' || doc_id), 1, 8) < 'e6666666'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

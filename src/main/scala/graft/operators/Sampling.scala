@@ -262,6 +262,43 @@ object Sampling {
           x => x.getField("__t"))).as("seq_text"),
         count(lit(1)).as("n_docs"))
 
+  /** Deterministic hash-based train/validation/test assignment: each
+    * document's split label depends ONLY on (seed, its id), so the
+    * assignment is stable as the corpus grows, shrinks, or
+    * repartitions — a document never migrates between train and
+    * held-out when other documents arrive, the property
+    * `randomSplit` (sample-order-dependent) cannot give and the one
+    * that makes eval sets trustworthy across corpus refreshes.
+    *
+    * Mechanism: the first 8 hex digits of `md5(seed|id)` are a
+    * uniform draw in [0, 2³²); each split takes a contiguous range
+    * sized by its normalized weight. The comparison happens on the
+    * HEX STRING against precomputed hex thresholds (fixed-width hex
+    * compares lexicographically = numerically), so any SQL engine
+    * with md5 replays the exact assignment — no numeric hex
+    * conversion needed on either side.
+    *
+    * Scale shape: one map-side projection; no shuffle, no state, no
+    * driver data. Appends `out` and passes everything else through. */
+  def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Double)],
+                seed: String = "graft", out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    // Cumulative upper bounds as 8-digit lowercase hex of the scaled
+    // fraction; the last split takes the remainder via otherwise().
+    val bounds = splits.init.scanLeft(0.0) { case (acc, (_, w)) =>
+      acc + w / total
+    }.tail.map(f => f"${math.round(f * 4294967296.0).min(0xffffffffL)}%08x")
+    val key = substring(md5(concat_ws("|", lit(seed), id.cast("string"))
+      .cast("binary")), 1, 8)
+    val label = bounds.zip(splits.init).foldRight(
+        lit(splits.last._1): Column) { case ((b, (name, _)), rest) =>
+      when(key < lit(b), lit(name)).otherwise(rest)
+    }
+    df.withColumn(out, label)
+  }
+
   /** [[weightedMix]] with TOKEN-share quotas — the form corpus recipes
     * are actually written in ("70% of the TOKENS from web"): each
     * stratum keeps documents in deterministic md5 order while its

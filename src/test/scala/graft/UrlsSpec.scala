@@ -38,4 +38,62 @@ class UrlsSpec extends SparkSpec {
     assert(domain("https://example.com/x") == "example.com")
     assert(domain("nope") == "")
   }
+
+  test("domainChain: every >=2-label suffix, most-specific first") {
+    val chain = Seq("https://a.b.c.com/x", "https://c.com/y", "nope")
+      .toDF("u").select(Urls.domainChain($"u")).collect()
+      .map(r => r.getSeq[String](0))
+    assert(chain(0) == Seq("a.b.c.com", "b.c.com", "c.com"))
+    assert(chain(1) == Seq("c.com"))
+    assert(chain(2) == Seq.empty)
+  }
+
+  test("scrubDomains: blocklist entry catches the domain AND its subdomains") {
+    val docs = Seq(
+      (1L, "https://ok.com/a"),
+      (2L, "https://bad.com/b"),          // direct hit
+      (3L, "https://deep.sub.bad.com/c"), // subdomain of a blocked domain
+      (4L, "https://sub.ok.com/d"),       // sibling subdomain survives
+      (5L, "https://notbad.com/e"),       // label boundary: NOT a suffix match
+      (6L, "no url here")                 // no URL -> no domain -> kept
+    ).toDF("id", "url")
+    val kept = Urls.scrubDomains(docs, $"id", $"url",
+        Seq("bad.com").toDF("domain"))
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("domainStats: docs, weight, and weight_share summing to 1") {
+    val docs = Seq(
+      ("https://a.com/1", 10L), ("https://a.com/2", 30L),
+      ("https://WWW.b.com/3", 60L))
+      .toDF("url", "tokens")
+    val stats = Urls.domainStats(docs, $"url", $"tokens")
+      .orderBy($"domain").as[(String, Long, Long, Double)].collect().toSeq
+    assert(stats == Seq(("a.com", 2L, 40L, 0.4), ("b.com", 1L, 60L, 0.6)))
+  }
+
+  test("hashSplit: deterministic, corpus-size-independent, roughly proportional") {
+    import graft.operators.Sampling
+    val full = spark.range(2000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.hashSplit(full, $"id", splits)
+    val byLabel = assigned.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 1500 && byLabel("train") < 1700)
+    assert(byLabel("val") > 120 && byLabel("val") < 280)
+    // THE property: a doc's split is identical when computed over any
+    // subset — held-out membership never shifts as the corpus grows.
+    val subset = Sampling.hashSplit(
+      spark.range(500).toDF("id"), $"id", splits)
+    val joined = assigned.withColumnRenamed("split", "full_split")
+      .join(subset, "id")
+    assert(joined.filter($"full_split" =!= $"split").count() == 0)
+    // Different seed -> different assignment (not degenerate).
+    val reseeded = Sampling.hashSplit(full, $"id", splits, seed = "other")
+      .withColumnRenamed("split", "re")
+    assert(assigned.join(reseeded, "id")
+      .filter($"split" =!= $"re").count() > 0)
+  }
 }

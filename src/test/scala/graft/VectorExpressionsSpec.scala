@@ -20,6 +20,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT graft_dot(array(1.0))").collect())
     assert(err.getMessage.contains("2 arguments") || err.getMessage.contains("graft_dot"))
   }
+
+  test("graft_canonical_url / graft_domain are callable from pure SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_canonical_url('HTTP://WWW.E.com:80/p?utm_source=x&b=2&a=1#f') AS c,
+               graft_domain('https://Sub.E.com:8443/x') AS d""")
+      .as[(String, String)].collect()(0)
+    assert(r == ("http://e.com/p?a=1&b=2", "sub.e.com"))
+  }
 }
 
 class VectorExpressionsSpec extends SparkSpec {
