@@ -243,6 +243,30 @@ object ScaleSmoke {
         Dedup.lineDedup(comp, col("text"), col("gid"), maxOccurrences = 4)
           .filter(length(col("text")) > 0).count()
       },
+      // Domain blocklist scrub with a MILLION-entry blocklist — too
+      // big to broadcast, so this exercises the shuffled-hash semi
+      // join path plus the anti-join back; URLs are synthesized so
+      // ~1/16 of docs land under blocked domains (some via subdomain
+      // suffix match).
+      time("domain_scrub_1m_blocklist") {
+        val urld = docs.select(col("doc_id"), concat(
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("https://sub.d"))
+            .otherwise(lit("https://d")),
+          pmod(col("doc_id"), lit(4000000L)), lit(".example.com/p/"),
+          col("doc_id")).as("url"))
+        val blocklist = spark.range(1000000L)
+          .select(concat(lit("d"), col("id") * 16L, lit(".example.com"))
+            .as("domain"))
+        graft.functions.Urls.scrubDomains(urld, col("doc_id"), col("url"),
+          blocklist).count()
+      },
+      // Deterministic split assignment over the full corpus: pure
+      // map-side md5 + hex compare — this is the per-row floor.
+      time("hash_split") {
+        Sampling.hashSplit(docs.select(col("doc_id")), col("doc_id"),
+          Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
+          .filter(col("split") =!= "train").count()
+      },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales
       // from one sample file to a feed archive with no code change"

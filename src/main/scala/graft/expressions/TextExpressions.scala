@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio quality signal: `deflate(text).length /
+  * text.length` — templated/boilerplate/repetitive text compresses
+  * far below natural prose, so corpus filters gate on this ratio
+  * (low = machine-generated or duplicated structure, near/above 1 =
+  * high-entropy noise like base64 blobs). The CCNet/RedPajama-style
+  * heuristic, as a native expression because no built-in can express
+  * it and a per-row Scala UDF would break whole-stage codegen.
+  *
+  * Scale notes: one Deflater per EXECUTOR THREAD (thread-local,
+  * `reset()` between rows) — allocating the native zlib stream per
+  * row would dominate the cost at corpus scale. The generated code is
+  * a single static call, so the expression pipelines inside
+  * whole-stage codegen like any built-in. Empty/whitespace-only text
+  * returns 1.0 (defined, not null) so downstream gates need no
+  * special case; the exact ratio depends on the JVM's zlib build, so
+  * treat it as a FEATURE (compare within a corpus run), not a
+  * portable constant — which is also why this signal is spec-tested
+  * against ordering properties rather than oracle-replayed. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "deflate_ratio"
+  override def checkInputDataTypes(): TypeCheckResult =
+    // NullType: a bare NULL argument — evaluates to null, accept it.
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateRatio.ratio(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.DeflateRatio.ratio($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  }
+
+  /** Deflated-size / raw-size over the UTF-8 bytes; 1.0 for empty. */
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
+  /** Column wrapper (see also `graft_deflate_ratio` in SQL). */
+  def apply(c: Column): Column = DeflateRatio.column(c)
+  def column(c: Column): Column = Shim.column(DeflateRatio(Shim.expression(c)))
+}

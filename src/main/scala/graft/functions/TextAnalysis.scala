@@ -242,4 +242,12 @@ object TextAnalysis {
     when(size(sh) > 0,
       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
       .otherwise(0d)
+
+  /** Compression-ratio quality signal (deflate bytes / raw bytes):
+    * low = templated/repetitive, ~1+ = high-entropy noise. A native
+    * codegen expression — see [[graft.expressions.DeflateRatio]] for
+    * semantics, threading, and why it is spec-tested (ordering
+    * properties) rather than oracle-replayed. */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.DeflateRatio.column(text)
 }

@@ -177,4 +177,27 @@ class PlanShapeSpec extends SparkSpec {
       docs, $"id", $"lang", Map("en" -> 0.5, "de" -> 0.5), 20L)
       .queryExecution.executedPlan.toString, "weightedMix")
   }
+
+  test("hashSplit is shuffle-free; domain scrub explodes only the id projection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"https://s$i.example.com/p", "x" * 50))
+      .toDF("id", "url", "text")
+    // hashSplit: one map-side projection — no exchange of any kind.
+    val ps = graft.operators.Sampling.hashSplit(
+        docs, $"id", Seq("train" -> 0.9, "test" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), s"hashSplit shuffled:\n${ps.take(600)}")
+    // scrubDomains: the explode (Generate) must sit over a projection
+    // of (id, chain) — the document payload (text) must not pass
+    // through it — and the blocklist side must broadcast.
+    val pd = graft.functions.Urls.scrubDomains(
+        docs, $"id", $"url", Seq("bad.com").toDF("domain"))
+      .queryExecution.executedPlan.toString
+    val gen = pd.linesIterator.find(_.contains("Generate explode")).getOrElse("")
+    assert(gen.nonEmpty, s"no explode found:\n${pd.take(600)}")
+    assert(!gen.contains("text"), s"payload column entered the explode:\n$gen")
+    assert(pd.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n${pd.take(600)}")
+    assert(!pd.contains("CartesianProduct"), "scrub went cartesian")
+  }
 }

@@ -29,6 +29,37 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[(String, String)].collect()(0)
     assert(r == ("http://e.com/p?a=1&b=2", "sub.e.com"))
   }
+
+  test("deflate_ratio orders template < prose < noise; edges; codegen = interpreted") {
+    import graft.functions.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val template = "buy now click here free offer " * 50
+    val prose = "The quick brown fox jumps over the lazy dog while the " +
+      "patient heron waits by the river for a careless minnow to pass " +
+      "beneath the rippled surface of the morning water. " * 3
+    val noise = rnd.alphanumeric.take(1500).mkString
+    val rows = Seq(("t", template), ("p", prose), ("n", noise), ("e", ""))
+      .toDF("k", "text")
+      .select($"k", TextAnalysis.compressionRatio($"text").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("t") < 0.15, s"template ratio ${rows("t")}")
+    assert(rows("t") < rows("p") && rows("p") < rows("n"),
+      s"ordering violated: $rows")
+    assert(rows("n") > 0.5, s"noise ratio ${rows("n")}")
+    assert(rows("e") == 1.0)
+    // Null propagates; SQL registration reaches the same kernel.
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(s"SELECT graft_deflate_ratio(NULL) AS a, " +
+      s"graft_deflate_ratio('${template.trim}') AS b").collect()(0)
+    assert(viaSql.isNullAt(0))
+    // Interpreted eval (no codegen) must agree exactly.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = graft.expressions.DeflateRatio(Literal(template))
+      .eval(null).asInstanceOf[Double]
+    val codegen = Seq(template).toDF("t")
+      .select(TextAnalysis.compressionRatio($"t")).as[Double].collect()(0)
+    assert(interp == codegen)
+  }
 }
 
 class VectorExpressionsSpec extends SparkSpec {
