@@ -3497,7 +3497,57 @@ object Queries {
              WHEN substr(md5('graft|' || doc_id), 1, 8) < 'e6666666'
                THEN 'val'
              ELSE 'test' END AS split
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Real audio metadata decode (Multimodal.AudioCodec, the q116
+    // pattern for sound): executor-side WAV encode → header-only
+    // decode round-trip. Rate/channels/frames come from doc_id
+    // arithmetic; every doc_id%10==7 row carries text bytes that must
+    // null-decode (corrupt media is data, not a failure). The oracle
+    // recomputes channels, rate, frame count, and the floored
+    // duration from the same arithmetic — the codec's output must
+    // land exactly on the derivation.
+    ("q124_audio_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else {
+              val rate = (id % 3).toInt match {
+                case 0 => 8000; case 1 => 16000; case _ => 44100
+              }
+              Multimodal.AudioCodec.encode(rate,
+                (1 + id % 2).toInt, (200 + (id * 13) % 500).toInt)
+            }
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeAudioMeta(media)
+        .select(col("media_id"), col("encoding"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("duration_ms"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'pcm_signed' END AS encoding,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             WHEN doc_id % 3 = 0 THEN CAST(8000 AS INT)
+             WHEN doc_id % 3 = 1 THEN CAST(16000 AS INT)
+             ELSE CAST(44100 AS INT) END AS sample_rate,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(200 + (doc_id * 13) % 500 AS BIGINT) END AS n_frames,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             WHEN doc_id % 3 = 0
+               THEN CAST((200 + (doc_id * 13) % 500) * 1000 // 8000 AS BIGINT)
+             WHEN doc_id % 3 = 1
+               THEN CAST((200 + (doc_id * 13) % 500) * 1000 // 16000 AS BIGINT)
+             ELSE CAST((200 + (doc_id * 13) % 500) * 1000 // 44100 AS BIGINT)
+             END AS duration_ms
+      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

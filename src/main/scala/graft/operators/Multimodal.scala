@@ -163,6 +163,85 @@ object Multimodal {
       })
   }
 
+  /** Real audio metadata codec over the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU — the containers the built-in providers read), the
+    * audio sibling of [[ImageCodec]]: header-only parse — channels,
+    * sample rate, bit depth, frame count — without decoding samples,
+    * so a metadata pass over a media corpus costs stream opens.
+    * Unrecognized or truncated bytes return None: corrupt media is
+    * data, never a task failure. */
+  object AudioCodec {
+    /** (encoding, channels, sampleRateHz, bitsPerSample, nFrames,
+      * durationMs) from the container header; None if undecodable.
+      * durationMs floors (nFrames × 1000) / sampleRate. */
+    def decodeMeta(bytes: Array[Byte])
+        : Option[(String, Int, Int, Int, Long, Long)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        val rate = f.getSampleRate.toInt
+        val frames = aff.getFrameLength.toLong
+        if (rate <= 0 || frames < 0) None
+        else Some((f.getEncoding.toString.toLowerCase(java.util.Locale.ROOT),
+          f.getChannels, rate, f.getSampleSizeInBits,
+          frames, frames * 1000L / rate))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic PCM-16 WAV fixture, written by the real
+      * AudioSystem WAVE writer — the encode side of decode
+      * round-trips. Samples are a fixed sawtooth so output bytes are
+      * reproducible. */
+    def encode(sampleRateHz: Int, channels: Int, nFrames: Int): Array[Byte] = {
+      require(sampleRateHz > 0 && channels > 0 && nFrames >= 0,
+        s"bad WAV fixture params: $sampleRateHz/$channels/$nFrames")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRateHz.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * channels * 2)
+      var i = 0
+      while (i < pcm.length / 2) {
+        val v = ((i * 257) % 65536 - 32768).toShort
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  case class AudioMeta(media_id: Long, encoding: Option[String],
+                       channels: Option[Int], sample_rate: Option[Int],
+                       n_frames: Option[Long], duration_ms: Option[Long],
+                       n_bytes: Long)
+
+  /** Per-partition batched REAL audio decode via [[AudioCodec]];
+    * undecodable content yields null meta (never a task failure).
+    * Input needs (media_id BIGINT, content BINARY); pair with
+    * [[repartitionForDecode]] upstream. */
+  def decodeAudioMeta(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        AudioCodec.decodeMeta(bytes) match {
+          case Some((enc, ch, rate, _, frames, durMs)) =>
+            AudioMeta(id, Some(enc), Some(ch), Some(rate),
+              Some(frames), Some(durMs), n)
+          case None =>
+            AudioMeta(id, None, None, None, None, None, n)
+        }
+      })
+  }
+
   /** Frame-sampling plan for video content: evenly spaced offsets —
     * pure column math, the decode of each frame is the stubbed part. */
   def frameOffsets(durationMs: Column, everyMs: Long): Column =

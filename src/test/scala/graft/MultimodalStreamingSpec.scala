@@ -77,6 +77,41 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).format.isEmpty && got(3L).width.isEmpty &&
       got(3L).height.isEmpty && got(3L).n_bytes > 0)
   }
+
+  test("AudioCodec: WAV encode→decode round-trip, header-only semantics") {
+    val bytes = Multimodal.AudioCodec.encode(16000, 2, 777)
+    val Some((enc, ch, rate, bits, frames, durMs)) =
+      Multimodal.AudioCodec.decodeMeta(bytes)
+    assert(enc == "pcm_signed" && ch == 2 && rate == 16000 && bits == 16)
+    assert(frames == 777L && durMs == 777L * 1000 / 16000)
+    // Zero-frame file stays decodable with zero duration.
+    val empty = Multimodal.AudioCodec.encode(8000, 1, 0)
+    assert(Multimodal.AudioCodec.decodeMeta(empty)
+      .exists(m => m._5 == 0L && m._6 == 0L))
+  }
+
+  test("AudioCodec: corrupt, truncated, and empty bytes decode to None, never throw") {
+    assert(Multimodal.AudioCodec.decodeMeta("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.AudioCodec.decodeMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.AudioCodec.decodeMeta(null).isEmpty)
+    // RIFF magic with the header chopped mid-fmt.
+    val wav = Multimodal.AudioCodec.encode(8000, 1, 100)
+    assert(Multimodal.AudioCodec.decodeMeta(wav.take(16)).isEmpty)
+  }
+
+  test("decodeAudioMeta: distributed real decode with nulls for undecodable rows") {
+    val rows = Seq(
+      (1L, Multimodal.AudioCodec.encode(44100, 1, 4410)),
+      (2L, "definitely text".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeAudioMeta(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).sample_rate.contains(44100) &&
+      got(1L).channels.contains(1) && got(1L).n_frames.contains(4410L) &&
+      got(1L).duration_ms.contains(100L))
+    assert(got(2L).sample_rate.isEmpty && got(2L).duration_ms.isEmpty &&
+      got(2L).n_bytes > 0)
+  }
 }
 
 class StockStreamSinkSpec extends SparkSpec {
