@@ -4,7 +4,7 @@ import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Upsert
@@ -580,6 +580,148 @@ object SnapshotStore {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the merge-commit race $maxAttempts times under $root")
+  }
+
+  /** K3's keyed delete (`mongodb_loader.py:218-231`'s `delete_many`
+    * by key list) as an atomic snapshot commit: every row of the
+    * current snapshot whose `keyCol` appears in `keys` is removed in
+    * one new version. Only partitions that can hold a doomed key are
+    * rewritten — taken from `keys`' own partition column when the
+    * caller provides one, else found by a column-pruned
+    * (key, partition) semi-join probe of the current snapshot — and
+    * every other partition's files are carried by reference, exactly
+    * like [[mergeCommit]]. A partition whose rows are all deleted
+    * disappears from the manifest (nothing is written for it).
+    *
+    * Null keys in `keys` match nothing (anti-join semantics), so a
+    * sloppy key list cannot mass-delete null-keyed rows. Returns the
+    * committed version — or the CURRENT version unchanged when no
+    * partition holds any doomed key (an empty delete is a no-op, not
+    * an empty commit). */
+  def deleteCommit(spark: SparkSession, keys: DataFrame, root: String,
+                   keyCol: String, partitionCol: String,
+                   maxAttempts: Int = 10): Long = {
+    val doomed = keys.select(col(keyCol)).distinct()
+    val norm: Column => Column = c =>
+      when(c.isNull || c.cast("string") === "",
+        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val touched: Set[String] =
+        if (keys.columns.contains(partitionCol))
+          keys.select(norm(col(partitionCol))).distinct()
+            .collect().map(_.getString(0)).toSet
+        else readVersion(spark, root, cur)
+          .select(col(keyCol), col(partitionCol))
+          .join(doomed, Seq(keyCol), "left_semi")
+          .select(norm(col(partitionCol))).distinct()
+          .collect().map(_.getString(0)).toSet
+      val (replaced, kept) = entries.partition(e => touched(e.partition))
+      if (replaced.isEmpty) return cur
+      val remaining = readEntries(spark, root, replaced)
+        .join(doomed, Seq(keyCol), "left_anti")
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, remaining, root, v, partitionCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+        writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the delete-commit race $maxAttempts times under $root")
+  }
+
+  /** Partitions whose manifest file sets differ between two versions.
+    * Files are immutable once written, so a partition carried with an
+    * identical file set at both versions is bit-identical and provably
+    * free of changes — [[changes]] never reads it. */
+  private[graft] def changedPartitions(spark: SparkSession, root: String,
+                                       fromVersion: Long, toVersion: Long): Seq[String] = {
+    def byPart(v: Long): Map[String, Set[String]] =
+      manifest(spark, root, v).groupBy(_.partition)
+        .map { case (p, es) => p -> es.map(_.path).toSet }
+    val a = byPart(fromVersion)
+    val b = byPart(toVersion)
+    (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)).toSeq.sorted
+  }
+
+  /** True when `dt` transitively contains a map — map-typed values
+    * have no ordering, so equality on them (or on structs/arrays
+    * holding them) is not analyzable and must compare canonicalized. */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** Row-level change feed (CDC) between two committed versions — the
+    * snapshot-store analog of a document store's change stream: every
+    * row inserted, updated, or deleted going `fromVersion` →
+    * `toVersion`, classified in a trailing `_change_type` column
+    * (`insert` / `update` / `delete`). Insert and update rows carry
+    * the to-version values; delete rows carry the from-version values.
+    * Assumes the keyed-table contract the commit paths maintain:
+    * `keyCol` unique within a version.
+    *
+    * Scale shape: the scan is bounded by the CHANGED partitions
+    * ([[changedPartitions]]) — a commit that touched one partition of
+    * a 100 TB table diffs one partition, not the table. What remains
+    * is one full-outer equi-join on the key (AQE broadcasts the small
+    * side when a commit was narrow) plus a null-safe struct equality
+    * that drops rows a rewrite carried over byte-unchanged, so
+    * [[compact]] / [[compactZOrder]] between the versions add zero
+    * change rows. Columns added by schema evolution read as typed
+    * nulls on the older side, so an evolution alone marks rows
+    * changed only where the new column is non-null.
+    *
+    * Map-typed columns (and structs/arrays containing them) compare
+    * via their JSON rendering — Spark defines no ordering on maps.
+    * Entry order must therefore be construction-stable across
+    * versions, which holds for rows produced by this store's own
+    * commit paths; canonicalize upstream (sorted `map_entries`) if
+    * feeding maps built in varying orders. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long, keyCol: String): DataFrame = {
+    require(fromVersion != toVersion,
+      s"change feed needs two distinct versions, got $fromVersion twice")
+    val parts = changedPartitions(spark, root, fromVersion, toVersion)
+    val from = readVersion(spark, root, fromVersion, Some(parts))
+    val to = readVersion(spark, root, toVersion, Some(parts))
+    val toCols = to.columns.toSeq
+    val cols = toCols ++ from.columns.toSeq.filterNot(toCols.contains)
+    val dataCols = cols.filterNot(_ == keyCol)
+    require(cols.contains(keyCol), s"key column $keyCol missing from snapshot")
+    require(dataCols.nonEmpty, "change feed needs at least one non-key column")
+    def aligned(df: DataFrame, other: DataFrame): (DataFrame, Map[String, org.apache.spark.sql.types.DataType]) = {
+      val have = df.columns.toSet
+      val otherTypes = other.schema.map(f => f.name -> f.dataType).toMap
+      val d = cols.filterNot(have).foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(otherTypes(c))))
+      (d.select(cols.map(col): _*),
+        d.select(cols.map(col): _*).schema.map(f => f.name -> f.dataType).toMap)
+    }
+    val (fA, fTypes) = aligned(from, to)
+    val (tA, _) = aligned(to, from)
+    def comparable(c: String): Column =
+      if (hasMap(fTypes(c))) to_json(col(c)).as(c) else col(c).as(c)
+    def sided(df: DataFrame, side: String): DataFrame = df.select(
+      col(keyCol),
+      struct(dataCols.map(col): _*).as(s"_${side}_row"),
+      struct(dataCols.map(comparable): _*).as(s"_${side}_cmp"))
+    val j = sided(fA, "from").join(sided(tA, "to"), Seq(keyCol), "full_outer")
+      .filter(!(col("_from_cmp") <=> col("_to_cmp")))
+    val payload = when(col("_to_row").isNull, col("_from_row"))
+      .otherwise(col("_to_row"))
+    val changeType = when(col("_from_row").isNull, lit("insert"))
+      .when(col("_to_row").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    j.select(col(keyCol) +: dataCols.map(c => payload.getField(c).as(c))
+      :+ changeType.as("_change_type"): _*)
   }
 
   /** Compact small files: rewrite the selected partitions (default:

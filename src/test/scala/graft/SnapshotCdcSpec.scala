@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.SnapshotStore
+
+/** Keyed delete commits and the row-level change feed between
+  * snapshot versions (the store's CRUD completion + CDC surface). */
+class SnapshotCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snapcdc").resolve("t").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "version")
+
+  test("deleteCommit removes listed keys atomically, rewriting only their partitions") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1), ("p4", "c", 1)),
+      root, "supplier")
+    // Keys WITHOUT a partition column: the probe path must find that
+    // only partitions a and b hold doomed keys; c is carried.
+    val v2 = SnapshotStore.deleteCommit(spark,
+      Seq("p1", "p3", "p_absent").toDF("product_id"), root,
+      "product_id", "supplier")
+    assert(v2 == 2L)
+    val left = SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet
+    assert(left == Set("p2", "p4"))
+    // Partition c untouched → identical file paths in both manifests.
+    val c1 = SnapshotStore.manifest(spark, root, 1).filter(_.partition == "c").map(_.path).toSet
+    val c2 = SnapshotStore.manifest(spark, root, 2).filter(_.partition == "c").map(_.path).toSet
+    assert(c1 == c2 && c1.nonEmpty)
+    // Partition b lost its only row → gone from the manifest entirely.
+    assert(SnapshotStore.manifest(spark, root, 2).forall(_.partition != "b"))
+    // Time travel still sees the pre-delete rows.
+    assert(SnapshotStore.readVersion(spark, root, 1).count() == 4)
+  }
+
+  test("deleteCommit with explicit partitions skips the probe; empty delete is a version no-op") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    val v2 = SnapshotStore.deleteCommit(spark,
+      Seq(("p1", "a")).toDF("product_id", "supplier"), root,
+      "product_id", "supplier")
+    assert(v2 == 2L)
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet == Set("p2"))
+    // Doomed keys that exist nowhere: current version returned, no commit.
+    val v3 = SnapshotStore.deleteCommit(spark,
+      Seq(("zz", "zz")).toDF("product_id", "supplier"), root,
+      "product_id", "supplier")
+    assert(v3 == 2L && SnapshotStore.versions(spark, root) == Seq(1L, 2L))
+    // Null keys match nothing (anti-join semantics) — no mass delete.
+    val v4 = SnapshotStore.deleteCommit(spark,
+      Seq((null: String, "b")).toDF("product_id", "supplier"), root,
+      "product_id", "supplier")
+    assert(SnapshotStore.read(spark, root).count() == 1)
+    assert(v4 <= 3L)
+  }
+
+  test("changes classifies insert/update/delete and skips untouched partitions") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1), ("p5", "d", 1)),
+      root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      table(("p1", "a", 2), ("p4", "c", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.deleteCommit(spark,
+      Seq("p3").toDF("product_id"), root, "product_id", "supplier")
+    // d never touched after v1 → not even listed as changed.
+    assert(SnapshotStore.changedPartitions(spark, root, 1, 3).toSet == Set("a", "b", "c"))
+    val got = SnapshotStore.changes(spark, root, 1, 3, "product_id")
+      .select("product_id", "version", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    // p1 updated (to-version values), p4 inserted, p3 deleted
+    // (from-version values), p2/p5 unchanged → absent.
+    assert(got == Set(("p1", 2, "update"), ("p4", 2, "insert"), ("p3", 1, "delete")))
+  }
+
+  test("compaction between versions adds zero change rows (carried rows compare equal)") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 2), ("p3", "a", 3), ("p4", "a", 4))
+        .repartition(4), root, "supplier")
+    assert(SnapshotStore.manifest(spark, root, 1).size > 1)
+    val v = SnapshotStore.compact(spark, root, "supplier")
+    assert(v == 2L)
+    // The compaction rewrote partition a's files, so the partition IS
+    // in the changed set — but every row compares equal, so the feed
+    // is empty: layout changes are not data changes.
+    assert(SnapshotStore.changedPartitions(spark, root, 1, 2) == Seq("a"))
+    assert(SnapshotStore.changes(spark, root, 1, 2, "product_id").isEmpty)
+  }
+
+  test("changes across schema evolution and map-typed columns") {
+    val root = freshRoot()
+    val v1Rows = Seq(("p1", "a", Map("en" -> "one")), ("p2", "a", Map("en" -> "two")))
+      .toDF("product_id", "supplier", "name_i18n")
+    SnapshotStore.commit(spark, v1Rows, root, "supplier")
+    // v2 adds a column and changes p2's map; p1 carried identical.
+    val v2Rows = Seq(
+      ("p1", "a", Map("en" -> "one"), null.asInstanceOf[String]),
+      ("p2", "a", Map("en" -> "two", "de" -> "zwei"), "updated"))
+      .toDF("product_id", "supplier", "name_i18n", "note")
+    SnapshotStore.mergeCommit(spark, v2Rows, root,
+      "product_id", "product_id", "supplier")
+    val got = SnapshotStore.changes(spark, root, 1, 2, "product_id")
+      .select("product_id", "_change_type").as[(String, String)].collect().toMap
+    // p2's map grew → update. p1: same values, evolved column null on
+    // both sides → NOT a change.
+    assert(got == Map("p2" -> "update"))
+    val p2 = SnapshotStore.changes(spark, root, 1, 2, "product_id")
+      .filter(col("product_id") === "p2").select("name_i18n")
+      .as[Map[String, String]].head()
+    assert(p2 == Map("en" -> "two", "de" -> "zwei"))
+  }
+}
