@@ -250,4 +250,43 @@ object TextAnalysis {
     * properties) rather than oracle-replayed. */
   def compressionRatio(text: Column): Column =
     graft.expressions.DeflateRatio.column(text)
+
+  /** Weights of the [[qualityLogit]] linear model. The defaults are a
+    * hand-set placeholder calibration (prose-positive: stopword share
+    * up, punctuation/uppercase noise down, mild preference for longer
+    * docs capped at `lenCap` tokens) — a real deployment fits them by
+    * logistic regression on labeled keep/drop pairs and swaps ONLY
+    * this object; the operator shape is what the engine provides. */
+  case class QualityWeights(bias: Double = -1.2, stopword: Double = 4.0,
+                            punct: Double = -3.0, upper: Double = -2.0,
+                            meanTokenLen: Double = 0.1, lenNorm: Double = 1.5,
+                            lenCap: Int = 256)
+
+  /** Model-based quality score — the classifier-filter shape of
+    * modern corpus curation (a fastText/logistic keep-vs-drop model
+    * scoring every document), distilled to its Spark-native form: a
+    * linear model over [[qualityFeatures]], fully codegen'd, one
+    * map-side projection, no UDF. Returns the raw logit (> 0 = keep
+    * under the default decision rule); [[qualityProb]] applies the
+    * sigmoid when a calibrated probability is wanted. The arithmetic
+    * is plain IEEE +/×/÷ in a FIXED evaluation order, so any engine
+    * replays it bit-for-bit — the oracle does. */
+  def qualityLogit(text: Column, w: QualityWeights = QualityWeights()): Column = {
+    val f = qualityFeatures(text)
+    val lenNorm = least(f.getField("n_tokens"), lit(w.lenCap.toLong)).cast("double") /
+      lit(w.lenCap.toDouble)
+    lit(w.bias) +
+      lit(w.stopword) * f.getField("stopword_ratio") +
+      lit(w.punct) * f.getField("punct_ratio") +
+      lit(w.upper) * f.getField("upper_ratio") +
+      lit(w.meanTokenLen) * f.getField("mean_token_len") +
+      lit(w.lenNorm) * lenNorm
+  }
+
+  /** Sigmoid of [[qualityLogit]]: P(keep) in (0, 1). Kept separate
+    * because `exp` is libm-dependent (not bit-replayable by an
+    * external engine) — rank/threshold on the logit when exactness
+    * matters. */
+  def qualityProb(text: Column, w: QualityWeights = QualityWeights()): Column =
+    lit(1.0) / (lit(1.0) + exp(-qualityLogit(text, w)))
 }

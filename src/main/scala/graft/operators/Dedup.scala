@@ -98,6 +98,99 @@ object Dedup {
     tokenized(df, text, id).select(col("id"),
       explode(array_distinct(TextAnalysis.shinglesOf(col("__ws"), shingleWidth))).as("w"))
 
+  /** Banded MinHash signature index rows: one row per (document,
+    * band) with columns `(id, sig, band, bucket)`. This is BOTH the
+    * internal first stage of [[minHashPairs]] and the PERSISTABLE
+    * corpus dedup index for [[dedupIncremental]]: write these rows
+    * out (e.g. `SnapshotStore.mergeCommit` partitioned by `band`) and
+    * each future ingest batch deduplicates against the corpus by
+    * equi-joining them — no re-shingling of old documents, ever.
+    *
+    * Signature values are xxhash64 longs under `fastHash` (the
+    * production path) or md5 hex strings otherwise (the portable
+    * encoding an external engine can replay); an index must be probed
+    * with the SAME (numHashes, bands, shingleWidth, fastHash) it was
+    * built with — the parameters are part of the index's identity. */
+  def minHashIndex(
+      df: DataFrame, text: Column, id: Column,
+      numHashes: Int = 16, bands: Int = 4,
+      shingleWidth: Int = 3, fastHash: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // Relational signature: numHashes codegen'd min-aggregates over the
+    // exploded shingle rows (identical values to minHashSignatureOf —
+    // min ignores duplicate shingles).
+    val hashAggs = (0 until numHashes).map { i =>
+      if (fastHash) min(xxhash64(lit(i.toLong), col("w"))).as(s"__h$i")
+      else min(md5(concat(lit(s"$i|"), col("w")))).as(s"__h$i")
+    }
+    val sig = shingleRows(df, text, id, shingleWidth)
+      .groupBy(col("id"))
+      .agg(hashAggs.head, hashAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    val bucketOf = (b: Int) =>
+      if (fastHash) xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).cast("string")
+      else md5(concat_ws(" ", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    sig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until bands).map(bucketOf): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Estimated Jaccard from two equal-length MinHash signatures: the
+    * fraction of agreeing slots. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / lit(numHashes.toDouble)
+
+  /** Incremental near-dup dedup: the ingest-time form of
+    * [[minHashPairs]] + [[dedupCorpus]] for a GROWING corpus. A new
+    * batch is deduplicated (1) against the persisted signature
+    * `index` of everything already accepted and (2) within itself
+    * keep-first — a batch document is dropped iff some index document
+    * or a SMALLER-id batch document matches at ≥ `threshold`. Returns
+    * the surviving rows of `newDocs`; append
+    * `minHashIndex(survivors, ...)` to the index afterwards (same
+    * parameters — see [[minHashIndex]]) to accept them.
+    *
+    * Like [[dedupCorpus]], keep-first is local: a batch doc whose only
+    * smaller match was itself dropped (by the index or an even
+    * smaller doc) is still dropped — near-duplication is treated as
+    * transitive toward the corpus, which is the conservative direction
+    * for training data (never admit a doc that chains to an accepted
+    * one).
+    *
+    * Scale shape: old documents are never re-shingled — the corpus
+    * side of the join is the stored index rows (one per doc × band).
+    * Both probes are equi-joins on (band, bucket): batch×index
+    * shuffles |batch|×bands + |index|×bands rows (partition the
+    * stored index by `band` and only matching buckets move), and the
+    * within-batch probe is [[minHashPairs]]'s own shape. Nothing is
+    * ever quadratic in the corpus. */
+  def dedupIncremental(
+      newDocs: DataFrame, text: Column, id: Column, index: DataFrame,
+      numHashes: Int = 16, bands: Int = 4,
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      fastHash: Boolean = true): DataFrame = {
+    val newIdx = minHashIndex(newDocs, text, id, numHashes, bands, shingleWidth, fastHash)
+    val probe = newIdx.select(col("band"), col("bucket"),
+      col("id").as("__nid"), col("sig").as("__nsig"))
+    val vsCorpus = probe.hint("shuffle_hash")
+      .join(index.select(col("band"), col("bucket"), col("sig").as("__isig")),
+        Seq("band", "bucket"))
+      .filter(estJaccard(col("__nsig"), col("__isig"), numHashes) >= threshold)
+      .select(col("__nid").as("__drop"))
+    val l = newIdx.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = newIdx.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val within = l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(estJaccard(col("sig_a"), col("sig_b"), numHashes) >= threshold)
+      .select(col("id_b").as("__drop"))
+    newDocs.join(vsCorpus.unionByName(within).distinct(),
+      id === col("__drop"), "left_anti")
+  }
+
   /** MinHash/LSH candidate pairs: band the signature, bucket-join, then
     * estimate Jaccard as the fraction of agreeing signature slots and
     * keep pairs ≥ `threshold`.
@@ -117,27 +210,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       shingleWidth: Int = 3, threshold: Double = 0.5,
       fastHash: Boolean = true): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    // Relational signature: numHashes codegen'd min-aggregates over the
-    // exploded shingle rows (identical values to minHashSignatureOf —
-    // min ignores duplicate shingles).
-    val hashAggs = (0 until numHashes).map { i =>
-      if (fastHash) min(xxhash64(lit(i.toLong), col("w"))).as(s"__h$i")
-      else min(md5(concat(lit(s"$i|"), col("w")))).as(s"__h$i")
-    }
-    val sig = shingleRows(df, text, id, shingleWidth)
-      .groupBy(col("id"))
-      .agg(hashAggs.head, hashAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
-    val bucketOf = (b: Int) =>
-      if (fastHash) xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).cast("string")
-      else md5(concat_ws(" ", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map(bucketOf): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = minHashIndex(df, text, id, numHashes, bands, shingleWidth, fastHash)
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     // shuffle_hash (not broadcast): both sides then shuffle on the same

@@ -44,6 +44,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupIncremental drops index matches and within-batch later dups, keeps fresh docs") {
+    for (fast <- Seq(false, true)) {
+      // Accepted corpus: docs 1 and 4. New batch: 11 ~ dup of 1 (vs
+      // index), 12 fresh, 13 ~ dup of 12 (within batch, later id), 14
+      // exact dup of 11 (whose match came from the index — transitive
+      // drop), 15 fresh.
+      val index = Dedup.minHashIndex(
+        Seq((1L, "the quick brown fox jumps over the lazy dog"),
+          (4L, "entirely different content about spark pipelines"))
+          .toDF("id", "text"),
+        $"text", $"id", numHashes = 32, bands = 8, fastHash = fast)
+      val batch = Seq(
+        (11L, "the quick brown fox jumps over the lazy dog"),
+        (12L, "completely novel material on distributed query planning"),
+        (13L, "completely novel material on distributed query planning today"),
+        (14L, "the quick brown fox jumps over the lazy dog"),
+        (15L, "a third topic nothing else resembles in any way at all"))
+        .toDF("id", "text")
+      val kept = Dedup.dedupIncremental(batch, $"text", $"id", index,
+        numHashes = 32, bands = 8, threshold = 0.5, fastHash = fast)
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(12L, 15L), s"fastHash=$fast: got $kept")
+    }
+  }
+
+  test("minHashIndex rows rebuild minHashPairs' exact candidate structure") {
+    // The persisted index must be re-probe-able: pairing the index
+    // against itself on (band, bucket) reproduces minHashPairs' pairs.
+    val idx = Dedup.minHashIndex(df, $"text", $"id", numHashes = 32, bands = 8)
+    val viaIndex = idx.as("l").join(idx.as("r"),
+        Seq("band", "bucket"))
+      .filter($"l.id" < $"r.id").select($"l.id", $"r.id")
+      .distinct().as[(Long, Long)].collect().toSet
+    val direct = Dedup.minHashPairs(df, $"text", $"id",
+        numHashes = 32, bands = 8, threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(direct.subsetOf(viaIndex))
+    assert(idx.columns.toSeq == Seq("id", "sig", "band", "bucket"))
+  }
+
   test("simHashPairs finds near-dup cluster and skips unrelated docs") {
     val pairs = Dedup.simHashPairs(df, $"text", $"id", bits = 48, bands = 8, maxHamming = 7)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -343,6 +383,27 @@ class UpsertSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("qualityLogit ranks prose above noise; qualityProb is its sigmoid") {
+    val rows = Seq(
+      ("prose", "the cat sat on the mat and the dog lay in the sun for hours"),
+      ("caps", "BUY NOW!!! AMAZING DEAL!!! CLICK HERE!!! WOW!!! SALE!!!"),
+      ("punct", "@#$% ^&*() !!! ;;; ::: ~~~ ??? ///"),
+      ("empty", ""))
+      .toDF("label", "t")
+      .select($"label", TextAnalysis.qualityLogit($"t").as("logit"),
+        TextAnalysis.qualityProb($"t").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows("prose")._1 > rows("caps")._1)
+    assert(rows("prose")._1 > rows("punct")._1)
+    assert(rows("prose")._1 > 0 && rows("punct")._1 < 0)
+    // Sigmoid: strictly monotone in the logit, bounded in (0, 1).
+    for ((l, p) <- rows.values) assert(p > 0.0 && p < 1.0 &&
+      math.abs(p - 1.0 / (1.0 + math.exp(-l))) < 1e-12)
+    // Empty text: every ratio guards to 0 — the score is finite (the
+    // bias), not NaN.
+    assert(!rows("empty")._1.isNaN)
+  }
 
   test("token and sub-token counts") {
     val r = Seq("Hello, world! 42 times").toDF("t")
