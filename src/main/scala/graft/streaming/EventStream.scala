@@ -69,4 +69,30 @@ object EventStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming gap sessionization — the stream form of the batch q92
+    * gaps-and-islands rollup, on Spark's native `session_window`:
+    * per-key sessions that MERGE while successive events arrive within
+    * `gap` of each other (strictly-greater breaks only — two events
+    * exactly `gap` apart share a session) and close at last-event +
+    * gap. Append mode: a session row emits exactly ONCE, when the
+    * watermark passes its end — so downstream sees only finalized
+    * sessions, and an event later than `delay` can neither reopen nor
+    * duplicate one (it is dropped).
+    *
+    * Scale: state is one open session per active key — session windows
+    * merge in place as events arrive, and the watermark both bounds
+    * lateness and evicts closed sessions, so state tracks concurrent
+    * activity, not stream history. Input schema: `key`, ts TIMESTAMP,
+    * value DOUBLE-ish. */
+  def sessionizeStream(events: DataFrame, key: String = "user_id",
+                       gap: String = "15 minutes",
+                       delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col(key), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col(key), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
 }

@@ -222,6 +222,35 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionizeStream: touching events merge, strict gap breaks, sessions emit once finalized") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlCtx
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Double, Timestamp)]
+    val qn = "sess_spec_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.sessionizeStream(
+        input.toDF().toDF("user_id", "value", "ts"),
+        key = "user_id", gap = "15 minutes", delay = "30 minutes")
+      .writeStream.format("memory").queryName(qn).outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 1.0, ts("2025-04-15 10:00:00")),
+        (1L, 2.0, ts("2025-04-15 10:15:00")),  // EXACTLY gap apart — merges
+        (1L, 4.0, ts("2025-04-15 10:31:00")))  // 16 min > gap — new session
+      q.processAllAvailable()
+      input.addData((2L, 0.0, ts("2025-04-15 13:00:00")))  // flush watermark
+      q.processAllAvailable()
+      val got = spark.table(qn).filter($"user_id" === 1L)
+        .select($"session_start".cast("string"), $"session_end".cast("string"),
+          $"n_events", $"total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        ("2025-04-15 10:00:00", "2025-04-15 10:30:00", 2L, 3.0),
+        ("2025-04-15 10:31:00", "2025-04-15 10:46:00", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join buffers across micro-batches and equals the batch join") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
