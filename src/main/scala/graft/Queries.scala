@@ -3547,7 +3547,284 @@ object Queries {
                THEN CAST((200 + (doc_id * 13) % 500) * 1000 // 16000 AS BIGINT)
              ELSE CAST((200 + (doc_id * 13) % 500) * 1000 // 44100 AS BIGINT)
              END AS duration_ms
-      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
+      FROM documents WHERE doc_id < 60 ORDER BY media_id""")),
+
+    // Keyed delete as an atomic snapshot commit
+    // (SnapshotStore.deleteCommit, K3 at snapshot granularity): the
+    // key list carries NO partition column, so the store must probe —
+    // a column-pruned (key, partition) semi-join — to find which
+    // partitions to rewrite, carry the rest by reference, and the
+    // post-delete read must equal the oracle's anti-filter.
+    ("q125_snapshot_delete", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q125_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+        col("o_totalprice"))
+      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey")),
+        root, "o_orderkey", "o_orderstatus")
+      graft.sinks.SnapshotStore.table(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""")),
+
+    // Row-level change feed between snapshot versions
+    // (SnapshotStore.changes): v1 commits a base, v2 merge-updates
+    // every %5==0 key and inserts the %5==4 keys v1 withheld, v3
+    // delete-commits the %5==1 keys. The feed v1→v3 must classify
+    // exactly those three classes — updates/inserts with to-version
+    // values, deletes with from-version values, untouched keys ABSENT
+    // — and the oracle derives all of it from the key arithmetic.
+    ("q126_change_feed", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q126_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      val incoming = orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+      graft.sinks.SnapshotStore.mergeCommit(s, incoming, root,
+        "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m5 === 1).select(col("o_orderkey")),
+        root, "o_orderkey", "o_orderstatus")
+      graft.sinks.SnapshotStore.changes(s, root, 1L, 3L, "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"), col("_change_type"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 5 = 1 THEN 1 ELSE 2 END AS rev,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'update'
+             WHEN o_orderkey % 5 = 4 THEN 'insert'
+             ELSE 'delete' END AS _change_type
+      FROM orders WHERE o_orderkey % 5 IN (0, 1, 4)
+      ORDER BY o_orderkey""")),
+
+    // Incremental corpus dedup (Dedup.dedupIncremental): the accepted
+    // corpus's MinHash signature index is PERSISTED (snapshot store,
+    // partitioned by band) and a new ingest batch — fresh docs, near
+    // -dups of indexed docs, and near-dups of other batch docs — is
+    // deduplicated against it without re-shingling the corpus. The
+    // oracle replays the md5 signatures, the banded probe vs the
+    // corpus, and the within-batch keep-first, all in SQL.
+    ("q127_incremental_dedup", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q127_store")
+        .resolve("t").toString
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val idx = graft.operators.Dedup.minHashIndex(corpus,
+        col("text"), col("doc_id"),
+        numHashes = 12, bands = 4, shingleWidth = 3, fastHash = false)
+      graft.sinks.SnapshotStore.commit(s, idx, root, "band")
+      val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" zz yy xx")).as("text")))
+        .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" aa bb")).as("text")))
+      graft.operators.Dedup.dedupIncremental(batch,
+          col("text"), col("doc_id"),
+          graft.sinks.SnapshotStore.read(s, root),
+          numHashes = 12, bands = 4, shingleWidth = 3,
+          threshold = 0.3, fastHash = false)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 200
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, text || ' zz yy xx' AS text
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text || ' aa bb' AS text
+        FROM documents WHERE doc_id >= 100 AND doc_id < 120),
+      alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alld),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      vs_corpus AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id >= 100 AND r.doc_id < 100
+          AND len(list_filter(generate_series(1, 12),
+                i -> l.sig[i] = r.sig[i])) / 12.0 >= 0.3),
+      within AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id >= 100 AND r.doc_id >= 100 AND l.doc_id > r.doc_id
+          AND len(list_filter(generate_series(1, 12),
+                i -> l.sig[i] = r.sig[i])) / 12.0 >= 0.3)
+      SELECT doc_id, length(text) AS n_chars FROM batch
+      WHERE doc_id NOT IN (SELECT doc_id FROM vs_corpus)
+        AND doc_id NOT IN (SELECT doc_id FROM within)
+      ORDER BY doc_id"""
+    }),
+
+    // Streaming gap sessionization (EventStream.sessionizeStream)
+    // under a real MemoryStream run — native session_window semantics
+    // pinned by oracle: events ≤15 min apart merge (6-min steps), a
+    // 36-min step breaks, sessions close at last-event+gap and emit
+    // exactly once (append mode) when the watermark passes. A sentinel
+    // advances the watermark to flush every session; a late replay
+    // into an already-emitted session (qty 7777 at minute 6) must be
+    // DROPPED — neither a duplicate session nor a changed total. The
+    // oracle replays the same timeline as batch gaps-and-islands.
+    ("q128_stream_sessionize", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import java.sql.Timestamp
+      val baseMs = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def atMin(m: Double) = new Timestamp(baseMs + (m * 60000).toLong)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val ev = t(s, d, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("user_id"), col("rn"),
+          floor(col("value") * 100).cast("int").as("v"))
+        .as[(Long, Int, Int)].collect()
+      val b0 = ev.map { case (u, rn, v) =>
+        (u, v, atMin((rn * 6 + 30 * (rn / 3)).toDouble)) }.toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Int, Timestamp)]
+      val qn = "q128_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStream.sessionizeStream(
+          input.toDF().toDF("user_id", "value", "ts"),
+          key = "user_id", gap = "15 minutes", delay = "1 hour")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      try {
+        input.addData(b0); q.processAllAvailable()
+        input.addData(Seq((9999L, 0, atMin(6000.0)))); q.processAllAvailable()
+        input.addData(Seq((0L, 7777, atMin(6.0)))); q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).filter(col("user_id") < 20)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+           FROM events WHERE user_id < 20),
+      u AS (SELECT user_id, rn, CAST(floor(value * 100) AS INT) AS v,
+             rn * 6 + 30 * (rn // 3) AS off
+            FROM e WHERE rn <= 10),
+      g AS (SELECT *, CASE WHEN off - lag(off) OVER
+              (PARTITION BY user_id ORDER BY off) > 15
+             THEN 1 ELSE 0 END AS brk FROM u),
+      sess AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY off
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+      agg AS (SELECT user_id, sid, min(off) AS a, max(off) AS b,
+             count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
+           FROM sess GROUP BY user_id, sid)
+      SELECT user_id,
+        epoch_us(TIMESTAMP '2026-01-01 00:00:00' + to_minutes(a)) AS start_us,
+        epoch_us(TIMESTAMP '2026-01-01 00:00:00' + to_minutes(b + 15)) AS end_us,
+        n_events, total_value
+      FROM agg ORDER BY user_id, start_us""")),
+
+    // Model-based quality filtering (TextAnalysis.qualityLogit): the
+    // classifier-filter shape of modern corpus curation as one
+    // codegen'd map-side projection. The linear model is plain IEEE
+    // arithmetic in a FIXED evaluation order, so the oracle replays
+    // the logit bit-for-bit — features, weights, decision rule.
+    ("q129_quality_logit", (s: SparkSession, d: String) => {
+      val logit = TextAnalysis.qualityLogit(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), logit.as("logit"), (logit > 0).as("kept"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','and','of','to','in','is','that','for','with'))) AS BIGINT) AS n_stop,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+        FROM documents),
+      f AS (SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+        CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+        CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END AS upper_ratio
+        FROM b)
+      SELECT doc_id,
+        -1.2 + 4.0 * stopword_ratio + -3.0 * punct_ratio + -2.0 * upper_ratio
+          + 0.1 * mean_token_len
+          + 1.5 * (CAST(least(n_tokens, 256) AS DOUBLE) / 256.0) AS logit,
+        (-1.2 + 4.0 * stopword_ratio + -3.0 * punct_ratio + -2.0 * upper_ratio
+          + 0.1 * mean_token_len
+          + 1.5 * (CAST(least(n_tokens, 256) AS DOUBLE) / 256.0)) > 0 AS kept
+      FROM f ORDER BY doc_id""")),
+
+    // Real multi-frame decode + frame-sample planning (Multimodal.
+    // decodeFrameMeta over ImageCodec.decodeFrames): executor-side
+    // animated-GIF encode → REAL frame-count decode, then every-3rd-
+    // frame sampling as a sequence-explode — the video half of the
+    // media family. Frames/dims come from doc_id arithmetic; every
+    // doc_id%10==3 row carries text bytes that must null-decode and
+    // produce NO sample rows. The oracle recomputes frame counts and
+    // the sampled indices from the same arithmetic.
+    ("q130_video_frames", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 3) Option(text).getOrElse("").getBytes("UTF-8")
+            else Multimodal.ImageCodec.encodeAnimated(
+              (16 + (id % 5) * 8).toInt, (16 + (id % 3) * 8).toInt,
+              (1 + id % 7).toInt)
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeFrameMeta(media)
+        .filter(col("n_frames").isNotNull)
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(3))).as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CAST(16 + (doc_id % 5) * 8 AS INT) AS width,
+          CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
+          CAST(1 + doc_id % 7 AS INT) AS n_frames
+        FROM documents WHERE doc_id < 60 AND doc_id % 10 <> 3)
+      SELECT media_id, width, height, n_frames,
+        CAST(u.f AS INT) AS frame_idx
+      FROM m, unnest(generate_series(0, n_frames - 1, 3)) AS u(f)
+      ORDER BY media_id, frame_idx"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -91,6 +91,67 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+    /** (format, width, height, frameCount) in ONE reader session —
+      * the multi-frame/video-ish variant of [[decodeDims]] for
+      * animated containers (GIF is what the JDK readers support).
+      * Counting frames walks the container's block structure (the
+      * reader needs a seekable, non-forward-only input) but still
+      * never rasterizes pixels, so a frame-count pass over an
+      * animation corpus stays metadata-priced. Single-frame formats
+      * report 1. None for unrecognized/truncated bytes, as ever. */
+    def decodeFrames(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              // seekForwardOnly = false: getNumImages(true) must scan
+              // the whole block sequence and rewind.
+              r.setInput(iis, false, true)
+              val n = r.getNumImages(true)
+              if (n <= 0) None
+              else Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0), n))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic multi-frame GIF fixture written by the real
+      * ImageIO sequence writer — the encode side of
+      * [[decodeFrames]] round-trips. Each frame is a flat color
+      * varying by index so bytes are reproducible. */
+    def encodeAnimated(width: Int, height: Int, frames: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && frames > 0,
+        s"bad animation fixture params: ${width}x$height x$frames")
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var i = 0
+        while (i < frames) {
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((i * 40) % 256, 64, 128))
+          g.fillRect(0, 0, width, height)
+          g.dispose()
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          i += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
     /** Deterministic single-color test image, encoded with the real
       * ImageIO writer — the fixture generator for decode round-trips
       * (`format`: "png", "jpeg", "gif", "bmp"). */
@@ -109,6 +170,33 @@ object Multimodal {
         s"no ImageIO writer for format '$format'")
       out.toByteArray
     }
+  }
+
+  case class FrameMeta(media_id: Long, format: Option[String],
+                       width: Option[Int], height: Option[Int],
+                       n_frames: Option[Int], n_bytes: Long)
+
+  /** Per-partition batched multi-frame decode via
+    * [[ImageCodec.decodeFrames]] — the video-ish metadata pass:
+    * format, dims, and REAL frame count per media row, nulls for
+    * undecodable content. Feed the result into a `sequence`-explode
+    * to plan frame sampling (every k-th frame) as pure column math —
+    * the downstream per-frame decode is then a bounded, pre-sized
+    * work list instead of a blind scan. Input needs
+    * (media_id BIGINT, content BINARY). */
+  def decodeFrameMeta(df: DataFrame): Dataset[FrameMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        ImageCodec.decodeFrames(bytes) match {
+          case Some((fmt, w, h, fc)) =>
+            FrameMeta(id, Some(fmt), Some(w), Some(h), Some(fc), n)
+          case None => FrameMeta(id, None, None, None, None, n)
+        }
+      })
   }
 
   case class DecodedMeta(media_id: Long, width: Int, height: Int, n_bytes: Long)

@@ -78,6 +78,30 @@ class MultimodalSpec extends SparkSpec {
       got(3L).height.isEmpty && got(3L).n_bytes > 0)
   }
 
+  test("decodeFrames: animated GIF round-trip counts real frames; single-frame formats report 1") {
+    val anim = Multimodal.ImageCodec.encodeAnimated(32, 24, 5)
+    assert(Multimodal.ImageCodec.decodeFrames(anim)
+      .contains(("gif", 32, 24, 5)))
+    val png = Multimodal.ImageCodec.encode(10, 7, 0x336699, "png")
+    assert(Multimodal.ImageCodec.decodeFrames(png)
+      .contains(("png", 10, 7, 1)))
+    // Corrupt/truncated/empty → None, never throw.
+    assert(Multimodal.ImageCodec.decodeFrames("nope".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.ImageCodec.decodeFrames(anim.take(20)).isEmpty)
+    assert(Multimodal.ImageCodec.decodeFrames(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeFrameMeta: distributed frame-count decode with nulls for undecodable rows") {
+    val rows = Seq(
+      (1L, Multimodal.ImageCodec.encodeAnimated(16, 16, 3)),
+      (2L, "text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val got = Multimodal.decodeFrameMeta(rows).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(got(1L).format.contains("gif") && got(1L).n_frames.contains(3))
+    assert(got(2L).n_frames.isEmpty && got(2L).n_bytes > 0)
+  }
+
   test("AudioCodec: WAV encode→decode round-trip, header-only semantics") {
     val bytes = Multimodal.AudioCodec.encode(16000, 2, 777)
     val Some((enc, ch, rate, bits, frames, durMs)) =

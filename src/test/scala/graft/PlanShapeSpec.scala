@@ -200,4 +200,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(pd.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n${pd.take(600)}")
     assert(!pd.contains("CartesianProduct"), "scrub went cartesian")
   }
+
+  test("quality logit is map-side; incremental dedup probes stay equi-keyed, never cartesian") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = (1L to 200L)
+      .map(i => (i, s"document number $i with several words of content here"))
+      .toDF("id", "text")
+    // Model-based quality filter: one projection, zero exchanges.
+    val pq = docs.select(graft.functions.TextAnalysis.qualityLogit($"text"))
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange"), s"quality logit shuffled:\n${pq.take(600)}")
+    // Incremental dedup: both the index probe and the within-batch
+    // probe must be equi-joins on (band, bucket) — hash/merge, never
+    // cartesian — or 100 TB ingest degrades to doc² work.
+    val idx = Dedup.minHashIndex(docs.filter($"id" <= 100), $"text", $"id")
+    val pd = Dedup.dedupIncremental(docs.filter($"id" > 100), $"text", $"id", idx)
+      .queryExecution.executedPlan.toString
+    assert(!pd.contains("CartesianProduct"), "incremental dedup went quadratic")
+    assert(pd.contains("ShuffledHashJoin") || pd.contains("SortMergeJoin"),
+      s"expected equi-join probes:\n${pd.take(800)}")
+  }
+
+  test("change feed joins per-key over the changed partitions only, never cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sinks.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("planshape_cdc")
+      .resolve("t").toString
+    val base = (1L to 50L).map(i => (i, s"s${i % 4}", i)).toDF("k", "part", "v")
+    SnapshotStore.commit(spark, base, root, "part")
+    SnapshotStore.mergeCommit(spark,
+      Seq((2L, "s2", 99L)).toDF("k", "part", "v"), root, "k", "v", "part")
+    val feed = SnapshotStore.changes(spark, root, 1L, 2L, "k")
+    val p = feed.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "change feed went cartesian")
+    // Only partition s2's files enter the diff — the other three
+    // partitions were carried by reference and must not be scanned.
+    val s2Files = SnapshotStore.manifest(spark, root, 2L)
+      .filter(_.partition == "s2").map(_.path).toSet ++
+      SnapshotStore.manifest(spark, root, 1L)
+        .filter(_.partition == "s2").map(_.path).toSet
+    val scanned = feed.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.forall(f => s2Files.exists(f.endsWith)),
+      s"change feed scanned untouched partitions: $scanned")
+  }
 }
