@@ -3824,7 +3824,151 @@ object Queries {
       SELECT media_id, width, height, n_frames,
         CAST(u.f AS INT) AS frame_idx
       FROM m, unnest(generate_series(0, n_frames - 1, 3)) AS u(f)
-      ORDER BY media_id, frame_idx"""))
+      ORDER BY media_id, frame_idx""")),
+
+    // Round-7 ingest capstone — the operators composed as a real
+    // corpus-ingest pipeline: model-based quality gate (logit > 0,
+    // cheapest first) → incremental near-dup dedup against the
+    // PERSISTED corpus signature index → deterministic hash split.
+    // The oracle chains all three replays: bit-exact logit, md5
+    // MinHash banded probes (corpus + within-batch keep-first over
+    // the FILTERED batch), and the md5 split thresholds.
+    ("q131_ingest_capstone", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q131_store")
+        .resolve("t").toString
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      graft.sinks.SnapshotStore.commit(s,
+        graft.operators.Dedup.minHashIndex(corpus, col("text"), col("doc_id"),
+          numHashes = 12, bands = 4, shingleWidth = 3, fastHash = false),
+        root, "band")
+      val batch = docs.filter(col("doc_id") >= 100)
+        .select(col("doc_id"), col("text"))
+        .withColumn("logit", TextAnalysis.qualityLogit(col("text")))
+        .filter(col("logit") > 0)
+      val deduped = graft.operators.Dedup.dedupIncremental(batch,
+        col("text"), col("doc_id"),
+        graft.sinks.SnapshotStore.read(s, root),
+        numHashes = 12, bands = 4, shingleWidth = 3,
+        threshold = 0.3, fastHash = false)
+      graft.operators.Sampling.hashSplit(deduped, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("logit"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','and','of','to','in','is','that','for','with'))) AS BIGINT) AS n_stop,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+          CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+        FROM documents WHERE doc_id >= 100),
+      lg AS (SELECT doc_id,
+        -1.2 + 4.0 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+          + -3.0 * (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+          + -2.0 * (CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE) / n_chars ELSE 0.0 END)
+          + 0.1 * (CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END)
+          + 1.5 * (CAST(least(n_tokens, 256) AS DOUBLE) / 256.0) AS logit
+        FROM b),
+      keepb AS (
+        SELECT d.doc_id, d.text, lg.logit FROM documents d
+        JOIN lg ON d.doc_id = lg.doc_id WHERE lg.logit > 0),
+      alld AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL SELECT doc_id, text FROM keepb),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alld),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      vs_corpus AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id >= 100 AND r.doc_id < 100
+          AND len(list_filter(generate_series(1, 12),
+                i -> l.sig[i] = r.sig[i])) / 12.0 >= 0.3),
+      within AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE l.doc_id >= 100 AND r.doc_id >= 100 AND l.doc_id > r.doc_id
+          AND len(list_filter(generate_series(1, 12),
+                i -> l.sig[i] = r.sig[i])) / 12.0 >= 0.3)
+      SELECT doc_id, logit,
+        CASE WHEN substr(md5('graft|' || doc_id), 1, 8) < 'cccccccd'
+               THEN 'train'
+             WHEN substr(md5('graft|' || doc_id), 1, 8) < 'e6666666'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM keepb
+      WHERE doc_id NOT IN (SELECT doc_id FROM vs_corpus)
+        AND doc_id NOT IN (SELECT doc_id FROM within)
+      ORDER BY doc_id"""
+    }),
+
+    // Luhn-gated credit-card redaction (TextAnalysis.redactCreditCards
+    // over the native LuhnValid expression): each doc carries a
+    // 16-digit derived number — spaced into groups for every %3==0 id
+    // — and ONLY checksum-valid runs may redact to <CC>; invalid runs
+    // (order-id lookalikes) must pass through untouched. The Spark
+    // side runs the full regex→Luhn-filter→fold pipeline; the oracle
+    // independently recomputes the checksum digit-by-digit from the
+    // construction arithmetic and replays the replacement decision.
+    ("q132_card_redaction", (s: SparkSession, d: String) => {
+      val num = (lit(4000000000000000L) + col("doc_id") * lit(987654321L))
+        .cast("string")
+      val card = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat_ws(" ", substring(num, 1, 4), substring(num, 5, 4),
+          substring(num, 9, 4), substring(num, 13, 4))).otherwise(num)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("ref#"), col("doc_id").cast("string"),
+            lit(" card "), card, lit(" end")).as("text2"))
+        .select(col("doc_id"),
+          TextAnalysis.redactCreditCards(col("text2")).as("redacted"))
+        .withColumn("valid",
+          graft.expressions.LuhnValid.column(
+            (lit(4000000000000000L) + col("doc_id") * lit(987654321L))
+              .cast("string")))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH n AS (
+        SELECT doc_id,
+          CAST(4000000000000000 + doc_id * 987654321 AS VARCHAR) AS num
+        FROM documents),
+      c AS (
+        SELECT doc_id, num,
+          CASE WHEN doc_id % 3 = 0
+            THEN substr(num,1,4) || ' ' || substr(num,5,4) || ' ' ||
+                 substr(num,9,4) || ' ' || substr(num,13,4)
+            ELSE num END AS card
+        FROM n),
+      t2 AS (
+        SELECT doc_id, num, card,
+          'ref#' || doc_id || ' card ' || card || ' end' AS text2
+        FROM c),
+      lv AS (
+        SELECT *, (list_sum(list_transform(generate_series(1, 16),
+            i -> CASE WHEN (16 - i) % 2 = 1
+                   THEN CASE WHEN 2 * CAST(substr(num, i, 1) AS INT) > 9
+                          THEN 2 * CAST(substr(num, i, 1) AS INT) - 9
+                          ELSE 2 * CAST(substr(num, i, 1) AS INT) END
+                   ELSE CAST(substr(num, i, 1) AS INT) END)) % 10 = 0) AS valid
+        FROM t2)
+      SELECT doc_id,
+        CASE WHEN valid THEN replace(text2, card, '<CC>') ELSE text2 END AS redacted,
+        valid
+      FROM lv ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

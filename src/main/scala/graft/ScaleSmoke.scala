@@ -53,6 +53,9 @@ object ScaleSmoke {
     // measurement isolates the incremental commit cost).
     val snapRoot = java.nio.file.Files
       .createTempDirectory("graft_scale_snap").toString + "/t"
+    val incIdxRoot = java.nio.file.Files
+      .createTempDirectory("graft_scale_incidx").toString + "/t"
+    val docs0Count = docs0.count()
     val snapBase = docs
       .withColumn("part", pmod(col("doc_id"), lit(16)))
       .withColumn("v", lit(1))
@@ -150,6 +153,51 @@ object ScaleSmoke {
           "doc_id", "v", "part")
         graft.sinks.SnapshotStore.read(spark, snapRoot,
           Some(Seq("3"))).count()
+      },
+      // Row-level change feed after the 1-of-16-partition merge: the
+      // manifest diff restricts the scan to partition 3's files at
+      // both versions, so the diff must cost a partition, not the
+      // table — the CDC claim, measured.
+      time("cdc_changes_narrow") {
+        graft.sinks.SnapshotStore.changes(spark, snapRoot, 1L, 2L, "doc_id")
+          .count()
+      },
+      // Keyed delete via the PROBE path (key list carries no partition
+      // column): one column-pruned (key, part) semi-join over the
+      // current snapshot finds the single touched partition, then only
+      // that partition rewrites.
+      time("delete_commit_probe") {
+        val doomed = snapBase.filter(col("part") === 3 &&
+          pmod(col("doc_id"), lit(10)) === 0).select(col("doc_id"))
+        graft.sinks.SnapshotStore.deleteCommit(spark, doomed, snapRoot,
+          "doc_id", "part")
+        graft.sinks.SnapshotStore.read(spark, snapRoot, Some(Seq("3"))).count()
+      },
+      // Incremental dedup: the index over the FULL amplified corpus is
+      // built+committed once (dedup_index_build); each ingest batch
+      // then probes it WITHOUT re-shingling the corpus
+      // (dedup_incremental_batch) — batch cost must track the batch
+      // and the index join, never corpus shingling.
+      time("dedup_index_build") {
+        val idx = Dedup.minHashIndex(docs, col("text"), col("doc_id"),
+          numHashes = 12, bands = 4, fastHash = true)
+        graft.sinks.SnapshotStore.commit(spark, idx, incIdxRoot, "band")
+        1L
+      },
+      time("dedup_incremental_batch") {
+        // Batch = one un-amplified corpus worth: half near-dups of
+        // indexed docs (suffix mutation), half fresh synthetic text.
+        val nearDups = docs0.select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" ingest mut")).as("text"))
+        val fresh = spark.range(docs0Count).select(
+          (col("id") + 950000000L).as("doc_id"),
+          concat(lit("unique ingest document number "), col("id"),
+            lit(" about topic "), pmod(col("id") * 7919L, lit(1000L)),
+            lit(" with novel content words")).as("text"))
+        Dedup.dedupIncremental(nearDups.unionByName(fresh),
+          col("text"), col("doc_id"),
+          graft.sinks.SnapshotStore.read(spark, incIdxRoot),
+          numHashes = 12, bands = 4, threshold = 0.5, fastHash = true).count()
       },
       // Stratified token-budget sample (8 strata, the multi-strata
       // default path of the hierarchical cumsum); budget scales with

@@ -72,3 +72,67 @@ object DeflateRatio {
   def apply(c: Column): Column = DeflateRatio.column(c)
   def column(c: Column): Column = Shim.column(DeflateRatio(Shim.expression(c)))
 }
+
+/** Luhn checksum validity over the digits of a string — the gate that
+  * separates real payment-card numbers from arbitrary 13–19-digit
+  * runs (order ids, tracking numbers) in PII scrubbing: redacting on
+  * the bare digit-run regex mangles half a commerce corpus, so the
+  * standard practice is regex candidates filtered by this checksum.
+  * Non-digit characters (spaces, dashes) are skipped in place, so
+  * the common "4111 1111 1111 1111" groupings validate directly.
+  * Strings with fewer than 2 digits are false (never null): an
+  * absent candidate is not a card. Native with codegen because it
+  * runs inside HOF lambdas over every candidate of every document —
+  * a Scala UDF there would leave whole-stage codegen.
+  *
+  * The checksum is pure integer arithmetic, so an external engine
+  * replays it exactly — the oracle does, digit by digit. */
+case class LuhnValid(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "luhn_valid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LuhnValid.valid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.LuhnValid.valid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
+    copy(child = newChild)
+}
+
+object LuhnValid {
+  /** Right-to-left Luhn fold over the ASCII digits of `s`, skipping
+    * every non-digit byte: double each second digit from the right,
+    * fold digit sums, valid iff total % 10 == 0 over ≥ 2 digits. */
+  def valid(s: UTF8String): Boolean = {
+    val bytes = s.getBytes
+    var sum = 0
+    var alt = false
+    var nDigits = 0
+    var i = bytes.length - 1
+    while (i >= 0) {
+      val b = bytes(i)
+      if (b >= '0' && b <= '9') {
+        var d = b - '0'
+        if (alt) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        alt = !alt
+        nDigits += 1
+      }
+      i -= 1
+    }
+    nDigits >= 2 && sum % 10 == 0
+  }
+
+  /** Column wrapper (see also `graft_luhn_valid` in SQL). */
+  def apply(c: Column): Column = column(c)
+  def column(c: Column): Column = Shim.column(LuhnValid(Shim.expression(c)))
+}

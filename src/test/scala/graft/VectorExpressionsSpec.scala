@@ -60,6 +60,47 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(TextAnalysis.compressionRatio($"t")).as[Double].collect()(0)
     assert(interp == codegen)
   }
+
+  test("luhn_valid: known cards, spacing, rejections, SQL surface, codegen = interpreted") {
+    import graft.functions.TextAnalysis
+    val rows = Seq(
+      ("visa", "4111111111111111"),        // canonical valid test number
+      ("spaced", "4111 1111 1111 1111"),   // separators skipped in place
+      ("dashed", "5500-0000-0000-0004"),   // valid mastercard test number
+      ("off_by_one", "4111111111111112"),  // checksum fails
+      ("short", "7"),                      // < 2 digits -> false, not null
+      ("no_digits", "no card here"))
+      .toDF("k", "s")
+      .select($"k", graft.expressions.LuhnValid.column($"s").as("v"))
+      .as[(String, Boolean)].collect().toMap
+    assert(rows("visa") && rows("spaced") && rows("dashed"))
+    assert(!rows("off_by_one") && !rows("short") && !rows("no_digits"))
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_luhn_valid('4111111111111111') AS a, graft_luhn_valid(NULL) AS b")
+      .collect()(0)
+    assert(viaSql.getBoolean(0) && viaSql.isNullAt(1))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    for (s <- Seq("4111111111111111", "4111111111111112", "x")) {
+      val interp = graft.expressions.LuhnValid(Literal(s)).eval(null)
+      val codegen = Seq(s).toDF("t")
+        .select(graft.expressions.LuhnValid.column($"t")).collect()(0).getBoolean(0)
+      assert(interp == codegen, s"codegen/interpreted disagree on '$s'")
+    }
+  }
+
+  test("redactCreditCards replaces only Luhn-valid runs, leaves lookalikes") {
+    import graft.functions.TextAnalysis
+    val got = Seq(
+      ("pay 4111 1111 1111 1111 today", "pay <CC> today"),
+      ("order 4111111111111112 shipped", "order 4111111111111112 shipped"),
+      ("cards 4111111111111111 and 5500-0000-0000-0004", "cards <CC> and <CC>"),
+      ("no digits at all", "no digits at all"))
+      .toDF("t", "want")
+      .select(TextAnalysis.redactCreditCards($"t").as("got"), $"want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"got '$g' want '$w'") }
+  }
 }
 
 class VectorExpressionsSpec extends SparkSpec {
