@@ -3968,7 +3968,123 @@ object Queries {
       SELECT doc_id,
         CASE WHEN valid THEN replace(text2, card, '<CC>') ELSE text2 END AS redacted,
         valid
-      FROM lv ORDER BY doc_id"""))
+      FROM lv ORDER BY doc_id""")),
+
+    // Streaming corpus ingest with incremental dedup (CorpusIngest.
+    // dedupingWriter): a real two-batch MemoryStream run where each
+    // micro-batch dedups against the PERSISTED signature index —
+    // batch 1 must be filtered by batch 0's SURVIVORS (not batch 0
+    // wholesale) plus the preseeded corpus, and survivors land in the
+    // accepted snapshot atomically. The oracle replays the batches
+    // SEQUENTIALLY: surv0 vs corpus, then surv1 vs corpus ∪ surv0.
+    ("q133_stream_ingest", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      val (idxRoot, accRoot) = (s"$dir/idx", s"$dir/acc")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id"), col("text"))
+      graft.sinks.SnapshotStore.commit(s,
+        corpus.withColumn("part", pmod(col("id"), lit(16))), accRoot, "part")
+      graft.sinks.SnapshotStore.commit(s,
+        graft.operators.Dedup.minHashIndex(corpus, col("text"), col("id"),
+            numHashes = 12, bands = 4, shingleWidth = 3, fastHash = false)
+          .withColumn("sig_key", concat_ws("#",
+            col("id").cast("string"), col("band").cast("string"))),
+        idxRoot, "band")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+        df.as[(Long, String)].collect().toSeq
+      val b0 = rows(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)) ++
+        rows(docs.filter(col("doc_id") < 20)
+          .select(col("doc_id") + 200000, concat(col("text"), lit(" zz yy xx"))))
+      val b1 = rows(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)) ++
+        rows(docs.filter(col("doc_id") >= 50 && col("doc_id") < 70)
+          .select(col("doc_id") + 300000, concat(col("text"), lit(" aa bb")))) ++
+        rows(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select(col("doc_id") + 400000, concat(col("text"), lit(" zz yy xx"))))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.CorpusIngest.dedupingWriter(
+        input.toDF().toDF("id", "text"), idxRoot, accRoot, s"$dir/ckpt",
+        numHashes = 12, bands = 4, shingleWidth = 3,
+        threshold = 0.3, fastHash = false).start()
+      try {
+        input.addData(b0); q.processAllAvailable()
+        input.addData(b1); q.processAllAvailable()
+      } finally q.stop()
+      graft.sinks.SnapshotStore.read(s, accRoot)
+        .select(col("id").as("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val seeds = (0 until 12).map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s)))")
+        .mkString("[", ", ", "]")
+      val est = "len(list_filter(generate_series(1, 12), i -> l.sig[i] = r.sig[i])) / 12.0 >= 0.3"
+      val inB0 = "BETWEEN 50 AND 99 OR %s BETWEEN 200000 AND 200019"
+      val inB1 = "BETWEEN 100 AND 149 OR %s BETWEEN 300050 AND 300069 OR %s BETWEEN 400020 AND 400039"
+      s"""
+      WITH alld AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 200000, text || ' zz yy xx' FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 300000, text || ' aa bb'
+        FROM documents WHERE doc_id >= 50 AND doc_id < 70
+        UNION ALL
+        SELECT doc_id + 400000, text || ' zz yy xx'
+        FROM documents WHERE doc_id >= 20 AND doc_id < 40),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM alld),
+      shingled AS (SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 2),
+                    i -> array_to_string(ws[i:i+2], ' ')) END AS sh
+        FROM w),
+      sig AS (SELECT doc_id, $seeds AS sig FROM shingled),
+      banded AS (
+        SELECT doc_id, sig, t.b AS band,
+          md5(array_to_string(sig[t.b*3+1:t.b*3+3], ' ')) AS bucket
+        FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+      vs0 AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE (l.doc_id ${inB0.format("l.doc_id")})
+          AND r.doc_id < 50 AND $est),
+      w0 AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE (l.doc_id ${inB0.format("l.doc_id")})
+          AND (r.doc_id ${inB0.format("r.doc_id")})
+          AND l.doc_id > r.doc_id AND $est),
+      surv0 AS (
+        SELECT doc_id FROM alld
+        WHERE (doc_id ${inB0.format("doc_id")})
+          AND doc_id NOT IN (SELECT doc_id FROM vs0)
+          AND doc_id NOT IN (SELECT doc_id FROM w0)),
+      vs1 AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE (l.doc_id ${inB1.format("l.doc_id", "l.doc_id")})
+          AND (r.doc_id < 50 OR r.doc_id IN (SELECT doc_id FROM surv0))
+          AND $est),
+      w1 AS (
+        SELECT DISTINCT l.doc_id FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+        WHERE (l.doc_id ${inB1.format("l.doc_id", "l.doc_id")})
+          AND (r.doc_id ${inB1.format("r.doc_id", "r.doc_id")})
+          AND l.doc_id > r.doc_id AND $est),
+      surv1 AS (
+        SELECT doc_id FROM alld
+        WHERE (doc_id ${inB1.format("doc_id", "doc_id")})
+          AND doc_id NOT IN (SELECT doc_id FROM vs1)
+          AND doc_id NOT IN (SELECT doc_id FROM w1)),
+      finalids AS (
+        SELECT doc_id FROM alld WHERE doc_id < 50
+        UNION ALL SELECT doc_id FROM surv0
+        UNION ALL SELECT doc_id FROM surv1)
+      SELECT a.doc_id, length(a.text) AS n_chars
+      FROM alld a JOIN finalids f ON a.doc_id = f.doc_id
+      ORDER BY a.doc_id"""
+    })
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
