@@ -173,6 +173,9 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       shingleWidth: Int = 3, threshold: Double = 0.5,
       fastHash: Boolean = true): DataFrame = {
+    require(Seq("band", "bucket", "sig").forall(index.columns.contains),
+      s"index needs (band, bucket, sig) columns — got ${index.columns.mkString(", ")}; " +
+        "build it with minHashIndex (and probe with the index's own parameters)")
     val newIdx = minHashIndex(newDocs, text, id, numHashes, bands, shingleWidth, fastHash)
     val probe = newIdx.select(col("band"), col("bucket"),
       col("id").as("__nid"), col("sig").as("__nsig"))

@@ -63,4 +63,24 @@ object MongoExport {
   def export(df: DataFrame, idCol: String, path: String,
              timestampFormat: String = IsoTimestamp): Unit =
     mongoJson(df, idCol, timestampFormat).write.mode("overwrite").text(path)
+
+  /** Streaming export — the `foreachBatch` connector mode a user
+    * replacing the reference's continuous Mongo load runs: each
+    * micro-batch lands as its own `batch_<id>/` directory of
+    * mongoimport-ready JSON lines (same `_id`-keyed upsert documents
+    * as [[export]], so importing batches in order replays the
+    * stream). Idempotent under crash/retry: a re-delivered batch id
+    * OVERWRITES its own directory — the import sees one copy. Feed
+    * directories to `mongoimport --mode upsert` as they appear. */
+  def exportStream(df: DataFrame, idCol: String, dir: String, checkpoint: String,
+                   timestampFormat: String = IsoTimestamp)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          mongoJson(batch, idCol, timestampFormat)
+            .write.mode("overwrite").text(s"$dir/batch_$bid")
+      }
 }

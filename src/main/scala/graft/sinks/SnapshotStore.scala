@@ -702,8 +702,8 @@ object SnapshotStore {
       val otherTypes = other.schema.map(f => f.name -> f.dataType).toMap
       val d = cols.filterNot(have).foldLeft(df)((d, c) =>
         d.withColumn(c, lit(null).cast(otherTypes(c))))
-      (d.select(cols.map(col): _*),
-        d.select(cols.map(col): _*).schema.map(f => f.name -> f.dataType).toMap)
+      val sel = d.select(cols.map(col): _*)
+      (sel, sel.schema.map(f => f.name -> f.dataType).toMap)
     }
     val (fA, fTypes) = aligned(from, to)
     val (tA, _) = aligned(to, from)

@@ -70,4 +70,23 @@ class MongoExportSpec extends SparkSpec {
       MongoExport.mongoJson(df, "nope")
     }
   }
+
+  test("exportStream lands each micro-batch as its own mongoimport directory") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mongo_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Int)]
+    val q = MongoExport.exportStream(
+      input.toDF().toDF("key", "v"), "key", s"$dir/out", s"$dir/ckpt").start()
+    try {
+      input.addData(Seq(("a", 1), ("b", 2))); q.processAllAvailable()
+      input.addData(Seq(("a", 3))); q.processAllAvailable()
+    } finally q.stop()
+    val b0 = spark.read.text(s"$dir/out/batch_0").as[String].collect().sorted
+    val b1 = spark.read.text(s"$dir/out/batch_1").as[String].collect().sorted
+    assert(b0.toSeq == Seq("""{"_id":"a","v":1}""", """{"_id":"b","v":2}"""))
+    // Importing batch dirs in order replays the stream: the later
+    // upsert document for "a" sits in the later directory.
+    assert(b1.toSeq == Seq("""{"_id":"a","v":3}"""))
+  }
 }
