@@ -57,7 +57,9 @@ object GraftExtensions {
     fn("graft_deflate_ratio", classOf[graft.expressions.DeflateRatio], 1,
       c => graft.expressions.DeflateRatio(c(0))),
     fn("graft_luhn_valid", classOf[graft.expressions.LuhnValid], 1,
-      c => graft.expressions.LuhnValid(c(0))))
+      c => graft.expressions.LuhnValid(c(0))),
+    fn("graft_redact_cards", classOf[graft.expressions.RedactCards], 1,
+      c => graft.expressions.RedactCards(c(0))))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

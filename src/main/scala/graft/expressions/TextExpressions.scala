@@ -136,3 +136,67 @@ object LuhnValid {
   def apply(c: Column): Column = column(c)
   def column(c: Column): Column = Shim.column(LuhnValid(Shim.expression(c)))
 }
+
+/** Luhn-gated credit-card redaction as ONE positional pass: the same
+  * leftmost-longest matcher that extracts each 13–19-character digit
+  * run (spaces/dashes allowed) also rewrites it in place — `<CC>`
+  * when its digits pass [[LuhnValid]], untouched otherwise. Doing
+  * extraction and replacement in one positional walk is the
+  * correctness point, not a micro-optimization: a replace-by-value
+  * fold redacts every occurrence of a valid candidate STRING,
+  * including where those same characters sit inside a longer,
+  * checksum-invalid run (an order id containing a card-like
+  * substring would be mangled). Here an embedded occurrence is never
+  * touched because the matcher consumed the longer run it belongs to.
+  * Native because no builtin can express "replace this match only if
+  * a checksum of its digits passes". */
+case class RedactCards(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "redact_cards"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType ||
+        child.dataType == org.apache.spark.sql.types.NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RedactCards.redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.RedactCards.redact($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RedactCards =
+    copy(child = newChild)
+}
+
+object RedactCards {
+  /** Candidate shape: digit-bounded run of digits/spaces/dashes,
+    * 13–19 chars — RE2-compatible, matched leftmost-longest (greedy),
+    * so a run longer than one card is consumed as ONE candidate and
+    * judged (and usually rejected) as a whole. */
+  private val Candidate =
+    java.util.regex.Pattern.compile("[0-9][0-9 -]{11,17}[0-9]")
+
+  def redact(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val m = Candidate.matcher(str)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(str.length)
+    var last = 0
+    do {
+      sb.append(str, last, m.start())
+      val g = m.group()
+      if (LuhnValid.valid(UTF8String.fromString(g))) sb.append("<CC>")
+      else sb.append(g)
+      last = m.end()
+    } while (m.find())
+    sb.append(str, last, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Column wrapper (see also `graft_redact_cards` in SQL). */
+  def apply(c: Column): Column = column(c)
+  def column(c: Column): Column = Shim.column(RedactCards(Shim.expression(c)))
+}

@@ -251,27 +251,24 @@ object TextAnalysis {
   def compressionRatio(text: Column): Column =
     graft.expressions.DeflateRatio.column(text)
 
-  /** Credit-card redaction gated on the Luhn checksum
-    * ([[graft.expressions.LuhnValid]]): candidate 13–19-character
-    * digit runs (spaces/dashes allowed between groups) are extracted
-    * by regex, their digits checksum-validated, and only VALID runs
+  /** Credit-card redaction gated on the Luhn checksum: candidate
+    * 13–19-character digit runs (spaces/dashes allowed between
+    * groups) are matched positionally and only checksum-VALID runs
     * are replaced with `<CC>` — bare digit-run redaction would mangle
     * order ids and tracking numbers across a commerce corpus, which
-    * is why every production PII pass pairs the regex with this
-    * checksum. Extends [[redactPii]]'s channel (compose as
-    * `redactCreditCards(redactPii(text))`; run PII first so card-like
-    * phone numbers are already typed). Entirely map-side: one
-    * regexp_extract_all, a filtered fold of literal replacements —
-    * no UDF, no shuffle, and the candidate regex stays in the
-    * RE2-compatible subset so an external engine can replay the
-    * decision exactly. */
-  def redactCreditCards(text: Column): Column = {
-    val cands = array_distinct(
-      regexp_extract_all(text, lit("[0-9][0-9 -]{11,17}[0-9]"), lit(0)))
-    val valid = filter(cands, c =>
-      graft.expressions.LuhnValid.column(regexp_replace(c, "[^0-9]", "")))
-    aggregate(valid, text, (acc, m) => replace(acc, m, lit("<CC>")))
-  }
+    * is why every production PII pass pairs the regex with the
+    * checksum. One native codegen'd pass
+    * ([[graft.expressions.RedactCards]]): extraction and replacement
+    * share the SAME leftmost-longest matcher, so a valid card's
+    * characters embedded inside a longer invalid run are never
+    * touched (a replace-by-value fold would corrupt them). Extends
+    * [[redactPii]]'s channel (compose as
+    * `redactCreditCards(redactPii(text))`; run PII first so
+    * card-like phone numbers are already typed). Map-side, no UDF,
+    * no shuffle; the decision (candidate shape + checksum) is plain
+    * RE2 + integer arithmetic, replayed by the oracle. */
+  def redactCreditCards(text: Column): Column =
+    graft.expressions.RedactCards.column(text)
 
   /** Weights of the [[qualityLogit]] linear model. The defaults are a
     * hand-set placeholder calibration (prose-positive: stopword share

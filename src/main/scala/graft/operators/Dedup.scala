@@ -176,6 +176,8 @@ object Dedup {
     require(Seq("band", "bucket", "sig").forall(index.columns.contains),
       s"index needs (band, bucket, sig) columns — got ${index.columns.mkString(", ")}; " +
         "build it with minHashIndex (and probe with the index's own parameters)")
+    require(!newDocs.columns.contains("__drop"),
+      "dedupIncremental reserves the __drop column name; rename it in newDocs")
     val newIdx = minHashIndex(newDocs, text, id, numHashes, bands, shingleWidth, fastHash)
     val probe = newIdx.select(col("band"), col("bucket"),
       col("id").as("__nid"), col("sig").as("__nsig"))

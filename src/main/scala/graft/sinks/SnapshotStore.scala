@@ -501,8 +501,18 @@ object SnapshotStore {
       case None => all
     }
     // A fully-pruned selection keeps the snapshot's schema (limit 0
-    // over the full file set) rather than failing on an empty path list.
-    if (wanted.isEmpty) readEntries(spark, root, all).limit(0)
+    // over the full file set) rather than failing on an empty path
+    // list. A version with NO files at all (a deleteCommit emptied
+    // the table) is still a valid, readable snapshot: its schema
+    // lives in the stats sidecar.
+    if (all.isEmpty)
+      schemaFor(spark, root, version) match {
+        case Some(sc) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        case None => throw new IllegalStateException(
+          s"version $version of $root has no files and no schema sidecar")
+      }
+    else if (wanted.isEmpty) readEntries(spark, root, all).limit(0)
     else readEntries(spark, root, wanted)
   }
 
@@ -585,13 +595,24 @@ object SnapshotStore {
   /** K3's keyed delete (`mongodb_loader.py:218-231`'s `delete_many`
     * by key list) as an atomic snapshot commit: every row of the
     * current snapshot whose `keyCol` appears in `keys` is removed in
-    * one new version. Only partitions that can hold a doomed key are
-    * rewritten — taken from `keys`' own partition column when the
-    * caller provides one, else found by a column-pruned
-    * (key, partition) semi-join probe of the current snapshot — and
-    * every other partition's files are carried by reference, exactly
-    * like [[mergeCommit]]. A partition whose rows are all deleted
-    * disappears from the manifest (nothing is written for it).
+    * one new version. Only partitions that ACTUALLY hold a doomed key
+    * are rewritten — found by a column-pruned (key, partition)
+    * semi-join probe of the current snapshot — and every other
+    * partition's files are carried by reference, exactly like
+    * [[mergeCommit]]. A partition whose rows are all deleted
+    * disappears from the manifest; deleting the LAST row leaves a
+    * valid empty snapshot (schema carried by the stats sidecar).
+    *
+    * When `keys` carries the partition column, the probe scan is
+    * PRUNED to those partitions (manifest-level — unrelated
+    * partitions are never listed), making delete cost ∝ the hinted
+    * partitions instead of one table-wide two-column scan. The hint
+    * is a scope, not a trust: within it the probe still decides
+    * which partitions rewrite, so a hinted partition with no doomed
+    * rows is NOT pointlessly rewritten — but a doomed key living
+    * OUTSIDE the hinted partitions is out of scope and survives, by
+    * contract (same co-location contract as mergeCommit's partition
+    * routing; omit the column to delete table-wide).
     *
     * Null keys in `keys` match nothing (anti-join semantics), so a
     * sloppy key list cannot mass-delete null-keyed rows. Returns the
@@ -605,16 +626,19 @@ object SnapshotStore {
     val norm: Column => Column = c =>
       when(c.isNull || c.cast("string") === "",
         lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
+    val scope: Option[Set[String]] =
+      if (!keys.columns.contains(partitionCol)) None
+      else Some(keys.select(norm(col(partitionCol))).distinct()
+        .collect().map(_.getString(0)).toSet)
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val entries = manifest(spark, root, cur)
+      // Probe (always): which in-scope partitions actually contain a
+      // doomed key. The hint only prunes the probe's scan.
       val touched: Set[String] =
-        if (keys.columns.contains(partitionCol))
-          keys.select(norm(col(partitionCol))).distinct()
-            .collect().map(_.getString(0)).toSet
-        else readVersion(spark, root, cur)
+        readVersion(spark, root, cur, scope.map(_.toSeq))
           .select(col(keyCol), col(partitionCol))
           .join(doomed, Seq(keyCol), "left_semi")
           .select(norm(col(partitionCol))).distinct()

@@ -53,23 +53,34 @@ object CorpusIngest {
               Dedup.minHashIndex(batch.limit(0), col("text"), col("id"),
                 numHashes, bands, shingleWidth, fastHash)
           }
+          // Persist: the dedup DAG (batch shingling + two index joins)
+          // would otherwise re-execute for the emptiness check AND
+          // inside each merge commit (touched-partition collect +
+          // data-file write each recompute their input) — ~5 plan
+          // executions per batch on the continuous hot path.
           val survivors = Dedup.dedupIncremental(batch, col("text"), col("id"),
-            index, numHashes, bands, shingleWidth, threshold, fastHash)
-          if (!survivors.isEmpty) {
-            // Accepted docs: keyed merge (idempotent under re-delivery).
-            SnapshotStore.mergeCommit(spark,
-              survivors.withColumn("part", pmod(col("id"), lit(16))),
-              acceptedRoot, keyCol = "id", versionCol = "id",
-              partitionCol = "part")
-            // Index rows: one row per (id, band) — key on the pair so
-            // a re-delivered batch's signatures merge in place.
-            val sigs = Dedup.minHashIndex(survivors, col("text"), col("id"),
-                numHashes, bands, shingleWidth, fastHash)
-              .withColumn("sig_key",
-                concat_ws("#", col("id").cast("string"), col("band").cast("string")))
-            SnapshotStore.mergeCommit(spark, sigs, indexRoot,
-              keyCol = "sig_key", versionCol = "id", partitionCol = "band")
-          }
+            index, numHashes, bands, shingleWidth, threshold, fastHash).persist()
+          try {
+            if (!survivors.isEmpty) {
+              // Accepted docs: keyed merge (idempotent under re-delivery).
+              SnapshotStore.mergeCommit(spark,
+                survivors.withColumn("part", pmod(col("id"), lit(16))),
+                acceptedRoot, keyCol = "id", versionCol = "id",
+                partitionCol = "part")
+              // Index rows: one row per (id, band) — key on the pair so
+              // a re-delivered batch's signatures merge in place. Also
+              // persisted: its one shingle pass over the (cached)
+              // survivors would otherwise run once per commit phase.
+              val sigs = Dedup.minHashIndex(survivors, col("text"), col("id"),
+                  numHashes, bands, shingleWidth, fastHash)
+                .withColumn("sig_key",
+                  concat_ws("#", col("id").cast("string"), col("band").cast("string")))
+                .persist()
+              try SnapshotStore.mergeCommit(spark, sigs, indexRoot,
+                keyCol = "sig_key", versionCol = "id", partitionCol = "band")
+              finally sigs.unpersist()
+            }
+          } finally survivors.unpersist()
           ()
         }
       }

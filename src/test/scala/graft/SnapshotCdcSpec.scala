@@ -40,7 +40,7 @@ class SnapshotCdcSpec extends SparkSpec {
     assert(SnapshotStore.readVersion(spark, root, 1).count() == 4)
   }
 
-  test("deleteCommit with explicit partitions skips the probe; empty delete is a version no-op") {
+  test("deleteCommit with explicit partitions prunes the probe; empty delete is a version no-op") {
     val root = freshRoot()
     SnapshotStore.commit(spark,
       table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
@@ -55,12 +55,36 @@ class SnapshotCdcSpec extends SparkSpec {
       Seq(("zz", "zz")).toDF("product_id", "supplier"), root,
       "product_id", "supplier")
     assert(v3 == 2L && SnapshotStore.versions(spark, root) == Seq(1L, 2L))
-    // Null keys match nothing (anti-join semantics) — no mass delete.
+    // Null keys match nothing (anti-join semantics) — no mass delete;
+    // and the hinted partition holds no doomed row, so this too is an
+    // EXACT no-op (the probe inside the hint decides, the hint alone
+    // never forces a rewrite).
     val v4 = SnapshotStore.deleteCommit(spark,
       Seq((null: String, "b")).toDF("product_id", "supplier"), root,
       "product_id", "supplier")
     assert(SnapshotStore.read(spark, root).count() == 1)
-    assert(v4 <= 3L)
+    assert(v4 == 2L && SnapshotStore.versions(spark, root) == Seq(1L, 2L))
+  }
+
+  test("deleting every row leaves a valid, readable, recoverable empty snapshot") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    val v2 = SnapshotStore.deleteCommit(spark,
+      Seq("p1", "p2").toDF("product_id"), root, "product_id", "supplier")
+    assert(v2 == 2L)
+    // The empty version reads as zero rows WITH the table's schema
+    // (carried by the stats sidecar), through both the API and the
+    // skipping table path.
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.columns.toSeq == Seq("product_id", "supplier", "version"))
+    assert(empty.count() == 0)
+    assert(SnapshotStore.changes(spark, root, 1, 2, "product_id")
+      .filter(col("_change_type") =!= "delete").isEmpty)
+    // The table is not bricked: a later merge repopulates it.
+    val v3 = SnapshotStore.mergeCommit(spark, table(("p9", "a", 9)), root,
+      "product_id", "version", "supplier")
+    assert(v3 == 3L && SnapshotStore.read(spark, root).count() == 1)
   }
 
   test("changes classifies insert/update/delete and skips untouched partitions") {

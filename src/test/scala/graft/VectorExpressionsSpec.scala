@@ -95,11 +95,21 @@ class GraftExtensionsSpec extends SparkSpec {
       ("pay 4111 1111 1111 1111 today", "pay <CC> today"),
       ("order 4111111111111112 shipped", "order 4111111111111112 shipped"),
       ("cards 4111111111111111 and 5500-0000-0000-0004", "cards <CC> and <CC>"),
+      // A valid card's characters EMBEDDED in a longer invalid run:
+      // the positional matcher consumed the 17-digit run whole, so
+      // the order-id must survive byte-for-byte while the standalone
+      // card still redacts (a replace-by-value fold corrupts this).
+      ("pay 4111111111111111 ref 94111111111111111",
+        "pay <CC> ref 94111111111111111"),
       ("no digits at all", "no digits at all"))
       .toDF("t", "want")
       .select(TextAnalysis.redactCreditCards($"t").as("got"), $"want")
       .as[(String, String)].collect()
     got.foreach { case (g, w) => assert(g == w, s"got '$g' want '$w'") }
+    // SQL surface reaches the same kernel.
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_redact_cards('x 4111111111111111 y') AS r")
+      .collect()(0).getString(0) == "x <CC> y")
   }
 }
 
