@@ -4084,7 +4084,29 @@ object Queries {
       SELECT a.doc_id, length(a.text) AS n_chars
       FROM alld a JOIN finalids f ON a.doc_id = f.doc_id
       ORDER BY a.doc_id"""
-    })
+    }),
+
+    // S7 under oracle — the connection/validation probe
+    // (FeedReader.validate, the CLI `validate` action's engine): a
+    // readable non-empty feed probes OK, a missing path and an
+    // empty file probe false (the reference's validate_connection,
+    // etl/base.py:275-292, re-expressed as a source probe). VALUES
+    // oracle pins all three outcomes.
+    ("q134_validate_probe", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val sample = "/root/reference/sample data/MidOcean Sample Data.jsonc"
+      val empty = java.nio.file.Files
+        .createTempFile("graft_empty_feed", ".jsonc").toString
+      Seq(
+        ("empty", graft.sources.FeedReader.validate(s, empty)),
+        ("midocean", graft.sources.FeedReader.validate(s, sample)),
+        ("missing", graft.sources.FeedReader.validate(s,
+          "/tmp/graft_no_such_feed_q134.jsonc")))
+        .toDF("supplier", "feed_ok").orderBy(col("supplier"))
+    }, Some("""
+      SELECT * FROM (VALUES ('empty', false), ('midocean', true),
+        ('missing', false)) AS t(supplier, feed_ok)
+      ORDER BY supplier"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
