@@ -122,6 +122,47 @@ class SnapshotCdcSpec extends SparkSpec {
     assert(SnapshotStore.changes(spark, root, 1, 2, "product_id").isEmpty)
   }
 
+  test("the feed RECONSTRUCTS the target version: v_from + changes = v_to, exactly") {
+    import org.apache.spark.sql.functions._
+    // Seeded pseudo-random mutation pattern over a 300-row keyed
+    // table: ~1/3 updated, ~1/5 deleted, 60 inserted — then the CDC
+    // contract is checked semantically: applying the classified feed
+    // to the old version must yield the new version row-for-row.
+    val root = freshRoot()
+    val base = spark.range(300).select(
+      col("id").as("k"),
+      pmod(col("id"), lit(7)).cast("string").as("part"),
+      (col("id") * 31 % 97).as("v"))
+    SnapshotStore.commit(spark, base, root, "part")
+    SnapshotStore.mergeCommit(spark,
+      base.filter(pmod(col("k"), lit(3)) === 0)
+        .withColumn("v", col("v") + 1000)
+        .unionByName(spark.range(300, 360).select(
+          col("id").as("k"), pmod(col("id"), lit(7)).cast("string").as("part"),
+          lit(-1L).as("v"))),
+      root, "k", "v", "part")
+    SnapshotStore.deleteCommit(spark,
+      base.filter(pmod(col("k"), lit(5)) === 1).select(col("k")), root, "k", "part")
+    val from = SnapshotStore.readVersion(spark, root, 1)
+    val to = SnapshotStore.readVersion(spark, root, 3)
+    val feed = SnapshotStore.changes(spark, root, 1, 3, "k")
+    // Apply: drop deleted+updated keys from v_from, add back
+    // insert/update payloads.
+    val touchedKeys = feed.select(col("k")).distinct()
+    val applied = from.join(touchedKeys, Seq("k"), "left_anti")
+      .unionByName(feed.filter(col("_change_type") =!= "delete")
+        .drop("_change_type"))
+    val cols = to.columns.map(col).toIndexedSeq
+    assert(applied.select(cols: _*).exceptAll(to.select(cols: _*)).isEmpty &&
+      to.select(cols: _*).exceptAll(applied.select(cols: _*)).isEmpty,
+      "applying the change feed to v1 did not reproduce v3")
+    // And the feed is MINIMAL: no change row for an untouched key.
+    val untouched = from.join(to, Seq("k"))
+      .filter(from("v") === to("v")).select(col("k"))
+    assert(feed.join(untouched, Seq("k"), "left_semi").isEmpty,
+      "feed contains rows for unchanged keys")
+  }
+
   test("changes across schema evolution and map-typed columns") {
     val root = freshRoot()
     val v1Rows = Seq(("p1", "a", Map("en" -> "one")), ("p2", "a", Map("en" -> "two")))

@@ -89,6 +89,39 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("luhn_valid agrees with an independent left-to-right formulation on random inputs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Reference implementation written the OTHER way round (left to
+    // right with explicit parity), plus the check-digit identity:
+    // appending the digit that completes the sum always validates.
+    def refLuhn(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).map(_ - '0')
+      if (ds.length < 2) return false
+      val total = ds.reverse.zipWithIndex.map { case (d, i) =>
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      total % 10 == 0
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val n = 2 + rnd.nextInt(24)
+      val s = (1 to n).map { _ =>
+        val r = rnd.nextInt(12)
+        if (r < 10) ('0' + r).toChar else if (r == 10) ' ' else '-'
+      }.mkString
+      assert(graft.expressions.LuhnValid.valid(UTF8String.fromString(s)) == refLuhn(s),
+        s"disagreement on '$s'")
+    }
+    // Check-digit identity: for any digit prefix, exactly one final
+    // digit validates.
+    for (_ <- 1 to 100) {
+      val prefix = (1 to 11 + rnd.nextInt(7)).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+      val valids = (0 to 9).count(d =>
+        graft.expressions.LuhnValid.valid(UTF8String.fromString(prefix + d)))
+      assert(valids == 1, s"prefix '$prefix' had $valids valid check digits")
+    }
+  }
+
   test("redactCreditCards replaces only Luhn-valid runs, leaves lookalikes") {
     import graft.functions.TextAnalysis
     val got = Seq(
