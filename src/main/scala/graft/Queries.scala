@@ -4106,7 +4106,47 @@ object Queries {
     }, Some("""
       SELECT * FROM (VALUES ('empty', false), ('midocean', true),
         ('missing', false)) AS t(supplier, feed_ok)
-      ORDER BY supplier"""))
+      ORDER BY supplier""")),
+
+    // Pure-SQL CDC (the table_changes analog): the q126 change feed
+    // consumed ENTIRELY through SQL — a `graft-snapshot` view with
+    // changesFrom/changesTo/key options — so a SQL-only user reads
+    // row-level diffs with no Scala API in sight. Same oracle as the
+    // API form: the classifications derive from the key arithmetic.
+    ("q135_sql_change_feed", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q135_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      val incoming = orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+      graft.sinks.SnapshotStore.mergeCommit(s, incoming, root,
+        "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m5 === 1).select(col("o_orderkey")),
+        root, "o_orderkey", "o_orderstatus")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q135 " +
+        s"USING `graft-snapshot` OPTIONS (path '$root', " +
+        s"changesFrom '1', changesTo '3', key 'o_orderkey')")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, rev, _change_type
+        FROM graft_q135 ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 5 = 1 THEN 1 ELSE 2 END AS rev,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'update'
+             WHEN o_orderkey % 5 = 4 THEN 'insert'
+             ELSE 'delete' END AS _change_type
+      FROM orders WHERE o_orderkey % 5 IN (0, 1, 4)
+      ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -56,15 +56,37 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
                               parameters: Map[String, String]): BaseRelation = {
     val root = parameters.get("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshot needs a table root: .load(<root>) or OPTIONS (path '<root>')"))
-    val version = parameters.get("version").map { v =>
+    def versionOpt(name: String): Option[Long] = parameters.get(name).map { v =>
       try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft-snapshot option 'version' must be a number, got '$v'")
+          s"graft-snapshot option '$name' must be a number, got '$v'")
       }
     }
-    val partitions = parameters.get("partitions")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-    SnapshotStore.relationWithIndex(
-      sqlContext.sparkSession, root, version, partitions)._1
+    // Pure-SQL CDC (the table_changes analog): changesFrom/changesTo
+    // + key turn the view into the row-level change feed between the
+    // two versions (SnapshotStore.changes — insert/update/delete in
+    // `_change_type`, manifest-diff-bounded scan). A computed-join
+    // relation, so no parquet pushdown INTO the feed — CDC reads are
+    // full consumption by nature; filter downstream.
+    (versionOpt("changesFrom"), versionOpt("changesTo")) match {
+      case (Some(f), Some(t)) =>
+        val key = parameters.getOrElse("key", throw new IllegalArgumentException(
+          "graft-snapshot change feed needs the table's key column: OPTIONS (key '<col>')"))
+        val df = SnapshotStore.changes(sqlContext.sparkSession, root, f, t, key)
+        val ctx = sqlContext
+        new BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: SQLContext = ctx
+          override def schema: org.apache.spark.sql.types.StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            df.rdd
+        }
+      case (None, None) =>
+        val partitions = parameters.get("partitions")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        SnapshotStore.relationWithIndex(
+          sqlContext.sparkSession, root, versionOpt("version"), partitions)._1
+      case _ => throw new IllegalArgumentException(
+        "graft-snapshot options changesFrom and changesTo must be provided together")
+    }
   }
 }

@@ -163,6 +163,32 @@ class SnapshotCdcSpec extends SparkSpec {
       "feed contains rows for unchanged keys")
   }
 
+  test("SQL change-feed view equals the API feed; option errors are loud") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2), ("p3", "b", 2)), root,
+      "product_id", "version", "supplier")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_view USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', changesFrom '1', changesTo '2', key 'product_id')")
+    val viaSql = spark.table("cdc_view")
+      .select("product_id", "version", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    val viaApi = SnapshotStore.changes(spark, root, 1, 2, "product_id")
+      .select("product_id", "version", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    assert(viaSql == viaApi &&
+      viaSql == Set(("p1", 2, "update"), ("p3", 2, "insert")))
+    // Lone changesFrom and missing key both fail loudly at creation.
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_bad1 USING `graft-snapshot` " +
+        s"OPTIONS (path '$root', changesFrom '1')")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_bad2 USING `graft-snapshot` " +
+        s"OPTIONS (path '$root', changesFrom '1', changesTo '2')")
+    }
+  }
+
   test("changes across schema evolution and map-typed columns") {
     val root = freshRoot()
     val v1Rows = Seq(("p1", "a", Map("en" -> "one")), ("p2", "a", Map("en" -> "two")))
