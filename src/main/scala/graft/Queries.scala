@@ -4147,6 +4147,139 @@ object Queries {
              ELSE 'delete' END AS _change_type
       FROM orders WHERE o_orderkey % 5 IN (0, 1, 4)
       ORDER BY o_orderkey"""))
+    ,
+
+    // E48: RESTORE — roll the table back to v1 by reference (a pure
+    // metadata commit), then read the CURRENT version. The restored
+    // content must be exactly v1's: the merge's updates and inserts
+    // vanish, yet remain time-travelable (spec-pinned). Oracle derives
+    // v1 from the same key arithmetic that built it.
+    ("q136_snapshot_restore", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q136_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      val incoming = orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+      graft.sinks.SnapshotStore.mergeCommit(s, incoming, root,
+        "o_orderkey", "rev", "o_orderstatus")
+      val v = graft.sinks.SnapshotStore.restore(s, root, 1L)
+      require(v == 3L, s"restore committed v$v, expected 3")
+      graft.sinks.SnapshotStore.table(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS rev
+      FROM orders WHERE o_orderkey % 5 <> 4
+      ORDER BY o_orderkey""")),
+
+    // E48: DESCRIBE HISTORY — the per-version audit view over a
+    // commit → merge → delete → restore sequence. Operations come from
+    // the manifest's #op tag; partition and row counts replay from the
+    // same key arithmetic (total_rows via the stats sidecar — no data
+    // read).
+    ("q137_snapshot_history", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q137_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 4).withColumn("rev", lit(2)), root,
+        "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m5 === 1).select(col("o_orderkey")), root,
+        "o_orderkey", "o_orderstatus")
+      graft.sinks.SnapshotStore.restore(s, root, 1L)
+      graft.sinks.SnapshotStore.history(s, root)
+        .select(col("version"), col("operation"),
+          col("n_partitions"), col("total_rows"))
+        .orderBy(col("version"))
+    }, Some("""
+      SELECT CAST(1 AS BIGINT) AS version, 'commit' AS operation,
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 4) AS n_partitions,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4) AS total_rows
+      UNION ALL SELECT 2, 'merge',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders),
+        (SELECT count(*) FROM orders)
+      UNION ALL SELECT 3, 'delete',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 1),
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 1)
+      UNION ALL SELECT 4, 'restore',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 4),
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4)
+      ORDER BY version"""))
+    ,
+
+    // E49: declarative expectations — the one-pass batch gate report
+    // (Delta Live Tables EXPECT shape). Violation = predicate
+    // definitively FALSE (SQL CHECK: null passes), replayed as the
+    // same conditional sums.
+    ("q138_expectations_report", (s: SparkSession, d: String) => {
+      import graft.operators.Expectations, Expectations.Expectation
+      Expectations.report(t(s, d, "lineitem"), Seq(
+          Expectation("discount_low", col("l_discount") <= 0.05),
+          Expectation("qty_small", col("l_quantity") <= 25),
+          Expectation("tax_cap", col("l_tax") <= 0.06),
+          Expectation("status_set", col("l_linestatus").isNotNull)))
+        .orderBy(col("rule"))
+    }, Some("""
+      WITH agg AS (SELECT count(*) AS total,
+        CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, true)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_discount,
+        CAST(sum(CASE WHEN NOT coalesce(l_quantity <= 25, true)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        CAST(sum(CASE WHEN NOT coalesce(l_tax <= 0.06, true)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        CAST(sum(CASE WHEN NOT coalesce(l_linestatus IS NOT NULL, true)
+            THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+        FROM lineitem)
+      SELECT rule, violations, total, violations = 0 AS pass FROM (
+        SELECT 'discount_low' AS rule, v_discount AS violations, total FROM agg
+        UNION ALL SELECT 'qty_small', v_qty, total FROM agg
+        UNION ALL SELECT 'tax_cap', v_tax, total FROM agg
+        UNION ALL SELECT 'status_set', v_status, total FROM agg)
+      ORDER BY rule""")),
+
+    // E49: per-row violation tagging for the quarantine channel — the
+    // dead-letter path at row granularity. The tag array replays as a
+    // sorted list_filter over CASE tags.
+    ("q139_expectations_tags", (s: SparkSession, d: String) => {
+      import graft.operators.Expectations, Expectations.Expectation
+      Expectations.withViolations(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("o_orderstatus")),
+          Seq(
+            Expectation("price_cap", col("o_totalprice") < 250000.0),
+            Expectation("not_pending", col("o_orderstatus") =!= "P"),
+            Expectation("not_medium",
+              col("o_orderpriority") =!= "3-MEDIUM")))
+        .select(col("o_orderkey"),
+          array_join(col("_violations"), ",").as("violated"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, coalesce(array_to_string(list_sort(list_filter([
+          CASE WHEN NOT coalesce(o_totalprice < 250000.0, true)
+            THEN 'price_cap' END,
+          CASE WHEN NOT coalesce(o_orderstatus <> 'P', true)
+            THEN 'not_pending' END,
+          CASE WHEN NOT coalesce(o_orderpriority <> '3-MEDIUM', true)
+            THEN 'not_medium' END],
+        x -> x IS NOT NULL)), ','), '') AS violated
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -94,13 +94,29 @@ object SnapshotStore {
     }
   }
 
+  /** The operation tag a version's committer recorded (`commit`,
+    * `merge`, `delete`, `compact`, `zorder`, `restore`). None for
+    * manifests written before operation tagging existed — [[history]]
+    * surfaces those as null rather than guessing. */
+  def manifestOperation(spark: SparkSession, root: String, version: Long): Option[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("#op\t") => l.stripPrefix("#op\t")
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String, version: Long,
-                            entries: Seq[ManifestEntry]): Boolean = {
+                            entries: Seq[ManifestEntry],
+                            operation: String = ""): Boolean = {
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
     val out = f.create(tmp, false)
-    try out.write((s"#committer\t$token" +: entries.map(e =>
+    val headers = s"#committer\t$token" +:
+      (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil)
+    try out.write((headers ++ entries.map(e =>
       s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}")).mkString("\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(root, version)
@@ -200,10 +216,15 @@ object SnapshotStore {
     * footer read over the new paths — the format doesn't change. */
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          carried: Seq[ManifestEntry], fresh: Seq[ManifestEntry],
-                         newSchema: Option[org.apache.spark.sql.types.StructType]): Unit = try {
+                         newSchema: Option[org.apache.spark.sql.types.StructType],
+                         basis: Option[Long] = None): Unit = try {
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
-    val prior = if (v > 1) statsFor(spark, root, v - 1) else Map.empty[String, FileStats.FileStatsEntry]
+    // `basis` points the prior-metadata lookup at a version other than
+    // v-1 (RESTORE seeds from the restore target, so the recorded
+    // schema snaps back EXACTLY — no union with the abandoned tip).
+    val pv = basis.getOrElse(v - 1)
+    val prior = if (pv >= 1) statsFor(spark, root, pv) else Map.empty[String, FileStats.FileStatsEntry]
     // The recorded schema must cover every column readable from the
     // manifest's files. Normally that is priorSchema ∪ newSchema, but
     // when the previous version has no recorded schema (pre-stats
@@ -212,7 +233,7 @@ object SnapshotStore {
     // batch would make table() silently drop carried-only columns.
     // Derive the prior side from the carried files' own footers then
     // (a metadata read over the carried list, once, at commit time).
-    val priorSchema = (if (v > 1) schemaFor(spark, root, v - 1) else None)
+    val priorSchema = (if (pv >= 1) schemaFor(spark, root, pv) else None)
       .orElse(if (carried.isEmpty) None
               else Some(readEntries(spark, root, carried).schema))
     val all = (carried ++ fresh).map { e =>
@@ -222,11 +243,16 @@ object SnapshotStore {
       })
     }
     // Carried files keep reading through the evolved schema, so the
-    // recorded schema is the running union across versions.
-    val schema = (priorSchema, newSchema) match {
-      case (Some(p), Some(n)) => Some(schemaUnion(p, n))
-      case (p, n) => n.orElse(p)
-    }
+    // recorded schema is the running union across versions — except
+    // under an explicit basis (RESTORE), where the basis version's
+    // schema is recorded verbatim: restoring v1 after a widening merge
+    // must NOT resurface the later columns as all-null.
+    val schema =
+      if (basis.isDefined) newSchema.orElse(priorSchema)
+      else (priorSchema, newSchema) match {
+        case (Some(p), Some(n)) => Some(schemaUnion(p, n))
+        case (p, n) => n.orElse(p)
+      }
     val tmp = new Path(root, s"manifests/.v_$v.stats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     try {
@@ -528,7 +554,7 @@ object SnapshotStore {
       // "current" is the max committed version.
       val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
-      if (writeManifest(spark, root, v, entries)) {
+      if (writeManifest(spark, root, v, entries, "commit")) {
         writeStats(spark, root, v, Nil, entries, Some(df.schema))
         return v
       }
@@ -582,7 +608,7 @@ object SnapshotStore {
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "merge")) {
         writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
         return v
       }
@@ -649,7 +675,7 @@ object SnapshotStore {
         .join(doomed, Seq(keyCol), "left_anti")
       val v = cur + 1
       val newEntries = writeDataFiles(spark, remaining, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "delete")) {
         writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
         return v
       }
@@ -776,7 +802,7 @@ object SnapshotStore {
         .repartition(col(partitionCol))
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "compact")) {
         // Content unchanged — the recorded schema carries forward.
         writeStats(spark, root, v, kept, newEntries, None)
         return v
@@ -817,7 +843,7 @@ object SnapshotStore {
         numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder")) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
@@ -825,6 +851,84 @@ object SnapshotStore {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the z-order compaction race $maxAttempts times under $root")
+  }
+
+  /** Delta `RESTORE TABLE … TO VERSION AS OF` analog: roll the table
+    * back to `toVersion`'s content by publishing a NEW version whose
+    * manifest carries the target's files BY REFERENCE — a pure
+    * metadata commit (zero data read or written, cost ∝ manifest
+    * size), not a copy. History stays intact: every version between
+    * the target and the restore remains time-travelable, and the
+    * restore itself is one more auditable entry ([[history]] tags it
+    * `restore`) — unlike overwriting sinks, where a rollback destroys
+    * the states it rolls back over. The recorded schema snaps back to
+    * the target's exactly, so a restore across a widening merge does
+    * not resurface the later columns as all-null.
+    *
+    * Restoring to content the tip already has (the target itself, or
+    * a prior restore of it) is a version no-op — the current version
+    * is returned unchanged. Files only referenced by rolled-over
+    * versions stay on disk until [[vacuum]]; vacuuming history then
+    * limits how far back a future restore can reach, exactly like
+    * Delta. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              maxAttempts: Int = 5): Long = {
+    val target = manifest(spark, root, toVersion)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      if (manifest(spark, root, cur).toSet == target.toSet) return cur
+      val v = cur + 1
+      if (writeManifest(spark, root, v, target, "restore")) {
+        writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the restore race $maxAttempts times under $root")
+  }
+
+  /** Delta `DESCRIBE HISTORY` analog: one row per committed version —
+    * (version, operation, n_files, n_partitions, files_added,
+    * files_removed, total_rows), ascending. Operation is the
+    * committer's tag (null for pre-tagging manifests); files_added /
+    * files_removed diff each manifest against its predecessor (files
+    * are immutable, so path-set diff IS the change set); total_rows
+    * sums the stats sidecar and is null when any listed file lacks
+    * stats (derived metadata never blocks the audit view). Driver-side
+    * over manifests only — metadata-priced at any table size. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val vs = versions(spark, root)
+    var prevPaths = Set.empty[String]
+    val rows = vs.map { v =>
+      val m = manifest(spark, root, v)
+      val paths = m.map(_.path).toSet
+      val st = statsFor(spark, root, v)
+      val totalRows: java.lang.Long =
+        if (m.forall(e => st.contains(e.path)))
+          java.lang.Long.valueOf(m.map(e => st(e.path).rows).sum)
+        else null
+      val row = org.apache.spark.sql.Row(
+        v, manifestOperation(spark, root, v).orNull, m.size,
+        m.map(_.partition).distinct.size,
+        (paths -- prevPaths).size, (prevPaths -- paths).size, totalRows)
+      prevPaths = paths
+      row
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("total_rows", LongType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** External-engine interop: export a snapshot version as a

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotStore
+
+/** E48: snapshot RESTORE (roll back by reference as a new version) and
+  * DESCRIBE HISTORY (per-version audit view). */
+class RestoreHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("restorehist").resolve("t").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "version")
+
+  test("restore rolls content back as a NEW version; history survives") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      table(("p1", "a", 2), ("p4", "b", 2)), root,
+      "product_id", "version", "supplier")
+    val v3 = SnapshotStore.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    // Current read == v1 content.
+    val cur = SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet
+    assert(cur == Set(("p1", 1), ("p2", 1), ("p3", 1)))
+    // Rolled-over v2 stays time-travelable.
+    val v2 = SnapshotStore.readVersion(spark, root, 2L)
+      .select("product_id", "version").as[(String, Int)].collect().toSet
+    assert(v2 == Set(("p1", 2), ("p2", 1), ("p3", 1), ("p4", 2)))
+  }
+
+  test("restore is a metadata-only commit (no new data files)") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.restore(spark, root, 1L)
+    assert(SnapshotStore.manifest(spark, root, 3L).toSet ==
+      SnapshotStore.manifest(spark, root, 1L).toSet)
+  }
+
+  test("restoring to current content is a version no-op") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 1)), root,
+      "product_id", "version", "supplier")
+    // Restore to the tip itself: no-op.
+    assert(SnapshotStore.restore(spark, root, 2L) == 2L)
+    // Restore to v1, then restore to v1 again: second is a no-op.
+    assert(SnapshotStore.restore(spark, root, 1L) == 3L)
+    assert(SnapshotStore.restore(spark, root, 1L) == 3L)
+  }
+
+  test("restore across a widening merge snaps the schema back exactly") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    val widened = Seq(("p2", "a", 2, "extra"))
+      .toDF("product_id", "supplier", "version", "note")
+    SnapshotStore.mergeCommit(spark, widened, root,
+      "product_id", "version", "supplier")
+    assert(SnapshotStore.read(spark, root).columns.contains("note"))
+    SnapshotStore.restore(spark, root, 1L)
+    val restored = SnapshotStore.read(spark, root)
+    assert(!restored.columns.contains("note"),
+      s"restored schema leaked later columns: ${restored.columns.mkString(",")}")
+    assert(restored.select("product_id").as[String].collect().toSeq == Seq("p1"))
+  }
+
+  test("history reports operations, file diffs, and row counts") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p3", "b", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.deleteCommit(spark, Seq("p1").toDF("product_id"), root,
+      "product_id", "supplier")
+    SnapshotStore.restore(spark, root, 1L)
+    val h = SnapshotStore.history(spark, root)
+      .select("version", "operation", "n_partitions", "total_rows")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(h.map(r => (r._1, r._2)) ==
+      Seq((1L, "commit"), (2L, "merge"), (3L, "delete"), (4L, "restore")))
+    assert(h.map(_._4) == Seq(2L, 3L, 2L, 2L))
+    // Deleting partition a's only row makes the partition vanish at v3.
+    assert(h.map(_._3) == Seq(2, 2, 1, 2))
+    // The restore commit adds no files beyond v1's and drops the
+    // versions-2/3 rewrites relative to v3.
+    val full = SnapshotStore.history(spark, root).collect()
+    val restoreRow = full.find(_.getLong(0) == 4L).get
+    assert(restoreRow.getAs[Int]("files_added") > 0 ||
+      restoreRow.getAs[Int]("files_removed") > 0)
+  }
+
+  test("restore interoperates with the SQL surface (VERSION AS OF)") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.restore(spark, root, 1L)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW rh_sql USING `graft-snapshot` " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT version FROM rh_sql").as[Int].collect().toSeq ==
+      Seq(1))
+  }
+}
