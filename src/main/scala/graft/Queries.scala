@@ -4280,6 +4280,157 @@ object Queries {
             THEN 'not_medium' END],
         x -> x IS NOT NULL)), ','), '') AS violated
       FROM orders ORDER BY o_orderkey"""))
+    ,
+
+    // E50: Okapi BM25 ranked retrieval (TfIdf.bm25) for a 3-term
+    // query over the documents corpus. IDF quantized once per term,
+    // per-(doc,term) addends are fixed-parenthesization IEEE doubles
+    // quantized to DECIMAL(18,6), the per-doc fold is an exact decimal
+    // sum — the oracle replays every step (binary-exact k1=1.5,
+    // b=0.75 keep the SQL literals drift-free).
+    ("q140_bm25_retrieval", (s: SparkSession, d: String) => {
+      graft.operators.TfIdf.bm25(t(s, d, "documents"),
+          col("text"), col("doc_id"), Seq("spark", "vector", "merge"))
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')), ' '),
+          x -> x <> '') AS ws
+        FROM documents),
+      d AS (SELECT doc_id, len(ws) AS dl FROM w),
+      stats AS (SELECT count(*) AS n, sum(dl) AS s FROM d),
+      toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      dfreq AS (SELECT term,
+        CAST(round(ln(1.0 + (n - count(*) + CAST(0.5 AS DOUBLE)) / (count(*) + 0.5)), 6)
+          AS DECIMAL(18,6)) AS idf6
+        FROM tf CROSS JOIN stats GROUP BY term, n),
+      a AS (SELECT tf.doc_id,
+        CAST(round(CAST(idf6 AS DOUBLE) *
+          ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl /
+            (CAST(s AS DOUBLE) / n)))), 6) AS DECIMAL(18,6)) AS addend
+        FROM tf JOIN d USING (doc_id) JOIN dfreq USING (term)
+        CROSS JOIN stats)
+      SELECT doc_id, CAST(sum(addend) AS DOUBLE) AS bm25
+      FROM a GROUP BY doc_id ORDER BY doc_id"""))
+    ,
+
+    // E51: Gopher line-duplication signals. Fixture: every doc_id%3==0
+    // doc repeats its whole text as a second line (dup 0.5), %3==1
+    // docs append a unique line (dup 0), %3==2 stay single-line. The
+    // oracle replays the trimmed-nonempty-line list arithmetic.
+    ("q141_repetition_signals", (s: SparkSession, d: String) => {
+      val m3 = pmod(col("doc_id"), lit(3))
+      val fixture = t(s, d, "documents").select(col("doc_id"),
+        when(m3 === 0, concat(col("text"), lit("\n"), col("text")))
+          .when(m3 === 1, concat(col("text"), lit("\nwholly unique closing line")))
+          .otherwise(col("text")).as("text"))
+      fixture.select(col("doc_id"),
+          graft.operators.Repetition.signals(col("text")).as("s"))
+        .select(col("doc_id"), col("s.dup_line_frac").as("dup_line_frac"),
+          col("s.dup_line_char_frac").as("dup_line_char_frac"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH fx AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || text
+             WHEN doc_id % 3 = 1 THEN text || chr(10) || 'wholly unique closing line'
+             ELSE text END AS text
+        FROM documents),
+      l AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+          x -> x <> '') AS lines
+        FROM fx),
+      m AS (SELECT doc_id, lines, list_distinct(lines) AS dlines FROM l),
+      c AS (SELECT doc_id,
+        CAST(len(lines) AS DOUBLE) AS nl, CAST(len(dlines) AS DOUBLE) AS dn,
+        CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+          AS DOUBLE) AS tot,
+        CAST(coalesce(list_sum(list_transform(dlines, x -> length(x))), 0)
+          AS DOUBLE) AS dist
+        FROM m)
+      SELECT doc_id,
+        CASE WHEN nl > 0 THEN round(1.0 - dn / nl, 4) ELSE 0.0 END
+          AS dup_line_frac,
+        CASE WHEN tot > 0 THEN round((tot - dist) / tot, 4) ELSE 0.0 END
+          AS dup_line_char_frac
+      FROM c ORDER BY doc_id""")),
+
+    // E51: per-doc top-bigram character share (keyword-stuffing
+    // signal). Winner ties break to the lexicographically greatest
+    // shingle — pinned in both engines via the same two-key ordering.
+    ("q142_top_bigram_share", (s: SparkSession, d: String) => {
+      graft.operators.Repetition.topNgramCharShare(
+          t(s, d, "documents"), col("text"), col("doc_id"), n = 2)
+        .select(col("id").as("doc_id"), col("top_ngram"),
+          col("occurrences"), col("char_share"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH norm AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'),
+          '\s+', ' ', 'g')) AS t
+        FROM documents),
+      w AS (SELECT doc_id, length(t) AS chars,
+        list_filter(string_split(t, ' '), x -> x <> '') AS ws
+        FROM norm),
+      sh AS (SELECT doc_id, chars,
+        unnest(CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+          ELSE list_transform(generate_series(1, len(ws) - 1),
+            i -> array_to_string(ws[i:i+1], ' ')) END) AS sh
+        FROM w),
+      cnt AS (SELECT doc_id, chars, sh, count(*) AS cnt
+        FROM sh GROUP BY 1, 2, 3)
+      SELECT doc_id, sh AS top_ngram, cnt AS occurrences,
+        CASE WHEN chars > 0
+          THEN round(cnt * length(sh) / CAST(chars AS DOUBLE), 4)
+          ELSE 0.0 END AS char_share
+      FROM cnt
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+        ORDER BY cnt DESC, sh DESC) = 1
+      ORDER BY doc_id"""))
+    ,
+
+    // E52: int8-quantized ANN scan (Similarity.quantizedTopK) — five
+    // query vectors against the full embeddings corpus. The oracle
+    // recomputes the symmetric max-abs quantization (scale =
+    // max|v|/127, codes = round-half-away(v/scale)), the exact
+    // integer code dot, and the (qdot × qscale) × cscale ranking with
+    // the same tie-break. qdot is exact integer arithmetic; only the
+    // rank (not the rescaled float) is emitted.
+    ("q143_int8_ann", (s: SparkSession, d: String) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 7)
+      graft.operators.Similarity.quantizedTopK(
+          queries, emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH cc AS (SELECT vec_id,
+        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+          / 127.0 AS scale,
+        embedding FROM embeddings),
+      codes AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0
+          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) END AS c
+        FROM cc),
+      q AS (SELECT vec_id AS query_id, scale AS qs, c AS qc
+        FROM codes WHERE vec_id % 100 = 7),
+      p AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(n.c)),
+          i -> n.c[i] * q.qc[i])) AS BIGINT) AS qdot,
+        q.qs, n.scale AS ns
+        FROM codes n CROSS JOIN q WHERE n.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, qdot,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY (CAST(qdot AS DOUBLE) * qs) * ns DESC, neighbor_id)
+          AS INT) AS rank
+      FROM p
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

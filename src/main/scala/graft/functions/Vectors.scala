@@ -48,4 +48,38 @@ object Vectors {
     * random-hyperplane LSH. */
   def projectionBit(v: Column, anchor: Column): Column =
     when(dot(v, anchor) >= 0.0, lit(1)).otherwise(lit(0))
+
+  // ---- int8 quantization (4× memory/bandwidth for ANN scans) ----
+
+  /** Symmetric max-abs int8 scale: `max(|v_i|) / 127` — the
+    * faiss/ONNX per-vector symmetric scheme. 0.0 for all-zero or
+    * empty vectors (codes then quantize to 0 by contract). */
+  def int8Scale(v: Column): Column =
+    coalesce(array_max(transform(v, x => abs(x))).cast("double"), lit(0.0)) /
+      lit(127.0)
+
+  /** Quantized codes for a vector given its STAGED scale column
+    * (pass an attribute, not an inline [[int8Scale]] expression —
+    * Catalyst re-evaluates non-attribute subexpressions inside the
+    * lambda per element, turning O(d) into O(d²)). Codes are
+    * round-half-away(v/scale) in [-127, 127] as tinyint; a zero
+    * scale yields all-zero codes. */
+  def int8Codes(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v,
+        x => round(x.cast("double") / scale, 0).cast("tinyint")))
+
+  /** Dequantized approximation: `codes_i * scale`. Reconstruction
+    * error is bounded by scale/2 per component (half a quantization
+    * step). */
+  def int8Dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Exact integer dot product of two code arrays (the hot loop of a
+    * quantized ANN scan — integer multiply-accumulate, no floats
+    * until the final rescale). Widened per element so ±127·±127
+    * cannot overflow under ANSI. */
+  def int8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
 }

@@ -49,6 +49,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors — the memory-tier
+    * ANN path: codes are 4× smaller than float32 (and 8× smaller than
+    * the widened doubles an unquantized scan materializes), so a
+    * 100 TB corpus's scan tier holds 4× more vectors per executor and
+    * moves 4× fewer bytes; the hot loop is an integer
+    * multiply-accumulate. Ranking key is the rescaled dot
+    * `(qdot × qscale) × cscale` — a per-pair approximation of the
+    * float DOT PRODUCT (≡ cosine ranking when embeddings are
+    * L2-normalized, the usual ANN contract) with per-component error
+    * ≤ scale/2.
+    *
+    * Quantization happens inside (one map-side projection per side,
+    * scale staged before the codes lambda); the query side is
+    * broadcast under the same cap as [[bruteForceTopK]]. Result:
+    * (query_id, neighbor_id, qdot, rank) — qdot is the EXACT integer
+    * code dot, so external engines replay the ranking bit-for-bit. */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxQueries: Int = 100000): DataFrame = {
+    val overCap = queries.limit(maxQueries + 1).count() > maxQueries
+    require(!overCap,
+      s"quantizedTopK query side exceeds maxQueries=$maxQueries — partition " +
+        "the queries or raise the cap deliberately")
+    def quantize(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"),
+          col(vecCol).as("__v"), Vectors.int8Scale(col(vecCol)).as(s"${prefix}_scale"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_scale"),
+          Vectors.int8Codes(col("__v"), col(s"${prefix}_scale")).as(s"${prefix}_codes"))
+    val q = quantize(queries, "query")
+    val c = quantize(corpus, "neighbor")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.int8Dot(col("query_codes"), col("neighbor_codes")).as("qdot"),
+        col("query_scale"), col("neighbor_scale"))
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (col("qdot").cast("double") * col("query_scale") *
+          col("neighbor_scale")).as("__sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("__sim")
+  }
+
   /** One broadcast-able row holding the first `numAnchors` vectors (by
     * ascending id) as an ordered array — the LSH hyperplane set.
     * Deterministic and data-derived (no RNG), computed distributed

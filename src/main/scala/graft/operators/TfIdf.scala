@@ -65,6 +65,67 @@ object TfIdf {
         (col("s").cast("double") / col("len").cast("double")).as("rarity"))
   }
 
+  /** Okapi BM25 ranked retrieval for a literal query term set — the
+    * standard lexical-retrieval baseline next to [[graft.operators.TextIndex]]'s
+    * boolean search. Returns one row per document containing at least
+    * one query term: (id, bm25), descending-score consumption is the
+    * caller's ORDER BY.
+    *
+    * Scale design: document lengths are computed map-side from the
+    * token array (no extra shuffle); only occurrences of QUERY terms
+    * survive into the exploded rows, so the (doc, term) aggregate's
+    * input is query-selectivity-sized, not corpus-token-sized. N and
+    * avgdl come from one aggregate over the staged per-doc rows.
+    * Everything downstream is an equi-join on the term (≤ |query|
+    * distinct values, broadcast-sized) and one hash aggregate per doc.
+    *
+    * Determinism contract (same discipline as [[docRarity]]): IDF is
+    * quantized once per term to DECIMAL(18,6); each (doc, term)
+    * addend is IEEE double arithmetic in a fixed parenthesization,
+    * quantized to DECIMAL(18,6); the per-document fold is then an
+    * exact decimal sum — associative, so any engine replays it. The
+    * defaults are binary-exact (k1=1.5 ⇒ k1+1=2.5, b=0.75 ⇒
+    * 1−b=0.25), so an external replay can write them as plain
+    * literals without decimal-vs-double parsing drift. */
+  def bm25(df: DataFrame, text: Column, id: Column, queryTerms: Seq[String],
+           k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // One pass stages (id, dl, matched-term occurrences); explode_outer
+    // keeps match-less docs as a null-term row so N and avgdl cover the
+    // WHOLE corpus without a second scan.
+    val staged = Checkpoints.truncate(df.select(
+        id.as("id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(text)).as("ws"))
+      .select(col("id"), size(col("ws")).as("dl"),
+        explode_outer(filter(col("ws"),
+          w => w.isInCollection(terms))).as("term")))
+    val docs = staged.groupBy(col("id")).agg(first(col("dl")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).first()
+    val n = stats.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    val tf = staged.filter(col("term").isNotNull)
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // Lucene's non-negative BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)),
+    // quantized once per term.
+    val idf6 = round(log(lit(1.0) +
+        (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+      .cast("decimal(18,6)")
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(docFreq.select(col("term"), idf6.as("idf6")), "term")
+      .select(col("id"),
+        round(col("idf6").cast("double") * tfNorm, 6)
+          .cast("decimal(18,6)").as("addend"))
+      .groupBy(col("id"))
+      .agg(sum(col("addend")).as("s"))
+      .select(col("id"), col("s").cast("double").as("bm25"))
+  }
+
   /** The `k` highest-IDF (rarest-in-corpus) of a document's terms —
     * the "what makes this document unusual" summary. Ties break
     * lexicographically for determinism. */

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+
+/** E52: symmetric int8 vector quantization and the quantized ANN scan. */
+class Int8QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(0.5f, -1.0f, 0.25f)),
+    (2L, Array(0.0f, 0.0f, 0.0f)),
+    (3L, Array(2.0f, 1.0f, -2.0f)),
+    (4L, Array(0.49f, -0.98f, 0.26f))   // near doc 1's direction
+  ).toDF("id", "vec")
+
+  private def staged = vecs
+    .withColumn("scale", Vectors.int8Scale(col("vec")))
+    .withColumn("codes", Vectors.int8Codes(col("vec"), col("scale")))
+
+  test("codes are bounded, max-abs component hits ±127, zero vector is all-zero") {
+    val r = staged.select(col("id"), col("scale"), col("codes"))
+      .as[(Long, Double, Seq[Byte])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._2 == Seq[Byte](64, -127, 32))
+    assert(r(2L) == ((0.0, Seq[Byte](0, 0, 0))))
+    assert(r(3L)._2 == Seq[Byte](127, 64, -127))
+    assert(r.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+  }
+
+  test("dequantization error is bounded by scale/2 per component") {
+    val errs = staged.select(
+        zip_with(transform(col("vec"), x => x.cast("double")),
+          Vectors.int8Dequantize(col("codes"), col("scale")),
+          (a, b) => abs(a - b)).as("err"),
+        col("scale"))
+      .as[(Seq[Double], Double)].collect()
+    errs.foreach { case (es, s) =>
+      es.foreach(e => assert(e <= s / 2 + 1e-12, s"err $e > ${s / 2}"))
+    }
+  }
+
+  test("int8Dot is the exact integer code dot (no overflow at ±127)") {
+    val d = Seq((Seq.fill(64)(127), Seq.fill(64)(-127)))
+      .toDF("ai", "bi")
+      .select(Vectors.int8Dot(
+        transform(col("ai"), x => x.cast("tinyint")),
+        transform(col("bi"), x => x.cast("tinyint")))).as[Long].head()
+    assert(d == -127L * 127 * 64)
+  }
+
+  test("quantizedTopK ranks by rescaled dot; near-duplicate direction first") {
+    val queries = vecs.filter(col("id") === 1L)
+    val quant = Similarity.quantizedTopK(queries, vecs, "id", "vec", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    // Dots vs doc1: doc4 strongly positive, doc2 zero, doc3 negative.
+    assert(quant == Map(4L -> 1, 2L -> 2, 3L -> 3), quant.toString)
+  }
+
+  test("quantized output carries the exact integer dot for replay") {
+    val queries = vecs.filter(col("id") === 3L)
+    val r = Similarity.quantizedTopK(queries, vecs, "id", "vec", k = 3)
+      .select("neighbor_id", "qdot").as[(Long, Long)].collect().toMap
+    // Hand-compute doc3 (127,64,-127) · doc1 (64,-127,32):
+    assert(r(1L) == 127L * 64 - 64L * 127 - 127L * 32)
+    // vs zero vector: dot 0.
+    assert(r(2L) == 0L)
+  }
+}

@@ -27,4 +27,38 @@ class TfIdfSpec extends SparkSpec {
     assert(r(3L) == Seq("durian", "unique")) // tied idf, lexicographic
     assert(r(2L).head == "cherry")
   }
+
+  test("bm25 scores by query-term relevance with length normalization") {
+    val corpus = Seq(
+      (1L, "spark engine spark shuffle spark"),  // tf(spark)=3, short
+      (2L, "spark overview"),                     // tf(spark)=1, short
+      (3L, "spark " + Seq.fill(50)("padding word").mkString(" ")), // long
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val r = TfIdf.bm25(corpus, $"text", $"doc_id", Seq("spark"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // Doc without any query term: no row at all.
+    assert(!r.contains(4L), r.toString)
+    // Higher tf wins; equal tf, the shorter doc wins (b-normalization).
+    assert(r(1L) > r(2L) && r(2L) > r(3L), r.toString)
+    // Hand check doc 2: N=4, df=3, dl=2, avgdl = (5+2+101+3)/4.
+    val idf = math.floor(math.log(1.0 + (4 - 3 + 0.5) / 3.5) * 1e6 + 0.5) / 1e6
+    val avgdl = 111.0 / 4
+    val tfn = (1 * 2.5) / (1 + 1.5 * (0.25 + 0.75 * 2 / avgdl))
+    val expect = math.floor(idf * tfn * 1e6 + 0.5) / 1e6
+    assert(math.abs(r(2L) - expect) < 1e-9, s"got ${r(2L)}, want $expect")
+  }
+
+  test("bm25 multi-term query sums per-term addends; case-folds terms") {
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "alpha"), (3L, "beta beta")
+    ).toDF("doc_id", "text")
+    val both = TfIdf.bm25(corpus, $"text", $"doc_id", Seq("Alpha", "BETA"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val alpha = TfIdf.bm25(corpus, $"text", $"doc_id", Seq("alpha"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(both.keySet == Set(1L, 2L, 3L))
+    // Doc 1 scores strictly above its alpha-only score (beta adds).
+    assert(both(1L) > alpha(1L))
+  }
 }
