@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shim
 import graft.expressions.{CosineSimilarity, DotProduct}
-import graft.functions.Urls
+import graft.functions.{TextAnalysis, Urls, Vectors}
 
 /** SparkSessionExtensions hook exposing graft's native kernels to pure
   * SQL — a user can `SELECT graft_cosine(a.embedding, b.embedding)`
@@ -59,7 +59,17 @@ object GraftExtensions {
     fn("graft_luhn_valid", classOf[graft.expressions.LuhnValid], 1,
       c => graft.expressions.LuhnValid(c(0))),
     fn("graft_redact_cards", classOf[graft.expressions.RedactCards], 1,
-      c => graft.expressions.RedactCards(c(0))))
+      c => graft.expressions.RedactCards(c(0))),
+    fn("graft_dot_int8", classOf[graft.expressions.Int8DotProduct], 2,
+      c => graft.expressions.Int8DotProduct(c(0), c(1))),
+    fn("graft_int8_scale", Vectors.getClass, 1,
+      lifted { case Seq(v) => Vectors.int8Scale(v) }),
+    fn("graft_int8_codes", Vectors.getClass, 2,
+      lifted { case Seq(v, s) => Vectors.int8Codes(v, s) }),
+    fn("graft_quality_logit", TextAnalysis.getClass, 1,
+      lifted { case Seq(t) => TextAnalysis.qualityLogit(t) }),
+    fn("graft_repetition", graft.operators.Repetition.getClass, 1,
+      lifted { case Seq(t) => graft.operators.Repetition.signals(t) }))
 
   /** Register the same functions on an already-built session. */
   def register(spark: SparkSession): Unit =

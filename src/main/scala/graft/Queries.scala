@@ -4431,6 +4431,93 @@ object Queries {
       FROM p
       QUALIFY rank <= 5
       ORDER BY query_id, rank"""))
+    ,
+
+    // E53: shallow clone — a zero-copy table fork. Source committed
+    // from key arithmetic, cloned, then the CLONE takes a merge
+    // (%7==0 rows repriced) while the SOURCE takes a delete (%7==1
+    // rows dropped). Reading both sides tagged into one result pins
+    // the isolation: the clone shows the merge but not the delete,
+    // the source shows the delete but not the merge. Oracle derives
+    // both sides from the same arithmetic.
+    ("q144_shallow_clone", (s: SparkSession, d: String) => {
+      val src = java.nio.file.Files.createTempDirectory("graft_q144_src")
+        .resolve("t").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft_q144_dst")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m7 = pmod(col("o_orderkey"), lit(7))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.withColumn("rev", lit(1)), src, "o_orderstatus")
+      graft.sinks.SnapshotStore.cloneTo(s, src, dst)
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+          .withColumn("rev", lit(2)),
+        dst, "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m7 === 1).select(col("o_orderkey")),
+        src, "o_orderkey", "o_orderstatus")
+      val srcRead = graft.sinks.SnapshotStore.table(s, src)
+        .withColumn("side", lit("source"))
+      val dstRead = graft.sinks.SnapshotStore.table(s, dst)
+        .withColumn("side", lit("clone"))
+      srcRead.unionByName(dstRead)
+        .select(col("side"), col("o_orderkey"), col("o_totalprice"), col("rev"))
+        .orderBy(col("side"), col("o_orderkey"))
+    }, Some("""
+      SELECT 'source' AS side, o_orderkey, o_totalprice, 1 AS rev
+      FROM orders WHERE o_orderkey % 7 <> 1
+      UNION ALL
+      SELECT 'clone', o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+             ELSE o_totalprice END,
+        CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END
+      FROM orders
+      ORDER BY side, o_orderkey"""))
+    ,
+
+    // E54: one-row corpus profile — counts, normalized vocabulary,
+    // and EXACT type-1 token-count percentiles from the length
+    // histogram (no sketch). The oracle forces DOUBLE in ceil(p×n) to
+    // mirror Spark's driver-side double arithmetic exactly.
+    ("q145_corpus_profile", (s: SparkSession, d: String) => {
+      graft.operators.Stats.corpusProfile(t(s, d, "documents"), col("text"))
+        .withColumn("k", lit(1)).orderBy(col("k")).drop("k")
+    }, Some("""
+      WITH lens AS (SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+          x -> x <> '')) AS BIGINT) AS l FROM documents),
+      hist AS (SELECT l, count(*) AS c FROM lens GROUP BY 1),
+      t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(l * c) AS BIGINT) AS tot FROM hist),
+      cum AS (SELECT l, sum(c) OVER (ORDER BY l) AS cc FROM hist),
+      norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')) AS st FROM documents),
+      voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM
+        (SELECT unnest(list_filter(string_split(st, ' '), x -> x <> ''))
+          AS term FROM norm))
+      SELECT t.n AS n_docs, t.tot AS total_tokens, voc.v AS vocab_size,
+        CAST((SELECT min(l) FROM cum
+          WHERE cc >= ceil(CAST(0.5 AS DOUBLE) * t.n)) AS BIGINT) AS p50_tokens,
+        CAST((SELECT min(l) FROM cum
+          WHERE cc >= ceil(CAST(0.9 AS DOUBLE) * t.n)) AS BIGINT) AS p90_tokens,
+        CAST((SELECT min(l) FROM cum
+          WHERE cc >= ceil(CAST(0.99 AS DOUBLE) * t.n)) AS BIGINT) AS p99_tokens
+      FROM t, voc""")),
+
+    // E55: Zipf-head term frequencies — top-15 normalized corpus
+    // terms, ties lexicographic.
+    ("q146_term_frequencies", (s: SparkSession, d: String) => {
+      graft.operators.Stats.termFrequencies(
+        t(s, d, "documents"), col("text"), k = 15)
+    }, Some("""
+      WITH norm AS (SELECT trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')) AS st FROM documents),
+      toks AS (SELECT unnest(list_filter(string_split(st, ' '), x -> x <> ''))
+        AS term FROM norm)
+      SELECT term, count(*) AS occurrences FROM toks
+      GROUP BY term ORDER BY occurrences DESC, term LIMIT 15"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -85,6 +85,20 @@ object ScaleSmoke {
     val asofDims = asofFacts.filter(pmod(col("fact_id"), lit(50)) === 0)
       .select(col("k"), col("ts"), (col("fact_id") % 1000).cast("double").as("lvl"))
 
+    // Pre-quantized ANN sides for the steady-state scan probe —
+    // materialized here so the timed probe pays only the integer scan.
+    def int8CodesOf(df: DataFrame, prefix: String): DataFrame = df
+      .select(col("vec_id").as(s"${prefix}_id"), col("embedding").as("__v"),
+        graft.functions.Vectors.int8Scale(col("embedding"))
+          .as(s"${prefix}_scale"))
+      .select(col(s"${prefix}_id"), col(s"${prefix}_scale"),
+        graft.functions.Vectors.int8Codes(col("__v"),
+          col(s"${prefix}_scale")).as(s"${prefix}_codes"))
+    val int8Corpus = int8CodesOf(embs, "neighbor").persist()
+    val int8Queries = int8CodesOf(
+      emb0.filter(pmod(col("vec_id"), lit(100)) === 7), "query").persist()
+    int8Corpus.count(); int8Queries.count()
+
     val results = Seq(
       // The same selective predicate through the plain all-files read
       // vs the stats-skipping FileIndex: identical answers, the
@@ -314,6 +328,62 @@ object ScaleSmoke {
         Sampling.hashSplit(docs.select(col("doc_id")), col("doc_id"),
           Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))
           .filter(col("split") =!= "train").count()
+      },
+      // BM25 over the amplified corpus: doc lengths map-side, only
+      // query-term occurrences reach the (doc, term) aggregate — the
+      // cost should track corpus size, never corpus × vocabulary.
+      time("bm25_retrieval") {
+        graft.operators.TfIdf.bm25(docs, col("text"), col("doc_id"),
+          Seq("spark", "vector", "merge")).count()
+      },
+      // Gopher repetition gate: map-side line signals + the per-doc
+      // top-bigram aggregate (explode → hash agg → one window). Every
+      // 4th doc is line-spammed (self-duplicated line) so the gate
+      // has realistic drop AND pass traffic.
+      time("repetition_gate") {
+        graft.operators.Repetition.gate(
+          docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat_ws("\n", col("text"), col("text")))
+              .otherwise(col("text")).as("text")),
+          col("text"), col("doc_id")).count()
+      },
+      // Quantized ANN scan vs the float brute-force baseline on the
+      // same query set: the integer-MAC path should at least match
+      // the float scan single-node and wins at the memory tier.
+      time("ann_brute_float") {
+        Similarity.bruteForceTopK(
+          emb0.filter(pmod(col("vec_id"), lit(100)) === 7), embs,
+          "vec_id", "embedding", k = 10).count()
+      },
+      time("ann_brute_int8") {
+        Similarity.quantizedTopK(
+          emb0.filter(pmod(col("vec_id"), lit(100)) === 7), embs,
+          "vec_id", "embedding", k = 10).count()
+      },
+      // Steady-state quantized scan: codes pre-materialized outside the
+      // timed region (the production shape — quantization amortized at
+      // ingest), so this measures the pure integer-MAC scan tier
+      // against ann_brute_float.
+      time("ann_brute_int8_codes") {
+        Similarity.quantizedTopKCodes(int8Queries, int8Corpus, k = 10).count()
+      },
+      // Snapshot restore on the amplified table: pure metadata commit —
+      // must stay ~constant as data grows.
+      time("snapshot_restore_metadata") {
+        val v = graft.sinks.SnapshotStore.restore(spark, snapRoot, 1L)
+        graft.sinks.SnapshotStore.history(spark, snapRoot).count() + v
+      },
+      // One-pass expectations report over the amplified corpus (width
+      // = |rules|, one scan).
+      time("expectations_report") {
+        graft.operators.Expectations.report(docs, Seq(
+          graft.operators.Expectations.Expectation("nonempty",
+            length(col("text")) > 0),
+          graft.operators.Expectations.Expectation("id_set",
+            col("doc_id").isNotNull),
+          graft.operators.Expectations.Expectation("short",
+            length(col("text")) < 400))).count()
       },
       // Feed-archive mode: N capture files in one directory → one task
       // per file (wholeTextFiles), rows union. Validates the "scales

@@ -144,9 +144,89 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product over int8 code arrays — the hot loop of
+  * the quantized ANN scan ([[graft.operators.Similarity.quantizedTopK]]).
+  * Long accumulation (±127·±127·d cannot overflow for any real d);
+  * null when either side is null, lengths differ, or an element is
+  * null — identical semantics to the HOF
+  * `aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")), 0L, _+_)`,
+  * which measured 5× slower than the FLOAT codegen kernel on the
+  * 20× ScaleSmoke scan (interpreted lambdas), inverting the entire
+  * point of quantizing. */
+case class Int8DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_dot_int8"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(ByteType | ShortType | IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint|smallint|int> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def getter(e: Expression): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case ByteType => "getByte"
+      case ShortType => "getShort"
+      case _ => "getInt"
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    def get(ad: ArrayData, e: Expression, i: Int): Long =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case ByteType => ad.getByte(i).toLong
+        case ShortType => ad.getShort(i).toLong
+        case _ => ad.getInt(i).toLong
+      }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += get(xs, left, i) * get(ys, right, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = getter(left)
+    val rGet = getter(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $acc = 0L;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += ((long) $a.$lGet($i)) * ((long) $b.$rGet($i));
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+        |}
+      """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
   def cosine(a: Column, b: Column): Column =
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
+  def dotInt8(a: Column, b: Column): Column =
+    Shim.column(Int8DotProduct(Shim.expression(a), Shim.expression(b)))
 }

@@ -90,13 +90,17 @@ object Repetition {
            maxDupLineFrac: Double = 0.30,
            maxDupLineCharFrac: Double = 0.20,
            maxTopBigramShare: Double = 0.20): DataFrame = {
-    val sig = df.withColumn("__rep", signals(text))
-    val top = topNgramCharShare(df, text, id, n = 2)
-      .select(col("id").as("__tid"), col("char_share"))
-    sig.join(top, id === col("__tid"), "left")
+    // Cheapest filter first: the map-side line signals gate BEFORE the
+    // explode+aggregate bigram stage, so line-spam documents never pay
+    // for shingling (measured ~25% on a 1-in-4-spam fixture; more on
+    // real boilerplate-heavy crawls).
+    val lineOk = df.withColumn("__rep", signals(text))
       .filter(col("__rep.dup_line_frac") <= maxDupLineFrac &&
-        col("__rep.dup_line_char_frac") <= maxDupLineCharFrac &&
-        coalesce(col("char_share"), lit(0.0)) <= maxTopBigramShare)
+        col("__rep.dup_line_char_frac") <= maxDupLineCharFrac)
+    val top = topNgramCharShare(lineOk, text, id, n = 2)
+      .select(col("id").as("__tid"), col("char_share"))
+    lineOk.join(top, id === col("__tid"), "left")
+      .filter(coalesce(col("char_share"), lit(0.0)) <= maxTopBigramShare)
       .withColumn("dup_line_frac", col("__rep.dup_line_frac"))
       .withColumn("dup_line_char_frac", col("__rep.dup_line_char_frac"))
       .withColumn("top_bigram_share", coalesce(col("char_share"), lit(0.0)))

@@ -80,6 +80,19 @@ object Similarity {
           Vectors.int8Codes(col("__v"), col(s"${prefix}_scale")).as(s"${prefix}_codes"))
     val q = quantize(queries, "query")
     val c = quantize(corpus, "neighbor")
+    quantizedTopKCodes(q, c, k)
+  }
+
+  /** The steady-state quantized scan: both sides ALREADY quantized —
+    * `queries` carries (query_id, query_scale, query_codes), `corpus`
+    * (neighbor_id, neighbor_scale, neighbor_codes), e.g. read back
+    * from a codes table written once at ingest (the production shape:
+    * quantization is amortized over every query, the scan tier never
+    * touches float vectors). [[quantizedTopK]] is the convenience
+    * wrapper that quantizes inline. */
+  def quantizedTopKCodes(queries: DataFrame, corpus: DataFrame,
+                         k: Int): DataFrame = {
+    val q = queries; val c = corpus
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -89,4 +89,76 @@ object Stats {
         "(col_name, n_rows, n_nulls, n_distinct, min, max)")
     }
   }
+
+  /** One-row corpus profile for a text column: document count, total
+    * whitespace tokens, normalized-vocabulary size, and EXACT
+    * token-count percentiles. Percentiles are type-1 (lower)
+    * quantiles — the smallest length whose cumulative document count
+    * reaches `ceil(p × n)` — computed from a length HISTOGRAM, not a
+    * global sort: token lengths have bounded cardinality (≤ max doc
+    * length), so the histogram aggregate is corpus-sized map-side
+    * work followed by a tiny single-partition cumulative window over
+    * distinct lengths. Exact by construction (no approx_percentile
+    * sketch), so any SQL engine replays it. Vocabulary is one
+    * count_distinct over exploded normalized tokens — the only
+    * data-sized shuffle, uniform on the term. */
+  def corpusProfile(df: DataFrame, text: org.apache.spark.sql.Column,
+                    percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 1),
+      s"percentiles must be in (0, 1], got $percentiles")
+    import graft.functions.TextAnalysis
+    val spark = df.sparkSession
+    // Histogram of per-doc token counts: the corpus-sized work is one
+    // map-side-combined aggregate; everything after runs on ≤ |distinct
+    // lengths| rows.
+    val hist = Checkpoints.truncate(
+      df.select(TextAnalysis.tokenCount(text).cast("long").as("l"))
+        .groupBy(col("l")).agg(count(lit(1)).as("c")))
+    val totals = hist.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(col("l") * col("c")), lit(0L)).as("tot")).first()
+    val n = totals.getLong(0)
+    val tot = totals.getLong(1)
+    // Type-1 quantiles from the cumulative histogram. The
+    // un-partitioned window is over DISTINCT LENGTHS only (bounded by
+    // max doc length), never the corpus.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("l"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cc", sum(col("c")).over(w))
+    val pCols = percentiles.zipWithIndex.map { case (p, i) =>
+      min(when(col("cc") >= lit(math.ceil(p * n).toLong), col("l"))).as(s"__p$i")
+    }
+    val pRow =
+      if (n == 0) null
+      else cum.agg(pCols.head, pCols.tail: _*).first()
+    val vocab =
+      if (n == 0) 0L
+      else df.select(explode_outer(
+          TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
+        .agg(count_distinct(col("term"))).first().getLong(0)
+    val pLits = percentiles.zipWithIndex.map { case (p, i) =>
+      val v = if (pRow == null || pRow.isNullAt(i)) 0L else pRow.getLong(i)
+      lit(v).as(s"p${math.round(p * 100)}_tokens")
+    }
+    spark.range(1).select(
+      (Seq(lit(n).as("n_docs"), lit(tot).as("total_tokens"),
+        lit(vocab).as("vocab_size")) ++ pLits): _*)
+  }
+
+  /** Top-`k` corpus terms by occurrence count over normalized tokens
+    * (ties broken lexicographically) — the Zipf-head diagnostic that
+    * catches a boilerplate-flooded or wrongly-decoded corpus in one
+    * glance. One explode + one map-side-combined hash aggregate keyed
+    * by the term; the global top-k is a TakeOrdered over per-partition
+    * heads, never a full sort. */
+  def termFrequencies(df: DataFrame, text: org.apache.spark.sql.Column,
+                      k: Int = 20): DataFrame = {
+    import graft.functions.TextAnalysis
+    df.select(explode(
+        TextAnalysis.tokens(TextAnalysis.normalized(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(k)
+  }
 }

@@ -890,6 +890,39 @@ object SnapshotStore {
       s"lost the restore race $maxAttempts times under $root")
   }
 
+  /** Delta SHALLOW CLONE analog: publish version 1 of a NEW table at
+    * `dstRoot` whose manifest references `srcRoot`'s files at
+    * `version` (default: current) by ABSOLUTE path — zero data
+    * copied, cost ∝ manifest size. Every entry resolution in this
+    * store goes through `new Path(root, entry.path)`, and Hadoop
+    * resolution lets an absolute child override the parent, so mixed
+    * manifests (absolute cloned files + relative locally-committed
+    * files) read transparently: the clone evolves independently —
+    * its merges/deletes rewrite into its OWN data directory while
+    * untouched source files stay carried by reference.
+    *
+    * Caveats (same as Delta's): vacuuming the SOURCE table can delete
+    * files a clone still references (the source does not know about
+    * clone back-references); vacuuming the CLONE never touches source
+    * files (its sweep only examines its own data directory). The
+    * clone's stats sidecar re-reads the cloned files' footers once at
+    * clone time — metadata-priced. */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+              version: Option[Long] = None): Long = {
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already holds a snapshot")
+    val v = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $srcRoot")))
+    val f = fs(spark, srcRoot)
+    val abs = manifest(spark, srcRoot, v).map(e =>
+      e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString))
+    if (!writeManifest(spark, dstRoot, 1L, abs, "clone"))
+      throw new java.util.ConcurrentModificationException(
+        s"lost the clone race publishing v1 under $dstRoot")
+    writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))
+    1L
+  }
+
   /** Delta `DESCRIBE HISTORY` analog: one row per committed version —
     * (version, operation, n_files, n_partitions, files_added,
     * files_removed, total_rows), ascending. Operation is the

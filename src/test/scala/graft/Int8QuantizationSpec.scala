@@ -51,6 +51,42 @@ class Int8QuantizationSpec extends SparkSpec {
     assert(d == -127L * 127 * 64)
   }
 
+  test("codegen int8Dot ≡ HOF formulation (incl. null/length edge cases)") {
+    val pairs = Seq(
+      (Seq(1, -2, 3), Seq(4, 5, -6)),
+      (Seq(127, -127, 0), Seq(-127, 127, 9)),
+      (Seq.empty[Int], Seq.empty[Int])
+    ).toDF("ai", "bi")
+      .select(transform(col("ai"), x => x.cast("tinyint")).as("a"),
+        transform(col("bi"), x => x.cast("tinyint")).as("b"))
+    val r = pairs.select(Vectors.int8Dot(col("a"), col("b")).as("k"),
+        Vectors.int8DotHof(col("a"), col("b")).as("h"))
+      .collect()
+    r.foreach(row => assert(row.get(0) == row.get(1), row.toString))
+    // Length mismatch -> null from the kernel (HOF zip_with pads with
+    // null and the cast throws/propagates, so pin the kernel directly).
+    val mm = Seq((Seq(1, 2), Seq(1))).toDF("ai", "bi")
+      .select(Vectors.int8Dot(
+        transform(col("ai"), x => x.cast("tinyint")),
+        transform(col("bi"), x => x.cast("tinyint"))).as("d"))
+      .collect()(0)
+    assert(mm.isNullAt(0))
+    // Interpreted path (no codegen) agrees.
+    val interp = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val d = Seq((Seq(3, -4), Seq(5, 6))).toDF("ai", "bi")
+        .select(Vectors.int8Dot(
+          transform(col("ai"), x => x.cast("tinyint")),
+          transform(col("bi"), x => x.cast("tinyint")))).as[Long].head()
+      assert(d == 15L - 24L)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", interp)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("quantizedTopK ranks by rescaled dot; near-duplicate direction first") {
     val queries = vecs.filter(col("id") === 1L)
     val quant = Similarity.quantizedTopK(queries, vecs, "id", "vec", k = 3)

@@ -177,6 +177,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(3).isNullAt(1) && r(3).isNullAt(2))
   }
 
+  test("int8 family + quality/repetition are callable from pure SQL") {
+    val r = spark.sql("""
+      WITH v AS (SELECT array(0.5F, -1.0F, 0.25F) AS vec),
+      s AS (SELECT vec, graft_int8_scale(vec) AS sc FROM v),
+      c AS (SELECT graft_int8_codes(vec, sc) AS codes FROM s)
+      SELECT graft_dot_int8(codes, codes) AS selfdot FROM c""").collect()(0)
+    // codes (64, -127, 32): 64² + 127² + 32² = 4096 + 16129 + 1024.
+    assert(r.getLong(0) == 4096L + 16129L + 1024L)
+    val q = spark.sql(
+      """SELECT graft_quality_logit('the cat sat on the mat and that is that') AS l,
+               graft_repetition('a
+a
+b').dup_line_frac AS f""").collect()(0)
+    assert(!q.isNullAt(0))
+    assert(math.abs(q.getDouble(1) - 1.0 / 3) < 1e-3)
+  }
+
   test("interpreted eval path (outside codegen) agrees too") {
     // Force the interpreted path by evaluating inside a literal-only context.
     import org.apache.spark.sql.catalyst.expressions.Literal
