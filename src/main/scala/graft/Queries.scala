@@ -24,13 +24,21 @@ object Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
-      // reader rejects; read the raw int64 nanos and truncate to micros
-      // (integer div — a double division would lose precision at 1e18).
-      // DuckDB's nanos→micros conversion truncates the same way.
+      // events.parquet has shipped with either TIMESTAMP(NANOS) — which
+      // Spark's Parquet reader rejects, so we read the raw int64 nanos and
+      // truncate to micros (integer div; a double division would lose
+      // precision at 1e18, and DuckDB's nanos→micros truncates the same
+      // way) — or plain TIMESTAMP(MICROS), which Spark 4 infers as NTZ.
+      // Normalize both to TimestampType (session TZ is UTC, so the NTZ
+      // cast is value-preserving and matches DuckDB's naive read).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Exact decimal accumulation for double money/qty columns. */
