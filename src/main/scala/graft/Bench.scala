@@ -7,14 +7,20 @@ import scala.collection.immutable.ListMap
   * Failures are surfaced per-query (and counted) instead of silently
   * recorded as negative time.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 2) and
-  * reports the MIN. A single shared local JVM re-JITs whole-stage
-  * codegen units as the cache churns, which historically swung
-  * untouched queries 3-4x run-to-run (q82/q84 in round 6) — noise that
-  * makes a "within 2x" gate untestable per-query. The minimum of two
-  * runs is the steady-state cost of the PLAN (what a warmed executor
-  * fleet would pay), which is the quantity a scale gate should
-  * measure; cold-start JIT belongs to the JVM, not to any query. */
+  * The suite runs as SPARK_GRAFT_BENCH_RUNS (default 2) INTERLEAVED
+  * full passes — pass 1 runs every query once, pass 2 runs every query
+  * again — and each query reports the MIN across passes. A single
+  * shared local JVM re-JITs whole-stage codegen units as the cache
+  * churns, which historically swung untouched queries 3-4x
+  * run-to-run (q82/q84 in round 6) — noise that makes a "within 2x"
+  * gate untestable per-query. The minimum is the steady-state cost of
+  * the PLAN (what a warmed executor fleet would pay). The passes are
+  * interleaved rather than back-to-back per query because a transient
+  * host stall spans a contiguous WINDOW of wall-clock time: with
+  * back-to-back runs one stall poisons both samples of several
+  * consecutive queries (q76-q80 in round 7); with whole-suite passes
+  * the two samples of any query are minutes apart, so a stall can
+  * inflate at most one of them and the min filters it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,29 +48,34 @@ object Bench {
     }
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     var errors = ListMap.empty[String, String]
-    val results = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map {
-      case (name, fn) =>
-        // Min over `runs` SUCCESSFUL attempts — a failing attempt's
-        // elapsed time must never become the reported min (a fast
-        // failure would understate the plan cost the 2x gate
-        // measures). A failure stops retrying (a deterministic error
-        // would just fail again); if no attempt succeeded, the failing
-        // attempt's elapsed is reported alongside the error entry.
-        var best = Double.MaxValue
-        var failedElapsed = 0.0
-        var run = 0
-        while (run < runs && !errors.contains(name)) {
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Min over SUCCESSFUL attempts only — a failing attempt's elapsed
+    // time must never become the reported min (a fast failure would
+    // understate the plan cost the 2x gate measures). A query that
+    // fails once is skipped in later passes (a deterministic error
+    // would just fail again); if it never succeeded, the failing
+    // attempt's elapsed is reported alongside the error entry.
+    var best = ListMap(ordered.map { case (n, _) => n -> Double.MaxValue }: _*)
+    var failedElapsed = Map.empty[String, Double]
+    var pass = 0
+    while (pass < runs) {
+      ordered.foreach { case (name, fn) =>
+        if (!errors.contains(name)) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            val sec = (System.nanoTime() - t0) / 1e9
+            best += name -> math.min(best(name), sec)
           } catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            failedElapsed = (System.nanoTime() - t0) / 1e9
+            failedElapsed += name -> (System.nanoTime() - t0) / 1e9
           }
-          run += 1
         }
-        name -> (if (best != Double.MaxValue) best else failedElapsed)
+      }
+      pass += 1
+    }
+    val results = best.map { case (name, b) =>
+      name -> (if (b != Double.MaxValue) b else failedElapsed.getOrElse(name, 0.0))
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

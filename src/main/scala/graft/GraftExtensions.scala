@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see GraftCatalog's scaladoc for why reads resolve this way.
     ext.injectResolutionRule(session =>
       graft.sinks.ResolveGraftSnapshot(session))
+    // Maintenance SQL Spark's grammar lacks (RESTORE TABLE … TO
+    // VERSION AS OF n, DESCRIBE HISTORY t) — a delegating parser, the
+    // DeltaSqlParser architecture.
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
   }
 }
 

@@ -29,15 +29,28 @@ object Queries {
       // truncate to micros (integer div; a double division would lose
       // precision at 1e18, and DuckDB's nanos→micros truncates the same
       // way) — or plain TIMESTAMP(MICROS), which Spark 4 infers as NTZ.
-      // Normalize both to TimestampType (session TZ is UTC, so the NTZ
-      // cast is value-preserving and matches DuckDB's naive read).
+      // Normalize both to TimestampType. The NTZ→Timestamp cast is
+      // value-preserving only under session TZ = UTC, so that
+      // precondition is asserted here rather than assumed: a future
+      // entry point with a non-UTC session would otherwise silently
+      // shift every event timestamp.
+      require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+        s"events.parquet NTZ normalization requires spark.sql.session.timeZone=UTC " +
+          s"(got '${s.conf.get("spark.sql.session.timeZone")}')")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampType => df
-        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case other =>
+          // Any other type means the regenerated file drifted from its
+          // contract — fail loudly instead of casting to nulls.
+          throw new IllegalStateException(
+            s"events.parquet ts column has unexpected type $other " +
+              "(expected TIMESTAMP, TIMESTAMP_NTZ, or legacy nanos int64)")
       }
     } else s.read.parquet(s"$dir/$name.parquet")
 
@@ -4525,7 +4538,115 @@ object Queries {
       toks AS (SELECT unnest(list_filter(string_split(st, ' '), x -> x <> ''))
         AS term FROM norm)
       SELECT term, count(*) AS occurrences FROM toks
-      GROUP BY term ORDER BY occurrences DESC, term LIMIT 15"""))
+      GROUP BY term ORDER BY occurrences DESC, term LIMIT 15""")),
+
+    // E56: STREAMING change-feed consumption (format("graft-changes"),
+    // the Delta-CDF-streaming / Mongo-change-stream analog). Four
+    // commits — base, merge (update+insert), keyed delete, and a
+    // layout-only compact — are replayed through readStream from
+    // version 0; the memory sink must hold every CDC row tagged with
+    // its emitting version, and the compact version must emit ZERO
+    // rows (content diff, not file diff). The oracle rebuilds the
+    // feed per version from key arithmetic.
+    ("q147_stream_change_feed", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q147").toString
+      val root = s"$dir/t"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      val incoming = orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+      graft.sinks.SnapshotStore.mergeCommit(s, incoming, root,
+        "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m5 === 1).select(col("o_orderkey")),
+        root, "o_orderkey", "o_orderstatus")
+      graft.sinks.SnapshotStore.compact(s, root, "o_orderstatus")
+      val q = s.readStream.format("graft-changes")
+        .option("key", "o_orderkey")
+        .option("startingVersion", "0")
+        .load(root)
+        .writeStream.format("memory").queryName("graft_q147_feed")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q147_feed")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"), col("_change_type"),
+          col("_commit_version"))
+        .orderBy(col("o_orderkey"), col("_commit_version"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS rev,
+        'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      FROM orders WHERE o_orderkey % 5 <> 4
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0, 2,
+        'update', CAST(2 AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 2,
+        'insert', CAST(2 AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 4
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1,
+        'delete', CAST(3 AS BIGINT)
+      FROM orders WHERE o_orderkey % 5 = 1
+      ORDER BY o_orderkey, _commit_version""")),
+
+    // E48 SQL surface: the SAME commit → merge → delete → restore
+    // sequence as q137, but the restore AND the audit view are driven
+    // purely in SQL (`RESTORE TABLE … TO VERSION AS OF`, `DESCRIBE
+    // HISTORY` — the GraftSqlParser statements Delta users type),
+    // through a path-addressed GraftCatalog. Oracle identical to
+    // q137's: the SQL surface must be indistinguishable from the API.
+    ("q148_sql_restore_history", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q148_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 4).withColumn("rev", lit(2)), root,
+        "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m5 === 1).select(col("o_orderkey")), root,
+        "o_orderkey", "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q148",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val restored = s.sql(
+        s"RESTORE TABLE graft_q148.`$root` TO VERSION AS OF 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      require(restored == Seq((1L, 4L)),
+        s"SQL restore returned $restored, expected (1,4)")
+      s.sql(s"DESCRIBE HISTORY graft_q148.`$root`")
+        .select(col("version"), col("operation"),
+          col("n_partitions"), col("total_rows"))
+        .orderBy(col("version"))
+    }, Some("""
+      SELECT CAST(1 AS BIGINT) AS version, 'commit' AS operation,
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 4) AS n_partitions,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4) AS total_rows
+      UNION ALL SELECT 2, 'merge',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders),
+        (SELECT count(*) FROM orders)
+      UNION ALL SELECT 3, 'delete',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 1),
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 1)
+      UNION ALL SELECT 4, 'restore',
+        (SELECT count(DISTINCT o_orderstatus) FROM orders
+          WHERE o_orderkey % 5 <> 4),
+        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4)
+      ORDER BY version"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -69,6 +69,11 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** Root resolution for the maintenance-SQL commands (`RESTORE TABLE`
+    * / `DESCRIBE HISTORY` via [[org.apache.spark.sql.graft.GraftSqlParser]]):
+    * same warehouse/path rules as reads. */
+  def tableRoot(ident: Identifier): String = rootFor(ident)
+
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val spark = SparkSession.active
     val root = rootFor(ident)

@@ -932,8 +932,21 @@ object SnapshotStore {
     * sums the stats sidecar and is null when any listed file lacks
     * stats (derived metadata never blocks the audit view). Driver-side
     * over manifests only — metadata-priced at any table size. */
-  def history(spark: SparkSession, root: String): DataFrame = {
+  /** [[history]]'s row shape — shared with the `DESCRIBE HISTORY`
+    * SQL command so the two surfaces cannot drift. */
+  val historySchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("total_rows", LongType, nullable = true)))
+  }
+
+  def history(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)
     var prevPaths = Set.empty[String]
     val rows = vs.map { v =>
@@ -951,17 +964,9 @@ object SnapshotStore {
       prevPaths = paths
       row
     }
-    val schema = StructType(Seq(
-      StructField("version", LongType, nullable = false),
-      StructField("operation", StringType, nullable = true),
-      StructField("n_files", IntegerType, nullable = false),
-      StructField("n_partitions", IntegerType, nullable = false),
-      StructField("files_added", IntegerType, nullable = false),
-      StructField("files_removed", IntegerType, nullable = false),
-      StructField("total_rows", LongType, nullable = true)))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), historySchema)
   }
 
   /** External-engine interop: export a snapshot version as a

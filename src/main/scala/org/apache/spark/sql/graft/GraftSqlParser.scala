@@ -1,0 +1,131 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParseException}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.sinks.{GraftCatalog, SnapshotStore}
+
+/** Maintenance-SQL surface for snapshot tables — the statements Delta
+  * users type, routed to [[graft.sinks.SnapshotStore]]:
+  *
+  * {{{
+  *   RESTORE TABLE graft.products TO VERSION AS OF 2
+  *   DESCRIBE HISTORY graft.`/abs/path/t`
+  * }}}
+  *
+  * Spark's grammar has neither statement, so — exactly like Delta's
+  * `DeltaSqlParser` — a delegating `ParserInterface` is injected via
+  * `SparkSessionExtensions.injectParser`: the two fixed statement
+  * shapes are recognized here (backtick-aware), everything else falls
+  * through to the session parser untouched. Table names resolve
+  * through the SAME [[GraftCatalog]] rules as reads (warehouse name or
+  * backticked absolute path), so the read and maintenance surfaces
+  * cannot drift.
+  *
+  * Both commands are metadata-priced at any table size: RESTORE is a
+  * pure manifest commit ([[SnapshotStore.restore]] — zero data read),
+  * DESCRIBE HISTORY walks manifests + stats sidecars
+  * ([[SnapshotStore.history]]). V1 `RunnableCommand`s, matching how
+  * Spark itself (and Delta) plan maintenance DDL — there is nothing to
+  * distribute. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RestorePattern(table, version) =>
+      RestoreSnapshotCommand(delegate.parseMultipartIdentifier(table), version.toLong)
+    case HistoryPattern(table) =>
+      DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // One multipart identifier: backtick-quoted parts may hold anything
+  // (paths with slashes/dots); bare parts are word-shaped.
+  private val part = "(?:`[^`]+`|[A-Za-z_][\\w$]*)"
+  private val ident = s"($part(?:\\.$part)*)"
+
+  private val RestorePattern =
+    s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*\\z".r
+  private val HistoryPattern =
+    s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
+
+  /** Multipart name → snapshot root, through the named catalog's
+    * warehouse/path rules. The catalog MUST be a [[GraftCatalog]] —
+    * restoring an arbitrary catalog's table through snapshot-store
+    * machinery would corrupt nothing (it only writes manifests) but
+    * must still fail loudly as a user error. */
+  private[graft] def resolveRoot(spark: SparkSession, table: Seq[String]): String = {
+    require(table.size >= 2,
+      s"qualify the table with its graft catalog: <catalog>.${table.mkString(".")}")
+    val cm = spark.sessionState.catalogManager
+    cm.catalog(table.head) match {
+      case g: GraftCatalog =>
+        g.tableRoot(Identifier.of(table.tail.init.toArray, table.last))
+      case other => throw new IllegalArgumentException(
+        s"'${table.head}' is not a graft snapshot catalog " +
+          s"(got ${other.getClass.getName}); RESTORE/DESCRIBE HISTORY " +
+          "apply only to graft snapshot tables")
+    }
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n`: publish a new version whose
+  * manifest is byte-identical to version n's. Returns one row
+  * (restored_to_version, committed_version) — like Delta, the restore
+  * is itself a commit, so history is never rewritten. */
+case class RestoreSnapshotCommand(table: Seq[String], version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val committed = SnapshotStore.restore(spark, root, version)
+    Seq(Row(version, committed))
+  }
+}
+
+/** `DESCRIBE HISTORY t`: the per-version audit view
+  * ([[SnapshotStore.history]] — version, operation, file/partition
+  * counts, files added/removed, total rows), newest first like
+  * Delta's. */
+case class DescribeHistoryCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      SnapshotStore.historySchema)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    SnapshotStore.history(spark, root)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .collect().toSeq
+  }
+}

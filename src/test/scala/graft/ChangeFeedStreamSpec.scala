@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.SnapshotStore
+
+/** Streaming consumption of the snapshot-store change feed
+  * (`format("graft-changes")` — the Delta-CDF-streaming analog).
+  * Batch `SnapshotStore.changes` is oracle-proven (q126/q135); these
+  * specs pin that the STREAM delivers the same rows, version-tagged,
+  * exactly once, and that no-op versions emit nothing. */
+class ChangeFeedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("changefeed").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "version")
+
+  /** Run the feed stream over whatever is committed right now and
+    * collect everything it emits (AvailableNow-style: one
+    * processAllAvailable drain). */
+  private def drain(root: String, startingVersion: Long,
+                    ckpt: String, sinkName: String): Unit = {
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .option("startingVersion", startingVersion.toString)
+      .load(root)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("full replay from version 0: inserts, updates, deletes, version-tagged") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      table(("p2", "a", 2), ("p4", "c", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.deleteCommit(spark,
+      Seq("p3").toDF("product_id"), root, "product_id", "supplier")
+
+    drain(root, 0L, s"$dir/ckpt", "feed_replay")
+    val got = spark.table("feed_replay")
+      .select("product_id", "version", "_change_type", "_commit_version")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("p1", 1, "insert", 1L), ("p2", 1, "insert", 1L), ("p3", 1, "insert", 1L),
+      ("p2", 2, "update", 2L), ("p4", 2, "insert", 2L),
+      ("p3", 1, "delete", 3L)))
+  }
+
+  test("restart resumes after the last committed version (exactly-once), no-op version emits nothing") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    // The memory sink refuses checkpoint recovery (not fault-tolerant),
+    // so the restart pin uses the file sink — the recovery-capable path
+    // a real consumer would run.
+    def drainToFiles(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("key", "product_id")
+        .option("startingVersion", "0")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1)), root, "supplier")
+    drainToFiles()
+    assert(spark.read.parquet(out).count() == 2)
+
+    // Between runs: one content commit + one layout-only commit.
+    SnapshotStore.mergeCommit(spark, table(("p5", "b", 2)), root,
+      "product_id", "version", "supplier")
+    // Force a multi-file partition then compact it: content unchanged,
+    // so this version must stream ZERO rows.
+    SnapshotStore.mergeCommit(spark, table(("p6", "b", 3)), root,
+      "product_id", "version", "supplier")
+    val vCompact = SnapshotStore.compact(spark, root, "supplier")
+    assert(vCompact == 4L)
+
+    // Same checkpoint → resumes from offset 1, replays nothing: the
+    // sink dir must hold the first run's 2 rows plus ONLY the two
+    // post-restart inserts (the compact version emits zero rows).
+    drainToFiles()
+    val got = spark.read.parquet(out)
+      .select("product_id", "_change_type", "_commit_version")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.size == 4, s"duplicate or missing replay rows: $got")
+    assert(got.toSet == Set(
+      ("p1", "insert", 1L), ("p2", "insert", 1L),
+      ("p5", "insert", 2L), ("p6", "insert", 3L)),
+      s"expected first-run inserts + two post-restart inserts (compact emits nothing), got $got")
+  }
+
+  test("default startingVersion streams only future commits") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_future")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_future").count() == 0)
+      SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+        "product_id", "version", "supplier")
+      q.processAllAvailable()
+      val got = spark.table("feed_future")
+        .select("product_id", "_change_type", "_commit_version")
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(("p2", "insert", 2L)))
+    } finally q.stop()
+  }
+
+  test("missing key / missing table surface as errors at stream construction") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes").option("key", "k").load(root).schema
+    }
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-changes").option("key", "nope").load(root).schema
+    }
+  }
+}

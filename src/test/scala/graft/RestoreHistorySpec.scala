@@ -109,4 +109,68 @@ class RestoreHistorySpec extends SparkSpec {
     assert(spark.sql("SELECT version FROM rh_sql").as[Int].collect().toSeq ==
       Seq(1))
   }
+
+  test("RESTORE TABLE … TO VERSION AS OF runs purely in SQL through the catalog") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      table(("p1", "a", 2), ("p3", "b", 2)), root,
+      "product_id", "version", "supplier")
+    spark.conf.set("spark.sql.catalog.rh_sqlr",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val res = spark.sql(s"RESTORE TABLE rh_sqlr.`$root` TO VERSION AS OF 1")
+      .as[(Long, Long)].collect().toSeq
+    assert(res == Seq((1L, 3L)), s"expected (restored_to=1, committed=3), got $res")
+    // SQL restore == API restore: current content is exactly v1's.
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 1), ("p2", 1)))
+    // Restoring to the CURRENT content is a no-op (same version back).
+    val again = spark.sql(s"RESTORE rh_sqlr.`$root` TO VERSION AS OF 1")
+      .as[(Long, Long)].collect().toSeq
+    assert(again == Seq((1L, 3L)))
+  }
+
+  test("DESCRIBE HISTORY runs purely in SQL, newest-first, equal to the API view") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.deleteCommit(spark, Seq("p2").toDF("product_id"),
+      root, "product_id", "supplier")
+    spark.conf.set("spark.sql.catalog.rh_sqlh",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val got = spark.sql(s"DESC HISTORY rh_sqlh.`$root`")
+      .select("version", "operation", "total_rows")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "delete", 1L), (1L, "commit", 2L)))
+    val api = SnapshotStore.history(spark, root)
+      .orderBy(col("version").desc)
+      .select("version", "operation", "total_rows")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == api)
+  }
+
+  test("maintenance parser delegates everything else; bad targets fail loudly") {
+    // Ordinary SQL still parses through the delegate.
+    assert(spark.sql("SELECT 1 + 1 AS two").as[Int].collect().toSeq == Seq(2))
+    // Unqualified table → user error, not a parse crash.
+    val e1 = intercept[Exception] {
+      spark.sql("RESTORE TABLE unqualified TO VERSION AS OF 1").collect()
+    }
+    assert(e1.getMessage.contains("graft catalog"))
+    // Non-graft catalog → user error naming the catalog class.
+    val e2 = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY spark_catalog.default.nope").collect()
+    }
+    assert(e2.getMessage.contains("not a graft snapshot catalog"))
+    // Restoring to an uncommitted version surfaces the store's error.
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    spark.conf.set("spark.sql.catalog.rh_sqle",
+      classOf[graft.sinks.GraftCatalog].getName)
+    intercept[Exception] {
+      spark.sql(s"RESTORE TABLE rh_sqle.`$root` TO VERSION AS OF 9").collect()
+    }
+  }
 }
