@@ -4647,6 +4647,263 @@ object Queries {
           WHERE o_orderkey % 5 <> 4),
         (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4)
       ORDER BY version"""))
+    ,
+
+    // REAL pixel featurizer (ImageCodec.pixelFeatures — rasterized
+    // color-histogram embedding, the retirement of the hash-stub
+    // forward pass): each row becomes a flat-color image whose color
+    // CLASS is doc_id % 5, in a container cycling png/bmp (both
+    // lossless, so the histogram is exact and format-invariant) at
+    // per-id sizes (the histogram normalizes size away); every
+    // id%10==7 row is corrupt text bytes → null embedding. Clustering
+    // through the LSH-bucketed near-dup join must pair EXACTLY the
+    // same-color rows — the oracle derives every pair from the class
+    // arithmetic alone.
+    ("q149_pixel_features", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, Similarity}
+      val palette = Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00)
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else Multimodal.ImageCodec.encode(
+              (8 + id % 16).toInt, (8 + (id * 3) % 16).toInt,
+              palette((id % 5).toInt),
+              if (id % 2 == 0) "png" else "bmp")
+          (id, content)
+        }).toDF("media_id", "content")
+      val feats = Multimodal.extractFeatures(media, bins = 4).toDF()
+      val vecs = feats.filter(col("embedding").isNotNull)
+        .select(col("media_id").as("id"), col("embedding").as("vec"))
+      Similarity.nearDupPairs(vecs, "id", "vec", threshold = 0.999)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some("""
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, 1.0 AS cosine
+      FROM documents l JOIN documents r
+        ON l.doc_id < r.doc_id AND l.doc_id % 5 = r.doc_id % 5
+      WHERE l.doc_id < 60 AND r.doc_id < 60
+        AND l.doc_id % 10 <> 7 AND r.doc_id % 10 <> 7
+      ORDER BY id_a, id_b""")),
+
+    // MP3 frame-header decode (Mp3Codec — the q124 pattern for the
+    // container audio corpora actually hold): CBR fixtures at
+    // id-arithmetic rates/channels/frame counts, every 3rd row behind
+    // an ID3v2 tag that must be skipped by syncsafe size, id%10==7
+    // rows corrupt. The oracle recomputes version, channel count,
+    // rate, frame count, and floored duration from the arithmetic.
+    ("q150_mp3_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else {
+              val rate = (id % 3).toInt match {
+                case 0 => 44100; case 1 => 48000; case _ => 32000
+              }
+              Multimodal.Mp3Codec.encode(rate, (1 + id % 2).toInt,
+                (20 + (id * 11) % 40).toInt,
+                id3Payload = if (id % 3 == 0) (100 + id * 7 % 200).toInt else 0)
+            }
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeMp3Meta(media)
+        .select(col("media_id"), col("version"), col("channels"),
+          col("sample_rate"), col("bitrate_kbps"), col("n_frames"),
+          col("duration_ms"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'mpeg1' END AS version,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             WHEN doc_id % 3 = 0 THEN CAST(44100 AS INT)
+             WHEN doc_id % 3 = 1 THEN CAST(48000 AS INT)
+             ELSE CAST(32000 AS INT) END AS sample_rate,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(128 AS INT) END AS bitrate_kbps,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(20 + (doc_id * 11) % 40 AS BIGINT) END AS n_frames,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             WHEN doc_id % 3 = 0
+               THEN CAST((20 + (doc_id * 11) % 40) * 1152 * 1000 // 44100 AS BIGINT)
+             WHEN doc_id % 3 = 1
+               THEN CAST((20 + (doc_id * 11) % 40) * 1152 * 1000 // 48000 AS BIGINT)
+             ELSE CAST((20 + (doc_id * 11) % 40) * 1152 * 1000 // 32000 AS BIGINT)
+             END AS duration_ms
+      FROM documents WHERE doc_id < 60 ORDER BY media_id""")),
+
+    // MP4 box-walk decode (Mp4Codec — ISO BMFF structure, the video
+    // metadata pass): fixtures with id-arithmetic timescale/duration
+    // and 16.16 track dims, every id%4==1 row audio-only-shaped (zero
+    // dims → null width/height), id%10==7 corrupt. Oracle recomputes
+    // the floored millisecond duration and dims from the arithmetic.
+    ("q151_mp4_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else {
+              val ts = (600 + (id % 4) * 300).toInt
+              val dur = 1000L + (id * 97) % 5000
+              if (id % 4 == 1) Multimodal.Mp4Codec.encode(ts, dur, 0, 0)
+              else Multimodal.Mp4Codec.encode(ts, dur,
+                (320 + (id % 8) * 16).toInt, (180 + (id % 6) * 30).toInt)
+            }
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeMp4Meta(media)
+        .select(col("media_id"), col("brand"), col("timescale"),
+          col("duration_ms"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'isom' END AS brand,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(600 + (doc_id % 4) * 300 AS BIGINT) END AS timescale,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST((1000 + (doc_id * 97) % 5000) * 1000
+               // (600 + (doc_id % 4) * 300) AS BIGINT) END AS duration_ms,
+        CASE WHEN doc_id % 10 = 7 OR doc_id % 4 = 1 THEN NULL
+             ELSE CAST(320 + (doc_id % 8) * 16 AS INT) END AS width,
+        CASE WHEN doc_id % 10 = 7 OR doc_id % 4 = 1 THEN NULL
+             ELSE CAST(180 + (doc_id % 6) * 30 AS INT) END AS height
+      FROM documents WHERE doc_id < 60 ORDER BY media_id""")),
+
+    // E50 through the index (TextIndex.bm25ViaIndex — ranked search's
+    // skipping-index analog): the q140 query scored while reading ONLY
+    // candidate files; N/avgdl/df come from the index build's stats,
+    // so the scores are IDENTICAL to full-scan BM25 — the oracle is
+    // q140's verbatim. The pruned-scan property itself is spec-pinned
+    // (TextIndexSpec counts input files).
+    ("q152_bm25_via_index", (s: SparkSession, d: String) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft_q152_idx")
+        .resolve("bm25idx").toString
+      graft.operators.TextIndex.buildBm25Index(
+        s, s"$d/documents.parquet", "text", idx)
+      graft.operators.TextIndex.bm25ViaIndex(
+          s, s"$d/documents.parquet", idx, "text", "doc_id",
+          Seq("spark", "vector", "merge"))
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9 \t\n]', '', 'g'), '\s+', ' ', 'g')), ' '),
+          x -> x <> '') AS ws
+        FROM documents),
+      d AS (SELECT doc_id, len(ws) AS dl FROM w),
+      stats AS (SELECT count(*) AS n, sum(dl) AS s FROM d),
+      toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      dfreq AS (SELECT term,
+        CAST(round(ln(1.0 + (n - count(*) + CAST(0.5 AS DOUBLE)) / (count(*) + 0.5)), 6)
+          AS DECIMAL(18,6)) AS idf6
+        FROM tf CROSS JOIN stats GROUP BY term, n),
+      a AS (SELECT tf.doc_id,
+        CAST(round(CAST(idf6 AS DOUBLE) *
+          ((tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl /
+            (CAST(s AS DOUBLE) / n)))), 6) AS DECIMAL(18,6)) AS addend
+        FROM tf JOIN d USING (doc_id) JOIN dfreq USING (term)
+        CROSS JOIN stats)
+      SELECT doc_id, CAST(sum(addend) AS DOUBLE) AS bm25
+      FROM a GROUP BY doc_id ORDER BY doc_id""")),
+
+    // E52 ∘ L9: quantized IVF (Similarity.ivfTopKQuantized — the faiss
+    // IVFx,SQ8 shape). The oracle composes q63's cell/probe replay
+    // with q143's int8 arithmetic: centroids are the first 16 vectors,
+    // each vector joins its nearest cell, queries probe their 2
+    // nearest cells, and scoring is the EXACT integer code dot
+    // rescaled by both max-abs scales, neighbor-id tie-break.
+    ("q153_ivf_quantized", (s: SparkSession, d: String) => {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      graft.operators.Similarity.ivfTopKQuantized(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8).select(col("vec_id")), k = 5,
+          numCells = 16, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ranked AS (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, cent.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+            DESC, cent.cid ASC) AS rk
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk <= 2 AND vec_id < 8),
+      cc AS (SELECT vec_id,
+        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+          / 127.0 AS scale,
+        embedding FROM embeddings),
+      codes AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0
+          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) END AS c
+        FROM cc),
+      p AS (SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(n.c)),
+          i -> n.c[i] * q.c[i])) AS BIGINT) AS qdot,
+        q.scale AS qs, n.scale AS ns
+        FROM probes pr
+        JOIN assigned a ON a.cell = pr.cell AND a.vec_id <> pr.vec_id
+        JOIN codes q ON q.vec_id = pr.vec_id
+        JOIN codes n ON n.vec_id = a.vec_id)
+      SELECT query_id, neighbor_id, qdot,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY (CAST(qdot AS DOUBLE) * qs) * ns DESC, neighbor_id)
+          AS INT) AS rank
+      FROM p
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // WebP header decode (ImageCodec.webpDims — the pure-Scala RIFF
+    // fallback behind decodeDims; the JDK has no WebP reader and real
+    // web corpora are full of it). VP8L fixtures with 14-bit dims from
+    // doc_id arithmetic, id%10==7 rows corrupt text bytes → nulls.
+    ("q154_webp_decode", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val content =
+            if (id % 10 == 7) Option(text).getOrElse("").getBytes("UTF-8")
+            else Multimodal.ImageCodec.encodeWebP(
+              (16 + id % 1000).toInt, (16 + (id * 13) % 1000).toInt)
+          (id, content)
+        }).toDF("media_id", "content")
+      Multimodal.decodeImageMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 10 = 7 THEN NULL ELSE 'webp' END AS format,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(16 + doc_id % 1000 AS INT) END AS width,
+        CASE WHEN doc_id % 10 = 7 THEN NULL
+             ELSE CAST(16 + (doc_id * 13) % 1000 AS INT) END AS height
+      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

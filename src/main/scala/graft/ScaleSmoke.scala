@@ -73,6 +73,8 @@ object ScaleSmoke {
       skipRoot, "part")
     var skipFiles = (0, 0) // (candidates planned, total files)
     var bloomFiles = (0, 0, 0) // (candidates before bloom, total, after bloom)
+    var bm25TableDir = "" // set by bm25_index_build, read by bm25_via_index
+    var bm25IndexDir = ""
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -367,6 +369,57 @@ object ScaleSmoke {
       // against ann_brute_float.
       time("ann_brute_int8_codes") {
         Similarity.quantizedTopKCodes(int8Queries, int8Corpus, k = 10).count()
+      },
+      // Quantized IVF (faiss IVFx,SQ8), inline: includes the one-off
+      // assignment+quantization pass — the ingest cost.
+      time("ivf_quantized_inline") {
+        Similarity.ivfTopKQuantized(embs, "vec_id", "embedding",
+          embs.filter(col("vec_id") < 64).select(col("vec_id")),
+          k = 10, numCells = 64, nprobe = 2).count()
+      },
+      // Steady state: quantized inverted lists pre-materialized (the
+      // production shape — assignment+quantization amortized at
+      // ingest); the timed probe pays only cell ranking for 64 queries
+      // plus the integer-MAC scan of the probed lists. Compare
+      // ivf_topk, whose per-query work includes the full float corpus
+      // assignment every time.
+      time("ivf_quantized_steady") {
+        val cents = Similarity.ivfCentroids(embs, "vec_id", "embedding", 64)
+        val index = Similarity.ivfQuantizedIndex(
+          embs, "vec_id", "embedding", cents).persist()
+        index.count() // materialize OUTSIDE the probe measurement
+        val t0 = System.nanoTime()
+        val n = Similarity.ivfTopKQuantizedCodes(index, cents,
+          embs.filter(col("vec_id") < 64), "vec_id", "embedding",
+          k = 10, nprobe = 2).count()
+        val probeSec = (System.nanoTime() - t0) / 1e9
+        index.unpersist()
+        // Encode the probe-only seconds (ms) in the value so the
+        // steady-state cost is visible even though time() wraps the
+        // whole block: value = probe_ms * 10^6 + rows.
+        (probeSec * 1000).toLong * 1000000L + n
+      },
+      // BM25 through the skipping index: build once (bm25_index_build,
+      // corpus-sized like any index build), then the ranked query reads
+      // only candidate files + index rows — compare bm25_retrieval
+      // (the full-scan path on the same corpus/query).
+      time("bm25_index_build") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_bm25ix").toString
+        bm25IndexDir = s"$dir/index"
+        val tableDir = s"$dir/table"
+        docs.repartitionByRange(64, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+          .write.parquet(tableDir)
+        bm25TableDir = tableDir
+        graft.operators.TextIndex.buildBm25Index(
+          spark, tableDir, "text", bm25IndexDir)
+        1L
+      },
+      time("bm25_via_index") {
+        graft.operators.TextIndex.bm25ViaIndex(spark, bm25TableDir,
+          bm25IndexDir, "text", "doc_id", Seq("spark", "vector", "merge"))
+          .count()
       },
       // Snapshot restore on the amplified table: pure metadata commit —
       // must stay ~constant as data grows.

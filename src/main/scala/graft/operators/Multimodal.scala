@@ -36,22 +36,17 @@ object Multimodal {
   /** Byte size without deserializing. */
   def byteSize(content: Column): Column = length(content)
 
-  /** STUB codec: deterministic pseudo-decode derived from the bytes.
-    * A real implementation calls the image/audio library here — the
-    * signature (bytes in, fixed-shape features out) is the contract
-    * the rest of the pipeline compiles against. */
+  /** STUB codec: deterministic pseudo-decode derived from the bytes —
+    * kept ONLY as the plumbing fixture for [[decodeMeta]] (schema /
+    * partitioning / batch-shape tests that must not depend on any
+    * container format). Real decode lives in [[ImageCodec]] /
+    * [[AudioCodec]] / [[Mp3Codec]] / [[Mp4Codec]]; real feature
+    * extraction in [[ImageCodec.pixelFeatures]]. */
   object StubCodec {
     /** Pretend-decode image dimensions from content bytes. */
     def decodeDims(bytes: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(bytes)
       (256 + math.abs(h % 1024), 256 + math.abs((h >> 10) % 1024))
-    }
-    /** Pretend feature vector (`dim` floats in [-0.5, 0.5]) — a
-      * deterministic hash-seeded embedding standing in for a model
-      * forward pass. */
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes))
-      Array.fill(dim)(rnd.nextFloat() - 0.5f)
     }
   }
 
@@ -65,7 +60,10 @@ object Multimodal {
     * media is data, not an exception, in a corpus-scale pipeline. */
   object ImageCodec {
     /** (format, width, height) from the header; None if undecodable.
-      * Formats are lowercase ImageIO names ("png", "jpeg", "gif", …). */
+      * Formats are lowercase ImageIO names ("png", "jpeg", "gif", …)
+      * plus "webp" via the pure-Scala RIFF fallback ([[webpDims]]) —
+      * the JDK ships no WebP reader, and a real web corpus is full of
+      * it. */
     def decodeDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
       if (bytes == null || bytes.isEmpty) return None
       try {
@@ -78,7 +76,7 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
+          if (!readers.hasNext) webpDims(bytes)
           else {
             val r = readers.next()
             try {
@@ -89,6 +87,67 @@ object Multimodal {
           }
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** WebP dimensions — pure-Scala RIFF walk over the three container
+      * flavors: `VP8 ` (lossy: 3-byte frame tag, 0x9D012A sync, 14-bit
+      * LE dims), `VP8L` (lossless: 0x2F signature, two 14-bit fields
+      * LSB-packed), `VP8X` (extended: 24-bit LE canvas dims, minus
+      * one). Header-only as ever; None on anything malformed. */
+    private[operators] def webpDims(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      def u8(o: Int): Int = bytes(o) & 0xFF
+      def u16le(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+      def u24le(o: Int): Int = u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16)
+      def u32le(o: Int): Long = u24le(o).toLong | (u8(o + 3).toLong << 24)
+      def tag(o: Int): String =
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      try {
+        // Smallest decodable container: RIFF(12) + chunk header(8) +
+        // VP8L 5-byte payload = 25; each branch's size check bounds
+        // its own reads beyond that.
+        if (bytes.length < 25 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+        // First chunk at 12: fourcc + u32le payload size.
+        val fourcc = tag(12)
+        val size = u32le(16)
+        if (size < 0 || 20 + size > bytes.length) return None
+        fourcc match {
+          case "VP8 " if size >= 10 && u8(23) == 0x9D && u8(24) == 0x01 &&
+              u8(25) == 0x2A =>
+            // After the 3-byte frame tag and 3-byte sync: 14-bit dims.
+            Some(("webp", u16le(26) & 0x3FFF, u16le(28) & 0x3FFF))
+          case "VP8L" if size >= 5 && u8(20) == 0x2F =>
+            // 28 bits LSB-first after the signature: width-1, height-1.
+            val b = u32le(21)
+            Some(("webp", ((b & 0x3FFF) + 1).toInt,
+              (((b >> 14) & 0x3FFF) + 1).toInt))
+          case "VP8X" if size >= 10 =>
+            // 4 bytes flags/reserved, then canvas (width-1, height-1) u24le.
+            Some(("webp", u24le(24) + 1, u24le(27) + 1))
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic VP8L (lossless WebP) fixture: a valid RIFF/WEBP
+      * container whose VP8L chunk carries the 14-bit dims — header
+      * bytes only (no pixel payload; [[webpDims]] is header-only so
+      * round-trips are exact). */
+    def encodeWebP(width: Int, height: Int): Array[Byte] = {
+      require(width >= 1 && width <= 0x4000 && height >= 1 && height <= 0x4000,
+        s"VP8L dims must fit 14 bits, got ${width}x$height")
+      val bits = (width - 1).toLong | ((height - 1).toLong << 14)
+      val payload = Array[Byte](0x2F,
+        (bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+        ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte)
+      val out = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.putInt(4 + 8 + payload.length) // riff size: "WEBP" + chunk hdr + payload
+      out.put("WEBP".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.put("VP8L".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.putInt(payload.length)
+      out.put(payload)
+      out.array()
     }
 
     /** (format, width, height, frameCount) in ONE reader session —
@@ -152,6 +211,59 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** REAL visual fingerprint: rasterize the image (full pixel
+      * decode, the one codec path that is NOT header-only) and emit a
+      * deterministic `bins³`-dimensional normalized color histogram —
+      * each pixel lands in an (r,g,b) high-bits bucket, counts divide
+      * by pixel count, so the embedding is scale-invariant:
+      * visually-identical content at different encodings (PNG vs BMP
+      * of the same pixels) maps to the SAME vector and clusters at
+      * cosine 1.0 through [[Similarity.nearDupPairs]]. This replaces
+      * the former hash-stub forward pass: it is a genuine
+      * pixel-statistics featurizer, not a model, and a learned encoder
+      * drops in by replacing this one function.
+      *
+      * Scale guard: the header is read FIRST ([[decodeDims]]) and any
+      * image over `maxPixels` (default 4M ≈ a 2048×2048 raster = 16 MB
+      * ARGB heap) returns None instead of rasterizing — one oversized
+      * image must not OOM an executor mid-corpus. Undecodable bytes
+      * are None as always: corrupt media is data, not a failure. */
+    def pixelFeatures(bytes: Array[Byte], bins: Int = 4,
+                      maxPixels: Long = 1L << 22): Option[Array[Float]] = {
+      require(bins >= 2 && bins <= 16, s"bins must be in [2,16], got $bins")
+      decodeDims(bytes) match {
+        case Some((_, w, h)) if w > 0 && h > 0 && w.toLong * h <= maxPixels =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val hist = new Array[Float](bins * bins * bins)
+              val width = img.getWidth
+              val height = img.getHeight
+              var y = 0
+              while (y < height) {
+                var x = 0
+                while (x < width) {
+                  val rgb = img.getRGB(x, y)
+                  val r = ((rgb >> 16) & 0xFF) * bins / 256
+                  val g = ((rgb >> 8) & 0xFF) * bins / 256
+                  val b = (rgb & 0xFF) * bins / 256
+                  hist((r * bins + g) * bins + b) += 1f
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (width.toLong * height).toFloat
+              var i = 0
+              while (i < hist.length) { hist(i) /= n; i += 1 }
+              Some(hist)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+    }
+
     /** Deterministic single-color test image, encoded with the real
       * ImageIO writer — the fixture generator for decode round-trips
       * (`format`: "png", "jpeg", "gif", "bmp"). */
@@ -202,7 +314,7 @@ object Multimodal {
   case class DecodedMeta(media_id: Long, width: Int, height: Int, n_bytes: Long)
   case class ImageMeta(media_id: Long, format: Option[String],
                        width: Option[Int], height: Option[Int], n_bytes: Long)
-  case class MediaFeatures(media_id: Long, embedding: Array[Float])
+  case class MediaFeatures(media_id: Long, embedding: Option[Array[Float]])
 
   /** Per-partition batched decode (the mapInPandas analog in Scala:
     * one iterator pass per partition, no per-row task overhead, bytes
@@ -239,15 +351,23 @@ object Multimodal {
       })
   }
 
-  /** Per-partition batched feature extraction → embedding column that
-    * feeds directly into [[Similarity]] / [[Dedup]] operators. */
-  def extractFeatures(df: DataFrame, dim: Int = 64): Dataset[MediaFeatures] = {
+  /** Per-partition batched REAL feature extraction
+    * ([[ImageCodec.pixelFeatures]] — rasterized color-histogram
+    * embedding, `bins`³ dims) → embedding column that feeds directly
+    * into [[Similarity]] / [[Dedup]] operators. Undecodable or
+    * oversized content yields a null embedding (filter before the
+    * similarity join), never a task failure. Input needs
+    * (media_id BIGINT, content BINARY); pair with
+    * [[repartitionForDecode]] upstream — this is the one pass that
+    * rasterizes, so partition byte volume bounds executor heap. */
+  def extractFeatures(df: DataFrame, bins: Int = 4,
+                      maxPixels: Long = 1L << 22): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        MediaFeatures(id, StubCodec.features(bytes, dim))
+        MediaFeatures(id, ImageCodec.pixelFeatures(bytes, bins, maxPixels))
       })
   }
 
@@ -304,6 +424,272 @@ object Multimodal {
     }
   }
 
+  /** MPEG audio (MP3) metadata codec — pure-Scala frame-header walker
+    * for the container 100 TB audio corpora actually hold (javax.sound
+    * stops at WAV/AIFF/AU). HEADER-ONLY throughout: an ID3v2 tag is
+    * skipped by its syncsafe length, the first frame header is
+    * validated against its SUCCESSOR (a lone false sync in text bytes
+    * must not decode), then the walk jumps frame-to-frame by each
+    * frame's own computed length — so VBR streams count exactly, and
+    * no audio sample is ever decoded. Truncated tails and trailing
+    * ID3v1 tags end the walk cleanly. Layer III, all MPEG versions
+    * (1 / 2 / 2.5). None for unrecognized bytes, as ever. */
+  object Mp3Codec {
+    // Bitrate (kbps) by header index, Layer III. Index 0 ("free") and
+    // 15 (reserved) are rejected.
+    private val BitratesV1 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val BitratesV2 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    private val RatesV1 = Array(44100, 48000, 32000, 0)
+    private val RatesV2 = Array(22050, 24000, 16000, 0)
+    private val RatesV25 = Array(11025, 12000, 8000, 0)
+
+    private case class Frame(version: String, sampleRate: Int, channels: Int,
+                             bitrateKbps: Int, frameBytes: Int, samples: Int)
+
+    private def parseFrame(b: Array[Byte], off: Int): Option[Frame] = {
+      if (off < 0 || off + 4 > b.length) return None
+      val b0 = b(off) & 0xFF; val b1 = b(off + 1) & 0xFF
+      val b2 = b(off + 2) & 0xFF; val b3 = b(off + 3) & 0xFF
+      if (b0 != 0xFF || (b1 & 0xE0) != 0xE0) return None
+      val verBits = (b1 >> 3) & 3 // 0=2.5, 1=reserved, 2=2, 3=1
+      val layerBits = (b1 >> 1) & 3 // 1 = Layer III
+      if (verBits == 1 || layerBits != 1) return None
+      val brIdx = (b2 >> 4) & 0xF
+      val srIdx = (b2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val (version, rates, bitrates, samples, coef) = verBits match {
+        case 3 => ("mpeg1", RatesV1, BitratesV1, 1152, 144)
+        case 2 => ("mpeg2", RatesV2, BitratesV2, 576, 72)
+        case _ => ("mpeg2.5", RatesV25, BitratesV2, 576, 72)
+      }
+      val rate = rates(srIdx)
+      val kbps = bitrates(brIdx)
+      val padding = (b2 >> 1) & 1
+      val frameBytes = coef * kbps * 1000 / rate + padding
+      if (frameBytes < 4) return None
+      val channels = if (((b3 >> 6) & 3) == 3) 1 else 2
+      Some(Frame(version, rate, channels, kbps, frameBytes, samples))
+    }
+
+    /** ID3v2 header → total tag length to skip (10-byte header +
+      * syncsafe 28-bit size), or 0 when absent. */
+    private def id3v2Length(b: Array[Byte]): Int =
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' &&
+          (b(6) & 0x80) == 0 && (b(7) & 0x80) == 0 &&
+          (b(8) & 0x80) == 0 && (b(9) & 0x80) == 0)
+        10 + ((b(6) & 0x7F) << 21 | (b(7) & 0x7F) << 14 |
+          (b(8) & 0x7F) << 7 | (b(9) & 0x7F))
+      else 0
+
+    /** (version, channels, sampleRateHz, firstFrameBitrateKbps,
+      * nFrames, durationMs); None if no valid MPEG frame sequence is
+      * found. durationMs floors total samples × 1000 / rate. */
+    def decodeMeta(bytes: Array[Byte])
+        : Option[(String, Int, Int, Int, Long, Long)] = {
+      if (bytes == null || bytes.length < 8) return None
+      var off = id3v2Length(bytes)
+      // Find the first frame whose successor ALSO parses (or which
+      // exactly ends the stream): random bytes contain 0xFF sync
+      // patterns, a chained pair is real framing. Bounded search
+      // window: real streams put frame 1 right after the tag.
+      val searchEnd = math.min(bytes.length - 4, off + 4096)
+      var first: Option[Frame] = None
+      while (first.isEmpty && off <= searchEnd) {
+        first = parseFrame(bytes, off).filter { f =>
+          off + f.frameBytes == bytes.length ||
+            parseFrame(bytes, off + f.frameBytes).isDefined
+        }
+        if (first.isEmpty) off += 1
+      }
+      first.map { f0 =>
+        var nFrames = 0L
+        var totalSamples = 0L
+        // Count only COMPLETE frames: a header whose payload runs past
+        // EOF is a truncated tail, not audio.
+        var cur = parseFrame(bytes, off).filter(f => off + f.frameBytes <= bytes.length)
+        while (cur.isDefined) {
+          val f = cur.get
+          nFrames += 1
+          totalSamples += f.samples
+          off += f.frameBytes
+          cur = parseFrame(bytes, off).filter(f => off + f.frameBytes <= bytes.length)
+        }
+        (f0.version, f0.channels, f0.sampleRate, f0.bitrateKbps,
+          nFrames, totalSamples * 1000L / f0.sampleRate)
+      }
+    }
+
+    /** Deterministic CBR fixture: `nFrames` MPEG1 Layer III frames at
+      * 128 kbps (headers + zero payload — byte-exact framing, no
+      * audible content), optionally preceded by a synthetic ID3v2 tag
+      * of `id3Payload` bytes to exercise the skip path.
+      * `sampleRateHz` ∈ {44100, 48000, 32000}. */
+    def encode(sampleRateHz: Int, channels: Int, nFrames: Int,
+               id3Payload: Int = 0): Array[Byte] = {
+      val srIdx = RatesV1.indexOf(sampleRateHz)
+      require(srIdx >= 0 && srIdx < 3, s"MPEG1 rate needed, got $sampleRateHz")
+      require(channels == 1 || channels == 2, s"mono/stereo only, got $channels")
+      require(nFrames > 0 && id3Payload >= 0, "need frames >= 1")
+      val frameBytes = 144 * 128000 / sampleRateHz
+      val out = new java.io.ByteArrayOutputStream()
+      if (id3Payload > 0) {
+        require(id3Payload < (1 << 28), "ID3 payload too large")
+        out.write('I'); out.write('D'); out.write('3')
+        out.write(4); out.write(0); out.write(0) // v2.4, no flags
+        out.write((id3Payload >> 21) & 0x7F); out.write((id3Payload >> 14) & 0x7F)
+        out.write((id3Payload >> 7) & 0x7F); out.write(id3Payload & 0x7F)
+        out.write(new Array[Byte](id3Payload))
+      }
+      val frame = new Array[Byte](frameBytes)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+      frame(2) = ((9 << 4) | (srIdx << 2)).toByte // 128 kbps, no padding
+      frame(3) = (if (channels == 1) 0xC0 else 0x00).toByte
+      var i = 0
+      while (i < nFrames) { out.write(frame); i += 1 }
+      out.toByteArray
+    }
+  }
+
+  /** ISO BMFF (MP4/MOV) metadata codec — pure-Scala box walker for
+    * the container 100 TB video corpora actually hold. HEADER-ONLY:
+    * the walk reads box size/type words and descends only into
+    * `moov`→(`mvhd`, `trak`→`tkhd`), so cost is independent of the
+    * `mdat` payload (which at 100 TB is ~all the bytes). Handles
+    * 64-bit largesize and size-0 (to-EOF) boxes; malformed structure
+    * returns None, never a task failure. */
+  object Mp4Codec {
+    private def u32(b: Array[Byte], o: Int): Long =
+      if (o + 4 > b.length) -1L
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      if (o + 8 > b.length) -1L else (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      if (o + 4 > b.length) ""
+      else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the boxes of `[start, end)`, invoking `f(type, payloadStart,
+      * payloadEnd)`; returns false on structural corruption. */
+    private def walk(b: Array[Byte], start: Int, end: Int)
+                    (f: (String, Int, Int) => Unit): Boolean = {
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) return false
+        var size = u32(b, off)
+        val typ = fourcc(b, off + 4)
+        var payload = off + 8
+        if (size == 1) { size = u64(b, off + 8); payload = off + 16 }
+        else if (size == 0) size = (end - off).toLong
+        if (size < (payload - off) || off + size > end) return false
+        f(typ, payload, (off + size).toInt)
+        off += size.toInt
+      }
+      true
+    }
+
+    /** (brand, timescale, durationMs, width, height); None when no
+      * well-formed `moov`/`mvhd` exists. Width/height are the largest
+      * track-header dims (16.16 fixed-point, truncated) and None for
+      * audio-only files (all-zero tkhd dims). */
+    def decodeMeta(bytes: Array[Byte])
+        : Option[(String, Long, Long, Option[Int], Option[Int])] = {
+      if (bytes == null || bytes.length < 16) return None
+      try {
+        var brand = ""
+        var timescale = -1L
+        var duration = -1L
+        var width = 0
+        var height = 0
+        val ok = walk(bytes, 0, bytes.length) {
+          case ("ftyp", p, _) => brand = fourcc(bytes, p)
+          case ("moov", p, e) =>
+            walk(bytes, p, e) {
+              case ("mvhd", mp, _) =>
+                val version = bytes(mp) & 0xFF
+                if (version == 1) {
+                  timescale = u32(bytes, mp + 20)
+                  duration = u64(bytes, mp + 24)
+                } else {
+                  timescale = u32(bytes, mp + 12)
+                  duration = u32(bytes, mp + 16)
+                }
+              case ("trak", tp, te) =>
+                walk(bytes, tp, te) {
+                  case ("tkhd", kp, _) =>
+                    val version = bytes(kp) & 0xFF
+                    val dimOff = kp + (if (version == 1) 84 else 76)
+                    val w = (u32(bytes, dimOff) >> 16).toInt
+                    val h = (u32(bytes, dimOff + 4) >> 16).toInt
+                    if (w > width) width = w
+                    if (h > height) height = h
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ =>
+        }
+        if (!ok || timescale <= 0 || duration < 0) None
+        else Some((brand, timescale, duration * 1000L / timescale,
+          if (width > 0) Some(width) else None,
+          if (height > 0) Some(height) else None))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic minimal-MP4 fixture: ftyp(isom) + moov(mvhd v0 +
+      * trak(tkhd v0 with 16.16 dims)) + an empty mdat — real box
+      * structure, no media payload. `width`/`height` 0 emits an
+      * audio-only-shaped track (zero dims). */
+    def encode(timescale: Int, duration: Long, width: Int, height: Int): Array[Byte] = {
+      require(timescale > 0 && duration >= 0 && width >= 0 && height >= 0,
+        s"bad MP4 fixture params: $timescale/$duration/${width}x$height")
+      // Box sizes INCLUDE the 8-byte (size, type) header:
+      // mvhd = 8 + 100 payload, tkhd = 8 + 84, trak = 8 + tkhd,
+      // moov = 8 + mvhd + trak, ftyp = 16, mdat = 8.
+      val out = java.nio.ByteBuffer.allocate(16 + 216 + 8)
+      def box(size: Int, typ: String): Unit = {
+        out.putInt(size)
+        out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+      box(16, "ftyp")
+      out.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.putInt(0x200) // minor version
+      box(216, "moov")
+      box(108, "mvhd")
+      out.putInt(0) // version 0 + flags
+      out.putInt(0).putInt(0) // ctime, mtime
+      out.putInt(timescale)
+      out.putInt(duration.toInt)
+      out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume, reserved
+      out.putInt(0).putInt(0) // reserved
+      // Unity matrix.
+      out.putInt(0x00010000).putInt(0).putInt(0)
+      out.putInt(0).putInt(0x00010000).putInt(0)
+      out.putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+      out.putInt(2) // next_track_ID
+      box(100, "trak")
+      box(92, "tkhd")
+      out.putInt(0x000007) // version 0 + enabled flags
+      out.putInt(0).putInt(0) // ctime, mtime
+      out.putInt(1) // track_ID
+      out.putInt(0) // reserved
+      out.putInt(duration.toInt)
+      out.putInt(0).putInt(0) // reserved
+      out.putShort(0.toShort).putShort(0.toShort) // layer, alternate_group
+      out.putShort(0.toShort).putShort(0.toShort) // volume, reserved
+      out.putInt(0x00010000).putInt(0).putInt(0)
+      out.putInt(0).putInt(0x00010000).putInt(0)
+      out.putInt(0).putInt(0).putInt(0x40000000)
+      out.putInt(width << 16)
+      out.putInt(height << 16)
+      box(8, "mdat")
+      java.util.Arrays.copyOf(out.array(), out.position())
+    }
+  }
+
   case class AudioMeta(media_id: Long, encoding: Option[String],
                        channels: Option[Int], sample_rate: Option[Int],
                        n_frames: Option[Long], duration_ms: Option[Long],
@@ -326,6 +712,54 @@ object Multimodal {
               Some(frames), Some(durMs), n)
           case None =>
             AudioMeta(id, None, None, None, None, None, n)
+        }
+      })
+  }
+
+  case class Mp3Meta(media_id: Long, version: Option[String],
+                     channels: Option[Int], sample_rate: Option[Int],
+                     bitrate_kbps: Option[Int], n_frames: Option[Long],
+                     duration_ms: Option[Long], n_bytes: Long)
+
+  /** Per-partition batched MP3 metadata decode via [[Mp3Codec]];
+    * undecodable content yields null meta (never a task failure).
+    * Input needs (media_id BIGINT, content BINARY). */
+  def decodeMp3Meta(df: DataFrame): Dataset[Mp3Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        Mp3Codec.decodeMeta(bytes) match {
+          case Some((ver, ch, rate, kbps, frames, durMs)) =>
+            Mp3Meta(id, Some(ver), Some(ch), Some(rate), Some(kbps),
+              Some(frames), Some(durMs), n)
+          case None =>
+            Mp3Meta(id, None, None, None, None, None, None, n)
+        }
+      })
+  }
+
+  case class Mp4Meta(media_id: Long, brand: Option[String],
+                     timescale: Option[Long], duration_ms: Option[Long],
+                     width: Option[Int], height: Option[Int], n_bytes: Long)
+
+  /** Per-partition batched MP4/ISO-BMFF metadata decode via
+    * [[Mp4Codec]]; undecodable content yields null meta (never a task
+    * failure). Input needs (media_id BIGINT, content BINARY). */
+  def decodeMp4Meta(df: DataFrame): Dataset[Mp4Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        Mp4Codec.decodeMeta(bytes) match {
+          case Some((brand, ts, durMs, w, h)) =>
+            Mp4Meta(id, Some(brand), Some(ts), Some(durMs), w, h, n)
+          case None =>
+            Mp4Meta(id, None, None, None, None, None, n)
         }
       })
   }

@@ -267,6 +267,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Quantized IVF ANN — the faiss `IVFx,SQ8` composition: the corpus
+    * is partitioned into inverted lists by nearest centroid (the
+    * [[ivfTopK]] coarse quantizer, float — centroid assignment is a
+    * one-off, not the scan), but each list STORES int8 codes + a
+    * per-vector scale instead of float vectors, and probes score with
+    * the native integer kernel (`Int8DotProduct`). The two scale
+    * levers compose multiplicatively: nprobe cuts which fraction of
+    * the corpus a query touches, SQ8 cuts the bytes per touched
+    * vector 4× — and the measured kernel numbers (SCALE.md: HOF int8
+    * 5.4× SLOWER than float; codegen int8 faster than float) mean the
+    * memory win only cashes through the native kernel, which this
+    * uses. Scales are staged as attributes before the codes lambda
+    * (the HOF re-evaluation pitfall). Ranking is by the rescaled
+    * integer dot (qdot × qscale × nscale) with the neighbor-id
+    * tie-break; `qdot` is returned exactly, so external engines replay
+    * the ranking bit-for-bit. Result: (query_id, neighbor_id, qdot,
+    * rank). */
+  def ivfTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                       queryIds: DataFrame, k: Int,
+                       numCells: Int = 16, nprobe: Int = 2,
+                       trainIters: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCells, trainIters)
+    ivfTopKQuantizedCodes(
+      ivfQuantizedIndex(corpus, idCol, vecCol, cents), cents,
+      corpus.join(queryIds, Seq(idCol), "left_semi"),
+      idCol, vecCol, k, nprobe)
+  }
+
+  /** The IVF coarse quantizer as a one-row broadcastable frame —
+    * exposed so the quantized index and its probes share ONE centroid
+    * set (build once at ingest, reuse every query). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   numCells: Int, trainIters: Int = 0): DataFrame =
+    if (trainIters > 0) trainCentroids(corpus, idCol, vecCol, numCells, trainIters)
+    else centroidRow(corpus, idCol, vecCol, numCells)
+
+  /** Ingest-time half of the quantized IVF: assign each corpus vector
+    * to its nearest centroid and quantize — (cell, neighbor_id,
+    * neighbor_scale, neighbor_codes). Persist this (it is 4× smaller
+    * than the float corpus) and the per-query cost reduces to
+    * [[ivfTopKQuantizedCodes]]'s probe — assignment and quantization
+    * are paid once per ingested vector, amortized over every query,
+    * exactly like [[quantizedTopKCodes]]'s codes-at-rest shape. */
+  def ivfQuantizedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("__cell", element_at(rankedCells(col(vecCol), col("__cents")), 1))
+      .select(col("__cell"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("__v"), Vectors.int8Scale(col(vecCol)).as("neighbor_scale"))
+      .select(col("__cell"), col("neighbor_id"), col("neighbor_scale"),
+        Vectors.int8Codes(col("__v"), col("neighbor_scale")).as("neighbor_codes"))
+
+  /** Query-time half: probe the `nprobe` nearest cells per query and
+    * score the probed lists with the native integer kernel. `queries`
+    * carries (idCol, vecCol) float vectors (queries are few; their
+    * quantization is inline and negligible). */
+  def ivfTopKQuantizedCodes(index: DataFrame, cents: DataFrame,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            k: Int, nprobe: Int): DataFrame = {
+    val q = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(slice(rankedCells(col(vecCol), col("__cents")), 1, nprobe))
+          .as("__cell"))
+      .select(col("query_id"), col("__cell"), col("__qv"),
+        Vectors.int8Scale(col("__qv")).as("query_scale"))
+      .select(col("query_id"), col("__cell"), col("query_scale"),
+        Vectors.int8Codes(col("__qv"), col("query_scale")).as("query_codes"))
+    val scored = index.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.int8Dot(col("query_codes"), col("neighbor_codes")).as("qdot"),
+        col("query_scale"), col("neighbor_scale"))
+      .select(col("query_id"), col("neighbor_id"), col("qdot"),
+        (col("qdot").cast("double") * col("query_scale") *
+          col("neighbor_scale")).as("__sim"))
+    // No dedup needed: each corpus row lives in exactly one cell.
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("__sim")
+  }
+
   /** Embedding near-duplicate pairs: pairs with cosine ≥ threshold.
     * Default is the LSH-bucketed (scale-safe) path: candidate pairs are
     * restricted to a shared sign-bucket, so the join is an equi-join.

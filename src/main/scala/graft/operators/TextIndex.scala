@@ -122,6 +122,97 @@ object TextIndex {
       .filter(array_contains(TextAnalysis.wordSet(col(textCol)), word))
   }
 
+  /** BM25 ranked retrieval through the index — the skipping-index
+    * analog for ranked search: [[graft.operators.TfIdf.bm25]] scans
+    * the whole corpus per query; this composition reads ONLY the
+    * files containing a query term. The global statistics BM25 needs
+    * (N, total length, per-term document frequency) are what a full
+    * scan would otherwise recompute — so the index stores them at
+    * build time: per-(token, file) DOC COUNTS (df is their sum —
+    * index-sized, exact) and a one-row corpus-stats sidecar at
+    * `<indexPath>_stats`. Scored docs are exactly the docs holding a
+    * query term, and those live only in candidate files, so pruning
+    * loses nothing: the result is row-identical (same decimal
+    * quantization) to full-scan [[TfIdf.bm25]] as of the indexed
+    * table state.
+    *
+    * At 100 TB: query cost ∝ candidate bytes (selective terms touch a
+    * few files), stats cost ∝ index rows for the query terms; nothing
+    * rescans the corpus. Tokenization is [[TfIdf.bm25]]'s
+    * (`tokens ∘ normalized`), NOT [[buildWordIndex]]'s `wordSet` —
+    * the index and the scorer must agree on what a term is. */
+  def buildBm25Index(spark: SparkSession, tablePath: String,
+                     textCol: String, indexPath: String): Unit = {
+    val docs = spark.read.parquet(tablePath)
+      .select(input_file_name().as("file"),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("ws"))
+    docs.select(col("file"), explode(array_distinct(col("ws"))).as("token"))
+      .groupBy(col("token"), col("file")).agg(count(lit(1)).as("n_docs"))
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(indexPath)
+    docs.select(count(lit(1)).as("n"),
+        sum(size(col("ws"))).as("total_dl"))
+      .write.mode("overwrite").parquet(bm25StatsPath(indexPath))
+  }
+
+  private def bm25StatsPath(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_stats"
+
+  /** BM25 scores for `queryTerms` reading only the index's candidate
+    * files — equal to `TfIdf.bm25(fullTable, …)` by construction (see
+    * [[buildBm25Index]]). Result: (id, bm25) for every document
+    * containing at least one query term. */
+  def bm25ViaIndex(spark: SparkSession, tablePath: String, indexPath: String,
+                   textCol: String, idCol: String, queryTerms: Seq[String],
+                   k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("token").isInCollection(terms))
+    // Per-term document frequency: sum of per-file doc counts — an
+    // index-rows aggregation, |terms| result rows.
+    val dfByTerm = idx.groupBy(col("token").as("term"))
+      .agg(sum(col("n_docs")).as("df"))
+    val stats = spark.read.parquet(bm25StatsPath(indexPath)).first()
+    val n = stats.getLong(0)
+    require(n > 0, "empty corpus at index build time")
+    val avgdl = stats.getLong(1).toDouble / n
+    val files = idx.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val base = spark.read.parquet(tablePath)
+    if (files.isEmpty)
+      return base.select(col(idCol).as("id"), lit(0.0).as("bm25")).limit(0)
+    val target = new org.apache.hadoop.fs.Path(tablePath)
+    val isDir = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(target).isDirectory
+    val reader = if (isDir) spark.read.option("basePath", tablePath) else spark.read
+    // tf and dl come from the candidate files only: every scored doc
+    // contains a query term, so it lives in a candidate file.
+    val tf = reader.parquet(files: _*)
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("ws"))
+      .select(col("id"), size(col("ws")).as("dl"),
+        explode(filter(col("ws"), w => w.isInCollection(terms))).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // Identical arithmetic to TfIdf.bm25: Lucene idf quantized to 6
+    // decimals per term, fixed-parenthesization tf normalization,
+    // exact decimal accumulation.
+    val idf6 = round(log(lit(1.0) +
+        (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+      .cast("decimal(18,6)")
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfByTerm.select(col("term"), idf6.as("idf6"))), "term")
+      .select(col("id"),
+        round(col("idf6").cast("double") * tfNorm, 6)
+          .cast("decimal(18,6)").as("addend"))
+      .groupBy(col("id"))
+      .agg(sum(col("addend")).as("s"))
+      .select(col("id"), col("s").cast("double").as("bm25"))
+  }
+
   /** Word search through the index: scan only candidate files with
     * the row predicate re-applied. Row-for-row equal to the full-scan
     * `array_contains(wordSet(textCol), word)`. */

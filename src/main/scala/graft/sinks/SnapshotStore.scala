@@ -570,34 +570,42 @@ object SnapshotStore {
     * partition's files are carried into the new manifest by reference.
     * A crash anywhere leaves the previous snapshot fully readable.
     *
-    * Optimistic concurrency: losing the manifest rename means another
-    * writer committed first, so the ENTIRE merge recomputes against the
-    * winner's snapshot (a first-commit loser must not publish a
-    * manifest missing the winner's files, and a same-partition loser
-    * must merge on top of the winner's rows). Lost attempts' data files
-    * become orphans that [[vacuum]] collects. Returns the committed
-    * version. */
+    * Optimistic concurrency with a DISJOINT-WRITER fast path: losing
+    * the manifest rename means another writer committed first. When
+    * every version committed since our base changed only partitions
+    * DISJOINT from this merge's, the loser REBASES — it adopts the
+    * winner's manifest for everything it didn't touch and republishes
+    * its already-written data files at the next number, paying one
+    * manifest write instead of a full merge recompute. Writers to
+    * disjoint partitions therefore contend only on the version number
+    * (Delta's partition-level conflict resolution). Only a TRUE
+    * conflict — an intervening commit into one of our touched
+    * partitions — recomputes the entire merge against the winner's
+    * snapshot (a same-partition loser must merge on top of the
+    * winner's rows). Lost attempts' data files become orphans that
+    * [[vacuum]] collects. Returns the committed version. */
   def mergeCommit(spark: SparkSession, incoming: DataFrame, root: String,
                   keyCol: String, versionCol: String, partitionCol: String,
                   maxAttempts: Int = 10): Long = {
+    // Touched partitions: one small distinct-collect (bounded by the
+    // partition cardinality of the incoming batch, e.g. suppliers),
+    // computed ONCE — it depends only on `incoming`. NULL partition
+    // values land on disk (and in the manifest) under Hive's
+    // default-partition sentinel — and so do EMPTY STRINGS — so both
+    // must normalize to it here too; otherwise rows with those keys
+    // are both carried as "kept" AND re-merged, duplicating them on
+    // every commit.
+    val norm = col(partitionCol).cast("string")
+    val touched = incoming
+      .select(when(norm.isNull || norm === "",
+        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(norm))
+      .distinct().collect().map(_.getString(0)).toSet
     var attempt = 0
     while (attempt < maxAttempts) {
       val (kept, merged, v) = currentVersion(spark, root) match {
         case None => (Seq.empty[ManifestEntry], incoming, 1L)
         case Some(cur) =>
           val entries = manifest(spark, root, cur)
-          // Touched partitions: one small distinct-collect (bounded by
-          // the partition cardinality of the incoming batch, e.g.
-          // suppliers). NULL partition values land on disk (and in the
-          // manifest) under Hive's default-partition sentinel — and so
-          // do EMPTY STRINGS — so both must normalize to it here too;
-          // otherwise rows with those keys are both carried as "kept"
-          // AND re-merged, duplicating them on every commit.
-          val norm = col(partitionCol).cast("string")
-          val touched = incoming
-            .select(when(norm.isNull || norm === "",
-              lit("__HIVE_DEFAULT_PARTITION__")).otherwise(norm))
-            .distinct().collect().map(_.getString(0)).toSet
           val (replaced, keptEntries) = entries.partition(e => touched(e.partition))
           // No checkpoint needed: data files are append-only, so reading
           // the replaced files while writing the new version's files
@@ -608,9 +616,38 @@ object SnapshotStore {
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "merge")) {
-        writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
-        return v
+      // Publish loop: on a lost race, rebase while the interlopers are
+      // partition-disjoint (data files are version-stamped by path, so
+      // files written for attempt version v publish unchanged under any
+      // later manifest number). Bounded by maxAttempts like the outer
+      // recompute loop.
+      var carried = kept
+      var publishV = v
+      var rebasing = true
+      var rebases = 0
+      while (rebasing) {
+        if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge")) {
+          writeStats(spark, root, publishV, carried, newEntries, Some(merged.schema))
+          return publishV
+        }
+        val head = currentVersion(spark, root).getOrElse(0L)
+        // Which partitions did the interloping commits change since the
+        // snapshot this merge was computed against? (base = v-1; a
+        // first-commit loser has no base — every head partition counts.)
+        val interloperParts: Set[String] =
+          if (v - 1 >= 1 && head >= v)
+            changedPartitions(spark, root, v - 1, head).toSet
+          else if (head >= 1) manifest(spark, root, head).map(_.partition).toSet
+          else Set.empty
+        rebases += 1
+        if (head >= publishV && rebases <= maxAttempts &&
+            !interloperParts.exists(touched)) {
+          // Disjoint: our touched partitions are byte-identical between
+          // base and head, so head-minus-touched plus our files IS the
+          // sequential result. One manifest write, zero data movement.
+          carried = manifest(spark, root, head).filterNot(e => touched(e.partition))
+          publishV = head + 1
+        } else rebasing = false // true conflict → full recompute
       }
       attempt += 1
     }

@@ -104,4 +104,60 @@ class Int8QuantizationSpec extends SparkSpec {
     // vs zero vector: dot 0.
     assert(r(2L) == 0L)
   }
+
+  /** Deterministic pseudo-random unit-ish vectors for the IVF probes:
+    * 40 corpus vectors in 8 dims, id-seeded (no RNG state). */
+  private def ivfCorpus = (0L until 40L).map { i =>
+    val rnd = new scala.util.Random(i * 7919 + 17)
+    (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+  }.toDF("id", "vec")
+
+  test("ivfTopKQuantized probing ALL cells equals the quantized full scan exactly") {
+    val corpus = ivfCorpus
+    val queries = corpus.filter(col("id") < 4).select(col("id"))
+    val full = Similarity.quantizedTopK(
+        corpus.join(queries, Seq("id"), "left_semi"), corpus, "id", "vec", k = 5)
+      .select("query_id", "neighbor_id", "qdot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopKQuantized(corpus, "id", "vec", queries,
+        k = 5, numCells = 6, nprobe = 6)
+      .select("query_id", "neighbor_id", "qdot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(ivf == full,
+      s"nprobe=numCells must equal the full quantized scan\nivf=$ivf\nfull=$full")
+  }
+
+  test("ivfTopKQuantized at nprobe<cells keeps useful recall vs float brute force") {
+    val corpus = ivfCorpus
+    val queries = corpus.filter(col("id") < 8).select(col("id"))
+    val exact = Similarity.bruteForceTopK(
+        corpus.join(queries, Seq("id"), "left_semi"), corpus, "id", "vec", k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val approx = Similarity.ivfTopKQuantized(corpus, "id", "vec", queries,
+        k = 5, numCells = 6, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exact.keys.map { q =>
+      val hit = approx.getOrElse(q, Set.empty)
+      (exact(q) & hit).size.toDouble / exact(q).size
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean too low: $recalls")
+  }
+
+  test("ivfTopKQuantized pins the qdot-then-id tie-break") {
+    // Two neighbors with IDENTICAL vectors → identical rescaled dots;
+    // the lower id must rank first.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (5L, Array(0.9f, 0.1f)),
+      (6L, Array(0.9f, 0.1f)),
+      (9L, Array(-1.0f, 0.5f))
+    ).toDF("id", "vec")
+    val r = Similarity.ivfTopKQuantized(corpus, "id", "vec",
+        Seq(1L).toDF("id"), k = 3, numCells = 2, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(r(5L) < r(6L), s"tie must break by neighbor id: $r")
+  }
 }

@@ -27,12 +27,40 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction feeds the similarity operators end-to-end") {
-    val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+    // Real pixel featurizer: two visually-identical images in
+    // DIFFERENT containers (PNG vs BMP of the same flat color) must
+    // land on the same histogram embedding; a different color must
+    // not pair; text bytes must yield a null embedding, not a crash.
+    val imgs = Seq(
+      (1L, Multimodal.ImageCodec.encode(16, 16, 0x2244CC, "png")),
+      (2L, Multimodal.ImageCodec.encode(24, 8, 0x2244CC, "bmp")), // same color, other size/format
+      (3L, Multimodal.ImageCodec.encode(16, 16, 0xCC8822, "png")), // different color
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val feats = Multimodal.extractFeatures(imgs, bins = 4).toDF()
+    assert(feats.filter($"embedding".isNull)
+      .select("media_id").as[Long].collect().toSeq == Seq(4L))
+    val vecs = feats.filter($"embedding".isNotNull)
       .withColumnRenamed("media_id", "id").withColumnRenamed("embedding", "vec")
     val pairs = graft.operators.Similarity
-      .nearDupPairs(feats, "id", "vec", threshold = 0.999, bucketed = false)
+      .nearDupPairs(vecs, "id", "vec", threshold = 0.999, bucketed = false)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L))) // identical bytes -> identical stub embedding
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("pixelFeatures: histogram is normalized, deterministic, and size-guarded") {
+    val flat = Multimodal.ImageCodec.encode(10, 10, 0xFF0000, "png") // pure red
+    val Some(v) = Multimodal.ImageCodec.pixelFeatures(flat, bins = 4)
+    assert(v.length == 64)
+    assert(math.abs(v.sum - 1.0f) < 1e-5, "histogram must normalize to 1")
+    // Pure red = max r-bin, min g/b bins -> index (3*4 + 0)*4 + 0 = 48.
+    assert(v(48) == 1.0f, s"expected one-hot at 48, got ${v.indexWhere(_ > 0)}")
+    assert(Multimodal.ImageCodec.pixelFeatures(flat, bins = 4).get.toSeq == v.toSeq)
+    // Oversized guard: a 100x100 image with maxPixels 50 refuses to
+    // rasterize (the header IS readable -- decode stays bounded).
+    val big = Multimodal.ImageCodec.encode(100, 100, 0x123456, "png")
+    assert(Multimodal.ImageCodec.pixelFeatures(big, maxPixels = 50).isEmpty)
+    assert(Multimodal.ImageCodec.pixelFeatures(big).isDefined)
   }
 
   test("frame offsets are even and bounded by duration") {
@@ -50,6 +78,32 @@ class MultimodalSpec extends SparkSpec {
       val expected = if (fmt == "jpg") "jpeg" else fmt
       assert(name == expected, s"wrote $fmt, reader says $name")
     }
+  }
+
+  test("WebP: VP8L round-trip, hand-built VP8/VP8X, malformed RIFF → None") {
+    // VP8L fixture round-trip (header-only on both sides).
+    assert(Multimodal.ImageCodec.decodeDims(
+      Multimodal.ImageCodec.encodeWebP(640, 481)) == Some(("webp", 640, 481)))
+    assert(Multimodal.ImageCodec.decodeDims(
+      Multimodal.ImageCodec.encodeWebP(1, 16384)) == Some(("webp", 1, 16384)))
+    // Hand-built VP8 (lossy) header: frame tag + 9D 01 2A sync + dims.
+    def le16(v: Int) = Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val vp8 = ("RIFF".getBytes("US-ASCII") ++ Seq[Byte](22, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ Seq[Byte](10, 0, 0, 0) ++
+      Seq[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++
+      le16(320) ++ le16(240)).toArray
+    assert(Multimodal.ImageCodec.decodeDims(vp8) == Some(("webp", 320, 240)))
+    // Hand-built VP8X: 4 flag/reserved bytes then u24le (w-1, h-1).
+    val vp8x = ("RIFF".getBytes("US-ASCII") ++ Seq[Byte](22, 0, 0, 0) ++
+      "WEBPVP8X".getBytes("US-ASCII") ++ Seq[Byte](10, 0, 0, 0) ++
+      Seq[Byte](0, 0, 0, 0) ++
+      Seq[Byte](0xFF.toByte, 0x01, 0) ++ Seq[Byte](0x2B, 0x01, 0)).toArray
+    assert(Multimodal.ImageCodec.decodeDims(vp8x) == Some(("webp", 512, 300)))
+    // Malformed: bad magic, truncated chunk, unknown fourcc.
+    assert(Multimodal.ImageCodec.decodeDims(
+      "RIFFxxxxWEBPnope".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.ImageCodec.decodeDims(
+      Multimodal.ImageCodec.encodeWebP(64, 64).take(18)).isEmpty)
   }
 
   test("ImageCodec: corrupt, truncated, and empty bytes decode to None, never throw") {
@@ -460,5 +514,54 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       "A" -> ((20, ts("2025-04-15 11:00:00"))),
       "B" -> ((5, ts("2025-04-15 10:05:00"))),
       "C" -> ((3, ts("2025-04-15 12:00:00")))))
+  }
+
+  test("Mp3Codec: CBR encode→decode round-trip, ID3v2 skip, VBR-safe frame walk") {
+    // 44100 Hz mono, 50 frames, no tag.
+    val Some((ver, ch, rate, kbps, frames, durMs)) =
+      Multimodal.Mp3Codec.decodeMeta(Multimodal.Mp3Codec.encode(44100, 1, 50))
+    assert(ver == "mpeg1" && ch == 1 && rate == 44100 && kbps == 128)
+    assert(frames == 50 && durMs == 50L * 1152 * 1000 / 44100)
+    // ID3v2 tag (777 payload bytes) must be skipped by syncsafe size.
+    val tagged = Multimodal.Mp3Codec.encode(48000, 2, 30, id3Payload = 777)
+    val Some((_, ch2, rate2, _, frames2, _)) = Multimodal.Mp3Codec.decodeMeta(tagged)
+    assert(ch2 == 2 && rate2 == 48000 && frames2 == 30)
+    // A truncated final frame ends the walk cleanly (header-only).
+    val cut = Multimodal.Mp3Codec.encode(44100, 1, 10).dropRight(100)
+    assert(Multimodal.Mp3Codec.decodeMeta(cut).get._5 == 9)
+  }
+
+  test("Mp3Codec: corrupt/short/false-sync bytes decode to None, never throw") {
+    assert(Multimodal.Mp3Codec.decodeMeta(null).isEmpty)
+    assert(Multimodal.Mp3Codec.decodeMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.Mp3Codec.decodeMeta("plain text".getBytes("UTF-8")).isEmpty)
+    // A single 0xFF false sync in otherwise-random bytes must be
+    // rejected by the successor-frame validation.
+    val falseSync = Array[Byte](0x12, 0xFF.toByte, 0xFB.toByte, 0x90.toByte,
+      0xC0.toByte, 0x01, 0x02, 0x03, 0x04, 0x05)
+    assert(Multimodal.Mp3Codec.decodeMeta(falseSync).isEmpty)
+  }
+
+  test("Mp4Codec: box-walk encode→decode round-trip, 16.16 dims, audio-only") {
+    val v = Multimodal.Mp4Codec.encode(timescale = 600, duration = 3600,
+      width = 640, height = 360)
+    val Some((brand, ts2, durMs, w, h)) = Multimodal.Mp4Codec.decodeMeta(v)
+    assert(brand == "isom" && ts2 == 600 && durMs == 3600L * 1000 / 600)
+    assert(w.contains(640) && h.contains(360))
+    // Zero-dim track = audio-only shape -> None dims, duration kept.
+    val a = Multimodal.Mp4Codec.encode(44100, 441000, 0, 0)
+    val Some((_, _, durA, wA, hA)) = Multimodal.Mp4Codec.decodeMeta(a)
+    assert(durA == 10000L && wA.isEmpty && hA.isEmpty)
+  }
+
+  test("Mp4Codec: corrupt, truncated, and non-BMFF bytes decode to None") {
+    assert(Multimodal.Mp4Codec.decodeMeta(null).isEmpty)
+    assert(Multimodal.Mp4Codec.decodeMeta("not a movie file".getBytes("UTF-8")).isEmpty)
+    val good = Multimodal.Mp4Codec.encode(600, 1200, 320, 240)
+    assert(Multimodal.Mp4Codec.decodeMeta(good.take(40)).isEmpty,
+      "truncated mid-moov must fail structurally, not throw")
+    // Box size lying beyond EOF is structural corruption.
+    val bad = good.clone(); bad(0) = 0x7F
+    assert(Multimodal.Mp4Codec.decodeMeta(bad).isEmpty)
   }
 }

@@ -114,4 +114,49 @@ class TextIndexSpec extends SparkSpec {
     // A word spanning versions still resolves through live files only.
     assert(hits("alpha") == Seq("d1"))
   }
+
+  private lazy val (bm25TableDir, bm25IndexDir) = {
+    // 300 docs, 6 files; "quasar" only in ids 0-39 (file 0's range),
+    // "pulsar" in 0-39 ∪ 200-239 (two ranges), varying repetitions so
+    // tf differs per doc; "alpha" everywhere.
+    val docs = (0 until 300).map { i =>
+      val extra =
+        (if (i < 40) " quasar" * (1 + i % 3) + " pulsar" else "") +
+          (if (i >= 200 && i < 240) " pulsar pulsar" else "")
+      (i.toLong, s"alpha beta common words doc $i$extra")
+    }.toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25ix").toString
+    docs.repartitionByRange(6, $"id").write.parquet(s"$dir/table")
+    TextIndex.buildBm25Index(spark, s"$dir/table", "text", s"$dir/index")
+    (s"$dir/table", s"$dir/index")
+  }
+
+  test("bm25ViaIndex equals full-scan BM25 row-for-row (scores included)") {
+    val terms = Seq("quasar", "pulsar")
+    val full = graft.operators.TfIdf.bm25(
+        spark.read.parquet(bm25TableDir), $"text", $"id", terms)
+      .as[(Long, Double)].collect().toMap
+    val pruned = TextIndex.bm25ViaIndex(
+        spark, bm25TableDir, bm25IndexDir, "text", "id", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(pruned == full,
+      s"index-pruned BM25 diverged: ${pruned.size} vs ${full.size} docs")
+    assert(full.keySet == ((0 until 40) ++ (200 until 240)).map(_.toLong).toSet)
+  }
+
+  test("bm25ViaIndex reads only candidate files (the plan pin)") {
+    val allFiles = spark.read.parquet(bm25TableDir).inputFiles.toSet
+    assert(allFiles.size >= 4)
+    val scored = TextIndex.bm25ViaIndex(
+      spark, bm25TableDir, bm25IndexDir, "text", "id", Seq("quasar", "pulsar"))
+    val scanned = scored.inputFiles.toSet
+      .filterNot(_.contains("index")) // the stats/idx reads are index-sized
+    assert(scanned.size < allFiles.size,
+      s"selective terms must prune the data scan: ${scanned.size}/${allFiles.size}")
+    assert(scanned.subsetOf(allFiles))
+    // A term absent from the corpus scans nothing and scores nothing.
+    val none = TextIndex.bm25ViaIndex(
+      spark, bm25TableDir, bm25IndexDir, "text", "id", Seq("nonexistentword"))
+    assert(none.count() == 0)
+  }
 }
