@@ -603,10 +603,14 @@ object Multimodal {
         var duration = -1L
         var width = 0
         var height = 0
+        // Nested-walk corruption must surface as None (the scaladoc
+        // contract) — a lying child-box size cannot silently degrade
+        // to partial metadata.
+        var corrupt = false
         val ok = walk(bytes, 0, bytes.length) {
           case ("ftyp", p, _) => brand = fourcc(bytes, p)
           case ("moov", p, e) =>
-            walk(bytes, p, e) {
+            if (!walk(bytes, p, e) {
               case ("mvhd", mp, _) =>
                 val version = bytes(mp) & 0xFF
                 if (version == 1) {
@@ -617,51 +621,67 @@ object Multimodal {
                   duration = u32(bytes, mp + 16)
                 }
               case ("trak", tp, te) =>
-                walk(bytes, tp, te) {
+                // tkhd v1 widens ctime/mtime/duration to 8 bytes:
+                // 4 (ver/flags) + 8+8 + 4+4 (track_ID/reserved) + 8
+                // (duration) + 8 (reserved) + 2+2+2+2 + 36 (matrix)
+                // = 88 before width; v0 = 4+4+4+4+4+4+8+16+36 = 76.
+                if (!walk(bytes, tp, te) {
                   case ("tkhd", kp, _) =>
                     val version = bytes(kp) & 0xFF
-                    val dimOff = kp + (if (version == 1) 84 else 76)
+                    val dimOff = kp + (if (version == 1) 88 else 76)
                     val w = (u32(bytes, dimOff) >> 16).toInt
                     val h = (u32(bytes, dimOff + 4) >> 16).toInt
                     if (w > width) width = w
                     if (h > height) height = h
                   case _ =>
-                }
+                }) corrupt = true
               case _ =>
-            }
+            }) corrupt = true
           case _ =>
         }
-        if (!ok || timescale <= 0 || duration < 0) None
+        if (!ok || corrupt || timescale <= 0 || duration < 0) None
         else Some((brand, timescale, duration * 1000L / timescale,
           if (width > 0) Some(width) else None,
           if (height > 0) Some(height) else None))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-    /** Deterministic minimal-MP4 fixture: ftyp(isom) + moov(mvhd v0 +
-      * trak(tkhd v0 with 16.16 dims)) + an empty mdat — real box
+    /** Deterministic minimal-MP4 fixture: ftyp(isom) + moov(mvhd +
+      * trak(tkhd with 16.16 dims)) + an empty mdat — real box
       * structure, no media payload. `width`/`height` 0 emits an
-      * audio-only-shaped track (zero dims). */
-    def encode(timescale: Int, duration: Long, width: Int, height: Int): Array[Byte] = {
+      * audio-only-shaped track (zero dims). `v1 = true` writes
+      * version-1 full boxes (64-bit ctime/mtime/duration — what
+      * muxers emit past 2038 or for long media), exercising the wider
+      * tkhd/mvhd offsets. */
+    def encode(timescale: Int, duration: Long, width: Int, height: Int,
+               v1: Boolean = false): Array[Byte] = {
       require(timescale > 0 && duration >= 0 && width >= 0 && height >= 0,
         s"bad MP4 fixture params: $timescale/$duration/${width}x$height")
-      // Box sizes INCLUDE the 8-byte (size, type) header:
-      // mvhd = 8 + 100 payload, tkhd = 8 + 84, trak = 8 + tkhd,
-      // moov = 8 + mvhd + trak, ftyp = 16, mdat = 8.
-      val out = java.nio.ByteBuffer.allocate(16 + 216 + 8)
+      // Box sizes INCLUDE the 8-byte (size, type) header. v0 payloads:
+      // mvhd 100, tkhd 84; v1 adds 12 bytes of widened times each.
+      val mvhdSize = 8 + (if (v1) 112 else 100)
+      val tkhdSize = 8 + (if (v1) 96 else 84)
+      val trakSize = 8 + tkhdSize
+      val moovSize = 8 + mvhdSize + trakSize
+      val out = java.nio.ByteBuffer.allocate(16 + moovSize + 8)
       def box(size: Int, typ: String): Unit = {
         out.putInt(size)
         out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       }
+      def times(): Unit = // ctime, mtime
+        if (v1) { out.putLong(0L); out.putLong(0L) }
+        else { out.putInt(0); out.putInt(0) }
+      def dur(): Unit =
+        if (v1) out.putLong(duration) else out.putInt(duration.toInt)
       box(16, "ftyp")
       out.put("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       out.putInt(0x200) // minor version
-      box(216, "moov")
-      box(108, "mvhd")
-      out.putInt(0) // version 0 + flags
-      out.putInt(0).putInt(0) // ctime, mtime
+      box(moovSize, "moov")
+      box(mvhdSize, "mvhd")
+      out.putInt(if (v1) 0x01000000 else 0) // version + flags
+      times()
       out.putInt(timescale)
-      out.putInt(duration.toInt)
+      dur()
       out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume, reserved
       out.putInt(0).putInt(0) // reserved
       // Unity matrix.
@@ -670,13 +690,13 @@ object Multimodal {
       out.putInt(0).putInt(0).putInt(0x40000000)
       (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
       out.putInt(2) // next_track_ID
-      box(100, "trak")
-      box(92, "tkhd")
-      out.putInt(0x000007) // version 0 + enabled flags
-      out.putInt(0).putInt(0) // ctime, mtime
+      box(trakSize, "trak")
+      box(tkhdSize, "tkhd")
+      out.putInt((if (v1) 0x01000000 else 0) | 0x000007) // version + enabled flags
+      times()
       out.putInt(1) // track_ID
       out.putInt(0) // reserved
-      out.putInt(duration.toInt)
+      dur()
       out.putInt(0).putInt(0) // reserved
       out.putShort(0.toShort).putShort(0.toShort) // layer, alternate_group
       out.putShort(0.toShort).putShort(0.toShort) // volume, reserved

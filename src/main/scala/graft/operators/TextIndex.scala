@@ -143,17 +143,35 @@ object TextIndex {
     * the index and the scorer must agree on what a term is. */
   def buildBm25Index(spark: SparkSession, tablePath: String,
                      textCol: String, indexPath: String): Unit = {
-    val docs = spark.read.parquet(tablePath)
+    // ONE corpus scan: each doc explodes into its distinct tokens PLUS
+    // one sentinel row carrying its length, so the same shuffled
+    // aggregate yields both the (token, file) doc counts and the
+    // per-file (doc count, total length) the stats sidecar needs —
+    // tokenization (the expensive part) runs once, not once per
+    // output. The grouped result is index-sized (vocabulary × files),
+    // so persisting it to split into the two writes is cheap at any
+    // corpus size.
+    val sentinel = " __corpus_stats__"
+    val grouped = spark.read.parquet(tablePath)
       .select(input_file_name().as("file"),
-        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))).as("ws"))
-    docs.select(col("file"), explode(array_distinct(col("ws"))).as("token"))
-      .groupBy(col("token"), col("file")).agg(count(lit(1)).as("n_docs"))
-      .repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"))
-      .write.mode("overwrite").parquet(indexPath)
-    docs.select(count(lit(1)).as("n"),
-        sum(size(col("ws"))).as("total_dl"))
-      .write.mode("overwrite").parquet(bm25StatsPath(indexPath))
+        coalesce(TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))),
+          array()).as("ws"))
+      .select(col("file"), size(col("ws")).as("dl"),
+        explode(concat(array(lit(sentinel)), array_distinct(col("ws"))))
+          .as("token"))
+      .groupBy(col("token"), col("file"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      grouped.filter(col("token") =!= sentinel)
+        .select(col("token"), col("file"), col("n_docs"))
+        .repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(indexPath)
+      grouped.filter(col("token") === sentinel)
+        .select(sum(col("n_docs")).as("n"), sum(col("dl_sum")).as("total_dl"))
+        .write.mode("overwrite").parquet(bm25StatsPath(indexPath))
+    } finally grouped.unpersist()
   }
 
   private def bm25StatsPath(indexPath: String): String =

@@ -76,13 +76,15 @@ class ChangeFeedSource(
     * column drift. */
   override val schema: StructType = ChangeFeedSource.feedSchema(spark, root, key)
 
-  private val dataCols: Seq[String] =
-    schema.fields.map(_.name).filterNot(n =>
-      n == "_change_type" || n == "_commit_version").toSeq
-
+  // NOTE: no startingVersion filter here. `startingVersion` gates only
+  // a FIRST start (via getBatch's start=None default); on a restart
+  // the engine's checkpointed offset governs, and filtering by a
+  // startingVersion recomputed at restart (the no-option default =
+  // "current at creation") would withhold every commit made while the
+  // stream was down until some future commit happened to advance past
+  // it.
   override def getOffset: Option[Offset] =
-    SnapshotStore.currentVersion(spark, root)
-      .filter(_ > startingVersion).map(LongOffset(_))
+    SnapshotStore.currentVersion(spark, root).map(LongOffset(_))
 
   private def ver(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -100,9 +102,20 @@ class ChangeFeedSource(
       val feed =
         if (committed.contains(v - 1))
           SnapshotStore.changes(spark, root, v - 1, v, key)
-        else // first committed version: everything is an insert
+        else if (v == 1L) // genuine first commit: everything is an insert
           SnapshotStore.readVersion(spark, root, v)
             .withColumn("_change_type", lit("insert"))
+        else
+          // v > 1 with no predecessor manifest: VACUUM removed the
+          // version this diff needs. Emitting the whole snapshot as
+          // 'insert' would re-deliver every row and mislabel the real
+          // updates/deletes — fail the stream instead (Delta CDF's
+          // behavior when change data has been vacuumed).
+          throw new IllegalStateException(
+            s"change feed gap under $root: version ${v - 1} was vacuumed " +
+              s"before the stream consumed the ${v - 1}->$v diff; " +
+              "restart from a fresh checkpoint (full replay) or keep " +
+              "more history (SnapshotStore.vacuum keep)")
       feed.withColumn("_commit_version", lit(v))
         .select(schema.fields.map(f => col(f.name)).toSeq: _*)
     }

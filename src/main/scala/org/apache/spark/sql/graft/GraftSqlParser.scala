@@ -43,6 +43,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       RestoreSnapshotCommand(delegate.parseMultipartIdentifier(table), version.toLong)
     case HistoryPattern(table) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
+    case VacuumPattern(table, retain) =>
+      VacuumSnapshotCommand(delegate.parseMultipartIdentifier(table),
+        Option(retain).map(_.toLong))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -74,6 +77,8 @@ object GraftSqlParser {
     s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*\\z".r
   private val HistoryPattern =
     s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
+  private val VacuumPattern =
+    s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*\\z".r
 
   /** Multipart name → snapshot root, through the named catalog's
     * warehouse/path rules. The catalog MUST be a [[GraftCatalog]] —
@@ -109,6 +114,26 @@ case class RestoreSnapshotCommand(table: Seq[String], version: Long)
     val root = GraftSqlParser.resolveRoot(spark, table)
     val committed = SnapshotStore.restore(spark, root, version)
     Seq(Row(version, committed))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]`: drop rolled-over manifests beyond the
+  * keep window and sweep unreferenced data files older than the
+  * retention (default 24h — the crash-orphan grace window; RETAIN 0
+  * HOURS sweeps immediately, exactly like Delta's footgun). Returns
+  * one row (path) for parity with Delta's VACUUM output. */
+case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    SnapshotStore.vacuum(spark, root,
+      retainMillis = retainHours.map(_ * 3600L * 1000L)
+        .getOrElse(24L * 3600 * 1000))
+    Seq(Row(root))
   }
 }
 

@@ -126,6 +126,59 @@ class ChangeFeedStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart with DEFAULT startingVersion delivers commits made during downtime") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drainDefault(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("key", "product_id") // NO startingVersion option
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    drainDefault() // default start: the existing snapshot is NOT replayed
+    assert(spark.read.parquet(out).count() == 0)
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+      "product_id", "version", "supplier")
+    drainDefault() // run 2: v2 committed while stream was down
+    // The checkpointed offset (1) governs the restart — a
+    // startingVersion recomputed as "current at restart" (2) would
+    // withhold v2 forever on a quiet table.
+    val got = spark.read.parquet(out)
+      .select("product_id", "_commit_version")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("p2", 2L)), s"downtime commit lost: $got")
+  }
+
+  test("a vacuumed predecessor version fails the stream instead of re-emitting the snapshot") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p3", "a", 3)), root,
+      "product_id", "version", "supplier")
+    // Drop manifests v1/v2 (keep = 1): the 2->3 diff is gone.
+    SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0)
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id").option("startingVersion", "2")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_gap")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getMessage.contains("change feed gap") ||
+      Option(e.getCause).exists(_.getMessage.contains("change feed gap")),
+      s"expected the vacuum-gap error, got: ${e.getMessage}")
+  }
+
   test("missing key / missing table surface as errors at stream construction") {
     val dir = freshDir()
     val root = s"$dir/t"

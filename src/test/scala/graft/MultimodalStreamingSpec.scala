@@ -563,5 +563,27 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     // Box size lying beyond EOF is structural corruption.
     val bad = good.clone(); bad(0) = 0x7F
     assert(Multimodal.Mp4Codec.decodeMeta(bad).isEmpty)
+    // A lying CHILD box size (trak runs past moov's end) must also be
+    // None — nested-walk corruption cannot degrade to partial metadata.
+    // trak size field lives right after mvhd: offset 16 + 8 + 108.
+    val inner = good.clone()
+    val trakOff = 16 + 8 + 108
+    assert(new String(inner, trakOff + 4, 4, "US-ASCII") == "trak")
+    inner(trakOff) = 0x7F // size high byte: runs far past moov
+    assert(Multimodal.Mp4Codec.decodeMeta(inner).isEmpty,
+      "corrupt trak inside a valid moov must not yield partial metadata")
+  }
+
+  test("Mp4Codec: version-1 boxes (64-bit times) decode at the widened offsets") {
+    val v = Multimodal.Mp4Codec.encode(90000, 2700000L, 1920, 1080, v1 = true)
+    val Some((brand, ts2, durMs, w, h)) = Multimodal.Mp4Codec.decodeMeta(v)
+    assert(brand == "isom" && ts2 == 90000 && durMs == 30000L)
+    assert(w.contains(1920) && h.contains(1080),
+      s"v1 tkhd dims decoded as $w x $h")
+    // v1 audio-only: zero dims must stay None (a wrong offset would
+    // read matrix bytes as a bogus width).
+    val a = Multimodal.Mp4Codec.encode(44100, 441000, 0, 0, v1 = true)
+    val Some((_, _, durA, wA, hA)) = Multimodal.Mp4Codec.decodeMeta(a)
+    assert(durA == 10000L && wA.isEmpty && hA.isEmpty)
   }
 }

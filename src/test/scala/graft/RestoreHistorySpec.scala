@@ -151,6 +151,27 @@ class RestoreHistorySpec extends SparkSpec {
     assert(got == api)
   }
 
+  test("VACUUM … RETAIN 0 HOURS runs purely in SQL and sweeps rolled-over versions") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "b", 2)), root,
+      "product_id", "version", "supplier")
+    spark.conf.set("spark.sql.catalog.rh_sqlv",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val out = spark.sql(s"VACUUM rh_sqlv.`$root` RETAIN 0 HOURS")
+      .as[String].collect().toSeq
+    assert(out == Seq(root))
+    // Default keep window is 2: version 1's manifest is gone, current
+    // content is untouched.
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L))
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 2), ("p2", 2)))
+  }
+
   test("maintenance parser delegates everything else; bad targets fail loudly") {
     // Ordinary SQL still parses through the delegate.
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].collect().toSeq == Seq(2))
