@@ -4903,7 +4903,38 @@ object Queries {
              ELSE CAST(16 + doc_id % 1000 AS INT) END AS width,
         CASE WHEN doc_id % 10 = 7 THEN NULL
              ELSE CAST(16 + (doc_id * 13) % 1000 AS INT) END AS height
-      FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
+      FROM documents WHERE doc_id < 60 ORDER BY media_id""")),
+
+    // E57: OPTIMIZE driven purely in SQL — the partition column
+    // resolves from the manifest's #partcol metadata header (recorded
+    // by every commit path), so the statement needs only the table
+    // name. The fixture writes orders spread over 4 tasks (multi-file
+    // partitions), OPTIMIZE compacts to one file per partition, and
+    // the read-back must be byte-identical to the source rows — the
+    // oracle is a plain projection.
+    ("q155_sql_optimize", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q155_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.SnapshotStore.commit(s, orders.repartition(4),
+        root, "o_orderstatus")
+      val before = graft.sinks.SnapshotStore.manifest(s, root, 1)
+        .groupBy(_.partition).map(_._2.size).max
+      require(before > 1, s"fixture needs multi-file partitions, got max $before")
+      s.conf.set("spark.sql.catalog.graft_q155",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val r = s.sql(s"OPTIMIZE graft_q155.`$root`")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+      require(r == Seq((root, 2L)), s"SQL optimize returned $r")
+      val after = graft.sinks.SnapshotStore.manifest(s, root, 2)
+        .groupBy(_.partition).map(_._2.size).max
+      require(after == 1, s"expected 1 file per partition, got $after")
+      graft.sinks.SnapshotStore.table(s, root)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -107,15 +107,34 @@ object SnapshotStore {
     }
   }
 
+  /** The table's partition column as recorded in version `version`'s
+    * manifest header (`#partcol`) — table metadata in the log, so SQL
+    * maintenance (`OPTIMIZE`) needs no out-of-band knowledge. None
+    * for manifests written before the header existed; callers should
+    * fall back to an explicit argument and error otherwise. */
+  def partitionColumn(spark: SparkSession, root: String, version: Long): Option[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.collectFirst {
+      case l if l.startsWith("#partcol\t") => l.stripPrefix("#partcol\t")
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
-                            operation: String = ""): Boolean = {
+                            operation: String = "",
+                            partitionCol: String = ""): Boolean = {
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
     val out = f.create(tmp, false)
     val headers = s"#committer\t$token" +:
-      (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil)
+      ((if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
+        // Table metadata in the log (the Delta convention): the
+        // partition column name, so table-level maintenance (SQL
+        // OPTIMIZE) needs no out-of-band knowledge.
+        (if (partitionCol.nonEmpty) Seq(s"#partcol\t$partitionCol") else Nil))
     try out.write((headers ++ entries.map(e =>
       s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}")).mkString("\n").getBytes(UTF_8))
     finally out.close()
@@ -554,7 +573,7 @@ object SnapshotStore {
       // "current" is the max committed version.
       val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
-      if (writeManifest(spark, root, v, entries, "commit")) {
+      if (writeManifest(spark, root, v, entries, "commit", partitionCol)) {
         writeStats(spark, root, v, Nil, entries, Some(df.schema))
         return v
       }
@@ -626,7 +645,7 @@ object SnapshotStore {
       var rebasing = true
       var rebases = 0
       while (rebasing) {
-        if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge")) {
+        if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge", partitionCol)) {
           writeStats(spark, root, publishV, carried, newEntries, Some(merged.schema))
           return publishV
         }
@@ -712,7 +731,7 @@ object SnapshotStore {
         .join(doomed, Seq(keyCol), "left_anti")
       val v = cur + 1
       val newEntries = writeDataFiles(spark, remaining, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "delete")) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "delete", partitionCol)) {
         writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
         return v
       }
@@ -839,7 +858,7 @@ object SnapshotStore {
         .repartition(col(partitionCol))
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "compact")) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "compact", partitionCol)) {
         // Content unchanged — the recorded schema carries forward.
         writeStats(spark, root, v, kept, newEntries, None)
         return v
@@ -880,7 +899,7 @@ object SnapshotStore {
         numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder")) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder", partitionCol)) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
@@ -917,7 +936,8 @@ object SnapshotStore {
         throw new IllegalStateException(s"no committed snapshot under $root"))
       if (manifest(spark, root, cur).toSet == target.toSet) return cur
       val v = cur + 1
-      if (writeManifest(spark, root, v, target, "restore")) {
+      if (writeManifest(spark, root, v, target, "restore",
+          partitionColumn(spark, root, toVersion).getOrElse(""))) {
         writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
         return v
       }
@@ -953,7 +973,8 @@ object SnapshotStore {
     val f = fs(spark, srcRoot)
     val abs = manifest(spark, srcRoot, v).map(e =>
       e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString))
-    if (!writeManifest(spark, dstRoot, 1L, abs, "clone"))
+    if (!writeManifest(spark, dstRoot, 1L, abs, "clone",
+        partitionColumn(spark, srcRoot, v).getOrElse("")))
       throw new java.util.ConcurrentModificationException(
         s"lost the clone race publishing v1 under $dstRoot")
     writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))

@@ -46,6 +46,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VacuumPattern(table, retain) =>
       VacuumSnapshotCommand(delegate.parseMultipartIdentifier(table),
         Option(retain).map(_.toLong))
+    case OptimizePattern(table, zcols) =>
+      OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
+        Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).filter(_.nonEmpty))
+    case GeneratePattern(table) =>
+      GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -79,6 +85,10 @@ object GraftSqlParser {
     s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
   private val VacuumPattern =
     s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*\\z".r
+  private val OptimizePattern =
+    s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z".r
+  private val GeneratePattern =
+    s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
 
   /** Multipart name → snapshot root, through the named catalog's
     * warehouse/path rules. The catalog MUST be a [[GraftCatalog]] —
@@ -134,6 +144,53 @@ case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long])
       retainMillis = retainHours.map(_ * 3600L * 1000L)
         .getOrElse(24L * 3600 * 1000))
     Seq(Row(root))
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (a, b)]`: compact small files (one file per
+  * partition), optionally interleave-sorting rows by the Z-order keys
+  * for multi-column skipping. The table's partition column resolves
+  * from the manifest's `#partcol` header (recorded by every commit
+  * path — table metadata lives in the log, the Delta convention), so
+  * the statement needs nothing but the table name. Returns one row
+  * (path, version) — the committed version, unchanged when nothing
+  * needed compacting. */
+case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$cur under $root predates partition-column metadata; " +
+          "re-commit once through any SnapshotStore write path (or use the " +
+          "Scala compact/compactZOrder API, which takes the column explicitly)"))
+    val v =
+      if (zorderBy.nonEmpty)
+        SnapshotStore.compactZOrder(spark, root, partCol, zorderBy)
+      else SnapshotStore.compact(spark, root, partCol)
+    Seq(Row(root, v))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t`: export the current
+  * snapshot as a Hive/Presto/Trino/Athena symlink manifest (Delta's
+  * GENERATE statement). Returns the export root. */
+case class GenerateSymlinkCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(SnapshotStore.writeSymlinkManifest(spark, root).toString))
   }
 }
 

@@ -172,6 +172,58 @@ class RestoreHistorySpec extends SparkSpec {
       Set(("p1", 2), ("p2", 2)))
   }
 
+  test("OPTIMIZE resolves the partition column from manifest metadata; ZORDER variant") {
+    import graft.sinks.SnapshotStore
+    val root = freshRoot()
+    // Partition a's rows spread over 3 write tasks -> 3 small files.
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1), ("p3", "a", 1), ("p4", "a", 1))
+        .repartition(3), root, "supplier")
+    assert(SnapshotStore.partitionColumn(spark, root, 1L).contains("supplier"))
+    assert(SnapshotStore.manifest(spark, root, 1)
+      .count(_.partition == "a") > 1, "fixture needs a multi-file partition")
+    spark.conf.set("spark.sql.catalog.rh_sqlo",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val r = spark.sql(s"OPTIMIZE rh_sqlo.`$root`")
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq((root, 2L)))
+    assert(SnapshotStore.manifest(spark, root, 2)
+      .count(_.partition == "a") == 1, "compaction must leave one file per partition")
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet ==
+      Set("p1", "p2", "p3", "p4"))
+    // Re-optimize: nothing to do -> same version back.
+    assert(spark.sql(s"OPTIMIZE rh_sqlo.`$root`")
+      .as[(String, Long)].collect().toSeq == Seq((root, 2L)))
+    // ZORDER variant re-lays-out rows (numeric keys); content unchanged.
+    spark.sql(s"OPTIMIZE rh_sqlo.`$root` ZORDER BY (version)")
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet ==
+      Set("p1", "p2", "p3", "p4"))
+    // Metadata survives restore and clone.
+    SnapshotStore.restore(spark, root, 1L)
+    val cur = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.partitionColumn(spark, root, cur).contains("supplier"))
+    val dst = freshRoot()
+    SnapshotStore.cloneTo(spark, root, dst)
+    assert(SnapshotStore.partitionColumn(spark, dst, 1L).contains("supplier"))
+  }
+
+  test("GENERATE symlink_format_manifest FOR TABLE runs purely in SQL") {
+    import graft.sinks.SnapshotStore
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    spark.conf.set("spark.sql.catalog.rh_sqlg",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val out = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE rh_sqlg.`$root`")
+      .as[String].collect().toSeq
+    assert(out.size == 1 && out.head.endsWith("_symlink_format_manifest"))
+    // The export lists every data file of the current snapshot.
+    val listed = spark.read.textFile(out.head + "/*").collect().toSet
+    assert(listed.size == SnapshotStore.manifest(spark, root, 1).size)
+  }
+
   test("maintenance parser delegates everything else; bad targets fail loudly") {
     // Ordinary SQL still parses through the delegate.
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].collect().toSeq == Seq(2))
