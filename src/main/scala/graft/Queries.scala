@@ -4934,6 +4934,42 @@ object Queries {
         .orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // DataFrame WRITER surface (df.write.format("graft-snapshot") —
+    // the Delta writer analog): base version written with the default
+    // ErrorIfExists mode, then an Append that must behave as the K1
+    // keyed merge (updates %5==0 rows, inserts the held-out %5==4
+    // rows), read back through the plain reader. Oracle replays the
+    // key arithmetic — identical semantics to the Scala mergeCommit
+    // (q126's construction), now reached without any graft API call
+    // on the write side.
+    ("q156_dataframe_writer", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q156_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      orders.filter(m5 =!= 4).withColumn("rev", lit(1))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus")
+        .option("key", "o_orderkey").option("versionCol", "rev")
+        .mode("append").save(root)
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 5 IN (0, 4) THEN 2 ELSE 1 END AS rev
       FROM orders ORDER BY o_orderkey"""))
   )
 

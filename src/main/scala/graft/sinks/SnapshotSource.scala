@@ -1,7 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 /** SQL/catalog surface for [[SnapshotStore]]: the `graft-snapshot`
   * data-source format. Until now manifest-driven file skipping was a
@@ -49,8 +49,69 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   * driver code; the format registration is what makes ours reachable
   * from plain SQL).
   */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** Write surface — `df.write.format("graft-snapshot")` (the Delta
+    * writer analog), routing every mode through the store's atomic,
+    * versioned commit paths so a DataFrame writer gets the same
+    * crash-safety and partition-carry guarantees as the Scala API:
+    *
+    * {{{
+    *   df.write.format("graft-snapshot")
+    *     .option("partitionCol", "supplier")        // required
+    *     .option("key", "product_id")               // Append = keyed merge
+    *     .option("versionCol", "updated_at")        //   (last writer wins)
+    *     .mode("append").save(root)
+    * }}}
+    *
+    *  - `Overwrite` → [[SnapshotStore.commit]]: a full new snapshot
+    *    version (the previous stays time-travelable — versioned
+    *    overwrite, not destruction).
+    *  - `Append` → [[SnapshotStore.mergeCommit]]: the K1 keyed upsert;
+    *    requires `key` + `versionCol` because an unkeyed append into a
+    *    keyed table would silently duplicate — the writer fails
+    *    loudly instead.
+    *  - `ErrorIfExists` (the writer default) → commit only if no
+    *    snapshot exists yet.
+    *  - `Ignore` → commit only if absent, silently no-op otherwise. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot needs a table root: .save(<root>) or OPTIONS (path '<root>')"))
+    val partitionCol = parameters.getOrElse("partitionCol",
+      throw new IllegalArgumentException(
+        "graft-snapshot writes need option(\"partitionCol\", <col>) — " +
+          "snapshot tables are partition-carried by design"))
+    require(data.columns.contains(partitionCol),
+      s"partitionCol '$partitionCol' is not a column of the written frame")
+    val exists = SnapshotStore.currentVersion(spark, root).isDefined
+    mode match {
+      case SaveMode.Overwrite =>
+        SnapshotStore.commit(spark, data, root, partitionCol)
+      case SaveMode.Append =>
+        val key = parameters.getOrElse("key", throw new IllegalArgumentException(
+          "graft-snapshot append is a KEYED merge: option(\"key\", <col>) " +
+            "required (plus option(\"versionCol\", <col>) for last-writer-wins)"))
+        val versionCol = parameters.getOrElse("versionCol",
+          throw new IllegalArgumentException(
+            "graft-snapshot append needs option(\"versionCol\", <col>) — " +
+              "the merge must know which of two rows for a key is newer"))
+        SnapshotStore.mergeCommit(spark, data, root, key, versionCol, partitionCol)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"snapshot table already exists under $root (mode ErrorIfExists); " +
+            "use mode(\"overwrite\") for a new full version or " +
+            "mode(\"append\") for a keyed merge")
+        SnapshotStore.commit(spark, data, root, partitionCol)
+      case SaveMode.Ignore =>
+        if (!exists) SnapshotStore.commit(spark, data, root, partitionCol)
+    }
+    createRelation(sqlContext, Map("path" -> root))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

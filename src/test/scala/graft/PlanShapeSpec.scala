@@ -245,4 +245,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(f => s2Files.exists(f.endsWith)),
       s"change feed scanned untouched partitions: $scanned")
   }
+
+  test("quantized IVF: centroid/query sides broadcast, probe is an equi-join, never cartesian") {
+    assume(available)
+    val p = plan("q153_ivf_quantized")
+    // The centroid row and the probing query side are the only
+    // broadcast relations; the corpus never broadcasts and the
+    // cell-probe join must stay a hash equi-join on __cell.
+    assert(!p.contains("CartesianProduct"), "quantized IVF went cartesian")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    // The scoring kernel is the NATIVE int8 dot (prettyName
+    // vec_dot_int8), not an HOF aggregate.
+    assert(p.contains("vec_dot_int8"),
+      "quantized IVF lost the native kernel:\n" + p.take(1200))
+  }
+
+  test("BM25 via index: df join broadcasts; the tf side scans only candidate files") {
+    assume(available)
+    // Plan shape on the oracle fixture table (single-file documents
+    // table at sf0.001): the per-term idf side must broadcast (it is
+    // |terms| rows), and the aggregate must partial-combine.
+    val p = plan("q152_bm25_via_index")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

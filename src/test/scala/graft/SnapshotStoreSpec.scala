@@ -303,4 +303,49 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(lines("b").toSet == m3.filter(_.partition == "b")
       .map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(root, e.path)).toString).toSet)
   }
+
+  test("DataFrame writer: ErrorIfExists/Overwrite/Append route through versioned commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    def write(df: org.apache.spark.sql.DataFrame) =
+      df.write.format("graft-snapshot").option("partitionCol", "supplier")
+    // Default mode (ErrorIfExists) creates v1.
+    write(table(("p1", "a", 1), ("p2", "b", 1))).save(root)
+    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+    // ...and refuses a second default-mode write.
+    intercept[Exception] { write(table(("px", "a", 9))).save(root) }
+    // Ignore on an existing table is a silent no-op.
+    write(table(("px", "a", 9))).mode("ignore").save(root)
+    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+    // Append = keyed merge (key + versionCol required).
+    intercept[Exception] {
+      write(table(("p1", "a", 2))).mode("append").save(root)
+    }
+    write(table(("p1", "a", 2), ("p3", "b", 2)))
+      .option("key", "product_id").option("versionCol", "version")
+      .mode("append").save(root)
+    assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L))
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 2), ("p2", 1), ("p3", 2)))
+    // Overwrite = full new VERSION; the old snapshot stays readable.
+    write(table(("q1", "c", 1))).mode("overwrite").save(root)
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet == Set("q1"))
+    assert(SnapshotStore.readVersion(spark, root, 2)
+      .select("product_id").as[String].collect().toSet ==
+      Set("p1", "p2", "p3"))
+    // Writer commits record the partition column like any other path.
+    assert(SnapshotStore.partitionColumn(spark, root, 3L).contains("supplier"))
+    // Missing partitionCol option or a partitionCol absent from the
+    // frame fail loudly before any write.
+    intercept[Exception] {
+      table(("z", "z", 1)).write.format("graft-snapshot")
+        .mode("overwrite").save(freshRoot())
+    }
+    intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "v").write.format("graft-snapshot")
+        .option("partitionCol", "supplier").mode("overwrite").save(freshRoot())
+    }
+  }
 }
