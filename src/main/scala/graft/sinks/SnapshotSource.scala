@@ -88,9 +88,11 @@ class SnapshotSource extends RelationProvider
           "snapshot tables are partition-carried by design"))
     require(data.columns.contains(partitionCol),
       s"partitionCol '$partitionCol' is not a column of the written frame")
-    val exists = SnapshotStore.currentVersion(spark, root).isDefined
     mode match {
       case SaveMode.Overwrite =>
+        // A full new version may legitimately re-partition the table
+        // (the old layout stays time-travelable), so no partcol match
+        // is enforced here.
         SnapshotStore.commit(spark, data, root, partitionCol)
       case SaveMode.Append =>
         val key = parameters.getOrElse("key", throw new IllegalArgumentException(
@@ -100,15 +102,30 @@ class SnapshotSource extends RelationProvider
           throw new IllegalArgumentException(
             "graft-snapshot append needs option(\"versionCol\", <col>) — " +
               "the merge must know which of two rows for a key is newer"))
+        // Merging under a DIFFERENT partition column than the table's
+        // recorded one would route every incoming row past the
+        // existing partitions (touched-set miss) and silently
+        // duplicate every key — exactly what Append exists to prevent.
+        for {
+          cur <- SnapshotStore.currentVersion(spark, root)
+          recorded <- SnapshotStore.partitionColumn(spark, root, cur)
+          if recorded != partitionCol
+        } throw new IllegalArgumentException(
+          s"graft-snapshot append under $root must merge on the table's " +
+            s"recorded partition column '$recorded', got '$partitionCol' — " +
+            "a mismatched merge would duplicate keys instead of upserting")
         SnapshotStore.mergeCommit(spark, data, root, key, versionCol, partitionCol)
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new IllegalStateException(
-          s"snapshot table already exists under $root (mode ErrorIfExists); " +
-            "use mode(\"overwrite\") for a new full version or " +
-            "mode(\"append\") for a keyed merge")
-        SnapshotStore.commit(spark, data, root, partitionCol)
+        // Decided inside the commit protocol (v1 manifest rename is
+        // the arbiter) — a check-then-act on a pre-write snapshot
+        // would let a concurrent creator slip a silent v2 through.
+        SnapshotStore.commitIfAbsent(spark, data, root, partitionCol)
+          .getOrElse(throw new IllegalStateException(
+            s"snapshot table already exists under $root (mode ErrorIfExists); " +
+              "use mode(\"overwrite\") for a new full version or " +
+              "mode(\"append\") for a keyed merge"))
       case SaveMode.Ignore =>
-        if (!exists) SnapshotStore.commit(spark, data, root, partitionCol)
+        SnapshotStore.commitIfAbsent(spark, data, root, partitionCol)
     }
     createRelation(sqlContext, Map("path" -> root))
   }

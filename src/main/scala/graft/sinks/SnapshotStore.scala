@@ -85,41 +85,36 @@ object SnapshotStore {
     }.toSeq
   }
 
-  private def manifestCommitter(spark: SparkSession, root: String, version: Long): Option[String] = {
+  /** One header value from a version's manifest. Headers are written
+    * first, so the scan stops at the first match without holding more
+    * than a line at a time. */
+  private def manifestHeader(spark: SparkSession, root: String, version: Long,
+                             name: String): Option[String] = {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.linesIterator.collectFirst {
-      case l if l.startsWith("#committer\t") => l.stripPrefix("#committer\t")
-    }
+    val prefix = s"#$name\t"
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .collectFirst { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }
+    finally in.close()
   }
+
+  private def manifestCommitter(spark: SparkSession, root: String, version: Long): Option[String] =
+    manifestHeader(spark, root, version, "committer")
 
   /** The operation tag a version's committer recorded (`commit`,
     * `merge`, `delete`, `compact`, `zorder`, `restore`). None for
     * manifests written before operation tagging existed — [[history]]
     * surfaces those as null rather than guessing. */
-  def manifestOperation(spark: SparkSession, root: String, version: Long): Option[String] = {
-    val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.linesIterator.collectFirst {
-      case l if l.startsWith("#op\t") => l.stripPrefix("#op\t")
-    }
-  }
+  def manifestOperation(spark: SparkSession, root: String, version: Long): Option[String] =
+    manifestHeader(spark, root, version, "op")
 
   /** The table's partition column as recorded in version `version`'s
     * manifest header (`#partcol`) — table metadata in the log, so SQL
     * maintenance (`OPTIMIZE`) needs no out-of-band knowledge. None
     * for manifests written before the header existed; callers should
     * fall back to an explicit argument and error otherwise. */
-  def partitionColumn(spark: SparkSession, root: String, version: Long): Option[String] = {
-    val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.linesIterator.collectFirst {
-      case l if l.startsWith("#partcol\t") => l.stripPrefix("#partcol\t")
-    }
-  }
+  def partitionColumn(spark: SparkSession, root: String, version: Long): Option[String] =
+    manifestHeader(spark, root, version, "partcol")
 
   private def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
@@ -583,6 +578,24 @@ object SnapshotStore {
       s"lost the commit race $maxAttempts times under $root")
   }
 
+  /** CREATE-ONLY commit: publish `df` as version 1, or report that the
+    * table already exists — decided INSIDE the commit protocol, not by
+    * a check-then-act snapshot, so two concurrent creators cannot both
+    * "win" (the manifest rename for v1 is the arbiter; the loser's
+    * data files become vacuum-collected orphans). Returns None when a
+    * snapshot existed (or came to exist concurrently). This is the
+    * primitive behind the DataFrame writer's ErrorIfExists/Ignore
+    * modes. */
+  def commitIfAbsent(spark: SparkSession, df: DataFrame, root: String,
+                     partitionCol: String): Option[Long] = {
+    if (currentVersion(spark, root).isDefined) return None
+    val entries = writeDataFiles(spark, df, root, 1L, partitionCol)
+    if (writeManifest(spark, root, 1L, entries, "commit", partitionCol)) {
+      writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
+      Some(1L)
+    } else None
+  }
+
   /** K1 keyed merge as an atomic snapshot commit: last writer wins per
     * `keyCol` ordered by `versionCol` (Upsert.merge semantics), but
     * only partitions present in `incoming` are rewritten — every other
@@ -930,14 +943,21 @@ object SnapshotStore {
   def restore(spark: SparkSession, root: String, toVersion: Long,
               maxAttempts: Int = 5): Long = {
     val target = manifest(spark, root, toVersion)
+    // Partition-column metadata, hoisted (the header is immutable —
+    // re-reading it per CAS retry would be wasted manifest GETs).
+    // Restoring to a version that predates the header must not strip
+    // it from the table tip: fall back to the current version's.
+    val partCol = partitionColumn(spark, root, toVersion)
+      .orElse(currentVersion(spark, root)
+        .flatMap(partitionColumn(spark, root, _)))
+      .getOrElse("")
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       if (manifest(spark, root, cur).toSet == target.toSet) return cur
       val v = cur + 1
-      if (writeManifest(spark, root, v, target, "restore",
-          partitionColumn(spark, root, toVersion).getOrElse(""))) {
+      if (writeManifest(spark, root, v, target, "restore", partCol)) {
         writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
         return v
       }
@@ -973,8 +993,13 @@ object SnapshotStore {
     val f = fs(spark, srcRoot)
     val abs = manifest(spark, srcRoot, v).map(e =>
       e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString))
+    // Cloning a version that predates partition-column metadata still
+    // inherits the source TIP's header when one exists.
     if (!writeManifest(spark, dstRoot, 1L, abs, "clone",
-        partitionColumn(spark, srcRoot, v).getOrElse("")))
+        partitionColumn(spark, srcRoot, v)
+          .orElse(currentVersion(spark, srcRoot)
+            .flatMap(partitionColumn(spark, srcRoot, _)))
+          .getOrElse("")))
       throw new java.util.ConcurrentModificationException(
         s"lost the clone race publishing v1 under $dstRoot")
     writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))

@@ -48,8 +48,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(retain).map(_.toLong))
     case OptimizePattern(table, zcols) =>
       OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("`")
-          .stripSuffix("`")).filter(_.nonEmpty))
+        GraftSqlParser.identifierList(zcols))
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
     case _ => delegate.parsePlan(sqlText)
@@ -89,6 +88,15 @@ object GraftSqlParser {
     s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z".r
   private val GeneratePattern =
     s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
+
+  /** Tokenize a ZORDER-style column list with the same quoting rules
+    * as table parts — a naive split(",") would mangle a backticked
+    * name containing a comma. */
+  private[graft] def identifierList(raw: String): Seq[String] =
+    if (raw == null) Nil
+    else part.r.findAllIn(raw).toSeq
+      .map(p => if (p.startsWith("`")) p.stripPrefix("`").stripSuffix("`") else p)
+      .filter(_.nonEmpty)
 
   /** Multipart name → snapshot root, through the named catalog's
     * warehouse/path rules. The catalog MUST be a [[GraftCatalog]] —

@@ -261,13 +261,18 @@ class PlanShapeSpec extends SparkSpec {
       "quantized IVF lost the native kernel:\n" + p.take(1200))
   }
 
-  test("BM25 via index: df join broadcasts; the tf side scans only candidate files") {
+  test("BM25 via index: idf broadcasts, aggregates partial-combine, no cartesian") {
     assume(available)
-    // Plan shape on the oracle fixture table (single-file documents
-    // table at sf0.001): the per-term idf side must broadcast (it is
-    // |terms| rows), and the aggregate must partial-combine.
+    // The candidate-file-subset property itself is pinned on a 6-file
+    // table in TextIndexSpec ("reads only candidate files") — the
+    // sf0.001 documents table here is a single file, so this pin
+    // covers the join/aggregate shape: the |terms|-row idf side must
+    // broadcast, the per-(id, term) tf and per-id score aggregates
+    // must partial-combine before their shuffles.
     val p = plan("q152_bm25_via_index")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "BM25 aggregates lost map-side combining:\n" + p.take(1200))
   }
 }

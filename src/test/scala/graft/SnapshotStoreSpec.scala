@@ -347,5 +347,40 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq((1L, "x")).toDF("id", "v").write.format("graft-snapshot")
         .option("partitionCol", "supplier").mode("overwrite").save(freshRoot())
     }
+    // Append under a DIFFERENT partition column than the table's
+    // recorded one must fail loudly — a mismatched merge would route
+    // incoming rows past every existing partition and duplicate keys.
+    val e = intercept[Exception] {
+      table(("p9", "a", 9)).write.format("graft-snapshot")
+        .option("partitionCol", "product_id")
+        .option("key", "product_id").option("versionCol", "version")
+        .mode("append").save(root)
+    }
+    assert(e.getMessage.contains("recorded partition column"), e.getMessage)
+  }
+
+  test("commitIfAbsent: concurrent creators — exactly one wins, the loser sees None") {
+    import spark.implicits._
+    import java.util.concurrent.CyclicBarrier
+    val root = freshRoot()
+    val barrier = new CyclicBarrier(2)
+    @volatile var ra: Option[Long] = Some(-1L)
+    @volatile var rb: Option[Long] = Some(-1L)
+    @volatile var err: Throwable = null
+    def create(tag: String): Option[Long] = SnapshotStore.commitIfAbsent(spark,
+      Seq((tag, "a", 1)).toDF("product_id", "supplier", "version"),
+      root, "supplier")
+    val ta = new Thread(() => try { barrier.await(); ra = create("pA") }
+      catch { case t: Throwable => err = t })
+    val tb = new Thread(() => try { barrier.await(); rb = create("pB") }
+      catch { case t: Throwable => err = t })
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    if (err != null) throw err
+    // Exactly one creator owns v1; the loser got None, not a v2.
+    assert(Seq(ra, rb).count(_ == Some(1L)) == 1, s"got $ra / $rb")
+    assert(Seq(ra, rb).count(_.isEmpty) == 1, s"got $ra / $rb")
+    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+    // Existing-table fast path.
+    assert(create("pC").isEmpty)
   }
 }
