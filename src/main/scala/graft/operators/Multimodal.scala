@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * -data pipeline stores them (the bytes never deserialize into JVM
   * objects until a kernel touches them).
   *
-  * The Spark-side plumbing here is real — schema, partition sizing,
-  * batched per-partition iteration, deterministic outputs. IMAGE
-  * dimension/format decode is also real ([[ImageCodec]], JDK
-  * `javax.imageio` — header-only reads). What remains stubbed behind
-  * [[StubCodec]] is the model forward pass for feature extraction and
-  * the audio/video codecs (no AV libraries in this environment);
-  * swapping in a real decoder changes one function, not the pipeline
-  * shape.
+  * Everything here is real, pure-Scala/JDK code: image dimension and
+  * format decode ([[ImageCodec]], header-only `javax.imageio` probes
+  * plus a WebP RIFF walk), audio ([[AudioCodec]] WAV/AIFF,
+  * [[Mp3Codec]] frame+ID3 walk), video ([[Mp4Codec]] ISO-BMFF box
+  * walk), and pixel-level feature extraction
+  * ([[ImageCodec.pixelFeatures]] color-histogram embeddings).
+  * [[StubCodec]] survives only as an honestly-labeled plumbing
+  * fixture for format-agnostic schema/partitioning tests. The one
+  * remaining swap-in point is a LEARNED image encoder (no model
+  * weights ship in this environment): replacing `pixelFeatures` with
+  * a forward pass changes one function, not the pipeline shape.
   */
 object Multimodal {
 
@@ -241,18 +244,19 @@ object Multimodal {
               val hist = new Array[Float](bins * bins * bins)
               val width = img.getWidth
               val height = img.getHeight
-              var y = 0
-              while (y < height) {
-                var x = 0
-                while (x < width) {
-                  val rgb = img.getRGB(x, y)
-                  val r = ((rgb >> 16) & 0xFF) * bins / 256
-                  val g = ((rgb >> 8) & 0xFF) * bins / 256
-                  val b = (rgb & 0xFF) * bins / 256
-                  hist((r * bins + g) * bins + b) += 1f
-                  x += 1
-                }
-                y += 1
+              // One bulk grab: per-pixel getRGB(x, y) pays a color-model
+              // conversion per call (several× slower on non-INT_RGB
+              // rasters); the array form converts once. Bounded by the
+              // maxPixels guard above (4M pixels = 16 MB of ints).
+              val pixels = img.getRGB(0, 0, width, height, null, 0, width)
+              var p = 0
+              while (p < pixels.length) {
+                val rgb = pixels(p)
+                val r = ((rgb >> 16) & 0xFF) * bins / 256
+                val g = ((rgb >> 8) & 0xFF) * bins / 256
+                val b = (rgb & 0xFF) * bins / 256
+                hist((r * bins + g) * bins + b) += 1f
+                p += 1
               }
               val n = (width.toLong * height).toFloat
               var i = 0
@@ -785,7 +789,11 @@ object Multimodal {
   }
 
   /** Frame-sampling plan for video content: evenly spaced offsets —
-    * pure column math, the decode of each frame is the stubbed part. */
+    * pure column math. Frame rasterization for multi-frame containers
+    * the JDK can decode is [[ImageCodec.decodeFrames]]; for MP4 the
+    * sampled offsets index into the (never-read) `mdat` payload, whose
+    * decode would come from the same learned/AV swap-in point noted in
+    * the header. */
   def frameOffsets(durationMs: Column, everyMs: Long): Column =
     sequence(lit(0L), greatest(durationMs - 1L, lit(0L)), lit(everyMs))
 

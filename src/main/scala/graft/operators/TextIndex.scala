@@ -193,8 +193,12 @@ object TextIndex {
     val dfByTerm = idx.groupBy(col("token").as("term"))
       .agg(sum(col("n_docs")).as("df"))
     val stats = spark.read.parquet(bm25StatsPath(indexPath)).first()
+    // An index built over an empty corpus writes one all-null stats row
+    // (sums over zero rows), so null-check before getLong — the intended
+    // descriptive error, not an NPE.
+    require(!stats.isNullAt(0) && stats.getLong(0) > 0,
+      "empty corpus at index build time")
     val n = stats.getLong(0)
-    require(n > 0, "empty corpus at index build time")
     val avgdl = stats.getLong(1).toDouble / n
     val files = idx.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq

@@ -106,14 +106,31 @@ class SnapshotSource extends RelationProvider
         // recorded one would route every incoming row past the
         // existing partitions (touched-set miss) and silently
         // duplicate every key — exactly what Append exists to prevent.
-        for {
-          cur <- SnapshotStore.currentVersion(spark, root)
-          recorded <- SnapshotStore.partitionColumn(spark, root, cur)
-          if recorded != partitionCol
-        } throw new IllegalArgumentException(
-          s"graft-snapshot append under $root must merge on the table's " +
-            s"recorded partition column '$recorded', got '$partitionCol' — " +
-            "a mismatched merge would duplicate keys instead of upserting")
+        // A table whose manifests predate the #partcol header cannot
+        // be verified, so it fails loudly too (silently skipping the
+        // check would readmit the exact failure the guard exists for)
+        // unless the caller explicitly vouches for the column.
+        SnapshotStore.currentVersion(spark, root).foreach { cur =>
+          SnapshotStore.partitionColumn(spark, root, cur) match {
+            case Some(recorded) if recorded != partitionCol =>
+              throw new IllegalArgumentException(
+                s"graft-snapshot append under $root must merge on the table's " +
+                  s"recorded partition column '$recorded', got '$partitionCol' — " +
+                  "a mismatched merge would duplicate keys instead of upserting")
+            case Some(_) => () // recorded and matching — safe to merge
+            case None =>
+              val vouched = parameters.get("assumePartitionCol")
+                .exists(_.equalsIgnoreCase("true"))
+              if (!vouched) throw new IllegalArgumentException(
+                s"snapshot table under $root predates partition-column " +
+                  "recording (no #partcol manifest header), so append cannot " +
+                  s"verify that '$partitionCol' matches the table's layout — " +
+                  "a mismatched merge would silently duplicate every key. " +
+                  "Pass option(\"assumePartitionCol\", \"true\") only if you " +
+                  "are certain this is the column the table was committed " +
+                  "under (any write through the current API records it).")
+          }
+        }
         SnapshotStore.mergeCommit(spark, data, root, key, versionCol, partitionCol)
       case SaveMode.ErrorIfExists =>
         // Decided inside the commit protocol (v1 manifest rename is

@@ -33,7 +33,11 @@ import graft.sinks.SnapshotStore
   * streams commits with version > V; the default (the version current
   * at stream creation) streams only future commits; `0` replays the
   * table from its first commit (whose rows are all `insert` — there is
-  * no parent version to diff against).
+  * no parent version to diff against). When VACUUM has dropped early
+  * manifests, a startingVersion before the retained range replays the
+  * OLDEST RETAINED snapshot as `insert` rows and streams per-version
+  * diffs from there — a full replay is always possible, just with the
+  * pre-vacuum per-version detail collapsed into the baseline.
   *
   * A no-op version — a [[SnapshotStore.compact]] / compactZOrder that
   * rewrote layout but not content — emits ZERO rows: the feed diffs
@@ -105,17 +109,36 @@ class ChangeFeedSource(
         else if (v == 1L) // genuine first commit: everything is an insert
           SnapshotStore.readVersion(spark, root, v)
             .withColumn("_change_type", lit("insert"))
+        else if (from < v - 1)
+          // v > 1 with no predecessor manifest AND the stream asked to
+          // start EARLIER than the vacuumed history (e.g.
+          // startingVersion=0 full replay after old manifests were
+          // vacuumed): the oldest retained snapshot IS the replay
+          // baseline, so emit it whole as 'insert' rows — the
+          // streaming analog of reading the table then following
+          // changes. Only this explicit-early-start shape qualifies;
+          // the rows carry v as _commit_version (the oldest version
+          // whose state they reflect).
+          SnapshotStore.readVersion(spark, root, v)
+            .withColumn("_change_type", lit("insert"))
         else
-          // v > 1 with no predecessor manifest: VACUUM removed the
-          // version this diff needs. Emitting the whole snapshot as
-          // 'insert' would re-deliver every row and mislabel the real
+          // from == v-1: the stream already consumed up to v-1 and a
+          // concurrent VACUUM then removed the manifest this diff
+          // needs. Emitting the whole snapshot as 'insert' would
+          // re-deliver every row and mislabel the real
           // updates/deletes — fail the stream instead (Delta CDF's
-          // behavior when change data has been vacuumed).
+          // behavior when change data has been vacuumed). A fresh
+          // checkpoint must start at or before the oldest RETAINED
+          // version; startingVersion=0 then replays the oldest
+          // retained snapshot as inserts, not the vacuumed per-version
+          // diffs — advice a caller can actually follow.
           throw new IllegalStateException(
             s"change feed gap under $root: version ${v - 1} was vacuumed " +
               s"before the stream consumed the ${v - 1}->$v diff; " +
-              "restart from a fresh checkpoint (full replay) or keep " +
-              "more history (SnapshotStore.vacuum keep)")
+              "restart with a fresh checkpoint and startingVersion < " +
+              s"${committed.min} (the oldest retained snapshot, version " +
+              s"${committed.min}, then replays as 'insert' rows) " +
+              "or keep more history (SnapshotStore.vacuum keep)")
       feed.withColumn("_commit_version", lit(v))
         .select(schema.fields.map(f => col(f.name)).toSeq: _*)
     }

@@ -179,6 +179,28 @@ class ChangeFeedStreamSpec extends SparkSpec {
       s"expected the vacuum-gap error, got: ${e.getMessage}")
   }
 
+  test("startingVersion before the vacuumed range replays the oldest retained snapshot as inserts") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 3)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0)
+    // Retained: v2, v3. A full replay (startingVersion=0) cannot diff
+    // 1->2, but the request explicitly predates the retained range, so
+    // the oldest retained snapshot (v2 = {p1@1, p2@2}) IS the replay
+    // baseline — all 'insert' — and v3's real diff streams after it.
+    drain(root, 0L, s"$dir/ckpt", "feed_postvacuum")
+    val got = spark.table("feed_postvacuum")
+      .select("product_id", "version", "_change_type", "_commit_version")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("p1", 1, "insert", 2L), ("p2", 2, "insert", 2L),
+      ("p1", 3, "update", 3L)), s"unexpected replay: $got")
+  }
+
   test("missing key / missing table surface as errors at stream construction") {
     val dir = freshDir()
     val root = s"$dir/t"

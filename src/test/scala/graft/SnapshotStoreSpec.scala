@@ -359,6 +359,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("recorded partition column"), e.getMessage)
   }
 
+  test("DataFrame writer append on a pre-#partcol table fails loudly unless vouched") {
+    import spark.implicits._
+    val root = freshRoot()
+    table(("p1", "a", 1)).write.format("graft-snapshot")
+      .option("partitionCol", "supplier").save(root)
+    // Simulate a manifest written before partition-column recording:
+    // strip the #partcol header line in place.
+    val mf = java.nio.file.Paths.get(root, "manifests", "v_000001.manifest")
+    import scala.jdk.CollectionConverters._
+    val stripped = java.nio.file.Files.readAllLines(mf).asScala
+      .filterNot(_.startsWith("#partcol")).asJava
+    java.nio.file.Files.write(mf, stripped)
+    // Hadoop's checksummed local FS keeps a .crc sidecar that the
+    // out-of-band edit invalidates — drop it.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "manifests", ".v_000001.manifest.crc"))
+    assert(SnapshotStore.partitionColumn(spark, root, 1L).isEmpty)
+    def append(extra: (String, String)*) = {
+      val w = table(("p2", "a", 2)).write.format("graft-snapshot")
+        .option("partitionCol", "supplier")
+        .option("key", "product_id").option("versionCol", "version")
+      extra.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+        .mode("append").save(root)
+    }
+    // Unverifiable layout: the guard must not silently no-op.
+    val e = intercept[Exception] { append() }
+    assert(e.getMessage.contains("predates partition-column recording"),
+      e.getMessage)
+    // An explicit vouch proceeds, and the merge re-records the column.
+    append("assumePartitionCol" -> "true")
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet == Set("p1", "p2"))
+    assert(SnapshotStore.partitionColumn(spark, root, 2L).contains("supplier"))
+  }
+
   test("commitIfAbsent: concurrent creators — exactly one wins, the loser sees None") {
     import spark.implicits._
     import java.util.concurrent.CyclicBarrier
