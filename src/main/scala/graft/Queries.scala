@@ -4970,6 +4970,48 @@ object Queries {
         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
              ELSE o_totalprice END AS o_totalprice,
         CASE WHEN o_orderkey % 5 IN (0, 4) THEN 2 ELSE 1 END AS rev
+      FROM orders ORDER BY o_orderkey""")),
+
+    // MERGE INTO SQL surface (GraftSqlParser → mergeCommitOrdered):
+    // the reference's PRIMARY operator — the K1 bulk ReplaceOne upsert
+    // (mongodb_loader.py:93-197) — in its standard SQL spelling. Base
+    // version holds %5!=4 orders at rev 1; the MERGE source carries
+    // %5 IN (0,4) rows at rev 2, so matched %5==0 rows are REPLACED
+    // wholesale (price bumped, rev 2) and unmatched %5==4 rows insert.
+    // Oracle replays the key arithmetic — same construction as q156,
+    // now with zero graft API calls on the merge side.
+    ("q157_sql_merge_into", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q157_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      orders.filter(m5 =!= 4).withColumn("rev", lit(1))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      orders.filter(m5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(m5 === 4))
+        .withColumn("rev", lit(2))
+        .createOrReplaceTempView("q157_updates")
+      s.conf.set("spark.sql.catalog.graft_q157",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val res = s.sql(
+        s"MERGE INTO graft_q157.`$root` AS t USING q157_updates AS s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(res == Seq((root, 2L)), s"SQL MERGE returned $res, expected v2")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 5 IN (0, 4) THEN 2 ELSE 1 END AS rev
       FROM orders ORDER BY o_orderkey"""))
   )
 

@@ -618,7 +618,23 @@ object SnapshotStore {
     * [[vacuum]] collects. Returns the committed version. */
   def mergeCommit(spark: SparkSession, incoming: DataFrame, root: String,
                   keyCol: String, versionCol: String, partitionCol: String,
-                  maxAttempts: Int = 10): Long = {
+                  maxAttempts: Int = 10): Long =
+    mergeCommitOrdered(spark, incoming, root, keyCol,
+      Seq(col(versionCol).desc_nulls_last), partitionCol, maxAttempts)
+
+  /** [[mergeCommit]] with an explicit win order instead of a version
+    * column. `orderBy` ranks rows per key (highest priority first);
+    * after it, incoming beats existing (`Upsert.merge`'s source
+    * tie-break). An EMPTY `orderBy` therefore means "incoming rows
+    * always replace existing rows for their key" — exactly SQL
+    * `MERGE INTO … WHEN MATCHED THEN UPDATE SET *` semantics, where
+    * the source is authoritative and no version comparison exists.
+    * Callers passing empty `orderBy` must ensure the incoming batch
+    * has unique keys (SQL MERGE's own precondition): with no ordering,
+    * two incoming rows for one key would race nondeterministically. */
+  def mergeCommitOrdered(spark: SparkSession, incoming: DataFrame, root: String,
+                         keyCol: String, orderBy: Seq[Column], partitionCol: String,
+                         maxAttempts: Int = 10): Long = {
     // Touched partitions: one small distinct-collect (bounded by the
     // partition cardinality of the incoming batch, e.g. suppliers),
     // computed ONCE — it depends only on `incoming`. NULL partition
@@ -644,7 +660,7 @@ object SnapshotStore {
           // cannot race (unlike overwrite-in-place sinks).
           val m = if (replaced.isEmpty) incoming
             else Upsert.merge(readEntries(spark, root, replaced), incoming,
-              keyCol, versionCol)
+              Seq(keyCol), orderBy)
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
@@ -666,14 +682,21 @@ object SnapshotStore {
         // Which partitions did the interloping commits change since the
         // snapshot this merge was computed against? (base = v-1; a
         // first-commit loser has no base — every head partition counts.)
-        val interloperParts: Set[String] =
-          if (v - 1 >= 1 && head >= v)
-            changedPartitions(spark, root, v - 1, head).toSet
-          else if (head >= 1) manifest(spark, root, head).map(_.partition).toSet
-          else Set.empty
+        // A concurrent vacuum may have dropped the base manifest (v-1)
+        // or an intervening one out from under the diff; a missing
+        // manifest is then indistinguishable from a true conflict, so
+        // degrade to the outer full-recompute path instead of failing
+        // the writer with a raw FileNotFoundException.
+        val interloperParts: Option[Set[String]] =
+          try Some {
+            if (v - 1 >= 1 && head >= v)
+              changedPartitions(spark, root, v - 1, head).toSet
+            else if (head >= 1) manifest(spark, root, head).map(_.partition).toSet
+            else Set.empty[String]
+          } catch { case _: java.io.FileNotFoundException => None }
         rebases += 1
         if (head >= publishV && rebases <= maxAttempts &&
-            !interloperParts.exists(touched)) {
+            interloperParts.exists(parts => !parts.exists(touched))) {
           // Disjoint: our touched partitions are byte-identical between
           // base and head, so head-minus-touched plus our files IS the
           // sequential result. One manifest write, zero data movement.

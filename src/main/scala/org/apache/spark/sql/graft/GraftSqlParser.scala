@@ -17,12 +17,18 @@ import graft.sinks.{GraftCatalog, SnapshotStore}
   * {{{
   *   RESTORE TABLE graft.products TO VERSION AS OF 2
   *   DESCRIBE HISTORY graft.`/abs/path/t`
+  *   VACUUM graft.products RETAIN 0 HOURS
+  *   OPTIMIZE graft.products ZORDER BY (a, b)
+  *   GENERATE symlink_format_manifest FOR TABLE graft.products
+  *   MERGE INTO graft.products t USING updates s ON t.sku = s.sku
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   * }}}
   *
-  * Spark's grammar has neither statement, so — exactly like Delta's
+  * Spark's grammar lacks these statements (or, for MERGE, cannot
+  * execute them against a snapshot table), so — exactly like Delta's
   * `DeltaSqlParser` — a delegating `ParserInterface` is injected via
-  * `SparkSessionExtensions.injectParser`: the two fixed statement
-  * shapes are recognized here (backtick-aware), everything else falls
+  * `SparkSessionExtensions.injectParser`: the fixed statement shapes
+  * are recognized here (backtick-aware), everything else falls
   * through to the session parser untouched. Table names resolve
   * through the SAME [[GraftCatalog]] rules as reads (warehouse name or
   * backticked absolute path), so the read and maintenance surfaces
@@ -51,6 +57,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.identifierList(zcols))
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
+    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond) =>
+      MergeIntoSnapshotCommand(
+        delegate.parseMultipartIdentifier(table),
+        Option(srcIdent), Option(srcQuery),
+        mergeKey(cond, table, Option(tAlias), Option(srcIdent), Option(sAlias)))
+    case MergeLoosePattern(table) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      // A MERGE aimed at a graft catalog but not in the supported
+      // shape: reject HERE with the supported grammar, instead of
+      // letting the session parser hand analysis a MergeIntoTable no
+      // graft table can execute (the error would blame the catalog,
+      // not the statement).
+      throw new IllegalArgumentException(
+        "graft MERGE supports exactly the upsert shape: MERGE INTO <t> " +
+          "USING <source> ON t.<key> = s.<key> WHEN MATCHED THEN UPDATE " +
+          "SET * WHEN NOT MATCHED THEN INSERT * — conditional clauses, " +
+          "column lists, and DELETE actions are not supported; got: " +
+          sqlText.trim.take(200))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -88,6 +112,63 @@ object GraftSqlParser {
     s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z".r
   private val GeneratePattern =
     s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
+  // The one MERGE shape the snapshot store executes (the K1 bulk
+  // upsert in its standard SQL spelling): whole-row UPDATE SET * /
+  // INSERT * on a single same-named equality key. Aliases are
+  // optional; the negative lookahead keeps the keywords USING/ON/WHEN
+  // from being eaten as an alias. The source is a table/view name or
+  // a parenthesized subquery.
+  private val aliasOpt =
+    "(?:\\s+(?:AS\\s+)?(?!USING\\b|ON\\b|WHEN\\b)([A-Za-z_][\\w$]*))?"
+  private val MergePattern =
+    (s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident$aliasOpt" +
+      s"\\s+USING\\s+(?:$ident|\\((.+)\\))$aliasOpt" +
+      "\\s+ON\\s+(.+?)" +
+      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
+      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*\\z").r
+  private val MergeLoosePattern =
+    s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
+
+  /** Is `name` configured as a graft snapshot catalog in the ACTIVE
+    * session? Parse-time gate for the loose MERGE rejection: other
+    * catalogs' MERGE statements must keep flowing to the session
+    * parser untouched. */
+  private def isGraftCatalogName(name: String): Boolean =
+    SparkSession.getActiveSession.exists(
+      _.conf.getOption(s"spark.sql.catalog.$name")
+        .exists(_.contains(classOf[GraftCatalog].getSimpleName)))
+
+  /** Extract the single merge key from the ON condition: a same-named
+    * equality, optionally qualified by the target/source aliases or
+    * names (`t.k = s.k`, `k = k`). Anything else — expressions,
+    * AND-ed keys, differently-named columns — is rejected loudly. */
+  private def mergeKey(cond: String, table: String, tAlias: Option[String],
+                       srcIdent: Option[String], sAlias: Option[String]): String = {
+    def strip(p: String): String =
+      if (p.startsWith("`")) p.stripPrefix("`").stripSuffix("`") else p
+    val qcol = s"(?:($part)\\.)?($part)"
+    val Eq = s"(?is)\\A\\s*$qcol\\s*=\\s*$qcol\\s*\\z".r
+    cond match {
+      case Eq(q1, c1, q2, c2) if strip(c1) == strip(c2) =>
+        // Qualifiers, when present, must be known names and must not
+        // both point at the same side.
+        val known: Set[String] =
+          (tAlias.toSeq ++ sAlias.toSeq ++
+            Seq(strip(table.split("\\.").last)) ++
+            srcIdent.toSeq.map(s => strip(s.split("\\.").last))).map(_.toLowerCase).toSet
+        val quals = Seq(q1, q2).flatMap(Option(_)).map(q => strip(q).toLowerCase)
+        require(quals.distinct.size == quals.size,
+          s"graft MERGE ON clause qualifies both sides with '${quals.head}' — " +
+            "one side must be the target, the other the source")
+        quals.foreach(q => require(known.contains(q),
+          s"graft MERGE ON clause references unknown qualifier '$q' " +
+            s"(known: ${known.mkString(", ")})"))
+        strip(c1)
+      case _ => throw new IllegalArgumentException(
+        "graft MERGE supports a single same-named equality key: " +
+          s"ON t.<key> = s.<key> — got: ${cond.trim}")
+    }
+  }
 
   /** Tokenize a ZORDER-style column list with the same quoting rules
     * as table parts — a naive split(",") would mangle a backticked
@@ -199,6 +280,60 @@ case class GenerateSymlinkCommand(table: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(SnapshotStore.writeSymlinkManifest(spark, root).toString))
+  }
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` — the reference's PRIMARY operator
+  * (K1 bulk `ReplaceOne(upsert=true)`, mongodb_loader.py:93-197) in
+  * its standard SQL spelling, routed to
+  * [[SnapshotStore.mergeCommitOrdered]] with an EMPTY win order: SQL
+  * MERGE has no version column — the source is authoritative, so a
+  * matched row is replaced wholesale and an unmatched row inserts.
+  * The table's partition column resolves from the `#partcol` manifest
+  * header like OPTIMIZE's. Standard MERGE precondition enforced: a
+  * source with duplicate keys fails loudly (two updates to one target
+  * row are nondeterministic — Delta raises the same error). Returns
+  * one row (path, version). */
+case class MergeIntoSnapshotCommand(table: Seq[String],
+                                    sourceIdent: Option[String],
+                                    sourceQuery: Option[String],
+                                    keyCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val src = sourceQuery.map(spark.sql)
+      .getOrElse(spark.table(sourceIdent.get))
+    require(src.columns.contains(keyCol),
+      s"merge key '$keyCol' is not a column of the source")
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $root — MERGE needs an existing " +
+          "table (create one with df.write.format(\"graft-snapshot\"))"))
+    val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$cur under $root predates partition-column metadata; " +
+          "re-commit once through any SnapshotStore write path first"))
+    require(src.columns.contains(partCol),
+      s"the source must carry the table's partition column '$partCol'")
+    // One cheap aggregate over the source: found duplicates would make
+    // "UPDATE SET *" nondeterministic per key, so fail before writing.
+    val dup = src.groupBy(org.apache.spark.sql.functions.col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"MERGE source has multiple rows for key ${dup.head.get(0)} — " +
+        "a target row cannot be updated twice in one MERGE; " +
+        "de-duplicate the source first")
+    val v = SnapshotStore.mergeCommitOrdered(
+      spark, src, root, keyCol, Seq.empty, partCol)
+    Seq(Row(root, v))
   }
 }
 

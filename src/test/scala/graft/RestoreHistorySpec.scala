@@ -224,6 +224,88 @@ class RestoreHistorySpec extends SparkSpec {
     assert(listed.size == SnapshotStore.manifest(spark, root, 1).size)
   }
 
+  test("MERGE INTO runs purely in SQL: matched rows replaced, unmatched inserted") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    spark.conf.set("spark.sql.catalog.rh_merge",
+      classOf[graft.sinks.GraftCatalog].getName)
+    table(("p1", "a", 2), ("p4", "b", 2)).createOrReplaceTempView("rh_merge_src")
+    val res = spark.sql(
+      s"MERGE INTO rh_merge.`$root` AS t USING rh_merge_src AS s " +
+        "ON t.product_id = s.product_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(res == Seq((root, 2L)))
+    assert(SnapshotStore.manifestOperation(spark, root, 2L).contains("merge"))
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 2), ("p2", 1), ("p3", 1), ("p4", 2)))
+    // Subquery source, bare (unqualified) ON columns, no aliases.
+    spark.sql(
+      s"MERGE INTO rh_merge.`$root` " +
+        "USING (SELECT 'p2' AS product_id, 'a' AS supplier, 3 AS version) " +
+        "ON product_id = product_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 2), ("p2", 3), ("p3", 1), ("p4", 2)))
+    // SQL MERGE means "source wins" even if a version column says
+    // otherwise — there is no version comparison in the statement.
+    table(("p1", "a", 0)).createOrReplaceTempView("rh_merge_src0")
+    spark.sql(
+      s"MERGE INTO rh_merge.`$root` AS t USING rh_merge_src0 AS s " +
+        "ON t.product_id = s.product_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(SnapshotStore.read(spark, root).filter(col("product_id") === "p1")
+      .select("version").as[Int].collect().toSeq == Seq(0))
+  }
+
+  test("unsupported MERGE shapes and bad sources fail loudly") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    spark.conf.set("spark.sql.catalog.rh_mergex",
+      classOf[graft.sinks.GraftCatalog].getName)
+    table(("p1", "a", 2)).createOrReplaceTempView("rh_mergex_src")
+    def bad(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // Conditional WHEN clause → rejected at parse with the grammar.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.product_id " +
+      "WHEN MATCHED AND s.version > t.version THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("upsert shape"))
+    // Column-list UPDATE → rejected.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.product_id " +
+      "WHEN MATCHED THEN UPDATE SET version = s.version " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("upsert shape"))
+    // DELETE action → rejected.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.product_id " +
+      "WHEN MATCHED THEN DELETE").contains("upsert shape"))
+    // Compound / differently-named ON keys → rejected.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.product_id AND t.supplier = s.supplier " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .contains("equality key"))
+    // Duplicate source keys → standard MERGE error before any write.
+    table(("p9", "a", 1), ("p9", "a", 2)).createOrReplaceTempView("rh_mergex_dup")
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_dup s " +
+      "ON t.product_id = s.product_id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .contains("multiple rows"))
+    assert(SnapshotStore.versions(spark, root) == Seq(1L),
+      "a rejected MERGE must not have committed anything")
+    // A MERGE aimed at a NON-graft catalog flows to the session parser
+    // (Spark's own MERGE grammar), not our shape error.
+    val other = intercept[Exception] {
+      spark.sql("MERGE INTO spark_catalog.default.nope t USING rh_mergex_src s " +
+        "ON t.product_id = s.product_id " +
+        "WHEN MATCHED THEN DELETE").collect()
+    }
+    assert(!other.getMessage.contains("upsert shape"), other.getMessage)
+  }
+
   test("maintenance parser delegates everything else; bad targets fail loudly") {
     // Ordinary SQL still parses through the delegate.
     assert(spark.sql("SELECT 1 + 1 AS two").as[Int].collect().toSeq == Seq(2))
