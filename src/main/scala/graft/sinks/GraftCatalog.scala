@@ -100,6 +100,20 @@ class GraftCatalog extends TableCatalog {
         s"graft snapshot versions are numbers, got '$version'")
     }))
 
+  /** The `TIMESTAMP AS OF` hook — Spark hands the evaluated timestamp
+    * in MICROseconds since epoch; resolution is "latest version
+    * committed at or before" against the `#ts` manifest headers
+    * ([[SnapshotStore.versionAtTimestamp]] — before-first errors,
+    * after-last reads the tip). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val spark = SparkSession.active
+    val root = rootFor(ident)
+    if (SnapshotStore.versions(spark, root).isEmpty)
+      throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
+    load(ident, Some(SnapshotStore.versionAtTimestamp(
+      spark, root, Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     warehouse match {
       case Some(w) if namespace.isEmpty =>

@@ -1,7 +1,8 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 
 /** SQL/catalog surface for [[SnapshotStore]]: the `graft-snapshot`
   * data-source format. Until now manifest-driven file skipping was a
@@ -50,8 +51,29 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * from plain SQL).
   */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** Streaming write surface — `df.writeStream.format("graft-snapshot")`
+    * (the Delta streaming-sink analog): every micro-batch is one
+    * atomic keyed-merge commit, with marker-file batch dedup for a
+    * true no-op on re-delivery. See
+    * [[org.apache.spark.sql.graft.GraftSnapshotSink]]. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    def req(name: String, hint: String): String =
+      parameters.getOrElse(name, throw new IllegalArgumentException(
+        s"graft-snapshot streaming writes need option(\"$name\", <col>) — $hint"))
+    new org.apache.spark.sql.graft.GraftSnapshotSink(
+      sqlContext,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-snapshot needs a table root: .start(<root>) or option(\"path\", <root>)")),
+      req("key", "each micro-batch merges as a keyed upsert"),
+      req("versionCol", "the merge must know which of two rows for a key is newer"),
+      req("partitionCol", "snapshot tables are partition-carried by design"))
+  }
 
   /** Write surface — `df.write.format("graft-snapshot")` (the Delta
     * writer analog), routing every mode through the store's atomic,
@@ -178,10 +200,44 @@ class SnapshotSource extends RelationProvider
       case (None, None) =>
         val partitions = parameters.get("partitions")
           .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        val version = (versionOpt("version"), parameters.get("timestampAsOf")) match {
+          case (Some(_), Some(_)) => throw new IllegalArgumentException(
+            "graft-snapshot options 'version' and 'timestampAsOf' are " +
+              "mutually exclusive — pin the snapshot one way")
+          case (v @ Some(_), None) => v
+          case (None, Some(raw)) => Some(SnapshotStore.versionAtTimestamp(
+            sqlContext.sparkSession, root, SnapshotSource.parseTimestampMillis(raw)))
+          case (None, None) => None
+        }
         SnapshotStore.relationWithIndex(
-          sqlContext.sparkSession, root, versionOpt("version"), partitions)._1
+          sqlContext.sparkSession, root, version, partitions)._1
       case _ => throw new IllegalArgumentException(
         "graft-snapshot options changesFrom and changesTo must be provided together")
+    }
+  }
+}
+
+object SnapshotSource {
+  /** `timestampAsOf` accepts epoch millis, ISO-8601 instants
+    * (`2026-08-14T09:00:00Z`), naive timestamps (`2026-08-14 09:00:00`,
+    * read as UTC — the session convention), and bare dates
+    * (start-of-day UTC). */
+  def parseTimestampMillis(raw: String): Long = {
+    val s = raw.trim
+    def fail() = throw new IllegalArgumentException(
+      s"cannot parse timestampAsOf '$raw' — use epoch millis, " +
+        "'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.SSS]', or an ISO-8601 instant")
+    try s.toLong catch { case _: NumberFormatException =>
+      try java.time.Instant.parse(s).toEpochMilli catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDate.parse(s).atStartOfDay()
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException => fail() }
+          }
+      }
     }
   }
 }

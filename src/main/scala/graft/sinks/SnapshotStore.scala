@@ -116,6 +116,41 @@ object SnapshotStore {
   def partitionColumn(spark: SparkSession, root: String, version: Long): Option[String] =
     manifestHeader(spark, root, version, "partcol")
 
+  /** Commit wall-clock (epoch millis) recorded in the `#ts` manifest
+    * header. None for manifests written before timestamps existed.
+    * Timestamps are clamped monotonic at write ([[writeManifest]]), so
+    * version order and timestamp order never disagree — the property
+    * `TIMESTAMP AS OF` resolution relies on (Delta's in-commit
+    * timestamp behavior). */
+  def commitTimestamp(spark: SparkSession, root: String, version: Long): Option[Long] =
+    manifestHeader(spark, root, version, "ts").map(_.toLong)
+
+  /** `TIMESTAMP AS OF` resolution: the latest version committed at or
+    * before `tsMillis` (Delta semantics — "the table as it was at that
+    * moment"). A timestamp before the first commit is an error (there
+    * was no table then); one after the last commit resolves to the
+    * tip. Pre-`#ts` manifests (no recorded wall-clock) are treated as
+    * older than any queryable timestamp: they cannot win over a
+    * version with a recorded ts <= target, but a target older than
+    * every RECORDED ts resolves to the newest unrecorded version
+    * rather than erroring — the table demonstrably existed then. */
+  def versionAtTimestamp(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed snapshot under $root")
+    val stamped = vs.map(v => v -> commitTimestamp(spark, root, v))
+    val hit = stamped.filter(_._2.exists(_ <= tsMillis)).map(_._1)
+    if (hit.nonEmpty) hit.max
+    else {
+      val unrecorded = stamped.filter(_._2.isEmpty).map(_._1)
+      if (unrecorded.nonEmpty) unrecorded.max
+      else throw new IllegalArgumentException(
+        s"timestamp $tsMillis (${java.time.Instant.ofEpochMilli(tsMillis)}) " +
+          s"is before the first commit under $root " +
+          s"(${java.time.Instant.ofEpochMilli(stamped.head._2.get)}); " +
+          "there is no snapshot to read at that time")
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
                             operation: String = "",
@@ -124,8 +159,23 @@ object SnapshotStore {
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
     val out = f.create(tmp, false)
+    // Commit wall-clock, clamped monotonic against the predecessor so
+    // `TIMESTAMP AS OF` resolution can trust that version order and
+    // timestamp order agree even across clock skew between writers
+    // (Delta's in-commit-timestamp clamp). Predecessor missing
+    // (first commit, vacuumed, or pre-#ts) → the clock as-is.
+    val ts = {
+      val now = System.currentTimeMillis()
+      val prev = if (version > 1)
+        try commitTimestamp(spark, root, version - 1) catch {
+          case _: java.io.IOException => None
+        }
+      else None
+      prev.map(p => math.max(now, p + 1)).getOrElse(now)
+    }
     val headers = s"#committer\t$token" +:
-      ((if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
+      (Seq(s"#ts\t$ts") ++
+        (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
         // Table metadata in the log (the Delta convention): the
         // partition column name, so table-level maintenance (SQL
         // OPTIMIZE) needs no out-of-band knowledge.
@@ -1044,6 +1094,11 @@ object SnapshotStore {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("version", LongType, nullable = false),
+      // Commit wall-clock from the #ts header (null for manifests
+      // written before timestamps existed) — the column Delta users
+      // read first in DESCRIBE HISTORY, and the one TIMESTAMP AS OF
+      // resolves against.
+      StructField("timestamp", TimestampType, nullable = true),
       StructField("operation", StringType, nullable = true),
       StructField("n_files", IntegerType, nullable = false),
       StructField("n_partitions", IntegerType, nullable = false),
@@ -1064,7 +1119,10 @@ object SnapshotStore {
           java.lang.Long.valueOf(m.map(e => st(e.path).rows).sum)
         else null
       val row = org.apache.spark.sql.Row(
-        v, manifestOperation(spark, root, v).orNull, m.size,
+        v,
+        commitTimestamp(spark, root, v)
+          .map(new java.sql.Timestamp(_)).orNull,
+        manifestOperation(spark, root, v).orNull, m.size,
         m.map(_.partition).distinct.size,
         (paths -- prevPaths).size, (prevPaths -- paths).size, totalRows)
       prevPaths = paths

@@ -47,6 +47,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RestorePattern(table, version) =>
       RestoreSnapshotCommand(delegate.parseMultipartIdentifier(table), version.toLong)
+    case RestoreTsPattern(table, ts) =>
+      RestoreSnapshotToTimestampCommand(
+        delegate.parseMultipartIdentifier(table), ts)
     case HistoryPattern(table) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
     case VacuumPattern(table, retain) =>
@@ -104,6 +107,8 @@ object GraftSqlParser {
 
   private val RestorePattern =
     s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*\\z".r
+  private val RestoreTsPattern =
+    s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*\\z".r
   private val HistoryPattern =
     s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
   private val VacuumPattern =
@@ -211,6 +216,27 @@ case class RestoreSnapshotCommand(table: Seq[String], version: Long)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
+    val committed = SnapshotStore.restore(spark, root, version)
+    Seq(Row(version, committed))
+  }
+}
+
+/** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`: resolve the timestamp
+  * to the latest version committed at or before it (`#ts` manifest
+  * headers, [[SnapshotStore.versionAtTimestamp]]) and restore there —
+  * the reference's timestamp-named backup recovery
+  * (mongodb_loader.py:301-318) as one SQL statement. Same output shape
+  * as the VERSION AS OF form. */
+case class RestoreSnapshotToTimestampCommand(table: Seq[String], timestamp: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val version = SnapshotStore.versionAtTimestamp(spark, root,
+      graft.sinks.SnapshotSource.parseTimestampMillis(timestamp))
     val committed = SnapshotStore.restore(spark, root, version)
     Seq(Row(version, committed))
   }
