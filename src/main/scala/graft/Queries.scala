@@ -5012,7 +5012,104 @@ object Queries {
         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
              ELSE o_totalprice END AS o_totalprice,
         CASE WHEN o_orderkey % 5 IN (0, 4) THEN 2 ELSE 1 END AS rev
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // TIMESTAMP AS OF time travel: commit wall-clock is recorded as
+    // the #ts manifest header (monotonic-clamped), and a timestamp
+    // resolves to the latest version committed at or before it. The
+    // base version is read back AS OF its own commit timestamp through
+    // the catalog's SQL `TIMESTAMP AS OF` hook, the tip AS OF a
+    // far-future timestamp through the DataFrame option — both tagged
+    // and unioned so the oracle derives each epoch's content from the
+    // key arithmetic alone (wall-clock values never reach the output).
+    ("q158_timestamp_as_of", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q158_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 4).withColumn("rev", lit(2)), root,
+        "o_orderkey", "rev", "o_orderstatus")
+      val ts1 = graft.sinks.SnapshotStore.commitTimestamp(s, root, 1L).get
+      val ts2 = graft.sinks.SnapshotStore.commitTimestamp(s, root, 2L).get
+      require(ts2 > ts1, s"commit timestamps must be monotonic: $ts1, $ts2")
+      s.conf.set("spark.sql.catalog.graft_q158",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val atV1 = s.sql(s"SELECT o_orderkey, rev FROM graft_q158.`$root` " +
+        s"TIMESTAMP AS OF timestamp_millis($ts1)")
+      val atTip = s.read.format("graft-snapshot")
+        .option("timestampAsOf", (ts2 + 3600L * 1000).toString).load(root)
+        .select(col("o_orderkey"), col("rev"))
+      atV1.withColumn("as_of", lit(1))
+        .unionByName(atTip.withColumn("as_of", lit(2)))
+        .orderBy(col("as_of"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, 1 AS rev, 1 AS as_of FROM orders
+      WHERE o_orderkey % 5 <> 4
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 4 THEN 2 ELSE 1 END, 2
+      FROM orders
+      ORDER BY as_of, o_orderkey""")),
+
+    // Streaming WRITER surface (df.writeStream.format("graft-snapshot")
+    // — the Delta streaming-sink analog): q103's exact micro-batch
+    // sequence — including the re-delivered batch — through the format
+    // registration instead of a hand-built foreachBatch, plus the
+    // sink's marker-file batch log making the re-delivery a TRUE no-op
+    // (version count pinned in-query). Oracle identical to q103's:
+    // the format surface must be indistinguishable from the manual
+    // writer.
+    ("q159_stream_sink_format", (s: SparkSession, d: String) => {
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_q159").toString
+      val root = s"$dir/store"
+      val updates = t(s, d, "events").filter(col("user_id") < 50)
+        .groupBy(concat(lit("sku_"), col("user_id")).as("sku"), col("ts"))
+        .agg(max(col("value")).as("qty"))
+        .select(col("sku"), col("qty"), col("ts"))
+        .as[(String, Double, java.sql.Timestamp)]
+        .collect()
+      val batches = updates.groupBy(u => math.floorMod(u._3.getTime, 3L))
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double, java.sql.Timestamp)]
+      def start() = input.toDF().toDF("sku", "qty", "modified_at")
+        .withColumn("part", lit("stock"))
+        .writeStream.format("graft-snapshot")
+        .outputMode("append")
+        .option("key", "sku").option("versionCol", "modified_at")
+        .option("partitionCol", "part")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start(root)
+      val q = start()
+      try {
+        (0L to 2L).foreach { b =>
+          input.addData(batches.getOrElse(b, Array.empty).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val committed = graft.sinks.SnapshotStore.versions(s, root)
+      // Restart on the same checkpoint: the engine re-delivers the
+      // last batch; the marker log must keep the version list frozen.
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      require(graft.sinks.SnapshotStore.versions(s, root) == committed,
+        "re-delivered batch committed a new version through the sink")
+      graft.sinks.SnapshotStore.read(s, root)
+        .select(col("sku"), col("qty"), unix_micros(col("modified_at")).as("us"))
+        .orderBy(col("sku"))
+    }, Some("""
+      WITH u AS (SELECT 'sku_' || user_id AS sku, ts, max(value) AS qty
+                 FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      r AS (SELECT sku, qty, epoch_ns(ts) // 1000 AS us,
+              row_number() OVER (PARTITION BY sku ORDER BY ts DESC) AS rn
+            FROM u)
+      SELECT sku, qty, us FROM r WHERE rn = 1 ORDER BY sku"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
