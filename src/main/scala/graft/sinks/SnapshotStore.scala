@@ -69,8 +69,71 @@ object SnapshotStore {
       .sorted
   }
 
-  def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption
+  private def lastCheckpointPath(root: String) =
+    new Path(root, "manifests/_last_checkpoint")
+
+  /** The version hint in `_last_checkpoint` (Delta's pointer concept).
+    * Purely an optimization hint: absent, stale, or corrupt all
+    * degrade to the full listing, never to a wrong answer. */
+  def lastCheckpointVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = lastCheckpointPath(root)
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        text.linesIterator.collectFirst {
+          case l if l.startsWith("version\t") => l.stripPrefix("version\t").toLong
+        }
+      }
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+  }
+
+  /** Refresh `_last_checkpoint` to point at `version` (write-tmp +
+    * rename-overwrite so readers never see a torn file). Best-effort:
+    * a failure leaves an older hint, which is merely slower. */
+  private def writeLastCheckpoint(spark: SparkSession, root: String,
+                                  version: Long): Unit = try {
+    val f = fs(spark, root)
+    val tmp = new Path(root,
+      s"manifests/._last_checkpoint.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(s"version\t$version".getBytes(UTF_8)) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(lastCheckpointPath(root)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  } catch { case _: java.io.IOException => () }
+
+  /** Commits between checkpoint refreshes
+    * (`spark.graft.checkpointInterval`, default 10). */
+  private def checkpointInterval(spark: SparkSession): Long =
+    try spark.conf.get("spark.graft.checkpointInterval", "10").toLong
+    catch { case _: NumberFormatException => 10L }
+
+  /** Current version, in O(commits since the last checkpoint) instead
+    * of O(all versions): versions are DENSE (every committer takes the
+    * next number) and vacuum only ever removes an old contiguous
+    * prefix, so if the checkpointed version's manifest still exists,
+    * probing forward until the first missing number IS the tip — no
+    * directory listing. The listing fallback covers young tables (no
+    * checkpoint yet) and a checkpoint that vacuum has overtaken. This
+    * is what keeps metadata cost flat on a long-lived table: a
+    * streaming source calls this every trigger, and a 10,000-commit
+    * table would otherwise pay a 10,000-entry listing each time
+    * (Delta's `_last_checkpoint` exists for the same reason). */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    lastCheckpointVersion(spark, root) match {
+      case Some(v) if f.exists(manifestPath(root, v)) =>
+        var cur = v
+        while (f.exists(manifestPath(root, cur + 1))) cur += 1
+        Some(cur)
+      case _ => versions(spark, root).lastOption
+    }
+  }
 
   /** Parse a manifest. Partition values are URL-encoded on write so
     * arbitrary strings survive the line format. Lines starting with
@@ -208,6 +271,13 @@ object SnapshotStore {
     // retries on the next number.
     val won = renamed && manifestCommitter(spark, root, version).contains(token)
     if (!won && f.exists(tmp)) f.delete(tmp, false)
+    // Every Nth commit refreshes the `_last_checkpoint` hint so
+    // current-version resolution stays O(N) forever. Our manifests are
+    // SELF-CONTAINED snapshots (unlike Delta's delta-logs), so the
+    // checkpoint needs no state rollup — a version pointer alone
+    // bounds the walk.
+    if (won && version % checkpointInterval(spark) == 0)
+      writeLastCheckpoint(spark, root, version)
     won
   }
 
