@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -373,5 +373,80 @@ object Similarity {
       .select(col("id_a"), col("id_b"), Vectors.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
+  }
+
+  /** Incremental maintenance of a persisted quantized-IVF index over a
+    * snapshot table — the vector analog of
+    * [[TextIndex.appendForSnapshotVersion]]: assign + quantize ONLY
+    * the data files this commit ADDED (manifest diff against the
+    * predecessor — carried-by-reference files are already indexed) and
+    * append their (cell, id, scale, codes, file) rows. Ingest cost is
+    * therefore ∝ the commit's delta, never the corpus; the centroid
+    * set is trained once at first ingest and REUSED here (the faiss
+    * train-once discipline — re-training would silently shift every
+    * existing row's cell). A vacuumed predecessor degrades to
+    * re-indexing carried files, which [[ivfProbeSnapshot]]'s per-file
+    * dedup absorbs — duplicate index rows cost bytes, never wrong
+    * top-k. */
+  def appendIvfForSnapshotVersion(spark: SparkSession, root: String,
+                                  version: Long, idCol: String, vecCol: String,
+                                  cents: DataFrame, indexPath: String): Unit = {
+    import graft.sinks.SnapshotStore
+    val cur = SnapshotStore.manifest(spark, root, version).map(_.path)
+    val prev =
+      if (version <= 1 ||
+          !SnapshotStore.versions(spark, root).contains(version - 1))
+        Set.empty[String]
+      else SnapshotStore.manifest(spark, root, version - 1).map(_.path).toSet
+    val fresh = cur.filterNot(prev)
+      .map(p => new org.apache.hadoop.fs.Path(root, p).toString)
+    if (fresh.nonEmpty) {
+      val tagged = spark.read.parquet(fresh: _*)
+        .withColumn("__srcfile", input_file_name())
+      tagged.crossJoin(broadcast(cents))
+        .withColumn("__cell", element_at(rankedCells(col(vecCol), col("__cents")), 1))
+        .select(col("__cell"), col(idCol).as("neighbor_id"),
+          col(vecCol).as("__v"),
+          Vectors.int8Scale(col(vecCol)).as("neighbor_scale"), col("__srcfile"))
+        .select(col("__cell"), col("neighbor_id"), col("neighbor_scale"),
+          Vectors.int8Codes(col("__v"), col("neighbor_scale")).as("neighbor_codes"),
+          col("__srcfile").as("file"))
+        .write.mode("append").parquet(indexPath)
+    }
+  }
+
+  /** Probe an incrementally-maintained IVF index against the CURRENT
+    * snapshot: index rows are first restricted to files the current
+    * manifest still references (the [[TextIndex.searchWordInSnapshot]]
+    * liveness rule — rows indexed for files a later merge replaced are
+    * ignored, their content lives on in the replacement files indexed
+    * at that commit), then probed exactly like
+    * [[ivfTopKQuantizedCodes]]. The live-file intersection is a
+    * driver-side list bounded by the table's FILE count, not its row
+    * count. Results equal a from-scratch index build over the current
+    * snapshot with the same centroids — spec-pinned. */
+  def ivfProbeSnapshot(spark: SparkSession, root: String, indexPath: String,
+                       cents: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    import graft.sinks.SnapshotStore
+    val v = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val rel = SnapshotStore.manifest(spark, root, v).map(_.path)
+    val recorded = spark.read.parquet(indexPath)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val live = recorded.filter(f => rel.exists(f.endsWith))
+    val index =
+      if (live.isEmpty)
+        spark.read.parquet(indexPath).filter(lit(false))
+      else spark.read.parquet(indexPath)
+        .filter(col("file").isInCollection(live))
+    // Identical double-indexed rows (vacuumed-predecessor edge) — one
+    // survivor per (id, file); content is identical so any survivor
+    // is THE row.
+    ivfTopKQuantizedCodes(
+      index.dropDuplicates("neighbor_id", "file").drop("file"),
+      cents, queries, idCol, vecCol, k, nprobe)
   }
 }

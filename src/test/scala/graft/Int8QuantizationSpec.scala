@@ -146,6 +146,50 @@ class Int8QuantizationSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@5 $mean too low: $recalls")
   }
 
+  test("incrementally maintained IVF index probes equal a from-scratch rebuild") {
+    import graft.sinks.SnapshotStore
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val root = s"$dir/t"
+    val idxPath = s"$dir/ivf_index"
+    def rows(ids: Seq[Long], bump: Double = 0.0) = ids.map { i =>
+      (i, (0 until 8).map(j =>
+        (math.sin(i * 7 + j) + (if (j == (i % 8).toInt) 2.0 + bump else 0.0)).toFloat),
+        s"p${i % 3}")
+    }.toDF("id", "vec", "part")
+    // Commit 1 + centroids trained ONCE on the first ingest.
+    SnapshotStore.commit(spark, rows(0L until 20L), root, "part")
+    val cents = Similarity.ivfCentroids(
+      SnapshotStore.read(spark, root), "id", "vec", numCells = 4)
+    Similarity.appendIvfForSnapshotVersion(spark, root, 1L, "id", "vec", cents, idxPath)
+    val queries = Seq(1L, 5L, 13L).toDF("id")
+      .join(rows(0L until 40L), Seq("id")).select(col("id"), col("vec"))
+    def probeViaIndex() = Similarity.ivfProbeSnapshot(
+        spark, root, idxPath, cents, queries, "id", "vec", k = 4, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    def probeRebuilt() = Similarity.ivfTopKQuantizedCodes(
+        Similarity.ivfQuantizedIndex(SnapshotStore.read(spark, root), "id", "vec", cents),
+        cents, queries, "id", "vec", k = 4, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probeViaIndex() == probeRebuilt(), "after initial build")
+    // Commit 2: pure inserts into existing partitions (touched
+    // partitions rewrite — the old files must drop out of liveness).
+    SnapshotStore.mergeCommit(spark, rows(20L until 40L), root, "id", "id", "part")
+    Similarity.appendIvfForSnapshotVersion(spark, root, 2L, "id", "vec", cents, idxPath)
+    assert(probeViaIndex() == probeRebuilt(), "after insert commit")
+    // Commit 3: UPDATE some vectors in place — replaced files' stale
+    // index rows must be ignored, the rewritten files' rows used.
+    SnapshotStore.mergeCommit(spark, rows(Seq(1L, 5L, 9L), bump = 1.5),
+      root, "id", "id", "part")
+    Similarity.appendIvfForSnapshotVersion(spark, root, 3L, "id", "vec", cents, idxPath)
+    assert(probeViaIndex() == probeRebuilt(), "after update commit")
+    // The index holds rows from every commit, keyed by source file.
+    assert(spark.read.parquet(idxPath).select("file").distinct().count() >
+      SnapshotStore.manifest(spark, root, 3L).size / 2)
+  }
+
   test("ivfTopKQuantized pins the qdot-then-id tie-break") {
     // Two neighbors with IDENTICAL vectors → identical rescaled dots;
     // the lower id must rank first.
