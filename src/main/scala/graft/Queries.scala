@@ -5109,7 +5109,233 @@ object Queries {
       r AS (SELECT sku, qty, epoch_ns(ts) // 1000 AS us,
               row_number() OVER (PARTITION BY sku ORDER BY ts DESC) AS rn
             FROM u)
-      SELECT sku, qty, us FROM r WHERE rn = 1 ORDER BY sku"""))
+      SELECT sku, qty, us FROM r WHERE rn = 1 ORDER BY sku""")),
+
+    // Incrementally MAINTAINED quantized-IVF index
+    // (Similarity.appendIvfForSnapshotVersion / ivfProbeSnapshot — the
+    // q110 text-index maintenance pattern applied to E60): embeddings
+    // land in TWO snapshot commits (centroids trained once at first
+    // ingest, the faiss discipline), each commit assigns+quantizes
+    // ONLY its manifest-diff files; the probe intersects index rows
+    // with the live manifest and must rank exactly like q153's
+    // from-scratch pipeline (pinned in-query). The oracle recomputes
+    // assignment/quantization/integer dots from list primitives, with
+    // centroids = the FIRST-commit corpus's first 16 ids.
+    ("q160_ivf_incremental", (s: SparkSession, d: String) => {
+      import graft.operators.Similarity
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q160").toString
+      val root = s"$dir/t"
+      val idxPath = s"$dir/ivf_index"
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .withColumn("pt", pmod(col("vec_id"), lit(4)).cast("string"))
+      SnapshotStore.commit(s,
+        e.filter(pmod(col("vec_id"), lit(3)) =!= 0), root, "pt")
+      val cents = Similarity.ivfCentroids(
+        SnapshotStore.read(s, root), "vec_id", "embedding", numCells = 16)
+      Similarity.appendIvfForSnapshotVersion(
+        s, root, 1L, "vec_id", "embedding", cents, idxPath)
+      SnapshotStore.mergeCommit(s,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0), root,
+        "vec_id", "vec_id", "pt")
+      Similarity.appendIvfForSnapshotVersion(
+        s, root, 2L, "vec_id", "embedding", cents, idxPath)
+      val queries = SnapshotStore.read(s, root).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val viaIndex = Similarity.ivfProbeSnapshot(
+        s, root, idxPath, cents, queries, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      val rebuilt = Similarity.ivfTopKQuantizedCodes(
+        Similarity.ivfQuantizedIndex(
+          SnapshotStore.read(s, root), "vec_id", "embedding", cents),
+        cents, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      val a = viaIndex.select("query_id", "neighbor_id", "qdot", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      val b = rebuilt.select("query_id", "neighbor_id", "qdot", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      require(a == b, s"incremental probe diverged from rebuild: ${a.diff(b)} / ${b.diff(a)}")
+      viaIndex.select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ranked AS (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, cent.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+            DESC, cent.cid ASC) AS rk
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+      probes AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk <= 2 AND vec_id < 8),
+      cc AS (SELECT vec_id,
+        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+          / 127.0 AS scale,
+        embedding FROM embeddings),
+      codes AS (SELECT vec_id, scale,
+        CASE WHEN scale = 0
+          THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) END AS c
+        FROM cc),
+      p AS (SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(generate_series(1, len(n.c)),
+          i -> n.c[i] * q.c[i])) AS BIGINT) AS qdot,
+        q.scale AS qs, n.scale AS ns
+        FROM probes pr
+        JOIN assigned a ON a.cell = pr.cell AND a.vec_id <> pr.vec_id
+        JOIN codes q ON q.vec_id = pr.vec_id
+        JOIN codes n ON n.vec_id = a.vec_id)
+      SELECT query_id, neighbor_id, qdot,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY (CAST(qdot AS DOUBLE) * qs) * ns DESC, neighbor_id)
+          AS INT) AS rank
+      FROM p
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // End-to-end MEDIA CORPUS capstone — the round-8 codec/featurizer
+    // pieces composed the way a real multimodal ingest runs, in ONE
+    // declarative plan: mixed png/bmp/webp/mp3/mp4/corrupt corpus →
+    // header-only metadata per claimed modality → exact content dedup
+    // (png fixtures repeat bytes across id%20 groups) → pixel-feature
+    // near-dup clusters spanning CONTAINERS (png and bmp of one color
+    // are distinct bytes but identical rasters) → width/duration
+    // quality gate → atomic snapshot commit, read back. The oracle
+    // derives every stage — formats, dims, durations, dedup winners,
+    // cluster representatives, gate outcomes — from id arithmetic
+    // alone; no hash or wall-clock reaches the output.
+    ("q161_media_capstone", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, Similarity}
+      import graft.sinks.SnapshotStore
+      val palette = Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF)
+      val media = t(s, d, "documents").filter(col("doc_id") < 90)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val content: Array[Byte] =
+            if (id % 9 == 7) s"corrupt_$id".getBytes("UTF-8")
+            else (id % 5) match {
+              case 0 => Multimodal.ImageCodec.encode(
+                (8 + id % 20).toInt, 12, palette(((id % 20) / 5).toInt), "png")
+              case 1 => Multimodal.ImageCodec.encode(
+                (8 + id).toInt, 10, palette((id % 4).toInt), "bmp")
+              case 2 => Multimodal.ImageCodec.encodeWebP(
+                (16 + id).toInt, (16 + (id * 13) % 200).toInt)
+              case 3 =>
+                val rate = (id % 3) match {
+                  case 0 => 44100; case 1 => 48000; case _ => 32000
+                }
+                Multimodal.Mp3Codec.encode(rate, (1 + id % 2).toInt,
+                  (20 + (id * 11) % 40).toInt,
+                  id3Payload = if (id % 3 == 0) 64 else 0)
+              case _ =>
+                val ts = (600 + (id % 4) * 300).toInt
+                val dur = 1000L + (id * 97) % 5000
+                if (id % 4 == 1) Multimodal.Mp4Codec.encode(ts, dur, 0, 0)
+                else Multimodal.Mp4Codec.encode(ts, dur,
+                  (320 + (id % 8) * 16).toInt, (180 + (id % 6) * 30).toInt)
+            }
+          val mtype = (id % 5) match {
+            case 0 | 1 | 2 => "image"; case 3 => "audio"; case _ => "video"
+          }
+          (id, mtype, content)
+        }).toDF("media_id", "media_type", "content")
+      // Stage 1: header-only metadata, one decoder per claimed
+      // modality (corrupt rows claim a type and fail decode → null fmt).
+      val img = Multimodal.decodeImageMeta(
+          media.filter(col("media_type") === "image")).toDF()
+        .select(col("media_id"), col("format").as("fmt"),
+          col("width"), col("height"),
+          lit(null).cast("bigint").as("duration_ms"))
+      val aud = Multimodal.decodeMp3Meta(
+          media.filter(col("media_type") === "audio")).toDF()
+        .select(col("media_id"),
+          when(col("version").isNotNull, lit("mp3")).as("fmt"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("duration_ms"))
+      val vid = Multimodal.decodeMp4Meta(
+          media.filter(col("media_type") === "video")).toDF()
+        .select(col("media_id"),
+          when(col("brand").isNotNull, lit("mp4")).as("fmt"),
+          col("width"), col("height"), col("duration_ms"))
+      val meta = img.unionByName(aud).unionByName(vid)
+      // Stage 2: exact content dedup over decodable rows.
+      val withSha = media.join(meta, Seq("media_id"))
+        .filter(col("fmt").isNotNull)
+        .withColumn("sha", Multimodal.contentHash(col("content")))
+      val keep = withSha.groupBy(col("sha")).agg(min(col("media_id")).as("keep_id"))
+      val survivors = withSha.join(keep, Seq("sha"))
+        .filter(col("media_id") === col("keep_id"))
+      // Stage 3: near-dup clusters over rasterizable survivors —
+      // cliques, so each row's representative is its smallest paired
+      // neighbor (or itself for the clique minimum).
+      val feats = Multimodal.extractFeatures(
+          survivors.select(col("media_id"), col("content"))).toDF()
+        .filter(col("embedding").isNotNull)
+      val pairs = Similarity.nearDupPairs(
+        feats, "media_id", "embedding", threshold = 0.999)
+      val reps = feats.select(col("media_id").as("rep_of"))
+        .join(pairs.groupBy(col("id_b")).agg(min(col("id_a")).as("min_a")),
+          col("rep_of") === col("id_b"), "left")
+        .select(col("rep_of"), coalesce(col("min_a"), col("rep_of")).as("near_rep"))
+      // Stage 4: quality gate (min width for images, positive duration
+      // for time media), then Stage 5: one atomic snapshot commit.
+      val gated = survivors
+        .join(reps, survivors("media_id") === reps("rep_of"), "left")
+        .filter((col("width").isNull || col("width") >= 10) &&
+          (col("duration_ms").isNull || col("duration_ms") > 0))
+        .select(col("media_id"), col("media_type"), col("fmt"),
+          col("width"), col("height"), col("duration_ms"), col("near_rep"))
+      val root = java.nio.file.Files.createTempDirectory("graft_q161_store")
+        .resolve("t").toString
+      SnapshotStore.commit(s, gated, root, "media_type")
+      SnapshotStore.read(s, root)
+        .select(col("media_id"), col("fmt"), col("width"), col("height"),
+          col("duration_ms"), col("near_rep"))
+        .orderBy(col("media_id"))
+    }, Some("""
+      WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 90),
+      surv AS (
+        SELECT id FROM ids
+        WHERE id % 9 <> 7 AND (id % 5 <> 0 OR id < 20)),
+      feat AS (
+        SELECT id,
+          CASE WHEN id % 5 = 0 THEN (id % 20) // 5 ELSE id % 4 END AS cls
+        FROM surv WHERE id % 5 IN (0, 1)),
+      final AS (
+        SELECT s.id,
+          CASE s.id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'webp' WHEN 3 THEN 'mp3' ELSE 'mp4' END AS fmt,
+          CASE WHEN s.id % 5 = 0 THEN 8 + s.id % 20
+               WHEN s.id % 5 = 1 THEN 8 + s.id
+               WHEN s.id % 5 = 2 THEN 16 + s.id
+               WHEN s.id % 5 = 4 AND s.id % 4 <> 1 THEN 320 + (s.id % 8) * 16
+               ELSE NULL END AS width,
+          CASE WHEN s.id % 5 = 0 THEN 12
+               WHEN s.id % 5 = 1 THEN 10
+               WHEN s.id % 5 = 2 THEN 16 + (s.id * 13) % 200
+               WHEN s.id % 5 = 4 AND s.id % 4 <> 1 THEN 180 + (s.id % 6) * 30
+               ELSE NULL END AS height,
+          CASE WHEN s.id % 5 = 3 THEN
+                 (20 + (s.id * 11) % 40) * 1152 * 1000 //
+                   (CASE s.id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                     ELSE 32000 END)
+               WHEN s.id % 5 = 4 THEN
+                 (1000 + (s.id * 97) % 5000) * 1000 // (600 + (s.id % 4) * 300)
+               ELSE NULL END AS duration_ms,
+          (SELECT min(f2.id) FROM feat f2
+            WHERE f2.cls = (SELECT f1.cls FROM feat f1 WHERE f1.id = s.id)
+          ) AS near_rep
+        FROM surv s)
+      SELECT id AS media_id, fmt, CAST(width AS INT) AS width,
+        CAST(height AS INT) AS height, CAST(duration_ms AS BIGINT) AS duration_ms,
+        CAST(near_rep AS BIGINT) AS near_rep
+      FROM final
+      WHERE (width IS NULL OR width >= 10)
+      ORDER BY media_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
