@@ -164,6 +164,18 @@ object SnapshotStore {
   private def manifestCommitter(spark: SparkSession, root: String, version: Long): Option[String] =
     manifestHeader(spark, root, version, "committer")
 
+  /** Every value of a repeatable header (`#copied`) in a version's
+    * manifest — unlike [[manifestHeader]], which stops at the first. */
+  private def manifestHeaderAll(spark: SparkSession, root: String, version: Long,
+                                name: String): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    val prefix = s"#$name\t"
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .collect { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }.toList
+    finally in.close()
+  }
+
   /** The operation tag a version's committer recorded (`commit`,
     * `merge`, `delete`, `compact`, `zorder`, `restore`). None for
     * manifests written before operation tagging existed — [[history]]
@@ -214,10 +226,39 @@ object SnapshotStore {
     }
   }
 
+  /** CHECK constraints recorded in a version's manifest
+    * (`#constraint\tname\turl-encoded-expr` headers) — table metadata
+    * in the log, the Delta constraint convention. */
+  def tableConstraints(spark: SparkSession, root: String,
+                       version: Long): Seq[(String, String)] =
+    manifestHeaderAll(spark, root, version, "constraint").map { l =>
+      val Array(n, e) = l.split("\t", 2)
+      (n, URLDecoder.decode(e, UTF_8))
+    }
+
+  /** Enforce the table's CHECK constraints against a batch about to be
+    * written: a row violates when the expression is FALSE — NULL
+    * passes (SQL CHECK semantics). One pushdown-friendly limit-1 probe
+    * per constraint, free when the table has none. Layout-only
+    * rewrites (compact/zorder) skip this — content is unchanged by
+    * invariant, and re-proving it would double their read. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 df: DataFrame): Unit = {
+    val cs = currentVersion(spark, root)
+      .map(v => tableConstraints(spark, root, v)).getOrElse(Nil)
+    cs.foreach { case (name, e) =>
+      val bad = df.filter(!coalesce(expr(e), lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"CHECK constraint $name ($e) violated by row: ${bad.head}")
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
                             operation: String = "",
-                            partitionCol: String = ""): Boolean = {
+                            partitionCol: String = "",
+                            extraHeaders: Seq[String] = Nil,
+                            constraints: Option[Seq[(String, String)]] = None): Boolean = {
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
@@ -236,13 +277,25 @@ object SnapshotStore {
       else None
       prev.map(p => math.max(now, p + 1)).getOrElse(now)
     }
+    // Constraints carry forward automatically (they are table
+    // metadata, like #partcol) unless the caller REPLACES the set
+    // (ALTER ADD/DROP CONSTRAINT). A missing predecessor (first
+    // commit, vacuumed) carries nothing.
+    val effectiveConstraints = constraints.getOrElse(
+      if (version > 1)
+        try tableConstraints(spark, root, version - 1)
+        catch { case _: java.io.IOException => Nil }
+      else Nil)
     val headers = s"#committer\t$token" +:
       (Seq(s"#ts\t$ts") ++
         (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
         // Table metadata in the log (the Delta convention): the
         // partition column name, so table-level maintenance (SQL
         // OPTIMIZE) needs no out-of-band knowledge.
-        (if (partitionCol.nonEmpty) Seq(s"#partcol\t$partitionCol") else Nil))
+        (if (partitionCol.nonEmpty) Seq(s"#partcol\t$partitionCol") else Nil) ++
+        effectiveConstraints.map { case (n, e) =>
+          s"#constraint\t$n\t${URLEncoder.encode(e, UTF_8)}" } ++
+        extraHeaders)
     try out.write((headers ++ entries.map(e =>
       s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}")).mkString("\n").getBytes(UTF_8))
     finally out.close()
@@ -680,6 +733,7 @@ object SnapshotStore {
     * the committed version. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
              partitionCol: String, maxAttempts: Int = 5): Long = {
+    enforceConstraints(spark, root, df)
     var attempt = 0
     while (attempt < maxAttempts) {
       // Always target EXACTLY current+1 (re-read per attempt). Skipping
@@ -714,6 +768,111 @@ object SnapshotStore {
       writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
       Some(1L)
     } else None
+  }
+
+  /** Append `df`'s rows as a new snapshot version WITHOUT keyed
+    * semantics: every existing file is carried by reference, the new
+    * rows land as new files in their partitions. The unkeyed
+    * counterpart of [[mergeCommit]] — fact/event tables where rows are
+    * immutable observations, and the commit primitive behind
+    * [[copyInto]]. Cost ∝ the appended batch at any table size (zero
+    * existing data is read or rewritten). `extraHeaders` lines are
+    * published atomically with the manifest (COPY INTO's loaded-file
+    * ledger rides here — a sidecar written after the rename could tear
+    * away from its commit and break idempotence). */
+  def appendCommit(spark: SparkSession, df: DataFrame, root: String,
+                   partitionCol: String, maxAttempts: Int = 10,
+                   operation: String = "append",
+                   extraHeaders: Seq[String] = Nil): Long = {
+    enforceConstraints(spark, root, df)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val (kept, v) = currentVersion(spark, root) match {
+        case None => (Seq.empty[ManifestEntry], 1L)
+        case Some(cur) => (manifest(spark, root, cur), cur + 1)
+      }
+      val newEntries = writeDataFiles(spark, df, root, v, partitionCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries, operation,
+          partitionCol, extraHeaders)) {
+        writeStats(spark, root, v, kept, newEntries, Some(df.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the append-commit race $maxAttempts times under $root")
+  }
+
+  /** Source files already loaded into the table by [[copyInto]]: the
+    * union of every version's `#copied` manifest headers. Header lines
+    * are URL-encoded paths, atomic with their commit — so a file
+    * appears here if and only if its rows are in the table, which is
+    * the idempotence invariant (a crash between data write and
+    * manifest publish leaves the file unlisted AND its rows
+    * unpublished; the retry re-copies and the orphan files are
+    * vacuum-collected). */
+  def copiedFiles(spark: SparkSession, root: String): Set[String] =
+    versions(spark, root).flatMap(v =>
+      manifestHeaderAll(spark, root, v, "copied")
+        .map(URLDecoder.decode(_, UTF_8))).toSet
+
+  /** `COPY INTO` — idempotent bulk file ingest (the Delta/Databricks
+    * statement): list the data files under `source`, skip every file a
+    * previous COPY already loaded (the `#copied` ledger), read only
+    * the new ones, and append their rows as one atomic commit that
+    * also records those file names. Re-running after new files arrive
+    * loads exactly the delta; re-running with nothing new is a no-op
+    * — the retryable-ingest contract pipelines want when a scheduler
+    * may fire twice.
+    *
+    * Files are identified by qualified path; an upstream that
+    * REWRITES a file in place under the same name is out of contract
+    * (same as Delta's COPY INTO without FORCE). Listing is a driver
+    * metadata walk bounded by the source directory; the read/append
+    * is fully distributed. Returns (version, filesLoaded) — version
+    * is the unchanged current version when no new files exist. */
+  def copyInto(spark: SparkSession, root: String, source: String,
+               format: String = "parquet",
+               partitionCol: Option[String] = None): (Long, Int) = {
+    val f = fs(spark, root)
+    val src = new Path(source)
+    require(f.exists(src), s"COPY INTO source $source does not exist")
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath)
+      }
+    val listed = walk(src).map(f.makeQualified(_).toString).sorted
+    // Retry loop with the ledger RE-READ per attempt: a concurrent
+    // COPY of the same source must not double-load — the loser of the
+    // manifest race re-lists and skips whatever the winner recorded.
+    // (A blind appendCommit retry would replay the stale file list.)
+    var attempt = 0
+    while (attempt < 10) {
+      val cur = currentVersion(spark, root)
+      val already = if (cur.isDefined) copiedFiles(spark, root)
+        else Set.empty[String]
+      val fresh = listed.filterNot(already)
+      if (fresh.isEmpty) return (cur.getOrElse(
+        throw new IllegalStateException(
+          s"COPY INTO found no data files under $source and no existing " +
+            s"table under $root")), 0)
+      val partCol = cur.flatMap(v => partitionColumn(spark, root, v))
+        .orElse(partitionCol).getOrElse(throw new IllegalStateException(
+          s"COPY INTO a new table needs an explicit partition column " +
+            s"(no existing manifest under $root records one)"))
+      val df = spark.read.format(format).load(fresh: _*)
+      require(df.columns.contains(partCol),
+        s"COPY INTO source files lack the table's partition column '$partCol'")
+      val headers = fresh.map(p => s"#copied\t${URLEncoder.encode(p, UTF_8)}")
+      try return (appendCommit(spark, df, root, partCol, maxAttempts = 1,
+        operation = "copy", extraHeaders = headers), fresh.size)
+      catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the copy-into race 10 times under $root")
   }
 
   /** K1 keyed merge as an atomic snapshot commit: last writer wins per
@@ -768,6 +927,7 @@ object SnapshotStore {
       .select(when(norm.isNull || norm === "",
         lit("__HIVE_DEFAULT_PARTITION__")).otherwise(norm))
       .distinct().collect().map(_.getString(0)).toSet
+    enforceConstraints(spark, root, incoming)
     var attempt = 0
     while (attempt < maxAttempts) {
       val (kept, merged, v) = currentVersion(spark, root) match {
@@ -895,6 +1055,192 @@ object SnapshotStore {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the delete-commit race $maxAttempts times under $root")
+  }
+
+  /** `DELETE FROM t WHERE p` as an atomic snapshot commit (Delta's
+    * predicate DELETE, the SQL spelling of K4's retention delete):
+    * rows where `predicate` is TRUE are removed; FALSE and NULL rows
+    * survive (SQL three-valued semantics). Only partitions that
+    * actually contain a matching row are rewritten — found by a probe
+    * through the file-skipping index ([[table]]), so a predicate over
+    * an indexed column opens only candidate files, and the rewrite is
+    * bounded by the matching partitions, not the table. A predicate
+    * matching nothing returns the current version unchanged (no empty
+    * commit). The table's partition column resolves from the
+    * `#partcol` manifest header. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: String,
+                  maxAttempts: Int = 10): Long = {
+    val hit = coalesce(expr(predicate), lit(false))
+    val norm: Column => Column = c =>
+      when(c.isNull || c.cast("string") === "",
+        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCol = partitionColumn(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$cur under $root predates partition-column metadata; " +
+            "re-commit once through any SnapshotStore write path first"))
+      val entries = manifest(spark, root, cur)
+      val touched: Set[String] = table(spark, root, Some(cur))
+        .filter(hit).select(norm(col(partCol))).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (replaced, kept) = entries.partition(e => touched(e.partition))
+      if (replaced.isEmpty) return cur
+      val remaining = readEntries(spark, root, replaced).filter(!hit)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, remaining, root, v, partCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "delete", partCol)) {
+        writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the delete-where race $maxAttempts times under $root")
+  }
+
+  /** `UPDATE t SET c = e, … [WHERE p]` as an atomic snapshot commit
+    * (Delta's UPDATE): in every row where `predicate` is TRUE (all
+    * rows when None), each assigned column is replaced by its
+    * expression evaluated against the OLD row — all assignments see
+    * pre-update values, standard SQL UPDATE semantics — and cast back
+    * to the column's existing type, so the schema never drifts.
+    * Assignments must target existing columns (UPDATE cannot add
+    * columns; that is merge-side schema evolution's job).
+    *
+    * Same partition-bounded rewrite shape as [[deleteWhere]]: the
+    * probe finds partitions holding a matching row, only those
+    * rewrite, the rest carry by reference. Updating the PARTITION
+    * column is allowed — rewritten rows land in their new partitions
+    * (files group by value at write) — and updating a key column is
+    * the caller's contract to keep unique, exactly as in Delta. */
+  def updateWhere(spark: SparkSession, root: String,
+                  assignments: Seq[(String, String)],
+                  predicate: Option[String],
+                  maxAttempts: Int = 10): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"UPDATE assigns a column twice: ${assignments.map(_._1).mkString(", ")}")
+    val hit = coalesce(predicate.map(expr).getOrElse(lit(true)), lit(false))
+    val norm: Column => Column = c =>
+      when(c.isNull || c.cast("string") === "",
+        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCol = partitionColumn(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$cur under $root predates partition-column metadata; " +
+            "re-commit once through any SnapshotStore write path first"))
+      val entries = manifest(spark, root, cur)
+      val touched: Set[String] = table(spark, root, Some(cur))
+        .filter(hit).select(norm(col(partCol))).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (replaced, kept) = entries.partition(e => touched(e.partition))
+      if (replaced.isEmpty) return cur
+      // Align the replaced files to the RECORDED table schema: after a
+      // schema evolution, a matched partition's files may predate an
+      // evolved column — UPDATE must still be able to SET it (it reads
+      // as typed nulls, exactly like any scan).
+      val raw = readEntries(spark, root, replaced)
+      val current = schemaFor(spark, root, cur) match {
+        case Some(sc) =>
+          val have = raw.columns.toSet
+          val widened = sc.fields.filterNot(f => have(f.name))
+            .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+          widened.select(widened.columns.toSeq.map(col): _*)
+        case None => raw
+      }
+      val types = current.schema.map(f => f.name -> f.dataType).toMap
+      assignments.foreach { case (c, _) => require(types.contains(c),
+        s"UPDATE SET targets unknown column '$c' " +
+          s"(columns: ${current.columns.mkString(", ")})") }
+      val assign = assignments.toMap
+      val updated = current.select(current.columns.toSeq.map { c =>
+        assign.get(c) match {
+          case Some(e) =>
+            when(hit, expr(e).cast(types(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      enforceConstraints(spark, root, updated)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, updated, root, v, partCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "update", partCol)) {
+        writeStats(spark, root, v, kept, newEntries, Some(updated.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the update-where race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` (Delta's CHECK
+    * constraint): validate the CURRENT data satisfies the expression
+    * (one pushdown/skipping-friendly limit-1 probe — rows where it is
+    * FALSE violate; NULL passes, SQL CHECK semantics), then publish a
+    * metadata-only commit whose manifest records the constraint. From
+    * then on EVERY write path (commit / merge / append / update /
+    * writer / COPY INTO) probes its batch and fails loudly before
+    * writing a violating row; layout-only rewrites skip the re-proof.
+    * Returns the committed version. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    checkExpr: String, maxAttempts: Int = 5): Long = {
+    require(name.matches("[A-Za-z_][\\w$]*"),
+      s"constraint name must be an identifier, got '$name'")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableConstraints(spark, root, cur)
+      require(!existing.exists(_._1 == name),
+        s"constraint '$name' already exists on $root")
+      val bad = table(spark, root, Some(cur))
+        .filter(!coalesce(expr(checkExpr), lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"cannot add CHECK constraint $name ($checkExpr): existing row " +
+          s"violates it: ${bad.head}")
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "constraint",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          constraints = Some(existing :+ (name -> checkExpr)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the add-constraint race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT name`: metadata-only commit
+    * removing the named CHECK constraint. Unknown names fail loudly
+    * (silently "dropping" nothing would mask a typo forever). */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableConstraints(spark, root, cur)
+      require(existing.exists(_._1 == name),
+        s"no constraint named '$name' on $root " +
+          s"(existing: ${existing.map(_._1).mkString(", ")})")
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "constraint",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          constraints = Some(existing.filterNot(_._1 == name)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the drop-constraint race $maxAttempts times under $root")
   }
 
   /** Partitions whose manifest file sets differ between two versions.
@@ -1142,7 +1488,10 @@ object SnapshotStore {
         partitionColumn(spark, srcRoot, v)
           .orElse(currentVersion(spark, srcRoot)
             .flatMap(partitionColumn(spark, srcRoot, _)))
-          .getOrElse("")))
+          .getOrElse(""),
+        constraints = Some(
+          try tableConstraints(spark, srcRoot, v)
+          catch { case _: java.io.IOException => Nil })))
       throw new java.util.ConcurrentModificationException(
         s"lost the clone race publishing v1 under $dstRoot")
     writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))

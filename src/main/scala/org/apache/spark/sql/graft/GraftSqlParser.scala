@@ -65,6 +65,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         delegate.parseMultipartIdentifier(table),
         Option(srcIdent), Option(srcQuery),
         mergeKey(cond, table, Option(tAlias), Option(srcIdent), Option(sAlias)))
+    case DeletePattern(table, where) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      DeleteFromSnapshotCommand(
+        delegate.parseMultipartIdentifier(table), Option(where))
+    case UpdatePattern(table, setList, where) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      UpdateSnapshotCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.assignments(setList), Option(where))
+    case CopyIntoPattern(table, source, format) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      CopyIntoSnapshotCommand(delegate.parseMultipartIdentifier(table),
+        source, format.toLowerCase)
+    case AddConstraintPattern(table, name, check) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      AddConstraintCommand(delegate.parseMultipartIdentifier(table),
+        name, check.trim)
+    case DropConstraintPattern(table, name) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      DropConstraintCommand(delegate.parseMultipartIdentifier(table), name)
     case MergeLoosePattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       // A MERGE aimed at a graft catalog but not in the supported
@@ -133,6 +152,26 @@ object GraftSqlParser {
       "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*\\z").r
   private val MergeLoosePattern =
     s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
+  // DML on snapshot tables (Delta's DELETE/UPDATE/COPY INTO). Gated on
+  // the graft catalog name at the call site — DELETE/UPDATE against
+  // any other table must flow to the session parser untouched. The
+  // UPDATE's lazy SET group splits at the first top-level WHERE; a
+  // quoted string containing " where " inside a SET expression is out
+  // of the supported shape (same regex-surface contract as MERGE).
+  private val DeletePattern =
+    s"(?is)\\A\\s*DELETE\\s+FROM\\s+$ident(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
+  private val UpdatePattern =
+    s"(?is)\\A\\s*UPDATE\\s+$ident\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
+  private val CopyIntoPattern =
+    (s"(?is)\\A\\s*COPY\\s+INTO\\s+$ident\\s+FROM\\s+'([^']+)'" +
+      "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)\\s*;?\\s*\\z").r
+  // CHECK constraints (Delta's ALTER TABLE … ADD/DROP CONSTRAINT).
+  private val AddConstraintPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+CONSTRAINT\\s+" +
+      "([A-Za-z_][\\w$]*)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*\\z").r
+  private val DropConstraintPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+CONSTRAINT\\s+" +
+      "([A-Za-z_][\\w$]*)\\s*;?\\s*\\z").r
 
   /** Is `name` configured as a graft snapshot catalog in the ACTIVE
     * session? Parse-time gate for the loose MERGE rejection: other
@@ -172,6 +211,68 @@ object GraftSqlParser {
       case _ => throw new IllegalArgumentException(
         "graft MERGE supports a single same-named equality key: " +
           s"ON t.<key> = s.<key> — got: ${cond.trim}")
+    }
+  }
+
+  /** Parse an UPDATE's SET list into (column, expression) pairs:
+    * top-level commas separate assignments (commas inside parens,
+    * single-quoted strings, or backticks don't — `SET a = f(x, y)` is
+    * one assignment), and each splits at its first top-level `=`. */
+  def assignments(raw: String): Seq[(String, String)] = {
+    def splitTop(s: String, sep: Char): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0; var inStr = false; var inTick = false; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { cur += c; if (c == '\'') inStr = false }
+        else if (inTick) { cur += c; if (c == '`') inTick = false }
+        else c match {
+          case '\'' => inStr = true; cur += c
+          case '`' => inTick = true; cur += c
+          case '(' => depth += 1; cur += c
+          case ')' => depth -= 1; cur += c
+          case x if x == sep && depth == 0 =>
+            out += cur.toString; cur.clear()
+          case x => cur += x
+        }
+        i += 1
+      }
+      out += cur.toString
+      out.result()
+    }
+    splitTop(raw, ',').map { a =>
+      val eq = {
+        // First top-level '=' not part of <=, >=, !=, <>, ==.
+        var depth = 0; var inStr = false; var inTick = false
+        var found = -1; var i = 0
+        while (i < a.length && found < 0) {
+          val c = a.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else if (inTick) { if (c == '`') inTick = false }
+          else c match {
+            case '\'' => inStr = true
+            case '`' => inTick = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case '=' if depth == 0 &&
+                (i == 0 || !"<>!=".contains(a.charAt(i - 1))) &&
+                (i + 1 >= a.length || a.charAt(i + 1) != '=') => found = i
+            case _ =>
+          }
+          i += 1
+        }
+        found
+      }
+      require(eq > 0, s"malformed UPDATE assignment (no '='): ${a.trim}")
+      val colName = a.substring(0, eq).trim
+      val exprText = a.substring(eq + 1).trim
+      require(colName.matches(s"\\A$part\\z"),
+        s"UPDATE SET target must be a single column name, got: $colName")
+      require(exprText.nonEmpty, s"empty expression in assignment: ${a.trim}")
+      val stripped = if (colName.startsWith("`"))
+        colName.stripPrefix("`").stripSuffix("`") else colName
+      (stripped, exprText)
     }
   }
 
@@ -360,6 +461,102 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     val v = SnapshotStore.mergeCommitOrdered(
       spark, src, root, keyCol, Seq.empty, partCol)
     Seq(Row(root, v))
+  }
+}
+
+/** `DELETE FROM t [WHERE p]` on a snapshot table — the SQL spelling
+  * of the predicate delete (K4 retention delete,
+  * mongodb_loader.py:218-231's `delete_many`), routed to
+  * [[SnapshotStore.deleteWhere]]: partition-bounded rewrite through
+  * the file-skipping probe, TRUE rows removed, FALSE/NULL rows kept.
+  * No WHERE deletes every row (the table stays readable as a valid
+  * empty snapshot). Returns one row (path, version). */
+case class DeleteFromSnapshotCommand(table: Seq[String], where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val v = SnapshotStore.deleteWhere(spark, root, where.getOrElse("true"))
+    Seq(Row(root, v))
+  }
+}
+
+/** `UPDATE t SET c = e, … [WHERE p]` on a snapshot table, routed to
+  * [[SnapshotStore.updateWhere]]: assignments evaluate against the
+  * old row (standard UPDATE), cast back to each column's existing
+  * type, partition-bounded rewrite. Returns one row (path, version). */
+case class UpdateSnapshotCommand(table: Seq[String],
+                                 assignments: Seq[(String, String)],
+                                 where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val v = SnapshotStore.updateWhere(spark, root, assignments, where)
+    Seq(Row(root, v))
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET` — idempotent bulk
+  * file ingest ([[SnapshotStore.copyInto]]): only files never loaded
+  * before are read and appended, atomically with the ledger recording
+  * them, so a re-fired scheduler job is a no-op. Returns one row
+  * (path, version, files_loaded). */
+case class CopyIntoSnapshotCommand(table: Seq[String], source: String,
+                                   format: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val (v, n) = SnapshotStore.copyInto(spark, root, source, format)
+    Seq(Row(root, v, n.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — Delta's CHECK
+  * constraint: existing data is validated first (a violating row
+  * fails the statement), then a metadata-only commit records the
+  * constraint; every subsequent write probes its batch against it.
+  * Returns one row (path, version). */
+case class AddConstraintCommand(table: Seq[String], name: String,
+                                check: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.addConstraint(spark, root, name, check)))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` — metadata-only removal; an
+  * unknown name fails loudly. Returns one row (path, version). */
+case class DropConstraintCommand(table: Seq[String], name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.dropConstraint(spark, root, name)))
   }
 }
 

@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotStore
+
+/** DML completeness on snapshot tables: DELETE FROM / UPDATE / COPY
+  * INTO — the statements Delta users type beyond MERGE — routed
+  * through GraftSqlParser to SnapshotStore.deleteWhere / updateWhere /
+  * copyInto. */
+class DmlSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("dmlsql").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "qty")
+
+  private def bindCatalog(name: String): Unit =
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sinks.GraftCatalog].getName)
+
+  test("DELETE FROM WHERE removes TRUE rows, keeps FALSE and NULL rows") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml1")
+    // qty null for p3: predicate `qty > 10` is NULL there → row kept.
+    Seq(("p1", "a", Some(20)), ("p2", "a", Some(5)), ("p3", "b", None))
+      .toDF("product_id", "supplier", "qty")
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    val out = spark.sql(s"DELETE FROM graft_dml1.`$root` WHERE qty > 10")
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L))
+    val left = SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet
+    assert(left == Set("p2", "p3"))
+  }
+
+  test("DELETE rewrites only partitions holding a match; others carry by reference") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml2")
+    table(("p1", "a", 1), ("p2", "b", 2), ("p3", "c", 3))
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    val before = SnapshotStore.manifest(spark, root, 1L)
+      .filter(e => e.partition == "b" || e.partition == "c").toSet
+    spark.sql(s"DELETE FROM graft_dml2.`$root` WHERE product_id = 'p1'")
+    val after = SnapshotStore.manifest(spark, root, 2L)
+    // Partition a vanished (all rows deleted); b and c kept the exact
+    // same file paths — zero data movement outside the match.
+    assert(!after.exists(_.partition == "a"))
+    assert(after.filter(e => e.partition == "b" || e.partition == "c").toSet
+      == before)
+  }
+
+  test("DELETE matching nothing is a version no-op; no WHERE empties the table") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml3")
+    table(("p1", "a", 1), ("p2", "b", 2))
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    val noop = spark.sql(
+      s"DELETE FROM graft_dml3.`$root` WHERE product_id = 'zzz'").collect()
+    assert(noop.head.getLong(1) == 1L)
+    val all = spark.sql(s"DELETE FROM graft_dml3.`$root`").collect()
+    assert(all.head.getLong(1) == 2L)
+    val readBack = SnapshotStore.read(spark, root)
+    assert(readBack.count() == 0)
+    // Schema survives the full delete (stats-sidecar contract).
+    assert(readBack.columns.toSet == Set("product_id", "supplier", "qty"))
+  }
+
+  test("UPDATE assignments all see the OLD row (swap is a swap, not a copy)") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml4")
+    Seq(("p1", "a", 1, 100), ("p2", "a", 2, 200))
+      .toDF("product_id", "supplier", "qty", "price")
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    spark.sql(s"UPDATE graft_dml4.`$root` SET qty = price, price = qty " +
+      "WHERE product_id = 'p1'")
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "qty", "price").as[(String, Int, Int)]
+      .collect().toSet
+    assert(got == Set(("p1", 100, 1), ("p2", 2, 200)))
+  }
+
+  test("UPDATE casts back to the column's type and leaves non-matching rows bit-stable") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml5")
+    table(("p1", "a", 10), ("p2", "b", 20))
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    // 1.5 * qty is a double; the column stays Int (truncating cast).
+    spark.sql(s"UPDATE graft_dml5.`$root` SET qty = qty * 1.5 " +
+      "WHERE supplier = 'a'")
+    val df = SnapshotStore.read(spark, root)
+    assert(df.schema("qty").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.select("product_id", "qty").as[(String, Int)].collect().toSet
+      == Set(("p1", 15), ("p2", 20)))
+    // Partition b never matched → carried by reference.
+    assert(SnapshotStore.manifest(spark, root, 2L)
+      .filter(_.partition == "b").toSet ==
+      SnapshotStore.manifest(spark, root, 1L)
+        .filter(_.partition == "b").toSet)
+  }
+
+  test("UPDATE may move rows across partitions (SET on the partition column)") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml6")
+    table(("p1", "a", 1), ("p2", "a", 2), ("p3", "b", 3))
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    spark.sql(s"UPDATE graft_dml6.`$root` SET supplier = 'b' " +
+      "WHERE product_id = 'p1'")
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "supplier").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "b"), ("p2", "a"), ("p3", "b")))
+    // The moved row's file lives under partition b in the manifest.
+    val m = SnapshotStore.manifest(spark, root, 2L)
+    assert(m.count(_.partition == "b") >= 2) // carried b file + new file
+  }
+
+  test("UPDATE rejects unknown columns and double assignment loudly") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml7")
+    table(("p1", "a", 1)).write.format("graft-snapshot")
+      .option("partitionCol", "supplier").save(root)
+    val e1 = intercept[IllegalArgumentException](
+      spark.sql(s"UPDATE graft_dml7.`$root` SET nope = 1"))
+    assert(e1.getMessage.contains("unknown column 'nope'"))
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(s"UPDATE graft_dml7.`$root` SET qty = 1, qty = 2"))
+    assert(e2.getMessage.contains("assigns a column twice"))
+  }
+
+  test("SET-list splitting respects parens and quoted strings") {
+    val got = org.apache.spark.sql.graft.GraftSqlParser.assignments(
+      "a = concat(x, ',', y), `b c` = 'w = 3' , d = (e >= 2)")
+    assert(got == Seq(("a", "concat(x, ',', y)"), ("b c", "'w = 3'"),
+      ("d", "(e >= 2)")))
+  }
+
+  test("DELETE/UPDATE on non-graft tables flow to the session parser untouched") {
+    // No graft catalog named `spark_catalog` → our patterns must not
+    // intercept; Spark's own analyzer reports the missing table.
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM spark_catalog.default.no_such_tbl WHERE x = 1"))
+    assert(e.getMessage.contains("no_such_tbl") ||
+      e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    val e2 = intercept[Exception](
+      spark.sql("UPDATE spark_catalog.default.no_such_tbl SET x = 1"))
+    assert(e2.getMessage.contains("no_such_tbl") ||
+      e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+
+  test("COPY INTO loads each source file exactly once across re-runs") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val srcDir = s"$dir/incoming"
+    bindCatalog("graft_dml8")
+    // Two arrival waves of parquet files.
+    table(("p1", "a", 1), ("p2", "b", 2)).repartition(1)
+      .write.parquet(s"$srcDir/batch1")
+    table(("p3", "a", 3)).repartition(1).write.parquet(s"$srcDir/batch2")
+    // First COPY needs a table: create via the Scala API with partCol.
+    val (v1, n1) = SnapshotStore.copyInto(spark, root, srcDir,
+      partitionCol = Some("supplier"))
+    assert(v1 == 1L && n1 == 2) // one data file per batch dir
+    assert(SnapshotStore.read(spark, root).count() == 3)
+    // Re-run with nothing new: version unchanged, zero files.
+    val rerun = spark.sql(
+      s"COPY INTO graft_dml8.`$root` FROM '$srcDir' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(rerun.getLong(1) == 1L && rerun.getLong(2) == 0L)
+    // Third wave arrives; only IT loads, rows append (no dedup — COPY
+    // is an unkeyed append, same as Delta).
+    table(("p4", "c", 4)).repartition(1).write.parquet(s"$srcDir/batch3")
+    val second = spark.sql(
+      s"COPY INTO graft_dml8.`$root` FROM '$srcDir' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(second.getLong(1) == 2L && second.getLong(2) == 1L)
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet ==
+      Set("p1", "p2", "p3", "p4"))
+    // Append carried every v1 file by reference.
+    val m1 = SnapshotStore.manifest(spark, root, 1L).toSet
+    assert(m1.subsetOf(SnapshotStore.manifest(spark, root, 2L).toSet))
+  }
+
+  test("UPDATE can SET a column added by schema evolution in pre-evolution partitions") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml10")
+    table(("p1", "a", 1), ("p2", "b", 2))
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    // Evolve: a merge touching ONLY partition a adds `flag`; partition
+    // b's file predates the column.
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq(("p1", "a", 1, "x")).toDF("product_id", "supplier", "qty", "flag"),
+      root, "product_id", Seq.empty, "supplier")
+    spark.sql(s"UPDATE graft_dml10.`$root` SET flag = 'y' " +
+      "WHERE product_id = 'p2'")
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "flag").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", "x"), ("p2", "y")))
+  }
+
+  test("COPY INTO a fresh table without a partition column fails loudly") {
+    val dir = freshDir()
+    table(("p1", "a", 1)).repartition(1).write.parquet(s"$dir/incoming")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.copyInto(spark, s"$dir/t", s"$dir/incoming"))
+    assert(e.getMessage.contains("partition column"))
+  }
+}
