@@ -75,6 +75,7 @@ object ScaleSmoke {
     var bloomFiles = (0, 0, 0) // (candidates before bloom, total, after bloom)
     var bm25TableDir = "" // set by bm25_index_build, read by bm25_via_index
     var bm25IndexDir = ""
+    var deleteWhereRoot = "" // set by delete_where_setup
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -456,6 +457,36 @@ object ScaleSmoke {
           graft.suppliers.MidOcean.unified(spark, dir.toString)
             .agg(count(col("product_id"))).collect()(0).getLong(0)
         }
+      },
+      // Predicate DELETE on the amplified 16-partition snapshot table,
+      // matching rows in ONE partition: the probe runs through the
+      // file-skipping index (part is constant per file, so stats prune
+      // 15/16 of the files before any row is read) and only the
+      // matched partition rewrites. Setup (a fresh table commit) is
+      // timed separately so the delete row measures the DML alone.
+      time("delete_where_setup") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_delw").toString
+        deleteWhereRoot = s"$dir/t"
+        graft.sinks.SnapshotStore.commit(spark, snapBase,
+          deleteWhereRoot, "part")
+        1L
+      },
+      time("delete_where_narrow") {
+        graft.sinks.SnapshotStore.deleteWhere(spark, deleteWhereRoot,
+          "part = 3 AND doc_id % 7 = 0")
+      },
+      // SemDeDup at 20×: cell-confined pairwise cosine — Σ|cell|², not
+      // n²; the equi-join on cell id is the only corpus-sized shuffle.
+      time("sem_dedup") {
+        Similarity.semDedup(embs, "vec_id", "embedding",
+          numCells = 64, threshold = 0.35).filter(col("kept")).count()
+      },
+      // Cross-document duplicated-span profile at 20×: spans shuffle
+      // as md5 hashes with map-side partial aggregation.
+      time("dup_span_stats") {
+        Dedup.dupSpanStats(docs, col("text"), col("doc_id"), width = 5)
+          .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

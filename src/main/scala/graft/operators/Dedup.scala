@@ -558,4 +558,43 @@ object Dedup {
       .select(col("id"), col("n_shingles"), col("n_overlap"),
         col("overlap_frac"), col("bench_ids"))
   }
+
+  /** Cross-document duplicated-span profile (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr signal as a per-document
+    * statistic): slide a `width`-token window over each document's
+    * normalized tokens; a window POSITION is duplicated when its
+    * exact token span also occurs in at least one OTHER document
+    * (distinct-document counting, [[lineDedup]]'s C4 convention — a
+    * phrase repeated within one document is that document's own
+    * structure). Returns (id, n_spans, n_dup_spans, dup_span_ratio);
+    * callers gate on the ratio (boilerplate-heavy documents score
+    * high) or feed the flagged spans to removal.
+    *
+    * Scale shape: spans travel as md5 hashes, never strings, so the
+    * frequency aggregate shuffles 16-byte keys with map-side partial
+    * combine and md5 keying is skew-free by construction; the
+    * flag-back is a semi join on the same key; the per-document
+    * rollups partially aggregate map-side. Documents shorter than
+    * `width` tokens contribute their whole text as one span
+    * ([[TextAnalysis.shinglesOf]]'s short-document contract). */
+  def dupSpanStats(docs: DataFrame, text: Column, id: Column,
+                   width: Int = 8): DataFrame = {
+    val spans = docs.select(id.as("id"),
+        TextAnalysis.shinglesOf(
+          TextAnalysis.tokens(TextAnalysis.normalized(text)), width).as("__sh"))
+      .select(col("id"), explode(col("__sh")).as("__span"))
+      .select(col("id"), md5(col("__span").cast("binary")).as("__h"))
+    val crossDoc = spans.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__n"))
+      .filter(col("__n") >= 2).select(col("__h"))
+    val dup = spans.join(crossDoc, Seq("__h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("__dup"))
+    spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("__dup"), lit(0L)).cast("double") /
+          col("n_spans")).as("dup_span_ratio"))
+  }
 }

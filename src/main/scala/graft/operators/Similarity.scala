@@ -375,6 +375,49 @@ object Similarity {
       .distinct()
   }
 
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings with the IVF
+    * coarse quantizer, then inside each cluster drop every row that
+    * has a LOWER-id neighbor at cosine ≥ `threshold` — greedy
+    * keep-first, the same winner convention as exact dedup
+    * (`Dedup.exactKeepFirst`). Near-duplicate SEMANTIC content (same
+    * meaning, different words) survives exact and MinHash dedup;
+    * this is the embedding-space pass large training-data pipelines
+    * run after them.
+    *
+    * Returns every row as (id, cell, dup_of, kept): `dup_of` is the
+    * smallest same-cell id that suppressed this row (null when kept),
+    * so the caller can either filter `kept` or audit the clusters.
+    *
+    * Scale shape: clustering is SemDeDup's whole trick — the
+    * quadratic pairwise comparison is confined WITHIN cells, so cost
+    * is Σ|cell|² instead of n²; `numCells` scales with the corpus to
+    * bound the largest cell (the paper uses ~11k clusters for 1.3B
+    * embeddings). Cell assignment is map-side against one broadcast
+    * centroid row; the pair join is an equi-join on cell id (one
+    * shuffle of the corpus); the suppress step is a min-aggregate +
+    * left join, both on the id key. `trainIters > 0` runs Lloyd
+    * rounds first ([[trainCentroids]]) for tighter cells. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               numCells: Int, threshold: Double,
+               trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters > 0) trainCentroids(corpus, idCol, vecCol, numCells, trainIters)
+      else centroidRow(corpus, idCol, vecCol, numCells)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        element_at(rankedCells(col(vecCol), col("__cents")), 1).as("cell"))
+    val l = assigned.select(col("cell"), col("id"), col("__v"))
+    val r = assigned.select(col("cell"), col("id").as("__id2"), col("__v").as("__v2"))
+    val suppressed = l.join(r, Seq("cell"))
+      .filter(col("__id2") < col("id"))
+      .filter(Vectors.cosine(col("__v"), col("__v2")) >= threshold)
+      .groupBy(col("id")).agg(min(col("__id2")).as("dup_of"))
+    assigned.join(suppressed, Seq("id"), "left")
+      .select(col("id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
   /** Incremental maintenance of a persisted quantized-IVF index over a
     * snapshot table — the vector analog of
     * [[TextIndex.appendForSnapshotVersion]]: assign + quantize ONLY
