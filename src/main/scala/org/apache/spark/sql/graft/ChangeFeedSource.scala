@@ -188,7 +188,12 @@ object ChangeFeedSource {
   *  - `key`: the table's unique key column — required
   *  - `startingVersion`: stream commits with version > this; default =
   *    version current at stream creation (future commits only); `0`
-  *    replays from the first commit. */
+  *    replays from the first commit.
+  *  - `startingTimestamp`: the Delta CDF form — stream every commit
+  *    whose wall-clock is AT or AFTER this timestamp (resolved against
+  *    the monotonic-clamped `#ts` headers; a timestamp after every
+  *    commit streams future commits only). Mutually exclusive with
+  *    `startingVersion`. */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -213,14 +218,31 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
                             providerName: String,
                             parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
-    val starting = parameters.get("startingVersion") match {
-      case Some(v) =>
+    val spark = sqlContext.sparkSession
+    val starting = (parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-changes accepts startingVersion OR startingTimestamp, not both")
+      case (Some(v), None) =>
         try v.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft-changes option 'startingVersion' must be a number, got '$v'")
         }
-      case None =>
-        SnapshotStore.currentVersion(sqlContext.sparkSession, root).getOrElse(0L)
+      case (None, Some(ts)) =>
+        // Delta CDF semantics: include every commit AT or AFTER the
+        // timestamp. Our startingVersion is exclusive (> V), so take
+        // the first qualifying version minus one. Unstamped (pre-#ts)
+        // manifests count as older than any timestamp, matching
+        // versionAtTimestamp; a timestamp past every commit streams
+        // future commits only.
+        val millis = graft.sinks.SnapshotSource.parseTimestampMillis(ts)
+        SnapshotStore.versions(spark, root)
+          .find(v => SnapshotStore.commitTimestamp(spark, root, v)
+            .exists(_ >= millis))
+          .map(_ - 1)
+          .getOrElse(SnapshotStore.currentVersion(spark, root).getOrElse(0L))
+      case (None, None) =>
+        SnapshotStore.currentVersion(spark, root).getOrElse(0L)
     }
     new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting)
   }

@@ -212,4 +212,49 @@ class ChangeFeedStreamSpec extends SparkSpec {
       spark.readStream.format("graft-changes").option("key", "nope").load(root).schema
     }
   }
+
+  test("startingTimestamp streams commits AT or AFTER the timestamp (Delta CDF form)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p3", "b", 3)), root,
+      "product_id", "version", "supplier")
+    val ts2 = SnapshotStore.commitTimestamp(spark, root, 2L).get
+    def drainFrom(ts: String, sink: String): Set[(String, Long)] = {
+      val q = spark.readStream.format("graft-changes")
+        .option("key", "product_id")
+        .option("startingTimestamp", ts)
+        .load(root)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$dir/ckpt_$sink")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(sink).select("product_id", "_commit_version")
+        .as[(String, Long)].collect().toSet
+    }
+    // Exactly v2's commit instant: v2 and v3 stream, v1 does not.
+    assert(drainFrom(ts2.toString, "feed_ts_at") ==
+      Set(("p2", 2L), ("p3", 3L)))
+    // After every commit: nothing historical streams.
+    assert(drainFrom((ts2 + 3600L * 1000).toString, "feed_ts_future").isEmpty)
+    // Before the first commit: full replay.
+    assert(drainFrom("1970-01-01 00:00:00", "feed_ts_all") ==
+      Set(("p1", 1L), ("p2", 2L), ("p3", 3L)))
+    // Both options together are rejected (createSource runs on the
+    // stream thread, so the failure surfaces at the first drain).
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .option("startingVersion", "0")
+      .option("startingTimestamp", ts2.toString)
+      .load(root)
+      .writeStream.format("memory").queryName("feed_ts_both")
+      .option("checkpointLocation", s"$dir/ckpt_both").start()
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.toString.contains("not both") ||
+      Option(e.getCause).exists(_.toString.contains("not both")))
+  }
 }
