@@ -5335,7 +5335,253 @@ object Queries {
         CAST(near_rep AS BIGINT) AS near_rep
       FROM final
       WHERE (width IS NULL OR width >= 10)
-      ORDER BY media_id"""))
+      ORDER BY media_id""")),
+
+    // DELETE FROM SQL (GraftSqlParser → SnapshotStore.deleteWhere):
+    // Delta's predicate DELETE — the SQL spelling of K4's retention
+    // delete (mongodb_loader.py:218-231 delete_many). Rows where the
+    // predicate is TRUE vanish; the rewrite is bounded to partitions
+    // holding a match (probed through the file-skipping index). The
+    // oracle keeps the complement of the predicate.
+    ("q162_sql_delete", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q162_store")
+        .resolve("t").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      s.conf.set("spark.sql.catalog.graft_q162",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val res = s.sql(s"DELETE FROM graft_q162.`$root` " +
+        "WHERE o_orderkey % 7 = 3 AND o_totalprice < 150000.0")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(res == Seq((root, 2L)), s"SQL DELETE returned $res, expected v2")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE NOT (o_orderkey % 7 = 3 AND o_totalprice < 150000.0)
+      ORDER BY o_orderkey""")),
+
+    // UPDATE SQL (GraftSqlParser → SnapshotStore.updateWhere): Delta's
+    // predicate UPDATE. Both assignments evaluate against the OLD row
+    // (the price bump must not feed the tier derivation), values cast
+    // back to the columns' existing types, and only partitions holding
+    // a match rewrite. Oracle replays the CASE arithmetic.
+    ("q163_sql_update", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q163_store")
+        .resolve("t").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("tier", lit(0))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      s.conf.set("spark.sql.catalog.graft_q163",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val res = s.sql(s"UPDATE graft_q163.`$root` " +
+        "SET o_totalprice = o_totalprice + 5000.0, " +
+        "tier = CASE WHEN o_totalprice >= 200000.0 THEN 2 ELSE 1 END " +
+        "WHERE o_orderkey % 7 = 3")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(res == Seq((root, 2L)), s"SQL UPDATE returned $res, expected v2")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("tier"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 5000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 7 <> 3 THEN 0
+             WHEN o_totalprice >= 200000.0 THEN 2 ELSE 1 END AS tier
+      FROM orders ORDER BY o_orderkey""")),
+
+    // COPY INTO SQL (GraftSqlParser → SnapshotStore.copyInto) —
+    // idempotent bulk file ingest, the retryable-scheduler contract:
+    // each source file loads exactly once (the #copied manifest
+    // ledger, atomic with its commit), a re-run with nothing new is a
+    // no-op, and a late-arriving file loads alone. Three waves land
+    // here with a VERIFIED no-op re-run between them; the oracle is
+    // the plain union of all waves — any double-load doubles rows and
+    // breaks the hash.
+    ("q164_copy_into", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q164").toString
+      val root = s"$dir/t"
+      val src = s"$dir/incoming"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m3 = pmod(col("o_orderkey"), lit(3))
+      orders.filter(m3 === 0).write.parquet(s"$src/wave1")
+      orders.filter(m3 === 1).write.parquet(s"$src/wave2")
+      val (v1, n1) = graft.sinks.SnapshotStore.copyInto(s, root, src,
+        partitionCol = Some("o_orderstatus"))
+      require(v1 == 1L && n1 > 0, s"first COPY: v$v1, $n1 files")
+      s.conf.set("spark.sql.catalog.graft_q164",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val rerun = s.sql(s"COPY INTO graft_q164.`$root` FROM '$src' " +
+        "FILEFORMAT = PARQUET").collect().head
+      require(rerun.getLong(1) == 1L && rerun.getLong(2) == 0L,
+        s"re-run must be a no-op, got v${rerun.getLong(1)}/${rerun.getLong(2)} files")
+      orders.filter(m3 === 2).write.parquet(s"$src/wave3")
+      val third = s.sql(s"COPY INTO graft_q164.`$root` FROM '$src' " +
+        "FILEFORMAT = PARQUET").collect().head
+      require(third.getLong(1) == 2L && third.getLong(2) > 0L,
+        s"late wave must load alone, got v${third.getLong(1)}")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      ORDER BY o_orderkey""")),
+
+    // Schema evolution on merge (Delta's mergeSchema, the reference's
+    // Pydantic-defaulting analog — unified_product_schema.py:145-207):
+    // a merge batch carrying a NEW column widens the table; carried
+    // old-schema files read the column as typed nulls (footer-merged
+    // scan), rewritten partitions hold real values for merged rows and
+    // nulls for carried-over rows. The oracle derives both from key
+    // arithmetic.
+    ("q165_schema_evolution", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q165_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.withColumn("rev", lit(1)), root, "o_orderstatus")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 0).withColumn("rev", lit(2))
+          .withColumn("o_flag", pmod(col("o_orderkey"), lit(3)).cast("int")),
+        root, "o_orderkey", "rev", "o_orderstatus")
+      val cur = graft.sinks.SnapshotStore.read(s, root)
+      require(cur.columns.contains("o_flag"),
+        "merge must have widened the schema with o_flag")
+      cur.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"), col("o_flag"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev,
+        CASE WHEN o_orderkey % 5 = 0
+          THEN CAST(o_orderkey % 3 AS INT) END AS o_flag
+      FROM orders ORDER BY o_orderkey""")),
+
+    // SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
+    // IVF-cell clustering bounds the quadratic pairwise comparison,
+    // then greedy keep-first suppresses rows with a lower-id same-cell
+    // neighbor above the cosine threshold. The oracle recomputes the
+    // centroid assignment (q153's replay), every within-cell pair
+    // cosine, and the min-id suppressor.
+    ("q166_sem_dedup", (s: SparkSession, d: String) => {
+      Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          numCells = 16, threshold = 0.35)
+        .orderBy(col("id"))
+    }, Some("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ranked AS (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, cent.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv)))
+            DESC, cent.cid ASC) AS rk
+        FROM e CROSS JOIN cent),
+      assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+      sup AS (
+        SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_dot_product(ea.v, eb.v) /
+          (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.35
+        GROUP BY a.vec_id)
+      SELECT a.vec_id AS id, a.cell, s.dup_of, s.dup_of IS NULL AS kept
+      FROM assigned a LEFT JOIN sup s ON s.id = a.vec_id
+      ORDER BY id""")),
+
+    // Cross-document duplicated-span profile (Lee et al. 2022's
+    // ExactSubstr signal as a per-document statistic): 5-token sliding
+    // windows, a position is duplicated when its span occurs in ≥2
+    // DISTINCT documents (the C4 cross-doc convention). Oracle stages
+    // tokens/shingles exactly like q99 and replays the counts.
+    ("q167_dup_spans", (s: SparkSession, d: String) => {
+      Dedup.dupSpanStats(t(s, d, "documents"), col("text"), col("doc_id"),
+          width = 5)
+        .orderBy(col("id"))
+    }, Some("""
+      WITH nm AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+      sh AS (SELECT doc_id,
+        CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(generate_series(1, len(ws) - 4),
+                    i -> array_to_string(ws[i:i+4], ' ')) END AS sh FROM nm),
+      sp AS (SELECT doc_id, unnest(sh) AS span FROM sh),
+      freq AS (SELECT span, count(DISTINCT doc_id) AS n FROM sp GROUP BY span),
+      per AS (SELECT s.doc_id, count(*) AS n_spans,
+          sum(CASE WHEN f.n >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sp s JOIN freq f ON f.span = s.span
+        GROUP BY s.doc_id)
+      SELECT doc_id AS id, CAST(n_spans AS BIGINT) AS n_spans,
+        CAST(n_dup AS BIGINT) AS n_dup_spans,
+        CAST(n_dup AS DOUBLE) / n_spans AS dup_span_ratio
+      FROM per ORDER BY id""")),
+
+    // CHECK-constraint lifecycle (Delta's ALTER TABLE … ADD CONSTRAINT):
+    // add (metadata-only commit) → valid merge lands → VIOLATING merge
+    // fails loudly and publishes NOTHING (version pinned in-query) →
+    // drop → the same batch now lands. The oracle derives the final
+    // table from the arithmetic of the two merges that succeeded —
+    // enforcement is proven by the %7-batch only appearing with its
+    // post-drop values.
+    ("q168_sql_constraints", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q168_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      val m7 = pmod(col("o_orderkey"), lit(7))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.withColumn("rev", lit(1)), root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q168",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val added = s.sql(s"ALTER TABLE graft_q168.`$root` ADD CONSTRAINT " +
+        "price_pos CHECK (o_totalprice > 0)").collect()
+      require(added.head.getLong(1) == 2L, "ADD CONSTRAINT must publish v2")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("rev", lit(2)),
+        root, "o_orderkey", "rev", "o_orderstatus")
+      val doomed = orders.filter(m7 === 3)
+        .withColumn("o_totalprice", lit(-5.0)).withColumn("rev", lit(3))
+      val failed = try {
+        graft.sinks.SnapshotStore.mergeCommit(s, doomed, root,
+          "o_orderkey", "rev", "o_orderstatus"); false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("price_pos") }
+      require(failed, "violating merge must fail naming the constraint")
+      require(graft.sinks.SnapshotStore.currentVersion(s, root).contains(3L),
+        "failed merge must publish nothing")
+      s.sql(s"ALTER TABLE graft_q168.`$root` DROP CONSTRAINT price_pos")
+      graft.sinks.SnapshotStore.mergeCommit(s, doomed, root,
+        "o_orderkey", "rev", "o_orderstatus")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 3 THEN -5.0
+             WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 7 = 3 THEN 3
+             WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —
