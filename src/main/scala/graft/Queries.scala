@@ -5581,7 +5581,67 @@ object Queries {
              ELSE o_totalprice END AS o_totalprice,
         CASE WHEN o_orderkey % 7 = 3 THEN 3
              WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // Partition-scoped OPTIMIZE (Delta's `OPTIMIZE t WHERE p`): only
+    // partitions matching the predicate compact; the rest carry their
+    // files byte-identically (pinned in-query on the manifest). The
+    // oracle is content equality — a layout operation must never
+    // change a row.
+    ("q169_sql_optimize_where", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q169_store")
+        .resolve("t").toString
+      graft.sinks.SnapshotStore.commit(s,
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartition(3),
+        root, "o_orderstatus")
+      val before = graft.sinks.SnapshotStore.manifest(s, root, 1L)
+      require(before.count(_.partition == "F") > 1 &&
+        before.count(_.partition == "O") > 1,
+        "fixture needs multi-file partitions")
+      s.conf.set("spark.sql.catalog.graft_q169",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"OPTIMIZE graft_q169.`$root` WHERE o_orderstatus = 'F'")
+      val after = graft.sinks.SnapshotStore.manifest(s, root, 2L)
+      require(after.count(_.partition == "F") == 1,
+        "matched partition must compact to one file")
+      require(after.filter(_.partition == "O").toSet ==
+        before.filter(_.partition == "O").toSet,
+        "unmatched partitions must carry byte-identically")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      ORDER BY o_orderkey""")),
+
+    // DESCRIBE DETAIL (Delta's one-row table summary) — the
+    // deterministic fields (format, partition column, version,
+    // partition count, constraints in force) oracled; file counts and
+    // byte sizes are environment-shaped and pinned by spec instead.
+    ("q170_describe_detail", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q170_store")
+        .resolve("t").toString
+      graft.sinks.SnapshotStore.commit(s,
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        root, "o_orderstatus")
+      graft.sinks.SnapshotStore.addConstraint(s, root,
+        "price_pos", "o_totalprice > 0")
+      s.conf.set("spark.sql.catalog.graft_q170",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"DESCRIBE DETAIL graft_q170.`$root`")
+        .select(col("format"), col("partition_column"), col("version"),
+          col("num_partitions"),
+          concat_ws("|", col("constraints")).as("constraints_list"))
+    }, Some("""
+      SELECT 'graft-snapshot' AS format,
+        'o_orderstatus' AS partition_column,
+        CAST(2 AS BIGINT) AS version,
+        CAST(count(DISTINCT o_orderstatus) AS INT) AS num_partitions,
+        'price_pos CHECK (o_totalprice > 0)' AS constraints_list
+      FROM orders"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

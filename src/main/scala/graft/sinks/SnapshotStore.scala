@@ -156,7 +156,10 @@ object SnapshotStore {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
     val prefix = s"#$name\t"
+    // Headers are written before any entry line, so both lookups stop
+    // at the first entry — a header read never scans a large manifest.
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
       .collectFirst { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }
     finally in.close()
   }
@@ -172,6 +175,7 @@ object SnapshotStore {
     val in = f.open(manifestPath(root, version))
     val prefix = s"#$name\t"
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#"))
       .collect { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }.toList
     finally in.close()
   }
@@ -1343,14 +1347,18 @@ object SnapshotStore {
     * carried by reference. Returns the new version, or the current one
     * if nothing needed compacting. */
   def compact(spark: SparkSession, root: String, partitionCol: String,
-              maxFilesPerPartition: Int = 1, maxAttempts: Int = 5): Long = {
+              maxFilesPerPartition: Int = 1, maxAttempts: Int = 5,
+              partitions: Option[Seq[String]] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val entries = manifest(spark, root, cur)
+      val inScope: String => Boolean =
+        partitions.map(_.toSet).map(s => s.contains _).getOrElse(_ => true)
       val oversized = entries.groupBy(_.partition)
-        .filter(_._2.size > maxFilesPerPartition).keySet
+        .filter { case (p, es) => inScope(p) && es.size > maxFilesPerPartition }
+        .keySet
       if (oversized.isEmpty) return cur
       val (replaced, kept) = entries.partition(e => oversized(e.partition))
       // One shuffle keyed by the partition column: every partition

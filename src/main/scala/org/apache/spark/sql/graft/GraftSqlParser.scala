@@ -52,12 +52,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         delegate.parseMultipartIdentifier(table), ts)
     case HistoryPattern(table) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
+    case DetailPattern(table) =>
+      DescribeDetailCommand(delegate.parseMultipartIdentifier(table))
     case VacuumPattern(table, retain) =>
       VacuumSnapshotCommand(delegate.parseMultipartIdentifier(table),
         Option(retain).map(_.toLong))
-    case OptimizePattern(table, zcols) =>
+    case OptimizePattern(table, where, zcols) =>
       OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.identifierList(zcols))
+        GraftSqlParser.identifierList(zcols), Option(where))
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
     case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond) =>
@@ -130,10 +132,13 @@ object GraftSqlParser {
     s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*\\z".r
   private val HistoryPattern =
     s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
+  private val DetailPattern =
+    s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$ident\\s*;?\\s*\\z".r
   private val VacuumPattern =
     s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*\\z".r
   private val OptimizePattern =
-    s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z".r
+    (s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z").r
   private val GeneratePattern =
     s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
   // The one MERGE shape the snapshot store executes (the K1 bulk
@@ -363,15 +368,20 @@ case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long])
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (a, b)]`: compact small files (one file per
-  * partition), optionally interleave-sorting rows by the Z-order keys
-  * for multi-column skipping. The table's partition column resolves
-  * from the manifest's `#partcol` header (recorded by every commit
-  * path — table metadata lives in the log, the Delta convention), so
-  * the statement needs nothing but the table name. Returns one row
-  * (path, version) — the committed version, unchanged when nothing
-  * needed compacting. */
-case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String])
+/** `OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]`: compact small files
+  * (one file per partition), optionally interleave-sorting rows by
+  * the Z-order keys for multi-column skipping. The table's partition
+  * column resolves from the manifest's `#partcol` header (recorded by
+  * every commit path — table metadata lives in the log, the Delta
+  * convention), so the statement needs nothing but the table name.
+  * `WHERE` scopes the rewrite to matching PARTITIONS (Delta's
+  * partition-predicate OPTIMIZE): the predicate is evaluated
+  * driver-side against the manifest's distinct partition values —
+  * tiny by construction — so a 100 TB table compacts only its hot
+  * partitions. Returns one row (path, version) — the committed
+  * version, unchanged when nothing needed compacting. */
+case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String],
+                                   where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -387,10 +397,22 @@ case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String])
         s"manifest v$cur under $root predates partition-column metadata; " +
           "re-commit once through any SnapshotStore write path (or use the " +
           "Scala compact/compactZOrder API, which takes the column explicitly)"))
+    val wanted: Option[Seq[String]] = where.map { w =>
+      val parts = SnapshotStore.manifest(spark, root, cur)
+        .map(_.partition).distinct
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(parts.map(Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(partCol,
+            org.apache.spark.sql.types.StringType))))
+      df.filter(org.apache.spark.sql.functions.expr(w))
+        .collect().map(_.getString(0)).toSeq
+    }
     val v =
       if (zorderBy.nonEmpty)
-        SnapshotStore.compactZOrder(spark, root, partCol, zorderBy)
-      else SnapshotStore.compact(spark, root, partCol)
+        SnapshotStore.compactZOrder(spark, root, partCol, zorderBy,
+          partitions = wanted)
+      else SnapshotStore.compact(spark, root, partCol, partitions = wanted)
     Seq(Row(root, v))
   }
 }
@@ -523,6 +545,50 @@ case class CopyIntoSnapshotCommand(table: Seq[String], source: String,
     val root = GraftSqlParser.resolveRoot(spark, table)
     val (v, n) = SnapshotStore.copyInto(spark, root, source, format)
     Seq(Row(root, v, n.toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table summary: format,
+  * location, partition column, current version and its commit
+  * wall-clock, file/partition counts, total bytes (null when any
+  * file lacks stats — derived metadata never blocks the view), and
+  * the CHECK constraints in force. Metadata-priced at any size. */
+case class DescribeDetailCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("partition_column", StringType, nullable = true),
+        StructField("version", LongType, nullable = false),
+        StructField("committed_at", TimestampType, nullable = true),
+        StructField("num_files", IntegerType, nullable = false),
+        StructField("num_partitions", IntegerType, nullable = false),
+        StructField("size_bytes", LongType, nullable = true),
+        StructField("constraints", ArrayType(StringType), nullable = false))))
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val m = SnapshotStore.manifest(spark, root, cur)
+    val stats = SnapshotStore.statsFor(spark, root, cur)
+    val size: java.lang.Long =
+      if (m.forall(e => stats.contains(e.path)))
+        java.lang.Long.valueOf(m.map(e => stats(e.path).len).sum)
+      else null
+    Seq(Row(
+      "graft-snapshot", root,
+      SnapshotStore.partitionColumn(spark, root, cur).orNull,
+      cur,
+      SnapshotStore.commitTimestamp(spark, root, cur)
+        .map(new java.sql.Timestamp(_)).orNull,
+      m.size, m.map(_.partition).distinct.size, size,
+      SnapshotStore.tableConstraints(spark, root, cur)
+        .map { case (n, e) => s"$n CHECK ($e)" }))
   }
 }
 

@@ -209,6 +209,52 @@ class RestoreHistorySpec extends SparkSpec {
     assert(SnapshotStore.partitionColumn(spark, dst, 1L).contains("supplier"))
   }
 
+  test("OPTIMIZE WHERE compacts only matching partitions") {
+    import graft.sinks.SnapshotStore
+    val root = freshRoot()
+    // Both partitions get multiple small files.
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "a", 1),
+        ("p4", "b", 1), ("p5", "b", 1), ("p6", "b", 1))
+        .repartition(3), root, "supplier")
+    assert(SnapshotStore.manifest(spark, root, 1).count(_.partition == "a") > 1)
+    assert(SnapshotStore.manifest(spark, root, 1).count(_.partition == "b") > 1)
+    spark.conf.set("spark.sql.catalog.rh_sqlow",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val bBefore = SnapshotStore.manifest(spark, root, 1)
+      .filter(_.partition == "b").toSet
+    spark.sql(s"OPTIMIZE rh_sqlow.`$root` WHERE supplier = 'a'")
+    val m2 = SnapshotStore.manifest(spark, root, 2)
+    // a compacted to one file; b's files carried byte-identically.
+    assert(m2.count(_.partition == "a") == 1)
+    assert(m2.filter(_.partition == "b").toSet == bBefore)
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id").as[String].collect().toSet ==
+      Set("p1", "p2", "p3", "p4", "p5", "p6"))
+    // A WHERE matching no partition is a version no-op.
+    assert(spark.sql(s"OPTIMIZE rh_sqlow.`$root` WHERE supplier = 'zzz'")
+      .as[(String, Long)].collect().toSeq == Seq((root, 2L)))
+  }
+
+  test("DESCRIBE DETAIL summarizes the current version in one row") {
+    import graft.sinks.SnapshotStore
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.addConstraint(spark, root, "v_pos", "version > 0")
+    spark.conf.set("spark.sql.catalog.rh_sqld",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val r = spark.sql(s"DESCRIBE DETAIL rh_sqld.`$root`").collect().head
+    assert(r.getString(0) == "graft-snapshot")
+    assert(r.getString(1) == root)
+    assert(r.getString(2) == "supplier")
+    assert(r.getLong(3) == 2L) // constraint commit
+    assert(r.getTimestamp(4) != null)
+    assert(r.getInt(5) == 2 && r.getInt(6) == 2) // 2 files, 2 partitions
+    assert(r.getLong(7) > 0L)
+    assert(r.getSeq[String](8) == Seq("v_pos CHECK (version > 0)"))
+  }
+
   test("GENERATE symlink_format_manifest FOR TABLE runs purely in SQL") {
     import graft.sinks.SnapshotStore
     val root = freshRoot()
