@@ -5641,7 +5641,86 @@ object Queries {
         CAST(2 AS BIGINT) AS version,
         CAST(count(DISTINCT o_orderstatus) AS INT) AS num_partitions,
         'price_pos CHECK (o_totalprice > 0)' AS constraints_list
-      FROM orders"""))
+      FROM orders""")),
+
+    // Deletion vectors (Delta's merge-on-read DELETE): with
+    // graft.enableDeletionVectors set, SQL DELETE commits a position
+    // list instead of rewriting files — REQUIRE-pinned in-query: after
+    // TWO overlapping deletes the data file paths are IDENTICAL to v1
+    // (zero rewrite) and both ops tag delete-dv. The hashed result
+    // reads through the DV-applying catalog path; REORG … APPLY
+    // (PURGE) then materializes, drops every DV, and must preserve the
+    // row count. The oracle keeps the complement of the union of both
+    // predicates.
+    ("q171_deletion_vectors", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q171_store")
+        .resolve("t").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      s.conf.set("spark.sql.catalog.graft_q171",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"ALTER TABLE graft_q171.`$root` SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      s.sql(s"DELETE FROM graft_q171.`$root` WHERE o_orderkey % 7 = 3")
+      s.sql(s"DELETE FROM graft_q171.`$root` WHERE o_orderkey % 5 = 1")
+      val st = graft.sinks.SnapshotStore
+      val p1 = st.manifest(s, root, 1L).map(_.path).toSet
+      val m4 = st.manifest(s, root, 4L)
+      require(m4.map(_.path).toSet == p1,
+        "DV deletes must not touch any data file")
+      require(m4.exists(_.dv.nonEmpty), "v4 must carry deletion vectors")
+      require(Seq(3L, 4L).forall(v =>
+        st.manifestOperation(s, root, v).contains("delete-dv")),
+        "both deletes must be merge-on-read commits")
+      val live = s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graft_q171.`$root`").orderBy(col("o_orderkey"))
+      val n = live.count()
+      s.sql(s"REORG TABLE graft_q171.`$root` APPLY (PURGE)")
+      require(st.manifest(s, root, 5L).forall(_.dv.isEmpty),
+        "REORG PURGE must drop every deletion vector")
+      require(st.read(s, root).count() == n,
+        "REORG PURGE must preserve live content")
+      live
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_orderkey % 5 = 1)
+      ORDER BY o_orderkey""")),
+
+    // Table properties (Delta's TBLPROPERTIES): free-form metadata in
+    // the manifest log, carried forward by every commit. SET / repeat
+    // SET (overwrite one key, keep the rest) / UNSET, then SHOW
+    // TBLPROPERTIES is the hashed result; a merge commit between the
+    // ALTERs proves carry-forward, and the clone REQUIRE pins
+    // property inheritance.
+    ("q172_tblproperties", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q172_store")
+      val root = dir.resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val st = graft.sinks.SnapshotStore
+      st.commit(s, orders, root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q172",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"ALTER TABLE graft_q172.`$root` SET TBLPROPERTIES " +
+        "('owner' = 'data-eng', 'pipeline' = 'pim', 'retention.days' = '30')")
+      // A data commit between the ALTERs: properties must ride along.
+      st.mergeCommit(s, orders.limit(10), root,
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+      s.sql(s"ALTER TABLE graft_q172.`$root` SET TBLPROPERTIES " +
+        "('owner' = 'ml-platform')")
+      s.sql(s"ALTER TABLE graft_q172.`$root` UNSET TBLPROPERTIES " +
+        "('retention.days')")
+      val clone = dir.resolve("c").toString
+      st.cloneTo(s, root, clone)
+      require(st.tablePropertiesMap(s, clone) ==
+        Map("owner" -> "ml-platform", "pipeline" -> "pim"),
+        "clone must inherit the final property set")
+      s.sql(s"SHOW TBLPROPERTIES graft_q172.`$root`").orderBy(col("key"))
+    }, Some("""
+      SELECT * FROM (VALUES ('owner', 'ml-platform'), ('pipeline', 'pim'))
+        AS t(key, value) ORDER BY key"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -148,8 +148,17 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
                               resolvedVersion: Long) extends Table {
   /** Built once per loadTable (= once per query resolution), against
     * the version the catalog already resolved — no second listing. */
-  lazy val v1 = SnapshotStore.relationWithIndex(
-    spark, root, Some(resolvedVersion), None)._1
+  lazy val (v1, _, entries) = SnapshotStore.relationWithIndex(
+    spark, root, Some(resolvedVersion), None)
+  /** Deletion vectors present? Decides whether [[ResolveGraftSnapshot]]
+    * can hand Spark the bare file relation or must wrap it in the
+    * DV-applying anti-join. */
+  lazy val hasDvs: Boolean = entries.exists(_.dv.nonEmpty)
+  /** The DV-applied read, only built for DV-bearing versions. */
+  lazy val dvPlan: LogicalPlan = SnapshotStore.applyDvs(spark, root,
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(v1), entries)
+    .queryExecution.analyzed
   override def name(): String =
     s"graft.`$root`" + snapshotVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = v1.schema
@@ -164,7 +173,20 @@ case class ResolveGraftSnapshot(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
-        LogicalRelation(r.table.asInstanceOf[GraftSnapshotTable].v1,
-          r.output, None, isStreaming = false, stream = None)
+        val t = r.table.asInstanceOf[GraftSnapshotTable]
+        if (!t.hasDvs)
+          LogicalRelation(t.v1, r.output, None, isStreaming = false, stream = None)
+        else {
+          // Deletion vectors: substitute the DV-applied plan, aliasing
+          // its output onto the analyzed attribute ids so references
+          // above this relation stay valid. Same columns/types — only
+          // the expression ids need pinning.
+          val child = t.dvPlan
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            child.output.zip(r.output).map { case (a, o) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(a, o.name)(
+                exprId = o.exprId)
+            }, child)
+        }
     }
 }

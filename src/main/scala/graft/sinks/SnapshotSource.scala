@@ -209,8 +209,28 @@ class SnapshotSource extends RelationProvider
             sqlContext.sparkSession, root, SnapshotSource.parseTimestampMillis(raw)))
           case (None, None) => None
         }
-        SnapshotStore.relationWithIndex(
-          sqlContext.sparkSession, root, version, partitions)._1
+        val (rel, _, entries) = SnapshotStore.relationWithIndex(
+          sqlContext.sparkSession, root, version, partitions)
+        if (entries.forall(_.dv.isEmpty)) rel
+        else {
+          // Deletion vectors: the bare file relation would resurrect
+          // deleted rows, so serve the DV-applied DataFrame as a
+          // computed scan (same surface pattern as the CDC view).
+          // The scale path for DV-bearing tables is the Scala
+          // `SnapshotStore.table`, which keeps the skipping index
+          // UNDER the broadcast anti-join.
+          val spark = sqlContext.sparkSession
+          val df = SnapshotStore.applyDvs(spark, root,
+            spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+              .baseRelationToDataFrame(rel), entries)
+          val ctx = sqlContext
+          new BaseRelation with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: org.apache.spark.sql.types.StructType = df.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              df.rdd
+          }
+        }
       case _ => throw new IllegalArgumentException(
         "graft-snapshot options changesFrom and changesTo must be provided together")
     }

@@ -40,8 +40,15 @@ import graft.operators.Upsert
   */
 object SnapshotStore {
 
-  /** One data file: (partition value, path relative to root). */
-  case class ManifestEntry(partition: String, path: String)
+  /** One data file: (partition value, path relative to root), plus an
+    * optional deletion-vector attachment — `dv` names the DV directory
+    * (relative to root, or absolute for clones) holding this file's
+    * COMPLETE set of deleted row positions as of this version, and
+    * `dvRows` its cardinality (recorded in the manifest so history /
+    * detail views can report live row counts without opening the DV
+    * parquet). Empty `dv` = no rows deleted from this file. */
+  case class ManifestEntry(partition: String, path: String,
+                           dv: String = "", dvRows: Long = 0L)
 
   private val PartDir = "__part"
 
@@ -143,8 +150,13 @@ object SnapshotStore {
     val in = f.open(manifestPath(root, version))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-      val Array(p, path) = line.split("\t", 2)
-      ManifestEntry(URLDecoder.decode(p, UTF_8), path)
+      line.split("\t", 4) match {
+        case Array(p, path) => ManifestEntry(URLDecoder.decode(p, UTF_8), path)
+        case Array(p, path, dv, dvRows) =>
+          ManifestEntry(URLDecoder.decode(p, UTF_8), path, dv, dvRows.toLong)
+        case other => throw new IllegalStateException(
+          s"malformed manifest line under $root v$version: ${other.mkString("\\t")}")
+      }
     }.toSeq
   }
 
@@ -240,6 +252,84 @@ object SnapshotStore {
       (n, URLDecoder.decode(e, UTF_8))
     }
 
+  /** Table properties recorded in a version's manifest
+    * (`#prop\tkey\tvalue` headers, URL-encoded) — free-form table
+    * metadata in the log, Delta's TBLPROPERTIES. Properties this store
+    * itself consults: `graft.enableDeletionVectors` (= "true" routes
+    * SQL DELETE through [[deleteWhereDv]] instead of the rewriting
+    * [[deleteWhere]] — exactly Delta's opt-in). */
+  def tableProperties(spark: SparkSession, root: String,
+                      version: Long): Seq[(String, String)] =
+    manifestHeaderAll(spark, root, version, "prop").map { l =>
+      val Array(k, v) = l.split("\t", 2)
+      (URLDecoder.decode(k, UTF_8), URLDecoder.decode(v, UTF_8))
+    }
+
+  /** Current-version table properties as a Map (empty for an empty or
+    * pre-properties table). */
+  def tablePropertiesMap(spark: SparkSession, root: String): Map[String, String] =
+    currentVersion(spark, root)
+      .map(v => tableProperties(spark, root, v).toMap).getOrElse(Map.empty)
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — metadata-only commit: every
+    * data file carries by reference; only the property set changes
+    * (set/overwrite the given keys, keep the rest). Returns the new
+    * version. */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Seq[(String, String)], maxAttempts: Int = 5): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableProperties(spark, root, cur)
+      val keys = props.map(_._1).toSet
+      val merged = existing.filterNot(p => keys(p._1)) ++ props
+      val entries = manifest(spark, root, cur)
+      val v = cur + 1
+      if (writeManifest(spark, root, v, entries, "set-properties",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          properties = Some(merged))) {
+        writeStats(spark, root, v, entries, Nil, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the set-properties race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — metadata-only removal.
+    * Unknown keys fail loudly (matching UNSET without IF EXISTS).
+    * Returns the new version. */
+  def unsetProperties(spark: SparkSession, root: String,
+                      keys: Seq[String], maxAttempts: Int = 5): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableProperties(spark, root, cur)
+      val have = existing.map(_._1).toSet
+      val missing = keys.filterNot(have)
+      require(missing.isEmpty,
+        s"table $root has no propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} (have: ${have.mkString(", ")})")
+      val doomed = keys.toSet
+      val entries = manifest(spark, root, cur)
+      val v = cur + 1
+      if (writeManifest(spark, root, v, entries, "unset-properties",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          properties = Some(existing.filterNot(p => doomed(p._1))))) {
+        writeStats(spark, root, v, entries, Nil, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the unset-properties race $maxAttempts times under $root")
+  }
+
   /** Enforce the table's CHECK constraints against a batch about to be
     * written: a row violates when the expression is FALSE — NULL
     * passes (SQL CHECK semantics). One pushdown-friendly limit-1 probe
@@ -262,7 +352,8 @@ object SnapshotStore {
                             operation: String = "",
                             partitionCol: String = "",
                             extraHeaders: Seq[String] = Nil,
-                            constraints: Option[Seq[(String, String)]] = None): Boolean = {
+                            constraints: Option[Seq[(String, String)]] = None,
+                            properties: Option[Seq[(String, String)]] = None): Boolean = {
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
@@ -290,6 +381,13 @@ object SnapshotStore {
         try tableConstraints(spark, root, version - 1)
         catch { case _: java.io.IOException => Nil }
       else Nil)
+    // Table properties carry forward exactly like constraints unless
+    // the caller REPLACES the set (ALTER TABLE SET/UNSET TBLPROPERTIES).
+    val effectiveProperties = properties.getOrElse(
+      if (version > 1)
+        try tableProperties(spark, root, version - 1)
+        catch { case _: java.io.IOException => Nil }
+      else Nil)
     val headers = s"#committer\t$token" +:
       (Seq(s"#ts\t$ts") ++
         (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
@@ -299,9 +397,16 @@ object SnapshotStore {
         (if (partitionCol.nonEmpty) Seq(s"#partcol\t$partitionCol") else Nil) ++
         effectiveConstraints.map { case (n, e) =>
           s"#constraint\t$n\t${URLEncoder.encode(e, UTF_8)}" } ++
+        effectiveProperties.map { case (k, v) =>
+          s"#prop\t${URLEncoder.encode(k, UTF_8)}\t${URLEncoder.encode(v, UTF_8)}" } ++
         extraHeaders)
-    try out.write((headers ++ entries.map(e =>
-      s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}")).mkString("\n").getBytes(UTF_8))
+    try out.write((headers ++ entries.map { e =>
+      val base = s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}"
+      // A DV attachment appends exactly two more fields; DV-free
+      // entries keep the two-field line, byte-identical to what every
+      // earlier version of this store wrote.
+      if (e.dv.isEmpty) base else s"$base\t${e.dv}\t${e.dvRows}"
+    }).mkString("\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(root, version)
     // Atomic publish. `FileSystem.rename` on the local filesystem (and
@@ -624,9 +729,10 @@ object SnapshotStore {
     * many files the most recent planning pass kept (specs + SCALE). */
   def tableWithIndex(spark: SparkSession, root: String, version: Option[Long] = None,
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
-    val (rel, idx) = relationWithIndex(spark, root, version, partitions)
-    (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(rel), idx)
+    val (rel, idx, entries) = relationWithIndex(spark, root, version, partitions)
+    (applyDvs(spark, root,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(rel), entries), idx)
   }
 
   /** The skipping-indexed relation behind [[table]] — also what the
@@ -634,20 +740,29 @@ object SnapshotStore {
     * reads plan through the same [[GraftFileIndex]]. */
   private[graft] def relationWithIndex(spark: SparkSession, root: String,
                                        version: Option[Long], partitions: Option[Seq[String]]):
-      (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex) = {
+      (org.apache.spark.sql.execution.datasources.HadoopFsRelation, GraftFileIndex,
+        Seq[ManifestEntry]) = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     // ONE sidecar parse feeds both the skipping index and the recorded
     // schema (it used to be parsed twice per planning pass).
     val (stats, recorded) = statsSidecar(spark, root, v)
+    val all = manifest(spark, root, v)
+    val wanted = partitions match {
+      case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
+      case None => all
+    }
     val idx = fileIndexFrom(spark, root, v, partitions, stats)
-    val schema = recorded.getOrElse(
-      readEntries(spark, root, manifest(spark, root, v)).schema)
+    val schema = recorded.getOrElse(readEntries(spark, root, all).schema)
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
-    (rel, idx)
+    // The relation alone does NOT apply deletion vectors — callers
+    // that hand it to Spark directly must wrap when `wanted` carries
+    // DVs (tableWithIndex / SnapshotSource / ResolveGraftSnapshot all
+    // do). Returned entries are the pruned selection for exactly that.
+    (rel, idx, wanted)
   }
 
   /** Undo Spark/Hive partition-directory escaping (`%XX` sequences
@@ -687,6 +802,64 @@ object SnapshotStore {
       }
   }
 
+  /** Row-identity key of a data file: its last TWO path components
+    * (`__part=<value>/part-….parquet`). A bare file name is NOT unique
+    * — one write job stamps the same task/job UUID name into every
+    * partition directory it writes — but (partition dir, name) is
+    * unique within a job, and the job UUID makes it unique across
+    * jobs/versions. Hive-escaping keeps '/' out of partition dirs, so
+    * the two-component split is stable. */
+  private[sinks] def dvKeyOf(path: String): String = {
+    val parts = path.split("/")
+    parts.takeRight(math.min(2, parts.length)).mkString("/")
+  }
+
+  /** The deletion-vector rows attached to `entries`, as one
+    * DataFrame(file_key, pos) — or None when no entry carries a DV
+    * (the overwhelmingly common case; callers must pay ZERO cost
+    * then). A DV directory may hold rows for files whose entries have
+    * since been rewritten or re-vectored under a newer directory, so
+    * rows are filtered to the (directory, file) pairs THIS manifest
+    * actually attaches. */
+  private[sinks] def dvRowsFor(spark: SparkSession, root: String,
+                        entries: Seq[ManifestEntry]): Option[DataFrame] = {
+    val withDv = entries.filter(_.dv.nonEmpty)
+    if (withDv.isEmpty) None
+    else Some(withDv.groupBy(_.dv).map { case (dir, es) =>
+      val files = es.map(e => dvKeyOf(e.path))
+      spark.read.parquet(new Path(root, dir).toString)
+        .filter(col("file_key").isin(files: _*))
+        .select(col("file_key"), col("pos"))
+    }.reduce(_ unionByName _))
+  }
+
+  /** Merge-on-read: drop the rows `entries`' deletion vectors mark
+    * deleted. Data file names are globally unique (Spark writes
+    * part-<task>-<UUID> names per job, disambiguated by partition
+    * directory within a job — see [[dvKeyOf]]), so (file key, row
+    * position) is a stable row identity, matched against the scan's
+    * `_metadata.file_path` / `_metadata.row_index` columns — position
+    * generation accounts for row-group skipping, so pushdown stays
+    * on. The DV side is BROADCAST: its size is the table's deleted-row
+    * count since the last rewrite of those files, bounded by running
+    * [[purgeDeletionVectors]] (REORG … APPLY (PURGE)) — the same
+    * contract as Delta's DV bitmaps, expressed as Spark's cheapest
+    * join instead of a custom scan. No-DV tables skip all of this. */
+  private[sinks] def applyDvs(spark: SparkSession, root: String,
+                       df: DataFrame, entries: Seq[ManifestEntry]): DataFrame =
+    dvRowsFor(spark, root, entries) match {
+      case None => df
+      case Some(dv) =>
+        val cols = df.columns.toSeq
+        df.withColumn("__graft_dv_fn",
+            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+          .join(broadcast(dv.select(col("file_key").as("__graft_dv_fn"),
+            col("pos").as("__graft_dv_pos"))),
+            Seq("__graft_dv_fn", "__graft_dv_pos"), "left_anti")
+          .select(cols.map(col): _*)
+    }
+
   private def readEntries(spark: SparkSession, root: String,
                           entries: Seq[ManifestEntry]): DataFrame = {
     val paths = entries.map(e => new Path(root, e.path).toString)
@@ -697,7 +870,8 @@ object SnapshotStore {
     // reference evolves via Pydantic defaulting,
     // unified_product_schema.py:145-207). Footer merging is a
     // driver-side metadata operation over the listed files only.
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    applyDvs(spark, root,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*), entries)
   }
 
   /** Read the current snapshot; `partitions` prunes at the MANIFEST
@@ -1105,6 +1279,119 @@ object SnapshotStore {
       s"lost the delete-where race $maxAttempts times under $root")
   }
 
+  /** [[deleteWhere]] in MERGE-ON-READ form — Delta's deletion vectors:
+    * instead of rewriting every partition holding a match, the commit
+    * writes a small parquet of (file key, row position) pairs and
+    * attaches it to the affected files' manifest entries; readers drop
+    * those positions via a broadcast anti-join ([[applyDvs]]). Delete
+    * cost becomes ∝ MATCHED ROWS, not matched partitions — the
+    * production delete path for sparse deletes (GDPR erasure, spot
+    * corrections) on a 100 TB table, where rewriting a partition to
+    * remove three rows is absurd. The probe runs through the
+    * file-skipping index, so a selective predicate opens only
+    * candidate files.
+    *
+    * Positions are ORIGINAL file positions, so a second delete on an
+    * already-vectored file unions with its existing DV (computed
+    * against the raw scan — re-marking an already-deleted row is
+    * idempotent by set union). A predicate matching no LIVE row is a
+    * no-op returning the current version. Read amplification is
+    * bounded by [[purgeDeletionVectors]], which rewrites vectored
+    * files and drops their DVs (Delta's `REORG … APPLY (PURGE)`). */
+  def deleteWhereDv(spark: SparkSession, root: String, predicate: String,
+                    maxAttempts: Int = 10): Long = {
+    val hit = coalesce(expr(predicate), lit(false))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCol = partitionColumn(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$cur under $root predates partition-column metadata; " +
+            "re-commit once through any SnapshotStore write path first"))
+      val entries = manifest(spark, root, cur)
+      if (entries.isEmpty) return cur
+      // Doomed positions over the RAW skipping-indexed scan (not
+      // DV-applied): union semantics below make re-marking an
+      // already-deleted position harmless, and the raw scan keeps the
+      // probe one pass with no join under it.
+      val (raw, _) = {
+        val (rel, idx, _) = relationWithIndex(spark, root, Some(cur), None)
+        (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(rel), idx)
+      }
+      val doomed = raw
+        .select(regexp_extract(col("_metadata.file_path"),
+            "([^/]+/[^/]+)$", 1).as("file_key"),
+          col("_metadata.row_index").as("pos"), hit.as("__hit"))
+        .filter(col("__hit")).drop("__hit")
+      val existing = dvRowsFor(spark, root, entries)
+      // Fresh = positions not already deleted; an all-stale match set
+      // (or no match at all) is a no-op, not an empty commit.
+      val fresh = existing.map(e =>
+        doomed.join(e, Seq("file_key", "pos"), "left_anti")).getOrElse(doomed)
+      val newDv = existing.map(e => {
+        val affected = fresh.select("file_key").distinct()
+        // The new DV dir must hold each affected file's COMPLETE set:
+        // carried prior positions ∪ fresh ones.
+        fresh.unionByName(e.join(affected, Seq("file_key"), "left_semi"))
+      }).getOrElse(fresh).persist()
+      try {
+        val counts: Map[String, Long] = newDv.groupBy("file_key").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) return cur
+        val dvDir = s"dv/v_${cur + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
+        // One small file: a DV is deleted-row metadata, not data.
+        newDv.coalesce(1).write.parquet(new Path(root, dvDir).toString)
+        val newEntries = entries.map { e =>
+          val fn = dvKeyOf(e.path)
+          if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
+        }
+        val v = cur + 1
+        if (writeManifest(spark, root, v, newEntries, "delete-dv", partCol)) {
+          writeStats(spark, root, v, newEntries, Nil, None)
+          return v
+        }
+      } finally newDv.unpersist()
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the delete-dv race $maxAttempts times under $root")
+  }
+
+  /** Rewrite every file carrying a deletion vector (materializing its
+    * deletes) and drop the DVs — Delta's `REORG TABLE … APPLY (PURGE)`.
+    * Bounds DV read amplification after a burst of merge-on-read
+    * deletes; cost ∝ the VECTORED files only, never the table. Content
+    * is unchanged by construction (the rewrite reads through the DVs),
+    * so like compaction this skips constraint re-proof. Returns the
+    * new version, or the current one when no file carries a DV. */
+  def purgeDeletionVectors(spark: SparkSession, root: String,
+                           maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCol = partitionColumn(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$cur under $root predates partition-column metadata; " +
+            "re-commit once through any SnapshotStore write path first"))
+      val entries = manifest(spark, root, cur)
+      val (replaced, kept) = entries.partition(_.dv.nonEmpty)
+      if (replaced.isEmpty) return cur
+      val materialized = readEntries(spark, root, replaced) // DV-aware
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, materialized, root, v, partCol)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "purge", partCol)) {
+        writeStats(spark, root, v, kept, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the purge race $maxAttempts times under $root")
+  }
+
   /** `UPDATE t SET c = e, … [WHERE p]` as an atomic snapshot commit
     * (Delta's UPDATE): in every row where `predicate` is TRUE (all
     * rows when None), each assigned column is replaced by its
@@ -1255,7 +1542,11 @@ object SnapshotStore {
                                        fromVersion: Long, toVersion: Long): Seq[String] = {
     def byPart(v: Long): Map[String, Set[String]] =
       manifest(spark, root, v).groupBy(_.partition)
-        .map { case (p, es) => p -> es.map(_.path).toSet }
+        // File identity includes the DV attachment: a deletion-vector
+        // delete changes a partition's CONTENT without changing its
+        // file paths, and the change feed / merge rebase must see that
+        // as a change.
+        .map { case (p, es) => p -> es.map(e => s"${e.path}\t${e.dv}").toSet }
     val a = byPart(fromVersion)
     val b = byPart(toVersion)
     (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)).toSeq.sorted
@@ -1489,7 +1780,9 @@ object SnapshotStore {
       throw new IllegalStateException(s"no committed snapshot under $srcRoot")))
     val f = fs(spark, srcRoot)
     val abs = manifest(spark, srcRoot, v).map(e =>
-      e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString))
+      e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString,
+        dv = if (e.dv.isEmpty) ""
+             else f.makeQualified(new Path(srcRoot, e.dv)).toString))
     // Cloning a version that predates partition-column metadata still
     // inherits the source TIP's header when one exists.
     if (!writeManifest(spark, dstRoot, 1L, abs, "clone",
@@ -1499,6 +1792,9 @@ object SnapshotStore {
           .getOrElse(""),
         constraints = Some(
           try tableConstraints(spark, srcRoot, v)
+          catch { case _: java.io.IOException => Nil }),
+        properties = Some(
+          try tableProperties(spark, srcRoot, v)
           catch { case _: java.io.IOException => Nil })))
       throw new java.util.ConcurrentModificationException(
         s"lost the clone race publishing v1 under $dstRoot")
@@ -1543,7 +1839,10 @@ object SnapshotStore {
       val st = statsFor(spark, root, v)
       val totalRows: java.lang.Long =
         if (m.forall(e => st.contains(e.path)))
-          java.lang.Long.valueOf(m.map(e => st(e.path).rows).sum)
+          // Live rows: physical rows minus deletion-vectored positions
+          // (cardinality recorded per entry at delete time, so this
+          // stays a metadata walk — no DV parquet is opened).
+          java.lang.Long.valueOf(m.map(e => st(e.path).rows - e.dvRows).sum)
         else null
       val row = org.apache.spark.sql.Row(
         v,
@@ -1587,6 +1886,13 @@ object SnapshotStore {
                            version: Option[Long] = None): Path = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
+    // A symlink manifest is a bare file list — external engines would
+    // read deletion-vectored files RAW, resurrecting deleted rows.
+    // Same restriction as Delta's generate; purge first.
+    require(manifest(spark, root, v).forall(_.dv.isEmpty),
+      s"version $v under $root carries deletion vectors, which the " +
+        "symlink manifest format cannot express — run " +
+        "purgeDeletionVectors (REORG … APPLY (PURGE)) first")
     val f = fs(spark, root)
     val outRoot = new Path(root, "_symlink_format_manifest")
     // Sweep leftovers of previously crashed swaps (a stranded old tree
@@ -1660,6 +1966,22 @@ object SnapshotStore {
             }
           }
         }
+      }
+    }
+    // Deletion-vector directories are swept like data files: one kept
+    // manifest referencing a DV dir keeps it; orphans (vacuumed
+    // versions' superseded DVs, crashed delete-dv attempts) older than
+    // the safety window go. Clone-held ABSOLUTE dv references live
+    // under the source root and are never matched here — same
+    // source-vacuum caveat as cloned data files.
+    val referencedDv = keepVs.flatMap(v => manifest(spark, root, v))
+      .filter(_.dv.nonEmpty).map(_.dv).toSet
+    val dvRoot = new Path(root, "dv")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).foreach { d =>
+        if (d.isDirectory && !referencedDv(s"dv/${d.getPath.getName}") &&
+            d.getModificationTime < cutoff)
+          f.delete(d.getPath, true)
       }
     }
     drop.foreach { v =>

@@ -86,6 +86,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropConstraintPattern(table, name) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       DropConstraintCommand(delegate.parseMultipartIdentifier(table), name)
+    case SetPropsPattern(table, propList) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      SetPropertiesCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.propertyAssignments(propList))
+    case UnsetPropsPattern(table, keyList) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      UnsetPropertiesCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.propertyKeys(keyList))
+    case ShowPropsPattern(table) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      ShowPropertiesCommand(delegate.parseMultipartIdentifier(table))
+    case ReorgPattern(table) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
     case MergeLoosePattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       // A MERGE aimed at a graft catalog but not in the supported
@@ -177,6 +191,68 @@ object GraftSqlParser {
   private val DropConstraintPattern =
     (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+CONSTRAINT\\s+" +
       "([A-Za-z_][\\w$]*)\\s*;?\\s*\\z").r
+  // Table properties (Delta's TBLPROPERTIES) + merge-on-read
+  // maintenance (REORG … APPLY (PURGE)). Gated on the graft catalog
+  // name — these are valid Spark statements for other tables and must
+  // flow to the session parser untouched.
+  private val SetPropsPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+SET\\s+TBLPROPERTIES\\s*" +
+      "\\((.+)\\)\\s*;?\\s*\\z").r
+  private val UnsetPropsPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+UNSET\\s+TBLPROPERTIES\\s*" +
+      "\\((.+)\\)\\s*;?\\s*\\z").r
+  private val ShowPropsPattern =
+    s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
+  private val ReorgPattern =
+    s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
+
+  /** Parse `'k' = 'v', 'k2' = 'v2'` (standard TBLPROPERTIES shape;
+    * doubled '' escapes a quote inside either side). */
+  def propertyAssignments(raw: String): Seq[(String, String)] = {
+    val Pair = "\\A\\s*'((?:[^']|'')*)'\\s*=\\s*'((?:[^']|'')*)'\\s*\\z".r
+    val parts = splitTopLevel(raw)
+    require(parts.nonEmpty, "SET TBLPROPERTIES needs at least one 'key' = 'value'")
+    val pairs = parts.map {
+      case Pair(k, v) => (k.replace("''", "'"), v.replace("''", "'"))
+      case other => throw new IllegalArgumentException(
+        s"malformed TBLPROPERTIES entry (expected 'key' = 'value'): ${other.trim}")
+    }
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"TBLPROPERTIES sets a key twice: ${pairs.map(_._1).mkString(", ")}")
+    pairs
+  }
+
+  /** Parse `'k', 'k2'` (UNSET TBLPROPERTIES shape). */
+  def propertyKeys(raw: String): Seq[String] = {
+    val Key = "\\A\\s*'((?:[^']|'')*)'\\s*\\z".r
+    val parts = splitTopLevel(raw)
+    require(parts.nonEmpty, "UNSET TBLPROPERTIES needs at least one 'key'")
+    parts.map {
+      case Key(k) => k.replace("''", "'")
+      case other => throw new IllegalArgumentException(
+        s"malformed UNSET TBLPROPERTIES entry (expected 'key'): ${other.trim}")
+    }
+  }
+
+  /** Split on top-level commas, respecting single-quoted strings
+    * (with '' escapes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case ',' => out += cur.toString; cur.clear()
+        case x => cur += x
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Is `name` configured as a graft snapshot catalog in the ACTIVE
     * session? Parse-time gate for the loose MERGE rejection: other
@@ -502,8 +578,82 @@ case class DeleteFromSnapshotCommand(table: Seq[String], where: Option[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    val v = SnapshotStore.deleteWhere(spark, root, where.getOrElse("true"))
+    // Delta's opt-in: with graft.enableDeletionVectors = true the
+    // delete is merge-on-read (a position-list commit, zero data
+    // rewritten); otherwise the partition-bounded rewrite.
+    val dv = SnapshotStore.tablePropertiesMap(spark, root)
+      .get("graft.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
+    val v = if (dv) SnapshotStore.deleteWhereDv(spark, root, where.getOrElse("true"))
+            else SnapshotStore.deleteWhere(spark, root, where.getOrElse("true"))
     Seq(Row(root, v))
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', …)` — metadata-only
+  * commit recording free-form table properties in the manifest log
+  * (carried forward by every subsequent commit, like constraints).
+  * Returns one row (path, version). */
+case class SetPropertiesCommand(table: Seq[String],
+                                props: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.setProperties(spark, root, props)))
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES ('k', …)` — metadata-only
+  * removal; unknown keys fail loudly. Returns one row (path, version). */
+case class UnsetPropertiesCommand(table: Seq[String], keys: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.unsetProperties(spark, root, keys)))
+  }
+}
+
+/** `SHOW TBLPROPERTIES t` — one (key, value) row per property of the
+  * current version, key-ordered. */
+case class ShowPropertiesCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    SnapshotStore.tablePropertiesMap(spark, root).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)` — rewrite deletion-vectored files
+  * (materializing their deletes) and drop the DVs, bounding
+  * merge-on-read amplification ([[SnapshotStore.purgeDeletionVectors]]).
+  * Returns one row (path, version — unchanged when nothing carried a
+  * DV). */
+case class ReorgPurgeCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.purgeDeletionVectors(spark, root)))
   }
 }
 
