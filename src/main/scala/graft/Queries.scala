@@ -5720,7 +5720,87 @@ object Queries {
       s.sql(s"SHOW TBLPROPERTIES graft_q172.`$root`").orderBy(col("key"))
     }, Some("""
       SELECT * FROM (VALUES ('owner', 'ml-platform'), ('pipeline', 'pim'))
-        AS t(key, value) ORDER BY key"""))
+        AS t(key, value) ORDER BY key""")),
+
+    // Streaming READ of a snapshot table (Delta streaming-source
+    // analog, `readStream.format("graft-snapshot")`): three arrival
+    // waves land as commit + appends with a COMPACTION between them;
+    // the stream delivers every appended row exactly once while the
+    // layout-only commit emits NOTHING — require-pinned via
+    // maxVersionsPerTrigger=1 (each version is its own micro-batch, so
+    // the batch-level row counts are observable: 3 data batches for 4
+    // versions). The oracle is the plain union of the waves — a
+    // re-emitted baseline or a compaction echo breaks the hash.
+    ("q173_stream_snapshot_source", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q173").toString
+      val root = s"$dir/t"
+      val st = graft.sinks.SnapshotStore
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m3 = pmod(col("o_orderkey"), lit(3))
+      st.commit(s, orders.filter(m3 === 0), root, "o_orderstatus")      // v1
+      st.appendCommit(s, orders.filter(m3 === 1), root, "o_orderstatus") // v2
+      st.compact(s, root, "o_orderstatus")                               // v3: layout only
+      st.appendCommit(s, orders.filter(m3 === 2), root, "o_orderstatus") // v4
+      val q = s.readStream.format("graft-snapshot")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(root)
+        .writeStream.format("memory").queryName("q173_sink")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 3,
+        s"expected 3 data micro-batches (v1, v2, v4 — compaction silent), " +
+          s"got $dataBatches")
+      s.table("q173_sink")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      ORDER BY o_orderkey""")),
+
+    // ExactSubstr REMOVAL (Lee et al. 2022 — the surgery half of
+    // q167's signal): every token covered by a 5-token span occurring
+    // in ≥2 DISTINCT documents is deleted; the cleaned text is the
+    // surviving normalized tokens in order (empty when everything was
+    // covered — short duplicated documents empty whole). The oracle
+    // restages tokens/spans exactly like q167, derives the duplicated
+    // START set, expands coverage windows, and rebuilds the text with
+    // an ordered string_agg — any off-by-one in window coverage or
+    // ordering breaks the hash.
+    ("q174_remove_dup_spans", (s: SparkSession, d: String) => {
+      Dedup.removeDupSpans(t(s, d, "documents"), col("text"), col("doc_id"),
+          width = 5)
+        .orderBy(col("id"))
+    }, Some("""
+      WITH nm AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' ') AS ws
+           FROM documents),
+      sh AS (SELECT doc_id, len(ws) AS lw,
+          CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+               ELSE list_transform(generate_series(1, len(ws) - 4),
+                      i -> array_to_string(ws[i:i+4], ' ')) END AS sh FROM nm),
+      sp AS (SELECT doc_id, lw, u.s AS s, sh[u.s] AS span
+             FROM sh, unnest(generate_series(1, len(sh))) AS u(s)),
+      dupset AS (SELECT span FROM (SELECT span, count(DISTINCT doc_id) AS n
+             FROM sp GROUP BY span) WHERE n >= 2),
+      dup AS (SELECT sp.doc_id, sp.s, sp.lw FROM sp JOIN dupset d ON d.span = sp.span),
+      covd AS (SELECT DISTINCT doc_id, u.p AS p
+             FROM dup, unnest(generate_series(s, least(s + 4, lw))) AS u(p)),
+      toks AS (SELECT doc_id, u.p AS p, ws[u.p] AS tok
+             FROM nm, unnest(generate_series(1, len(ws))) AS u(p)),
+      kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+             LEFT JOIN covd c ON c.doc_id = t.doc_id AND c.p = t.p
+             WHERE c.p IS NULL),
+      reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept FROM kept GROUP BY doc_id)
+      SELECT n.doc_id AS id, coalesce(r.clean_text, '') AS clean_text,
+        CAST(len(n.ws) AS BIGINT) AS n_tokens,
+        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+      FROM nm n LEFT JOIN reb r ON r.doc_id = n.doc_id
+      ORDER BY id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -604,4 +604,64 @@ object Dedup {
         (col("n_dup_spans").cast("double") / col("n_spans"))
           .as("dup_span_ratio"))
   }
+
+  /** ExactSubstr REMOVAL (the second half of Lee et al. 2022,
+    * arXiv:2107.06499 — [[dupSpanStats]] is the signal, this is the
+    * surgery): delete from each document every token covered by a
+    * duplicated span — a `width`-token window whose exact token
+    * sequence occurs in at least one OTHER document (distinct-document
+    * counting, the C4 convention — self-repetition is document
+    * structure, not corpus duplication). Returns
+    * (id, clean_text, n_tokens, n_kept): the cleaned text is the
+    * surviving tokens of the NORMALIZED form, space-joined, empty when
+    * every token was covered. A document shorter than `width` tokens
+    * is one whole-text span — duplicated means the whole document
+    * empties, exactly exact-dedup for short texts.
+    *
+    * Scale shape: spans travel as md5 hashes (16-byte skew-free keys);
+    * the duplicated-span set comes from one distinct + count aggregate
+    * over (doc, hash); flagging starts is a semi join on the hash;
+    * coverage expands each duplicated START into ≤ `width` positions
+    * (rows ∝ duplicated content, not the corpus) and dedups them; the
+    * kept-token set is an anti join on (id, position); and the rebuild
+    * is one per-document sort-aggregate. Nothing is quadratic and no
+    * span STRING ever shuffles — the widest shuffles are keyed by doc
+    * id or span hash with map-side partial aggregation. */
+  def removeDupSpans(docs: DataFrame, text: Column, id: Column,
+                     width: Int = 8): DataFrame = {
+    val base = docs
+      .select(id.as("id"), TextAnalysis.normalized(text).as("__nm"))
+      .select(col("id"), TextAnalysis.tokens(col("__nm")).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+    val spans = base
+      .select(col("id"), col("__n"),
+        posexplode(TextAnalysis.shinglesOf(col("__ws"), width)))
+      .select(col("id"), col("__n"), col("pos").as("__s"),
+        md5(col("col").cast("binary")).as("__h"))
+    // Distinct-document frequency per span hash; ≥2 = duplicated.
+    val dupHashes = spans.select(col("id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+    val dupStarts = spans.join(dupHashes, Seq("__h"), "left_semi")
+    // Every position a duplicated window covers. `least` handles the
+    // short-document whole-text span (start 0, n-1 < width-1).
+    val covered = dupStarts
+      .select(col("id"), explode(sequence(col("__s"),
+        least(col("__s") + lit(width - 1), col("__n") - 1))).as("__p"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("__ws")))
+      .select(col("id"), col("pos").as("__p"), col("col").as("__tok"))
+    val kept = toks.join(covered, Seq("id", "__p"), "left_anti")
+    val rebuilt = kept.groupBy(col("id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__tok")))),
+        x => x("__tok")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("__n"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("__n").cast("long").as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

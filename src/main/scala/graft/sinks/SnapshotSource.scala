@@ -51,8 +51,31 @@ import org.apache.spark.sql.streaming.OutputMode
   * from plain SQL).
   */
 class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  /** Streaming read surface — `spark.readStream.format("graft-snapshot")`
+    * (the Delta streaming-source analog): appended rows per committed
+    * version, layout-only commits silent, change commits fail-or-skip.
+    * See [[org.apache.spark.sql.graft.SnapshotStreamSource]]. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String]):
+      (String, org.apache.spark.sql.types.StructType) =
+    (shortName(), org.apache.spark.sql.graft.SnapshotStreamSource.tableSchema(
+      sqlContext.sparkSession,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-snapshot streaming needs a table root: .load(<root>)"))))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String]):
+      org.apache.spark.sql.execution.streaming.Source =
+    org.apache.spark.sql.graft.SnapshotStreamSource.create(sqlContext, parameters)
 
   /** Streaming write surface — `df.writeStream.format("graft-snapshot")`
     * (the Delta streaming-sink analog): every micro-batch is one

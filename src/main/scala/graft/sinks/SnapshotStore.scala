@@ -1944,15 +1944,21 @@ object SnapshotStore {
     * an unguarded vacuum would delete them and corrupt the commit when
     * its manifest then wins. Unreferenced files newer than the window
     * are left alone; only set it to 0 when no writer can be active. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             retainMillis: Long = 24L * 3600 * 1000): Unit = {
+  /** What a [[vacuum]] with these settings would remove: (data file
+    * paths, deletion-vector directory paths — both root-relative — and
+    * manifest versions to drop). Shared by vacuum itself and the
+    * `VACUUM … DRY RUN` SQL surface, so the preview and the deletion
+    * can never disagree. */
+  private def vacuumPlan(spark: SparkSession, root: String, keep: Int,
+                         retainMillis: Long): (Seq[String], Seq[String], Seq[Long]) = {
     val vs = versions(spark, root)
-    // Even with nothing to drop, the orphan sweep below still collects
-    // data files of crashed/lost commits (written, never published).
     val (drop, keepVs) = vs.splitAt(math.max(0, vs.size - keep))
-    val referenced = keepVs.flatMap(v => manifest(spark, root, v)).map(_.path).toSet
+    val keptEntries = keepVs.flatMap(v => manifest(spark, root, v))
+    val referenced = keptEntries.map(_.path).toSet
+    val referencedDv = keptEntries.filter(_.dv.nonEmpty).map(_.dv).toSet
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - retainMillis
+    val files = Seq.newBuilder[String]
     val dataRoot = new Path(root, "data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { vdir =>
@@ -1962,7 +1968,7 @@ object SnapshotStore {
               val rel = s"data/${vdir.getPath.getName}/${pdir.getPath.getName}/${file.getPath.getName}"
               if (file.getPath.getName.endsWith(".parquet") && !referenced(rel) &&
                   file.getModificationTime < cutoff)
-                f.delete(file.getPath, false)
+                files += rel
             }
           }
         }
@@ -1974,16 +1980,34 @@ object SnapshotStore {
     // the safety window go. Clone-held ABSOLUTE dv references live
     // under the source root and are never matched here — same
     // source-vacuum caveat as cloned data files.
-    val referencedDv = keepVs.flatMap(v => manifest(spark, root, v))
-      .filter(_.dv.nonEmpty).map(_.dv).toSet
+    val dvDirs = Seq.newBuilder[String]
     val dvRoot = new Path(root, "dv")
     if (f.exists(dvRoot)) {
       f.listStatus(dvRoot).foreach { d =>
         if (d.isDirectory && !referencedDv(s"dv/${d.getPath.getName}") &&
             d.getModificationTime < cutoff)
-          f.delete(d.getPath, true)
+          dvDirs += s"dv/${d.getPath.getName}"
       }
     }
+    (files.result(), dvDirs.result(), drop)
+  }
+
+  /** `VACUUM … DRY RUN`: the root-relative paths vacuum WOULD delete
+    * (data files + DV directories), without deleting anything. */
+  def vacuumDryRun(spark: SparkSession, root: String, keep: Int = 2,
+                   retainMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val (files, dvDirs, _) = vacuumPlan(spark, root, keep, retainMillis)
+    (files ++ dvDirs).sorted
+  }
+
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             retainMillis: Long = 24L * 3600 * 1000): Unit = {
+    // Even with nothing to drop, the orphan sweep still collects data
+    // files of crashed/lost commits (written, never published).
+    val (files, dvDirs, drop) = vacuumPlan(spark, root, keep, retainMillis)
+    val f = fs(spark, root)
+    files.foreach(rel => f.delete(new Path(root, rel), false))
+    dvDirs.foreach(rel => f.delete(new Path(root, rel), true))
     drop.foreach { v =>
       f.delete(manifestPath(root, v), false)
       f.delete(statsPath(root, v), false)

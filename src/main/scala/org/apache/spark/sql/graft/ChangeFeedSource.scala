@@ -70,7 +70,8 @@ class ChangeFeedSource(
     sqlContext: SQLContext,
     root: String,
     key: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
 
@@ -80,6 +81,15 @@ class ChangeFeedSource(
     * column drift. */
   override val schema: StructType = ChangeFeedSource.feedSchema(spark, root, key)
 
+  /** Highest version already handed out in a batch — the reference
+    * point `maxVersionsPerTrigger` rations from. Seeded with the
+    * first-start position; on a RESTART the engine re-issues the last
+    * committed batch through getBatch before asking for new offsets
+    * (MicroBatchExecution's start-offset replay), which re-seeds this
+    * from the checkpoint — so rationing never re-counts consumed
+    * versions. */
+  @volatile private var highWater: Long = startingVersion
+
   // NOTE: no startingVersion filter here. `startingVersion` gates only
   // a FIRST start (via getBatch's start=None default); on a restart
   // the engine's checkpointed offset governs, and filtering by a
@@ -88,7 +98,10 @@ class ChangeFeedSource(
   // stream was down until some future commit happened to advance past
   // it.
   override def getOffset: Option[Offset] =
-    SnapshotStore.currentVersion(spark, root).map(LongOffset(_))
+    SnapshotStore.currentVersion(spark, root).map { cur =>
+      LongOffset(ChangeFeedSource.cappedEnd(
+        spark, root, highWater, cur, maxVersionsPerTrigger))
+    }
 
   private def ver(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -100,6 +113,7 @@ class ChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    highWater = math.max(highWater, to)
     val committed = SnapshotStore.versions(spark, root)
     val emit = committed.filter(v => v > from && v <= to)
     val feeds = emit.map { v =>
@@ -163,6 +177,26 @@ class ChangeFeedSource(
 }
 
 object ChangeFeedSource {
+  /** Admission control (Delta's `maxFilesPerTrigger` analog, rationed
+    * in VERSIONS — our commit granule): the offset to expose given the
+    * high-water mark and the table tip. With no cap, the tip; with a
+    * cap, the m-th committed version past the mark (never moving
+    * backward). Bounds every micro-batch's work — a stream starting
+    * against a long backlog (startingVersion=0 on a thousand-commit
+    * table) processes m commits per trigger instead of one giant
+    * catch-up batch. */
+  private[graft] def cappedEnd(spark: org.apache.spark.sql.SparkSession,
+                               root: String, highWater: Long, cur: Long,
+                               max: Option[Long]): Long = max match {
+    case None => math.max(cur, highWater)
+    case Some(m) =>
+      require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+      val pending = SnapshotStore.versions(spark, root)
+        .filter(v => v > highWater && v <= cur)
+      if (pending.isEmpty) math.max(cur, highWater)
+      else math.max(pending.take(m.toInt).max, highWater)
+  }
+
   /** Feed schema = snapshot schema with `key` first, plus the
     * `_change_type` / `_commit_version` feed columns. */
   def feedSchema(spark: org.apache.spark.sql.SparkSession, root: String,
@@ -244,6 +278,22 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       case (None, None) =>
         SnapshotStore.currentVersion(spark, root).getOrElse(0L)
     }
-    new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting)
+    new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting,
+      ChangeFeedSourceProvider.maxVersionsOf(parameters))
   }
+}
+
+object ChangeFeedSourceProvider {
+  /** Shared option parse: `maxVersionsPerTrigger` — positive version
+    * count per micro-batch (admission control; absent = unbounded). */
+  private[graft] def maxVersionsOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option 'maxVersionsPerTrigger' must be a positive number, got '$v'")
+      }
+      require(n > 0,
+        s"option 'maxVersionsPerTrigger' must be a positive number, got '$v'")
+      n
+    }
 }

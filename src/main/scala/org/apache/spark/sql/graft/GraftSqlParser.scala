@@ -54,9 +54,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
     case DetailPattern(table) =>
       DescribeDetailCommand(delegate.parseMultipartIdentifier(table))
-    case VacuumPattern(table, retain) =>
+    case VacuumPattern(table, retain, dryRun) =>
       VacuumSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        Option(retain).map(_.toLong))
+        Option(retain).map(_.toLong), dryRun != null)
+    case ClonePattern(target, source, version, ts) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(target).head) &&
+        isGraftCatalogName(delegate.parseMultipartIdentifier(source).head) =>
+      CloneSnapshotCommand(delegate.parseMultipartIdentifier(target),
+        delegate.parseMultipartIdentifier(source),
+        Option(version).map(_.toLong), Option(ts))
     case OptimizePattern(table, where, zcols) =>
       OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
         GraftSqlParser.identifierList(zcols), Option(where))
@@ -149,7 +155,14 @@ object GraftSqlParser {
   private val DetailPattern =
     s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$ident\\s*;?\\s*\\z".r
   private val VacuumPattern =
-    s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?\\s*;?\\s*\\z".r
+    (s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
+      "(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*\\z").r
+  // Delta's SHALLOW CLONE DDL: zero-copy table fork, optionally
+  // pinned to a version or timestamp.
+  private val ClonePattern =
+    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s+SHALLOW\\s+CLONE\\s+$ident" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?" +
+      "\\s*;?\\s*\\z").r
   private val OptimizePattern =
     (s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z").r
@@ -429,7 +442,8 @@ case class RestoreSnapshotToTimestampCommand(table: Seq[String], timestamp: Stri
   * retention (default 24h — the crash-orphan grace window; RETAIN 0
   * HOURS sweeps immediately, exactly like Delta's footgun). Returns
   * one row (path) for parity with Delta's VACUUM output. */
-case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long])
+case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long],
+                                 dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -437,10 +451,45 @@ case class VacuumSnapshotCommand(table: Seq[String], retainHours: Option[Long])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    SnapshotStore.vacuum(spark, root,
-      retainMillis = retainHours.map(_ * 3600L * 1000L)
-        .getOrElse(24L * 3600 * 1000))
-    Seq(Row(root))
+    val retainMillis = retainHours.map(_ * 3600L * 1000L)
+      .getOrElse(24L * 3600 * 1000)
+    if (dryRun)
+      // Delta's VACUUM … DRY RUN: list what would go, delete nothing.
+      SnapshotStore.vacuumDryRun(spark, root, retainMillis = retainMillis)
+        .map(Row(_))
+    else {
+      SnapshotStore.vacuum(spark, root, retainMillis = retainMillis)
+      Seq(Row(root))
+    }
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n | TIMESTAMP AS
+  * OF 'ts']` — Delta's zero-copy table fork, routed to
+  * [[SnapshotStore.cloneTo]]: the new table's v1 references the
+  * source's files absolutely, constraints and properties carry, and
+  * the clone evolves independently. Returns one row
+  * (path, source_version). */
+case class CloneSnapshotCommand(target: Seq[String], source: Seq[String],
+                                version: Option[Long], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcRoot = GraftSqlParser.resolveRoot(spark, source)
+    val dstRoot = GraftSqlParser.resolveRoot(spark, target)
+    val v = (version, timestamp) match {
+      case (Some(n), _) => Some(n)
+      case (None, Some(ts)) => Some(SnapshotStore.versionAtTimestamp(
+        spark, srcRoot, graft.sinks.SnapshotSource.parseTimestampMillis(ts)))
+      case (None, None) => None
+    }
+    SnapshotStore.cloneTo(spark, srcRoot, dstRoot, v)
+    Seq(Row(dstRoot, v.getOrElse(
+      SnapshotStore.currentVersion(spark, srcRoot).getOrElse(0L))))
   }
 }
 

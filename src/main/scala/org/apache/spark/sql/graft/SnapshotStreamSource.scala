@@ -1,0 +1,170 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.SnapshotStore
+
+/** `spark.readStream.format("graft-snapshot")` — the Delta streaming
+  * SOURCE analog: stream a snapshot table's APPENDED rows, one
+  * micro-batch per committed version (or several under
+  * `maxVersionsPerTrigger`). Offsets are snapshot versions, exactly as
+  * in [[ChangeFeedSource]], so exactly-once reduces to the engine's
+  * offset log.
+  *
+  * {{{
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("startingVersion", "0")        // 0 = replay; default = future only
+  *     .option("skipChangeCommits", "true")   // Delta's option, same name
+  *     .option("maxVersionsPerTrigger", "10") // admission control
+  *     .load(root)
+  * }}}
+  *
+  * Version classification (all from MANIFEST metadata — no data read
+  * decides the shape):
+  *  - layout-only ops (`compact` / `zorder` / `purge` /
+  *    `set-properties` / `unset-properties`) emit NOTHING: content is
+  *    unchanged by invariant — the `dataChange = false` files of
+  *    Delta's OPTIMIZE, derived from the op tag instead of a per-file
+  *    flag, so table maintenance never disturbs a running stream;
+  *  - a version that only ADDED files (append / copy-into; file
+  *    identity is (path, dv)) emits exactly the added files' rows — no
+  *    CDC join, cost ∝ the appended data;
+  *  - a version that removed or rewrote any file (merge / delete /
+  *    update / restore / delete-dv) FAILS the stream — appended-rows
+  *    semantics cannot represent it — unless `skipChangeCommits` is
+  *    set, which skips the commit entirely (Delta's semantics for the
+  *    same option: downstream sees appends only, never retractions).
+  *
+  * For the full row-level story (updates and deletes as typed change
+  * rows) use `format("graft-changes")` — this source is the
+  * append-fact-table fast path: schema = the table's schema, no feed
+  * columns, and each batch is a bare file read.
+  *
+  * Same V1 `Source` architecture (and the same package-private
+  * `Dataset.ofRows` / `LogicalRDD` re-leafing) as [[ChangeFeedSource]]
+  * — batches stay lazily planned and execute distributed inside the
+  * micro-batch job. */
+class SnapshotStreamSource(
+    sqlContext: SQLContext,
+    root: String,
+    startingVersion: Long,
+    skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
+
+  private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
+
+  /** Pinned at stream creation: the snapshot's recorded schema. */
+  override val schema: StructType = SnapshotStreamSource.tableSchema(spark, root)
+
+  @volatile private var highWater: Long = startingVersion
+
+  override def getOffset: Option[Offset] =
+    SnapshotStore.currentVersion(spark, root).map { cur =>
+      LongOffset(ChangeFeedSource.cappedEnd(
+        spark, root, highWater, cur, maxVersionsPerTrigger))
+    }
+
+  private def ver(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  /** Ops whose commits are content-preserving by construction. */
+  private val layoutOps =
+    Set("compact", "zorder", "purge", "set-properties", "unset-properties")
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    highWater = math.max(highWater, to)
+    val committed = SnapshotStore.versions(spark, root)
+    val emit = committed.filter(v => v > from && v <= to)
+    val feeds = emit.flatMap { v =>
+      val op = SnapshotStore.manifestOperation(spark, root, v).getOrElse("")
+      if (layoutOps(op)) None
+      else if (!committed.contains(v - 1)) {
+        if (v == 1L || from < v - 1)
+          // First commit, or an explicit early start over vacuumed
+          // history: the (oldest retained) snapshot IS the baseline —
+          // emit it whole. Same shape as the change feed's replay.
+          Some(SnapshotStore.readVersion(spark, root, v))
+        else throw new IllegalStateException(
+          s"snapshot stream gap under $root: version ${v - 1} was vacuumed " +
+            s"before the stream consumed the ${v - 1}->$v delta; restart " +
+            s"with a fresh checkpoint and startingVersion < ${committed.min}, " +
+            "or keep more history (SnapshotStore.vacuum keep)")
+      } else {
+        val prev = SnapshotStore.manifest(spark, root, v - 1)
+        val cur = SnapshotStore.manifest(spark, root, v)
+        val curIds = cur.map(e => (e.path, e.dv)).toSet
+        val prevIds = prev.map(e => (e.path, e.dv)).toSet
+        val removed = prev.filterNot(e => curIds((e.path, e.dv)))
+        if (removed.nonEmpty) {
+          if (skipChangeCommits) None
+          else throw new IllegalStateException(
+            s"version $v of $root ${if (op.isEmpty) "rewrote" else s"($op) rewrote"} " +
+              "or removed data files — appended-rows streaming cannot " +
+              "represent updates/deletes. Use " +
+              "option(\"skipChangeCommits\", \"true\") to skip such commits, " +
+              "or format(\"graft-changes\") for the row-level change feed")
+        } else {
+          val added = cur.filterNot(e => prevIds((e.path, e.dv)))
+          if (added.isEmpty) None
+          else Some(spark.read.option("mergeSchema", "true").parquet(
+            added.map(e => new Path(root, e.path).toString): _*))
+        }
+      }
+    }.map(df => df.select(schema.fieldNames.map(col).toSeq: _*))
+    feeds.reduceOption(_ unionByName _) match {
+      case Some(df) =>
+        val qe = df.queryExecution
+        Dataset.ofRows(spark,
+          LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+      case None =>
+        spark.internalCreateDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+          schema, isStreaming = true)
+    }
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$root]"
+}
+
+object SnapshotStreamSource {
+  def tableSchema(spark: org.apache.spark.sql.SparkSession,
+                  root: String): StructType = {
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-snapshot streaming needs at least one committed snapshot under $root"))
+    SnapshotStore.schemaFor(spark, root, cur).getOrElse(
+      SnapshotStore.readVersion(spark, root, cur).schema)
+  }
+
+  /** Option parse + construction, called from
+    * [[graft.sinks.SnapshotSource]]'s `StreamSourceProvider` methods. */
+  def create(sqlContext: SQLContext,
+             parameters: Map[String, String]): SnapshotStreamSource = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot streaming needs a table root: .load(<root>)"))
+    val spark = sqlContext.sparkSession
+    val starting = parameters.get("startingVersion") match {
+      case Some(v) => try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-snapshot option 'startingVersion' must be a number, got '$v'")
+      }
+      case None => SnapshotStore.currentVersion(spark, root).getOrElse(0L)
+    }
+    new SnapshotStreamSource(sqlContext, root, starting,
+      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
+      ChangeFeedSourceProvider.maxVersionsOf(parameters))
+  }
+}

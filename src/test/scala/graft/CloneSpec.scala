@@ -83,4 +83,57 @@ class CloneSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, src).count() == 1)
     assert(SnapshotStore.read(spark, dst).count() == 2)
   }
+
+  test("CREATE TABLE … SHALLOW CLONE SQL, with and without VERSION AS OF") {
+    val src = fresh("sqlsrc"); val dst = fresh("sqldst")
+    val dst2 = fresh("sqldst2")
+    spark.conf.set("spark.sql.catalog.graft_clone",
+      classOf[graft.sinks.GraftCatalog].getName)
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), src, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "b", 2)), src,
+      "product_id", "version", "supplier")
+    val out = spark.sql(s"CREATE TABLE graft_clone.`$dst` SHALLOW CLONE " +
+      s"graft_clone.`$src`").collect().head
+    assert(out.getString(0) == dst && out.getLong(1) == 2L)
+    assert(SnapshotStore.read(spark, dst).count() == 2)
+    // Pinned clone of the historical version.
+    spark.sql(s"CREATE TABLE graft_clone.`$dst2` SHALLOW CLONE " +
+      s"graft_clone.`$src` VERSION AS OF 1")
+    assert(SnapshotStore.read(spark, dst2)
+      .select("product_id").as[String].collect().toSeq == Seq("p1"))
+    // Cloning onto an existing table fails through SQL too.
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_clone.`$dst` SHALLOW CLONE graft_clone.`$src`"))
+    // A non-graft CREATE TABLE flows to the session parser untouched.
+    spark.sql("CREATE TABLE IF NOT EXISTS plain_ct (x INT) USING parquet " +
+      s"LOCATION '${Files.createTempDirectory("plainct")}'")
+    spark.sql("DROP TABLE IF EXISTS plain_ct")
+  }
+
+  test("VACUUM DRY RUN lists exactly what vacuum then deletes, deleting nothing itself") {
+    val root = fresh("dry")
+    spark.conf.set("spark.sql.catalog.graft_dry",
+      classOf[graft.sinks.GraftCatalog].getName)
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "b", 1)),
+      root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 3)), root,
+      "product_id", "version", "supplier")
+    // keep=2 (the default): v1's superseded partition-a files qualify.
+    val listed = spark.sql(
+      s"VACUUM graft_dry.`$root` RETAIN 0 HOURS DRY RUN")
+      .as[String].collect().sorted.toSeq
+    assert(listed.nonEmpty)
+    // Dry run deleted nothing.
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(listed.forall(rel => f.exists(
+      new org.apache.hadoop.fs.Path(root, rel))))
+    // The real vacuum removes exactly the listed files.
+    spark.sql(s"VACUUM graft_dry.`$root` RETAIN 0 HOURS")
+    assert(listed.forall(rel => !f.exists(
+      new org.apache.hadoop.fs.Path(root, rel))))
+    assert(SnapshotStore.read(spark, root).count() == 2)
+  }
 }

@@ -99,4 +99,53 @@ class SemDedupSpanSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1L, 1.0)))
     assert(got(3L) == ((1L, 0L, 0.0)))
   }
+
+  private def removed(docs: org.apache.spark.sql.DataFrame): Map[Long, (String, Long, Long)] =
+    Dedup.removeDupSpans(docs, col("text"), col("doc_id"), width = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("removeDupSpans cuts exactly the covered tokens, keeping order") {
+    // Docs 1 and 2 share the exact run "alpha beta gamma" (3 tokens =
+    // one duplicated window); everything else is unique.
+    val docs = Seq(
+      (1L, "start alpha beta gamma end piece"),
+      (2L, "alpha beta gamma closing words here"),
+      (3L, "wholly unrelated text body lives")).toDF("doc_id", "text")
+    val got = removed(docs)
+    assert(got(1L) == (("start end piece", 6L, 3L)))
+    assert(got(2L) == (("closing words here", 6L, 3L)))
+    assert(got(3L) == (("wholly unrelated text body lives", 5L, 5L)))
+  }
+
+  test("removeDupSpans: overlapping duplicated windows cover their union, not double-cut") {
+    // Shared run of 4 tokens = two overlapping width-3 windows in each
+    // doc; coverage is the 4-token union.
+    val docs = Seq(
+      (1L, "aa bb cc dd keepone"),
+      (2L, "keeptwo aa bb cc dd")).toDF("doc_id", "text")
+    val got = removed(docs)
+    assert(got(1L) == (("keepone", 5L, 1L)))
+    assert(got(2L) == (("keeptwo", 5L, 1L)))
+  }
+
+  test("removeDupSpans: within-document repetition alone removes nothing") {
+    val docs = Seq(
+      (1L, "echo echo echo echo echo echo"),
+      (2L, "fully distinct other content")).toDF("doc_id", "text")
+    val got = removed(docs)
+    assert(got(1L)._1 == "echo echo echo echo echo echo")
+    assert(got(1L)._3 == 6L)
+  }
+
+  test("removeDupSpans: short duplicated documents empty whole; empties survive as rows") {
+    val docs = Seq(
+      (1L, "tiny doc"),
+      (2L, "tiny doc"),
+      (3L, "other words")).toDF("doc_id", "text")
+    val got = removed(docs)
+    assert(got(1L) == (("", 2L, 0L)))
+    assert(got(2L) == (("", 2L, 0L)))
+    assert(got(3L) == (("other words", 2L, 2L)))
+  }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.SnapshotStore
+
+/** Streaming READ of a snapshot table (`readStream.format(
+  * "graft-snapshot")` — the Delta streaming-source analog): appended
+  * rows per version, layout-only commits silent, change commits
+  * fail-or-skip, admission control via maxVersionsPerTrigger. */
+class SnapshotStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("snapsource").toString
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("product_id", "supplier", "version")
+
+  private def drain(root: String, sinkName: String, ckpt: String,
+                    options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
+    var r = spark.readStream.format("graft-snapshot")
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load(root)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    q
+  }
+
+  test("replays appends; layout-only compaction emits nothing") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    SnapshotStore.appendCommit(spark,
+      table(("p4", "b", 2), ("p5", "c", 2)), root, "supplier")
+    // Layout-only: merges b's two files into one — a change commit by
+    // file identity, but the op tag marks it content-preserving.
+    SnapshotStore.compact(spark, root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p6", "a", 4)), root, "supplier")
+    drain(root, "snap_replay", s"$dir/ckpt",
+      Map("startingVersion" -> "0"))
+    val got = spark.table("snap_replay")
+      .select("product_id", "version").as[(String, Int)].collect().toSet
+    assert(got == Set(("p1", 1), ("p2", 1), ("p3", 1),
+      ("p4", 2), ("p5", 2), ("p6", 4)))
+  }
+
+  test("default start streams only future commits") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName("snap_future")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_future").isEmpty)
+      SnapshotStore.appendCommit(spark, table(("p2", "b", 2)), root, "supplier")
+      q.processAllAvailable()
+      assert(spark.table("snap_future").select("product_id")
+        .as[String].collect().toSeq == Seq("p2"))
+    } finally q.stop()
+  }
+
+  test("a change commit fails the stream with actionable guidance") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    val e = intercept[Exception] {
+      drain(root, "snap_fail", s"$dir/ckpt", Map("startingVersion" -> "0"))
+    }
+    assert(e.getMessage.contains("skipChangeCommits") ||
+      Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+  }
+
+  test("skipChangeCommits skips rewrites entirely; later appends still flow") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")            // v2: rewrite — skipped
+    SnapshotStore.appendCommit(spark, table(("p9", "c", 3)), root, "supplier")
+    drain(root, "snap_skip", s"$dir/ckpt",
+      Map("startingVersion" -> "0", "skipChangeCommits" -> "true"))
+    val got = spark.table("snap_skip")
+      .select("product_id", "version").as[(String, Int)].collect().toSet
+    // v1 baseline + v3 append; v2's rewrite (p1 -> version 2) skipped.
+    assert(got == Set(("p1", 1), ("p2", 1), ("p9", 3)))
+  }
+
+  test("maxVersionsPerTrigger rations versions per micro-batch (both sources)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p2", "a", 2)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p3", "a", 3)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p4", "a", 4)), root, "supplier")
+    val q = drain(root, "snap_ration", s"$dir/ckpt",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    assert(spark.table("snap_ration").count() == 4)
+    // One version per data batch: 4 versions → 4 non-empty batches.
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    // Same option on the change feed.
+    val q2 = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_ration")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("feed_ration").count() == 4)
+    assert(q2.recentProgress.count(_.numInputRows > 0) == 2,
+      q2.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
+  test("restart resumes exactly-once through the file sink") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val out = s"$dir/out"
+    def drainToFiles(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "0")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "b", 1)),
+      root, "supplier")
+    drainToFiles()
+    assert(spark.read.parquet(out).count() == 2)
+    SnapshotStore.appendCommit(spark, table(("p3", "c", 2)), root, "supplier")
+    drainToFiles()
+    // Exactly-once: the baseline is NOT re-emitted on restart.
+    assert(spark.read.parquet(out).select("product_id")
+      .as[String].collect().toSet == Set("p1", "p2", "p3"))
+  }
+}
