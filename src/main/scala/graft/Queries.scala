@@ -5800,7 +5800,87 @@ object Queries {
         CAST(len(n.ws) AS BIGINT) AS n_tokens,
         CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
       FROM nm n LEFT JOIN reb r ON r.doc_id = n.doc_id
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    // Merge-on-read UPDATE (Delta's DV-backed UPDATE): q163's exact
+    // assignment arithmetic replayed with graft.enableDeletionVectors
+    // set — REQUIRE-pinned in-query: every original data file is
+    // CARRIED (now deletion-vectored), the updated copies are new
+    // files, and the op tags update-dv. Update cost ∝ matched rows.
+    // The oracle is q163's, so the two UPDATE modes are pinned
+    // result-identical.
+    ("q175_sql_dv_update", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q175_store")
+        .resolve("t").toString
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("tier", lit(0))
+        .write.format("graft-snapshot")
+        .option("partitionCol", "o_orderstatus").save(root)
+      s.conf.set("spark.sql.catalog.graft_q175",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"ALTER TABLE graft_q175.`$root` SET TBLPROPERTIES " +
+        "('graft.enableDeletionVectors' = 'true')")
+      s.sql(s"UPDATE graft_q175.`$root` " +
+        "SET o_totalprice = o_totalprice + 5000.0, " +
+        "tier = CASE WHEN o_totalprice >= 200000.0 THEN 2 ELSE 1 END " +
+        "WHERE o_orderkey % 7 = 3")
+      val st = graft.sinks.SnapshotStore
+      val p1 = st.manifest(s, root, 1L).map(_.path).toSet
+      val m3 = st.manifest(s, root, 3L)
+      require(p1.subsetOf(m3.map(_.path).toSet),
+        "DV update must carry every original data file")
+      require(m3.map(_.path).toSet.size > p1.size,
+        "DV update must append new files holding the updated copies")
+      require(m3.exists(_.dv.nonEmpty), "DV update must attach vectors")
+      require(st.manifestOperation(s, root, 3L).contains("update-dv"),
+        "the commit must tag update-dv")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("tier"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 5000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 7 <> 3 THEN 0
+             WHEN o_totalprice >= 200000.0 THEN 2 ELSE 1 END AS tier
+      FROM orders ORDER BY o_orderkey""")),
+
+    // INSERT INTO SQL (the unkeyed append in its standard spelling,
+    // routed to appendCommit): a VALUES insert and a SELECT insert
+    // (with a positional string→int cast) land as new files while v1's
+    // files carry by reference — REQUIRE-pinned. The oracle is the
+    // union of the seed, the SELECT wave, and the VALUES literals.
+    ("q176_sql_insert_into", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q176_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m3 = pmod(col("o_orderkey"), lit(3))
+      graft.sinks.SnapshotStore.commit(s, orders.filter(m3 === 0),
+        root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q176",
+        classOf[graft.sinks.GraftCatalog].getName)
+      orders.filter(m3 =!= 0).createOrReplaceTempView("q176_rest")
+      s.sql(s"INSERT INTO graft_q176.`$root` " +
+        "SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS STRING) " +
+        "FROM q176_rest")
+      val out = s.sql(s"INSERT INTO graft_q176.`$root` " +
+        "VALUES (9000001, 'Z', 1.5), (9000002, 'Z', 2.5)").collect()
+      require(out.head.getLong(1) == 3L, "second INSERT must publish v3")
+      val p1 = graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet
+      require(p1.subsetOf(graft.sinks.SnapshotStore.manifest(s, root, 3L)
+        .map(_.path).toSet), "INSERT must carry prior files by reference")
+      s.read.format("graft-snapshot").load(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT * FROM (VALUES (9000001, 'Z', 1.5), (9000002, 'Z', 2.5))
+        AS t(o_orderkey, o_orderstatus, o_totalprice)
+      ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -1359,6 +1359,95 @@ object SnapshotStore {
       s"lost the delete-dv race $maxAttempts times under $root")
   }
 
+  /** [[updateWhere]] in MERGE-ON-READ form (Delta's DV-backed UPDATE):
+    * matched LIVE rows are deletion-vectored in their original files
+    * and their updated copies land as NEW files — one atomic commit,
+    * cost ∝ MATCHED ROWS (probe + small position list + a write of
+    * just the updated rows), never the matched partitions. Assignments
+    * evaluate against the OLD row and cast back to existing types,
+    * exactly like [[updateWhere]]; updating the partition column moves
+    * the new copies to their new partitions. Unlike delete's
+    * idempotent re-marking, an already-deleted row must NOT spawn an
+    * updated copy, so the matched set is anti-joined against the
+    * existing DV positions first. A predicate matching no live row is
+    * a no-op. */
+  def updateWhereDv(spark: SparkSession, root: String,
+                    assignments: Seq[(String, String)],
+                    predicate: Option[String],
+                    maxAttempts: Int = 10): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"UPDATE assigns a column twice: ${assignments.map(_._1).mkString(", ")}")
+    val hit = coalesce(predicate.map(expr).getOrElse(lit(true)), lit(false))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCol = partitionColumn(spark, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"manifest v$cur under $root predates partition-column metadata; " +
+            "re-commit once through any SnapshotStore write path first"))
+      val entries = manifest(spark, root, cur)
+      if (entries.isEmpty) return cur
+      val raw = {
+        val (rel, _, _) = relationWithIndex(spark, root, Some(cur), None)
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(rel)
+      }
+      val dataCols = raw.columns.toSeq
+      val types = raw.schema.map(f => f.name -> f.dataType).toMap
+      assignments.foreach { case (c, _) => require(types.contains(c),
+        s"UPDATE SET targets unknown column '$c' " +
+          s"(columns: ${dataCols.mkString(", ")})") }
+      val matched = raw
+        .withColumn("__fk",
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .filter(hit)
+      val existing = dvRowsFor(spark, root, entries)
+      val live = existing.map(e => matched.join(
+          e.select(col("file_key").as("__fk"), col("pos").as("__pos")),
+          Seq("__fk", "__pos"), "left_anti")).getOrElse(matched)
+        .persist()
+      try {
+        val fresh = live.select(col("__fk").as("file_key"),
+          col("__pos").as("pos"))
+        val newDv = existing.map(e => {
+          val affected = fresh.select("file_key").distinct()
+          fresh.unionByName(e.join(affected, Seq("file_key"), "left_semi"))
+        }).getOrElse(fresh)
+        val counts: Map[String, Long] = newDv.groupBy("file_key").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.isEmpty) return cur
+        // Updated copies: assignments against the OLD row (all rows
+        // here match by construction), cast back to existing types.
+        val assign = assignments.toMap
+        val updated = live.select(dataCols.map { c =>
+          assign.get(c) match {
+            case Some(e) => expr(e).cast(types(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        enforceConstraints(spark, root, updated)
+        val v = cur + 1
+        val dvDir = s"dv/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"
+        newDv.coalesce(1).write.parquet(new Path(root, dvDir).toString)
+        val carried = entries.map { e =>
+          val fn = dvKeyOf(e.path)
+          if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
+        }
+        val newEntries = writeDataFiles(spark, updated, root, v, partCol)
+        if (writeManifest(spark, root, v, carried ++ newEntries, "update-dv", partCol)) {
+          writeStats(spark, root, v, carried, newEntries, Some(updated.schema))
+          return v
+        }
+      } finally live.unpersist()
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the update-dv race $maxAttempts times under $root")
+  }
+
   /** Rewrite every file carrying a deletion vector (materializing its
     * deletes) and drop the DVs — Delta's `REORG TABLE … APPLY (PURGE)`.
     * Bounds DV read amplification after a burst of merge-on-read

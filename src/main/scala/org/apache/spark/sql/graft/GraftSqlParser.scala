@@ -81,6 +81,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         delegate.parseMultipartIdentifier(table).head) =>
       UpdateSnapshotCommand(delegate.parseMultipartIdentifier(table),
         GraftSqlParser.assignments(setList), Option(where))
+    case InsertPattern(table, query) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      InsertIntoSnapshotCommand(delegate.parseMultipartIdentifier(table), query)
     case CopyIntoPattern(table, source, format) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       CopyIntoSnapshotCommand(delegate.parseMultipartIdentifier(table),
@@ -194,6 +197,11 @@ object GraftSqlParser {
     s"(?is)\\A\\s*DELETE\\s+FROM\\s+$ident(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
   private val UpdatePattern =
     s"(?is)\\A\\s*UPDATE\\s+$ident\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
+  // INSERT INTO <graft table> <query> — the rest of the statement is a
+  // query (SELECT … / VALUES …) parsed by the session parser inside
+  // the command, so the full query grammar is available.
+  private val InsertPattern =
+    s"(?is)\\A\\s*INSERT\\s+INTO\\s+$ident\\s+((?:SELECT|VALUES|WITH|TABLE|\\().+?)\\s*;?\\s*\\z".r
   private val CopyIntoPattern =
     (s"(?is)\\A\\s*COPY\\s+INTO\\s+$ident\\s+FROM\\s+'([^']+)'" +
       "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)\\s*;?\\s*\\z").r
@@ -721,8 +729,53 @@ case class UpdateSnapshotCommand(table: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    val v = SnapshotStore.updateWhere(spark, root, assignments, where)
+    // Same opt-in as DELETE: with graft.enableDeletionVectors the
+    // update is merge-on-read (old copies DV'd, new copies appended).
+    val dv = SnapshotStore.tablePropertiesMap(spark, root)
+      .get("graft.enableDeletionVectors").exists(_.equalsIgnoreCase("true"))
+    val v = if (dv) SnapshotStore.updateWhereDv(spark, root, assignments, where)
+            else SnapshotStore.updateWhere(spark, root, assignments, where)
     Seq(Row(root, v))
+  }
+}
+
+/** `INSERT INTO t <query>` on a snapshot table — the unkeyed append
+  * in its standard SQL spelling, routed to
+  * [[SnapshotStore.appendCommit]]: every existing file carries by
+  * reference, the query's rows land as new files. Columns map
+  * POSITIONALLY to the table schema (SQL INSERT semantics) and cast
+  * to its types; a column-count mismatch fails loudly. Explicit
+  * column lists are not supported (the positional contract is the
+  * whole statement shape). Returns one row (path, version). */
+case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    require(!query.trim.startsWith("("),
+      "graft INSERT INTO does not support explicit column lists — " +
+        "columns map positionally to the table schema")
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"manifest v$cur under $root predates partition-column metadata; " +
+          "re-commit once through any SnapshotStore write path first"))
+    val target = SnapshotStore.schemaFor(spark, root, cur).getOrElse(
+      SnapshotStore.readVersion(spark, root, cur).schema)
+    val df = spark.sql(query)
+    require(df.columns.length == target.fields.length,
+      s"INSERT INTO provides ${df.columns.length} columns but the table " +
+        s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})")
+    val aligned = df.select(df.columns.toSeq.zip(target.fields).map {
+      case (c, f) =>
+        org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+    }: _*)
+    Seq(Row(root, SnapshotStore.appendCommit(spark, aligned, root, partCol)))
   }
 }
 

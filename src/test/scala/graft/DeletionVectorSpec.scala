@@ -210,6 +210,56 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("updateWhereDv vectors old copies and appends updated rows — no file rewritten") {
+    val root = s"${freshDir()}/t"
+    seed(root)
+    val before = SnapshotStore.manifest(spark, root, 1L).map(_.path).toSet
+    val v = SnapshotStore.updateWhereDv(spark, root,
+      Seq("qty" -> "qty + 100"), Some("qty >= 10"))
+    assert(v == 2L)
+    val after = SnapshotStore.manifest(spark, root, 2L)
+    // Original files all carried (now DV'd); updated copies are NEW files.
+    assert(before.subsetOf(after.map(_.path).toSet))
+    assert(after.map(_.path).toSet.size > before.size)
+    assert(after.filter(_.dv.nonEmpty).map(_.dvRows).sum == 3L)
+    assert(SnapshotStore.manifestOperation(spark, root, 2L).contains("update-dv"))
+    val got = SnapshotStore.read(spark, root).select("product_id", "qty")
+      .as[(String, Int)].collect().toMap
+    assert(got.size == 12)
+    assert(got("p10") == 110 && got("p11") == 111 && got("p12") == 112)
+    assert(got("p1") == 1)
+    // An update matching only already-DELETED rows is a no-op: the
+    // deleted row must not resurrect as an updated copy.
+    SnapshotStore.deleteWhereDv(spark, root, "qty = 1")
+    val v3 = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.updateWhereDv(spark, root,
+      Seq("qty" -> "0"), Some("qty = 1")) == v3)
+    assert(SnapshotStore.read(spark, root).count() == 11)
+  }
+
+  test("updateWhereDv moves rows when the partition column is assigned") {
+    val root = s"${freshDir()}/t"
+    seed(root)
+    SnapshotStore.updateWhereDv(spark, root,
+      Seq("supplier" -> "'s9'"), Some("product_id = 'p7'"))
+    val df = SnapshotStore.read(spark, root)
+    assert(df.filter(col("product_id") === "p7").select("supplier")
+      .as[String].collect().toSeq == Seq("s9"))
+    val m = SnapshotStore.manifest(spark, root, 2L)
+    assert(m.exists(_.partition == "s9"))
+    // SQL routing: with the property set, UPDATE goes merge-on-read.
+    spark.conf.set("spark.sql.catalog.graft_dvu",
+      classOf[graft.sinks.GraftCatalog].getName)
+    spark.sql(s"ALTER TABLE graft_dvu.`$root` SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true')")
+    spark.sql(s"UPDATE graft_dvu.`$root` SET qty = 0 WHERE supplier = 's9'")
+    val cur = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.manifestOperation(spark, root, cur).contains("update-dv"))
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("product_id") === "p7").select("qty")
+      .as[Int].collect().toSeq == Seq(0))
+  }
+
   test("properties carry forward across ordinary commits and into clones") {
     val dir = freshDir()
     val root = s"$dir/t"

@@ -217,4 +217,36 @@ class DmlSqlSpec extends SparkSpec {
       SnapshotStore.copyInto(spark, s"$dir/t", s"$dir/incoming"))
     assert(e.getMessage.contains("partition column"))
   }
+
+  test("INSERT INTO appends VALUES and SELECT rows positionally, carrying old files") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_ins")
+    table(("p1", "a", 1)).write.format("graft-snapshot")
+      .option("partitionCol", "supplier").save(root)
+    val before = SnapshotStore.manifest(spark, root, 1L).map(_.path).toSet
+    val out = spark.sql(s"INSERT INTO graft_ins.`$root` " +
+      "VALUES ('p2', 'b', 2), ('p3', 'a', 3)").collect()
+    assert(out.head.getLong(1) == 2L)
+    // SELECT-shaped insert, with a cast (string '4' -> int qty).
+    spark.sql(s"INSERT INTO graft_ins.`$root` " +
+      "SELECT 'p4', 'c', '4'")
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "supplier", "qty")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("p1", "a", 1), ("p2", "b", 2), ("p3", "a", 3),
+      ("p4", "c", 4)))
+    // Appends carried v1's files by reference.
+    assert(before.subsetOf(
+      SnapshotStore.manifest(spark, root, 3L).map(_.path).toSet))
+    assert(SnapshotStore.manifestOperation(spark, root, 2L).contains("append"))
+    // Column-count mismatch fails loudly.
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_ins.`$root` VALUES ('p5', 'x')"))
+    assert(e.getMessage.contains("columns"))
+    // A non-graft INSERT flows to the session parser untouched.
+    spark.sql("CREATE OR REPLACE TEMP VIEW ins_plain AS SELECT 1 AS x")
+    val e2 = intercept[Exception](spark.sql(
+      "INSERT INTO ins_plain VALUES (2)"))
+    assert(!e2.getMessage.contains("graft"))
+  }
 }
