@@ -76,6 +76,7 @@ object ScaleSmoke {
     var bm25TableDir = "" // set by bm25_index_build, read by bm25_via_index
     var bm25IndexDir = ""
     var deleteWhereRoot = "" // set by delete_where_setup
+    var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -475,6 +476,41 @@ object ScaleSmoke {
       time("delete_where_narrow") {
         graft.sinks.SnapshotStore.deleteWhere(spark, deleteWhereRoot,
           "part = 3 AND doc_id % 7 = 0")
+      },
+      // Merge-on-read delete vs rewrite on a TABLE-WIDE sparse
+      // predicate (every partition holds a match — the rewrite path's
+      // worst case and the DV path's design case): same fresh table,
+      // same predicate, then the post-delete read overhead of the
+      // broadcast anti-join, and the purge that retires it.
+      time("dv_setup") {
+        val d1 = java.nio.file.Files
+          .createTempDirectory("graft_scale_dvr").toString
+        val d2 = java.nio.file.Files
+          .createTempDirectory("graft_scale_dvm").toString
+        dvRootRewrite = s"$d1/t"; dvRootMor = s"$d2/t"
+        graft.sinks.SnapshotStore.commit(spark, snapBase, dvRootRewrite, "part")
+        graft.sinks.SnapshotStore.commit(spark, snapBase, dvRootMor, "part")
+        2L
+      },
+      time("delete_sparse_rewrite") {
+        graft.sinks.SnapshotStore.deleteWhere(spark, dvRootRewrite,
+          "doc_id % 211 = 13")
+      },
+      time("delete_sparse_dv") {
+        graft.sinks.SnapshotStore.deleteWhereDv(spark, dvRootMor,
+          "doc_id % 211 = 13")
+      },
+      time("read_after_rewrite") {
+        graft.sinks.SnapshotStore.read(spark, dvRootRewrite).count()
+      },
+      time("read_after_dv") {
+        graft.sinks.SnapshotStore.read(spark, dvRootMor).count()
+      },
+      time("dv_purge") {
+        graft.sinks.SnapshotStore.purgeDeletionVectors(spark, dvRootMor)
+      },
+      time("read_after_purge") {
+        graft.sinks.SnapshotStore.read(spark, dvRootMor).count()
       },
       // SemDeDup at 20×: cell-confined pairwise cosine — Σ|cell|², not
       // n²; the equi-join on cell id is the only corpus-sized shuffle.

@@ -1819,6 +1819,11 @@ object SnapshotStore {
     * Delta. */
   def restore(spark: SparkSession, root: String, toVersion: Long,
               maxAttempts: Int = 5): Long = {
+    // Note: restoring a DELETION-VECTORED version re-publishes its DV
+    // attachments; vacuum keeps any DV dir referenced by a KEPT
+    // manifest, so a restore within the retention window is always
+    // readable — restoring past vacuumed history fails on the missing
+    // manifest itself, same as Delta.
     val target = manifest(spark, root, toVersion)
     // Partition-column metadata, hoisted (the header is immutable —
     // re-reading it per CAS retry would be wasted manifest GETs).

@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -56,7 +57,8 @@ class SnapshotStreamSource(
     root: String,
     startingVersion: Long,
     skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
 
@@ -64,6 +66,33 @@ class SnapshotStreamSource(
   override val schema: StructType = SnapshotStreamSource.tableSchema(spark, root)
 
   @volatile private var highWater: Long = startingVersion
+
+  /** Set by `Trigger.AvailableNow`: the table tip whose backlog this
+    * run must drain — in rationed batches — before self-terminating;
+    * commits landing mid-drain wait for the next run. Implementing
+    * [[SupportsTriggerAvailableNow]] on the V1 `Source` (Spark's own
+    * FileStreamSource pattern) keeps the source UNWRAPPED, so the
+    * engine keeps calling [[latestOffset]] per batch; the generic
+    * AvailableNowSourceWrapper would instead freeze the end offset at
+    * one getOffset result, which under rationing is just the first
+    * `maxVersionsPerTrigger` versions. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      SnapshotStore.currentVersion(spark, root).orElse(Some(startingVersion))
+
+  /** Admission-controlled tip. `start` and `limit` are deliberately
+    * unused: the rationing reference point is `highWater`, re-seeded by
+    * the engine's checkpointed-batch replay through [[getBatch]] on
+    * restart (the authoritative V1 path), and the version budget comes
+    * from the source's own `maxVersionsPerTrigger` option. */
+  override def latestOffset(start: ConnectorOffset, limit: ReadLimit): ConnectorOffset =
+    SnapshotStore.currentVersion(spark, root).map { cur =>
+      val tip = availableNowCap.fold(cur)(math.min(_, cur))
+      LongOffset(ChangeFeedSource.cappedEnd(
+        spark, root, highWater, tip, maxVersionsPerTrigger)): ConnectorOffset
+    }.orNull
 
   override def getOffset: Option[Offset] =
     SnapshotStore.currentVersion(spark, root).map { cur =>

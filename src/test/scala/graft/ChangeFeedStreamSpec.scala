@@ -34,6 +34,35 @@ class ChangeFeedStreamSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the feed backlog in rationed batches, then stops") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 1)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_avail")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    val got = spark.table("feed_avail")
+      .select("product_id", "version", "_change_type", "_commit_version")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("p1", 1, "insert", 1L), ("p2", 1, "insert", 2L),
+      ("p1", 2, "update", 3L)))
+    // Rationed to one version per micro-batch: three emitting batches.
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("full replay from version 0: inserts, updates, deletes, version-tagged") {
     val dir = freshDir()
     val root = s"$dir/t"

@@ -275,4 +275,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "BM25 aggregates lost map-side combining:\n" + p.take(1200))
   }
+
+  test("deletion-vector read: broadcast ANTI join over the scan, pushdown intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sinks.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("planshape_dv")
+      .resolve("t").toString
+    val base = (1 to 100).map(i => (s"p$i", s"s${i % 4}", i))
+      .toDF("product_id", "supplier", "qty")
+    SnapshotStore.commit(spark, base, root, "supplier")
+    SnapshotStore.deleteWhereDv(spark, root, "qty % 10 = 0")
+    val q = SnapshotStore.table(spark, root).filter(col("qty") > 50)
+    val p = q.queryExecution.executedPlan.toString
+    // The DV side is tiny by contract: it must broadcast, the join
+    // must be an ANTI join (never inner/cartesian), and the query's
+    // own predicate must still reach the parquet scan underneath.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "DV application lost the broadcast anti-join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("PushedFilters: [IsNotNull(qty), GreaterThan(qty,50)")
+      || p.contains("GreaterThan(qty,50)"),
+      "predicate no longer pushed under the DV join:\n" + p.take(1200))
+    assert(q.count() == 45) // 50 above-50 rows minus 60,70,80,90,100
+  }
+
+  test("ExactSubstr removal: keyed joins and partial aggregates, never quadratic") {
+    assume(available)
+    val p = plan("q174_remove_dup_spans")
+    assert(!p.contains("CartesianProduct"),
+      "span removal went cartesian:\n" + p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "span removal degraded to a nested-loop join:\n" + p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "span aggregates lost map-side combining:\n" + p.take(1200))
+  }
 }

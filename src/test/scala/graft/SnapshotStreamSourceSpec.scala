@@ -125,6 +125,28 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       q2.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("Trigger.AvailableNow drains the backlog in rationed batches, then stops") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p2", "a", 2)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p3", "a", 3)), root, "supplier")
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("snap_avail")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow self-terminates once the start-time backlog drains.
+    assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    assert(spark.table("snap_avail").select("product_id")
+      .as[String].collect().toSet == Set("p1", "p2", "p3"))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("restart resumes exactly-once through the file sink") {
     val dir = freshDir()
     val root = s"$dir/t"
