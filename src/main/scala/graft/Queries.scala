@@ -5880,7 +5880,88 @@ object Queries {
       UNION ALL
       SELECT * FROM (VALUES (9000001, 'Z', 1.5), (9000002, 'Z', 2.5))
         AS t(o_orderkey, o_orderstatus, o_totalprice)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // Column mapping — Delta's name mode (ALTER TABLE … RENAME COLUMN
+    // as pure metadata): the rename publishes a version whose file
+    // paths are IDENTICAL to its parent (require-pinned — zero
+    // rewrite; parquet keeps the original physical name forever), a
+    // merge then lands under the NEW logical name, and the new files'
+    // PHYSICAL schema still carries the original name (require-pinned
+    // by a raw read). The hashed result reads through the catalog so
+    // the mapping projection sits under real SQL.
+    ("q177_rename_column", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q177_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.withColumn("rev", lit(1)), root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q177",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val renamed = s.sql(s"ALTER TABLE graft_q177.`$root` " +
+        "RENAME COLUMN o_totalprice TO price").collect()
+      require(renamed.head.getLong(1) == 2L, "RENAME must publish v2")
+      val p1 = graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet
+      require(graft.sinks.SnapshotStore.manifest(s, root, 2L)
+        .map(_.path).toSet == p1, "RENAME must rewrite zero files")
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 1000.0).as("price"), lit(2).as("rev")),
+        root, "o_orderkey", "rev", "o_orderstatus")
+      val newFiles = graft.sinks.SnapshotStore.manifest(s, root, 3L)
+        .map(_.path).filterNot(p1)
+      require(newFiles.nonEmpty, "merge must write new files")
+      val physCols = s.read.parquet(
+        new org.apache.hadoop.fs.Path(root, newFiles.head).toString).columns.toSet
+      require(physCols.contains("o_totalprice") && !physCols.contains("price"),
+        "new files must carry the PHYSICAL column name")
+      s.sql(s"SELECT o_orderkey, o_orderstatus, price, rev " +
+        s"FROM graft_q177.`$root` ORDER BY o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS price,
+        CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev
+      FROM orders ORDER BY o_orderkey""")),
+
+    // DROP COLUMN (metadata tombstone — files untouched, time travel
+    // resurrects) + ADD COLUMN (metadata widening — carried files read
+    // the new column as typed nulls), composed: drop c_acctbal, add a
+    // note column, append a wave that POPULATES it. Require-pins: both
+    // ALTERs rewrite zero files; version 1 still shows c_acctbal.
+    ("q178_drop_add_column", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q178_store")
+        .resolve("t").toString
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+          col("c_acctbal"))
+      graft.sinks.SnapshotStore.commit(s, cust, root, "c_mktsegment")
+      s.conf.set("spark.sql.catalog.graft_q178",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"ALTER TABLE graft_q178.`$root` DROP COLUMN c_acctbal")
+      s.sql(s"ALTER TABLE graft_q178.`$root` ADD COLUMN note STRING")
+      val p1 = graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet
+      require(graft.sinks.SnapshotStore.manifest(s, root, 3L)
+        .map(_.path).toSet == p1, "both ALTERs must rewrite zero files")
+      require(graft.sinks.SnapshotStore.readVersion(s, root, 1L)
+        .columns.contains("c_acctbal"), "time travel must resurrect the column")
+      graft.sinks.SnapshotStore.appendCommit(s,
+        cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_name"), lit("new").as("note")),
+        root, "c_mktsegment")
+      s.sql(s"SELECT c_custkey, c_mktsegment, c_name, note " +
+        s"FROM graft_q178.`$root` ORDER BY c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment, c_name, CAST(NULL AS VARCHAR) AS note
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, c_name, 'new' AS note
+      FROM customer WHERE c_custkey % 4 = 0
+      ORDER BY c_custkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

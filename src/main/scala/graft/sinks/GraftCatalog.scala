@@ -150,18 +150,27 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
     * the version the catalog already resolved — no second listing. */
   lazy val (v1, _, entries) = SnapshotStore.relationWithIndex(
     spark, root, Some(resolvedVersion), None)
-  /** Deletion vectors present? Decides whether [[ResolveGraftSnapshot]]
-    * can hand Spark the bare file relation or must wrap it in the
-    * DV-applying anti-join. */
+  /** The version's column mapping (renames + dropped physicals) —
+    * empty for unmapped tables. */
+  lazy val mapping: (Map[String, String], Set[String]) =
+    SnapshotStore.columnMappingAt(spark, root, resolvedVersion)
+  /** Deletion vectors or column mapping present? Decides whether
+    * [[ResolveGraftSnapshot]] can hand Spark the bare file relation or
+    * must wrap it (DV anti-join and/or the logical-name projection —
+    * both filter/prune-transparent to Catalyst). */
   lazy val hasDvs: Boolean = entries.exists(_.dv.nonEmpty)
-  /** The DV-applied read, only built for DV-bearing versions. */
-  lazy val dvPlan: LogicalPlan = SnapshotStore.applyDvs(spark, root,
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(v1), entries)
+  lazy val needsWrap: Boolean =
+    hasDvs || mapping._1.nonEmpty || mapping._2.nonEmpty
+  /** The DV-applied, mapping-presented read, only built when needed. */
+  lazy val dvPlan: LogicalPlan = SnapshotStore.presentLogical(
+    SnapshotStore.applyDvs(spark, root,
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(v1), entries), mapping)
     .queryExecution.analyzed
   override def name(): String =
     s"graft.`$root`" + snapshotVersion.map(v => s" VERSION AS OF $v").getOrElse("")
-  override def schema(): StructType = v1.schema
+  override def schema(): StructType =
+    SnapshotStore.logicalSchema(v1.schema, mapping)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 }
@@ -174,13 +183,13 @@ case class ResolveGraftSnapshot(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.resolveOperators {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
         val t = r.table.asInstanceOf[GraftSnapshotTable]
-        if (!t.hasDvs)
+        if (!t.needsWrap)
           LogicalRelation(t.v1, r.output, None, isStreaming = false, stream = None)
         else {
-          // Deletion vectors: substitute the DV-applied plan, aliasing
-          // its output onto the analyzed attribute ids so references
-          // above this relation stay valid. Same columns/types — only
-          // the expression ids need pinning.
+          // Deletion vectors / column mapping: substitute the wrapped
+          // plan, aliasing its output onto the analyzed attribute ids
+          // so references above this relation stay valid. Same
+          // columns/types — only the expression ids need pinning.
           val child = t.dvPlan
           org.apache.spark.sql.catalyst.plans.logical.Project(
             child.output.zip(r.output).map { case (a, o) =>

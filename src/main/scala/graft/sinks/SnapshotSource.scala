@@ -232,20 +232,25 @@ class SnapshotSource extends RelationProvider
             sqlContext.sparkSession, root, SnapshotSource.parseTimestampMillis(raw)))
           case (None, None) => None
         }
+        val spark0 = sqlContext.sparkSession
         val (rel, _, entries) = SnapshotStore.relationWithIndex(
-          sqlContext.sparkSession, root, version, partitions)
-        if (entries.forall(_.dv.isEmpty)) rel
+          spark0, root, version, partitions)
+        val v = version.orElse(SnapshotStore.currentVersion(spark0, root)).get
+        val mapping = SnapshotStore.columnMappingAt(spark0, root, v)
+        if (entries.forall(_.dv.isEmpty) &&
+            mapping._1.isEmpty && mapping._2.isEmpty) rel
         else {
-          // Deletion vectors: the bare file relation would resurrect
-          // deleted rows, so serve the DV-applied DataFrame as a
-          // computed scan (same surface pattern as the CDC view).
-          // The scale path for DV-bearing tables is the Scala
-          // `SnapshotStore.table`, which keeps the skipping index
-          // UNDER the broadcast anti-join.
-          val spark = sqlContext.sparkSession
-          val df = SnapshotStore.applyDvs(spark, root,
+          // Deletion vectors / column mapping: the bare file relation
+          // would resurrect deleted rows (or expose physical names),
+          // so serve the transformed DataFrame as a computed scan
+          // (same surface pattern as the CDC view). The scale path for
+          // such tables is the Scala `SnapshotStore.table` (or the
+          // catalog's `graft.`-qualified SQL), which keep the skipping
+          // index UNDER the projection.
+          val spark = spark0
+          val df = SnapshotStore.presentLogical(SnapshotStore.applyDvs(spark, root,
             spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-              .baseRelationToDataFrame(rel), entries)
+              .baseRelationToDataFrame(rel), entries), mapping)
           val ctx = sqlContext
           new BaseRelation with org.apache.spark.sql.sources.TableScan {
             override def sqlContext: SQLContext = ctx

@@ -242,6 +242,140 @@ object SnapshotStore {
     }
   }
 
+  /** Column mapping recorded in a version's manifest — Delta's
+    * column-mapping NAME MODE: parquet files keep their original
+    * ("physical") column names forever; renames and drops are pure
+    * metadata. Two header shapes:
+    *  - `#colmap\t<logical-enc>\t<physical-enc>` — one per RENAMED
+    *    column (identity mappings are never stored);
+    *  - `#coldrop\t<physical-enc>` — one per dropped physical column
+    *    (a tombstone: readers project it away; the data stays in the
+    *    files until they are naturally rewritten).
+    * Returns (renames logical→physical, dropped physical names). Both
+    * empty for an unmapped table — every mapping-aware code path must
+    * be ZERO extra cost then. */
+  def columnMapping(spark: SparkSession, root: String,
+                    version: Long): (Seq[(String, String)], Seq[String]) = {
+    val renames = manifestHeaderAll(spark, root, version, "colmap").map { l =>
+      val Array(lg, ph) = l.split("\t", 2)
+      (URLDecoder.decode(lg, UTF_8), URLDecoder.decode(ph, UTF_8))
+    }
+    val dropped = manifestHeaderAll(spark, root, version, "coldrop")
+      .map(URLDecoder.decode(_, UTF_8))
+    (renames, dropped)
+  }
+
+  /** [[columnMapping]] under a name visible where a `columnMapping`
+    * PARAMETER shadows the method ([[writeManifest]]). */
+  private def columnMapping0(spark: SparkSession, root: String,
+                             version: Long): (Seq[(String, String)], Seq[String]) =
+    columnMapping(spark, root, version)
+
+  /** [[columnMapping]] as lookup structures, degraded to empty on a
+    * missing/unreadable manifest (derived metadata never blocks). */
+  private def mappingAt(spark: SparkSession, root: String,
+                        version: Long): (Map[String, String], Set[String]) =
+    if (version < 1) (Map.empty, Set.empty)
+    else try {
+      val (r, d) = columnMapping(spark, root, version)
+      (r.toMap, d.toSet)
+    } catch { case _: java.io.IOException => (Map.empty, Set.empty) }
+
+  /** [[columnMapping]] as lookup structures (renames logical→physical,
+    * dropped physical names) — empty when the manifest is missing or
+    * predates mapping. Public for the streaming sources and SQL
+    * commands, which live outside this package. */
+  def columnMappingAt(spark: SparkSession, root: String,
+                      version: Long): (Map[String, String], Set[String]) =
+    mappingAt(spark, root, version)
+
+  /** Present a PHYSICAL frame (a raw file read) through a column
+    * mapping — the read half of the mapping boundary, public for the
+    * streaming sources which read added files directly. Identity when
+    * the mapping is empty. */
+  def presentLogical(df: DataFrame,
+      mapping: (Map[String, String], Set[String])): DataFrame =
+    applyColumnMapping(df, mapping)
+
+  /** A version's LOGICAL schema: the recorded physical schema through
+    * that version's column mapping, when recorded. */
+  def logicalSchemaAt(spark: SparkSession, root: String,
+      version: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaFor(spark, root, version)
+      .map(logicalSchema(_, mappingAt(spark, root, version)))
+
+  /** Physical column name of logical `name` under `renames` (identity
+    * when unmapped). */
+  private def physicalNameOf(renames: Map[String, String], name: String): String =
+    renames.getOrElse(name, name)
+
+  /** Physical→logical boundary: project `df` (physical file columns)
+    * to the table's LOGICAL columns — drop tombstoned physicals, alias
+    * renamed ones. Identity (and zero plan nodes) when the mapping is
+    * empty. A plain alias projection, so Catalyst pushes filters and
+    * pruning straight through it to the physical scan. */
+  private[sinks] def applyColumnMapping(df: DataFrame,
+      mapping: (Map[String, String], Set[String])): DataFrame = {
+    val (renames, dropped) = mapping
+    if (renames.isEmpty && dropped.isEmpty) df
+    else {
+      val byPhysical = renames.map(_.swap)
+      df.select(df.columns.toSeq.collect {
+        case c if !dropped(c) => byPhysical.get(c) match {
+          case Some(logical) => col(c).as(logical)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** [[applyColumnMapping]] at the StructType level (for recorded
+    * schemas and pinned stream schemas). */
+  private[sinks] def logicalSchema(schema: org.apache.spark.sql.types.StructType,
+      mapping: (Map[String, String], Set[String])): org.apache.spark.sql.types.StructType = {
+    val (renames, dropped) = mapping
+    if (renames.isEmpty && dropped.isEmpty) schema
+    else {
+      val byPhysical = renames.map(_.swap)
+      org.apache.spark.sql.types.StructType(schema.fields.toSeq.collect {
+        case f if !dropped(f.name) =>
+          byPhysical.get(f.name).map(l => f.copy(name = l)).getOrElse(f)
+      })
+    }
+  }
+
+  /** Logical→physical boundary for frames about to be WRITTEN: rename
+    * mapped logical columns back to their stable physical names, and
+    * refuse collisions a table-wide name mode cannot represent — a new
+    * column whose name is a dropped column's physical name (old files
+    * still hold that physical column; mixing would resurrect dropped
+    * data under the new column) or another column's physical name.
+    * Failing loudly here is Delta's own posture: physical names are
+    * reserved for the table's lifetime; pick another name. */
+  private def toPhysical(df: DataFrame,
+      mapping: (Map[String, String], Set[String])): DataFrame = {
+    val (renames, dropped) = mapping
+    if (renames.isEmpty && dropped.isEmpty) df
+    else {
+      val owned = renames.map(_.swap) // physical -> logical
+      df.columns.foreach { c =>
+        if (c != PartDir && !renames.contains(c)) {
+          require(!dropped(c),
+            s"column name '$c' is reserved: it is the physical name of a " +
+              "DROPPED column and old data files still carry it. Pick " +
+              "another name (or rewrite the table to purge the old column)")
+          require(!owned.contains(c),
+            s"column name '$c' is reserved: it is the physical name of " +
+              s"column '${owned(c)}'. Pick another name")
+        }
+      }
+      renames.foldLeft(df) { case (d, (logical, physical)) =>
+        if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
+        else d
+      }
+    }
+  }
+
   /** CHECK constraints recorded in a version's manifest
     * (`#constraint\tname\turl-encoded-expr` headers) — table metadata
     * in the log, the Delta constraint convention. */
@@ -353,7 +487,8 @@ object SnapshotStore {
                             partitionCol: String = "",
                             extraHeaders: Seq[String] = Nil,
                             constraints: Option[Seq[(String, String)]] = None,
-                            properties: Option[Seq[(String, String)]] = None): Boolean = {
+                            properties: Option[Seq[(String, String)]] = None,
+                            columnMapping: Option[(Seq[(String, String)], Seq[String])] = None): Boolean = {
     val f = fs(spark, root)
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(root, s"manifests/.v_$version.tmp-$token")
@@ -388,6 +523,14 @@ object SnapshotStore {
         try tableProperties(spark, root, version - 1)
         catch { case _: java.io.IOException => Nil }
       else Nil)
+    // Column mapping carries forward exactly like constraints unless
+    // the caller REPLACES it (ALTER TABLE RENAME/DROP COLUMN, restore,
+    // clone).
+    val effectiveMapping = columnMapping.getOrElse(
+      if (version > 1)
+        try columnMapping0(spark, root, version - 1)
+        catch { case _: java.io.IOException => (Nil, Nil) }
+      else (Nil, Nil))
     val headers = s"#committer\t$token" +:
       (Seq(s"#ts\t$ts") ++
         (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
@@ -399,6 +542,9 @@ object SnapshotStore {
           s"#constraint\t$n\t${URLEncoder.encode(e, UTF_8)}" } ++
         effectiveProperties.map { case (k, v) =>
           s"#prop\t${URLEncoder.encode(k, UTF_8)}\t${URLEncoder.encode(v, UTF_8)}" } ++
+        effectiveMapping._1.map { case (lg, ph) =>
+          s"#colmap\t${URLEncoder.encode(lg, UTF_8)}\t${URLEncoder.encode(ph, UTF_8)}" } ++
+        effectiveMapping._2.map(ph => s"#coldrop\t${URLEncoder.encode(ph, UTF_8)}") ++
         extraHeaders)
     try out.write((headers ++ entries.map { e =>
       val base = s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}"
@@ -512,10 +658,21 @@ object SnapshotStore {
     * footer read over the new paths — the format doesn't change. */
   private def writeStats(spark: SparkSession, root: String, v: Long,
                          carried: Seq[ManifestEntry], fresh: Seq[ManifestEntry],
-                         newSchema: Option[org.apache.spark.sql.types.StructType],
+                         newSchemaLogical: Option[org.apache.spark.sql.types.StructType],
                          basis: Option[Long] = None): Unit = try {
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
+    // The recorded schema is PHYSICAL (it describes what the parquet
+    // files hold; the logical view is derived by applying the
+    // version's column mapping on read). Callers pass their batch's
+    // LOGICAL schema — translate renamed fields back. Identity for
+    // unmapped tables.
+    val newSchema = newSchemaLogical.map { s =>
+      val (renames, _) = mappingAt(spark, root, v)
+      if (renames.isEmpty) s
+      else org.apache.spark.sql.types.StructType(s.fields.toSeq.map(fld =>
+        renames.get(fld.name).map(ph => fld.copy(name = ph)).getOrElse(fld)))
+    }
     // `basis` points the prior-metadata lookup at a version other than
     // v-1 (RESTORE seeds from the restore target, so the recorded
     // schema snaps back EXACTLY — no union with the abandoned tip).
@@ -730,9 +887,10 @@ object SnapshotStore {
   def tableWithIndex(spark: SparkSession, root: String, version: Option[Long] = None,
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
     val (rel, idx, entries) = relationWithIndex(spark, root, version, partitions)
-    (applyDvs(spark, root,
+    val v = version.orElse(currentVersion(spark, root)).get
+    (applyColumnMapping(applyDvs(spark, root,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(rel), entries), idx)
+        .baseRelationToDataFrame(rel), entries), mappingAt(spark, root, v)), idx)
   }
 
   /** The skipping-indexed relation behind [[table]] — also what the
@@ -787,9 +945,22 @@ object SnapshotStore {
     * the real column stays inside the parquet (readers never depend on
     * directory layout). */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, root: String,
-                             v: Long, partitionCol: String): Seq[ManifestEntry] = {
+                             v: Long, partitionCol: String,
+                             translate: Boolean = true): Seq[ManifestEntry] = {
     val dataDir = s"data/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn(PartDir, col(partitionCol))
+    // Column mapping's logical→physical boundary: content paths hand
+    // LOGICAL frames here (translate = true, the default); layout
+    // paths (compact / zorder / purge) read files RAW and re-write
+    // them physical-as-is (translate = false) — translating an
+    // already-physical frame would trip the collision guard. The
+    // `__part` directory key is derived from the caller's column
+    // BEFORE translation, so both call shapes pass the name that
+    // exists in their frame.
+    val physical =
+      if (!translate) df.withColumn(PartDir, col(partitionCol))
+      else toPhysical(df.withColumn(PartDir, col(partitionCol)),
+        mappingAt(spark, root, v - 1))
+    physical
       .write.mode("error").partitionBy(PartDir)
       .parquet(new Path(root, dataDir).toString)
     val f = fs(spark, root)
@@ -883,14 +1054,20 @@ object SnapshotStore {
     readVersion(spark, root, v, partitions)
   }
 
-  /** Time travel: read a specific committed version. */
+  /** Time travel: read a specific committed version, presented through
+    * that version's column mapping (`mappingVersion` overrides which
+    * version's mapping applies — the CDC feed reads BOTH sides of a
+    * diff under the newer version's names, Delta CDF's latest-schema
+    * convention). */
   def readVersion(spark: SparkSession, root: String, version: Long,
-                  partitions: Option[Seq[String]] = None): DataFrame = {
+                  partitions: Option[Seq[String]] = None,
+                  mappingVersion: Option[Long] = None): DataFrame = {
     val all = manifest(spark, root, version)
     val wanted = partitions match {
       case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
       case None => all
     }
+    val mapping = mappingAt(spark, root, mappingVersion.getOrElse(version))
     // A fully-pruned selection keeps the snapshot's schema (limit 0
     // over the full file set) rather than failing on an empty path
     // list. A version with NO files at all (a deleteCommit emptied
@@ -899,12 +1076,14 @@ object SnapshotStore {
     if (all.isEmpty)
       schemaFor(spark, root, version) match {
         case Some(sc) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          logicalSchema(sc, mapping))
         case None => throw new IllegalStateException(
           s"version $version of $root has no files and no schema sidecar")
       }
-    else if (wanted.isEmpty) readEntries(spark, root, all).limit(0)
-    else readEntries(spark, root, wanted)
+    else if (wanted.isEmpty)
+      applyColumnMapping(readEntries(spark, root, all).limit(0), mapping)
+    else applyColumnMapping(readEntries(spark, root, wanted), mapping)
   }
 
   /** Commit `df` as a full new snapshot (CTAS / backup path). Returns
@@ -1116,9 +1295,14 @@ object SnapshotStore {
           // No checkpoint needed: data files are append-only, so reading
           // the replaced files while writing the new version's files
           // cannot race (unlike overwrite-in-place sinks).
+          // Existing rows surface LOGICALLY (column mapping applied)
+          // so the key/order comparison and the union see one naming;
+          // writeDataFiles translates back to physical names at write.
           val m = if (replaced.isEmpty) incoming
-            else Upsert.merge(readEntries(spark, root, replaced), incoming,
-              Seq(keyCol), orderBy)
+            else Upsert.merge(
+              applyColumnMapping(readEntries(spark, root, replaced),
+                mappingAt(spark, root, cur)),
+              incoming, Seq(keyCol), orderBy)
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
@@ -1221,7 +1405,8 @@ object SnapshotStore {
           .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
-      val remaining = readEntries(spark, root, replaced)
+      val remaining = applyColumnMapping(readEntries(spark, root, replaced),
+          mappingAt(spark, root, cur))
         .join(doomed, Seq(keyCol), "left_anti")
       val v = cur + 1
       val newEntries = writeDataFiles(spark, remaining, root, v, partitionCol)
@@ -1266,7 +1451,8 @@ object SnapshotStore {
         .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
-      val remaining = readEntries(spark, root, replaced).filter(!hit)
+      val remaining = applyColumnMapping(readEntries(spark, root, replaced),
+        mappingAt(spark, root, cur)).filter(!hit)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, remaining, root, v, partCol)
       if (writeManifest(spark, root, v, kept ++ newEntries, "delete", partCol)) {
@@ -1320,10 +1506,16 @@ object SnapshotStore {
         (spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(rel), idx)
       }
-      val doomed = raw
-        .select(regexp_extract(col("_metadata.file_path"),
-            "([^/]+/[^/]+)$", 1).as("file_key"),
-          col("_metadata.row_index").as("pos"), hit.as("__hit"))
+      // Row identity (_metadata) materializes FIRST — hidden columns
+      // only resolve against the scan frame — then the column mapping
+      // presents logical names so the user's predicate resolves.
+      val doomed = applyColumnMapping(raw
+          .withColumn("__graft_fk", regexp_extract(col("_metadata.file_path"),
+            "([^/]+/[^/]+)$", 1))
+          .withColumn("__graft_pos", col("_metadata.row_index")),
+          mappingAt(spark, root, cur))
+        .select(col("__graft_fk").as("file_key"),
+          col("__graft_pos").as("pos"), hit.as("__hit"))
         .filter(col("__hit")).drop("__hit")
       val existing = dvRowsFor(spark, root, entries)
       // Fresh = positions not already deleted; an all-stale match set
@@ -1389,21 +1581,25 @@ object SnapshotStore {
             "re-commit once through any SnapshotStore write path first"))
       val entries = manifest(spark, root, cur)
       if (entries.isEmpty) return cur
-      val raw = {
+      val rawRel = {
         val (rel, _, _) = relationWithIndex(spark, root, Some(cur), None)
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(rel)
       }
-      val dataCols = raw.columns.toSeq
+      // _metadata first, then the mapping — same order as deleteWhereDv
+      // — so assignments and predicate see LOGICAL columns.
+      val raw = applyColumnMapping(rawRel
+          .withColumn("__fk",
+            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("__pos", col("_metadata.row_index")),
+        mappingAt(spark, root, cur))
+      val dataCols = raw.columns.toSeq.filterNot(Set("__fk", "__pos"))
       val types = raw.schema.map(f => f.name -> f.dataType).toMap
-      assignments.foreach { case (c, _) => require(types.contains(c),
+      assignments.foreach { case (c, _) => require(types.contains(c) &&
+        c != "__fk" && c != "__pos",
         s"UPDATE SET targets unknown column '$c' " +
           s"(columns: ${dataCols.mkString(", ")})") }
-      val matched = raw
-        .withColumn("__fk",
-          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .filter(hit)
+      val matched = raw.filter(hit)
       val existing = dvRowsFor(spark, root, entries)
       val live = existing.map(e => matched.join(
           e.select(col("file_key").as("__fk"), col("pos").as("__pos")),
@@ -1470,7 +1666,10 @@ object SnapshotStore {
       if (replaced.isEmpty) return cur
       val materialized = readEntries(spark, root, replaced) // DV-aware
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, materialized, root, v, partCol)
+      // Physical rewrite (see compact): no translation, physical name.
+      val newEntries = writeDataFiles(spark, materialized, root, v,
+        physicalNameOf(mappingAt(spark, root, cur)._1, partCol),
+        translate = false)
       if (writeManifest(spark, root, v, kept ++ newEntries, "purge", partCol)) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
@@ -1524,9 +1723,12 @@ object SnapshotStore {
       // Align the replaced files to the RECORDED table schema: after a
       // schema evolution, a matched partition's files may predate an
       // evolved column — UPDATE must still be able to SET it (it reads
-      // as typed nulls, exactly like any scan).
-      val raw = readEntries(spark, root, replaced)
-      val current = schemaFor(spark, root, cur) match {
+      // as typed nulls, exactly like any scan). Both the frame and the
+      // recorded schema pass through the column mapping first, so the
+      // alignment (and the user's assignments) see LOGICAL names.
+      val mapping = mappingAt(spark, root, cur)
+      val raw = applyColumnMapping(readEntries(spark, root, replaced), mapping)
+      val current = schemaFor(spark, root, cur).map(logicalSchema(_, mapping)) match {
         case Some(sc) =>
           val have = raw.columns.toSet
           val widened = sc.fields.filterNot(f => have(f.name))
@@ -1623,6 +1825,151 @@ object SnapshotStore {
       s"lost the drop-constraint race $maxAttempts times under $root")
   }
 
+  /** The table's current LOGICAL column names: recorded physical
+    * schema (or a footer read as fallback) through the version's
+    * column mapping. */
+  private def logicalColumns(spark: SparkSession, root: String,
+                             cur: Long): Seq[String] = {
+    val physical = schemaFor(spark, root, cur).getOrElse(
+      readEntries(spark, root, manifest(spark, root, cur)).schema)
+    logicalSchema(physical, mappingAt(spark, root, cur)).fieldNames.toSeq
+  }
+
+  /** Conservative guard: does any CHECK constraint's expression
+    * mention `name` as a word? (May over-match inside string literals
+    * — acceptable: the failure mode is a loud refusal, never a broken
+    * constraint.) */
+  private def constraintMentions(spark: SparkSession, root: String,
+                                 cur: Long, name: String): Option[String] =
+    tableConstraints(spark, root, cur).collectFirst {
+      case (n, e) if ("""(?i)(?<![\w$])""" + java.util.regex.Pattern.quote(name) +
+        """(?![\w$])""").r.findFirstIn(e).isDefined => n
+    }
+
+  /** `ALTER TABLE t RENAME COLUMN from TO to` — Delta's column-mapping
+    * rename: a METADATA-ONLY commit (zero files rewritten; parquet
+    * files keep the original "physical" name forever, reads alias it).
+    * Renaming the partition column is allowed — the manifest's
+    * `#partcol` follows, while directory layout (physical) stays.
+    * Refused when a CHECK constraint references the column (Delta's
+    * own restriction — the stored expression would silently break) or
+    * when the new name collides with a reserved physical name.
+    * Returns the new version. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String, maxAttempts: Int = 5): Long = {
+    require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      require(cols.contains(from),
+        s"cannot rename missing column '$from' (columns: ${cols.mkString(", ")})")
+      require(!cols.contains(to),
+        s"cannot rename '$from' to '$to': column '$to' already exists")
+      constraintMentions(spark, root, cur, from).foreach(n =>
+        throw new IllegalStateException(
+          s"cannot rename column '$from': CHECK constraint $n references " +
+            s"it; DROP the constraint first and re-ADD it against the new name"))
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      val physical = physicalNameOf(renames, from)
+      require(!dropped(to),
+        s"cannot rename to '$to': that name is reserved by a dropped " +
+          "column whose data files still carry it")
+      require(!renames.exists { case (lg, ph) => ph == to && lg != from },
+        s"cannot rename to '$to': that is another column's physical name")
+      // Renaming BACK to the physical name dissolves the mapping entry.
+      val newRenames = (renames - from) ++
+        (if (to == physical) Map.empty[String, String] else Map(to -> physical))
+      val newPartCol = partitionColumn(spark, root, cur) match {
+        case Some(p) if p == from => to
+        case other => other.getOrElse("")
+      }
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "rename-column",
+          newPartCol,
+          columnMapping = Some((newRenames.toSeq, dropped.toSeq)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the rename-column race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t DROP COLUMN c` — Delta's column-mapping drop: a
+    * METADATA-ONLY commit; the physical column stays in existing files
+    * (readers project it away) and naturally disappears as files
+    * rewrite. Time travel before the drop still shows the column.
+    * Refused for the partition column (the layout keys on it), for
+    * constraint-referenced columns, and for the last data column. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      require(cols.contains(name),
+        s"cannot drop missing column '$name' (columns: ${cols.mkString(", ")})")
+      require(cols.size > 1, s"cannot drop '$name': it is the only column")
+      require(!partitionColumn(spark, root, cur).contains(name),
+        s"cannot drop partition column '$name'")
+      constraintMentions(spark, root, cur, name).foreach(n =>
+        throw new IllegalStateException(
+          s"cannot drop column '$name': CHECK constraint $n references it; " +
+            "DROP the constraint first"))
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      val physical = physicalNameOf(renames, name)
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "drop-column",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          columnMapping = Some(((renames - name).toSeq, (dropped + physical).toSeq)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the drop-column race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t ADD COLUMN c TYPE` — metadata-only schema widening:
+    * the recorded schema gains the (nullable) column, existing files
+    * read it as typed nulls through the evolution-merged scan, and the
+    * next write that carries values materializes them. The same
+    * reserved-name collisions as [[toPhysical]] are refused. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataTypeDdl: String, maxAttempts: Int = 5): Long = {
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(dataTypeDdl)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      require(!cols.contains(name),
+        s"cannot add column '$name': it already exists")
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      require(!dropped(physicalNameOf(renames, name)) && !dropped(name),
+        s"cannot add column '$name': that name is reserved by a dropped " +
+          "column whose data files still carry it")
+      require(!renames.exists { case (lg, ph) => ph == name && lg != name },
+        s"cannot add column '$name': that is another column's physical name")
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "add-column",
+          partitionColumn(spark, root, cur).getOrElse(""))) {
+        writeStats(spark, root, cur + 1, entries, Nil,
+          Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(name, dt, nullable = true)))))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the add-column race $maxAttempts times under $root")
+  }
+
   /** Partitions whose manifest file sets differ between two versions.
     * Files are immutable once written, so a partition carried with an
     * identical file set at both versions is bit-identical and provably
@@ -1682,8 +2029,13 @@ object SnapshotStore {
     require(fromVersion != toVersion,
       s"change feed needs two distinct versions, got $fromVersion twice")
     val parts = changedPartitions(spark, root, fromVersion, toVersion)
-    val from = readVersion(spark, root, fromVersion, Some(parts))
-    val to = readVersion(spark, root, toVersion, Some(parts))
+    // Both sides read under the NEWER version's column mapping (Delta
+    // CDF's latest-schema convention): physical names are stable, so a
+    // rename between the versions diffs the same columns under their
+    // new names instead of fabricating a drop+add.
+    val mv = Some(math.max(fromVersion, toVersion))
+    val from = readVersion(spark, root, fromVersion, Some(parts), mappingVersion = mv)
+    val to = readVersion(spark, root, toVersion, Some(parts), mappingVersion = mv)
     val toCols = to.columns.toSeq
     val cols = toCols ++ from.columns.toSeq.filterNot(toCols.contains)
     val dataCols = cols.filterNot(_ == keyCol)
@@ -1743,11 +2095,15 @@ object SnapshotStore {
       val (replaced, kept) = entries.partition(e => oversized(e.partition))
       // One shuffle keyed by the partition column: every partition
       // value lands in exactly one task, so partitionBy emits one file
-      // per compacted partition.
+      // per compacted partition. Layout paths read and re-write files
+      // RAW (physical column names — column mapping never applies), so
+      // the partition column resolves by its PHYSICAL name.
+      val physPart = physicalNameOf(mappingAt(spark, root, cur)._1, partitionCol)
       val compacted = readEntries(spark, root, replaced)
-        .repartition(col(partitionCol))
+        .repartition(col(physPart))
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, compacted, root, v, partitionCol)
+      val newEntries = writeDataFiles(spark, compacted, root, v, physPart,
+        translate = false)
       if (writeManifest(spark, root, v, kept ++ newEntries, "compact", partitionCol)) {
         // Content unchanged — the recorded schema carries forward.
         writeStats(spark, root, v, kept, newEntries, None)
@@ -1784,11 +2140,17 @@ object SnapshotStore {
       val (replaced, kept) = entries.partition(e => sel(e.partition))
       if (replaced.isEmpty) return cur
       val nParts = replaced.map(_.partition).distinct.size
+      // Physical names throughout: layout rewrites never translate
+      // (see compact); the caller's LOGICAL z-keys and partition
+      // column resolve through the mapping.
+      val renames = mappingAt(spark, root, cur)._1
       val laid = graft.operators.Layout.zorderBy(
-        readEntries(spark, root, replaced), zKeys.map(col),
+        readEntries(spark, root, replaced),
+        zKeys.map(k => col(physicalNameOf(renames, k))),
         numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, laid, root, v, partitionCol)
+      val newEntries = writeDataFiles(spark, laid, root, v,
+        physicalNameOf(renames, partitionCol), translate = false)
       if (writeManifest(spark, root, v, kept ++ newEntries, "zorder", partitionCol)) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
@@ -1837,9 +2199,22 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      if (manifest(spark, root, cur).toSet == target.toSet) return cur
+      // No-op only when FILES **and** METADATA already match: a
+      // metadata-only commit (rename/drop column) carries the same
+      // file set as its parent, so the file comparison alone would
+      // wrongly skip restoring across it.
+      if (manifest(spark, root, cur).toSet == target.toSet &&
+          mappingAt(spark, root, cur) == mappingAt(spark, root, toVersion))
+        return cur
       val v = cur + 1
-      if (writeManifest(spark, root, v, target, "restore", partCol)) {
+      // The column mapping snaps back to the TARGET's, exactly like the
+      // recorded schema (basis): restoring across a rename must show
+      // the names the table had then, or the restored files' logical
+      // view would not match the restored content.
+      if (writeManifest(spark, root, v, target, "restore", partCol,
+          columnMapping = Some(
+            try columnMapping(spark, root, toVersion)
+            catch { case _: java.io.IOException => (Nil, Nil) }))) {
         writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
         return v
       }
@@ -1889,7 +2264,10 @@ object SnapshotStore {
           catch { case _: java.io.IOException => Nil }),
         properties = Some(
           try tableProperties(spark, srcRoot, v)
-          catch { case _: java.io.IOException => Nil })))
+          catch { case _: java.io.IOException => Nil }),
+        columnMapping = Some(
+          try columnMapping(spark, srcRoot, v)
+          catch { case _: java.io.IOException => (Nil, Nil) })))
       throw new java.util.ConcurrentModificationException(
         s"lost the clone race publishing v1 under $dstRoot")
     writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))
@@ -1987,6 +2365,13 @@ object SnapshotStore {
       s"version $v under $root carries deletion vectors, which the " +
         "symlink manifest format cannot express — run " +
         "purgeDeletionVectors (REORG … APPLY (PURGE)) first")
+    // Same restriction for column mapping: external engines read the
+    // files' PHYSICAL names with no way to apply renames/drops (Delta
+    // blocks generate under column mapping for the same reason).
+    require({ val (r, d) = mappingAt(spark, root, v); r.isEmpty && d.isEmpty },
+      s"version $v under $root uses column mapping (renamed or dropped " +
+        "columns), which a bare symlink manifest cannot express — " +
+        "external engines would see the physical column names")
     val f = fs(spark, root)
     val outRoot = new Path(root, "_symlink_format_manifest")
     // Sweep leftovers of previously crashed swaps (a stranded old tree

@@ -92,6 +92,15 @@ class ChangeFeedSource(
     * versions. */
   @volatile private var highWater: Long = startingVersion
 
+  /** Pinned at stream creation: which version's column mapping the
+    * baseline-replay paths read under, so a whole-snapshot replay
+    * conforms to the pinned [[schema]] even across a later rename.
+    * (Per-version diffs go through [[SnapshotStore.changes]], which
+    * maps at the newer version — identical to this for any rename
+    * visible at stream creation.) */
+  private val pinnedMappingVersion: Option[Long] =
+    SnapshotStore.currentVersion(spark, root)
+
   // NOTE: no startingVersion filter here. `startingVersion` gates only
   // a FIRST start (via getBatch's start=None default); on a restart
   // the engine's checkpointed offset governs, and filtering by a
@@ -150,7 +159,8 @@ class ChangeFeedSource(
         if (committed.contains(v - 1))
           SnapshotStore.changes(spark, root, v - 1, v, key)
         else if (v == 1L) // genuine first commit: everything is an insert
-          SnapshotStore.readVersion(spark, root, v)
+          SnapshotStore.readVersion(spark, root, v,
+              mappingVersion = pinnedMappingVersion)
             .withColumn("_change_type", lit("insert"))
         else if (from < v - 1)
           // v > 1 with no predecessor manifest AND the stream asked to
@@ -162,7 +172,8 @@ class ChangeFeedSource(
           // changes. Only this explicit-early-start shape qualifies;
           // the rows carry v as _commit_version (the oldest version
           // whose state they reflect).
-          SnapshotStore.readVersion(spark, root, v)
+          SnapshotStore.readVersion(spark, root, v,
+              mappingVersion = pinnedMappingVersion)
             .withColumn("_change_type", lit("insert"))
         else
           // from == v-1: the stream already consumed up to v-1 and a
@@ -233,7 +244,9 @@ object ChangeFeedSource {
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"graft-changes needs at least one committed snapshot under $root"))
-    val base = SnapshotStore.schemaFor(spark, root, cur).getOrElse(
+    // Logical view (column mapping applied): the feed carries the
+    // names users query by, not the files' physical names.
+    val base = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
     require(base.fieldNames.contains(key),
       s"key column '$key' missing from snapshot schema under $root")

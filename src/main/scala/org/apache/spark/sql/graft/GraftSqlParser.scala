@@ -109,6 +109,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
+    case GraftSqlParser.RenameColumnPattern(table, fq, fb, tq, tb)
+        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
+      RenameColumnCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.colOf(fq, fb), GraftSqlParser.colOf(tq, tb))
+    case GraftSqlParser.DropColumnPattern(table, cq, cb)
+        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
+      DropColumnCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.colOf(cq, cb))
+    case GraftSqlParser.AddColumnPattern(table, cq, cb, ddl)
+        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
+      AddColumnCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.colOf(cq, cb), ddl.trim)
     case MergeLoosePattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       // A MERGE aimed at a graft catalog but not in the supported
@@ -226,6 +238,24 @@ object GraftSqlParser {
     s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
   private val ReorgPattern =
     s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
+  // Column mapping DDL (Delta's ALTER TABLE … RENAME/DROP COLUMN under
+  // column-mapping name mode) + metadata-only ADD COLUMN. Gated on the
+  // graft catalog name — valid Spark DDL for other tables.
+  private val colIdent = "(?:`([^`]+)`|([A-Za-z_][\\w$]*))"
+  private val RenameColumnPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+RENAME\\s+COLUMN\\s+" +
+      s"$colIdent\\s+TO\\s+$colIdent\\s*;?\\s*\\z").r
+  private val DropColumnPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+COLUMN\\s+" +
+      s"$colIdent\\s*;?\\s*\\z").r
+  private val AddColumnPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+COLUMNS?\\s*" +
+      s"\\(?\\s*$colIdent\\s+([A-Za-z_][\\w<>,() ]*?)\\s*\\)?\\s*;?\\s*\\z").r
+
+  /** First non-null of a `colIdent` match's two groups (backtick-quoted
+    * vs bare). */
+  private def colOf(quoted: String, bare: String): String =
+    Option(quoted).getOrElse(bare)
 
   /** Parse `'k' = 'v', 'k2' = 'v2'` (standard TBLPROPERTIES shape;
     * doubled '' escapes a quote inside either side). */
@@ -875,6 +905,54 @@ case class DropConstraintCommand(table: Seq[String], name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(root, SnapshotStore.dropConstraint(spark, root, name)))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — Delta's column-mapping
+  * rename: metadata-only, zero files rewritten (parquet keeps the
+  * original physical name; reads alias it). Returns (path, version). */
+case class RenameColumnCommand(table: Seq[String], from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.renameColumn(spark, root, from, to)))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` — metadata-only tombstone; data
+  * files are untouched and time travel before the drop still shows
+  * the column. Returns (path, version). */
+case class DropColumnCommand(table: Seq[String], name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.dropColumn(spark, root, name)))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMN c TYPE` — metadata-only schema widening
+  * (existing files read the column as typed nulls). Returns
+  * (path, version). */
+case class AddColumnCommand(table: Seq[String], name: String, ddl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.addColumn(spark, root, name, ddl)))
   }
 }
 

@@ -62,6 +62,20 @@ class SnapshotStreamSource(
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
 
+  /** Column mapping pinned at stream creation (physical file names →
+    * the table's logical names): added files are read RAW, so each
+    * batch passes through this before conforming to [[schema]]. A
+    * rename/drop mid-stream changes neither the files nor this pinned
+    * view — the stream keeps its creation-time names, exactly like a
+    * pinned schema; restart the stream to adopt new names. */
+  private val pinnedMappingVersion: Option[Long] =
+    SnapshotStore.currentVersion(spark, root)
+
+  private val pinnedMapping: (Map[String, String], Set[String]) =
+    pinnedMappingVersion
+      .map(SnapshotStore.columnMappingAt(spark, root, _))
+      .getOrElse((Map.empty, Set.empty))
+
   /** Pinned at stream creation: the snapshot's recorded schema. */
   override val schema: StructType = SnapshotStreamSource.tableSchema(spark, root)
 
@@ -123,7 +137,11 @@ class SnapshotStreamSource(
           // First commit, or an explicit early start over vacuumed
           // history: the (oldest retained) snapshot IS the baseline —
           // emit it whole. Same shape as the change feed's replay.
-          Some(SnapshotStore.readVersion(spark, root, v))
+          // Presented under the stream's PINNED mapping (not v's own):
+          // the baseline must conform to the pinned schema even when a
+          // later rename separates them.
+          Some(SnapshotStore.readVersion(spark, root, v,
+            mappingVersion = pinnedMappingVersion))
         else throw new IllegalStateException(
           s"snapshot stream gap under $root: version ${v - 1} was vacuumed " +
             s"before the stream consumed the ${v - 1}->$v delta; restart " +
@@ -146,8 +164,10 @@ class SnapshotStreamSource(
         } else {
           val added = cur.filterNot(e => prevIds((e.path, e.dv)))
           if (added.isEmpty) None
-          else Some(spark.read.option("mergeSchema", "true").parquet(
-            added.map(e => new Path(root, e.path).toString): _*))
+          else Some(SnapshotStore.presentLogical(
+            spark.read.option("mergeSchema", "true").parquet(
+              added.map(e => new Path(root, e.path).toString): _*),
+            pinnedMapping))
         }
       }
     }.map(df => df.select(schema.fieldNames.map(col).toSeq: _*))
@@ -174,7 +194,9 @@ object SnapshotStreamSource {
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"graft-snapshot streaming needs at least one committed snapshot under $root"))
-    SnapshotStore.schemaFor(spark, root, cur).getOrElse(
+    // Logical view (column mapping applied); readVersion's schema is
+    // already logical.
+    SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
   }
 
