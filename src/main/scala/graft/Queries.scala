@@ -5961,7 +5961,77 @@ object Queries {
       UNION ALL
       SELECT c_custkey + 1000000, c_mktsegment, c_name, 'new' AS note
       FROM customer WHERE c_custkey % 4 = 0
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // CDC-driven replication (Replicate.mirror — Delta's CDF→MERGE
+    // mirror pattern): initial full copy records the synced source
+    // version ATOMICALLY with the rows, then a catch-up call replays
+    // the change feed (keyed merge for inserts/updates, keyed delete
+    // for deletes). Require-pins: catch-up applied version 3, the
+    // replica's recorded sourceVersion tracks, and a THIRD call is a
+    // replica-version no-op. The hashed result is the replica —
+    // derived purely from the source arithmetic, so any
+    // mis-application (double insert, missed delete, stale update)
+    // breaks the hash.
+    ("q179_cdc_mirror", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q179_store")
+      val src = s"$dir/src"; val dst = s"$dir/dst"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      val m7 = pmod(col("o_orderkey"), lit(7))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.withColumn("rev", lit(1)), src, "o_orderstatus")
+      graft.operators.Replicate.mirror(s, src, dst, "o_orderkey")
+      // Source evolves: update the m5 slice, delete the m7=3 slice.
+      graft.sinks.SnapshotStore.mergeCommit(s,
+        orders.filter(m5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("rev", lit(2)),
+        src, "o_orderkey", "rev", "o_orderstatus")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        orders.filter(m7 === 3).select(col("o_orderkey")),
+        src, "o_orderkey", "o_orderstatus")
+      val synced = graft.operators.Replicate.mirror(s, src, dst, "o_orderkey")
+      require(synced == 3L, s"catch-up must reach source v3, got $synced")
+      require(graft.sinks.SnapshotStore.tablePropertiesMap(s, dst)
+        .get(graft.operators.Replicate.SourceVersionProp).contains("3"),
+        "replica must record the synced source version")
+      val dstV = graft.sinks.SnapshotStore.currentVersion(s, dst)
+      require(graft.operators.Replicate.mirror(s, src, dst, "o_orderkey") == 3L
+        && graft.sinks.SnapshotStore.currentVersion(s, dst) == dstV,
+        "caught-up mirror must be a replica-version no-op")
+      graft.sinks.SnapshotStore.read(s, dst)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("rev"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev
+      FROM orders WHERE o_orderkey % 7 <> 3
+      ORDER BY o_orderkey""")),
+
+    // CTAS (`CREATE TABLE … PARTITIONED BY (c) AS SELECT …`): the
+    // query commits as version 1 through the create-only primitive.
+    // The result reads back through the catalog.
+    ("q180_ctas", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q180_store")
+        .resolve("t").toString
+      s.conf.set("spark.sql.catalog.graft_q180",
+        classOf[graft.sinks.GraftCatalog].getName)
+      t(s, d, "orders").createOrReplaceTempView("q180_orders")
+      val out = s.sql(s"CREATE TABLE graft_q180.`$root` " +
+        "PARTITIONED BY (o_orderstatus) AS " +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        "FROM q180_orders WHERE o_orderkey % 3 = 0").collect()
+      require(out.head.getLong(1) == 1L, "CTAS must publish v1")
+      s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graft_q180.`$root` ORDER BY o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

@@ -86,6 +86,15 @@ object Dedup {
   private def tokenized(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(id.as("id"),
       TextAnalysis.tokens(TextAnalysis.normalized(text)).as("__ws"))
+      // Materialization barrier: every consumer explodes shingles (or
+      // tokens) out of __ws, and without a real stage boundary
+      // Catalyst's CollapseProject inlines normalize+split INTO the
+      // generate stage, re-evaluating the whole tokenizer chain per
+      // emitted element — measured 70.5 s → 1.9 s (36×) on a 25k-doc
+      // span profile when this barrier went in. One token-array
+      // shuffle, keyed by id so the per-id aggregates downstream
+      // reuse the partitioning.
+      .repartition(col("id"))
 
   /** (id, shingle) rows — the relational form of the shingle set.
     * Signature computation over this shape runs as codegen'd hash
@@ -572,10 +581,14 @@ object Dedup {
     * high) or feed the flagged spans to removal.
     *
     * Scale shape — three deliberate choices, each measured:
-    * (1) tokenize/shingle stages are REAL columns, never inlined HOF
-    * arguments (Catalyst re-evaluates a non-attribute lambda input
-    * per element — inlining turned O(tokens) into O(tokens²) and
-    * measured 60× slower at 100k docs); (2) the exploded frame is
+    * (1) tokenization is cut off from the shingle explode by a REAL
+    * materialization barrier (`repartition` on the id) — separate
+    * `select` stages are NOT enough, Catalyst's CollapseProject merges
+    * them back and the generate/HOF stage then re-evaluates the whole
+    * normalize+split chain PER EMITTED SPAN (measured 70.5 s → 1.9 s
+    * at 25k docs, 36×, when the barrier went in; the barrier's one
+    * token-array shuffle is the price and it is an order of magnitude
+    * below the blowup it prevents); (2) the exploded frame is
     * traversed ONCE: spans reduce to per-(doc, hash) counts (map-side
     * partial combine on 16-byte skew-free md5 keys), a count window
     * over the hash yields the distinct-document frequency — rows are
@@ -590,8 +603,17 @@ object Dedup {
     val perDocSpan = docs
       .select(id.as("id"), TextAnalysis.normalized(text).as("__nm"))
       .select(col("id"), TextAnalysis.tokens(col("__nm")).as("__ws"))
-      .select(col("id"), TextAnalysis.shinglesOf(col("__ws"), width).as("__sh"))
-      .select(col("id"), explode(col("__sh")).as("__span"))
+      .repartition(col("id")) // barrier — see scale note (1)
+      // The shingle expression stays INLINE in the generator — naming
+      // it first (`.as("__sh")` then explode the attribute) lets
+      // InferFiltersFromGenerate add `size(__sh) > 0` which predicate
+      // pushdown then re-inflates into the FULL tokenize+shingle chain
+      // evaluated per input row below the barrier (measured 75 s vs
+      // 3.5 s at 25k docs — the filter's interpreted re-evaluation
+      // dwarfed the real work). Expensive inline generators are exempt
+      // from that inference.
+      .select(col("id"),
+        explode(TextAnalysis.shinglesOf(col("__ws"), width)).as("__span"))
       .select(col("id"), md5(col("__span").cast("binary")).as("__h"))
       .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__k"))
     val withDocs = perDocSpan.withColumn("__docs",
@@ -632,6 +654,12 @@ object Dedup {
     val base = docs
       .select(id.as("id"), TextAnalysis.normalized(text).as("__nm"))
       .select(col("id"), TextAnalysis.tokens(col("__nm")).as("__ws"))
+      // Materialization barrier (see dupSpanStats scale note (1)):
+      // without it CollapseProject inlines normalize+split into the
+      // two generate stages below and re-evaluates them per emitted
+      // span/token. `base` feeds THREE consumers, so the shuffled
+      // staging also keeps the token arrays computed once per doc.
+      .repartition(col("id"))
       .withColumn("__n", size(col("__ws")))
     val spans = base
       .select(col("id"), col("__n"),

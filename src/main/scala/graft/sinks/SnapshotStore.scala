@@ -1086,10 +1086,14 @@ object SnapshotStore {
     else applyColumnMapping(readEntries(spark, root, wanted), mapping)
   }
 
-  /** Commit `df` as a full new snapshot (CTAS / backup path). Returns
-    * the committed version. */
+  /** Commit `df` as a full new snapshot (CTAS / backup path).
+    * `properties` (when given) REPLACES the table property set
+    * atomically with this commit — the mirror's initial-copy leg
+    * rides here so "rows landed" and "sync recorded" cannot tear.
+    * Returns the committed version. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
-             partitionCol: String, maxAttempts: Int = 5): Long = {
+             partitionCol: String, maxAttempts: Int = 5,
+             properties: Option[Seq[(String, String)]] = None): Long = {
     enforceConstraints(spark, root, df)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1099,7 +1103,8 @@ object SnapshotStore {
       // "current" is the max committed version.
       val v = currentVersion(spark, root).getOrElse(0L) + 1
       val entries = writeDataFiles(spark, df, root, v, partitionCol)
-      if (writeManifest(spark, root, v, entries, "commit", partitionCol)) {
+      if (writeManifest(spark, root, v, entries, "commit", partitionCol,
+          properties = properties)) {
         writeStats(spark, root, v, Nil, entries, Some(df.schema))
         return v
       }

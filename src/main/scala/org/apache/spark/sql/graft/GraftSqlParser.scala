@@ -109,6 +109,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
+    case GraftSqlParser.CtasPattern(table, pq, pb, query) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      CtasSnapshotCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.colOf(pq, pb), query.trim)
     case GraftSqlParser.RenameColumnPattern(table, fq, fb, tq, tb)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
       RenameColumnCommand(delegate.parseMultipartIdentifier(table),
@@ -238,6 +242,14 @@ object GraftSqlParser {
     s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
   private val ReorgPattern =
     s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
+  // CTAS — `CREATE TABLE g.`root` PARTITIONED BY (c) AS SELECT …`:
+  // the query text is re-parsed by the session parser inside the
+  // command (InsertPattern's convention), so the full SELECT grammar
+  // is available. Distinct suffix keeps it disjoint from SHALLOW
+  // CLONE.
+  private val CtasPattern =
+    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s+PARTITIONED\\s+BY\\s*" +
+      "\\(\\s*(?:`([^`]+)`|([A-Za-z_][\\w$]*))\\s*\\)\\s+AS\\s+(.+?)\\s*;?\\s*\\z").r
   // Column mapping DDL (Delta's ALTER TABLE … RENAME/DROP COLUMN under
   // column-mapping name mode) + metadata-only ADD COLUMN. Gated on the
   // graft catalog name — valid Spark DDL for other tables.
@@ -905,6 +917,35 @@ case class DropConstraintCommand(table: Seq[String], name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(root, SnapshotStore.dropConstraint(spark, root, name)))
+  }
+}
+
+/** `CREATE TABLE t PARTITIONED BY (c) AS SELECT …` — CTAS onto a
+  * snapshot table: the query (full session grammar) commits as
+  * version 1 through the CREATE-ONLY primitive, so two racing
+  * creators cannot both win and an existing table fails loudly
+  * (CTAS is create-only; INSERT INTO / MERGE INTO modify). Returns
+  * (path, version). */
+case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
+                               query: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val df = spark.sql(query)
+    require(df.columns.contains(partitionCol),
+      s"CTAS query lacks the declared partition column '$partitionCol' " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    SnapshotStore.commitIfAbsent(spark, df, root, partitionCol) match {
+      case Some(v) => Seq(Row(root, v))
+      case None => throw new IllegalStateException(
+        s"CREATE TABLE AS failed: $root already holds a snapshot — " +
+          "CTAS is create-only; use INSERT INTO / MERGE INTO to modify")
+    }
   }
 }
 

@@ -23,6 +23,38 @@ class DmlSqlSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[graft.sinks.GraftCatalog].getName)
 
+  test("CTAS creates a snapshot table from a query; create-only; non-graft passes through") {
+    val dir = freshDir()
+    bindCatalog("graft_ctas")
+    val root = s"$dir/t"
+    table(("p1", "a", 1), ("p2", "b", 2), ("p3", "a", 3))
+      .createOrReplaceTempView("ctas_src")
+    val out = spark.sql(s"CREATE TABLE graft_ctas.`$root` " +
+      "PARTITIONED BY (supplier) AS SELECT * FROM ctas_src WHERE qty < 3")
+      .collect()
+    assert(out.head.getLong(1) == 1L)
+    assert(SnapshotStore.read(spark, root).select("product_id")
+      .as[String].collect().toSet == Set("p1", "p2"))
+    assert(SnapshotStore.partitionColumn(spark, root, 1L).contains("supplier"))
+    // Create-only: a second CTAS onto the same root fails loudly.
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft_ctas.`$root` " +
+        "PARTITIONED BY (supplier) AS SELECT * FROM ctas_src")
+    }
+    assert(e.getMessage.contains("create-only"))
+    // A query lacking the declared partition column fails loudly.
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft_ctas.`$dir/t2` " +
+        "PARTITIONED BY (supplier) AS SELECT product_id FROM ctas_src")
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // Non-graft CTAS flows to the session parser untouched (plain
+    // in-catalog managed table).
+    spark.sql("CREATE TABLE ctas_plain_tbl AS SELECT 1 AS x")
+    assert(spark.table("ctas_plain_tbl").count() == 1)
+    spark.sql("DROP TABLE ctas_plain_tbl")
+  }
+
   test("DELETE FROM WHERE removes TRUE rows, keeps FALSE and NULL rows") {
     val root = s"${freshDir()}/t"
     bindCatalog("graft_dml1")
