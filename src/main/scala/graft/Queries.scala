@@ -6031,7 +6031,38 @@ object Queries {
         s"FROM graft_q180.`$root` ORDER BY o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-      WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey"""))
+      WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""")),
+
+    // Index retrieval through the snapshot read boundary: a text-index
+    // search against a table that took a merge-on-read DELETE must not
+    // resurrect DV-deleted rows (the index's candidate files are
+    // unchanged — only their deletion vectors know). REQUIRE-pins the
+    // delete was DV-form (op tag, zero rewritten files); the oracle
+    // recomputes the surviving matches from the predicate arithmetic.
+    ("q181_dv_index_search", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q181_store")
+      val root = s"$dir/t"; val idx = s"$dir/index"
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.sinks.SnapshotStore.commit(s, docs, root, "lang")
+      graft.operators.TextIndex.appendForSnapshotVersion(s, root, 1L, "text", idx)
+      val v = graft.sinks.SnapshotStore.deleteWhereDv(s, root, "doc_id % 3 = 1")
+      require(v == 2L, "DV delete must publish v2")
+      require(graft.sinks.SnapshotStore.manifestOperation(s, root, 2L)
+        .contains("delete-dv"), "delete must be merge-on-read")
+      require(graft.sinks.SnapshotStore.manifest(s, root, 2L).map(_.path).toSet ==
+        graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet,
+        "DV delete must rewrite zero files")
+      graft.operators.TextIndex
+        .searchWordInSnapshot(s, root, idx, "text", "dup")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id % 3 <> 1 AND list_contains(string_split(trim(
+        regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
+      ORDER BY doc_id"""))
   )
 
   /** Copy a JSONC capture with the first array under `key` blanked —

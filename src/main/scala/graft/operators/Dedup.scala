@@ -434,9 +434,13 @@ object Dedup {
     * correct but quadratic; at scale feed it MinHash candidates instead
     * (restrict to the output of [[minHashPairs]]). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column, threshold: Double): DataFrame = {
+    // Shingle expression INLINE in the generator (see dupSpanStats:
+    // naming it first invites InferFiltersFromGenerate to clone the
+    // chain into a pushed-down interpreted filter).
     val words = tokenized(df, text, id)
-      .select(col("id"), array_distinct(TextAnalysis.shinglesOf(col("__ws"))).as("ws"))
-      .select(col("id"), size(col("ws")).as("n"), explode(col("ws")).as("w"))
+      .select(col("id"),
+        size(array_distinct(TextAnalysis.shinglesOf(col("__ws")))).as("n"),
+        explode(array_distinct(TextAnalysis.shinglesOf(col("__ws")))).as("w"))
     val l = words.select(col("w"), col("id").as("id_a"), col("n").as("n_a"))
     val r = words.select(col("w"), col("id").as("id_b"), col("n").as("n_b"))
     l.join(r, "w")
@@ -456,10 +460,12 @@ object Dedup {
     * score 0. */
   def ngramJaccardFor(df: DataFrame, text: Column, id: Column,
                       candidates: DataFrame): DataFrame = {
+    // Same inline-generator discipline as ngramJaccardPairs.
     val words = tokenized(df, text, id)
-      .select(col("id"), array_distinct(TextAnalysis.shinglesOf(col("__ws"))).as("ws"))
-    val sizes = words.select(col("id"), size(col("ws")).as("n"))
-    val exploded = words.select(col("id"), explode(col("ws")).as("w"))
+    val sizes = words.select(col("id"),
+      size(array_distinct(TextAnalysis.shinglesOf(col("__ws")))).as("n"))
+    val exploded = words.select(col("id"),
+      explode(array_distinct(TextAnalysis.shinglesOf(col("__ws")))).as("w"))
     val cand = candidates.select(col("id_a"), col("id_b"))
     val common = cand
       .join(exploded.select(col("id").as("id_a"), col("w")), Seq("id_a"))

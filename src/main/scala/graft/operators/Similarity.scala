@@ -218,9 +218,13 @@ object Similarity {
       val assigned = corpus.crossJoin(broadcast(cents))
         .select(
           element_at(rankedCells(col(vecCol), col("__cents")), 1).as("__cell"),
-          Vectors.toDouble(col(vecCol)).as("__v"))
+          col(vecCol).as("__vec"))
+      // toDouble stays INLINE in the generator: naming it first lets
+      // InferFiltersFromGenerate clone the HOF into a pushed filter
+      // (see Dedup.dupSpanStats), doubling the per-row conversion.
       cents = assigned
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select(col("__cell"),
+          posexplode(Vectors.toDouble(col("__vec"))).as(Seq("__pos", "__x")))
         .groupBy(col("__cell"), col("__pos")).agg(avg(col("__x")).as("__m"))
         .groupBy(col("__cell").as("__cid"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
@@ -485,11 +489,28 @@ object Similarity {
         spark.read.parquet(indexPath).filter(lit(false))
       else spark.read.parquet(indexPath)
         .filter(col("file").isInCollection(live))
+    // Deletion vectors: index rows describe ORIGINAL file content, so
+    // rows of DV-carrying files must drop their deleted ids or the
+    // probe would return deleted vectors. Bounded by the VECTORED
+    // files only (the no-DV common case pays nothing): their live ids
+    // come through the full read boundary and semi-join the index.
+    val entries = SnapshotStore.manifest(spark, root, v)
+    val vecFiles = live.filter(f =>
+      entries.exists(e => e.dv.nonEmpty && f.endsWith(e.path)))
+    val dvClean =
+      if (vecFiles.isEmpty) index
+      else {
+        val liveIds = SnapshotStore.readFiles(spark, root, v, vecFiles)
+          .select(col(idCol).as("neighbor_id"))
+        index.filter(!col("file").isInCollection(vecFiles))
+          .unionByName(index.filter(col("file").isInCollection(vecFiles))
+            .join(liveIds, Seq("neighbor_id"), "left_semi"))
+      }
     // Identical double-indexed rows (vacuumed-predecessor edge) — one
     // survivor per (id, file); content is identical so any survivor
     // is THE row.
     ivfTopKQuantizedCodes(
-      index.dropDuplicates("neighbor_id", "file").drop("file"),
+      dvClean.dropDuplicates("neighbor_id", "file").drop("file"),
       cents, queries, idCol, vecCol, k, nprobe)
   }
 }

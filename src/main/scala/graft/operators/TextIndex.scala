@@ -118,7 +118,11 @@ object TextIndex {
       .filter(c => rel.exists(c.endsWith))
     if (live.isEmpty) SnapshotStore.table(spark, root, Some(v))
       .filter(array_contains(TextAnalysis.wordSet(col(textCol)), word)).limit(0)
-    else spark.read.parquet(live: _*)
+    // Candidates read through the snapshot's full read boundary
+    // (SnapshotStore.readFiles): a raw parquet read of the candidate
+    // files would resurrect DV-deleted rows and expose physical
+    // column names on a renamed table.
+    else SnapshotStore.readFiles(spark, root, v, live)
       .filter(array_contains(TextAnalysis.wordSet(col(textCol)), word))
   }
 

@@ -1045,6 +1045,24 @@ object SnapshotStore {
       spark.read.option("mergeSchema", "true").parquet(paths: _*), entries)
   }
 
+  /** Read a SUBSET of a version's files through the full read boundary
+    * (deletion vectors + column mapping) — the candidate-read
+    * primitive for index-driven retrieval (TextIndex / IVF probes),
+    * which must never resurrect DV-deleted rows or expose physical
+    * column names by reading data files raw. `candidates` are path
+    * strings that END WITH the manifest-relative path (the form
+    * index sidecars record); paths not in the version's manifest are
+    * ignored. An empty selection returns an empty frame in the
+    * version's logical schema. */
+  def readFiles(spark: SparkSession, root: String, version: Long,
+                candidates: Seq[String]): DataFrame = {
+    val entries = manifest(spark, root, version)
+      .filter(e => candidates.exists(_.endsWith(e.path)))
+    if (entries.isEmpty) readVersion(spark, root, version).limit(0)
+    else applyColumnMapping(readEntries(spark, root, entries),
+      mappingAt(spark, root, version))
+  }
+
   /** Read the current snapshot; `partitions` prunes at the MANIFEST
     * level (no directory listing of unrelated partitions at all). */
   def read(spark: SparkSession, root: String,

@@ -188,6 +188,14 @@ class Int8QuantizationSpec extends SparkSpec {
     // The index holds rows from every commit, keyed by source file.
     assert(spark.read.parquet(idxPath).select("file").distinct().count() >
       SnapshotStore.manifest(spark, root, 3L).size / 2)
+    // Commit 4: a merge-on-read DELETE — the data files (and their
+    // index rows) stay live, but the deleted ids carry a DV. The probe
+    // must drop them; the rebuild reads through the DV path, so
+    // equality proves it.
+    SnapshotStore.deleteWhereDv(spark, root, "id IN (2, 6, 21)")
+    assert(probeViaIndex() == probeRebuilt(), "after DV delete")
+    assert(!probeViaIndex().exists(r => Set(2L, 6L, 21L)(r._2)),
+      "DV-deleted ids must not surface as neighbors")
   }
 
   test("ivfTopKQuantized pins the qdot-then-id tie-break") {

@@ -115,6 +115,31 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("alpha") == Seq("d1"))
   }
 
+  test("snapshot search applies deletion vectors — DV-deleted rows never resurrect") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_dv").toString
+    val root = s"$dir/store"; val idx = s"$dir/index"
+    val v1 = SnapshotStore.commit(spark,
+      Seq(("d1", "alpha shared", "a", 1), ("d2", "alpha shared", "a", 1),
+        ("d3", "beta other", "b", 1))
+        .toDF("doc_id", "text", "part", "v"), root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v1, "text", idx)
+    def hits(w: String) = TextIndex
+      .searchWordInSnapshot(spark, root, idx, "text", w)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(hits("alpha") == Seq("d1", "d2"))
+    // Merge-on-read delete of d1: the data FILE stays in the manifest
+    // (so the index entry stays live) but carries a DV — the search
+    // must read through it, not the raw file.
+    SnapshotStore.deleteWhereDv(spark, root, "doc_id = 'd1'")
+    assert(hits("alpha") == Seq("d2"))
+    // After PURGE (files rewritten, DVs dropped) the index needs its
+    // usual append for the new files; results unchanged.
+    val vp = SnapshotStore.purgeDeletionVectors(spark, root)
+    TextIndex.appendForSnapshotVersion(spark, root, vp, "text", idx)
+    assert(hits("alpha") == Seq("d2"))
+  }
+
   private lazy val (bm25TableDir, bm25IndexDir) = {
     // 300 docs, 6 files; "quasar" only in ids 0-39 (file 0's range),
     // "pulsar" in 0-39 ∪ 200-239 (two ranges), varying repetitions so
