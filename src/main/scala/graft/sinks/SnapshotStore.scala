@@ -2322,12 +2322,22 @@ object SnapshotStore {
       StructField("n_partitions", IntegerType, nullable = false),
       StructField("files_added", IntegerType, nullable = false),
       StructField("files_removed", IntegerType, nullable = false),
-      StructField("total_rows", LongType, nullable = true)))
+      StructField("total_rows", LongType, nullable = true),
+      // Operation metrics (Delta's numOutputRows/numRemovedRows
+      // analog): physical rows of the files each version added /
+      // removed vs its predecessor, from the stats sidecars — null
+      // when any involved file lacks stats (derived metadata never
+      // blocks the audit view). A metadata-only commit shows 0/0; a
+      // DV delete shows 0/0 too (its rows change via dvRows, visible
+      // in total_rows).
+      StructField("rows_added", LongType, nullable = true),
+      StructField("rows_removed", LongType, nullable = true)))
   }
 
   def history(spark: SparkSession, root: String): DataFrame = {
     val vs = versions(spark, root)
     var prevPaths = Set.empty[String]
+    var prevStats = Map.empty[String, FileStats.FileStatsEntry]
     val rows = vs.map { v =>
       val m = manifest(spark, root, v)
       val paths = m.map(_.path).toSet
@@ -2339,14 +2349,23 @@ object SnapshotStore {
           // stays a metadata walk — no DV parquet is opened).
           java.lang.Long.valueOf(m.map(e => st(e.path).rows - e.dvRows).sum)
         else null
+      val added = paths -- prevPaths
+      val removed = prevPaths -- paths
+      def rowSum(ps: Set[String], from: Map[String, FileStats.FileStatsEntry]):
+          java.lang.Long =
+        if (ps.forall(from.contains))
+          java.lang.Long.valueOf(ps.toSeq.map(from(_).rows).sum)
+        else null
       val row = org.apache.spark.sql.Row(
         v,
         commitTimestamp(spark, root, v)
           .map(new java.sql.Timestamp(_)).orNull,
         manifestOperation(spark, root, v).orNull, m.size,
         m.map(_.partition).distinct.size,
-        (paths -- prevPaths).size, (prevPaths -- paths).size, totalRows)
+        added.size, removed.size, totalRows,
+        rowSum(added, st), rowSum(removed, prevStats))
       prevPaths = paths
+      prevStats = st
       row
     }
     spark.createDataFrame(

@@ -137,6 +137,17 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("DESCRIBE TABLE through the catalog shows logical (mapped) columns") {
+    val root = s"${freshDir()}/t"
+    seed(root)
+    SnapshotStore.renameColumn(spark, root, "qty", "quantity")
+    SnapshotStore.dropColumn(spark, root, "product_id")
+    val cols = spark.sql(s"DESCRIBE TABLE graft_cm.`$root`")
+      .select("col_name").as[String].collect().toSet
+    assert(cols.contains("quantity") && !cols.contains("qty"))
+    assert(!cols.contains("product_id"))
+  }
+
   test("filter pushdown survives the rename projection (catalog SQL read)") {
     val root = s"${freshDir()}/t"
     seed(root)

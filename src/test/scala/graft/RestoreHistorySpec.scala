@@ -96,6 +96,16 @@ class RestoreHistorySpec extends SparkSpec {
     val restoreRow = full.find(_.getLong(0) == 4L).get
     assert(restoreRow.getAs[Int]("files_added") > 0 ||
       restoreRow.getAs[Int]("files_removed") > 0)
+    // Operation metrics: rows of the files each version added/removed.
+    // v1 adds both seed rows; v2 rewrites partition b (removes its
+    // 1-row file, adds the 2-row merged file); v3 removes partition
+    // a's 1-row file and adds nothing.
+    val m = full.map(r => r.getLong(0) ->
+      (r.getAs[java.lang.Long]("rows_added"),
+        r.getAs[java.lang.Long]("rows_removed"))).toMap
+    assert(m(1L) == (2L, 0L))
+    assert(m(2L) == (2L, 1L))
+    assert(m(3L) == (0L, 1L))
   }
 
   test("restore interoperates with the SQL surface (VERSION AS OF)") {
