@@ -531,6 +531,18 @@ object SnapshotStore {
         try columnMapping0(spark, root, version - 1)
         catch { case _: java.io.IOException => (Nil, Nil) }
       else (Nil, Nil))
+    // The COPY INTO loaded-file ledger carries forward like every
+    // other piece of table metadata: if it lived only in the manifest
+    // of the version that loaded the files, a routine VACUUM would
+    // drop it and a re-fired COPY INTO would silently double-load.
+    // Cost: ledger size × ~1 line per manifest — proportional to the
+    // table's copied-file count, the price of the idempotence
+    // contract surviving maintenance.
+    val carriedCopied = (
+      if (version > 1)
+        try manifestHeaderAll(spark, root, version - 1, "copied")
+        catch { case _: java.io.IOException => Nil }
+      else Nil).map(c => s"#copied\t$c").filterNot(extraHeaders.contains)
     val headers = s"#committer\t$token" +:
       (Seq(s"#ts\t$ts") ++
         (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
@@ -545,6 +557,7 @@ object SnapshotStore {
         effectiveMapping._1.map { case (lg, ph) =>
           s"#colmap\t${URLEncoder.encode(lg, UTF_8)}\t${URLEncoder.encode(ph, UTF_8)}" } ++
         effectiveMapping._2.map(ph => s"#coldrop\t${URLEncoder.encode(ph, UTF_8)}") ++
+        carriedCopied ++
         extraHeaders)
     try out.write((headers ++ entries.map { e =>
       val base = s"${URLEncoder.encode(e.partition, UTF_8)}\t${e.path}"
@@ -979,10 +992,25 @@ object SnapshotStore {
     * partition directory it writes — but (partition dir, name) is
     * unique within a job, and the job UUID makes it unique across
     * jobs/versions. Hive-escaping keeps '/' out of partition dirs, so
-    * the two-component split is stable. */
+    * the two-component split is stable.
+    *
+    * The key is produced in the SCAN'S encoding: `_metadata.file_path`
+    * is a URI, so a Hive-escaped on-disk directory like `__part=a b`
+    * (or `__part=c%3Ad`) surfaces as `__part=a%20b` / `__part=c%253Ad`
+    * there, while manifest paths hold the raw on-disk bytes. Both
+    * sides of every DV comparison must use ONE form — comparing raw
+    * manifest components against URI components silently attached NO
+    * deletion vector for any partition value needing escaping (a
+    * predicate delete then "succeeded" while removing nothing). Each
+    * component is URI-percent-encoded exactly as `java.net.URI`
+    * renders a path segment ('+' and ':' stay literal, space → %20,
+    * '%' → %25). */
   private[sinks] def dvKeyOf(path: String): String = {
     val parts = path.split("/")
-    parts.takeRight(math.min(2, parts.length)).mkString("/")
+    parts.takeRight(math.min(2, parts.length))
+      .map(c => new java.net.URI(null, null, "/" + c, null)
+        .getRawPath.stripPrefix("/"))
+      .mkString("/")
   }
 
   /** The deletion-vector rows attached to `entries`, as one
@@ -1214,8 +1242,11 @@ object SnapshotStore {
   def copyInto(spark: SparkSession, root: String, source: String,
                format: String = "parquet",
                partitionCol: Option[String] = None): (Long, Int) = {
-    val f = fs(spark, root)
     val src = new Path(source)
+    // The SOURCE's own FileSystem, not the table root's: COPY INTO
+    // across schemes (staging on file:/, table on s3a://) must list
+    // with the right connector or Hadoop rejects the path outright.
+    val f = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.exists(src), s"COPY INTO source $source does not exist")
     def walk(p: Path): Seq[Path] =
       f.listStatus(p).toSeq.flatMap { s =>

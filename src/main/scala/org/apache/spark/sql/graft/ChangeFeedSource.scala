@@ -162,15 +162,20 @@ class ChangeFeedSource(
           SnapshotStore.readVersion(spark, root, v,
               mappingVersion = pinnedMappingVersion)
             .withColumn("_change_type", lit("insert"))
-        else if (from < v - 1)
-          // v > 1 with no predecessor manifest AND the stream asked to
-          // start EARLIER than the vacuumed history (e.g.
-          // startingVersion=0 full replay after old manifests were
-          // vacuumed): the oldest retained snapshot IS the replay
-          // baseline, so emit it whole as 'insert' rows — the
-          // streaming analog of reading the table then following
-          // changes. Only this explicit-early-start shape qualifies;
-          // the rows carry v as _commit_version (the oldest version
+        else if (start.isEmpty && from < v - 1)
+          // v > 1 with no predecessor manifest AND this is the
+          // stream's FIRST batch (start = None — the configured
+          // startingVersion governs) asking to start EARLIER than the
+          // vacuumed history (e.g. startingVersion=0 full replay
+          // after old manifests were vacuumed): the oldest retained
+          // snapshot IS the replay baseline, so emit it whole as
+          // 'insert' rows — the streaming analog of reading the table
+          // then following changes. Only this explicit-first-start
+          // shape qualifies: a CHECKPOINTED stream that lagged while
+          // vacuum overtook it must fall through to the gap error
+          // below (re-emitting the snapshot would re-deliver every
+          // consumed row and mislabel the missed updates/deletes).
+          // The rows carry v as _commit_version (the oldest version
           // whose state they reflect).
           SnapshotStore.readVersion(spark, root, v,
               mappingVersion = pinnedMappingVersion)
@@ -193,7 +198,14 @@ class ChangeFeedSource(
               s"${committed.min} (the oldest retained snapshot, version " +
               s"${committed.min}, then replays as 'insert' rows) " +
               "or keep more history (SnapshotStore.vacuum keep)")
-      feed.withColumn("_commit_version", lit(v))
+      // Typed null-fill before conforming: a diff over early versions
+      // may predate columns the pinned schema gained from later
+      // evolution (the recorded schema is the running union).
+      val stamped = feed.withColumn("_commit_version", lit(v))
+      val have = stamped.columns.toSet
+      schema.fields.filterNot(f => have(f.name))
+        .foldLeft(stamped)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
         .select(schema.fields.map(f => col(f.name)).toSeq: _*)
     }
     feeds.reduceOption(_ unionByName _) match {
@@ -231,10 +243,16 @@ object ChangeFeedSource {
     case None => math.max(cur, highWater)
     case Some(m) =>
       require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
-      val pending = SnapshotStore.versions(spark, root)
-        .filter(v => v > highWater && v <= cur)
-      if (pending.isEmpty) math.max(cur, highWater)
-      else math.max(pending.take(m.toInt).max, highWater)
+      // Pure arithmetic — NO manifest listing: commits target exactly
+      // current+1, so live version numbers are dense and the m-th
+      // pending version is just highWater + m (capped at the tip).
+      // This runs on EVERY trigger (getOffset/latestOffset); a
+      // directory listing here would cost O(all versions) per trigger
+      // on a long-lived table — the exact cost the _last_checkpoint
+      // pointer exists to avoid. When the low end of the range was
+      // vacuumed, a batch simply covers fewer retained versions than
+      // m — rationing stays a bound, never a promise.
+      math.max(math.min(highWater + m, cur), highWater)
   }
 
   /** Feed schema = snapshot schema with `key` first, plus the

@@ -55,8 +55,22 @@ class GraftSnapshotSink(
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
 
-  private def markerPath(batchId: Long): Path =
-    new Path(root, f"_stream_commits/b_$batchId%020d")
+  /** Markers key on (query id, batch id) — Delta's (appId, txn
+    * version) — NOT batch id alone: batch ids restart at 0 for every
+    * new checkpoint, so a NEW query writing to a table a previous
+    * query fed would find `b_0` present and silently drop its first
+    * batches. The query id is stable across restarts of the SAME
+    * checkpoint (it lives in checkpoint metadata), so re-delivery
+    * dedup still works. (Markers written before this key existed are
+    * simply ignored; the worst case on upgrade is ONE re-merged
+    * batch, which the keyed merge absorbs idempotently — strictly
+    * safer than a marker scheme that can drop a new query's data.) */
+  private def markerPath(batchId: Long): Path = {
+    val qid = Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY))
+      .getOrElse("noquery")
+    new Path(root, f"_stream_commits/q_${qid}_b_$batchId%020d")
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -68,7 +68,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.identifierList(zcols), Option(where))
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
-    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond) =>
+    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond)
+        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
+      // Gated like every other DML case: a canonical upsert-shaped
+      // MERGE aimed at another catalog (Delta, spark_catalog) must
+      // flow to the session parser untouched, not be hijacked into a
+      // graft command that fails on resolveRoot.
       MergeIntoSnapshotCommand(
         delegate.parseMultipartIdentifier(table),
         Option(srcIdent), Option(srcQuery),
@@ -807,7 +812,12 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
       throw new IllegalStateException(
         s"manifest v$cur under $root predates partition-column metadata; " +
           "re-commit once through any SnapshotStore write path first"))
-    val target = SnapshotStore.schemaFor(spark, root, cur).getOrElse(
+    // LOGICAL schema: positional alignment and the appended frame must
+    // use the names users see (column mapping applied) — the write
+    // path translates back to physical names itself; aligning to the
+    // physical schema here would both count dropped columns in the
+    // arity check and trip the reserved-physical-name guard.
+    val target = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
     val df = spark.sql(query)
     require(df.columns.length == target.fields.length,

@@ -133,10 +133,13 @@ class SnapshotStreamSource(
       val op = SnapshotStore.manifestOperation(spark, root, v).getOrElse("")
       if (layoutOps(op)) None
       else if (!committed.contains(v - 1)) {
-        if (v == 1L || from < v - 1)
-          // First commit, or an explicit early start over vacuumed
-          // history: the (oldest retained) snapshot IS the baseline —
-          // emit it whole. Same shape as the change feed's replay.
+        if (v == 1L || (start.isEmpty && from < v - 1))
+          // First commit, or the stream's FIRST batch (start = None)
+          // explicitly starting over vacuumed history: the (oldest
+          // retained) snapshot IS the baseline — emit it whole. Same
+          // shape (and same lagging-checkpoint guard: a checkpointed
+          // stream overtaken by vacuum must hit the gap error, not
+          // re-deliver the snapshot) as the change feed's replay.
           // Presented under the stream's PINNED mapping (not v's own):
           // the baseline must conform to the pinned schema even when a
           // later rename separates them.
@@ -170,7 +173,17 @@ class SnapshotStreamSource(
             pinnedMapping))
         }
       }
-    }.map(df => df.select(schema.fieldNames.map(col).toSeq: _*))
+    }.map { df =>
+      // Conform to the pinned schema with typed null-fill: an appended
+      // batch may predate an evolved column (appendCommit accepts any
+      // evolution-compatible schema and normal reads null-fill through
+      // the footer merge) — a bare select would crash the stream on a
+      // commit every batch read path tolerates.
+      val have = df.columns.toSet
+      schema.fields.filterNot(f => have(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
     feeds.reduceOption(_ unionByName _) match {
       case Some(df) =>
         val qe = df.queryExecution

@@ -230,6 +230,27 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("p1", 3, "update", 3L)), s"unexpected replay: $got")
   }
 
+  test("a lagging CHECKPOINTED stream overtaken by vacuum fails instead of re-delivering") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    (2 to 4).foreach(i => SnapshotStore.mergeCommit(spark,
+      table((s"p$i", "a", i)), root, "product_id", "version", "supplier"))
+    SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0) // only v4 retained
+    // Simulate the engine resuming a checkpoint at version 1 (start is
+    // DEFINED — this is not a first start, so the baseline-replay path
+    // must NOT fire; re-emitting the snapshot would re-deliver every
+    // consumed row and mislabel the missed updates/deletes).
+    val src = new org.apache.spark.sql.graft.ChangeFeedSource(
+      spark.sqlContext, root, "product_id", startingVersion = 0L)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L)).collect()
+    }
+    assert(e.getMessage.contains("change feed gap"), e.getMessage)
+  }
+
   test("missing key / missing table surface as errors at stream construction") {
     val dir = freshDir()
     val root = s"$dir/t"

@@ -27,6 +27,29 @@ class DeletionVectorSpec extends SparkSpec {
   private def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.select("product_id").as[String].collect().toSet
 
+  test("DV delete works on partition values needing path escaping (URI vs raw form)") {
+    val root = s"${freshDir()}/t"
+    // Space, colon, percent, plus — each escapes differently on disk
+    // (Hive) and in _metadata.file_path (URI). A raw/URI key mismatch
+    // silently attaches NO deletion vector (a delete that 'succeeds'
+    // while removing nothing).
+    val df = Seq(("p1", "a b", 1), ("p2", "c:d", 2), ("p3", "e%f", 3),
+      ("p4", "g+h", 4), ("p5", "plain", 5))
+      .toDF("product_id", "supplier", "qty")
+    SnapshotStore.commit(spark, df, root, "supplier")
+    val v = SnapshotStore.deleteWhereDv(spark, root, "qty <= 4")
+    assert(v == 2L)
+    assert(SnapshotStore.manifest(spark, root, 2L).count(_.dv.nonEmpty) == 4,
+      "every matched file must carry a DV, however its partition escapes")
+    assert(ids(SnapshotStore.read(spark, root)) == Set("p5"))
+    assert(ids(SnapshotStore.table(spark, root)) == Set("p5"))
+    // And the update path shares the key scheme.
+    SnapshotStore.updateWhereDv(spark, root,
+      Seq("qty" -> "qty + 100"), Some("product_id = 'p5'"))
+    assert(SnapshotStore.read(spark, root)
+      .select("qty").as[Int].collect().toSeq == Seq(105))
+  }
+
   test("deleteWhereDv removes rows without touching any data file") {
     val root = s"${freshDir()}/t"
     seed(root)

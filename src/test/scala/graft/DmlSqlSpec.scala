@@ -242,6 +242,30 @@ class DmlSqlSpec extends SparkSpec {
     assert(got == Set(("p1", "x"), ("p2", "y")))
   }
 
+  test("COPY INTO idempotence survives vacuum (the ledger carries forward)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val srcDir = s"$dir/incoming"
+    table(("p1", "a", 1), ("p2", "b", 2)).repartition(1)
+      .write.parquet(s"$srcDir/batch1")
+    val (v1, n1) = SnapshotStore.copyInto(spark, root, srcDir,
+      partitionCol = Some("supplier"))
+    assert(v1 == 1L && n1 == 1)
+    // Push the copy commit out of the retained window.
+    SnapshotStore.mergeCommit(spark, table(("p3", "a", 3)), root,
+      "product_id", "qty", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p4", "b", 4)), root,
+      "product_id", "qty", "supplier")
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0)
+    // The re-fired COPY must STILL be a no-op: the loaded-file ledger
+    // carries forward in every manifest, so vacuuming the manifest
+    // that performed the load cannot re-enable double-loading.
+    val (v2, n2) = SnapshotStore.copyInto(spark, root, srcDir)
+    assert(n2 == 0, s"vacuum re-enabled double-loading ($n2 files reloaded)")
+    assert(v2 == 3L)
+    assert(SnapshotStore.read(spark, root).count() == 4)
+  }
+
   test("COPY INTO a fresh table without a partition column fails loudly") {
     val dir = freshDir()
     table(("p1", "a", 1)).repartition(1).write.parquet(s"$dir/incoming")

@@ -317,6 +317,20 @@ class RestoreHistorySpec extends SparkSpec {
       .select("version").as[Int].collect().toSeq == Seq(0))
   }
 
+  test("a canonical MERGE aimed at a NON-graft table flows to the session parser") {
+    // Even the exact upsert shape the graft parser supports must pass
+    // through when the target is another catalog: the failure must be
+    // Spark's own table-not-found, never graft's resolveRoot error.
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO spark_catalog.default.nope_merge_tbl t " +
+        "USING spark_catalog.default.nope_merge_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(!e.getMessage.contains("graft"),
+      s"graft parser hijacked a non-graft MERGE: ${e.getMessage.take(200)}")
+  }
+
   test("unsupported MERGE shapes and bad sources fail loudly") {
     val root = freshRoot()
     SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")

@@ -76,6 +76,34 @@ class SnapshotSinkStreamSpec extends SparkSpec {
       Set(("a", 3), ("b", 5), ("c", 9)))
   }
 
+  test("a NEW query (fresh checkpoint) writing to the same table is not deduped away") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("snapsink2").toString
+    val root = s"$dir/store"
+    def run(ckpt: String, rows: (String, Int, Timestamp)*): Unit = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Int, Timestamp)]
+      val q = input.toDF().toDF("sku", "qty", "modified_at")
+        .withColumn("part", lit("stock"))
+        .writeStream.format("graft-snapshot")
+        .outputMode("append")
+        .option("key", "sku").option("versionCol", "modified_at")
+        .option("partitionCol", "part")
+        .option("checkpointLocation", ckpt)
+        .start(root)
+      try { input.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(s"$dir/ckptA", ("a", 1, ts(1000)))
+    // A DIFFERENT query (fresh checkpoint, batch ids restart at 0)
+    // targets the same table: its batch 0 must COMMIT — markers key
+    // on (query id, batch id), not batch id alone.
+    run(s"$dir/ckptB", ("b", 7, ts(2000)))
+    assert(SnapshotStore.read(spark, root)
+      .select("sku", "qty").as[(String, Int)].collect().toSet ==
+      Set(("a", 1), ("b", 7)),
+      "the second query's first batch was silently dropped")
+  }
+
   test("missing required options fail at stream construction") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = Files.createTempDirectory("snapsink_opts").toString

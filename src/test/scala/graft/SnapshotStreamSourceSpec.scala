@@ -147,6 +147,44 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("a lagging checkpoint overtaken by vacuum fails; evolution-lagged batches null-fill") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    (2 to 4).foreach(i => SnapshotStore.appendCommit(spark,
+      table((s"p$i", "a", i)), root, "supplier"))
+    SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0)
+    val src = org.apache.spark.sql.graft.SnapshotStreamSource.create(
+      spark.sqlContext, Map("path" -> root, "startingVersion" -> "0"))
+    val e = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L)).collect()
+    }
+    assert(e.getMessage.contains("snapshot stream gap"), e.getMessage)
+
+    // Evolution null-fill: widen the table's recorded schema, start a
+    // stream (pinned schema includes the new column), then append a
+    // batch WITHOUT it — the batch must conform via typed nulls, not
+    // crash the stream.
+    val root2 = s"$dir/t2"
+    SnapshotStore.commit(spark, Seq(("p1", "a", 1, "x"))
+      .toDF("product_id", "supplier", "version", "flag"), root2, "supplier")
+    val q = spark.readStream.format("graft-snapshot")
+      .load(root2)
+      .writeStream.format("memory").queryName("snap_evo")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    try {
+      SnapshotStore.appendCommit(spark, table(("p2", "a", 2)), root2, "supplier")
+      q.processAllAvailable()
+      val got = spark.table("snap_evo")
+        .select("product_id", "flag").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(got == Set(("p2", None)), s"unexpected: $got")
+    } finally q.stop()
+  }
+
   test("restart resumes exactly-once through the file sink") {
     val dir = freshDir()
     val root = s"$dir/t"
