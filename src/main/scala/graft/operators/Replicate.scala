@@ -92,4 +92,65 @@ object Replicate {
       Seq(SourceVersionProp -> srcCur.toString))
     srcCur
   }
+
+  /** Apply one CHANGE-FEED batch to a replica — the foreachBatch body
+    * of [[mirrorStream]], public for custom streaming topologies. A
+    * rationed micro-batch may span several source versions and so
+    * carry SEVERAL rows per key; per-key only the LAST version's
+    * change decides (update-then-delete within one batch = delete —
+    * the standard CDC collapse). Both legs idempotent, property
+    * commit last — same convergence contract as [[mirror]]. */
+  def applyChangeBatch(spark: SparkSession, batch: org.apache.spark.sql.DataFrame,
+                       dstRoot: String, keyCol: String): Unit = {
+    if (batch.isEmpty) return
+    val partCol = SnapshotStore.currentVersion(spark, dstRoot)
+      .flatMap(SnapshotStore.partitionColumn(spark, dstRoot, _))
+      .getOrElse(throw new IllegalStateException(
+        s"mirror destination $dstRoot records no partition column — " +
+          "seed it with Replicate.mirror first"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_commit_version").desc)
+    val last = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn").persist()
+    try {
+      val upserts = last.filter(col("_change_type") =!= "delete")
+        .drop("_change_type", "_commit_version")
+      val deletes = last.filter(col("_change_type") === "delete")
+        .select(col(keyCol))
+      if (!upserts.isEmpty)
+        SnapshotStore.mergeCommitOrdered(spark, upserts, dstRoot,
+          keyCol, Nil, partCol)
+      if (!deletes.isEmpty)
+        SnapshotStore.deleteCommit(spark, deletes, dstRoot, keyCol, partCol)
+      val maxV = last.agg(max(col("_commit_version"))).head().getLong(0)
+      SnapshotStore.setProperties(spark, dstRoot,
+        Seq(SourceVersionProp -> maxV.toString))
+    } finally last.unpersist()
+  }
+
+  /** CONTINUOUS replication: the streaming form of [[mirror]] — seed
+    * the replica (initial full copy) if needed, then run the change
+    * feed (`format("graft-changes")`) into [[applyChangeBatch]] via
+    * foreachBatch. Exactly-once end-to-end comes from the same
+    * two-layer contract as every snapshot stream: the engine's
+    * checkpoint replays at-least-once, the keyed legs apply
+    * idempotently. The replica stays a queryable snapshot table at
+    * every instant (each micro-batch is atomic commits), and
+    * [[SourceVersionProp]] tracks progress so a later BATCH
+    * [[mirror]] call can take over from wherever the stream stopped.
+    * Returns the started query; the caller owns its lifecycle. */
+  def mirrorStream(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   keyCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val seeded = mirror(spark, srcRoot, dstRoot, keyCol)
+    spark.readStream.format("graft-changes")
+      .option("key", keyCol)
+      .option("startingVersion", seeded.toString)
+      .load(srcRoot)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        applyChangeBatch(spark, b, dstRoot, keyCol))
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 }

@@ -77,6 +77,41 @@ class MirrorSpec extends SparkSpec {
       .get(Replicate.SourceVersionProp).contains("2"))
   }
 
+  test("mirrorStream replicates continuously; a batch's update-then-delete collapses") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), src, "supplier")
+    val q = Replicate.mirrorStream(spark, src, dst, "product_id", s"$dir/ckpt")
+    try {
+      // Seeded before the stream started.
+      assert(content(dst) == content(src))
+      // Multiple source commits; the un-rationed stream may deliver
+      // them in one micro-batch — p3 is inserted then deleted, so the
+      // per-key collapse must yield NO p3 on the replica.
+      SnapshotStore.mergeCommit(spark, table(("p3", "a", 2)), src,
+        "product_id", "version", "supplier")
+      SnapshotStore.mergeCommit(spark, table(("p1", "a", 3)), src,
+        "product_id", "version", "supplier")
+      SnapshotStore.deleteCommit(spark, Seq("p3").toDF("product_id"),
+        src, "product_id", "supplier")
+      q.processAllAvailable()
+      assert(content(dst) == content(src))
+      assert(content(dst) == Set(("p1", "a", 3), ("p2", "b", 1)))
+      // Progress recorded: a later BATCH mirror takes over seamlessly.
+      assert(SnapshotStore.tablePropertiesMap(spark, dst)
+        .get(Replicate.SourceVersionProp).contains("4"))
+      SnapshotStore.mergeCommit(spark, table(("p9", "b", 9)), src,
+        "product_id", "version", "supplier")
+      q.processAllAvailable()
+      assert(content(dst) == content(src))
+    } finally q.stop()
+    SnapshotStore.mergeCommit(spark, table(("p10", "a", 10)), src,
+      "product_id", "version", "supplier")
+    assert(Replicate.mirror(spark, src, dst, "product_id") == 6L)
+    assert(content(dst) == content(src))
+  }
+
   test("a non-mirror destination is refused") {
     val dir = freshDir()
     val src = s"$dir/src"; val dst = s"$dir/dst"
