@@ -523,6 +523,93 @@ object ScaleSmoke {
       time("dup_span_stats") {
         Dedup.dupSpanStats(docs, col("text"), col("doc_id"), width = 5)
           .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
+      },
+      // ---- Round 10 probes ----
+      // Hot-span skew: every document carries the SAME boilerplate
+      // sentence, so one span hash covers the whole corpus. The
+      // aggregate+join shape partial-combines the hot hash map-side;
+      // the old window-over-hash shape (measured inline below for
+      // comparison) serializes the hot hash through ONE task and can
+      // never partial-aggregate.
+      time("dup_span_hot_agg") {
+        val hot = docs.select(col("doc_id"),
+          concat(lit("all rights reserved by the publisher today here "),
+            col("text")).as("text"))
+        Dedup.dupSpanStats(hot, col("text"), col("doc_id"), width = 8)
+          .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
+      },
+      time("dup_span_hot_window") {
+        // The pre-round-10 formulation, reproduced for the delta: the
+        // per-(doc,hash) frame is identical; only the frequency step
+        // differs (window over the span hash).
+        val hot = docs.select(col("doc_id"),
+          concat(lit("all rights reserved by the publisher today here "),
+            col("text")).as("text"))
+        val perDocSpan = hot
+          .select(col("doc_id").as("id"),
+            graft.functions.TextAnalysis.normalized(col("text")).as("__nm"))
+          .select(col("id"),
+            graft.functions.TextAnalysis.tokens(col("__nm")).as("__ws"))
+          .repartition(col("id"))
+          .select(col("id"), explode(
+            graft.functions.TextAnalysis.shinglesOf(col("__ws"), 8)).as("__span"))
+          .select(col("id"), md5(col("__span").cast("binary")).as("__h"))
+          .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__k"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+        perDocSpan.withColumn("__docs", count(lit(1)).over(w))
+          .groupBy(col("id")).agg(
+            sum(when(col("__docs") >= 2, col("__k")).otherwise(lit(0L)))
+              .as("n_dup_spans"))
+          .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
+      },
+      // Multi-column partitioning: a merge into ONE (part, bucket)
+      // cell of a 64-cell table — rewrite bounded by the cell, the
+      // other 63 cells' files carried by reference (the probe value is
+      // the number of NEW data files in the committed manifest).
+      time("multipart_merge_one_cell") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_mp").toString
+        val root = s"$dir/t"
+        val mp = snapBase.withColumn("bucket", pmod(col("doc_id"), lit(4)))
+        graft.sinks.SnapshotStore.commit(spark, mp, root,
+          Seq("part", "bucket"))
+        val before = graft.sinks.SnapshotStore.manifest(spark, root, 1L).toSet
+        graft.sinks.SnapshotStore.mergeCommit(spark,
+          mp.filter(col("part") === 3 && col("bucket") === 2)
+            .withColumn("v", lit(2)),
+          root, "doc_id", "v", Seq("part", "bucket"))
+        graft.sinks.SnapshotStore.manifest(spark, root, 2L)
+          .count(e => !before.contains(e)).toLong
+      },
+      // The CDC-apply primitive: updates to one slice + deletes of
+      // another as ONE atomic commit (upsertDeleteCommit) vs the
+      // chained two-commit spelling — same final content, the single
+      // commit pays one manifest write and one stats pass.
+      time("cdc_apply_one_commit") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_cdc1").toString
+        val root = s"$dir/t"
+        graft.sinks.SnapshotStore.commit(spark, snapBase, root, "part")
+        graft.sinks.SnapshotStore.upsertDeleteCommit(spark, root,
+          snapBase.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .withColumn("v", lit(2)),
+          Some(snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select(col("doc_id"))),
+          "doc_id", "part")
+      },
+      time("cdc_apply_two_commits") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_scale_cdc2").toString
+        val root = s"$dir/t"
+        graft.sinks.SnapshotStore.commit(spark, snapBase, root, "part")
+        graft.sinks.SnapshotStore.mergeCommitOrdered(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .withColumn("v", lit(2)),
+          root, "doc_id", Nil, "part")
+        graft.sinks.SnapshotStore.deleteCommit(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select(col("doc_id")),
+          root, "doc_id", "part")
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

@@ -622,8 +622,16 @@ object Dedup {
         explode(TextAnalysis.shinglesOf(col("__ws"), width)).as("__span"))
       .select(col("id"), md5(col("__span").cast("binary")).as("__h"))
       .groupBy(col("id"), col("__h")).agg(count(lit(1)).as("__k"))
-    val withDocs = perDocSpan.withColumn("__docs",
-      count(lit(1)).over(Window.partitionBy(col("__h"))))
+    // Distinct-document frequency per hash as an AGGREGATE, not a
+    // window: rows are unique per (doc, hash) so COUNT(*) per hash is
+    // the distinct-doc count, and groupBy partial-combines map-side —
+    // a corpus-ubiquitous boilerplate span ("all rights reserved" in
+    // 10^8 docs) reduces to one row per map task instead of
+    // serializing the whole partition through a single window task.
+    // The join back is skew-splittable by AQE; a window never is.
+    val docFreq = perDocSpan.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__docs"))
+    val withDocs = perDocSpan.join(docFreq, Seq("__h"))
     withDocs.groupBy(col("id")).agg(
         sum(col("__k")).as("n_spans"),
         sum(when(col("__docs") >= 2, col("__k")).otherwise(lit(0L)))

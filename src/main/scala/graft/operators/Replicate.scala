@@ -77,7 +77,7 @@ object Replicate {
           val upserts = feed.filter(col("_change_type") =!= "delete")
             .drop("_change_type")
           val deletes = feed.filter(col("_change_type") === "delete")
-            .select(col(keyCol))
+            .select(graft.sinks.ColSpec.parse(keyCol).cols.map(col): _*)
           if (!upserts.isEmpty)
             // Empty win order = source-authoritative replace: the feed
             // carries to-version values and at most one row per key
@@ -109,14 +109,15 @@ object Replicate {
         s"mirror destination $dstRoot records no partition column — " +
           "seed it with Replicate.mirror first"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("_commit_version").desc)
+      .partitionBy(graft.sinks.ColSpec.parse(keyCol).cols.map(col): _*)
+      .orderBy(col("_commit_version").desc)
     val last = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn").persist()
     try {
       val upserts = last.filter(col("_change_type") =!= "delete")
         .drop("_change_type", "_commit_version")
       val deletes = last.filter(col("_change_type") === "delete")
-        .select(col(keyCol))
+        .select(graft.sinks.ColSpec.parse(keyCol).cols.map(col): _*)
       if (!upserts.isEmpty)
         SnapshotStore.mergeCommitOrdered(spark, upserts, dstRoot,
           keyCol, Nil, partCol)

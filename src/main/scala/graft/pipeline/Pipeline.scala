@@ -188,8 +188,8 @@ object Pipeline {
         // concurrent sibling suppliers).
         if (atomicSink)
           graft.sinks.SnapshotStore.mergeCommit(spark, good, sinkPath,
-            keyCol = "product_id", versionCol = "last_sync",
-            partitionCol = "supplier_id")
+            keys = "product_id", versionCol = "last_sync",
+            partitionCols = "supplier_id")
         else
           Upsert.mergeIntoParquet(spark, good, sinkPath,
             keyCol = "product_id", versionCol = "last_sync",

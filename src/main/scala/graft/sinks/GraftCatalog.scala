@@ -128,7 +128,10 @@ class GraftCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "graft snapshot tables are created by SnapshotStore.commit, not SQL DDL")
+      "unsupported CREATE TABLE shape for a graft catalog — use " +
+        "CREATE TABLE <catalog>.`<root>` (<schema>) USING graft-snapshot " +
+        "PARTITIONED BY (<cols>), CREATE TABLE … AS SELECT, or " +
+        "SnapshotStore.commit / the DataFrame writer")
   override def alterTable(ident: Identifier,
                           changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
     throw new UnsupportedOperationException("read-only catalog; use SnapshotStore")

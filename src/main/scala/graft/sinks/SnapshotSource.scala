@@ -131,8 +131,9 @@ class SnapshotSource extends RelationProvider
       throw new IllegalArgumentException(
         "graft-snapshot writes need option(\"partitionCol\", <col>) — " +
           "snapshot tables are partition-carried by design"))
-    require(data.columns.contains(partitionCol),
-      s"partitionCol '$partitionCol' is not a column of the written frame")
+    ColSpec.parse(partitionCol).cols.foreach(c =>
+      require(data.columns.contains(c),
+        s"partitionCol '$c' is not a column of the written frame"))
     mode match {
       case SaveMode.Overwrite =>
         // A full new version may legitimately re-partition the table
@@ -157,7 +158,8 @@ class SnapshotSource extends RelationProvider
         // unless the caller explicitly vouches for the column.
         SnapshotStore.currentVersion(spark, root).foreach { cur =>
           SnapshotStore.partitionColumn(spark, root, cur) match {
-            case Some(recorded) if recorded != partitionCol =>
+            case Some(recorded)
+                if ColSpec.parse(recorded) != ColSpec.parse(partitionCol) =>
               throw new IllegalArgumentException(
                 s"graft-snapshot append under $root must merge on the table's " +
                   s"recorded partition column '$recorded', got '$partitionCol' — " +

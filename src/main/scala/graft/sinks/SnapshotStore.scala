@@ -52,6 +52,45 @@ object SnapshotStore {
 
   private val PartDir = "__part"
 
+  /** Directory-key column names for a k-column partition spec: the
+    * first level keeps the historical `__part` (single-column tables'
+    * on-disk layout and manifests stay byte-identical), deeper levels
+    * are `__part1`, `__part2`, …. */
+  private def partDirNames(k: Int): Seq[String] =
+    (0 until k).map(i => if (i == 0) PartDir else s"$PartDir$i")
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A manifest partition VALUE for a k-column spec. One column: the
+    * raw value string, exactly as every earlier version of this store
+    * wrote it. Multiple columns: each component with '%' and '/'
+    * percent-escaped, joined by '/' — reversible ([[decodePartValue]])
+    * because the join character cannot survive unescaped in a
+    * component. */
+  def encodePartValue(values: Seq[String]): String =
+    if (values.sizeIs == 1) values.head
+    else values.map(v => v.replace("%", "%25").replace("/", "%2F"))
+      .mkString("/")
+
+  /** Inverse of [[encodePartValue]] given the spec width. */
+  def decodePartValue(s: String, k: Int): Seq[String] =
+    if (k <= 1) Seq(s)
+    else s.split("/", -1).toSeq.map(unescapePathName)
+
+  private def normPartComponent(c: Column): Column =
+    when(c.isNull || c.cast("string") === "", lit(HiveDefaultPartition))
+      .otherwise(c.cast("string"))
+
+  /** [[encodePartValue]] as a Column over the spec's columns — the
+    * expression every touched-partition probe evaluates. Components
+    * normalize null/empty to Hive's default-partition sentinel first
+    * (matching what `partitionBy` writes to disk), so probe values and
+    * manifest values can never disagree on those rows. */
+  def partValueColumn(cols: Seq[String]): Column =
+    if (cols.sizeIs == 1) normPartComponent(col(cols.head))
+    else concat_ws("/", cols.map(c => regexp_replace(regexp_replace(
+      normPartComponent(col(c)), "%", "%25"), "/", "%2F")): _*)
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -75,6 +114,13 @@ object SnapshotStore {
         n.stripPrefix("v_").stripSuffix(".manifest").toLong }
       .sorted
   }
+
+  /** Does version `v`'s manifest exist? O(1) existence probe — the
+    * streaming sources' admission control uses it to tell "versions
+    * dense from here" apart from "this range was vacuumed" without a
+    * directory listing. */
+  def manifestExists(spark: SparkSession, root: String, v: Long): Boolean =
+    fs(spark, root).exists(manifestPath(root, v))
 
   private def lastCheckpointPath(root: String) =
     new Path(root, "manifests/_last_checkpoint")
@@ -206,6 +252,26 @@ object SnapshotStore {
     * fall back to an explicit argument and error otherwise. */
   def partitionColumn(spark: SparkSession, root: String, version: Long): Option[String] =
     manifestHeader(spark, root, version, "partcol")
+
+  /** [[partitionColumn]] parsed as a column LIST (the `#partcol`
+    * header stores a comma-joined spec for multi-column partitioning).
+    * Empty for manifests predating the header. */
+  def partitionColumns(spark: SparkSession, root: String,
+                       version: Long): Seq[String] =
+    partitionColumn(spark, root, version)
+      .map(ColSpec.parse(_).cols).getOrElse(Nil)
+
+  /** The partition spec maintenance paths resolve from the manifest,
+    * failing with re-commit advice when the table predates the
+    * header. */
+  private def requirePartitionCols(spark: SparkSession, root: String,
+                                   cur: Long): Seq[String] = {
+    val cols = partitionColumns(spark, root, cur)
+    if (cols.isEmpty) throw new IllegalStateException(
+      s"manifest v$cur under $root predates partition-column metadata; " +
+        "re-commit once through any SnapshotStore write path first")
+    cols
+  }
 
   /** Commit wall-clock (epoch millis) recorded in the `#ts` manifest
     * header. None for manifests written before timestamps existed.
@@ -359,7 +425,7 @@ object SnapshotStore {
     else {
       val owned = renames.map(_.swap) // physical -> logical
       df.columns.foreach { c =>
-        if (c != PartDir && !renames.contains(c)) {
+        if (!c.startsWith(PartDir) && !renames.contains(c)) {
           require(!dropped(c),
             s"column name '$c' is reserved: it is the physical name of a " +
               "DROPPED column and old data files still carry it. Pick " +
@@ -958,32 +1024,47 @@ object SnapshotStore {
     * the real column stays inside the parquet (readers never depend on
     * directory layout). */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, root: String,
-                             v: Long, partitionCol: String,
+                             v: Long, partitionCols: Seq[String],
                              translate: Boolean = true): Seq[ManifestEntry] = {
+    require(partitionCols.nonEmpty, "snapshot writes need a partition spec")
     val dataDir = s"data/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dirs = partDirNames(partitionCols.size)
     // Column mapping's logical→physical boundary: content paths hand
     // LOGICAL frames here (translate = true, the default); layout
     // paths (compact / zorder / purge) read files RAW and re-write
     // them physical-as-is (translate = false) — translating an
     // already-physical frame would trip the collision guard. The
-    // `__part` directory key is derived from the caller's column
-    // BEFORE translation, so both call shapes pass the name that
-    // exists in their frame.
+    // `__part*` directory keys are derived from the caller's columns
+    // BEFORE translation, so both call shapes pass the names that
+    // exist in their frame.
+    val withDirs = partitionCols.zip(dirs).foldLeft(df) {
+      case (d, (c, dir)) => d.withColumn(dir, col(c))
+    }
     val physical =
-      if (!translate) df.withColumn(PartDir, col(partitionCol))
-      else toPhysical(df.withColumn(PartDir, col(partitionCol)),
-        mappingAt(spark, root, v - 1))
+      if (!translate) withDirs
+      else toPhysical(withDirs, mappingAt(spark, root, v - 1))
     physical
-      .write.mode("error").partitionBy(PartDir)
+      .write.mode("error").partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)
     val f = fs(spark, root)
-    f.listStatus(new Path(root, dataDir)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartDir="))
-      .flatMap { d =>
-        val part = unescapePathName(d.getPath.getName.stripPrefix(s"$PartDir="))
-        f.listStatus(d.getPath).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
-          .map(s => ManifestEntry(part, s"$dataDir/${d.getPath.getName}/${s.getPath.getName}"))
+    // Walk exactly k directory levels, accumulating the partition
+    // components (Hive-unescaped) and the on-disk subpath.
+    def walk(p: Path, depth: Int, comps: Vector[String],
+             sub: Vector[String]): Seq[ManifestEntry] =
+      f.listStatus(p).toSeq.flatMap { s =>
+        if (depth < dirs.size) {
+          val prefix = s"${dirs(depth)}="
+          if (s.isDirectory && s.getPath.getName.startsWith(prefix))
+            walk(s.getPath, depth + 1,
+              comps :+ unescapePathName(s.getPath.getName.stripPrefix(prefix)),
+              sub :+ s.getPath.getName)
+          else Nil
+        } else if (s.getPath.getName.endsWith(".parquet"))
+          Seq(ManifestEntry(encodePartValue(comps),
+            (s"$dataDir" +: sub :+ s.getPath.getName).mkString("/")))
+        else Nil
       }
+    walk(new Path(root, dataDir), 0, Vector.empty, Vector.empty)
   }
 
   /** Row-identity key of a data file: its last TWO path components
@@ -1007,11 +1088,25 @@ object SnapshotStore {
     * '%' → %25). */
   private[sinks] def dvKeyOf(path: String): String = {
     val parts = path.split("/")
-    parts.takeRight(math.min(2, parts.length))
-      .map(c => new java.net.URI(null, null, "/" + c, null)
+    // From the FIRST `__part=` component onwards: under multi-column
+    // partitioning a file's identity needs every partition level (one
+    // write job stamps the same task/job file name into every leaf
+    // directory, so `__part1=x/part-….parquet` alone is ambiguous
+    // across `__part=a` vs `__part=b`). For single-column tables this
+    // IS the historical last-two-components key, so DVs persisted by
+    // earlier versions keep matching byte-for-byte.
+    val i = parts.indexWhere(_.startsWith(s"$PartDir="))
+    val tail = if (i >= 0) parts.drop(i)
+               else parts.takeRight(math.min(2, parts.length))
+    tail.map(c => new java.net.URI(null, null, "/" + c, null)
         .getRawPath.stripPrefix("/"))
       .mkString("/")
   }
+
+  /** [[dvKeyOf]] as a Column over a scan's `_metadata.file_path` —
+    * both sides of every DV comparison must use this one rule. */
+  private[sinks] def dvKeyExpr(pathCol: Column): Column =
+    regexp_extract(pathCol, s"($PartDir=.*)$$", 1)
 
   /** The deletion-vector rows attached to `entries`, as one
     * DataFrame(file_key, pos) — or None when no entry carries a DV
@@ -1050,8 +1145,7 @@ object SnapshotStore {
       case None => df
       case Some(dv) =>
         val cols = df.columns.toSeq
-        df.withColumn("__graft_dv_fn",
-            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+        df.withColumn("__graft_dv_fn", dvKeyExpr(col("_metadata.file_path")))
           .withColumn("__graft_dv_pos", col("_metadata.row_index"))
           .join(broadcast(dv.select(col("file_key").as("__graft_dv_fn"),
             col("pos").as("__graft_dv_pos"))),
@@ -1138,7 +1232,7 @@ object SnapshotStore {
     * rides here so "rows landed" and "sync recorded" cannot tear.
     * Returns the committed version. */
   def commit(spark: SparkSession, df: DataFrame, root: String,
-             partitionCol: String, maxAttempts: Int = 5,
+             partitionCols: ColSpec, maxAttempts: Int = 5,
              properties: Option[Seq[(String, String)]] = None): Long = {
     enforceConstraints(spark, root, df)
     var attempt = 0
@@ -1148,8 +1242,8 @@ object SnapshotStore {
       // the skipped number and have its newer commit shadowed, since
       // "current" is the max committed version.
       val v = currentVersion(spark, root).getOrElse(0L) + 1
-      val entries = writeDataFiles(spark, df, root, v, partitionCol)
-      if (writeManifest(spark, root, v, entries, "commit", partitionCol,
+      val entries = writeDataFiles(spark, df, root, v, partitionCols.cols)
+      if (writeManifest(spark, root, v, entries, "commit", partitionCols.header,
           properties = properties)) {
         writeStats(spark, root, v, Nil, entries, Some(df.schema))
         return v
@@ -1169,10 +1263,10 @@ object SnapshotStore {
     * primitive behind the DataFrame writer's ErrorIfExists/Ignore
     * modes. */
   def commitIfAbsent(spark: SparkSession, df: DataFrame, root: String,
-                     partitionCol: String): Option[Long] = {
+                     partitionCols: ColSpec): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
-    val entries = writeDataFiles(spark, df, root, 1L, partitionCol)
-    if (writeManifest(spark, root, 1L, entries, "commit", partitionCol)) {
+    val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols)
+    if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header)) {
       writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
       Some(1L)
     } else None
@@ -1189,7 +1283,7 @@ object SnapshotStore {
     * ledger rides here — a sidecar written after the rename could tear
     * away from its commit and break idempotence). */
   def appendCommit(spark: SparkSession, df: DataFrame, root: String,
-                   partitionCol: String, maxAttempts: Int = 10,
+                   partitionCols: ColSpec, maxAttempts: Int = 10,
                    operation: String = "append",
                    extraHeaders: Seq[String] = Nil): Long = {
     enforceConstraints(spark, root, df)
@@ -1199,9 +1293,9 @@ object SnapshotStore {
         case None => (Seq.empty[ManifestEntry], 1L)
         case Some(cur) => (manifest(spark, root, cur), cur + 1)
       }
-      val newEntries = writeDataFiles(spark, df, root, v, partitionCol)
+      val newEntries = writeDataFiles(spark, df, root, v, partitionCols.cols)
       if (writeManifest(spark, root, v, kept ++ newEntries, operation,
-          partitionCol, extraHeaders)) {
+          partitionCols.header, extraHeaders)) {
         writeStats(spark, root, v, kept, newEntries, Some(df.schema))
         return v
       }
@@ -1270,15 +1364,16 @@ object SnapshotStore {
         throw new IllegalStateException(
           s"COPY INTO found no data files under $source and no existing " +
             s"table under $root")), 0)
-      val partCol = cur.flatMap(v => partitionColumn(spark, root, v))
-        .orElse(partitionCol).getOrElse(throw new IllegalStateException(
-          s"COPY INTO a new table needs an explicit partition column " +
-            s"(no existing manifest under $root records one)"))
+      val partCols = ColSpec.parse(
+        cur.flatMap(v => partitionColumn(spark, root, v))
+          .orElse(partitionCol).getOrElse(throw new IllegalStateException(
+            s"COPY INTO a new table needs an explicit partition column " +
+              s"(no existing manifest under $root records one)")))
       val df = spark.read.format(format).load(fresh: _*)
-      require(df.columns.contains(partCol),
-        s"COPY INTO source files lack the table's partition column '$partCol'")
+      partCols.cols.foreach(c => require(df.columns.contains(c),
+        s"COPY INTO source files lack the table's partition column '$c'"))
       val headers = fresh.map(p => s"#copied\t${URLEncoder.encode(p, UTF_8)}")
-      try return (appendCommit(spark, df, root, partCol, maxAttempts = 1,
+      try return (appendCommit(spark, df, root, partCols, maxAttempts = 1,
         operation = "copy", extraHeaders = headers), fresh.size)
       catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
     }
@@ -1307,10 +1402,10 @@ object SnapshotStore {
     * winner's rows). Lost attempts' data files become orphans that
     * [[vacuum]] collects. Returns the committed version. */
   def mergeCommit(spark: SparkSession, incoming: DataFrame, root: String,
-                  keyCol: String, versionCol: String, partitionCol: String,
+                  keys: ColSpec, versionCol: String, partitionCols: ColSpec,
                   maxAttempts: Int = 10): Long =
-    mergeCommitOrdered(spark, incoming, root, keyCol,
-      Seq(col(versionCol).desc_nulls_last), partitionCol, maxAttempts)
+    mergeCommitOrdered(spark, incoming, root, keys,
+      Seq(col(versionCol).desc_nulls_last), partitionCols, maxAttempts)
 
   /** [[mergeCommit]] with an explicit win order instead of a version
     * column. `orderBy` ranks rows per key (highest priority first);
@@ -1323,8 +1418,10 @@ object SnapshotStore {
     * has unique keys (SQL MERGE's own precondition): with no ordering,
     * two incoming rows for one key would race nondeterministically. */
   def mergeCommitOrdered(spark: SparkSession, incoming: DataFrame, root: String,
-                         keyCol: String, orderBy: Seq[Column], partitionCol: String,
+                         keys: ColSpec, orderBy: Seq[Column], partitionCols: ColSpec,
                          maxAttempts: Int = 10): Long = {
+    require(keys.nonEmpty, "mergeCommit needs at least one key column")
+    require(partitionCols.nonEmpty, "mergeCommit needs a partition spec")
     // Touched partitions: one small distinct-collect (bounded by the
     // partition cardinality of the incoming batch, e.g. suppliers),
     // computed ONCE — it depends only on `incoming`. NULL partition
@@ -1333,10 +1430,8 @@ object SnapshotStore {
     // must normalize to it here too; otherwise rows with those keys
     // are both carried as "kept" AND re-merged, duplicating them on
     // every commit.
-    val norm = col(partitionCol).cast("string")
     val touched = incoming
-      .select(when(norm.isNull || norm === "",
-        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(norm))
+      .select(partValueColumn(partitionCols.cols))
       .distinct().collect().map(_.getString(0)).toSet
     enforceConstraints(spark, root, incoming)
     var attempt = 0
@@ -1356,10 +1451,10 @@ object SnapshotStore {
             else Upsert.merge(
               applyColumnMapping(readEntries(spark, root, replaced),
                 mappingAt(spark, root, cur)),
-              incoming, Seq(keyCol), orderBy)
+              incoming, keys.cols, orderBy)
           (keptEntries, m, cur + 1)
       }
-      val newEntries = writeDataFiles(spark, merged, root, v, partitionCol)
+      val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)
       // Publish loop: on a lost race, rebase while the interlopers are
       // partition-disjoint (data files are version-stamped by path, so
       // files written for attempt version v publish unchanged under any
@@ -1370,7 +1465,8 @@ object SnapshotStore {
       var rebasing = true
       var rebases = 0
       while (rebasing) {
-        if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge", partitionCol)) {
+        if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge",
+            partitionCols.header)) {
           writeStats(spark, root, publishV, carried, newEntries, Some(merged.schema))
           return publishV
         }
@@ -1406,6 +1502,69 @@ object SnapshotStore {
       s"lost the merge-commit race $maxAttempts times under $root")
   }
 
+  /** One ATOMIC commit applying keyed upserts AND keyed deletes — the
+    * execution primitive behind a SQL `MERGE INTO` whose WHEN MATCHED
+    * clauses mix UPDATE and DELETE (Delta's canonical CDC-apply
+    * statement): a reader sees either the pre-merge snapshot or the
+    * fully-applied one, never the upserted-but-not-yet-deleted middle
+    * that chaining [[mergeCommitOrdered]] + [[deleteCommit]] would
+    * expose. Partitions touched by neither the upserts' values nor a
+    * doomed key (probed with a column-pruned semi-join) carry by
+    * reference. `upserts` follows [[mergeCommitOrdered]]'s empty-order
+    * contract (source-authoritative, unique keys); a key in both
+    * `upserts` and `deleteKeys` upserts (existing rows drop first,
+    * then the merge applies — MERGE's per-row single-action contract
+    * means callers never produce that shape). Returns the committed
+    * version — unchanged when both legs are empty no-ops. */
+  def upsertDeleteCommit(spark: SparkSession, root: String,
+                         upserts: DataFrame, deleteKeys: Option[DataFrame],
+                         keys: ColSpec, partitionCols: ColSpec,
+                         maxAttempts: Int = 10): Long = {
+    require(keys.nonEmpty, "upsertDeleteCommit needs at least one key column")
+    require(partitionCols.nonEmpty, "upsertDeleteCommit needs a partition spec")
+    enforceConstraints(spark, root, upserts)
+    val upTouched = upserts.select(partValueColumn(partitionCols.cols))
+      .distinct().collect().map(_.getString(0)).toSet
+    val doomed = deleteKeys.map(_.select(keys.cols.map(col): _*).distinct())
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val delTouched: Set[String] = doomed.map { d =>
+        readVersion(spark, root, cur)
+          .select((keys.cols ++
+            partitionCols.cols.filterNot(keys.contains)).map(col): _*)
+          .join(d, keys.cols, "left_semi")
+          .select(partValueColumn(partitionCols.cols)).distinct()
+          .collect().map(_.getString(0)).toSet
+      }.getOrElse(Set.empty)
+      val touched = upTouched ++ delTouched
+      val (replaced, kept) = entries.partition(e => touched(e.partition))
+      if (replaced.isEmpty && upTouched.isEmpty) return cur
+      val existing = applyColumnMapping(readEntries(spark, root, replaced),
+        mappingAt(spark, root, cur))
+      val survivors = doomed match {
+        case Some(d) if replaced.nonEmpty =>
+          existing.join(d, keys.cols, "left_anti")
+        case _ => existing
+      }
+      val merged =
+        if (replaced.isEmpty) upserts
+        else Upsert.merge(survivors, upserts, keys.cols, Nil)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "merge",
+          partitionCols.header)) {
+        writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the merge race $maxAttempts times under $root")
+  }
+
   /** K3's keyed delete (`mongodb_loader.py:218-231`'s `delete_many`
     * by key list) as an atomic snapshot commit: every row of the
     * current snapshot whose `keyCol` appears in `keys` is removed in
@@ -1434,15 +1593,16 @@ object SnapshotStore {
     * partition holds any doomed key (an empty delete is a no-op, not
     * an empty commit). */
   def deleteCommit(spark: SparkSession, keys: DataFrame, root: String,
-                   keyCol: String, partitionCol: String,
+                   keyCols: ColSpec, partitionCols: ColSpec,
                    maxAttempts: Int = 10): Long = {
-    val doomed = keys.select(col(keyCol)).distinct()
-    val norm: Column => Column = c =>
-      when(c.isNull || c.cast("string") === "",
-        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
+    require(keyCols.nonEmpty, "deleteCommit needs at least one key column")
+    require(partitionCols.nonEmpty, "deleteCommit needs a partition spec")
+    val doomed = keys.select(keyCols.cols.map(col): _*).distinct()
+    // The scope hint needs the WHOLE partition tuple — a partial tuple
+    // cannot name a manifest partition, so it scopes nothing.
     val scope: Option[Set[String]] =
-      if (!keys.columns.contains(partitionCol)) None
-      else Some(keys.select(norm(col(partitionCol))).distinct()
+      if (!partitionCols.cols.forall(keys.columns.contains)) None
+      else Some(keys.select(partValueColumn(partitionCols.cols)).distinct()
         .collect().map(_.getString(0)).toSet)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1453,18 +1613,20 @@ object SnapshotStore {
       // doomed key. The hint only prunes the probe's scan.
       val touched: Set[String] =
         readVersion(spark, root, cur, scope.map(_.toSeq))
-          .select(col(keyCol), col(partitionCol))
-          .join(doomed, Seq(keyCol), "left_semi")
-          .select(norm(col(partitionCol))).distinct()
+          .select((keyCols.cols ++
+            partitionCols.cols.filterNot(keyCols.contains)).map(col): _*)
+          .join(doomed, keyCols.cols, "left_semi")
+          .select(partValueColumn(partitionCols.cols)).distinct()
           .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
       val remaining = applyColumnMapping(readEntries(spark, root, replaced),
           mappingAt(spark, root, cur))
-        .join(doomed, Seq(keyCol), "left_anti")
+        .join(doomed, keyCols.cols, "left_anti")
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, remaining, root, v, partitionCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "delete", partitionCol)) {
+      val newEntries = writeDataFiles(spark, remaining, root, v, partitionCols.cols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
+          partitionCols.header)) {
         writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
         return v
       }
@@ -1488,28 +1650,23 @@ object SnapshotStore {
   def deleteWhere(spark: SparkSession, root: String, predicate: String,
                   maxAttempts: Int = 10): Long = {
     val hit = coalesce(expr(predicate), lit(false))
-    val norm: Column => Column = c =>
-      when(c.isNull || c.cast("string") === "",
-        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      val partCol = partitionColumn(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"manifest v$cur under $root predates partition-column metadata; " +
-            "re-commit once through any SnapshotStore write path first"))
+      val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
       val touched: Set[String] = table(spark, root, Some(cur))
-        .filter(hit).select(norm(col(partCol))).distinct()
+        .filter(hit).select(partValueColumn(partCols)).distinct()
         .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
       val remaining = applyColumnMapping(readEntries(spark, root, replaced),
         mappingAt(spark, root, cur)).filter(!hit)
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, remaining, root, v, partCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "delete", partCol)) {
+      val newEntries = writeDataFiles(spark, remaining, root, v, partCols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
+          partCols.mkString(","))) {
         writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
         return v
       }
@@ -1545,10 +1702,7 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      val partCol = partitionColumn(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"manifest v$cur under $root predates partition-column metadata; " +
-            "re-commit once through any SnapshotStore write path first"))
+      val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
       if (entries.isEmpty) return cur
       // Doomed positions over the RAW skipping-indexed scan (not
@@ -1564,8 +1718,7 @@ object SnapshotStore {
       // only resolve against the scan frame — then the column mapping
       // presents logical names so the user's predicate resolves.
       val doomed = applyColumnMapping(raw
-          .withColumn("__graft_fk", regexp_extract(col("_metadata.file_path"),
-            "([^/]+/[^/]+)$", 1))
+          .withColumn("__graft_fk", dvKeyExpr(col("_metadata.file_path")))
           .withColumn("__graft_pos", col("_metadata.row_index")),
           mappingAt(spark, root, cur))
         .select(col("__graft_fk").as("file_key"),
@@ -1594,7 +1747,8 @@ object SnapshotStore {
           if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
         }
         val v = cur + 1
-        if (writeManifest(spark, root, v, newEntries, "delete-dv", partCol)) {
+        if (writeManifest(spark, root, v, newEntries, "delete-dv",
+            partCols.mkString(","))) {
           writeStats(spark, root, v, newEntries, Nil, None)
           return v
         }
@@ -1629,10 +1783,7 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      val partCol = partitionColumn(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"manifest v$cur under $root predates partition-column metadata; " +
-            "re-commit once through any SnapshotStore write path first"))
+      val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
       if (entries.isEmpty) return cur
       val rawRel = {
@@ -1643,8 +1794,7 @@ object SnapshotStore {
       // _metadata first, then the mapping — same order as deleteWhereDv
       // — so assignments and predicate see LOGICAL columns.
       val raw = applyColumnMapping(rawRel
-          .withColumn("__fk",
-            regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+          .withColumn("__fk", dvKeyExpr(col("_metadata.file_path")))
           .withColumn("__pos", col("_metadata.row_index")),
         mappingAt(spark, root, cur))
       val dataCols = raw.columns.toSeq.filterNot(Set("__fk", "__pos"))
@@ -1686,8 +1836,9 @@ object SnapshotStore {
           val fn = dvKeyOf(e.path)
           if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
         }
-        val newEntries = writeDataFiles(spark, updated, root, v, partCol)
-        if (writeManifest(spark, root, v, carried ++ newEntries, "update-dv", partCol)) {
+        val newEntries = writeDataFiles(spark, updated, root, v, partCols)
+        if (writeManifest(spark, root, v, carried ++ newEntries, "update-dv",
+            partCols.mkString(","))) {
           writeStats(spark, root, v, carried, newEntries, Some(updated.schema))
           return v
         }
@@ -1711,20 +1862,18 @@ object SnapshotStore {
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      val partCol = partitionColumn(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"manifest v$cur under $root predates partition-column metadata; " +
-            "re-commit once through any SnapshotStore write path first"))
+      val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
       val (replaced, kept) = entries.partition(_.dv.nonEmpty)
       if (replaced.isEmpty) return cur
       val materialized = readEntries(spark, root, replaced) // DV-aware
       val v = cur + 1
-      // Physical rewrite (see compact): no translation, physical name.
+      // Physical rewrite (see compact): no translation, physical names.
       val newEntries = writeDataFiles(spark, materialized, root, v,
-        physicalNameOf(mappingAt(spark, root, cur)._1, partCol),
+        partCols.map(physicalNameOf(mappingAt(spark, root, cur)._1, _)),
         translate = false)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "purge", partCol)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "purge",
+          partCols.mkString(","))) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
@@ -1757,20 +1906,14 @@ object SnapshotStore {
     require(assignments.map(_._1).distinct.size == assignments.size,
       s"UPDATE assigns a column twice: ${assignments.map(_._1).mkString(", ")}")
     val hit = coalesce(predicate.map(expr).getOrElse(lit(true)), lit(false))
-    val norm: Column => Column = c =>
-      when(c.isNull || c.cast("string") === "",
-        lit("__HIVE_DEFAULT_PARTITION__")).otherwise(c.cast("string"))
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
-      val partCol = partitionColumn(spark, root, cur).getOrElse(
-        throw new IllegalStateException(
-          s"manifest v$cur under $root predates partition-column metadata; " +
-            "re-commit once through any SnapshotStore write path first"))
+      val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
       val touched: Set[String] = table(spark, root, Some(cur))
-        .filter(hit).select(norm(col(partCol))).distinct()
+        .filter(hit).select(partValueColumn(partCols)).distinct()
         .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
@@ -1804,8 +1947,9 @@ object SnapshotStore {
       }: _*)
       enforceConstraints(spark, root, updated)
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, updated, root, v, partCol)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "update", partCol)) {
+      val newEntries = writeDataFiles(spark, updated, root, v, partCols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "update",
+          partCols.mkString(","))) {
         writeStats(spark, root, v, kept, newEntries, Some(updated.schema))
         return v
       }
@@ -2079,7 +2223,8 @@ object SnapshotStore {
     * commit paths; canonicalize upstream (sorted `map_entries`) if
     * feeding maps built in varying orders. */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
-              toVersion: Long, keyCol: String): DataFrame = {
+              toVersion: Long, keyCols: ColSpec): DataFrame = {
+    require(keyCols.nonEmpty, "change feed needs at least one key column")
     require(fromVersion != toVersion,
       s"change feed needs two distinct versions, got $fromVersion twice")
     val parts = changedPartitions(spark, root, fromVersion, toVersion)
@@ -2092,8 +2237,9 @@ object SnapshotStore {
     val to = readVersion(spark, root, toVersion, Some(parts), mappingVersion = mv)
     val toCols = to.columns.toSeq
     val cols = toCols ++ from.columns.toSeq.filterNot(toCols.contains)
-    val dataCols = cols.filterNot(_ == keyCol)
-    require(cols.contains(keyCol), s"key column $keyCol missing from snapshot")
+    val dataCols = cols.filterNot(keyCols.contains)
+    keyCols.cols.foreach(k => require(cols.contains(k),
+      s"key column $k missing from snapshot"))
     require(dataCols.nonEmpty, "change feed needs at least one non-key column")
     def aligned(df: DataFrame, other: DataFrame): (DataFrame, Map[String, org.apache.spark.sql.types.DataType]) = {
       val have = df.columns.toSet
@@ -2108,17 +2254,18 @@ object SnapshotStore {
     def comparable(c: String): Column =
       if (hasMap(fTypes(c))) to_json(col(c)).as(c) else col(c).as(c)
     def sided(df: DataFrame, side: String): DataFrame = df.select(
-      col(keyCol),
-      struct(dataCols.map(col): _*).as(s"_${side}_row"),
-      struct(dataCols.map(comparable): _*).as(s"_${side}_cmp"))
-    val j = sided(fA, "from").join(sided(tA, "to"), Seq(keyCol), "full_outer")
+      keyCols.cols.map(col) :+
+      struct(dataCols.map(col): _*).as(s"_${side}_row") :+
+      struct(dataCols.map(comparable): _*).as(s"_${side}_cmp"): _*)
+    val j = sided(fA, "from").join(sided(tA, "to"), keyCols.cols, "full_outer")
       .filter(!(col("_from_cmp") <=> col("_to_cmp")))
     val payload = when(col("_to_row").isNull, col("_from_row"))
       .otherwise(col("_to_row"))
     val changeType = when(col("_from_row").isNull, lit("insert"))
       .when(col("_to_row").isNull, lit("delete"))
       .otherwise(lit("update"))
-    j.select(col(keyCol) +: dataCols.map(c => payload.getField(c).as(c))
+    j.select(keyCols.cols.map(col) ++
+      dataCols.map(c => payload.getField(c).as(c))
       :+ changeType.as("_change_type"): _*)
   }
 
@@ -2132,9 +2279,10 @@ object SnapshotStore {
     * crash-safe and non-blocking for readers. Untouched partitions are
     * carried by reference. Returns the new version, or the current one
     * if nothing needed compacting. */
-  def compact(spark: SparkSession, root: String, partitionCol: String,
+  def compact(spark: SparkSession, root: String, partitionCols: ColSpec,
               maxFilesPerPartition: Int = 1, maxAttempts: Int = 5,
               partitions: Option[Seq[String]] = None): Long = {
+    require(partitionCols.nonEmpty, "compact needs a partition spec")
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -2152,13 +2300,15 @@ object SnapshotStore {
       // per compacted partition. Layout paths read and re-write files
       // RAW (physical column names — column mapping never applies), so
       // the partition column resolves by its PHYSICAL name.
-      val physPart = physicalNameOf(mappingAt(spark, root, cur)._1, partitionCol)
+      val physParts = partitionCols.cols
+        .map(physicalNameOf(mappingAt(spark, root, cur)._1, _))
       val compacted = readEntries(spark, root, replaced)
-        .repartition(col(physPart))
+        .repartition(physParts.map(col): _*)
       val v = cur + 1
-      val newEntries = writeDataFiles(spark, compacted, root, v, physPart,
+      val newEntries = writeDataFiles(spark, compacted, root, v, physParts,
         translate = false)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "compact", partitionCol)) {
+      if (writeManifest(spark, root, v, kept ++ newEntries, "compact",
+          partitionCols.header)) {
         // Content unchanged — the recorded schema carries forward.
         writeStats(spark, root, v, kept, newEntries, None)
         return v
@@ -2181,10 +2331,11 @@ object SnapshotStore {
     * selected partitions (same as a global sort) + a min/max rank
     * pass; untouched partitions are carried by reference, and the
     * usual optimistic-commit loop makes it crash-safe/non-blocking. */
-  def compactZOrder(spark: SparkSession, root: String, partitionCol: String,
+  def compactZOrder(spark: SparkSession, root: String, partitionCols: ColSpec,
                     zKeys: Seq[String], filesPerPartition: Int = 4,
                     bits: Int = 8, partitions: Option[Seq[String]] = None,
                     maxAttempts: Int = 5): Long = {
+    require(partitionCols.nonEmpty, "compactZOrder needs a partition spec")
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -2204,8 +2355,9 @@ object SnapshotStore {
         numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
-        physicalNameOf(renames, partitionCol), translate = false)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder", partitionCol)) {
+        partitionCols.cols.map(physicalNameOf(renames, _)), translate = false)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
+          partitionCols.header)) {
         writeStats(spark, root, v, kept, newEntries, None)
         return v
       }
@@ -2258,17 +2410,26 @@ object SnapshotStore {
       // file set as its parent, so the file comparison alone would
       // wrongly skip restoring across it.
       if (manifest(spark, root, cur).toSet == target.toSet &&
-          mappingAt(spark, root, cur) == mappingAt(spark, root, toVersion))
+          mappingAt(spark, root, cur) == mappingAt(spark, root, toVersion) &&
+          tableProperties(spark, root, cur).toSet ==
+            tableProperties(spark, root, toVersion).toSet)
         return cur
       val v = cur + 1
       // The column mapping snaps back to the TARGET's, exactly like the
       // recorded schema (basis): restoring across a rename must show
       // the names the table had then, or the restored files' logical
-      // view would not match the restored content.
+      // view would not match the restored content. Table PROPERTIES
+      // snap back the same way (Delta's RESTORE restores the target
+      // metadata including configuration) — the default carry would
+      // otherwise keep the abandoned tip's property set across a
+      // restore over a SET TBLPROPERTIES.
       if (writeManifest(spark, root, v, target, "restore", partCol,
           columnMapping = Some(
             try columnMapping(spark, root, toVersion)
-            catch { case _: java.io.IOException => (Nil, Nil) }))) {
+            catch { case _: java.io.IOException => (Nil, Nil) }),
+          properties = Some(
+            try tableProperties(spark, root, toVersion)
+            catch { case _: java.io.IOException => Nil }))) {
         writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
         return v
       }
@@ -2458,11 +2619,14 @@ object SnapshotStore {
     val tmpRoot = new Path(root,
       s"._symlink_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     manifest(spark, root, v).groupBy(_.partition).foreach { case (part, es) =>
-      // Hive-escape the partition value the same way writeDataFiles'
-      // partitionBy did, so external engines see familiar directories.
-      val dir = new Path(tmpRoot, s"$PartDir=" + es.head.path.split("/")
-        .find(_.startsWith(s"$PartDir=")).map(_.stripPrefix(s"$PartDir="))
-        .getOrElse(URLEncoder.encode(part, UTF_8)))
+      // Reuse the data files' own Hive-escaped partition directory
+      // components (all levels, for a multi-column spec), so external
+      // engines see the familiar layout.
+      val comps = es.head.path.split("/")
+        .dropWhile(c => !c.startsWith(s"$PartDir=")).dropRight(1)
+      val dir = new Path(tmpRoot,
+        if (comps.nonEmpty) comps.mkString("/")
+        else s"$PartDir=" + URLEncoder.encode(part, UTF_8))
       f.mkdirs(dir)
       val out = f.create(new Path(dir, "manifest"), true)
       try out.write(es.map(e => f.makeQualified(new Path(root, e.path)).toString)

@@ -65,8 +65,8 @@ object CorpusIngest {
               // Accepted docs: keyed merge (idempotent under re-delivery).
               SnapshotStore.mergeCommit(spark,
                 survivors.withColumn("part", pmod(col("id"), lit(16))),
-                acceptedRoot, keyCol = "id", versionCol = "id",
-                partitionCol = "part")
+                acceptedRoot, keys = "id", versionCol = "id",
+                partitionCols = "part")
               // Index rows: one row per (id, band) — key on the pair so
               // a re-delivered batch's signatures merge in place. Also
               // persisted: its one shingle pass over the (cached)
@@ -77,7 +77,7 @@ object CorpusIngest {
                   concat_ws("#", col("id").cast("string"), col("band").cast("string")))
                 .persist()
               try SnapshotStore.mergeCommit(spark, sigs, indexRoot,
-                keyCol = "sig_key", versionCol = "id", partitionCol = "band")
+                keys = "sig_key", versionCol = "id", partitionCols = "band")
               finally sigs.unpersist()
             }
           } finally survivors.unpersist()

@@ -83,7 +83,7 @@ object StockStream {
         if (!batch.isEmpty) {
           graft.sinks.SnapshotStore.mergeCommit(
             batch.sparkSession, batch.withColumn("part", lit("stock")),
-            root, keyCol = "sku", versionCol = "modified_at", partitionCol = "part")
+            root, keys = "sku", versionCol = "modified_at", partitionCols = "part")
           ()
         }
       }

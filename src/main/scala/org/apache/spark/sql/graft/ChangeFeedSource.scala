@@ -243,16 +243,37 @@ object ChangeFeedSource {
     case None => math.max(cur, highWater)
     case Some(m) =>
       require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
-      // Pure arithmetic — NO manifest listing: commits target exactly
-      // current+1, so live version numbers are dense and the m-th
-      // pending version is just highWater + m (capped at the tip).
-      // This runs on EVERY trigger (getOffset/latestOffset); a
+      if (cur <= highWater) math.max(cur, highWater)
+      // Pure arithmetic in the common case — NO manifest listing:
+      // commits target exactly current+1, so RETAINED version numbers
+      // are dense, and when highWater+1's manifest still exists the
+      // m-th pending version is just highWater + m (capped at the
+      // tip). This runs on EVERY trigger (getOffset/latestOffset); a
       // directory listing here would cost O(all versions) per trigger
       // on a long-lived table — the exact cost the _last_checkpoint
-      // pointer exists to avoid. When the low end of the range was
-      // vacuumed, a batch simply covers fewer retained versions than
-      // m — rationing stays a bound, never a promise.
-      math.max(math.min(highWater + m, cur), highWater)
+      // pointer exists to avoid. One exists() probe guards the
+      // assumption.
+      else if (SnapshotStore.manifestExists(spark, root, highWater + 1))
+        math.max(math.min(highWater + m, cur), highWater)
+      else {
+        // The versions just past highWater were VACUUMED (a replay
+        // from startingVersion=0 against a vacuumed table, or a
+        // stream that lagged behind retention). Walking highWater+m
+        // arithmetically would crawl the vacuumed number range in
+        // empty batches and then — because the intermediate batches
+        // make start.isDefined — land the first RETAINED version in
+        // a batch that can no longer take the baseline branch,
+        // killing the stream on its own gap error. Ration over the
+        // RETAINED versions instead: end = the m-th retained version
+        // past highWater, so the first batch spans the vacuumed gap
+        // in one step and the baseline/gap logic in getBatch sees it
+        // with start still None. The listing is paid only while
+        // entering a vacuumed region — the next trigger's highWater
+        // is a retained version and the arithmetic path resumes.
+        val retained = SnapshotStore.versions(spark, root).filter(_ > highWater)
+        if (retained.isEmpty) math.max(cur, highWater)
+        else math.min(retained.take(m.min(Int.MaxValue).toInt).last, cur)
+      }
   }
 
   /** Feed schema = snapshot schema with `key` first, plus the
@@ -266,10 +287,16 @@ object ChangeFeedSource {
     // names users query by, not the files' physical names.
     val base = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
-    require(base.fieldNames.contains(key),
-      s"key column '$key' missing from snapshot schema under $root")
-    val ordered = base.fields.filter(_.name == key) ++
-      base.fields.filterNot(_.name == key)
+    // `key` may be a comma-separated composite (a natural key like
+    // supplier_id,sku) — key columns lead the feed schema in spec
+    // order, mirroring SnapshotStore.changes' output.
+    val keyCols = graft.sinks.ColSpec.parse(key).cols
+    require(keyCols.nonEmpty, s"empty key column spec '$key'")
+    keyCols.foreach(k => require(base.fieldNames.contains(k),
+      s"key column '$k' missing from snapshot schema under $root"))
+    val byName = base.fields.map(f => f.name -> f).toMap
+    val ordered = keyCols.map(byName) ++
+      base.fields.filterNot(f => keyCols.contains(f.name))
     StructType(ordered.toSeq :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))

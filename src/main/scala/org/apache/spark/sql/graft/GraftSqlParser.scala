@@ -68,16 +68,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.identifierList(zcols), Option(where))
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
-    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond)
+    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond, clauseText)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      // Gated like every other DML case: a canonical upsert-shaped
-      // MERGE aimed at another catalog (Delta, spark_catalog) must
-      // flow to the session parser untouched, not be hijacked into a
-      // graft command that fails on resolveRoot.
+      // Gated like every other DML case: a MERGE aimed at another
+      // catalog (Delta, spark_catalog) must flow to the session parser
+      // untouched, not be hijacked into a graft command that fails on
+      // resolveRoot.
       MergeIntoSnapshotCommand(
         delegate.parseMultipartIdentifier(table),
         Option(srcIdent), Option(srcQuery),
-        mergeKey(cond, table, Option(tAlias), Option(srcIdent), Option(sAlias)))
+        mergeKeys(cond, table, Option(tAlias), Option(srcIdent), Option(sAlias)),
+        Option(tAlias), Option(sAlias),
+        GraftSqlParser.mergeClauses(clauseText))
     case DeletePattern(table, where) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       DeleteFromSnapshotCommand(
@@ -114,10 +116,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
-    case GraftSqlParser.CtasPattern(table, pq, pb, query) if isGraftCatalogName(
+    case GraftSqlParser.CreateTablePattern(table, schemaDdl, pb)
+        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
+      CreateSnapshotTableCommand(delegate.parseMultipartIdentifier(table),
+        schemaDdl.trim, GraftSqlParser.identifierList(pb))
+    case GraftSqlParser.CtasPattern(table, pb, query) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       CtasSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.colOf(pq, pb), query.trim)
+        GraftSqlParser.identifierList(pb).mkString(","), query.trim)
     case GraftSqlParser.RenameColumnPattern(table, fq, fb, tq, tb)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
       RenameColumnCommand(delegate.parseMultipartIdentifier(table),
@@ -126,10 +132,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
       DropColumnCommand(delegate.parseMultipartIdentifier(table),
         GraftSqlParser.colOf(cq, cb))
-    case GraftSqlParser.AddColumnPattern(table, cq, cb, ddl)
+    case GraftSqlParser.AddColumnPattern(table, rest)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      AddColumnCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.colOf(cq, cb), ddl.trim)
+      val (cname, cddl) = GraftSqlParser.parseAddColumn(rest)
+      AddColumnCommand(delegate.parseMultipartIdentifier(table), cname, cddl)
     case MergeLoosePattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       // A MERGE aimed at a graft catalog but not in the supported
@@ -138,10 +144,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // graft table can execute (the error would blame the catalog,
       // not the statement).
       throw new IllegalArgumentException(
-        "graft MERGE supports exactly the upsert shape: MERGE INTO <t> " +
-          "USING <source> ON t.<key> = s.<key> WHEN MATCHED THEN UPDATE " +
-          "SET * WHEN NOT MATCHED THEN INSERT * — conditional clauses, " +
-          "column lists, and DELETE actions are not supported; got: " +
+        "graft MERGE supports: MERGE INTO <t> USING <source> ON " +
+          "t.<key> = s.<key> [AND …] with clauses WHEN MATCHED " +
+          "[AND <cond>] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
+          "DELETE, and WHEN NOT MATCHED [AND <cond>] THEN INSERT * — " +
+          "explicit column-list INSERT is not supported; got: " +
           sqlText.trim.take(200))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -204,8 +211,16 @@ object GraftSqlParser {
     (s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident$aliasOpt" +
       s"\\s+USING\\s+(?:$ident|\\((.+)\\))$aliasOpt" +
       "\\s+ON\\s+(.+?)" +
-      "\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*" +
-      "\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*;?\\s*\\z").r
+      "((?:\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+?)+)\\s*;?\\s*\\z").r
+  // One WHEN clause of a MERGE: [NOT] MATCHED [AND cond] THEN action.
+  // Actions: UPDATE SET * | UPDATE SET col = expr, … | DELETE |
+  // INSERT *. The lookahead ends each clause at the next WHEN (or the
+  // end), so the scanner below walks the clause list in order — MERGE
+  // semantics are first-matching-clause-wins per row.
+  private val MergeClausePattern =
+    ("(?is)\\s*WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*)" +
+      "(?=\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b|\\s*\\z)").r
   private val MergeLoosePattern =
     s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
   // DML on snapshot tables (Delta's DELETE/UPDATE/COPY INTO). Gated on
@@ -254,7 +269,14 @@ object GraftSqlParser {
   // CLONE.
   private val CtasPattern =
     (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s+PARTITIONED\\s+BY\\s*" +
-      "\\(\\s*(?:`([^`]+)`|([A-Za-z_][\\w$]*))\\s*\\)\\s+AS\\s+(.+?)\\s*;?\\s*\\z").r
+      "\\(([^)]+)\\)\\s+AS\\s+(.+?)\\s*;?\\s*\\z").r
+  // Plain CREATE TABLE with an explicit schema — the first statement a
+  // DDL-driven deployment writes: an EMPTY v1 whose schema lives in
+  // the stats sidecar, ready for INSERT INTO / COPY INTO / MERGE.
+  private val CreateTablePattern =
+    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s*\\((.+)\\)\\s*" +
+      "USING\\s+`?graft[-_]snapshot`?\\s+PARTITIONED\\s+BY\\s*" +
+      "\\(([^)]+)\\)\\s*;?\\s*\\z").r
   // Column mapping DDL (Delta's ALTER TABLE … RENAME/DROP COLUMN under
   // column-mapping name mode) + metadata-only ADD COLUMN. Gated on the
   // graft catalog name — valid Spark DDL for other tables.
@@ -266,13 +288,52 @@ object GraftSqlParser {
     (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+COLUMN\\s+" +
       s"$colIdent\\s*;?\\s*\\z").r
   private val AddColumnPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+COLUMNS?\\s*" +
-      s"\\(?\\s*$colIdent\\s+([A-Za-z_][\\w<>,() ]*?)\\s*\\)?\\s*;?\\s*\\z").r
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+COLUMNS?\\s+" +
+      "(.+?)\\s*;?\\s*\\z").r
 
   /** First non-null of a `colIdent` match's two groups (backtick-quoted
     * vs bare). */
   private def colOf(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
+
+  /** Parse the tail of `ALTER TABLE … ADD COLUMN[S]` into (name, type
+    * DDL). Strips one WRAPPING paren pair (only when the opening paren
+    * really matches the final one — `(a INT` or a bare `a DECIMAL(10,2)`
+    * must not lose a paren), then rejects multi-column lists (a
+    * top-level comma outside the <…>/(…) of decimal/map/struct types)
+    * with the actual limitation instead of a deep type-parse error. */
+  private[graft] def parseAddColumn(raw0: String): (String, String) = {
+    var raw = raw0.trim
+    if (raw.startsWith("(")) {
+      var depth = 0; var wraps = raw.endsWith(")")
+      for (i <- 0 until raw.length) {
+        raw.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+            if (depth == 0 && i < raw.length - 1) wraps = false
+          case _ => ()
+        }
+      }
+      if (wraps && depth == 0) raw = raw.substring(1, raw.length - 1).trim
+    }
+    val NameType = s"(?s)\\A$colIdent\\s+(.+)\\z".r
+    raw match {
+      case NameType(q, b, ddl) =>
+        var depth = 0
+        val topComma = ddl.exists { c =>
+          if (c == '(' || c == '<') { depth += 1; false }
+          else if (c == ')' || c == '>') { depth -= 1; false }
+          else c == ',' && depth == 0
+        }
+        require(!topComma,
+          "graft ALTER TABLE ADD COLUMNS supports one column per " +
+            s"statement — split the column list into separate statements " +
+            s"(got: ${raw0.trim.take(120)})")
+        (colOf(q, b), ddl.trim)
+      case _ => throw new IllegalArgumentException(
+        s"malformed ADD COLUMN clause (expected <name> <type>): ${raw0.trim.take(120)}")
+    }
+  }
 
   /** Parse `'k' = 'v', 'k2' = 'v2'` (standard TBLPROPERTIES shape;
     * doubled '' escapes a quote inside either side). */
@@ -335,13 +396,16 @@ object GraftSqlParser {
     * equality, optionally qualified by the target/source aliases or
     * names (`t.k = s.k`, `k = k`). Anything else — expressions,
     * AND-ed keys, differently-named columns — is rejected loudly. */
-  private def mergeKey(cond: String, table: String, tAlias: Option[String],
-                       srcIdent: Option[String], sAlias: Option[String]): String = {
+  private def mergeKeys(cond: String, table: String, tAlias: Option[String],
+                        srcIdent: Option[String], sAlias: Option[String]): Seq[String] = {
     def strip(p: String): String =
       if (p.startsWith("`")) p.stripPrefix("`").stripSuffix("`") else p
     val qcol = s"(?:($part)\\.)?($part)"
     val Eq = s"(?is)\\A\\s*$qcol\\s*=\\s*$qcol\\s*\\z".r
-    cond match {
+    // A composite natural key is a top-level AND of same-named
+    // equalities: ON t.supplier = s.supplier AND t.sku = s.sku.
+    val conjuncts = cond.split("(?i)\\s+AND\\s+").toSeq
+    val keys = conjuncts.map {
       case Eq(q1, c1, q2, c2) if strip(c1) == strip(c2) =>
         // Qualifiers, when present, must be known names and must not
         // both point at the same side.
@@ -357,10 +421,64 @@ object GraftSqlParser {
           s"graft MERGE ON clause references unknown qualifier '$q' " +
             s"(known: ${known.mkString(", ")})"))
         strip(c1)
-      case _ => throw new IllegalArgumentException(
-        "graft MERGE supports a single same-named equality key: " +
-          s"ON t.<key> = s.<key> — got: ${cond.trim}")
+      case other => throw new IllegalArgumentException(
+        "graft MERGE supports same-named equality keys (AND-combined " +
+          s"for a composite key): ON t.<key> = s.<key> [AND …] — got: ${other.trim}")
     }
+    require(keys.distinct.size == keys.size,
+      s"graft MERGE ON clause repeats a key: ${keys.mkString(", ")}")
+    keys
+  }
+
+  /** One parsed WHEN clause. `set` None = `UPDATE SET *`. */
+  private[graft] sealed trait MergeClause
+  private[graft] case class MatchedUpdate(cond: Option[String],
+      set: Option[Seq[(String, String)]]) extends MergeClause
+  private[graft] case class MatchedDelete(cond: Option[String]) extends MergeClause
+  private[graft] case class NotMatchedInsert(cond: Option[String]) extends MergeClause
+
+  /** Scan the WHEN-clause tail of a MERGE into ordered [[MergeClause]]s,
+    * rejecting text the clause grammar does not cover (a statement
+    * must not half-parse). */
+  private[graft] def mergeClauses(raw: String): Seq[MergeClause] = {
+    val ms = MergeClausePattern.findAllMatchIn(raw).toSeq
+    val covered = ms.map(m => m.end - m.start).sum
+    require(ms.nonEmpty && covered == raw.length,
+      "graft MERGE clauses must each be WHEN [NOT] MATCHED [AND <cond>] " +
+        "THEN UPDATE SET */UPDATE SET col = expr, …/DELETE/INSERT * — " +
+        s"could not parse: ${raw.trim.take(200)}")
+    val clauses = ms.map { m =>
+      val notMatched = m.group(1) != null
+      val cond = Option(m.group(2)).map(_.trim)
+      val action = m.group(3).trim
+      val lower = action.toLowerCase
+      if (notMatched) {
+        require(lower == "insert *",
+          s"WHEN NOT MATCHED supports only INSERT * — got: $action")
+        NotMatchedInsert(cond)
+      } else if (lower == "delete") MatchedDelete(cond)
+      else {
+        require(lower.startsWith("update set"),
+          s"WHEN MATCHED supports UPDATE SET or DELETE — got: $action")
+        val setText = action.substring("update set".length).trim
+        if (setText == "*") MatchedUpdate(cond, None)
+        else MatchedUpdate(cond, Some(assignments(setText)))
+      }
+    }
+    // An unconditional clause makes every later clause of its kind
+    // unreachable — a statement bug, reject loudly.
+    def unreachable(kinds: Seq[(Option[String], Int)]): Unit =
+      kinds.zipWithIndex.foreach { case ((cond, _), i) =>
+        require(cond.isDefined || i == kinds.size - 1,
+          "graft MERGE: a clause after an unconditional clause of the " +
+            "same kind is unreachable — add AND conditions or reorder")
+      }
+    unreachable(clauses.collect {
+      case MatchedUpdate(c, _) => (c, 0); case MatchedDelete(c) => (c, 0) })
+    unreachable(clauses.collect { case NotMatchedInsert(c) => (c, 1) })
+    require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
+      "graft MERGE supports at most one WHEN NOT MATCHED clause")
+    clauses
   }
 
   /** Parse an UPDATE's SET list into (column, expression) pairs:
@@ -572,27 +690,34 @@ case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String],
     val root = GraftSqlParser.resolveRoot(spark, table)
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
-      throw new IllegalStateException(
-        s"manifest v$cur under $root predates partition-column metadata; " +
-          "re-commit once through any SnapshotStore write path (or use the " +
-          "Scala compact/compactZOrder API, which takes the column explicitly)"))
+    val partCols = SnapshotStore.partitionColumns(spark, root, cur)
+    if (partCols.isEmpty) throw new IllegalStateException(
+      s"manifest v$cur under $root predates partition-column metadata; " +
+        "re-commit once through any SnapshotStore write path (or use the " +
+        "Scala compact/compactZOrder API, which takes the column explicitly)")
     val wanted: Option[Seq[String]] = where.map { w =>
+      // Each manifest partition VALUE decoded into one string column
+      // per spec column (plus the encoded value itself, hidden), so a
+      // WHERE over any subset of the partition columns selects scopes.
       val parts = SnapshotStore.manifest(spark, root, cur)
         .map(_.partition).distinct
+      val rows = parts.map(pv => Row.fromSeq(
+        pv +: SnapshotStore.decodePartValue(pv, partCols.size)))
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(parts.map(Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(partCol,
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__graft_part_value",
+            org.apache.spark.sql.types.StringType) +:
+          partCols.map(c => org.apache.spark.sql.types.StructField(c,
             org.apache.spark.sql.types.StringType))))
       df.filter(org.apache.spark.sql.functions.expr(w))
         .collect().map(_.getString(0)).toSeq
     }
     val v =
       if (zorderBy.nonEmpty)
-        SnapshotStore.compactZOrder(spark, root, partCol, zorderBy,
+        SnapshotStore.compactZOrder(spark, root, partCols, zorderBy,
           partitions = wanted)
-      else SnapshotStore.compact(spark, root, partCol, partitions = wanted)
+      else SnapshotStore.compact(spark, root, partCols, partitions = wanted)
     Seq(Row(root, v))
   }
 }
@@ -627,8 +752,16 @@ case class GenerateSymlinkCommand(table: Seq[String])
 case class MergeIntoSnapshotCommand(table: Seq[String],
                                     sourceIdent: Option[String],
                                     sourceQuery: Option[String],
-                                    keyCol: String)
+                                    keyCols: Seq[String],
+                                    tAlias: Option[String] = None,
+                                    sAlias: Option[String] = None,
+                                    clauses: Seq[GraftSqlParser.MergeClause] =
+                                      Seq(GraftSqlParser.MatchedUpdate(None, None),
+                                          GraftSqlParser.NotMatchedInsert(None)))
     extends LeafRunnableCommand {
+  import GraftSqlParser.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+  import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
       nullable = false)(),
@@ -638,31 +771,144 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     val root = GraftSqlParser.resolveRoot(spark, table)
     val src = sourceQuery.map(spark.sql)
       .getOrElse(spark.table(sourceIdent.get))
-    require(src.columns.contains(keyCol),
-      s"merge key '$keyCol' is not a column of the source")
+    keyCols.foreach(k => require(src.columns.contains(k),
+      s"merge key '$k' is not a column of the source"))
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no committed snapshot under $root — MERGE needs an existing " +
           "table (create one with df.write.format(\"graft-snapshot\"))"))
-    val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
-      throw new IllegalStateException(
-        s"manifest v$cur under $root predates partition-column metadata; " +
-          "re-commit once through any SnapshotStore write path first"))
-    require(src.columns.contains(partCol),
-      s"the source must carry the table's partition column '$partCol'")
+    val partCols = SnapshotStore.partitionColumns(spark, root, cur)
+    if (partCols.isEmpty) throw new IllegalStateException(
+      s"manifest v$cur under $root predates partition-column metadata; " +
+        "re-commit once through any SnapshotStore write path first")
     // One cheap aggregate over the source: found duplicates would make
-    // "UPDATE SET *" nondeterministic per key, so fail before writing.
-    val dup = src.groupBy(org.apache.spark.sql.functions.col(keyCol))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .filter(org.apache.spark.sql.functions.col("n") > 1).limit(1).collect()
+    // per-key actions nondeterministic, so fail before writing (the
+    // same precondition Delta enforces).
+    val dup = src.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
     if (dup.nonEmpty) throw new IllegalStateException(
-      s"MERGE source has multiple rows for key ${dup.head.get(0)} — " +
+      s"MERGE source has multiple rows for key ${dup.head.toSeq.init} — " +
         "a target row cannot be updated twice in one MERGE; " +
         "de-duplicate the source first")
-    val v = SnapshotStore.mergeCommitOrdered(
-      spark, src, root, keyCol, Seq.empty, partCol)
+    val canonicalUpsert = clauses == Seq(MatchedUpdate(None, None),
+      NotMatchedInsert(None))
+    val v =
+      if (canonicalUpsert) {
+        // The fast path: no target read at all — the store's keyed
+        // merge IS "replace matched, insert unmatched".
+        partCols.foreach(c => require(src.columns.contains(c),
+          s"the source must carry the table's partition column '$c'"))
+        SnapshotStore.mergeCommitOrdered(
+          spark, src, root, keyCols, Seq.empty, partCols)
+      } else general(spark, root, src, partCols)
     Seq(Row(root, v))
+  }
+
+  /** The general clause engine: target and source joined on the keys
+    * under their statement aliases (expressions in AND-conditions and
+    * SET lists resolve `t.col` / `s.col` through plain DataFrame
+    * aliases), per-row action = the first clause whose condition
+    * holds, all applied in ONE atomic commit
+    * ([[SnapshotStore.upsertDeleteCommit]]). The join reads only what
+    * the file-skipping index admits, matched-row work scales with the
+    * SOURCE (inner/anti equi-joins on the keys — AQE broadcasts a
+    * small source), and untouched partitions carry by reference. */
+  private def general(spark: SparkSession, root: String,
+                      src: org.apache.spark.sql.DataFrame,
+                      partCols: Seq[String]): Long = {
+    def strip(p: String): String =
+      if (p.startsWith("`")) p.stripPrefix("`").stripSuffix("`") else p
+    val tName = tAlias.getOrElse(strip(table.last))
+    val sName = sAlias.orElse(sourceIdent.map(i => strip(i.split("\\.").last)))
+      .getOrElse("__graft_merge_src")
+    val target = SnapshotStore.table(spark, root)
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val matchedClauses = clauses.collect {
+      case u: MatchedUpdate => u: GraftSqlParser.MergeClause
+      case d: MatchedDelete => d
+    }
+    val insertClause = clauses.collectFirst { case i: NotMatchedInsert => i }
+    // Validate column-level SETs against the target schema up front.
+    matchedClauses.foreach {
+      case MatchedUpdate(_, Some(set)) => set.foreach { case (c, _) =>
+        require(tTypes.contains(strip(c).stripPrefix(tName + ".")),
+          s"MERGE UPDATE SET targets unknown column '$c' " +
+            s"(columns: ${target.columns.mkString(", ")})") }
+      case _ => ()
+    }
+    val tv = target.alias(tName)
+    val sv = src.alias(sName)
+    val joinCond = keyCols.map(k => tv(k) <=> sv(k)).reduce(_ && _)
+    val joined = tv.join(sv, joinCond, "inner")
+    // First-matching-clause-wins: a when-chain indexed by clause
+    // position; -1 = no clause applies (the row stays untouched).
+    val action = matchedClauses.zipWithIndex
+      .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+        val cond = (cl match {
+          case MatchedUpdate(c, _) => c
+          case MatchedDelete(c) => c
+          case _ => None
+        }).map(expr).getOrElse(lit(true))
+        acc.when(cond, lit(i))
+      }.otherwise(lit(-1))
+    val acted = joined.withColumn("__graft_action", action)
+    val deleteIdx = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i }.toSet
+    val updateIdx = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedUpdate, i) => i }
+    val deletes =
+      if (deleteIdx.isEmpty) None
+      else Some(acted
+        .filter(col("__graft_action").isInCollection(deleteIdx.map(Int.box)))
+        .select(keyCols.map(k => sv(k).as(k)): _*))
+    // Schema evolution on SET *: source-only columns join the output
+    // (null on rows other clauses produced), exactly like the upsert
+    // fast path's union-by-name evolution.
+    val setStar = matchedClauses.exists {
+      case MatchedUpdate(_, None) => true; case _ => false }
+    val outCols = target.columns.toSeq ++
+      (if (setStar) src.columns.toSeq.filterNot(target.columns.contains)
+       else Nil)
+    def updatedRow(c: String): org.apache.spark.sql.Column =
+      updateIdx.foldLeft(when(lit(false), lit(null))) { case (acc, i) =>
+        val value = matchedClauses(i) match {
+          case MatchedUpdate(_, None) =>
+            if (src.columns.contains(c)) sv(c)
+            else if (tTypes.contains(c)) tv(c) else lit(null)
+          case MatchedUpdate(_, Some(set)) =>
+            val assigned = set.collectFirst {
+              case (sc, e) if strip(sc).stripPrefix(tName + ".") == c =>
+                expr(e).cast(tTypes(c)) }
+            assigned.getOrElse(
+              if (tTypes.contains(c)) tv(c)
+              else lit(null)) // source-only column: null unless SET *
+          case _ => lit(null)
+        }
+        acc.when(col("__graft_action") === i,
+          if (tTypes.contains(c)) value.cast(tTypes(c)) else value)
+      }.otherwise(lit(null)).as(c)
+    val updated =
+      if (updateIdx.isEmpty) None
+      else Some(acted
+        .filter(col("__graft_action").isInCollection(updateIdx.map(Int.box)))
+        .select(outCols.map(updatedRow): _*))
+    val inserted = insertClause.map { ins =>
+      val unmatched = sv.join(tv, joinCond, "left_anti")
+        .filter(ins.cond.map(expr).getOrElse(lit(true)))
+      unmatched.select(outCols.filter(c =>
+        src.columns.contains(c) || tTypes.contains(c)).map { c =>
+        (if (src.columns.contains(c)) sv(c)
+         else lit(null)).cast(tTypes.getOrElse(c,
+          unmatched.select(sv(c)).schema.head.dataType)).as(c)
+      }: _*)
+    }
+    val upserts = (updated.toSeq ++ inserted.toSeq)
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(target.limit(0))
+    partCols.foreach(c => require(upserts.columns.contains(c),
+      s"MERGE output lost the table's partition column '$c'"))
+    SnapshotStore.upsertDeleteCommit(spark, root, upserts, deletes,
+      keyCols, partCols)
   }
 }
 
@@ -803,9 +1049,30 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    require(!query.trim.startsWith("("),
-      "graft INSERT INTO does not support explicit column lists — " +
-        "columns map positionally to the table schema")
+    // `INSERT INTO t (SELECT …)` is a parenthesized QUERY (valid SQL,
+    // handed to spark.sql as-is); `INSERT INTO t (a, b) SELECT …` is a
+    // column list, which the positional contract does not support —
+    // tell those apart by whether anything follows the balanced
+    // parenthesis group.
+    val trimmed = query.trim
+    if (trimmed.startsWith("(")) {
+      var depth = 0; var close = -1; var i = 0
+      var inStr = false
+      while (i < trimmed.length && close < 0) {
+        val c = trimmed.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(close == trimmed.length - 1,
+        "graft INSERT INTO does not support explicit column lists — " +
+          "columns map positionally to the table schema")
+    }
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val partCol = SnapshotStore.partitionColumn(spark, root, cur).getOrElse(
@@ -947,14 +1214,50 @@ case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     val df = spark.sql(query)
-    require(df.columns.contains(partitionCol),
-      s"CTAS query lacks the declared partition column '$partitionCol' " +
-        s"(columns: ${df.columns.mkString(", ")})")
+    graft.sinks.ColSpec.parse(partitionCol).cols.foreach(c =>
+      require(df.columns.contains(c),
+        s"CTAS query lacks the declared partition column '$c' " +
+          s"(columns: ${df.columns.mkString(", ")})"))
     SnapshotStore.commitIfAbsent(spark, df, root, partitionCol) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE AS failed: $root already holds a snapshot — " +
           "CTAS is create-only; use INSERT INTO / MERGE INTO to modify")
+    }
+  }
+}
+
+/** `CREATE TABLE t (<schema>) USING graft-snapshot PARTITIONED BY
+  * (<cols>)` — create an EMPTY snapshot table: version 1 carries zero
+  * data files, the declared schema is recorded in the stats sidecar
+  * (the empty-table read path serves it), and the partition spec
+  * lands in the `#partcol` header so every later INSERT / COPY INTO /
+  * MERGE / OPTIMIZE resolves it from the log. Create-only, decided
+  * inside the commit protocol ([[SnapshotStore.commitIfAbsent]]) so a
+  * racing CTAS/CREATE cannot slip through. Returns (path, version). */
+case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
+                                      partitionCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    require(partitionCols.nonEmpty,
+      "CREATE TABLE … USING graft-snapshot needs PARTITIONED BY (…)")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols) match {
+      case Some(v) => Seq(Row(root, v))
+      case None => throw new IllegalStateException(
+        s"CREATE TABLE failed: $root already holds a snapshot — " +
+          "create is create-only; use INSERT INTO / MERGE INTO to modify")
     }
   }
 }

@@ -131,8 +131,14 @@ class SnapshotStreamSource(
     val emit = committed.filter(v => v > from && v <= to)
     val feeds = emit.flatMap { v =>
       val op = SnapshotStore.manifestOperation(spark, root, v).getOrElse("")
-      if (layoutOps(op)) None
-      else if (!committed.contains(v - 1)) {
+      // The missing-predecessor branch comes FIRST: the layout-op skip
+      // is only a valid statement about the v-1 -> v TRANSITION, which
+      // requires v-1's manifest to exist. When the oldest retained
+      // version after vacuum happens to be a layout-only commit, a
+      // replay must still emit it as the whole-snapshot baseline (its
+      // content is the table), and a lagging checkpointed stream must
+      // still hit the gap error instead of silently skipping the hole.
+      if (!committed.contains(v - 1)) {
         if (v == 1L || (start.isEmpty && from < v - 1))
           // First commit, or the stream's FIRST batch (start = None)
           // explicitly starting over vacuumed history: the (oldest
@@ -150,7 +156,8 @@ class SnapshotStreamSource(
             s"before the stream consumed the ${v - 1}->$v delta; restart " +
             s"with a fresh checkpoint and startingVersion < ${committed.min}, " +
             "or keep more history (SnapshotStore.vacuum keep)")
-      } else {
+      } else if (layoutOps(op)) None
+      else {
         val prev = SnapshotStore.manifest(spark, root, v - 1)
         val cur = SnapshotStore.manifest(spark, root, v)
         val curIds = cur.map(e => (e.path, e.dv)).toSet

@@ -230,6 +230,34 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("p1", 3, "update", 3L)), s"unexpected replay: $got")
   }
 
+  test("rationed full replay against a vacuumed table spans the gap in one baseline batch") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    (2 to 6).foreach(i => SnapshotStore.mergeCommit(spark,
+      table((s"p$i", "a", i)), root, "product_id", "version", "supplier"))
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0) // keeps v5, v6
+    // startingVersion=0 + maxVersionsPerTrigger=1: rationing must step
+    // over the vacuumed numbers to the first RETAINED version (v5 =
+    // baseline inserts), not crawl 1, 2, … in empty batches and then
+    // fail its own gap check once start is no longer None.
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_ration_vac")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("feed_ration_vac")
+      .select("product_id", "_change_type", "_commit_version")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == (1 to 5).map(i => (s"p$i", "insert", 5L)).toSet +
+      (("p6", "insert", 6L)), s"unexpected: $got")
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("a lagging CHECKPOINTED stream overtaken by vacuum fails instead of re-delivering") {
     val dir = freshDir()
     val root = s"$dir/t"

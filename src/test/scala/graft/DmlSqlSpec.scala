@@ -55,6 +55,83 @@ class DmlSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE ctas_plain_tbl")
   }
 
+  test("plain CREATE TABLE makes an empty v1; INSERT INTO fills it; create-only vs CTAS") {
+    val dir = freshDir()
+    bindCatalog("graft_ct")
+    val root = s"$dir/t"
+    val out = spark.sql(s"CREATE TABLE graft_ct.`$root` " +
+      "(product_id STRING, supplier STRING, qty INT) " +
+      "USING `graft-snapshot` PARTITIONED BY (supplier)").collect()
+    assert(out.head.getLong(1) == 1L)
+    // Empty but readable, with the declared schema and recorded spec.
+    val empty = SnapshotStore.read(spark, root)
+    assert(empty.columns.toSeq == Seq("product_id", "supplier", "qty"))
+    assert(empty.count() == 0)
+    assert(SnapshotStore.partitionColumn(spark, root, 1L).contains("supplier"))
+    // INSERT INTO the empty table works immediately.
+    spark.sql(s"INSERT INTO graft_ct.`$root` " +
+      "VALUES ('p1', 'a', 1), ('p2', 'b', 2)").collect()
+    assert(SnapshotStore.read(spark, root).select("product_id")
+      .as[String].collect().toSet == Set("p1", "p2"))
+    // Create-only: a second CREATE (or a CTAS) onto the same root fails.
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft_ct.`$root` (x INT) " +
+        "USING `graft-snapshot` PARTITIONED BY (x)").collect()
+    }
+    assert(e.getMessage.contains("create-only"))
+    // Multi-column partition spec + missing-column validation.
+    val root2 = s"$dir/t2"
+    spark.sql(s"CREATE TABLE graft_ct.`$root2` " +
+      "(sku STRING, supplier STRING, status STRING, qty DECIMAL(10,2)) " +
+      "USING `graft-snapshot` PARTITIONED BY (supplier, status)").collect()
+    assert(SnapshotStore.partitionColumn(spark, root2, 1L)
+      .contains("supplier,status"))
+    spark.sql(s"INSERT INTO graft_ct.`$root2` " +
+      "VALUES ('s1', 'a', 'active', 1.50)").collect()
+    assert(SnapshotStore.manifest(spark, root2, 2L)
+      .map(_.partition).toSet == Set("a/active"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft_ct.`$dir/t3` (x INT) " +
+        "USING `graft-snapshot` PARTITIONED BY (nope)").collect()
+    }
+    assert(e2.getMessage.contains("not in the declared schema"))
+  }
+
+  test("INSERT INTO accepts a parenthesized query; rejects a column list with the real reason") {
+    val dir = freshDir()
+    bindCatalog("graft_ins")
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    // A parenthesized query is valid SQL, not a column list.
+    spark.sql(s"INSERT INTO graft_ins.`$root` " +
+      "(SELECT 'p2', 'b', 2)").collect()
+    assert(SnapshotStore.read(spark, root).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_ins.`$root` " +
+        "(product_id, supplier, qty) VALUES ('p3', 'c', 3)").collect()
+    }
+    assert(e.getMessage.contains("column lists"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMNS with a multi-column list fails with the actual limitation") {
+    val dir = freshDir()
+    bindCatalog("graft_addc")
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    // Comma-bearing TYPES still parse (decimal/map/struct).
+    spark.sql(s"ALTER TABLE graft_addc.`$root` ADD COLUMN price DECIMAL(10,2)")
+      .collect()
+    spark.sql(s"ALTER TABLE graft_addc.`$root` ADD COLUMN tags MAP<STRING,STRING>")
+      .collect()
+    assert(SnapshotStore.table(spark, root).columns
+      .count(Set("price", "tags")) == 2)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_addc.`$root` " +
+        "ADD COLUMNS (a INT, b STRING)").collect()
+    }
+    assert(e.getMessage.contains("one column per statement"), e.getMessage)
+  }
+
   test("DELETE FROM WHERE removes TRUE rows, keeps FALSE and NULL rows") {
     val root = s"${freshDir()}/t"
     bindCatalog("graft_dml1")

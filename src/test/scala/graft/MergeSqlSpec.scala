@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.SnapshotStore
+
+/** The richer `MERGE INTO` grammar: conditional WHEN clauses,
+  * column-level SET, MATCHED-DELETE (the canonical Delta CDC-apply
+  * statement), composite ON keys — all executed as ONE atomic
+  * snapshot commit. */
+class MergeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    s"${Files.createTempDirectory("mergesql")}/t"
+
+  private def table(rows: (String, String, Int)*) =
+    rows.toDF("sku", "supplier", "qty")
+
+  private def bindCatalog(name: String): Unit =
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sinks.GraftCatalog].getName)
+
+  test("CDC-apply: MATCHED-AND-DELETE + column SET + INSERT * in one atomic commit") {
+    val root = freshRoot()
+    bindCatalog("g_cdc")
+    SnapshotStore.commit(spark, table(
+      ("s1", "a", 1), ("s2", "a", 2), ("s3", "b", 3)), root, "supplier")
+    // The canonical CDC batch: a delete flag, updates, and an insert.
+    Seq(("s1", "a", 0, true), ("s2", "a", 20, false), ("s4", "b", 40, false))
+      .toDF("sku", "supplier", "qty", "deleted")
+      .createOrReplaceTempView("cdc_batch")
+    val before = SnapshotStore.currentVersion(spark, root).get
+    val out = spark.sql(
+      s"MERGE INTO g_cdc.`$root` t USING cdc_batch s ON t.sku = s.sku " +
+        "WHEN MATCHED AND s.deleted THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty " +
+        "WHEN NOT MATCHED AND NOT s.deleted THEN INSERT *").collect()
+    // ONE new version for the whole statement — a reader can never see
+    // the updated-but-not-yet-deleted middle state.
+    assert(out.head.getLong(1) == before + 1)
+    assert(SnapshotStore.currentVersion(spark, root).contains(before + 1))
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "supplier", "qty").as[(String, String, Int)]
+      .collect().toSet
+    assert(got == Set(("s2", "a", 20), ("s3", "b", 3), ("s4", "b", 40)),
+      got.toString)
+    // The source-only `deleted` column must NOT leak into the table
+    // (no SET *, so no schema evolution).
+    assert(!SnapshotStore.read(spark, root).columns.contains("deleted"))
+  }
+
+  test("conditional UPDATE guards with s./t. expressions; first clause wins") {
+    val root = freshRoot()
+    bindCatalog("g_guard")
+    SnapshotStore.commit(spark, table(("s1", "a", 5), ("s2", "a", 9)),
+      root, "supplier")
+    table(("s1", "a", 7), ("s2", "a", 3)).createOrReplaceTempView("guard_src")
+    // Only rows where the source qty beats the target's update.
+    spark.sql(s"MERGE INTO g_guard.`$root` t USING guard_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED AND s.qty > t.qty THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "qty").as[(String, Int)].collect().toSet
+    assert(got == Set(("s1", 7), ("s2", 9)), got.toString)
+  }
+
+  test("column-level SET evaluates against the OLD row (t. and s. both in scope)") {
+    val root = freshRoot()
+    bindCatalog("g_set")
+    SnapshotStore.commit(spark, table(("s1", "a", 10)), root, "supplier")
+    table(("s1", "a", 5)).createOrReplaceTempView("set_src")
+    spark.sql(s"MERGE INTO g_set.`$root` t USING set_src s ON t.sku = s.sku " +
+      "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(SnapshotStore.read(spark, root)
+      .select("qty").as[Int].collect().toSeq == Seq(15))
+  }
+
+  test("composite ON key: t.supplier = s.supplier AND t.sku = s.sku") {
+    val root = freshRoot()
+    bindCatalog("g_comp")
+    // sku alone is ambiguous: s1 exists under two suppliers.
+    SnapshotStore.commit(spark, table(
+      ("s1", "a", 1), ("s1", "b", 2)), root, "supplier")
+    table(("s1", "a", 10), ("s9", "b", 90)).createOrReplaceTempView("comp_src")
+    spark.sql(s"MERGE INTO g_comp.`$root` t USING comp_src s " +
+      "ON t.supplier = s.supplier AND t.sku = s.sku " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "supplier", "qty").as[(String, String, Int)]
+      .collect().toSet
+    assert(got == Set(("s1", "a", 10), ("s1", "b", 2), ("s9", "b", 90)),
+      got.toString)
+  }
+
+  test("delete-only MERGE empties matched keys; no-match clauses are a version no-op") {
+    val root = freshRoot()
+    bindCatalog("g_del")
+    SnapshotStore.commit(spark, table(("s1", "a", 1), ("s2", "a", 2)),
+      root, "supplier")
+    table(("s1", "a", 0)).createOrReplaceTempView("del_src")
+    val v = spark.sql(s"MERGE INTO g_del.`$root` t USING del_src s " +
+      "ON t.sku = s.sku WHEN MATCHED THEN DELETE").collect().head.getLong(1)
+    assert(v == 2L)
+    assert(SnapshotStore.read(spark, root).select("sku")
+      .as[String].collect().toSeq == Seq("s2"))
+    // Nothing matches now: the statement commits nothing.
+    val v2 = spark.sql(s"MERGE INTO g_del.`$root` t USING del_src s " +
+      "ON t.sku = s.sku WHEN MATCHED THEN DELETE").collect().head.getLong(1)
+    assert(v2 == 2L, "an all-no-op MERGE must not publish an empty commit")
+  }
+}

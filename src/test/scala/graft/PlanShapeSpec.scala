@@ -310,4 +310,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "span aggregates lost map-side combining:\n" + p.take(1200))
   }
+
+  test("dupSpanStats: span frequency is an aggregate+join, never a window over the hash") {
+    assume(available)
+    // A Window partitioned by the span hash serializes a corpus-
+    // ubiquitous boilerplate span into ONE task and cannot partial-
+    // aggregate; the skew-safe shape is groupBy(hash).count (map-side
+    // combine) joined back (AQE can skew-split a join, never a window).
+    val p = plan("q167_dup_spans")
+    assert(!p.contains("Window"),
+      "span frequency regressed to a window over the span hash:\n" + p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "span frequency lost map-side combining:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span frequency join degraded:\n" + p.take(1200))
+  }
 }

@@ -58,6 +58,28 @@ class RestoreHistorySpec extends SparkSpec {
     assert(SnapshotStore.restore(spark, root, 1L) == 3L)
   }
 
+  test("restore snaps table properties back to the target version's set") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    SnapshotStore.setProperties(spark, root,
+      Seq("owner" -> "etl", "tier" -> "gold"))                    // v2
+    SnapshotStore.setProperties(spark, root, Seq("tier" -> "raw")) // v3
+    // Restore to v2: properties must snap back to v2's exact set
+    // (Delta's RESTORE restores the target metadata including
+    // configuration), not carry the abandoned tip's forward.
+    SnapshotStore.restore(spark, root, 2L)
+    assert(SnapshotStore.tablePropertiesMap(spark, root) ==
+      Map("owner" -> "etl", "tier" -> "gold"))
+    // Restore to v1 (no properties): the set empties.
+    SnapshotStore.restore(spark, root, 1L)
+    assert(SnapshotStore.tablePropertiesMap(spark, root).isEmpty)
+    // Same files, different properties → NOT a version no-op: restoring
+    // back to v2's state must commit (and restore the properties).
+    val v = SnapshotStore.restore(spark, root, 2L)
+    assert(v > 1L &&
+      SnapshotStore.tablePropertiesMap(spark, root)("tier") == "gold")
+  }
+
   test("restore across a widening merge snaps the schema back exactly") {
     val root = freshRoot()
     SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
@@ -339,25 +361,29 @@ class RestoreHistorySpec extends SparkSpec {
     table(("p1", "a", 2)).createOrReplaceTempView("rh_mergex_src")
     def bad(sql: String): String =
       intercept[Exception](spark.sql(sql).collect()).getMessage
-    // Conditional WHEN clause → rejected at parse with the grammar.
+    // Explicit column-list INSERT → rejected with the grammar.
     assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
       "ON t.product_id = s.product_id " +
-      "WHEN MATCHED AND s.version > t.version THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("upsert shape"))
-    // Column-list UPDATE → rejected.
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT (product_id) VALUES (s.product_id)")
+      .contains("INSERT"))
+    // Non-equality ON conjunct → rejected.
     assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
-      "ON t.product_id = s.product_id " +
-      "WHEN MATCHED THEN UPDATE SET version = s.version " +
-      "WHEN NOT MATCHED THEN INSERT *").contains("upsert shape"))
-    // DELETE action → rejected.
-    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
-      "ON t.product_id = s.product_id " +
-      "WHEN MATCHED THEN DELETE").contains("upsert shape"))
-    // Compound / differently-named ON keys → rejected.
-    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
-      "ON t.product_id = s.product_id AND t.supplier = s.supplier " +
+      "ON t.product_id > s.product_id " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       .contains("equality key"))
+    // Differently-named ON columns → rejected.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.supplier " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .contains("equality key"))
+    // A clause after an unconditional clause of the same kind → dead
+    // code, rejected.
+    assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_src s " +
+      "ON t.product_id = s.product_id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN MATCHED AND s.version > 1 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *").contains("unreachable"))
     // Duplicate source keys → standard MERGE error before any write.
     table(("p9", "a", 1), ("p9", "a", 2)).createOrReplaceTempView("rh_mergex_dup")
     assert(bad(s"MERGE INTO rh_mergex.`$root` t USING rh_mergex_dup s " +

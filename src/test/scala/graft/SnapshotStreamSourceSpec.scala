@@ -185,6 +185,57 @@ class SnapshotStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replay whose oldest retained version is a layout-only commit still emits the baseline") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1)), root, "supplier")    // v1
+    SnapshotStore.appendCommit(spark, table(("p3", "a", 2)), root, "supplier") // v2
+    SnapshotStore.compact(spark, root, "supplier")                 // v3: layout-only
+    SnapshotStore.appendCommit(spark, table(("p4", "b", 4)), root, "supplier") // v4
+    // keep=2 retains [v3, v4]: the oldest retained version is the
+    // compact. A full replay must emit v3 as the whole-snapshot
+    // baseline — the layout-op skip is only valid as a statement about
+    // the v2->v3 transition, whose manifest is gone.
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0)
+    drain(root, "snap_layout_base", s"$dir/ckpt",
+      Map("startingVersion" -> "0"))
+    val got = spark.table("snap_layout_base")
+      .select("product_id").as[String].collect().toSet
+    assert(got == Set("p1", "p2", "p3", "p4"), s"unexpected: $got")
+
+    // And the lagging-checkpoint shape across a layout-only oldest
+    // version must still hit the gap error, not skip over the hole.
+    val src = org.apache.spark.sql.graft.SnapshotStreamSource.create(
+      spark.sqlContext, Map("path" -> root, "startingVersion" -> "0"))
+    val e = intercept[IllegalStateException] {
+      src.getBatch(
+        Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L)),
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L)).collect()
+    }
+    assert(e.getMessage.contains("snapshot stream gap"), e.getMessage)
+  }
+
+  test("rationed replay against a vacuumed table spans the gap instead of dying on it") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    (2 to 6).foreach(i => SnapshotStore.appendCommit(spark,
+      table((s"p$i", "a", i)), root, "supplier"))
+    // Retained versions are [v5, v6]; a rationed replay from 0 must
+    // ration over RETAINED versions (first batch = baseline v5), not
+    // crawl highWater+1, +2, … through the vacuumed numbers and then
+    // hit its own gap error once start is no longer None.
+    SnapshotStore.vacuum(spark, root, keep = 2, retainMillis = 0)
+    val q = drain(root, "snap_ration_vac", s"$dir/ckpt",
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"))
+    assert(spark.table("snap_ration_vac").select("product_id")
+      .as[String].collect().toSet == (1 to 6).map(i => s"p$i").toSet)
+    // Two non-empty batches: the v5 baseline, then v6's append.
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("restart resumes exactly-once through the file sink") {
     val dir = freshDir()
     val root = s"$dir/t"
