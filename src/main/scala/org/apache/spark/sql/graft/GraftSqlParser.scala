@@ -830,10 +830,19 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     val insertClause = clauses.collectFirst { case i: NotMatchedInsert => i }
     // Validate column-level SETs against the target schema up front.
     matchedClauses.foreach {
-      case MatchedUpdate(_, Some(set)) => set.foreach { case (c, _) =>
-        require(tTypes.contains(strip(c).stripPrefix(tName + ".")),
-          s"MERGE UPDATE SET targets unknown column '$c' " +
-            s"(columns: ${target.columns.mkString(", ")})") }
+      case MatchedUpdate(_, Some(set)) => set.foreach { case (c0, _) =>
+        val c = strip(c0).stripPrefix(tName + ".")
+        require(tTypes.contains(c),
+          s"MERGE UPDATE SET targets unknown column '$c0' " +
+            s"(columns: ${target.columns.mkString(", ")})")
+        // A SET that moves a row to another partition would leave the
+        // old copy stranded (the merge rewrites only the partitions
+        // the OUTPUT rows land in) — refuse with the operation that
+        // does handle moves. SET * stays under the store's documented
+        // key/partition co-location contract, like the upsert path.
+        require(!partCols.contains(c),
+          s"MERGE UPDATE SET cannot target partition column '$c' — " +
+            "UPDATE … SET moves rows across partitions; MERGE cannot") }
       case _ => ()
     }
     val tv = target.alias(tName)

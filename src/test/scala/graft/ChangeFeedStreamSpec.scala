@@ -279,6 +279,35 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("change feed gap"), e.getMessage)
   }
 
+  test("a comma-spelled composite key streams per-(supplier, sku) changes") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    // sku alone is ambiguous: s1 exists under two suppliers.
+    Seq(("s1", "a", 1), ("s1", "b", 1))
+      .toDF("sku", "supplier", "version")
+      .createOrReplaceTempView("cfk_seed")
+    SnapshotStore.commit(spark, spark.table("cfk_seed"), root, "supplier")
+    SnapshotStore.mergeCommit(spark,
+      Seq(("s1", "a", 2)).toDF("sku", "supplier", "version"),
+      root, Seq("supplier", "sku"), "version", "supplier")
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "supplier,sku")
+      .option("startingVersion", "1")
+      .load(root)
+      .writeStream.format("memory").queryName("cfk_feed")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Key columns lead the feed schema in spec order.
+    assert(spark.table("cfk_feed").columns.take(2).toSeq ==
+      Seq("supplier", "sku"))
+    val got = spark.table("cfk_feed")
+      .select("supplier", "sku", "version", "_change_type")
+      .as[(String, String, Int, String)].collect().toSet
+    // Only (a, s1) changed; a sku-only key would also diff (b, s1).
+    assert(got == Set(("a", "s1", 2, "update")), got.toString)
+  }
+
   test("missing key / missing table surface as errors at stream construction") {
     val dir = freshDir()
     val root = s"$dir/t"

@@ -96,6 +96,22 @@ class MergeSqlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("column-level SET of the partition column is refused with the operation that can move rows") {
+    val root = freshRoot()
+    bindCatalog("g_pset")
+    SnapshotStore.commit(spark, table(("s1", "a", 1)), root, "supplier")
+    table(("s1", "b", 2)).createOrReplaceTempView("pset_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO g_pset.`$root` t USING pset_src s " +
+        "ON t.sku = s.sku " +
+        "WHEN MATCHED THEN UPDATE SET supplier = s.supplier " +
+        "WHEN NOT MATCHED THEN INSERT *").collect()
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // Nothing committed by the refused statement.
+    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+  }
+
   test("delete-only MERGE empties matched keys; no-match clauses are a version no-op") {
     val root = freshRoot()
     bindCatalog("g_del")
