@@ -76,6 +76,7 @@ object ScaleSmoke {
     var bm25TableDir = "" // set by bm25_index_build, read by bm25_via_index
     var bm25IndexDir = ""
     var deleteWhereRoot = "" // set by delete_where_setup
+    var mpRoot = ""; var cdcRootOne = ""; var cdcRootTwo = "" // round-10 setups
     var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
 
     // Skewed event log for the as-of measurement: 80% of facts on one
@@ -566,50 +567,63 @@ object ScaleSmoke {
       // cell of a 64-cell table — rewrite bounded by the cell, the
       // other 63 cells' files carried by reference (the probe value is
       // the number of NEW data files in the committed manifest).
-      time("multipart_merge_one_cell") {
+      time("multipart_setup") {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_scale_mp").toString
-        val root = s"$dir/t"
-        val mp = snapBase.withColumn("bucket", pmod(col("doc_id"), lit(4)))
-        graft.sinks.SnapshotStore.commit(spark, mp, root,
+        mpRoot = s"$dir/t"
+        // bucket from a hash INDEPENDENT of part (doc_id mod 16 pins
+        // doc_id mod 4, so a correlated bucket would leave most cells
+        // empty).
+        val mp = snapBase.withColumn("bucket",
+          pmod(expr("doc_id div 16"), lit(4)))
+        graft.sinks.SnapshotStore.commit(spark, mp, mpRoot,
           Seq("part", "bucket"))
-        val before = graft.sinks.SnapshotStore.manifest(spark, root, 1L).toSet
+      },
+      time("multipart_merge_one_cell") {
+        val mp = snapBase.withColumn("bucket",
+          pmod(expr("doc_id div 16"), lit(4)))
+        val before = graft.sinks.SnapshotStore.manifest(spark, mpRoot, 1L).toSet
         graft.sinks.SnapshotStore.mergeCommit(spark,
           mp.filter(col("part") === 3 && col("bucket") === 2)
             .withColumn("v", lit(2)),
-          root, "doc_id", "v", Seq("part", "bucket"))
-        graft.sinks.SnapshotStore.manifest(spark, root, 2L)
+          mpRoot, "doc_id", "v", Seq("part", "bucket"))
+        graft.sinks.SnapshotStore.manifest(spark, mpRoot, 2L)
           .count(e => !before.contains(e)).toLong
       },
       // The CDC-apply primitive: updates to one slice + deletes of
       // another as ONE atomic commit (upsertDeleteCommit) vs the
-      // chained two-commit spelling — same final content, the single
-      // commit pays one manifest write and one stats pass.
-      time("cdc_apply_one_commit") {
-        val dir = java.nio.file.Files
+      // chained two-commit spelling — same final content, one write
+      // pass over the touched partitions instead of two. Setup commits
+      // are untimed-separated (the first measurement of this pair once
+      // absorbed the corpus' first materialization and inverted the
+      // comparison).
+      time("cdc_setup") {
+        val da = java.nio.file.Files
           .createTempDirectory("graft_scale_cdc1").toString
-        val root = s"$dir/t"
-        graft.sinks.SnapshotStore.commit(spark, snapBase, root, "part")
-        graft.sinks.SnapshotStore.upsertDeleteCommit(spark, root,
+        val db = java.nio.file.Files
+          .createTempDirectory("graft_scale_cdc2").toString
+        cdcRootOne = s"$da/t"; cdcRootTwo = s"$db/t"
+        graft.sinks.SnapshotStore.commit(spark, snapBase, cdcRootOne, "part")
+        graft.sinks.SnapshotStore.commit(spark, snapBase, cdcRootTwo, "part")
+        2L
+      },
+      time("cdc_apply_two_commits") {
+        graft.sinks.SnapshotStore.mergeCommitOrdered(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .withColumn("v", lit(2)),
+          cdcRootTwo, "doc_id", Nil, "part")
+        graft.sinks.SnapshotStore.deleteCommit(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
+            .select(col("doc_id")),
+          cdcRootTwo, "doc_id", "part")
+      },
+      time("cdc_apply_one_commit") {
+        graft.sinks.SnapshotStore.upsertDeleteCommit(spark, cdcRootOne,
           snapBase.filter(pmod(col("doc_id"), lit(11)) === 0)
             .withColumn("v", lit(2)),
           Some(snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
             .select(col("doc_id"))),
           "doc_id", "part")
-      },
-      time("cdc_apply_two_commits") {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_scale_cdc2").toString
-        val root = s"$dir/t"
-        graft.sinks.SnapshotStore.commit(spark, snapBase, root, "part")
-        graft.sinks.SnapshotStore.mergeCommitOrdered(spark,
-          snapBase.filter(pmod(col("doc_id"), lit(11)) === 0)
-            .withColumn("v", lit(2)),
-          root, "doc_id", Nil, "part")
-        graft.sinks.SnapshotStore.deleteCommit(spark,
-          snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
-            .select(col("doc_id")),
-          root, "doc_id", "part")
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

@@ -78,19 +78,41 @@ object Replicate {
             .drop("_change_type")
           val deletes = feed.filter(col("_change_type") === "delete")
             .select(graft.sinks.ColSpec.parse(keyCol).cols.map(col): _*)
-          if (!upserts.isEmpty)
-            // Empty win order = source-authoritative replace: the feed
-            // carries to-version values and at most one row per key
-            // (CDC contract), exactly SQL MERGE semantics.
-            SnapshotStore.mergeCommitOrdered(spark, upserts, dstRoot,
-              keyCol, Nil, partCol)
-          if (!deletes.isEmpty)
-            SnapshotStore.deleteCommit(spark, deletes, dstRoot, keyCol, partCol)
+          // The whole window — upserts, deletes, AND the progress
+          // cursor — applies as ONE atomic commit (empty win order =
+          // source-authoritative replace; the feed carries to-version
+          // values and at most one row per key, the CDC contract). A
+          // reader of the replica sees either the pre-sync snapshot or
+          // the fully-synced one, and a crash can never leave rows
+          // without the cursor or vice versa. A content no-op window
+          // (both legs empty, or deletes of already-absent keys)
+          // advances the cursor via a metadata-only commit instead.
+          applyAtomic(spark, dstRoot, upserts, Some(deletes),
+            keyCol, partCol, srcCur)
         } finally feed.unpersist()
     }
-    SnapshotStore.setProperties(spark, dstRoot,
-      Seq(SourceVersionProp -> srcCur.toString))
     srcCur
+  }
+
+  /** One atomic replica commit: upserts + deletes + the
+    * [[SourceVersionProp]] cursor (merged into the existing property
+    * set). Falls back to a metadata-only property commit when the
+    * window changes no content. */
+  private def applyAtomic(spark: SparkSession,
+                          dstRoot: String,
+                          upserts: org.apache.spark.sql.DataFrame,
+                          deletes: Option[org.apache.spark.sql.DataFrame],
+                          keyCol: String, partCol: String,
+                          cursor: Long): Unit = {
+    val merged = SnapshotStore.tablePropertiesMap(spark, dstRoot)
+      .filterNot(_._1 == SourceVersionProp).toSeq :+
+      (SourceVersionProp -> cursor.toString)
+    val before = SnapshotStore.currentVersion(spark, dstRoot)
+    val committed = SnapshotStore.upsertDeleteCommit(spark, dstRoot,
+      upserts, deletes, keyCol, partCol, properties = Some(merged))
+    if (before.contains(committed))
+      SnapshotStore.setProperties(spark, dstRoot,
+        Seq(SourceVersionProp -> cursor.toString))
   }
 
   /** Apply one CHANGE-FEED batch to a replica — the foreachBatch body
@@ -118,14 +140,12 @@ object Replicate {
         .drop("_change_type", "_commit_version")
       val deletes = last.filter(col("_change_type") === "delete")
         .select(graft.sinks.ColSpec.parse(keyCol).cols.map(col): _*)
-      if (!upserts.isEmpty)
-        SnapshotStore.mergeCommitOrdered(spark, upserts, dstRoot,
-          keyCol, Nil, partCol)
-      if (!deletes.isEmpty)
-        SnapshotStore.deleteCommit(spark, deletes, dstRoot, keyCol, partCol)
       val maxV = last.agg(max(col("_commit_version"))).head().getLong(0)
-      SnapshotStore.setProperties(spark, dstRoot,
-        Seq(SourceVersionProp -> maxV.toString))
+      // One atomic commit per micro-batch (rows + cursor together) —
+      // see [[applyAtomic]]; halves the replica's commit churn vs the
+      // old merge-then-delete-then-properties chain.
+      applyAtomic(spark, dstRoot, upserts, Some(deletes),
+        keyCol, partCol, maxV)
     } finally last.unpersist()
   }
 

@@ -1846,6 +1846,49 @@ private[graft] object SnapshotQueries {
             AND o_orderstatus IN (SELECT o_orderstatus FROM touched3)),
         (SELECT count(*) FROM orders
           WHERE o_orderstatus IN (SELECT o_orderstatus FROM touched3))
-      ORDER BY version"""))
+      ORDER BY version""")),
+
+
+    // Full-sync MERGE (Delta's WHEN NOT MATCHED BY SOURCE legs — the
+    // reference's stale-product retention, mongodb_loader.py's
+    // delete-stale flow, as ONE SQL statement): matched rows update,
+    // unmatched source rows insert, and target rows ABSENT from the
+    // source either delete (guarded) or archive via a t.-scoped
+    // column SET — all in one atomic commit (require-pinned).
+    ("q190_sql_merge_full_sync", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q190_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
+        root, "o_orderstatus")
+      orders.filter(m5.isin(0, 2, 4))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("rev", lit(2))
+        .createOrReplaceTempView("q190_src")
+      s.conf.set("spark.sql.catalog.graft_q190",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val res = s.sql(
+        s"MERGE INTO graft_q190.`$root` t USING q190_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT * " +
+          "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 1 THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET rev = 0")
+        .collect().map(_.getLong(1)).toSeq
+      require(res == Seq(2L),
+        s"full-sync MERGE must be ONE atomic commit (v2), got $res")
+      graft.sinks.SnapshotStore.read(s, root)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 IN (0, 2, 4)
+             THEN o_totalprice + 1000.0 ELSE o_totalprice END
+          AS o_totalprice,
+        CASE WHEN o_orderkey % 5 IN (0, 2, 4) THEN 2 ELSE 0 END AS rev
+      FROM orders WHERE o_orderkey % 5 <> 1
+      ORDER BY o_orderkey"""))
   )
 }

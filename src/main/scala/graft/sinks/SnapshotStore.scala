@@ -1519,7 +1519,8 @@ object SnapshotStore {
   def upsertDeleteCommit(spark: SparkSession, root: String,
                          upserts: DataFrame, deleteKeys: Option[DataFrame],
                          keys: ColSpec, partitionCols: ColSpec,
-                         maxAttempts: Int = 10): Long = {
+                         maxAttempts: Int = 10,
+                         properties: Option[Seq[(String, String)]] = None): Long = {
     require(keys.nonEmpty, "upsertDeleteCommit needs at least one key column")
     require(partitionCols.nonEmpty, "upsertDeleteCommit needs a partition spec")
     enforceConstraints(spark, root, upserts)
@@ -1555,7 +1556,7 @@ object SnapshotStore {
       val v = cur + 1
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)
       if (writeManifest(spark, root, v, kept ++ newEntries, "merge",
-          partitionCols.header)) {
+          partitionCols.header, properties = properties)) {
         writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
         return v
       }
@@ -2139,27 +2140,41 @@ object SnapshotStore {
     * next write that carries values materializes them. The same
     * reserved-name collisions as [[toPhysical]] are refused. */
   def addColumn(spark: SparkSession, root: String, name: String,
-                dataTypeDdl: String, maxAttempts: Int = 5): Long = {
-    val dt = org.apache.spark.sql.types.DataType.fromDDL(dataTypeDdl)
+                dataTypeDdl: String, maxAttempts: Int = 5): Long =
+    addColumns(spark, root, Seq(name -> dataTypeDdl), maxAttempts)
+
+  /** [[addColumn]] for a column LIST — `ALTER TABLE … ADD COLUMNS
+    * (a INT, b STRING)` — as ONE metadata commit: all columns join the
+    * recorded schema atomically (per-column commits would let a reader
+    * observe half the widening). */
+  def addColumns(spark: SparkSession, root: String,
+                 columns: Seq[(String, String)], maxAttempts: Int = 5): Long = {
+    require(columns.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"ADD COLUMNS lists a column twice: ${columns.map(_._1).mkString(", ")}")
+    val typed = columns.map { case (n, ddl) =>
+      n -> org.apache.spark.sql.types.DataType.fromDDL(ddl) }
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val cols = logicalColumns(spark, root, cur)
-      require(!cols.contains(name),
-        s"cannot add column '$name': it already exists")
       val (renames, dropped) = mappingAt(spark, root, cur)
-      require(!dropped(physicalNameOf(renames, name)) && !dropped(name),
-        s"cannot add column '$name': that name is reserved by a dropped " +
-          "column whose data files still carry it")
-      require(!renames.exists { case (lg, ph) => ph == name && lg != name },
-        s"cannot add column '$name': that is another column's physical name")
+      typed.foreach { case (name, _) =>
+        require(!cols.contains(name),
+          s"cannot add column '$name': it already exists")
+        require(!dropped(physicalNameOf(renames, name)) && !dropped(name),
+          s"cannot add column '$name': that name is reserved by a dropped " +
+            "column whose data files still carry it")
+        require(!renames.exists { case (lg, ph) => ph == name && lg != name },
+          s"cannot add column '$name': that is another column's physical name")
+      }
       val entries = manifest(spark, root, cur)
       if (writeManifest(spark, root, cur + 1, entries, "add-column",
           partitionColumn(spark, root, cur).getOrElse(""))) {
         writeStats(spark, root, cur + 1, entries, Nil,
-          Some(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(name, dt, nullable = true)))))
+          Some(org.apache.spark.sql.types.StructType(typed.map { case (n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })))
         return cur + 1
       }
       attempt += 1

@@ -344,22 +344,37 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
                             parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
     val spark = sqlContext.sparkSession
-    val starting = (parameters.get("startingVersion"),
+    val starting = ChangeFeedSourceProvider.resolveStarting(
+      spark, root, parameters, "graft-changes")
+    new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting,
+      ChangeFeedSourceProvider.maxVersionsOf(parameters))
+  }
+}
+
+object ChangeFeedSourceProvider {
+  /** Shared starting-offset resolution for BOTH streaming sources:
+    * `startingVersion` (exclusive — stream commits with version > V;
+    * `0` = full replay) or `startingTimestamp` (Delta CDF semantics:
+    * include every commit AT or AFTER the timestamp, resolved against
+    * the monotonic-clamped `#ts` headers; unstamped pre-`#ts`
+    * manifests count as older than any timestamp; a timestamp past
+    * every commit streams future commits only). Mutually exclusive;
+    * neither = future commits only (the version current at stream
+    * creation). */
+  private[graft] def resolveStarting(spark: org.apache.spark.sql.SparkSession,
+                                     root: String,
+                                     parameters: Map[String, String],
+                                     what: String): Long =
+    (parameters.get("startingVersion"),
         parameters.get("startingTimestamp")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
-        "graft-changes accepts startingVersion OR startingTimestamp, not both")
+        s"$what accepts startingVersion OR startingTimestamp, not both")
       case (Some(v), None) =>
         try v.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft-changes option 'startingVersion' must be a number, got '$v'")
+            s"$what option 'startingVersion' must be a number, got '$v'")
         }
       case (None, Some(ts)) =>
-        // Delta CDF semantics: include every commit AT or AFTER the
-        // timestamp. Our startingVersion is exclusive (> V), so take
-        // the first qualifying version minus one. Unstamped (pre-#ts)
-        // manifests count as older than any timestamp, matching
-        // versionAtTimestamp; a timestamp past every commit streams
-        // future commits only.
         val millis = graft.sinks.SnapshotSource.parseTimestampMillis(ts)
         SnapshotStore.versions(spark, root)
           .find(v => SnapshotStore.commitTimestamp(spark, root, v)
@@ -369,12 +384,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       case (None, None) =>
         SnapshotStore.currentVersion(spark, root).getOrElse(0L)
     }
-    new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting,
-      ChangeFeedSourceProvider.maxVersionsOf(parameters))
-  }
-}
 
-object ChangeFeedSourceProvider {
   /** Shared option parse: `maxVersionsPerTrigger` — positive version
     * count per micro-batch (admission control; absent = unbounded). */
   private[graft] def maxVersionsOf(parameters: Map[String, String]): Option[Long] =

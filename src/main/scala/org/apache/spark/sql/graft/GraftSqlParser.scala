@@ -134,8 +134,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.colOf(cq, cb))
     case GraftSqlParser.AddColumnPattern(table, rest)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      val (cname, cddl) = GraftSqlParser.parseAddColumn(rest)
-      AddColumnCommand(delegate.parseMultipartIdentifier(table), cname, cddl)
+      AddColumnCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.parseAddColumns(rest))
     case MergeLoosePattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       // A MERGE aimed at a graft catalog but not in the supported
@@ -218,7 +218,8 @@ object GraftSqlParser {
   // end), so the scanner below walks the clause list in order — MERGE
   // semantics are first-matching-clause-wins per row.
   private val MergeClausePattern =
-    ("(?is)\\s*WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
+    ("(?is)\\s*WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?" +
+      "(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
       "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*)" +
       "(?=\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b|\\s*\\z)").r
   private val MergeLoosePattern =
@@ -297,12 +298,12 @@ object GraftSqlParser {
     Option(quoted).getOrElse(bare)
 
   /** Parse the tail of `ALTER TABLE … ADD COLUMN[S]` into (name, type
-    * DDL). Strips one WRAPPING paren pair (only when the opening paren
-    * really matches the final one — `(a INT` or a bare `a DECIMAL(10,2)`
-    * must not lose a paren), then rejects multi-column lists (a
-    * top-level comma outside the <…>/(…) of decimal/map/struct types)
-    * with the actual limitation instead of a deep type-parse error. */
-  private[graft] def parseAddColumn(raw0: String): (String, String) = {
+    * DDL) pairs. Strips one WRAPPING paren pair (only when the opening
+    * paren really matches the final one — `(a INT` or a bare
+    * `a DECIMAL(10,2)` must not lose a paren), then splits the list on
+    * top-level commas — commas inside the <…>/(…) of decimal/map/
+    * struct types don't split. */
+  private[graft] def parseAddColumns(raw0: String): Seq[(String, String)] = {
     var raw = raw0.trim
     if (raw.startsWith("(")) {
       var depth = 0; var wraps = raw.endsWith(")")
@@ -316,22 +317,26 @@ object GraftSqlParser {
       }
       if (wraps && depth == 0) raw = raw.substring(1, raw.length - 1).trim
     }
+    val parts = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      raw.foreach { c =>
+        if (c == '(' || c == '<') { depth += 1; cur += c }
+        else if (c == ')' || c == '>') { depth -= 1; cur += c }
+        else if (c == ',' && depth == 0) { out += cur.toString; cur.clear() }
+        else cur += c
+      }
+      out += cur.toString
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    require(parts.nonEmpty,
+      s"malformed ADD COLUMN clause: ${raw0.trim.take(120)}")
     val NameType = s"(?s)\\A$colIdent\\s+(.+)\\z".r
-    raw match {
-      case NameType(q, b, ddl) =>
-        var depth = 0
-        val topComma = ddl.exists { c =>
-          if (c == '(' || c == '<') { depth += 1; false }
-          else if (c == ')' || c == '>') { depth -= 1; false }
-          else c == ',' && depth == 0
-        }
-        require(!topComma,
-          "graft ALTER TABLE ADD COLUMNS supports one column per " +
-            s"statement — split the column list into separate statements " +
-            s"(got: ${raw0.trim.take(120)})")
-        (colOf(q, b), ddl.trim)
-      case _ => throw new IllegalArgumentException(
-        s"malformed ADD COLUMN clause (expected <name> <type>): ${raw0.trim.take(120)}")
+    parts.map {
+      case NameType(q, b, ddl) => (colOf(q, b), ddl.trim)
+      case other => throw new IllegalArgumentException(
+        s"malformed ADD COLUMN entry (expected <name> <type>): ${other.take(120)}")
     }
   }
 
@@ -436,6 +441,11 @@ object GraftSqlParser {
       set: Option[Seq[(String, String)]]) extends MergeClause
   private[graft] case class MatchedDelete(cond: Option[String]) extends MergeClause
   private[graft] case class NotMatchedInsert(cond: Option[String]) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE` legs (Delta's full-sync MERGE —
+    * target rows with no source match; only `t.` columns are in
+    * scope). `set` None = DELETE. */
+  private[graft] case class NotMatchedBySource(cond: Option[String],
+      set: Option[Seq[(String, String)]]) extends MergeClause
 
   /** Scan the WHEN-clause tail of a MERGE into ordered [[MergeClause]]s,
     * rejecting text the clause grammar does not cover (a statement
@@ -449,10 +459,28 @@ object GraftSqlParser {
         s"could not parse: ${raw.trim.take(200)}")
     val clauses = ms.map { m =>
       val notMatched = m.group(1) != null
-      val cond = Option(m.group(2)).map(_.trim)
-      val action = m.group(3).trim
+      val by = Option(m.group(2)).map(_.trim.toUpperCase)
+      val cond = Option(m.group(3)).map(_.trim)
+      val action = m.group(4).trim
       val lower = action.toLowerCase
-      if (notMatched) {
+      require(notMatched || by.isEmpty,
+        s"BY ${by.getOrElse("")} only qualifies WHEN NOT MATCHED")
+      if (notMatched && by.contains("SOURCE")) {
+        // Target rows with no source match: DELETE or a t.-scoped
+        // column UPDATE (there is no source row, so SET * and
+        // INSERT are shapeless here).
+        if (lower == "delete") NotMatchedBySource(cond, None)
+        else {
+          require(lower.startsWith("update set"),
+            s"WHEN NOT MATCHED BY SOURCE supports UPDATE SET col = expr " +
+              s"or DELETE — got: $action")
+          val setText = action.substring("update set".length).trim
+          require(setText != "*",
+            "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET * — there is " +
+              "no source row; assign columns explicitly")
+          NotMatchedBySource(cond, Some(assignments(setText)))
+        }
+      } else if (notMatched) {
         require(lower == "insert *",
           s"WHEN NOT MATCHED supports only INSERT * — got: $action")
         NotMatchedInsert(cond)
@@ -476,6 +504,7 @@ object GraftSqlParser {
     unreachable(clauses.collect {
       case MatchedUpdate(c, _) => (c, 0); case MatchedDelete(c) => (c, 0) })
     unreachable(clauses.collect { case NotMatchedInsert(c) => (c, 1) })
+    unreachable(clauses.collect { case NotMatchedBySource(c, _) => (c, 2) })
     require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
       "graft MERGE supports at most one WHEN NOT MATCHED clause")
     clauses
@@ -759,7 +788,7 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
                                       Seq(GraftSqlParser.MatchedUpdate(None, None),
                                           GraftSqlParser.NotMatchedInsert(None)))
     extends LeafRunnableCommand {
-  import GraftSqlParser.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+  import GraftSqlParser.{MatchedDelete, MatchedUpdate, NotMatchedBySource, NotMatchedInsert}
   import org.apache.spark.sql.functions.{col, count, expr, lit, when}
 
   override val output: Seq[Attribute] = Seq(
@@ -828,12 +857,13 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
       case d: MatchedDelete => d
     }
     val insertClause = clauses.collectFirst { case i: NotMatchedInsert => i }
+    val bySourceClauses = clauses.collect { case b: NotMatchedBySource => b }
     // Validate column-level SETs against the target schema up front.
-    matchedClauses.foreach {
-      case MatchedUpdate(_, Some(set)) => set.foreach { case (c0, _) =>
+    def validateSet(set: Seq[(String, String)], what: String): Unit =
+      set.foreach { case (c0, _) =>
         val c = strip(c0).stripPrefix(tName + ".")
         require(tTypes.contains(c),
-          s"MERGE UPDATE SET targets unknown column '$c0' " +
+          s"$what targets unknown column '$c0' " +
             s"(columns: ${target.columns.mkString(", ")})")
         // A SET that moves a row to another partition would leave the
         // old copy stranded (the merge rewrites only the partitions
@@ -841,8 +871,15 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
         // does handle moves. SET * stays under the store's documented
         // key/partition co-location contract, like the upsert path.
         require(!partCols.contains(c),
-          s"MERGE UPDATE SET cannot target partition column '$c' — " +
+          s"$what cannot target partition column '$c' — " +
             "UPDATE … SET moves rows across partitions; MERGE cannot") }
+    matchedClauses.foreach {
+      case MatchedUpdate(_, Some(set)) => validateSet(set, "MERGE UPDATE SET")
+      case _ => ()
+    }
+    bySourceClauses.foreach {
+      case NotMatchedBySource(_, Some(set)) =>
+        validateSet(set, "MERGE NOT-MATCHED-BY-SOURCE UPDATE SET")
       case _ => ()
     }
     val tv = target.alias(tName)
@@ -901,6 +938,46 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
       else Some(acted
         .filter(col("__graft_action").isInCollection(updateIdx.map(Int.box)))
         .select(outCols.map(updatedRow): _*))
+    // NOT MATCHED BY SOURCE: target rows with no source match — only
+    // `t.` columns in scope (the anti-joined frame has no source
+    // side, so a stray `s.` reference fails analysis loudly). DELETE
+    // legs feed the same atomic delete set; UPDATE legs feed the
+    // upsert set keyed by the target's own key values.
+    val (bySourceDeletes, bySourceUpdated) =
+      if (bySourceClauses.isEmpty) (None, None)
+      else {
+        val unmatchedT = tv.join(sv, joinCond, "left_anti")
+        val bsAction = bySourceClauses.zipWithIndex
+          .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+            acc.when(cl.cond.map(expr).getOrElse(lit(true)), lit(i))
+          }.otherwise(lit(-1))
+        val bsActed = unmatchedT.withColumn("__graft_bs", bsAction)
+        val delIdx = bySourceClauses.zipWithIndex.collect {
+          case (NotMatchedBySource(_, None), i) => i }.toSet
+        val updIdx = bySourceClauses.zipWithIndex.collect {
+          case (NotMatchedBySource(_, Some(_)), i) => i }
+        val dels =
+          if (delIdx.isEmpty) None
+          else Some(bsActed
+            .filter(col("__graft_bs").isInCollection(delIdx.map(Int.box)))
+            .select(keyCols.map(col): _*))
+        def bsRow(c: String): org.apache.spark.sql.Column =
+          updIdx.foldLeft(when(lit(false), lit(null))) { case (acc, i) =>
+            val set = bySourceClauses(i).set.get
+            val value = set.collectFirst {
+              case (sc, e) if strip(sc).stripPrefix(tName + ".") == c =>
+                expr(e).cast(tTypes(c)) }
+              .getOrElse(if (tTypes.contains(c)) col(c) else lit(null))
+            acc.when(col("__graft_bs") === i,
+              if (tTypes.contains(c)) value.cast(tTypes(c)) else value)
+          }.otherwise(lit(null)).as(c)
+        val upd =
+          if (updIdx.isEmpty) None
+          else Some(bsActed
+            .filter(col("__graft_bs").isInCollection(updIdx.map(Int.box)))
+            .select(target.columns.toSeq.map(bsRow): _*))
+        (dels, upd)
+      }
     val inserted = insertClause.map { ins =>
       val unmatched = sv.join(tv, joinCond, "left_anti")
         .filter(ins.cond.map(expr).getOrElse(lit(true)))
@@ -911,12 +988,14 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
           unmatched.select(sv(c)).schema.head.dataType)).as(c)
       }: _*)
     }
-    val upserts = (updated.toSeq ++ inserted.toSeq)
+    val upserts = (updated.toSeq ++ inserted.toSeq ++ bySourceUpdated.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(target.limit(0))
     partCols.foreach(c => require(upserts.columns.contains(c),
       s"MERGE output lost the table's partition column '$c'"))
-    SnapshotStore.upsertDeleteCommit(spark, root, upserts, deletes,
+    val allDeletes = (deletes.toSeq ++ bySourceDeletes.toSeq)
+      .reduceOption(_.unionByName(_))
+    SnapshotStore.upsertDeleteCommit(spark, root, upserts, allDeletes,
       keyCols, partCols)
   }
 }
@@ -1306,7 +1385,7 @@ case class DropColumnCommand(table: Seq[String], name: String)
 /** `ALTER TABLE t ADD COLUMN c TYPE` — metadata-only schema widening
   * (existing files read the column as typed nulls). Returns
   * (path, version). */
-case class AddColumnCommand(table: Seq[String], name: String, ddl: String)
+case class AddColumnCommand(table: Seq[String], columns: Seq[(String, String)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -1315,7 +1394,7 @@ case class AddColumnCommand(table: Seq[String], name: String, ddl: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    Seq(Row(root, SnapshotStore.addColumn(spark, root, name, ddl)))
+    Seq(Row(root, SnapshotStore.addColumns(spark, root, columns)))
   }
 }
 

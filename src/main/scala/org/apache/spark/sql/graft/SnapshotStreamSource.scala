@@ -227,13 +227,8 @@ object SnapshotStreamSource {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot streaming needs a table root: .load(<root>)"))
     val spark = sqlContext.sparkSession
-    val starting = parameters.get("startingVersion") match {
-      case Some(v) => try v.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft-snapshot option 'startingVersion' must be a number, got '$v'")
-      }
-      case None => SnapshotStore.currentVersion(spark, root).getOrElse(0L)
-    }
+    val starting = ChangeFeedSourceProvider.resolveStarting(
+      spark, root, parameters, "graft-snapshot")
     new SnapshotStreamSource(sqlContext, root, starting,
       parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
       ChangeFeedSourceProvider.maxVersionsOf(parameters))

@@ -113,23 +113,33 @@ class DmlSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("column lists"), e.getMessage)
   }
 
-  test("ALTER TABLE ADD COLUMNS with a multi-column list fails with the actual limitation") {
+  test("ALTER TABLE ADD COLUMNS: comma-bearing types parse; a list widens in ONE commit") {
     val dir = freshDir()
     bindCatalog("graft_addc")
     val root = s"$dir/t"
     SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
-    // Comma-bearing TYPES still parse (decimal/map/struct).
+    // Comma-bearing TYPES parse (decimal/map/struct).
     spark.sql(s"ALTER TABLE graft_addc.`$root` ADD COLUMN price DECIMAL(10,2)")
       .collect()
     spark.sql(s"ALTER TABLE graft_addc.`$root` ADD COLUMN tags MAP<STRING,STRING>")
       .collect()
     assert(SnapshotStore.table(spark, root).columns
       .count(Set("price", "tags")) == 2)
+    // A multi-column list is ONE atomic metadata commit.
+    val v = spark.sql(s"ALTER TABLE graft_addc.`$root` " +
+      "ADD COLUMNS (a INT, b STRUCT<x: INT, y: STRING>)")
+      .collect().head.getLong(1)
+    assert(SnapshotStore.currentVersion(spark, root).contains(v))
+    assert(SnapshotStore.table(spark, root).columns
+      .count(Set("a", "b")) == 2)
+    // Duplicate names within the list fail before any commit.
+    val before = SnapshotStore.currentVersion(spark, root)
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"ALTER TABLE graft_addc.`$root` " +
-        "ADD COLUMNS (a INT, b STRING)").collect()
+        "ADD COLUMNS (c INT, c STRING)").collect()
     }
-    assert(e.getMessage.contains("one column per statement"), e.getMessage)
+    assert(e.getMessage.contains("twice"), e.getMessage)
+    assert(SnapshotStore.currentVersion(spark, root) == before)
   }
 
   test("DELETE FROM WHERE removes TRUE rows, keeps FALSE and NULL rows") {

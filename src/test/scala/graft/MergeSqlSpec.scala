@@ -96,6 +96,54 @@ class MergeSqlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: full-sync DELETE and t.-scoped UPDATE legs") {
+    val root = freshRoot()
+    bindCatalog("g_bsrc")
+    SnapshotStore.commit(spark, table(
+      ("s1", "a", 1), ("s2", "a", 2), ("s3", "b", 3), ("s4", "b", 4)),
+      root, "supplier")
+    table(("s1", "a", 10), ("s5", "b", 50)).createOrReplaceTempView("bsrc_src")
+    // The full-sync statement: matched update, unmatched insert, and
+    // rows absent from the source either archive (qty -1, guarded) or
+    // delete.
+    val out = spark.sql(s"MERGE INTO g_bsrc.`$root` t USING bsrc_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.qty >= 4 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET qty = -1").collect()
+    assert(out.head.getLong(1) == 2L, "one atomic commit")
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "qty").as[(String, Int)].collect().toSet
+    // s1 updated, s5 inserted, s4 (qty 4) deleted, s2/s3 archived.
+    assert(got == Set(("s1", 10), ("s5", 50), ("s2", -1), ("s3", -1)),
+      got.toString)
+  }
+
+  test("BY SOURCE rejects shapeless actions loudly") {
+    val root = freshRoot()
+    bindCatalog("g_bsrcx")
+    SnapshotStore.commit(spark, table(("s1", "a", 1)), root, "supplier")
+    table(("s2", "a", 2)).createOrReplaceTempView("bsrcx_src")
+    def bad(tail: String): String = intercept[Exception] {
+      spark.sql(s"MERGE INTO g_bsrcx.`$root` t USING bsrcx_src s " +
+        s"ON t.sku = s.sku $tail").collect()
+    }.getMessage
+    assert(bad("WHEN NOT MATCHED BY SOURCE THEN INSERT *")
+      .contains("UPDATE SET col = expr or DELETE"))
+    assert(bad("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+      .contains("no source row"))
+    // A stray s. reference in a BY SOURCE condition fails analysis
+    // (there is no source side on the anti-joined frame).
+    assert(bad("WHEN NOT MATCHED BY SOURCE AND s.qty > 0 THEN DELETE")
+      .nonEmpty)
+    // BY TARGET is the NOT MATCHED synonym.
+    spark.sql(s"MERGE INTO g_bsrcx.`$root` t USING bsrcx_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN NOT MATCHED BY TARGET THEN INSERT *").collect()
+    assert(SnapshotStore.read(spark, root).count() == 2)
+  }
+
   test("column-level SET of the partition column is refused with the operation that can move rows") {
     val root = freshRoot()
     bindCatalog("g_pset")

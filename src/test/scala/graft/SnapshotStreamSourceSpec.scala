@@ -236,6 +236,28 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("startingTimestamp streams commits at or after the wall-clock (Delta CDF semantics)") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    val cutoff = SnapshotStore.commitTimestamp(spark, root, 1L).get + 1
+    SnapshotStore.appendCommit(spark, table(("p2", "a", 2)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p3", "b", 3)), root, "supplier")
+    val ts = java.time.Instant.ofEpochMilli(cutoff).toString
+    drain(root, "snap_ts", s"$dir/ckpt", Map("startingTimestamp" -> ts))
+    // v1 predates the cutoff; v2/v3 are at-or-after it.
+    assert(spark.table("snap_ts").select("product_id")
+      .as[String].collect().toSet == Set("p2", "p3"))
+    // Mutually exclusive with startingVersion (the source constructor
+    // is where options resolve — stream start is lazy).
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.SnapshotStreamSource.create(
+        spark.sqlContext, Map("path" -> root,
+          "startingVersion" -> "0", "startingTimestamp" -> ts))
+    }
+    assert(e.getMessage.contains("not both"), e.getMessage)
+  }
+
   test("restart resumes exactly-once through the file sink") {
     val dir = freshDir()
     val root = s"$dir/t"
