@@ -104,6 +104,32 @@ class ConcurrentSyncSpec extends SparkSpec {
         s"rebased commit mixed attempt dirs: $freshV3")
   }
 
+  test("concurrent upsertDeleteCommits: loser recomputes; both actions survive") {
+    import spark.implicits._
+    import graft.sinks.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-udc-race").resolve("t").toString
+    SnapshotStore.commit(spark,
+      Seq(("p1", "a", 1), ("p2", "a", 1), ("p3", "a", 1))
+        .toDF("product_id", "supplier", "version"),
+      root, "supplier")
+    // Writer A updates p1 and deletes p2; writer B updates p3. Same
+    // partition — a true conflict, so the loser's retry loop must
+    // recompute against the winner's snapshot, and the sequential
+    // result must hold in either serialization.
+    val (ra, rb) = raceTwo(root,
+      SnapshotStore.upsertDeleteCommit(spark, root,
+        Seq(("p1", "a", 2)).toDF("product_id", "supplier", "version"),
+        Some(Seq("p2").toDF("product_id")), "product_id", "supplier"),
+      SnapshotStore.upsertDeleteCommit(spark, root,
+        Seq(("p3", "a", 3)).toDF("product_id", "supplier", "version"),
+        None, "product_id", "supplier"))
+    assert(Set(ra, rb) == Set(2L, 3L), s"expected versions 2 and 3, got $ra/$rb")
+    assert(SnapshotStore.read(spark, root)
+      .select("product_id", "version").as[(String, Int)].collect().toSet ==
+      Set(("p1", 2), ("p3", 3)), "race lost an update or resurrected a delete")
+  }
+
   test("same-partition concurrent mergeCommits: loser recomputes on top of the winner") {
     import spark.implicits._
     import graft.sinks.SnapshotStore

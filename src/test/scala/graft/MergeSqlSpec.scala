@@ -96,6 +96,31 @@ class MergeSqlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("SET * schema evolution composes with a DELETE clause in one commit") {
+    val root = freshRoot()
+    bindCatalog("g_evo")
+    SnapshotStore.commit(spark, table(
+      ("s1", "a", 1), ("s2", "a", 2), ("s3", "b", 3)), root, "supplier")
+    // Source carries a NEW column; SET * evolves the schema while a
+    // guarded DELETE removes s3 — one atomic commit.
+    Seq(("s1", "a", 10, "fresh"), ("s3", "b", 0, "stale"))
+      .toDF("sku", "supplier", "qty", "note")
+      .createOrReplaceTempView("evo_src")
+    val v = spark.sql(s"MERGE INTO g_evo.`$root` t USING evo_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED AND s.note = 'stale' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").collect().head.getLong(1)
+    assert(v == 2L)
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "qty", "note")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.getString(2)))).toSet
+    // s1 evolved with the note; s2 carried (note null-fills); s3 gone.
+    assert(got == Set(("s1", 10, Some("fresh")), ("s2", 2, None)),
+      got.toString)
+  }
+
   test("WHEN NOT MATCHED BY SOURCE: full-sync DELETE and t.-scoped UPDATE legs") {
     val root = freshRoot()
     bindCatalog("g_bsrc")
