@@ -1125,9 +1125,12 @@ case class UpdateSnapshotCommand(table: Seq[String],
   * [[SnapshotStore.appendCommit]]: every existing file carries by
   * reference, the query's rows land as new files. Columns map
   * POSITIONALLY to the table schema (SQL INSERT semantics) and cast
-  * to its types; a column-count mismatch fails loudly. Explicit
-  * column lists are not supported (the positional contract is the
-  * whole statement shape). Returns one row (path, version). */
+  * to its types; a column-count mismatch fails loudly. An explicit
+  * column list (`INSERT INTO t (a, b) SELECT …`) maps the query's
+  * columns to the LISTED names and null-fills the rest (partition
+  * columns must be listed — routing every row to the null-sentinel
+  * partition is a statement bug, not a default). Returns one row
+  * (path, version). */
 case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -1139,10 +1142,12 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     val root = GraftSqlParser.resolveRoot(spark, table)
     // `INSERT INTO t (SELECT …)` is a parenthesized QUERY (valid SQL,
     // handed to spark.sql as-is); `INSERT INTO t (a, b) SELECT …` is a
-    // column list, which the positional contract does not support —
-    // tell those apart by whether anything follows the balanced
-    // parenthesis group.
+    // COLUMN LIST — provided columns map positionally to the list,
+    // every other table column null-fills — told apart by whether
+    // anything follows the balanced parenthesis group.
     val trimmed = query.trim
+    var columnList: Option[Seq[String]] = None
+    var effectiveQuery = trimmed
     if (trimmed.startsWith("(")) {
       var depth = 0; var close = -1; var i = 0
       var inStr = false
@@ -1157,9 +1162,11 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
         }
         i += 1
       }
-      require(close == trimmed.length - 1,
-        "graft INSERT INTO does not support explicit column lists — " +
-          "columns map positionally to the table schema")
+      if (close >= 0 && close < trimmed.length - 1) {
+        columnList = Some(GraftSqlParser.identifierList(
+          trimmed.substring(1, close)))
+        effectiveQuery = trimmed.substring(close + 1).trim
+      }
     }
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
@@ -1174,14 +1181,42 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // arity check and trip the reserved-physical-name guard.
     val target = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
-    val df = spark.sql(query)
-    require(df.columns.length == target.fields.length,
-      s"INSERT INTO provides ${df.columns.length} columns but the table " +
-        s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})")
-    val aligned = df.select(df.columns.toSeq.zip(target.fields).map {
-      case (c, f) =>
-        org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
-    }: _*)
+    val df = spark.sql(effectiveQuery)
+    val aligned = columnList match {
+      case None =>
+        require(df.columns.length == target.fields.length,
+          s"INSERT INTO provides ${df.columns.length} columns but the table " +
+            s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})")
+        df.select(df.columns.toSeq.zip(target.fields).map {
+          case (c, f) =>
+            org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      case Some(cols) =>
+        require(cols.nonEmpty, "INSERT INTO column list is empty")
+        require(cols.distinct.size == cols.size,
+          s"INSERT INTO column list repeats a column: ${cols.mkString(", ")}")
+        cols.foreach(c => require(target.fieldNames.contains(c),
+          s"INSERT INTO column list names unknown column '$c' " +
+            s"(columns: ${target.fieldNames.mkString(", ")})"))
+        require(df.columns.length == cols.length,
+          s"INSERT INTO provides ${df.columns.length} values for " +
+            s"${cols.length} listed columns (${cols.mkString(", ")})")
+        // Omitting a partition column would route every inserted row to
+        // the null-sentinel partition — almost certainly a statement
+        // bug; require it listed.
+        val partColsOfTable = SnapshotStore.partitionColumns(spark, root, cur)
+        partColsOfTable.foreach(c => require(cols.contains(c),
+          s"INSERT INTO column list must include partition column '$c'"))
+        val byListed = cols.zip(df.columns.toSeq).toMap
+        df.select(target.fields.toSeq.map { f =>
+          byListed.get(f.name) match {
+            case Some(src) => org.apache.spark.sql.functions.col(src)
+              .cast(f.dataType).as(f.name)
+            case None => org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name)
+          }
+        }: _*)
+    }
     Seq(Row(root, SnapshotStore.appendCommit(spark, aligned, root, partCol)))
   }
 }

@@ -97,7 +97,7 @@ class DmlSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not in the declared schema"))
   }
 
-  test("INSERT INTO accepts a parenthesized query; rejects a column list with the real reason") {
+  test("INSERT INTO accepts a parenthesized query AND named column lists") {
     val dir = freshDir()
     bindCatalog("graft_ins")
     val root = s"$dir/t"
@@ -106,11 +106,28 @@ class DmlSqlSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft_ins.`$root` " +
       "(SELECT 'p2', 'b', 2)").collect()
     assert(SnapshotStore.read(spark, root).count() == 2)
+    // A named column list maps by name, null-fills the rest — here the
+    // list is REORDERED relative to the table schema.
+    spark.sql(s"INSERT INTO graft_ins.`$root` " +
+      "(supplier, product_id) VALUES ('c', 'p3')").collect()
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "supplier", "qty").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)))).toSet
+    assert(got == Set(("p1", "a", Some(1)), ("p2", "b", Some(2)),
+      ("p3", "c", None)), got.toString)
+    // Omitting the partition column is refused (null-sentinel routing
+    // is a bug, not a default); unknown names are refused.
     val e = intercept[IllegalArgumentException] {
       spark.sql(s"INSERT INTO graft_ins.`$root` " +
-        "(product_id, supplier, qty) VALUES ('p3', 'c', 3)").collect()
+        "(product_id, qty) VALUES ('p4', 4)").collect()
     }
-    assert(e.getMessage.contains("column lists"), e.getMessage)
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO graft_ins.`$root` " +
+        "(product_id, supplier, nope) VALUES ('p4', 'd', 4)").collect()
+    }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
   }
 
   test("ALTER TABLE ADD COLUMNS: comma-bearing types parse; a list widens in ONE commit") {
