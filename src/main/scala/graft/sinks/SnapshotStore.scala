@@ -1543,16 +1543,20 @@ object SnapshotStore {
       val touched = upTouched ++ delTouched
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty && upTouched.isEmpty) return cur
-      val existing = applyColumnMapping(readEntries(spark, root, replaced),
-        mappingAt(spark, root, cur))
-      val survivors = doomed match {
-        case Some(d) if replaced.nonEmpty =>
-          existing.join(d, keys.cols, "left_anti")
-        case _ => existing
-      }
+      // `replaced` may be EMPTY with upserts into brand-new partitions
+      // — reading a zero-entry file set is an error, not an empty
+      // frame, so the existing side only materializes when needed.
       val merged =
         if (replaced.isEmpty) upserts
-        else Upsert.merge(survivors, upserts, keys.cols, Nil)
+        else {
+          val existing = applyColumnMapping(readEntries(spark, root, replaced),
+            mappingAt(spark, root, cur))
+          val survivors = doomed match {
+            case Some(d) => existing.join(d, keys.cols, "left_anti")
+            case None => existing
+          }
+          Upsert.merge(survivors, upserts, keys.cols, Nil)
+        }
       val v = cur + 1
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)
       if (writeManifest(spark, root, v, kept ++ newEntries, "merge",

@@ -147,8 +147,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "graft MERGE supports: MERGE INTO <t> USING <source> ON " +
           "t.<key> = s.<key> [AND …] with clauses WHEN MATCHED " +
           "[AND <cond>] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
-          "DELETE, and WHEN NOT MATCHED [AND <cond>] THEN INSERT * — " +
-          "explicit column-list INSERT is not supported; got: " +
+          "DELETE, WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
+          "INSERT (cols) VALUES (exprs), and WHEN NOT MATCHED BY SOURCE " +
+          "THEN DELETE | UPDATE SET col = expr; got: " +
           sqlText.trim.take(200))
     case _ => delegate.parsePlan(sqlText)
   }
@@ -220,7 +221,8 @@ object GraftSqlParser {
   private val MergeClausePattern =
     ("(?is)\\s*WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?" +
       "(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
-      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*)" +
+      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*|" +
+      "INSERT\\s*\\([^)]*\\)\\s*VALUES\\s*\\(.+?\\))" +
       "(?=\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b|\\s*\\z)").r
   private val MergeLoosePattern =
     s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
@@ -440,7 +442,8 @@ object GraftSqlParser {
   private[graft] case class MatchedUpdate(cond: Option[String],
       set: Option[Seq[(String, String)]]) extends MergeClause
   private[graft] case class MatchedDelete(cond: Option[String]) extends MergeClause
-  private[graft] case class NotMatchedInsert(cond: Option[String]) extends MergeClause
+  private[graft] case class NotMatchedInsert(cond: Option[String],
+      explicit: Option[(Seq[String], Seq[String])] = None) extends MergeClause
   /** `WHEN NOT MATCHED BY SOURCE` legs (Delta's full-sync MERGE —
     * target rows with no source match; only `t.` columns are in
     * scope). `set` None = DELETE. */
@@ -481,9 +484,27 @@ object GraftSqlParser {
           NotMatchedBySource(cond, Some(assignments(setText)))
         }
       } else if (notMatched) {
-        require(lower == "insert *",
-          s"WHEN NOT MATCHED supports only INSERT * — got: $action")
-        NotMatchedInsert(cond)
+        if (lower == "insert *") NotMatchedInsert(cond)
+        else {
+          val Explicit =
+            "(?is)\\Ainsert\\s*\\(([^)]*)\\)\\s*values\\s*\\((.+)\\)\\z".r
+          action match {
+            case Explicit(colsRaw, valsRaw) =>
+              val cols = identifierList(colsRaw)
+              // Value expressions split on top-level commas (an
+              // assignments-style split without the '=' step).
+              val vals = assignmentsSplitTop(valsRaw)
+              require(cols.nonEmpty && cols.size == vals.size,
+                s"INSERT lists ${cols.size} columns but ${vals.size} " +
+                  s"values: $action")
+              require(cols.distinct.size == cols.size,
+                s"INSERT column list repeats a column: ${cols.mkString(", ")}")
+              NotMatchedInsert(cond, Some((cols, vals)))
+            case _ => throw new IllegalArgumentException(
+              s"WHEN NOT MATCHED supports INSERT * or " +
+                s"INSERT (cols) VALUES (exprs) — got: $action")
+          }
+        }
       } else if (lower == "delete") MatchedDelete(cond)
       else {
         require(lower.startsWith("update set"),
@@ -503,11 +524,33 @@ object GraftSqlParser {
       }
     unreachable(clauses.collect {
       case MatchedUpdate(c, _) => (c, 0); case MatchedDelete(c) => (c, 0) })
-    unreachable(clauses.collect { case NotMatchedInsert(c) => (c, 1) })
+    unreachable(clauses.collect { case NotMatchedInsert(c, _) => (c, 1) })
     unreachable(clauses.collect { case NotMatchedBySource(c, _) => (c, 2) })
     require(clauses.count(_.isInstanceOf[NotMatchedInsert]) <= 1,
       "graft MERGE supports at most one WHEN NOT MATCHED clause")
     clauses
+  }
+
+  /** Top-level comma split honoring parens, single-quoted strings,
+    * and backticks — the VALUES-list and SET-list splitter. */
+  private[graft] def assignmentsSplitTop(raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var inTick = false
+    raw.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else if (inTick) { cur += c; if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '`' => inTick = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case x => cur += x
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Parse an UPDATE's SET list into (column, expression) pairs:
@@ -981,12 +1024,34 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     val inserted = insertClause.map { ins =>
       val unmatched = sv.join(tv, joinCond, "left_anti")
         .filter(ins.cond.map(expr).getOrElse(lit(true)))
-      unmatched.select(outCols.filter(c =>
-        src.columns.contains(c) || tTypes.contains(c)).map { c =>
-        (if (src.columns.contains(c)) sv(c)
-         else lit(null)).cast(tTypes.getOrElse(c,
-          unmatched.select(sv(c)).schema.head.dataType)).as(c)
-      }: _*)
+      ins.explicit match {
+        case None =>
+          unmatched.select(outCols.filter(c =>
+            src.columns.contains(c) || tTypes.contains(c)).map { c =>
+            (if (src.columns.contains(c)) sv(c)
+             else lit(null)).cast(tTypes.getOrElse(c,
+              unmatched.select(sv(c)).schema.head.dataType)).as(c)
+          }: _*)
+        case Some((cols0, vals)) =>
+          // INSERT (cols) VALUES (exprs): expressions evaluate on the
+          // unmatched SOURCE rows (s.* in scope; t.* is meaningless
+          // here and fails analysis loudly); unlisted target columns
+          // null-fill; partition columns must be listed (routing every
+          // insert to the null-sentinel partition is a statement bug).
+          val cols = cols0.map(c => strip(c))
+          cols.foreach(c => require(tTypes.contains(c),
+            s"MERGE INSERT lists unknown column '$c' " +
+              s"(columns: ${target.columns.mkString(", ")})"))
+          partCols.foreach(c => require(cols.contains(c),
+            s"MERGE INSERT column list must include partition column '$c'"))
+          val byName = cols.zip(vals).toMap
+          unmatched.select(target.columns.toSeq.map { c =>
+            byName.get(c) match {
+              case Some(e) => expr(e).cast(tTypes(c)).as(c)
+              case None => lit(null).cast(tTypes(c)).as(c)
+            }
+          }: _*)
+      }
     }
     val upserts = (updated.toSeq ++ inserted.toSeq ++ bySourceUpdated.toSeq)
       .reduceOption(_.unionByName(_, allowMissingColumns = true))

@@ -145,6 +145,41 @@ class MergeSqlSpec extends SparkSpec {
       got.toString)
   }
 
+  test("INSERT (cols) VALUES (exprs): s.-scoped expressions, null-fill, partition guard") {
+    val root = freshRoot()
+    bindCatalog("g_insv")
+    SnapshotStore.commit(spark, table(("s1", "a", 1)), root, "supplier")
+    Seq(("s2", "b", 7), ("s1", "a", 9)).toDF("sku", "supplier", "qty")
+      .createOrReplaceTempView("insv_src")
+    spark.sql(s"MERGE INTO g_insv.`$root` t USING insv_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT (sku, supplier, qty) " +
+      "VALUES (s.sku, s.supplier, s.qty * 10)").collect()
+    val got = SnapshotStore.read(spark, root)
+      .select("sku", "qty").as[(String, Int)].collect().toSet
+    assert(got == Set(("s1", 9), ("s2", 70)), got.toString)
+    // Unlisted columns null-fill.
+    Seq(("s3", "c", 3)).toDF("sku", "supplier", "qty")
+      .createOrReplaceTempView("insv_src2")
+    spark.sql(s"MERGE INTO g_insv.`$root` t USING insv_src2 s " +
+      "ON t.sku = s.sku " +
+      "WHEN NOT MATCHED THEN INSERT (sku, supplier) VALUES (s.sku, s.supplier)")
+      .collect()
+    val s3 = SnapshotStore.read(spark, root)
+      .filter($"sku" === "s3").select("qty").collect()
+    assert(s3.length == 1 && s3.head.isNullAt(0))
+    // Omitting the partition column or miscounting values is refused.
+    def bad(tail: String): String = intercept[Exception] {
+      spark.sql(s"MERGE INTO g_insv.`$root` t USING insv_src2 s " +
+        s"ON t.sku = s.sku $tail").collect()
+    }.getMessage
+    assert(bad("WHEN NOT MATCHED THEN INSERT (sku) VALUES (s.sku)")
+      .contains("partition column"))
+    assert(bad("WHEN NOT MATCHED THEN INSERT (sku, supplier) VALUES (s.sku)")
+      .contains("values"))
+  }
+
   test("BY SOURCE rejects shapeless actions loudly") {
     val root = freshRoot()
     bindCatalog("g_bsrcx")
