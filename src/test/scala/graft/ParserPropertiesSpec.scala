@@ -63,4 +63,27 @@ class ParserPropertiesSpec extends SparkSpec {
     assert(got.keySet == want.keySet)
     want.foreach { case (k, (_, _, ver)) => assert(got(k)._3 == ver, s"key $k") }
   }
+
+  test("partition-value property: composite encode/decode round-trips arbitrary components") {
+    import graft.sinks.SnapshotStore
+    // Components drawn from a hostile alphabet: the escapes ('%', '/'),
+    // Hive-escaped path characters (':', '=', ' ', '#'), unicode, and
+    // empty-adjacent shapes.
+    val component: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('%', '/', ':', '=', ' ', '#', '.', '+'),
+      Gen.oneOf('\u00e9', '\u4e2d'))).map(_.mkString).filter(_.nonEmpty)
+    val tuples = sample(Gen.listOfN(200,
+      Gen.chooseNum(2, 4).flatMap(k => Gen.listOfN(k, component))))
+    tuples.foreach { comps =>
+      val enc = SnapshotStore.encodePartValue(comps)
+      val dec = SnapshotStore.decodePartValue(enc, comps.size)
+      assert(dec == comps, s"$comps -> $enc -> $dec")
+    }
+    // Single-column values stay RAW (byte-identical to every manifest
+    // ever written), whatever they contain.
+    sample(Gen.listOfN(50, component)).foreach { v =>
+      assert(SnapshotStore.encodePartValue(Seq(v)) == v)
+      assert(SnapshotStore.decodePartValue(v, 1) == Seq(v))
+    }
+  }
 }
