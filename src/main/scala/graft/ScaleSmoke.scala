@@ -478,6 +478,14 @@ object ScaleSmoke {
         graft.sinks.SnapshotStore.deleteWhere(spark, deleteWhereRoot,
           "part = 3 AND doc_id % 7 = 0")
       },
+      // Partition-ONLY predicate: the whole delete is one manifest
+      // write — zero data files read or written (the entries just
+      // leave the manifest). Compare against delete_where_narrow,
+      // which must open partition 3 to find matching rows.
+      time("delete_partition_metadata") {
+        graft.sinks.SnapshotStore.deleteWhere(spark, deleteWhereRoot,
+          "part = 5")
+      },
       // Merge-on-read delete vs rewrite on a TABLE-WIDE sparse
       // predicate (every partition holds a match — the rewrite path's
       // worst case and the DV path's design case): same fresh table,

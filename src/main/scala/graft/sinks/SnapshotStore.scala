@@ -1649,9 +1649,73 @@ object SnapshotStore {
     * through the file-skipping index ([[table]]), so a predicate over
     * an indexed column opens only candidate files, and the rewrite is
     * bounded by the matching partitions, not the table. A predicate
+    * referencing ONLY partition columns short-circuits to a pure
+    * METADATA commit ([[partitionOnlyDoomed]]): the doomed partitions'
+    * entries leave the manifest, no data file is read or written —
+    * `DELETE FROM t WHERE supplier = 'x'` on a 100 TB table is one
+    * manifest write. A predicate
     * matching nothing returns the current version unchanged (no empty
     * commit). The table's partition column resolves from the
     * `#partcol` manifest header. */
+  /** Column names a predicate references (top-level unresolved
+    * attributes; qualified names take their LAST part). None when the
+    * expression does not parse — callers then skip any
+    * reference-based fast path and let the row-level path surface the
+    * real error. */
+  private def predicateReferences(spark: SparkSession,
+                                  predicate: String): Option[Set[String]] =
+    try {
+      val e = spark.sessionState.sqlParser.parseExpression(predicate)
+      Some(e.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }.toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** When `predicate` references ONLY partition columns, the rows it
+    * deletes are exactly the full content of the partitions whose
+    * VALUES satisfy it — so the delete is pure metadata: evaluate the
+    * predicate against the decoded manifest partition values (typed
+    * through the recorded schema; the Hive null-sentinel decodes to
+    * real null) and drop those partitions' entries. Returns the
+    * doomed partition VALUES, or None when the fast path does not
+    * apply (non-partition references, unparseable, or a sentinel
+    * partition matched — the sentinel conflates null and empty
+    * string, which row-level three-valued logic distinguishes, so
+    * those fall back to the rewrite). */
+  private def partitionOnlyDoomed(spark: SparkSession, root: String,
+                                  cur: Long, partCols: Seq[String],
+                                  entries: Seq[ManifestEntry],
+                                  predicate: String): Option[Set[String]] = {
+    val refs = predicateReferences(spark, predicate).getOrElse(return None)
+    if (refs.isEmpty ||
+        !refs.forall(r => partCols.exists(_.equalsIgnoreCase(r)))) return None
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      schemaFor(spark, root, cur)
+        .map(ph => logicalSchema(ph, mappingAt(spark, root, cur)))
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    val parts = entries.map(_.partition).distinct
+    val rows = parts.map(pv => org.apache.spark.sql.Row.fromSeq(
+      pv +: decodePartValue(pv, partCols.size)
+        .map(v => if (v == HiveDefaultPartition) null else v)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__graft_part_value",
+          org.apache.spark.sql.types.StringType) +:
+        partCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))))
+    val typed = df.select(col("__graft_part_value") +:
+      partCols.map(c => types.get(c)
+        .map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+    val doomed = typed.filter(coalesce(expr(predicate), lit(false)))
+      .select("__graft_part_value").collect().map(_.getString(0)).toSet
+    if (doomed.exists(decodePartValue(_, partCols.size)
+        .contains(HiveDefaultPartition))) None
+    else Some(doomed)
+  }
+
   def deleteWhere(spark: SparkSession, root: String, predicate: String,
                   maxAttempts: Int = 10): Long = {
     val hit = coalesce(expr(predicate), lit(false))
@@ -1661,21 +1725,39 @@ object SnapshotStore {
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val partCols = requirePartitionCols(spark, root, cur)
       val entries = manifest(spark, root, cur)
-      val touched: Set[String] = table(spark, root, Some(cur))
-        .filter(hit).select(partValueColumn(partCols)).distinct()
-        .collect().map(_.getString(0)).toSet
-      val (replaced, kept) = entries.partition(e => touched(e.partition))
-      if (replaced.isEmpty) return cur
-      val remaining = applyColumnMapping(readEntries(spark, root, replaced),
-        mappingAt(spark, root, cur)).filter(!hit)
-      val v = cur + 1
-      val newEntries = writeDataFiles(spark, remaining, root, v, partCols)
-      if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
-          partCols.mkString(","))) {
-        writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
-        return v
+      // Partition-predicate fast path: `DELETE FROM t WHERE
+      // supplier = 'x'` drops whole partitions with ONE manifest
+      // write — zero data files read or written, at any table size. A
+      // lost manifest race falls through to the next loop iteration
+      // (which re-reads the manifest and re-decides).
+      partitionOnlyDoomed(spark, root, cur, partCols, entries,
+          predicate) match {
+        case Some(doomed) =>
+          if (doomed.isEmpty) return cur
+          val kept = entries.filterNot(e => doomed(e.partition))
+          if (writeManifest(spark, root, cur + 1, kept, "delete",
+              partCols.mkString(","))) {
+            writeStats(spark, root, cur + 1, kept, Nil, None)
+            return cur + 1
+          }
+          attempt += 1
+        case None =>
+          val touched: Set[String] = table(spark, root, Some(cur))
+            .filter(hit).select(partValueColumn(partCols)).distinct()
+            .collect().map(_.getString(0)).toSet
+          val (replaced, kept) = entries.partition(e => touched(e.partition))
+          if (replaced.isEmpty) return cur
+          val remaining = applyColumnMapping(readEntries(spark, root, replaced),
+            mappingAt(spark, root, cur)).filter(!hit)
+          val v = cur + 1
+          val newEntries = writeDataFiles(spark, remaining, root, v, partCols)
+          if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
+              partCols.mkString(","))) {
+            writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
+            return v
+          }
+          attempt += 1
       }
-      attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the delete-where race $maxAttempts times under $root")
@@ -1702,6 +1784,42 @@ object SnapshotStore {
     * files and drops their DVs (Delta's `REORG … APPLY (PURGE)`). */
   def deleteWhereDv(spark: SparkSession, root: String, predicate: String,
                     maxAttempts: Int = 10): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCols = requirePartitionCols(spark, root, cur)
+      val entries = manifest(spark, root, cur)
+      if (entries.isEmpty) return cur
+      // A partition-only predicate drops whole partitions as METADATA
+      // even in DV mode (Delta's behavior: deletion vectors are for
+      // sparse deletes; a full-partition match removes the files) —
+      // writing position lists covering every row of a partition
+      // would maximize read amplification for no write saving.
+      partitionOnlyDoomed(spark, root, cur, partCols, entries,
+          predicate) match {
+        case Some(doomed) =>
+          if (doomed.isEmpty) return cur
+          val kept = entries.filterNot(e => doomed(e.partition))
+          if (writeManifest(spark, root, cur + 1, kept, "delete",
+              partCols.mkString(","))) {
+            writeStats(spark, root, cur + 1, kept, Nil, None)
+            return cur + 1
+          }
+          attempt += 1
+        case None =>
+          return deleteWhereDvRows(spark, root, predicate,
+            maxAttempts - attempt)
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the delete-dv race $maxAttempts times under $root")
+  }
+
+  /** [[deleteWhereDv]]'s row-level leg (position-list commit). */
+  private def deleteWhereDvRows(spark: SparkSession, root: String,
+                                predicate: String,
+                                maxAttempts: Int): Long = {
     val hit = coalesce(expr(predicate), lit(false))
     var attempt = 0
     while (attempt < maxAttempts) {

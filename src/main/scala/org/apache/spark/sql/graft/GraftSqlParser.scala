@@ -113,6 +113,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowPropsPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ShowPropertiesCommand(delegate.parseMultipartIdentifier(table))
+    case ShowPartitionsPattern(table) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      ShowPartitionsCommand(delegate.parseMultipartIdentifier(table))
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
@@ -263,6 +266,8 @@ object GraftSqlParser {
       "\\((.+)\\)\\s*;?\\s*\\z").r
   private val ShowPropsPattern =
     s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
+  private val ShowPartitionsPattern =
+    s"(?is)\\A\\s*SHOW\\s+PARTITIONS\\s+$ident\\s*;?\\s*\\z".r
   private val ReorgPattern =
     s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
   // CTAS — `CREATE TABLE g.`root` PARTITIONED BY (c) AS SELECT …`:
@@ -1139,6 +1144,32 @@ case class ShowPropertiesCommand(table: Seq[String])
     val root = GraftSqlParser.resolveRoot(spark, table)
     SnapshotStore.tablePropertiesMap(spark, root).toSeq.sortBy(_._1)
       .map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `SHOW PARTITIONS t`: one row per manifest partition VALUE,
+  * decoded into the table's partition columns (the Hive null-sentinel
+  * shows as null). Pure manifest metadata — no data file is opened at
+  * any table size. */
+case class ShowPartitionsCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val partCols = SnapshotStore.partitionColumns(spark, root, cur)
+    require(partCols.nonEmpty,
+      s"manifest v$cur under $root predates partition-column metadata")
+    SnapshotStore.manifest(spark, root, cur).map(_.partition).distinct.sorted
+      .map { pv =>
+        val comps = SnapshotStore.decodePartValue(pv, partCols.size)
+        // Hive's own SHOW PARTITIONS row shape: col=value[/col=value…].
+        Row(partCols.zip(comps).map { case (c, v) => s"$c=$v" }.mkString("/"))
+      }
   }
 }
 

@@ -167,6 +167,72 @@ class MultiPartitionSpec extends SparkSpec {
       .as[String].collect().toSet == Set("s3", "s4", "s5"))
   }
 
+  test("partition-only DELETE is metadata: whole partitions drop with zero data I/O") {
+    val root = freshRoot()
+    bindCatalog("graft_pdel")
+    SnapshotStore.commit(spark, Seq(
+      ("s1", "a", 0, 1), ("s2", "a", 1, 2), ("s3", "b", 0, 3), ("s4", "b", 1, 4))
+      .toDF("sku", "supplier", "bucket", "qty"),
+      root, Seq("supplier", "bucket"))
+    val m1 = SnapshotStore.manifest(spark, root, 1L)
+    // Typed comparison on one spec column: int literal vs the decoded
+    // string component, cast through the recorded schema.
+    spark.sql(s"DELETE FROM graft_pdel.`$root` WHERE bucket = 1").collect()
+    val m2 = SnapshotStore.manifest(spark, root, 2L)
+    assert(m2.toSet.subsetOf(m1.toSet), "metadata delete wrote new files")
+    assert(m2.map(_.partition).toSet == Set("a/0", "b/0"))
+    assert(SnapshotStore.read(spark, root).select("sku")
+      .as[String].collect().toSet == Set("s1", "s3"))
+    // Both spec columns in the predicate.
+    SnapshotStore.deleteWhere(spark, root,
+      "supplier = 'b' AND bucket = 0")
+    assert(SnapshotStore.manifest(spark, root, 3L).map(_.partition).toSet ==
+      Set("a/0"))
+    // A predicate touching a DATA column takes the row-level path
+    // (new files written for the touched partition).
+    val m3 = SnapshotStore.manifest(spark, root, 3L).toSet
+    SnapshotStore.deleteWhere(spark, root, "supplier = 'a' AND qty > 0")
+    val m4 = SnapshotStore.manifest(spark, root, 4L)
+    assert(SnapshotStore.read(spark, root).count() == 0)
+    // SHOW PARTITIONS before/after shape (Hive's col=value rows).
+    val parts = spark.sql(s"SHOW PARTITIONS graft_pdel.`$root`")
+      .as[String].collect().toSeq
+    assert(parts.isEmpty || parts.forall(_.startsWith("supplier=")),
+      parts.toString)
+  }
+
+  test("IS NULL on the partition column falls back to row semantics ('' is not null)") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, Seq(
+      ("s1", Some("a"), 1), ("s2", None, 2), ("s3", Some(""), 3))
+      .toDF("sku", "supplier", "qty"), root, "supplier")
+    // null AND '' share the Hive sentinel partition; a metadata drop
+    // of that partition would also delete the ''-keyed row, which
+    // row-level three-valued logic keeps — so the fast path must
+    // decline and the rewrite path must keep s3.
+    SnapshotStore.deleteWhere(spark, root, "supplier IS NULL")
+    val got = SnapshotStore.read(spark, root)
+      .select("sku").as[String].collect().toSet
+    assert(got == Set("s1", "s3"), got.toString)
+  }
+
+  test("partition-only DELETE under DV mode drops files instead of writing position lists") {
+    val root = freshRoot()
+    bindCatalog("graft_pdv")
+    SnapshotStore.commit(spark, rows(
+      ("s1", "a", "active", 1), ("s2", "b", "active", 2)),
+      root, Seq("supplier", "status"))
+    spark.sql(s"ALTER TABLE graft_pdv.`$root` SET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true')").collect()
+    spark.sql(s"DELETE FROM graft_pdv.`$root` WHERE supplier = 'a'").collect()
+    val m = SnapshotStore.manifest(spark, root,
+      SnapshotStore.currentVersion(spark, root).get)
+    assert(m.forall(_.dv.isEmpty), "partition delete attached a DV")
+    assert(m.map(_.partition).toSet == Set("b/active"))
+    assert(SnapshotStore.read(spark, root).select("sku")
+      .as[String].collect().toSeq == Seq("s2"))
+  }
+
   test("CDC stream and history stay correct over multi-column partitions") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rows(("s1", "a", "active", 1)),
