@@ -1889,6 +1889,55 @@ private[graft] object SnapshotQueries {
           AS o_totalprice,
         CASE WHEN o_orderkey % 5 IN (0, 2, 4) THEN 2 ELSE 0 END AS rev
       FROM orders WHERE o_orderkey % 5 <> 1
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+
+    // Metadata-only partition delete (E96): a DELETE whose predicate
+    // references only the partition column drops whole partitions with
+    // ONE manifest write — require-pinned: the new manifest is a
+    // strict SUBSET of the old (zero files written), and a follow-up
+    // TRUNCATE empties the table as metadata while the schema and
+    // writability survive. Oracle derives the surviving rows (then the
+    // re-inserted wave) from key arithmetic.
+    ("q191_partition_delete", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q191_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q191",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
+      s.sql(s"DELETE FROM graft_q191.`$root` WHERE o_orderstatus = 'F'")
+        .collect()
+      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L)
+      require(m2.toSet.subsetOf(m1.toSet) && m2.size < m1.size,
+        "partition delete must drop entries without writing files")
+      require(!m2.exists(_.partition == "F"), "partition F must be gone")
+      val afterDelete = graft.sinks.SnapshotStore.read(s, root)
+        .withColumn("phase", lit("deleted"))
+      // TRUNCATE then refill a slice: the empty table stays writable.
+      s.sql(s"TRUNCATE TABLE graft_q191.`$root`").collect()
+      require(graft.sinks.SnapshotStore.read(s, root).count() == 0,
+        "TRUNCATE must empty the table")
+      require(graft.sinks.SnapshotStore
+        .manifest(s, root, 3L).isEmpty, "TRUNCATE must be metadata-only")
+      orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .createOrReplaceTempView("q191_refill")
+      s.sql(s"INSERT INTO graft_q191.`$root` SELECT * FROM q191_refill")
+        .collect()
+      val refilled = graft.sinks.SnapshotStore.read(s, root)
+        .withColumn("phase", lit("refilled"))
+      afterDelete.unionByName(refilled)
+        .orderBy(col("phase"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'deleted' AS phase
+      FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'refilled' AS phase
+      FROM orders WHERE o_orderkey % 5 = 0
+      ORDER BY phase, o_orderkey"""))
   )
 }

@@ -1763,6 +1763,31 @@ object SnapshotStore {
       s"lost the delete-where race $maxAttempts times under $root")
   }
 
+  /** `TRUNCATE TABLE t` — remove every row as ONE metadata commit:
+    * the new manifest lists no files (they stay on disk for time
+    * travel until vacuumed), the recorded schema carries via the
+    * stats sidecar, so the empty table stays readable and writable.
+    * The partition-only delete's cost model applied to the whole
+    * table. Returns the new version (the current one when already
+    * empty). */
+  def truncate(spark: SparkSession, root: String, maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCols = requirePartitionCols(spark, root, cur)
+      if (manifest(spark, root, cur).isEmpty) return cur
+      if (writeManifest(spark, root, cur + 1, Nil, "delete",
+          partCols.mkString(","))) {
+        writeStats(spark, root, cur + 1, Nil, Nil, None)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the truncate race $maxAttempts times under $root")
+  }
+
   /** [[deleteWhere]] in MERGE-ON-READ form — Delta's deletion vectors:
     * instead of rewriting every partition holding a match, the commit
     * writes a small parquet of (file key, row position) pairs and

@@ -116,6 +116,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowPartitionsPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ShowPartitionsCommand(delegate.parseMultipartIdentifier(table))
+    case TruncatePattern(table) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      TruncateSnapshotCommand(delegate.parseMultipartIdentifier(table))
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
@@ -268,6 +271,8 @@ object GraftSqlParser {
     s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
   private val ShowPartitionsPattern =
     s"(?is)\\A\\s*SHOW\\s+PARTITIONS\\s+$ident\\s*;?\\s*\\z".r
+  private val TruncatePattern =
+    s"(?is)\\A\\s*TRUNCATE\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
   private val ReorgPattern =
     s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
   // CTAS — `CREATE TABLE g.`root` PARTITIONED BY (c) AS SELECT …`:
@@ -1170,6 +1175,23 @@ case class ShowPartitionsCommand(table: Seq[String])
         // Hive's own SHOW PARTITIONS row shape: col=value[/col=value…].
         Row(partCols.zip(comps).map { case (c, v) => s"$c=$v" }.mkString("/"))
       }
+  }
+}
+
+/** `TRUNCATE TABLE t`: every row leaves in ONE metadata commit
+  * ([[SnapshotStore.truncate]]); the files stay on disk for time
+  * travel until vacuumed and the schema carries, so the empty table
+  * remains readable and writable. Returns (path, version). */
+case class TruncateSnapshotCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.truncate(spark, root)))
   }
 }
 

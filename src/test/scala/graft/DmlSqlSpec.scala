@@ -159,6 +159,27 @@ class DmlSqlSpec extends SparkSpec {
     assert(SnapshotStore.currentVersion(spark, root) == before)
   }
 
+  test("TRUNCATE TABLE empties as metadata; time travel keeps history; no-op when empty") {
+    val dir = freshDir()
+    bindCatalog("graft_trunc")
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "b", 2)),
+      root, "supplier")
+    val v = spark.sql(s"TRUNCATE TABLE graft_trunc.`$root`")
+      .collect().head.getLong(1)
+    assert(v == 2L)
+    assert(SnapshotStore.manifest(spark, root, 2L).isEmpty)
+    assert(SnapshotStore.read(spark, root).count() == 0)
+    // Files stayed on disk: v1 is still time-travelable.
+    assert(SnapshotStore.readVersion(spark, root, 1L).count() == 2)
+    // Empty table stays writable; truncating empty is a version no-op.
+    assert(SnapshotStore.truncate(spark, root) == 2L)
+    spark.sql(s"INSERT INTO graft_trunc.`$root` VALUES ('p3', 'c', 3)")
+      .collect()
+    assert(SnapshotStore.read(spark, root).select("product_id")
+      .as[String].collect().toSeq == Seq("p3"))
+  }
+
   test("DELETE FROM WHERE removes TRUE rows, keeps FALSE and NULL rows") {
     val root = s"${freshDir()}/t"
     bindCatalog("graft_dml1")
