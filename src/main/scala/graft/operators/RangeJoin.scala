@@ -100,7 +100,7 @@ object RangeJoin {
       df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
     }
     filled.filter(col("__dim") === 0)
-      .select(facts.columns.map(col) ++ payloads.map(col): _*)
+      .select(facts.columns.toSeq.map(col) ++ payloads.map(col): _*)
   }
 
   /** [[asofJoin]] with hot-key mitigation: the window partitions on
@@ -183,7 +183,7 @@ object RangeJoin {
       df.withColumn(p, last(col(s"__p_$p"), ignoreNulls = true).over(w))
     }
     filled.filter(col("__dim") === 0)
-      .select(facts.columns.map(col) ++ payloads.map(col): _*)
+      .select(facts.columns.toSeq.map(col) ++ payloads.map(col): _*)
   }
 
   /** [[asofJoin]] with AUTOMATIC variant selection — the scale-safe

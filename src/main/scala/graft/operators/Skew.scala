@@ -27,7 +27,7 @@ object Skew {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       "salting replicates the small side; only inner/left joins are sound")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
     val smallSalted = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallSalted, Seq(key, "__salt"), joinType).drop("__salt")

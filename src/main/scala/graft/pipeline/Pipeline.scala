@@ -309,7 +309,7 @@ object Main {
       val cfgText = graft.sources.FeedReader.loadText(spark, configPath)
         .getOrElse(sys.error(s"config not found: $configPath"))
       import spark.implicits._
-      val cfg = spark.read.json(Seq(cfgText).toDS)
+      val cfg = spark.read.json(Seq(cfgText).toDS())
       val sink = cfg.select("sink").collect()(0).getString(0)
       // Optional "sinkMode": "snapshot" selects the atomic manifest
       // store; anything else (or absent) keeps partition-overwrite

@@ -59,7 +59,11 @@ object FileStats {
     * commit's stats pass is proportional to the incoming batch, never
     * the table. */
   def fromFooter(conf: Configuration, file: Path, len: Long): FileStatsEntry = {
-    val footer = ParquetFileReader.readFooter(conf, file, ParquetMetadataConverter.NO_FILTER)
+    val footer = {
+      val reader = ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try reader.getFooter finally reader.close()
+    }
     val blocks = footer.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
     // (type-tag, merged Statistics) per column; None once any block is
@@ -69,7 +73,8 @@ object FileStats {
       b.getColumns.asScala.foreach { cc =>
         val name = cc.getPath.toDotString
         val tag = typeTag(cc.getPrimitiveType)
-        val st = cc.getStatistics
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          cc.getStatistics
         val usable = tag.isDefined && st != null && !st.isEmpty
         merged.get(name) match {
           case Some(None) => // already poisoned

@@ -60,7 +60,7 @@ object MongoExport {
 
   /** Write the export as JSON-lines text partitions under `path`
     * (`mongoimport <part> --collection c --mode upsert`). */
-  def export(df: DataFrame, idCol: String, path: String,
+  def `export`(df: DataFrame, idCol: String, path: String,
              timestampFormat: String = IsoTimestamp): Unit =
     mongoJson(df, idCol, timestampFormat).write.mode("overwrite").text(path)
 

@@ -127,7 +127,7 @@ object FeedReader {
       spark.read.json(spark.createDataset(texts))
     } else {
       val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
-      spark.read.json(Seq(doc).toDS)
+      spark.read.json(Seq(doc).toDS())
     }
     required match {
       // Leave corrupt docs on the inference path so sectionOf's
@@ -143,7 +143,7 @@ object FeedReader {
           spark.read.schema(merged).json(spark.createDataset(texts))
         } else {
           val doc = loadText(spark, path).map(stripJsonc).getOrElse("{}")
-          spark.read.schema(merged).json(Seq(doc).toDS)
+          spark.read.schema(merged).json(Seq(doc).toDS())
         }
       case _ => inferred
     }

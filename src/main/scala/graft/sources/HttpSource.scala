@@ -84,7 +84,7 @@ object HttpSource {
                 transport: Transport = offline): DataFrame = {
     import spark.implicits._
     val body = transport(req)
-    spark.read.json(Seq(body).toDS)
+    spark.read.json(Seq(body).toDS())
   }
 
   /** S7 probe against an endpoint. */

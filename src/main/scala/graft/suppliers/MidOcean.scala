@@ -438,7 +438,7 @@ object MidOcean {
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      to_json(struct(products.columns.map {
+      to_json(struct(products.columns.toSeq.map {
         case "variants" => col("variants_raw").as("variants")
         case c => col(c)
       }: _*)).as("raw_data"))

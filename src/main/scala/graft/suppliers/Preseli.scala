@@ -167,7 +167,7 @@ object Preseli {
       lit(null).cast("timestamp").as("created_at"),
       lit(null).cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
-      to_json(struct(products.columns.map(col): _*)).as("raw_data"))
+      to_json(struct(products.columns.toSeq.map(col): _*)).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

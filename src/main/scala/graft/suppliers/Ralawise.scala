@@ -26,7 +26,7 @@ object Ralawise {
   def readFeed(spark: SparkSession, path: String): Feed = {
     import spark.implicits._
     val text = FeedReader.loadText(spark, path).map(FeedReader.stripJsonc).getOrElse("[]")
-    Feed(spark.read.json(Seq(text).toDS))
+    Feed(spark.read.json(Seq(text).toDS()))
   }
 
   /** Column contract (FeedReader.conform): sparse captures resolve

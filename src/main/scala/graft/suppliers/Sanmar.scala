@@ -315,7 +315,7 @@ object Sanmar {
       col("lastChangeDate").try_cast("timestamp").as("updated_at"),
       lit(null).cast("timestamp").as("last_sync"),
       // Full product service body (ref unified_product_schema.py:201).
-      to_json(struct(product.columns.map(col): _*)).as("raw_data"))
+      to_json(struct(product.columns.toSeq.map(col): _*)).as("raw_data"))
   }
 
   def unified(spark: SparkSession, path: String): DataFrame =

@@ -126,7 +126,7 @@ class HttpTransportSpec extends SparkSpec {
       val body = transport(HttpSource.HttpRequest(
         s"http://127.0.0.1:$port/echo",
         params = Map("a b" -> "c&d", "lang" -> "en")))
-      val q = spark.read.json(Seq(body).toDS).select("q").as[String].head()
+      val q = spark.read.json(Seq(body).toDS()).select("q").as[String].head()
       val parts = q.split("&").toSet
       assert(parts == Set("a+b=c%26d", "lang=en"), s"got $q")
     }

@@ -154,7 +154,7 @@ class Int8QuantizationSpec extends SparkSpec {
     val idxPath = s"$dir/ivf_index"
     def rows(ids: Seq[Long], bump: Double = 0.0) = ids.map { i =>
       (i, (0 until 8).map(j =>
-        (math.sin(i * 7 + j) + (if (j == (i % 8).toInt) 2.0 + bump else 0.0)).toFloat),
+        (math.sin((i * 7 + j).toDouble) + (if (j == (i % 8).toInt) 2.0 + bump else 0.0)).toFloat),
         s"p${i % 3}")
     }.toDF("id", "vec", "part")
     // Commit 1 + centroids trained ONCE on the first ingest.

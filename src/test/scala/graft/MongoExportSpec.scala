@@ -63,7 +63,7 @@ class MongoExportSpec extends SparkSpec {
   test("export writes mongoimport-consumable text partitions") {
     val dir = java.nio.file.Files.createTempDirectory("mongo_export").toString
     val df = Seq(("x", 1), ("y", 2)).toDF("key", "v")
-    MongoExport.export(df, "key", s"$dir/out")
+    MongoExport.`export`(df, "key", s"$dir/out")
     val back = spark.read.text(s"$dir/out").as[String].collect().sorted
     assert(back.toSeq == Seq("""{"_id":"x","v":1}""", """{"_id":"y","v":2}"""))
     intercept[IllegalArgumentException] {
