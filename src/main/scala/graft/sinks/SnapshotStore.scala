@@ -1108,6 +1108,20 @@ object SnapshotStore {
   private[sinks] def dvKeyExpr(pathCol: Column): Column =
     regexp_extract(pathCol, s"($PartDir=.*)$$", 1)
 
+  /** Write a deletion-vector position list sized by its cardinality:
+    * one file for the sparse deletes DVs exist for, more when a huge
+    * matched set would otherwise serialize through a single task
+    * (~10M positions per output file; the position list is two narrow
+    * columns, so each file stays small). `rows` comes from the
+    * per-file counts the caller already collected — no extra pass. */
+  private def writeDvDir(spark: SparkSession, root: String, dvDir: String,
+                         newDv: DataFrame, rows: Long): Unit = {
+    val perFile = 10L * 1000 * 1000
+    val parts = math.max(1L, (rows + perFile - 1) / perFile).toInt
+    (if (parts == 1) newDv.coalesce(1) else newDv.repartition(parts))
+      .write.parquet(new Path(root, dvDir).toString)
+  }
+
   /** The deletion-vector rows attached to `entries`, as one
     * DataFrame(file_key, pos) — or None when no entry carries a DV
     * (the overwhelmingly common case; callers must pay ZERO cost
@@ -1888,8 +1902,7 @@ object SnapshotStore {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         if (counts.isEmpty) return cur
         val dvDir = s"dv/v_${cur + 1}-${java.util.UUID.randomUUID().toString.take(8)}"
-        // One small file: a DV is deleted-row metadata, not data.
-        newDv.coalesce(1).write.parquet(new Path(root, dvDir).toString)
+        writeDvDir(spark, root, dvDir, newDv, counts.values.sum)
         val newEntries = entries.map { e =>
           val fn = dvKeyOf(e.path)
           if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
@@ -1979,7 +1992,7 @@ object SnapshotStore {
         enforceConstraints(spark, root, updated)
         val v = cur + 1
         val dvDir = s"dv/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"
-        newDv.coalesce(1).write.parquet(new Path(root, dvDir).toString)
+        writeDvDir(spark, root, dvDir, newDv, counts.values.sum)
         val carried = entries.map { e =>
           val fn = dvKeyOf(e.path)
           if (counts.contains(fn)) e.copy(dv = dvDir, dvRows = counts(fn)) else e
