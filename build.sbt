@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (100 strongly-held entries) fills with large compiled units when
   // many DISTINCT supplier pipelines execute in sequence.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~190 bench queries x several codegen units each overflow the JVM's
+  // default 240m JIT code cache in one suite pass; flushed methods
+  // re-JIT mid-measurement. Headroom keeps the timed minima warm.
+  "-XX:ReservedCodeCacheSize=512m",
 )

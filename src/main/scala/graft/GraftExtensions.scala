@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see GraftCatalog's scaladoc for why reads resolve this way.
     ext.injectResolutionRule(session =>
       graft.sinks.ResolveGraftSnapshot(session))
+    // Metadata-only COUNT(*): a global filterless count over a bare
+    // snapshot scan answers from the manifest's stats sidecar — zero
+    // data files opened (Delta's OPTIMIZE_METADATA_ONLY_QUERY shape).
+    ext.injectOptimizerRule(session =>
+      graft.sinks.MetadataCountRule(session))
     // Maintenance SQL Spark's grammar lacks (RESTORE TABLE … TO
     // VERSION AS OF n, DESCRIBE HISTORY t) — a delegating parser, the
     // DeltaSqlParser architecture.

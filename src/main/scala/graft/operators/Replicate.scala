@@ -97,7 +97,16 @@ object Replicate {
   /** One atomic replica commit: upserts + deletes + the
     * [[SourceVersionProp]] cursor (merged into the existing property
     * set). Falls back to a metadata-only property commit when the
-    * window changes no content. */
+    * window changes no content.
+    *
+    * Single-writer contract: the merged property set is snapshotted
+    * ONCE, before the commit loop — a retried commit (lost OCC race)
+    * republishes that snapshot, so a table property set on the replica
+    * CONCURRENTLY with a sync window can be reverted. The mirror is
+    * the replica's only writer by design (any other writer would also
+    * diverge the mirrored CONTENT, cursor aside); administrative
+    * property changes belong on the source, where [[mirror]] carries
+    * them forward. */
   private def applyAtomic(spark: SparkSession,
                           dstRoot: String,
                           upserts: org.apache.spark.sql.DataFrame,

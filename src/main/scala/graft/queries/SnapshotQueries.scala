@@ -1938,6 +1938,185 @@ private[graft] object SnapshotQueries {
       SELECT o_orderkey, o_orderstatus, o_totalprice,
              'refilled' AS phase
       FROM orders WHERE o_orderkey % 5 = 0
-      ORDER BY phase, o_orderkey"""))
+      ORDER BY phase, o_orderkey""")),
+
+
+    // Multi-column ADD COLUMNS (E95): ONE metadata commit widens the
+    // table by an INT and a comma-bearing DECIMAL(12,2) — carried
+    // files read both as typed nulls, zero files rewritten
+    // (require-pinned: exactly one version advance, manifest paths
+    // unchanged), and a follow-up append POPULATES them, proving the
+    // widened schema is writable. Oracle derives both waves from key
+    // arithmetic.
+    ("q192_add_columns_multi", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q192_store")
+        .resolve("t").toString
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_name"))
+      graft.sinks.SnapshotStore.commit(s, cust, root, "c_mktsegment")
+      s.conf.set("spark.sql.catalog.graft_q192",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val p1 = graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet
+      s.sql(s"ALTER TABLE graft_q192.`$root` " +
+        "ADD COLUMNS (score INT, bal DECIMAL(12,2))")
+      require(graft.sinks.SnapshotStore.versions(s, root) == Seq(1L, 2L),
+        "multi-ADD COLUMNS must be exactly ONE version advance")
+      require(graft.sinks.SnapshotStore.manifest(s, root, 2L)
+        .map(_.path).toSet == p1, "ADD COLUMNS must rewrite zero files")
+      graft.sinks.SnapshotStore.appendCommit(s,
+        cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_mktsegment"), col("c_name"),
+            pmod(col("c_custkey"), lit(5)).cast("int").as("score"),
+            pmod(col("c_custkey"), lit(100)).cast("decimal(12,2)").as("bal")),
+        root, "c_mktsegment")
+      s.sql(s"SELECT c_custkey, c_mktsegment, c_name, score, " +
+        s"CAST(bal AS DOUBLE) AS bal_d FROM graft_q192.`$root` " +
+        "ORDER BY c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment, c_name,
+             CAST(NULL AS INTEGER) AS score, CAST(NULL AS DOUBLE) AS bal_d
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, c_name,
+             CAST(c_custkey % 5 AS INTEGER) AS score,
+             CAST(c_custkey % 100 AS DOUBLE) AS bal_d
+      FROM customer WHERE c_custkey % 4 = 0
+      ORDER BY c_custkey""")),
+
+
+    // Metadata-priced row counts (SnapshotStore.rowCount / SHOW
+    // PARTITIONS row_count): per-partition and total counts answered
+    // from the manifest + stats sidecar with ZERO data files opened —
+    // and they must subtract deletion-vector rows. The fixture drops
+    // one partition as metadata, then DV-deletes a key slice; the
+    // output IS the count table (plus a rowCount total row), so any
+    // miscount — stale sidecar, missed dvRows, ghost partition —
+    // breaks the hash. Ref: mongodb_loader.py:271-299 count_documents
+    // is metadata-priced; Delta answers COUNT(*) from the log.
+    ("q193_metadata_counts", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q193_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
+      s.conf.set("spark.sql.catalog.graft_q193",
+        classOf[graft.sinks.GraftCatalog].getName)
+      // Partition 'F' leaves as metadata; then a row-level slice
+      // leaves as deletion vectors (merge-on-read).
+      s.sql(s"DELETE FROM graft_q193.`$root` WHERE o_orderstatus = 'F'")
+        .collect()
+      s.sql(s"ALTER TABLE graft_q193.`$root` " +
+        "SET TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+      s.sql(s"DELETE FROM graft_q193.`$root` WHERE o_orderkey % 7 = 3")
+        .collect()
+      require(graft.sinks.SnapshotStore.manifest(s,
+        root, graft.sinks.SnapshotStore.currentVersion(s, root).get)
+        .exists(_.dvRows > 0), "the second delete must be vectored")
+      val total = graft.sinks.SnapshotStore.rowCount(s, root)
+      require(total.isDefined, "rowCount must answer from metadata")
+      s.sql(s"SHOW PARTITIONS graft_q193.`$root`")
+        .unionByName(s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row("<total>", total.get)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("partition",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("row_count",
+              org.apache.spark.sql.types.LongType)))))
+        .orderBy(col("partition"))
+    }, Some("""
+      SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+             count(*) AS row_count
+      FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey % 7 <> 3
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT '<total>' AS partition, count(*) AS row_count
+      FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey % 7 <> 3
+      ORDER BY partition""")),
+
+
+    // Partition-spec evolution (SnapshotStore.repartitionTable —
+    // Iceberg's day-two re-spec, as ONE rewrite commit recording the
+    // new #partcol): evolve (o_orderstatus) → (o_orderstatus,
+    // o_orderpriority), then a merge routed by the NEW spec.
+    // Require-pins: the evolution is exactly one version with the
+    // composite header; the post-evolution merge touches exactly ONE
+    // (status, priority) cell (every other cell carried by
+    // reference); time travel still reads v1 under the old spec.
+    ("q194_partition_evolution", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q194_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
+      val v2 = graft.sinks.SnapshotStore.repartitionTable(s, root,
+        Seq("o_orderstatus", "o_orderpriority"))
+      require(v2 == 2L, s"evolution must be one commit, got v$v2")
+      require(graft.sinks.SnapshotStore.partitionColumn(s, root, 2L)
+        .contains("o_orderstatus,o_orderpriority"), "new spec not recorded")
+      require(graft.sinks.SnapshotStore.partitionColumn(s, root, 1L)
+        .contains("o_orderstatus"), "old spec must stay on v1")
+      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L).toSet
+      graft.sinks.SnapshotStore.mergeCommitOrdered(s,
+        orders.filter(col("o_orderstatus") === "O" &&
+            col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        root, "o_orderkey", Nil, Seq("o_orderstatus", "o_orderpriority"))
+      val m3 = graft.sinks.SnapshotStore.manifest(s, root, 3L).toSet
+      val cell = "O/1-URGENT"
+      require(m3.filterNot(_.partition == cell) ==
+        m2.filterNot(_.partition == cell),
+        "post-evolution merge must rewrite exactly one cell")
+      graft.sinks.SnapshotStore.read(s, root).orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+             THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+
+    // Type widening on merge evolution (SnapshotStore.widen /
+    // enforceSchemaCompatible): a batch whose `score` arrives as LONG
+    // merges into an INT-typed table — the recorded schema widens to
+    // LONG and the UNTOUCHED segments' INT32 files are read through
+    // the widened scan (Spark 4 parquet widening, SPARK-40876).
+    // Require-pins: ONE version advance, the non-BUILDING segments'
+    // files carried byte-identical, recorded type is LONG. The output
+    // is the whole table, so a broken carried-file read or a
+    // mis-widened value breaks the hash. Ref: Pydantic coercion,
+    // unified_product_schema.py:145-207.
+    ("q195_type_widening", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q195_store")
+        .resolve("t").toString
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          pmod(col("c_custkey"), lit(100)).cast("int").as("score"))
+      graft.sinks.SnapshotStore.commit(s, cust, root, "c_mktsegment")
+      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
+      graft.sinks.SnapshotStore.mergeCommitOrdered(s,
+        cust.filter(col("c_mktsegment") === "BUILDING" &&
+            pmod(col("c_custkey"), lit(4)) === 0)
+          .withColumn("score",
+            (pmod(col("c_custkey"), lit(100)) + 1000L).cast("long")),
+        root, "c_custkey", Nil, "c_mktsegment")
+      require(graft.sinks.SnapshotStore.versions(s, root) == Seq(1L, 2L),
+        "widening merge must be one version advance")
+      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L)
+      require(m1.filterNot(_.partition == "BUILDING").toSet ==
+        m2.filterNot(_.partition == "BUILDING").toSet,
+        "untouched segments must carry their INT32 files by reference")
+      require(graft.sinks.SnapshotStore.schemaFor(s, root, 2L).get("score")
+        .dataType == org.apache.spark.sql.types.LongType,
+        "recorded schema must widen to LONG")
+      graft.sinks.SnapshotStore.read(s, root)
+        .select(col("c_custkey"), col("c_mktsegment"), col("score"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment,
+        CAST(CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 4 = 0
+                  THEN c_custkey % 100 + 1000
+                  ELSE c_custkey % 100 END AS BIGINT) AS score
+      FROM customer ORDER BY c_custkey"""))
   )
 }

@@ -58,4 +58,14 @@ class GraftFileIndex(root: Path,
   override def inputFiles: Array[String] = files.map(_._1.getPath.toString).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = files.map(_._1.getLen).sum
+
+  /** Σ per-file row counts when EVERY listed file carries sidecar
+    * stats — the input to the metadata-only COUNT(*) rewrite
+    * ([[MetadataCountRule]]). This is the PHYSICAL row count of the
+    * listed files (deletion vectors are applied above the relation,
+    * so a bare scan of a DV-carrying selection really does produce
+    * this many rows). None when any file lacks stats. */
+  val totalRows: Option[Long] =
+    if (files.forall(_._2.isDefined)) Some(files.map(_._2.get.rows).sum)
+    else None
 }

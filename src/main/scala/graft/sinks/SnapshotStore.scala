@@ -52,6 +52,15 @@ object SnapshotStore {
 
   private val PartDir = "__part"
 
+  /** Reader features THIS build understands — the check side of the
+    * `#require` manifest protocol gate (Delta's
+    * minReaderVersion/table-features design). A manifest naming a
+    * feature outside this set refuses to load in [[manifest]] instead
+    * of being silently misread; a second reader implementation
+    * (docs/MIGRATION.md's Iceberg/Delta bridge) must publish its own
+    * set and fail the same way. */
+  val SupportedReaderFeatures: Set[String] = Set("colmap", "dv", "multipart")
+
   /** Directory-key column names for a k-column partition spec: the
     * first level keeps the historical `__part` (single-column tables'
     * on-disk layout and manifests stay byte-identical), deeper levels
@@ -195,6 +204,23 @@ object SnapshotStore {
     val f = fs(spark, root)
     val in = f.open(manifestPath(root, version))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // Protocol gate (Delta's minReaderVersion/table-features design):
+    // `#require` names a feature this manifest's files CANNOT be read
+    // correctly without. Every other header is advisory — a reader
+    // that doesn't know it skips it — but skipping an unknown
+    // REQUIRED feature means silently-wrong results (physical names
+    // after a rename, resurrected DV-deleted rows, mis-decoded
+    // composite partition values), so it must be a loud refusal here,
+    // the single parse point every read path funnels through.
+    val unknown = text.linesIterator.takeWhile(_.startsWith("#"))
+      .filter(_.startsWith("#require\t"))
+      .map(_.stripPrefix("#require\t").trim)
+      .filterNot(SupportedReaderFeatures).toSeq
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"manifest v$version under $root requires reader feature(s) " +
+        s"${unknown.mkString(", ")} that this reader does not support " +
+        s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+        "refusing to read rather than silently misread")
     text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       line.split("\t", 4) match {
         case Array(p, path) => ManifestEntry(URLDecoder.decode(p, UTF_8), path)
@@ -609,8 +635,20 @@ object SnapshotStore {
         try manifestHeaderAll(spark, root, version - 1, "copied")
         catch { case _: java.io.IOException => Nil }
       else Nil).map(c => s"#copied\t$c").filterNot(extraHeaders.contains)
+    // Reader-mandatory features of THIS manifest (see the gate in
+    // [[manifest]]): derived per version rather than carried — a
+    // version that stopped using a feature (REORG PURGE dropped every
+    // DV, a restore snapped the column mapping away) is readable
+    // again by readers without it. `#require` lines ride the same
+    // atomic publish as everything else.
+    val required =
+      (if (effectiveMapping._1.nonEmpty || effectiveMapping._2.nonEmpty)
+         Seq("colmap") else Nil) ++
+      (if (entries.exists(_.dv.nonEmpty)) Seq("dv") else Nil) ++
+      (if (partitionCol.contains(",")) Seq("multipart") else Nil)
     val headers = s"#committer\t$token" +:
       (Seq(s"#ts\t$ts") ++
+        required.map(f => s"#require\t$f") ++
         (if (operation.nonEmpty) Seq(s"#op\t$operation") else Nil) ++
         // Table metadata in the log (the Delta convention): the
         // partition column name, so table-level maintenance (SQL
@@ -711,16 +749,82 @@ object SnapshotStore {
   def schemaFor(spark: SparkSession, root: String, version: Long): Option[org.apache.spark.sql.types.StructType] =
     statsSidecar(spark, root, version)._2
 
+  /** Metadata-priced row count of a version (default current): Σ
+    * per-file row counts from the stats sidecar − Σ deletion-vector
+    * cardinalities from the manifest. Zero data files are opened —
+    * the reference's own stats call is metadata-priced
+    * (mongodb_loader.py:271-299 `collStats`/`count_documents`), and
+    * Delta answers COUNT(*) from the log the same way. None when any
+    * manifest file lacks a stats row (legacy/torn sidecar) — callers
+    * fall back to the scan rather than undercount. */
+  def rowCount(spark: SparkSession, root: String,
+               version: Option[Long] = None): Option[Long] =
+    partitionRowCounts(spark, root, version).map(_.values.sum)
+
+  /** Per-partition DV-adjusted row counts keyed by ENCODED partition
+    * value ([[decodePartValue]] splits composites) — [[rowCount]]'s
+    * contract, partition-grained. Powers `SHOW PARTITIONS`' row_count
+    * column. */
+  def partitionRowCounts(spark: SparkSession, root: String,
+                         version: Option[Long] = None): Option[Map[String, Long]] = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val entries = manifest(spark, root, v)
+    val stats = statsFor(spark, root, v)
+    if (!entries.forall(e => stats.contains(e.path))) None
+    else Some(entries.groupBy(_.partition).view.mapValues(
+      _.map(e => stats(e.path).rows - e.dvRows).sum).toMap)
+  }
+
+  /** The SAFE widening of two primitive types, if any: the ladder a
+    * parquet scan can replay against carried files (Spark 4's parquet
+    * readers widen INT32→INT64 and FLOAT→DOUBLE in place, SPARK-40876)
+    * — so recording the wider type keeps every already-written file
+    * readable. None = not a widening pair (caller refuses or keeps the
+    * old behavior). Mirrors the reference's Pydantic numeric coercion
+    * (unified_product_schema.py:145-207), minus the lossy directions. */
+  private[sinks] def widen(a: org.apache.spark.sql.types.DataType,
+                           b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    // catalogString = the type modulo nullability flags (an
+    // array<float> whose containsNull differs is the same stored
+    // type; DataType.sameType is private[spark]).
+    if (a.catalogString == b.catalogString) Some(a)
+    else if (integral.contains(a) && integral.contains(b))
+      Some(integral(math.max(integral.indexOf(a), integral.indexOf(b))))
+    else if (fractional.contains(a) && fractional.contains(b))
+      Some(DoubleType)
+    else (a, b) match {
+      // Same-scale precision growth — decimal arithmetic's natural
+      // drift (sum/avg bump precision), readable over carried files
+      // via the parquet decimal widening conversion.
+      case (da: DecimalType, db: DecimalType) if da.scale == db.scale =>
+        Some(DecimalType(math.max(da.precision, db.precision), da.scale))
+      case _ => None
+    }
+  }
+
   /** Union-by-name schema evolution: `a`'s fields (typed as `b`'s when
-    * both carry the name — the newest write wins), then `b`'s new
-    * fields, everything nullable (pre-evolution files read the new
-    * columns as typed nulls). */
+    * both carry the name — the newest write wins, EXCEPT that numeric
+    * pairs record their safe WIDENING so carried files written under
+    * the narrower type keep reading), then `b`'s new fields,
+    * everything nullable (pre-evolution files read the new columns as
+    * typed nulls). */
   private def schemaUnion(a: org.apache.spark.sql.types.StructType,
                           b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     val bByName = b.fields.map(f => f.name -> f).toMap
     val aNames = a.fieldNames.toSet
     org.apache.spark.sql.types.StructType(
-      a.fields.map(f => bByName.getOrElse(f.name, f).copy(nullable = true)) ++
+      a.fields.map { f =>
+        bByName.get(f.name) match {
+          case Some(bf) => bf.copy(nullable = true,
+            dataType = widen(f.dataType, bf.dataType).getOrElse(bf.dataType))
+          case None => f.copy(nullable = true)
+        }
+      } ++
         b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
   }
 
@@ -1168,18 +1272,32 @@ object SnapshotStore {
     }
 
   private def readEntries(spark: SparkSession, root: String,
-                          entries: Seq[ManifestEntry]): DataFrame = {
+                          entries: Seq[ManifestEntry],
+                          recorded: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val paths = entries.map(e => new Path(root, e.path).toString)
     // Schema evolution: after a mergeCommit whose batch added columns,
     // one manifest references old-schema files (carried by reference)
-    // AND new-schema files, so the footers must be merged — rows from
-    // pre-evolution files read the new columns as typed nulls (the
-    // reference evolves via Pydantic defaulting,
-    // unified_product_schema.py:145-207). Footer merging is a
-    // driver-side metadata operation over the listed files only.
-    applyDvs(spark, root,
-      spark.read.option("mergeSchema", "true").parquet(paths: _*), entries)
+    // AND new-schema files. With the version's RECORDED schema in hand
+    // the scan reads through it directly — pre-evolution files read
+    // added columns as typed nulls and WIDENED columns through the
+    // parquet widening conversions (footer merging would refuse an
+    // INT32/INT64 mix outright). Without it (legacy/torn sidecar) the
+    // footers are merged — a driver-side metadata operation over the
+    // listed files only (the reference evolves via Pydantic
+    // defaulting, unified_product_schema.py:145-207).
+    val reader = recorded match {
+      case Some(sc) => spark.read.schema(sc)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    applyDvs(spark, root, reader.parquet(paths: _*), entries)
   }
+
+  /** [[readEntries]] through `version`'s recorded schema when the
+    * sidecar carries one. */
+  private def readEntriesAt(spark: SparkSession, root: String,
+                            entries: Seq[ManifestEntry],
+                            version: Long): DataFrame =
+    readEntries(spark, root, entries, schemaFor(spark, root, version))
 
   /** Read a SUBSET of a version's files through the full read boundary
     * (deletion vectors + column mapping) — the candidate-read
@@ -1195,7 +1313,7 @@ object SnapshotStore {
     val entries = manifest(spark, root, version)
       .filter(e => candidates.exists(_.endsWith(e.path)))
     if (entries.isEmpty) readVersion(spark, root, version).limit(0)
-    else applyColumnMapping(readEntries(spark, root, entries),
+    else applyColumnMapping(readEntriesAt(spark, root, entries, version),
       mappingAt(spark, root, version))
   }
 
@@ -1236,8 +1354,8 @@ object SnapshotStore {
           s"version $version of $root has no files and no schema sidecar")
       }
     else if (wanted.isEmpty)
-      applyColumnMapping(readEntries(spark, root, all).limit(0), mapping)
-    else applyColumnMapping(readEntries(spark, root, wanted), mapping)
+      applyColumnMapping(readEntriesAt(spark, root, all, version).limit(0), mapping)
+    else applyColumnMapping(readEntriesAt(spark, root, wanted, version), mapping)
   }
 
   /** Commit `df` as a full new snapshot (CTAS / backup path).
@@ -1301,6 +1419,7 @@ object SnapshotStore {
                    operation: String = "append",
                    extraHeaders: Seq[String] = Nil): Long = {
     enforceConstraints(spark, root, df)
+    enforceSchemaCompatible(spark, root, df)
     var attempt = 0
     while (attempt < maxAttempts) {
       val (kept, v) = currentVersion(spark, root) match {
@@ -1448,6 +1567,7 @@ object SnapshotStore {
       .select(partValueColumn(partitionCols.cols))
       .distinct().collect().map(_.getString(0)).toSet
     enforceConstraints(spark, root, incoming)
+    enforceSchemaCompatible(spark, root, incoming)
     var attempt = 0
     while (attempt < maxAttempts) {
       val (kept, merged, v) = currentVersion(spark, root) match {
@@ -1463,7 +1583,7 @@ object SnapshotStore {
           // writeDataFiles translates back to physical names at write.
           val m = if (replaced.isEmpty) incoming
             else Upsert.merge(
-              applyColumnMapping(readEntries(spark, root, replaced),
+              applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
                 mappingAt(spark, root, cur)),
               incoming, keys.cols, orderBy)
           (keptEntries, m, cur + 1)
@@ -1538,6 +1658,7 @@ object SnapshotStore {
     require(keys.nonEmpty, "upsertDeleteCommit needs at least one key column")
     require(partitionCols.nonEmpty, "upsertDeleteCommit needs a partition spec")
     enforceConstraints(spark, root, upserts)
+    enforceSchemaCompatible(spark, root, upserts)
     val upTouched = upserts.select(partValueColumn(partitionCols.cols))
       .distinct().collect().map(_.getString(0)).toSet
     val doomed = deleteKeys.map(_.select(keys.cols.map(col): _*).distinct())
@@ -1546,8 +1667,14 @@ object SnapshotStore {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val entries = manifest(spark, root, cur)
+      // Small delete-key sets prune the probe scan file-by-file via
+      // the stats/bloom sidecars (see [[probeCandidateEntries]]).
       val delTouched: Set[String] = doomed.map { d =>
-        readVersion(spark, root, cur)
+        val candidates = probeCandidateEntries(spark, root, cur, entries,
+          d, keys.cols)
+        if (candidates.isEmpty) Set.empty[String]
+        else applyColumnMapping(readEntriesAt(spark, root, candidates, cur),
+            mappingAt(spark, root, cur))
           .select((keys.cols ++
             partitionCols.cols.filterNot(keys.contains)).map(col): _*)
           .join(d, keys.cols, "left_semi")
@@ -1563,7 +1690,7 @@ object SnapshotStore {
       val merged =
         if (replaced.isEmpty) upserts
         else {
-          val existing = applyColumnMapping(readEntries(spark, root, replaced),
+          val existing = applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
             mappingAt(spark, root, cur))
           val survivors = doomed match {
             case Some(d) => existing.join(d, keys.cols, "left_anti")
@@ -1582,6 +1709,101 @@ object SnapshotStore {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the merge race $maxAttempts times under $root")
+  }
+
+  /** Loud type-compatibility gate for batches entering a table whose
+    * recorded schema already carries their columns: a common column
+    * must arrive with the SAME type or a safe [[widen]] partner —
+    * narrower batches are widened by the union on write, wider
+    * batches widen the RECORDED type (carried files keep reading via
+    * the parquet widening conversions). Anything else (string↔int, a
+    * restructured struct, array element flips) previously recorded
+    * the new type and broke the CARRIED files' reads at some later
+    * scan — failing the commit here names the column instead.
+    * Reference anchor: the Pydantic coercion boundary,
+    * unified_product_schema.py:145-207. */
+  private def enforceSchemaCompatible(spark: SparkSession, root: String,
+                                      df: DataFrame): Unit =
+    currentVersion(spark, root).foreach { cur =>
+      schemaFor(spark, root, cur).foreach { prior =>
+        val renames = mappingAt(spark, root, cur)._1
+        val priorTypes = prior.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach { f =>
+          priorTypes.get(renames.getOrElse(f.name, f.name)).foreach { pt =>
+            require(widen(pt, f.dataType).isDefined,
+              s"column '${f.name}' arrives as ${f.dataType.simpleString} " +
+                s"but the table records ${pt.simpleString}; only safe " +
+                "widenings (byte→short→int→long, float→double) evolve " +
+                "implicitly — cast the batch explicitly")
+          }
+        }
+      }
+    }
+
+  /** Keys below this count are collected to the driver and used to
+    * prune the partition-probe scan file-by-file
+    * ([[probeCandidateEntries]]); above it the probe scans the
+    * column-pruned table as before. 0 disables pruning. */
+  private def probeKeyLimit(spark: SparkSession): Int =
+    try spark.conf.get("spark.graft.probeKeyLimit", "1000").toInt
+    catch { case _: NumberFormatException => 1000 }
+
+  /** Observability for specs/SCALE: file count the most recent keyed
+    * probe actually scanned, or -1 when pruning didn't engage (large
+    * key set, undecidable types, disabled). Last-writer-wins; never an
+    * input to planning. */
+  private[graft] val lastProbeCandidates =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Files of `entries` that MAY hold one of `doomed`'s keys, decided
+    * from the stats/bloom sidecars when the key set is SMALL — Delta's
+    * MERGE file-pruning shape, and the snapshot analog of the
+    * reference's indexed `delete_many({_id: {$in: […]}})`
+    * (mongodb_loader.py:226-245), which is a point operation, not a
+    * collection scan. A 3-key GDPR delete on a 100 TB table probes the
+    * few bloom-candidate files instead of every file's key column.
+    *
+    * One `limit(K+1)` collect decides applicability: a larger set, a
+    * key type the stats can't order exactly, or a missing sidecar
+    * falls back to the full `entries` (mayMatch=false PROVES absence,
+    * so pruning is conservative-correct; anything undecidable keeps
+    * the file). Composite keys prune on the FIRST key column alone —
+    * also conservative. Null keys match nothing by the keyed-delete
+    * contract and are dropped before pruning. */
+  private def probeCandidateEntries(spark: SparkSession, root: String,
+                                    cur: Long, entries: Seq[ManifestEntry],
+                                    doomed: DataFrame,
+                                    keyCols: Seq[String]): Seq[ManifestEntry] = {
+    val limit = probeKeyLimit(spark)
+    if (limit <= 0) { lastProbeCandidates.set(-1); return entries }
+    val head = try doomed.select(col(keyCols.head)).limit(limit + 1).collect()
+               catch { case scala.util.control.NonFatal(_) =>
+                 lastProbeCandidates.set(-1); return entries }
+    if (head.length > limit) { lastProbeCandidates.set(-1); return entries }
+    val nonNull = head.iterator.map(_.get(0)).filter(_ != null).toArray
+    val values: Array[Any] = nonNull.collect {
+      case v @ (_: String | _: Byte | _: Short | _: Int | _: Long |
+                _: Float | _: Double) => v
+      case d: java.math.BigDecimal => d
+    }
+    // Any key value outside the stats-decidable types means absence
+    // can't be certified for it anywhere — scan the full set.
+    if (values.length != nonNull.length) {
+      lastProbeCandidates.set(-1); return entries
+    }
+    if (values.isEmpty) { lastProbeCandidates.set(0); return Nil }
+    // Stats/blooms are keyed by PHYSICAL column names.
+    val statsName = mappingAt(spark, root, cur)._1
+      .getOrElse(keyCols.head, keyCols.head)
+    val filter = org.apache.spark.sql.sources.In(statsName, values)
+    val stats = statsFor(spark, root, cur)
+    val blooms = bloomFor(spark, root, cur)
+    val kept = entries.filter { e =>
+      stats.get(e.path).forall(FileStats.mayMatch(_, filter)) &&
+        blooms.get(e.path).forall(FileStats.mayMatchBloom(_, filter))
+    }
+    lastProbeCandidates.set(kept.size)
+    kept
   }
 
   /** K3's keyed delete (`mongodb_loader.py:218-231`'s `delete_many`
@@ -1629,9 +1851,20 @@ object SnapshotStore {
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val entries = manifest(spark, root, cur)
       // Probe (always): which in-scope partitions actually contain a
-      // doomed key. The hint only prunes the probe's scan.
+      // doomed key. The hint only prunes the probe's scan; a SMALL
+      // key set additionally prunes it file-by-file through the
+      // stats/bloom sidecars ([[probeCandidateEntries]]), so a
+      // point delete probes candidate files, not the table.
+      val inScope = scope match {
+        case Some(ps) => entries.filter(e => ps(e.partition))
+        case None => entries
+      }
+      val candidates = probeCandidateEntries(spark, root, cur, inScope,
+        doomed, keyCols.cols)
       val touched: Set[String] =
-        readVersion(spark, root, cur, scope.map(_.toSeq))
+        if (candidates.isEmpty) Set.empty
+        else applyColumnMapping(readEntriesAt(spark, root, candidates, cur),
+            mappingAt(spark, root, cur))
           .select((keyCols.cols ++
             partitionCols.cols.filterNot(keyCols.contains)).map(col): _*)
           .join(doomed, keyCols.cols, "left_semi")
@@ -1639,7 +1872,7 @@ object SnapshotStore {
           .collect().map(_.getString(0)).toSet
       val (replaced, kept) = entries.partition(e => touched(e.partition))
       if (replaced.isEmpty) return cur
-      val remaining = applyColumnMapping(readEntries(spark, root, replaced),
+      val remaining = applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
           mappingAt(spark, root, cur))
         .join(doomed, keyCols.cols, "left_anti")
       val v = cur + 1
@@ -1686,6 +1919,40 @@ object SnapshotStore {
       }.toSet)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** True when `predicate` parses to a deterministic, subquery-free
+    * expression. Determinism is decided on an ANALYZED condition over
+    * a dummy frame of the predicate's own references (string-typed;
+    * determinism doesn't depend on the types) — unresolved function
+    * nodes report `deterministic` vacuously true, so rand() only
+    * reveals itself after resolution. Anything that fails to parse or
+    * analyze is NOT certified (callers fall back to the row path,
+    * whose analysis errors stay loud). */
+  private[sinks] def deterministicNoSubquery(spark: SparkSession,
+                                             predicate: String): Boolean =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+      val hasSubquery = parsed.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+        case _ => false
+      }
+      if (hasSubquery) false
+      else {
+        val refs = parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.distinct
+        val dummy = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(refs.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType))))
+        dummy.filter(expr(predicate)).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.deterministic
+        }.getOrElse(false)
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** When `predicate` references ONLY partition columns, the rows it
     * deletes are exactly the full content of the partitions whose
     * VALUES satisfy it — so the delete is pure metadata: evaluate the
@@ -1697,13 +1964,24 @@ object SnapshotStore {
     * partition matched — the sentinel conflates null and empty
     * string, which row-level three-valued logic distinguishes, so
     * those fall back to the rewrite). */
-  private def partitionOnlyDoomed(spark: SparkSession, root: String,
+  private[sinks] def partitionOnlyDoomed(spark: SparkSession, root: String,
                                   cur: Long, partCols: Seq[String],
                                   entries: Seq[ManifestEntry],
                                   predicate: String): Option[Set[String]] = {
     val refs = predicateReferences(spark, predicate).getOrElse(return None)
     if (refs.isEmpty ||
         !refs.forall(r => partCols.exists(_.equalsIgnoreCase(r)))) return None
+    // Referenced-columns alone don't make the fast path sound: it
+    // evaluates the predicate ONCE PER PARTITION VALUE, which only
+    // equals row-level filtering when the predicate is deterministic
+    // and subquery-free (Delta's precondition for metadata-only
+    // DELETE). `supplier = 'a' OR rand() < 0.5` references only
+    // partition columns but would drop or keep WHOLE partitions on one
+    // coin flip; a subquery's inner references also hide from the
+    // expression-level collect above. Determinism is checked on the
+    // ANALYZED condition — unresolved function nodes default to
+    // deterministic, so the parse tree can't answer it.
+    if (!deterministicNoSubquery(spark, predicate)) return None
     val types: Map[String, org.apache.spark.sql.types.DataType] =
       schemaFor(spark, root, cur)
         .map(ph => logicalSchema(ph, mappingAt(spark, root, cur)))
@@ -1761,7 +2039,7 @@ object SnapshotStore {
             .collect().map(_.getString(0)).toSet
           val (replaced, kept) = entries.partition(e => touched(e.partition))
           if (replaced.isEmpty) return cur
-          val remaining = applyColumnMapping(readEntries(spark, root, replaced),
+          val remaining = applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
             mappingAt(spark, root, cur)).filter(!hit)
           val v = cur + 1
           val newEntries = writeDataFiles(spark, remaining, root, v, partCols)
@@ -2027,7 +2305,7 @@ object SnapshotStore {
       val entries = manifest(spark, root, cur)
       val (replaced, kept) = entries.partition(_.dv.nonEmpty)
       if (replaced.isEmpty) return cur
-      val materialized = readEntries(spark, root, replaced) // DV-aware
+      val materialized = readEntriesAt(spark, root, replaced, cur) // DV-aware
       val v = cur + 1
       // Physical rewrite (see compact): no translation, physical names.
       val newEntries = writeDataFiles(spark, materialized, root, v,
@@ -2085,7 +2363,7 @@ object SnapshotStore {
       // recorded schema pass through the column mapping first, so the
       // alignment (and the user's assignments) see LOGICAL names.
       val mapping = mappingAt(spark, root, cur)
-      val raw = applyColumnMapping(readEntries(spark, root, replaced), mapping)
+      val raw = applyColumnMapping(readEntriesAt(spark, root, replaced, cur), mapping)
       val current = schemaFor(spark, root, cur).map(logicalSchema(_, mapping)) match {
         case Some(sc) =>
           val have = raw.columns.toSet
@@ -2477,7 +2755,7 @@ object SnapshotStore {
       // the partition column resolves by its PHYSICAL name.
       val physParts = partitionCols.cols
         .map(physicalNameOf(mappingAt(spark, root, cur)._1, _))
-      val compacted = readEntries(spark, root, replaced)
+      val compacted = readEntriesAt(spark, root, replaced, cur)
         .repartition(physParts.map(col): _*)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, physParts,
@@ -2492,6 +2770,60 @@ object SnapshotStore {
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the compaction race $maxAttempts times under $root")
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline day-two operation,
+    * expressed in this store's per-version metadata): re-lay a live
+    * table out under `newSpec` as ONE layout rewrite commit. The new
+    * manifest records the new `#partcol`, so every downstream
+    * consumer — DML partition routing, OPTIMIZE scopes, SHOW
+    * PARTITIONS, the metadata-delete fast path, CDC partition
+    * bounding — honors the new spec from the next version on, while
+    * TIME TRAVEL reads older versions under the spec THEY recorded
+    * (the header is per-version already) and RESTORE snaps the spec
+    * back with the rest of the target's metadata.
+    *
+    * Semantics-preserving: rows are read through the current
+    * snapshot's deletion vectors (a rewrite materializes deletes,
+    * like OPTIMIZE) and re-written RAW under their physical names —
+    * the column mapping, properties, and constraints carry forward
+    * untouched. `newSpec` names LOGICAL columns.
+    *
+    * Cost: one shuffle of the table keyed by the new spec (each new
+    * cell lands contiguously, one file per cell per shuffle
+    * partition), the inherent price of re-speccing — Iceberg avoids
+    * it by splitting the table into per-spec file groups, at the cost
+    * of every reader handling mixed layouts; this store keeps
+    * manifests single-spec and pays the rewrite once, explicitly. A
+    * no-op spec change returns the current version. */
+  def repartitionTable(spark: SparkSession, root: String, newSpec: ColSpec,
+                       maxAttempts: Int = 5): Long = {
+    require(newSpec.nonEmpty, "repartitionTable needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      if (requirePartitionCols(spark, root, cur) == newSpec.cols) return cur
+      val entries = manifest(spark, root, cur)
+      val mapping = mappingAt(spark, root, cur)
+      val physParts = newSpec.cols.map(physicalNameOf(mapping._1, _))
+      val v = cur + 1
+      // An EMPTY table re-specs as pure metadata: same (zero) entries,
+      // new header.
+      val newEntries =
+        if (entries.isEmpty) Nil
+        else writeDataFiles(spark,
+          readEntriesAt(spark, root, entries, cur).repartition(physParts.map(col): _*),
+          root, v, physParts, translate = false)
+      if (writeManifest(spark, root, v, newEntries, "repartition",
+          newSpec.header)) {
+        writeStats(spark, root, v, Nil, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the repartition race $maxAttempts times under $root")
   }
 
   /** Layout maintenance: rewrite partitions (default: all) Z-ORDERED
@@ -2525,7 +2857,7 @@ object SnapshotStore {
       // column resolve through the mapping.
       val renames = mappingAt(spark, root, cur)._1
       val laid = graft.operators.Layout.zorderBy(
-        readEntries(spark, root, replaced),
+        readEntriesAt(spark, root, replaced, cur),
         zKeys.map(k => col(physicalNameOf(renames, k))),
         numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1

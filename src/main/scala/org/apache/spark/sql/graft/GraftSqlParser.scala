@@ -937,7 +937,14 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     }
     val tv = target.alias(tName)
     val sv = src.alias(sName)
-    val joinCond = keyCols.map(k => tv(k) <=> sv(k)).reduce(_ && _)
+    // Plain equality, NOT null-safe: Delta's MERGE ON semantics — a
+    // null key never matches, so a null-keyed target row flows to the
+    // NOT MATCHED BY SOURCE legs and a null-keyed source row to NOT
+    // MATCHED. The delete leg hands keys to upsertDeleteCommit's plain
+    // equi-joins; a `<=>` match here would classify a null-keyed row
+    // as a MATCHED delete whose anti-join then removes nothing — the
+    // row would silently survive the MERGE that claimed to delete it.
+    val joinCond = keyCols.map(k => tv(k) === sv(k)).reduce(_ && _)
     val joined = tv.join(sv, joinCond, "inner")
     // First-matching-clause-wins: a when-chain indexed by clause
     // position; -1 = no clause applies (the row stays untouched).
@@ -1005,6 +1012,21 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
             acc.when(cl.cond.map(expr).getOrElse(lit(true)), lit(i))
           }.otherwise(lit(-1))
         val bsActed = unmatchedT.withColumn("__graft_bs", bsAction)
+        // BY SOURCE legs address target rows BY KEY through the keyed
+        // commit primitives, whose joins treat null keys as matching
+        // nothing (the store's documented anti-mass-delete contract).
+        // A null-keyed target row is always unmatched under the
+        // plain-equality ON, so a BY SOURCE clause that selects one
+        // would claim an update/delete the keyed legs cannot apply —
+        // refuse loudly instead of silently skipping the row.
+        val nullAddressed = bsActed.filter(col("__graft_bs") >= 0)
+          .filter(keyCols.map(k => col(k).isNull).reduce(_ || _))
+        require(nullAddressed.isEmpty,
+          "MERGE NOT MATCHED BY SOURCE selected a target row with a " +
+            s"null ON key (${keyCols.mkString(", ")}): null keys never " +
+            "match (plain-equality ON) and cannot be addressed by the " +
+            "keyed delete/update legs — filter them with AND " +
+            "t.<key> IS NOT NULL or repair the keys first")
         val delIdx = bySourceClauses.zipWithIndex.collect {
           case (NotMatchedBySource(_, None), i) => i }.toSet
         val updIdx = bySourceClauses.zipWithIndex.collect {
@@ -1036,6 +1058,13 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
         .filter(ins.cond.map(expr).getOrElse(lit(true)))
       ins.explicit match {
         case None =>
+          // Same guard as the canonical fast path and the explicit
+          // (cols) VALUES form below: an INSERT * whose source lacks a
+          // partition column would silently route every unmatched row
+          // to the null-sentinel partition.
+          partCols.foreach(c => require(src.columns.contains(c),
+            s"MERGE INSERT * requires the source to provide " +
+              s"partition column '$c'"))
           unmatched.select(outCols.filter(c =>
             src.columns.contains(c) || tTypes.contains(c)).map { c =>
             (if (src.columns.contains(c)) sv(c)
@@ -1154,13 +1183,17 @@ case class ShowPropertiesCommand(table: Seq[String])
 
 /** `SHOW PARTITIONS t`: one row per manifest partition VALUE,
   * decoded into the table's partition columns (the Hive null-sentinel
-  * shows as null). Pure manifest metadata — no data file is opened at
-  * any table size. */
+  * shows as null), plus the partition's DV-adjusted row count from
+  * the stats sidecar (null when the sidecar is incomplete — never a
+  * guess). Pure manifest metadata — no data file is opened at any
+  * table size (the reference's stats view is metadata-priced the same
+  * way, mongodb_loader.py:271-299). */
 case class ShowPartitionsCommand(table: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("partition", org.apache.spark.sql.types.StringType,
-      nullable = false)())
+      nullable = false)(),
+    AttributeReference("row_count", LongType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
@@ -1169,11 +1202,13 @@ case class ShowPartitionsCommand(table: Seq[String])
     val partCols = SnapshotStore.partitionColumns(spark, root, cur)
     require(partCols.nonEmpty,
       s"manifest v$cur under $root predates partition-column metadata")
+    val counts = SnapshotStore.partitionRowCounts(spark, root, Some(cur))
     SnapshotStore.manifest(spark, root, cur).map(_.partition).distinct.sorted
       .map { pv =>
         val comps = SnapshotStore.decodePartValue(pv, partCols.size)
         // Hive's own SHOW PARTITIONS row shape: col=value[/col=value…].
-        Row(partCols.zip(comps).map { case (c, v) => s"$c=$v" }.mkString("/"))
+        Row(partCols.zip(comps).map { case (c, v) => s"$c=$v" }.mkString("/"),
+          counts.flatMap(_.get(pv)).map(Long.box).orNull)
       }
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.sinks.SnapshotStore
 
 /** The richer `MERGE INTO` grammar: conditional WHEN clauses,
@@ -235,5 +237,58 @@ class MergeSqlSpec extends SparkSpec {
     val v2 = spark.sql(s"MERGE INTO g_del.`$root` t USING del_src s " +
       "ON t.sku = s.sku WHEN MATCHED THEN DELETE").collect().head.getLong(1)
     assert(v2 == 2L, "an all-no-op MERGE must not publish an empty commit")
+  }
+
+  test("null ON keys never match (Delta semantics): the null-keyed row survives a MATCHED DELETE") {
+    val root = freshRoot()
+    bindCatalog("g_nullk")
+    SnapshotStore.commit(spark,
+      Seq((Some("s1"), "a", 1), (None, "a", 2))
+        .toDF("sku", "supplier", "qty"), root, "supplier")
+    Seq((None: Option[String], "a", 9), (Some("s1"), "a", 9))
+      .toDF("sku", "supplier", "qty").createOrReplaceTempView("nullk_src")
+    // Conditional clause -> the general engine. Under a null-safe ON
+    // the null target row would be classified MATCHED-DELETE, but the
+    // keyed delete leg's equi-join removes nothing — the row would
+    // silently survive a delete the statement claimed. Plain-equality
+    // ON (Delta's) never matches it, so the statement's claim and its
+    // effect agree: s1 deleted, the null-keyed row untouched.
+    spark.sql(s"MERGE INTO g_nullk.`$root` t USING nullk_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED AND s.qty > 0 THEN DELETE").collect()
+    val got = SnapshotStore.read(spark, root)
+      .select(coalesce(col("sku"), lit("<null>")), col("qty"))
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("<null>", 2)), got.toString)
+  }
+
+  test("BY SOURCE clause selecting a null-keyed target row is refused loudly") {
+    val root = freshRoot()
+    bindCatalog("g_nullbs")
+    SnapshotStore.commit(spark,
+      Seq((Some("s1"), "a", 1), (None, "a", 2))
+        .toDF("sku", "supplier", "qty"), root, "supplier")
+    table(("s1", "a", 9)).createOrReplaceTempView("nullbs_src")
+    // The null-keyed row is unmatched by definition; a BY SOURCE
+    // DELETE would claim it but the keyed legs cannot address it.
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"MERGE INTO g_nullbs.`$root` t USING nullbs_src s " +
+        "ON t.sku = s.sku " +
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+    // Filtering the null keys out in the clause condition makes the
+    // same statement legal — and leaves the null-keyed row in place.
+    spark.sql(s"MERGE INTO g_nullbs.`$root` t USING nullbs_src s " +
+      "ON t.sku = s.sku " +
+      "WHEN MATCHED THEN UPDATE SET qty = s.qty " +
+      "WHEN NOT MATCHED BY SOURCE AND t.sku IS NOT NULL THEN DELETE")
+      .collect()
+    val got = SnapshotStore.read(spark, root)
+      .select(coalesce(col("sku"), lit("<null>")), col("qty"))
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("s1", 9), ("<null>", 2)), got.toString)
   }
 }

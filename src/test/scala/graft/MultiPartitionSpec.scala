@@ -196,7 +196,7 @@ class MultiPartitionSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 0)
     // SHOW PARTITIONS before/after shape (Hive's col=value rows).
     val parts = spark.sql(s"SHOW PARTITIONS graft_pdel.`$root`")
-      .as[String].collect().toSeq
+      .select("partition").as[String].collect().toSeq
     assert(parts.isEmpty || parts.forall(_.startsWith("supplier=")),
       parts.toString)
   }
