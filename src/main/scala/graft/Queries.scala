@@ -68,6 +68,7 @@ object Queries {
     SupplierQueries.all ++
     MediaQueries.all ++
     SnapshotQueries.all ++
+    EvolutionQueries.all ++
     StreamingQueries.all
 
 

@@ -1525,598 +1525,6 @@ private[graft] object SnapshotQueries {
       WHERE doc_id % 3 <> 1 AND list_contains(string_split(trim(
         regexp_replace(regexp_replace(
           lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), 'dup')
-      ORDER BY doc_id""")),
-
-
-    // Multi-column partitioning (VERDICT r9 ask #1): the snapshot
-    // store generalized to a real partition SPEC — here
-    // (o_orderstatus, bucket). The manifest records the comma-joined
-    // spec, files land under nested __part=…/__part1=… directories,
-    // and a merge touching only bucket-0 composite partitions carries
-    // every other (status, bucket) partition's files BY REFERENCE
-    // (require-pinned). Oracle derives the merged state from key
-    // arithmetic.
-    ("q182_multi_partition", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q182_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("bucket", pmod(col("o_orderkey"), lit(3)).cast("int"))
-      graft.sinks.SnapshotStore.commit(s, orders.withColumn("rev", lit(1)),
-        root, Seq("o_orderstatus", "bucket"))
-      require(graft.sinks.SnapshotStore.partitionColumn(s, root, 1L)
-        .contains("o_orderstatus,bucket"), "spec not recorded in #partcol")
-      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
-      require(m1.forall(e => e.path.contains("/__part=") &&
-        e.path.contains("/__part1=")), "files not under nested partition dirs")
-      // Keys ≡ 0 (mod 15) are exactly bucket 0 ∩ (key%5 == 0): the
-      // merge touches only */0 composite partitions.
-      graft.sinks.SnapshotStore.mergeCommit(s,
-        orders.filter(pmod(col("o_orderkey"), lit(15)) === 0)
-          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-          .withColumn("rev", lit(2)),
-        root, "o_orderkey", "rev", Seq("o_orderstatus", "bucket"))
-      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L).toSet
-      require(m1.filterNot(_.partition.endsWith("/0")).forall(m2.contains),
-        "a bucket-0 merge rewrote bucket-1/2 partitions")
-      require(m1.filter(_.partition.endsWith("/0")).exists(e => !m2.contains(e)),
-        "no bucket-0 partition was rewritten")
-      graft.sinks.SnapshotStore.read(s, root)
-        .select(col("o_orderkey"), col("o_orderstatus"), col("bucket"),
-          col("o_totalprice"), col("rev"))
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus,
-        CAST(o_orderkey % 3 AS INTEGER) AS bucket,
-        CASE WHEN o_orderkey % 15 = 0 THEN o_totalprice + 1000.0
-             ELSE o_totalprice END AS o_totalprice,
-        CASE WHEN o_orderkey % 15 = 0 THEN 2 ELSE 1 END AS rev
-      FROM orders ORDER BY o_orderkey""")),
-
-
-    // Richer MERGE INTO (VERDICT r9 ask #2) — the canonical Delta
-    // CDC-apply statement, pure SQL: WHEN MATCHED AND s.deleted THEN
-    // DELETE, column-level SET for the update leg, conditional
-    // INSERT *. The whole statement is ONE atomic commit
-    // (require-pinned: exactly one version advance), and the
-    // source-only `deleted` flag must not leak into the table.
-    ("q183_sql_merge_cdc", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q183_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m5 = pmod(col("o_orderkey"), lit(5))
-      graft.sinks.SnapshotStore.commit(s,
-        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
-        root, "o_orderstatus")
-      orders.filter(m5 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .withColumn("rev", lit(2)).withColumn("deleted", lit(false))
-        .unionByName(orders.filter(m5 === 4)
-          .withColumn("rev", lit(2)).withColumn("deleted", lit(false)))
-        .unionByName(orders.filter(m5 === 1)
-          .withColumn("rev", lit(1)).withColumn("deleted", lit(true)))
-        .createOrReplaceTempView("q183_cdc")
-      s.conf.set("spark.sql.catalog.graft_q183",
-        classOf[graft.sinks.GraftCatalog].getName)
-      val res = s.sql(
-        s"MERGE INTO graft_q183.`$root` t USING q183_cdc s " +
-          "ON t.o_orderkey = s.o_orderkey " +
-          "WHEN MATCHED AND s.deleted THEN DELETE " +
-          "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice, rev = s.rev " +
-          "WHEN NOT MATCHED AND NOT s.deleted THEN INSERT *")
-        .collect().map(_.getLong(1)).toSeq
-      require(res == Seq(2L),
-        s"CDC-apply MERGE must be ONE atomic commit (v2), got $res")
-      val out = graft.sinks.SnapshotStore.read(s, root)
-      require(!out.columns.contains("deleted"),
-        "source-only column leaked into the table without SET *")
-      out.select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("rev"))
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus,
-        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
-             ELSE o_totalprice END AS o_totalprice,
-        CASE WHEN o_orderkey % 5 IN (0, 4) THEN 2 ELSE 1 END AS rev
-      FROM orders WHERE o_orderkey % 5 <> 1
-      ORDER BY o_orderkey""")),
-
-
-    // Composite keys (VERDICT r9 ask #3): a natural key split across
-    // two columns — (hi, lo) = (key div 100, key mod 100), unique by
-    // construction. The SQL MERGE joins ON both columns
-    // (AND-combined), and the change feed classifies on the composite
-    // key; the output is the feed itself, so a key-identity bug
-    // (joining on lo alone would cross-match hundreds of rows)
-    // cannot hash-match the oracle.
-    ("q184_composite_key", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q184_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-        .withColumn("hi", expr("o_orderkey div 100"))
-        .withColumn("lo", pmod(col("o_orderkey"), lit(100)))
-        .drop("o_orderkey")
-      val key5 = pmod(col("hi") * 100 + col("lo"), lit(5))
-      graft.sinks.SnapshotStore.commit(s,
-        orders.filter(key5 =!= 4).withColumn("rev", lit(1)),
-        root, "o_orderstatus")
-      orders.filter(key5 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .withColumn("rev", lit(2))
-        .unionByName(orders.filter(key5 === 4).withColumn("rev", lit(2)))
-        .createOrReplaceTempView("q184_src")
-      s.conf.set("spark.sql.catalog.graft_q184",
-        classOf[graft.sinks.GraftCatalog].getName)
-      s.sql(s"MERGE INTO graft_q184.`$root` t USING q184_src s " +
-        "ON t.hi = s.hi AND t.lo = s.lo " +
-        "WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT *").collect()
-      graft.sinks.SnapshotStore.changes(s, root, 1L, 2L, Seq("hi", "lo"))
-        .select(col("hi"), col("lo"), col("rev"), col("_change_type"))
-        .orderBy(col("hi"), col("lo"))
-    }, Some("""
-      SELECT o_orderkey // 100 AS hi, o_orderkey % 100 AS lo,
-        2 AS rev,
-        CASE WHEN o_orderkey % 5 = 4 THEN 'insert' ELSE 'update' END
-          AS _change_type
-      FROM orders WHERE o_orderkey % 5 IN (0, 4)
-      ORDER BY hi, lo""")),
-
-
-    // Plain CREATE TABLE (VERDICT r9 ask #5): an EMPTY snapshot table
-    // born from DDL — schema recorded in the stats sidecar, partition
-    // spec in #partcol — then filled by INSERT INTO, all pure SQL.
-    ("q185_sql_create_table", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q185_store")
-        .resolve("t").toString
-      s.conf.set("spark.sql.catalog.graft_q185",
-        classOf[graft.sinks.GraftCatalog].getName)
-      val created = s.sql(s"CREATE TABLE graft_q185.`$root` " +
-        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, " +
-        "rev INT) USING `graft-snapshot` PARTITIONED BY (o_orderstatus)")
-        .collect().map(_.getLong(1)).toSeq
-      require(created == Seq(1L), s"CREATE TABLE must publish v1, got $created")
-      val empty = graft.sinks.SnapshotStore.read(s, root)
-      require(empty.columns.toSeq ==
-        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "rev") &&
-        empty.count() == 0, "empty table must read back with the DDL schema")
-      t(s, d, "orders").createOrReplaceTempView("q185_src")
-      s.sql(s"INSERT INTO graft_q185.`$root` " +
-        "SELECT o_orderkey, o_orderstatus, o_totalprice, 1 FROM q185_src " +
-        "WHERE o_orderkey % 5 <> 4").collect()
-      graft.sinks.SnapshotStore.read(s, root)
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus, o_totalprice,
-        CAST(1 AS INTEGER) AS rev
-      FROM orders WHERE o_orderkey % 5 <> 4
-      ORDER BY o_orderkey""")),
-
-
-    // Manifest checkpointing equivalence (E67, VERDICT r9 ask #7): the
-    // SAME five-commit sequence built twice — checkpoint interval 3 vs
-    // effectively disabled — must be byte-equivalent at every
-    // observable surface: current read, history (operation/partition/
-    // row metrics), and the full CDC replay. The pointer itself is
-    // require-pinned (present at v3 for interval 3, absent when
-    // disabled), so the oracle row proves the checkpoint is a pure
-    // optimization hint, never a semantic input.
-    ("q187_checkpoint_equivalence", (s: SparkSession, d: String) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q187_store")
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      def build(root: String, interval: String): Unit = {
-        val prev = s.conf.get("spark.graft.checkpointInterval", "10")
-        s.conf.set("spark.graft.checkpointInterval", interval)
-        try {
-          graft.sinks.SnapshotStore.commit(s,
-            orders.withColumn("rev", lit(1)), root, "o_orderstatus")
-          (0 until 4).foreach { j =>
-            graft.sinks.SnapshotStore.mergeCommit(s,
-              orders.filter(pmod(col("o_orderkey"), lit(4)) === j)
-                .withColumn("o_totalprice", col("o_totalprice") + j)
-                .withColumn("rev", lit(10 + j)),
-              root, "o_orderkey", "rev", "o_orderstatus")
-          }
-        } finally s.conf.set("spark.graft.checkpointInterval", prev)
-      }
-      val a = s"$dir/ckpt3"; val b = s"$dir/nockpt"
-      build(a, "3"); build(b, "1000000")
-      require(graft.sinks.SnapshotStore.lastCheckpointVersion(s, a)
-        .contains(3L), "interval-3 table must checkpoint at v3")
-      require(graft.sinks.SnapshotStore.lastCheckpointVersion(s, b).isEmpty,
-        "disabled-checkpoint table must have no pointer")
-      def surface(root: String) = (
-        graft.sinks.SnapshotStore.read(s, root),
-        graft.sinks.SnapshotStore.history(s, root)
-          .select("version", "operation", "n_partitions", "total_rows",
-            "rows_added", "rows_removed"),
-        graft.sinks.SnapshotStore.changes(s, root, 1L, 5L, "o_orderkey"))
-      val (ra, ha, ca) = surface(a); val (rb, hb, cb) = surface(b)
-      require(ra.except(rb).isEmpty && rb.except(ra).isEmpty,
-        "reads diverged under checkpointing")
-      require(ha.except(hb).isEmpty && hb.except(ha).isEmpty,
-        "history diverged under checkpointing")
-      require(ca.except(cb).isEmpty && cb.except(ca).isEmpty,
-        "CDC replay diverged under checkpointing")
-      ra.orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus,
-        o_totalprice + (o_orderkey % 4) AS o_totalprice,
-        CAST(10 + (o_orderkey % 4) AS INTEGER) AS rev
-      FROM orders ORDER BY o_orderkey""")),
-
-
-    // Clone + VACUUM DRY RUN, pure SQL (E80, VERDICT r9 ask #7): a
-    // SHALLOW CLONE pinned VERSION AS OF 2, then VACUUM's DRY RUN
-    // preview require-pinned to equal EXACTLY the files the real
-    // VACUUM then deletes (existence checked before and after). The
-    // clone reads v2's content afterwards — its referenced files
-    // survive because retained source manifests still list them.
-    ("q188_sql_clone_vacuum", (s: SparkSession, d: String) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_q188_store")
-      val src = s"$dir/src"; val dst = s"$dir/dst"
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m5 = pmod(col("o_orderkey"), lit(5))
-      graft.sinks.SnapshotStore.commit(s,
-        orders.filter(m5 =!= 4).withColumn("rev", lit(1)), src, "o_orderstatus")
-      graft.sinks.SnapshotStore.mergeCommit(s,
-        orders.filter(m5 === 0)
-          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-          .withColumn("rev", lit(2)),
-        src, "o_orderkey", "rev", "o_orderstatus")
-      graft.sinks.SnapshotStore.mergeCommit(s,
-        orders.filter(m5 === 4).withColumn("rev", lit(3)),
-        src, "o_orderkey", "rev", "o_orderstatus")
-      s.conf.set("spark.sql.catalog.graft_q188",
-        classOf[graft.sinks.GraftCatalog].getName)
-      s.sql(s"CREATE TABLE graft_q188.`$dst` SHALLOW CLONE " +
-        s"graft_q188.`$src` VERSION AS OF 2").collect()
-      val preview = s.sql(s"VACUUM graft_q188.`$src` RETAIN 0 HOURS DRY RUN")
-        .collect().map(_.getString(0)).toSet
-      require(preview.nonEmpty, "three versions must leave vacuumable files")
-      val fs = new org.apache.hadoop.fs.Path(src)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      require(preview.forall(p =>
-        fs.exists(new org.apache.hadoop.fs.Path(src, p))),
-        "DRY RUN listed files that do not exist")
-      s.sql(s"VACUUM graft_q188.`$src` RETAIN 0 HOURS").collect()
-      require(preview.forall(p =>
-        !fs.exists(new org.apache.hadoop.fs.Path(src, p))),
-        "VACUUM deleted a different set than its DRY RUN previewed")
-      require(graft.sinks.SnapshotStore.versions(s, src) == Seq(2L, 3L),
-        "VACUUM must drop only the rolled-over manifest")
-      graft.sinks.SnapshotStore.read(s, dst)
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus,
-        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
-             ELSE o_totalprice END AS o_totalprice,
-        CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS rev
-      FROM orders WHERE o_orderkey % 5 <> 4
-      ORDER BY o_orderkey""")),
-
-
-    // History operation metrics (E89, VERDICT r9 ask #7):
-    // rows_added / rows_removed derived purely from key arithmetic —
-    // a merge's touched partitions are the statuses its slice spans,
-    // rows_added is those partitions' full post-merge row count and
-    // rows_removed their pre-merge count; a keyed delete removes its
-    // touched partitions' old files and re-adds the survivors.
-    ("q189_history_metrics", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q189_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m5 = pmod(col("o_orderkey"), lit(5))
-      graft.sinks.SnapshotStore.commit(s,
-        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
-        root, "o_orderstatus")
-      graft.sinks.SnapshotStore.mergeCommit(s,
-        orders.filter(m5 === 4).withColumn("rev", lit(2)),
-        root, "o_orderkey", "rev", "o_orderstatus")
-      graft.sinks.SnapshotStore.deleteCommit(s,
-        orders.filter(m5 === 1).select(col("o_orderkey")),
-        root, "o_orderkey", "o_orderstatus")
-      graft.sinks.SnapshotStore.history(s, root)
-        .select(col("version"), col("operation"),
-          col("rows_added"), col("rows_removed"))
-        .orderBy(col("version"))
-    }, Some("""
-      WITH touched2 AS (SELECT DISTINCT o_orderstatus FROM orders
-                        WHERE o_orderkey % 5 = 4),
-           touched3 AS (SELECT DISTINCT o_orderstatus FROM orders
-                        WHERE o_orderkey % 5 = 1)
-      SELECT CAST(1 AS BIGINT) AS version, 'commit' AS operation,
-        (SELECT count(*) FROM orders WHERE o_orderkey % 5 <> 4)
-          AS rows_added,
-        CAST(0 AS BIGINT) AS rows_removed
-      UNION ALL SELECT 2, 'merge',
-        (SELECT count(*) FROM orders
-          WHERE o_orderstatus IN (SELECT o_orderstatus FROM touched2)),
-        (SELECT count(*) FROM orders
-          WHERE o_orderkey % 5 <> 4
-            AND o_orderstatus IN (SELECT o_orderstatus FROM touched2))
-      UNION ALL SELECT 3, 'delete',
-        (SELECT count(*) FROM orders
-          WHERE o_orderkey % 5 <> 1
-            AND o_orderstatus IN (SELECT o_orderstatus FROM touched3)),
-        (SELECT count(*) FROM orders
-          WHERE o_orderstatus IN (SELECT o_orderstatus FROM touched3))
-      ORDER BY version""")),
-
-
-    // Full-sync MERGE (Delta's WHEN NOT MATCHED BY SOURCE legs — the
-    // reference's stale-product retention, mongodb_loader.py's
-    // delete-stale flow, as ONE SQL statement): matched rows update,
-    // unmatched source rows insert, and target rows ABSENT from the
-    // source either delete (guarded) or archive via a t.-scoped
-    // column SET — all in one atomic commit (require-pinned).
-    ("q190_sql_merge_full_sync", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q190_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m5 = pmod(col("o_orderkey"), lit(5))
-      graft.sinks.SnapshotStore.commit(s,
-        orders.filter(m5 =!= 4).withColumn("rev", lit(1)),
-        root, "o_orderstatus")
-      orders.filter(m5.isin(0, 2, 4))
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .withColumn("rev", lit(2))
-        .createOrReplaceTempView("q190_src")
-      s.conf.set("spark.sql.catalog.graft_q190",
-        classOf[graft.sinks.GraftCatalog].getName)
-      val res = s.sql(
-        s"MERGE INTO graft_q190.`$root` t USING q190_src s " +
-          "ON t.o_orderkey = s.o_orderkey " +
-          "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT * " +
-          "WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 1 THEN DELETE " +
-          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET rev = 0")
-        .collect().map(_.getLong(1)).toSeq
-      require(res == Seq(2L),
-        s"full-sync MERGE must be ONE atomic commit (v2), got $res")
-      graft.sinks.SnapshotStore.read(s, root)
-        .orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus,
-        CASE WHEN o_orderkey % 5 IN (0, 2, 4)
-             THEN o_totalprice + 1000.0 ELSE o_totalprice END
-          AS o_totalprice,
-        CASE WHEN o_orderkey % 5 IN (0, 2, 4) THEN 2 ELSE 0 END AS rev
-      FROM orders WHERE o_orderkey % 5 <> 1
-      ORDER BY o_orderkey""")),
-
-
-    // Metadata-only partition delete (E96): a DELETE whose predicate
-    // references only the partition column drops whole partitions with
-    // ONE manifest write — require-pinned: the new manifest is a
-    // strict SUBSET of the old (zero files written), and a follow-up
-    // TRUNCATE empties the table as metadata while the schema and
-    // writability survive. Oracle derives the surviving rows (then the
-    // re-inserted wave) from key arithmetic.
-    ("q191_partition_delete", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q191_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
-      s.conf.set("spark.sql.catalog.graft_q191",
-        classOf[graft.sinks.GraftCatalog].getName)
-      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
-      s.sql(s"DELETE FROM graft_q191.`$root` WHERE o_orderstatus = 'F'")
-        .collect()
-      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L)
-      require(m2.toSet.subsetOf(m1.toSet) && m2.size < m1.size,
-        "partition delete must drop entries without writing files")
-      require(!m2.exists(_.partition == "F"), "partition F must be gone")
-      val afterDelete = graft.sinks.SnapshotStore.read(s, root)
-        .withColumn("phase", lit("deleted"))
-      // TRUNCATE then refill a slice: the empty table stays writable.
-      s.sql(s"TRUNCATE TABLE graft_q191.`$root`").collect()
-      require(graft.sinks.SnapshotStore.read(s, root).count() == 0,
-        "TRUNCATE must empty the table")
-      require(graft.sinks.SnapshotStore
-        .manifest(s, root, 3L).isEmpty, "TRUNCATE must be metadata-only")
-      orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
-        .createOrReplaceTempView("q191_refill")
-      s.sql(s"INSERT INTO graft_q191.`$root` SELECT * FROM q191_refill")
-        .collect()
-      val refilled = graft.sinks.SnapshotStore.read(s, root)
-        .withColumn("phase", lit("refilled"))
-      afterDelete.unionByName(refilled)
-        .orderBy(col("phase"), col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus, o_totalprice,
-             'deleted' AS phase
-      FROM orders WHERE o_orderstatus <> 'F'
-      UNION ALL
-      SELECT o_orderkey, o_orderstatus, o_totalprice,
-             'refilled' AS phase
-      FROM orders WHERE o_orderkey % 5 = 0
-      ORDER BY phase, o_orderkey""")),
-
-
-    // Multi-column ADD COLUMNS (E95): ONE metadata commit widens the
-    // table by an INT and a comma-bearing DECIMAL(12,2) — carried
-    // files read both as typed nulls, zero files rewritten
-    // (require-pinned: exactly one version advance, manifest paths
-    // unchanged), and a follow-up append POPULATES them, proving the
-    // widened schema is writable. Oracle derives both waves from key
-    // arithmetic.
-    ("q192_add_columns_multi", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q192_store")
-        .resolve("t").toString
-      val cust = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_name"))
-      graft.sinks.SnapshotStore.commit(s, cust, root, "c_mktsegment")
-      s.conf.set("spark.sql.catalog.graft_q192",
-        classOf[graft.sinks.GraftCatalog].getName)
-      val p1 = graft.sinks.SnapshotStore.manifest(s, root, 1L).map(_.path).toSet
-      s.sql(s"ALTER TABLE graft_q192.`$root` " +
-        "ADD COLUMNS (score INT, bal DECIMAL(12,2))")
-      require(graft.sinks.SnapshotStore.versions(s, root) == Seq(1L, 2L),
-        "multi-ADD COLUMNS must be exactly ONE version advance")
-      require(graft.sinks.SnapshotStore.manifest(s, root, 2L)
-        .map(_.path).toSet == p1, "ADD COLUMNS must rewrite zero files")
-      graft.sinks.SnapshotStore.appendCommit(s,
-        cust.filter(pmod(col("c_custkey"), lit(4)) === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            col("c_mktsegment"), col("c_name"),
-            pmod(col("c_custkey"), lit(5)).cast("int").as("score"),
-            pmod(col("c_custkey"), lit(100)).cast("decimal(12,2)").as("bal")),
-        root, "c_mktsegment")
-      s.sql(s"SELECT c_custkey, c_mktsegment, c_name, score, " +
-        s"CAST(bal AS DOUBLE) AS bal_d FROM graft_q192.`$root` " +
-        "ORDER BY c_custkey")
-    }, Some("""
-      SELECT c_custkey, c_mktsegment, c_name,
-             CAST(NULL AS INTEGER) AS score, CAST(NULL AS DOUBLE) AS bal_d
-      FROM customer
-      UNION ALL
-      SELECT c_custkey + 1000000, c_mktsegment, c_name,
-             CAST(c_custkey % 5 AS INTEGER) AS score,
-             CAST(c_custkey % 100 AS DOUBLE) AS bal_d
-      FROM customer WHERE c_custkey % 4 = 0
-      ORDER BY c_custkey""")),
-
-
-    // Metadata-priced row counts (SnapshotStore.rowCount / SHOW
-    // PARTITIONS row_count): per-partition and total counts answered
-    // from the manifest + stats sidecar with ZERO data files opened —
-    // and they must subtract deletion-vector rows. The fixture drops
-    // one partition as metadata, then DV-deletes a key slice; the
-    // output IS the count table (plus a rowCount total row), so any
-    // miscount — stale sidecar, missed dvRows, ghost partition —
-    // breaks the hash. Ref: mongodb_loader.py:271-299 count_documents
-    // is metadata-priced; Delta answers COUNT(*) from the log.
-    ("q193_metadata_counts", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q193_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
-      s.conf.set("spark.sql.catalog.graft_q193",
-        classOf[graft.sinks.GraftCatalog].getName)
-      // Partition 'F' leaves as metadata; then a row-level slice
-      // leaves as deletion vectors (merge-on-read).
-      s.sql(s"DELETE FROM graft_q193.`$root` WHERE o_orderstatus = 'F'")
-        .collect()
-      s.sql(s"ALTER TABLE graft_q193.`$root` " +
-        "SET TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
-      s.sql(s"DELETE FROM graft_q193.`$root` WHERE o_orderkey % 7 = 3")
-        .collect()
-      require(graft.sinks.SnapshotStore.manifest(s,
-        root, graft.sinks.SnapshotStore.currentVersion(s, root).get)
-        .exists(_.dvRows > 0), "the second delete must be vectored")
-      val total = graft.sinks.SnapshotStore.rowCount(s, root)
-      require(total.isDefined, "rowCount must answer from metadata")
-      s.sql(s"SHOW PARTITIONS graft_q193.`$root`")
-        .unionByName(s.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row("<total>", total.get)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("partition",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("row_count",
-              org.apache.spark.sql.types.LongType)))))
-        .orderBy(col("partition"))
-    }, Some("""
-      SELECT 'o_orderstatus=' || o_orderstatus AS partition,
-             count(*) AS row_count
-      FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey % 7 <> 3
-      GROUP BY o_orderstatus
-      UNION ALL
-      SELECT '<total>' AS partition, count(*) AS row_count
-      FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey % 7 <> 3
-      ORDER BY partition""")),
-
-
-    // Partition-spec evolution (SnapshotStore.repartitionTable —
-    // Iceberg's day-two re-spec, as ONE rewrite commit recording the
-    // new #partcol): evolve (o_orderstatus) → (o_orderstatus,
-    // o_orderpriority), then a merge routed by the NEW spec.
-    // Require-pins: the evolution is exactly one version with the
-    // composite header; the post-evolution merge touches exactly ONE
-    // (status, priority) cell (every other cell carried by
-    // reference); time travel still reads v1 under the old spec.
-    ("q194_partition_evolution", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q194_store")
-        .resolve("t").toString
-      val orders = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_orderpriority"), col("o_totalprice"))
-      graft.sinks.SnapshotStore.commit(s, orders, root, "o_orderstatus")
-      val v2 = graft.sinks.SnapshotStore.repartitionTable(s, root,
-        Seq("o_orderstatus", "o_orderpriority"))
-      require(v2 == 2L, s"evolution must be one commit, got v$v2")
-      require(graft.sinks.SnapshotStore.partitionColumn(s, root, 2L)
-        .contains("o_orderstatus,o_orderpriority"), "new spec not recorded")
-      require(graft.sinks.SnapshotStore.partitionColumn(s, root, 1L)
-        .contains("o_orderstatus"), "old spec must stay on v1")
-      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L).toSet
-      graft.sinks.SnapshotStore.mergeCommitOrdered(s,
-        orders.filter(col("o_orderstatus") === "O" &&
-            col("o_orderpriority") === "1-URGENT")
-          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
-        root, "o_orderkey", Nil, Seq("o_orderstatus", "o_orderpriority"))
-      val m3 = graft.sinks.SnapshotStore.manifest(s, root, 3L).toSet
-      val cell = "O/1-URGENT"
-      require(m3.filterNot(_.partition == cell) ==
-        m2.filterNot(_.partition == cell),
-        "post-evolution merge must rewrite exactly one cell")
-      graft.sinks.SnapshotStore.read(s, root).orderBy(col("o_orderkey"))
-    }, Some("""
-      SELECT o_orderkey, o_orderstatus, o_orderpriority,
-        CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
-             THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
-      FROM orders ORDER BY o_orderkey""")),
-
-
-    // Type widening on merge evolution (SnapshotStore.widen /
-    // enforceSchemaCompatible): a batch whose `score` arrives as LONG
-    // merges into an INT-typed table — the recorded schema widens to
-    // LONG and the UNTOUCHED segments' INT32 files are read through
-    // the widened scan (Spark 4 parquet widening, SPARK-40876).
-    // Require-pins: ONE version advance, the non-BUILDING segments'
-    // files carried byte-identical, recorded type is LONG. The output
-    // is the whole table, so a broken carried-file read or a
-    // mis-widened value breaks the hash. Ref: Pydantic coercion,
-    // unified_product_schema.py:145-207.
-    ("q195_type_widening", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q195_store")
-        .resolve("t").toString
-      val cust = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          pmod(col("c_custkey"), lit(100)).cast("int").as("score"))
-      graft.sinks.SnapshotStore.commit(s, cust, root, "c_mktsegment")
-      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
-      graft.sinks.SnapshotStore.mergeCommitOrdered(s,
-        cust.filter(col("c_mktsegment") === "BUILDING" &&
-            pmod(col("c_custkey"), lit(4)) === 0)
-          .withColumn("score",
-            (pmod(col("c_custkey"), lit(100)) + 1000L).cast("long")),
-        root, "c_custkey", Nil, "c_mktsegment")
-      require(graft.sinks.SnapshotStore.versions(s, root) == Seq(1L, 2L),
-        "widening merge must be one version advance")
-      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L)
-      require(m1.filterNot(_.partition == "BUILDING").toSet ==
-        m2.filterNot(_.partition == "BUILDING").toSet,
-        "untouched segments must carry their INT32 files by reference")
-      require(graft.sinks.SnapshotStore.schemaFor(s, root, 2L).get("score")
-        .dataType == org.apache.spark.sql.types.LongType,
-        "recorded schema must widen to LONG")
-      graft.sinks.SnapshotStore.read(s, root)
-        .select(col("c_custkey"), col("c_mktsegment"), col("score"))
-        .orderBy(col("c_custkey"))
-    }, Some("""
-      SELECT c_custkey, c_mktsegment,
-        CAST(CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 4 = 0
-                  THEN c_custkey % 100 + 1000
-                  ELSE c_custkey % 100 END AS BIGINT) AS score
-      FROM customer ORDER BY c_custkey"""))
+      ORDER BY doc_id"""))
   )
 }

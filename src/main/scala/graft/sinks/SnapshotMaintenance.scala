@@ -1,0 +1,935 @@
+package graft.sinks
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+
+/** Maintenance + metadata DDL for [[SnapshotStore]]: UPDATE,
+  * constraints, column mapping DDL, the change feed, layout
+  * (compact / Z-order / partition-spec evolution), RESTORE, clones,
+  * history, symlink export, and vacuum. Split from the core for
+  * size; composes back into the single `SnapshotStore` object (same
+  * API). */
+private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
+
+  /** `UPDATE t SET c = e, … [WHERE p]` as an atomic snapshot commit
+    * (Delta's UPDATE): in every row where `predicate` is TRUE (all
+    * rows when None), each assigned column is replaced by its
+    * expression evaluated against the OLD row — all assignments see
+    * pre-update values, standard SQL UPDATE semantics — and cast back
+    * to the column's existing type, so the schema never drifts.
+    * Assignments must target existing columns (UPDATE cannot add
+    * columns; that is merge-side schema evolution's job).
+    *
+    * Same partition-bounded rewrite shape as [[deleteWhere]]: the
+    * probe finds partitions holding a matching row, only those
+    * rewrite, the rest carry by reference. Updating the PARTITION
+    * column is allowed — rewritten rows land in their new partitions
+    * (files group by value at write) — and updating a key column is
+    * the caller's contract to keep unique, exactly as in Delta. */
+  def updateWhere(spark: SparkSession, root: String,
+                  assignments: Seq[(String, String)],
+                  predicate: Option[String],
+                  maxAttempts: Int = 10): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"UPDATE assigns a column twice: ${assignments.map(_._1).mkString(", ")}")
+    val hit = coalesce(predicate.map(expr).getOrElse(lit(true)), lit(false))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCols = requirePartitionCols(spark, root, cur)
+      val entries = manifest(spark, root, cur)
+      val touched: Set[String] = table(spark, root, Some(cur))
+        .filter(hit).select(partValueColumn(partCols)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (replaced, kept) = entries.partition(e => touched(e.partition))
+      if (replaced.isEmpty) return cur
+      // Align the replaced files to the RECORDED table schema: after a
+      // schema evolution, a matched partition's files may predate an
+      // evolved column — UPDATE must still be able to SET it (it reads
+      // as typed nulls, exactly like any scan). Both the frame and the
+      // recorded schema pass through the column mapping first, so the
+      // alignment (and the user's assignments) see LOGICAL names.
+      val mapping = mappingAt(spark, root, cur)
+      val raw = applyColumnMapping(readEntriesAt(spark, root, replaced, cur), mapping)
+      val current = schemaFor(spark, root, cur).map(logicalSchema(_, mapping)) match {
+        case Some(sc) =>
+          val have = raw.columns.toSet
+          val widened = sc.fields.filterNot(f => have(f.name))
+            .foldLeft(raw)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+          widened.select(widened.columns.toSeq.map(col): _*)
+        case None => raw
+      }
+      val types = current.schema.map(f => f.name -> f.dataType).toMap
+      assignments.foreach { case (c, _) => require(types.contains(c),
+        s"UPDATE SET targets unknown column '$c' " +
+          s"(columns: ${current.columns.mkString(", ")})") }
+      val assign = assignments.toMap
+      val updated = current.select(current.columns.toSeq.map { c =>
+        assign.get(c) match {
+          case Some(e) =>
+            when(hit, expr(e).cast(types(c))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      enforceConstraints(spark, root, updated)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, updated, root, v, partCols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "update",
+          partCols.mkString(","))) {
+        writeStats(spark, root, v, kept, newEntries, Some(updated.schema))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the update-where race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` (Delta's CHECK
+    * constraint): validate the CURRENT data satisfies the expression
+    * (one pushdown/skipping-friendly limit-1 probe — rows where it is
+    * FALSE violate; NULL passes, SQL CHECK semantics), then publish a
+    * metadata-only commit whose manifest records the constraint. From
+    * then on EVERY write path (commit / merge / append / update /
+    * writer / COPY INTO) probes its batch and fails loudly before
+    * writing a violating row; layout-only rewrites skip the re-proof.
+    * Returns the committed version. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    checkExpr: String, maxAttempts: Int = 5): Long = {
+    require(name.matches("[A-Za-z_][\\w$]*"),
+      s"constraint name must be an identifier, got '$name'")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableConstraints(spark, root, cur)
+      require(!existing.exists(_._1 == name),
+        s"constraint '$name' already exists on $root")
+      val bad = table(spark, root, Some(cur))
+        .filter(!coalesce(expr(checkExpr), lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"cannot add CHECK constraint $name ($checkExpr): existing row " +
+          s"violates it: ${bad.head}")
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "constraint",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          constraints = Some(existing :+ (name -> checkExpr)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the add-constraint race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT name`: metadata-only commit
+    * removing the named CHECK constraint. Unknown names fail loudly
+    * (silently "dropping" nothing would mask a typo forever). */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableConstraints(spark, root, cur)
+      require(existing.exists(_._1 == name),
+        s"no constraint named '$name' on $root " +
+          s"(existing: ${existing.map(_._1).mkString(", ")})")
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "constraint",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          constraints = Some(existing.filterNot(_._1 == name)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the drop-constraint race $maxAttempts times under $root")
+  }
+
+  /** The table's current LOGICAL column names: recorded physical
+    * schema (or a footer read as fallback) through the version's
+    * column mapping. */
+  private[sinks] def logicalColumns(spark: SparkSession, root: String,
+                             cur: Long): Seq[String] = {
+    val physical = schemaFor(spark, root, cur).getOrElse(
+      readEntries(spark, root, manifest(spark, root, cur)).schema)
+    logicalSchema(physical, mappingAt(spark, root, cur)).fieldNames.toSeq
+  }
+
+  /** Conservative guard: does any CHECK constraint's expression
+    * mention `name` as a word? (May over-match inside string literals
+    * — acceptable: the failure mode is a loud refusal, never a broken
+    * constraint.) */
+  private[sinks] def constraintMentions(spark: SparkSession, root: String,
+                                 cur: Long, name: String): Option[String] =
+    tableConstraints(spark, root, cur).collectFirst {
+      case (n, e) if ("""(?i)(?<![\w$])""" + java.util.regex.Pattern.quote(name) +
+        """(?![\w$])""").r.findFirstIn(e).isDefined => n
+    }
+
+  /** `ALTER TABLE t RENAME COLUMN from TO to` — Delta's column-mapping
+    * rename: a METADATA-ONLY commit (zero files rewritten; parquet
+    * files keep the original "physical" name forever, reads alias it).
+    * Renaming the partition column is allowed — the manifest's
+    * `#partcol` follows, while directory layout (physical) stays.
+    * Refused when a CHECK constraint references the column (Delta's
+    * own restriction — the stored expression would silently break) or
+    * when the new name collides with a reserved physical name.
+    * Returns the new version. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String, maxAttempts: Int = 5): Long = {
+    require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      require(cols.contains(from),
+        s"cannot rename missing column '$from' (columns: ${cols.mkString(", ")})")
+      require(!cols.contains(to),
+        s"cannot rename '$from' to '$to': column '$to' already exists")
+      constraintMentions(spark, root, cur, from).foreach(n =>
+        throw new IllegalStateException(
+          s"cannot rename column '$from': CHECK constraint $n references " +
+            s"it; DROP the constraint first and re-ADD it against the new name"))
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      val physical = physicalNameOf(renames, from)
+      require(!dropped(to),
+        s"cannot rename to '$to': that name is reserved by a dropped " +
+          "column whose data files still carry it")
+      require(!renames.exists { case (lg, ph) => ph == to && lg != from },
+        s"cannot rename to '$to': that is another column's physical name")
+      // Renaming BACK to the physical name dissolves the mapping entry.
+      val newRenames = (renames - from) ++
+        (if (to == physical) Map.empty[String, String] else Map(to -> physical))
+      val newPartCol = partitionColumn(spark, root, cur) match {
+        case Some(p) if p == from => to
+        case other => other.getOrElse("")
+      }
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "rename-column",
+          newPartCol,
+          columnMapping = Some((newRenames.toSeq, dropped.toSeq)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the rename-column race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t DROP COLUMN c` — Delta's column-mapping drop: a
+    * METADATA-ONLY commit; the physical column stays in existing files
+    * (readers project it away) and naturally disappears as files
+    * rewrite. Time travel before the drop still shows the column.
+    * Refused for the partition column (the layout keys on it), for
+    * constraint-referenced columns, and for the last data column. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      require(cols.contains(name),
+        s"cannot drop missing column '$name' (columns: ${cols.mkString(", ")})")
+      require(cols.size > 1, s"cannot drop '$name': it is the only column")
+      require(!partitionColumn(spark, root, cur).contains(name),
+        s"cannot drop partition column '$name'")
+      constraintMentions(spark, root, cur, name).foreach(n =>
+        throw new IllegalStateException(
+          s"cannot drop column '$name': CHECK constraint $n references it; " +
+            "DROP the constraint first"))
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      val physical = physicalNameOf(renames, name)
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "drop-column",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          columnMapping = Some(((renames - name).toSeq, (dropped + physical).toSeq)))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the drop-column race $maxAttempts times under $root")
+  }
+
+  /** `ALTER TABLE t ADD COLUMN c TYPE` — metadata-only schema widening:
+    * the recorded schema gains the (nullable) column, existing files
+    * read it as typed nulls through the evolution-merged scan, and the
+    * next write that carries values materializes them. The same
+    * reserved-name collisions as [[toPhysical]] are refused. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataTypeDdl: String, maxAttempts: Int = 5): Long =
+    addColumns(spark, root, Seq(name -> dataTypeDdl), maxAttempts)
+
+  /** [[addColumn]] for a column LIST — `ALTER TABLE … ADD COLUMNS
+    * (a INT, b STRING)` — as ONE metadata commit: all columns join the
+    * recorded schema atomically (per-column commits would let a reader
+    * observe half the widening). */
+  def addColumns(spark: SparkSession, root: String,
+                 columns: Seq[(String, String)], maxAttempts: Int = 5): Long = {
+    require(columns.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"ADD COLUMNS lists a column twice: ${columns.map(_._1).mkString(", ")}")
+    val typed = columns.map { case (n, ddl) =>
+      n -> org.apache.spark.sql.types.DataType.fromDDL(ddl) }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val cols = logicalColumns(spark, root, cur)
+      val (renames, dropped) = mappingAt(spark, root, cur)
+      typed.foreach { case (name, _) =>
+        require(!cols.contains(name),
+          s"cannot add column '$name': it already exists")
+        require(!dropped(physicalNameOf(renames, name)) && !dropped(name),
+          s"cannot add column '$name': that name is reserved by a dropped " +
+            "column whose data files still carry it")
+        require(!renames.exists { case (lg, ph) => ph == name && lg != name },
+          s"cannot add column '$name': that is another column's physical name")
+      }
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "add-column",
+          partitionColumn(spark, root, cur).getOrElse(""))) {
+        writeStats(spark, root, cur + 1, entries, Nil,
+          Some(org.apache.spark.sql.types.StructType(typed.map { case (n, dt) =>
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true) })))
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the add-column race $maxAttempts times under $root")
+  }
+
+  /** Partitions whose manifest file sets differ between two versions.
+    * Files are immutable once written, so a partition carried with an
+    * identical file set at both versions is bit-identical and provably
+    * free of changes — [[changes]] never reads it. */
+  private[graft] def changedPartitions(spark: SparkSession, root: String,
+                                       fromVersion: Long, toVersion: Long): Seq[String] = {
+    def byPart(v: Long): Map[String, Set[String]] =
+      manifest(spark, root, v).groupBy(_.partition)
+        // File identity includes the DV attachment: a deletion-vector
+        // delete changes a partition's CONTENT without changing its
+        // file paths, and the change feed / merge rebase must see that
+        // as a change.
+        .map { case (p, es) => p -> es.map(e => s"${e.path}\t${e.dv}").toSet }
+    val a = byPart(fromVersion)
+    val b = byPart(toVersion)
+    (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)).toSeq.sorted
+  }
+
+  /** True when `dt` transitively contains a map — map-typed values
+    * have no ordering, so equality on them (or on structs/arrays
+    * holding them) is not analyzable and must compare canonicalized. */
+  private[sinks] def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  /** Row-level change feed (CDC) between two committed versions — the
+    * snapshot-store analog of a document store's change stream: every
+    * row inserted, updated, or deleted going `fromVersion` →
+    * `toVersion`, classified in a trailing `_change_type` column
+    * (`insert` / `update` / `delete`). Insert and update rows carry
+    * the to-version values; delete rows carry the from-version values.
+    * Assumes the keyed-table contract the commit paths maintain:
+    * `keyCol` unique within a version.
+    *
+    * Scale shape: the scan is bounded by the CHANGED partitions
+    * ([[changedPartitions]]) — a commit that touched one partition of
+    * a 100 TB table diffs one partition, not the table. What remains
+    * is one full-outer equi-join on the key (AQE broadcasts the small
+    * side when a commit was narrow) plus a null-safe struct equality
+    * that drops rows a rewrite carried over byte-unchanged, so
+    * [[compact]] / [[compactZOrder]] between the versions add zero
+    * change rows. Columns added by schema evolution read as typed
+    * nulls on the older side, so an evolution alone marks rows
+    * changed only where the new column is non-null.
+    *
+    * Map-typed columns (and structs/arrays containing them) compare
+    * via their JSON rendering — Spark defines no ordering on maps.
+    * Entry order must therefore be construction-stable across
+    * versions, which holds for rows produced by this store's own
+    * commit paths; canonicalize upstream (sorted `map_entries`) if
+    * feeding maps built in varying orders. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long, keyCols: ColSpec): DataFrame = {
+    require(keyCols.nonEmpty, "change feed needs at least one key column")
+    require(fromVersion != toVersion,
+      s"change feed needs two distinct versions, got $fromVersion twice")
+    val parts = changedPartitions(spark, root, fromVersion, toVersion)
+    // Both sides read under the NEWER version's column mapping (Delta
+    // CDF's latest-schema convention): physical names are stable, so a
+    // rename between the versions diffs the same columns under their
+    // new names instead of fabricating a drop+add.
+    val mv = Some(math.max(fromVersion, toVersion))
+    val from = readVersion(spark, root, fromVersion, Some(parts), mappingVersion = mv)
+    val to = readVersion(spark, root, toVersion, Some(parts), mappingVersion = mv)
+    val toCols = to.columns.toSeq
+    val cols = toCols ++ from.columns.toSeq.filterNot(toCols.contains)
+    val dataCols = cols.filterNot(keyCols.contains)
+    keyCols.cols.foreach(k => require(cols.contains(k),
+      s"key column $k missing from snapshot"))
+    require(dataCols.nonEmpty, "change feed needs at least one non-key column")
+    def aligned(df: DataFrame, other: DataFrame): (DataFrame, Map[String, org.apache.spark.sql.types.DataType]) = {
+      val have = df.columns.toSet
+      val otherTypes = other.schema.map(f => f.name -> f.dataType).toMap
+      val d = cols.filterNot(have).foldLeft(df)((d, c) =>
+        d.withColumn(c, lit(null).cast(otherTypes(c))))
+      val sel = d.select(cols.map(col): _*)
+      (sel, sel.schema.map(f => f.name -> f.dataType).toMap)
+    }
+    val (fA, fTypes) = aligned(from, to)
+    val (tA, _) = aligned(to, from)
+    def comparable(c: String): Column =
+      if (hasMap(fTypes(c))) to_json(col(c)).as(c) else col(c).as(c)
+    def sided(df: DataFrame, side: String): DataFrame = df.select(
+      keyCols.cols.map(col) :+
+      struct(dataCols.map(col): _*).as(s"_${side}_row") :+
+      struct(dataCols.map(comparable): _*).as(s"_${side}_cmp"): _*)
+    val j = sided(fA, "from").join(sided(tA, "to"), keyCols.cols, "full_outer")
+      .filter(!(col("_from_cmp") <=> col("_to_cmp")))
+    val payload = when(col("_to_row").isNull, col("_from_row"))
+      .otherwise(col("_to_row"))
+    val changeType = when(col("_from_row").isNull, lit("insert"))
+      .when(col("_to_row").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    j.select(keyCols.cols.map(col) ++
+      dataCols.map(c => payload.getField(c).as(c))
+      :+ changeType.as("_change_type"): _*)
+  }
+
+  /** Compact small files: rewrite the selected partitions (default:
+    * every partition with more files than `maxFilesPerPartition`) so
+    * each lands in one file per partition, published as a new snapshot
+    * version. Content is unchanged — only layout. The small-file
+    * problem is the chronic failure mode of long-lived incremental
+    * tables (every merge adds files; scans degrade to file-open
+    * overhead); compaction through the same manifest commit keeps it
+    * crash-safe and non-blocking for readers. Untouched partitions are
+    * carried by reference. Returns the new version, or the current one
+    * if nothing needed compacting. */
+  def compact(spark: SparkSession, root: String, partitionCols: ColSpec,
+              maxFilesPerPartition: Int = 1, maxAttempts: Int = 5,
+              partitions: Option[Seq[String]] = None): Long = {
+    require(partitionCols.nonEmpty, "compact needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val inScope: String => Boolean =
+        partitions.map(_.toSet).map(s => s.contains _).getOrElse(_ => true)
+      val oversized = entries.groupBy(_.partition)
+        .filter { case (p, es) => inScope(p) && es.size > maxFilesPerPartition }
+        .keySet
+      if (oversized.isEmpty) return cur
+      val (replaced, kept) = entries.partition(e => oversized(e.partition))
+      // One shuffle keyed by the partition column: every partition
+      // value lands in exactly one task, so partitionBy emits one file
+      // per compacted partition. Layout paths read and re-write files
+      // RAW (physical column names — column mapping never applies), so
+      // the partition column resolves by its PHYSICAL name.
+      val physParts = partitionCols.cols
+        .map(physicalNameOf(mappingAt(spark, root, cur)._1, _))
+      val compacted = readEntriesAt(spark, root, replaced, cur)
+        .repartition(physParts.map(col): _*)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, compacted, root, v, physParts,
+        translate = false)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "compact",
+          partitionCols.header)) {
+        // Content unchanged — the recorded schema carries forward.
+        writeStats(spark, root, v, kept, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the compaction race $maxAttempts times under $root")
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline day-two operation,
+    * expressed in this store's per-version metadata): re-lay a live
+    * table out under `newSpec` as ONE layout rewrite commit. The new
+    * manifest records the new `#partcol`, so every downstream
+    * consumer — DML partition routing, OPTIMIZE scopes, SHOW
+    * PARTITIONS, the metadata-delete fast path, CDC partition
+    * bounding — honors the new spec from the next version on, while
+    * TIME TRAVEL reads older versions under the spec THEY recorded
+    * (the header is per-version already) and RESTORE snaps the spec
+    * back with the rest of the target's metadata.
+    *
+    * Semantics-preserving: rows are read through the current
+    * snapshot's deletion vectors (a rewrite materializes deletes,
+    * like OPTIMIZE) and re-written RAW under their physical names —
+    * the column mapping, properties, and constraints carry forward
+    * untouched. `newSpec` names LOGICAL columns.
+    *
+    * Cost: one shuffle of the table keyed by the new spec (each new
+    * cell lands contiguously, one file per cell per shuffle
+    * partition), the inherent price of re-speccing — Iceberg avoids
+    * it by splitting the table into per-spec file groups, at the cost
+    * of every reader handling mixed layouts; this store keeps
+    * manifests single-spec and pays the rewrite once, explicitly. A
+    * no-op spec change returns the current version. */
+  def repartitionTable(spark: SparkSession, root: String, newSpec: ColSpec,
+                       maxAttempts: Int = 5): Long = {
+    require(newSpec.nonEmpty, "repartitionTable needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      if (requirePartitionCols(spark, root, cur) == newSpec.cols) return cur
+      val entries = manifest(spark, root, cur)
+      val mapping = mappingAt(spark, root, cur)
+      val physParts = newSpec.cols.map(physicalNameOf(mapping._1, _))
+      val v = cur + 1
+      // An EMPTY table re-specs as pure metadata: same (zero) entries,
+      // new header.
+      val newEntries =
+        if (entries.isEmpty) Nil
+        else writeDataFiles(spark,
+          readEntriesAt(spark, root, entries, cur).repartition(physParts.map(col): _*),
+          root, v, physParts, translate = false)
+      if (writeManifest(spark, root, v, newEntries, "repartition",
+          newSpec.header)) {
+        writeStats(spark, root, v, Nil, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the repartition race $maxAttempts times under $root")
+  }
+
+  /** Layout maintenance: rewrite partitions (default: all) Z-ORDERED
+    * on `zKeys`, published as a new snapshot version. Incremental
+    * merges append files in arrival order, so a long-lived table's
+    * per-file ranges widen until [[FileStats]] skipping stops biting;
+    * this restores it — each rewritten file covers a narrow
+    * hyper-rectangle of the key space ([[graft.operators.Layout]]),
+    * and the commit's stats sidecar captures the new ranges, so
+    * multi-dimensional predicates through [[table]] go back to
+    * opening a handful of files. Cost: one range shuffle of the
+    * selected partitions (same as a global sort) + a min/max rank
+    * pass; untouched partitions are carried by reference, and the
+    * usual optimistic-commit loop makes it crash-safe/non-blocking. */
+  def compactZOrder(spark: SparkSession, root: String, partitionCols: ColSpec,
+                    zKeys: Seq[String], filesPerPartition: Int = 4,
+                    bits: Int = 8, partitions: Option[Seq[String]] = None,
+                    maxAttempts: Int = 5): Long = {
+    require(partitionCols.nonEmpty, "compactZOrder needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val sel = partitions.map(_.toSet).getOrElse(entries.map(_.partition).toSet)
+      val (replaced, kept) = entries.partition(e => sel(e.partition))
+      if (replaced.isEmpty) return cur
+      val nParts = replaced.map(_.partition).distinct.size
+      // Physical names throughout: layout rewrites never translate
+      // (see compact); the caller's LOGICAL z-keys and partition
+      // column resolve through the mapping.
+      val renames = mappingAt(spark, root, cur)._1
+      val laid = graft.operators.Layout.zorderBy(
+        readEntriesAt(spark, root, replaced, cur),
+        zKeys.map(k => col(physicalNameOf(renames, k))),
+        numFiles = filesPerPartition * nParts, bits = bits)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, laid, root, v,
+        partitionCols.cols.map(physicalNameOf(renames, _)), translate = false)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
+          partitionCols.header)) {
+        writeStats(spark, root, v, kept, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the z-order compaction race $maxAttempts times under $root")
+  }
+
+  /** Delta `RESTORE TABLE … TO VERSION AS OF` analog: roll the table
+    * back to `toVersion`'s content by publishing a NEW version whose
+    * manifest carries the target's files BY REFERENCE — a pure
+    * metadata commit (zero data read or written, cost ∝ manifest
+    * size), not a copy. History stays intact: every version between
+    * the target and the restore remains time-travelable, and the
+    * restore itself is one more auditable entry ([[history]] tags it
+    * `restore`) — unlike overwriting sinks, where a rollback destroys
+    * the states it rolls back over. The recorded schema snaps back to
+    * the target's exactly, so a restore across a widening merge does
+    * not resurface the later columns as all-null.
+    *
+    * Restoring to content the tip already has (the target itself, or
+    * a prior restore of it) is a version no-op — the current version
+    * is returned unchanged. Files only referenced by rolled-over
+    * versions stay on disk until [[vacuum]]; vacuuming history then
+    * limits how far back a future restore can reach, exactly like
+    * Delta. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              maxAttempts: Int = 5): Long = {
+    // Note: restoring a DELETION-VECTORED version re-publishes its DV
+    // attachments; vacuum keeps any DV dir referenced by a KEPT
+    // manifest, so a restore within the retention window is always
+    // readable — restoring past vacuumed history fails on the missing
+    // manifest itself, same as Delta.
+    val target = manifest(spark, root, toVersion)
+    // Partition-column metadata, hoisted (the header is immutable —
+    // re-reading it per CAS retry would be wasted manifest GETs).
+    // Restoring to a version that predates the header must not strip
+    // it from the table tip: fall back to the current version's.
+    val partCol = partitionColumn(spark, root, toVersion)
+      .orElse(currentVersion(spark, root)
+        .flatMap(partitionColumn(spark, root, _)))
+      .getOrElse("")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      // No-op only when FILES **and** METADATA already match: a
+      // metadata-only commit (rename/drop column) carries the same
+      // file set as its parent, so the file comparison alone would
+      // wrongly skip restoring across it.
+      if (manifest(spark, root, cur).toSet == target.toSet &&
+          mappingAt(spark, root, cur) == mappingAt(spark, root, toVersion) &&
+          tableProperties(spark, root, cur).toSet ==
+            tableProperties(spark, root, toVersion).toSet)
+        return cur
+      val v = cur + 1
+      // The column mapping snaps back to the TARGET's, exactly like the
+      // recorded schema (basis): restoring across a rename must show
+      // the names the table had then, or the restored files' logical
+      // view would not match the restored content. Table PROPERTIES
+      // snap back the same way (Delta's RESTORE restores the target
+      // metadata including configuration) — the default carry would
+      // otherwise keep the abandoned tip's property set across a
+      // restore over a SET TBLPROPERTIES.
+      if (writeManifest(spark, root, v, target, "restore", partCol,
+          columnMapping = Some(
+            try columnMapping(spark, root, toVersion)
+            catch { case _: java.io.IOException => (Nil, Nil) }),
+          properties = Some(
+            try tableProperties(spark, root, toVersion)
+            catch { case _: java.io.IOException => Nil }))) {
+        writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the restore race $maxAttempts times under $root")
+  }
+
+  /** Delta SHALLOW CLONE analog: publish version 1 of a NEW table at
+    * `dstRoot` whose manifest references `srcRoot`'s files at
+    * `version` (default: current) by ABSOLUTE path — zero data
+    * copied, cost ∝ manifest size. Every entry resolution in this
+    * store goes through `new Path(root, entry.path)`, and Hadoop
+    * resolution lets an absolute child override the parent, so mixed
+    * manifests (absolute cloned files + relative locally-committed
+    * files) read transparently: the clone evolves independently —
+    * its merges/deletes rewrite into its OWN data directory while
+    * untouched source files stay carried by reference.
+    *
+    * Caveats (same as Delta's): vacuuming the SOURCE table can delete
+    * files a clone still references (the source does not know about
+    * clone back-references); vacuuming the CLONE never touches source
+    * files (its sweep only examines its own data directory). The
+    * clone's stats sidecar re-reads the cloned files' footers once at
+    * clone time — metadata-priced. */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+              version: Option[Long] = None): Long = {
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"clone destination $dstRoot already holds a snapshot")
+    val v = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $srcRoot")))
+    val f = fs(spark, srcRoot)
+    val abs = manifest(spark, srcRoot, v).map(e =>
+      e.copy(path = f.makeQualified(new Path(srcRoot, e.path)).toString,
+        dv = if (e.dv.isEmpty) ""
+             else f.makeQualified(new Path(srcRoot, e.dv)).toString))
+    // Cloning a version that predates partition-column metadata still
+    // inherits the source TIP's header when one exists.
+    if (!writeManifest(spark, dstRoot, 1L, abs, "clone",
+        partitionColumn(spark, srcRoot, v)
+          .orElse(currentVersion(spark, srcRoot)
+            .flatMap(partitionColumn(spark, srcRoot, _)))
+          .getOrElse(""),
+        constraints = Some(
+          try tableConstraints(spark, srcRoot, v)
+          catch { case _: java.io.IOException => Nil }),
+        properties = Some(
+          try tableProperties(spark, srcRoot, v)
+          catch { case _: java.io.IOException => Nil }),
+        columnMapping = Some(
+          try columnMapping(spark, srcRoot, v)
+          catch { case _: java.io.IOException => (Nil, Nil) })))
+      throw new java.util.ConcurrentModificationException(
+        s"lost the clone race publishing v1 under $dstRoot")
+    writeStats(spark, dstRoot, 1L, abs, Nil, schemaFor(spark, srcRoot, v))
+    1L
+  }
+
+  /** Delta `DESCRIBE HISTORY` analog: one row per committed version —
+    * (version, operation, n_files, n_partitions, files_added,
+    * files_removed, total_rows), ascending. Operation is the
+    * committer's tag (null for pre-tagging manifests); files_added /
+    * files_removed diff each manifest against its predecessor (files
+    * are immutable, so path-set diff IS the change set); total_rows
+    * sums the stats sidecar and is null when any listed file lacks
+    * stats (derived metadata never blocks the audit view). Driver-side
+    * over manifests only — metadata-priced at any table size. */
+  /** [[history]]'s row shape — shared with the `DESCRIBE HISTORY`
+    * SQL command so the two surfaces cannot drift. */
+  val historySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      // Commit wall-clock from the #ts header (null for manifests
+      // written before timestamps existed) — the column Delta users
+      // read first in DESCRIBE HISTORY, and the one TIMESTAMP AS OF
+      // resolves against.
+      StructField("timestamp", TimestampType, nullable = true),
+      StructField("operation", StringType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("files_added", IntegerType, nullable = false),
+      StructField("files_removed", IntegerType, nullable = false),
+      StructField("total_rows", LongType, nullable = true),
+      // Operation metrics (Delta's numOutputRows/numRemovedRows
+      // analog): physical rows of the files each version added /
+      // removed vs its predecessor, from the stats sidecars — null
+      // when any involved file lacks stats (derived metadata never
+      // blocks the audit view). A metadata-only commit shows 0/0; a
+      // DV delete shows 0/0 too (its rows change via dvRows, visible
+      // in total_rows).
+      StructField("rows_added", LongType, nullable = true),
+      StructField("rows_removed", LongType, nullable = true)))
+  }
+
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(spark, root)
+    var prevPaths = Set.empty[String]
+    var prevStats = Map.empty[String, FileStats.FileStatsEntry]
+    val rows = vs.map { v =>
+      val m = manifest(spark, root, v)
+      val paths = m.map(_.path).toSet
+      val st = statsFor(spark, root, v)
+      val totalRows: java.lang.Long =
+        if (m.forall(e => st.contains(e.path)))
+          // Live rows: physical rows minus deletion-vectored positions
+          // (cardinality recorded per entry at delete time, so this
+          // stays a metadata walk — no DV parquet is opened).
+          java.lang.Long.valueOf(m.map(e => st(e.path).rows - e.dvRows).sum)
+        else null
+      val added = paths -- prevPaths
+      val removed = prevPaths -- paths
+      def rowSum(ps: Set[String], from: Map[String, FileStats.FileStatsEntry]):
+          java.lang.Long =
+        if (ps.forall(from.contains))
+          java.lang.Long.valueOf(ps.toSeq.map(from(_).rows).sum)
+        else null
+      val row = org.apache.spark.sql.Row(
+        v,
+        commitTimestamp(spark, root, v)
+          .map(new java.sql.Timestamp(_)).orNull,
+        manifestOperation(spark, root, v).orNull, m.size,
+        m.map(_.partition).distinct.size,
+        added.size, removed.size, totalRows,
+        rowSum(added, st), rowSum(removed, prevStats))
+      prevPaths = paths
+      prevStats = st
+      row
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), historySchema)
+  }
+
+  /** External-engine interop: export a snapshot version as a
+    * symlink-format manifest — the Hive/Presto/Trino/Athena
+    * `SymlinkTextInputFormat` convention (one text file per partition
+    * under `_symlink_format_manifest/`, each line the absolute URI of
+    * a data file; the same layout Delta Lake's `GENERATE
+    * symlink_format_manifest` emits). Any engine that can mount an
+    * external partitioned parquet table can then read the snapshot
+    * without this codebase:
+    * {{{
+    *   CREATE EXTERNAL TABLE t (…) PARTITIONED BY (__part string)
+    *   ROW FORMAT SERDE '…ParquetHiveSerDe'
+    *   STORED AS INPUTFORMAT '…SymlinkTextInputFormat'
+    *   OUTPUTFORMAT '…HiveIgnoreKeyTextOutputFormat'
+    *   LOCATION '<root>/_symlink_format_manifest'
+    * }}}
+    *
+    * The export reflects ONE committed version (default: current) —
+    * re-run it after commits that should be visible externally; stale
+    * export = stale-but-consistent external reads, never torn ones
+    * (data files are immutable). Longer-lived interop should migrate
+    * the manifest state machine to an open table format (Delta/
+    * Iceberg) whose commit protocol this store deliberately mirrors
+    * (append-only data files + atomic metadata publish). */
+  def writeSymlinkManifest(spark: SparkSession, root: String,
+                           version: Option[Long] = None): Path = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    // A symlink manifest is a bare file list — external engines would
+    // read deletion-vectored files RAW, resurrecting deleted rows.
+    // Same restriction as Delta's generate; purge first.
+    require(manifest(spark, root, v).forall(_.dv.isEmpty),
+      s"version $v under $root carries deletion vectors, which the " +
+        "symlink manifest format cannot express — run " +
+        "purgeDeletionVectors (REORG … APPLY (PURGE)) first")
+    // Same restriction for column mapping: external engines read the
+    // files' PHYSICAL names with no way to apply renames/drops (Delta
+    // blocks generate under column mapping for the same reason).
+    require({ val (r, d) = mappingAt(spark, root, v); r.isEmpty && d.isEmpty },
+      s"version $v under $root uses column mapping (renamed or dropped " +
+        "columns), which a bare symlink manifest cannot express — " +
+        "external engines would see the physical column names")
+    val f = fs(spark, root)
+    val outRoot = new Path(root, "_symlink_format_manifest")
+    // Sweep leftovers of previously crashed swaps (a stranded old tree
+    // set aside mid-swap, or a half-built tmp tree) so they don't
+    // accumulate forever — this export is about to supersede them.
+    f.listStatus(new Path(root)).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("._symlink_old-") || n.startsWith("._symlink_tmp-"))
+        f.delete(s.getPath, true)
+    }
+    val tmpRoot = new Path(root,
+      s"._symlink_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    manifest(spark, root, v).groupBy(_.partition).foreach { case (part, es) =>
+      // Reuse the data files' own Hive-escaped partition directory
+      // components (all levels, for a multi-column spec), so external
+      // engines see the familiar layout.
+      val comps = es.head.path.split("/")
+        .dropWhile(c => !c.startsWith(s"$PartDir=")).dropRight(1)
+      val dir = new Path(tmpRoot,
+        if (comps.nonEmpty) comps.mkString("/")
+        else s"$PartDir=" + URLEncoder.encode(part, UTF_8))
+      f.mkdirs(dir)
+      val out = f.create(new Path(dir, "manifest"), true)
+      try out.write(es.map(e => f.makeQualified(new Path(root, e.path)).toString)
+        .sorted.mkString("\n").getBytes(UTF_8))
+      finally out.close()
+    }
+    // Swap via rename-aside, not delete-then-rename: the old export
+    // stays readable until the swap starts, and the data is never
+    // destroyed mid-export. A crash BETWEEN the two renames does
+    // leave the location briefly absent (the old tree parked under
+    // ._symlink_old-*, swept by the next export) — strictly narrower
+    // than delete-then-rebuild, whose window spans the whole rebuild
+    // and loses the old tree outright.
+    val old = new Path(root,
+      s"._symlink_old-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = f.exists(outRoot)
+    if (hadOld) f.rename(outRoot, old)
+    f.rename(tmpRoot, outRoot)
+    if (hadOld) f.delete(old, true)
+    outRoot
+  }
+
+  /** Drop all but the newest `keep` manifests and delete data files no
+    * kept manifest references. Files shared with kept versions survive
+    * (reuse-by-reference makes per-version directory deletes WRONG —
+    * the referenced set is computed across all kept manifests).
+    *
+    * `retainMillis` is the safety window against concurrent writers
+    * (same role as Delta's VACUUM retention): a commit in flight has
+    * written data files that no PUBLISHED manifest references yet, so
+    * an unguarded vacuum would delete them and corrupt the commit when
+    * its manifest then wins. Unreferenced files newer than the window
+    * are left alone; only set it to 0 when no writer can be active. */
+  /** What a [[vacuum]] with these settings would remove: (data file
+    * paths, deletion-vector directory paths — both root-relative — and
+    * manifest versions to drop). Shared by vacuum itself and the
+    * `VACUUM … DRY RUN` SQL surface, so the preview and the deletion
+    * can never disagree. */
+  private[sinks] def vacuumPlan(spark: SparkSession, root: String, keep: Int,
+                         retainMillis: Long): (Seq[String], Seq[String], Seq[Long]) = {
+    val vs = versions(spark, root)
+    val (drop, keepVs) = vs.splitAt(math.max(0, vs.size - keep))
+    val keptEntries = keepVs.flatMap(v => manifest(spark, root, v))
+    val referenced = keptEntries.map(_.path).toSet
+    val referencedDv = keptEntries.filter(_.dv.nonEmpty).map(_.dv).toSet
+    val f = fs(spark, root)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val files = Seq.newBuilder[String]
+    val dataRoot = new Path(root, "data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { vdir =>
+        f.listStatus(vdir.getPath).foreach { pdir =>
+          if (pdir.isDirectory) {
+            f.listStatus(pdir.getPath).foreach { file =>
+              val rel = s"data/${vdir.getPath.getName}/${pdir.getPath.getName}/${file.getPath.getName}"
+              if (file.getPath.getName.endsWith(".parquet") && !referenced(rel) &&
+                  file.getModificationTime < cutoff)
+                files += rel
+            }
+          }
+        }
+      }
+    }
+    // Deletion-vector directories are swept like data files: one kept
+    // manifest referencing a DV dir keeps it; orphans (vacuumed
+    // versions' superseded DVs, crashed delete-dv attempts) older than
+    // the safety window go. Clone-held ABSOLUTE dv references live
+    // under the source root and are never matched here — same
+    // source-vacuum caveat as cloned data files.
+    val dvDirs = Seq.newBuilder[String]
+    val dvRoot = new Path(root, "dv")
+    if (f.exists(dvRoot)) {
+      f.listStatus(dvRoot).foreach { d =>
+        if (d.isDirectory && !referencedDv(s"dv/${d.getPath.getName}") &&
+            d.getModificationTime < cutoff)
+          dvDirs += s"dv/${d.getPath.getName}"
+      }
+    }
+    (files.result(), dvDirs.result(), drop)
+  }
+
+  /** `VACUUM … DRY RUN`: the root-relative paths vacuum WOULD delete
+    * (data files + DV directories), without deleting anything. */
+  def vacuumDryRun(spark: SparkSession, root: String, keep: Int = 2,
+                   retainMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val (files, dvDirs, _) = vacuumPlan(spark, root, keep, retainMillis)
+    (files ++ dvDirs).sorted
+  }
+
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             retainMillis: Long = 24L * 3600 * 1000): Unit = {
+    // Even with nothing to drop, the orphan sweep still collects data
+    // files of crashed/lost commits (written, never published).
+    val (files, dvDirs, drop) = vacuumPlan(spark, root, keep, retainMillis)
+    val f = fs(spark, root)
+    files.foreach(rel => f.delete(new Path(root, rel), false))
+    dvDirs.foreach(rel => f.delete(new Path(root, rel), true))
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(statsPath(root, v), false)
+      f.delete(bloomPath(root, v), false)
+    }
+  }
+}
