@@ -78,6 +78,7 @@ object ScaleSmoke {
     var deleteWhereRoot = "" // set by delete_where_setup
     var mpRoot = ""; var cdcRootOne = ""; var cdcRootTwo = "" // round-10 setups
     var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
+    var pqBooks: DataFrame = null; var pqIndexDf: DataFrame = null // round-11 PQ
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -632,6 +633,56 @@ object ScaleSmoke {
           Some(snapBase.filter(pmod(col("doc_id"), lit(13)) === 0)
             .select(col("doc_id"))),
           "doc_id", "part")
+      },
+      // Key-probe file skipping (round 11): the keyed delete's
+      // partition probe with a 3-key doomed set, on the range-laid
+      // table whose stats sidecar can prove absence. The keys don't
+      // exist, so BOTH probes conclude "nothing touched" and commit
+      // nothing — the timing isolates pure PROBE cost: the full path
+      // scans every file's key column; the pruned path reads the
+      // sidecar, certifies zero candidate files, and never launches a
+      // scan. At 100 TB this is the difference between a GDPR point
+      // delete paying a table scan per OCC attempt and paying a
+      // metadata read. Row value = files the probe scanned.
+      time("key_probe_full_scan") {
+        spark.conf.set("spark.graft.probeKeyLimit", "0")
+        try graft.sinks.SnapshotStore.deleteCommit(spark,
+          spark.range(-3, 0).select(col("id").as("doc_id")), skipRoot,
+          "doc_id", "part")
+        finally spark.conf.unset("spark.graft.probeKeyLimit")
+        graft.sinks.SnapshotStore.manifest(spark, skipRoot, 1L).size.toLong
+      },
+      time("key_probe_pruned") {
+        graft.sinks.SnapshotStore.deleteCommit(spark,
+          spark.range(-3, 0).select(col("id").as("doc_id")), skipRoot,
+          "doc_id", "part")
+        graft.sinks.SnapshotStore.lastProbeCandidates.get().toLong
+      },
+      // Product quantization at 20x: ingest (codebooks + codes over
+      // the amplified corpus) is the one-off; the ADC probe then
+      // scores 64 queries x corpus as m=8 table lookups per vector
+      // instead of a 64-float kernel per vector. Compare
+      // ivf_quantized_steady (the int8 full-kernel sibling): PQ moves
+      // 8 ints + 1 float per touched vector vs 64 int8 codes.
+      time("pq_ingest_build") {
+        val books = Similarity.pqCodebooks(embs, "vec_id", "embedding",
+          m = 8, ks = 16)
+        pqBooks = books.persist(); pqBooks.count()
+        pqIndexDf = Similarity.pqIndex(embs, "vec_id", "embedding", pqBooks)
+          .persist()
+        pqIndexDf.count()
+      },
+      time("pq_adc_probe") {
+        Similarity.pqTopK(pqIndexDf, pqBooks,
+          emb0.filter(pmod(col("vec_id"), lit(100)) === 7)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 10).count()
+      },
+      time("ivf_pq_probe") {
+        Similarity.ivfTopKPQ(embs, "vec_id", "embedding",
+          emb0.filter(pmod(col("vec_id"), lit(100)) === 7)
+            .select(col("vec_id")),
+          k = 10, numCells = 64, nprobe = 2, m = 8, ks = 16).count()
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

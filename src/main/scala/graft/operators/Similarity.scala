@@ -513,4 +513,206 @@ object Similarity {
       dvClean.dropDuplicates("neighbor_id", "file").drop("file"),
       cents, queries, idCol, vecCol, k, nprobe)
   }
+
+  // ------------------------------------------------------------------ //
+  // Product quantization (faiss PQm / IVFx,PQm — the production ANN    //
+  // shape at 100 TB: m BYTES per stored vector instead of dim floats). //
+  // ------------------------------------------------------------------ //
+
+  /** PQ codebooks: the vector space splits into `m` subspaces of
+    * dim/m dims; each subspace gets `ks` sub-centroids. Untrained
+    * init = the first `ks` corpus vectors' subvectors (deterministic
+    * — an external oracle replays code assignment exactly);
+    * `trainIters` runs Lloyd's k-means PER SUBSPACE, relationally
+    * (assign by L2 over the broadcast books, re-mean by
+    * (sub, code, dimension) hash aggregate — two shuffles per round,
+    * lineage truncated). One-row broadcastable frame:
+    * `__books` = array over subs (ascending) of
+    * struct(__sub, __cents: array over codes (ascending) of
+    * struct(__code, __sv)). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, trainIters: Int = 0): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
+    def subArr = sequence(lit(0), lit(m - 1))
+    val seeds = corpus
+      .select(col(idCol).as("__sid"), Vectors.toDouble(col(vecCol)).as("__v"))
+      .orderBy(col("__sid")).limit(ks)
+      .select(col("__sid"), explode(subArr).as("__sub"), col("__v"))
+      .select(col("__sub"), col("__sid"),
+        slice(col("__v"), col("__sub") * lit(ds) + lit(1), lit(ds)).as("__sv"))
+    val w = Window.partitionBy(col("__sub")).orderBy(col("__sid"))
+    var perSub = seeds.withColumn("__code", row_number().over(w) - 1)
+      .groupBy(col("__sub"))
+      .agg(array_sort(collect_list(struct(col("__code"), col("__sv"))))
+        .as("__cents"))
+    for (_ <- 1 to trainIters) {
+      val exploded = corpus
+        .select(Vectors.toDouble(col(vecCol)).as("__v"))
+        .select(explode(subArr).as("__sub"), col("__v"))
+        .select(col("__sub"),
+          slice(col("__v"), col("__sub") * lit(ds) + lit(1), lit(ds)).as("__sv"))
+      val assigned = exploded.join(broadcast(perSub), Seq("__sub"))
+        .select(col("__sub"), col("__sv"),
+          element_at(array_sort(transform(col("__cents"), c =>
+            struct(Vectors.l2sq(col("__sv"), c.getField("__sv")).as("d"),
+              c.getField("__code").as("code")))), 1)
+            .getField("code").as("__code"))
+      val refreshed = assigned
+        .select(col("__sub"), col("__code"),
+          posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .groupBy(col("__sub"), col("__code"), col("__pos"))
+        .agg(avg(col("__x")).as("__mn"))
+        .groupBy(col("__sub"), col("__code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__mn")))),
+          s => s.getField("__mn")).as("__sv"))
+      // A cell no vector chose keeps its OLD centroid (faiss keeps
+      // empty centroids too): the code space must stay a contiguous
+      // 0..ks-1 so code VALUE == LUT POSITION — dropping a cell would
+      // silently misalign every flat ADC lookup after it.
+      perSub = perSub
+        .select(col("__sub"), explode(col("__cents")).as("__c"))
+        .select(col("__sub"), col("__c").getField("__code").as("__code"),
+          col("__c").getField("__sv").as("__svOld"))
+        .join(refreshed, Seq("__sub", "__code"), "left")
+        .select(col("__sub"), col("__code"),
+          coalesce(col("__sv"), col("__svOld")).as("__sv"))
+        .groupBy(col("__sub"))
+        .agg(array_sort(collect_list(struct(col("__code"), col("__sv"))))
+          .as("__cents"))
+      perSub = Checkpoints.truncate(perSub)
+    }
+    perSub.agg(array_sort(collect_list(struct(col("__sub"), col("__cents"))))
+      .as("__books"))
+  }
+
+  /** Ingest-time PQ encoding: each vector becomes `m` small ints (the
+    * nearest sub-centroid per subspace, by L2 with the code-ascending
+    * tie-break) plus its float norm — (neighbor_id, neighbor_norm,
+    * pq_codes). Persist this: m ints + one float per vector vs dim
+    * floats, the asymmetric-distance trade faiss ships as IVFx,PQm.
+    * Assignment cost is paid once per ingested vector, amortized over
+    * every probe (the same codes-at-rest shape as
+    * [[ivfQuantizedIndex]]). */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              books: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(books))
+      .select(col(idCol).as("neighbor_id"),
+        Vectors.norm(col(vecCol)).as("neighbor_norm"),
+        Vectors.toDouble(col(vecCol)).as("__v"), col("__books"))
+      .select(col("neighbor_id"), col("neighbor_norm"),
+        pqCodesExpr(col("__v"), subDim(books)).as("pq_codes"))
+
+  /** The encode expression both index builders share: per subspace of
+    * the broadcast `__books`, the L2-nearest code (code-ascending
+    * tie-break). `__books` must be an attribute in scope. */
+  private def pqCodesExpr(vecDouble: Column, ds: Int): Column =
+    transform(col("__books"), b =>
+      element_at(array_sort(transform(b.getField("__cents"), c =>
+        struct(Vectors.l2sq(
+          slice(vecDouble, b.getField("__sub") * lit(ds) + lit(1), lit(ds)),
+          c.getField("__sv")).as("d"),
+          c.getField("__code").as("code")))), 1).getField("code"))
+
+  /** Asymmetric-distance (ADC) top-k over a PQ index: per query, ONE
+    * m×ks lookup table of subspace dots against the broadcast books;
+    * each indexed vector then scores as the sum of m table lookups —
+    * never touching its original floats. The score is the ADC cosine
+    * APPROXIMATION (Σ_sub lut[sub][code] / (|q|·|n|)); recall floors
+    * vs the exact path are spec-pinned, exactness is not claimed.
+    * Result: (query_id, neighbor_id, pq_score, rank). */
+  def pqTopK(index: DataFrame, books: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = pqQuerySide(books, queries, idCol, vecCol)
+    val scored = index.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankAdc(scored, booksKs(books), k)
+  }
+
+  /** IVF-PQ index: the coarse quantizer routes each vector to an
+    * inverted list ([[ivfTopK]]'s cell assignment), the list stores
+    * PQ codes — (cell, neighbor_id, neighbor_norm, pq_codes). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, books: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("__cell",
+        element_at(rankedCells(col(vecCol), col("__cents")), 1))
+      .crossJoin(broadcast(books))
+      .select(col("__cell"), col(idCol).as("neighbor_id"),
+        Vectors.norm(col(vecCol)).as("neighbor_norm"),
+        Vectors.toDouble(col(vecCol)).as("__v"), col("__books"))
+      .select(col("__cell"), col("neighbor_id"), col("neighbor_norm"),
+        pqCodesExpr(col("__v"), subDim(books)).as("pq_codes"))
+
+  /** IVF-PQ ANN top-k — the faiss `IVFx,PQm` composition: nprobe
+    * bounds WHICH fraction of the corpus a query touches, PQ bounds
+    * the BYTES per touched vector (m ints instead of dim floats), and
+    * the two multiply. Builds books + centroids from the corpus
+    * (share them across queries via [[pqCodebooks]]/[[ivfCentroids]]/
+    * [[ivfPqIndex]] at ingest for the production shape).
+    * Result: (query_id, neighbor_id, pq_score, rank). */
+  def ivfTopKPQ(corpus: DataFrame, idCol: String, vecCol: String,
+                queryIds: DataFrame, k: Int,
+                numCells: Int = 16, nprobe: Int = 2,
+                m: Int = 4, ks: Int = 16, trainIters: Int = 0): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCells, trainIters)
+    val books = pqCodebooks(corpus, idCol, vecCol, m, ks, trainIters)
+    val index = ivfPqIndex(corpus, idCol, vecCol, cents, books)
+    val queries = corpus.join(queryIds, Seq(idCol), "left_semi")
+    val q = pqQuerySide(books, queries, idCol, vecCol)
+      .join(queries.crossJoin(broadcast(cents))
+        .select(col(idCol).as("query_id"),
+          explode(slice(rankedCells(col(vecCol), col("__cents")), 1, nprobe))
+            .as("__cell")),
+        Seq("query_id"))
+    val scored = index.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankAdc(scored, booksKs(books), k)
+  }
+
+  /** Subspace width recorded in a books frame. */
+  private def subDim(books: DataFrame): Int =
+    books.select(size(element_at(element_at(col("__books"), 1)
+      .getField("__cents"), 1).getField("__sv"))).head().getInt(0)
+
+  /** Codes per subspace recorded in a books frame. */
+  private def booksKs(books: DataFrame): Int =
+    books.select(size(element_at(col("__books"), 1).getField("__cents")))
+      .head().getInt(0)
+
+  /** Query side of an ADC probe: (query_id, __qnorm, __lut) where
+    * __lut is the FLATTENED m×ks table (flat index sub·ks + code). */
+  private def pqQuerySide(books: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    val ds = subDim(books)
+    queries.crossJoin(broadcast(books))
+      .select(col(idCol).as("query_id"),
+        Vectors.norm(col(vecCol)).as("__qnorm"),
+        Vectors.toDouble(col(vecCol)).as("__qv"), col("__books"))
+      .select(col("query_id"), col("__qnorm"),
+        flatten(transform(col("__books"), b =>
+          transform(b.getField("__cents"), c =>
+            Vectors.dot(
+              slice(col("__qv"), b.getField("__sub") * lit(ds) + lit(1), lit(ds)),
+              c.getField("__sv"))))).as("__lut"))
+  }
+
+  /** Σ of m LUT lookups, normalized by both norms, ranked per query.
+    * The flat-index arithmetic ((sub·ks + code) + 1, 1-based) is the
+    * ONLY coupling between encode and probe — both sides derive it
+    * from the same books ordering. */
+  private def rankAdc(scored: DataFrame, ks: Int, k: Int): DataFrame = {
+    val m = size(col("pq_codes"))
+    val flatIdx = zip_with(col("pq_codes"), sequence(lit(0), m - 1),
+      (c, s) => s * lit(ks) + c)
+    val adc = aggregate(flatIdx, lit(0.0),
+      (acc, i) => acc + element_at(col("__lut"), (i + 1).cast("int")))
+    val sim = (adc / (col("__qnorm") * col("neighbor_norm"))).as("pq_score")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    scored.select(col("query_id"), col("neighbor_id"), sim)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

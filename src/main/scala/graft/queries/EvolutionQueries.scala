@@ -606,6 +606,67 @@ private[graft] object EvolutionQueries {
         CAST(CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey % 4 = 0
                   THEN c_custkey % 100 + 1000
                   ELSE c_custkey % 100 END AS BIGINT) AS score
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+
+    // Product quantization (Similarity.pqCodebooks/pqIndex/pqTopK —
+    // the faiss PQm shape: m=4 codes of ks=8 per vector instead of 64
+    // floats, scored by asymmetric distance, never touching the
+    // stored floats). Codebooks are the UNTRAINED deterministic seed
+    // (first 8 vectors' subvectors), so the oracle replays the ENTIRE
+    // pipeline — subspace slicing, L2 code assignment with the
+    // code-ascending tie-break, the flat LUT, the ordered ADC sum —
+    // in SQL. Any encode/probe misalignment (the flat-index
+    // arithmetic is the coupling) breaks the hash.
+    ("q196_pq_adc_topk", (s: SparkSession, d: String) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val books = graft.operators.Similarity.pqCodebooks(
+        e, "vec_id", "embedding", m = 4, ks = 8)
+      val index = graft.operators.Similarity.pqIndex(
+        e, "vec_id", "embedding", books)
+      graft.operators.Similarity.pqTopK(index, books,
+          e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("pq_score"), 4).as("pq_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM e ORDER BY vec_id LIMIT 8),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      books AS (
+        SELECT subs.sub, seeds.code,
+          list_slice(seeds.v, subs.sub * 16 + 1, (subs.sub + 1) * 16) AS sv
+        FROM seeds CROSS JOIN subs),
+      asgn AS (
+        SELECT ev.vec_id, b.sub, b.code,
+          row_number() OVER (PARTITION BY ev.vec_id, b.sub ORDER BY
+            list_distance(list_slice(ev.v, b.sub * 16 + 1, (b.sub + 1) * 16),
+                          b.sv) ASC, b.code ASC) AS rk
+        FROM e ev CROSS JOIN books b),
+      enc AS (SELECT vec_id, sub, code FROM asgn WHERE rk = 1),
+      luts AS (
+        SELECT q.vec_id AS query_id, b.sub, b.code,
+          list_dot_product(
+            list_slice(q.v, b.sub * 16 + 1, (b.sub + 1) * 16), b.sv) AS dt
+        FROM e q CROSS JOIN books b WHERE q.vec_id < 8),
+      norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nm FROM e),
+      scored AS (
+        SELECT l.query_id, enc.vec_id AS neighbor_id,
+          SUM(l.dt ORDER BY l.sub) AS adc
+        FROM enc JOIN luts l ON l.sub = enc.sub AND l.code = enc.code
+        WHERE enc.vec_id <> l.query_id
+        GROUP BY l.query_id, enc.vec_id),
+      r AS (
+        SELECT s.query_id, s.neighbor_id,
+          round(s.adc / (qn.nm * nn.nm), 4) AS pq_score,
+          row_number() OVER (PARTITION BY s.query_id
+            ORDER BY s.adc / (qn.nm * nn.nm) DESC, s.neighbor_id ASC) AS rank
+        FROM scored s
+        JOIN norms qn ON qn.vec_id = s.query_id
+        JOIN norms nn ON nn.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, pq_score, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
   )
 }

@@ -122,6 +122,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ReorgPattern(table) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
+    case GraftSqlParser.SetPartitionedByPattern(table, cols) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      RepartitionTableCommand(delegate.parseMultipartIdentifier(table),
+        cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq)
     case GraftSqlParser.CreateTablePattern(table, schemaDdl, pb)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
       CreateSnapshotTableCommand(delegate.parseMultipartIdentifier(table),
@@ -275,6 +280,12 @@ object GraftSqlParser {
     s"(?is)\\A\\s*TRUNCATE\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
   private val ReorgPattern =
     s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
+  // Partition-spec evolution (SnapshotStore.repartitionTable). Bare
+  // identifiers inside one paren pair — no expression text, so the
+  // regex recognizer carries no grammar-interaction risk here.
+  private val SetPartitionedByPattern =
+    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+SET\\s+PARTITIONED\\s+BY\\s*" +
+      "\\(([^)]+)\\)\\s*;?\\s*\\z").r
   // CTAS — `CREATE TABLE g.`root` PARTITIONED BY (c) AS SELECT …`:
   // the query text is re-parsed by the session parser inside the
   // command (InsertPattern's convention), so the full SELECT grammar
@@ -1245,6 +1256,26 @@ case class ReorgPurgeCommand(table: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(root, SnapshotStore.purgeDeletionVectors(spark, root)))
+  }
+}
+
+/** `ALTER TABLE t SET PARTITIONED BY (a, b)` — partition-spec
+  * evolution ([[SnapshotStore.repartitionTable]]): ONE layout rewrite
+  * commit records the new spec; DML routes by it from the next
+  * version, time travel reads old versions under theirs, RESTORE
+  * snaps it back. Returns one row (path, version). */
+case class RepartitionTableCommand(table: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, "SET PARTITIONED BY needs at least one column")
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.repartitionTable(spark, root,
+      graft.sinks.ColSpec(cols))))
   }
 }
 

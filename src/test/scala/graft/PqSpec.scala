@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Product quantization (faiss PQm / IVFx,PQm): deterministic
+  * codebooks and codes, an ADC probe that never touches stored
+  * floats, and recall floors against the exact path — the compression
+  * is allowed to cost recall, never determinism. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embeddings = {
+    val d = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    d.cache(); d.count(); d
+  }
+
+  test("codebooks and codes rebuild byte-identically (deterministic ingest)") {
+    val b1 = Similarity.pqCodebooks(embeddings, "vec_id", "embedding", 4, 8)
+    val b2 = Similarity.pqCodebooks(embeddings, "vec_id", "embedding", 4, 8)
+    assert(b1.collect().toSeq == b2.collect().toSeq)
+    val i1 = Similarity.pqIndex(embeddings, "vec_id", "embedding", b1)
+      .orderBy("neighbor_id").collect().toSeq
+    val i2 = Similarity.pqIndex(embeddings, "vec_id", "embedding", b2)
+      .orderBy("neighbor_id").collect().toSeq
+    assert(i1 == i2)
+    // Shape: m codes per vector, every code within [0, ks).
+    val codes = Similarity.pqIndex(embeddings, "vec_id", "embedding", b1)
+      .select(col("pq_codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
+  test("trained codebooks shrink quantization error vs the untrained seed") {
+    def mse(books: org.apache.spark.sql.DataFrame): Double = {
+      val idx = Similarity.pqIndex(embeddings, "vec_id", "embedding", books)
+      // Reconstruct each vector from its codes and measure the error —
+      // the quantity Lloyd's minimizes per subspace.
+      idx.crossJoin(broadcast(books))
+        .join(embeddings.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), Seq("neighbor_id"))
+        .select(aggregate(
+          zip_with(col("pq_codes"), col("__books"), (code, b) =>
+            graft.functions.Vectors.l2sq(
+              element_at(b.getField("__cents"), (code + 1).cast("int"))
+                .getField("__sv"),
+              slice(graft.functions.Vectors.toDouble(col("embedding")),
+                b.getField("__sub") * lit(16) + lit(1), lit(16)))),
+          lit(0.0), (acc, x) => acc + x).as("err"))
+        .agg(avg(col("err"))).head().getDouble(0)
+    }
+    val seed = Similarity.pqCodebooks(embeddings, "vec_id", "embedding", 4, 8)
+    val trained = Similarity.pqCodebooks(embeddings, "vec_id", "embedding",
+      4, 8, trainIters = 2)
+    val (e0, e1) = (mse(seed), mse(trained))
+    assert(e1 < e0, s"training must reduce reconstruction error: $e0 -> $e1")
+  }
+
+  test("ADC top-k holds a recall floor against exact brute force") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, embeddings,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val books = Similarity.pqCodebooks(embeddings, "vec_id", "embedding",
+      8, 16, trainIters = 1)
+    val index = Similarity.pqIndex(embeddings, "vec_id", "embedding", books)
+    val got = Similarity.pqTopK(index, books, queries,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // The synthetic embeddings are near-random (distance
+    // concentration makes them a PQ worst case); a numpy replay of
+    // this exact algorithm lands ~0.30, so the floor guards against
+    // implementation misalignment (a flat-LUT off-by-one scores
+    // ~0.10), not against the data's intrinsic difficulty.
+    val recall = exact.keys.toSeq.map(q =>
+      (got.getOrElse(q, Set.empty) & exact(q)).size.toDouble / 10).sum / exact.size
+    assert(recall >= 0.25, s"PQ(8x16) recall@10 = $recall, floor 0.25")
+  }
+
+  test("IVF-PQ composes: probing ALL cells equals the flat PQ ranking") {
+    val queries = embeddings.filter(col("vec_id") < 8)
+    val queryIds = queries.select(col("vec_id"))
+    val flatBooks = Similarity.pqCodebooks(embeddings, "vec_id", "embedding", 4, 8)
+    val flat = Similarity.pqTopK(
+      Similarity.pqIndex(embeddings, "vec_id", "embedding", flatBooks),
+      flatBooks, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopKPQ(embeddings, "vec_id", "embedding",
+        queryIds, k = 5, numCells = 4, nprobe = 4, m = 4, ks = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == flat,
+      "nprobe = numCells must degrade IVF-PQ to the flat PQ ranking")
+    // And at nprobe < cells the result per query stays a k-list with
+    // distinct neighbors (the cell routing is a partition, not a
+    // multiset).
+    val narrow = Similarity.ivfTopKPQ(embeddings, "vec_id", "embedding",
+      queryIds, k = 5, numCells = 4, nprobe = 2, m = 4, ks = 8)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    assert(narrow.distinct.length == narrow.length)
+  }
+}

@@ -114,4 +114,23 @@ class RepartitionSpec extends graft.SparkSpec {
       root, Seq("supplier", "status"))
     assert(SnapshotStore.read(spark, root).count() == 1)
   }
+
+  test("SQL spelling: ALTER TABLE ... SET PARTITIONED BY (a, b)") {
+    val root = freshRoot()
+    seed(root)
+    spark.conf.set("spark.sql.catalog.g_respec",
+      classOf[GraftCatalog].getName)
+    val out = spark.sql(
+      s"ALTER TABLE g_respec.`$root` SET PARTITIONED BY (supplier, status)")
+      .collect()
+    assert(out.head.getLong(1) == 2L)
+    assert(SnapshotStore.partitionColumn(spark, root, 2L)
+      .contains("supplier,status"))
+    assert(SnapshotStore.read(spark, root).count() == 40)
+    // And SHOW PARTITIONS reflects the composite cells.
+    val parts = spark.sql(s"SHOW PARTITIONS g_respec.`$root`")
+      .select("partition").as[String].collect()
+    assert(parts.forall(p => p.startsWith("supplier=") &&
+      p.contains("/status=")), parts.mkString(","))
+  }
 }
