@@ -24,9 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // see GraftCatalog's scaladoc for why reads resolve this way.
     ext.injectResolutionRule(session =>
       graft.sinks.ResolveGraftSnapshot(session))
-    // Metadata-only COUNT(*): a global filterless count over a bare
-    // snapshot scan answers from the manifest's stats sidecar — zero
-    // data files opened (Delta's OPTIMIZE_METADATA_ONLY_QUERY shape).
+    // Metadata-only COUNT(*)/COUNT(c)/MIN(c)/MAX(c): a global
+    // filterless aggregate over a bare snapshot scan answers from the
+    // manifest's stats sidecar — zero data files opened (Delta's
+    // OPTIMIZE_METADATA_ONLY_QUERY shape).
     ext.injectOptimizerRule(session =>
       graft.sinks.MetadataCountRule(session))
     // Maintenance SQL Spark's grammar lacks (RESTORE TABLE … TO

@@ -667,6 +667,62 @@ private[graft] object EvolutionQueries {
         JOIN norms qn ON qn.vec_id = s.query_id
         JOIN norms nn ON nn.vec_id = s.neighbor_id)
       SELECT query_id, neighbor_id, pq_score, rank FROM r WHERE rank <= 5
-      ORDER BY query_id, rank"""))
+      ORDER BY query_id, rank""")),
+
+
+    // Metadata-priced MIN/MAX/COUNT(col) (MetadataCountRule over the
+    // stats sidecar): a global filterless aggregate over a bare
+    // snapshot scan is answered with ZERO data files opened — longs,
+    // doubles, micros timestamps, ASCII strings, and null-count
+    // subtraction across MULTIPLE files (two commits), all from
+    // footer-exact sidecar bounds. Require-pinned to the LocalTableScan
+    // plan (no FileScan), so a silently-broken rewrite can't hide
+    // behind a correct scan. Ref: mongodb_loader.py:271-299 stats are
+    // metadata-priced; Delta answers MIN/MAX from the log.
+    ("q197_metadata_minmax", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q197_store")
+        .resolve("t").toString
+      // INT96 (Spark's default parquet timestamp encoding) carries no
+      // replayable footer order — write standard MICROS so the date
+      // column's bounds land in the sidecar like every other engine's
+      // stats (Delta/Iceberg write TIMESTAMP_MICROS for the same reason).
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"))
+      try {
+        graft.sinks.SnapshotStore.commit(s,
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          root, "o_orderstatus")
+        graft.sinks.SnapshotStore.appendCommit(s,
+          orders.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          root, "o_orderstatus")
+      } finally s.conf.unset("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.catalog.graft_q197",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val agg = s.sql(s"""
+        SELECT count(*) AS n, count(cust_n) AS c,
+               min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+               min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+               min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date,
+               min(o_orderstatus) AS mn_status,
+               max(o_orderpriority) AS mx_prio
+        FROM graft_q197.`$root`""")
+      val phys = agg.queryExecution.executedPlan.toString
+      require(phys.contains("LocalTableScan") && !phys.contains("FileScan"),
+        s"metadata aggregate must not open data files:\n$phys")
+      agg
+    }, Some("""
+      SELECT count(*) AS n,
+             count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_custkey END) AS c,
+             min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+             min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+             min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date,
+             min(o_orderstatus) AS mn_status,
+             max(o_orderpriority) AS mx_prio
+      FROM orders"""))
   )
 }

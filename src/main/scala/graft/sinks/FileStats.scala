@@ -270,6 +270,31 @@ object FileStats {
     case _ => None
   }
 
+  /** Fold per-file bounds into the table-wide MIN (or MAX) bound,
+    * using exactly the order discipline [[cmp]] can replay: "num" as
+    * exact BigDecimal, "str" only when every bound is pure ASCII.
+    * None = undecidable somewhere (NaN/Inf bound, non-ASCII string) —
+    * the caller keeps the scan. Input must be non-empty. */
+  private[sinks] def reduceBound(tpe: String, bounds: Seq[String],
+                                 wantMin: Boolean): Option[String] =
+    bounds.tail.foldLeft(Option(bounds.head)) { (accOpt, b) =>
+      accOpt.flatMap(a => cmpBounds(tpe, a, b).map(c =>
+        if (wantMin == (c <= 0)) a else b))
+    }
+
+  /** Three-way compare of two sidecar bound strings — the bound-vs-
+    * bound sibling of [[cmp]], with the same decidability rules. */
+  private def cmpBounds(tpe: String, a: String, b: String): Option[Int] =
+    tpe match {
+      case "num" =>
+        def p(s: String) =
+          try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+        for { x <- p(a); y <- p(b) } yield x.compare(y)
+      case "str" =>
+        if (isAscii(a) && isAscii(b)) Some(a.compareTo(b)) else None
+      case _ => None
+    }
+
   // ---------------------------------------------------------------- //
   // Per-file Bloom filters: point-lookup skipping where min/max       //
   // can't bite (high-cardinality columns in arrival order).           //

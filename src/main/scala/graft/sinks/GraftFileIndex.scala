@@ -68,4 +68,10 @@ class GraftFileIndex(root: Path,
   val totalRows: Option[Long] =
     if (files.forall(_._2.isDefined)) Some(files.map(_._2.get.rows).sum)
     else None
+
+  /** Every listed file's sidecar stats — the input to the
+    * metadata-only MIN/MAX/COUNT(col) rewrite ([[MetadataCountRule]]).
+    * None when any file lacks stats (the rewrite then never fires). */
+  val statsEntries: Option[Seq[FileStats.FileStatsEntry]] =
+    if (files.forall(_._2.isDefined)) Some(files.map(_._2.get)) else None
 }

@@ -80,6 +80,60 @@ class MetadataCountSpec extends graft.SparkSpec {
     assert(SnapshotStore.rowCount(spark, root).contains(100L))
   }
 
+  test("bare MIN/MAX/COUNT(col) answer from metadata: LocalTableScan, no file scan") {
+    val root = freshRoot(); bindCatalog("g_mm")
+    // Two commits = two+ files; qty has nulls in the second batch so
+    // COUNT(qty) must subtract recorded null counts across files.
+    SnapshotStore.commit(spark,
+      (1 to 50).map(i => (s"s$i", "a", Some(i))).toDF("sku", "supplier", "qty"),
+      root, "supplier")
+    SnapshotStore.appendCommit(spark,
+      (51 to 100).map(i =>
+        (s"s$i", "b", if (i % 5 == 0) None else Some(i)))
+        .toDF("sku", "supplier", "qty"), root, "supplier")
+    val df = spark.sql(
+      s"""SELECT min(qty) AS mn, max(qty) AS mx, count(qty) AS c,
+                 count(*) AS n, min(sku) AS smn, max(sku) AS smx
+          FROM g_mm.`$root`""")
+    assert(df.collect().head.toSeq ==
+      Seq(1, 99, 90L, 100L, "s1", "s99"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LocalTableScan"), phys)
+    assert(!phys.contains("FileScan"), phys)
+  }
+
+  test("MIN over an all-null column is metadata NULL; mixed answerable/unanswerable keeps the scan") {
+    val root = freshRoot(); bindCatalog("g_mmn")
+    SnapshotStore.commit(spark,
+      (1 to 10).map(i => (s"s$i", "a", None: Option[Int]))
+        .toDF("sku", "supplier", "qty"), root, "supplier")
+    val df = spark.sql(s"SELECT min(qty) AS mn, max(qty) AS mx, " +
+      s"count(qty) AS c FROM g_mmn.`$root`")
+    assert(df.collect().head.toSeq == Seq(null, null, 0L))
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // SUM has no metadata answer → the whole aggregate keeps the scan
+    // (one unanswerable expression disables the rewrite, not just itself).
+    val mixed = spark.sql(
+      s"SELECT min(qty) AS mn, sum(qty) AS s FROM g_mmn.`$root`")
+    assert(mixed.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(mixed.collect().head.toSeq == Seq(null, null))
+  }
+
+  test("MIN/MAX with a filter or DISTINCT or on a DV table keeps the scan and stays correct") {
+    val root = freshRoot(); bindCatalog("g_mmf")
+    seed(root)
+    val f = spark.sql(s"SELECT max(qty) AS mx FROM g_mmf.`$root` WHERE qty < 7")
+    assert(f.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(f.head().getInt(0) == 6)
+    SnapshotStore.setProperties(spark, root,
+      Seq("graft.enableDeletionVectors" -> "true"))
+    spark.sql(s"DELETE FROM g_mmf.`$root` WHERE qty = 100")
+    val dv = spark.sql(s"SELECT max(qty) AS mx FROM g_mmf.`$root`")
+    assert(!dv.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(dv.head().getInt(0) == 99,
+      "a DV'd max row must not survive through a stale metadata answer")
+  }
+
   test("SHOW PARTITIONS row_count matches per-partition counts and tracks partition deletes") {
     val root = freshRoot(); bindCatalog("g_cntp")
     seed(root)
