@@ -79,6 +79,7 @@ object ScaleSmoke {
     var mpRoot = ""; var cdcRootOne = ""; var cdcRootTwo = "" // round-10 setups
     var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
     var pqBooks: DataFrame = null; var pqIndexDf: DataFrame = null // round-11 PQ
+    var hllSrcRoot = ""; var hllSkRoot = "" // round-11 sketch sync
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -683,6 +684,65 @@ object ScaleSmoke {
           emb0.filter(pmod(col("vec_id"), lit(100)) === 7)
             .select(col("vec_id")),
           k = 10, numCells = 64, nprobe = 2, m = 8, ks = 16).count()
+      },
+      // Metadata-priced aggregates (round 11): the same global
+      // MIN/MAX/COUNT on the 64-file range-laid table, answered (a)
+      // from the stats sidecar (bare SQL — the MetadataCountRule path;
+      // zero data files opened) vs (b) by the scan (an IsNotNull
+      // filter breaks the bare-plan shape without changing the
+      // result: doc_id is never null). At 100 TB (a) stays a sidecar
+      // read while (b) scales with the table.
+      time("meta_agg_sidecar") {
+        spark.conf.set("spark.sql.catalog.g_scale",
+          classOf[graft.sinks.GraftCatalog].getName)
+        spark.sql(s"""SELECT count(*) AS n, min(doc_id) AS mn,
+          max(doc_id) AS mx FROM g_scale.`$skipRoot`""").collect()(0).getLong(0)
+      },
+      time("meta_agg_scan") {
+        graft.sinks.SnapshotStore.read(spark, skipRoot)
+          .filter(col("doc_id").isNotNull)
+          .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+          .collect()(0).getLong(0)
+      },
+      // HLL sketch sync (round 11): the initial build prices as one
+      // corpus scan (the one-off); the insert-only sync prices by the
+      // 1% delta window (sketch the delta, union it into the stored
+      // rows); the delete sync rebuilds ONLY the one touched group
+      // (1/16 of the corpus, bounded by the group semi-join). At
+      // 100 TB the dashboards refresh at delta price, never corpus.
+      time("hll_setup") {
+        hllSrcRoot = java.nio.file.Files
+          .createTempDirectory("graft_scale_hll").toString + "/t"
+        hllSkRoot = java.nio.file.Files
+          .createTempDirectory("graft_scale_hllsk").toString + "/t"
+        graft.sinks.SnapshotStore.commit(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+            .withColumn("author", pmod(col("doc_id"), lit(997))),
+          hllSrcRoot, "part")
+      },
+      time("hll_sync_full_build") {
+        graft.operators.Sketches.hllSync(spark, hllSrcRoot, hllSkRoot,
+          Seq("doc_id"), Seq("part"), Seq("author", "doc_id"))
+      },
+      time("hll_append_setup") {
+        graft.sinks.SnapshotStore.appendCommit(spark,
+          snapBase.filter(pmod(col("doc_id"), lit(100)) === 0)
+            .withColumn("author", pmod(col("doc_id"), lit(997))),
+          hllSrcRoot, "part")
+      },
+      time("hll_sync_insert_delta") {
+        graft.operators.Sketches.hllSync(spark, hllSrcRoot, hllSkRoot,
+          Seq("doc_id"), Seq("part"), Seq("author", "doc_id"))
+      },
+      time("hll_delete_setup") {
+        graft.sinks.SnapshotStore.deleteCommit(spark,
+          snapBase.filter(col("part") === 3 &&
+            pmod(col("doc_id"), lit(100)) === 48).select(col("doc_id")),
+          hllSrcRoot, "doc_id", "part")
+      },
+      time("hll_sync_delete_rebuild") {
+        graft.operators.Sketches.hllSync(spark, hllSrcRoot, hllSkRoot,
+          Seq("doc_id"), Seq("part"), Seq("author", "doc_id"))
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

@@ -723,6 +723,91 @@ private[graft] object EvolutionQueries {
              min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date,
              min(o_orderstatus) AS mn_status,
              max(o_orderpriority) AS mx_prio
-      FROM orders"""))
+      FROM orders""")),
+
+
+    // Mergeable HLL distinct sketches at rest (Sketches.hllSync —
+    // DataSketches HLL via Spark's native hll_* aggregates): a sketch
+    // TABLE maintained incrementally from the source's change feed
+    // across the full lifecycle — initial build, an insert-only window
+    // (sketch the delta, UNION it in), then a delete window (rebuild
+    // only the touched groups; HLL cannot subtract). Require-pins:
+    // each sync is ONE atomic sketch-table commit carrying the source
+    // cursor; the low-cardinality estimates (25 nations) are EXACT (so
+    // they flow into the hashed output straight from the sketches);
+    // the high-cardinality estimates stay within 5% of exact (HLL
+    // lgK=12 RSE ≈ 1.6%). The '<all>' row is a sketch UNION — the
+    // mergeability that makes per-group sketches answer any rollup
+    // without rescanning. Ref: mongodb_loader.py:271-299 metadata-
+    // priced stats; the 100 TB shape is COUNT(DISTINCT) dashboards
+    // priced by the commit delta, never the corpus.
+    ("q198_hll_sketch_sync", (s: SparkSession, d: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q198_store")
+      val srcRoot = base.resolve("src").toString
+      val skRoot = base.resolve("sk").toString
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val sync = () => graft.operators.Sketches.hllSync(s, srcRoot, skRoot,
+        Seq("c_custkey"), Seq("c_mktsegment"),
+        Seq("c_nationkey", "c_custkey"))
+      graft.sinks.SnapshotStore.commit(s,
+        cust.filter(pmod(col("c_custkey"), lit(3)) =!= 0),
+        srcRoot, "c_mktsegment")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, skRoot)
+        .contains(1L), "initial sync must be one commit")
+      graft.sinks.SnapshotStore.appendCommit(s,
+        cust.filter(pmod(col("c_custkey"), lit(3)) === 0),
+        srcRoot, "c_mktsegment")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, skRoot)
+        .contains(2L), "insert-only sync must be one atomic commit")
+      graft.sinks.SnapshotStore.deleteCommit(s,
+        cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey")), srcRoot, "c_custkey", "c_mktsegment")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, skRoot)
+        .contains(3L), "rebuild sync must be one atomic commit")
+      require(graft.sinks.SnapshotStore.tablePropertiesMap(s, skRoot)
+        .get(graft.operators.Sketches.CursorProp).contains("3"),
+        "cursor must ride the sync commit")
+      val sk = graft.sinks.SnapshotStore.read(s, skRoot)
+      val est = graft.operators.Sketches.estimates(sk,
+        Seq("c_mktsegment"), Seq("c_nationkey", "c_custkey"))
+      val exact = graft.sinks.SnapshotStore.read(s, srcRoot)
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_ex"),
+          countDistinct(col("c_custkey")).as("c_ex"))
+      val off = est.join(exact, Seq("c_mktsegment"))
+        .filter(col("c_nationkey_distinct") =!= col("n_ex") ||
+          abs(col("c_custkey_distinct") - col("c_ex")) >
+            col("c_ex") * lit(0.05))
+      require(off.isEmpty,
+        s"sketch estimates drifted: ${off.collect().mkString(";")}")
+      val perSeg = est.join(exact, Seq("c_mktsegment"))
+        .select(col("c_mktsegment").as("segment"),
+          col("c_nationkey_distinct").as("nations_distinct"),
+          col("c_ex").as("custs"))
+      val all = graft.operators.Sketches.globalEstimates(sk,
+        Seq("c_nationkey"))
+        .crossJoin(graft.sinks.SnapshotStore.read(s, srcRoot)
+          .agg(countDistinct(col("c_custkey")).as("custs")))
+        .select(lit("<all>").as("segment"),
+          col("c_nationkey_distinct").as("nations_distinct"),
+          col("custs"))
+      perSeg.unionByName(all).orderBy(col("segment"))
+    }, Some("""
+      WITH survivors AS (
+        SELECT * FROM customer WHERE c_custkey % 10 <> 0)
+      SELECT c_mktsegment AS segment,
+             count(DISTINCT c_nationkey) AS nations_distinct,
+             count(DISTINCT c_custkey) AS custs
+      FROM survivors GROUP BY 1
+      UNION ALL
+      SELECT '<all>' AS segment,
+             count(DISTINCT c_nationkey) AS nations_distinct,
+             count(DISTINCT c_custkey) AS custs
+      FROM survivors
+      ORDER BY segment"""))
   )
 }
