@@ -63,17 +63,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneSnapshotCommand(delegate.parseMultipartIdentifier(target),
         delegate.parseMultipartIdentifier(source),
         Option(version).map(_.toLong), Option(ts))
-    case OptimizePattern(table, where, zcols) =>
+    case OptimizePattern(table, rest) =>
+      val (where, zcols) =
+        GraftSqlParser.parseOptimizeRest(Option(rest).getOrElse(""))
       OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.identifierList(zcols), Option(where))
+        zcols, where)
     case GeneratePattern(table) =>
       GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
-    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, cond, clauseText)
+    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, onRest)
         if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
       // Gated like every other DML case: a MERGE aimed at another
       // catalog (Delta, spark_catalog) must flow to the session parser
       // untouched, not be hijacked into a graft command that fails on
-      // resolveRoot.
+      // resolveRoot. The ON-condition/clause-list boundary and the
+      // clause walk are TOKENIZER splits (top-level WHEN/THEN, CASE-
+      // and string-aware), not lazy regex groups.
+      val (cond, clauseText) = GraftSqlParser.splitOnClauses(onRest)
       MergeIntoSnapshotCommand(
         delegate.parseMultipartIdentifier(table),
         Option(srcIdent), Option(srcQuery),
@@ -84,10 +89,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         delegate.parseMultipartIdentifier(table).head) =>
       DeleteFromSnapshotCommand(
         delegate.parseMultipartIdentifier(table), Option(where))
-    case UpdatePattern(table, setList, where) if isGraftCatalogName(
+    case UpdatePattern(table, rest) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
+      val (setList, where) = GraftSqlParser.splitSetWhere(rest)
       UpdateSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.assignments(setList), Option(where))
+        GraftSqlParser.assignments(setList), where)
     case InsertPattern(table, query) if isGraftCatalogName(
         delegate.parseMultipartIdentifier(table).head) =>
       InsertIntoSnapshotCommand(delegate.parseMultipartIdentifier(table), query)
@@ -207,8 +213,7 @@ object GraftSqlParser {
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?" +
       "\\s*;?\\s*\\z").r
   private val OptimizePattern =
-    (s"(?is)\\A\\s*OPTIMIZE\\s+$ident(?:\\s+WHERE\\s+(.+?))?" +
-      "(?:\\s+ZORDER\\s+BY\\s+\\(([^)]+)\\))?\\s*;?\\s*\\z").r
+    s"(?is)\\A\\s*OPTIMIZE\\s+$ident(\\s+.+?)?\\s*;?\\s*\\z".r
   private val GeneratePattern =
     s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
   // The one MERGE shape the snapshot store executes (the K1 bulk
@@ -222,31 +227,20 @@ object GraftSqlParser {
   private val MergePattern =
     (s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident$aliasOpt" +
       s"\\s+USING\\s+(?:$ident|\\((.+)\\))$aliasOpt" +
-      "\\s+ON\\s+(.+?)" +
-      "((?:\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+?)+)\\s*;?\\s*\\z").r
-  // One WHEN clause of a MERGE: [NOT] MATCHED [AND cond] THEN action.
-  // Actions: UPDATE SET * | UPDATE SET col = expr, … | DELETE |
-  // INSERT *. The lookahead ends each clause at the next WHEN (or the
-  // end), so the scanner below walks the clause list in order — MERGE
-  // semantics are first-matching-clause-wins per row.
-  private val MergeClausePattern =
-    ("(?is)\\s*WHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?" +
-      "(?:\\s+AND\\s+(.+?))?\\s+THEN\\s+" +
-      "(UPDATE\\s+SET\\s+.+?|DELETE|INSERT\\s+\\*|" +
-      "INSERT\\s*\\([^)]*\\)\\s*VALUES\\s*\\(.+?\\))" +
-      "(?=\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b|\\s*\\z)").r
+      "\\s+ON\\s+(.+?)\\s*;?\\s*\\z").r
   private val MergeLoosePattern =
     s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
   // DML on snapshot tables (Delta's DELETE/UPDATE/COPY INTO). Gated on
   // the graft catalog name at the call site — DELETE/UPDATE against
-  // any other table must flow to the session parser untouched. The
-  // UPDATE's lazy SET group splits at the first top-level WHERE; a
-  // quoted string containing " where " inside a SET expression is out
-  // of the supported shape (same regex-surface contract as MERGE).
+  // any other table must flow to the session parser untouched. Regexes
+  // recognize only the statement HEAD; free-text splits (SET/WHERE,
+  // ON/WHEN, clause THEN) go through [[topLevelIndices]] — string-,
+  // backtick-, paren-, and CASE…END-aware — so quoted keywords never
+  // split a statement.
   private val DeletePattern =
     s"(?is)\\A\\s*DELETE\\s+FROM\\s+$ident(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
   private val UpdatePattern =
-    s"(?is)\\A\\s*UPDATE\\s+$ident\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
+    s"(?is)\\A\\s*UPDATE\\s+$ident\\s+SET\\s+(.+?)\\s*;?\\s*\\z".r
   // INSERT INTO <graft table> <query> — the rest of the statement is a
   // query (SELECT … / VALUES …) parsed by the session parser inside
   // the command, so the full query grammar is available.
@@ -411,6 +405,106 @@ object GraftSqlParser {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Positions of top-level occurrences of keyword `kw` in `s`:
+    * word-bounded, case-insensitive, and OUTSIDE single-quoted
+    * strings, backtick identifiers, parens, and CASE…END expressions.
+    * This is the statement-splitting primitive the free-text
+    * recognizers use instead of lazy regex groups — a `' where '`
+    * inside a SET string, a `CASE WHEN … THEN … END` inside a MERGE
+    * condition, or a subquery's own WHERE never split the statement. */
+  private[graft] def topLevelIndices(s: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var depth = 0; var caseDepth = 0
+    var inStr = false; var inTick = false
+    var i = 0
+    val n = s.length
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
+    def wordAt(w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !wordChar(s.charAt(i - 1))) &&
+        (i + w.length >= n || !wordChar(s.charAt(i + w.length)))
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '`' => inTick = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt("case")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt("end")) {
+            caseDepth -= 1; i += 3
+          } else if (depth == 0 && caseDepth == 0 && wordAt(kw)) {
+            out += i; i += kw.length
+          } else i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def firstTopLevel(s: String, kw: String): Int =
+    topLevelIndices(s, kw).headOption.getOrElse(-1)
+
+  /** Split an UPDATE's post-SET text into (set list, optional WHERE
+    * predicate) at the first top-level WHERE. */
+  private[graft] def splitSetWhere(rest: String): (String, Option[String]) =
+    firstTopLevel(rest, "where") match {
+      case -1 => (rest.trim, None)
+      case i => (rest.take(i).trim,
+        Some(rest.substring(i + "where".length).trim))
+    }
+
+  /** A clause start is a top-level WHEN that actually HEADS a merge
+    * clause (`WHEN [NOT] MATCHED …`) — a CASE's WHEN inside a
+    * condition or action never does (and CASE…END is skipped by the
+    * scanner anyway). */
+  private val ClauseHead =
+    "(?is)\\AWHEN\\s+(NOT\\s+)?MATCHED(?:\\s+BY\\s+(SOURCE|TARGET))?\\b(.*)\\z".r
+  private def clauseStarts(s: String): Seq[Int] =
+    topLevelIndices(s, "when")
+      .filter(i => ClauseHead.findFirstIn(s.substring(i)).isDefined)
+
+  /** Split a MERGE's post-ON text into (ON condition, clause text) at
+    * the first clause head. */
+  private[graft] def splitOnClauses(rest: String): (String, String) = {
+    val starts = clauseStarts(rest)
+    require(starts.nonEmpty,
+      "graft MERGE needs at least one WHEN [NOT] MATCHED clause — got: " +
+        rest.trim.take(200))
+    require(starts.head > 0 && rest.take(starts.head).trim.nonEmpty,
+      "graft MERGE ON condition is empty")
+    (rest.take(starts.head).trim, rest.substring(starts.head))
+  }
+
+  /** Parse an OPTIMIZE statement's tail: `[WHERE <pred>] [ZORDER BY
+    * (cols)]`, split at the first top-level ZORDER. */
+  private[graft] def parseOptimizeRest(rest: String): (Option[String], Seq[String]) = {
+    val t = rest.trim
+    if (t.isEmpty) return (None, Nil)
+    val ZTail = "(?is)\\AZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*\\z".r
+    val zIdx = firstTopLevel(t, "zorder")
+    val (head, zcols) = zIdx match {
+      case -1 => (t, Seq.empty[String])
+      case i => t.substring(i) match {
+        case ZTail(cols) => (t.take(i).trim, identifierList(cols))
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE supports ZORDER BY (col, …) — got: ${other.trim.take(120)}")
+      }
+    }
+    val where = head match {
+      case "" => None
+      case w if w.toLowerCase.startsWith("where") &&
+          !Character.isLetterOrDigit(w.charAt(5.min(w.length - 1))) =>
+        Some(w.substring("where".length).trim)
+      case other => throw new IllegalArgumentException(
+        "OPTIMIZE supports OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (cols)] " +
+          s"— got: ${other.trim.take(120)}")
+    }
+    (where, zcols)
+  }
+
   /** Is `name` configured as a graft snapshot catalog in the ACTIVE
     * session? Parse-time gate for the loose MERGE rejection: other
     * catalogs' MERGE statements must keep flowing to the session
@@ -475,17 +569,40 @@ object GraftSqlParser {
     * rejecting text the clause grammar does not cover (a statement
     * must not half-parse). */
   private[graft] def mergeClauses(raw: String): Seq[MergeClause] = {
-    val ms = MergeClausePattern.findAllMatchIn(raw).toSeq
-    val covered = ms.map(m => m.end - m.start).sum
-    require(ms.nonEmpty && covered == raw.length,
+    // Tokenizer walk, not a lazy-regex scan: clause boundaries are the
+    // top-level `WHEN [NOT] MATCHED` heads (a CASE's WHEN inside a
+    // condition or action never splits — the scanner skips CASE…END,
+    // strings, backticks, and parens), and each clause splits at its
+    // first top-level THEN. MERGE semantics stay first-matching-
+    // clause-wins per row, in statement order.
+    val starts = clauseStarts(raw)
+    require(starts.nonEmpty && raw.take(starts.headOption.getOrElse(0)).trim.isEmpty,
       "graft MERGE clauses must each be WHEN [NOT] MATCHED [AND <cond>] " +
         "THEN UPDATE SET */UPDATE SET col = expr, …/DELETE/INSERT * — " +
         s"could not parse: ${raw.trim.take(200)}")
-    val clauses = ms.map { m =>
+    val segs = starts.zip(starts.tail :+ raw.length)
+      .map { case (a, b) => raw.substring(a, b).trim }
+    val clauses = segs.map { seg =>
+      val m = ClauseHead.findFirstMatchIn(seg).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft MERGE: malformed clause head: ${seg.take(120)}"))
       val notMatched = m.group(1) != null
       val by = Option(m.group(2)).map(_.trim.toUpperCase)
-      val cond = Option(m.group(3)).map(_.trim)
-      val action = m.group(4).trim
+      val rest = m.group(3)
+      val thenIdx = firstTopLevel(rest, "then")
+      require(thenIdx >= 0,
+        s"graft MERGE clause has no top-level THEN: ${seg.take(120)} — " +
+          "parenthesize a CASE expression used in the clause condition")
+      val pre = rest.take(thenIdx).trim
+      val AndHead = "(?is)\\AAND\\b(.*)\\z".r
+      val cond = pre match {
+        case "" => None
+        case AndHead(c) => Some(c.trim)
+        case other => throw new IllegalArgumentException(
+          s"graft MERGE clause condition must start with AND — got: " +
+            other.take(120))
+      }
+      val action = rest.substring(thenIdx + "then".length).trim
       val lower = action.toLowerCase
       require(notMatched || by.isEmpty,
         s"BY ${by.getOrElse("")} only qualifies WHEN NOT MATCHED")

@@ -245,6 +245,24 @@ class DmlSqlSpec extends SparkSpec {
     assert(got == Set(("p1", 100, 1), ("p2", 2, 200)))
   }
 
+  test("UPDATE SET/WHERE split is tokenizer-based: ' where ' inside a SET string does not split") {
+    val root = s"${freshDir()}/t"
+    bindCatalog("graft_dml_tok")
+    Seq(("p1", "a", "x", 1), ("p2", "a", "y", 2))
+      .toDF("product_id", "supplier", "note", "qty")
+      .write.format("graft-snapshot").option("partitionCol", "supplier")
+      .save(root)
+    spark.sql(s"UPDATE graft_dml_tok.`$root` " +
+      "SET note = ' where qty then when ' WHERE product_id = 'p1'")
+    val got = SnapshotStore.read(spark, root)
+      .select("product_id", "note").as[(String, String)].collect().toSet
+    assert(got == Set(("p1", " where qty then when "), ("p2", "y")))
+    // And OPTIMIZE's WHERE/ZORDER split skips strings the same way.
+    val out = spark.sql(s"OPTIMIZE graft_dml_tok.`$root` " +
+      "WHERE supplier != ' zorder by (x) ' ZORDER BY (qty)").collect()
+    assert(out.nonEmpty)
+  }
+
   test("UPDATE casts back to the column's type and leaves non-matching rows bit-stable") {
     val root = s"${freshDir()}/t"
     bindCatalog("graft_dml5")

@@ -239,6 +239,30 @@ class MergeSqlSpec extends SparkSpec {
     assert(v2 == 2L, "an all-no-op MERGE must not publish an empty commit")
   }
 
+  test("tokenizer recognizer: keywords inside strings and CASE expressions never split the statement") {
+    val root = freshRoot()
+    bindCatalog("g_tok")
+    SnapshotStore.commit(spark, Seq(("s1", "a", 1, "x"), ("s2", "a", 2, "x"))
+      .toDF("sku", "supplier", "qty", "note"), root, "supplier")
+    Seq(("s1", "a", 10), ("s2", "a", 20), ("s3", "a", 30))
+      .toDF("sku", "supplier", "qty").createOrReplaceTempView("tok_src")
+    // The ON condition and a clause condition both contain CASE
+    // WHEN…THEN…END at TOP LEVEL, a SET value contains the literal
+    // ' when matched then ', and a condition contains ' then '.
+    spark.sql(
+      s"MERGE INTO g_tok.`$root` t USING tok_src s ON t.sku = s.sku " +
+        "WHEN MATCHED AND CASE WHEN s.qty > 15 THEN true ELSE false END " +
+        "THEN UPDATE SET qty = s.qty, note = ' when matched then ' " +
+        "WHEN MATCHED AND t.note = ' then ' THEN DELETE " +
+        "WHEN NOT MATCHED THEN INSERT (sku, supplier, qty, note) " +
+        "VALUES (s.sku, s.supplier, CASE WHEN s.qty > 25 THEN -1 ELSE s.qty END, 'i')")
+      .collect()
+    val out = SnapshotStore.read(spark, root).orderBy("sku")
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(out == Seq(("s1", "a", 1, "x"),
+      ("s2", "a", 20, " when matched then "), ("s3", "a", -1, "i")), out)
+  }
+
   test("null ON keys never match (Delta semantics): the null-keyed row survives a MATCHED DELETE") {
     val root = freshRoot()
     bindCatalog("g_nullk")
