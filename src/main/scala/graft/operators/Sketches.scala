@@ -141,12 +141,21 @@ object Sketches {
           } else {
             // Deletes/updates: HLL cannot subtract — rebuild exactly
             // the touched groups from the current snapshot; groups
-            // with no surviving rows leave the sketch table.
+            // with no surviving rows leave the sketch table. A small
+            // touched set (the overwhelmingly common window) becomes a
+            // literal predicate so partition pruning and stats
+            // skipping bound the rebuild SCAN, not just the rows — a
+            // semi-join alone would filter after reading every file.
             val touched = feed.select(groupCols.map(col): _*).distinct()
-            val rebuilt = hllProfile(
-              SnapshotStore.read(spark, srcRoot)
-                .join(broadcast(touched), groupCols, "left_semi"),
-              groupCols, cols, storedLgK)
+            val few = touched.limit(1001).collect()
+            val src = SnapshotStore.read(spark, srcRoot)
+            val scoped =
+              if (few.length <= 1000 && few.nonEmpty)
+                src.filter(few.map(r => groupCols.zipWithIndex.map {
+                  case (g, i) => col(g) === lit(r.get(i))
+                }.reduce(_ && _)).reduce(_ || _))
+              else src.join(broadcast(touched), groupCols, "left_semi")
+            val rebuilt = hllProfile(scoped, groupCols, cols, storedLgK)
             val vanished = touched.join(rebuilt, groupCols, "left_anti")
             SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
               withBucket(rebuilt), Some(vanished), groupCols, Bucket,

@@ -27,6 +27,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("l_comment"), "column pruning lost: l_comment read")
   }
 
+  test("a small snapshot table auto-broadcasts: manifest-priced sizeInBytes drives join strategy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = s"${java.nio.file.Files.createTempDirectory("planshape_bc")}/t"
+    graft.sinks.SnapshotStore.commit(spark,
+      (1 to 50).map(i => (i.toLong, s"dim$i", "x")).toDF("k", "name", "part"),
+      root, "part")
+    val big = spark.range(100000).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    val joined = big.join(graft.sinks.SnapshotStore.read(spark, root), Seq("k"))
+    val p = joined.queryExecution.executedPlan.toString
+    // GraftFileIndex.sizeInBytes comes from the stats sidecar (zero
+    // filesystem calls), so Catalyst sees the true small size and
+    // picks the broadcast build side — the planning property a 100 TB
+    // fact-dim join rests on.
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(joined.count() == 50)
+  }
+
   test("q10: small part dimension joins via broadcast, not shuffle") {
     assume(available)
     val p = plan("q10_dim_join_brand")

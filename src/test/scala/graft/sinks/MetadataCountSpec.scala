@@ -134,6 +134,22 @@ class MetadataCountSpec extends graft.SparkSpec {
       "a DV'd max row must not survive through a stale metadata answer")
   }
 
+  test("time travel answers from THAT version's sidecar, still metadata-only") {
+    val root = freshRoot(); bindCatalog("g_cnttt")
+    seed(root)
+    spark.sql(s"DELETE FROM g_cnttt.`$root` WHERE supplier = 'a'")
+    val cur = spark.sql(s"SELECT count(*) AS n, max(qty) AS mx FROM g_cnttt.`$root`")
+    assert(cur.collect().head.toSeq == Seq(50L, 99),
+      "current version: b-rows only (odd qty, max 99)")
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n, max(qty) AS mx FROM g_cnttt.`$root` VERSION AS OF 1")
+    assert(v1.collect().head.toSeq == Seq(100L, 100))
+    Seq(cur, v1).foreach { df =>
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("LocalTableScan") && !phys.contains("FileScan"), phys)
+    }
+  }
+
   test("SHOW PARTITIONS row_count matches per-partition counts and tracks partition deletes") {
     val root = freshRoot(); bindCatalog("g_cntp")
     seed(root)
