@@ -715,8 +715,11 @@ object ScaleSmoke {
           .createTempDirectory("graft_scale_hll").toString + "/t"
         hllSkRoot = java.nio.file.Files
           .createTempDirectory("graft_scale_hllsk").toString + "/t"
+        // The held-out window lives in ONE partition (part 4; doc_id ≡
+        // 100 mod 400 ⊂ part 4), so the later append prices as a
+        // single-partition delta — the shape the change feed bounds.
         graft.sinks.SnapshotStore.commit(spark,
-          snapBase.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+          snapBase.filter(pmod(col("doc_id"), lit(400)) =!= 100)
             .withColumn("author", pmod(col("doc_id"), lit(997))),
           hllSrcRoot, "part")
       },
@@ -726,7 +729,7 @@ object ScaleSmoke {
       },
       time("hll_append_setup") {
         graft.sinks.SnapshotStore.appendCommit(spark,
-          snapBase.filter(pmod(col("doc_id"), lit(100)) === 0)
+          snapBase.filter(pmod(col("doc_id"), lit(400)) === 100)
             .withColumn("author", pmod(col("doc_id"), lit(997))),
           hllSrcRoot, "part")
       },
@@ -734,10 +737,12 @@ object ScaleSmoke {
         graft.operators.Sketches.hllSync(spark, hllSrcRoot, hllSkRoot,
           Seq("doc_id"), Seq("part"), Seq("author", "doc_id"))
       },
+      // Delete keys ≡ 19 mod 400 — all inside part 3 (19 mod 16 = 3),
+      // so the rebuild must touch exactly one group.
       time("hll_delete_setup") {
         graft.sinks.SnapshotStore.deleteCommit(spark,
-          snapBase.filter(col("part") === 3 &&
-            pmod(col("doc_id"), lit(100)) === 48).select(col("doc_id")),
+          snapBase.filter(pmod(col("doc_id"), lit(400)) === 19)
+            .select(col("doc_id")),
           hllSrcRoot, "doc_id", "part")
       },
       time("hll_sync_delete_rebuild") {

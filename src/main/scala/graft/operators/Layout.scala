@@ -45,9 +45,47 @@ object Layout {
     * and a 7-bit one) degenerates to a plain sort on the wide key,
     * because its high bits occupy the z-value's top positions with no
     * partner bits between them. */
+  /** Order-preserving numeric surrogate for a z-order key: numerics
+    * cast straight to double; STRINGS map to an 8-UTF-8-byte window
+    * read as an unsigned big-endian integer (hex → base-10 via
+    * codegen'd builtins, no UDF). Unsigned byte order IS code-point
+    * order, so the surrogate preserves the string order the per-file
+    * min/max stats prune on ([[graft.sinks.FileStats]] ASCII/prefix
+    * rules). The window starts AFTER the column's global common
+    * prefix (the byte-LCP of its min and max — every value in a
+    * lexicographic interval shares it), so key spaces like
+    * `Customer#000000042` spread over their distinguishing bytes
+    * instead of collapsing onto one shared-prefix value. One tiny
+    * min/max agg per string key — a layout rewrite is offline, and
+    * the rank pass scans anyway. NULL and too-short strings rank as
+    * 0 (clustered together, like numeric zero). */
+  private def surrogate(df: DataFrame, k: Column): Column =
+    df.select(k).schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val r = df.agg(min(k), max(k)).collect()(0)
+        val lcp =
+          if (r.isNullAt(0) || r.isNullAt(1)) 0
+          else {
+            val a = r.getString(0).getBytes("UTF-8")
+            val b = r.getString(1).getBytes("UTF-8")
+            val n = math.min(a.length, b.length)
+            var i = 0
+            while (i < n && a(i) == b(i)) i += 1
+            // Keep at least one byte so a constant column still maps
+            // to a non-null constant surrogate (rank 0), not NULL.
+            math.min(i, math.max(0, n - 1))
+          }
+        coalesce(
+          conv(hex(substring(k.cast("binary"), lcp + 1, 8)), 16, 10)
+            .cast("decimal(20,0)").cast("double"),
+          lit(0.0))
+      case _ => k.cast("double")
+    }
+
   def zorderBy(df: DataFrame, keys: Seq[Column], numFiles: Int,
                bits: Int): DataFrame = {
-    val mm = keys.flatMap(k => Seq(min(k.cast("double")), max(k.cast("double"))))
+    val surr = keys.map(k => surrogate(df, k))
+    val mm = surr.flatMap(k => Seq(min(k), max(k)))
     val stats = df.agg(mm.head, mm.tail: _*).collect()(0)
     val buckets = (1L << bits).toDouble
     def rank(c: Column, lo: Double, hi: Double): Column =
@@ -55,7 +93,7 @@ object Layout {
         floor((c.cast("double") - lit(lo)) / lit(math.max(1e-12, hi - lo + 1)) * lit(buckets))
           .cast("long"),
         lit((1L << bits) - 1))
-    val ranked = keys.zipWithIndex.map { case (k, j) =>
+    val ranked = surr.zipWithIndex.map { case (k, j) =>
       rank(k, stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
     }
     val z = zValue(ranked, bits)

@@ -808,6 +808,49 @@ private[graft] object EvolutionQueries {
              count(DISTINCT c_nationkey) AS nations_distinct,
              count(DISTINCT c_custkey) AS custs
       FROM survivors
-      ORDER BY segment"""))
+      ORDER BY segment""")),
+
+
+    // STRING z-order keys (Layout.surrogate: order-preserving
+    // 8-byte-window numeric surrogate after global common-prefix
+    // stripping — a 'SKU#000042' key space spreads over its
+    // distinguishing digits). The fixture z-orders one partition into
+    // 16 files on (sku, c_custkey), then reads a sku PREFIX predicate:
+    // require-pinned, the stats sidecar must prune files (candidate <
+    // total — FileStats.prefixPossible over the string bounds), and
+    // the hashed output is the matching rows themselves, so a
+    // surrogate that broke string ORDER would both mis-prune loudly
+    // and mis-hash.
+    ("q199_string_zorder_skipping", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q199_store")
+        .resolve("t").toString
+      val cust = t(s, d, "customer").select(
+        concat(lit("SKU#"),
+          lpad(pmod(col("c_custkey") * 7919, lit(100000)).cast("string"),
+            6, "0")).as("sku"),
+        col("c_custkey"), col("c_nationkey"))
+      graft.sinks.SnapshotStore.commit(s,
+        cust.withColumn("part", lit("x")), root, "part")
+      graft.sinks.SnapshotStore.compactZOrder(s, root, "part",
+        Seq("sku", "c_custkey"), filesPerPartition = 16)
+      val (tbl, idx) = graft.sinks.SnapshotStore.tableWithIndex(s, root)
+      val out = tbl.filter(col("sku").startsWith("SKU#001"))
+        .select(col("sku"), col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+      out.collect() // drive the scan so the index records its pruning
+      require(idx.totalFiles >= 8,
+        s"fixture must spread into many files, got ${idx.totalFiles}")
+      require(idx.lastCandidateFiles < idx.totalFiles,
+        s"string prefix predicate must prune z-ordered files: " +
+          s"${idx.lastCandidateFiles} of ${idx.totalFiles}")
+      out
+    }, Some("""
+      WITH c AS (
+        SELECT 'SKU#' || lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR),
+                              6, '0') AS sku,
+               c_custkey, c_nationkey
+        FROM customer)
+      SELECT sku, c_custkey, c_nationkey FROM c
+      WHERE sku LIKE 'SKU#001%' ORDER BY c_custkey"""))
   )
 }

@@ -1167,13 +1167,14 @@ private[graft] object SnapshotQueries {
         classOf[graft.sinks.GraftCatalog].getName)
       s.sql(s"DESCRIBE DETAIL graft_q170.`$root`")
         .select(col("format"), col("partition_column"), col("version"),
-          col("num_partitions"),
+          col("num_partitions"), col("num_rows"),
           concat_ws("|", col("constraints")).as("constraints_list"))
     }, Some("""
       SELECT 'graft-snapshot' AS format,
         'o_orderstatus' AS partition_column,
         CAST(2 AS BIGINT) AS version,
         CAST(count(DISTINCT o_orderstatus) AS INT) AS num_partitions,
+        CAST(count(*) AS BIGINT) AS num_rows,
         'price_pos CHECK (o_totalprice > 0)' AS constraints_list
       FROM orders""")),
 

@@ -1562,6 +1562,7 @@ case class DescribeDetailCommand(table: Seq[String])
         StructField("num_files", IntegerType, nullable = false),
         StructField("num_partitions", IntegerType, nullable = false),
         StructField("size_bytes", LongType, nullable = true),
+        StructField("num_rows", LongType, nullable = true),
         StructField("constraints", ArrayType(StringType), nullable = false))))
   }
 
@@ -1582,6 +1583,10 @@ case class DescribeDetailCommand(table: Seq[String])
       SnapshotStore.commitTimestamp(spark, root, cur)
         .map(new java.sql.Timestamp(_)).orNull,
       m.size, m.map(_.partition).distinct.size, size,
+      // DV-adjusted row count from the sidecar — metadata-priced like
+      // everything else in this summary (null if any file lacks stats).
+      SnapshotStore.rowCount(spark, root)
+        .map(java.lang.Long.valueOf).orNull,
       SnapshotStore.tableConstraints(spark, root, cur)
         .map { case (n, e) => s"$n CHECK ($e)" }))
   }

@@ -259,7 +259,7 @@ class DmlSqlSpec extends SparkSpec {
     assert(got == Set(("p1", " where qty then when "), ("p2", "y")))
     // And OPTIMIZE's WHERE/ZORDER split skips strings the same way.
     val out = spark.sql(s"OPTIMIZE graft_dml_tok.`$root` " +
-      "WHERE supplier != ' zorder by (x) ' ZORDER BY (qty)").collect()
+      "WHERE supplier != ' zorder by (x) ' ZORDER BY (product_id)").collect()
     assert(out.nonEmpty)
   }
 

@@ -57,6 +57,36 @@ class LayoutSpec extends SparkSpec {
     assert(ls / gs > 0.9, "fixture broken: linear layout should not prune suppkey")
   }
 
+  test("string keys z-order after common-prefix stripping: both dimensions stay narrow") {
+    // Shared 'SKU#' prefix + zero-padded number: string order equals
+    // the embedded numeric order, so per-file spans of the number
+    // measure how well the STRING key clustered.
+    val n = 20000
+    val rows = (1 to n).map { i =>
+      val a = (i * 7919) % n; val b = (i * 104729) % n
+      (f"SKU#$a%06d", b.toLong)
+    }
+    val df = rows.toDF("sku", "qty")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstr").toString
+    Layout.zorderBy(df, $"sku", $"qty", numFiles = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    val spans = spark.read.parquet(s"$dir/z")
+      .select(substring($"sku", 5, 6).cast("long").as("a"), $"qty")
+      .groupBy(input_file_name())
+      .agg((max($"a") - min($"a")).as("as"), (max($"qty") - min($"qty")).as("qs"))
+      .agg(avg($"as"), avg($"qs")).collect()(0)
+    val (sa, sq) = (spans.getDouble(0) / n, spans.getDouble(1) / n)
+    info(f"string-key span=$sa%.2f qty span=$sq%.2f of global")
+    assert(sa < 0.6, s"string z-order key span too wide: $sa")
+    assert(sq < 0.6, s"numeric partner span too wide: $sq")
+    // Constant and null-bearing string keys still lay out (rank 0).
+    Layout.zorderBy(
+      Seq(("c", 1L), ("c", 2L), (null: String, 3L)).toDF("sku", "qty"),
+      $"sku", $"qty", numFiles = 2)
+      .write.mode("overwrite").parquet(s"$dir/const")
+    assert(spark.read.parquet(s"$dir/const").count() == 3)
+  }
+
   /** Reference N-key round-robin interleave. */
   private def zRefN(ks: Seq[Long], bits: Int): Long = {
     val n = ks.size

@@ -284,7 +284,8 @@ class RestoreHistorySpec extends SparkSpec {
     assert(r.getTimestamp(4) != null)
     assert(r.getInt(5) == 2 && r.getInt(6) == 2) // 2 files, 2 partitions
     assert(r.getLong(7) > 0L)
-    assert(r.getSeq[String](8) == Seq("v_pos CHECK (version > 0)"))
+    assert(r.getLong(8) == 2L) // num_rows, sidecar-priced
+    assert(r.getSeq[String](9) == Seq("v_pos CHECK (version > 0)"))
   }
 
   test("GENERATE symlink_format_manifest FOR TABLE runs purely in SQL") {
