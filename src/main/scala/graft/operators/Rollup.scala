@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotStore
+
+/** Incrementally-maintained EXACT aggregates — a materialized
+  * `GROUP BY` table kept in sync with a snapshot table from its
+  * change feed (incremental view maintenance, the Materialize /
+  * DLT shape).
+  *
+  * The 100 TB contract: a SUM/COUNT dashboard over a mutating corpus
+  * re-prices per COMMIT WINDOW, never per corpus. The update
+  * pre-images the change feed emits ([[SnapshotStore.changes]] with
+  * `preImages = true`, Delta CDF's convention) make the maintenance
+  * exact under arbitrary DML: every removed row SUBTRACTS its old
+  * contribution (sign −1 for `delete`/`update_preimage`) and every
+  * added row adds its new one (+1 for `insert`/`update_postimage`) —
+  * including updates that MOVE a row between groups, because the
+  * pre-image carries the old group value.
+  *
+  * SUM and COUNT are group-invertible, so a sum-only rollup stays
+  * FULLY additive under inserts, updates, and deletes. MIN/MAX are
+  * not invertible — removing the extremum needs a re-look — so groups
+  * that lose rows rebuild from the current snapshot (bounded by a
+  * literal group predicate, so partition pruning and stats skipping
+  * bound the rebuild scan); groups that only gain rows stay additive
+  * via `least`/`greatest`.
+  *
+  * Storage per group: `row_count`, then per sum column its non-null
+  * count `<c>_nn` (the witness that keeps SUM's NULL semantics exact:
+  * a group whose non-null count returns to zero goes back to NULL,
+  * not 0) and `<c>_sum`; per min/max column `<c>_min`/`<c>_max`. The
+  * rollup table is itself a snapshot table, hash-bucketed by group;
+  * the source-version cursor rides each sync commit, so a crashed
+  * sync replays idempotently. Group columns must be non-null (loud
+  * check on the window, like [[Sketches]]). */
+object Rollup {
+
+  /** Rollup-table property carrying the last-synced source version. */
+  val CursorProp = "graft.rollup.sourceVersion"
+
+  private val Bucket = "__bucket"
+  private val NumBuckets = 16
+
+  private def bucketOf(groupCols: Seq[String]): Column =
+    pmod(xxhash64(groupCols.map(col): _*), lit(NumBuckets)).cast("int")
+
+  /** The maintained column names, in storage order. */
+  private def aggNames(sumCols: Seq[String], minMaxCols: Seq[String]): Seq[String] =
+    "row_count" +: (sumCols.flatMap(c => Seq(s"${c}_nn", s"${c}_sum")) ++
+      minMaxCols.flatMap(c => Seq(s"${c}_min", s"${c}_max")))
+
+  /** Direct aggregation in the rollup's storage schema — the full
+    * build, the rebuild of touched groups, and the oracle shape. */
+  def profile(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+              minMaxCols: Seq[String] = Nil): DataFrame = {
+    require(sumCols.nonEmpty || minMaxCols.nonEmpty,
+      "rollup needs at least one aggregated column")
+    val aggs = count(lit(1)).as("row_count") +:
+      (sumCols.flatMap(c => Seq(count(col(c)).as(s"${c}_nn"),
+        sum(col(c)).as(s"${c}_sum"))) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Reader view: the maintained aggregates without the `_nn`
+    * witnesses. */
+  def view(rollup: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
+           minMaxCols: Seq[String] = Nil): DataFrame =
+    rollup.select((groupCols :+ "row_count").map(col) ++
+      sumCols.map(c => col(s"${c}_sum")) ++
+      minMaxCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"))): _*)
+
+  /** Incrementally maintain the rollup at `rollupRoot` for `srcRoot`;
+    * returns the synced source version. */
+  def sync(spark: SparkSession, srcRoot: String, rollupRoot: String,
+           srcKeys: Seq[String], groupCols: Seq[String],
+           sumCols: Seq[String], minMaxCols: Seq[String] = Nil): Long = {
+    require(groupCols.nonEmpty, "rollup sync needs at least one group column")
+    val cur = SnapshotStore.currentVersion(spark, srcRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"rollup sync: no committed source at $srcRoot"))
+    val names = aggNames(sumCols, minMaxCols)
+    def withBucket(df: DataFrame): DataFrame =
+      df.select((groupCols ++ names).map(col): _*)
+        .withColumn(Bucket, bucketOf(groupCols))
+    SnapshotStore.currentVersion(spark, rollupRoot) match {
+      case None =>
+        SnapshotStore.commit(spark,
+          withBucket(profile(SnapshotStore.read(spark, srcRoot),
+            groupCols, sumCols, minMaxCols)),
+          rollupRoot, Bucket,
+          properties = Some(Seq(CursorProp -> cur.toString)))
+        cur
+      case Some(_) =>
+        val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+        val cursor = props.getOrElse(CursorProp,
+          throw new IllegalStateException(
+            s"$rollupRoot exists but carries no $CursorProp — not a rollup table"))
+          .toLong
+        if (cursor == cur) return cur
+        require(cursor < cur,
+          s"rollup cursor v$cursor is ahead of source v$cur — wrong source?")
+        val feed = SnapshotStore.changes(spark, srcRoot, cursor, cur,
+          srcKeys, preImages = true).persist()
+        try {
+          require(feed.filter(groupCols.map(col(_).isNull).reduce(_ || _))
+              .isEmpty,
+            "rollup sync: null group value in the change window — group " +
+              "columns must be non-null")
+          val merged = props.filterNot(_._1 == CursorProp).toSeq :+
+            (CursorProp -> cur.toString)
+          val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), 1).otherwise(-1)
+          // MIN/MAX are not invertible: groups losing rows rebuild.
+          // A sum-only rollup has nothing to rebuild — fully additive.
+          val negGroups =
+            if (minMaxCols.isEmpty) None
+            else Some(feed.filter(sign < 0)
+              .select(groupCols.map(col): _*).distinct())
+          val additiveFeed = negGroups
+            .map(n => feed.join(broadcast(n), groupCols, "left_anti"))
+            .getOrElse(feed)
+          val deltaAggs = sum(sign).as("row_count") +:
+            (sumCols.flatMap(c => Seq(
+              sum(when(col(c).isNull, 0).otherwise(sign)).as(s"${c}_nn"),
+              sum(when(col(c).isNull, lit(null)).otherwise(sign * col(c)))
+                .as(s"${c}_sum"))) ++
+              minMaxCols.flatMap(c => Seq(
+                min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))))
+          val delta = additiveFeed.groupBy(groupCols.map(col): _*)
+            .agg(deltaAggs.head, deltaAggs.tail: _*)
+          val stored = SnapshotStore.read(spark, rollupRoot)
+            .select(groupCols.map(col) ++
+              names.map(c => col(c).as(s"__old_$c")): _*)
+          def old(c: String) = col(s"__old_$c")
+          val mergedRows = delta.join(stored, groupCols, "left").select(
+            groupCols.map(col) ++ Seq(
+              (coalesce(old("row_count"), lit(0L)) + col("row_count"))
+                .as("row_count")) ++
+            sumCols.flatMap { c =>
+              val nn = coalesce(old(s"${c}_nn"), lit(0L)) + col(s"${c}_nn")
+              Seq(nn.as(s"${c}_nn"),
+                when(nn === 0, lit(null))
+                  .otherwise(coalesce(old(s"${c}_sum"), lit(0)) +
+                    coalesce(col(s"${c}_sum"), lit(0))).as(s"${c}_sum"))
+            } ++
+            minMaxCols.flatMap { c =>
+              // Additive groups only GAIN rows here, so the true
+              // extremum is the merge of old and incoming.
+              Seq(least(old(s"${c}_min"), col(s"${c}_min")).as(s"${c}_min"),
+                greatest(old(s"${c}_max"), col(s"${c}_max")).as(s"${c}_max"))
+            }: _*)
+          val keepAdditive = mergedRows.filter(col("row_count") =!= 0)
+          val goneAdditive = mergedRows.filter(col("row_count") === 0)
+            .select(groupCols.map(col): _*)
+          val (rebuilt, goneRebuilt) = negGroups match {
+            case None => (None, None)
+            case Some(n) =>
+              val few = n.limit(1001).collect()
+              val src = SnapshotStore.read(spark, srcRoot)
+              val scoped =
+                if (few.length <= 1000 && few.nonEmpty)
+                  src.filter(few.map(r => groupCols.zipWithIndex.map {
+                    case (g, i) => col(g) === lit(r.get(i))
+                  }.reduce(_ && _)).reduce(_ || _))
+                else src.join(broadcast(n), groupCols, "left_semi")
+              val rb = profile(scoped, groupCols, sumCols, minMaxCols)
+              (Some(rb), Some(n.join(rb, groupCols, "left_anti")))
+          }
+          val upserts = rebuilt.foldLeft(keepAdditive)(_ unionByName _)
+          val deletes = goneRebuilt.foldLeft(goneAdditive)(_ unionByName _)
+          SnapshotStore.upsertDeleteCommit(spark, rollupRoot,
+            withBucket(upserts), Some(deletes), groupCols, Bucket,
+            properties = Some(merged))
+          cur
+        } finally feed.unpersist()
+    }
+  }
+}

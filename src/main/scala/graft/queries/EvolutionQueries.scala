@@ -851,6 +851,110 @@ private[graft] object EvolutionQueries {
                c_custkey, c_nationkey
         FROM customer)
       SELECT sku, c_custkey, c_nationkey FROM c
-      WHERE sku LIKE 'SKU#001%' ORDER BY c_custkey"""))
+      WHERE sku LIKE 'SKU#001%' ORDER BY c_custkey""")),
+
+
+    // Change-feed UPDATE PRE-IMAGES (Delta CDF's convention): with
+    // preImages=true every update emits an update_preimage row
+    // carrying the FROM-version values and an update_postimage row
+    // carrying the TO-version values — the pair downstream incremental
+    // maintenance subtracts/adds (Rollup, q201). The output IS the
+    // feed over a window of updates + inserts + deletes, so a missing
+    // or value-swapped pre-image cannot hash-match.
+    ("q200_cdf_preimages", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q200_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m5 = pmod(col("o_orderkey"), lit(5))
+      graft.sinks.SnapshotStore.commit(s, orders.filter(m5 =!= 4),
+        root, "o_orderstatus")
+      graft.sinks.SnapshotStore.upsertDeleteCommit(s, root,
+        orders.filter(m5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .unionByName(orders.filter(m5 === 4)),
+        Some(orders.filter(m5 === 1).select(col("o_orderkey"))),
+        "o_orderkey", "o_orderstatus")
+      graft.sinks.SnapshotStore.changes(s, root, 1L, 2L,
+          Seq("o_orderkey"), preImages = true)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("_change_type"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             'update_preimage' AS _change_type
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0,
+             'update_postimage'
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'insert'
+      FROM orders WHERE o_orderkey % 5 = 4
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+      FROM orders WHERE o_orderkey % 5 = 1
+      ORDER BY o_orderkey, _change_type""")),
+
+
+    // Incrementally-maintained EXACT aggregates (Rollup.sync — IVM on
+    // the pre-image feed): a materialized GROUP BY table kept in sync
+    // across build → insert window → mixed update+delete window.
+    // SUM/COUNT maintain additively in every window (pre-images
+    // subtract removed contributions); the MIN/MAX column forces the
+    // losing groups through the bounded rebuild. Require-pins: ONE
+    // atomic rollup commit per sync, cursor rides it. The output is
+    // the final rollup table and DuckDB aggregates the derived final
+    // state directly — any drift (a stale sum, a max that survived
+    // its row's deletion, a NULL sum collapsed to 0) breaks the hash.
+    ("q201_incremental_rollup", (s: SparkSession, d: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q201_store")
+      val srcRoot = base.resolve("src").toString
+      val rollRoot = base.resolve("roll").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("price"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"))
+      val sync = () => graft.operators.Rollup.sync(s, srcRoot, rollRoot,
+        Seq("o_orderkey"), Seq("o_orderstatus"),
+        Seq("cust_n"), Seq("price"))
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.upsertDeleteCommit(s, srcRoot,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) =!= 9)
+          .withColumn("price", col("price") + 500.0),
+        Some(orders.filter(pmod(col("o_orderkey"), lit(10)) === 9)
+          .select(col("o_orderkey"))),
+        "o_orderkey", "o_orderstatus")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, rollRoot)
+        .contains(3L), "one atomic rollup commit per sync window")
+      require(graft.sinks.SnapshotStore.tablePropertiesMap(s, rollRoot)
+        .get(graft.operators.Rollup.CursorProp).contains("3"),
+        "cursor must ride the sync commit")
+      graft.operators.Rollup.view(
+          graft.sinks.SnapshotStore.read(s, rollRoot),
+          Seq("o_orderstatus"), Seq("cust_n"), Seq("price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      WITH fin AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+               ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 11 = 0 THEN NULL
+               ELSE o_custkey END AS cust_n
+        FROM orders WHERE o_orderkey % 10 <> 9)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS row_count,
+             CAST(sum(cust_n) AS BIGINT) AS cust_n_sum,
+             min(price) AS price_min, max(price) AS price_max
+      FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -371,7 +371,23 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * commit paths; canonicalize upstream (sorted `map_entries`) if
     * feeding maps built in varying orders. */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
-              toVersion: Long, keyCols: ColSpec): DataFrame = {
+              toVersion: Long, keyCols: ColSpec): DataFrame =
+    changes(spark, root, fromVersion, toVersion, keyCols, preImages = false)
+
+  /** [[changes]] with Delta CDF's pre-image convention: when
+    * `preImages` is set, each update emits TWO rows —
+    * `update_preimage` carrying the from-version values and
+    * `update_postimage` carrying the to-version values — instead of
+    * one `update` row with post-values. Pre-images are what make
+    * DOWNSTREAM incremental maintenance exact: a consumer can
+    * subtract the old contribution and add the new one
+    * ([[graft.operators.Rollup]]), including when the update MOVES a
+    * row between groups (the pre-image carries the old group value).
+    * One pass over the same diff join — the pair is exploded from an
+    * array, never a second join. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long, keyCols: ColSpec,
+              preImages: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "change feed needs at least one key column")
     require(fromVersion != toVersion,
       s"change feed needs two distinct versions, got $fromVersion twice")
@@ -407,14 +423,29 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       struct(dataCols.map(comparable): _*).as(s"_${side}_cmp"): _*)
     val j = sided(fA, "from").join(sided(tA, "to"), keyCols.cols, "full_outer")
       .filter(!(col("_from_cmp") <=> col("_to_cmp")))
-    val payload = when(col("_to_row").isNull, col("_from_row"))
-      .otherwise(col("_to_row"))
-    val changeType = when(col("_from_row").isNull, lit("insert"))
-      .when(col("_to_row").isNull, lit("delete"))
-      .otherwise(lit("update"))
-    j.select(keyCols.cols.map(col) ++
-      dataCols.map(c => payload.getField(c).as(c))
-      :+ changeType.as("_change_type"): _*)
+    if (!preImages) {
+      val payload = when(col("_to_row").isNull, col("_from_row"))
+        .otherwise(col("_to_row"))
+      val changeType = when(col("_from_row").isNull, lit("insert"))
+        .when(col("_to_row").isNull, lit("delete"))
+        .otherwise(lit("update"))
+      j.select(keyCols.cols.map(col) ++
+        dataCols.map(c => payload.getField(c).as(c))
+        :+ changeType.as("_change_type"): _*)
+    } else {
+      def pair(row: Column, tpe: String): Column =
+        struct(row.as("p"), lit(tpe).as("t"))
+      val pairs = when(col("_from_row").isNull,
+          array(pair(col("_to_row"), "insert")))
+        .when(col("_to_row").isNull,
+          array(pair(col("_from_row"), "delete")))
+        .otherwise(array(pair(col("_from_row"), "update_preimage"),
+          pair(col("_to_row"), "update_postimage")))
+      j.select(keyCols.cols.map(col) :+ explode(pairs).as("__chg"): _*)
+        .select(keyCols.cols.map(col) ++
+          dataCols.map(c => col("__chg").getField("p").getField(c).as(c))
+          :+ col("__chg").getField("t").as("_change_type"): _*)
+    }
   }
 
   /** Compact small files: rewrite the selected partitions (default:
