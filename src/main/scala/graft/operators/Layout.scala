@@ -75,9 +75,13 @@ object Layout {
             // to a non-null constant surrogate (rank 0), not NULL.
             math.min(i, math.max(0, n - 1))
           }
+        // Right-pad the hex window to 16 digits (8 zero bytes) so a
+        // SHORTER string never reads as a bigger integer than a longer
+        // one it precedes ('b' vs 'aa': 0x62_00… > 0x61_61… — without
+        // the pad 0x62 < 0x6161 inverts the order).
         coalesce(
-          conv(hex(substring(k.cast("binary"), lcp + 1, 8)), 16, 10)
-            .cast("decimal(20,0)").cast("double"),
+          conv(rpad(hex(substring(k.cast("binary"), lcp + 1, 8)), 16, "0"),
+            16, 10).cast("decimal(20,0)").cast("double"),
           lit(0.0))
       case _ => k.cast("double")
     }

@@ -160,15 +160,10 @@ object Rollup {
           val (rebuilt, goneRebuilt) = negGroups match {
             case None => (None, None)
             case Some(n) =>
-              val few = n.limit(1001).collect()
-              val src = SnapshotStore.read(spark, srcRoot)
-              val scoped =
-                if (few.length <= 1000 && few.nonEmpty)
-                  src.filter(few.map(r => groupCols.zipWithIndex.map {
-                    case (g, i) => col(g) === lit(r.get(i))
-                  }.reduce(_ && _)).reduce(_ || _))
-                else src.join(broadcast(n), groupCols, "left_semi")
-              val rb = profile(scoped, groupCols, sumCols, minMaxCols)
+              val rb = profile(
+                GroupScope.scope(SnapshotStore.read(spark, srcRoot),
+                  n, groupCols),
+                groupCols, sumCols, minMaxCols)
               (Some(rb), Some(n.join(rb, groupCols, "left_anti")))
           }
           val upserts = rebuilt.foldLeft(keepAdditive)(_ unionByName _)

@@ -625,7 +625,7 @@ object Similarity {
     * Result: (query_id, neighbor_id, pq_score, rank). */
   def pqTopK(index: DataFrame, books: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = pqQuerySide(books, queries, idCol, vecCol)
+    val q = pqQuerySide(books, queries, idCol, vecCol, subDim(books))
     val scored = index.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
     rankAdc(scored, booksKs(books), k)
@@ -636,6 +636,11 @@ object Similarity {
     * PQ codes — (cell, neighbor_id, neighbor_norm, pq_codes). */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  cents: DataFrame, books: DataFrame): DataFrame =
+    ivfPqIndex(corpus, idCol, vecCol, cents, books, subDim(books))
+
+  private def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         cents: DataFrame, books: DataFrame,
+                         ds: Int): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .withColumn("__cell",
         element_at(rankedCells(col(vecCol), col("__cents")), 1))
@@ -644,7 +649,7 @@ object Similarity {
         Vectors.norm(col(vecCol)).as("neighbor_norm"),
         Vectors.toDouble(col(vecCol)).as("__v"), col("__books"))
       .select(col("__cell"), col("neighbor_id"), col("neighbor_norm"),
-        pqCodesExpr(col("__v"), subDim(books)).as("pq_codes"))
+        pqCodesExpr(col("__v"), ds).as("pq_codes"))
 
   /** IVF-PQ ANN top-k — the faiss `IVFx,PQm` composition: nprobe
     * bounds WHICH fraction of the corpus a query touches, PQ bounds
@@ -657,11 +662,17 @@ object Similarity {
                 queryIds: DataFrame, k: Int,
                 numCells: Int = 16, nprobe: Int = 2,
                 m: Int = 4, ks: Int = 16, trainIters: Int = 0): DataFrame = {
+    // One tiny one-row action for dim; ds and ks then travel as ints —
+    // deriving them from the (unpersisted) books frame would re-run
+    // the codebook aggregation once per probe-side consumer.
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val ds = dim / m
     val cents = ivfCentroids(corpus, idCol, vecCol, numCells, trainIters)
     val books = pqCodebooks(corpus, idCol, vecCol, m, ks, trainIters)
-    val index = ivfPqIndex(corpus, idCol, vecCol, cents, books)
+    val index = ivfPqIndex(corpus, idCol, vecCol, cents, books, ds)
     val queries = corpus.join(queryIds, Seq(idCol), "left_semi")
-    val q = pqQuerySide(books, queries, idCol, vecCol)
+    val q = pqQuerySide(books, queries, idCol, vecCol, ds)
       .join(queries.crossJoin(broadcast(cents))
         .select(col(idCol).as("query_id"),
           explode(slice(rankedCells(col(vecCol), col("__cents")), 1, nprobe))
@@ -669,7 +680,7 @@ object Similarity {
         Seq("query_id"))
     val scored = index.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    rankAdc(scored, booksKs(books), k)
+    rankAdc(scored, ks, k)
   }
 
   /** Subspace width recorded in a books frame. */
@@ -685,8 +696,7 @@ object Similarity {
   /** Query side of an ADC probe: (query_id, __qnorm, __lut) where
     * __lut is the FLATTENED m×ks table (flat index sub·ks + code). */
   private def pqQuerySide(books: DataFrame, queries: DataFrame,
-                          idCol: String, vecCol: String): DataFrame = {
-    val ds = subDim(books)
+                          idCol: String, vecCol: String, ds: Int): DataFrame =
     queries.crossJoin(broadcast(books))
       .select(col(idCol).as("query_id"),
         Vectors.norm(col(vecCol)).as("__qnorm"),
@@ -697,7 +707,6 @@ object Similarity {
             Vectors.dot(
               slice(col("__qv"), b.getField("__sub") * lit(ds) + lit(1), lit(ds)),
               c.getField("__sv"))))).as("__lut"))
-  }
 
   /** Σ of m LUT lookups, normalized by both norms, ranked per query.
     * The flat-index arithmetic ((sub·ks + code) + 1, 1-based) is the

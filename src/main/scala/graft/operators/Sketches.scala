@@ -109,15 +109,19 @@ object Sketches {
         if (cursor == cur) return cur
         require(cursor < cur,
           s"sketch cursor v$cursor is ahead of source v$cur — wrong source?")
-        val feed = SnapshotStore.changes(spark, srcRoot, cursor, cur, srcKeys)
-          .persist()
+        // Pre-images matter here too: an update that REGROUPS a row
+        // must mark the OLD group touched (its sketch holds hashes of
+        // rows that left), and the old group value only travels on the
+        // update_preimage row.
+        val feed = SnapshotStore.changes(spark, srcRoot, cursor, cur,
+          srcKeys, preImages = true).persist()
         try {
           require(feed.filter(groupCols.map(col(_).isNull)
               .reduce(_ || _)).isEmpty,
             "hllSync: null group value in the change window — group " +
               "columns must be non-null")
-          val merged = SnapshotStore.tablePropertiesMap(spark, sketchRoot)
-            .filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
+          val merged =
+            props.filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
           val hasDoom =
             !feed.filter(col("_change_type") =!= "insert").isEmpty
           if (!hasDoom) {
@@ -147,15 +151,10 @@ object Sketches {
             // skipping bound the rebuild SCAN, not just the rows — a
             // semi-join alone would filter after reading every file.
             val touched = feed.select(groupCols.map(col): _*).distinct()
-            val few = touched.limit(1001).collect()
-            val src = SnapshotStore.read(spark, srcRoot)
-            val scoped =
-              if (few.length <= 1000 && few.nonEmpty)
-                src.filter(few.map(r => groupCols.zipWithIndex.map {
-                  case (g, i) => col(g) === lit(r.get(i))
-                }.reduce(_ && _)).reduce(_ || _))
-              else src.join(broadcast(touched), groupCols, "left_semi")
-            val rebuilt = hllProfile(scoped, groupCols, cols, storedLgK)
+            val rebuilt = hllProfile(
+              GroupScope.scope(SnapshotStore.read(spark, srcRoot),
+                touched, groupCols),
+              groupCols, cols, storedLgK)
             val vanished = touched.join(rebuilt, groupCols, "left_anti")
             SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
               withBucket(rebuilt), Some(vanished), groupCols, Bucket,

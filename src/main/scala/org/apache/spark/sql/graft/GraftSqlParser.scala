@@ -63,7 +63,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       CloneSnapshotCommand(delegate.parseMultipartIdentifier(target),
         delegate.parseMultipartIdentifier(source),
         Option(version).map(_.toLong), Option(ts))
-    case OptimizePattern(table, rest) =>
+    case OptimizePattern(table, rest) if isGraftCatalogName(
+        delegate.parseMultipartIdentifier(table).head) =>
+      // Gated like the DML cases: another engine's OPTIMIZE dialect
+      // (or a table in another catalog) flows to the session parser
+      // untouched instead of failing on OUR tail grammar.
       val (where, zcols) =
         GraftSqlParser.parseOptimizeRest(Option(rest).getOrElse(""))
       OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
@@ -406,16 +410,19 @@ object GraftSqlParser {
   }
 
   /** Positions of top-level occurrences of keyword `kw` in `s`:
-    * word-bounded, case-insensitive, and OUTSIDE single-quoted
-    * strings, backtick identifiers, parens, and CASE…END expressions.
-    * This is the statement-splitting primitive the free-text
-    * recognizers use instead of lazy regex groups — a `' where '`
-    * inside a SET string, a `CASE WHEN … THEN … END` inside a MERGE
-    * condition, or a subquery's own WHERE never split the statement. */
+    * word-bounded, case-insensitive, and OUTSIDE string literals
+    * (single- OR double-quoted, with both backslash and
+    * doubled-quote escapes — Spark reads `"…"` as a string by
+    * default), backtick identifiers (`` `` `` doubling), parens, and
+    * CASE…END expressions. This is the statement-splitting primitive
+    * the free-text recognizers use instead of lazy regex groups — a
+    * `' where '` inside a SET string, a `CASE WHEN … THEN … END`
+    * inside a MERGE condition, or a subquery's own WHERE never split
+    * the statement. */
   private[graft] def topLevelIndices(s: String, kw: String): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var depth = 0; var caseDepth = 0
-    var inStr = false; var inTick = false
+    var quote: Char = 0 // active string/identifier delimiter, 0 = none
     var i = 0
     val n = s.length
     def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '$'
@@ -425,11 +432,15 @@ object GraftSqlParser {
         (i + w.length >= n || !wordChar(s.charAt(i + w.length)))
     while (i < n) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
-      else if (inTick) { if (c == '`') inTick = false; i += 1 }
-      else c match {
-        case '\'' => inStr = true; i += 1
-        case '`' => inTick = true; i += 1
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 2 // backslash escape
+        else if (c == quote) {
+          // Doubled delimiter = escaped delimiter, stay inside.
+          if (i + 1 < n && s.charAt(i + 1) == quote) i += 2
+          else { quote = 0; i += 1 }
+        } else i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ =>

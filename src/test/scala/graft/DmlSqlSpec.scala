@@ -261,6 +261,15 @@ class DmlSqlSpec extends SparkSpec {
     val out = spark.sql(s"OPTIMIZE graft_dml_tok.`$root` " +
       "WHERE supplier != ' zorder by (x) ' ZORDER BY (product_id)").collect()
     assert(out.nonEmpty)
+    // Double-quoted strings (Spark reads them as literals) and
+    // escaped quotes don't split either.
+    spark.sql(s"UPDATE graft_dml_tok.`$root` " +
+      "SET note = \"x where y\" WHERE product_id = 'p2'")
+    spark.sql(s"UPDATE graft_dml_tok.`$root` " +
+      """SET note = 'don\'t where' WHERE product_id = 'p1'""")
+    val got2 = SnapshotStore.read(spark, root)
+      .select("product_id", "note").as[(String, String)].collect().toSet
+    assert(got2 == Set(("p1", "don't where"), ("p2", "x where y")), got2)
   }
 
   test("UPDATE casts back to the column's type and leaves non-matching rows bit-stable") {

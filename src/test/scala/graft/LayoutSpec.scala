@@ -87,6 +87,28 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/const").count() == 3)
   }
 
+  test("variable-length string keys keep lexicographic file ranges (right-padded surrogate)") {
+    // Base-36 strings of length 1..3: without right-padding the hex
+    // window, 'b' (0x62) would rank below 'aa' (0x6161) and file
+    // ranges would interleave out of string order.
+    val ks = (1 to 4000).map(i => java.lang.Integer.toString(i, 36))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zvar").toString
+    Layout.zorderBy(ks.toDF("k"), Seq($"k"), numFiles = 4, bits = 12)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    val ranges = spark.read.parquet(s"$dir/z")
+      .groupBy(input_file_name())
+      .agg(min($"k").as("mn"), max($"k").as("mx"))
+      .orderBy($"mn").select($"mn", $"mx")
+      .as[(String, String)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._1,
+          s"file string ranges overlap out of lexicographic order: $a vs $b")
+      case _ =>
+    }
+  }
+
   /** Reference N-key round-robin interleave. */
   private def zRefN(ks: Seq[Long], bits: Int): Long = {
     val n = ks.size

@@ -97,6 +97,36 @@ class SketchesSpec extends graft.SparkSpec {
       (exact.getLong(0), exact.getLong(1)))
   }
 
+  test("a regrouping update marks the OLD group touched: its sketch rebuilds (pre-image fix)") {
+    val srcRoot = freshRoot("sk_src4"); val skRoot = freshRoot("sk_tab4")
+    // Group column (grp) is NOT the partition column, so regrouping is
+    // an ordinary same-partition update.
+    SnapshotStore.commit(spark,
+      Seq((1L, "p0", "a", "u1"), (2L, "p0", "a", "u2"), (3L, "p0", "b", "u3"))
+        .toDF("id", "part", "grp", "author"), srcRoot, "part")
+    Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("author"))
+    // id 2 moves a→b: only the update_preimage row carries grp=a, and
+    // without it group a's sketch would keep counting u2 forever.
+    SnapshotStore.upsertDeleteCommit(spark, srcRoot,
+      Seq((2L, "p0", "b", "u2")).toDF("id", "part", "grp", "author"),
+      None, "id", "part")
+    Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("author"))
+    val est = Sketches.estimates(SnapshotStore.read(spark, skRoot),
+      Seq("grp"), Seq("author")).orderBy("grp")
+      .as[(String, Long)].collect().toSeq
+    assert(est == Seq(("a", 1L), ("b", 2L)), est.toString)
+    // And when the LAST row leaves a group, the group leaves the table.
+    SnapshotStore.upsertDeleteCommit(spark, srcRoot,
+      Seq((1L, "p0", "b", "u1")).toDF("id", "part", "grp", "author"),
+      None, "id", "part")
+    Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("author"))
+    assert(SnapshotStore.read(spark, skRoot).filter($"grp" === "a").isEmpty,
+      "a fully-vacated group must leave the sketch table")
+  }
+
   test("hllSync refuses a null group value in the change window loudly") {
     val srcRoot = freshRoot("sk_src3"); val skRoot = freshRoot("sk_tab3")
     SnapshotStore.commit(spark,
