@@ -72,7 +72,8 @@ class ChangeFeedSource(
     root: String,
     key: String,
     startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    maxVersionsPerTrigger: Option[Long] = None,
+    preImages: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
@@ -157,7 +158,7 @@ class ChangeFeedSource(
     val feeds = emit.map { v =>
       val feed =
         if (committed.contains(v - 1))
-          SnapshotStore.changes(spark, root, v - 1, v, key)
+          SnapshotStore.changes(spark, root, v - 1, v, key, preImages)
         else if (v == 1L) // genuine first commit: everything is an insert
           SnapshotStore.readVersion(spark, root, v,
               mappingVersion = pinnedMappingVersion)
@@ -318,7 +319,13 @@ object ChangeFeedSource {
   *  - `maxVersionsPerTrigger`: admission control — at most this many
   *    committed versions per micro-batch (Delta's maxFilesPerTrigger
   *    analog, rationed in our commit granule), so a stream starting
-  *    against a deep backlog drains in bounded batches. */
+  *    against a deep backlog drains in bounded batches.
+  *  - `preImages`: Delta CDF's pre-image convention — each update
+  *    emits an `update_preimage` row (from-version values) and an
+  *    `update_postimage` row (to-version values) instead of a single
+  *    `update` row, so downstream incremental consumers can subtract
+  *    removed contributions exactly. Snapshot-replay baselines are
+  *    unaffected (all `insert`). Default false. */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-changes"
 
@@ -347,7 +354,8 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val starting = ChangeFeedSourceProvider.resolveStarting(
       spark, root, parameters, "graft-changes")
     new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting,
-      ChangeFeedSourceProvider.maxVersionsOf(parameters))
+      ChangeFeedSourceProvider.maxVersionsOf(parameters),
+      parameters.get("preImages").exists(_.trim.toBoolean))
   }
 }
 

@@ -279,6 +279,30 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("change feed gap"), e.getMessage)
   }
 
+  test("preImages option streams update_preimage/update_postimage pairs, version-tagged") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark, table(("p1", "a", 1), ("p2", "a", 1)),
+      root, "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    val q = spark.readStream.format("graft-changes")
+      .option("key", "product_id")
+      .option("startingVersion", "1")
+      .option("preImages", "true")
+      .load(root)
+      .writeStream.format("memory").queryName("feed_pre")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("feed_pre")
+      .select($"product_id", $"version", $"_change_type", $"_commit_version")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got == Set(
+      ("p1", 1, "update_preimage", 2L),
+      ("p1", 2, "update_postimage", 2L)), got)
+  }
+
   test("a comma-spelled composite key streams per-(supplier, sku) changes") {
     val dir = freshDir()
     val root = s"$dir/t"
