@@ -80,6 +80,7 @@ object ScaleSmoke {
     var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
     var pqBooks: DataFrame = null; var pqIndexDf: DataFrame = null // round-11 PQ
     var hllSrcRoot = ""; var hllSkRoot = "" // round-11 sketch sync
+    var ruRollRoot = "" // round-11 rollup sync
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -748,6 +749,27 @@ object ScaleSmoke {
       time("hll_sync_delete_rebuild") {
         graft.operators.Sketches.hllSync(spark, hllSrcRoot, hllSkRoot,
           Seq("doc_id"), Seq("part"), Seq("author", "doc_id"))
+      },
+      // Incremental rollup (round 11): a sum-only rollup over the same
+      // source — SUM/COUNT are group-invertible, so even an UPDATE
+      // window maintains additively from the pre-image feed: no
+      // rebuild scan exists in the plan at all. The delta sync prices
+      // by the one touched partition's diff, never the corpus.
+      time("rollup_build") {
+        ruRollRoot = java.nio.file.Files
+          .createTempDirectory("graft_scale_roll").toString + "/t"
+        graft.operators.Rollup.sync(spark, hllSrcRoot, ruRollRoot,
+          Seq("doc_id"), Seq("part"), Seq("author"))
+      },
+      time("rollup_update_setup") {
+        graft.sinks.SnapshotStore.upsertDeleteCommit(spark, hllSrcRoot,
+          snapBase.filter(pmod(col("doc_id"), lit(400)) === 100)
+            .withColumn("author", pmod(col("doc_id") + 1, lit(997))),
+          None, "doc_id", "part")
+      },
+      time("rollup_sync_update_delta") {
+        graft.operators.Rollup.sync(spark, hllSrcRoot, ruRollRoot,
+          Seq("doc_id"), Seq("part"), Seq("author"))
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

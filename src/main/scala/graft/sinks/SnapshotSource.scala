@@ -214,7 +214,11 @@ class SnapshotSource extends RelationProvider
       case (Some(f), Some(t)) =>
         val key = parameters.getOrElse("key", throw new IllegalArgumentException(
           "graft-snapshot change feed needs the table's key column: OPTIONS (key '<col>')"))
-        val df = SnapshotStore.changes(sqlContext.sparkSession, root, f, t, key)
+        // `preImages 'true'` = Delta CDF's update_preimage/postimage
+        // pair per update (same flag as the streaming source).
+        val df = SnapshotStore.changes(sqlContext.sparkSession, root, f, t,
+          graft.sinks.ColSpec.parse(key),
+          parameters.get("preImages").exists(_.trim.toBoolean))
         val ctx = sqlContext
         new BaseRelation with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: SQLContext = ctx

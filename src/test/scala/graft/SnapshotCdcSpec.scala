@@ -178,6 +178,15 @@ class SnapshotCdcSpec extends SparkSpec {
       .as[(String, Int, String)].collect().toSet
     assert(viaSql == viaApi &&
       viaSql == Set(("p1", 2, "update"), ("p3", 2, "insert")))
+    // preImages 'true' = the Delta CDF pre/post pair per update.
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_view_pre USING `graft-snapshot` " +
+      s"OPTIONS (path '$root', changesFrom '1', changesTo '2', " +
+      "key 'product_id', preImages 'true')")
+    val pre = spark.table("cdc_view_pre")
+      .select("product_id", "version", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    assert(pre == Set(("p1", 1, "update_preimage"),
+      ("p1", 2, "update_postimage"), ("p3", 2, "insert")), pre)
     // Lone changesFrom and missing key both fail loudly at creation.
     intercept[IllegalArgumentException] {
       spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdc_bad1 USING `graft-snapshot` " +
