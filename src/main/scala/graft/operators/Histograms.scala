@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile dashboards at delta price: a fixed-range equi-width
+  * histogram maintained as a count-only [[Rollup]] over a COMPUTED
+  * bin column (the `derive` hook). Bin counts are additive and
+  * invertible, so the histogram stays exact under arbitrary DML —
+  * updates whose value crosses a bin boundary subtract from the old
+  * bin (pre-image) and add to the new one. Quantiles then read from
+  * the maintained bins by interpolation, with error bounded by ONE
+  * bin width — the explicit approximation trade, chosen at table
+  * creation, vs re-scanning 100 TB per refresh for exactness.
+  *
+  * NULL values land in a sentinel bin (kept maintained so COUNT
+  * accounting stays exact) and are excluded from quantiles, matching
+  * SQL percentile semantics. */
+object Histograms {
+
+  /** Sentinel bin for NULL values. */
+  val NullBin = -1
+
+  private val BinCol = "__bin"
+
+  /** The bin expression both the sync and an external replayer use:
+    * equi-width over [lo, hi), clamped into [0, bins-1] so outliers
+    * land in the edge bins; NULL → [[NullBin]]. */
+  def binOf(value: Column, lo: Double, hi: Double, bins: Int): Column = {
+    require(bins > 0 && hi > lo, s"need hi > lo and bins > 0")
+    val width = (hi - lo) / bins
+    when(value.isNull, lit(NullBin)).otherwise(
+      least(greatest(floor((value - lit(lo)) / lit(width)).cast("int"),
+        lit(0)), lit(bins - 1)))
+  }
+
+  /** Maintain the histogram at `histRoot` for `srcRoot`: one row per
+    * (groupCols…, bin) with its exact `row_count`. */
+  def sync(spark: SparkSession, srcRoot: String, histRoot: String,
+           srcKeys: Seq[String], groupCols: Seq[String], valueCol: String,
+           lo: Double, hi: Double, bins: Int): Long =
+    Rollup.sync(spark, srcRoot, histRoot, srcKeys,
+      groupCols :+ BinCol, Nil,
+      derive = df => df.withColumn(BinCol,
+        binOf(col(valueCol), lo, hi, bins)))
+
+  /** The maintained bins of a histogram table, reader-shaped:
+    * (groupCols…, bin, row_count). */
+  def bins(hist: DataFrame, groupCols: Seq[String]): DataFrame =
+    hist.select((groupCols ++ Seq(BinCol, "row_count")).map(col): _*)
+      .withColumnRenamed(BinCol, "bin")
+
+  /** Per-group quantile estimates from the maintained bins: for each
+    * requested q, locate its bin by cumulative count and interpolate
+    * linearly inside it — |estimate − exact| ≤ one bin width. NULL-bin
+    * rows are excluded (SQL percentile semantics). Result:
+    * (groupCols…, q, value). */
+  def quantiles(hist: DataFrame, groupCols: Seq[String], qs: Seq[Double],
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must lie in [0, 1]: $qs")
+    val width = (hi - lo) / bins
+    val wCum = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bin"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = this.bins(hist, groupCols)
+      .filter(col("bin") =!= NullBin)
+      .withColumn("__cum", sum(col("row_count")).over(wCum))
+      .withColumn("__total", sum(col("row_count")).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      // q = 0 must land at the first occupied bin's start: a literal
+      // 0 target satisfies no bin (cum − count < 0 never holds), so
+      // clamp to an epsilon inside the first row.
+      .withColumn("__target",
+        greatest(col("q") * col("__total"), lit(1e-9)))
+    ranked
+      .filter(col("__cum") >= col("__target") &&
+        (col("__cum") - col("row_count")) < col("__target"))
+      .select(groupCols.map(col) :+ col("q") :+
+        (lit(lo) + lit(width) * (col("bin") +
+          (col("__target") - (col("__cum") - col("row_count"))) /
+            col("row_count"))).as("value"): _*)
+  }
+}

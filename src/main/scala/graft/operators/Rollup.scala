@@ -53,11 +53,11 @@ object Rollup {
       minMaxCols.flatMap(c => Seq(s"${c}_min", s"${c}_max")))
 
   /** Direct aggregation in the rollup's storage schema — the full
-    * build, the rebuild of touched groups, and the oracle shape. */
+    * build, the rebuild of touched groups, and the oracle shape. A
+    * count-only rollup (no sum / min-max columns) is a FREQUENCY
+    * table — `row_count` per group is itself additive and exact. */
   def profile(df: DataFrame, groupCols: Seq[String], sumCols: Seq[String],
               minMaxCols: Seq[String] = Nil): DataFrame = {
-    require(sumCols.nonEmpty || minMaxCols.nonEmpty,
-      "rollup needs at least one aggregated column")
     val aggs = count(lit(1)).as("row_count") +:
       (sumCols.flatMap(c => Seq(count(col(c)).as(s"${c}_nn"),
         sum(col(c)).as(s"${c}_sum"))) ++
@@ -75,10 +75,19 @@ object Rollup {
       minMaxCols.flatMap(c => Seq(col(s"${c}_min"), col(s"${c}_max"))): _*)
 
   /** Incrementally maintain the rollup at `rollupRoot` for `srcRoot`;
-    * returns the synced source version. */
+    * returns the synced source version.
+    *
+    * `derive` is applied row-wise to BOTH the change-feed window and
+    * any rebuild/full-build read before aggregation — the hook that
+    * lets group columns be COMPUTED (a histogram bin, a normalized
+    * key) instead of physical. Contract: deterministic, row-wise, and
+    * additive (it may add columns, never drop, rename, or re-key the
+    * source's own); a pre-image row and its post-image derive
+    * independently, which is exactly what keeps subtraction exact. */
   def sync(spark: SparkSession, srcRoot: String, rollupRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String],
-           sumCols: Seq[String], minMaxCols: Seq[String] = Nil): Long = {
+           sumCols: Seq[String], minMaxCols: Seq[String] = Nil,
+           derive: DataFrame => DataFrame = identity): Long = {
     require(groupCols.nonEmpty, "rollup sync needs at least one group column")
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
@@ -90,7 +99,7 @@ object Rollup {
     SnapshotStore.currentVersion(spark, rollupRoot) match {
       case None =>
         SnapshotStore.commit(spark,
-          withBucket(profile(SnapshotStore.read(spark, srcRoot),
+          withBucket(profile(derive(SnapshotStore.read(spark, srcRoot)),
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
           properties = Some(Seq(CursorProp -> cur.toString)))
@@ -104,8 +113,8 @@ object Rollup {
         if (cursor == cur) return cur
         require(cursor < cur,
           s"rollup cursor v$cursor is ahead of source v$cur — wrong source?")
-        val feed = SnapshotStore.changes(spark, srcRoot, cursor, cur,
-          srcKeys, preImages = true).persist()
+        val feed = derive(SnapshotStore.changes(spark, srcRoot, cursor, cur,
+          srcKeys, preImages = true)).persist()
         try {
           require(feed.filter(groupCols.map(col(_).isNull).reduce(_ || _))
               .isEmpty,
@@ -161,7 +170,7 @@ object Rollup {
             case None => (None, None)
             case Some(n) =>
               val rb = profile(
-                GroupScope.scope(SnapshotStore.read(spark, srcRoot),
+                GroupScope.scope(derive(SnapshotStore.read(spark, srcRoot)),
                   n, groupCols),
                 groupCols, sumCols, minMaxCols)
               (Some(rb), Some(n.join(rb, groupCols, "left_anti")))

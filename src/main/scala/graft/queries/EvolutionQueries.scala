@@ -955,6 +955,135 @@ private[graft] object EvolutionQueries {
       SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS row_count,
              CAST(sum(cust_n) AS BIGINT) AS cust_n_sum,
              min(price) AS price_min, max(price) AS price_max
-      FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+
+    // Exact frequency tables / heavy hitters at delta price
+    // (Frequencies — a count-only Rollup keyed by the value): counts
+    // per (status, priority) maintain additively across an insert
+    // window, a VALUE-EDIT window (the pre-image subtracts the old
+    // priority's count — a value edit is a move between frequency
+    // rows), and deletes. Require-pins one atomic commit per sync;
+    // the output is topK(2) per status replayed by DuckDB's
+    // count + row_number over the derived final state.
+    ("q202_frequency_topk", (s: SparkSession, d: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q202_store")
+      val srcRoot = base.resolve("src").toString
+      val fqRoot = base.resolve("fq").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val sync = () => graft.operators.Frequencies.sync(s, srcRoot, fqRoot,
+        Seq("o_orderkey"), Seq("o_orderstatus"), "o_orderpriority")
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.upsertDeleteCommit(s, srcRoot,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) =!= 9)
+          .withColumn("o_orderpriority", lit("9-MOVED")),
+        Some(orders.filter(pmod(col("o_orderkey"), lit(10)) === 9)
+          .select(col("o_orderkey"))),
+        "o_orderkey", "o_orderstatus")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, fqRoot)
+        .contains(3L), "one atomic frequency commit per sync window")
+      graft.operators.Frequencies.topK(
+          graft.sinks.SnapshotStore.read(s, fqRoot),
+          Seq("o_orderstatus"), "o_orderpriority", 2)
+        .orderBy(col("o_orderstatus"), col("rank"))
+    }, Some("""
+      WITH fin AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+               ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 10 <> 9),
+      c AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS row_count
+        FROM fin GROUP BY o_orderstatus, o_orderpriority),
+      r AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY row_count DESC, o_orderpriority ASC) AS INT) AS rank
+        FROM c)
+      SELECT o_orderstatus, o_orderpriority, row_count, rank FROM r
+      WHERE rank <= 2 ORDER BY o_orderstatus, rank""")),
+
+
+    // Histogram quantiles at delta price (Histograms — a count-only
+    // Rollup over a COMPUTED bin column via Rollup.sync's derive
+    // hook): equi-width bins over [0, 600000) in 64 steps, maintained
+    // across an insert window, a bin-crossing UPDATE window (+50000),
+    // and deletes; NULLs ride the sentinel bin. The hashed output is
+    // the maintained bin table — DuckDB replays the bin arithmetic
+    // over the derived final state, so a single miscounted bin breaks
+    // the hash. Require-pins: one commit per sync, and the
+    // interpolated median sits within ONE bin width of the exact
+    // percentile (the explicit approximation contract).
+    ("q203_histogram_quantiles", (s: SparkSession, d: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q203_store")
+      val srcRoot = base.resolve("src").toString
+      val hgRoot = base.resolve("hg").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("price_n"))
+      val (lo, hi, nb) = (0.0, 600000.0, 64)
+      val sync = () => graft.operators.Histograms.sync(s, srcRoot, hgRoot,
+        Seq("o_orderkey"), Seq("o_orderstatus"), "price_n", lo, hi, nb)
+      graft.sinks.SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0),
+        srcRoot, "o_orderstatus")
+      sync()
+      graft.sinks.SnapshotStore.upsertDeleteCommit(s, srcRoot,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) =!= 9)
+          .withColumn("price_n", col("price_n") + 50000.0),
+        Some(orders.filter(pmod(col("o_orderkey"), lit(10)) === 9)
+          .select(col("o_orderkey"))),
+        "o_orderkey", "o_orderstatus")
+      sync()
+      require(graft.sinks.SnapshotStore.currentVersion(s, hgRoot)
+        .contains(3L), "one atomic histogram commit per sync window")
+      val hist = graft.sinks.SnapshotStore.read(s, hgRoot)
+      // The interpolated median must sit within one bin width of the
+      // exact percentile over the current source.
+      val med = graft.operators.Histograms.quantiles(hist,
+          Seq("o_orderstatus"), Seq(0.5), lo, hi, nb)
+        .select(col("o_orderstatus"), col("value"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = graft.sinks.SnapshotStore.read(s, srcRoot)
+        .filter(col("price_n").isNotNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(price_n, 0.5)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val width = (hi - lo) / nb
+      exact.foreach { case (g, ex) =>
+        require(math.abs(med(g) - ex) <= width + 1e-6,
+          s"median($g): interpolated ${med(g)} vs exact $ex " +
+            s"exceeds bin width $width") }
+      graft.operators.Histograms.bins(hist, Seq("o_orderstatus"))
+        .orderBy(col("o_orderstatus"), col("bin"))
+    }, Some("""
+      WITH fin AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderkey % 11 = 0 THEN NULL
+               WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50000.0
+               ELSE o_totalprice END AS price_n
+        FROM orders WHERE o_orderkey % 10 <> 9)
+      SELECT o_orderstatus,
+        CASE WHEN price_n IS NULL THEN -1
+             ELSE LEAST(GREATEST(CAST(FLOOR(price_n / 9375.0) AS INT), 0), 63)
+        END AS bin,
+        CAST(count(*) AS BIGINT) AS row_count
+      FROM fin GROUP BY 1, 2 ORDER BY o_orderstatus, bin"""))
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotStore
+
+/** The count-only rollup layers: exact frequency tables / top-k
+  * ([[Frequencies]]) and equi-width histograms with interpolated
+  * quantiles ([[Histograms]]), both maintained at delta price from
+  * the pre-image feed. */
+class FrequencyHistogramSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(prefix: String): String =
+    s"${Files.createTempDirectory(prefix)}/t"
+
+  test("frequency table maintains exactly under value edits and deletes; topK ranks with ties value-ascending") {
+    val srcRoot = freshRoot("fq_src"); val fqRoot = freshRoot("fq_tab")
+    SnapshotStore.commit(spark,
+      (1 to 60).map(i => (i.toLong, s"p${i % 2}", s"lang${i % 4}"))
+        .toDF("id", "part", "lang"), srcRoot, "part")
+    def sync() = Frequencies.sync(spark, srcRoot, fqRoot,
+      Seq("id"), Nil, "lang")
+    sync()
+    // A value EDIT moves the count between frequency rows (lang0 →
+    // lang9 for ids ≡ 0 mod 12), and a delete subtracts.
+    SnapshotStore.upsertDeleteCommit(spark, srcRoot,
+      (1 to 60).filter(_ % 12 == 0)
+        .map(i => (i.toLong, s"p${i % 2}", "lang9"))
+        .toDF("id", "part", "lang"),
+      Some(Seq(Tuple1(1L), Tuple1(5L)).toDF("id")), "id", "part")
+    sync()
+    val got = Frequencies.topK(SnapshotStore.read(spark, fqRoot),
+      Nil, "lang", 3).select($"lang", $"row_count", $"rank")
+      .as[(String, Long, Int)].collect().toSet
+    val direct = SnapshotStore.read(spark, srcRoot).groupBy($"lang").count()
+      .orderBy($"count".desc, $"lang".asc).limit(3)
+      .as[(String, Long)].collect()
+    assert(got.map(t => (t._1, t._2)) == direct.toSet, s"$got vs ${direct.toSeq}")
+    // And a vanished value leaves the table entirely.
+    assert(SnapshotStore.read(spark, fqRoot).filter($"lang" === "lang0")
+      .select($"row_count").as[Long].collect().forall(_ > 0))
+  }
+
+  test("histogram bins maintain exactly across bin-crossing updates; quantiles interpolate within one bin width") {
+    val srcRoot = freshRoot("hg_src"); val hgRoot = freshRoot("hg_tab")
+    val (lo, hi, nb) = (0.0, 100.0, 20)
+    SnapshotStore.commit(spark,
+      (1 to 200).map(i => (i.toLong, s"p${i % 2}", s"g${i % 2}",
+        if (i % 50 == 0) None else Some(i % 100 + 0.5)))
+        .toDF("id", "part", "grp", "v"), srcRoot, "part")
+    def sync() = Histograms.sync(spark, srcRoot, hgRoot,
+      Seq("id"), Seq("grp"), "v", lo, hi, nb)
+    sync()
+    // Updates push a slice of values across bin boundaries; deletes
+    // remove another slice.
+    SnapshotStore.upsertDeleteCommit(spark, srcRoot,
+      (1 to 200).filter(i => i % 7 == 0 && i % 50 != 0)
+        .map(i => (i.toLong, s"p${i % 2}", s"g${i % 2}",
+          Some((i % 100 + 0.5 + 37) % 100)))
+        .toDF("id", "part", "grp", "v"),
+      Some(Seq(Tuple1(8L), Tuple1(16L)).toDF("id")), "id", "part")
+    sync()
+    // Bin counts equal a direct re-binning of the current source.
+    val maintained = Histograms.bins(SnapshotStore.read(spark, hgRoot),
+        Seq("grp")).orderBy($"grp", $"bin")
+      .as[(String, Int, Long)].collect().toSeq
+    val direct = SnapshotStore.read(spark, srcRoot)
+      .withColumn("bin", Histograms.binOf($"v", lo, hi, nb))
+      .groupBy($"grp", $"bin").count().orderBy($"grp", $"bin")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(maintained == direct)
+    // NULLs sit in the sentinel bin and stay out of quantiles.
+    assert(maintained.exists(_._2 == Histograms.NullBin))
+    val qs = Histograms.quantiles(SnapshotStore.read(spark, hgRoot),
+        Seq("grp"), Seq(0.0, 0.5, 0.9, 1.0), lo, hi, nb)
+      .as[(String, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val width = (hi - lo) / nb
+    val exact = SnapshotStore.read(spark, srcRoot).filter($"v".isNotNull)
+      .groupBy($"grp")
+      .agg(expr("percentile(v, array(0.0, 0.5, 0.9, 1.0))").as("p"))
+      .as[(String, Seq[Double])].collect().toMap
+    for (g <- Seq("g0", "g1"); (q, i) <- Seq(0.0, 0.5, 0.9, 1.0).zipWithIndex) {
+      val est = qs((g, q)); val ex = exact(g)(i)
+      assert(math.abs(est - ex) <= width + 1e-9,
+        s"quantile($g, $q): est $est vs exact $ex exceeds bin width $width")
+    }
+  }
+}
