@@ -26,13 +26,16 @@ object Histograms {
 
   /** The bin expression both the sync and an external replayer use:
     * equi-width over [lo, hi), clamped into [0, bins-1] so outliers
-    * land in the edge bins; NULL → [[NullBin]]. */
+    * land in the edge bins; NULL and NaN → [[NullBin]] (a NaN would
+    * otherwise fall into bin 0 through the non-ANSI cast and corrupt
+    * the low tail invisibly). */
   def binOf(value: Column, lo: Double, hi: Double, bins: Int): Column = {
     require(bins > 0 && hi > lo, s"need hi > lo and bins > 0")
     val width = (hi - lo) / bins
-    when(value.isNull, lit(NullBin)).otherwise(
-      least(greatest(floor((value - lit(lo)) / lit(width)).cast("int"),
-        lit(0)), lit(bins - 1)))
+    when(value.isNull || isnan(value.cast("double")), lit(NullBin))
+      .otherwise(
+        least(greatest(floor((value - lit(lo)) / lit(width)).cast("int"),
+          lit(0)), lit(bins - 1)))
   }
 
   /** Maintain the histogram at `histRoot` for `srcRoot`: one row per
@@ -53,8 +56,17 @@ object Histograms {
 
   /** Per-group quantile estimates from the maintained bins: for each
     * requested q, locate its bin by cumulative count and interpolate
-    * linearly inside it — |estimate − exact| ≤ one bin width. NULL-bin
-    * rows are excluded (SQL percentile semantics). Result:
+    * linearly inside it.
+    *
+    * Error contract, stated precisely: the selected bin CONTAINS the
+    * nearest-rank order statistic (the ⌈q·n⌉-th smallest non-null
+    * value), so |estimate − percentile_disc(q)| ≤ one bin width —
+    * provided that value lies inside [lo, hi) (a clamped outlier's
+    * true magnitude is not recoverable from any histogram). The
+    * INTERPOLATED percentile (percentile_cont) can sit farther away
+    * when the two order statistics bracketing q straddle empty bins;
+    * bound against the disc form, not the cont form. NULL-bin rows
+    * are excluded (SQL percentile semantics). Result:
     * (groupCols…, q, value). */
   def quantiles(hist: DataFrame, groupCols: Seq[String], qs: Seq[Double],
                 lo: Double, hi: Double, bins: Int): DataFrame = {

@@ -1055,7 +1055,9 @@ private[graft] object EvolutionQueries {
         .contains(3L), "one atomic histogram commit per sync window")
       val hist = graft.sinks.SnapshotStore.read(s, hgRoot)
       // The interpolated median must sit within one bin width of the
-      // exact percentile over the current source.
+      // NEAREST-RANK median (percentile_disc — the order statistic
+      // the selected bin provably contains; the interpolated
+      // percentile_cont can drift across empty-bin gaps).
       val med = graft.operators.Histograms.quantiles(hist,
           Seq("o_orderstatus"), Seq(0.5), lo, hi, nb)
         .select(col("o_orderstatus"), col("value"))
@@ -1063,12 +1065,15 @@ private[graft] object EvolutionQueries {
       val exact = graft.sinks.SnapshotStore.read(s, srcRoot)
         .filter(col("price_n").isNotNull)
         .groupBy(col("o_orderstatus"))
-        .agg(expr("percentile(price_n, 0.5)").as("p"))
+        .agg(sort_array(collect_list(col("price_n"))).as("vs"))
+        .select(col("o_orderstatus"), element_at(col("vs"),
+          greatest(ceil(lit(0.5) * size(col("vs"))), lit(1L))
+            .cast("int")).as("p"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val width = (hi - lo) / nb
       exact.foreach { case (g, ex) =>
         require(math.abs(med(g) - ex) <= width + 1e-6,
-          s"median($g): interpolated ${med(g)} vs exact $ex " +
+          s"median($g): interpolated ${med(g)} vs nearest-rank $ex " +
             s"exceeds bin width $width") }
       graft.operators.Histograms.bins(hist, Seq("o_orderstatus"))
         .orderBy(col("o_orderstatus"), col("bin"))

@@ -218,7 +218,8 @@ class SnapshotSource extends RelationProvider
         // pair per update (same flag as the streaming source).
         val df = SnapshotStore.changes(sqlContext.sparkSession, root, f, t,
           graft.sinks.ColSpec.parse(key),
-          parameters.get("preImages").exists(_.trim.toBoolean))
+          org.apache.spark.sql.graft.ChangeFeedSourceProvider
+            .preImagesOf(parameters, "graft-snapshot"))
         val ctx = sqlContext
         new BaseRelation with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: SQLContext = ctx

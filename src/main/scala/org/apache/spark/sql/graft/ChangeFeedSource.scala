@@ -355,11 +355,23 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
       spark, root, parameters, "graft-changes")
     new ChangeFeedSource(sqlContext, root, keyOf(parameters), starting,
       ChangeFeedSourceProvider.maxVersionsOf(parameters),
-      parameters.get("preImages").exists(_.trim.toBoolean))
+      ChangeFeedSourceProvider.preImagesOf(parameters, "graft-changes"))
   }
 }
 
 object ChangeFeedSourceProvider {
+  /** Shared `preImages` option parsing for the streaming source and
+    * the batch CDC view: strictly 'true'/'false', loudly named
+    * otherwise (the codebase's option-error convention). */
+  def preImagesOf(parameters: Map[String, String], what: String): Boolean =
+    parameters.get("preImages").map(_.trim.toLowerCase) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"$what option 'preImages' must be 'true' or 'false', got '$other'")
+    }
+
   /** Shared starting-offset resolution for BOTH streaming sources:
     * `startingVersion` (exclusive — stream commits with version > V;
     * `0` = full replay) or `startingTimestamp` (Delta CDF semantics:

@@ -24,10 +24,11 @@ class FrequencyHistogramSpec extends graft.SparkSpec {
     def sync() = Frequencies.sync(spark, srcRoot, fqRoot,
       Seq("id"), Nil, "lang")
     sync()
-    // A value EDIT moves the count between frequency rows (lang0 →
-    // lang9 for ids ≡ 0 mod 12), and a delete subtracts.
+    // A value EDIT moves the count between frequency rows — EVERY
+    // lang0 row becomes lang9, so lang0's count reaches zero — and a
+    // delete subtracts.
     SnapshotStore.upsertDeleteCommit(spark, srcRoot,
-      (1 to 60).filter(_ % 12 == 0)
+      (1 to 60).filter(_ % 4 == 0)
         .map(i => (i.toLong, s"p${i % 2}", "lang9"))
         .toDF("id", "part", "lang"),
       Some(Seq(Tuple1(1L), Tuple1(5L)).toDF("id")), "id", "part")
@@ -39,9 +40,10 @@ class FrequencyHistogramSpec extends graft.SparkSpec {
       .orderBy($"count".desc, $"lang".asc).limit(3)
       .as[(String, Long)].collect()
     assert(got.map(t => (t._1, t._2)) == direct.toSet, s"$got vs ${direct.toSeq}")
-    // And a vanished value leaves the table entirely.
+    // A value whose count reached zero LEAVES the frequency table —
+    // a stale zero row would pollute any full-table reader.
     assert(SnapshotStore.read(spark, fqRoot).filter($"lang" === "lang0")
-      .select($"row_count").as[Long].collect().forall(_ > 0))
+      .isEmpty, "lang0 vacated entirely and must leave the table")
   }
 
   test("histogram bins maintain exactly across bin-crossing updates; quantiles interpolate within one bin width") {
@@ -79,14 +81,24 @@ class FrequencyHistogramSpec extends graft.SparkSpec {
       .as[(String, Double, Double)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
     val width = (hi - lo) / nb
-    val exact = SnapshotStore.read(spark, srcRoot).filter($"v".isNotNull)
-      .groupBy($"grp")
-      .agg(expr("percentile(v, array(0.0, 0.5, 0.9, 1.0))").as("p"))
-      .as[(String, Seq[Double])].collect().toMap
-    for (g <- Seq("g0", "g1"); (q, i) <- Seq(0.0, 0.5, 0.9, 1.0).zipWithIndex) {
-      val est = qs((g, q)); val ex = exact(g)(i)
-      assert(math.abs(est - ex) <= width + 1e-9,
-        s"quantile($g, $q): est $est vs exact $ex exceeds bin width $width")
+    // The contract bounds against the NEAREST-RANK order statistic
+    // (percentile_disc) — the value the selected bin provably holds.
+    val vals = SnapshotStore.read(spark, srcRoot).filter($"v".isNotNull)
+      .select($"grp", $"v").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    def disc(g: String, q: Double): Double = {
+      val a = vals(g)
+      a(math.max(1, math.ceil(q * a.length).toInt) - 1)
     }
+    for (g <- Seq("g0", "g1"); q <- Seq(0.0, 0.5, 0.9, 1.0)) {
+      val est = qs((g, q)); val ex = disc(g, q)
+      assert(math.abs(est - ex) <= width + 1e-9,
+        s"quantile($g, $q): est $est vs nearest-rank $ex exceeds bin width $width")
+    }
+    // NaN rides the sentinel bin like NULL — never bin 0.
+    val nanBins = Seq(Option(Double.NaN), None, Some(1.0)).toDF("x")
+      .select(Histograms.binOf($"x", 0.0, 10.0, 5).as("b"))
+      .as[Int].collect().toSeq
+    assert(nanBins == Seq(Histograms.NullBin, Histograms.NullBin, 0), nanBins)
   }
 }
