@@ -41,4 +41,13 @@ object Frequencies {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Global heavy hitters from a GROUPED frequency table: counts per
+    * value are additive across groups, so the global ranking is a
+    * re-aggregation of the maintained rows, never a source rescan.
+    * (Plain [[topK]] with empty groupCols would rank the raw
+    * (group, value) rows, which is a different question.) */
+  def topKGlobal(freq: DataFrame, valueCol: String, k: Int): DataFrame =
+    topK(freq.groupBy(col(valueCol))
+      .agg(sum(col("row_count")).as("row_count")), Nil, valueCol, k)
 }

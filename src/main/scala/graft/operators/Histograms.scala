@@ -69,14 +69,32 @@ object Histograms {
     * are excluded (SQL percentile semantics). Result:
     * (groupCols…, q, value). */
   def quantiles(hist: DataFrame, groupCols: Seq[String], qs: Seq[Double],
-                lo: Double, hi: Double, bins: Int): DataFrame = {
+                lo: Double, hi: Double, bins: Int): DataFrame =
+    quantileWalk(this.bins(hist, groupCols), groupCols, qs, lo, hi, bins)
+
+  /** ONE quantile set over every group merged — bin counts are
+    * additive across groups, so the global distribution is a
+    * re-aggregation of the maintained bins, never a rescan. Result:
+    * (q, value). */
+  def globalQuantiles(hist: DataFrame, qs: Seq[Double],
+                      lo: Double, hi: Double, bins: Int): DataFrame =
+    quantileWalk(
+      this.bins(hist, Nil).groupBy(col("bin"))
+        .agg(sum(col("row_count")).as("row_count")),
+      Nil, qs, lo, hi, bins)
+
+  private def quantileWalk(binRows: DataFrame, groupCols: Seq[String],
+                           qs: Seq[Double], lo: Double, hi: Double,
+                           bins: Int): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       s"quantiles must lie in [0, 1]: $qs")
     val width = (hi - lo) / bins
-    val wCum = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("bin"))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = this.bins(hist, groupCols)
+    // A constant partition key for the global walk: ≤ `bins` rows, so
+    // the single-partition window is bounded by construction.
+    val parts = if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    val wCum = Window.partitionBy(parts: _*).orderBy(col("bin"))
+    val wAll = Window.partitionBy(parts: _*)
+    val ranked = binRows
       .filter(col("bin") =!= NullBin)
       .withColumn("__cum", sum(col("row_count")).over(wCum))
       .withColumn("__total", sum(col("row_count")).over(wAll))

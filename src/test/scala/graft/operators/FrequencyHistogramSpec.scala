@@ -100,5 +100,32 @@ class FrequencyHistogramSpec extends graft.SparkSpec {
       .select(Histograms.binOf($"x", 0.0, 10.0, 5).as("b"))
       .as[Int].collect().toSeq
     assert(nanBins == Seq(Histograms.NullBin, Histograms.NullBin, 0), nanBins)
+    // The global quantile re-aggregates the maintained bins across
+    // groups and keeps the same nearest-rank bound.
+    val allVals = vals.values.flatten.toArray.sorted
+    def discAll(q: Double): Double =
+      allVals(math.max(1, math.ceil(q * allVals.length).toInt) - 1)
+    val gq = Histograms.globalQuantiles(SnapshotStore.read(spark, hgRoot),
+        Seq(0.5, 0.9), lo, hi, nb)
+      .as[(Double, Double)].collect().toMap
+    Seq(0.5, 0.9).foreach { q =>
+      assert(math.abs(gq(q) - discAll(q)) <= width + 1e-9,
+        s"global quantile($q): ${gq(q)} vs ${discAll(q)}")
+    }
+  }
+
+  test("topKGlobal re-aggregates a grouped frequency table into one global ranking") {
+    val srcRoot = freshRoot("fq_src2"); val fqRoot = freshRoot("fq_tab2")
+    SnapshotStore.commit(spark,
+      (1 to 90).map(i => (i.toLong, s"p${i % 2}", s"s${i % 3}", s"lang${i % 5}"))
+        .toDF("id", "part", "site", "lang"), srcRoot, "part")
+    Frequencies.sync(spark, srcRoot, fqRoot, Seq("id"), Seq("site"), "lang")
+    val got = Frequencies.topKGlobal(SnapshotStore.read(spark, fqRoot),
+      "lang", 2).select($"lang", $"row_count").as[(String, Long)]
+      .collect().toSet
+    val direct = SnapshotStore.read(spark, srcRoot).groupBy($"lang").count()
+      .orderBy($"count".desc, $"lang".asc).limit(2)
+      .as[(String, Long)].collect().toSet
+    assert(got == direct, s"$got vs $direct")
   }
 }
