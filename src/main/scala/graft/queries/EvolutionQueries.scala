@@ -1089,6 +1089,73 @@ private[graft] object EvolutionQueries {
              ELSE LEAST(GREATEST(CAST(FLOOR(price_n / 9375.0) AS INT), 0), 63)
         END AS bin,
         CAST(count(*) AS BIGINT) AS row_count
-      FROM fin GROUP BY 1, 2 ORDER BY o_orderstatus, bin"""))
+      FROM fin GROUP BY 1, 2 ORDER BY o_orderstatus, bin""")),
+
+
+    // Global rollup readers (Histograms.globalQuantiles /
+    // Frequencies.topKGlobal): corpus-wide answers re-aggregated from
+    // the MAINTAINED per-group tables. The quantile walk — bin
+    // cumsum, epsilon-clamped target, linear interpolation inside the
+    // selected bin — is deterministic arithmetic over bin counts, so
+    // DuckDB replays it EXACTLY (hash-matched, not tolerance-pinned);
+    // the global top-k replays as count + row_number. One long-format
+    // output covers both readers.
+    ("q204_global_rollup_readers", (s: SparkSession, d: String) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_q204_store")
+      val srcRoot = base.resolve("src").toString
+      val hgRoot = base.resolve("hg").toString
+      val fqRoot = base.resolve("fq").toString
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").as("price"))
+      graft.sinks.SnapshotStore.commit(s, orders, srcRoot, "o_orderstatus")
+      val (lo, hi, nb) = (0.0, 600000.0, 64)
+      graft.operators.Histograms.sync(s, srcRoot, hgRoot,
+        Seq("o_orderkey"), Seq("o_orderstatus"), "price", lo, hi, nb)
+      graft.operators.Frequencies.sync(s, srcRoot, fqRoot,
+        Seq("o_orderkey"), Seq("o_orderstatus"), "o_orderpriority")
+      val qRows = graft.operators.Histograms.globalQuantiles(
+          graft.sinks.SnapshotStore.read(s, hgRoot),
+          Seq(0.25, 0.5, 0.75, 0.9), lo, hi, nb)
+        .select(concat(lit("q"), col("q")).as("k"),
+          round(col("value"), 6).as("v"))
+      val tRows = graft.operators.Frequencies.topKGlobal(
+          graft.sinks.SnapshotStore.read(s, fqRoot), "o_orderpriority", 3)
+        .select(concat(lit("top"), col("rank"), lit(":"),
+          col("o_orderpriority")).as("k"),
+          col("row_count").cast("double").as("v"))
+      qRows.unionByName(tRows).orderBy(col("k"))
+    }, Some("""
+      WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 9375.0) AS INT),
+                              0), 63) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+      cm AS (
+        SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+               sum(c) OVER () AS total
+        FROM b),
+      qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
+      sel AS (
+        SELECT q, bin, c, cum, GREATEST(q * total, 1e-9) AS target
+        FROM qs CROSS JOIN cm),
+      quant AS (
+        SELECT 'q' || CAST(q AS VARCHAR) AS k,
+               round(0.0 + 9375.0 * (bin + (target - (cum - c)) / c),
+                     6) AS v
+        FROM sel WHERE cum >= target AND cum - c < target),
+      f AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS row_count
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY row_count DESC,
+          o_orderpriority ASC) AS rank FROM f),
+      tk AS (
+        SELECT 'top' || CAST(rank AS VARCHAR) || ':' || o_orderpriority AS k,
+               CAST(row_count AS DOUBLE) AS v
+        FROM r WHERE rank <= 3)
+      SELECT k, v FROM quant
+      UNION ALL SELECT k, v FROM tk
+      ORDER BY k"""))
   )
 }
