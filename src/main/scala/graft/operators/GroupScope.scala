@@ -12,8 +12,14 @@ private[operators] object GroupScope {
     * shape as the keyed commit paths' probe-key limit) becomes a
     * literal OR-of-AND predicate, so partition pruning and stats
     * skipping bound the rebuild SCAN itself; larger sets fall back to
-    * a broadcast semi-join, which is row-correct but reads every
-    * candidate file. */
+    * an UNHINTED semi-join, which is row-correct but reads every
+    * candidate file. The fallback deliberately carries no
+    * `broadcast()` hint: above the limit the touched set is unbounded
+    * (a corpus-wide regroup or bulk delete makes it millions of
+    * distinct groups), and a forced broadcast bypasses AQE's size
+    * check and OOMs the driver instead of degrading to a shuffled
+    * semi-join — AQE still broadcasts on its own whenever the set is
+    * genuinely small at runtime. */
   def scope(src: DataFrame, touched: DataFrame, groupCols: Seq[String],
             limit: Int = 1000): DataFrame = {
     val few = touched.limit(limit + 1).collect()
@@ -21,6 +27,6 @@ private[operators] object GroupScope {
       src.filter(few.map(r => groupCols.zipWithIndex.map {
         case (g, i) => col(g) === lit(r.get(i))
       }.reduce(_ && _)).reduce(_ || _))
-    else src.join(broadcast(touched), groupCols, "left_semi")
+    else src.join(touched, groupCols, "left_semi")
   }
 }

@@ -23,10 +23,20 @@ import graft.sinks.SnapshotStore
   * SUM and COUNT are group-invertible, so a sum-only rollup stays
   * FULLY additive under inserts, updates, and deletes. MIN/MAX are
   * not invertible — removing the extremum needs a re-look — so groups
-  * that lose rows rebuild from the current snapshot (bounded by a
-  * literal group predicate, so partition pruning and stats skipping
-  * bound the rebuild scan); groups that only gain rows stay additive
-  * via `least`/`greatest`.
+  * that lose rows rebuild from the cursor's snapshot version (bounded
+  * by a literal group predicate, so partition pruning and stats
+  * skipping bound the rebuild scan); groups that only gain rows stay
+  * additive via `least`/`greatest`.
+  *
+  * Exactness scope: "exact" holds for COUNT, MIN/MAX, and SUM over
+  * INTEGRAL and DECIMAL columns, where subtract-then-add is truly
+  * associative. A float/double sum column is maintained with the same
+  * algebra, but IEEE addition is not associative, so its maintained
+  * sum can DRIFT from a direct aggregation by accumulated rounding
+  * over many windows — and sum-only rollups never rebuild, so the
+  * drift is unbounded in principle. Treat float sums as approximate,
+  * or store prices/quantities as DECIMAL (the reference's own domain
+  * shape), or call [[rebuild]] periodically to re-anchor.
   *
   * Storage per group: `row_count`, then per sum column its non-null
   * count `<c>_nn` (the witness that keeps SUM's NULL semantics exact:
@@ -96,10 +106,16 @@ object Rollup {
     def withBucket(df: DataFrame): DataFrame =
       df.select((groupCols ++ names).map(col): _*)
         .withColumn(Bucket, bucketOf(groupCols))
+    // Every source read below is PINNED to the captured cursor
+    // version: the store supports concurrent writers, so a commit
+    // landing between the cursor capture and a latest-version read
+    // would bake cur+1's rows into state recorded as cur — and the
+    // next window would apply those changes AGAIN.
     SnapshotStore.currentVersion(spark, rollupRoot) match {
       case None =>
         SnapshotStore.commit(spark,
-          withBucket(profile(derive(SnapshotStore.read(spark, srcRoot)),
+          withBucket(profile(
+            derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
           properties = Some(Seq(CursorProp -> cur.toString)))
@@ -126,12 +142,16 @@ object Rollup {
             .isin("insert", "update_postimage"), 1).otherwise(-1)
           // MIN/MAX are not invertible: groups losing rows rebuild.
           // A sum-only rollup has nothing to rebuild — fully additive.
+          // The anti-join is deliberately UNHINTED: negGroups is
+          // unbounded (a bulk delete touches millions of groups), so a
+          // forced broadcast would bypass AQE's size check and OOM the
+          // driver; AQE broadcasts on its own when it is small.
           val negGroups =
             if (minMaxCols.isEmpty) None
             else Some(feed.filter(sign < 0)
               .select(groupCols.map(col): _*).distinct())
           val additiveFeed = negGroups
-            .map(n => feed.join(broadcast(n), groupCols, "left_anti"))
+            .map(n => feed.join(n, groupCols, "left_anti"))
             .getOrElse(feed)
           val deltaAggs = sum(sign).as("row_count") +:
             (sumCols.flatMap(c => Seq(
@@ -170,18 +190,58 @@ object Rollup {
             case None => (None, None)
             case Some(n) =>
               val rb = profile(
-                GroupScope.scope(derive(SnapshotStore.read(spark, srcRoot)),
+                GroupScope.scope(
+                  derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
                   n, groupCols),
                 groupCols, sumCols, minMaxCols)
               (Some(rb), Some(n.join(rb, groupCols, "left_anti")))
           }
           val upserts = rebuilt.foldLeft(keepAdditive)(_ unionByName _)
           val deletes = goneRebuilt.foldLeft(goneAdditive)(_ unionByName _)
-          SnapshotStore.upsertDeleteCommit(spark, rollupRoot,
+          val before = SnapshotStore.currentVersion(spark, rollupRoot)
+          val committed = SnapshotStore.upsertDeleteCommit(spark, rollupRoot,
             withBucket(upserts), Some(deletes), groupCols, Bucket,
             properties = Some(merged))
+          // A window with no CONTENT delta (compact / z-order commits
+          // only) makes the merge a no-op that never writes the
+          // property set — advance the cursor with a metadata-only
+          // commit so later syncs stop re-diffing the same window.
+          if (before.contains(committed))
+            SnapshotStore.setProperties(spark, rollupRoot,
+              Seq(CursorProp -> cur.toString))
           cur
         } finally feed.unpersist()
     }
+  }
+
+  /** Re-anchor the rollup to a direct aggregation of the source's
+    * CURRENT version — the periodic knob that bounds float/double sum
+    * drift (see the exactness-scope note above). One full source
+    * scan by design; every group is rewritten, vanished groups leave.
+    * Returns the source version the rebuild reflects. */
+  def rebuild(spark: SparkSession, srcRoot: String, rollupRoot: String,
+              groupCols: Seq[String], sumCols: Seq[String],
+              minMaxCols: Seq[String] = Nil,
+              derive: DataFrame => DataFrame = identity): Long = {
+    val cur = SnapshotStore.currentVersion(spark, srcRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"rollup rebuild: no committed source at $srcRoot"))
+    val names = aggNames(sumCols, minMaxCols)
+    val fresh = profile(derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
+      groupCols, sumCols, minMaxCols)
+      .select((groupCols ++ names).map(col): _*)
+      .withColumn(Bucket, bucketOf(groupCols))
+    val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+      .filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
+    val gone = SnapshotStore.read(spark, rollupRoot)
+      .select(groupCols.map(col): _*)
+      .join(fresh, groupCols, "left_anti")
+    val before = SnapshotStore.currentVersion(spark, rollupRoot)
+    val committed = SnapshotStore.upsertDeleteCommit(spark, rollupRoot,
+      fresh, Some(gone), groupCols, Bucket, properties = Some(props))
+    if (before.contains(committed))
+      SnapshotStore.setProperties(spark, rollupRoot,
+        Seq(CursorProp -> cur.toString))
+    cur
   }
 }

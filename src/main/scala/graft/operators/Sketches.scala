@@ -93,9 +93,13 @@ object Sketches {
     def withBucket(df: DataFrame): DataFrame =
       df.select((groupCols ++ skCols).map(col): _*)
         .withColumn(Bucket, bucketOf(groupCols))
+    // Source reads below are PINNED to the captured cursor version —
+    // a concurrent source commit between the capture and a
+    // latest-version read would bake cur+1 rows into state recorded
+    // as cur, and the next window would re-apply them (see Rollup).
     SnapshotStore.currentVersion(spark, sketchRoot) match {
       case None =>
-        val sk = hllProfile(SnapshotStore.read(spark, srcRoot),
+        val sk = hllProfile(SnapshotStore.readVersion(spark, srcRoot, cur),
           groupCols, cols, lgK)
         SnapshotStore.commit(spark, withBucket(sk), sketchRoot, Bucket,
           properties = Some(Seq(CursorProp -> cur.toString,
@@ -122,6 +126,7 @@ object Sketches {
               "columns must be non-null")
           val merged =
             props.filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
+          val before = SnapshotStore.currentVersion(spark, sketchRoot)
           val hasDoom =
             !feed.filter(col("_change_type") =!= "insert").isEmpty
           if (!hasDoom) {
@@ -152,7 +157,7 @@ object Sketches {
             // semi-join alone would filter after reading every file.
             val touched = feed.select(groupCols.map(col): _*).distinct()
             val rebuilt = hllProfile(
-              GroupScope.scope(SnapshotStore.read(spark, srcRoot),
+              GroupScope.scope(SnapshotStore.readVersion(spark, srcRoot, cur),
                 touched, groupCols),
               groupCols, cols, storedLgK)
             val vanished = touched.join(rebuilt, groupCols, "left_anti")
@@ -160,6 +165,13 @@ object Sketches {
               withBucket(rebuilt), Some(vanished), groupCols, Bucket,
               properties = Some(merged))
           }
+          // A content-no-op window (layout-only source commits) makes
+          // the merge above return the unchanged version WITHOUT
+          // writing the property set — advance the cursor with a
+          // metadata-only commit so later syncs stop re-diffing it.
+          if (before == SnapshotStore.currentVersion(spark, sketchRoot))
+            SnapshotStore.setProperties(spark, sketchRoot,
+              Seq(CursorProp -> cur.toString))
           cur
         } finally feed.unpersist()
     }

@@ -132,6 +132,109 @@ class RollupSpec extends graft.SparkSpec {
         Seq("score")).orderBy("grp").collect().map(_.toSeq).toSeq)
   }
 
+  test("above the literal limit GroupScope falls back to an UNHINTED semi-join with equal rows") {
+    val src = (1 to 60).map(i => (i, s"g${i % 30}")).toDF("v", "grp")
+    val touched = (1 to 20).map(i => Tuple1(s"g$i")).toDF("grp")
+    val fallback = GroupScope.scope(src, touched, Seq("grp"), limit = 10)
+    // No ResolvedHint anywhere in the plan: a forced broadcast of an
+    // unbounded touched set bypasses AQE's size check and OOMs the
+    // driver at scale — the fallback must leave the strategy to AQE.
+    val hinted = fallback.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, s"fallback path must carry no join hint: $hinted")
+    // The USING semi-join fronts the join column; compare value sets
+    // under a fixed projection.
+    val literal = GroupScope.scope(src, touched, Seq("grp"), limit = 1000)
+    assert(fallback.select("v", "grp").collect().toSet ==
+      literal.select("v", "grp").collect().toSet)
+  }
+
+  test(">1000-group loss window drives the unhinted fallback; result equals direct rebuild") {
+    val srcRoot = freshRoot("ru_big"); val rollRoot = freshRoot("ru_bigroll")
+    val n = 1100 // above GroupScope's default literal limit
+    val df = (1 to 2 * n).map(i =>
+      (i.toLong, s"p${i % 4}", s"g${i % n}", i, Some(i.toDouble)))
+      .toDF("id", "part", "grp", "qty", "score")
+    SnapshotStore.commit(spark, df, srcRoot, "part")
+    def sync() = Rollup.sync(spark, srcRoot, rollRoot,
+      Seq("id"), Seq("grp"), Seq("qty"), Seq("score"))
+    sync()
+    // Delete one row from EVERY group: negGroups = 1100 > limit, so
+    // both the anti-join and the rebuild scope run hint-free.
+    SnapshotStore.deleteCommit(spark,
+      (1 to n).map(i => Tuple1(i.toLong)).toDF("id"), srcRoot, "id", "part")
+    sync()
+    val got = Rollup.view(SnapshotStore.read(spark, rollRoot),
+      Seq("grp"), Seq("qty"), Seq("score"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq
+    val want = Rollup.view(Rollup.profile(SnapshotStore.read(spark, srcRoot),
+      Seq("grp"), Seq("qty"), Seq("score")), Seq("grp"), Seq("qty"),
+      Seq("score")).orderBy("grp").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("a layout-only source window advances the cursor via a metadata-only commit") {
+    val srcRoot = freshRoot("ru_layout"); val rollRoot = freshRoot("ru_layroll")
+    SnapshotStore.commit(spark, rows(10), srcRoot, "part")
+    SnapshotStore.appendCommit(spark, rows(10).withColumn("id", $"id" + 100),
+      srcRoot, "part")
+    def sync() = Rollup.sync(spark, srcRoot, rollRoot,
+      Seq("id"), Seq("grp"), Seq("qty"))
+    sync()
+    val rollV = SnapshotStore.currentVersion(spark, rollRoot).get
+    // v3 on the source is compaction — a pure layout commit, so the
+    // change window is a content no-op.
+    val v3 = SnapshotStore.compact(spark, srcRoot, "part")
+    assert(sync() == v3)
+    assert(SnapshotStore.tablePropertiesMap(spark, rollRoot)
+      .get(Rollup.CursorProp).contains(v3.toString),
+      "cursor must advance past a content-no-op window")
+    // Rows unchanged; the advance was metadata-only, and the next sync
+    // early-returns instead of re-diffing the same empty window.
+    assert(Rollup.view(SnapshotStore.read(spark, rollRoot),
+      Seq("grp"), Seq("qty")).orderBy("grp").collect().map(_.toSeq).toSeq ==
+      Rollup.view(Rollup.profile(SnapshotStore.read(spark, srcRoot),
+        Seq("grp"), Seq("qty")), Seq("grp"), Seq("qty"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+    val settled = SnapshotStore.currentVersion(spark, rollRoot).get
+    assert(settled > rollV)
+    assert(sync() == v3)
+    assert(SnapshotStore.currentVersion(spark, rollRoot).contains(settled),
+      "a caught-up cursor must not commit again")
+  }
+
+  test("rebuild re-anchors a drifting float sum to the direct aggregation") {
+    val srcRoot = freshRoot("ru_anchor"); val rollRoot = freshRoot("ru_anchorroll")
+    SnapshotStore.commit(spark, rows(20), srcRoot, "part")
+    Rollup.sync(spark, srcRoot, rollRoot, Seq("id"), Seq("grp"), Seq("score"))
+    SnapshotStore.upsertDeleteCommit(spark, srcRoot,
+      Seq((21L, "p1", "g1", 210, Some(0.1))).toDF("id", "part", "grp", "qty", "score"),
+      Some(Seq(Tuple1(2L)).toDF("id")), "id", "part")
+    Rollup.sync(spark, srcRoot, rollRoot, Seq("id"), Seq("grp"), Seq("score"))
+    val v = Rollup.rebuild(spark, srcRoot, rollRoot,
+      Seq("grp"), Seq("score"))
+    assert(v == SnapshotStore.currentVersion(spark, srcRoot).get)
+    assert(SnapshotStore.tablePropertiesMap(spark, rollRoot)
+      .get(Rollup.CursorProp).contains(v.toString))
+    // After the re-anchor the stored sums are EXACTLY the direct
+    // aggregation's (same reduction shape, not the maintained chain).
+    assert(SnapshotStore.read(spark, rollRoot)
+      .select($"grp", $"score_sum").orderBy("grp").collect().map(_.toSeq).toSeq ==
+      Rollup.profile(SnapshotStore.read(spark, srcRoot), Seq("grp"), Seq("score"))
+        .select($"grp", $"score_sum").orderBy("grp").collect().map(_.toSeq).toSeq)
+    // And sync keeps working off the re-anchored cursor.
+    SnapshotStore.appendCommit(spark,
+      Seq((30L, "p0", "g0", 300, Some(3.0))).toDF("id", "part", "grp", "qty", "score"),
+      srcRoot, "part")
+    Rollup.sync(spark, srcRoot, rollRoot, Seq("id"), Seq("grp"), Seq("score"))
+    assert(Rollup.view(SnapshotStore.read(spark, rollRoot), Seq("grp"), Seq("score"))
+      .orderBy("grp").collect().map(_.toSeq).toSeq ==
+      Rollup.view(Rollup.profile(SnapshotStore.read(spark, srcRoot),
+        Seq("grp"), Seq("score")), Seq("grp"), Seq("score"))
+        .orderBy("grp").collect().map(_.toSeq).toSeq)
+  }
+
   test("rollup refuses a null group value in the window loudly") {
     val srcRoot = freshRoot("ru_src3"); val rollRoot = freshRoot("ru_roll3")
     SnapshotStore.commit(spark,

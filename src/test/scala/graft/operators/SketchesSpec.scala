@@ -127,6 +127,48 @@ class SketchesSpec extends graft.SparkSpec {
       "a fully-vacated group must leave the sketch table")
   }
 
+  test(">1000 touched groups rebuild through the unhinted fallback; estimates stay exact") {
+    val srcRoot = freshRoot("sk_big"); val skRoot = freshRoot("sk_bigtab")
+    val n = 1100 // above GroupScope's default literal limit
+    SnapshotStore.commit(spark,
+      (1 to 2 * n).map(i => (i.toLong, s"p${i % 4}", s"g${i % n}", s"u$i"))
+        .toDF("id", "part", "grp", "user"), srcRoot, "part")
+    Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("user"))
+    // Delete one row from EVERY group → rebuild window touches all
+    // 1100 groups → GroupScope's unhinted semi-join fallback.
+    SnapshotStore.deleteCommit(spark,
+      (1 to n).map(i => Tuple1(i.toLong)).toDF("id"), srcRoot, "id", "part")
+    Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("user"))
+    // One distinct user per surviving row per group — exact at lgK 12.
+    val est = Sketches.estimates(SnapshotStore.read(spark, skRoot),
+      Seq("grp"), Seq("user"))
+    assert(est.count() == n.toLong)
+    assert(est.filter($"user_distinct" =!= 1L).isEmpty,
+      "every rebuilt group holds exactly one distinct user")
+  }
+
+  test("a layout-only source window advances the sketch cursor via a metadata-only commit") {
+    val srcRoot = freshRoot("sk_layout"); val skRoot = freshRoot("sk_laytab")
+    SnapshotStore.commit(spark, src(40), srcRoot, "grp")
+    SnapshotStore.appendCommit(spark,
+      (41 to 80).map(i => (i.toLong, s"g${i % 3}", s"u${i % 17}", s"d${i % 41}"))
+        .toDF("id", "grp", "user", "doc"), srcRoot, "grp")
+    def sync() = Sketches.hllSync(spark, srcRoot, skRoot,
+      Seq("id"), Seq("grp"), Seq("user"))
+    sync()
+    val v3 = SnapshotStore.compact(spark, srcRoot, "grp")
+    assert(sync() == v3)
+    assert(SnapshotStore.tablePropertiesMap(spark, skRoot)
+      .get(Sketches.CursorProp).contains(v3.toString),
+      "cursor must advance past a content-no-op window")
+    val settled = SnapshotStore.currentVersion(spark, skRoot).get
+    assert(sync() == v3)
+    assert(SnapshotStore.currentVersion(spark, skRoot).contains(settled),
+      "a caught-up cursor must not commit again")
+  }
+
   test("hllSync refuses a null group value in the change window loudly") {
     val srcRoot = freshRoot("sk_src3"); val skRoot = freshRoot("sk_tab3")
     SnapshotStore.commit(spark,
