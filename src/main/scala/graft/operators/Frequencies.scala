@@ -21,12 +21,39 @@ object Frequencies {
   /** Maintain the frequency table at `freqRoot` for `srcRoot`:
     * one row per (groupCols…, valueCol) with its exact `row_count`.
     * Values must be non-null (the rollup's loud group contract) —
-    * pre-map nulls to a sentinel in the source if they matter. */
+    * pre-map nulls to a sentinel in the source if they matter.
+    *
+    * High-cardinality guard: one stored row per live (group, value)
+    * means an id-like value column silently turns the "summary" table
+    * corpus-sized. Each sync probes the WINDOW's distinct-value count
+    * per group (the first build probes the whole source — the largest
+    * window) and refuses loudly above `maxDistinctPerGroup`; pass 0
+    * to opt out for a domain known to be wide on purpose. The probe
+    * is one count-shaped aggregation of the window, never an extra
+    * source scan. */
   def sync(spark: SparkSession, srcRoot: String, freqRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String],
-           valueCol: String): Long =
+           valueCol: String, maxDistinctPerGroup: Int = 100000): Long =
     Rollup.sync(spark, srcRoot, freqRoot, srcKeys,
-      groupCols :+ valueCol, Nil)
+      groupCols :+ valueCol, Nil,
+      derive = df => {
+        if (maxDistinctPerGroup > 0) {
+          val names = if (groupCols.isEmpty) Seq("__g") else groupCols
+          val sel = (if (groupCols.isEmpty) Seq(lit(1).as("__g"))
+            else groupCols.map(col)) :+ col(valueCol)
+          val over = df.select(sel: _*).distinct()
+            .groupBy(names.map(col): _*)
+            .agg(count(lit(1)).as("__nv"))
+            .filter(col("__nv") > maxDistinctPerGroup)
+            .limit(1).count()
+          require(over == 0L,
+            s"frequency sync: a group carries more than $maxDistinctPerGroup " +
+              s"distinct '$valueCol' values in this window — an id-like value " +
+              "column makes the frequency table corpus-sized; bucket the " +
+              "values or pass maxDistinctPerGroup = 0 to opt out")
+        }
+        df
+      })
 
   /** Top-k heaviest values per group from a maintained frequency
     * table (ties break value-ascending). With empty `groupCols` this

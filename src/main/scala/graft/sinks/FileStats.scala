@@ -66,6 +66,16 @@ object FileStats {
     }
     val blocks = footer.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
+    // Write-time exactness marker for string bounds: when the writer
+    // config allows parquet to TRUNCATE binary statistics
+    // (`parquet.statistics.truncate.length`), a footer bound may be a
+    // prefix / prefix-successor rather than an attained value. Such
+    // bounds are still valid OUTER bounds (skipping stays correct),
+    // but [[MetadataCountRule]] must never return one as a MIN/MAX
+    // answer — the "str~" tag records that at sidecar-build time,
+    // which happens in the same job (and conf) that wrote the file.
+    val exactStrings = conf.getInt("parquet.statistics.truncate.length",
+      Int.MaxValue) == Int.MaxValue
     // (type-tag, merged Statistics) per column; None once any block is
     // unusable for that column — partial stats can't bound the file.
     val merged = scala.collection.mutable.Map[String, Option[(String, org.apache.parquet.column.statistics.Statistics[_])]]()
@@ -73,6 +83,7 @@ object FileStats {
       b.getColumns.asScala.foreach { cc =>
         val name = cc.getPath.toDotString
         val tag = typeTag(cc.getPrimitiveType)
+          .map { case "str" if !exactStrings => "str~"; case t => t }
         val st: org.apache.parquet.column.statistics.Statistics[_] =
           cc.getStatistics
         val usable = tag.isDefined && st != null && !st.isEmpty
@@ -263,7 +274,12 @@ object FileStats {
       }
       val b = try Some(BigDecimal(bound)) catch { case _: NumberFormatException => None } // NaN/Inf bounds
       for { bb <- b; ll <- lit } yield bb.compare(ll)
-    case "str" => v match {
+    // "str~" (possibly-truncated bounds) still PRUNES: a truncated min
+    // is ≤ the attained min and a truncated max ≥ the attained max, so
+    // the recorded range only widens — skipping stays conservative.
+    // Only [[MetadataCountRule]] must refuse it (a bound is not an
+    // attained value there), which its tag equality already does.
+    case "str" | "str~" => v match {
       case s: String if isAscii(s) && isAscii(bound) => Some(bound.compareTo(s))
       case _ => None
     }

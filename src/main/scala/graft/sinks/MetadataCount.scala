@@ -32,8 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * sidecar stats for the referenced columns, and only for values the
   * sidecar's order discipline can replay exactly ([[FileStats]]: ints,
   * longs, floats, doubles, dates, micros timestamps; ASCII string
-  * bounds) — anything else keeps the scan. COUNT(c) additionally
-  * needs recorded null counts in every file. */
+  * bounds recorded as EXACT — files written under a
+  * `parquet.statistics.truncate.length` config carry the "str~" tag
+  * instead, whose bounds may be non-attained prefixes and therefore
+  * keep the scan here while still pruning) — anything else keeps the
+  * scan. COUNT(c) additionally needs recorded null counts in every
+  * file. */
 case class MetadataCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** COUNT(1) references no attributes, so deterministic projections

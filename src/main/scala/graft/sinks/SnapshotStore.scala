@@ -798,11 +798,27 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     else if (fractional.contains(a) && fractional.contains(b))
       Some(DoubleType)
     else (a, b) match {
-      // Same-scale precision growth — decimal arithmetic's natural
-      // drift (sum/avg bump precision), readable over carried files
-      // via the parquet decimal widening conversion.
-      case (da: DecimalType, db: DecimalType) if da.scale == db.scale =>
-        Some(DecimalType(math.max(da.precision, db.precision), da.scale))
+      // Value-preserving decimal widening: the union type keeps every
+      // integer digit (max p−s) and every fractional digit (max s) of
+      // both sides — DECIMAL(p,s) → DECIMAL(p',s') with p'≥p, s'≥s,
+      // p'−s' ≥ p−s, the only directions that can't round or overflow
+      // a stored value. Same-scale precision growth (decimal
+      // arithmetic's natural drift — sum/avg bump precision) is the
+      // s'=s special case. Carried files written under the narrower
+      // type keep reading via the parquet decimal widening/rescale
+      // conversion (exercised by TypeWideningSpec). A union that
+      // would exceed decimal's max precision refuses (None) — a
+      // 38-digit overflow can't be represented, so the caller's loud
+      // refusal beats silent truncation. Reference anchor: prices are
+      // the reference's decimal-shaped domain
+      // (unified_product_schema.py:52-64, midocean_transformer.py:341).
+      case (da: DecimalType, db: DecimalType) =>
+        val scale = math.max(da.scale, db.scale)
+        val intDigits = math.max(da.precision - da.scale,
+          db.precision - db.scale)
+        if (intDigits + scale <= DecimalType.MAX_PRECISION)
+          Some(DecimalType(intDigits + scale, scale))
+        else None
       case _ => None
     }
   }

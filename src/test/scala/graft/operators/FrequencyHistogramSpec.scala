@@ -114,6 +114,80 @@ class FrequencyHistogramSpec extends graft.SparkSpec {
     }
   }
 
+  test("frequency sync refuses an id-like value column loudly; opt-out and bounded domains pass") {
+    val srcRoot = freshRoot("fq_guard"); val fqRoot = freshRoot("fq_guardtab")
+    // 40 distinct ids per group — corpus-shaped for a tiny bound.
+    SnapshotStore.commit(spark,
+      (1 to 80).map(i => (i.toLong, s"p${i % 2}", s"g${i % 2}", s"id$i"))
+        .toDF("id", "part", "grp", "v"), srcRoot, "part")
+    val e = intercept[IllegalArgumentException] {
+      Frequencies.sync(spark, srcRoot, fqRoot, Seq("id"), Seq("grp"), "v",
+        maxDistinctPerGroup = 10)
+    }
+    assert(e.getMessage.contains("distinct") && e.getMessage.contains("opt out"),
+      e.getMessage)
+    assert(SnapshotStore.currentVersion(spark, fqRoot).isEmpty,
+      "a refused first build must publish nothing")
+    // Opt-out (0) builds; a bound ABOVE the domain passes too.
+    val fq2 = freshRoot("fq_guardtab2")
+    Frequencies.sync(spark, srcRoot, fq2, Seq("id"), Seq("grp"), "v",
+      maxDistinctPerGroup = 0)
+    assert(SnapshotStore.read(spark, fq2).count() == 80L)
+    val fq3 = freshRoot("fq_guardtab3")
+    Frequencies.sync(spark, srcRoot, fq3, Seq("id"), Seq("grp"), "v",
+      maxDistinctPerGroup = 50)
+    // The guard prices per WINDOW: a small follow-up window under the
+    // bound passes even against the same table.
+    SnapshotStore.appendCommit(spark,
+      Seq((81L, "p1", "g1", "id81")).toDF("id", "part", "grp", "v"),
+      srcRoot, "part")
+    Frequencies.sync(spark, srcRoot, fq3, Seq("id"), Seq("grp"), "v",
+      maxDistinctPerGroup = 10)
+    assert(SnapshotStore.read(spark, fq3).count() == 81L)
+  }
+
+  test("rebin rewrites the bin table at a new range; maintained-then-rebinned equals built-fresh and sync continues") {
+    val srcRoot = freshRoot("hg_rebin"); val hgRoot = freshRoot("hg_rebintab")
+    // Values drift past the original hi=50: the clamped edge bin
+    // accumulates everything above it.
+    SnapshotStore.commit(spark,
+      (1 to 100).map(i => (i.toLong, s"p${i % 2}", "g0", Some(i.toDouble)))
+        .toDF("id", "part", "grp", "v"), srcRoot, "part")
+    Histograms.sync(spark, srcRoot, hgRoot, Seq("id"), Seq("grp"), "v",
+      0.0, 50.0, 10)
+    SnapshotStore.appendCommit(spark,
+      (101 to 160).map(i => (i.toLong, s"p${i % 2}", "g0", Some(i.toDouble)))
+        .toDF("id", "part", "grp", "v"), srcRoot, "part")
+    Histograms.sync(spark, srcRoot, hgRoot, Seq("id"), Seq("grp"), "v",
+      0.0, 50.0, 10)
+    // Re-bin to the drifted range…
+    val v = Histograms.rebin(spark, srcRoot, hgRoot, Seq("grp"), "v",
+      0.0, 200.0, 20)
+    assert(v == SnapshotStore.currentVersion(spark, srcRoot).get)
+    // …equals a table built fresh at that range over the same source…
+    val freshRootT = freshRoot("hg_rebinfresh")
+    Histograms.sync(spark, srcRoot, freshRootT, Seq("id"), Seq("grp"), "v",
+      0.0, 200.0, 20)
+    def binRows(r: String) = Histograms.bins(SnapshotStore.read(spark, r),
+      Seq("grp")).orderBy($"grp", $"bin").as[(String, Int, Long)].collect().toSeq
+    assert(binRows(hgRoot) == binRows(freshRootT))
+    // …and subsequent sync at the NEW parameters continues incrementally.
+    SnapshotStore.appendCommit(spark,
+      Seq((161L, "p1", "g0", Some(180.0))).toDF("id", "part", "grp", "v"),
+      srcRoot, "part")
+    Histograms.sync(spark, srcRoot, hgRoot, Seq("id"), Seq("grp"), "v",
+      0.0, 200.0, 20)
+    Histograms.sync(spark, srcRoot, freshRootT, Seq("id"), Seq("grp"), "v",
+      0.0, 200.0, 20)
+    assert(binRows(hgRoot) == binRows(freshRootT))
+    // The drifted tail is resolvable again: q=1.0 lands near 180, not
+    // clamped at the old hi.
+    val q = Histograms.quantiles(SnapshotStore.read(spark, hgRoot),
+      Seq("grp"), Seq(1.0), 0.0, 200.0, 20)
+      .select($"value").as[Double].head()
+    assert(q > 170.0 && q <= 200.0, q.toString)
+  }
+
   test("topKGlobal re-aggregates a grouped frequency table into one global ranking") {
     val srcRoot = freshRoot("fq_src2"); val fqRoot = freshRoot("fq_tab2")
     SnapshotStore.commit(spark,

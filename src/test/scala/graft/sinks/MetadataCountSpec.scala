@@ -102,6 +102,31 @@ class MetadataCountSpec extends graft.SparkSpec {
     assert(!phys.contains("FileScan"), phys)
   }
 
+  test("a truncation-configured writer marks string bounds inexact: string MIN/MAX keeps the scan, numerics still rewrite") {
+    val root = freshRoot(); bindCatalog("g_mmtr")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("parquet.statistics.truncate.length", 8)
+    try SnapshotStore.commit(spark,
+      (1 to 100).map(i => (f"sku_very_long_value_$i%03d", "a", i))
+        .toDF("sku", "supplier", "qty"), root, "supplier")
+    finally hconf.unset("parquet.statistics.truncate.length")
+    // The sidecar recorded the column under the possibly-truncated
+    // tag, so the bounds must never be returned as an ANSWER…
+    val s = spark.sql(s"SELECT min(sku) AS mn, max(sku) AS mx FROM g_mmtr.`$root`")
+    assert(s.queryExecution.executedPlan.toString.contains("FileScan"),
+      "possibly-truncated string bounds must keep the scan")
+    assert(s.collect().head.toSeq ==
+      Seq("sku_very_long_value_001", "sku_very_long_value_100"))
+    // …while numeric bounds (never truncated) and skipping still work:
+    val n = spark.sql(s"SELECT min(qty) AS mn, count(*) AS c FROM g_mmtr.`$root`")
+    assert(n.collect().head.toSeq == Seq(1, 100L))
+    assert(n.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // A truncated bound is still a valid OUTER bound — an out-of-range
+    // string predicate prunes on it and stays row-correct.
+    assert(SnapshotStore.read(spark, root)
+      .filter($"sku" > "zzz").isEmpty)
+  }
+
   test("MIN over an all-null column is metadata NULL; mixed answerable/unanswerable keeps the scan") {
     val root = freshRoot(); bindCatalog("g_mmn")
     SnapshotStore.commit(spark,

@@ -66,6 +66,70 @@ class TypeWideningSpec extends graft.SparkSpec {
     assert(got(2) == 2.5 && got(3) == 3.25, got.toString)
   }
 
+  test("DECIMAL(18,2) batch into a DECIMAL(12,2) column widens; carried INT64-decimal files keep reading") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq((1, "a", BigDecimal("19.99")), (2, "b", BigDecimal("7.50")))
+        .toDF("id", "part", "price")
+        .select(col("id"), col("part"),
+          col("price").cast("decimal(12,2)").as("price")),
+      root, "part")
+    // The wider batch touches only partition a; b's DECIMAL(12,2)
+    // file (parquet INT64-backed) is CARRIED under the widened scan.
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq((1, "a", BigDecimal("12345678901234.25")))
+        .toDF("id", "part", "price")
+        .select(col("id"), col("part"),
+          col("price").cast("decimal(18,2)").as("price")),
+      root, "id", Nil, "part")
+    val sc = SnapshotStore.schemaFor(spark, root, 2L).get
+    assert(sc("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2), sc)
+    val got = SnapshotStore.read(spark, root)
+      .select(col("id"), col("price").cast("string"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "12345678901234.25"), (2, "7.50")), got.toString)
+  }
+
+  test("decimal SCALE growth widens value-preservingly: (12,2) ∪ (11,4) → (14,4); precision overflow refuses") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      Seq((1, "a", BigDecimal("9999999999.99")), (2, "b", BigDecimal("0.25")))
+        .toDF("id", "part", "price")
+        .select(col("id"), col("part"),
+          col("price").cast("decimal(12,2)").as("price")),
+      root, "part")
+    // 4-fractional-digit batch: the union must keep 10 integer digits
+    // AND 4 fractional digits — DECIMAL(14,4) — so partition b's
+    // carried (12,2) file rescales on read without loss.
+    SnapshotStore.appendCommit(spark,
+      Seq((3, "a", BigDecimal("1.2345"))).toDF("id", "part", "price")
+        .select(col("id"), col("part"),
+          col("price").cast("decimal(11,4)").as("price")),
+      root, "part")
+    val sc = SnapshotStore.schemaFor(spark, root, 2L).get
+    assert(sc("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(14, 4), sc)
+    val got = SnapshotStore.read(spark, root)
+      .select(col("id"), col("price").cast("string"))
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "9999999999.9900"), (2, "0.2500"), (3, "1.2345")),
+      got.toString)
+    // SCALE-DOWN never widens implicitly: a (12,1) batch would need
+    // rounding stored (…,4) values — the union is (15,4), which is
+    // value-preserving, so this PASSES; the refusal case is overflow:
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.appendCommit(spark,
+        Seq((4, "a", BigDecimal("1"))).toDF("id", "part", "price")
+          .select(col("id"), col("part"),
+            col("price").cast("decimal(38,2)").as("price")),
+        root, "part")
+    }
+    assert(e.getMessage.contains("price"), e.getMessage)
+    assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L),
+      "a refused overflow batch must publish nothing")
+  }
+
   test("a non-widening type change refuses the commit loudly, naming the column") {
     val root = freshRoot()
     SnapshotStore.commit(spark,
