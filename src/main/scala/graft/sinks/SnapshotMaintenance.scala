@@ -498,6 +498,35 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       s"lost the compaction race $maxAttempts times under $root")
   }
 
+  /** Opt-in post-commit auto-compaction (Delta's autoCompact /
+    * optimizeWrite answer to the small-file accretion every
+    * high-frequency `mirrorStream` / `snapshotWriter` suffers between
+    * manual OPTIMIZE calls): when the table property
+    * `graft.autoCompact.minFiles` is a positive int and a just-
+    * committed version leaves any partition with MORE live files than
+    * that, compact exactly those partitions as a layout-only commit
+    * ("compact" op — change feeds and streams already classify it
+    * dataChange=false and skip it, so stream exactly-once holds).
+    * Called at the success exit of the data-commit paths; the data
+    * commit has already won, so like [[writeStats]] this derived
+    * maintenance must never fail it — any error degrades to "not
+    * compacted this round" and the next commit retries. */
+  private[sinks] def maybeAutoCompact(spark: SparkSession, root: String,
+                                      committed: Long): Unit = try {
+    val min = tablePropertiesMap(spark, root)
+      .get("graft.autoCompact.minFiles")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+    if (min > 0) {
+      val over = manifest(spark, root, committed).groupBy(_.partition)
+        .filter(_._2.size > min).keys.toSeq
+      if (over.nonEmpty)
+        partitionColumn(spark, root, committed).foreach { spec =>
+          compact(spark, root, ColSpec.parse(spec),
+            maxFilesPerPartition = min, partitions = Some(over))
+        }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg's headline day-two operation,
     * expressed in this store's per-version metadata): re-lay a live
     * table out under `newSpec` as ONE layout rewrite commit. The new

@@ -106,4 +106,62 @@ class PqSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(narrow.distinct.length == narrow.length)
   }
+
+  test("maintained IVF-PQ index: per-commit append equals from-scratch rebuild; DV deletes drop from the probe") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("pq_maint").toString
+    val root = s"$dir/t"; val idxPath = s"$dir/pq_index"
+    val e = embeddings.filter(col("vec_id") < 400)
+      .withColumn("pt", pmod(col("vec_id"), lit(4)).cast("string"))
+    SnapshotStore.commit(spark,
+      e.filter(pmod(col("vec_id"), lit(3)) =!= 0), root, "pt")
+    // Cents and books FREEZE at first ingest (faiss train-once).
+    val v1 = SnapshotStore.read(spark, root)
+    val cents = Similarity.ivfCentroids(v1, "vec_id", "embedding", numCells = 8)
+    val books = Similarity.pqCodebooks(v1, "vec_id", "embedding", m = 4, ks = 8)
+    Similarity.appendIvfPqForSnapshotVersion(
+      spark, root, 1L, "vec_id", "embedding", cents, books, idxPath)
+    val rows1 = spark.read.parquet(idxPath).count()
+    SnapshotStore.appendCommit(spark,
+      e.filter(pmod(col("vec_id"), lit(3)) === 0), root, "pt")
+    Similarity.appendIvfPqForSnapshotVersion(
+      spark, root, 2L, "vec_id", "embedding", cents, books, idxPath)
+    // An append carries v1's files by reference, so the second pass
+    // priced only the DELTA files' vectors.
+    assert(spark.read.parquet(idxPath).count() - rows1 ==
+      e.filter(pmod(col("vec_id"), lit(3)) === 0).count())
+    def probe() = Similarity.ivfPqProbeSnapshot(spark, root, idxPath,
+      cents, books, SnapshotStore.read(spark, root).filter(col("vec_id") < 6),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    def rebuilt() = Similarity.ivfPqTopKIndexed(
+      Similarity.ivfPqIndex(SnapshotStore.read(spark, root),
+        "vec_id", "embedding", cents, books),
+      cents, books,
+      SnapshotStore.read(spark, root).filter(col("vec_id") < 6),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe() == rebuilt(),
+      "maintained-index probe must equal the from-scratch rebuild")
+    // DV delete (SQL DELETE under the DV property — the only DV
+    // write path): dropped ids must leave the probe WITHOUT any index
+    // rewrite (the E88 read-boundary rule).
+    spark.conf.set("spark.sql.catalog.pq_maint",
+      classOf[graft.sinks.GraftCatalog].getName)
+    SnapshotStore.setProperties(spark, root,
+      Seq("graft.enableDeletionVectors" -> "true"))
+    val doomed = probe().map(_._2).take(3)
+    spark.sql(s"DELETE FROM pq_maint.`$root` " +
+      s"WHERE vec_id IN (${doomed.mkString(",")})")
+    assert(SnapshotStore.manifest(spark, root,
+        SnapshotStore.currentVersion(spark, root).get)
+      .exists(_.dv.nonEmpty), "the delete must have written DVs, not rewritten")
+    val after = probe()
+    assert(doomed.forall(d => !after.exists(_._2 == d)),
+      s"DV-deleted ids $doomed must not surface: $after")
+    assert(after == rebuilt(),
+      "post-DV probe must equal a rebuild over the current snapshot")
+  }
 }
