@@ -86,8 +86,12 @@ object Layout {
       case _ => k.cast("double")
     }
 
-  def zorderBy(df: DataFrame, keys: Seq[Column], numFiles: Int,
-               bits: Int): DataFrame = {
+  /** The interleaved z-value expression for `keys` over `df`'s value
+    * ranges (one stats pass) — the sort key [[zorderBy]] lays files
+    * out by, exposed so callers with their own placement discipline
+    * (a bucketed table, where the hash layout owns the shuffle) can
+    * still z-sort WITHIN their partitions. */
+  def zorderKey(df: DataFrame, keys: Seq[Column], bits: Int): Column = {
     val surr = keys.map(k => surrogate(df, k))
     val mm = surr.flatMap(k => Seq(min(k), max(k)))
     val stats = df.agg(mm.head, mm.tail: _*).collect()(0)
@@ -100,7 +104,12 @@ object Layout {
     val ranked = surr.zipWithIndex.map { case (k, j) =>
       rank(k, stats.getDouble(2 * j), stats.getDouble(2 * j + 1))
     }
-    val z = zValue(ranked, bits)
+    zValue(ranked, bits)
+  }
+
+  def zorderBy(df: DataFrame, keys: Seq[Column], numFiles: Int,
+               bits: Int): DataFrame = {
+    val z = zorderKey(df, keys, bits)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 

@@ -1372,6 +1372,58 @@ private[graft] object EvolutionQueries {
       SELECT o_orderkey AS k, 0 AS pruned FROM orders
       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
       UNION ALL SELECT -1 AS k, 1 AS pruned
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+
+    // HASH-BUCKETED tables (SnapshotStore.bucketTable +
+    // graft.bucket.spec): orders and customer are each clustered into
+    // 8 buckets on the customer key, an append AFTER clustering
+    // proves the layout is maintained by ordinary commits, and the
+    // join + keyed aggregation over the two tables is require-pinned
+    // to plan with ZERO exchanges on bucketed scans — the co-located
+    // bucketed join that, at 100 TB, shuffles neither fact nor
+    // dimension (vs the reference's MongoDB joins, which ship every
+    // row to the client, mongodb_loader.py). The aggregate itself
+    // rides the same co-location (group key ⊇ bucket key).
+    ("q208_bucketed_join", (s: SparkSession, d: String) => {
+      import graft.sinks.{ColSpec, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q208").toString
+      val oRoot = s"$dir/orders"; val cRoot = s"$dir/customer"
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          pmod(col("o_custkey"), lit(4)).cast("string").as("part"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          pmod(col("c_custkey"), lit(4)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0), oRoot, "part")
+      SnapshotStore.commit(s, cust, cRoot, "part")
+      SnapshotStore.bucketTable(s, oRoot, Seq("o_custkey"), 8)
+      SnapshotStore.bucketTable(s, cRoot, Seq("c_custkey"), 8)
+      // Ordinary append AFTER clustering: the bucket layout must ride
+      // along (no re-cluster call), or the plan pin below fails.
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(5)) === 0), oRoot, "part")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      try {
+        val agg = SnapshotStore.table(s, oRoot)
+          .join(SnapshotStore.table(s, cRoot),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total_price"))
+        val p = agg.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange"),
+          s"co-bucketed join+agg must plan shuffle-free:\n$p")
+        require(p.contains("Bucketed: true"),
+          s"both scans must present the bucket layout:\n$p")
+        agg.orderBy(col("c_custkey"))
+      } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }, Some("""
+      SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS order_cnt,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+      ORDER BY c.c_custkey"""))
   )
 }

@@ -481,8 +481,12 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // the partition column resolves by its PHYSICAL name.
       val physParts = partitionCols.cols
         .map(physicalNameOf(mappingAt(spark, root, cur)._1, _))
-      val compacted = readEntriesAt(spark, root, replaced, cur)
-        .repartition(physParts.map(col): _*)
+      // On a bucketed table writeDataFiles owns the shuffle (by bucket
+      // hash); repartitioning here too would shuffle the data twice.
+      val raw = readEntriesAt(spark, root, replaced, cur)
+      val compacted =
+        if (bucketSpecAt(spark, root, cur).isDefined) raw
+        else raw.repartition(physParts.map(col): _*)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, physParts,
         translate = false)
@@ -581,6 +585,68 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       s"lost the repartition race $maxAttempts times under $root")
   }
 
+  /** HASH-BUCKET the table (Delta liquid-clustering / Hive-bucketing
+    * territory, expressed as one layout rewrite + a carried property):
+    * rewrite every live partition into Spark's bucket layout on
+    * `bucketCols` × `numBuckets` and record [[BucketSpecProp]], so
+    * from this version on (a) every join or aggregation keyed on the
+    * bucket columns plans WITHOUT shuffling this table — co-bucketed
+    * big×big joins shuffle NEITHER side, the single biggest shuffle
+    * eliminator a 100 TB star join has; (b) equality predicates on
+    * the bucket columns prune to 1-of-n buckets at planning time; and
+    * (c) every subsequent data commit MAINTAINS the layout
+    * ([[writeDataFiles]] shuffles new files by the same hash), so the
+    * property survives upserts, merges, compaction, and streaming
+    * micro-batches without re-clustering.
+    *
+    * `bucketCols` are LOGICAL names, recorded with their SQL types:
+    * hash placement is type-sensitive (hash(int 5) ≠ hash(long 5)),
+    * so a later type widening of a bucket column silently degrades
+    * reads and writes to unbucketed (conservative, never wrong) until
+    * `bucketTable` runs again. Rows are read through the current
+    * deletion vectors (the rewrite materializes deletes, like
+    * OPTIMIZE). Returns the new version. */
+  def bucketTable(spark: SparkSession, root: String, bucketCols: Seq[String],
+                  numBuckets: Int, maxAttempts: Int = 5): Long = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    require(bucketCols.nonEmpty, "bucketTable needs at least one column")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val logical = readVersion(spark, root, cur).schema
+      val fields = logical.fields.map(f => f.name -> f.dataType).toMap
+      val missing = bucketCols.filterNot(fields.contains)
+      require(missing.isEmpty,
+        s"bucket column(s) ${missing.mkString(", ")} not in $root's schema " +
+          s"(have: ${logical.fieldNames.mkString(", ")})")
+      val spec = formatBucketSpec(numBuckets,
+        bucketCols.map(c => c -> fields(c).sql))
+      val entries = manifest(spark, root, cur)
+      val mapping = mappingAt(spark, root, cur)
+      val partCols = requirePartitionCols(spark, root, cur)
+      val physParts = partCols.map(physicalNameOf(mapping._1, _))
+      val physBuckets = bucketCols.map(physicalNameOf(mapping._1, _))
+      val props = tableProperties(spark, root, cur)
+        .filterNot(_._1 == BucketSpecProp) :+ (BucketSpecProp -> spec)
+      val v = cur + 1
+      val newEntries =
+        if (entries.isEmpty) Nil
+        else writeDataFiles(spark,
+          readEntriesAt(spark, root, entries, cur),
+          root, v, physParts, translate = false,
+          bucketOverride = Some((numBuckets, physBuckets)))
+      if (writeManifest(spark, root, v, newEntries, "cluster-by",
+          ColSpec(partCols).header, properties = Some(props))) {
+        writeStats(spark, root, v, Nil, newEntries, None)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the cluster-by race $maxAttempts times under $root")
+  }
+
   /** Layout maintenance: rewrite partitions (default: all) Z-ORDERED
     * on `zKeys`, published as a new snapshot version. Incremental
     * merges append files in arrival order, so a long-lived table's
@@ -611,13 +677,24 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // (see compact); the caller's LOGICAL z-keys and partition
       // column resolve through the mapping.
       val renames = mappingAt(spark, root, cur)._1
-      val laid = graft.operators.Layout.zorderBy(
-        readEntriesAt(spark, root, replaced, cur),
-        zKeys.map(k => col(physicalNameOf(renames, k))),
-        numFiles = filesPerPartition * nParts, bits = bits)
+      val raw = readEntriesAt(spark, root, replaced, cur)
+      val zCols = zKeys.map(k => col(physicalNameOf(renames, k)))
+      // On a bucketed table the hash layout owns the shuffle — z-sort
+      // WITHIN each bucket instead (writeDataFiles applies sortWithin
+      // after its bucket repartition), keeping both bucket co-location
+      // and narrow per-file stats ranges. Unbucketed: the classic
+      // range-partition + sort layout.
+      val bucketed = bucketSpecAt(spark, root, cur).isDefined
+      val laid =
+        if (bucketed) raw
+        else graft.operators.Layout.zorderBy(raw, zCols,
+          numFiles = filesPerPartition * nParts, bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
-        partitionCols.cols.map(physicalNameOf(renames, _)), translate = false)
+        partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,
+        sortWithin =
+          if (bucketed) Seq(graft.operators.Layout.zorderKey(raw, zCols, bits))
+          else Nil)
       if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
           partitionCols.header)) {
         writeStats(spark, root, v, kept, newEntries, None)

@@ -1111,8 +1111,26 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }
     val idx = fileIndexFrom(spark, root, v, partitions, stats)
     val schema = recorded.getOrElse(readEntries(spark, root, all).schema)
+    // Present the bucket layout when the property is set AND every
+    // selected file provably participates: parseable bucket id under
+    // the recorded width, and every bucket column still present at its
+    // recorded type (hash placement is type-sensitive). Any drift
+    // degrades to a plain scan — co-location is an optimization, never
+    // an assumption.
+    val bucketSpec = bucketSpecAt(spark, root, v).flatMap { case (n, cols) =>
+      val renames = mappingAt(spark, root, v)._1
+      val named = cols.map { case (c, t) => (physicalNameOf(renames, c), t) }
+      val fields = schema.fields.map(f => f.name -> f.dataType).toMap
+      val typed = named.forall { case (c, t) => fields.get(c).exists(_.sql == t) }
+      val allStamped = wanted.forall(e =>
+        bucketIdOf(new Path(e.path).getName).exists(_ < n))
+      if (typed && allStamped)
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+          n, named.map(_._1), Nil))
+      else None
+    }
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      idx, new org.apache.spark.sql.types.StructType(), schema, None,
+      idx, new org.apache.spark.sql.types.StructType(), schema, bucketSpec,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
       Map.empty[String, String])(spark)
     // The relation alone does NOT apply deletion vectors — callers
@@ -1136,16 +1154,78 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     sb.toString
   }
 
+  /** Hash-bucket layout property (`graft.bucket.spec`, set by
+    * [[bucketTable]]): `<n>;<col>:<sqlType>[,<col>:<sqlType>…]` —
+    * LOGICAL column names and their SQL types at bucketing time. Once
+    * set, every data write lays its files out in Spark's bucket
+    * discipline (rows shuffled by `pmod(hash(cols), n)`, bucket id in
+    * the file name), and reads present a bucketed relation — so joins
+    * and aggregations keyed on the bucket columns plan WITHOUT a
+    * shuffle on either side (the classic co-located bucketed join; at
+    * 100 TB the single biggest shuffle eliminator there is), and point
+    * predicates on the bucket columns prune to 1-of-n buckets before
+    * stats are even consulted.
+    *
+    * Conservative by construction, on BOTH ends: the writer applies
+    * the layout only when every bucket column is present with exactly
+    * the recorded type, and the reader presents a bucketed relation
+    * only when every live file carries a parseable bucket id of the
+    * recorded spec. Any drift — a widened bucket column (hash(int) ≠
+    * hash(long) for the same value), a renamed column, legacy files
+    * from before bucketing — degrades to a plain scan, never to wrong
+    * co-location. Re-run [[bucketTable]] to re-establish the layout. */
+  val BucketSpecProp = "graft.bucket.spec"
+
+  private[sinks] def formatBucketSpec(n: Int, cols: Seq[(String, String)]): String =
+    s"$n;${cols.map { case (c, t) => s"$c:$t" }.mkString(",")}"
+
+  private[sinks] def parseBucketSpec(v: String): Option[(Int, Seq[(String, String)])] =
+    v.split(";", 2) match {
+      case Array(n, cols) =>
+        scala.util.Try((n.trim.toInt, cols.split(",").toSeq.map { c =>
+          val Array(name, tpe) = c.split(":", 2); (name, tpe)
+        })).toOption.filter { case (nb, cs) => nb >= 2 && cs.nonEmpty }
+      case _ => None
+    }
+
+  private[sinks] def bucketSpecAt(spark: SparkSession, root: String,
+                                  version: Long): Option[(Int, Seq[(String, String)])] =
+    tableProperties(spark, root, version).toMap.get(BucketSpecProp)
+      .flatMap(parseBucketSpec)
+
+  /** Spark's own bucket-file recognizer (BucketingUtils): trailing
+    * `_<digits>` before the optional extension. Normal parquet task
+    * files (`part-00000-<uuid>-c000.snappy.parquet`) never match —
+    * there is no underscore before the digits. */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[sinks] def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketedFileName(id) => scala.util.Try(id.toInt).toOption
+    case _ => None
+  }
+
   /** Write `df`'s rows as new data files and return their manifest
     * entries. The directory name embeds the target version for
     * debuggability plus a UUID so a crashed attempt's orphan can never
     * collide with a retry. The partition column is DUPLICATED into a
     * `__part` directory key so files group by partition on disk while
     * the real column stays inside the parquet (readers never depend on
-    * directory layout). */
+    * directory layout).
+    *
+    * When the table records a bucket spec (see [[BucketSpecProp]] —
+    * `bucketOverride` seeds it for the [[bucketTable]] rewrite itself,
+    * before the property is committed), the frame is shuffled into
+    * exactly `n` tasks by `HashPartitioning(bucketCols, n)` — so task
+    * id IS the Spark bucket id — and each written file is renamed to
+    * carry its bucket id in the name, the convention Spark's bucketed
+    * reads group files by. `sortWithin` then re-establishes a caller's
+    * within-file ordering (a z-order key) that the bucket shuffle
+    * would otherwise destroy. Bucket columns missing or type-drifted
+    * in `df` skip the layout (readers degrade conservatively). */
   private[sinks] def writeDataFiles(spark: SparkSession, df: DataFrame, root: String,
                              v: Long, partitionCols: Seq[String],
-                             translate: Boolean = true): Seq[ManifestEntry] = {
+                             translate: Boolean = true,
+                             bucketOverride: Option[(Int, Seq[String])] = None,
+                             sortWithin: Seq[org.apache.spark.sql.Column] = Nil): Seq[ManifestEntry] = {
     require(partitionCols.nonEmpty, "snapshot writes need a partition spec")
     val dataDir = s"data/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val dirs = partDirNames(partitionCols.size)
@@ -1157,7 +1237,31 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // `__part*` directory keys are derived from the caller's columns
     // BEFORE translation, so both call shapes pass the names that
     // exist in their frame.
-    val withDirs = partitionCols.zip(dirs).foldLeft(df) {
+    // Bucket layout: resolve the spec (override for the bucketTable
+    // rewrite itself; otherwise the table property), map the recorded
+    // LOGICAL names onto this frame (physical for raw layout rewrites),
+    // and verify presence + exact recorded type — hash placement is
+    // type-sensitive, so a widened column must NOT keep bucketing.
+    val curV = currentVersion(spark, root)
+    val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
+      curV.flatMap(cv => bucketSpecAt(spark, root, cv)).flatMap {
+        case (n, cols) =>
+          val renames = if (translate) Map.empty[String, String]
+            else mappingAt(spark, root, curV.get)._1
+          val named = cols.map { case (c, t) => (physicalNameOf(renames, c), t) }
+          val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+          if (named.forall { case (c, t) => fields.get(c).exists(_.sql == t) })
+            Some((n, named.map(_._1)))
+          else None
+      })
+    val bucketed = bucketCols match {
+      case Some((n, cols)) =>
+        val shuffled = df.repartition(n, cols.map(col): _*)
+        if (sortWithin.nonEmpty) shuffled.sortWithinPartitions(sortWithin: _*)
+        else shuffled
+      case None => df
+    }
+    val withDirs = partitionCols.zip(dirs).foldLeft(bucketed) {
       case (d, (c, dir)) => d.withColumn(dir, col(c))
     }
     val physical =
@@ -1184,7 +1288,26 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
             (s"$dataDir" +: sub :+ s.getPath.getName).mkString("/")))
         else Nil
       }
-    walk(new Path(root, dataDir), 0, Vector.empty, Vector.empty)
+    val entries = walk(new Path(root, dataDir), 0, Vector.empty, Vector.empty)
+    if (bucketCols.isEmpty) entries
+    else entries.map { e =>
+      // Task id == bucket id (the frame was shuffled into exactly n
+      // tasks by the bucket hash above); stamp it into the name in
+      // Spark's `_NNNNN` convention. A rename failure fails the commit
+      // attempt loudly — a half-stamped file set must never publish.
+      val p = new Path(root, e.path)
+      val name = p.getName
+      val id = "part-(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"unexpected data file name for bucket stamping: $name"))
+      val dot = name.indexOf('.')
+      val renamed =
+        if (dot < 0) f"${name}_$id%05d"
+        else f"${name.substring(0, dot)}_$id%05d${name.substring(dot)}"
+      if (!f.rename(p, new Path(p.getParent, renamed)))
+        throw new IllegalStateException(s"bucket-stamp rename failed for $p")
+      e.copy(path = e.path.stripSuffix(name) + renamed)
+    }
   }
 
   private[sinks] def readEntries(spark: SparkSession, root: String,

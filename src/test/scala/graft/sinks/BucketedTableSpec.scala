@@ -1,0 +1,177 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed snapshot tables (`SnapshotStore.bucketTable` +
+  * `graft.bucket.spec`): co-located joins and aggregations plan
+  * WITHOUT shuffling bucketed sides, point predicates prune buckets,
+  * and every subsequent data commit maintains the layout. All
+  * degradations are conservative: any drift (legacy files, widened
+  * bucket column, renamed column) falls back to a plain scan. */
+class BucketedTableSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    s"${Files.createTempDirectory("bucketed").toString}/t"
+
+  private def rowsDf(n: Int, tag: String): DataFrame =
+    (0 until n).map(i => (i.toLong, s"$tag$i", (i % 3).toString))
+      .toDF("k", "v", "part")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Build + assert inside a no-broadcast window so tiny fixtures
+    * exercise the co-located SortMergeJoin path the layout exists for. */
+  private def noBroadcast[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try body finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  /** Whether a bare scan of `df` presents the bucket layout. Probed
+    * with auto-bucketed-scan OFF: with it on, Spark rightly DISABLES
+    * the bucketed read for plans with no co-location benefit
+    * ("Bucketed: false (disabled by query planner)"), which would be
+    * indistinguishable from the conservative no-spec fallback. */
+  private def presentsBucketed(df: => DataFrame): Boolean = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try plan(df).contains("Bucketed: true")
+    finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("bucketTable rewrites the layout; co-bucketed join and keyed agg plan shuffle-free") {
+    val l = freshRoot(); val r = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(600, "l"), l, "part")
+    SnapshotStore.commit(spark, rowsDf(400, "r").filter(col("k") % 2 === 0), r, "part")
+    SnapshotStore.bucketTable(spark, l, Seq("k"), 8)
+    SnapshotStore.bucketTable(spark, r, Seq("k"), 8)
+    assert(SnapshotStore.manifestOperation(spark, l, 2L).contains("cluster-by"))
+    // Every live file is bucket-stamped.
+    val entries = SnapshotStore.manifest(spark, l, 2L)
+    assert(entries.nonEmpty && entries.forall(e =>
+      SnapshotStore.bucketIdOf(new org.apache.hadoop.fs.Path(e.path).getName)
+        .exists(_ < 8)))
+    noBroadcast {
+      val j = SnapshotStore.table(spark, l)
+        .join(SnapshotStore.table(spark, r).select(col("k"), col("v").as("w")), "k")
+      val p = plan(j)
+      assert(!p.contains("Exchange"), s"co-bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"))
+      assert(j.count() == 200)
+      assert(j.filter(col("k") === 10L).select("v", "w").as[(String, String)]
+        .collect().toSet == Set(("l10", "r10")))
+      val g = SnapshotStore.table(spark, l).groupBy("k").agg(count(lit(1)))
+      assert(!plan(g).contains("Exchange"), "keyed agg must not shuffle")
+      assert(g.count() == 600)
+    }
+  }
+
+  test("point predicates prune to one bucket; content roundtrips") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(500, "x"), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 8)
+    assert(SnapshotStore.read(spark, root).select("k", "v").as[(Long, String)]
+      .collect().toSet == rowsDf(500, "x").select("k", "v")
+      .as[(Long, String)].collect().toSet)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val f = SnapshotStore.table(spark, root).filter(col("k") === 42L)
+      val p = plan(f)
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected 1-of-8 bucket pruning:\n$p")
+      assert(f.count() == 1)
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("appends, merges, and compaction maintain the bucket layout") {
+    val l = freshRoot(); val r = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(300, "l"), l, "part")
+    SnapshotStore.commit(spark, rowsDf(300, "r"), r, "part")
+    SnapshotStore.bucketTable(spark, l, Seq("k"), 8)
+    SnapshotStore.bucketTable(spark, r, Seq("k"), 8)
+    // Data commits AFTER bucketing keep the layout without re-clustering.
+    SnapshotStore.appendCommit(spark,
+      (300 until 360).map(i => (i.toLong, s"l$i", (i % 3).toString))
+        .toDF("k", "v", "part"), l, "part")
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq((10L, "L10", "1"), (400L, "l400", "0")).toDF("k", "v", "part"),
+      l, ColSpec(Seq("k")), Nil, ColSpec(Seq("part")))
+    noBroadcast {
+      val j = SnapshotStore.table(spark, l)
+        .join(SnapshotStore.table(spark, r).select(col("k"), col("v").as("w")), "k")
+      val p = plan(j)
+      assert(!p.contains("Exchange"),
+        s"layout must survive append+upsert:\n$p")
+      assert(j.count() == 300)
+      // The upsert really replaced the row, through the bucketed path.
+      assert(j.filter(col("k") === 10L).select("v").as[String].collect()
+        .toSet == Set("L10"))
+    }
+    // Compaction rewrites per-bucket (never merging buckets together).
+    val before = SnapshotStore.manifest(spark, l,
+      SnapshotStore.currentVersion(spark, l).get).size
+    SnapshotStore.compact(spark, l, ColSpec(Seq("part")),
+      maxFilesPerPartition = 8)
+    val cur = SnapshotStore.currentVersion(spark, l).get
+    val after = SnapshotStore.manifest(spark, l, cur)
+    assert(after.size < before)
+    assert(after.forall(e => SnapshotStore.bucketIdOf(
+      new org.apache.hadoop.fs.Path(e.path).getName).exists(_ < 8)))
+    noBroadcast {
+      val j2 = SnapshotStore.table(spark, l)
+        .join(SnapshotStore.table(spark, r).select(col("k"), col("v").as("w")), "k")
+      assert(!plan(j2).contains("Exchange"), "layout must survive compaction")
+      assert(j2.count() == 300)
+    }
+  }
+
+  test("conservative fallbacks: legacy files, type drift, never-bucketed") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(100, "x"), root, "part")
+    // Never bucketed: plain scan.
+    assert(!presentsBucketed(SnapshotStore.table(spark, root)))
+    // Property set but files unstamped (legacy / out-of-band): plain scan.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.BucketSpecProp -> "8;k:BIGINT"))
+    assert(!presentsBucketed(SnapshotStore.table(spark, root)))
+    // Real layout: bucketed scan.
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 8)
+    assert(presentsBucketed(SnapshotStore.table(spark, root)))
+    // Recorded type drifts from the schema (a widened bucket column):
+    // both reads AND subsequent writes degrade conservatively.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.BucketSpecProp -> "8;k:INT"))
+    assert(!presentsBucketed(SnapshotStore.table(spark, root)))
+    SnapshotStore.appendCommit(spark,
+      Seq((1000L, "y", "1")).toDF("k", "v", "part"), root, "part")
+    val v = SnapshotStore.currentVersion(spark, root).get
+    val fresh = SnapshotStore.manifest(spark, root, v)
+      .filterNot(SnapshotStore.manifest(spark, root, v - 1).toSet)
+    assert(fresh.nonEmpty && fresh.forall(e => SnapshotStore.bucketIdOf(
+      new org.apache.hadoop.fs.Path(e.path).getName).isEmpty),
+      "a type-drifted spec must not stamp new files")
+    assert(SnapshotStore.read(spark, root).count() == 101)
+  }
+
+  test("z-order on a bucketed table sorts within buckets and keeps co-location") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(400, "x")
+      .withColumn("a", pmod(col("k") * 37, lit(1000)))
+      .withColumn("b", pmod(col("k") * 91, lit(1000))), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 8)
+    SnapshotStore.compactZOrder(spark, root, ColSpec(Seq("part")),
+      Seq("a", "b"), filesPerPartition = 2)
+    val cur = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.manifest(spark, root, cur).forall(e =>
+      SnapshotStore.bucketIdOf(
+        new org.apache.hadoop.fs.Path(e.path).getName).exists(_ < 8)),
+      "z-order must keep bucket stamping")
+    assert(presentsBucketed(SnapshotStore.table(spark, root)))
+    assert(SnapshotStore.read(spark, root).count() == 400)
+  }
+}
