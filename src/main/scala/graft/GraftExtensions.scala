@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE_METADATA_ONLY_QUERY shape).
     ext.injectOptimizerRule(session =>
       graft.sinks.MetadataCountRule(session))
+    // Transparent materialized-view rewrite: GROUP BY aggregates over
+    // a snapshot scan answer from a registered, cursor-fresh rollup
+    // table (spark.graft.rollups) — the Databricks/Snowflake MV
+    // query-rewrite shape. Runs after MetadataCountRule so the
+    // cheaper sidecar answer wins the global filterless case.
+    ext.injectOptimizerRule(session =>
+      graft.sinks.RollupRewriteRule(session))
     // Maintenance SQL Spark's grammar lacks (RESTORE TABLE … TO
     // VERSION AS OF n, DESCRIBE HISTORY t) — a delegating parser, the
     // DeltaSqlParser architecture.

@@ -51,6 +51,31 @@ object Rollup {
   /** Rollup-table property carrying the last-synced source version. */
   val CursorProp = "graft.rollup.sourceVersion"
 
+  /** The default (and sentinel) `derive`: reference-compared so the
+    * recorded `graft.rollup.derived` flag is exact for callers who
+    * never pass one. A caller-supplied derive — even a semantic
+    * identity — records `true`, which keeps the transparent query
+    * rewrite ([[graft.sinks.RollupRewriteRule]]) away: the rule cannot
+    * replay arbitrary closures, so only underived rollups are
+    * rewrite-eligible. */
+  val Identity: DataFrame => DataFrame = identity
+
+  /** Self-description recorded on the rollup table (re-asserted every
+    * sync, so pre-existing rollups heal on their next window): what
+    * the transparent query rewrite needs to prove coverage. */
+  private def metaProps(srcRoot: String, groupCols: Seq[String],
+                        sumCols: Seq[String], minMaxCols: Seq[String],
+                        derived: Boolean): Seq[(String, String)] = Seq(
+    "graft.rollup.source" -> srcRoot,
+    "graft.rollup.groupCols" -> groupCols.mkString(","),
+    "graft.rollup.sumCols" -> sumCols.mkString(","),
+    "graft.rollup.minMaxCols" -> minMaxCols.mkString(","),
+    "graft.rollup.derived" -> derived.toString)
+
+  private val MetaKeys: Set[String] = Set(CursorProp,
+    "graft.rollup.source", "graft.rollup.groupCols", "graft.rollup.sumCols",
+    "graft.rollup.minMaxCols", "graft.rollup.derived")
+
   private val Bucket = "__bucket"
   private val NumBuckets = 16
 
@@ -97,7 +122,7 @@ object Rollup {
   def sync(spark: SparkSession, srcRoot: String, rollupRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String],
            sumCols: Seq[String], minMaxCols: Seq[String] = Nil,
-           derive: DataFrame => DataFrame = identity): Long = {
+           derive: DataFrame => DataFrame = Identity): Long = {
     require(groupCols.nonEmpty, "rollup sync needs at least one group column")
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
@@ -118,7 +143,9 @@ object Rollup {
             derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
-          properties = Some(Seq(CursorProp -> cur.toString)))
+          properties = Some((CursorProp -> cur.toString) +:
+            metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+              derive ne Identity)))
         cur
       case Some(_) =>
         val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
@@ -136,8 +163,10 @@ object Rollup {
               .isEmpty,
             "rollup sync: null group value in the change window — group " +
               "columns must be non-null")
-          val merged = props.filterNot(_._1 == CursorProp).toSeq :+
-            (CursorProp -> cur.toString)
+          val merged = props.filterNot(p => MetaKeys(p._1)).toSeq ++
+            ((CursorProp -> cur.toString) +:
+              metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+                derive ne Identity))
           val sign = when(col("_change_type")
             .isin("insert", "update_postimage"), 1).otherwise(-1)
           // MIN/MAX are not invertible: groups losing rows rebuild.
@@ -156,7 +185,13 @@ object Rollup {
           val deltaAggs = sum(sign).as("row_count") +:
             (sumCols.flatMap(c => Seq(
               sum(when(col(c).isNull, 0).otherwise(sign)).as(s"${c}_nn"),
-              sum(when(col(c).isNull, lit(null)).otherwise(sign * col(c)))
+              // Signed contribution via NEGATION, not sign * value:
+              // decimal multiplication re-derives precision/scale
+              // (DECIMAL(38,18) * INT → DECIMAL(38,6)), which would
+              // drift the stored sum type and trip the schema guard;
+              // unary minus preserves the type exactly.
+              sum(when(col(c).isNull, lit(null))
+                .otherwise(when(sign === 1, col(c)).otherwise(negate(col(c)))))
                 .as(s"${c}_sum"))) ++
               minMaxCols.flatMap(c => Seq(
                 min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))))
@@ -172,10 +207,16 @@ object Rollup {
                 .as("row_count")) ++
             sumCols.flatMap { c =>
               val nn = coalesce(old(s"${c}_nn"), lit(0L)) + col(s"${c}_nn")
+              // Decimal ADDITION re-derives precision/scale too
+              // ((38,18)+(38,18) → (38,17) under precision loss) —
+              // pin the merged sum back to the stored column's exact
+              // type so the schema stays byte-stable across syncs.
+              val sumType = stored.schema(s"__old_${c}_sum").dataType
               Seq(nn.as(s"${c}_nn"),
                 when(nn === 0, lit(null))
                   .otherwise(coalesce(old(s"${c}_sum"), lit(0)) +
-                    coalesce(col(s"${c}_sum"), lit(0))).as(s"${c}_sum"))
+                    coalesce(col(s"${c}_sum"), lit(0)))
+                  .cast(sumType).as(s"${c}_sum"))
             } ++
             minMaxCols.flatMap { c =>
               // Additive groups only GAIN rows here, so the true
@@ -222,7 +263,7 @@ object Rollup {
   def rebuild(spark: SparkSession, srcRoot: String, rollupRoot: String,
               groupCols: Seq[String], sumCols: Seq[String],
               minMaxCols: Seq[String] = Nil,
-              derive: DataFrame => DataFrame = identity): Long = {
+              derive: DataFrame => DataFrame = Identity): Long = {
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
         s"rollup rebuild: no committed source at $srcRoot"))
@@ -232,7 +273,10 @@ object Rollup {
       .select((groupCols ++ names).map(col): _*)
       .withColumn(Bucket, bucketOf(groupCols))
     val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
-      .filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
+      .filterNot(p => MetaKeys(p._1)).toSeq ++
+      ((CursorProp -> cur.toString) +:
+        metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+          derive ne Identity))
     val gone = SnapshotStore.read(spark, rollupRoot)
       .select(groupCols.map(col): _*)
       .join(fresh, groupCols, "left_anti")

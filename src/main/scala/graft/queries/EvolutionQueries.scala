@@ -1425,5 +1425,61 @@ private[graft] object EvolutionQueries {
       FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
       GROUP BY c.c_custkey, c.c_mktsegment
       ORDER BY c.c_custkey"""))
+  ) ++ Seq(
+
+    // Transparent MATERIALIZED-VIEW REWRITE (RollupRewriteRule +
+    // spark.graft.rollups): a GROUP BY dashboard query over the
+    // snapshot table is require-pinned to answer from the maintained
+    // rollup — the plan reads the ROLLUP root and never the source —
+    // after a full DML lifecycle (initial build, append, keyed
+    // delete, re-sync) proves the answer comes from incrementally
+    // MAINTAINED state, not a cached build. COUNT/SUM(decimal)/
+    // MIN/MAX/AVG(integral) all derive exactly; the DuckDB oracle
+    // aggregates the equivalent final state directly.
+    ("q209_rollup_rewrite", (s: SparkSession, d: String) => {
+      import graft.operators.Rollup
+      import graft.sinks.{RollupRewrite, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q209").toString
+      val src = s"$dir/src"; val roll = s"$dir/rollup"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        pmod(col("o_orderkey"), lit(4)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0), src, "part")
+      Rollup.sync(s, src, roll, Seq("o_orderkey"), Seq("o_orderstatus"),
+        sumCols = Seq("price", "o_custkey"), minMaxCols = Seq("o_orderkey"))
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src, "part")
+      SnapshotStore.deleteCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 7)
+          .select(col("o_orderkey")), src, "o_orderkey", "part")
+      Rollup.sync(s, src, roll, Seq("o_orderkey"), Seq("o_orderstatus"),
+        sumCols = Seq("price", "o_custkey"), minMaxCols = Seq("o_orderkey"))
+      s.conf.set(RollupRewrite.RegistryConf, roll)
+      try {
+        val agg = SnapshotStore.table(s, src).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), count(col("price")).as("np"),
+            sum(col("price")).as("sp"),
+            min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+            avg(col("o_custkey")).as("ac"))
+        val p = agg.queryExecution.executedPlan.toString
+        require(p.contains(roll) && !p.contains(src),
+          s"dashboard query must answer from the rollup, not the corpus:\n$p")
+        agg.select(col("o_orderstatus"), col("n"), col("np"),
+            col("sp").cast("decimal(22,2)").as("sp"),
+            col("mn"), col("mx"), round(col("ac"), 6).as("ac"))
+          .orderBy(col("o_orderstatus"))
+      } finally s.conf.unset(RollupRewrite.RegistryConf)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, COUNT(price) AS np,
+        CAST(SUM(price) AS DECIMAL(22,2)) AS sp,
+        MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+        ROUND(AVG(o_custkey), 6) AS ac
+      FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders WHERE o_orderkey % 10 <> 7)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
   )
 }

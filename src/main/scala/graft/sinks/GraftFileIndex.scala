@@ -28,7 +28,17 @@ import org.apache.spark.sql.types.StructType
 class GraftFileIndex(root: Path,
                      files: Seq[(FileStatus, Option[FileStats.FileStatsEntry],
                        Map[String, FileStats.BloomStats])],
-                     override val partitionSchema: StructType = new StructType())
+                     override val partitionSchema: StructType = new StructType(),
+                     /** Identity of the scan, for plan-rewrite rules
+                       * ([[MetadataCountRule]], [[RollupRewriteRule]]):
+                       * the snapshot root, the PINNED version this
+                       * listing reflects, and whether the listing was
+                       * partition-pruned at construction (a pruned scan
+                       * is a SUBSET — rewrites that answer for the
+                       * whole table must not fire). */
+                     val tableRoot: Option[String] = None,
+                     val version: Option[Long] = None,
+                     val partitionPruned: Boolean = false)
     extends FileIndex {
 
   /** Pruning observability (specs + SCALE measurements): the candidate

@@ -1068,7 +1068,9 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       }
       (st._1, st._2, blooms.getOrElse(e.path, Map.empty[String, FileStats.BloomStats]))
     }
-    new GraftFileIndex(new Path(root), files)
+    new GraftFileIndex(new Path(root), files,
+      tableRoot = Some(root), version = Some(v),
+      partitionPruned = partitions.isDefined)
   }
 
   /** Read a snapshot THROUGH the planning-time file-skipping index:
