@@ -1200,7 +1200,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * files (`part-00000-<uuid>-c000.snappy.parquet`) never match —
     * there is no underscore before the digits. */
   private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
-  private[sinks] def bucketIdOf(fileName: String): Option[Int] = fileName match {
+  private[graft] def bucketIdOf(fileName: String): Option[Int] = fileName match {
     case BucketedFileName(id) => scala.util.Try(id.toInt).toOption
     case _ => None
   }

@@ -44,136 +44,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case RestorePattern(table, version) =>
-      RestoreSnapshotCommand(delegate.parseMultipartIdentifier(table), version.toLong)
-    case RestoreTsPattern(table, ts) =>
-      RestoreSnapshotToTimestampCommand(
-        delegate.parseMultipartIdentifier(table), ts)
-    case HistoryPattern(table) =>
-      DescribeHistoryCommand(delegate.parseMultipartIdentifier(table))
-    case DetailPattern(table) =>
-      DescribeDetailCommand(delegate.parseMultipartIdentifier(table))
-    case VacuumPattern(table, retain, dryRun) =>
-      VacuumSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        Option(retain).map(_.toLong), dryRun != null)
-    case ClonePattern(target, source, version, ts) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(target).head) &&
-        isGraftCatalogName(delegate.parseMultipartIdentifier(source).head) =>
-      CloneSnapshotCommand(delegate.parseMultipartIdentifier(target),
-        delegate.parseMultipartIdentifier(source),
-        Option(version).map(_.toLong), Option(ts))
-    case OptimizePattern(table, rest) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      // Gated like the DML cases: another engine's OPTIMIZE dialect
-      // (or a table in another catalog) flows to the session parser
-      // untouched instead of failing on OUR tail grammar.
-      val (where, zcols) =
-        GraftSqlParser.parseOptimizeRest(Option(rest).getOrElse(""))
-      OptimizeSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        zcols, where)
-    case GeneratePattern(table) =>
-      GenerateSymlinkCommand(delegate.parseMultipartIdentifier(table))
-    case MergePattern(table, tAlias, srcIdent, srcQuery, sAlias, onRest)
-        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      // Gated like every other DML case: a MERGE aimed at another
-      // catalog (Delta, spark_catalog) must flow to the session parser
-      // untouched, not be hijacked into a graft command that fails on
-      // resolveRoot. The ON-condition/clause-list boundary and the
-      // clause walk are TOKENIZER splits (top-level WHEN/THEN, CASE-
-      // and string-aware), not lazy regex groups.
-      val (cond, clauseText) = GraftSqlParser.splitOnClauses(onRest)
-      MergeIntoSnapshotCommand(
-        delegate.parseMultipartIdentifier(table),
-        Option(srcIdent), Option(srcQuery),
-        mergeKeys(cond, table, Option(tAlias), Option(srcIdent), Option(sAlias)),
-        Option(tAlias), Option(sAlias),
-        GraftSqlParser.mergeClauses(clauseText))
-    case DeletePattern(table, where) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      DeleteFromSnapshotCommand(
-        delegate.parseMultipartIdentifier(table), Option(where))
-    case UpdatePattern(table, rest) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      val (setList, where) = GraftSqlParser.splitSetWhere(rest)
-      UpdateSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.assignments(setList), where)
-    case InsertPattern(table, query) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      InsertIntoSnapshotCommand(delegate.parseMultipartIdentifier(table), query)
-    case CopyIntoPattern(table, source, format) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      CopyIntoSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        source, format.toLowerCase)
-    case AddConstraintPattern(table, name, check) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      AddConstraintCommand(delegate.parseMultipartIdentifier(table),
-        name, check.trim)
-    case DropConstraintPattern(table, name) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      DropConstraintCommand(delegate.parseMultipartIdentifier(table), name)
-    case SetPropsPattern(table, propList) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      SetPropertiesCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.propertyAssignments(propList))
-    case UnsetPropsPattern(table, keyList) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      UnsetPropertiesCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.propertyKeys(keyList))
-    case ShowPropsPattern(table) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      ShowPropertiesCommand(delegate.parseMultipartIdentifier(table))
-    case ShowPartitionsPattern(table) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      ShowPartitionsCommand(delegate.parseMultipartIdentifier(table))
-    case TruncatePattern(table) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      TruncateSnapshotCommand(delegate.parseMultipartIdentifier(table))
-    case ReorgPattern(table) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      ReorgPurgeCommand(delegate.parseMultipartIdentifier(table))
-    case GraftSqlParser.SetPartitionedByPattern(table, cols) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      RepartitionTableCommand(delegate.parseMultipartIdentifier(table),
-        cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-          .filter(_.nonEmpty).toSeq)
-    case GraftSqlParser.CreateTablePattern(table, schemaDdl, pb)
-        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      CreateSnapshotTableCommand(delegate.parseMultipartIdentifier(table),
-        schemaDdl.trim, GraftSqlParser.identifierList(pb))
-    case GraftSqlParser.CtasPattern(table, pb, query) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      CtasSnapshotCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.identifierList(pb).mkString(","), query.trim)
-    case GraftSqlParser.RenameColumnPattern(table, fq, fb, tq, tb)
-        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      RenameColumnCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.colOf(fq, fb), GraftSqlParser.colOf(tq, tb))
-    case GraftSqlParser.DropColumnPattern(table, cq, cb)
-        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      DropColumnCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.colOf(cq, cb))
-    case GraftSqlParser.AddColumnPattern(table, rest)
-        if isGraftCatalogName(delegate.parseMultipartIdentifier(table).head) =>
-      AddColumnCommand(delegate.parseMultipartIdentifier(table),
-        GraftSqlParser.parseAddColumns(rest))
-    case MergeLoosePattern(table) if isGraftCatalogName(
-        delegate.parseMultipartIdentifier(table).head) =>
-      // A MERGE aimed at a graft catalog but not in the supported
-      // shape: reject HERE with the supported grammar, instead of
-      // letting the session parser hand analysis a MergeIntoTable no
-      // graft table can execute (the error would blame the catalog,
-      // not the statement).
-      throw new IllegalArgumentException(
-        "graft MERGE supports: MERGE INTO <t> USING <source> ON " +
-          "t.<key> = s.<key> [AND …] with clauses WHEN MATCHED " +
-          "[AND <cond>] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
-          "DELETE, WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
-          "INSERT (cols) VALUES (exprs), and WHEN NOT MATCHED BY SOURCE " +
-          "THEN DELETE | UPDATE SET col = expr; got: " +
-          sqlText.trim.take(200))
-    case _ => delegate.parsePlan(sqlText)
-  }
+  /** Statement RECOGNITION runs on the same tokenizer discipline as
+    * the free-text splits ([[GraftSqlParser.lex]] shares
+    * [[topLevelIndices]]'s string/backtick/escape rules): each
+    * statement matches as a token sequence with backtracking, never as
+    * a regex over raw text — quoted keywords, nested parens in type
+    * DDL, and path-shaped backticked identifiers can never confuse
+    * dispatch. Anything unrecognized (or aimed at a non-graft catalog)
+    * flows to the session parser untouched. */
+  override def parsePlan(sqlText: String): LogicalPlan =
+    recognize(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -194,129 +74,487 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  // One multipart identifier: backtick-quoted parts may hold anything
-  // (paths with slashes/dots); bare parts are word-shaped.
+  // Lexical building blocks still used by the free-text helpers
+  // (mergeKeys' qualified-column match, ADD COLUMNS name/type split,
+  // CHECK-expression column validation) — not by statement dispatch,
+  // which is tokenizer-based below.
   private val part = "(?:`[^`]+`|[A-Za-z_][\\w$]*)"
-  private val ident = s"($part(?:\\.$part)*)"
-
-  private val RestorePattern =
-    s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*\\z".r
-  private val RestoreTsPattern =
-    s"(?is)\\A\\s*RESTORE\\s+(?:TABLE\\s+)?$ident\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*\\z".r
-  private val HistoryPattern =
-    s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$ident\\s*;?\\s*\\z".r
-  private val DetailPattern =
-    s"(?is)\\A\\s*(?:DESCRIBE|DESC)\\s+DETAIL\\s+$ident\\s*;?\\s*\\z".r
-  private val VacuumPattern =
-    (s"(?is)\\A\\s*VACUUM\\s+$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS)?" +
-      "(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*\\z").r
-  // Delta's SHALLOW CLONE DDL: zero-copy table fork, optionally
-  // pinned to a version or timestamp.
-  private val ClonePattern =
-    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s+SHALLOW\\s+CLONE\\s+$ident" +
-      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?" +
-      "\\s*;?\\s*\\z").r
-  private val OptimizePattern =
-    s"(?is)\\A\\s*OPTIMIZE\\s+$ident(\\s+.+?)?\\s*;?\\s*\\z".r
-  private val GeneratePattern =
-    s"(?is)\\A\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
-  // The one MERGE shape the snapshot store executes (the K1 bulk
-  // upsert in its standard SQL spelling): whole-row UPDATE SET * /
-  // INSERT * on a single same-named equality key. Aliases are
-  // optional; the negative lookahead keeps the keywords USING/ON/WHEN
-  // from being eaten as an alias. The source is a table/view name or
-  // a parenthesized subquery.
-  private val aliasOpt =
-    "(?:\\s+(?:AS\\s+)?(?!USING\\b|ON\\b|WHEN\\b)([A-Za-z_][\\w$]*))?"
-  private val MergePattern =
-    (s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident$aliasOpt" +
-      s"\\s+USING\\s+(?:$ident|\\((.+)\\))$aliasOpt" +
-      "\\s+ON\\s+(.+?)\\s*;?\\s*\\z").r
-  private val MergeLoosePattern =
-    s"(?is)\\A\\s*MERGE\\s+INTO\\s+$ident\\b.*".r
-  // DML on snapshot tables (Delta's DELETE/UPDATE/COPY INTO). Gated on
-  // the graft catalog name at the call site — DELETE/UPDATE against
-  // any other table must flow to the session parser untouched. Regexes
-  // recognize only the statement HEAD; free-text splits (SET/WHERE,
-  // ON/WHEN, clause THEN) go through [[topLevelIndices]] — string-,
-  // backtick-, paren-, and CASE…END-aware — so quoted keywords never
-  // split a statement.
-  private val DeletePattern =
-    s"(?is)\\A\\s*DELETE\\s+FROM\\s+$ident(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*\\z".r
-  private val UpdatePattern =
-    s"(?is)\\A\\s*UPDATE\\s+$ident\\s+SET\\s+(.+?)\\s*;?\\s*\\z".r
-  // INSERT INTO <graft table> <query> — the rest of the statement is a
-  // query (SELECT … / VALUES …) parsed by the session parser inside
-  // the command, so the full query grammar is available.
-  private val InsertPattern =
-    s"(?is)\\A\\s*INSERT\\s+INTO\\s+$ident\\s+((?:SELECT|VALUES|WITH|TABLE|\\().+?)\\s*;?\\s*\\z".r
-  private val CopyIntoPattern =
-    (s"(?is)\\A\\s*COPY\\s+INTO\\s+$ident\\s+FROM\\s+'([^']+)'" +
-      "\\s+FILEFORMAT\\s*=\\s*([A-Za-z]+)\\s*;?\\s*\\z").r
-  // CHECK constraints (Delta's ALTER TABLE … ADD/DROP CONSTRAINT).
-  private val AddConstraintPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+CONSTRAINT\\s+" +
-      "([A-Za-z_][\\w$]*)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*\\z").r
-  private val DropConstraintPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+CONSTRAINT\\s+" +
-      "([A-Za-z_][\\w$]*)\\s*;?\\s*\\z").r
-  // Table properties (Delta's TBLPROPERTIES) + merge-on-read
-  // maintenance (REORG … APPLY (PURGE)). Gated on the graft catalog
-  // name — these are valid Spark statements for other tables and must
-  // flow to the session parser untouched.
-  private val SetPropsPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+SET\\s+TBLPROPERTIES\\s*" +
-      "\\((.+)\\)\\s*;?\\s*\\z").r
-  private val UnsetPropsPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+UNSET\\s+TBLPROPERTIES\\s*" +
-      "\\((.+)\\)\\s*;?\\s*\\z").r
-  private val ShowPropsPattern =
-    s"(?is)\\A\\s*SHOW\\s+TBLPROPERTIES\\s+$ident\\s*;?\\s*\\z".r
-  private val ShowPartitionsPattern =
-    s"(?is)\\A\\s*SHOW\\s+PARTITIONS\\s+$ident\\s*;?\\s*\\z".r
-  private val TruncatePattern =
-    s"(?is)\\A\\s*TRUNCATE\\s+TABLE\\s+$ident\\s*;?\\s*\\z".r
-  private val ReorgPattern =
-    s"(?is)\\A\\s*REORG\\s+TABLE\\s+$ident\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*\\z".r
-  // Partition-spec evolution (SnapshotStore.repartitionTable). Bare
-  // identifiers inside one paren pair — no expression text, so the
-  // regex recognizer carries no grammar-interaction risk here.
-  private val SetPartitionedByPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+SET\\s+PARTITIONED\\s+BY\\s*" +
-      "\\(([^)]+)\\)\\s*;?\\s*\\z").r
-  // CTAS — `CREATE TABLE g.`root` PARTITIONED BY (c) AS SELECT …`:
-  // the query text is re-parsed by the session parser inside the
-  // command (InsertPattern's convention), so the full SELECT grammar
-  // is available. Distinct suffix keeps it disjoint from SHALLOW
-  // CLONE.
-  private val CtasPattern =
-    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s+PARTITIONED\\s+BY\\s*" +
-      "\\(([^)]+)\\)\\s+AS\\s+(.+?)\\s*;?\\s*\\z").r
-  // Plain CREATE TABLE with an explicit schema — the first statement a
-  // DDL-driven deployment writes: an EMPTY v1 whose schema lives in
-  // the stats sidecar, ready for INSERT INTO / COPY INTO / MERGE.
-  private val CreateTablePattern =
-    (s"(?is)\\A\\s*CREATE\\s+TABLE\\s+$ident\\s*\\((.+)\\)\\s*" +
-      "USING\\s+`?graft[-_]snapshot`?\\s+PARTITIONED\\s+BY\\s*" +
-      "\\(([^)]+)\\)\\s*;?\\s*\\z").r
-  // Column mapping DDL (Delta's ALTER TABLE … RENAME/DROP COLUMN under
-  // column-mapping name mode) + metadata-only ADD COLUMN. Gated on the
-  // graft catalog name — valid Spark DDL for other tables.
   private val colIdent = "(?:`([^`]+)`|([A-Za-z_][\\w$]*))"
-  private val RenameColumnPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+RENAME\\s+COLUMN\\s+" +
-      s"$colIdent\\s+TO\\s+$colIdent\\s*;?\\s*\\z").r
-  private val DropColumnPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+DROP\\s+COLUMN\\s+" +
-      s"$colIdent\\s*;?\\s*\\z").r
-  private val AddColumnPattern =
-    (s"(?is)\\A\\s*ALTER\\s+TABLE\\s+$ident\\s+ADD\\s+COLUMNS?\\s+" +
-      "(.+?)\\s*;?\\s*\\z").r
 
   /** First non-null of a `colIdent` match's two groups (backtick-quoted
     * vs bare). */
   private def colOf(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
+
+  // ------------------------------------------------------------------ //
+  //  Tokenizer-based statement recognition.                             //
+  //                                                                     //
+  //  The lexer applies the SAME string/backtick/escape discipline as    //
+  //  [[topLevelIndices]] (single/double-quoted strings with backslash   //
+  //  and doubled-delimiter escapes, backtick identifiers with doubled-  //
+  //  backtick escapes), so recognition and free-text splitting can      //
+  //  never disagree about where a string ends. Recognizers consume     //
+  //  tokens with backtracking; captures that feed downstream parsers    //
+  //  (expressions, queries, type DDL) are RAW SOURCE SLICES taken from  //
+  //  token offsets, so nothing is ever re-spaced or re-quoted.          //
+  // ------------------------------------------------------------------ //
+
+  /** kind: 'w' word, 'q' backtick ident, 's' string, 'n' number,
+    * 'p' punctuation. `start`/`end` are source offsets. */
+  private final case class Tok(kind: Char, start: Int, end: Int)
+
+  /** None = not lexable under the SQL quoting rules (unterminated
+    * string/backtick) — recognition then falls through to the session
+    * parser, which owns the error. */
+  private def lex(s: String): Option[Vector[Tok]] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val q = c; val st = i; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = s.charAt(i)
+          if (ch == '\\') i += 2
+          else if (ch == q) {
+            if (i + 1 < n && s.charAt(i + 1) == q) i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (!closed) return None
+        out += Tok('s', st, i)
+      } else if (c == '`') {
+        val st = i; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s.charAt(i) == '`') {
+            if (i + 1 < n && s.charAt(i + 1) == '`') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        if (!closed) return None
+        out += Tok('q', st, i)
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit ||
+          s.charAt(i) == '_' || s.charAt(i) == '$')) i += 1
+        out += Tok('w', st, i)
+      } else if (c.isDigit) {
+        val st = i
+        while (i < n && s.charAt(i).isDigit) i += 1
+        out += Tok('n', st, i)
+      } else { out += Tok('p', i, i + 1); i += 1 }
+    }
+    Some(out.result())
+  }
+
+  /** Mutable token cursor with mark/reset backtracking. Every capture
+    * that flows onward is a raw source slice. */
+  private final class Cur(val sql: String, toks: Vector[Tok]) {
+    private var pos = 0
+    def mark: Int = pos
+    def reset(m: Int): Unit = pos = m
+    private def cur: Option[Tok] =
+      if (pos < toks.length) Some(toks(pos)) else None
+    private def text(t: Tok): String = sql.substring(t.start, t.end)
+
+    /** Consume the exact keyword sequence (bare words, case-insensitive)
+      * or reset. */
+    def kw(words: String*): Boolean = {
+      val m = pos
+      val ok = words.forall(w => cur.exists(t =>
+        t.kind == 'w' && text(t).equalsIgnoreCase(w)) && { pos += 1; true })
+      if (!ok) pos = m
+      ok
+    }
+    def peekKw(ws: String*): Boolean =
+      cur.exists(t => t.kind == 'w' && ws.exists(text(t).equalsIgnoreCase))
+    def peekPunct(p: String): Boolean =
+      cur.exists(t => t.kind == 'p' && text(t) == p)
+    def word(): Option[String] =
+      cur.filter(_.kind == 'w').map { t => pos += 1; text(t) }
+    def num(): Option[String] =
+      cur.filter(_.kind == 'n').map { t => pos += 1; text(t) }
+    /** String literal INNER text (delimiters stripped, escapes kept —
+      * the downstream consumers receive exactly what the old
+      * recognizers captured). */
+    def str(): Option[String] = cur.filter(_.kind == 's').map { t =>
+      pos += 1; sql.substring(t.start + 1, t.end - 1)
+    }
+    def punct(p: String): Boolean =
+      cur.exists(t => t.kind == 'p' && text(t) == p) && { pos += 1; true }
+    /** One column identifier: bare word, or backtick-quoted (inner
+      * text, backticks stripped). */
+    def column(): Option[String] = cur.collect {
+      case t if t.kind == 'w' => pos += 1; text(t)
+      case t if t.kind == 'q' => pos += 1; sql.substring(t.start + 1, t.end - 1)
+    }
+    /** One multipart identifier (`part(.part)*`, parts bare or
+      * backticked) as its raw source slice — handed verbatim to the
+      * session parser\'s parseMultipartIdentifier. */
+    def multipart(): Option[String] = {
+      def part(): Option[Tok] =
+        cur.filter(t => t.kind == 'w' || t.kind == 'q').map { t => pos += 1; t }
+      part().map { first =>
+        var last = first
+        var go = true
+        while (go) {
+          val m = pos
+          if (punct(".")) part() match {
+            case Some(t) => last = t
+            case None => pos = m; go = false
+          } else go = false
+        }
+        sql.substring(first.start, last.end)
+      }
+    }
+    /** A balanced parenthesized group; returns the raw INNER slice. */
+    def parens(): Option[String] = {
+      val m = pos
+      if (!punct("(")) return None
+      val startOff = toks(pos - 1).end
+      var depth = 1
+      while (depth > 0 && pos < toks.length) {
+        val t = toks(pos)
+        if (t.kind == 'p' && text(t) == "(") depth += 1
+        else if (t.kind == 'p' && text(t) == ")") depth -= 1
+        pos += 1
+      }
+      if (depth != 0) { pos = m; None }
+      else Some(sql.substring(startOff, toks(pos - 1).start))
+    }
+    /** Everything from the current token to the end (one trailing ';'
+      * dropped) as a raw slice; None when nothing remains. */
+    def rest(): Option[String] = {
+      if (pos >= toks.length) return None
+      var lastIdx = toks.length - 1
+      if (toks(lastIdx).kind == 'p' && text(toks(lastIdx)) == ";") lastIdx -= 1
+      if (lastIdx < pos) None
+      else {
+        val out = sql.substring(toks(pos).start, toks(lastIdx).end)
+        pos = toks.length
+        Some(out)
+      }
+    }
+    /** End of statement (one optional trailing ';'). */
+    def done: Boolean = {
+      val m = pos
+      punct(";")
+      val ok = pos >= toks.length
+      if (!ok) pos = m
+      ok
+    }
+  }
+
+  /** Recognize one graft maintenance/DML statement, or None to
+    * delegate. Throws for a graft-catalog MERGE outside the supported
+    * grammar (rejecting HERE blames the statement, not the catalog). */
+  private[graft] def recognize(sqlText: String,
+                               delegate: ParserInterface): Option[LogicalPlan] =
+    lex(sqlText).flatMap { toks =>
+      def c() = new Cur(sqlText, toks)
+      def gated(table: String): Boolean =
+        isGraftCatalogName(delegate.parseMultipartIdentifier(table).head)
+      def parts(table: String): Seq[String] =
+        delegate.parseMultipartIdentifier(table)
+
+      def restore: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("RESTORE"))
+          _ = u.kw("TABLE")
+          t <- u.multipart()
+          plan <- {
+            val m = u.mark
+            (for { _ <- Some(()).filter(_ => u.kw("TO", "VERSION", "AS", "OF"))
+                   v <- u.num() if u.done }
+              yield RestoreSnapshotCommand(parts(t), v.toLong): LogicalPlan)
+              .orElse { u.reset(m)
+                for { _ <- Some(()).filter(_ => u.kw("TO", "TIMESTAMP", "AS", "OF"))
+                      ts <- u.str() if u.done }
+                  yield RestoreSnapshotToTimestampCommand(parts(t), ts): LogicalPlan
+              }
+          }
+        } yield plan
+      }
+
+      def describe: Option[LogicalPlan] = { val u = c()
+        if (!(u.kw("DESCRIBE") || u.kw("DESC"))) None
+        else if (u.kw("HISTORY"))
+          u.multipart().filter(_ => u.done).map(t => DescribeHistoryCommand(parts(t)))
+        else if (u.kw("DETAIL"))
+          u.multipart().filter(_ => u.done).map(t => DescribeDetailCommand(parts(t)))
+        else None
+      }
+
+      def vacuum: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("VACUUM"))
+          t <- u.multipart()
+          retain <- {
+            if (u.kw("RETAIN")) u.num().map(n => { u.kw("HOURS"); Some(n.toLong) })
+            else Some(None)
+          }
+          dry = u.kw("DRY", "RUN")
+          _ <- Some(()).filter(_ => u.done)
+        } yield VacuumSnapshotCommand(parts(t), retain, dry)
+      }
+
+      def createTable: Option[LogicalPlan] = { val u = c()
+        if (!u.kw("CREATE", "TABLE")) None
+        else u.multipart().flatMap { t =>
+          if (u.kw("SHALLOW", "CLONE"))
+            for {
+              src <- u.multipart()
+              pin <- {
+                val m = u.mark
+                if (u.kw("VERSION", "AS", "OF"))
+                  u.num().map(n => (Some(n.toLong), Option.empty[String]))
+                else { u.reset(m)
+                  if (u.kw("TIMESTAMP", "AS", "OF"))
+                    u.str().map(ts => (Option.empty[Long], Some(ts)))
+                  else Some((Option.empty[Long], Option.empty[String]))
+                }
+              }
+              _ <- Some(()).filter(_ => u.done && gated(t) && gated(src))
+            } yield CloneSnapshotCommand(parts(t), parts(src), pin._1, pin._2)
+          else if (u.peekPunct("("))
+            for {
+              schemaDdl <- u.parens()
+              _ <- Some(()).filter(_ => u.kw("USING") && graftSnapshotProvider(u))
+              _ <- Some(()).filter(_ => u.kw("PARTITIONED", "BY"))
+              pb <- u.parens()
+              _ <- Some(()).filter(_ => u.done && gated(t))
+            } yield CreateSnapshotTableCommand(parts(t), schemaDdl.trim,
+              identifierList(pb))
+          else if (u.kw("PARTITIONED", "BY"))
+            for {
+              pb <- u.parens()
+              _ <- Some(()).filter(_ => u.kw("AS"))
+              query <- u.rest()
+              _ <- Some(()).filter(_ => gated(t))
+            } yield CtasSnapshotCommand(parts(t),
+              identifierList(pb).mkString(","), query.trim)
+          else None
+        }
+      }
+
+      def optimize: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("OPTIMIZE"))
+          t <- u.multipart()
+          tail = if (u.done) "" else u.rest().getOrElse("")
+          _ <- Some(()).filter(_ => gated(t))
+        } yield {
+          val (where, zcols) = parseOptimizeRest(tail)
+          OptimizeSnapshotCommand(parts(t), zcols, where)
+        }
+      }
+
+      def generate: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ =>
+            u.kw("GENERATE", "SYMLINK_FORMAT_MANIFEST", "FOR", "TABLE"))
+          t <- u.multipart() if u.done
+        } yield GenerateSymlinkCommand(parts(t))
+      }
+
+      /** Optional [AS] alias that must not eat a following keyword. */
+      def alias(u: Cur, stop: Set[String]): Option[String] = {
+        val m = u.mark
+        u.kw("AS")
+        u.word() match {
+          case Some(w) if !stop.contains(w.toUpperCase) => Some(w)
+          case _ => u.reset(m); None
+        }
+      }
+
+      def merge: Option[LogicalPlan] = { val u = c()
+        if (!u.kw("MERGE", "INTO")) None
+        else u.multipart() match {
+          case Some(t) if gated(t) =>
+            val tAlias = alias(u, Set("USING", "ON", "WHEN"))
+            val shaped = for {
+              _ <- Some(()).filter(_ => u.kw("USING"))
+              src <- {
+                if (u.peekPunct("(")) u.parens().map(q => (None, Some(q)))
+                else u.multipart().map(i => (Some(i), None))
+              }
+              sAlias = alias(u, Set("USING", "ON", "WHEN"))
+              _ <- Some(()).filter(_ => u.kw("ON"))
+              onRest <- u.rest()
+            } yield {
+              val (cond, clauseText) = splitOnClauses(onRest)
+              MergeIntoSnapshotCommand(parts(t), src._1, src._2,
+                mergeKeys(cond, t, tAlias, src._1, sAlias),
+                tAlias, sAlias, mergeClauses(clauseText)): LogicalPlan
+            }
+            shaped.orElse {
+              // Graft-catalog MERGE outside the supported shape:
+              // reject HERE with the supported grammar, instead of
+              // letting the session parser hand analysis a
+              // MergeIntoTable no graft table can execute.
+              throw new IllegalArgumentException(
+                "graft MERGE supports: MERGE INTO <t> USING <source> ON " +
+                  "t.<key> = s.<key> [AND …] with clauses WHEN MATCHED " +
+                  "[AND <cond>] THEN UPDATE SET * | UPDATE SET col = expr, … | " +
+                  "DELETE, WHEN NOT MATCHED [AND <cond>] THEN INSERT * | " +
+                  "INSERT (cols) VALUES (exprs), and WHEN NOT MATCHED BY SOURCE " +
+                  "THEN DELETE | UPDATE SET col = expr; got: " +
+                  sqlText.trim.take(200))
+            }
+          case _ => None
+        }
+      }
+
+      def delete: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("DELETE", "FROM"))
+          t <- u.multipart()
+          where <- {
+            if (u.done) Some(None)
+            else if (u.kw("WHERE")) u.rest().map(Some(_))
+            else None
+          }
+          _ <- Some(()).filter(_ => gated(t))
+        } yield DeleteFromSnapshotCommand(parts(t), where)
+      }
+
+      def update: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("UPDATE"))
+          t <- u.multipart()
+          _ <- Some(()).filter(_ => u.kw("SET"))
+          tail <- u.rest()
+          _ <- Some(()).filter(_ => gated(t))
+        } yield {
+          val (setList, where) = splitSetWhere(tail)
+          UpdateSnapshotCommand(parts(t), assignments(setList), where)
+        }
+      }
+
+      def insert: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("INSERT", "INTO"))
+          t <- u.multipart()
+          _ <- Some(()).filter(_ =>
+            u.peekKw("SELECT", "VALUES", "WITH", "TABLE") || u.peekPunct("("))
+          query <- u.rest()
+          _ <- Some(()).filter(_ => gated(t))
+        } yield InsertIntoSnapshotCommand(parts(t), query)
+      }
+
+      def copyInto: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("COPY", "INTO"))
+          t <- u.multipart()
+          _ <- Some(()).filter(_ => u.kw("FROM"))
+          source <- u.str()
+          _ <- Some(()).filter(_ => u.kw("FILEFORMAT") && u.punct("="))
+          format <- u.word() if u.done
+          _ <- Some(()).filter(_ => gated(t))
+        } yield CopyIntoSnapshotCommand(parts(t), source, format.toLowerCase)
+      }
+
+      def alterTable: Option[LogicalPlan] = { val u = c()
+        if (!u.kw("ALTER", "TABLE")) None
+        else u.multipart() match {
+          case Some(t) if gated(t) =>
+            if (u.kw("ADD", "CONSTRAINT"))
+              for { name <- u.word()
+                    _ <- Some(()).filter(_ => u.kw("CHECK"))
+                    check <- u.parens() if u.done }
+                yield AddConstraintCommand(parts(t), name, check.trim)
+            else if (u.kw("DROP", "CONSTRAINT"))
+              u.word().filter(_ => u.done)
+                .map(name => DropConstraintCommand(parts(t), name))
+            else if (u.kw("SET", "TBLPROPERTIES"))
+              u.parens().filter(_ => u.done).map(props =>
+                SetPropertiesCommand(parts(t), propertyAssignments(props)))
+            else if (u.kw("UNSET", "TBLPROPERTIES"))
+              u.parens().filter(_ => u.done).map(keys =>
+                UnsetPropertiesCommand(parts(t), propertyKeys(keys)))
+            else if (u.kw("SET", "PARTITIONED", "BY"))
+              u.parens().filter(_ => u.done).map(cols =>
+                RepartitionTableCommand(parts(t), identifierList(cols)))
+            else if (u.kw("CLUSTER", "BY")) {
+              if (u.kw("NONE")) Some(())
+                .filter(_ => u.done)
+                .map(_ => ClusterByCommand(parts(t), Nil, 0))
+              else for {
+                cols <- u.parens()
+                _ <- Some(()).filter(_ => u.kw("INTO"))
+                n <- u.num()
+                _ <- Some(()).filter(_ => u.kw("BUCKETS") && u.done)
+              } yield ClusterByCommand(parts(t), identifierList(cols), n.toInt)
+            }
+            else if (u.kw("RENAME", "COLUMN"))
+              for { from <- u.column()
+                    _ <- Some(()).filter(_ => u.kw("TO"))
+                    to <- u.column() if u.done }
+                yield RenameColumnCommand(parts(t), from, to)
+            else if (u.kw("DROP", "COLUMN"))
+              u.column().filter(_ => u.done)
+                .map(col => DropColumnCommand(parts(t), col))
+            else if (u.kw("ADD", "COLUMNS") || u.kw("ADD", "COLUMN"))
+              u.rest().map(tail => AddColumnCommand(parts(t), parseAddColumns(tail)))
+            else None
+          case _ => None
+        }
+      }
+
+      def showCmd: Option[LogicalPlan] = { val u = c()
+        if (!u.kw("SHOW")) None
+        else if (u.kw("TBLPROPERTIES"))
+          u.multipart().filter(t => u.done && gated(t))
+            .map(t => ShowPropertiesCommand(parts(t)))
+        else if (u.kw("PARTITIONS"))
+          u.multipart().filter(t => u.done && gated(t))
+            .map(t => ShowPartitionsCommand(parts(t)))
+        else None
+      }
+
+      def truncate: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("TRUNCATE", "TABLE"))
+          t <- u.multipart() if u.done
+          _ <- Some(()).filter(_ => gated(t))
+        } yield TruncateSnapshotCommand(parts(t))
+      }
+
+      def reorg: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("REORG", "TABLE"))
+          t <- u.multipart()
+          _ <- Some(()).filter(_ => u.kw("APPLY"))
+          inner <- u.parens()
+          _ <- Some(()).filter(_ =>
+            inner.trim.equalsIgnoreCase("PURGE") && u.done && gated(t))
+        } yield ReorgPurgeCommand(parts(t))
+      }
+
+      restore.orElse(describe).orElse(vacuum).orElse(createTable)
+        .orElse(optimize).orElse(generate).orElse(merge).orElse(delete)
+        .orElse(update).orElse(insert).orElse(copyInto).orElse(alterTable)
+        .orElse(showCmd).orElse(truncate).orElse(reorg)
+    }
+
+  /** `USING graft-snapshot` / `graft_snapshot`, bare or backticked —
+    * the provider gate of CREATE TABLE with an explicit schema. */
+  private def graftSnapshotProvider(u: Cur): Boolean = {
+    val m = u.mark
+    val ok = u.column() match {
+      case Some(w) if w.equalsIgnoreCase("graft_snapshot") ||
+        w.equalsIgnoreCase("graft-snapshot") => true
+      case Some(w) if w.equalsIgnoreCase("graft") =>
+        u.punct("-") && u.kw("SNAPSHOT")
+      case _ => false
+    }
+    if (!ok) u.reset(m)
+    ok
+  }
 
   /** Parse the tail of `ALTER TABLE … ADD COLUMN[S]` into (name, type
     * DDL) pairs. Strips one WRAPPING paren pair (only when the opening
@@ -1392,6 +1630,37 @@ case class ReorgPurgeCommand(table: Seq[String])
   * commit records the new spec; DML routes by it from the next
   * version, time travel reads old versions under theirs, RESTORE
   * snaps it back. Returns one row (path, version). */
+/** `ALTER TABLE t CLUSTER BY (c, …) INTO n BUCKETS` — hash-bucket the
+  * table ([[SnapshotStore.bucketTable]]): one layout rewrite, after
+  * which co-located joins/aggregations on the cluster columns plan
+  * shuffle-free and every later commit maintains the layout. `CLUSTER
+  * BY NONE` drops the spec (files keep their names; readers and
+  * writers simply stop presenting/maintaining the layout) — Delta's
+  * liquid-clustering DDL surface. Returns one row (path, version). */
+case class ClusterByCommand(table: Seq[String], cols: Seq[String],
+                            buckets: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val v =
+      if (cols.isEmpty) {
+        // CLUSTER BY NONE: idempotent unset.
+        val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+          throw new IllegalStateException(s"no committed snapshot under $root"))
+        if (SnapshotStore.tableProperties(spark, root, cur)
+            .exists(_._1 == SnapshotStore.BucketSpecProp))
+          SnapshotStore.unsetProperties(spark, root,
+            Seq(SnapshotStore.BucketSpecProp))
+        else cur
+      } else SnapshotStore.bucketTable(spark, root, cols, buckets)
+    Seq(Row(root, v))
+  }
+}
+
 case class RepartitionTableCommand(table: Seq[String], cols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
