@@ -78,6 +78,8 @@ object ScaleSmoke {
     var deleteWhereRoot = "" // set by delete_where_setup
     var mpRoot = ""; var cdcRootOne = ""; var cdcRootTwo = "" // round-10 setups
     var dvRootRewrite = ""; var dvRootMor = "" // set by dv_setup
+    var bkPlainL = ""; var bkPlainR = "" // round-12 bucketed-join probes
+    var bkClusL = ""; var bkClusR = ""
     var pqBooks: DataFrame = null; var pqIndexDf: DataFrame = null // round-11 PQ
     var hllSrcRoot = ""; var hllSkRoot = "" // round-11 sketch sync
     var ruRollRoot = "" // round-11 rollup sync
@@ -770,6 +772,77 @@ object ScaleSmoke {
       time("rollup_sync_update_delta") {
         graft.operators.Rollup.sync(spark, hllSrcRoot, ruRollRoot,
           Seq("doc_id"), Seq("part"), Seq("author"))
+      },
+      // Transparent MV rewrite (round 12): the same dashboard
+      // aggregate over the amplified source, (a) as the raw scan and
+      // (b) answered from the maintained rollup via RollupRewriteRule.
+      // At 100 TB (a) scales with the corpus while (b) is a read of
+      // group-count-many rows — the require() pins that the rewrite
+      // really fired, so the measured number can never silently be a
+      // second scan.
+      time("mv_dashboard_scan") {
+        graft.sinks.SnapshotStore.table(spark, hllSrcRoot)
+          .groupBy("part")
+          .agg(count(lit(1)).as("n"), sum(col("author")).as("sa"))
+          .collect().length.toLong
+      },
+      time("mv_dashboard_rewrite") {
+        spark.conf.set(graft.sinks.RollupRewrite.RegistryConf, ruRollRoot)
+        try {
+          val agg = graft.sinks.SnapshotStore.table(spark, hllSrcRoot)
+            .groupBy("part")
+            .agg(count(lit(1)).as("n"), sum(col("author")).as("sa"))
+          require(agg.queryExecution.executedPlan.toString.contains(ruRollRoot),
+            "MV rewrite did not fire — the probe would time a scan")
+          agg.collect().length.toLong
+        } finally spark.conf.unset(graft.sinks.RollupRewrite.RegistryConf)
+      },
+      // Hash-bucketed co-located join (round 12): the same big x big
+      // join over the amplified corpus, (a) both sides plain (two
+      // shuffles of every payload byte) vs (b) both sides bucketed on
+      // the key (ZERO exchanges — require-pinned). The delta IS the
+      // shuffle; at 100 TB it is the difference between moving the
+      // table over the network per join and never moving it.
+      time("bucket_join_setup") {
+        bkPlainL = java.nio.file.Files
+          .createTempDirectory("graft_scale_bkpl").toString + "/t"
+        bkPlainR = java.nio.file.Files
+          .createTempDirectory("graft_scale_bkpr").toString + "/t"
+        bkClusL = java.nio.file.Files
+          .createTempDirectory("graft_scale_bkcl").toString + "/t"
+        bkClusR = java.nio.file.Files
+          .createTempDirectory("graft_scale_bkcr").toString + "/t"
+        val left = docs.withColumn("part", lit("x"))
+        val right = docs.select(col("doc_id"),
+            length(col("text")).as("doc_len"))
+          .withColumn("part", lit("x"))
+        graft.sinks.SnapshotStore.commit(spark, left, bkPlainL, "part")
+        graft.sinks.SnapshotStore.commit(spark, right, bkPlainR, "part")
+        graft.sinks.SnapshotStore.commit(spark, left, bkClusL, "part")
+        graft.sinks.SnapshotStore.commit(spark, right, bkClusR, "part")
+        graft.sinks.SnapshotStore.bucketTable(spark, bkClusL, Seq("doc_id"), 32)
+        graft.sinks.SnapshotStore.bucketTable(spark, bkClusR, Seq("doc_id"), 32)
+      },
+      time("join_shuffled") {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        // Aggregating over text keeps the payload column alive through
+        // the join, so the shuffled variant really moves the bytes.
+        try graft.sinks.SnapshotStore.table(spark, bkPlainL)
+          .join(graft.sinks.SnapshotStore.table(spark, bkPlainR), "doc_id")
+          .agg(sum(col("doc_len")), sum(length(col("text"))))
+          .collect().length.toLong
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      },
+      time("join_cobucketed") {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        try {
+          val j = graft.sinks.SnapshotStore.table(spark, bkClusL)
+            .join(graft.sinks.SnapshotStore.table(spark, bkClusR), "doc_id")
+          require(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+            "co-bucketed join planned an exchange — probe would mis-measure")
+          j.agg(sum(col("doc_len")), sum(length(col("text"))))
+            .collect().length.toLong
+        } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       })
 
     val nDocs = docs.count(); val nVecs = embs.count()

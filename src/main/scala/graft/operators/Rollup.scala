@@ -63,18 +63,67 @@ object Rollup {
   /** Self-description recorded on the rollup table (re-asserted every
     * sync, so pre-existing rollups heal on their next window): what
     * the transparent query rewrite needs to prove coverage. */
-  private def metaProps(srcRoot: String, groupCols: Seq[String],
+  private def metaProps(srcRoot: String, srcKeys: Seq[String],
+                        groupCols: Seq[String],
                         sumCols: Seq[String], minMaxCols: Seq[String],
                         derived: Boolean): Seq[(String, String)] = Seq(
     "graft.rollup.source" -> srcRoot,
+    "graft.rollup.srcKeys" -> srcKeys.mkString(","),
     "graft.rollup.groupCols" -> groupCols.mkString(","),
     "graft.rollup.sumCols" -> sumCols.mkString(","),
     "graft.rollup.minMaxCols" -> minMaxCols.mkString(","),
     "graft.rollup.derived" -> derived.toString)
 
   private val MetaKeys: Set[String] = Set(CursorProp,
-    "graft.rollup.source", "graft.rollup.groupCols", "graft.rollup.sumCols",
-    "graft.rollup.minMaxCols", "graft.rollup.derived")
+    "graft.rollup.source", "graft.rollup.srcKeys", "graft.rollup.groupCols",
+    "graft.rollup.sumCols", "graft.rollup.minMaxCols", "graft.rollup.derived")
+
+  /** Sync a rollup from its OWN recorded self-description — the form
+    * the post-commit auto-sync hook calls
+    * ([[graft.sinks.SnapshotStore]]'s `graft.rollup.autoSync` source
+    * property). Refuses derive-hook rollups loudly (a closure is not
+    * recordable) and pre-srcKeys rollups until one manual [[sync]]
+    * re-asserts the full description. Returns the synced source
+    * version. */
+  def syncFromProps(spark: SparkSession, rollupRoot: String): Long = {
+    val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+    def need(k: String): String = props.getOrElse(k,
+      throw new IllegalStateException(
+        s"$rollupRoot carries no $k — not an auto-syncable rollup"))
+    require(props.get("graft.rollup.derived").contains("false"),
+      s"$rollupRoot was built with a derive hook — auto-sync cannot " +
+        "replay a closure; sync it explicitly")
+    def cols(k: String): Seq[String] =
+      need(k).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    sync(spark, need("graft.rollup.source"), rollupRoot,
+      cols("graft.rollup.srcKeys"), cols("graft.rollup.groupCols"),
+      cols("graft.rollup.sumCols"), cols("graft.rollup.minMaxCols"))
+  }
+
+  /** Make `rollupRoot` SELF-MAINTAINING: record it in the source's
+    * `graft.rollup.autoSync` property, so every subsequent data commit
+    * to the source re-syncs it inline (the post-commit hook) — a
+    * registered dashboard rollup is then always cursor-fresh and the
+    * transparent MV rewrite fires on every read. Syncs once up front
+    * (registration itself must not leave a stale window). */
+  def enableAutoSync(spark: SparkSession, srcRoot: String,
+                     rollupRoot: String): Unit = {
+    // Validate eligibility BEFORE touching the source (derive-hook
+    // rollups refuse), but sync AFTER the registration commit — the
+    // property commit itself bumps the source version, and the rollup
+    // must leave this call cursor-fresh, not one behind.
+    require(SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+        .get("graft.rollup.derived").contains("false"),
+      s"$rollupRoot was built with a derive hook — auto-sync cannot " +
+        "replay a closure; sync it explicitly")
+    val existing = SnapshotStore.tablePropertiesMap(spark, srcRoot)
+      .get("graft.rollup.autoSync").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (!existing.contains(rollupRoot))
+      SnapshotStore.setProperties(spark, srcRoot,
+        Seq("graft.rollup.autoSync" -> (existing :+ rollupRoot).mkString(",")))
+    syncFromProps(spark, rollupRoot)
+  }
 
   private val Bucket = "__bucket"
   private val NumBuckets = 16
@@ -144,7 +193,7 @@ object Rollup {
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
           properties = Some((CursorProp -> cur.toString) +:
-            metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+            metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
               derive ne Identity)))
         cur
       case Some(_) =>
@@ -165,7 +214,7 @@ object Rollup {
               "columns must be non-null")
           val merged = props.filterNot(p => MetaKeys(p._1)).toSeq ++
             ((CursorProp -> cur.toString) +:
-              metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+              metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
                 derive ne Identity))
           val sign = when(col("_change_type")
             .isin("insert", "update_postimage"), 1).otherwise(-1)
@@ -272,10 +321,14 @@ object Rollup {
       groupCols, sumCols, minMaxCols)
       .select((groupCols ++ names).map(col): _*)
       .withColumn(Bucket, bucketOf(groupCols))
-    val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+    val existing = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+    // rebuild has no key argument — carry the recorded srcKeys through.
+    val keys = existing.get("graft.rollup.srcKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val props = existing
       .filterNot(p => MetaKeys(p._1)).toSeq ++
       ((CursorProp -> cur.toString) +:
-        metaProps(srcRoot, groupCols, sumCols, minMaxCols,
+        metaProps(srcRoot, keys, groupCols, sumCols, minMaxCols,
           derive ne Identity))
     val gone = SnapshotStore.read(spark, rollupRoot)
       .select(groupCols.map(col): _*)

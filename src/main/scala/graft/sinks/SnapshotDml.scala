@@ -37,6 +37,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, entries, "commit", partitionCols.header,
           properties = properties)) {
         writeStats(spark, root, v, Nil, entries, Some(df.schema))
+        postCommit(spark, root, v)
         return v
       }
       attempt += 1
@@ -59,6 +60,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols)
     if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header)) {
       writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
+      postCommit(spark, root, 1L)
       Some(1L)
     } else None
   }
@@ -89,7 +91,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, operation,
           partitionCols.header, extraHeaders)) {
         writeStats(spark, root, v, kept, newEntries, Some(df.schema))
-        maybeAutoCompact(spark, root, v)
+        postCommit(spark, root, v)
         return v
       }
       attempt += 1
@@ -262,7 +264,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
         if (writeManifest(spark, root, publishV, carried ++ newEntries, "merge",
             partitionCols.header)) {
           writeStats(spark, root, publishV, carried, newEntries, Some(merged.schema))
-          maybeAutoCompact(spark, root, publishV)
+          postCommit(spark, root, publishV)
           return publishV
         }
         val head = currentVersion(spark, root).getOrElse(0L)
@@ -364,7 +366,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "merge",
           partitionCols.header, properties = properties)) {
         writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
-        maybeAutoCompact(spark, root, v)
+        postCommit(spark, root, v)
         return v
       }
       attempt += 1
@@ -542,6 +544,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
           partitionCols.header)) {
         writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
+        postCommit(spark, root, v)
         return v
       }
       attempt += 1
@@ -692,6 +695,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
           if (writeManifest(spark, root, cur + 1, kept, "delete",
               partCols.mkString(","))) {
             writeStats(spark, root, cur + 1, kept, Nil, None)
+            postCommit(spark, root, cur + 1)
             return cur + 1
           }
           attempt += 1
@@ -734,6 +738,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       if (writeManifest(spark, root, cur + 1, Nil, "delete",
           partCols.mkString(","))) {
         writeStats(spark, root, cur + 1, Nil, Nil, None)
+        postCommit(spark, root, cur + 1)
         return cur + 1
       }
       attempt += 1

@@ -158,6 +158,7 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
           if (writeManifest(spark, root, cur + 1, kept, "delete",
               partCols.mkString(","))) {
             writeStats(spark, root, cur + 1, kept, Nil, None)
+            postCommit(spark, root, cur + 1)
             return cur + 1
           }
           attempt += 1
@@ -226,6 +227,7 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
         if (writeManifest(spark, root, v, newEntries, "delete-dv",
             partCols.mkString(","))) {
           writeStats(spark, root, v, newEntries, Nil, None)
+          postCommit(spark, root, v)
           return v
         }
       } finally newDv.unpersist()
@@ -316,6 +318,7 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
         if (writeManifest(spark, root, v, carried ++ newEntries, "update-dv",
             partCols.mkString(","))) {
           writeStats(spark, root, v, carried, newEntries, Some(updated.schema))
+          postCommit(spark, root, v)
           return v
         }
       } finally live.unpersist()

@@ -85,6 +85,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "update",
           partCols.mkString(","))) {
         writeStats(spark, root, v, kept, newEntries, Some(updated.schema))
+        postCommit(spark, root, v)
         return v
       }
       attempt += 1
@@ -531,6 +532,50 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Re-entrancy guard for [[postCommit]]: a hook-triggered rollup
+    * sync commits to the ROLLUP table, whose own commit runs the hook
+    * again — fine (different root, no properties) — but a
+    * misconfigured registration (a rollup registered on itself) must
+    * degrade to a no-op, not an infinite loop. */
+  private val inPostCommit = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Post-commit maintenance hooks, run at every DATA-commit success
+    * exit: opt-in auto-compaction ([[maybeAutoCompact]]) and opt-in
+    * rollup auto-sync ([[maybeAutoSyncRollups]]). Derived maintenance
+    * over an already-won commit — errors degrade to "not this round",
+    * never fail the commit. */
+  private[sinks] def postCommit(spark: SparkSession, root: String,
+                                committed: Long): Unit =
+    if (!inPostCommit.get()(root)) {
+      inPostCommit.set(inPostCommit.get() + root)
+      try {
+        maybeAutoCompact(spark, root, committed)
+        maybeAutoSyncRollups(spark, root)
+      } finally inPostCommit.set(inPostCommit.get() - root)
+    }
+
+  /** SELF-MAINTAINING rollups: when the just-committed table's
+    * `graft.rollup.autoSync` property names rollup roots, sync each
+    * from its own recorded self-description
+    * ([[graft.operators.Rollup.syncFromProps]]) — so a registered
+    * dashboard rollup is ALWAYS cursor-fresh and the transparent MV
+    * rewrite ([[RollupRewriteRule]]) fires on every read between
+    * commits, with zero orchestration outside the store. Enable via
+    * [[graft.operators.Rollup.enableAutoSync]]. Derive-hook rollups
+    * cannot auto-sync (a closure is not recordable) and are skipped. */
+  private[sinks] def maybeAutoSyncRollups(spark: SparkSession,
+                                          root: String): Unit = try {
+    tablePropertiesMap(spark, root).get("graft.rollup.autoSync")
+      .toSeq.flatMap(_.split(",")).map(_.trim)
+      .filter(r => r.nonEmpty && r != root)
+      .foreach { rollupRoot =>
+        try graft.operators.Rollup.syncFromProps(spark, rollupRoot)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   /** PARTITION-SPEC EVOLUTION (Iceberg's headline day-two operation,
     * expressed in this store's per-version metadata): re-lay a live
     * table out under `newSpec` as ONE layout rewrite commit. The new
@@ -605,9 +650,20 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * reads and writes to unbucketed (conservative, never wrong) until
     * `bucketTable` runs again. Rows are read through the current
     * deletion vectors (the rewrite materializes deletes, like
-    * OPTIMIZE). Returns the new version. */
+    * OPTIMIZE). Returns the new version.
+    *
+    * `sortCols` additionally keeps every bucket file SORTED (Hive's
+    * `SORTED BY`): written files always carry the order, which
+    * narrows per-file stats ranges and improves encoding; whether the
+    * PLANNER also elides the merge-join sort is Spark's call — since
+    * 3.0 it trusts per-bucket ordering only under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (the trade:
+    * a one-file bucket then reads single-threaded), and only while
+    * every bucket has at most one file (compaction restores that
+    * after appends). */
   def bucketTable(spark: SparkSession, root: String, bucketCols: Seq[String],
-                  numBuckets: Int, maxAttempts: Int = 5): Long = {
+                  numBuckets: Int, sortCols: Seq[String] = Nil,
+                  maxAttempts: Int = 5): Long = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     require(bucketCols.nonEmpty, "bucketTable needs at least one column")
     var attempt = 0
@@ -616,17 +672,19 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val logical = readVersion(spark, root, cur).schema
       val fields = logical.fields.map(f => f.name -> f.dataType).toMap
-      val missing = bucketCols.filterNot(fields.contains)
+      val missing = (bucketCols ++ sortCols).filterNot(fields.contains)
       require(missing.isEmpty,
-        s"bucket column(s) ${missing.mkString(", ")} not in $root's schema " +
-          s"(have: ${logical.fieldNames.mkString(", ")})")
+        s"bucket/sort column(s) ${missing.mkString(", ")} not in $root's " +
+          s"schema (have: ${logical.fieldNames.mkString(", ")})")
       val spec = formatBucketSpec(numBuckets,
-        bucketCols.map(c => c -> fields(c).sql))
+        bucketCols.map(c => c -> fields(c).sql),
+        sortCols.map(c => c -> fields(c).sql))
       val entries = manifest(spark, root, cur)
       val mapping = mappingAt(spark, root, cur)
       val partCols = requirePartitionCols(spark, root, cur)
       val physParts = partCols.map(physicalNameOf(mapping._1, _))
       val physBuckets = bucketCols.map(physicalNameOf(mapping._1, _))
+      val physSort = sortCols.map(c => col(physicalNameOf(mapping._1, c)))
       val props = tableProperties(spark, root, cur)
         .filterNot(_._1 == BucketSpecProp) :+ (BucketSpecProp -> spec)
       val v = cur + 1
@@ -635,7 +693,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         else writeDataFiles(spark,
           readEntriesAt(spark, root, entries, cur),
           root, v, physParts, translate = false,
-          bucketOverride = Some((numBuckets, physBuckets)))
+          bucketOverride = Some((numBuckets, physBuckets)),
+          sortWithin = physSort)
       if (writeManifest(spark, root, v, newEntries, "cluster-by",
           ColSpec(partCols).header, properties = Some(props))) {
         writeStats(spark, root, v, Nil, newEntries, None)

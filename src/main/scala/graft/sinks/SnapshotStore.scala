@@ -1119,17 +1119,26 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // recorded type (hash placement is type-sensitive). Any drift
     // degrades to a plain scan — co-location is an optimization, never
     // an assumption.
-    val bucketSpec = bucketSpecAt(spark, root, v).flatMap { case (n, cols) =>
+    val bucketSpec = bucketSpecAt(spark, root, v).flatMap { sp =>
       val renames = mappingAt(spark, root, v)._1
-      val named = cols.map { case (c, t) => (physicalNameOf(renames, c), t) }
       val fields = schema.fields.map(f => f.name -> f.dataType).toMap
-      val typed = named.forall { case (c, t) => fields.get(c).exists(_.sql == t) }
+      def typedPhys(cs: Seq[(String, String)]): Option[Seq[String]] = {
+        val named = cs.map { case (c, t) => (physicalNameOf(renames, c), t) }
+        if (named.forall { case (c, t) => fields.get(c).exists(_.sql == t) })
+          Some(named.map(_._1))
+        else None
+      }
       val allStamped = wanted.forall(e =>
-        bucketIdOf(new Path(e.path).getName).exists(_ < n))
-      if (typed && allStamped)
-        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
-          n, named.map(_._1), Nil))
-      else None
+        bucketIdOf(new Path(e.path).getName).exists(_ < sp.n))
+      typedPhys(sp.cols).filter(_ => allStamped).map { bcols =>
+        // Sort columns are declared whenever recorded and resolvable:
+        // every file written under a sorted spec IS sorted, and Spark
+        // itself only trusts the ordering when each bucket has at most
+        // one file (multi-file buckets fall back to a real sort).
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(sp.n, bcols,
+          if (sp.sortCols.isEmpty) Nil
+          else typedPhys(sp.sortCols).getOrElse(Nil))
+      }
     }
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, new org.apache.spark.sql.types.StructType(), schema, bucketSpec,
@@ -1178,20 +1187,37 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * co-location. Re-run [[bucketTable]] to re-establish the layout. */
   val BucketSpecProp = "graft.bucket.spec"
 
-  private[sinks] def formatBucketSpec(n: Int, cols: Seq[(String, String)]): String =
-    s"$n;${cols.map { case (c, t) => s"$c:$t" }.mkString(",")}"
+  /** Parsed `graft.bucket.spec`: bucket count, bucket columns, and
+    * (optionally) SORT columns — each column recorded with the SQL
+    * type it had at clustering time. */
+  private[graft] final case class TableBucketSpec(
+      n: Int, cols: Seq[(String, String)], sortCols: Seq[(String, String)])
 
-  private[sinks] def parseBucketSpec(v: String): Option[(Int, Seq[(String, String)])] =
-    v.split(";", 2) match {
-      case Array(n, cols) =>
-        scala.util.Try((n.trim.toInt, cols.split(",").toSeq.map { c =>
-          val Array(name, tpe) = c.split(":", 2); (name, tpe)
-        })).toOption.filter { case (nb, cs) => nb >= 2 && cs.nonEmpty }
+  private[sinks] def formatBucketSpec(n: Int, cols: Seq[(String, String)],
+                                      sortCols: Seq[(String, String)] = Nil): String = {
+    def fmt(cs: Seq[(String, String)]) =
+      cs.map { case (c, t) => s"$c:$t" }.mkString(",")
+    s"$n;${fmt(cols)}" + (if (sortCols.isEmpty) "" else s";${fmt(sortCols)}")
+  }
+
+  private[sinks] def parseBucketSpec(v: String): Option[TableBucketSpec] = {
+    def cols(s: String): Seq[(String, String)] =
+      s.split(",").toSeq.filter(_.nonEmpty).map { c =>
+        val Array(name, tpe) = c.split(":", 2); (name, tpe)
+      }
+    v.split(";", 3) match {
+      case Array(n, bs) =>
+        scala.util.Try(TableBucketSpec(n.trim.toInt, cols(bs), Nil))
+          .toOption.filter(sp => sp.n >= 2 && sp.cols.nonEmpty)
+      case Array(n, bs, ss) =>
+        scala.util.Try(TableBucketSpec(n.trim.toInt, cols(bs), cols(ss)))
+          .toOption.filter(sp => sp.n >= 2 && sp.cols.nonEmpty)
       case _ => None
     }
+  }
 
   private[sinks] def bucketSpecAt(spark: SparkSession, root: String,
-                                  version: Long): Option[(Int, Seq[(String, String)])] =
+                                  version: Long): Option[TableBucketSpec] =
     tableProperties(spark, root, version).toMap.get(BucketSpecProp)
       .flatMap(parseBucketSpec)
 
@@ -1244,31 +1270,46 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // LOGICAL names onto this frame (physical for raw layout rewrites),
     // and verify presence + exact recorded type — hash placement is
     // type-sensitive, so a widened column must NOT keep bucketing.
+    // Recorded SORT columns resolve under the same discipline; a
+    // caller-supplied sortWithin (a z-order key) takes precedence.
     val curV = currentVersion(spark, root)
+    def resolveTyped(cs: Seq[(String, String)]): Option[Seq[String]] = {
+      val renames = if (translate) Map.empty[String, String]
+        else mappingAt(spark, root, curV.get)._1
+      val named = cs.map { case (c, t) => (physicalNameOf(renames, c), t) }
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      if (named.forall { case (c, t) => fields.get(c).exists(_.sql == t) })
+        Some(named.map(_._1))
+      else None
+    }
+    val spec = if (bucketOverride.isDefined) None
+      else curV.flatMap(cv => bucketSpecAt(spark, root, cv))
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
-      curV.flatMap(cv => bucketSpecAt(spark, root, cv)).flatMap {
-        case (n, cols) =>
-          val renames = if (translate) Map.empty[String, String]
-            else mappingAt(spark, root, curV.get)._1
-          val named = cols.map { case (c, t) => (physicalNameOf(renames, c), t) }
-          val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-          if (named.forall { case (c, t) => fields.get(c).exists(_.sql == t) })
-            Some((n, named.map(_._1)))
-          else None
-      })
+      spec.flatMap(sp => resolveTyped(sp.cols).map((sp.n, _))))
+    val specSort: Seq[org.apache.spark.sql.Column] =
+      if (sortWithin.nonEmpty || bucketCols.isEmpty) Nil
+      else spec.toSeq.flatMap(sp =>
+        if (sp.sortCols.isEmpty) Nil
+        else resolveTyped(sp.sortCols).map(_.map(col)).getOrElse(Nil))
     val bucketed = bucketCols match {
-      case Some((n, cols)) =>
-        val shuffled = df.repartition(n, cols.map(col): _*)
-        if (sortWithin.nonEmpty) shuffled.sortWithinPartitions(sortWithin: _*)
-        else shuffled
+      case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
       case None => df
     }
     val withDirs = partitionCols.zip(dirs).foldLeft(bucketed) {
       case (d, (c, dir)) => d.withColumn(dir, col(c))
     }
+    // In-task ordering: the partition-dir keys lead so the writer's
+    // required ordering (group rows by target directory) is satisfied
+    // by OUR sort — otherwise FileFormatWriter inserts its own
+    // dirs-only, non-stable sort and destroys the secondary order.
+    val effectiveSort = if (sortWithin.nonEmpty) sortWithin else specSort
+    val ordered =
+      if (bucketCols.isDefined && effectiveSort.nonEmpty)
+        withDirs.sortWithinPartitions(dirs.map(col) ++ effectiveSort: _*)
+      else withDirs
     val physical =
-      if (!translate) withDirs
-      else toPhysical(withDirs, mappingAt(spark, root, v - 1))
+      if (!translate) ordered
+      else toPhysical(ordered, mappingAt(spark, root, v - 1))
     physical
       .write.mode("error").partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)

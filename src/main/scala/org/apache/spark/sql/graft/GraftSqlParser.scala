@@ -485,10 +485,13 @@ object GraftSqlParser {
                 .map(_ => ClusterByCommand(parts(t), Nil, 0))
               else for {
                 cols <- u.parens()
+                sortCols <- if (u.kw("SORTED", "BY"))
+                  u.parens().map(identifierList) else Some(Nil)
                 _ <- Some(()).filter(_ => u.kw("INTO"))
                 n <- u.num()
                 _ <- Some(()).filter(_ => u.kw("BUCKETS") && u.done)
-              } yield ClusterByCommand(parts(t), identifierList(cols), n.toInt)
+              } yield ClusterByCommand(parts(t), identifierList(cols),
+                n.toInt, sortCols)
             }
             else if (u.kw("RENAME", "COLUMN"))
               for { from <- u.column()
@@ -1638,7 +1641,8 @@ case class ReorgPurgeCommand(table: Seq[String])
   * writers simply stop presenting/maintaining the layout) — Delta's
   * liquid-clustering DDL surface. Returns one row (path, version). */
 case class ClusterByCommand(table: Seq[String], cols: Seq[String],
-                            buckets: Int) extends LeafRunnableCommand {
+                            buckets: Int, sortCols: Seq[String] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
       nullable = false)(),
@@ -1656,7 +1660,7 @@ case class ClusterByCommand(table: Seq[String], cols: Seq[String],
           SnapshotStore.unsetProperties(spark, root,
             Seq(SnapshotStore.BucketSpecProp))
         else cur
-      } else SnapshotStore.bucketTable(spark, root, cols, buckets)
+      } else SnapshotStore.bucketTable(spark, root, cols, buckets, sortCols)
     Seq(Row(root, v))
   }
 }

@@ -158,6 +158,54 @@ class BucketedTableSpec extends graft.SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 101)
   }
 
+  test("SORTED buckets eliminate the merge-join sort; multi-file buckets fall back; values stay right") {
+    val l = freshRoot(); val r = freshRoot()
+    // Single manifest partition -> one file per bucket -> Spark trusts
+    // the declared per-bucket ordering.
+    def oneDf(n: Int, tag: String) =
+      (0 until n).map(i => (i.toLong, s"$tag$i", "all")).toDF("k", "v", "part")
+    SnapshotStore.commit(spark, oneDf(500, "l"), l, "part")
+    SnapshotStore.commit(spark, oneDf(500, "r"), r, "part")
+    SnapshotStore.bucketTable(spark, l, Seq("k"), 8, sortCols = Seq("k"))
+    SnapshotStore.bucketTable(spark, r, Seq("k"), 8, sortCols = Seq("k"))
+    assert(SnapshotStore.tablePropertiesMap(spark, l)(
+      SnapshotStore.BucketSpecProp) == "8;k:BIGINT;k:BIGINT")
+    // Every written file really IS sorted by k (Spark TRUSTS the
+    // declaration — a wrong order would silently corrupt merge joins).
+    val perFile = SnapshotStore.read(spark, l)
+      .withColumn("f", input_file_name())
+      .select("f", "k").as[(String, Long)].collect()
+      .groupBy(_._1).values
+    assert(perFile.forall(rows => rows.map(_._2).toSeq ==
+      rows.map(_._2).toSeq.sorted), "bucket files must be k-sorted")
+    noBroadcast {
+      // Since 3.0 Spark only TRUSTS per-bucket ordering under the
+      // legacy conf (the trade: a sorted one-file bucket reads
+      // single-threaded) — the layout records it either way; this
+      // enables the sort-free plan for the pin.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      def joined() = SnapshotStore.table(spark, l)
+        .join(SnapshotStore.table(spark, r).select(col("k"), col("v").as("w")), "k")
+      val p = plan(joined())
+      assert(!p.contains("Exchange") && !p.contains("Sort ["),
+        s"sorted co-bucketed join must need neither shuffle nor sort:\n$p")
+      assert(joined().count() == 500)
+      assert(joined().filter(col("k") === 7L).select("v", "w")
+        .as[(String, String)].collect().toSet == Set(("l7", "r7")))
+      // An append makes some buckets multi-file: Spark must fall back
+      // to a REAL sort (trusting concatenated files would be wrong),
+      // and values stay correct.
+      SnapshotStore.appendCommit(spark,
+        Seq((500L, "l500", "all")).toDF("k", "v", "part"), l, "part")
+      val p2 = plan(joined())
+      assert(p2.contains("Sort ["),
+        s"multi-file buckets must re-sort:\n$p2")
+      assert(!p2.contains("Exchange"), "co-location must survive")
+      assert(joined().count() == 500)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("z-order on a bucketed table sorts within buckets and keeps co-location") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rowsDf(400, "x")
