@@ -1480,6 +1480,64 @@ private[graft] object EvolutionQueries {
               CAST(o_totalprice AS DECIMAL(12,2)) AS price
             FROM orders WHERE o_orderkey % 10 <> 7)
       GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+
+    // SELF-MAINTAINING materialized view (Rollup.enableAutoSync →
+    // post-commit hook → RollupRewriteRule): after ONE registration
+    // call, a lifecycle of ordinary commits — append, keyed merge,
+    // keyed delete — keeps the rollup cursor-fresh with ZERO explicit
+    // sync calls, and the dashboard query is require-pinned to answer
+    // from the rollup on every read. The DuckDB oracle aggregates the
+    // equivalent final state directly; a missed hook (stale cursor →
+    // no rewrite → the require fails) or a wrong maintained value
+    // (hash mismatch) both break the row.
+    ("q210_autosync_mv", (s: SparkSession, d: String) => {
+      import graft.operators.Rollup
+      import graft.sinks.{ColSpec, RollupRewrite, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q210").toString
+      val src = s"$dir/src"; val roll = s"$dir/rollup"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        pmod(col("o_orderkey"), lit(4)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), src, "part")
+      // Sum-only rollup: fully additive under every window, so the
+      // delete below maintains with NO rebuild scan (MIN/MAX through
+      // the rewrite is q209's row).
+      Rollup.sync(s, src, roll, Seq("o_orderkey"), Seq("o_orderstatus"),
+        sumCols = Seq("price", "o_custkey"))
+      Rollup.enableAutoSync(s, src, roll)
+      // Ordinary DML from here on — NO sync calls. (Update windows
+      // through the hook are AutoSyncSpec's merge case; the oracle row
+      // keeps the lifecycle to append + delete so the bench prices the
+      // hook, not a third diff window.)
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0), src, "part")
+      SnapshotStore.deleteCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 4)
+          .select(col("o_orderkey")), src, "o_orderkey", "part")
+      s.conf.set(RollupRewrite.RegistryConf, roll)
+      try {
+        val agg = SnapshotStore.table(s, src).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("sp"),
+            sum(col("o_custkey")).as("sc"))
+        val p = agg.queryExecution.executedPlan.toString
+        require(p.contains(roll) && !p.contains(src),
+          s"auto-synced rollup must answer without any manual sync:\n$p")
+        agg.select(col("o_orderstatus"), col("n"),
+            col("sp").cast("decimal(22,2)").as("sp"), col("sc"))
+          .orderBy(col("o_orderstatus"))
+      } finally s.conf.unset(RollupRewrite.RegistryConf)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(price) AS DECIMAL(22,2)) AS sp,
+        CAST(SUM(o_custkey) AS BIGINT) AS sc
+      FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+              CAST(o_totalprice AS DECIMAL(12,2)) AS price
+            FROM orders WHERE o_orderkey % 10 <> 4)
+      GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
   )
 }
