@@ -36,7 +36,10 @@ object Frequencies {
            valueCol: String, maxDistinctPerGroup: Int = 100000): Long =
     Rollup.sync(spark, srcRoot, freqRoot, srcKeys,
       groupCols :+ valueCol, Nil,
-      derive = df => {
+      // With the guard opted out the sync is a PURE identity, and
+      // passing the sentinel keeps the table auto-sync- and
+      // MV-rewrite-eligible (a closure would record derived=true).
+      derive = if (maxDistinctPerGroup <= 0) Rollup.Identity else df => {
         if (maxDistinctPerGroup > 0) {
           val names = if (groupCols.isEmpty) Seq("__g") else groupCols
           val sel = (if (groupCols.isEmpty) Seq(lit(1).as("__g"))

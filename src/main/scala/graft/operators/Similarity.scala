@@ -496,6 +496,22 @@ object Similarity {
     val recorded = spark.read.parquet(indexPath)
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq
+    // COVERAGE GUARD: every live data file must be indexed, or the
+    // probe would silently drop whole files' rows. The classic way to
+    // get here is a LAYOUT rewrite (compact / auto-compact / z-order /
+    // cluster-by) between maintenance calls: rewritten files carry new
+    // names, and their content — old AND new rows — is unindexed until
+    // append*ForSnapshotVersion runs for that version too (a layout
+    // version's manifest diff is exactly the rewritten files, so the
+    // per-version maintenance discipline covers it — it just must not
+    // be skipped). Loud beats wrong.
+    val uncovered = rel.filterNot(p => recorded.exists(_.endsWith(p)))
+    require(uncovered.isEmpty,
+      s"index at $indexPath does not cover ${uncovered.size} live data " +
+        s"file(s) of $root v$v (e.g. ${uncovered.take(3).mkString(", ")}) — " +
+        "run the index maintenance for every version up to the current " +
+        "one (layout rewrites like compact/auto-compact/z-order rename " +
+        "files and need it too)")
     val live = recorded.filter(f => rel.exists(f.endsWith))
     val index =
       if (live.isEmpty)

@@ -126,6 +126,7 @@ object Sketches {
               "columns must be non-null")
           val merged =
             props.filterNot(_._1 == CursorProp).toSeq :+ (CursorProp -> cur.toString)
+          var committed = -1L
           val before = SnapshotStore.currentVersion(spark, sketchRoot)
           val hasDoom =
             !feed.filter(col("_change_type") =!= "insert").isEmpty
@@ -144,7 +145,7 @@ object Sketches {
                 val d = col(sketchCol(c)); val o = col(s"__old_${sketchCol(c)}")
                 when(o.isNull, d).otherwise(hll_union(o, d)).as(sketchCol(c))
               }: _*)
-            SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
+            committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
               withBucket(unioned), None, groupCols, Bucket,
               properties = Some(merged))
           } else {
@@ -161,15 +162,18 @@ object Sketches {
                 touched, groupCols),
               groupCols, cols, storedLgK)
             val vanished = touched.join(rebuilt, groupCols, "left_anti")
-            SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
+            committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
               withBucket(rebuilt), Some(vanished), groupCols, Bucket,
               properties = Some(merged))
           }
           // A content-no-op window (layout-only source commits) makes
-          // the merge above return the unchanged version WITHOUT
+          // the merge above RETURN the unchanged version without
           // writing the property set — advance the cursor with a
           // metadata-only commit so later syncs stop re-diffing it.
-          if (before == SnapshotStore.currentVersion(spark, sketchRoot))
+          // Compared against the merge's RETURNED version (Rollup.sync's
+          // convention): a second currentVersion read could see a
+          // concurrent writer's commit and skip the advance forever.
+          if (before.contains(committed))
             SnapshotStore.setProperties(spark, sketchRoot,
               Seq(CursorProp -> cur.toString))
           cur

@@ -61,9 +61,23 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val registered = spark.conf.getOption(RegistryConf).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     if (registered.isEmpty) plan
-    else plan.transformUp {
-      case agg: Aggregate =>
-        tryRewrite(spark, agg, registered).getOrElse(agg)
+    else {
+      // Descriptors load at most once per rule invocation (they cost
+      // filesystem reads), and ONLY when some aggregate-over-snapshot
+      // shape actually asks for them.
+      lazy val regs: Seq[RollupRewrite.Registered] = registered.flatMap(r =>
+        try RollupRewrite.load(spark, r)
+        catch { case scala.util.control.NonFatal(_) => None })
+      plan.transformUp {
+        case agg: Aggregate =>
+          // "Every uncertainty keeps the scan": a corrupted rollup
+          // property, a transient FS error, or an unforeseen plan
+          // shape must degrade to the original aggregate, never fail
+          // the user's query.
+          (try tryRewrite(spark, agg, regs)
+           catch { case scala.util.control.NonFatal(_) => None })
+            .getOrElse(agg)
+      }
     }
   }
 }
@@ -76,12 +90,12 @@ object RollupRewrite {
   /** A registered rollup's self-description (see
     * [[graft.operators.Rollup.sync]]'s recorded properties), loaded at
     * its CURRENT version so the cursor and the rows read agree. */
-  private case class Registered(rollupRoot: String, rollupVersion: Long,
+  private[sinks] case class Registered(rollupRoot: String, rollupVersion: Long,
                                 source: String, cursor: Long,
                                 groupCols: Seq[String], sumCols: Seq[String],
                                 minMaxCols: Seq[String])
 
-  private def load(spark: SparkSession, rollupRoot: String): Option[Registered] =
+  private[sinks] def load(spark: SparkSession, rollupRoot: String): Option[Registered] =
     for {
       rv <- SnapshotStore.currentVersion(spark, rollupRoot)
       props = SnapshotStore.tableProperties(spark, rollupRoot, rv).toMap
@@ -172,8 +186,9 @@ object RollupRewrite {
   }
 
   private[sinks] def tryRewrite(spark: SparkSession, agg: Aggregate,
-                                registered: Seq[String]): Option[LogicalPlan] =
+                                regs: Seq[Registered]): Option[LogicalPlan] =
     for {
+      _ <- Some(()).filter(_ => agg.aggregateExpressions.nonEmpty)
       (filters, rel) <- dissect(agg.child)
       fs <- Some(rel.relation).collect { case h: HadoopFsRelation => h }
       idx <- Some(fs.location).collect { case g: GraftFileIndex => g }
@@ -188,8 +203,7 @@ object RollupRewrite {
             case _ => None
           }).map(names :+ _))
         }
-      plan <- registered.iterator
-        .flatMap(load(spark, _))
+      plan <- regs.iterator
         .filter(r => r.source == root && r.cursor == version)
         .flatMap(reg =>
           buildFor(spark, agg, reg, filters, groupNames, resolve))

@@ -354,6 +354,7 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "purge",
           partCols.mkString(","))) {
         writeStats(spark, root, v, kept, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1

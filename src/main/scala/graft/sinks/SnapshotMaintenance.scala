@@ -470,11 +470,16 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val entries = manifest(spark, root, cur)
       val inScope: String => Boolean =
         partitions.map(_.toSet).map(s => s.contains _).getOrElse(_ => true)
-      val oversized = entries.groupBy(_.partition)
-        .filter { case (p, es) => inScope(p) && es.size > maxFilesPerPartition }
+      // Floor shared with maybeAutoCompact: a bucketed partition cannot
+      // go below one file per bucket, so a lower target must not make
+      // every call a full no-progress rewrite.
+      val effMax = math.max(maxFilesPerPartition,
+        bucketSpecAt(spark, root, cur).map(_.n).getOrElse(0))
+      val oversizedEff = entries.groupBy(_.partition)
+        .filter { case (p, es) => inScope(p) && es.size > effMax }
         .keySet
-      if (oversized.isEmpty) return cur
-      val (replaced, kept) = entries.partition(e => oversized(e.partition))
+      if (oversizedEff.isEmpty) return cur
+      val (replaced, kept) = entries.partition(e => oversizedEff(e.partition))
       // One shuffle keyed by the partition column: every partition
       // value lands in exactly one task, so partitionBy emits one file
       // per compacted partition. Layout paths read and re-write files
@@ -495,6 +500,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           partitionCols.header)) {
         // Content unchanged — the recorded schema carries forward.
         writeStats(spark, root, v, kept, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1
@@ -522,12 +528,17 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       .get("graft.autoCompact.minFiles")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
     if (min > 0) {
+      // A bucketed partition's floor is one file per bucket — a
+      // threshold below that could never converge and would turn
+      // EVERY commit into a full rewrite of the oversized partitions.
+      val floor = bucketSpecAt(spark, root, committed).map(_.n).getOrElse(0)
+      val eff = math.max(min, floor)
       val over = manifest(spark, root, committed).groupBy(_.partition)
-        .filter(_._2.size > min).keys.toSeq
+        .filter(_._2.size > eff).keys.toSeq
       if (over.nonEmpty)
         partitionColumn(spark, root, committed).foreach { spec =>
           compact(spark, root, ColSpec.parse(spec),
-            maxFilesPerPartition = min, partitions = Some(over))
+            maxFilesPerPartition = eff, partitions = Some(over))
         }
     }
   } catch { case scala.util.control.NonFatal(_) => () }
@@ -547,11 +558,19 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * over an already-won commit — errors degrade to "not this round",
     * never fail the commit. */
   private[sinks] def postCommit(spark: SparkSession, root: String,
-                                committed: Long): Unit =
+                                committed: Long,
+                                compactEligible: Boolean = true): Unit =
     if (!inPostCommit.get()(root)) {
       inPostCommit.set(inPostCommit.get() + root)
       try {
-        maybeAutoCompact(spark, root, committed)
+        // Layout commits (compact itself, z-order, cluster-by,
+        // re-spec, purge) pass compactEligible = false: their
+        // multi-file layouts are INTENTIONAL, and auto-compacting a
+        // just-z-ordered partition would undo the work — but
+        // registered rollups must still re-sync, or the MV rewrite's
+        // cursor-equality check silently stops firing until the next
+        // data commit.
+        if (compactEligible) maybeAutoCompact(spark, root, committed)
         maybeAutoSyncRollups(spark, root)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
@@ -622,6 +641,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, newEntries, "repartition",
           newSpec.header)) {
         writeStats(spark, root, v, Nil, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1
@@ -698,6 +718,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, newEntries, "cluster-by",
           ColSpec(partCols).header, properties = Some(props))) {
         writeStats(spark, root, v, Nil, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1
@@ -757,6 +778,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
           partitionCols.header)) {
         writeStats(spark, root, v, kept, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1

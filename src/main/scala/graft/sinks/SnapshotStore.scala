@@ -1193,17 +1193,25 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   private[graft] final case class TableBucketSpec(
       n: Int, cols: Seq[(String, String)], sortCols: Seq[(String, String)])
 
+  /** Names and SQL types are URL-encoded in the spec string: a
+    * comma-bearing type (`DECIMAL(10,2)`, `MAP<STRING,INT>`) or an
+    * exotic column name must round-trip, or bucketing on it would
+    * silently never engage (write stamps, read can't parse → plain
+    * scans forever). Decoding is the identity on pre-encoding specs,
+    * so existing tables keep parsing. */
   private[sinks] def formatBucketSpec(n: Int, cols: Seq[(String, String)],
                                       sortCols: Seq[(String, String)] = Nil): String = {
+    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
     def fmt(cs: Seq[(String, String)]) =
-      cs.map { case (c, t) => s"$c:$t" }.mkString(",")
+      cs.map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")
     s"$n;${fmt(cols)}" + (if (sortCols.isEmpty) "" else s";${fmt(sortCols)}")
   }
 
   private[sinks] def parseBucketSpec(v: String): Option[TableBucketSpec] = {
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
     def cols(s: String): Seq[(String, String)] =
       s.split(",").toSeq.filter(_.nonEmpty).map { c =>
-        val Array(name, tpe) = c.split(":", 2); (name, tpe)
+        val Array(name, tpe) = c.split(":", 2); (dec(name), dec(tpe))
       }
     v.split(";", 3) match {
       case Array(n, bs) =>
@@ -1272,18 +1280,21 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // type-sensitive, so a widened column must NOT keep bucketing.
     // Recorded SORT columns resolve under the same discipline; a
     // caller-supplied sortWithin (a z-order key) takes precedence.
-    val curV = currentVersion(spark, root)
+    // Spec lookup against v-1 — the predecessor this write builds on,
+    // which the OCC loops already resolved (no extra currentVersion
+    // probe on the hot write path; v == 1 is a fresh table with no
+    // properties to consult).
     def resolveTyped(cs: Seq[(String, String)]): Option[Seq[String]] = {
       val renames = if (translate) Map.empty[String, String]
-        else mappingAt(spark, root, curV.get)._1
+        else mappingAt(spark, root, v - 1)._1
       val named = cs.map { case (c, t) => (physicalNameOf(renames, c), t) }
       val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
       if (named.forall { case (c, t) => fields.get(c).exists(_.sql == t) })
         Some(named.map(_._1))
       else None
     }
-    val spec = if (bucketOverride.isDefined) None
-      else curV.flatMap(cv => bucketSpecAt(spark, root, cv))
+    val spec = if (bucketOverride.isDefined || v <= 1) None
+      else scala.util.Try(bucketSpecAt(spark, root, v - 1)).getOrElse(None)
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
       spec.flatMap(sp => resolveTyped(sp.cols).map((sp.n, _))))
     val specSort: Seq[org.apache.spark.sql.Column] =

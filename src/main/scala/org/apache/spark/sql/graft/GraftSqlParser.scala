@@ -294,7 +294,11 @@ object GraftSqlParser {
           _ <- Some(()).filter(_ => u.kw("VACUUM"))
           t <- u.multipart()
           retain <- {
-            if (u.kw("RETAIN")) u.num().map(n => { u.kw("HOURS"); Some(n.toLong) })
+            // HOURS is MANDATORY: a unit-less RETAIN must not silently
+            // mean hours — a user thinking in days would vacuum files
+            // still needed for time travel.
+            if (u.kw("RETAIN"))
+              u.num().filter(_ => u.kw("HOURS")).map(n => Some(n.toLong))
             else Some(None)
           }
           dry = u.kw("DRY", "RUN")

@@ -163,5 +163,18 @@ class PqSpec extends SparkSpec {
       s"DV-deleted ids $doomed must not surface: $after")
     assert(after == rebuilt(),
       "post-DV probe must equal a rebuild over the current snapshot")
+    // LAYOUT rewrite between maintenance calls: compaction renames
+    // files, so the probe must refuse LOUDLY (silently dropping whole
+    // files' vectors is the failure mode) until the maintenance runs
+    // for the layout version too — whose manifest diff is exactly the
+    // rewritten files, restoring probe == rebuild.
+    SnapshotStore.compact(spark, root, graft.sinks.ColSpec(Seq("pt")))
+    val e2 = intercept[IllegalArgumentException] { probe() }
+    assert(e2.getMessage.contains("does not cover"))
+    Similarity.appendIvfPqForSnapshotVersion(spark, root,
+      SnapshotStore.currentVersion(spark, root).get,
+      "vec_id", "embedding", cents, books, idxPath)
+    assert(probe() == rebuilt(),
+      "post-compact maintenance must restore probe == rebuild")
   }
 }

@@ -94,5 +94,11 @@ class SqlRecognizerSpec extends SparkSpec {
       spark.sql(s"MERGE INTO sqlrec3.`$dir/t` WHEN MATCHED THEN DELETE")
     }
     assert(m.getMessage.contains("graft MERGE supports"))
+    // A unit-less RETAIN must NOT silently mean hours — unrecognized,
+    // it falls to the session parser, which has no VACUUM at all.
+    val vErr = intercept[Exception] {
+      spark.sql(s"VACUUM sqlrec3.`$dir/t` RETAIN 7")
+    }
+    assert(!vErr.getMessage.toLowerCase.contains("retain 7 hours"))
   }
 }

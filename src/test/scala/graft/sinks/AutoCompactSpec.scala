@@ -59,6 +59,32 @@ class AutoCompactSpec extends graft.SparkSpec {
       "at least one auto-compact version must have been published")
   }
 
+  test("a bucketed table's floor is one file per bucket: auto-compact converges instead of rewriting forever") {
+    val root = s"${freshDir()}/t"
+    def batch(i: Int) = Seq((i.toLong, "p", i)).toDF("id", "part", "qty")
+    SnapshotStore.commit(spark, batch(0), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("id"), 8)
+    // Threshold BELOW the bucket count: the effective floor must rise
+    // to 8 or every commit would rewrite the partition forever.
+    SnapshotStore.setProperties(spark, root,
+      Seq("graft.autoCompact.minFiles" -> "2"))
+    (1 to 12).foreach(i => SnapshotStore.appendCommit(spark, batch(i), root, "part"))
+    val v = SnapshotStore.currentVersion(spark, root).get
+    assert(filesPerPartition(root).values.max <= 8,
+      s"bucketed auto-compact must bound at one file per bucket, got ${filesPerPartition(root)}")
+    // Convergence witness: the LAST few commits must not each carry a
+    // compact — once at the floor, appends alone cannot push a
+    // partition over 8 files every time.
+    val compacts = SnapshotStore.versions(spark, root).count(vv =>
+      SnapshotStore.manifestOperation(spark, root, vv).contains("compact"))
+    assert(compacts < 12, s"auto-compact must converge, saw $compacts compactions")
+    assert(SnapshotStore.read(spark, root).count() == 13)
+    // Layout preserved: files still bucket-stamped after compaction.
+    assert(SnapshotStore.manifest(spark, root, v).forall(e =>
+      SnapshotStore.bucketIdOf(
+        new org.apache.hadoop.fs.Path(e.path).getName).isDefined))
+  }
+
   test("a streaming snapshot sink stays file-bounded; re-delivery stays a no-op") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = freshDir(); val root = s"$dir/store"

@@ -44,6 +44,12 @@ class AutoSyncSpec extends graft.SparkSpec {
     SnapshotStore.deleteCommit(spark,
       (0 until 20).map(_.toLong).toDF("id"), src, "id", "part")
     assert(cursor() == srcV(), "delete must auto-sync")
+    // LAYOUT commits (OPTIMIZE/compact, z-order) bump the source
+    // version without changing content — the hook must still advance
+    // the cursor, or the MV rewrite silently stops firing until the
+    // next data commit.
+    SnapshotStore.compact(spark, src, ColSpec(Seq("part")))
+    assert(cursor() == srcV(), "compaction must auto-sync the cursor")
     // The maintained state equals a direct aggregation AND feeds the
     // MV rewrite without any explicit sync call.
     spark.conf.set(RollupRewrite.RegistryConf, roll)

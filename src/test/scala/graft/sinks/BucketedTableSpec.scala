@@ -206,6 +206,32 @@ class BucketedTableSpec extends graft.SparkSpec {
     }
   }
 
+  test("comma-bearing bucket column types (DECIMAL) round-trip through the spec") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      (0 until 200).map(i => (BigDecimal(i), s"v$i", "all"))
+        .toDF("price", "v", "part")
+        .withColumn("price", col("price").cast("decimal(12,2)")), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("price"), 8)
+    // The recorded type carries a comma — the spec must still parse,
+    // or maintenance and reads silently stop engaging.
+    assert(SnapshotStore.parseBucketSpec(
+      SnapshotStore.tablePropertiesMap(spark, root)(
+        SnapshotStore.BucketSpecProp)).exists(_.cols ==
+      Seq("price" -> "DECIMAL(12,2)")))
+    assert(presentsBucketed(SnapshotStore.table(spark, root)))
+    // A later append keeps stamping (the writer parsed the spec too).
+    SnapshotStore.appendCommit(spark,
+      Seq((BigDecimal(999), "x", "all")).toDF("price", "v", "part")
+        .withColumn("price", col("price").cast("decimal(12,2)")), root, "part")
+    val v = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.manifest(spark, root, v).forall(e =>
+      SnapshotStore.bucketIdOf(
+        new org.apache.hadoop.fs.Path(e.path).getName).isDefined))
+    assert(presentsBucketed(SnapshotStore.table(spark, root)))
+    assert(SnapshotStore.read(spark, root).count() == 201)
+  }
+
   test("z-order on a bucketed table sorts within buckets and keeps co-location") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rowsDf(400, "x")

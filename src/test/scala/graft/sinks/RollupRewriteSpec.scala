@@ -151,6 +151,20 @@ class RollupRewriteSpec extends graft.SparkSpec {
     }
   }
 
+  test("corrupted or dangling registrations keep the scan instead of failing the query") {
+    val (src, roll) = fixture()
+    // Corrupt the recorded cursor: probing must degrade, not throw.
+    SnapshotStore.setProperties(spark, roll,
+      Seq(graft.operators.Rollup.CursorProp -> "not-a-number"))
+    registered(roll, s"${freshDir()}/missing") {
+      def q() = SnapshotStore.table(spark, src).groupBy("g1")
+        .agg(count(lit(1)).as("n"))
+      val (got, usedRollup, usedSrc) = run(q(), roll, src)
+      assert(!usedRollup && usedSrc)
+      assert(got.nonEmpty)
+    }
+  }
+
   test("partition-pruned scans never rewrite") {
     val (src, roll) = fixture()
     registered(roll) {
