@@ -1538,6 +1538,55 @@ private[graft] object EvolutionQueries {
               CAST(o_totalprice AS DECIMAL(12,2)) AS price
             FROM orders WHERE o_orderkey % 10 <> 4)
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      ORDER BY o_orderstatus""")),
+
+
+    // SORTED buckets (Hive's CLUSTERED+SORTED BY, q208's layout plus
+    // per-bucket ordering): both sides clustered `SORTED BY (key)`,
+    // and under Spark's bucketed-ordering conf the merge join is
+    // require-pinned to plan with ZERO exchanges AND ZERO sorts —
+    // scan, zip, done. Spark TRUSTS the declared order (a wrongly
+    // sorted file would silently corrupt the join), so the hash
+    // match against DuckDB is the real witness that every bucket
+    // file was written in key order.
+    ("q211_sorted_bucket_join", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q211").toString
+      val lRoot = s"$dir/lineitem_agg"; val oRoot = s"$dir/orders"
+      val lagg = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+          count(lit(1)).as("lines"))
+        .withColumn("part", lit("all"))
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), lit("all").as("part"))
+      SnapshotStore.commit(s, lagg, lRoot, "part")
+      SnapshotStore.commit(s, orders, oRoot, "part")
+      SnapshotStore.bucketTable(s, lRoot, Seq("l_orderkey"), 8,
+        sortCols = Seq("l_orderkey"))
+      SnapshotStore.bucketTable(s, oRoot, Seq("o_orderkey"), 8,
+        sortCols = Seq("o_orderkey"))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val j = SnapshotStore.table(s, oRoot)
+          .join(SnapshotStore.table(s, lRoot),
+            col("o_orderkey") === col("l_orderkey"))
+        val p = j.queryExecution.executedPlan.toString
+        require(!p.contains("Exchange") && !p.contains("Sort ["),
+          s"sorted co-bucketed join must need neither shuffle nor sort:\n$p")
+        j.select(col("o_orderkey"), col("o_orderstatus"), col("qty"),
+            col("lines"))
+          .orderBy(col("o_orderkey"))
+      } finally {
+        s.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }, Some("""
+      SELECT o.o_orderkey, o.o_orderstatus,
+        SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty,
+        COUNT(*) AS lines
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus
+      ORDER BY o.o_orderkey"""))
   )
 }
