@@ -40,21 +40,19 @@ object Frequencies {
       // passing the sentinel keeps the table auto-sync- and
       // MV-rewrite-eligible (a closure would record derived=true).
       derive = if (maxDistinctPerGroup <= 0) Rollup.Identity else df => {
-        if (maxDistinctPerGroup > 0) {
-          val names = if (groupCols.isEmpty) Seq("__g") else groupCols
-          val sel = (if (groupCols.isEmpty) Seq(lit(1).as("__g"))
-            else groupCols.map(col)) :+ col(valueCol)
-          val over = df.select(sel: _*).distinct()
-            .groupBy(names.map(col): _*)
-            .agg(count(lit(1)).as("__nv"))
-            .filter(col("__nv") > maxDistinctPerGroup)
-            .limit(1).count()
-          require(over == 0L,
-            s"frequency sync: a group carries more than $maxDistinctPerGroup " +
-              s"distinct '$valueCol' values in this window — an id-like value " +
-              "column makes the frequency table corpus-sized; bucket the " +
-              "values or pass maxDistinctPerGroup = 0 to opt out")
-        }
+        val names = if (groupCols.isEmpty) Seq("__g") else groupCols
+        val sel = (if (groupCols.isEmpty) Seq(lit(1).as("__g"))
+          else groupCols.map(col)) :+ col(valueCol)
+        val over = df.select(sel: _*).distinct()
+          .groupBy(names.map(col): _*)
+          .agg(count(lit(1)).as("__nv"))
+          .filter(col("__nv") > maxDistinctPerGroup)
+          .limit(1).count()
+        require(over == 0L,
+          s"frequency sync: a group carries more than $maxDistinctPerGroup " +
+            s"distinct '$valueCol' values in this window — an id-like value " +
+            "column makes the frequency table corpus-sized; bucket the " +
+            "values or pass maxDistinctPerGroup = 0 to opt out")
         df
       })
 

@@ -114,6 +114,23 @@ object TextIndex {
     val v = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val rel = SnapshotStore.manifest(spark, root, v).map(_.path)
+    // COVERAGE GUARD (the ANN probes' rule, Similarity.liveSnapshotIndex):
+    // a layout rewrite (compact / auto-compact / z-order / cluster-by)
+    // between maintenance calls renames files; their content is
+    // unindexed until appendForSnapshotVersion runs for that version
+    // too. Searching through a gap would silently MISS matches in the
+    // rewritten files — refuse loudly instead. (Known loud edge: a
+    // live file whose every doc tokenizes to nothing has no index rows
+    // and trips this; re-run the maintenance to record it.)
+    val indexed = spark.read.parquet(indexPath)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0))
+    val uncovered = rel.filterNot(p => indexed.exists(_.endsWith(p)))
+    require(uncovered.isEmpty,
+      s"word index at $indexPath does not cover ${uncovered.size} live " +
+        s"file(s) of $root v$v (e.g. ${uncovered.take(3).mkString(", ")}) — " +
+        "run appendForSnapshotVersion for every version up to the current " +
+        "one (layout rewrites rename files and need it too)")
     val live = candidateFiles(spark, indexPath, word)
       .filter(c => rel.exists(c.endsWith))
     if (live.isEmpty) SnapshotStore.table(spark, root, Some(v))

@@ -1574,9 +1574,16 @@ private[graft] object EvolutionQueries {
         val p = j.queryExecution.executedPlan.toString
         require(!p.contains("Exchange") && !p.contains("Sort ["),
           s"sorted co-bucketed join must need neither shuffle nor sort:\n$p")
-        j.select(col("o_orderkey"), col("o_orderstatus"), col("qty"),
-            col("lines"))
-          .orderBy(col("o_orderkey"))
+        // EXECUTE the sort-free plan INSIDE the conf window and pin the
+        // cached result: the harness materializes the returned frame
+        // later (confs restored, sorts back) — without this, a writer
+        // that destroyed per-bucket order would pass both the plan pin
+        // and the hash match, because the pinned plan never ran.
+        val out = j.select(col("o_orderkey"), col("o_orderstatus"),
+            col("qty"), col("lines"))
+          .orderBy(col("o_orderkey")).persist()
+        out.count()
+        out
       } finally {
         s.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         s.conf.unset("spark.sql.autoBroadcastJoinThreshold")

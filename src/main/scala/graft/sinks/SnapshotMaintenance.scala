@@ -124,6 +124,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           partitionColumn(spark, root, cur).getOrElse(""),
           constraints = Some(existing :+ (name -> checkExpr)))) {
         writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        postCommit(spark, root, cur + 1, compactEligible = false)
         return cur + 1
       }
       attempt += 1
@@ -150,6 +151,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           partitionColumn(spark, root, cur).getOrElse(""),
           constraints = Some(existing.filterNot(_._1 == name)))) {
         writeStats(spark, root, cur + 1, entries, Nil, schemaFor(spark, root, cur))
+        postCommit(spark, root, cur + 1, compactEligible = false)
         return cur + 1
       }
       attempt += 1
@@ -223,6 +225,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           newPartCol,
           columnMapping = Some((newRenames.toSeq, dropped.toSeq)))) {
         writeStats(spark, root, cur + 1, entries, Nil, None)
+        postCommit(spark, root, cur + 1, compactEligible = false)
         return cur + 1
       }
       attempt += 1
@@ -260,6 +263,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           partitionColumn(spark, root, cur).getOrElse(""),
           columnMapping = Some(((renames - name).toSeq, (dropped + physical).toSeq)))) {
         writeStats(spark, root, cur + 1, entries, Nil, None)
+        postCommit(spark, root, cur + 1, compactEligible = false)
         return cur + 1
       }
       attempt += 1
@@ -309,6 +313,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         writeStats(spark, root, cur + 1, entries, Nil,
           Some(org.apache.spark.sql.types.StructType(typed.map { case (n, dt) =>
             org.apache.spark.sql.types.StructField(n, dt, nullable = true) })))
+        postCommit(spark, root, cur + 1, compactEligible = false)
         return cur + 1
       }
       attempt += 1
@@ -472,9 +477,12 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         partitions.map(_.toSet).map(s => s.contains _).getOrElse(_ => true)
       // Floor shared with maybeAutoCompact: a bucketed partition cannot
       // go below one file per bucket, so a lower target must not make
-      // every call a full no-progress rewrite.
-      val effMax = math.max(maxFilesPerPartition,
-        bucketSpecAt(spark, root, cur).map(_.n).getOrElse(0))
+      // every call a full no-progress rewrite. ENGAGED spec only
+      // (bucketSpecEngaged) — a type-drifted spec means writeDataFiles
+      // will NOT re-bucket, so compact must behave as unbucketed
+      // (repartition by partition, floor 0) or it would never converge.
+      val engaged = bucketSpecEngaged(spark, root, cur)
+      val effMax = math.max(maxFilesPerPartition, engaged.getOrElse(0))
       val oversizedEff = entries.groupBy(_.partition)
         .filter { case (p, es) => inScope(p) && es.size > effMax }
         .keySet
@@ -487,11 +495,11 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // the partition column resolves by its PHYSICAL name.
       val physParts = partitionCols.cols
         .map(physicalNameOf(mappingAt(spark, root, cur)._1, _))
-      // On a bucketed table writeDataFiles owns the shuffle (by bucket
-      // hash); repartitioning here too would shuffle the data twice.
+      // On an ENGAGED bucketed table writeDataFiles owns the shuffle
+      // (by bucket hash); repartitioning here too would shuffle twice.
       val raw = readEntriesAt(spark, root, replaced, cur)
       val compacted =
-        if (bucketSpecAt(spark, root, cur).isDefined) raw
+        if (engaged.isDefined) raw
         else raw.repartition(physParts.map(col): _*)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, compacted, root, v, physParts,
@@ -531,7 +539,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // A bucketed partition's floor is one file per bucket — a
       // threshold below that could never converge and would turn
       // EVERY commit into a full rewrite of the oversized partitions.
-      val floor = bucketSpecAt(spark, root, committed).map(_.n).getOrElse(0)
+      val floor = bucketSpecEngaged(spark, root, committed).getOrElse(0)
       val eff = math.max(min, floor)
       val over = manifest(spark, root, committed).groupBy(_.partition)
         .filter(_._2.size > eff).keys.toSeq
@@ -851,6 +859,9 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
             try tableProperties(spark, root, toVersion)
             catch { case _: java.io.IOException => Nil }))) {
         writeStats(spark, root, v, target, Nil, None, basis = Some(toVersion))
+        // Restore CHANGES CONTENT (the snap-back) — auto-synced
+        // rollups must follow it; layout-wise nothing new to compact.
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1

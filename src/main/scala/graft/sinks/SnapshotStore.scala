@@ -517,6 +517,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           partitionColumn(spark, root, cur).getOrElse(""),
           properties = Some(merged))) {
         writeStats(spark, root, v, entries, Nil, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1
@@ -548,6 +549,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           partitionColumn(spark, root, cur).getOrElse(""),
           properties = Some(existing.filterNot(p => doomed(p._1))))) {
         writeStats(spark, root, v, entries, Nil, None)
+        postCommit(spark, root, v, compactEligible = false)
         return v
       }
       attempt += 1
@@ -1201,14 +1203,19 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * so existing tables keep parsing. */
   private[sinks] def formatBucketSpec(n: Int, cols: Seq[(String, String)],
                                       sortCols: Seq[(String, String)] = Nil): String = {
-    def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+    def enc(x: String) =
+      java.net.URLEncoder.encode(x, "UTF-8").replace("+", "%20")
     def fmt(cs: Seq[(String, String)]) =
       cs.map { case (c, t) => s"${enc(c)}:${enc(t)}" }.mkString(",")
     s"$n;${fmt(cols)}" + (if (sortCols.isEmpty) "" else s";${fmt(sortCols)}")
   }
 
   private[sinks] def parseBucketSpec(v: String): Option[TableBucketSpec] = {
-    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    // %XX-only decode (unescapePathName): lenient on legacy literals —
+    // a raw '%' that isn't a valid escape stays literal instead of
+    // throwing, and '+' is never a space (URLDecoder would mangle a
+    // literal '+' column name and fail reads on a literal '%').
+    def dec(x: String) = unescapePathName(x)
     def cols(s: String): Seq[(String, String)] =
       s.split(",").toSeq.filter(_.nonEmpty).map { c =>
         val Array(name, tpe) = c.split(":", 2); (dec(name), dec(tpe))
@@ -1228,6 +1235,23 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
                                   version: Long): Option[TableBucketSpec] =
     tableProperties(spark, root, version).toMap.get(BucketSpecProp)
       .flatMap(parseBucketSpec)
+
+  /** The bucket count when the spec is ENGAGED at `version` — every
+    * bucket/sort column still present in the recorded schema at its
+    * recorded type (the writer's own gate). A drifted spec returns
+    * None: compaction must then behave as unbucketed, or its floor
+    * would assume a re-bucketing that writeDataFiles will skip. */
+  private[sinks] def bucketSpecEngaged(spark: SparkSession, root: String,
+                                       version: Long): Option[Int] =
+    bucketSpecAt(spark, root, version).flatMap { sp =>
+      schemaFor(spark, root, version).flatMap { sc =>
+        val renames = mappingAt(spark, root, version)._1
+        val fields = sc.fields.map(f => f.name -> f.dataType).toMap
+        val ok = (sp.cols ++ sp.sortCols).forall { case (c, t) =>
+          fields.get(physicalNameOf(renames, c)).exists(_.sql == t) }
+        if (ok) Some(sp.n) else None
+      }
+    }
 
   /** Spark's own bucket-file recognizer (BucketingUtils): trailing
     * `_<digits>` before the optional extension. Normal parquet task
@@ -1298,7 +1322,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
       spec.flatMap(sp => resolveTyped(sp.cols).map((sp.n, _))))
     val specSort: Seq[org.apache.spark.sql.Column] =
-      if (sortWithin.nonEmpty || bucketCols.isEmpty) Nil
+      if (bucketCols.isEmpty) Nil
       else spec.toSeq.flatMap(sp =>
         if (sp.sortCols.isEmpty) Nil
         else resolveTyped(sp.sortCols).map(_.map(col)).getOrElse(Nil))
@@ -1313,7 +1337,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // required ordering (group rows by target directory) is satisfied
     // by OUR sort — otherwise FileFormatWriter inserts its own
     // dirs-only, non-stable sort and destroys the secondary order.
-    val effectiveSort = if (sortWithin.nonEmpty) sortWithin else specSort
+    // A recorded SORTED-BY spec stays PRIMARY under any caller sort (a
+    // z-order key): the reader DECLARES the spec order unconditionally,
+    // so every written file must actually carry it — the caller's key
+    // clusters within spec-sort ties instead of replacing it.
+    val effectiveSort = specSort ++ sortWithin
     val ordered =
       if (bucketCols.isDefined && effectiveSort.nonEmpty)
         withDirs.sortWithinPartitions(dirs.map(col) ++ effectiveSort: _*)

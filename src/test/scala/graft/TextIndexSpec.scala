@@ -115,6 +115,33 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("alpha") == Seq("d1"))
   }
 
+  test("a layout rewrite between maintenance calls refuses loudly; indexing it restores search") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_guard").toString
+    val root = s"$dir/store"; val idx = s"$dir/index"
+    val v1 = SnapshotStore.commit(spark,
+      Seq(("d1", "alpha one", "a", 1)).toDF("doc_id", "text", "part", "v"),
+      root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v1, "text", idx)
+    val v2 = SnapshotStore.appendCommit(spark,
+      Seq(("d2", "alpha two", "a", 1)).toDF("doc_id", "text", "part", "v"),
+      root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v2, "text", idx)
+    // Compaction renames files — searching through the gap would
+    // silently MISS matches in the rewritten files.
+    val v3 = SnapshotStore.compact(spark, root,
+      graft.sinks.ColSpec(Seq("part")))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.searchWordInSnapshot(spark, root, idx, "text", "alpha").count()
+    }
+    assert(e.getMessage.contains("does not cover"))
+    // The layout version's manifest diff is exactly the rewritten
+    // files — the per-version discipline covers it.
+    TextIndex.appendForSnapshotVersion(spark, root, v3, "text", idx)
+    assert(TextIndex.searchWordInSnapshot(spark, root, idx, "text", "alpha")
+      .select("doc_id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
+  }
+
   test("snapshot search applies deletion vectors — DV-deleted rows never resurrect") {
     import graft.sinks.SnapshotStore
     val dir = java.nio.file.Files.createTempDirectory("graft_tix_dv").toString

@@ -50,6 +50,12 @@ class AutoSyncSpec extends graft.SparkSpec {
     // next data commit.
     SnapshotStore.compact(spark, src, ColSpec(Seq("part")))
     assert(cursor() == srcV(), "compaction must auto-sync the cursor")
+    // Metadata-only commits bump the version too (SET TBLPROPERTIES,
+    // constraints) — the cursor must follow or the rewrite goes dark.
+    SnapshotStore.setProperties(spark, src, Seq("some.key" -> "v"))
+    assert(cursor() == srcV(), "a property commit must auto-sync the cursor")
+    SnapshotStore.addConstraint(spark, src, "qty_nonneg", "qty >= 0")
+    assert(cursor() == srcV(), "a constraint commit must auto-sync the cursor")
     // The maintained state equals a direct aggregation AND feeds the
     // MV rewrite without any explicit sync call.
     spark.conf.set(RollupRewrite.RegistryConf, roll)

@@ -206,6 +206,48 @@ class BucketedTableSpec extends graft.SparkSpec {
     }
   }
 
+  test("z-order on a SORTED-bucketed table keeps the declared sort primary") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      (0 until 300).map(i => (i.toLong, pmod(lit(i) * 37, lit(500)), "all"))
+        .map { case (k, _, p) => (k, (k * 37 % 500), p) }
+        .toDF("k", "a", "part"), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 4, sortCols = Seq("k"))
+    // The reader DECLARES the k-sort unconditionally, so z-ordering
+    // must cluster WITHIN k-ties, never replace the primary order —
+    // or a sort-elided merge join would silently zip garbage.
+    SnapshotStore.compactZOrder(spark, root, ColSpec(Seq("part")),
+      Seq("a", "k"), filesPerPartition = 1)
+    val perFile = SnapshotStore.read(spark, root)
+      .withColumn("f", input_file_name())
+      .select("f", "k").as[(String, Long)].collect()
+      .groupBy(_._1).values
+    assert(perFile.forall(rows => rows.map(_._2).toSeq ==
+      rows.map(_._2).toSeq.sorted),
+      "spec sort must survive a z-order rewrite")
+    assert(SnapshotStore.read(spark, root).count() == 300)
+  }
+
+  test("a type-drifted spec makes compaction behave as unbucketed — and converge") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rowsDf(50, "x"), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 8)
+    (0 until 4).foreach(i => SnapshotStore.appendCommit(spark,
+      Seq((100L + i, "y", "1")).toDF("k", "v", "part"), root, "part"))
+    // Drift the recorded type: the writer stops re-bucketing, so
+    // compaction must stop assuming it will (or it never converges).
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.BucketSpecProp -> "8;k:INT"))
+    SnapshotStore.compact(spark, root, ColSpec(Seq("part")))
+    val v = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.manifest(spark, root, v).groupBy(_.partition)
+      .values.forall(_.size <= 1),
+      "drifted-spec compact must coalesce like an unbucketed table")
+    // Converged: a second compact publishes nothing.
+    assert(SnapshotStore.compact(spark, root, ColSpec(Seq("part"))) == v)
+    assert(SnapshotStore.read(spark, root).count() == 54)
+  }
+
   test("comma-bearing bucket column types (DECIMAL) round-trip through the spec") {
     val root = freshRoot()
     SnapshotStore.commit(spark,
