@@ -30,31 +30,20 @@ object Frequencies {
     * window) and refuses loudly above `maxDistinctPerGroup`; pass 0
     * to opt out for a domain known to be wide on purpose. The probe
     * is one count-shaped aggregation of the window, never an extra
-    * source scan. */
+    * source scan.
+    *
+    * The guard is a RECORDED derive ([[Rollup.FreqGuard]]) — content-
+    * identity, so the table stays MV-rewrite-eligible AND the
+    * post-commit auto-sync ([[Rollup.enableAutoSync]]) can replay it:
+    * a registered frequency dashboard maintains itself with zero
+    * manual sync orchestration. */
   def sync(spark: SparkSession, srcRoot: String, freqRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String],
            valueCol: String, maxDistinctPerGroup: Int = 100000): Long =
     Rollup.sync(spark, srcRoot, freqRoot, srcKeys,
       groupCols :+ valueCol, Nil,
-      // With the guard opted out the sync is a PURE identity, and
-      // passing the sentinel keeps the table auto-sync- and
-      // MV-rewrite-eligible (a closure would record derived=true).
-      derive = if (maxDistinctPerGroup <= 0) Rollup.Identity else df => {
-        val names = if (groupCols.isEmpty) Seq("__g") else groupCols
-        val sel = (if (groupCols.isEmpty) Seq(lit(1).as("__g"))
-          else groupCols.map(col)) :+ col(valueCol)
-        val over = df.select(sel: _*).distinct()
-          .groupBy(names.map(col): _*)
-          .agg(count(lit(1)).as("__nv"))
-          .filter(col("__nv") > maxDistinctPerGroup)
-          .limit(1).count()
-        require(over == 0L,
-          s"frequency sync: a group carries more than $maxDistinctPerGroup " +
-            s"distinct '$valueCol' values in this window — an id-like value " +
-            "column makes the frequency table corpus-sized; bucket the " +
-            "values or pass maxDistinctPerGroup = 0 to opt out")
-        df
-      })
+      deriveSpec = if (maxDistinctPerGroup <= 0) None
+        else Some(Rollup.FreqGuard(groupCols, valueCol, maxDistinctPerGroup)))
 
   /** Top-k heaviest values per group from a maintained frequency
     * table (ties break value-ascending). With empty `groupCols` this

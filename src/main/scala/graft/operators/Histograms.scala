@@ -39,14 +39,17 @@ object Histograms {
   }
 
   /** Maintain the histogram at `histRoot` for `srcRoot`: one row per
-    * (groupCols…, bin) with its exact `row_count`. */
+    * (groupCols…, bin) with its exact `row_count`. The bin derive is
+    * RECORDED ([[Rollup.HistBin]] — (col, lo, hi, bins) as table
+    * properties), so [[Rollup.enableAutoSync]] replays it: a
+    * registered quantile dashboard maintains itself on every source
+    * commit with zero manual syncs. */
   def sync(spark: SparkSession, srcRoot: String, histRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String], valueCol: String,
            lo: Double, hi: Double, bins: Int): Long =
     Rollup.sync(spark, srcRoot, histRoot, srcKeys,
       groupCols :+ BinCol, Nil,
-      derive = df => df.withColumn(BinCol,
-        binOf(col(valueCol), lo, hi, bins)))
+      deriveSpec = Some(Rollup.HistBin(valueCol, BinCol, lo, hi, bins)))
 
   /** Re-bin the histogram to a new range/resolution — the maintenance
     * answer to DATA DRIFT: a [lo, hi) fixed at creation piles drifted
@@ -62,8 +65,11 @@ object Histograms {
   def rebin(spark: SparkSession, srcRoot: String, histRoot: String,
             groupCols: Seq[String], valueCol: String,
             lo: Double, hi: Double, bins: Int): Long =
+    // The NEW (lo, hi, bins) ride the rebuild as the recorded derive,
+    // so subsequent syncs — including auto-syncs — bin with the new
+    // parameters, not the creation-time ones.
     Rollup.rebuild(spark, srcRoot, histRoot, groupCols :+ BinCol, Nil,
-      derive = df => df.withColumn(BinCol, binOf(col(valueCol), lo, hi, bins)))
+      deriveSpec = Some(Rollup.HistBin(valueCol, BinCol, lo, hi, bins)))
 
   /** The maintained bins of a histogram table, reader-shaped:
     * (groupCols…, bin, row_count). */

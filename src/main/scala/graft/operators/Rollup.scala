@@ -57,47 +57,155 @@ object Rollup {
     * identity — records `true`, which keeps the transparent query
     * rewrite ([[graft.sinks.RollupRewriteRule]]) away: the rule cannot
     * replay arbitrary closures, so only underived rollups are
-    * rewrite-eligible. */
+    * rewrite-eligible. Use a [[DeriveSpec]] instead wherever the
+    * transformation is describable — recordable derives keep both
+    * auto-sync and (for guard-only derives) the rewrite. */
   val Identity: DataFrame => DataFrame = identity
+
+  /** A RECORDABLE derive — the declarative alternative to the `derive`
+    * closure: the transformation is fully described by table
+    * properties, so [[syncFromProps]] (and therefore post-commit
+    * auto-sync) can REPLAY it across JVMs and sessions. A closure
+    * records `graft.rollup.derived = true` and permanently loses
+    * auto-sync; a spec records its parameters and keeps it. */
+  sealed trait DeriveSpec {
+    def apply(df: DataFrame): DataFrame
+    /** True when the derive changes NO row content (a pure guard):
+      * the recorded `graft.rollup.derived` flag stays `false` and the
+      * transparent MV rewrite remains eligible. A content-deriving
+      * spec (e.g. a computed bin column) records `true` — the rewrite
+      * stays away, but auto-sync still replays it. */
+    def contentIdentity: Boolean
+    def props: Seq[(String, String)]
+  }
+
+  /** The frequency-table high-cardinality guard
+    * ([[Frequencies.sync]]): probes the window's distinct-value count
+    * per group and refuses loudly above the cap. Content-identity —
+    * the maintained rows are exactly the underived rollup's. */
+  final case class FreqGuard(guardGroupCols: Seq[String], valueCol: String,
+                             maxDistinctPerGroup: Int) extends DeriveSpec {
+    require(maxDistinctPerGroup > 0,
+      "FreqGuard with no cap is just the identity — pass no spec instead")
+    override def contentIdentity: Boolean = true
+    override def props: Seq[(String, String)] = Seq(
+      DeriveKindProp -> "freqGuard",
+      DeriveValueColProp -> valueCol,
+      DeriveMaxDistinctProp -> maxDistinctPerGroup.toString)
+    override def apply(df: DataFrame): DataFrame = {
+      val names = if (guardGroupCols.isEmpty) Seq("__g") else guardGroupCols
+      val sel = (if (guardGroupCols.isEmpty) Seq(lit(1).as("__g"))
+        else guardGroupCols.map(col)) :+ col(valueCol)
+      val over = df.select(sel: _*).distinct()
+        .groupBy(names.map(col): _*)
+        .agg(count(lit(1)).as("__nv"))
+        .filter(col("__nv") > maxDistinctPerGroup)
+        .limit(1).count()
+      require(over == 0L,
+        s"frequency sync: a group carries more than $maxDistinctPerGroup " +
+          s"distinct '$valueCol' values in this window — an id-like value " +
+          "column makes the frequency table corpus-sized; bucket the " +
+          "values or pass maxDistinctPerGroup = 0 to opt out")
+      df
+    }
+  }
+
+  /** The histogram bin derive ([[Histograms.sync]]): adds the computed
+    * equi-width bin column. Content-deriving (`derived = true` — no MV
+    * rewrite), but (col, lo, hi, bins) replay exactly, so the
+    * histogram auto-syncs. */
+  final case class HistBin(valueCol: String, binCol: String,
+                           lo: Double, hi: Double, bins: Int) extends DeriveSpec {
+    override def contentIdentity: Boolean = false
+    override def props: Seq[(String, String)] = Seq(
+      DeriveKindProp -> "histBin",
+      DeriveValueColProp -> valueCol,
+      DeriveBinColProp -> binCol,
+      DeriveLoProp -> lo.toString, DeriveHiProp -> hi.toString,
+      DeriveBinsProp -> bins.toString)
+    override def apply(df: DataFrame): DataFrame =
+      df.withColumn(binCol, Histograms.binOf(col(valueCol), lo, hi, bins))
+  }
+
+  private val DeriveKindProp = "graft.rollup.derive.kind"
+  private val DeriveValueColProp = "graft.rollup.derive.valueCol"
+  private val DeriveMaxDistinctProp = "graft.rollup.derive.maxDistinct"
+  private val DeriveBinColProp = "graft.rollup.derive.binCol"
+  private val DeriveLoProp = "graft.rollup.derive.lo"
+  private val DeriveHiProp = "graft.rollup.derive.hi"
+  private val DeriveBinsProp = "graft.rollup.derive.bins"
+
+  /** Rehydrate a recorded [[DeriveSpec]] from table properties. Loud
+    * on an unknown kind or a garbled record (a newer writer, a
+    * hand-edited property) — a silent None would make auto-sync
+    * maintain the rollup WITHOUT its derive and corrupt it. */
+  def deriveSpecFromProps(props: Map[String, String]): Option[DeriveSpec] =
+    props.get(DeriveKindProp).map { kind =>
+      def need(k: String): String = props.getOrElse(k,
+        throw new IllegalStateException(
+          s"recorded derive '$kind' is missing its $k property"))
+      kind match {
+        case "freqGuard" =>
+          val v = need(DeriveValueColProp)
+          val groups = props.getOrElse("graft.rollup.groupCols", "")
+            .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          FreqGuard(groups.filterNot(_ == v), v,
+            need(DeriveMaxDistinctProp).toInt)
+        case "histBin" =>
+          HistBin(need(DeriveValueColProp), need(DeriveBinColProp),
+            need(DeriveLoProp).toDouble, need(DeriveHiProp).toDouble,
+            need(DeriveBinsProp).toInt)
+        case other => throw new IllegalStateException(
+          s"unknown recorded derive kind '$other' — written by a newer " +
+            "engine version? sync explicitly with the matching spec")
+      }
+    }
 
   /** Self-description recorded on the rollup table (re-asserted every
     * sync, so pre-existing rollups heal on their next window): what
-    * the transparent query rewrite needs to prove coverage. */
+    * the transparent query rewrite and the auto-sync replay need. */
   private def metaProps(srcRoot: String, srcKeys: Seq[String],
                         groupCols: Seq[String],
                         sumCols: Seq[String], minMaxCols: Seq[String],
-                        derived: Boolean): Seq[(String, String)] = Seq(
+                        derived: Boolean,
+                        spec: Option[DeriveSpec]): Seq[(String, String)] = Seq(
     "graft.rollup.source" -> srcRoot,
     "graft.rollup.srcKeys" -> srcKeys.mkString(","),
     "graft.rollup.groupCols" -> groupCols.mkString(","),
     "graft.rollup.sumCols" -> sumCols.mkString(","),
     "graft.rollup.minMaxCols" -> minMaxCols.mkString(","),
-    "graft.rollup.derived" -> derived.toString)
+    "graft.rollup.derived" -> derived.toString) ++
+    spec.toSeq.flatMap(_.props)
 
   private val MetaKeys: Set[String] = Set(CursorProp,
     "graft.rollup.source", "graft.rollup.srcKeys", "graft.rollup.groupCols",
-    "graft.rollup.sumCols", "graft.rollup.minMaxCols", "graft.rollup.derived")
+    "graft.rollup.sumCols", "graft.rollup.minMaxCols", "graft.rollup.derived",
+    DeriveKindProp, DeriveValueColProp, DeriveMaxDistinctProp,
+    DeriveBinColProp, DeriveLoProp, DeriveHiProp, DeriveBinsProp)
 
   /** Sync a rollup from its OWN recorded self-description — the form
     * the post-commit auto-sync hook calls
     * ([[graft.sinks.SnapshotStore]]'s `graft.rollup.autoSync` source
-    * property). Refuses derive-hook rollups loudly (a closure is not
-    * recordable) and pre-srcKeys rollups until one manual [[sync]]
-    * re-asserts the full description. Returns the synced source
-    * version. */
+    * property). A recorded [[DeriveSpec]] replays; a closure-derived
+    * rollup refuses loudly (a closure is not recordable), as does a
+    * pre-srcKeys rollup until one manual [[sync]] re-asserts the full
+    * description. Returns the synced source version. */
   def syncFromProps(spark: SparkSession, rollupRoot: String): Long = {
     val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
     def need(k: String): String = props.getOrElse(k,
       throw new IllegalStateException(
         s"$rollupRoot carries no $k — not an auto-syncable rollup"))
-    require(props.get("graft.rollup.derived").contains("false"),
-      s"$rollupRoot was built with a derive hook — auto-sync cannot " +
-        "replay a closure; sync it explicitly")
+    val spec = deriveSpecFromProps(props)
+    if (spec.isEmpty)
+      require(props.get("graft.rollup.derived").contains("false"),
+        s"$rollupRoot was built with a derive hook — auto-sync cannot " +
+          "replay a closure; sync it explicitly")
     def cols(k: String): Seq[String] =
       need(k).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     sync(spark, need("graft.rollup.source"), rollupRoot,
       cols("graft.rollup.srcKeys"), cols("graft.rollup.groupCols"),
-      cols("graft.rollup.sumCols"), cols("graft.rollup.minMaxCols"))
+      cols("graft.rollup.sumCols"), cols("graft.rollup.minMaxCols"),
+      deriveSpec = spec)
   }
 
   /** Make `rollupRoot` SELF-MAINTAINING: record it in the source's
@@ -108,14 +216,35 @@ object Rollup {
     * (registration itself must not leave a stale window). */
   def enableAutoSync(spark: SparkSession, srcRoot: String,
                      rollupRoot: String): Unit = {
-    // Validate eligibility BEFORE touching the source (derive-hook
-    // rollups refuse), but sync AFTER the registration commit — the
-    // property commit itself bumps the source version, and the rollup
-    // must leave this call cursor-fresh, not one behind.
-    require(SnapshotStore.tablePropertiesMap(spark, rollupRoot)
-        .get("graft.rollup.derived").contains("false"),
-      s"$rollupRoot was built with a derive hook — auto-sync cannot " +
-        "replay a closure; sync it explicitly")
+    // Validate the FULL recorded self-description BEFORE the
+    // registration commit: a pre-srcKeys, wrong-source, or
+    // closure-derived rollup must refuse HERE — registering first
+    // would leave a permanently-registered rollup whose every
+    // post-commit sync fails (swallowed by design), i.e. an MV that
+    // silently never maintains. The sync itself runs AFTER the
+    // registration commit — the property commit bumps the source
+    // version, and the rollup must leave this call cursor-fresh, not
+    // one behind.
+    val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
+    if (deriveSpecFromProps(props).isEmpty)  // throws on garbled record
+      require(props.get("graft.rollup.derived").contains("false"),
+        s"$rollupRoot was built with a derive hook — auto-sync cannot " +
+          "replay a closure; sync it explicitly")
+    Seq("graft.rollup.source", "graft.rollup.srcKeys",
+        "graft.rollup.groupCols", "graft.rollup.sumCols",
+        "graft.rollup.minMaxCols", CursorProp).foreach(k =>
+      require(props.contains(k),
+        s"$rollupRoot carries no $k — run one explicit sync (which " +
+          "records the full self-description) before enabling auto-sync"))
+    // Present-but-empty is as unsyncable as absent for the two fields
+    // the change feed cannot run without.
+    Seq("graft.rollup.srcKeys", "graft.rollup.groupCols").foreach(k =>
+      require(props(k).split(",").exists(_.trim.nonEmpty),
+        s"$rollupRoot records an empty $k — run one explicit sync " +
+          "before enabling auto-sync"))
+    require(props("graft.rollup.source") == srcRoot,
+      s"$rollupRoot is a rollup of ${props("graft.rollup.source")}, not " +
+        s"$srcRoot — registering it here would never sync it")
     val existing = SnapshotStore.tablePropertiesMap(spark, srcRoot)
       .get("graft.rollup.autoSync").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
@@ -167,12 +296,24 @@ object Rollup {
     * key) instead of physical. Contract: deterministic, row-wise, and
     * additive (it may add columns, never drop, rename, or re-key the
     * source's own); a pre-image row and its post-image derive
-    * independently, which is exactly what keeps subtraction exact. */
+    * independently, which is exactly what keeps subtraction exact.
+    *
+    * Prefer `deriveSpec` over `derive` wherever the transformation is
+    * describable: a [[DeriveSpec]] records its parameters as table
+    * properties, so the post-commit auto-sync can replay it — a
+    * closure cannot be recorded and permanently bars auto-sync. */
   def sync(spark: SparkSession, srcRoot: String, rollupRoot: String,
            srcKeys: Seq[String], groupCols: Seq[String],
            sumCols: Seq[String], minMaxCols: Seq[String] = Nil,
-           derive: DataFrame => DataFrame = Identity): Long = {
+           derive: DataFrame => DataFrame = Identity,
+           deriveSpec: Option[DeriveSpec] = None): Long = {
     require(groupCols.nonEmpty, "rollup sync needs at least one group column")
+    require(deriveSpec.isEmpty || (derive eq Identity),
+      "pass a derive closure OR a recordable deriveSpec, not both")
+    val deriveFn: DataFrame => DataFrame =
+      deriveSpec.map(sp => sp.apply _).getOrElse(derive)
+    val derivedFlag = deriveSpec.map(!_.contentIdentity)
+      .getOrElse(derive ne Identity)
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
         s"rollup sync: no committed source at $srcRoot"))
@@ -189,12 +330,12 @@ object Rollup {
       case None =>
         SnapshotStore.commit(spark,
           withBucket(profile(
-            derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
+            deriveFn(SnapshotStore.readVersion(spark, srcRoot, cur)),
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
           properties = Some((CursorProp -> cur.toString) +:
             metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
-              derive ne Identity)))
+              derivedFlag, deriveSpec)))
         cur
       case Some(_) =>
         val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
@@ -205,7 +346,7 @@ object Rollup {
         if (cursor == cur) return cur
         require(cursor < cur,
           s"rollup cursor v$cursor is ahead of source v$cur — wrong source?")
-        val feed = derive(SnapshotStore.changes(spark, srcRoot, cursor, cur,
+        val feed = deriveFn(SnapshotStore.changes(spark, srcRoot, cursor, cur,
           srcKeys, preImages = true)).persist()
         try {
           require(feed.filter(groupCols.map(col(_).isNull).reduce(_ || _))
@@ -215,7 +356,7 @@ object Rollup {
           val merged = props.filterNot(p => MetaKeys(p._1)).toSeq ++
             ((CursorProp -> cur.toString) +:
               metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
-                derive ne Identity))
+                derivedFlag, deriveSpec))
           val sign = when(col("_change_type")
             .isin("insert", "update_postimage"), 1).otherwise(-1)
           // MIN/MAX are not invertible: groups losing rows rebuild.
@@ -281,7 +422,7 @@ object Rollup {
             case Some(n) =>
               val rb = profile(
                 GroupScope.scope(
-                  derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
+                  deriveFn(SnapshotStore.readVersion(spark, srcRoot, cur)),
                   n, groupCols),
                 groupCols, sumCols, minMaxCols)
               (Some(rb), Some(n.join(rb, groupCols, "left_anti")))
@@ -296,9 +437,14 @@ object Rollup {
           // only) makes the merge a no-op that never writes the
           // property set — advance the cursor with a metadata-only
           // commit so later syncs stop re-diffing the same window.
+          // The FULL meta set rides it (not just the cursor), so a
+          // pre-srcKeys rollup heals on its next window even when
+          // that window carries no content.
           if (before.contains(committed))
             SnapshotStore.setProperties(spark, rollupRoot,
-              Seq(CursorProp -> cur.toString))
+              (CursorProp -> cur.toString) +:
+                metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
+                  derivedFlag, deriveSpec))
           cur
         } finally feed.unpersist()
     }
@@ -312,12 +458,19 @@ object Rollup {
   def rebuild(spark: SparkSession, srcRoot: String, rollupRoot: String,
               groupCols: Seq[String], sumCols: Seq[String],
               minMaxCols: Seq[String] = Nil,
-              derive: DataFrame => DataFrame = Identity): Long = {
+              derive: DataFrame => DataFrame = Identity,
+              deriveSpec: Option[DeriveSpec] = None): Long = {
+    require(deriveSpec.isEmpty || (derive eq Identity),
+      "pass a derive closure OR a recordable deriveSpec, not both")
+    val deriveFn: DataFrame => DataFrame =
+      deriveSpec.map(sp => sp.apply _).getOrElse(derive)
+    val derivedFlag = deriveSpec.map(!_.contentIdentity)
+      .getOrElse(derive ne Identity)
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
         s"rollup rebuild: no committed source at $srcRoot"))
     val names = aggNames(sumCols, minMaxCols)
-    val fresh = profile(derive(SnapshotStore.readVersion(spark, srcRoot, cur)),
+    val fresh = profile(deriveFn(SnapshotStore.readVersion(spark, srcRoot, cur)),
       groupCols, sumCols, minMaxCols)
       .select((groupCols ++ names).map(col): _*)
       .withColumn(Bucket, bucketOf(groupCols))
@@ -329,7 +482,7 @@ object Rollup {
       .filterNot(p => MetaKeys(p._1)).toSeq ++
       ((CursorProp -> cur.toString) +:
         metaProps(srcRoot, keys, groupCols, sumCols, minMaxCols,
-          derive ne Identity))
+          derivedFlag, deriveSpec))
     val gone = SnapshotStore.read(spark, rollupRoot)
       .select(groupCols.map(col): _*)
       .join(fresh, groupCols, "left_anti")
@@ -338,7 +491,9 @@ object Rollup {
       fresh, Some(gone), groupCols, Bucket, properties = Some(props))
     if (before.contains(committed))
       SnapshotStore.setProperties(spark, rollupRoot,
-        Seq(CursorProp -> cur.toString))
+        (CursorProp -> cur.toString) +:
+          metaProps(srcRoot, keys, groupCols, sumCols, minMaxCols,
+            derivedFlag, deriveSpec))
     cur
   }
 }

@@ -1623,6 +1623,124 @@ private[graft] object EvolutionQueries {
         COUNT(*) AS lines
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderstatus
-      ORDER BY o.o_orderkey"""))
+      ORDER BY o.o_orderkey""")),
+
+
+    // SELF-MAINTAINING frequency tables and histograms (Rollup
+    // RECORDABLE derives — FreqGuard / HistBin recorded as
+    // graft.rollup.derive.* properties, replayed by syncFromProps):
+    // ONE registration each, then ordinary append + value-edit +
+    // delete commits with ZERO manual syncs keep both dashboards
+    // fresh. Require-pins: both cursors equal the source version
+    // (auto-sync fired on every window), and the frequency dashboard's
+    // GROUP BY answers from the rollup (the guard derive is
+    // content-identity, so MV-rewrite eligibility survives). Output:
+    // global quantiles from the maintained bins + per-status top-2
+    // priorities — DuckDB replays bin arithmetic, the quantile walk,
+    // and count/row_number over the derived final state.
+    ("q212_autosync_freq_hist", (s: SparkSession, d: String) => {
+      import graft.operators.{Frequencies, Histograms, Rollup}
+      import graft.sinks.{RollupRewrite, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q212").toString
+      val src = s"$dir/src"; val fq = s"$dir/fq"; val hg = s"$dir/hg"
+      val orders = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("price_n"))
+      val (lo, hi, nb) = (0.0, 600000.0, 64)
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        src, "o_orderstatus")
+      Frequencies.sync(s, src, fq, Seq("o_orderkey"), Seq("o_orderstatus"),
+        "o_orderpriority")
+      Histograms.sync(s, src, hg, Seq("o_orderkey"), Seq("o_orderstatus"),
+        "price_n", lo, hi, nb)
+      Rollup.enableAutoSync(s, src, fq)
+      Rollup.enableAutoSync(s, src, hg)
+      // Ordinary DML from here on — NO sync calls: append, a
+      // value-edit window (moves rows between frequency rows AND
+      // across bins), and a keyed delete.
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
+        src, "o_orderstatus")
+      SnapshotStore.upsertDeleteCommit(s, src,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(10)) =!= 9)
+          .withColumn("o_orderpriority", lit("9-MOVED"))
+          .withColumn("price_n", col("price_n") + 50000.0),
+        Some(orders.filter(pmod(col("o_orderkey"), lit(10)) === 9)
+          .select(col("o_orderkey"))),
+        "o_orderkey", "o_orderstatus")
+      val srcV = SnapshotStore.currentVersion(s, src).get
+      Seq("frequency" -> fq, "histogram" -> hg).foreach { case (what, r) =>
+        val c = SnapshotStore.tablePropertiesMap(s, r)(Rollup.CursorProp)
+          .toLong
+        require(c == srcV,
+          s"$what cursor v$c is stale vs source v$srcV — the recorded " +
+            "derive did not auto-sync")
+      }
+      s.conf.set(RollupRewrite.RegistryConf, fq)
+      try {
+        val dash = SnapshotStore.table(s, src)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+        val p = dash.queryExecution.executedPlan.toString
+        require(p.contains(fq) && !p.contains(src),
+          s"the guard-derived frequency table must stay MV-rewrite-" +
+            s"eligible:\n$p")
+      } finally s.conf.unset(RollupRewrite.RegistryConf)
+      val qRows = Histograms.globalQuantiles(
+          SnapshotStore.read(s, hg), Seq(0.25, 0.5, 0.75), lo, hi, nb)
+        .select(concat(lit("q"), col("q")).as("k"),
+          round(col("value"), 6).as("v"))
+      val tRows = Frequencies.topK(SnapshotStore.read(s, fq),
+          Seq("o_orderstatus"), "o_orderpriority", 2)
+        .select(concat(lit("t:"), col("o_orderstatus"), lit(":"),
+          col("rank"), lit(":"), col("o_orderpriority")).as("k"),
+          col("row_count").cast("double").as("v"))
+      qRows.unionByName(tRows).orderBy(col("k"))
+    }, Some("""
+      WITH fin AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+               ELSE o_orderpriority END AS prio,
+          CASE WHEN o_orderkey % 11 = 0 THEN NULL
+               WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50000.0
+               ELSE o_totalprice END AS price_n
+        FROM orders WHERE o_orderkey % 10 <> 9),
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(price_n / 9375.0) AS INT), 0),
+                     63) AS bin,
+               CAST(count(*) AS BIGINT) AS c
+        FROM fin WHERE price_n IS NOT NULL GROUP BY 1),
+      cm AS (
+        SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum,
+               sum(c) OVER () AS total
+        FROM b),
+      qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q),
+      sel AS (
+        SELECT q, bin, c, cum, GREATEST(q * total, 1e-9) AS target
+        FROM qs CROSS JOIN cm),
+      quant AS (
+        SELECT 'q' || CAST(q AS VARCHAR) AS k,
+               round(0.0 + 9375.0 * (bin + (target - (cum - c)) / c),
+                     6) AS v
+        FROM sel WHERE cum >= target AND cum - c < target),
+      f AS (
+        SELECT o_orderstatus, prio,
+               CAST(count(*) AS BIGINT) AS row_count
+        FROM fin GROUP BY 1, 2),
+      r AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+          ORDER BY row_count DESC, prio ASC) AS INT) AS rank
+        FROM f),
+      tk AS (
+        SELECT concat('t:', o_orderstatus, ':',
+                      CAST(rank AS VARCHAR), ':', prio) AS k,
+               CAST(row_count AS DOUBLE) AS v
+        FROM r WHERE rank <= 2)
+      SELECT k, v FROM quant
+      UNION ALL SELECT k, v FROM tk
+      ORDER BY k"""))
   )
 }

@@ -32,14 +32,20 @@ class GraftFileIndex(root: Path,
                      /** Identity of the scan, for plan-rewrite rules
                        * ([[MetadataCountRule]], [[RollupRewriteRule]]):
                        * the snapshot root, the PINNED version this
-                       * listing reflects, and whether the listing was
-                       * partition-pruned at construction (a pruned scan
-                       * is a SUBSET — rewrites that answer for the
-                       * whole table must not fire). */
+                       * listing reflects, and — when the listing was
+                       * partition-pruned at construction — the encoded
+                       * partition values kept. A pruned scan is a
+                       * SUBSET: a rewrite that answers for the whole
+                       * table must either rebase the same subset
+                       * predicate (the values here make that possible)
+                       * or not fire. */
                      val tableRoot: Option[String] = None,
                      val version: Option[Long] = None,
-                     val partitionPruned: Boolean = false)
+                     val prunedPartitions: Option[Seq[String]] = None)
     extends FileIndex {
+
+  /** Whether the listing is a partition subset of the table. */
+  def partitionPruned: Boolean = prunedPartitions.isDefined
 
   /** Pruning observability (specs + SCALE measurements): the candidate
     * count of the MOST RECENT `listFiles` call. Atomic last-writer-wins

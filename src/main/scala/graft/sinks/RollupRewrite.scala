@@ -30,8 +30,11 @@ import org.apache.spark.sql.types._
   *  - the aggregate sits over a BARE snapshot relation of the rollup's
   *    source (deterministic projections and filters only; a DV
   *    anti-join or join breaks the shape — never rewritten);
-  *  - the scan is NOT partition-pruned (a subset scan must aggregate
-  *    the subset);
+  *  - the scan is either NOT partition-pruned, or every partition
+  *    column is a rollup group column — then the pruned subset is
+  *    exactly representable per-group, and the same partition-value
+  *    membership is rebased onto the rollup rows (the
+  *    `WHERE part = 'x' GROUP BY status` dashboard shape);
   *  - the rollup's synced cursor EQUALS the scan's pinned version —
   *    freshness is exact, including under time travel;
   *  - every grouping expression is a plain column of the rollup's
@@ -192,10 +195,29 @@ object RollupRewrite {
       (filters, rel) <- dissect(agg.child)
       fs <- Some(rel.relation).collect { case h: HadoopFsRelation => h }
       idx <- Some(fs.location).collect { case g: GraftFileIndex => g }
-      if !idx.partitionPruned
       root <- idx.tableRoot
       version <- idx.version
-      resolve = (id: ExprId) => resolveName(agg.child, id)
+      // The relation's attributes carry PHYSICAL names (column
+      // mapping projects them back to logical ABOVE the relation);
+      // the rollup records LOGICAL names — resolve through the
+      // version's mapping or a renamed table never rewrites.
+      toLogical = SnapshotStore.mappingAt(spark, root, version)
+        ._1.map(_.swap)
+      resolveIn = (p: LogicalPlan, id: ExprId) =>
+        resolveName(p, id).map(n => toLogical.getOrElse(n, n))
+      resolve = (id: ExprId) => resolveIn(agg.child, id)
+      // A partition-pruned scan is a row SUBSET, but one that is
+      // EXACTLY representable against per-group rows whenever the
+      // partition columns are rollup group columns: rebase the same
+      // partition-value membership onto the rollup (the dashboard
+      // `WHERE part = 'x' GROUP BY status` shape). Unknown partition
+      // spec (pre-header manifest) keeps the scan.
+      partPredicate <- idx.prunedPartitions match {
+        case None => Some(None)
+        case Some(vals) =>
+          val pcs = SnapshotStore.partitionColumns(spark, root, version)
+          if (pcs.nonEmpty) Some(Some((pcs, vals))) else None
+      }
       groupNames <- agg.groupingExpressions.foldLeft(
         Option(Seq.empty[String])) { (acc, g) =>
           acc.flatMap(names => (g match {
@@ -206,19 +228,27 @@ object RollupRewrite {
       plan <- regs.iterator
         .filter(r => r.source == root && r.cursor == version)
         .flatMap(reg =>
-          buildFor(spark, agg, reg, filters, groupNames, resolve))
+          buildFor(spark, agg, reg, filters, groupNames, resolve,
+            resolveIn, partPredicate))
         .nextOption()
     } yield plan
 
   /** One candidate rollup's rewrite: every grouping column, filter
-    * reference, and aggregate must be covered, else None and the next
-    * candidate is tried. */
+    * reference, aggregate, and (for pruned scans) partition column
+    * must be covered, else None and the next candidate is tried. */
   private def buildFor(spark: SparkSession, agg: Aggregate, reg: Registered,
                        filters: Seq[(Expression, LogicalPlan)],
                        groupNames: Seq[String],
-                       resolve: ExprId => Option[String]): Option[LogicalPlan] =
+                       resolve: ExprId => Option[String],
+                       resolveIn: (LogicalPlan, ExprId) => Option[String],
+                       partPredicate: Option[(Seq[String], Seq[String])])
+      : Option[LogicalPlan] =
     for {
       _ <- Some(()).filter(_ => groupNames.forall(reg.groupCols.contains))
+      // Pruned scans: every partition column must be a group column of
+      // this rollup, or the subset is not representable per-group.
+      _ <- Some(()).filter(_ => partPredicate.forall(
+        _._1.forall(reg.groupCols.contains)))
       resultCols <- agg.aggregateExpressions.zipWithIndex.foldLeft(
         Option(Seq.empty[Column])) { (acc, ei) =>
           acc.flatMap { cols =>
@@ -239,7 +269,7 @@ object RollupRewrite {
           acc.flatMap { cs =>
             val (cond, below) = f
             val names = cond.references.toSeq
-              .map(a => a.exprId -> resolveName(below, a.exprId)).toMap
+              .map(a => a.exprId -> resolveIn(below, a.exprId)).toMap
             if (names.values.exists(n =>
                 !n.exists(reg.groupCols.contains))) None
             else Some(cs :+ Shim.column(cond.transformUp {
@@ -251,7 +281,17 @@ object RollupRewrite {
     } yield {
       val roll: DataFrame = SnapshotStore.readVersion(
         spark, reg.rollupRoot, reg.rollupVersion)
-      val filtered = rebasedFilters.foldLeft(roll)(_ filter _)
+      // The pruned scan's partition membership, rebased: the same
+      // encoding the manifest stores ([[SnapshotStore.partValueColumn]])
+      // evaluated over the rollup's group columns selects exactly the
+      // groups whose source rows live in the kept partitions (each
+      // group is entirely inside one partition — partition cols are
+      // group cols here).
+      val partFiltered = partPredicate.foldLeft(roll) {
+        case (df, (pcs, vals)) =>
+          df.filter(SnapshotStore.partValueColumn(pcs).isin(vals: _*))
+      }
+      val filtered = rebasedFilters.foldLeft(partFiltered)(_ filter _)
       val grouped = filtered.groupBy(groupNames.map(col): _*)
         .agg(resultCols.head, resultCols.tail: _*)
         .select(agg.aggregateExpressions.indices.map(i => col(s"__r$i")): _*)

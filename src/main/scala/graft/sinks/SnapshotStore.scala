@@ -1072,7 +1072,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }
     new GraftFileIndex(new Path(root), files,
       tableRoot = Some(root), version = Some(v),
-      partitionPruned = partitions.isDefined)
+      prunedPartitions = partitions)
   }
 
   /** Read a snapshot THROUGH the planning-time file-skipping index:

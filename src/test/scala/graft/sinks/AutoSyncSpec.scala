@@ -72,6 +72,160 @@ class AutoSyncSpec extends graft.SparkSpec {
     } finally spark.conf.unset(RollupRewrite.RegistryConf)
   }
 
+  test("frequency tables auto-sync (recorded FreqGuard derive) and stay rewrite-eligible") {
+    import graft.operators.Frequencies
+    val dir = freshDir()
+    val src = s"$dir/src"; val fq = s"$dir/fq"
+    def vals(r: Range): DataFrame =
+      r.map(i => (i.toLong, s"g${i % 3}", s"v${i % 5}", (i % 2).toString))
+        .toDF("id", "g", "v", "part")
+    SnapshotStore.commit(spark, vals(0 until 200), src, "part")
+    // Guard ENGAGED (the recordable case that used to record
+    // derived=true and lose auto-sync forever), with a cap the flood
+    // below exceeds.
+    Frequencies.sync(spark, src, fq, Seq("id"), Seq("g"), "v",
+      maxDistinctPerGroup = 100)
+    Rollup.enableAutoSync(spark, src, fq)
+    // Ordinary DML only: append, value edit (a move between frequency
+    // rows), delete. ZERO manual syncs.
+    SnapshotStore.appendCommit(spark, vals(200 until 260), src, "part")
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq((7L, "g1", "vMOVED", "1")).toDF("id", "g", "v", "part"),
+      src, ColSpec(Seq("id")), Nil, ColSpec(Seq("part")))
+    SnapshotStore.deleteCommit(spark,
+      (0 until 10).map(_.toLong).toDF("id"), src, "id", "part")
+    val cursor = SnapshotStore.tablePropertiesMap(spark, fq)(
+      Rollup.CursorProp).toLong
+    assert(cursor == SnapshotStore.currentVersion(spark, src).get,
+      "guard-derived frequency table must auto-sync")
+    val direct = SnapshotStore.read(spark, src).groupBy("g", "v")
+      .agg(count(lit(1)).as("row_count"))
+      .collect().map(_.toString).toSet
+    assert(SnapshotStore.read(spark, fq).select("g", "v", "row_count")
+      .collect().map(_.toString).toSet == direct)
+    // The guard derive is content-identity → derived=false is recorded
+    // → the MV rewrite still fires for the (g, v) count dashboard.
+    spark.conf.set(RollupRewrite.RegistryConf, fq)
+    try {
+      val q = SnapshotStore.table(spark, src).groupBy("g", "v")
+        .agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(fq) && !plan.contains(src),
+        s"guarded frequency table must stay rewrite-eligible:\n$plan")
+    } finally spark.conf.unset(RollupRewrite.RegistryConf)
+    // The replayed guard still GUARDS: an id-like value flood in a
+    // later window fails the auto-sync (swallowed — the data commit
+    // lands) and leaves the cursor stale rather than corrupting the
+    // summary into a corpus-sized table.
+    SnapshotStore.appendCommit(spark,
+      (1000 until 1400).map(i => (i.toLong, "g0", s"unique$i", "0"))
+        .toDF("id", "g", "v", "part"), src, "part")
+    val stale = SnapshotStore.tablePropertiesMap(spark, fq)(
+      Rollup.CursorProp).toLong
+    assert(stale < SnapshotStore.currentVersion(spark, src).get,
+      "a window violating the recorded guard must refuse to sync")
+    intercept[IllegalArgumentException] { Rollup.syncFromProps(spark, fq) }
+  }
+
+  test("histograms auto-sync (recorded HistBin derive); rebin re-records the new parameters") {
+    import graft.operators.Histograms
+    val dir = freshDir()
+    val src = s"$dir/src"; val hg = s"$dir/hg"
+    def vals(r: Range): DataFrame =
+      r.map(i => (i.toLong, s"g${i % 2}",
+          if (i % 11 == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(i % 100), (i % 2).toString))
+        .toDF("id", "g", "v", "part")
+    SnapshotStore.commit(spark, vals(0 until 300), src, "part")
+    Histograms.sync(spark, src, hg, Seq("id"), Seq("g"), "v", 0.0, 100.0, 10)
+    Rollup.enableAutoSync(spark, src, hg)
+    // Ordinary DML: append + bin-crossing value edit + delete — the
+    // recorded (col, lo, hi, bins) must replay through the hook.
+    SnapshotStore.appendCommit(spark, vals(300 until 400), src, "part")
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq((5L, "g1", java.lang.Double.valueOf(99.0), "1"))
+        .toDF("id", "g", "v", "part"),
+      src, ColSpec(Seq("id")), Nil, ColSpec(Seq("part")))
+    SnapshotStore.deleteCommit(spark,
+      (0 until 15).map(_.toLong).toDF("id"), src, "id", "part")
+    assert(SnapshotStore.tablePropertiesMap(spark, hg)(
+        Rollup.CursorProp).toLong ==
+      SnapshotStore.currentVersion(spark, src).get,
+      "HistBin-derived histogram must auto-sync")
+    def directBins(lo: Double, hi: Double, nb: Int) =
+      SnapshotStore.read(spark, src)
+        .withColumn("bin", Histograms.binOf(col("v"), lo, hi, nb))
+        .groupBy("g", "bin").agg(count(lit(1)).as("row_count"))
+        .collect().map(_.toString).toSet
+    assert(Histograms.bins(SnapshotStore.read(spark, hg), Seq("g"))
+      .collect().map(_.toString).toSet == directBins(0.0, 100.0, 10))
+    // Rebin to a new range/resolution: the NEW parameters must be
+    // what subsequent auto-syncs replay, not the creation-time ones.
+    Histograms.rebin(spark, src, hg, Seq("g"), "v", 0.0, 200.0, 20)
+    SnapshotStore.appendCommit(spark, vals(400 until 450), src, "part")
+    assert(SnapshotStore.tablePropertiesMap(spark, hg)(
+        Rollup.CursorProp).toLong ==
+      SnapshotStore.currentVersion(spark, src).get,
+      "post-rebin windows must still auto-sync")
+    assert(Histograms.bins(SnapshotStore.read(spark, hg), Seq("g"))
+      .collect().map(_.toString).toSet == directBins(0.0, 200.0, 20),
+      "auto-sync after rebin must bin with the re-recorded parameters")
+  }
+
+  test("registration validates the full self-description BEFORE touching the source") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    SnapshotStore.commit(spark, rowsDf(0 until 50), src, "part")
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    // Simulate a pre-srcKeys rollup (an older writer's table): blank
+    // out the recorded srcKeys. Registration must refuse UP FRONT —
+    // registering first would leave a permanently-registered rollup
+    // whose every post-commit sync silently fails.
+    SnapshotStore.setProperties(spark, roll,
+      Seq("graft.rollup.srcKeys" -> ""))
+    val e1 = intercept[IllegalArgumentException] {
+      Rollup.enableAutoSync(spark, src, roll)
+    }
+    assert(e1.getMessage.contains("srcKeys"))
+    assert(!SnapshotStore.tablePropertiesMap(spark, src)
+      .contains("graft.rollup.autoSync"),
+      "a refused registration must not touch the source")
+    // Heal the description (a cursor-fresh sync early-returns, so
+    // bump the source first), then: a WRONG source refuses with the
+    // recorded source named, and still never registers.
+    SnapshotStore.setProperties(spark, src, Seq("bump" -> "1"))
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    assert(SnapshotStore.tablePropertiesMap(spark, roll)(
+      "graft.rollup.srcKeys") == "id")
+    val e2 = intercept[IllegalArgumentException] {
+      Rollup.enableAutoSync(spark, s"$dir/other", roll)
+    }
+    assert(e2.getMessage.contains(src))
+    assert(!SnapshotStore.tablePropertiesMap(spark, src)
+      .contains("graft.rollup.autoSync"))
+  }
+
+  test("metadata-only cursor advances re-assert the full meta set (healing)") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    SnapshotStore.commit(spark, rowsDf(0 until 100), src, "part")
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    // Clobber a recorded meta property (simulating a pre-srcKeys /
+    // damaged rollup), then drive a LAYOUT-ONLY source window: the
+    // no-content-delta sync path must still re-assert the meta set,
+    // not just the cursor — else the table never heals until a
+    // content window happens to arrive.
+    SnapshotStore.setProperties(spark, roll,
+      Seq("graft.rollup.srcKeys" -> "WRONG"))
+    SnapshotStore.compact(spark, src, ColSpec(Seq("part")))
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    val props = SnapshotStore.tablePropertiesMap(spark, roll)
+    assert(props("graft.rollup.srcKeys") == "id",
+      "a metadata-only window must heal the recorded srcKeys")
+    assert(props(Rollup.CursorProp).toLong ==
+      SnapshotStore.currentVersion(spark, src).get)
+  }
+
   test("derive-hook rollups refuse registration; a broken registration degrades, never fails commits") {
     val dir = freshDir()
     val src = s"$dir/src"; val roll = s"$dir/roll"

@@ -165,9 +165,11 @@ class RollupRewriteSpec extends graft.SparkSpec {
     }
   }
 
-  test("partition-pruned scans never rewrite") {
+  test("partition-pruned scans keep the scan when the partition column is not a group column") {
     val (src, roll) = fixture()
     registered(roll) {
+      // `part` is NOT in the rollup's (g1, g2) group set — the subset
+      // is not representable per-group, so the subset must be scanned.
       def pruned() = SnapshotStore.table(spark, src,
         partitions = Some(Seq("p0"))).groupBy("g1")
         .agg(count(lit(1)).as("n"))
@@ -175,6 +177,77 @@ class RollupRewriteSpec extends graft.SparkSpec {
       val (got, usedRollup, _) = run(pruned(), roll, src)
       assert(!usedRollup && got == direct,
         "a subset scan must aggregate the subset")
+    }
+  }
+
+  test("partition-pruned scans rewrite when partition columns are group columns") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    val rows = (0 until 400).map(i =>
+        (i.toLong, s"g${i % 5}", (i % 100).toLong, s"p${i % 3}"))
+      .toDF("id", "g1", "qty", "part")
+    SnapshotStore.commit(spark, rows, src, "part")
+    // `part` IS a group column — the dashboard `WHERE part = 'x'
+    // GROUP BY status` shape: the pruned subset is exactly the union
+    // of whole groups, so the rewrite rebases the membership.
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("part", "g1"),
+      sumCols = Seq("qty"))
+    registered(roll) {
+      def one() = SnapshotStore.table(spark, src,
+          partitions = Some(Seq("p0"))).groupBy("g1")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+      val oneDirect = registered() { one().collect().map(_.toString).toSet }
+      val (got1, roll1, srcScan1) = run(one(), roll, src)
+      assert(roll1 && !srcScan1,
+        "a group-representable pruned scan must answer from the rollup")
+      assert(got1 == oneDirect)
+      // Multi-partition subsets rebase as a membership list.
+      def two() = SnapshotStore.table(spark, src,
+          partitions = Some(Seq("p0", "p2"))).groupBy("g1")
+        .agg(sum(col("qty")).as("s"))
+      val twoDirect = registered() { two().collect().map(_.toString).toSet }
+      val (got2, roll2, _) = run(two(), roll, src)
+      assert(roll2 && got2 == twoDirect)
+      // Grouping BY the partition column itself also covers.
+      def byPart() = SnapshotStore.table(spark, src,
+          partitions = Some(Seq("p1"))).groupBy("part", "g1")
+        .agg(count(lit(1)).as("n"))
+      val byPartDirect = registered() {
+        byPart().collect().map(_.toString).toSet }
+      val (got3, roll3, _) = run(byPart(), roll, src)
+      assert(roll3 && got3 == byPartDirect)
+    }
+  }
+
+  test("column-mapping renames stay rewrite-eligible (physical names resolve to logical)") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    val rows = (0 until 300).map(i =>
+        (i.toLong, s"g${i % 4}", (i % 50).toLong, s"p${i % 2}"))
+      .toDF("id", "grp", "qty", "part")
+    SnapshotStore.commit(spark, rows, src, "part")
+    // Rename BOTH a future group column and a future sum column: the
+    // scan relation then carries physical names (grp, qty) while the
+    // rollup records the logical ones (category, quantity).
+    SnapshotStore.renameColumn(spark, src, "grp", "category")
+    SnapshotStore.renameColumn(spark, src, "qty", "quantity")
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("category"),
+      sumCols = Seq("quantity"))
+    registered(roll) {
+      def q() = SnapshotStore.table(spark, src).groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("quantity")).as("s"))
+      val direct = registered() { q().collect().map(_.toString).toSet }
+      val (got, usedRollup, usedSrc) = run(q(), roll, src)
+      assert(usedRollup && !usedSrc,
+        "a renamed table must stay rewrite-eligible")
+      assert(got == direct)
+      // Group-grain filters on the renamed column rebase too.
+      def f() = SnapshotStore.table(spark, src)
+        .filter(col("category") =!= "g1").groupBy("category")
+        .agg(sum(col("quantity")).as("s"))
+      val fDirect = registered() { f().collect().map(_.toString).toSet }
+      val (fGot, fRoll, _) = run(f(), roll, src)
+      assert(fRoll && fGot == fDirect)
     }
   }
 }
