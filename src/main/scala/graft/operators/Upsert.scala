@@ -96,9 +96,14 @@ object Upsert {
       .parquet(path)
   }
 
-  /** K3 — keyed delete: remove rows whose key appears in `ids`. */
+  /** K3 — keyed delete: remove rows whose key appears in `ids`.
+    * The anti-join is deliberately UNHINTED: the id set is unbounded
+    * (a bulk GDPR purge ships millions of keys), and a forced
+    * broadcast would bypass AQE's size check and OOM the driver. AQE
+    * broadcasts small id lists on its own; big ones shuffle — the
+    * same rule [[GroupScope]] documents. */
   def deleteByKeys(target: DataFrame, ids: DataFrame, keyCol: String): DataFrame =
-    target.join(broadcast(ids.select(keyCol).distinct()), Seq(keyCol), "left_anti")
+    target.join(ids.select(keyCol).distinct(), Seq(keyCol), "left_anti")
 
   /** K4 — predicate delete (retention): keep rows NOT matching cond. */
   def deleteWhere(target: DataFrame, cond: Column): DataFrame =

@@ -1168,14 +1168,18 @@ private[graft] object SnapshotQueries {
       s.sql(s"DESCRIBE DETAIL graft_q170.`$root`")
         .select(col("format"), col("partition_column"), col("version"),
           col("num_partitions"), col("num_rows"),
-          concat_ws("|", col("constraints")).as("constraints_list"))
+          concat_ws("|", col("constraints")).as("constraints_list"),
+          // Healthy table: no swallowed maintenance failure recorded.
+          coalesce(col("maintenance_last_error"), lit("none"))
+            .as("maintenance_last_error"))
     }, Some("""
       SELECT 'graft-snapshot' AS format,
         'o_orderstatus' AS partition_column,
         CAST(2 AS BIGINT) AS version,
         CAST(count(DISTINCT o_orderstatus) AS INT) AS num_partitions,
         CAST(count(*) AS BIGINT) AS num_rows,
-        'price_pos CHECK (o_totalprice > 0)' AS constraints_list
+        'price_pos CHECK (o_totalprice > 0)' AS constraints_list,
+        'none' AS maintenance_last_error
       FROM orders""")),
 
 

@@ -53,12 +53,38 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     * data files become vacuum-collected orphans). Returns None when a
     * snapshot existed (or came to exist concurrently). This is the
     * primitive behind the DataFrame writer's ErrorIfExists/Ignore
-    * modes. */
+    * modes.
+    *
+    * `bucketBy = (bucketCols, sortCols, n)` is the CREATION-TIME
+    * bucket spec (`CREATE TABLE … CLUSTER BY (k) [SORTED BY (s)] INTO
+    * n BUCKETS`): version 1's files are written already bucketed
+    * (sorted, when asked) and [[SnapshotStore.BucketSpecProp]] rides
+    * the SAME atomic commit — every subsequent data commit maintains
+    * the layout, and a DDL-first deployment never pays the day-two
+    * [[SnapshotStore.bucketTable]] rewrite for what day one could
+    * write directly. Column types are recorded from `df`'s schema
+    * (the declared schema for an empty CREATE). */
   def commitIfAbsent(spark: SparkSession, df: DataFrame, root: String,
-                     partitionCols: ColSpec): Option[Long] = {
+                     partitionCols: ColSpec,
+                     bucketBy: Option[(Seq[String], Seq[String], Int)] = None): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
-    val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols)
-    if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header)) {
+    val bucketProps = bucketBy.map { case (cols, sortCols, n) =>
+      require(n >= 2, s"INTO n BUCKETS needs n >= 2, got $n")
+      require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = (cols ++ sortCols).filterNot(fields.contains)
+      require(missing.isEmpty,
+        s"CLUSTER BY/SORTED BY column(s) ${missing.mkString(", ")} not in " +
+          s"the table schema (have: ${df.schema.fieldNames.mkString(", ")})")
+      Seq(BucketSpecProp -> formatBucketSpec(n,
+        cols.map(c => c -> fields(c).sql),
+        sortCols.map(c => c -> fields(c).sql)))
+    }
+    val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols,
+      bucketOverride = bucketBy.map { case (cols, _, n) => (n, cols) },
+      sortWithin = bucketBy.toSeq.flatMap(_._2).map(col))
+    if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header,
+        properties = bucketProps)) {
       writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
       postCommit(spark, root, 1L)
       Some(1L)

@@ -549,7 +549,12 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
             maxFilesPerPartition = eff, partitions = Some(over))
         }
     }
-  } catch { case scala.util.control.NonFatal(_) => () }
+  } catch { case scala.util.control.NonFatal(e) =>
+    // Swallowed by design (the data commit already won) — but
+    // recorded, so a persistently failing compaction is visible in
+    // DESCRIBE DETAIL instead of silently re-fragmenting forever.
+    recordMaintenanceError(root, "autoCompact", committed, e)
+  }
 
   /** Re-entrancy guard for [[postCommit]]: a hook-triggered rollup
     * sync commits to the ROLLUP table, whose own commit runs the hook
@@ -579,7 +584,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // cursor-equality check silently stops firing until the next
         // data commit.
         if (compactEligible) maybeAutoCompact(spark, root, committed)
-        maybeAutoSyncRollups(spark, root)
+        maybeAutoSyncRollups(spark, root, committed)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
 
@@ -593,15 +598,25 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * [[graft.operators.Rollup.enableAutoSync]]. Derive-hook rollups
     * cannot auto-sync (a closure is not recordable) and are skipped. */
   private[sinks] def maybeAutoSyncRollups(spark: SparkSession,
-                                          root: String): Unit = try {
+                                          root: String,
+                                          committed: Long): Unit = try {
     tablePropertiesMap(spark, root).get("graft.rollup.autoSync")
       .toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(r => r.nonEmpty && r != root)
       .foreach { rollupRoot =>
         try graft.operators.Rollup.syncFromProps(spark, rollupRoot)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          // Swallowed by design: a stale cursor keeps the MV rewrite
+          // OFF (answers stay right, reads pay the scan) — but that
+          // degradation must be operator-visible, so the failure rides
+          // the source's next commit as a property.
+          recordMaintenanceError(root, "autoSync",  committed,
+            new RuntimeException(s"rollup $rollupRoot: ${e.getMessage}", e))
+        }
       }
-  } catch { case scala.util.control.NonFatal(_) => () }
+  } catch { case scala.util.control.NonFatal(e) =>
+    recordMaintenanceError(root, "autoSync", committed, e)
+  }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's headline day-two operation,
     * expressed in this store's per-version metadata): re-lay a live

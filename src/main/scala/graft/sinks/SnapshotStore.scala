@@ -575,6 +575,29 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }
   }
 
+  /** Last swallowed post-commit maintenance failure
+    * (`graft.maintenance.lastError`): auto-compact and rollup
+    * auto-sync run over an already-won commit, so their errors must
+    * never fail it — but a PERSISTENTLY failing auto-sync silently
+    * turns every dashboard read into a full scan (the MV rewrite's
+    * freshness check keeps answers right and performance wrong). The
+    * failure is recorded here and rides the NEXT successful commit as
+    * a table property (never a commit of its own), surfaced by
+    * `DESCRIBE DETAIL`. Format:
+    * `component=…;version=…;ts=…;message=<url-encoded>`. */
+  val MaintenanceErrorProp = "graft.maintenance.lastError"
+
+  private val pendingMaintenanceErrors =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[sinks] def recordMaintenanceError(root: String, component: String,
+                                            version: Long, e: Throwable): Unit =
+    pendingMaintenanceErrors.put(root,
+      s"component=$component;version=$version;" +
+        s"ts=${System.currentTimeMillis()};message=" +
+        URLEncoder.encode(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(500), UTF_8))
+
   private[sinks] def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
                             operation: String = "",
@@ -612,11 +635,24 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       else Nil)
     // Table properties carry forward exactly like constraints unless
     // the caller REPLACES the set (ALTER TABLE SET/UNSET TBLPROPERTIES).
-    val effectiveProperties = properties.getOrElse(
-      if (version > 1)
-        try tableProperties(spark, root, version - 1)
-        catch { case _: java.io.IOException => Nil }
-      else Nil)
+    // A pending swallowed-maintenance failure rides THIS commit (see
+    // [[MaintenanceErrorProp]]) — merged after the caller's set so it
+    // can never be lost to a replacement, and cleared only when this
+    // attempt wins.
+    val maintErr = Option(pendingMaintenanceErrors.get(root))
+    val effectiveProperties = {
+      val base = properties.getOrElse(
+        if (version > 1)
+          try tableProperties(spark, root, version - 1)
+          catch { case _: java.io.IOException => Nil }
+        else Nil)
+      maintErr match {
+        case Some(err) =>
+          base.filterNot(_._1 == MaintenanceErrorProp) :+
+            (MaintenanceErrorProp -> err)
+        case None => base
+      }
+    }
     // Column mapping carries forward exactly like constraints unless
     // the caller REPLACES it (ALTER TABLE RENAME/DROP COLUMN, restore,
     // clone).
@@ -705,6 +741,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // bounds the walk.
     if (won && version % checkpointInterval(spark) == 0)
       writeLastCheckpoint(spark, root, version)
+    // The pending maintenance error is now durably recorded — clear it
+    // (only if unchanged: a newer failure recorded mid-write must ride
+    // the next commit, not vanish).
+    if (won) maintErr.foreach(err =>
+      pendingMaintenanceErrors.remove(root, err))
     won
   }
 

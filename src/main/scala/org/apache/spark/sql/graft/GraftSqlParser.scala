@@ -307,6 +307,19 @@ object GraftSqlParser {
       }
 
       def createTable: Option[LogicalPlan] = { val u = c()
+        // Optional creation-time bucket spec (the Hive/Delta-liquid
+        // spelling): `CLUSTER BY (c, …) [SORTED BY (s, …)] INTO n
+        // BUCKETS`. Some(None) = clause absent; None = malformed.
+        def clusterBy(u: Cur): Option[Option[(Seq[String], Seq[String], Int)]] =
+          if (!u.kw("CLUSTER", "BY")) Some(None)
+          else for {
+            cols <- u.parens()
+            sortCols <- if (u.kw("SORTED", "BY"))
+              u.parens().map(identifierList) else Some(Nil)
+            _ <- Some(()).filter(_ => u.kw("INTO"))
+            n <- u.num()
+            _ <- Some(()).filter(_ => u.kw("BUCKETS"))
+          } yield Some((identifierList(cols), sortCols, n.toInt))
         if (!u.kw("CREATE", "TABLE")) None
         else u.multipart().flatMap { t =>
           if (u.kw("SHALLOW", "CLONE"))
@@ -330,17 +343,19 @@ object GraftSqlParser {
               _ <- Some(()).filter(_ => u.kw("USING") && graftSnapshotProvider(u))
               _ <- Some(()).filter(_ => u.kw("PARTITIONED", "BY"))
               pb <- u.parens()
+              cb <- clusterBy(u)
               _ <- Some(()).filter(_ => u.done && gated(t))
             } yield CreateSnapshotTableCommand(parts(t), schemaDdl.trim,
-              identifierList(pb))
+              identifierList(pb), cb)
           else if (u.kw("PARTITIONED", "BY"))
             for {
               pb <- u.parens()
+              cb <- clusterBy(u)
               _ <- Some(()).filter(_ => u.kw("AS"))
               query <- u.rest()
               _ <- Some(()).filter(_ => gated(t))
             } yield CtasSnapshotCommand(parts(t),
-              identifierList(pb).mkString(","), query.trim)
+              identifierList(pb).mkString(","), query.trim, cb)
           else None
         }
       }
@@ -1851,7 +1866,8 @@ case class DescribeDetailCommand(table: Seq[String])
         StructField("num_partitions", IntegerType, nullable = false),
         StructField("size_bytes", LongType, nullable = true),
         StructField("num_rows", LongType, nullable = true),
-        StructField("constraints", ArrayType(StringType), nullable = false))))
+        StructField("constraints", ArrayType(StringType), nullable = false),
+        StructField("maintenance_last_error", StringType, nullable = true))))
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1876,7 +1892,12 @@ case class DescribeDetailCommand(table: Seq[String])
       SnapshotStore.rowCount(spark, root)
         .map(java.lang.Long.valueOf).orNull,
       SnapshotStore.tableConstraints(spark, root, cur)
-        .map { case (n, e) => s"$n CHECK ($e)" }))
+        .map { case (n, e) => s"$n CHECK ($e)" },
+      // The last swallowed post-commit maintenance failure (auto-sync
+      // / auto-compact) — the operator signal that a dashboard MV has
+      // silently degraded to full scans. Null = no recorded failure.
+      SnapshotStore.tableProperties(spark, root, cur).toMap
+        .get(SnapshotStore.MaintenanceErrorProp).orNull))
   }
 }
 
@@ -1914,14 +1935,18 @@ case class DropConstraintCommand(table: Seq[String], name: String)
   }
 }
 
-/** `CREATE TABLE t PARTITIONED BY (c) AS SELECT …` — CTAS onto a
-  * snapshot table: the query (full session grammar) commits as
-  * version 1 through the CREATE-ONLY primitive, so two racing
-  * creators cannot both win and an existing table fails loudly
-  * (CTAS is create-only; INSERT INTO / MERGE INTO modify). Returns
-  * (path, version). */
+/** `CREATE TABLE t PARTITIONED BY (c) [CLUSTER BY (k) [SORTED BY (s)]
+  * INTO n BUCKETS] AS SELECT …` — CTAS onto a snapshot table: the
+  * query (full session grammar) commits as version 1 through the
+  * CREATE-ONLY primitive, so two racing creators cannot both win and
+  * an existing table fails loudly (CTAS is create-only; INSERT INTO /
+  * MERGE INTO modify). A CLUSTER BY clause writes version 1 ALREADY
+  * bucketed and records the spec in the same atomic commit — a
+  * DDL-first deployment never pays a day-two layout rewrite for what
+  * day one could write directly. Returns (path, version). */
 case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
-                               query: String)
+                               query: String,
+                               bucket: Option[(Seq[String], Seq[String], Int)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -1935,7 +1960,8 @@ case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
       require(df.columns.contains(c),
         s"CTAS query lacks the declared partition column '$c' " +
           s"(columns: ${df.columns.mkString(", ")})"))
-    SnapshotStore.commitIfAbsent(spark, df, root, partitionCol) match {
+    SnapshotStore.commitIfAbsent(spark, df, root, partitionCol,
+        bucketBy = bucket) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE AS failed: $root already holds a snapshot — " +
@@ -1953,7 +1979,8 @@ case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
   * inside the commit protocol ([[SnapshotStore.commitIfAbsent]]) so a
   * racing CTAS/CREATE cannot slip through. Returns (path, version). */
 case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
-                                      partitionCols: Seq[String])
+                                      partitionCols: Seq[String],
+                                      bucket: Option[(Seq[String], Seq[String], Int)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -1970,7 +1997,10 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
         s"(${schema.fieldNames.mkString(", ")})"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols) match {
+    // The CLUSTER BY spec rides version 1, so the FIRST data commit
+    // already writes bucketed — no day-two layout rewrite.
+    SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
+        bucketBy = bucket) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE failed: $root already holds a snapshot — " +

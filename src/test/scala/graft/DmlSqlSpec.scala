@@ -97,6 +97,70 @@ class DmlSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not in the declared schema"))
   }
 
+  test("creation-time CLUSTER BY: DDL then INSERT writes bucketed with zero layout rewrites") {
+    val dir = freshDir()
+    bindCatalog("graft_cbct")
+    val tRoot = s"$dir/orders"; val dRoot = s"$dir/cust"
+    // Empty CREATE records the spec at v1 …
+    spark.sql(s"CREATE TABLE graft_cbct.`$tRoot` " +
+      "(o_id BIGINT, cust BIGINT, qty INT, part STRING) " +
+      "USING `graft-snapshot` PARTITIONED BY (part) " +
+      "CLUSTER BY (cust) INTO 4 BUCKETS").collect()
+    assert(SnapshotStore.tablePropertiesMap(spark, tRoot)
+      .contains(SnapshotStore.BucketSpecProp),
+      "the CLUSTER BY spec must ride version 1")
+    // … so the FIRST data commit already writes bucketed files.
+    (0 until 200).map(i => (i.toLong, (i % 37).toLong, i % 10, s"p${i % 2}"))
+      .toDF("o_id", "cust", "qty", "part").createOrReplaceTempView("cbct_src")
+    spark.sql(s"INSERT INTO graft_cbct.`$tRoot` SELECT * FROM cbct_src")
+    assert(SnapshotStore.manifest(spark, tRoot, 2L).forall(e =>
+      SnapshotStore.bucketIdOf(new org.apache.hadoop.fs.Path(e.path)
+        .getName).exists(_ < 4)),
+      "the first INSERT must write bucket-stamped files")
+    // CTAS with CLUSTER BY + SORTED BY: version 1's own data files
+    // carry the layout in the same atomic commit.
+    (0 until 37).map(i => (i.toLong, s"seg${i % 3}", "all"))
+      .toDF("cust", "seg", "part").createOrReplaceTempView("cbct_cust")
+    spark.sql(s"CREATE TABLE graft_cbct.`$dRoot` PARTITIONED BY (part) " +
+      "CLUSTER BY (cust) SORTED BY (cust) INTO 4 BUCKETS " +
+      "AS SELECT * FROM cbct_cust").collect()
+    assert(SnapshotStore.manifest(spark, dRoot, 1L).forall(e =>
+      SnapshotStore.bucketIdOf(new org.apache.hadoop.fs.Path(e.path)
+        .getName).exists(_ < 4)),
+      "CTAS CLUSTER BY must write version 1 already bucketed")
+    // The co-bucketed join + bucket-keyed aggregation plans with ZERO
+    // exchanges on bucketed scans — and NO cluster-by layout rewrite
+    // ever ran (the whole point of the creation-time spelling).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val agg = SnapshotStore.table(spark, tRoot)
+        .join(SnapshotStore.table(spark, dRoot), "cust")
+        .groupBy("cust").agg(sum(col("qty")).as("s"), count(lit(1)).as("n"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"creation-time co-bucketed join+agg must plan shuffle-free:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans must be bucketed:\n$p")
+      val direct = (0 until 200).groupBy(i => (i % 37).toLong)
+        .map { case (c, is) => (c, is.map(_ % 10).sum.toLong, is.size.toLong) }
+        .toSet
+      assert(agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == direct)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    Seq(tRoot, dRoot).foreach { r =>
+      val ops = spark.sql(s"DESCRIBE HISTORY graft_cbct.`$r`")
+        .select("operation").as[String].collect().toSeq
+      assert(!ops.contains("cluster-by"),
+        s"no day-two layout rewrite may appear in $r's history: $ops")
+    }
+    // A CLUSTER BY column outside the schema refuses loudly.
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft_cbct.`$dir/bad` (x INT, part STRING) " +
+        "USING `graft-snapshot` PARTITIONED BY (part) " +
+        "CLUSTER BY (nope) INTO 4 BUCKETS").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("INSERT INTO accepts a parenthesized query AND named column lists") {
     val dir = freshDir()
     bindCatalog("graft_ins")

@@ -379,6 +379,23 @@ class UpsertSpec extends SparkSpec {
     val dups = Upsert.duplicateKeys(t, "k").collect()
     assert(dups.length == 1 && dups(0).getLong(0) == 2L)
   }
+
+  test("deleteByKeys never forces a broadcast of the id set") {
+    // A bulk GDPR purge ships an UNBOUNDED id list through K3: a
+    // forced broadcast hint would bypass AQE's size check and OOM the
+    // driver at scale. The anti-join must be unhinted — AQE may still
+    // CHOOSE broadcast when the set proves small, so the pin is on
+    // the hint (analyzed plan), not the executed strategy.
+    val target = spark.range(0, 500000).toDF("k")
+      .withColumn("v", col("k") % 7)
+    val ids = spark.range(0, 150000, 3).toDF("k")
+    val out = Upsert.deleteByKeys(target, ids, "k")
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") &&
+      !analyzed.toLowerCase.contains("broadcast"),
+      s"K3 must not hint a broadcast of an unbounded id set:\n$analyzed")
+    assert(out.count() == 500000L - 50000L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -226,6 +226,40 @@ class AutoSyncSpec extends graft.SparkSpec {
       SnapshotStore.currentVersion(spark, src).get)
   }
 
+  test("a failing auto-sync leaves the data commit green AND surfaces in DESCRIBE DETAIL") {
+    val dir = freshDir()
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    SnapshotStore.commit(spark, rowsDf(0 until 100), src, "part")
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    Rollup.enableAutoSync(spark, src, roll)
+    // Destroy the rollup out from under the registration: every
+    // subsequent auto-sync fails (swallowed by design).
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+    rm(new java.io.File(roll))
+    // The data commit must land regardless …
+    SnapshotStore.appendCommit(spark, rowsDf(100 until 130), src, "part")
+    assert(SnapshotStore.read(spark, src).count() == 130)
+    // … and the swallowed failure rides the NEXT successful commit as
+    // a property (never a commit of its own: the version right after
+    // the failing one is the next data commit).
+    val vAfterFail = SnapshotStore.currentVersion(spark, src).get
+    SnapshotStore.appendCommit(spark, rowsDf(130 until 140), src, "part")
+    assert(SnapshotStore.currentVersion(spark, src).get == vAfterFail + 1,
+      "the error record must not spend a commit of its own")
+    val err = SnapshotStore.tablePropertiesMap(spark, src)
+      .get(SnapshotStore.MaintenanceErrorProp)
+    assert(err.isDefined && err.get.contains("component=autoSync") &&
+      err.get.contains(s"version=$vAfterFail"),
+      s"swallowed auto-sync failure must be recorded, got $err")
+    // Operator surface: DESCRIBE DETAIL shows it.
+    spark.conf.set("spark.sql.catalog.graft_aserr",
+      classOf[GraftCatalog].getName)
+    val detail = spark.sql(s"DESCRIBE DETAIL graft_aserr.`$src`")
+      .select("maintenance_last_error").collect().head.getString(0)
+    assert(detail != null && detail.contains("component=autoSync"))
+  }
+
   test("derive-hook rollups refuse registration; a broken registration degrades, never fails commits") {
     val dir = freshDir()
     val src = s"$dir/src"; val roll = s"$dir/roll"
