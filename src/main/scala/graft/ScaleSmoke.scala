@@ -83,6 +83,7 @@ object ScaleSmoke {
     var pqBooks: DataFrame = null; var pqIndexDf: DataFrame = null // round-11 PQ
     var hllSrcRoot = ""; var hllSkRoot = "" // round-11 sketch sync
     var ruRollRoot = "" // round-11 rollup sync
+    var hkRoot = ""; var hkR1 = ""; var hkR2 = ""; var hkR3 = "" // round-13 hook pricing
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -843,7 +844,89 @@ object ScaleSmoke {
           j.agg(sum(col("doc_len")), sum(length(col("text"))))
             .collect().length.toLong
         } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      })
+      },
+      // Post-commit hook pricing (round 13): auto-sync and
+      // auto-compact ride the WRITER's commit path synchronously —
+      // this A/B makes the "maintenance rides the writer" trade a
+      // measured number. Same-size append batches (≡ k mod 1000
+      // slices of the amplified corpus) against the same table with
+      // 0, 1, and 3 registered auto-sync rollups, then with
+      // auto-compact below and at its threshold.
+      time("hook_setup") {
+        hkRoot = java.nio.file.Files
+          .createTempDirectory("graft_scale_hook").toString + "/t"
+        def enrich(df: DataFrame) = df
+          .withColumn("part", pmod(col("doc_id"), lit(16)))
+          .withColumn("author", pmod(col("doc_id"), lit(997)))
+          .withColumn("g2", pmod(col("doc_id"), lit(7)))
+          .withColumn("g3", pmod(col("doc_id"), lit(13)))
+        graft.sinks.SnapshotStore.commit(spark,
+          enrich(docs.filter(pmod(col("doc_id"), lit(10)) > 4)),
+          hkRoot, "part")
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_scale_hookr").toString
+        hkR1 = s"$base/r1"; hkR2 = s"$base/r2"; hkR3 = s"$base/r3"
+        graft.operators.Rollup.sync(spark, hkRoot, hkR1,
+          Seq("doc_id"), Seq("part"), Seq("author"))
+        graft.operators.Rollup.sync(spark, hkRoot, hkR2,
+          Seq("doc_id"), Seq("g2"), Seq("author"))
+        graft.operators.Rollup.sync(spark, hkRoot, hkR3,
+          Seq("doc_id"), Seq("g3"), Seq("author"))
+      }) ++ {
+      // 10%-of-corpus batches, deliberately fragmented (6 tasks → up
+      // to 6 files per touched partition per append), so the
+      // at-threshold probe deterministically crosses minFiles=4 at
+      // every scale — an unfragmented tiny batch would never trip it.
+      def hookBatch(k: Int) = docs
+        .filter(pmod(col("doc_id"), lit(10)) === k)
+        .repartition(6)
+        .withColumn("part", pmod(col("doc_id"), lit(16)))
+        .withColumn("author", pmod(col("doc_id"), lit(997)))
+        .withColumn("g2", pmod(col("doc_id"), lit(7)))
+        .withColumn("g3", pmod(col("doc_id"), lit(13)))
+      def append(k: Int): Long = graft.sinks.SnapshotStore
+        .appendCommit(spark, hookBatch(k), hkRoot, "part")
+      Seq(
+        time("commit_append_0_rollups") { append(0) },
+        {
+          graft.operators.Rollup.enableAutoSync(spark, hkRoot, hkR1)
+          time("commit_append_1_rollup") { append(1) }
+        },
+        {
+          graft.operators.Rollup.enableAutoSync(spark, hkRoot, hkR2)
+          graft.operators.Rollup.enableAutoSync(spark, hkRoot, hkR3)
+          time("commit_append_3_rollups") { append(2) }
+        },
+        {
+          // Unregister so the compaction probes price ONLY the
+          // auto-compact hook, not three rollup syncs on top.
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot,
+            Seq("graft.rollup.autoSync" -> "",
+              "graft.autoCompact.minFiles" -> "100000"))
+          time("commit_autocompact_below") { append(3) }
+        },
+        {
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot,
+            Seq("graft.autoCompact.minFiles" -> "4"))
+          time("commit_autocompact_fires") {
+            val v = append(4)
+            val cur = graft.sinks.SnapshotStore
+              .currentVersion(spark, hkRoot).get
+            // The hook runs synchronously inside the commit path, so
+            // the layout commit must already exist — without this pin
+            // the probe could silently time a below-threshold no-op.
+            require(cur > v, {
+              val sizes = graft.sinks.SnapshotStore.manifest(spark, hkRoot, v)
+                .groupBy(_.partition).view.mapValues(_.size).toMap
+              val props = graft.sinks.SnapshotStore
+                .tablePropertiesMap(spark, hkRoot)
+              s"auto-compact did not fire (v=$v cur=$cur sizes=$sizes " +
+                s"props=$props) — the probe would mis-measure"
+            })
+            cur
+          }
+        })
+    }
 
     val nDocs = docs.count(); val nVecs = embs.count()
     val parts = results.map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }

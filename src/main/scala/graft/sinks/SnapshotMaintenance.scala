@@ -786,8 +786,13 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // WITHIN each bucket instead (writeDataFiles applies sortWithin
       // after its bucket repartition), keeping both bucket co-location
       // and narrow per-file stats ranges. Unbucketed: the classic
-      // range-partition + sort layout.
-      val bucketed = bucketSpecAt(spark, root, cur).isDefined
+      // range-partition + sort layout. ENGAGED, not merely recorded:
+      // a drifted spec (e.g. a type-widened bucket column) makes
+      // writeDataFiles skip the bucket shuffle, so deferring to it
+      // would rewrite partitions with no repartition and no ordering
+      // at all — a silent layout no-op. Drifted specs take the
+      // classic path.
+      val bucketed = bucketSpecEngaged(spark, root, cur).isDefined
       val laid =
         if (bucketed) raw
         else graft.operators.Layout.zorderBy(raw, zCols,
@@ -1113,8 +1118,45 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * can never disagree. */
   private[sinks] def vacuumPlan(spark: SparkSession, root: String, keep: Int,
                          retainMillis: Long): (Seq[String], Seq[String], Seq[Long]) = {
+    // Retention floor for streaming readers (Delta's
+    // retentionDurationCheck, opt-in per table): a checkpointed stream
+    // (change feed / snapshot source) reads versions AFTER their
+    // commit, so `RETAIN 0 HOURS` can delete history it has not
+    // consumed yet — the lagging-gap error then fires on the NEXT
+    // trigger, when the data is already gone. With
+    // `graft.vacuum.minRetainHours` set, (a) a VACUUM retaining less
+    // than the floor refuses loudly, and (b) manifests younger than
+    // the floor survive the keep-count drop, so a reader lagging
+    // within the floor window never loses unread versions. Override
+    // with the `graft.vacuum.force` table property or the
+    // `spark.graft.vacuum.force` session conf (exactly today's
+    // unguarded behavior — for decommissioned tables with no readers).
+    val props = scala.util.Try(tablePropertiesMap(spark, root))
+      .getOrElse(Map.empty[String, String])
+    val floorMillis = props.get("graft.vacuum.minRetainHours")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .map(h => (h * 3600 * 1000).toLong).getOrElse(0L)
+    val force = props.get("graft.vacuum.force").contains("true") ||
+      spark.conf.getOption("spark.graft.vacuum.force").contains("true")
+    val guarded = floorMillis > 0 && !force
+    if (guarded && retainMillis < floorMillis)
+      throw new IllegalStateException(
+        s"VACUUM retention ${retainMillis / 3600000.0}h is below this " +
+          s"table's graft.vacuum.minRetainHours floor " +
+          s"(${floorMillis / 3600000.0}h) — a checkpointed stream lagging " +
+          "within the floor would lose unread versions. Raise RETAIN, or " +
+          "set graft.vacuum.force=true if no stream reads this table")
     val vs = versions(spark, root)
-    val (drop, keepVs) = vs.splitAt(math.max(0, vs.size - keep))
+    val (dropByCount, _) = vs.splitAt(math.max(0, vs.size - keep))
+    val drop =
+      if (!guarded) dropByCount
+      else {
+        val cutoffV = System.currentTimeMillis() - floorMillis
+        // No commit timestamp (pre-#ts manifest) = old = droppable.
+        dropByCount.filter(v =>
+          commitTimestamp(spark, root, v).forall(_ < cutoffV))
+      }
+    val keepVs = vs.filterNot(drop.toSet)
     val keptEntries = keepVs.flatMap(v => manifest(spark, root, v))
     val referenced = keptEntries.map(_.path).toSet
     val referencedDv = keptEntries.filter(_.dv.nonEmpty).map(_.dv).toSet

@@ -1382,9 +1382,12 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // z-order key): the reader DECLARES the spec order unconditionally,
     // so every written file must actually carry it — the caller's key
     // clusters within spec-sort ties instead of replacing it.
+    // A caller's explicit sortWithin applies even when the bucket
+    // layout is skipped (no spec, or a drifted one): dropping it
+    // would silently discard the ordering a layout rewrite asked for.
     val effectiveSort = specSort ++ sortWithin
     val ordered =
-      if (bucketCols.isDefined && effectiveSort.nonEmpty)
+      if (effectiveSort.nonEmpty)
         withDirs.sortWithinPartitions(dirs.map(col) ++ effectiveSort: _*)
       else withDirs
     val physical =

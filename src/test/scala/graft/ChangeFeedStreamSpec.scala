@@ -279,6 +279,63 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("change feed gap"), e.getMessage)
   }
 
+  test("a lagging stream survives a guarded vacuum; force reproduces the unguarded behavior") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    // The memory sink refuses checkpoint recovery — resume through
+    // the file sink, like a real consumer.
+    def drainToFiles(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("key", "product_id").option("startingVersion", "0")
+        .load(root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    SnapshotStore.commit(spark, table(("p1", "a", 1)), root, "supplier")
+    // Checkpoint the reader at v1, then fall behind.
+    drainToFiles()
+    // The table opts into the retention floor (the streaming
+    // deployment's posture), then keeps moving while the reader is
+    // down.
+    SnapshotStore.setProperties(spark, root,
+      Seq("graft.vacuum.minRetainHours" -> "168"))
+    SnapshotStore.mergeCommit(spark, table(("p2", "a", 1)), root,
+      "product_id", "version", "supplier")
+    SnapshotStore.mergeCommit(spark, table(("p1", "a", 2)), root,
+      "product_id", "version", "supplier")
+    val all = SnapshotStore.versions(spark, root)
+    // RETAIN below the floor refuses loudly instead of deleting unread
+    // history out from under the checkpoint.
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0)
+    }
+    assert(e.getMessage.contains("minRetainHours"))
+    // A compliant vacuum keeps every version younger than the floor
+    // even under keep=1 — the lagging reader's window is safe.
+    SnapshotStore.vacuum(spark, root, keep = 1,
+      retainMillis = 169L * 3600 * 1000)
+    assert(SnapshotStore.versions(spark, root) == all,
+      "versions inside the floor window must survive a guarded vacuum")
+    // The lagging stream resumes from its checkpoint and reads
+    // everything it missed — no gap, no error.
+    drainToFiles()
+    val got = spark.read.parquet(out)
+      .select("product_id", "version", "_change_type")
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(("p1", 1, "insert"),
+        ("p2", 1, "insert"), ("p1", 2, "update")),
+      s"resumed stream must deliver the missed windows, got $got")
+    // graft.vacuum.force reproduces today's unguarded deletion.
+    SnapshotStore.setProperties(spark, root,
+      Seq("graft.vacuum.force" -> "true"))
+    SnapshotStore.vacuum(spark, root, keep = 1, retainMillis = 0)
+    assert(SnapshotStore.versions(spark, root).size == 1,
+      "force must restore the unguarded behavior")
+  }
+
   test("preImages option streams update_preimage/update_postimage pairs, version-tagged") {
     val dir = freshDir()
     val root = s"$dir/t"

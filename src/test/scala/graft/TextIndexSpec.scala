@@ -115,6 +115,39 @@ class TextIndexSpec extends SparkSpec {
     assert(hits("alpha") == Seq("d1"))
   }
 
+  test("token-less files count as covered — search keeps working, misses nothing") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_tokless").toString
+    val root = s"$dir/store"; val idx = s"$dir/index"
+    val v1 = SnapshotStore.commit(spark,
+      Seq(("d1", "alpha words", "a", 1)).toDF("doc_id", "text", "part", "v"),
+      root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v1, "text", idx)
+    // A whole data file of empty / punctuation-only / null docs:
+    // explode-based indexing would record NO rows for it, and the
+    // coverage guard would then refuse FOREVER (its own advice —
+    // re-run the maintenance — cannot satisfy it). The presence
+    // sentinel makes the file covered.
+    val v2 = SnapshotStore.appendCommit(spark,
+      Seq(("d2", "", "b", 1), ("d3", "!!! ... ###", "b", 1),
+          ("d4", null, "b", 1)).toDF("doc_id", "text", "part", "v"),
+      root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v2, "text", idx)
+    def hits(w: String) = TextIndex
+      .searchWordInSnapshot(spark, root, idx, "text", w)
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(hits("alpha") == Seq("d1"),
+      "search must keep working with token-less live files")
+    assert(hits("nosuchword") == Seq.empty)
+    // Exactness unharmed: a later real word in that partition indexes
+    // and resolves normally.
+    val v3 = SnapshotStore.appendCommit(spark,
+      Seq(("d5", "gamma", "b", 1)).toDF("doc_id", "text", "part", "v"),
+      root, "part")
+    TextIndex.appendForSnapshotVersion(spark, root, v3, "text", idx)
+    assert(hits("gamma") == Seq("d5"))
+  }
+
   test("a layout rewrite between maintenance calls refuses loudly; indexing it restores search") {
     import graft.sinks.SnapshotStore
     val dir = java.nio.file.Files.createTempDirectory("graft_tix_guard").toString

@@ -248,6 +248,35 @@ class BucketedTableSpec extends graft.SparkSpec {
     assert(SnapshotStore.read(spark, root).count() == 54)
   }
 
+  test("z-order on a type-drifted spec takes the classic layout, not a silent no-op") {
+    val root = freshRoot()
+    val grid = spark.range(4096).select(
+      col("id").as("k"),
+      pmod(col("id"), lit(64)).as("a"),
+      (col("id") / 64).cast("long").as("b"),
+      lit("g").as("part"))
+    SnapshotStore.commit(spark, grid, root, "part")
+    // Hash layout: every bucket file spans nearly the full a/b range,
+    // so stats skipping has nothing to bite on.
+    SnapshotStore.bucketTable(spark, root, Seq("k"), 8)
+    // Drift the recorded type (k is BIGINT): writeDataFiles will skip
+    // the bucket shuffle, so the z-order rewrite must NOT defer to it
+    // — deferring would rewrite the partitions with no repartition
+    // and no ordering at all (a silent layout no-op). The drifted
+    // table takes the classic range+sort layout, which restores
+    // skippability.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.BucketSpecProp -> "8;k:INT"))
+    SnapshotStore.compactZOrder(spark, root, ColSpec(Seq("part")),
+      Seq("a", "b"), filesPerPartition = 16)
+    val (t1, i1) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t1.filter(col("a") < 8).count() == 512)
+    assert(i1.lastCandidateFiles < i1.totalFiles,
+      s"drifted-spec z-order must produce a skippable layout: " +
+        s"${i1.lastCandidateFiles}/${i1.totalFiles}")
+    assert(SnapshotStore.read(spark, root).count() == 4096)
+  }
+
   test("comma-bearing bucket column types (DECIMAL) round-trip through the spec") {
     val root = freshRoot()
     SnapshotStore.commit(spark,
