@@ -91,6 +91,10 @@ object Rollup {
     override def props: Seq[(String, String)] = Seq(
       DeriveKindProp -> "freqGuard",
       DeriveValueColProp -> valueCol,
+      // The guard's OWN group set, recorded explicitly: reconstructing
+      // it as groupCols-minus-valueCol would silently weaken a guard
+      // configured over a subset of the rollup's group columns.
+      DeriveGuardGroupsProp -> guardGroupCols.mkString(","),
       DeriveMaxDistinctProp -> maxDistinctPerGroup.toString)
     override def apply(df: DataFrame): DataFrame = {
       val names = if (guardGroupCols.isEmpty) Seq("__g") else guardGroupCols
@@ -129,6 +133,7 @@ object Rollup {
 
   private val DeriveKindProp = "graft.rollup.derive.kind"
   private val DeriveValueColProp = "graft.rollup.derive.valueCol"
+  private val DeriveGuardGroupsProp = "graft.rollup.derive.guardGroups"
   private val DeriveMaxDistinctProp = "graft.rollup.derive.maxDistinct"
   private val DeriveBinColProp = "graft.rollup.derive.binCol"
   private val DeriveLoProp = "graft.rollup.derive.lo"
@@ -146,10 +151,10 @@ object Rollup {
           s"recorded derive '$kind' is missing its $k property"))
       kind match {
         case "freqGuard" =>
-          val v = need(DeriveValueColProp)
-          val groups = props.getOrElse("graft.rollup.groupCols", "")
-            .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          FreqGuard(groups.filterNot(_ == v), v,
+          FreqGuard(
+            need(DeriveGuardGroupsProp).split(",").toSeq
+              .map(_.trim).filter(_.nonEmpty),
+            need(DeriveValueColProp),
             need(DeriveMaxDistinctProp).toInt)
         case "histBin" =>
           HistBin(need(DeriveValueColProp), need(DeriveBinColProp),
@@ -180,8 +185,9 @@ object Rollup {
   private val MetaKeys: Set[String] = Set(CursorProp,
     "graft.rollup.source", "graft.rollup.srcKeys", "graft.rollup.groupCols",
     "graft.rollup.sumCols", "graft.rollup.minMaxCols", "graft.rollup.derived",
-    DeriveKindProp, DeriveValueColProp, DeriveMaxDistinctProp,
-    DeriveBinColProp, DeriveLoProp, DeriveHiProp, DeriveBinsProp)
+    DeriveKindProp, DeriveValueColProp, DeriveGuardGroupsProp,
+    DeriveMaxDistinctProp, DeriveBinColProp, DeriveLoProp, DeriveHiProp,
+    DeriveBinsProp)
 
   /** Sync a rollup from its OWN recorded self-description — the form
     * the post-commit auto-sync hook calls
@@ -245,13 +251,31 @@ object Rollup {
     require(props("graft.rollup.source") == srcRoot,
       s"$rollupRoot is a rollup of ${props("graft.rollup.source")}, not " +
         s"$srcRoot — registering it here would never sync it")
-    val existing = SnapshotStore.tablePropertiesMap(spark, srcRoot)
-      .get("graft.rollup.autoSync").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    if (!existing.contains(rollupRoot))
-      SnapshotStore.setProperties(spark, srcRoot,
-        Seq("graft.rollup.autoSync" -> (existing :+ rollupRoot).mkString(",")))
+    // CAS append: two sessions registering different rollups
+    // concurrently must both land — a caller-side read-merge-set
+    // would let the loser's retry overwrite the winner's entry, and
+    // the erased rollup would silently never sync again.
+    SnapshotStore.updateProperty(spark, srcRoot, "graft.rollup.autoSync") {
+      cur =>
+        val existing = cur.toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        if (existing.contains(rollupRoot)) existing.mkString(",")
+        else (existing :+ rollupRoot).mkString(",")
+    }
     syncFromProps(spark, rollupRoot)
+  }
+
+  /** The one place the derive-closure-vs-spec choice resolves to
+    * (function to apply, derived flag to record) — sync and rebuild
+    * must agree on this rule or their recorded self-descriptions
+    * diverge. */
+  private def resolveDerive(derive: DataFrame => DataFrame,
+                            deriveSpec: Option[DeriveSpec])
+      : (DataFrame => DataFrame, Boolean) = {
+    require(deriveSpec.isEmpty || (derive eq Identity),
+      "pass a derive closure OR a recordable deriveSpec, not both")
+    (deriveSpec.map(sp => sp.apply _).getOrElse(derive),
+      deriveSpec.map(!_.contentIdentity).getOrElse(derive ne Identity))
   }
 
   private val Bucket = "__bucket"
@@ -308,12 +332,7 @@ object Rollup {
            derive: DataFrame => DataFrame = Identity,
            deriveSpec: Option[DeriveSpec] = None): Long = {
     require(groupCols.nonEmpty, "rollup sync needs at least one group column")
-    require(deriveSpec.isEmpty || (derive eq Identity),
-      "pass a derive closure OR a recordable deriveSpec, not both")
-    val deriveFn: DataFrame => DataFrame =
-      deriveSpec.map(sp => sp.apply _).getOrElse(derive)
-    val derivedFlag = deriveSpec.map(!_.contentIdentity)
-      .getOrElse(derive ne Identity)
+    val (deriveFn, derivedFlag) = resolveDerive(derive, deriveSpec)
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
         s"rollup sync: no committed source at $srcRoot"))
@@ -460,12 +479,7 @@ object Rollup {
               minMaxCols: Seq[String] = Nil,
               derive: DataFrame => DataFrame = Identity,
               deriveSpec: Option[DeriveSpec] = None): Long = {
-    require(deriveSpec.isEmpty || (derive eq Identity),
-      "pass a derive closure OR a recordable deriveSpec, not both")
-    val deriveFn: DataFrame => DataFrame =
-      deriveSpec.map(sp => sp.apply _).getOrElse(derive)
-    val derivedFlag = deriveSpec.map(!_.contentIdentity)
-      .getOrElse(derive ne Identity)
+    val (deriveFn, derivedFlag) = resolveDerive(derive, deriveSpec)
     val cur = SnapshotStore.currentVersion(spark, srcRoot)
       .getOrElse(throw new IllegalStateException(
         s"rollup rebuild: no committed source at $srcRoot"))

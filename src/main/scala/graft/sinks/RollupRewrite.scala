@@ -197,6 +197,12 @@ object RollupRewrite {
       idx <- Some(fs.location).collect { case g: GraftFileIndex => g }
       root <- idx.tableRoot
       version <- idx.version
+      // Cheap plan-only pre-filter FIRST: the lookups below cost
+      // manifest reads, and optimizer batches re-run this rule — a
+      // query over table B must not pay filesystem I/O for table A's
+      // registration.
+      _ <- Some(()).filter(_ =>
+        regs.exists(r => r.source == root && r.cursor == version))
       // The relation's attributes carry PHYSICAL names (column
       // mapping projects them back to logical ABOVE the relation);
       // the rollup records LOGICAL names — resolve through the

@@ -532,8 +532,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * compacted this round" and the next commit retries. */
   private[sinks] def maybeAutoCompact(spark: SparkSession, root: String,
                                       committed: Long): Unit = try {
-    val min = tablePropertiesMap(spark, root)
-      .get("graft.autoCompact.minFiles")
+    val props = tablePropertiesMap(spark, root)
+    val min = props.get("graft.autoCompact.minFiles")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
     if (min > 0) {
       // A bucketed partition's floor is one file per bucket — a
@@ -543,11 +543,15 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val eff = math.max(min, floor)
       val over = manifest(spark, root, committed).groupBy(_.partition)
         .filter(_._2.size > eff).keys.toSeq
-      if (over.nonEmpty)
+      if (over.nonEmpty) {
         partitionColumn(spark, root, committed).foreach { spec =>
           compact(spark, root, ColSpec.parse(spec),
             maxFilesPerPartition = eff, partitions = Some(over))
         }
+        // An exception-free compaction clears a recorded autoCompact
+        // failure — one transient blip must not flag the table forever.
+        recordMaintenanceRecovery(root, "autoCompact", props)
+      }
     }
   } catch { case scala.util.control.NonFatal(e) =>
     // Swallowed by design (the data commit already won) — but
@@ -600,20 +604,28 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
   private[sinks] def maybeAutoSyncRollups(spark: SparkSession,
                                           root: String,
                                           committed: Long): Unit = try {
-    tablePropertiesMap(spark, root).get("graft.rollup.autoSync")
+    val props = tablePropertiesMap(spark, root)
+    val registered = props.get("graft.rollup.autoSync")
       .toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(r => r.nonEmpty && r != root)
-      .foreach { rollupRoot =>
-        try graft.operators.Rollup.syncFromProps(spark, rollupRoot)
-        catch { case scala.util.control.NonFatal(e) =>
-          // Swallowed by design: a stale cursor keeps the MV rewrite
-          // OFF (answers stay right, reads pay the scan) — but that
-          // degradation must be operator-visible, so the failure rides
-          // the source's next commit as a property.
-          recordMaintenanceError(root, "autoSync",  committed,
-            new RuntimeException(s"rollup $rollupRoot: ${e.getMessage}", e))
-        }
+    var failures = 0
+    registered.foreach { rollupRoot =>
+      try graft.operators.Rollup.syncFromProps(spark, rollupRoot)
+      catch { case scala.util.control.NonFatal(e) =>
+        failures += 1
+        // Swallowed by design: a stale cursor keeps the MV rewrite
+        // OFF (answers stay right, reads pay the scan) — but that
+        // degradation must be operator-visible, so the failure rides
+        // the source's next commit as a property.
+        recordMaintenanceError(root, "autoSync",  committed,
+          new RuntimeException(s"rollup $rollupRoot: ${e.getMessage}", e))
       }
+    }
+    // A fully-clean pass over a non-empty registration clears a
+    // recorded autoSync failure: the MV is cursor-fresh again, so the
+    // "silently degraded to scans" flag must not alarm forever.
+    if (registered.nonEmpty && failures == 0)
+      recordMaintenanceRecovery(root, "autoSync", props)
   } catch { case scala.util.control.NonFatal(e) =>
     recordMaintenanceError(root, "autoSync", committed, e)
   }
@@ -1131,10 +1143,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     // with the `graft.vacuum.force` table property or the
     // `spark.graft.vacuum.force` session conf (exactly today's
     // unguarded behavior — for decommissioned tables with no readers).
-    val props = scala.util.Try(tablePropertiesMap(spark, root))
-      .getOrElse(Map.empty[String, String])
+    // Loud on a garbled floor (the deriveSpecFromProps rule): a unit
+    // typo ("168h") silently parsing to no-floor would disable exactly
+    // the data-loss guard the operator opted into. The properties read
+    // itself is NOT swallowed either — if the manifest is unreadable,
+    // deleting files based on an unknown retention posture is wrong.
+    val props = tablePropertiesMap(spark, root)
     val floorMillis = props.get("graft.vacuum.minRetainHours")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .map(s => scala.util.Try(s.trim.toDouble).getOrElse(
+        throw new IllegalStateException(
+          s"graft.vacuum.minRetainHours = '$s' is not a number (hours) — " +
+            "fix the property; a malformed floor must not silently vacuum " +
+            "unguarded")))
       .map(h => (h * 3600 * 1000).toLong).getOrElse(0L)
     val force = props.get("graft.vacuum.force").contains("true") ||
       spark.conf.getOption("spark.graft.vacuum.force").contains("true")

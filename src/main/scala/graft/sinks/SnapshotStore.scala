@@ -526,6 +526,41 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       s"lost the set-properties race $maxAttempts times under $root")
   }
 
+  /** Read-modify-write of ONE property under the OCC loop: `f` sees
+    * the value at each ATTEMPT's current version, so a lost race
+    * recomputes against the winner's value instead of silently
+    * overwriting it ([[setProperties]] re-reads the rest of the set
+    * per attempt, but a caller-side merge of the updated value is
+    * computed once — two concurrent registrars appending to the same
+    * list property would erase each other). A no-op update (f returns
+    * the current value) commits nothing. Returns the version holding
+    * the value. */
+  def updateProperty(spark: SparkSession, root: String, key: String,
+                     maxAttempts: Int = 5)(f: Option[String] => String): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableProperties(spark, root, cur)
+      val old = existing.collectFirst { case (k, v) if k == key => v }
+      val next = f(old)
+      if (old.contains(next)) return cur
+      val merged = existing.filterNot(_._1 == key) :+ (key -> next)
+      val entries = manifest(spark, root, cur)
+      val v = cur + 1
+      if (writeManifest(spark, root, v, entries, "set-properties",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          properties = Some(merged))) {
+        writeStats(spark, root, v, entries, Nil, None)
+        postCommit(spark, root, v, compactEligible = false)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the update-property race $maxAttempts times under $root")
+  }
+
   /** `ALTER TABLE … UNSET TBLPROPERTIES` — metadata-only removal.
     * Unknown keys fail loudly (matching UNSET without IF EXISTS).
     * Returns the new version. */
@@ -587,6 +622,10 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * `component=…;version=…;ts=…;message=<url-encoded>`. */
   val MaintenanceErrorProp = "graft.maintenance.lastError"
 
+  /** Pending ledger: value = the encoded error to set, or the empty
+    * string = CLEAR the property (maintenance for its component
+    * recovered). Entries ride the next successful commit and are
+    * removed when it wins. */
   private val pendingMaintenanceErrors =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -597,6 +636,18 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         s"ts=${System.currentTimeMillis()};message=" +
         URLEncoder.encode(
           Option(e.getMessage).getOrElse(e.getClass.getName).take(500), UTF_8))
+
+  /** Maintenance for `component` completed cleanly: if the table's
+    * recorded last error belongs to that component (and no NEW
+    * failure is already pending), queue a clear — otherwise one
+    * transient blip would flag the table in DESCRIBE DETAIL forever,
+    * turning the "MV silently degraded" signal into a permanent
+    * false alarm. */
+  private[sinks] def recordMaintenanceRecovery(root: String, component: String,
+                                               currentProps: Map[String, String]): Unit =
+    if (currentProps.get(MaintenanceErrorProp)
+          .exists(_.startsWith(s"component=$component;")))
+      pendingMaintenanceErrors.putIfAbsent(root, "")
 
   private[sinks] def writeManifest(spark: SparkSession, root: String, version: Long,
                             entries: Seq[ManifestEntry],
@@ -635,11 +686,16 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       else Nil)
     // Table properties carry forward exactly like constraints unless
     // the caller REPLACES the set (ALTER TABLE SET/UNSET TBLPROPERTIES).
-    // A pending swallowed-maintenance failure rides THIS commit (see
-    // [[MaintenanceErrorProp]]) — merged after the caller's set so it
-    // can never be lost to a replacement, and cleared only when this
-    // attempt wins.
-    val maintErr = Option(pendingMaintenanceErrors.get(root))
+    // A pending swallowed-maintenance failure (or recovery-clear)
+    // rides THIS commit (see [[MaintenanceErrorProp]]) — merged after
+    // the caller's set so it can never be lost to a replacement, and
+    // cleared from the ledger only when this attempt wins. A pending
+    // entry at version 1 is always stale (hooks run POST-commit, so a
+    // fresh table cannot have failed yet — it belongs to a dropped
+    // table recreated at the same path) and is discarded instead.
+    if (version == 1) pendingMaintenanceErrors.remove(root)
+    val maintErr =
+      if (version == 1) None else Option(pendingMaintenanceErrors.get(root))
     val effectiveProperties = {
       val base = properties.getOrElse(
         if (version > 1)
@@ -647,6 +703,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           catch { case _: java.io.IOException => Nil }
         else Nil)
       maintErr match {
+        case Some("") => base.filterNot(_._1 == MaintenanceErrorProp)
         case Some(err) =>
           base.filterNot(_._1 == MaintenanceErrorProp) :+
             (MaintenanceErrorProp -> err)

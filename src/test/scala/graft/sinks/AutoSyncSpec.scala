@@ -258,6 +258,19 @@ class AutoSyncSpec extends graft.SparkSpec {
     val detail = spark.sql(s"DESCRIBE DETAIL graft_aserr.`$src`")
       .select("maintenance_last_error").collect().head.getString(0)
     assert(detail != null && detail.contains("component=autoSync"))
+    // RECOVERY clears the flag: rebuild the rollup, let one clean
+    // hook pass run (queues the clear), and the following commit
+    // drops the property — one transient failure must not alarm
+    // DESCRIBE DETAIL forever.
+    Rollup.sync(spark, src, roll, Seq("id"), Seq("g"), sumCols = Seq("qty"))
+    SnapshotStore.appendCommit(spark, rowsDf(140 until 150), src, "part")
+    SnapshotStore.appendCommit(spark, rowsDf(150 until 160), src, "part")
+    assert(!SnapshotStore.tablePropertiesMap(spark, src)
+      .contains(SnapshotStore.MaintenanceErrorProp),
+      "a clean auto-sync pass must clear the recorded failure")
+    assert(SnapshotStore.tablePropertiesMap(spark, roll)(
+      Rollup.CursorProp).toLong ==
+      SnapshotStore.currentVersion(spark, src).get)
   }
 
   test("derive-hook rollups refuse registration; a broken registration degrades, never fails commits") {
