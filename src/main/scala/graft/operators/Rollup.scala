@@ -151,11 +151,17 @@ object Rollup {
           s"recorded derive '$kind' is missing its $k property"))
       kind match {
         case "freqGuard" =>
-          FreqGuard(
-            need(DeriveGuardGroupsProp).split(",").toSeq
-              .map(_.trim).filter(_.nonEmpty),
-            need(DeriveValueColProp),
-            need(DeriveMaxDistinctProp).toInt)
+          val v = need(DeriveValueColProp)
+          // Records written before guardGroups existed fall back to
+          // the old reconstruction (groupCols minus the value column)
+          // — refusing would permanently break their auto-sync, the
+          // exact failure the recordable derive exists to prevent.
+          val guardGroups = props.get(DeriveGuardGroupsProp)
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(props.getOrElse("graft.rollup.groupCols", "")
+              .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+              .filterNot(_ == v))
+          FreqGuard(guardGroups, v, need(DeriveMaxDistinctProp).toInt)
         case "histBin" =>
           HistBin(need(DeriveValueColProp), need(DeriveBinColProp),
             need(DeriveLoProp).toDouble, need(DeriveHiProp).toDouble,

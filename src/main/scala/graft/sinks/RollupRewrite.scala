@@ -200,9 +200,11 @@ object RollupRewrite {
       // Cheap plan-only pre-filter FIRST: the lookups below cost
       // manifest reads, and optimizer batches re-run this rule — a
       // query over table B must not pay filesystem I/O for table A's
-      // registration.
-      _ <- Some(()).filter(_ =>
-        regs.exists(r => r.source == root && r.cursor == version))
+      // registration. ONE predicate: `matching` is also the candidate
+      // list iterated below, so the gate and the match can never
+      // disagree.
+      matching = regs.filter(r => r.source == root && r.cursor == version)
+      _ <- Some(()).filter(_ => matching.nonEmpty)
       // The relation's attributes carry PHYSICAL names (column
       // mapping projects them back to logical ABOVE the relation);
       // the rollup records LOGICAL names — resolve through the
@@ -231,8 +233,7 @@ object RollupRewrite {
             case _ => None
           }).map(names :+ _))
         }
-      plan <- regs.iterator
-        .filter(r => r.source == root && r.cursor == version)
+      plan <- matching.iterator
         .flatMap(reg =>
           buildFor(spark, agg, reg, filters, groupNames, resolve,
             resolveIn, partPredicate))

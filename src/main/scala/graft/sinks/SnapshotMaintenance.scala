@@ -543,15 +543,22 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val eff = math.max(min, floor)
       val over = manifest(spark, root, committed).groupBy(_.partition)
         .filter(_._2.size > eff).keys.toSeq
-      if (over.nonEmpty) {
+      if (over.nonEmpty)
         partitionColumn(spark, root, committed).foreach { spec =>
           compact(spark, root, ColSpec.parse(spec),
             maxFilesPerPartition = eff, partitions = Some(over))
+          // An exception-free compaction clears a recorded autoCompact
+          // failure — one transient blip must not flag the table
+          // forever. Inside the foreach: an unresolvable partition
+          // spec means compaction did NOT run, which is not recovery.
+          recordMaintenanceRecovery(root, "autoCompact", props)
         }
-        // An exception-free compaction clears a recorded autoCompact
-        // failure — one transient blip must not flag the table forever.
+      else
+        // Nothing over threshold — e.g. the operator compacted
+        // manually after a transient failure. The component verifiably
+        // has nothing left to fail on: that is recovery too, or the
+        // flag would alarm on a healthy table forever.
         recordMaintenanceRecovery(root, "autoCompact", props)
-      }
     }
   } catch { case scala.util.control.NonFatal(e) =>
     // Swallowed by design (the data commit already won) — but
@@ -621,10 +628,12 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           new RuntimeException(s"rollup $rollupRoot: ${e.getMessage}", e))
       }
     }
-    // A fully-clean pass over a non-empty registration clears a
-    // recorded autoSync failure: the MV is cursor-fresh again, so the
-    // "silently degraded to scans" flag must not alarm forever.
-    if (registered.nonEmpty && failures == 0)
+    // A fully-clean pass clears a recorded autoSync failure: the MVs
+    // are cursor-fresh again (or the broken registration was removed
+    // — an EMPTY registration verifiably has nothing left to fail
+    // on), so the "silently degraded to scans" flag must not alarm
+    // forever.
+    if (failures == 0)
       recordMaintenanceRecovery(root, "autoSync", props)
   } catch { case scala.util.control.NonFatal(e) =>
     recordMaintenanceError(root, "autoSync", committed, e)
@@ -1150,12 +1159,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     // deleting files based on an unknown retention posture is wrong.
     val props = tablePropertiesMap(spark, root)
     val floorMillis = props.get("graft.vacuum.minRetainHours")
-      .map(s => scala.util.Try(s.trim.toDouble).getOrElse(
-        throw new IllegalStateException(
-          s"graft.vacuum.minRetainHours = '$s' is not a number (hours) — " +
-            "fix the property; a malformed floor must not silently vacuum " +
-            "unguarded")))
-      .map(h => (h * 3600 * 1000).toLong).getOrElse(0L)
+      .map { s =>
+        val h = scala.util.Try(s.trim.toDouble).toOption
+          // 0 = explicitly disabled; NaN/Infinity/negative are as
+          // garbled as non-numeric and would silently disable the
+          // guard ((NaN * 3600000).toLong == 0).
+          .filter(h => !h.isNaN && !h.isInfinite && h >= 0)
+          .getOrElse(throw new IllegalStateException(
+            s"graft.vacuum.minRetainHours = '$s' is not a non-negative " +
+              "finite number of hours — fix the property; a malformed " +
+              "floor must not silently vacuum unguarded"))
+        (h * 3600 * 1000).toLong
+      }.getOrElse(0L)
     val force = props.get("graft.vacuum.force").contains("true") ||
       spark.conf.getOption("spark.graft.vacuum.force").contains("true")
     val guarded = floorMillis > 0 && !force

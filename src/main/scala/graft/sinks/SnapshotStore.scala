@@ -692,8 +692,10 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // cleared from the ledger only when this attempt wins. A pending
     // entry at version 1 is always stale (hooks run POST-commit, so a
     // fresh table cannot have failed yet — it belongs to a dropped
-    // table recreated at the same path) and is discarded instead.
-    if (version == 1) pendingMaintenanceErrors.remove(root)
+    // table recreated at the same path): never merged, and discarded
+    // only when THIS attempt wins (below) — a losing v1 creator
+    // racing an existing table must not delete the winner's
+    // legitimate pending error.
     val maintErr =
       if (version == 1) None else Option(pendingMaintenanceErrors.get(root))
     val effectiveProperties = {
@@ -800,7 +802,9 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       writeLastCheckpoint(spark, root, version)
     // The pending maintenance error is now durably recorded — clear it
     // (only if unchanged: a newer failure recorded mid-write must ride
-    // the next commit, not vanish).
+    // the next commit, not vanish). A WON version-1 commit discards
+    // any stale entry outright (it predates this table).
+    if (won && version == 1) pendingMaintenanceErrors.remove(root)
     if (won) maintErr.foreach(err =>
       pendingMaintenanceErrors.remove(root, err))
     won
