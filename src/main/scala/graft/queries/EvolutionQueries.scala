@@ -1741,6 +1741,146 @@ private[graft] object EvolutionQueries {
         FROM r WHERE rank <= 2)
       SELECT k, v FROM quant
       UNION ALL SELECT k, v FROM tk
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // ANALYZE + COST-BASED OPTIMIZATION (SnapshotStats): table-level
+    // rowCount is manifest-derived — exact and fresh at every version
+    // with zero scans (require-pinned against the post-delete live
+    // count); ONE explicit ANALYZE records per-column NDVs, and under
+    // `spark.sql.cbo.*` a selective-filter join flips from shuffled
+    // SMJ to broadcast purely from the recorded statistics (both plan
+    // states require-pinned in-query). The broadcast threshold is set
+    // RELATIVE to the table's actual bytes, so the pin holds at any
+    // SF: size-only costing sees the full file size (> threshold, no
+    // broadcast); CBO sees rows/NDV(ckb) ≈ 1% (< threshold,
+    // broadcast). Values are identical either way — the oracle
+    // aggregates the equivalent join directly.
+    ("q213_analyze_cbo", (s: SparkSession, d: String) => {
+      import graft.sinks.{SnapshotStats, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q213").toString
+      val src = s"$dir/orders"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(100)).cast("string").as("ckb"),
+        pmod(col("o_orderkey"), lit(4)).cast("string").as("part"))
+      SnapshotStore.commit(s, orders, src, "part")
+      SnapshotStore.deleteWhere(s, src, "o_orderkey % 10 = 7")
+      SnapshotStats.analyze(s, src)
+      val live = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 7).count()
+      val fact = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"))
+      def q(): DataFrame = {
+        val (dim, _) = SnapshotStore.tableWithIndex(s, src)
+        dim.filter(col("ckb") === "7")
+          .join(fact, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(22,2)").cast("double").as("sq"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(22,2)").cast("double").as("sp"))
+          .orderBy(col("l_returnflag"))
+      }
+      // Threshold RELATIVE to the table's actual bytes (no absolute
+      // floor — a floor above a tiny SF's file size would let even
+      // size-only costing broadcast and break the A/B pin): size-only
+      // sees bytes > bytes/4 → no broadcast; CBO sees ~rows/NDV(ckb)
+      // = 1% of rows → well under at every SF.
+      val bytes = SnapshotStore.tableWithIndex(s, src)._2.sizeInBytes
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        math.max(1L, bytes / 4))
+      try {
+        val plain = q().queryExecution.executedPlan.toString
+        require(!plain.contains("BroadcastHashJoin"),
+          s"size-only costing must not broadcast a >threshold dim:\n$plain")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        s.conf.set("spark.sql.cbo.planStats.enabled", "true")
+        try {
+          val cbo = q()
+          val scanStats = cbo.queryExecution.optimizedPlan.collectLeaves()
+            .collectFirst {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+                => lr.stats
+            }.getOrElse(throw new IllegalStateException("no scan leaf"))
+          require(scanStats.rowCount.contains(BigInt(live)),
+            s"manifest rowCount must be the exact live count: " +
+              s"${scanStats.rowCount} vs $live")
+          val planned = cbo.queryExecution.executedPlan.toString
+          require(planned.contains("BroadcastHashJoin"),
+            s"recorded NDVs must flip the selective join to broadcast:\n$planned")
+          cbo.persist()
+          cbo.count()
+          cbo
+        } finally {
+          s.conf.unset("spark.sql.cbo.enabled")
+          s.conf.unset("spark.sql.cbo.planStats.enabled")
+        }
+      } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 100 = 7 AND o_orderkey % 10 <> 7
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // DYNAMIC FILE PRUNING (DynamicPruning.joinPruned): a dim slice's
+    // join keys skip fact FILES at plan time — the filter that static
+    // pushdown can never see because it only exists through the join.
+    // The fact table is range-partitioned on the key (the monotonic-
+    // ingest-id layout), the dim slice is "the newest tenth of orders"
+    // (keys ≥ ⌊9·max/10⌋), and the probe turns that slice into an
+    // In-list the skipping index prunes with per-file min/max:
+    // require-pinned to open STRICTLY fewer than half the files.
+    // Results are join-identical by construction — the oracle runs the
+    // plain join in DuckDB.
+    ("q214_dynamic_file_pruning", (s: SparkSession, d: String) => {
+      import graft.operators.DynamicPruning
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q214").toString
+      val fact = s"$dir/lineitem"
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      // Range partitioning on the join key: 16 key-contiguous
+      // partitions, so each file carries a tight [min,max] on
+      // l_orderkey — the layout join-time pruning exploits.
+      val maxk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val width = math.max(1L, maxk / 16 + 1)
+      SnapshotStore.commit(s,
+        li.withColumn("part", (col("l_orderkey") / lit(width))
+          .cast("long").cast("string")), fact, "part")
+      val cutoff = maxk * 9 / 10
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderkey") >= cutoff)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val (joined, idx, engaged) = DynamicPruning.joinPrunedWithIndex(
+        s, fact, "l_orderkey", dim, "o_orderkey")
+      val out = joined.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+        .orderBy(col("o_orderstatus"))
+      out.persist()
+      out.count() // plan + listFiles inside this call
+      require(engaged, "the dim slice must fit the key-probe bound")
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"join-time skipping must prune the range-partitioned fact: " +
+          s"${idx.lastCandidateFiles} of ${idx.totalFiles} files kept")
+      out
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey >= (SELECT (MAX(l_orderkey) * 9) // 10 FROM lineitem)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
   )
 }

@@ -151,8 +151,19 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
                               resolvedVersion: Long) extends Table {
   /** Built once per loadTable (= once per query resolution), against
     * the version the catalog already resolved — no second listing. */
-  lazy val (v1, _, entries) = SnapshotStore.relationWithIndex(
+  lazy val (v1, idx, entries) = SnapshotStore.relationWithIndex(
     spark, root, Some(resolvedVersion), None)
+  /** Optimizer statistics rider ([[SnapshotStats]]): exact live
+    * rowCount from the manifest + the last ANALYZE's column stats,
+    * attached through `LogicalRelation.catalogTable` so
+    * `spark.sql.cbo.*` / plan-stats costing sees true cardinalities
+    * instead of compressed-parquet byte guesses. Stats steer PLANS
+    * only — a failed read here degrades to "no stats", never fails
+    * the query. */
+  lazy val catalogStats: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    try SnapshotStats.catalogTableFor(spark, root, resolvedVersion, idx,
+      entries, v1.schema)
+    catch { case scala.util.control.NonFatal(_) => None }
   /** The version's column mapping (renames + dropped physicals) —
     * empty for unmapped tables. */
   lazy val mapping: (Map[String, String], Set[String]) =
@@ -164,12 +175,19 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
   lazy val hasDvs: Boolean = entries.exists(_.dv.nonEmpty)
   lazy val needsWrap: Boolean =
     hasDvs || mapping._1.nonEmpty || mapping._2.nonEmpty
-  /** The DV-applied, mapping-presented read, only built when needed. */
+  /** The DV-applied, mapping-presented read, only built when needed.
+    * The inner scan carries [[catalogStats]] (keyed to physical
+    * attribute names) so CBO costing reaches through the DV/mapping
+    * wrappers too. */
   lazy val dvPlan: LogicalPlan = SnapshotStore.presentLogical(
     SnapshotStore.applyDvs(spark, root,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(v1), entries), mapping)
     .queryExecution.analyzed
+    .transform {
+      case lr: LogicalRelation if lr.relation eq v1 =>
+        lr.copy(catalogTable = catalogStats)
+    }
   override def name(): String =
     s"graft.`$root`" + snapshotVersion.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType =
@@ -187,7 +205,8 @@ case class ResolveGraftSnapshot(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSnapshotTable] =>
         val t = r.table.asInstanceOf[GraftSnapshotTable]
         if (!t.needsWrap)
-          LogicalRelation(t.v1, r.output, None, isStreaming = false, stream = None)
+          LogicalRelation(t.v1, r.output, t.catalogStats,
+            isStreaming = false, stream = None)
         else {
           // Deletion vectors / column mapping: substitute the wrapped
           // plan, aliasing its output onto the analyzed attribute ids

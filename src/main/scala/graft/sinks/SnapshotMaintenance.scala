@@ -836,6 +836,99 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       s"lost the z-order compaction race $maxAttempts times under $root")
   }
 
+  /** Version whose manifest reflects the last [[clusterIncremental]]
+    * pass — the baseline the next pass diffs against. */
+  val ClusteredAtProp = "graft.layout.clusteredAt"
+
+  /** INCREMENTAL clustering (the Delta liquid-clustering cost model):
+    * z-order ONLY the files added since the last clustering pass,
+    * carrying already-clustered files by reference — maintenance cost
+    * ∝ the ingest delta, never the table. [[compactZOrder]] restores
+    * skipping quality but re-shuffles every selected partition; at
+    * 100 TB that is a full-table sort per maintenance window, which
+    * means it never runs. This variant makes clustering a habit: each
+    * pass costs one range shuffle of the NEW files only.
+    *
+    * The trade, stated: per partition the table accrues clustered
+    * GENERATIONS — each internally tight on the z-keys, overlapping
+    * across generations — so a point predicate opens ~one file per
+    * generation instead of exactly one. Two bounds keep that tail
+    * short: (a) when the unclustered delta is at least half the live
+    * file set, the pass clusters EVERYTHING (same cost class, resets
+    * the generation count); (b) a periodic [[compactZOrder]] is the
+    * explicit full reset. A vacuumed or future-dated baseline (the
+    * recorded manifest no longer readable, or a RESTORE moved the tip
+    * behind it) degrades to a FULL pass — never to wrong or skipped
+    * maintenance. Deletion vectors on rewritten files are materialized
+    * (the read is DV-aware), same as every layout rewrite.
+    *
+    * Returns the new version, or the current one when nothing new
+    * arrived since the baseline (a pure metadata check — no scan). */
+  def clusterIncremental(spark: SparkSession, root: String,
+                         partitionCols: ColSpec, zKeys: Seq[String],
+                         filesPerPartition: Int = 4, bits: Int = 8,
+                         maxAttempts: Int = 5): Long = {
+    require(partitionCols.nonEmpty, "clusterIncremental needs a partition spec")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val props = tableProperties(spark, root, cur).toMap
+      val baseline = props.get(ClusteredAtProp).flatMap(s =>
+        try Some(s.toLong) catch { case _: NumberFormatException => None })
+        .filter(_ <= cur)
+      val entries = manifest(spark, root, cur)
+      val unclustered = baseline match {
+        case None => entries
+        case Some(b) =>
+          val clustered =
+            try manifest(spark, root, b).map(_.path).toSet
+            catch { case _: java.io.IOException => Set.empty[String] }
+          if (clustered.isEmpty) entries // vacuumed baseline → full pass
+          else entries.filterNot(e => clustered(e.path))
+      }
+      if (unclustered.isEmpty) return cur
+      // Delta at least half the table: a full pass costs the same
+      // class and resets the generation count.
+      val (replaced, kept) =
+        if (unclustered.size * 2 >= entries.size) (entries, Seq.empty[ManifestEntry])
+        else {
+          val delta = unclustered.map(_.path).toSet
+          (unclustered, entries.filterNot(e => delta(e.path)))
+        }
+      val nParts = replaced.map(_.partition).distinct.size
+      val renames = mappingAt(spark, root, cur)._1
+      val raw = readEntriesAt(spark, root, replaced, cur)
+      val zCols = zKeys.map(k => col(physicalNameOf(renames, k)))
+      // Bucket-engaged tables keep the hash layout and z-sort WITHIN
+      // buckets; drifted specs take the classic path (see
+      // [[compactZOrder]] — same rationale).
+      val bucketed = bucketSpecEngaged(spark, root, cur).isDefined
+      val laid =
+        if (bucketed) raw
+        else graft.operators.Layout.zorderBy(raw, zCols,
+          numFiles = filesPerPartition * nParts, bits = bits)
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, laid, root, v,
+        partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,
+        sortWithin =
+          if (bucketed) Seq(graft.operators.Layout.zorderKey(raw, zCols, bits))
+          else Nil)
+      val stamped = (props - ClusteredAtProp).toSeq :+
+        (ClusteredAtProp -> v.toString)
+      if (writeManifest(spark, root, v, kept ++ newEntries,
+          "zorder-incremental", partitionCols.header,
+          properties = Some(stamped))) {
+        writeStats(spark, root, v, kept, newEntries, None)
+        postCommit(spark, root, v, compactEligible = false)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the incremental-clustering race $maxAttempts times under $root")
+  }
+
   /** Delta `RESTORE TABLE … TO VERSION AS OF` analog: roll the table
     * back to `toVersion`'s content by publishing a NEW version whose
     * manifest carries the target's files BY REFERENCE — a pure

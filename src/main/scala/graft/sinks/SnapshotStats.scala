@@ -1,0 +1,258 @@
+package graft.sinks
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ANALYZE + cost-based-optimizer statistics for snapshot tables.
+  *
+  * Two stat tiers, priced differently:
+  *
+  *   - '''Table-level (rowCount, sizeInBytes): metadata-derived, exact,
+  *     and always fresh''' — Σ sidecar row counts minus Σ deletion-vector
+  *     cardinalities, per read version, zero scans. Spark's own
+  *     `ANALYZE TABLE` numbers go stale after every write; a snapshot
+  *     table's manifest IS the statistic.
+  *   - '''Column-level (NDV, null count, min/max, lengths): one
+  *     explicit ANALYZE scan''' (`ANALYZE TABLE t COMPUTE STATISTICS
+  *     FOR COLUMNS …` or [[analyze]]), recorded as table properties by
+  *     a metadata-only commit and replayed onto every subsequent read.
+  *     Estimates by contract — the optimizer only needs cardinality
+  *     ballpark, so staleness across later commits is acceptable (the
+  *     standard CBO trade; re-ANALYZE refreshes).
+  *
+  * Both tiers surface through the `CatalogTable.stats` hook on the
+  * read relation ([[catalogTableFor]]), which is exactly where Spark's
+  * `LogicalRelation.computeStats` looks: with
+  * `spark.sql.cbo.enabled` (and friends `planStats`/`joinReorder`)
+  * the optimizer sees true row counts and per-column NDVs instead of
+  * compressed-parquet byte guesses — join reordering, selective-filter
+  * cardinality, and broadcast decisions on a 100 TB table are only as
+  * good as these numbers. Stats can only change PLANS, never results,
+  * so every recorded value degrades conservatively: a column whose
+  * type drifted since ANALYZE is dropped, a renamed column follows the
+  * column mapping, a garbled property is ignored.
+  *
+  * Reference anchor: the reference engine plans row-at-a-time with no
+  * optimizer (pim-etl `etl/pipeline.py` executes fixed plans), so this
+  * surface is engine-extension territory; the property-recording
+  * convention follows `graft.rollup.*` (Rollup.scala).
+  */
+object SnapshotStats {
+
+  /** Version the column stats were computed against (informational —
+    * stats are estimates and remain attached until re-ANALYZE). */
+  val AnalyzedVersionProp = "graft.stats.analyzed.version"
+  private val ColPrefix = "graft.stats.col."
+
+  /** One column's recorded statistics. `min`/`max` are already in
+    * `CatalogColumnStat.toExternalString` form for the RUNNING Spark
+    * version (recorded and replayed under `CatalogColumnStat.VERSION`,
+    * so format and parse can never disagree) — the read side hands
+    * them to Spark verbatim. */
+  case class ColStat(tpe: String, ndv: Long, nulls: Long,
+                     min: Option[String], max: Option[String],
+                     avgLen: Option[Long], maxLen: Option[Long])
+
+  /** Types Spark's CBO consumes column stats for (mirrors
+    * `AnalyzeColumnCommand.supportsType`): fixed-width primitives get
+    * NDV/nulls/min/max; string/binary get NDV/nulls/avgLen/maxLen. */
+  def supportsType(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType | DateType | TimestampType => true
+    case StringType | BinaryType => true
+    case _ => false
+  }
+
+  private[graft] def encode(c: ColStat): String =
+    Seq("tpe=" + URLEncoder.encode(c.tpe, UTF_8), s"ndv=${c.ndv}",
+      s"nulls=${c.nulls}",
+      "min=" + c.min.map(URLEncoder.encode(_, UTF_8)).getOrElse(""),
+      "max=" + c.max.map(URLEncoder.encode(_, UTF_8)).getOrElse(""),
+      "avgLen=" + c.avgLen.map(_.toString).getOrElse(""),
+      "maxLen=" + c.maxLen.map(_.toString).getOrElse("")).mkString("|")
+
+  /** None on an unrecognized shape: a garbled estimate must degrade to
+    * "no stats" (plans fall back to size-only costing), never break
+    * the read or silently feed the optimizer nonsense. */
+  private[graft] def decode(s: String): Option[ColStat] = {
+    val kv = s.split("\\|", -1).flatMap { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    def opt(k: String): Option[String] = kv.get(k).filter(_.nonEmpty)
+    try for {
+      tpe <- opt("tpe").map(URLDecoder.decode(_, UTF_8))
+      ndv <- opt("ndv").map(_.toLong)
+      nulls <- opt("nulls").map(_.toLong)
+    } yield ColStat(tpe, ndv, nulls,
+      opt("min").map(URLDecoder.decode(_, UTF_8)),
+      opt("max").map(URLDecoder.decode(_, UTF_8)),
+      opt("avgLen").map(_.toLong), opt("maxLen").map(_.toLong))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Bounds collected as the type's INTERNAL Catalyst value (epoch
+    * days / epoch micros / native primitives), so the driver can hand
+    * them to `CatalogColumnStat.toExternalString` — whatever text form
+    * the running Spark version round-trips. */
+  private def boundExpr(c: String, dt: DataType,
+                        agg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = dt match {
+    case DateType => agg(datediff(col(c), to_date(lit("1970-01-01"))))
+    case TimestampType => agg(unix_micros(col(c)))
+    case _ => agg(col(c))
+  }
+
+  /** One-scan column ANALYZE over the LIVE logical view (deletion
+    * vectors applied, column mapping presented): per target column
+    * NDV (HLL), null count, and type-appropriate bounds or lengths,
+    * all map-side-combining aggregates in a single pass regardless of
+    * column count. Records the results as table properties via a
+    * metadata-only commit and returns (new version, analyzed columns).
+    *
+    * `cols = None` analyzes every supported column; an explicit list
+    * validates existence and support loudly (analyzing a misspelled
+    * column must not silently no-op). */
+  def analyze(spark: SparkSession, root: String,
+              cols: Option[Seq[String]] = None): (Long, Seq[String]) = {
+    val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val df = SnapshotStore.table(spark, root, Some(cur))
+    val schema = df.schema
+    val targets: Seq[StructField] = cols match {
+      case None => schema.fields.toSeq.filter(f => supportsType(f.dataType))
+      case Some(cs) => cs.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE: no column '$c' in $root (have ${schema.fieldNames.mkString(", ")})"))
+        require(supportsType(f.dataType),
+          s"ANALYZE: column '$c' type ${f.dataType.catalogString} carries no CBO stats " +
+            "(supported: numeric, boolean, date, timestamp, string, binary)")
+        f
+      }
+    }
+    require(targets.nonEmpty,
+      s"ANALYZE: no supported columns under $root — nothing to record")
+    val aggs = targets.zipWithIndex.flatMap { case (f, i) =>
+      val base = Seq(
+        approx_count_distinct(col(f.name)).as(s"ndv_$i"),
+        count(when(col(f.name).isNull, lit(1))).as(s"nulls_$i"))
+      f.dataType match {
+        case StringType | BinaryType => base ++ Seq(
+          ceil(avg(length(col(f.name)))).cast("long").as(s"avgLen_$i"),
+          max(length(col(f.name))).cast("long").as(s"maxLen_$i"))
+        case dt => base ++ Seq(
+          boundExpr(f.name, dt, min).as(s"min_$i"),
+          boundExpr(f.name, dt, max).as(s"max_$i"))
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def lng(n: String): Option[Long] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    def ext(n: String, colName: String, dt: DataType): Option[String] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None
+      else Some(CatalogColumnStat.toExternalString(row.get(i) match {
+        case bd: java.math.BigDecimal => Decimal(bd)
+        case v => v
+      }, colName, dt))
+    }
+    val stats = targets.zipWithIndex.map { case (f, i) =>
+      val (mn, mx, al, ml) = f.dataType match {
+        case StringType | BinaryType =>
+          (None, None, lng(s"avgLen_$i"), lng(s"maxLen_$i"))
+        case _ => (ext(s"min_$i", f.name, f.dataType),
+          ext(s"max_$i", f.name, f.dataType), None, None)
+      }
+      f.name -> ColStat(f.dataType.catalogString,
+        lng(s"ndv_$i").getOrElse(0L), lng(s"nulls_$i").getOrElse(0L),
+        mn, mx, al, ml)
+    }
+    // Keyed by PHYSICAL column name: physical identity is stable
+    // across renames, so stats recorded before an `ALTER … RENAME`
+    // keep costing the column after it (the read side re-checks the
+    // type, which renames never change).
+    val renames = SnapshotStore.mappingAt(spark, root, cur)._1
+    val props = (AnalyzedVersionProp -> cur.toString) +:
+      stats.map { case (n, st) =>
+        (ColPrefix + URLEncoder.encode(
+          SnapshotStore.physicalNameOf(renames, n), UTF_8)) -> encode(st) }
+    val v = SnapshotStore.setProperties(spark, root, props)
+    (v, targets.map(_.name))
+  }
+
+  /** Recorded column stats keyed by PHYSICAL column name (how they
+    * were recorded, and how plan attributes are named at the scan),
+    * filtered to columns that still exist in the physical schema at
+    * the recorded type and aren't tombstoned — a rename keeps its
+    * stats (physical identity is stable), a type change or drop
+    * silently sheds them (stats can steer plans only while they still
+    * describe the column). */
+  private[graft] def recordedColStats(props: Map[String, String],
+                                      physical: StructType,
+                                      dropped: Set[String]): Map[String, CatalogColumnStat] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(ColPrefix) =>
+        (URLDecoder.decode(k.stripPrefix(ColPrefix), UTF_8), v)
+    }.flatMap { case (name, encd) =>
+      for {
+        st <- decode(encd)
+        f <- physical.fields.find(_.name == name)
+        if f.dataType.catalogString == st.tpe && !dropped(name)
+      } yield name -> CatalogColumnStat(
+        distinctCount = Some(BigInt(st.ndv)),
+        min = st.min, max = st.max,
+        nullCount = Some(BigInt(st.nulls)),
+        avgLen = st.avgLen, maxLen = st.maxLen,
+        histogram = None, version = CatalogColumnStat.VERSION)
+    }.toMap
+
+  /** The `CatalogTable` attached to a read relation of (root,
+    * version) purely so its `stats` reach
+    * `LogicalRelation.computeStats`:
+    *
+    *   - `rowCount`: exact LIVE rows — Σ sidecar per-file counts minus
+    *     Σ deletion-vector cardinalities, for the files actually
+    *     listed (partition-scoped reads get the subset count). None
+    *     when any listed file lacks sidecar stats.
+    *   - `sizeInBytes`: Σ listed file bytes (what the relation would
+    *     report anyway — unchanged plans when CBO is off).
+    *   - `colStats`: the last ANALYZE, keyed to the relation's
+    *     PHYSICAL attribute names through the version's column
+    *     mapping (plan stats match attributes by name).
+    *
+    * None when there is nothing useful to attach. Reads the property
+    * set of the version — one small manifest-header scan, the same
+    * price every mapping-aware read already pays. */
+  private[graft] def catalogTableFor(spark: SparkSession, root: String,
+                                     version: Long, idx: GraftFileIndex,
+                                     entries: Seq[SnapshotStore.ManifestEntry],
+                                     physicalSchema: StructType): Option[CatalogTable] = {
+    val props = SnapshotStore.tableProperties(spark, root, version).toMap
+    val mapping = SnapshotStore.mappingAt(spark, root, version)
+    val colStats = recordedColStats(props, physicalSchema, mapping._2)
+    val rowCount = idx.totalRows.map(_ - entries.map(_.dvRows).sum)
+    if (rowCount.isEmpty && colStats.isEmpty) None
+    else Some(CatalogTable(
+      identifier = TableIdentifier(new Path(root).getName),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(root).toUri)),
+      schema = physicalSchema,
+      provider = Some("graft-snapshot"),
+      stats = Some(CatalogStatistics(
+        sizeInBytes = BigInt(idx.sizeInBytes),
+        rowCount = rowCount.filter(_ >= 0).map(BigInt(_)),
+        colStats = colStats))))
+  }
+}

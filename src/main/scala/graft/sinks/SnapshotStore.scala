@@ -1193,9 +1193,24 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
     val (rel, idx, entries) = relationWithIndex(spark, root, version, partitions)
     val v = version.orElse(currentVersion(spark, root)).get
-    (applyColumnMapping(applyDvs(spark, root,
+    val df = applyColumnMapping(applyDvs(spark, root,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(rel), entries), mappingAt(spark, root, v)), idx)
+        .baseRelationToDataFrame(rel), entries), mappingAt(spark, root, v))
+    // Optimizer-statistics rider ([[SnapshotStats]]): exact live
+    // rowCount + last-ANALYZE column stats on the scan's catalogTable
+    // hook. Plans only, never results — any failure here degrades to
+    // the bare (stats-free) frame.
+    val withStats =
+      try SnapshotStats.catalogTableFor(spark, root, v, idx, entries, rel.schema)
+        .map { ct =>
+          org.apache.spark.sql.graft.GraftPlans.dataFrame(spark,
+            df.queryExecution.analyzed.transform {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+                if lr.relation eq rel => lr.copy(catalogTable = Some(ct))
+            })
+        }.getOrElse(df)
+      catch { case scala.util.control.NonFatal(_) => df }
+    (withStats, idx)
   }
 
   /** The skipping-indexed relation behind [[table]] — also what the

@@ -557,10 +557,38 @@ object GraftSqlParser {
         } yield ReorgPurgeCommand(parts(t))
       }
 
+      // `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR
+      // ALL COLUMNS]` — graft-catalog tables only; Spark's own ANALYZE
+      // handles everything else (the gate keeps the dialects apart).
+      def analyzeTable: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("ANALYZE", "TABLE"))
+          t <- u.multipart()
+          _ <- Some(()).filter(_ => u.kw("COMPUTE", "STATISTICS"))
+          cols <- {
+            val m = u.mark
+            if (u.kw("FOR", "ALL", "COLUMNS")) Some(None)
+            else { u.reset(m)
+              if (u.kw("FOR", "COLUMNS")) {
+                val first = u.column()
+                var list = first.toList
+                while (first.isDefined && u.punct(","))
+                  u.column() match {
+                    case Some(cn) => list = list :+ cn
+                    case None => list = Nil // dangling comma → malformed
+                  }
+                if (list.isEmpty) None else Some(Some(list))
+              } else Some(None) // bare COMPUTE STATISTICS = all columns
+            }
+          }
+          _ <- Some(()).filter(_ => u.done && gated(t))
+        } yield AnalyzeSnapshotCommand(parts(t), cols)
+      }
+
       restore.orElse(describe).orElse(vacuum).orElse(createTable)
         .orElse(optimize).orElse(generate).orElse(merge).orElse(delete)
         .orElse(update).orElse(insert).orElse(copyInto).orElse(alterTable)
-        .orElse(showCmd).orElse(truncate).orElse(reorg)
+        .orElse(showCmd).orElse(truncate).orElse(reorg).orElse(analyzeTable)
     }
 
   /** `USING graft-snapshot` / `graft_snapshot`, bare or backticked —
@@ -1898,6 +1926,30 @@ case class DescribeDetailCommand(table: Seq[String])
       // silently degraded to full scans. Null = no recorded failure.
       SnapshotStore.tableProperties(spark, root, cur).toMap
         .get(SnapshotStore.MaintenanceErrorProp).orNull))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS …]` — one scan
+  * computing per-column NDV/nulls/bounds ([[graft.sinks.SnapshotStats]]),
+  * recorded by a metadata-only commit and attached to every subsequent
+  * read's relation for `spark.sql.cbo.*` costing. Table-level
+  * rowCount/size need NO analyze — they ride the manifest exactly, at
+  * every version. Returns one row (path, version, analyzed_columns). */
+case class AnalyzeSnapshotCommand(table: Seq[String],
+                                  cols: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = {
+    import org.apache.spark.sql.types._
+    org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("analyzed_columns", ArrayType(StringType), nullable = false))))
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val (v, analyzed) = graft.sinks.SnapshotStats.analyze(spark, root, cols)
+    Seq(Row(root, v, analyzed))
   }
 }
 
