@@ -928,9 +928,83 @@ object ScaleSmoke {
         })
     }
 
+    var dfpFiles = (0, 0) // (candidate, total) — set by join_dfp_topslice
+    val results13 = {
+      // ROUND-13 probes: incremental clustering (maintenance ∝ delta,
+      // not table), dynamic file pruning (join-time file skipping),
+      // and the ANALYZE scan price. One RANGE-partitioned table on
+      // doc_id serves all three (the monotonic-ingest-id layout),
+      // amplified a further 5× so shuffle/scan work dominates the
+      // fixed per-commit cost the probes are NOT about.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_scale_r13").toString
+      val clRoot = s"$base/cl"
+      val reps5 = spark.range(5).select(col("id").as("r5"))
+      val docs5 = docs.crossJoin(reps5)
+        .select((col("doc_id") * 8 + col("r5")).as("doc_id"),
+          concat(col("text"), lit(" r"), col("r5")).as("text"))
+      val maxId = docs5.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val width = maxId / 16 + 1
+      val ranged = docs5.withColumn("part",
+        (col("doc_id") / lit(width)).cast("long").cast("string"))
+      // "Newest" 1% of keys — the date-sliced-dimension shape whose
+      // filter only exists through the join.
+      val dim = docs5.filter(col("doc_id") >= maxId - maxId / 100)
+        .select(col("doc_id").as("dk"))
+      Seq(
+        time("cluster_setup_untimed") {
+          graft.sinks.SnapshotStore.commit(spark,
+            ranged.repartition(12), clRoot, "part")
+        },
+        // First pass = a full-table clustering (what every classic
+        // OPTIMIZE ZORDER pays per maintenance window)…
+        time("cluster_full_pass") {
+          graft.sinks.SnapshotStore.clusterIncremental(spark, clRoot,
+            "part", Seq("doc_id"))
+        },
+        time("cluster_delta_setup_untimed") {
+          graft.sinks.SnapshotStore.appendCommit(spark,
+            ranged.filter(pmod(col("doc_id"), lit(20)) === 3)
+              .repartition(4), clRoot, "part")
+        },
+        // …the incremental pass prices only the 5% delta…
+        time("cluster_incremental_delta") {
+          graft.sinks.SnapshotStore.clusterIncremental(spark, clRoot,
+            "part", Seq("doc_id"))
+        },
+        // …and the classic full rewrite on the SAME state is the
+        // directly-comparable alternative the cost model replaces.
+        time("cluster_full_same_state") {
+          graft.sinks.SnapshotStore.compactZOrder(spark, clRoot,
+            "part", Seq("doc_id"))
+        },
+        // The dim slice against the ranged fact, aggregating over the
+        // WIDE column (text) so the probe measures data read, not
+        // count-only metadata: the plain join scans every file's
+        // text; DFP's key probe + In-list pushdown opens only the top
+        // range's files.
+        time("join_plain_topslice") {
+          graft.sinks.SnapshotStore.table(spark, clRoot)
+            .join(dim, col("doc_id") === col("dk"))
+            .agg(sum(length(col("text")))).collect()(0).getLong(0)
+        },
+        time("join_dfp_topslice") {
+          val (j, idx, _) = graft.operators.DynamicPruning
+            .joinPrunedWithIndex(spark, clRoot, "doc_id", dim, "dk")
+          val n = j.agg(sum(length(col("text")))).collect()(0).getLong(0)
+          dfpFiles = (idx.lastCandidateFiles, idx.totalFiles)
+          n
+        },
+        // The one scan column stats cost (rowCount/size need none).
+        time("analyze_columns") {
+          graft.sinks.SnapshotStats.analyze(spark, clRoot)._1
+        })
+    }
+
     val nDocs = docs.count(); val nVecs = embs.count()
-    val parts = results.map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
-    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},"bloom_files_before":${bloomFiles._1},"bloom_files_total":${bloomFiles._2},"bloom_files_after":${bloomFiles._3},${parts.mkString(",")}}""")
+    val parts = (results ++ results13)
+      .map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
+    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},"bloom_files_before":${bloomFiles._1},"bloom_files_total":${bloomFiles._2},"bloom_files_after":${bloomFiles._3},"dfp_candidate_files":${dfpFiles._1},"dfp_total_files":${dfpFiles._2},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -1881,6 +1881,104 @@ private[graft] object EvolutionQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderkey >= (SELECT (MAX(l_orderkey) * 9) // 10 FROM lineitem)
       GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    // INCREMENTAL CLUSTERING lifecycle (clusterIncremental / OPTIMIZE
+    // … ZORDER BY … INCREMENTAL): full pass, ordinary append, then the
+    // SQL incremental pass — require-pinned that the second pass
+    // carries every first-generation file BY REFERENCE (maintenance ∝
+    // the delta, the Delta-liquid cost model) and that a narrow key
+    // range still skips through two clustered generations. Content is
+    // layout-invariant — the DuckDB oracle aggregates the final state.
+    ("q215_incremental_clustering", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q215").toString
+      val root = s"$dir/orders"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+          .repartition(8), root, "part")
+      SnapshotStore.clusterIncremental(s, root, "part", Seq("o_orderkey"))
+      val gen1 = SnapshotStore.manifest(s, root,
+        SnapshotStore.currentVersion(s, root).get).map(_.path).toSet
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .repartition(2), root, "part")
+      val out = s.sql(s"OPTIMIZE graft.`$root` ZORDER BY (o_orderkey) INCREMENTAL")
+        .collect()
+      val v = out(0).getLong(1)
+      val after = SnapshotStore.manifest(s, root, v).map(_.path).toSet
+      require(gen1.subsetOf(after),
+        "the incremental pass must carry gen-1 files by reference")
+      require(SnapshotStore.tablePropertiesMap(s, root)
+        .get(SnapshotStore.ClusteredAtProp).contains(v.toString),
+        "the pass must advance the clustering baseline")
+      // Two generations must still skip: a narrow key range opens
+      // fewer than half the files.
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      val maxk = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val slice = df.filter(col("o_orderkey") >= maxk / 2 &&
+          col("o_orderkey") <= maxk / 2 + maxk / 50)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+      slice.persist(); slice.count()
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"two clustered generations must still skip: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      slice
+    }, Some("""
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM orders
+      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 2
+        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 2
+          + (SELECT MAX(o_orderkey) FROM orders) // 50""")),
+
+    // OPTIMIZED WRITES (graft.optimizeWrite): after the property, a
+    // deliberately fragmented append (6 upstream tasks × 8 partition
+    // values = 48 files without it) lands as ≤2 files per partition —
+    // require-pinned per partition — and content is write-path-
+    // invariant (the oracle aggregates the merged state directly).
+    ("q216_optimize_write", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q216").toString
+      val root = s"$dir/orders"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), root, "part")
+      SnapshotStore.setProperties(s, root,
+        Seq(SnapshotStore.OptimizeWriteProp -> "true"))
+      val before = SnapshotStore.manifest(s, root,
+          SnapshotStore.currentVersion(s, root).get)
+        .groupBy(_.partition).view.mapValues(_.size).toMap
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+          .repartition(6), root, "part")
+      val after = SnapshotStore.manifest(s, root,
+          SnapshotStore.currentVersion(s, root).get)
+        .groupBy(_.partition).view.mapValues(_.size).toMap
+      require(after.forall { case (p, n) => n - before.getOrElse(p, 0) <= 2 },
+        s"optimized write must land ~1 file per partition, not one per " +
+          s"upstream task: $before -> $after")
+      SnapshotStore.table(s, root).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM orders
+      GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
   )
 }

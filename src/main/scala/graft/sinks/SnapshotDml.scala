@@ -738,6 +738,12 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
           if (writeManifest(spark, root, v, kept ++ newEntries, "delete",
               partCols.mkString(","))) {
             writeStats(spark, root, v, kept, newEntries, Some(remaining.schema))
+            // Every data-commit exit runs the hooks — this rewrite
+            // branch was the ONE that didn't, leaving registered
+            // rollups cursor-stale (reads stayed correct via the
+            // rewrite's freshness check, but paid the scan) and
+            // auto-analyze blind to predicate-delete shrink.
+            postCommit(spark, root, v)
             return v
           }
           attempt += 1

@@ -596,8 +596,63 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // data commit.
         if (compactEligible) maybeAutoCompact(spark, root, committed)
         maybeAutoSyncRollups(spark, root, committed)
+        maybeAutoAnalyze(spark, root, committed)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
+
+  /** Threshold for [[maybeAutoAnalyze]]: a positive integer percent.
+    * Row-count drift (growth OR shrink) beyond it re-runs the last
+    * recorded ANALYZE automatically. */
+  val AutoAnalyzeProp = "graft.autoAnalyze.driftPct"
+
+  /** SELF-HEALING optimizer statistics: when the table opts in
+    * (`graft.autoAnalyze.driftPct = N`) AND has been ANALYZEd at least
+    * once, a data commit whose live row count drifted ≥ N% from the
+    * count recorded at the last ANALYZE re-runs that ANALYZE (same
+    * column selection) as a post-commit rider. Never analyzes a table
+    * that was never analyzed — this refreshes declared intent, it
+    * does not invent one.
+    *
+    * Cost discipline: the trigger check is metadata-priced (one
+    * property map + the stats sidecar row count); the re-ANALYZE
+    * itself is one full scan, but fired GEOMETRICALLY — at
+    * driftPct=100 the total auto-analyze work over a table's lifetime
+    * is ≤ 2× one final-size scan (the geometric series), the classic
+    * auto-stats amortization. The [[postCommit]] re-entry guard makes
+    * the rider's own property commit a no-op for hooks, so it cannot
+    * loop. Failures degrade to "stale stats" (plans, never answers)
+    * and ride the error ledger like every swallowed hook. */
+  private[sinks] def maybeAutoAnalyze(spark: SparkSession, root: String,
+                                      committed: Long): Unit = try {
+    val props = tablePropertiesMap(spark, root)
+    props.get(AutoAnalyzeProp).filter(_.nonEmpty).foreach { raw =>
+      val pct = try {
+        val p = raw.trim.toLong
+        require(p > 0, s"$AutoAnalyzeProp must be a positive percent, got $p")
+        p
+      } catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$AutoAnalyzeProp must be a positive integer percent, got '$raw'")
+      }
+      for {
+        base <- props.get(SnapshotStats.AnalyzedRowsProp)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+        live <- rowCount(spark, root)
+      } {
+        val drift = math.abs(live - base)
+        if (drift * 100L >= base * pct && drift > 0)
+          SnapshotStats.analyze(spark, root,
+            SnapshotStats.recordedColSelection(props))
+      }
+    }
+    // A pass that evaluated cleanly — refreshed, below-threshold, or
+    // opt-out (a removed property verifiably cannot fail again) —
+    // clears a recorded autoAnalyze failure (autoSync's recovery
+    // discipline: one transient blip must not alarm forever).
+    recordMaintenanceRecovery(root, "autoAnalyze", props)
+  } catch { case scala.util.control.NonFatal(e) =>
+    recordMaintenanceError(root, "autoAnalyze", committed, e)
+  }
 
   /** SELF-MAINTAINING rollups: when the just-committed table's
     * `graft.rollup.autoSync` property names rollup roots, sync each
@@ -824,8 +879,19 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         sortWithin =
           if (bucketed) Seq(graft.operators.Layout.zorderKey(raw, zCols, bits))
           else Nil)
+      // A FULL-scope z-order IS a clustering baseline: stamp it (keys
+      // included) so a following [[clusterIncremental]] diffs against
+      // this state instead of re-clustering everything the rewrite
+      // just laid out. A partition-scoped pass is NOT a full baseline
+      // — properties carry forward untouched.
+      val stamped: Option[Seq[(String, String)]] =
+        if (partitions.isDefined) None
+        else Some((tableProperties(spark, root, cur).toMap
+          - ClusteredAtProp - ClusterKeysProp).toSeq ++
+          Seq(ClusteredAtProp -> v.toString,
+            ClusterKeysProp -> zKeys.mkString(",")))
       if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
-          partitionCols.header)) {
+          partitionCols.header, properties = stamped)) {
         writeStats(spark, root, v, kept, newEntries, None)
         postCommit(spark, root, v, compactEligible = false)
         return v
@@ -837,8 +903,13 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
   }
 
   /** Version whose manifest reflects the last [[clusterIncremental]]
-    * pass — the baseline the next pass diffs against. */
+    * pass — the baseline the next pass diffs against. Only meaningful
+    * together with [[ClusterKeysProp]]: "clustered" is relative to a
+    * key set, so a pass over DIFFERENT z-keys must not trust it. */
   val ClusteredAtProp = "graft.layout.clusteredAt"
+
+  /** The z-key set the recorded baseline was clustered on. */
+  val ClusterKeysProp = "graft.layout.clusterKeys"
 
   /** INCREMENTAL clustering (the Delta liquid-clustering cost model):
     * z-order ONLY the files added since the last clustering pass,
@@ -874,9 +945,11 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
       val props = tableProperties(spark, root, cur).toMap
+      // A baseline clustered on OTHER keys is not a baseline for these.
       val baseline = props.get(ClusteredAtProp).flatMap(s =>
         try Some(s.toLong) catch { case _: NumberFormatException => None })
         .filter(_ <= cur)
+        .filter(_ => props.get(ClusterKeysProp).contains(zKeys.mkString(",")))
       val entries = manifest(spark, root, cur)
       val unclustered = baseline match {
         case None => entries
@@ -914,8 +987,9 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         sortWithin =
           if (bucketed) Seq(graft.operators.Layout.zorderKey(raw, zCols, bits))
           else Nil)
-      val stamped = (props - ClusteredAtProp).toSeq :+
-        (ClusteredAtProp -> v.toString)
+      val stamped = (props - ClusteredAtProp - ClusterKeysProp).toSeq ++
+        Seq(ClusteredAtProp -> v.toString,
+          ClusterKeysProp -> zKeys.mkString(","))
       if (writeManifest(spark, root, v, kept ++ newEntries,
           "zorder-incremental", partitionCols.header,
           properties = Some(stamped))) {

@@ -49,7 +49,22 @@ object SnapshotStats {
   /** Version the column stats were computed against (informational —
     * stats are estimates and remain attached until re-ANALYZE). */
   val AnalyzedVersionProp = "graft.stats.analyzed.version"
+
+  /** Live row count at ANALYZE time — the drift base
+    * [[SnapshotMaintenance.maybeAutoAnalyze]] compares against. */
+  val AnalyzedRowsProp = "graft.stats.analyzed.rows"
+
+  /** The column selection the last ANALYZE ran with (empty = all
+    * supported at run time), so an automatic refresh replays the same
+    * intent. URL-encoded names, comma-joined. */
+  val AnalyzedColsProp = "graft.stats.analyzed.cols"
+
   private val ColPrefix = "graft.stats.col."
+
+  /** Decode [[AnalyzedColsProp]] back into [[analyze]]'s `cols`. */
+  private[sinks] def recordedColSelection(props: Map[String, String]): Option[Seq[String]] =
+    props.get(AnalyzedColsProp).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(URLDecoder.decode(_, UTF_8)))
 
   /** One column's recorded statistics. `min`/`max` are already in
     * `CatalogColumnStat.toExternalString` form for the RUNNING Spark
@@ -141,7 +156,8 @@ object SnapshotStats {
     }
     require(targets.nonEmpty,
       s"ANALYZE: no supported columns under $root — nothing to record")
-    val aggs = targets.zipWithIndex.flatMap { case (f, i) =>
+    val aggs = count(lit(1)).as("live_rows") +:
+      targets.zipWithIndex.flatMap { case (f, i) =>
       val base = Seq(
         approx_count_distinct(col(f.name)).as(s"ndv_$i"),
         count(when(col(f.name).isNull, lit(1))).as(s"nulls_$i"))
@@ -183,7 +199,11 @@ object SnapshotStats {
     // keep costing the column after it (the read side re-checks the
     // type, which renames never change).
     val renames = SnapshotStore.mappingAt(spark, root, cur)._1
-    val props = (AnalyzedVersionProp -> cur.toString) +:
+    val props = Seq(
+      AnalyzedVersionProp -> cur.toString,
+      AnalyzedRowsProp -> row.getLong(row.fieldIndex("live_rows")).toString,
+      AnalyzedColsProp -> cols.toSeq.flatten
+        .map(URLEncoder.encode(_, UTF_8)).mkString(",")) ++
       stats.map { case (n, st) =>
         (ColPrefix + URLEncoder.encode(
           SnapshotStore.physicalNameOf(renames, n), UTF_8)) -> encode(st) }

@@ -622,6 +622,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * `component=…;version=…;ts=…;message=<url-encoded>`. */
   val MaintenanceErrorProp = "graft.maintenance.lastError"
 
+  /** `graft.optimizeWrite = true`: content commits rebalance-shuffle
+    * the batch by the partition columns before writing (see
+    * [[writeDataFiles]]) — Delta's optimizeWrite. */
+  val OptimizeWriteProp = "graft.optimizeWrite"
+
   /** Pending ledger: value = the encoded error to set, or the empty
     * string = CLEAR the property (maintenance for its component
     * recovered). Entries ride the next successful commit and are
@@ -1434,8 +1439,14 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         Some(named.map(_._1))
       else None
     }
-    val spec = if (bucketOverride.isDefined || v <= 1) None
-      else scala.util.Try(bucketSpecAt(spark, root, v - 1)).getOrElse(None)
+    // ONE header read serves both write-shaping properties (bucket
+    // spec, optimized writes) — this is the hot write path.
+    val priorProps: Map[String, String] =
+      if (v <= 1) Map.empty
+      else scala.util.Try(tableProperties(spark, root, v - 1).toMap)
+        .getOrElse(Map.empty)
+    val spec = if (bucketOverride.isDefined) None
+      else priorProps.get(BucketSpecProp).flatMap(parseBucketSpec)
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
       spec.flatMap(sp => resolveTyped(sp.cols).map((sp.n, _))))
     val specSort: Seq[org.apache.spark.sql.Column] =
@@ -1445,6 +1456,20 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         else resolveTyped(sp.sortCols).map(_.map(col)).getOrElse(Nil))
     val bucketed = bucketCols match {
       case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
+      // Optimized writes (Delta's optimizeWrite, opt-in per table):
+      // an AQE REBALANCE shuffle keyed by the partition columns, so a
+      // fragmented batch (N upstream tasks × M partition values) lands
+      // as ~one right-sized file per partition value instead of N —
+      // preventing the small files auto-compact would otherwise fix
+      // AFTER the fact. AQE splits a skewed hot partition into several
+      // advisory-sized files rather than serializing it through one
+      // task (why this is a rebalance hint, not repartition-by-key).
+      // CONTENT commits only: layout rewrites (translate = false) own
+      // their distribution, and an engaged bucket layout IS the
+      // distribution.
+      case None if translate &&
+          priorProps.get(OptimizeWriteProp).contains("true") =>
+        df.hint("rebalance", partitionCols.map(col): _*)
       case None => df
     }
     val withDirs = partitionCols.zip(dirs).foldLeft(bucketed) {

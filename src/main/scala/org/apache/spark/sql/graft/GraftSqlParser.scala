@@ -367,8 +367,8 @@ object GraftSqlParser {
           tail = if (u.done) "" else u.rest().getOrElse("")
           _ <- Some(()).filter(_ => gated(t))
         } yield {
-          val (where, zcols) = parseOptimizeRest(tail)
-          OptimizeSnapshotCommand(parts(t), zcols, where)
+          val (where, zcols, incremental) = parseOptimizeRest(tail)
+          OptimizeSnapshotCommand(parts(t), zcols, where, incremental)
         }
       }
 
@@ -778,18 +778,25 @@ object GraftSqlParser {
   }
 
   /** Parse an OPTIMIZE statement's tail: `[WHERE <pred>] [ZORDER BY
-    * (cols)]`, split at the first top-level ZORDER. */
-  private[graft] def parseOptimizeRest(rest: String): (Option[String], Seq[String]) = {
+    * (cols) [INCREMENTAL]]`, split at the first top-level ZORDER.
+    * INCREMENTAL selects [[graft.sinks.SnapshotStore.clusterIncremental]]
+    * — z-order only the files added since the recorded baseline — and
+    * is incompatible with WHERE (the incremental pass derives its own
+    * scope from the baseline diff; a partition scope would silently
+    * narrow what "clustered" means between passes). */
+  private[graft] def parseOptimizeRest(rest: String): (Option[String], Seq[String], Boolean) = {
     val t = rest.trim
-    if (t.isEmpty) return (None, Nil)
-    val ZTail = "(?is)\\AZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*\\z".r
+    if (t.isEmpty) return (None, Nil, false)
+    val ZTail = "(?is)\\AZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*(INCREMENTAL)?\\s*\\z".r
     val zIdx = firstTopLevel(t, "zorder")
-    val (head, zcols) = zIdx match {
-      case -1 => (t, Seq.empty[String])
+    val (head, zcols, inc) = zIdx match {
+      case -1 => (t, Seq.empty[String], false)
       case i => t.substring(i) match {
-        case ZTail(cols) => (t.take(i).trim, identifierList(cols))
+        case ZTail(cols, incKw) =>
+          (t.take(i).trim, identifierList(cols), incKw != null)
         case other => throw new IllegalArgumentException(
-          s"OPTIMIZE supports ZORDER BY (col, …) — got: ${other.trim.take(120)}")
+          s"OPTIMIZE supports ZORDER BY (col, …) [INCREMENTAL] — got: " +
+            other.trim.take(120))
       }
     }
     val where = head match {
@@ -798,10 +805,13 @@ object GraftSqlParser {
           !Character.isLetterOrDigit(w.charAt(5.min(w.length - 1))) =>
         Some(w.substring("where".length).trim)
       case other => throw new IllegalArgumentException(
-        "OPTIMIZE supports OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (cols)] " +
-          s"— got: ${other.trim.take(120)}")
+        "OPTIMIZE supports OPTIMIZE <t> [WHERE <pred>] [ZORDER BY (cols) " +
+          s"[INCREMENTAL]] — got: ${other.trim.take(120)}")
     }
-    (where, zcols)
+    require(!(inc && where.isDefined),
+      "OPTIMIZE … INCREMENTAL derives its own scope from the clustering " +
+        "baseline — a WHERE partition scope cannot compose with it")
+    (where, zcols, inc)
   }
 
   /** Is `name` configured as a graft snapshot catalog in the ACTIVE
@@ -1188,7 +1198,8 @@ case class CloneSnapshotCommand(target: Seq[String], source: Seq[String],
   * partitions. Returns one row (path, version) — the committed
   * version, unchanged when nothing needed compacting. */
 case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String],
-                                   where: Option[String] = None)
+                                   where: Option[String] = None,
+                                   incremental: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -1223,7 +1234,14 @@ case class OptimizeSnapshotCommand(table: Seq[String], zorderBy: Seq[String],
         .collect().map(_.getString(0)).toSeq
     }
     val v =
-      if (zorderBy.nonEmpty)
+      if (incremental) {
+        // `ZORDER BY (…) INCREMENTAL` — cluster only the files added
+        // since the recorded baseline (parser guarantees zorderBy
+        // nonEmpty and no WHERE).
+        require(zorderBy.nonEmpty,
+          "OPTIMIZE … INCREMENTAL needs ZORDER BY (col, …)")
+        SnapshotStore.clusterIncremental(spark, root, partCols, zorderBy)
+      } else if (zorderBy.nonEmpty)
         SnapshotStore.compactZOrder(spark, root, partCols, zorderBy,
           partitions = wanted)
       else SnapshotStore.compact(spark, root, partCols, partitions = wanted)
@@ -1895,7 +1913,9 @@ case class DescribeDetailCommand(table: Seq[String])
         StructField("size_bytes", LongType, nullable = true),
         StructField("num_rows", LongType, nullable = true),
         StructField("constraints", ArrayType(StringType), nullable = false),
-        StructField("maintenance_last_error", StringType, nullable = true))))
+        StructField("maintenance_last_error", StringType, nullable = true),
+        StructField("analyzed_version", LongType, nullable = true),
+        StructField("clustered_at", LongType, nullable = true))))
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -1908,6 +1928,10 @@ case class DescribeDetailCommand(table: Seq[String])
       if (m.forall(e => stats.contains(e.path)))
         java.lang.Long.valueOf(m.map(e => stats(e.path).len).sum)
       else null
+    val props = SnapshotStore.tableProperties(spark, root, cur).toMap
+    def longProp(k: String): java.lang.Long =
+      props.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
+        .map(java.lang.Long.valueOf).orNull
     Seq(Row(
       "graft-snapshot", root,
       SnapshotStore.partitionColumn(spark, root, cur).orNull,
@@ -1922,10 +1946,17 @@ case class DescribeDetailCommand(table: Seq[String])
       SnapshotStore.tableConstraints(spark, root, cur)
         .map { case (n, e) => s"$n CHECK ($e)" },
       // The last swallowed post-commit maintenance failure (auto-sync
-      // / auto-compact) — the operator signal that a dashboard MV has
-      // silently degraded to full scans. Null = no recorded failure.
-      SnapshotStore.tableProperties(spark, root, cur).toMap
-        .get(SnapshotStore.MaintenanceErrorProp).orNull))
+      // / auto-compact / auto-analyze) — the operator signal that a
+      // dashboard MV has silently degraded to full scans. Null = no
+      // recorded failure.
+      props.get(SnapshotStore.MaintenanceErrorProp).orNull,
+      // Optimizer-statistics and clustering freshness, where table
+      // health is read: the version the column stats were computed
+      // against (null = never analyzed) and the version whose state
+      // the incremental-clustering baseline reflects (null = never
+      // clustered incrementally).
+      longProp(graft.sinks.SnapshotStats.AnalyzedVersionProp),
+      longProp(SnapshotStore.ClusteredAtProp)))
   }
 }
 

@@ -44,6 +44,11 @@ class AutoSyncSpec extends graft.SparkSpec {
     SnapshotStore.deleteCommit(spark,
       (0 until 20).map(_.toLong).toDF("id"), src, "id", "part")
     assert(cursor() == srcV(), "delete must auto-sync")
+    // Predicate delete through the FILE-REWRITE branch (no metadata
+    // fast path, no DV routing) — the one data-commit exit that
+    // historically skipped the hooks.
+    SnapshotStore.deleteWhere(spark, src, "qty = 7")
+    assert(cursor() == srcV(), "a rewriting predicate delete must auto-sync")
     // LAYOUT commits (OPTIMIZE/compact, z-order) bump the source
     // version without changing content — the hook must still advance
     // the cursor, or the MV rewrite silently stops firing until the

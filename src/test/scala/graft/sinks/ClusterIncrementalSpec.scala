@@ -102,6 +102,64 @@ class ClusterIncrementalSpec extends graft.SparkSpec {
     assert(SnapshotStore.table(spark, root).count() == 1200)
   }
 
+  test("a baseline clustered on OTHER keys is not trusted — key change forces a full pass") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, batch(0, 1000), root, "part")
+    val v1 = SnapshotStore.clusterIncremental(spark, root, "part", Seq("x"))
+    val gen1 = paths(root, v1)
+    // No new files — but the KEYS changed, so "clustered" must not
+    // carry over: everything rewrites under the new keys.
+    val v2 = SnapshotStore.clusterIncremental(spark, root, "part", Seq("y"))
+    assert(v2 > v1)
+    assert((paths(root, v2) intersect gen1).isEmpty,
+      "a key change must re-cluster, not trust the old-key baseline")
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.ClusterKeysProp).contains("y"))
+  }
+
+  test("a FULL compactZOrder resets the baseline; a partition-scoped one does not") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, batch(0, 1000), root, "part")
+    SnapshotStore.clusterIncremental(spark, root, "part", Seq("x"))
+    val vz = SnapshotStore.compactZOrder(spark, root, "part", Seq("x"))
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.ClusteredAtProp).contains(vz.toString),
+      "a full-scope z-order IS a clustering baseline")
+    // Nothing new since the full pass → incremental is a version no-op
+    // (without the reset it would re-cluster every file vz just wrote).
+    assert(SnapshotStore.clusterIncremental(spark, root, "part", Seq("x")) == vz)
+    // Partition-scoped: baseline untouched.
+    SnapshotStore.appendCommit(spark, batch(1000, 1100, files = 1), root, "part")
+    val scoped = SnapshotStore.compactZOrder(spark, root, "part", Seq("x"),
+      partitions = Some(Seq("0")))
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.ClusteredAtProp).contains(vz.toString),
+      "a partition-scoped pass is not a full baseline")
+    assert(scoped > vz)
+  }
+
+  test("SQL surface: OPTIMIZE … ZORDER BY (…) INCREMENTAL; WHERE cannot compose") {
+    val root = freshRoot()
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sinks.GraftCatalog].getName)
+    SnapshotStore.commit(spark, batch(0, 1000), root, "part")
+    val out = spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (x, y) INCREMENTAL")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 2L)
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.ClusteredAtProp).contains("2"))
+    // Nothing new → version no-op through the same statement (same
+    // keys — different keys would rightly force a full pass).
+    assert(spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (x, y) INCREMENTAL")
+      .collect()(0).getLong(1) == 2L)
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE graft.`$root` WHERE part = '0' ZORDER BY (x) INCREMENTAL"))
+    assert(e.getMessage.contains("INCREMENTAL"))
+    // Classic OPTIMIZE shapes are untouched by the new keyword.
+    assert(spark.sql(s"OPTIMIZE graft.`$root` ZORDER BY (x)")
+      .collect()(0).getLong(1) >= 2L)
+  }
+
   test("skipping stays sharp: a point range opens generation-count files, not the table") {
     val root = freshRoot()
     SnapshotStore.commit(spark, batch(0, 4000), root, "part")

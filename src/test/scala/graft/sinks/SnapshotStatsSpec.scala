@@ -184,6 +184,19 @@ class SnapshotStatsSpec extends graft.SparkSpec {
       .collect()(0).getSeq[String](2).nonEmpty)
   }
 
+  test("DESCRIBE DETAIL surfaces analyzed_version (and null before any ANALYZE)") {
+    val root = freshRoot()
+    seed(root, 20)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sinks.GraftCatalog].getName)
+    val before = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect()(0)
+    assert(before.isNullAt(before.fieldIndex("analyzed_version")))
+    val (v, _) = SnapshotStats.analyze(spark, root, Some(Seq("k")))
+    val after = spark.sql(s"DESCRIBE DETAIL graft.`$root`").collect()(0)
+    assert(after.getLong(after.fieldIndex("analyzed_version")) == v - 1,
+      "DESCRIBE DETAIL must report the version the stats were computed against")
+  }
+
   test("a garbled recorded stat degrades to no stats, never a broken read") {
     val root = freshRoot()
     seed(root, 20)
