@@ -1856,8 +1856,13 @@ private[graft] object EvolutionQueries {
       val dim = t(s, d, "orders")
         .filter(col("o_orderkey") >= cutoff)
         .select(col("o_orderkey"), col("o_orderstatus"))
+      // The slice holds at most maxk/10 + 1 distinct integer keys, so
+      // this bound is exact and the engaged-pin holds at ANY SF (the
+      // default 100k would disengage past sf≈0.7).
+      val bound = math.max(100000L, math.min(Int.MaxValue.toLong,
+        maxk / 10 + 1)).toInt
       val (joined, idx, engaged) = DynamicPruning.joinPrunedWithIndex(
-        s, fact, "l_orderkey", dim, "o_orderkey")
+        s, fact, "l_orderkey", dim, "o_orderkey", maxKeys = bound)
       val out = joined.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))

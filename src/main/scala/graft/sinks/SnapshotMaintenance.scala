@@ -595,8 +595,15 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // cursor-equality check silently stops firing until the next
         // data commit.
         if (compactEligible) maybeAutoCompact(spark, root, committed)
-        maybeAutoSyncRollups(spark, root, committed)
+        // Auto-analyze BEFORE auto-sync: its refresh publishes a
+        // property commit (hook-inert via the re-entry guard), and the
+        // rollup sync must run against the resulting TIP — the reverse
+        // order would strand every registered cursor one version
+        // behind, silently disabling the MV rewrite until the next
+        // data commit (the same degradation the deleteWhere hook fix
+        // closes). Same reason auto-compact runs first.
         maybeAutoAnalyze(spark, root, committed)
+        maybeAutoSyncRollups(spark, root, committed)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
 
@@ -640,9 +647,30 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         live <- rowCount(spark, root)
       } {
         val drift = math.abs(live - base)
-        if (drift * 100L >= base * pct && drift > 0)
-          SnapshotStats.analyze(spark, root,
-            SnapshotStats.recordedColSelection(props))
+        if (drift * 100L >= base * pct && drift > 0) {
+          // The recorded selection names PHYSICAL columns; map them
+          // back through the CURRENT column mapping so a rename since
+          // the ANALYZE keeps healing (E121's rename contract), and
+          // shed columns that were since dropped or type-shed —
+          // their stats are gone, there is nothing left to heal. An
+          // emptied explicit selection skips the refresh entirely.
+          val replay: Option[Option[Seq[String]]] =
+            SnapshotStats.recordedColSelection(props) match {
+              case None => Some(None) // all-supported: schema-adaptive
+              case Some(phys) =>
+                val tip = currentVersion(spark, root).getOrElse(committed)
+                val (renames, dropped) = mappingAt(spark, root, tip)
+                val byPhysical = renames.map(_.swap)
+                val fields = logicalSchemaAt(spark, root, tip)
+                  .map(_.fields.map(f => f.name -> f.dataType).toMap)
+                  .getOrElse(Map.empty)
+                val mapped = phys.filterNot(dropped)
+                  .map(p => byPhysical.getOrElse(p, p))
+                  .filter(n => fields.get(n).exists(SnapshotStats.supportsType))
+                if (mapped.isEmpty) None else Some(Some(mapped))
+            }
+          replay.foreach(sel => SnapshotStats.analyze(spark, root, sel))
+        }
       }
     }
     // A pass that evaluated cleanly — refreshed, below-threshold, or

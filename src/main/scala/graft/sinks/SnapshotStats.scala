@@ -56,15 +56,19 @@ object SnapshotStats {
 
   /** The column selection the last ANALYZE ran with (empty = all
     * supported at run time), so an automatic refresh replays the same
-    * intent. URL-encoded names, comma-joined. */
+    * intent. PHYSICAL names (stable across renames, like the stats
+    * themselves), URL-encoded, comma-joined — the replay side maps
+    * them back through the then-current column mapping. */
   val AnalyzedColsProp = "graft.stats.analyzed.cols"
 
   private val ColPrefix = "graft.stats.col."
 
-  /** Decode [[AnalyzedColsProp]] back into [[analyze]]'s `cols`. */
+  /** Decode [[AnalyzedColsProp]] back into [[analyze]]'s `cols` —
+    * physical names; a torn escape sheds the entry, never the read. */
   private[sinks] def recordedColSelection(props: Map[String, String]): Option[Seq[String]] =
     props.get(AnalyzedColsProp).filter(_.nonEmpty)
-      .map(_.split(",").toSeq.map(URLDecoder.decode(_, UTF_8)))
+      .map(_.split(",").toSeq.flatMap(s =>
+        scala.util.Try(URLDecoder.decode(s, UTF_8)).toOption))
 
   /** One column's recorded statistics. `min`/`max` are already in
     * `CatalogColumnStat.toExternalString` form for the RUNNING Spark
@@ -111,7 +115,12 @@ object SnapshotStats {
       opt("min").map(URLDecoder.decode(_, UTF_8)),
       opt("max").map(URLDecoder.decode(_, UTF_8)),
       opt("avgLen").map(_.toLong), opt("maxLen").map(_.toLong))
-    catch { case _: NumberFormatException => None }
+    catch {
+      // URLDecoder throws IllegalArgumentException on a torn %-escape
+      // — that garbled ENTRY must shed like a garbled number, not
+      // escape and shed every other column's stats with it.
+      case _: NumberFormatException | _: IllegalArgumentException => None
+    }
   }
 
   /** Bounds collected as the type's INTERNAL Catalyst value (epoch
@@ -203,7 +212,8 @@ object SnapshotStats {
       AnalyzedVersionProp -> cur.toString,
       AnalyzedRowsProp -> row.getLong(row.fieldIndex("live_rows")).toString,
       AnalyzedColsProp -> cols.toSeq.flatten
-        .map(URLEncoder.encode(_, UTF_8)).mkString(",")) ++
+        .map(c => URLEncoder.encode(
+          SnapshotStore.physicalNameOf(renames, c), UTF_8)).mkString(",")) ++
       stats.map { case (n, st) =>
         (ColPrefix + URLEncoder.encode(
           SnapshotStore.physicalNameOf(renames, n), UTF_8)) -> encode(st) }
@@ -223,9 +233,10 @@ object SnapshotStats {
                                       dropped: Set[String]): Map[String, CatalogColumnStat] =
     props.iterator.collect {
       case (k, v) if k.startsWith(ColPrefix) =>
-        (URLDecoder.decode(k.stripPrefix(ColPrefix), UTF_8), v)
-    }.flatMap { case (name, encd) =>
+        (k.stripPrefix(ColPrefix), v)
+    }.flatMap { case (rawName, encd) =>
       for {
+        name <- scala.util.Try(URLDecoder.decode(rawName, UTF_8)).toOption
         st <- decode(encd)
         f <- physical.fields.find(_.name == name)
         if f.dataType.catalogString == st.tpe && !dropped(name)

@@ -570,14 +570,17 @@ object GraftSqlParser {
             if (u.kw("FOR", "ALL", "COLUMNS")) Some(None)
             else { u.reset(m)
               if (u.kw("FOR", "COLUMNS")) {
-                val first = u.column()
-                var list = first.toList
-                while (first.isDefined && u.punct(","))
+                // Comma-separated identifiers; ANY gap (`a,,b`, a
+                // dangling comma, an empty list) is malformed and must
+                // not silently analyze a subset of what was asked.
+                var list = u.column().toList
+                var bad = list.isEmpty
+                while (!bad && u.punct(","))
                   u.column() match {
                     case Some(cn) => list = list :+ cn
-                    case None => list = Nil // dangling comma → malformed
+                    case None => bad = true
                   }
-                if (list.isEmpty) None else Some(Some(list))
+                if (bad) None else Some(Some(list))
               } else Some(None) // bare COMPUTE STATISTICS = all columns
             }
           }

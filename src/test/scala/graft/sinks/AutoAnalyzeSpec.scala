@@ -83,6 +83,51 @@ class AutoAnalyzeSpec extends graft.SparkSpec {
       "the refresh must replay the recorded selection, not widen it")
   }
 
+  test("a rename after an explicit-column ANALYZE keeps self-healing — the replay maps through the mapping") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rows(0, 100), root, "part")
+    SnapshotStats.analyze(spark, root, Some(Seq("k")))
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoAnalyzeProp -> "50"))
+    SnapshotStore.renameColumn(spark, root, "k", "key")
+    SnapshotStore.appendCommit(spark,
+      (100 until 200).map(i => (i.toLong, s"g${i % 5}", (i % 2).toString))
+        .toDF("key", "g", "part"), root, "part")
+    val props = SnapshotStore.tablePropertiesMap(spark, root)
+    assert(props.get(SnapshotStats.AnalyzedRowsProp).contains("200"),
+      "the refresh must replay the renamed selection, not error forever")
+    assert(!props.get(SnapshotStore.MaintenanceErrorProp)
+      .exists(_.startsWith("component=autoAnalyze;")),
+      s"no recurring ledger entry: ${props.get(SnapshotStore.MaintenanceErrorProp)}")
+    assert(props.get("graft.stats.col.k").flatMap(SnapshotStats.decode)
+      .exists(_.max.contains("199")),
+      "refreshed stats stay keyed by the stable physical name")
+  }
+
+  test("an auto-analyze refresh commit does not strand registered rollup cursors") {
+    val dir = Files.createTempDirectory("autoboth").toString
+    val src = s"$dir/src"; val roll = s"$dir/roll"
+    SnapshotStore.commit(spark, rows(0, 100), src, "part")
+    graft.operators.Rollup.sync(spark, src, roll,
+      Seq("k"), Seq("g"), sumCols = Seq("k"))
+    graft.operators.Rollup.enableAutoSync(spark, src, roll)
+    SnapshotStats.analyze(spark, src)
+    SnapshotStore.setProperties(spark, src,
+      Seq(SnapshotStore.AutoAnalyzeProp -> "50"))
+    // This append trips the drift refresh, whose property commit bumps
+    // the source version AFTER the data commit — the rollup sync must
+    // run against that TIP or the MV rewrite goes dark until the next
+    // data commit.
+    SnapshotStore.appendCommit(spark, rows(100, 200), src, "part")
+    val tip = SnapshotStore.currentVersion(spark, src).get
+    assert(SnapshotStore.tablePropertiesMap(spark, src)
+      .get(SnapshotStats.AnalyzedRowsProp).contains("200"),
+      "the refresh itself must have fired")
+    assert(SnapshotStore.tablePropertiesMap(spark, roll)
+      .get(graft.operators.Rollup.CursorProp).map(_.toLong).contains(tip),
+      "the rollup cursor must track the tip PAST the analyze's property commit")
+  }
+
   test("a malformed threshold records the failure without failing the commit; fixing it clears") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rows(0, 100), root, "part")

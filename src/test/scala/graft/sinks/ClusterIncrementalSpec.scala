@@ -80,8 +80,13 @@ class ClusterIncrementalSpec extends graft.SparkSpec {
   test("a future-dated baseline (RESTORE moved the tip behind it) degrades to a full pass") {
     val root = freshRoot()
     SnapshotStore.commit(spark, batch(0, 1000), root, "part")
+    // BOTH baseline props set (keys matching the pass), so the test
+    // exercises the version guard itself — without ClusterKeysProp the
+    // key-mismatch filter would already reject the baseline and the
+    // `_ <= cur` guard would be unpinned.
     SnapshotStore.setProperties(spark, root,
-      Seq(SnapshotStore.ClusteredAtProp -> "999"))
+      Seq(SnapshotStore.ClusteredAtProp -> "999",
+        SnapshotStore.ClusterKeysProp -> "x"))
     val v = SnapshotStore.clusterIncremental(spark, root,
       "part", Seq("x"))
     assert(SnapshotStore.tablePropertiesMap(spark, root)

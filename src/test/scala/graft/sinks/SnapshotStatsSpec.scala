@@ -177,6 +177,12 @@ class SnapshotStatsSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException](
       spark.sql(s"ANALYZE TABLE graft.`$root` COMPUTE STATISTICS FOR COLUMNS nope"))
     assert(e.getMessage.contains("no column 'nope'"))
+    // A mid-list gap is MALFORMED, never a silent subset: the
+    // recognizer refuses, the statement fails (delegate can't resolve
+    // a graft path either), and nothing gets recorded for 'k' alone.
+    assert(intercept[Exception](spark.sql(
+      s"ANALYZE TABLE graft.`$root` COMPUTE STATISTICS FOR COLUMNS k,,part"))
+      != null)
     // FOR ALL COLUMNS + bare form both mean "all supported".
     assert(spark.sql(s"ANALYZE TABLE graft.`$root` COMPUTE STATISTICS FOR ALL COLUMNS")
       .collect()(0).getSeq[String](2).nonEmpty)
