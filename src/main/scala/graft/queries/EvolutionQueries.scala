@@ -1945,6 +1945,60 @@ private[graft] object EvolutionQueries {
         AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 2
           + (SELECT MAX(o_orderkey) FROM orders) // 50""")),
 
+    // CLUSTERING ON WRITE (graft.autoCluster.keys): after ONE property,
+    // ordinary appends keep the table clustered — each data commit
+    // z-orders its own delta as a post-commit rider. Require-pinned:
+    // the clustering baseline equals the tip after EVERY append (zero
+    // manual OPTIMIZE calls), and a narrow key range still opens fewer
+    // than half the files. Content is layout-invariant — the oracle
+    // aggregates the final state.
+    ("q217_auto_cluster", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      val root = s"$dir/orders"
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
+      SnapshotStore.commit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .repartition(6), root, "part")
+      SnapshotStore.setProperties(s, root,
+        Seq(SnapshotStore.AutoClusterProp -> "o_orderkey"))
+      def tipIsBaseline(): Unit = {
+        val tip = SnapshotStore.currentVersion(s, root).get
+        require(SnapshotStore.tablePropertiesMap(s, root)
+          .get(SnapshotStore.ClusteredAtProp).contains(tip.toString),
+          s"the hook must keep baseline == tip (tip $tip)")
+      }
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+          .repartition(6), root, "part")
+      tipIsBaseline()
+      SnapshotStore.appendCommit(s,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+          .repartition(6), root, "part")
+      tipIsBaseline()
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      val maxk = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val out = df.filter(col("o_orderkey") >= maxk / 4 &&
+          col("o_orderkey") <= maxk / 4 + maxk / 40)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+      out.persist(); out.count()
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"an always-clustered table must skip: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      out
+    }, Some("""
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM orders
+      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 4
+        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 4
+          + (SELECT MAX(o_orderkey) FROM orders) // 40""")),
+
     // OPTIMIZED WRITES (graft.optimizeWrite): after the property, a
     // deliberately fragmented append (6 upstream tasks × 8 partition
     // values = 48 files without it) lands as ≤2 files per partition —

@@ -594,18 +594,63 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // registered rollups must still re-sync, or the MV rewrite's
         // cursor-equality check silently stops firing until the next
         // data commit.
-        if (compactEligible) maybeAutoCompact(spark, root, committed)
+        if (compactEligible) {
+          maybeAutoCompact(spark, root, committed)
+          // Auto-cluster shares compact's eligibility gate: layout
+          // commits' file arrangements are intentional, and the
+          // incremental pass's own commit must not re-trigger it.
+          maybeAutoCluster(spark, root, committed)
+        }
         // Auto-analyze BEFORE auto-sync: its refresh publishes a
         // property commit (hook-inert via the re-entry guard), and the
         // rollup sync must run against the resulting TIP — the reverse
         // order would strand every registered cursor one version
         // behind, silently disabling the MV rewrite until the next
         // data commit (the same degradation the deleteWhere hook fix
-        // closes). Same reason auto-compact runs first.
+        // closes). Same reason the layout hooks run first.
         maybeAutoAnalyze(spark, root, committed)
         maybeAutoSyncRollups(spark, root, committed)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
+
+  /** Z-keys for [[maybeAutoCluster]]: comma-joined LOGICAL columns. */
+  val AutoClusterProp = "graft.autoCluster.keys"
+
+  /** CLUSTERING ON WRITE (the Delta liquid-clustering habit, as a
+    * post-commit rider): when `graft.autoCluster.keys = a,b` is set,
+    * every data commit immediately [[clusterIncremental]]s — the
+    * just-landed delta is z-ordered into its own tight generation
+    * while everything already clustered carries by reference. The
+    * table is therefore ALWAYS within one generation of fully
+    * clustered, file-skipping quality never drifts between manual
+    * OPTIMIZE windows, and the per-commit price is one range shuffle
+    * of the BATCH (the half-delta promotion inside
+    * [[clusterIncremental]] handles the day-one bulk load by doing
+    * the one full pass it genuinely needs). For clustered tables this
+    * largely subsumes auto-compact: the delta pass coalesces the
+    * commit's fragmented files as it sorts them.
+    *
+    * Failure discipline: identical to every swallowed hook — the data
+    * commit has won; a failed pass degrades to "unclustered delta
+    * this round" (reads stay correct, skipping is merely duller),
+    * recorded in the error ledger and cleared on the next clean pass. */
+  private[sinks] def maybeAutoCluster(spark: SparkSession, root: String,
+                                      committed: Long): Unit = try {
+    val props = tablePropertiesMap(spark, root)
+    props.get(AutoClusterProp).filter(_.nonEmpty).foreach { raw =>
+      val keys = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      require(keys.nonEmpty,
+        s"$AutoClusterProp must name at least one column, got '$raw'")
+      val cur = currentVersion(spark, root).getOrElse(committed)
+      val partCols = partitionColumns(spark, root, cur)
+      require(partCols.nonEmpty,
+        s"auto-cluster needs partition-column metadata under $root")
+      clusterIncremental(spark, root, ColSpec(partCols), keys)
+    }
+    recordMaintenanceRecovery(root, "autoCluster", props)
+  } catch { case scala.util.control.NonFatal(e) =>
+    recordMaintenanceError(root, "autoCluster", committed, e)
+  }
 
   /** Threshold for [[maybeAutoAnalyze]]: a positive integer percent.
     * Row-count drift (growth OR shrink) beyond it re-runs the last

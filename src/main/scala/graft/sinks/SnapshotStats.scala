@@ -79,6 +79,17 @@ object SnapshotStats {
                      min: Option[String], max: Option[String],
                      avgLen: Option[Long], maxLen: Option[Long])
 
+  /** Whether the SESSION can consume the attach at all:
+    * `LogicalRelation.computeStats` consults the catalog stats only
+    * under `toPlanStats(_, cboEnabled || planStatsEnabled)`, so with
+    * both flags off the attach is plan-identical dead weight — and it
+    * costs a property read + an analyzed-plan rebuild per read. The
+    * read paths skip the whole attach unless a flag is on (measured:
+    * point-lookup-heavy suites pay ~2× without the gate). */
+  private[sinks] def statsConsumable(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.cbo.enabled", "false") == "true" ||
+      spark.conf.get("spark.sql.cbo.planStats.enabled", "false") == "true"
+
   /** Types Spark's CBO consumes column stats for (mirrors
     * `AnalyzeColumnCommand.supportsType`): fixed-width primitives get
     * NDV/nulls/min/max; string/binary get NDV/nulls/avgLen/maxLen. */
@@ -269,6 +280,7 @@ object SnapshotStats {
                                      version: Long, idx: GraftFileIndex,
                                      entries: Seq[SnapshotStore.ManifestEntry],
                                      physicalSchema: StructType): Option[CatalogTable] = {
+    if (!statsConsumable(spark)) return None
     val props = SnapshotStore.tableProperties(spark, root, version).toMap
     val mapping = SnapshotStore.mappingAt(spark, root, version)
     val colStats = recordedColStats(props, physicalSchema, mapping._2)
