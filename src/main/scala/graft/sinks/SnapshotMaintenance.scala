@@ -595,7 +595,16 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // cursor-equality check silently stops firing until the next
         // data commit.
         if (compactEligible) {
-          maybeAutoCompact(spark, root, committed)
+          // Clustering on write SUBSUMES auto-compaction: the delta
+          // pass coalesces the commit's fragmented files as it sorts
+          // them. Running both would plain-repartition the oversized
+          // partitions (destroying their z-order) and then re-rewrite
+          // the same files as 'delta' — twice the I/O for a worse
+          // layout — so a registered cluster key disables the compact
+          // hook.
+          val clustering = scala.util.Try(tablePropertiesMap(spark, root)
+            .get(AutoClusterProp).exists(_.nonEmpty)).getOrElse(false)
+          if (!clustering) maybeAutoCompact(spark, root, committed)
           // Auto-cluster shares compact's eligibility gate: layout
           // commits' file arrangements are intentional, and the
           // incremental pass's own commit must not re-trigger it.
@@ -638,7 +647,11 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
                                       committed: Long): Unit = try {
     val props = tablePropertiesMap(spark, root)
     props.get(AutoClusterProp).filter(_.nonEmpty).foreach { raw =>
-      val keys = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      // ColSpec.parse: the same comma-list parse every column-list
+      // property uses, INCLUDING its duplicate rejection — a "x,x"
+      // misconfiguration must land in the error ledger on the first
+      // commit, not stamp a baseline no manual OPTIMIZE will trust.
+      val keys = ColSpec.parse(raw).cols
       require(keys.nonEmpty,
         s"$AutoClusterProp must name at least one column, got '$raw'")
       val cur = currentVersion(spark, root).getOrElse(committed)

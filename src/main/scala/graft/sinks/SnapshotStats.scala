@@ -87,8 +87,9 @@ object SnapshotStats {
     * read paths skip the whole attach unless a flag is on (measured:
     * point-lookup-heavy suites pay ~2× without the gate). */
   private[sinks] def statsConsumable(spark: SparkSession): Boolean =
-    spark.conf.get("spark.sql.cbo.enabled", "false") == "true" ||
-      spark.conf.get("spark.sql.cbo.planStats.enabled", "false") == "true"
+    spark.conf.get("spark.sql.cbo.enabled", "false").equalsIgnoreCase("true") ||
+      spark.conf.get("spark.sql.cbo.planStats.enabled", "false")
+        .equalsIgnoreCase("true")
 
   /** Types Spark's CBO consumes column stats for (mirrors
     * `AnalyzeColumnCommand.supportsType`): fixed-width primitives get

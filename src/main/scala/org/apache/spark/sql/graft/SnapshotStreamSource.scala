@@ -119,9 +119,16 @@ class SnapshotStreamSource(
     case other => other.json.trim.toLong
   }
 
-  /** Ops whose commits are content-preserving by construction. */
+  /** Ops whose commits are content-preserving by construction.
+    * `zorder-incremental` matters most: the auto-cluster hook emits
+    * one after EVERY data commit, so misclassifying it as a data
+    * rewrite would kill any stream over an auto-clustered table on
+    * its first append. `cluster-by` (bucket layout) and `repartition`
+    * (partition-spec evolution) are the same class — full
+    * content-preserving rewrites (deletes materialize, rows carry). */
   private val layoutOps =
-    Set("compact", "zorder", "purge", "set-properties", "unset-properties")
+    Set("compact", "zorder", "zorder-incremental", "cluster-by",
+      "repartition", "purge", "set-properties", "unset-properties")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)

@@ -49,6 +49,26 @@ class SnapshotStreamSourceSpec extends SparkSpec {
       ("p4", 2), ("p5", 2), ("p6", 4)))
   }
 
+  test("an auto-clustered table streams cleanly: every data commit's zorder-incremental rider is skipped") {
+    val dir = freshDir()
+    val root = s"$dir/t"
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "b", 1)), root, "supplier")
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoClusterProp -> "product_id"))
+    // Each append triggers the clustering rider — without the
+    // layout-op classification the stream would die on its FIRST
+    // append ("rewrote or removed data files").
+    SnapshotStore.appendCommit(spark, table(("p3", "a", 2)), root, "supplier")
+    SnapshotStore.appendCommit(spark, table(("p4", "c", 3)), root, "supplier")
+    drain(root, "snap_autocluster", s"$dir/ckpt",
+      Map("startingVersion" -> "0"))
+    val got = spark.table("snap_autocluster")
+      .select("product_id").as[String].collect().toSet
+    assert(got == Set("p1", "p2", "p3", "p4"),
+      "each delta must arrive exactly once, cluster riders silently skipped")
+  }
+
   test("default start streams only future commits") {
     val dir = freshDir()
     val root = s"$dir/t"

@@ -87,6 +87,38 @@ class AutoClusterSpec extends graft.SparkSpec {
       "a clean pass must clear the recorded failure")
   }
 
+  test("clustering on write subsumes auto-compact: both properties set, ONE layout rider per commit") {
+    val root = s"${freshDir()}/t"
+    SnapshotStore.commit(spark, rows(0 until 500), root, "part")
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoClusterProp -> "x",
+        "graft.autoCompact.minFiles" -> "2"))
+    val before = SnapshotStore.currentVersion(spark, root).get
+    SnapshotStore.appendCommit(spark, rows(500 until 700), root, "part")
+    val tip = SnapshotStore.currentVersion(spark, root).get
+    assert(tip == before + 2,
+      s"expected data commit + ONE cluster rider, got ${tip - before} versions " +
+        "(compact must stand down when clustering is registered)")
+    assert(SnapshotStore.manifestOperation(spark, root, tip)
+      .contains("zorder-incremental"))
+    assert(baseline(root).contains(tip.toString))
+  }
+
+  test("duplicate cluster keys land in the error ledger on the first commit") {
+    val root = s"${freshDir()}/t"
+    SnapshotStore.commit(spark, rows(0 until 300), root, "part")
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoClusterProp -> "x,x"))
+    SnapshotStore.appendCommit(spark, rows(300 until 400), root, "part")
+    assert(SnapshotStore.table(spark, root).count() == 400)
+    SnapshotStore.appendCommit(spark, rows(400 until 500), root, "part")
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.MaintenanceErrorProp)
+      .exists(_.startsWith("component=autoCluster;")),
+      "a duplicate-key misconfiguration must be ledger-visible, not a " +
+        "baseline no manual OPTIMIZE will trust")
+  }
+
   test("layout commits do not re-trigger the hook — no runaway version churn") {
     val root = s"${freshDir()}/t"
     SnapshotStore.commit(spark, rows(0 until 500), root, "part")
