@@ -906,6 +906,31 @@ object ScaleSmoke {
           time("commit_autocompact_below") { append(3) }
         },
         {
+          // Clustering-on-write rider on the same batch shape: the
+          // FIRST pass under a fresh registration is the one full
+          // cluster the table needs (primed untimed via append(5));
+          // the timed append prices the STEADY STATE — the commit
+          // pays its own delta's range shuffle, per commit, flat in
+          // table size (compare commit_append_0_rollups).
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot,
+            Seq(graft.sinks.SnapshotStore.AutoClusterProp -> "doc_id"))
+          append(5) // priming full pass, untimed
+          val t6 = time("commit_autocluster_rider") {
+            val v = append(6)
+            val cur = graft.sinks.SnapshotStore
+              .currentVersion(spark, hkRoot).get
+            require(cur > v && graft.sinks.SnapshotStore
+                .tablePropertiesMap(spark, hkRoot)
+                .get(graft.sinks.SnapshotStore.ClusteredAtProp)
+                .contains(cur.toString),
+              s"cluster rider did not fire (v=$v cur=$cur)")
+            cur
+          }
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot,
+            Seq(graft.sinks.SnapshotStore.AutoClusterProp -> ""))
+          t6
+        },
+        {
           graft.sinks.SnapshotStore.setProperties(spark, hkRoot,
             Seq("graft.autoCompact.minFiles" -> "4"))
           time("commit_autocompact_fires") {
