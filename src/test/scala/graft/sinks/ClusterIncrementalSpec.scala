@@ -165,6 +165,23 @@ class ClusterIncrementalSpec extends graft.SparkSpec {
       .collect()(0).getLong(1) >= 2L)
   }
 
+  test("bucket-engaged tables keep the hash layout: the incremental pass z-sorts WITHIN buckets") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, batch(0, 2000), root, "part")
+    SnapshotStore.bucketTable(spark, root, Seq("x"), 4)
+    SnapshotStore.clusterIncremental(spark, root, "part", Seq("y"))
+    SnapshotStore.appendCommit(spark, batch(2000, 2400, files = 1), root, "part")
+    val v = SnapshotStore.clusterIncremental(spark, root, "part", Seq("y"))
+    val cur = SnapshotStore.manifest(spark, root, v)
+    assert(cur.nonEmpty && cur.forall(e =>
+      SnapshotStore.bucketIdOf(
+        new org.apache.hadoop.fs.Path(e.path).getName).isDefined),
+      "every file must stay bucket-stamped through incremental clustering")
+    assert(SnapshotStore.table(spark, root).count() == 2400)
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.ClusteredAtProp).contains(v.toString))
+  }
+
   test("skipping stays sharp: a point range opens generation-count files, not the table") {
     val root = freshRoot()
     SnapshotStore.commit(spark, batch(0, 4000), root, "part")
