@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cheaper sidecar answer wins the global filterless case.
     ext.injectOptimizerRule(session =>
       graft.sinks.RollupRewriteRule(session))
+    // Transparent dynamic file pruning (opt-in:
+    // spark.graft.dynamicFilePruning): filteredDim ⋈ graftFactScan
+    // equi-joins get the bounded key probe + IN-list file skipping of
+    // graft.operators.DynamicPruning with zero API calls — Delta's
+    // DFP shape.
+    ext.injectOptimizerRule(session =>
+      graft.sinks.DynamicPruningRule(session))
     // Maintenance SQL Spark's grammar lacks (RESTORE TABLE … TO
     // VERSION AS OF n, DESCRIBE HISTORY t) — a delegating parser, the
     // DeltaSqlParser architecture.

@@ -950,6 +950,42 @@ object ScaleSmoke {
             })
             cur
           }
+        },
+        {
+          // ALL HOOKS ARMED on ONE commit (the round-13 verdict's
+          // unpriced composition, What's-wrong #3): auto-cluster +
+          // auto-analyze (prior ANALYZE + driftPct=1, so a 10% batch
+          // always crosses) + 3 auto-sync rollups, every rider firing
+          // synchronously inside a single append — the joint worst
+          // case, vs commit_append_0_rollups as the bare baseline.
+          // auto-compact stays registered but auto-cluster SUBSUMES it
+          // (the postCommit gate), so the riders are: one delta range
+          // shuffle + one stats scan + one property commit + 3 window
+          // diffs. The fresh cluster registration's first full pass is
+          // primed untimed (append(7)) — steady state is the number.
+          graft.sinks.SnapshotStats.analyze(spark, hkRoot)
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot, Seq(
+            graft.sinks.SnapshotStore.AutoClusterProp -> "doc_id",
+            graft.sinks.SnapshotStore.AutoAnalyzeProp -> "1",
+            "graft.rollup.autoSync" -> Seq(hkR1, hkR2, hkR3).mkString(",")))
+          append(7) // priming cluster pass, untimed
+          time("commit_all_hooks_armed") {
+            val v = append(8)
+            val cur = graft.sinks.SnapshotStore
+              .currentVersion(spark, hkRoot).get
+            val props = graft.sinks.SnapshotStore
+              .tablePropertiesMap(spark, hkRoot)
+            require(cur > v &&
+              props.get(graft.sinks.SnapshotStore.ClusteredAtProp)
+                .contains(cur.toString),
+              s"all-hooks probe: riders did not fire (v=$v cur=$cur)")
+            val rollCursor = graft.sinks.SnapshotStore
+              .tablePropertiesMap(spark, hkR1)
+              .get(graft.operators.Rollup.CursorProp)
+            require(rollCursor.contains(cur.toString),
+              s"all-hooks probe: rollup cursor $rollCursor is not at tip $cur")
+            cur
+          }
         })
     }
 

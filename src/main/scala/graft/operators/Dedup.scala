@@ -295,9 +295,36 @@ object Dedup {
       .select(col("id"),
         (0 until bits).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_.bitwiseOR(_)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    hammingPairs(sigs, col("id"), col("sig"), bits, bands, maxHamming)
+  }
+
+  /** Banded Hamming near-dup pairs over PRECOMPUTED ≤64-bit
+    * signatures — the [[simHashPairs]] join machinery generalized to
+    * any bit signature (image pHash via
+    * [[Multimodal.perceptualHashes]], audio fingerprints): band each
+    * signature into `bands` chunks, equi-join on (band, chunk), keep
+    * pairs within `maxHamming`. Pigeonhole-exact when
+    * `maxHamming < bands` (a pair within the threshold differs in
+    * fewer bands than exist, so SOME band chunk matches exactly);
+    * more bands = exactness at higher thresholds, at the price of
+    * more index rows — the standard recall/cost dial. Null
+    * signatures (undecodable media) drop out here, not as task
+    * failures. Never an all-pairs product: candidates are
+    * Σ|bucket|², bounded by the band-chunk collision structure. */
+  def hammingPairs(sigs: DataFrame, id: Column, sig: Column,
+                   bits: Int = 64, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits must be in [2,64], got $bits")
+    require(bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits): a remainder would leave the top " +
+        "bits outside every band and silently void the pigeonhole recall guarantee")
+    val chunk = bits / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1
+    val s = sigs.select(id.as("id"), sig.as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = s.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * chunk).bitwiseAND(mask)): _*)))
+        shiftright(col("sig"), b * chunk).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))

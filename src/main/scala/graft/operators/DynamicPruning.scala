@@ -21,7 +21,12 @@ import graft.sinks.{GraftFileIndex, SnapshotStore}
   *
   * Bounds and degradations (the [[GroupScope]] discipline):
   *   - the key probe collects `maxKeys + 1` DISTINCT keys at most —
-  *     bounded driver memory, no unbounded broadcast;
+  *     bounded driver memory, no unbounded broadcast. The default is
+  *     10k: beyond that the In-list's PLANNING cost is real (the
+  *     literal list serializes into the plan, probes every file's
+  *     Bloom sidecar, and pushes into parquet row-group evaluation)
+  *     while its selectivity is usually gone — Delta bounds the
+  *     equivalent list similarly;
   *   - more distinct keys than `maxKeys` → the PLAIN join (dim too
   *     wide to enumerate = pruning would not be selective anyway);
   *   - only `inner` and `left_semi` joins qualify (an outer join
@@ -29,7 +34,17 @@ import graft.sinks.{GraftFileIndex, SnapshotStore}
   *     WRONG, so any other join type refuses loudly);
   *   - null dim keys are dropped from the probe: they never match an
   *     equi-join anyway, and an In-list with null would poison the
-  *     pushdown translation.
+  *     pushdown translation;
+  *   - a NONDETERMINISTIC dim (rand-based sampling, per-evaluation
+  *     timestamps) degrades to the plain join: the probe and the join
+  *     would evaluate the dim twice and could disagree, so a pushed
+  *     In-list might drop fact rows the join-time dim still matches —
+  *     the result-identical contract only survives by not pruning.
+  *
+  * For plain SQL / DataFrame joins, the same pruning is available
+  * transparently as an opt-in optimizer rule —
+  * [[graft.sinks.DynamicPruningRule]]
+  * (`spark.graft.dynamicFilePruning=true`).
   *
   * 100 TB rationale: the classic shape is a date-sliced dimension
   * against a fact table whose layout correlates with the key
@@ -48,16 +63,26 @@ object DynamicPruning {
     * pins) and whether pruning engaged. */
   private[graft] def joinPrunedWithIndex(spark: SparkSession, factRoot: String,
       factKey: String, dim: DataFrame, dimKey: String,
-      joinType: String = "inner", maxKeys: Int = 100000,
+      joinType: String = "inner", maxKeys: Int = 10000,
       version: Option[Long] = None): (DataFrame, GraftFileIndex, Boolean) = {
     require(joinType == "inner" || joinType == "left_semi",
       s"dynamic file pruning only preserves inner/left_semi semantics " +
         s"(an outer join keeps unmatched fact rows) — got '$joinType'")
     require(maxKeys > 0, s"maxKeys must be positive, got $maxKeys")
-    val keys = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
-      .distinct().limit(maxKeys + 1).collect().map(_.get(0))
+    // A nondeterministic dim would be evaluated once by the probe and
+    // again by the join — the two evaluations can disagree, and a
+    // pushed In-list from the first would wrongly drop fact rows the
+    // second still matches. Pruning refuses; the plain join (one dim
+    // evaluation per execution, standard Spark semantics) runs.
+    val deterministic = dim.queryExecution.analyzed.collectFirst {
+      case p if p.expressions.exists(e => !e.deterministic) => p
+    }.isEmpty
+    val keys =
+      if (!deterministic) Array.empty[Any]
+      else dim.select(col(dimKey)).where(col(dimKey).isNotNull)
+        .distinct().limit(maxKeys + 1).collect().map(_.get(0))
     val (fact, idx) = SnapshotStore.tableWithIndex(spark, factRoot, version)
-    val engaged = keys.length <= maxKeys
+    val engaged = deterministic && keys.length <= maxKeys
     val pruned =
       if (!engaged) fact
       else if (keys.isEmpty) fact.where(lit(false)) // empty dim: empty join
@@ -77,7 +102,7 @@ object DynamicPruning {
     * `SnapshotStore.table(root).join(dim, …)` by construction. */
   def joinPruned(spark: SparkSession, factRoot: String, factKey: String,
                  dim: DataFrame, dimKey: String, joinType: String = "inner",
-                 maxKeys: Int = 100000, version: Option[Long] = None): DataFrame =
+                 maxKeys: Int = 10000, version: Option[Long] = None): DataFrame =
     joinPrunedWithIndex(spark, factRoot, factKey, dim, dimKey, joinType,
       maxKeys, version)._1
 }

@@ -268,6 +268,149 @@ object Multimodal {
       }
     }
 
+    /** 64-bit perceptual DCT hash (the classic pHash shape) on the
+      * same guarded raster path as [[pixelFeatures]]: decode (bounded
+      * by `maxPixels` — dimensions come from the HEADER, so an
+      * oversized or decompression-bomb image is refused before any
+      * raster allocation), box-average to a 32×32 grayscale, 2-D
+      * DCT-II, keep the top-left 8×8 low-frequency block, and set
+      * bit i when coefficient i exceeds the block's MEDIAN (DC
+      * excluded from the median — it is pure global brightness).
+      *
+      * Why this beats exact-hash and the color histogram for image
+      * near-dup: a JPEG re-encode of the same raster changes every
+      * byte (exact dedup misses it) and barely moves a 64-bin
+      * histogram only for GLOBAL edits (q149's histogram can't see
+      * crops or local edits); low-frequency DCT signs survive
+      * re-encode/resize and differ for genuinely different content —
+      * Hamming distance on the 64 bits is the classic similarity.
+      * Corrupt/undecodable/oversized bytes → None (data, never a
+      * task failure). */
+    def pHash(bytes: Array[Byte], maxPixels: Long = 1L << 22): Option[Long] = {
+      decodeDims(bytes) match {
+        case Some((_, w, h)) if w > 0 && h > 0 && w.toLong * h <= maxPixels =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val W = img.getWidth; val H = img.getHeight
+              val pixels = img.getRGB(0, 0, W, H, null, 0, W)
+              // Box-average grayscale downsample to 32×32: every source
+              // pixel lands in exactly one cell — deterministic, no
+              // interpolation-kernel variance across JVMs.
+              val n = 32
+              val acc = new Array[Double](n * n)
+              val cnt = new Array[Int](n * n)
+              var p = 0
+              while (p < pixels.length) {
+                val x = p % W; val y = p / W
+                val cell = (y * n / H) * n + (x * n / W)
+                val rgb = pixels(p)
+                acc(cell) += (((rgb >> 16) & 0xFF) * 299 +
+                  ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+                cnt(cell) += 1
+                p += 1
+              }
+              var i = 0
+              while (i < acc.length) {
+                if (cnt(i) > 0) acc(i) /= cnt(i); i += 1
+              }
+              // 2-D DCT-II of the 32×32 grid, top-left 8×8 kept. The
+              // cosine table is tiny (32×32 doubles) and rebuilt per
+              // call — image decode dominates by orders of magnitude.
+              val cosT = Array.tabulate(8, n)((u, x) =>
+                math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+              val block = new Array[Double](64)
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  var s = 0.0
+                  var y = 0
+                  while (y < n) {
+                    var x = 0
+                    while (x < n) {
+                      s += acc(y * n + x) * cosT(u)(y) * cosT(v)(x)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  block(u * 8 + v) = s
+                  v += 1
+                }
+                u += 1
+              }
+              // Median over the 63 AC coefficients; DC (block(0)) is
+              // brightness and would bias every bit the same way.
+              val ac = block.drop(1).sorted
+              val median = (ac(30) + ac(31)) / 2.0
+              var sig = 0L
+              var b = 0
+              while (b < 64) {
+                if (block(b) > median) sig |= (1L << b)
+                b += 1
+              }
+              Some(sig)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+    }
+
+    /** Deterministic PATTERNED test image — a 4×4 grid of
+      * bright/dark blocks keyed by a scrambled seed, so (a) a lossy
+      * JPEG re-encode keeps the perceptual hash close (24-px uniform
+      * blocks are exactly the low-frequency content JPEG quantization
+      * preserves) and (b) distinct seeds flip ~half the blocks (the
+      * golden-ratio scramble decorrelates adjacent seeds), producing
+      * far-apart hashes. The fixture generator for [[pHash]]
+      * round-trips. */
+    /** The 16 block bits [[encodePattern]] renders for `seed`. */
+    private def patternBits(seed: Long): Long =
+      ((seed * 0x9E3779B97F4A7C15L) >>> 13) & 0xFFFFL
+
+    /** `n` seeds whose block patterns pairwise differ in at least
+      * `minDist` of the 16 blocks (greedy code construction,
+      * deterministic) — the fixture discipline that makes "distinct
+      * images hash far apart" a GUARANTEE instead of a random-seed
+      * hope. */
+    def patternSeeds(n: Int, minDist: Int = 6): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var s = 0L
+      while (out.size < n && s < 1000000L) {
+        if (out.forall(o => java.lang.Long.bitCount(
+            patternBits(o) ^ patternBits(s)) >= minDist)) out += s
+        s += 1
+      }
+      require(out.size == n,
+        s"could not construct $n block codewords at distance $minDist")
+      out.toSeq
+    }
+
+    def encodePattern(width: Int, height: Int, seed: Long,
+                      format: String): Array[Byte] = {
+      require(width > 0 && height > 0, s"need positive dims, got ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bits = patternBits(seed)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val block = (y * 4 / height) * 4 + (x * 4 / width)
+          val g = if (((bits >> block) & 1L) == 1L) 200 else 55
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
+      out.toByteArray
+    }
+
     /** Deterministic single-color test image, encoded with the real
       * ImageIO writer — the fixture generator for decode round-trips
       * (`format`: "png", "jpeg", "gif", "bmp"). */
@@ -373,6 +516,24 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         MediaFeatures(id, ImageCodec.pixelFeatures(bytes, bins, maxPixels))
       })
+  }
+
+  /** Per-media 64-bit perceptual hash ([[ImageCodec.pHash]]) over a
+    * `(media_id, content)` frame — mapPartitions at the codec library
+    * boundary, like [[extractFeatures]]. Undecodable/oversized rows
+    * surface as null hashes (filter, don't fail). Feed the result to
+    * [[Dedup.hammingPairs]] for banded image near-dup at corpus
+    * scale. */
+  def perceptualHashes(df: DataFrame,
+                       maxPixels: Long = 1L << 22): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, ImageCodec.pHash(bytes, maxPixels))
+      })
+      .toDF("media_id", "phash")
   }
 
   /** Real audio metadata codec over the JDK's `javax.sound.sampled`

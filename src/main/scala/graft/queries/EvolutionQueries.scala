@@ -1643,7 +1643,14 @@ private[graft] object EvolutionQueries {
       import graft.sinks.{RollupRewrite, SnapshotStore}
       val dir = java.nio.file.Files.createTempDirectory("graft_q212").toString
       val src = s"$dir/src"; val fq = s"$dir/fq"; val hg = s"$dir/hg"
-      val orders = t(s, d, "orders").select(
+      // Deterministic third of orders: the fixture is ~8 atomic
+      // commits whose wall time amplifies host noise in the bench
+      // suite (round-13 adjudication) — every pin is structural
+      // (cursor == tip), so the subset changes nothing but cost. The
+      // oracle filters identically.
+      val orders = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(
         col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         when(pmod(col("o_orderkey"), lit(11)) === 0, lit(null))
           .otherwise(col("o_totalprice")).as("price_n"))
@@ -1707,7 +1714,7 @@ private[graft] object EvolutionQueries {
           CASE WHEN o_orderkey % 11 = 0 THEN NULL
                WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50000.0
                ELSE o_totalprice END AS price_n
-        FROM orders WHERE o_orderkey % 10 <> 9),
+        FROM orders WHERE o_orderkey % 10 <> 9 AND o_orderkey % 3 = 0),
       b AS (
         SELECT LEAST(GREATEST(CAST(FLOOR(price_n / 9375.0) AS INT), 0),
                      63) AS bin,
@@ -1901,7 +1908,14 @@ private[graft] object EvolutionQueries {
       val root = s"$dir/orders"
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sinks.GraftCatalog].getName)
-      val orders = t(s, d, "orders").select(col("o_orderkey"),
+      // Deterministic third of orders — the multi-commit lifecycle's
+      // pins are all path-set algebra (gen-1 ⊆ after, baseline
+      // advanced, <half the files), so the subset only cuts the
+      // fixture's noise-amplifying wall time. The oracle filters
+      // identically.
+      val orders = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey"),
         col("o_custkey"), col("o_totalprice"),
         pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
       SnapshotStore.commit(s,
@@ -1937,13 +1951,14 @@ private[graft] object EvolutionQueries {
           s"${idx.lastCandidateFiles}/${idx.totalFiles}")
       slice
     }, Some("""
+      WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
       SELECT COUNT(*) AS n,
         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
           AS DOUBLE) AS sp
-      FROM orders
-      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 2
-        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 2
-          + (SELECT MAX(o_orderkey) FROM orders) // 50""")),
+      FROM sub
+      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM sub) // 2
+        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM sub) // 2
+          + (SELECT MAX(o_orderkey) FROM sub) // 50""")),
 
     // CLUSTERING ON WRITE (graft.autoCluster.keys): after ONE property,
     // ordinary appends keep the table clustered — each data commit
@@ -1956,7 +1971,14 @@ private[graft] object EvolutionQueries {
       import graft.sinks.SnapshotStore
       val dir = java.nio.file.Files.createTempDirectory("graft_q217").toString
       val root = s"$dir/orders"
-      val orders = t(s, d, "orders").select(col("o_orderkey"),
+      // Deterministic third — same rationale as q212/q215: the pins
+      // are structural (baseline == tip, <half the files), the
+      // lifecycle's wall time is the bench suite's noise amplifier.
+      // Keyed on CUSTKEY: the commits below split on o_orderkey % 3,
+      // so an orderkey-modulus subset would empty two of them.
+      val orders = t(s, d, "orders")
+        .filter(pmod(col("o_custkey"), lit(3)) === 0)
+        .select(col("o_orderkey"),
         col("o_custkey"), col("o_totalprice"),
         pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
       SnapshotStore.commit(s,
@@ -1991,13 +2013,14 @@ private[graft] object EvolutionQueries {
           s"${idx.lastCandidateFiles}/${idx.totalFiles}")
       out
     }, Some("""
+      WITH sub AS (SELECT * FROM orders WHERE o_custkey % 3 = 0)
       SELECT COUNT(*) AS n,
         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
           AS DOUBLE) AS sp
-      FROM orders
-      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM orders) // 4
-        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 4
-          + (SELECT MAX(o_orderkey) FROM orders) // 40""")),
+      FROM sub
+      WHERE o_orderkey >= (SELECT MAX(o_orderkey) FROM sub) // 4
+        AND o_orderkey <= (SELECT MAX(o_orderkey) FROM sub) // 4
+          + (SELECT MAX(o_orderkey) FROM sub) // 40""")),
 
     // OPTIMIZED WRITES (graft.optimizeWrite): after the property, a
     // deliberately fragmented append (6 upstream tasks × 8 partition
@@ -2038,6 +2061,355 @@ private[graft] object EvolutionQueries {
           AS DOUBLE) AS sp
       FROM orders
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      ORDER BY o_orderstatus""")),
+
+    // TRANSPARENT dynamic file pruning (DynamicPruningRule, the
+    // Delta-DFP shape): the SAME join-time file skipping q214 gets
+    // through the explicit operator, here from a PURE SQL join with
+    // zero API calls — `spark.graft.dynamicFilePruning=true` is the
+    // only change. A/B require-pinned in-query: with the rule off the
+    // join opens ALL files (plans elsewhere stay byte-identical);
+    // with it on, the dim slice's bounded key probe turns into an
+    // In-list the skipping index prunes to STRICTLY fewer than half
+    // the files — and the values are the plain join's (the oracle
+    // runs it in DuckDB). The key bound is derived from the table's
+    // own key range so the pin holds at any SF.
+    ("q218_dfp_rule_sql", (s: SparkSession, d: String) => {
+      import graft.sinks.{DynamicPruningRule, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q218").toString
+      val fact = s"$dir/lineitem"
+      // Deterministic half of lineitem keeps the fixture light; the
+      // oracle filters identically.
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      // Range partitioning on the join key (the monotonic-ingest
+      // layout): tight per-file [min,max] on l_orderkey.
+      val maxk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val width = math.max(1L, maxk / 16 + 1)
+      SnapshotStore.commit(s,
+        li.withColumn("part", (col("l_orderkey") / lit(width))
+          .cast("long").cast("string")), fact, "part")
+      val cutoff = maxk * 9 / 10
+      val (factDf, idx) = SnapshotStore.tableWithIndex(s, fact)
+      factDf.createOrReplaceTempView("q218_fact")
+      // The dim is a MATERIALIZED slice (the newest tenth of orders,
+      // tagged) filtered on a NON-key column: its key selectivity is
+      // invisible to static planning — Catalyst's constraint
+      // propagation has no o_orderkey predicate to transfer across
+      // the join (a `o_orderkey >= cutoff` filter would prune
+      // statically without any DFP — that case needs no rule). Only
+      // the runtime probe can discover the keys. This is the classic
+      // date-sliced-dim star-join shape.
+      val dimPath = s"$dir/dim_hot"
+      t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit("hot").as("tag"))
+        .write.parquet(dimPath)
+      s.read.parquet(dimPath).filter(col("tag") === "hot")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("q218_dim")
+      val sql = """
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+            AS DOUBLE) AS sq
+        FROM q218_fact JOIN q218_dim ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      // OFF: default plans are untouched — every file opens. Collected
+      // (not persisted): a cached identical plan would be substituted
+      // into the ON run before the optimizer ever saw the join.
+      val offRows = s.sql(sql).collect().toSeq
+      require(idx.lastCandidateFiles == idx.totalFiles,
+        s"with the rule off the plain join must open ALL files: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      // ON: SF-relative key bound (the slice holds ≤ maxk/10 + 1
+      // distinct integer keys — exact at any SF).
+      s.conf.set(DynamicPruningRule.EnabledConf, "true")
+      s.conf.set(DynamicPruningRule.MaxKeysConf,
+        math.max(DynamicPruningRule.DefaultMaxKeys.toLong,
+          math.min(Int.MaxValue.toLong, maxk / 10 + 1)).toString)
+      try {
+        val on = s.sql(sql)
+        on.persist(); on.count() // plan + listFiles inside the window
+        require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+          s"the transparent rule must skip files from pure SQL: " +
+            s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+        require(on.collect().toSeq == offRows,
+          "pruned and plain joins must be value-identical")
+        on
+      } finally {
+        s.conf.unset(DynamicPruningRule.EnabledConf)
+        s.conf.unset(DynamicPruningRule.MaxKeysConf)
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 2 = 0
+        AND o_orderkey >= (SELECT (MAX(CASE WHEN l_orderkey % 2 = 0
+              THEN l_orderkey END) * 9) // 10 FROM lineitem)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    // COST-BASED JOIN REORDERING from recorded statistics (E121
+    // extended): a 3-table star written AS the user would write it —
+    // fact ⋈ orders (huge) ⋈ selective supplier slice — joins the big
+    // dim first unless the optimizer knows better. A/B require-pinned
+    // in-query: without CBO the bottom-most join is (fact, orders) as
+    // written; under `spark.sql.cbo.joinReorder.enabled` the ANALYZE'd
+    // rowCounts + NDVs reorder it to (fact, supplier-slice) — the
+    // selective dim first, the multiplicative win a wrong join order
+    // costs at 100 TB. The pin is on RELATIVE cardinalities
+    // (|supplier-slice| ≪ |orders|, both manifest-exact), so it holds
+    // at any SF. Values are join-order-invariant — the oracle runs
+    // the star in DuckDB.
+    ("q219_cbo_join_reorder", (s: SparkSession, d: String) => {
+      import graft.sinks.{GraftFileIndex, SnapshotStats, SnapshotStore}
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q219").toString
+      val factR = s"$dir/lineitem"; val dimOR = s"$dir/orders"
+      val dimSR = s"$dir/supplier"
+      SnapshotStore.commit(s,
+        t(s, d, "lineitem").filter(pmod(col("l_orderkey"), lit(2)) === 0)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"),
+            pmod(col("l_orderkey"), lit(4)).cast("string").as("part")),
+        factR, "part")
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        dimOR, "part")
+      SnapshotStore.commit(s,
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),
+          lit("0").as("part")), dimSR, "part")
+      Seq(factR, dimOR, dimSR).foreach(r => SnapshotStats.analyze(s, r))
+      def q(): DataFrame =
+        SnapshotStore.table(s, factR)
+          .join(SnapshotStore.table(s, dimOR),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(SnapshotStore.table(s, dimSR)
+              .filter(col("s_nationkey") <= 5),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(22,2)").cast("double").as("sq"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(22,2)").cast("double").as("sp"))
+          .orderBy(col("o_orderstatus"))
+      // Snapshot roots under the BOTTOM-MOST join of the optimized
+      // plan — the pair the optimizer chose to join first.
+      def bottomRoots(df: DataFrame): Set[String] = {
+        val joins = df.queryExecution.optimizedPlan.collect {
+          case j: LJoin => j }
+        val bottom = joins.find(j => j.collect { case jj: LJoin => jj }
+          .size == 1).getOrElse(
+          throw new IllegalStateException("no bottom join in the plan"))
+        bottom.collectLeaves().collect {
+          case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+            fs.location match {
+              case g: GraftFileIndex => g.tableRoot.getOrElse("")
+              case _ => ""
+            }
+        }.toSet
+      }
+      val off = q()
+      require(bottomRoots(off).contains(dimOR) &&
+          !bottomRoots(off).contains(dimSR),
+        s"without CBO the star must join as written (orders first): " +
+          s"${bottomRoots(off)}")
+      val offRows = off.collect().toSeq
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        val on = q()
+        require(bottomRoots(on).contains(dimSR) &&
+            !bottomRoots(on).contains(dimOR),
+          s"recorded stats must join the SELECTIVE dim first: " +
+            s"${bottomRoots(on)}")
+        on.persist(); on.count()
+        require(on.collect().toSeq == offRows,
+          "join order must never change values")
+        on
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.planStats.enabled")
+        s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_orderkey % 2 = 0 AND s_nationkey <= 5
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    // NESTED-FIELD FILE SKIPPING (the reference's own index spec is
+    // nested: supplier.id / variants.sku —
+    // unified_product_schema.py:229-248): a unified-shaped snapshot
+    // whose layout correlates with supplier.id gets file skipping
+    // from a `WHERE supplier.id >= …` STRUCT-LEAF predicate —
+    // FileStats harvests parquet's dot-path leaf stats at commit and
+    // the translation layer now resolves GetStructField chains onto
+    // them. Require-pinned to open fewer than half the files; the
+    // zero-padded id makes string order == customer-key order, so
+    // the oracle filters on the key directly.
+    ("q220_nested_skipping", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q220").toString
+      val root = s"$dir/unified"
+      val src0 = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      val maxc = src0.agg(max(col("o_custkey"))).collect()(0).getLong(0)
+      val widthC = math.max(1L, maxc / 8 + 1)
+      // Partitioned by the customer-key band, so each file carries a
+      // tight supplier.id range — the layout-correlated shape nested
+      // skipping exists for.
+      SnapshotStore.commit(s,
+        src0.select(col("o_orderkey"),
+          struct(format_string("S%07d", col("o_custkey")).as("id"),
+            pmod(col("o_custkey"), lit(25)).as("nation")).as("supplier"),
+          col("o_totalprice"),
+          (col("o_custkey") / lit(widthC)).cast("long").cast("string")
+            .as("part")),
+        root, "part")
+      val cutoff = maxc * 9 / 10
+      val cut = f"S$cutoff%07d"
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      val out = df.filter(col("supplier.id") >= cut)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+      out.persist(); out.count() // plan + listFiles inside this call
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"a struct-leaf predicate must skip files: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      out
+    }, Some("""
+      WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM sub
+      WHERE o_custkey >= (SELECT (MAX(o_custkey) * 9) // 10 FROM sub)""")),
+
+    // GENERATED PARTITION COLUMNS (Delta's `GENERATED ALWAYS AS`,
+    // E131): CREATE TABLE records the expression; an INSERT that
+    // OMITS the column gets it computed and partition-routed; and a
+    // timestamp-only predicate prunes files because the generated
+    // layout makes every file's ev_ts range year-tight — the
+    // partition-pruning ergonomic the column exists for, pinned as
+    // candidate-file algebra. Values oracled vs DuckDB on the
+    // equivalent date arithmetic.
+    ("q221_generated_partition", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q221").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        ev_ts TIMESTAMP, ev_key BIGINT, price DOUBLE,
+        yr DATE GENERATED ALWAYS AS (CAST(date_trunc('YEAR', ev_ts) AS DATE))
+      ) USING graft-snapshot PARTITIONED BY (yr)""")
+      t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(
+          expr("CAST(o_orderdate AS TIMESTAMP) + " +
+            "make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0)")
+            .as("ev_ts"),
+          col("o_orderkey").as("ev_key"),
+          col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("q221_src")
+      // The INSERT omits `yr` — the recorded expression computes it.
+      // MICROS timestamps (not Spark's INT96 default): INT96 stats are
+      // order-ambiguous and the sidecar refuses them (the DataSkipping
+      // pin), so a ts-range-prunable table opts in at write.
+      s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      try s.sql(
+        s"INSERT INTO graft.`$root` SELECT ev_ts, ev_key, price FROM q221_src")
+      finally s.conf.unset("spark.sql.parquet.outputTimestampType")
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      require(df.filter(col("yr") =!=
+          date_trunc("YEAR", col("ev_ts")).cast("date")).count() == 0,
+        "every computed yr must equal its expression")
+      val years = s.sql(s"SHOW PARTITIONS graft.`$root`").count()
+      require(years >= 3, s"expected several year partitions, got $years")
+      val out = df.filter(col("ev_ts") >= lit("1996-01-01").cast("timestamp") &&
+          col("ev_ts") < lit("1997-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+      out.persist(); out.count() // plan + listFiles inside this call
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"a timestamp-only predicate must prune the generated layout: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      out
+    }, Some("""
+      WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM sub
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'""")),
+
+    // PERCEPTUAL image near-dup (pHash on the guarded raster path →
+    // the banded Hamming machinery L3 owns): 40 order-key-derived
+    // PATTERNED images, each present as a PNG and a lossy JPEG
+    // re-encode — exact-hash dedup misses re-encodes by construction
+    // (every byte differs), the 64-bit DCT pHash pairs them. Output
+    // is id-arithmetic: exactly the 40 same-image pairs survive
+    // (cross-image pairs require-pinned ABSENT in-query), one corrupt
+    // row hashes null and pairs with nothing. The oracle replays the
+    // id arithmetic.
+    ("q222_phash_near_dup", (s: SparkSession, d: String) => {
+      import graft.operators.{Dedup, Multimodal}
+      import graft.operators.Multimodal.ImageCodec
+      // 40 deterministic seeds from the orders table (inputs come
+      // from testdata; the image CONTENT is seed-derived — the same
+      // id-arithmetic fixture discipline as q149/q161).
+      val keys = t(s, d, "orders").select(col("o_orderkey"))
+        .orderBy(col("o_orderkey")).limit(40)
+        .collect().map(_.getLong(0))
+      // Min-block-distance seed code: distinct images are GUARANTEED
+      // far apart, not random-seed-probably.
+      val seeds = ImageCodec.patternSeeds(40)
+      val rows = keys.zip(seeds).flatMap { case (k, seed) =>
+        val png = ImageCodec.encodePattern(96, 96, seed, "png")
+        val jpg = ImageCodec.encodePattern(96, 96, seed, "jpeg")
+        Seq((k * 10 + 1, k, png), (k * 10 + 2, k, jpg))
+      } :+ ((keys.max * 10 + 3, -1L, Array[Byte](1, 2, 3))) // corrupt
+      import s.implicits._
+      val media = rows.toSeq.toDF("media_id", "image_key", "content")
+      val hashes = Multimodal.perceptualHashes(media)
+      require(hashes.filter(col("phash").isNull).count() == 1,
+        "exactly the corrupt row must hash null")
+      // bands=16 (4-bit chunks): pigeonhole-exact to Hamming 15, well
+      // above the re-encode threshold used here.
+      val pairs = Dedup.hammingPairs(hashes, col("media_id"), col("phash"),
+        bands = 16, maxHamming = 10)
+      val keyed = pairs
+        .withColumn("key_a", (col("id_a") / 10).cast("long"))
+        .withColumn("key_b", (col("id_b") / 10).cast("long"))
+      require(keyed.filter(col("key_a") =!= col("key_b")).count() == 0,
+        "distinct images must NOT pair within the re-encode threshold")
+      val out = keyed.filter(col("key_a") === col("key_b"))
+        .select(col("key_a").as("image_key"), lit(1L).as("near_dup_pairs"))
+        .orderBy(col("image_key"))
+      out.persist()
+      require(out.count() == 40,
+        "every png/jpeg re-encode pair must land within the threshold")
+      out
+    }, Some("""
+      SELECT o_orderkey AS image_key, CAST(1 AS BIGINT) AS near_dup_pairs
+      FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 40)
+      ORDER BY image_key"""))
   )
 }

@@ -1,0 +1,242 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, ExprId, Expression, In, InSet, IsNotNull, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graft.GraftPlans
+
+/** TRANSPARENT dynamic file pruning (Delta's DFP shape): the opt-in
+  * optimizer rule behind `spark.graft.dynamicFilePruning=true` that
+  * gives plain SQL / DataFrame equi-joins the join-time file skipping
+  * [[graft.operators.DynamicPruning.joinPruned]] provides explicitly —
+  * zero API calls, zero query changes.
+  *
+  * Shape it matches: `filteredDim ⋈ graftFactScan` — an inner or
+  * left-semi join whose one side reaches a snapshot scan planned
+  * through [[GraftFileIndex]] (through deterministic Project/Filter
+  * nodes only) and whose other side carries at least one Filter (the
+  * selective-dim heuristic; an unfiltered dim would prune nothing and
+  * the probe would be wasted work) or is a LocalRelation. On a match
+  * it executes a BOUNDED key probe of the dim side (distinct non-null
+  * join keys, at most `maxKeys + 1` collected) and, when they fit,
+  * injects `factKey IN (keys)` above the fact child — the pushdown
+  * rules in the same optimizer batch carry it into the scan, where
+  * the skipping index prunes files by min/max ranges AND Bloom
+  * sidecars, and parquet re-evaluates it row-group-level. The join
+  * still runs above, so the rewrite can only reduce I/O, never change
+  * results (the operator's result-identical contract, inherited).
+  *
+  * Refusals and fallbacks (all silent — the plain join runs):
+  *   - join types other than inner/left_semi (an outer join keeps
+  *     unmatched fact rows; filtering them first would be WRONG);
+  *     for left_semi only the LEFT side may be the fact;
+  *   - more distinct dim keys than `maxKeys`
+  *     (`spark.graft.dynamicFilePruning.maxKeys`, default 10000 — the
+  *     In-list's planning cost is real: it serializes into the plan,
+  *     probes every file's Bloom sidecar, and pushes into parquet
+  *     row-group evaluation, so past selectivity it must stay small):
+  *     ALL files, never a partial filter;
+  *   - a nondeterministic dim subtree: the probe and the join would
+  *     evaluate it twice and could disagree, so a pushed In-list
+  *     might drop fact rows the join-time dim still matches;
+  *   - streaming subtrees, join keys that do not resolve through
+  *     direct aliases to the scan's own output (a computed key cannot
+  *     reach the sidecar stats), and type-mismatched keys (Catalyst
+  *     inserts casts, which break the attribute = attribute pattern);
+  *   - a fact path already carrying an IN/InSet on the key (this
+  *     rule's own output on a later fixed-point iteration, or the
+  *     explicit operator's) — the rewrite is idempotent by
+  *     inspection, not by tags.
+  *
+  * An empty (post-filter) dim injects `false` — the inner/semi join
+  * is empty by definition and Catalyst's empty-relation propagation
+  * collapses the whole subtree.
+  *
+  * DV-carrying or column-mapped snapshots read through wrapper plans
+  * (anti-join / rename projection) that this rule deliberately does
+  * not look through — they simply never match (conservative; the
+  * explicit operator prunes those through [[SnapshotStore.table]]).
+  *
+  * 100 TB rationale: the probe costs one bounded dim sub-query at
+  * planning time, flat in fact-table size; the plain join's scan cost
+  * is linear in it. On a key-clustered fact (ingest order, z-order,
+  * [[SnapshotMaintenance.clusterIncremental]]) the classic
+  * date-sliced-dim star join opens a constant handful of files
+  * instead of all of them.
+  *
+  * Reference anchor: the reference engine's joins are row-at-a-time
+  * lookups against indexed MongoDB collections (pim-etl
+  * etl/loaders/mongodb_loader.py) — index-priced by construction;
+  * this rule is the columnar-lake equivalent for scan-priced joins,
+  * made transparent the way Delta ships it. */
+case class DynamicPruningRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  import DynamicPruningRule._
+
+  private def enabled: Boolean =
+    spark.conf.get(EnabledConf, "false").trim.equalsIgnoreCase("true")
+
+  private def maxKeys: Int = {
+    val raw = spark.conf.get(MaxKeysConf, DefaultMaxKeys.toString).trim
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$MaxKeysConf must be a positive int, got '$raw'")
+    }
+    require(n > 0, s"$MaxKeysConf must be positive, got $n")
+    n
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || probing.get() || plan.isStreaming) plan
+    else plan.transformUp {
+      case j: Join => tryPrune(j).getOrElse(j)
+    }
+
+  /** Strip deterministic Project/Filter down to a graft-indexed scan,
+    * collecting the filter conjuncts passed on the way (the
+    * idempotence check inspects them — after pushdown, this rule's
+    * own In-list lives on that path). */
+  private def factCore(p: LogicalPlan, seen: Seq[Expression])
+      : Option[(LogicalRelation, GraftFileIndex, Seq[Expression])] = p match {
+    case Filter(cond, child) if cond.deterministic =>
+      factCore(child, seen ++ splitConjunctivePredicates(cond))
+    case Project(list, child) if list.forall(_.deterministic) =>
+      factCore(child, seen)
+    case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location match {
+        case idx: GraftFileIndex => Some((lr, idx, seen))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Follow `id` down through pass-through attributes / direct
+    * aliases to the relation's own output attribute (the name the
+    * sidecar stats are keyed under). Computed columns → None. */
+  private def resolveToScan(p: LogicalPlan, id: ExprId): Option[AttributeReference] =
+    p match {
+      case Filter(_, child) => resolveToScan(child, id)
+      case Project(list, child) => list.find(_.exprId == id).flatMap {
+        case ar: AttributeReference => resolveToScan(child, ar.exprId)
+        case Alias(ar: AttributeReference, _) => resolveToScan(child, ar.exprId)
+        case _ => None
+      }
+      case r: LogicalRelation =>
+        r.output.collectFirst { case a: AttributeReference if a.exprId == id => a }
+      case _ => None
+    }
+
+  /** The selective-dim gate + safety gates: batch, deterministic
+    * everywhere (the probe is a SECOND evaluation of this subtree),
+    * and visibly filtered — or a literal relation, possibly under the
+    * bare Project column pruning leaves behind mid-batch. */
+  private def dimQualifies(p: LogicalPlan): Boolean = {
+    def core(q: LogicalPlan): LogicalPlan = q match {
+      case Project(list, child) if list.forall(_.deterministic) => core(child)
+      case other => other
+    }
+    !p.isStreaming &&
+      p.collectFirst {
+        case n if n.expressions.exists(e => !e.deterministic) => n
+      }.isEmpty &&
+      (p.collectFirst { case f: Filter => f }.isDefined ||
+        core(p).isInstanceOf[LocalRelation])
+  }
+
+  private def alreadyPruned(onPath: Seq[Expression], factKey: AttributeReference,
+                            scanKey: AttributeReference): Boolean =
+    onPath.exists {
+      case In(a: AttributeReference, _) =>
+        a.exprId == factKey.exprId || a.exprId == scanKey.exprId
+      case InSet(a: AttributeReference, _) =>
+        a.exprId == factKey.exprId || a.exprId == scanKey.exprId
+      case Literal(false, _) => true
+      case _ => false
+    }
+
+  private def tryPrune(j: Join): Option[Join] = {
+    // A refused probe (over-limit dim) leaves the plan unchanged, so
+    // every later fixed-point iteration would re-run the probe for
+    // the same answer — memoize the refusal on the node. Copies made
+    // by other rules drop the tag and may re-probe once; correctness
+    // never depends on it.
+    if (j.getTagValue(RefusedTag).contains(true)) return None
+    val cond = j.condition.getOrElse(return None)
+    // (fact, dim) orientations this join type permits: a semi join
+    // only keeps LEFT rows, so only the left side may be filtered.
+    val orientations = j.joinType match {
+      case Inner => Seq((j.left, j.right), (j.right, j.left))
+      case LeftSemi => Seq((j.left, j.right))
+      case _ => Nil
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    val candidates = for {
+      (factChild, dimChild) <- orientations
+      if !factChild.isStreaming && dimQualifies(dimChild)
+      (_, idx, onPath) <- factCore(factChild, Nil).toSeq
+      (factKey, dimKey) <- conjuncts.collectFirst {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factChild.outputSet.contains(a) && dimChild.outputSet.contains(b) => (a, b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factChild.outputSet.contains(b) && dimChild.outputSet.contains(a) => (b, a)
+      }.toSeq
+      scanKey <- resolveToScan(factChild, factKey.exprId).toSeq
+      if !alreadyPruned(onPath, factKey, scanKey)
+    } yield (factChild, dimChild, idx, factKey, dimKey)
+    // Both sides graft-indexed and both orientations valid: prune the
+    // LARGER fact — that is where skipping pays.
+    val chosen = candidates.sortBy(-_._3.sizeInBytes).headOption
+    chosen.map { case (factChild, dimChild, _, factKey, dimKey) =>
+      val bound = maxKeys
+      val keys = probe(dimChild, dimKey, bound)
+      if (keys.length > bound) j.setTagValue(RefusedTag, true)
+      val filtered =
+        if (keys.length > bound) factChild // over-limit: ALL files, no partial filter
+        else if (keys.isEmpty) Filter(Literal(false), factChild)
+        else Filter(
+          In(factKey, keys.toIndexedSeq.map(Literal.create(_, dimKey.dataType))),
+          factChild)
+      if (filtered eq factChild) j
+      else if (factChild eq j.left) j.copy(left = filtered)
+      else j.copy(right = filtered)
+    }.filter(_ ne j)
+  }
+
+  /** Bounded distinct-key probe of the dim side — one sub-query at
+    * planning time, `take`-limited so at most `bound + 1` keys reach
+    * the driver. The re-entry guard keeps this rule out of the
+    * probe's own optimization. */
+  private def probe(dim: LogicalPlan, key: AttributeReference, bound: Int): Array[Any] = {
+    probing.set(true)
+    try {
+      val distinctKeys = Aggregate(Seq(key), Seq(key),
+        Filter(IsNotNull(key), Project(Seq(key), dim)))
+      GraftPlans.dataFrame(spark, distinctKeys).take(bound + 1).map(_.get(0))
+    } finally probing.set(false)
+  }
+}
+
+object DynamicPruningRule {
+  /** Opt-in switch — default OFF, so plans elsewhere stay
+    * byte-for-byte what they were (the stats-attach lesson: every
+    * planner rider must be gated). */
+  val EnabledConf = "spark.graft.dynamicFilePruning"
+  /** Probe bound; above it the plain join runs untouched. */
+  val MaxKeysConf = "spark.graft.dynamicFilePruning.maxKeys"
+  val DefaultMaxKeys = 10000
+
+  /** Re-entry guard: the probe's own sub-query planning must not
+    * re-fire the rule (a dim containing a qualifying join would
+    * otherwise recurse). */
+  private val probing = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Probe-refusal memo (over-limit dims) — see [[DynamicPruningRule.tryPrune]]. */
+  private[sinks] val RefusedTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.dfp.refused")
+}

@@ -145,13 +145,35 @@ object FileStats {
     * filter still runs, so this is purely an optimization boundary).
     * A one-sided `And` still yields its translatable side — pruning on
     * a conjunct is conservative-correct. */
-  def translate(e: Expression): Option[Filter] = e match {
-    case expressions.And(l, r) => (translate(l), translate(r)) match {
+  def translate(e: Expression): Option[Filter] = translate0(normalizeNested(e))
+
+  /** Rewrite nested STRUCT-field references into synthetic attributes
+    * named by their dot path (`GetStructField(supplier, id)` →
+    * `supplier.id`) — exactly the key [[fromFooter]] records leaf
+    * stats under (parquet's `ColumnPath.toDotString`), so predicates
+    * into top-level structs prune files like flat columns do (the
+    * reference's own index spec is nested: supplier.id, variants.sku
+    * — unified_product_schema.py:229-248). Bottom-up, so chains
+    * compose (`a.b.c`). ARRAY-element predicates never reach this
+    * shape — `exists(variants, v -> v.sku = ?)` is a lambda, not a
+    * comparison, and is refused at translation (the conservative
+    * boundary: the scan proceeds, rows still filter correctly). */
+  private def normalizeNested(e: Expression): Expression = e.transformUp {
+    case g: expressions.GetStructField => g.child match {
+      case a: expressions.AttributeReference =>
+        expressions.AttributeReference(
+          s"${a.name}.${g.extractFieldName}", g.dataType, g.nullable)()
+      case _ => g
+    }
+  }
+
+  private def translate0(e: Expression): Option[Filter] = e match {
+    case expressions.And(l, r) => (translate0(l), translate0(r)) match {
       case (Some(a), Some(b)) => Some(sources.And(a, b))
       case (a, b) => a.orElse(b)
     }
     case expressions.Or(l, r) =>
-      for { a <- translate(l); b <- translate(r) } yield sources.Or(a, b)
+      for { a <- translate0(l); b <- translate0(r) } yield sources.Or(a, b)
     case expressions.EqualTo(a: expressions.AttributeReference, l: Literal) =>
       external(l).map(sources.EqualTo(a.name, _))
     case expressions.EqualTo(l: Literal, a: expressions.AttributeReference) =>

@@ -164,6 +164,15 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
     try SnapshotStats.catalogTableFor(spark, root, resolvedVersion, idx,
       entries, v1.schema)
     catch { case scala.util.control.NonFatal(_) => None }
+  /** Same stats but with the PHYSICAL (pre-DV) row count — what the
+    * bare scan under a DV anti-join wrapper actually emits. The
+    * wrapper applies its own selectivity above, so attaching the
+    * DV-adjusted count there would double-count delete selectivity
+    * in plan costing. */
+  lazy val physicalCatalogStats: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    try SnapshotStats.catalogTableFor(spark, root, resolvedVersion, idx,
+      entries, v1.schema, physicalRows = true)
+    catch { case scala.util.control.NonFatal(_) => None }
   /** The version's column mapping (renames + dropped physicals) —
     * empty for unmapped tables. */
   lazy val mapping: (Map[String, String], Set[String]) =
@@ -176,9 +185,9 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
   lazy val needsWrap: Boolean =
     hasDvs || mapping._1.nonEmpty || mapping._2.nonEmpty
   /** The DV-applied, mapping-presented read, only built when needed.
-    * The inner scan carries [[catalogStats]] (keyed to physical
-    * attribute names) so CBO costing reaches through the DV/mapping
-    * wrappers too. */
+    * The inner scan carries [[physicalCatalogStats]] (keyed to
+    * physical attribute names) so CBO costing reaches through the
+    * DV/mapping wrappers too. */
   lazy val dvPlan: LogicalPlan = SnapshotStore.presentLogical(
     SnapshotStore.applyDvs(spark, root,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -186,7 +195,7 @@ case class GraftSnapshotTable(spark: SparkSession, root: String,
     .queryExecution.analyzed
     .transform {
       case lr: LogicalRelation if lr.relation eq v1 =>
-        lr.copy(catalogTable = catalogStats)
+        lr.copy(catalogTable = physicalCatalogStats)
     }
   override def name(): String =
     s"graft.`$root`" + snapshotVersion.map(v => s" VERSION AS OF $v").getOrElse("")

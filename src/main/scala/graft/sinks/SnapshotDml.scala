@@ -66,7 +66,8 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     * (the declared schema for an empty CREATE). */
   def commitIfAbsent(spark: SparkSession, df: DataFrame, root: String,
                      partitionCols: ColSpec,
-                     bucketBy: Option[(Seq[String], Seq[String], Int)] = None): Option[Long] = {
+                     bucketBy: Option[(Seq[String], Seq[String], Int)] = None,
+                     generated: Seq[(String, String)] = Nil): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
     val bucketProps = bucketBy.map { case (cols, sortCols, n) =>
       require(n >= 2, s"INTO n BUCKETS needs n >= 2, got $n")
@@ -80,11 +81,21 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
         cols.map(c => c -> fields(c).sql),
         sortCols.map(c => c -> fields(c).sql)))
     }
+    // Generated columns ride version 1 twice: the recorded expression
+    // (replayed by every later write) and a gen_ CHECK so explicit
+    // values that contradict it are refused by the existing
+    // constraint machinery — Delta's GENERATED ALWAYS AS contract.
+    val genProps = generated.map { case (c, e) =>
+      s"$GeneratedPropPrefix$c" -> e }
+    val genChecks = generated.map { case (c, e) =>
+      s"gen_$c" -> s"`$c` <=> ($e)" }
     val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols,
       bucketOverride = bucketBy.map { case (cols, _, n) => (n, cols) },
       sortWithin = bucketBy.toSeq.flatMap(_._2).map(col))
     if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header,
-        properties = bucketProps)) {
+        properties = Some(bucketProps.getOrElse(Nil) ++ genProps)
+          .filter(_.nonEmpty),
+        constraints = Some(genChecks).filter(_.nonEmpty))) {
       writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
       postCommit(spark, root, 1L)
       Some(1L)
@@ -238,11 +249,15 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     * Callers passing empty `orderBy` must ensure the incoming batch
     * has unique keys (SQL MERGE's own precondition): with no ordering,
     * two incoming rows for one key would race nondeterministically. */
-  def mergeCommitOrdered(spark: SparkSession, incoming: DataFrame, root: String,
+  def mergeCommitOrdered(spark: SparkSession, incoming0: DataFrame, root: String,
                          keys: ColSpec, orderBy: Seq[Column], partitionCols: ColSpec,
                          maxAttempts: Int = 10): Long = {
     require(keys.nonEmpty, "mergeCommit needs at least one key column")
     require(partitionCols.nonEmpty, "mergeCommit needs a partition spec")
+    // Generated columns materialize EARLY: the partition-touch probe
+    // below selects the partition columns (possibly generated), and
+    // the merge union must not null-fill an absent generated column.
+    val incoming = applyGenerated(spark, root, incoming0)
     // Touched partitions: one small distinct-collect (bounded by the
     // partition cardinality of the incoming batch, e.g. suppliers),
     // computed ONCE — it depends only on `incoming`. NULL partition
@@ -340,12 +355,14 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     * means callers never produce that shape). Returns the committed
     * version — unchanged when both legs are empty no-ops. */
   def upsertDeleteCommit(spark: SparkSession, root: String,
-                         upserts: DataFrame, deleteKeys: Option[DataFrame],
+                         upserts0: DataFrame, deleteKeys: Option[DataFrame],
                          keys: ColSpec, partitionCols: ColSpec,
                          maxAttempts: Int = 10,
                          properties: Option[Seq[(String, String)]] = None): Long = {
     require(keys.nonEmpty, "upsertDeleteCommit needs at least one key column")
     require(partitionCols.nonEmpty, "upsertDeleteCommit needs a partition spec")
+    // Same early-materialization rationale as [[mergeCommitOrdered]].
+    val upserts = applyGenerated(spark, root, upserts0)
     enforceConstraints(spark, root, upserts)
     enforceSchemaCompatible(spark, root, upserts)
     val upTouched = upserts.select(partValueColumn(partitionCols.cols))

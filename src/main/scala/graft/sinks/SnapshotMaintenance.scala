@@ -483,8 +483,30 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // (repartition by partition, floor 0) or it would never converge.
       val engaged = bucketSpecEngaged(spark, root, cur)
       val effMax = math.max(maxFilesPerPartition, engaged.getOrElse(0))
+      // Advisory byte sizing (graft.targetFileSize): with the property
+      // set (and no engaged bucket layout — one file per bucket is
+      // that contract), a partition is NON-conformant when it is
+      // fragmented well past ⌈bytes/target⌉ files (the +1 tolerance
+      // absorbs the rows-per-byte estimate's rounding so a just-
+      // rewritten partition never re-rewrites) OR any single file
+      // exceeds 2× target — so OPTIMIZE also SPLITS oversized files,
+      // not just merges small ones. Unknown sizes (legacy sidecar)
+      // degrade to the count-only rule.
+      val target = if (engaged.isDefined) None
+        else SnapshotStore.targetFileSize(
+          scala.util.Try(tableProperties(spark, root, cur).toMap)
+            .getOrElse(Map.empty))
+      val sizes: Map[String, FileStats.FileStatsEntry] =
+        if (target.isDefined) statsFor(spark, root, cur) else Map.empty
+      def conformant(es: Seq[ManifestEntry]): Boolean = target match {
+        case Some(t) if es.forall(e => sizes.contains(e.path)) =>
+          val bytes = es.map(e => sizes(e.path).len).sum
+          val want = math.max(1L, (bytes + t - 1) / t)
+          es.size <= want + 1 && !es.exists(e => sizes(e.path).len > 2 * t)
+        case _ => es.size <= effMax
+      }
       val oversizedEff = entries.groupBy(_.partition)
-        .filter { case (p, es) => inScope(p) && es.size > effMax }
+        .filter { case (p, es) => inScope(p) && !conformant(es) }
         .keySet
       if (oversizedEff.isEmpty) return cur
       val (replaced, kept) = entries.partition(e => oversizedEff(e.partition))
@@ -531,8 +553,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * maintenance must never fail it — any error degrades to "not
     * compacted this round" and the next commit retries. */
   private[sinks] def maybeAutoCompact(spark: SparkSession, root: String,
-                                      committed: Long): Unit = try {
-    val props = tablePropertiesMap(spark, root)
+                                      committed: Long,
+                                      props: Map[String, String]): Unit = try {
     val min = props.get("graft.autoCompact.minFiles")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
     if (min > 0) {
@@ -587,6 +609,14 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     if (!inPostCommit.get()(root)) {
       inPostCommit.set(inPostCommit.get() + root)
       try {
+        // ONE tip property read feeds every hook (they used to read
+        // the map once each — up to five manifest-header scans per
+        // data commit even with no feature configured). The keys each
+        // hook consults are never mutated by a preceding hook in this
+        // pass; the only in-pass property churn is the error ledger,
+        // whose recovery clears are putIfAbsent-idempotent.
+        val props = scala.util.Try(tablePropertiesMap(spark, root))
+          .getOrElse(Map.empty[String, String])
         // Layout commits (compact itself, z-order, cluster-by,
         // re-spec, purge) pass compactEligible = false: their
         // multi-file layouts are INTENTIONAL, and auto-compacting a
@@ -601,14 +631,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
           // partitions (destroying their z-order) and then re-rewrite
           // the same files as 'delta' — twice the I/O for a worse
           // layout — so a registered cluster key disables the compact
-          // hook.
-          val clustering = scala.util.Try(tablePropertiesMap(spark, root)
-            .get(AutoClusterProp).exists(_.nonEmpty)).getOrElse(false)
-          if (!clustering) maybeAutoCompact(spark, root, committed)
+          // hook WHEN ITS PASS SUCCEEDS. A failed cluster pass
+          // (misspelled key, unpartitioned table) falls back to
+          // auto-compact, so the table gets SOME layout maintenance
+          // instead of silently fragmenting until an operator reads
+          // the error ledger (round-13 ADVICE).
+          val clustering = props.get(AutoClusterProp).exists(_.nonEmpty)
           // Auto-cluster shares compact's eligibility gate: layout
           // commits' file arrangements are intentional, and the
           // incremental pass's own commit must not re-trigger it.
-          maybeAutoCluster(spark, root, committed)
+          val clustered = maybeAutoCluster(spark, root, committed, props)
+          if (!clustering || !clustered)
+            maybeAutoCompact(spark, root, committed, props)
         }
         // Auto-analyze BEFORE auto-sync: its refresh publishes a
         // property commit (hook-inert via the re-entry guard), and the
@@ -617,8 +651,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // behind, silently disabling the MV rewrite until the next
         // data commit (the same degradation the deleteWhere hook fix
         // closes). Same reason the layout hooks run first.
-        maybeAutoAnalyze(spark, root, committed)
-        maybeAutoSyncRollups(spark, root, committed)
+        maybeAutoAnalyze(spark, root, committed, props)
+        maybeAutoSyncRollups(spark, root, committed, props)
       } finally inPostCommit.set(inPostCommit.get() - root)
     }
 
@@ -642,10 +676,13 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * Failure discipline: identical to every swallowed hook — the data
     * commit has won; a failed pass degrades to "unclustered delta
     * this round" (reads stay correct, skipping is merely duller),
-    * recorded in the error ledger and cleared on the next clean pass. */
+    * recorded in the error ledger and cleared on the next clean pass.
+    * Returns false exactly when the pass failed, so [[postCommit]]
+    * can fall back to auto-compaction instead of leaving the table
+    * with NO layout maintenance. */
   private[sinks] def maybeAutoCluster(spark: SparkSession, root: String,
-                                      committed: Long): Unit = try {
-    val props = tablePropertiesMap(spark, root)
+                                      committed: Long,
+                                      props: Map[String, String]): Boolean = try {
     props.get(AutoClusterProp).filter(_.nonEmpty).foreach { raw =>
       // ColSpec.parse: the same comma-list parse every column-list
       // property uses, INCLUDING its duplicate rejection — a "x,x"
@@ -661,8 +698,10 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       clusterIncremental(spark, root, ColSpec(partCols), keys)
     }
     recordMaintenanceRecovery(root, "autoCluster", props)
+    true
   } catch { case scala.util.control.NonFatal(e) =>
     recordMaintenanceError(root, "autoCluster", committed, e)
+    false
   }
 
   /** Threshold for [[maybeAutoAnalyze]]: a positive integer percent.
@@ -688,12 +727,17 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * loop. Failures degrade to "stale stats" (plans, never answers)
     * and ride the error ledger like every swallowed hook. */
   private[sinks] def maybeAutoAnalyze(spark: SparkSession, root: String,
-                                      committed: Long): Unit = try {
-    val props = tablePropertiesMap(spark, root)
+                                      committed: Long,
+                                      props: Map[String, String]): Unit = try {
     props.get(AutoAnalyzeProp).filter(_.nonEmpty).foreach { raw =>
       val pct = try {
         val p = raw.trim.toLong
-        require(p > 0, s"$AutoAnalyzeProp must be a positive percent, got $p")
+        // Upper bound keeps `base * pct` inside Long for any
+        // manifest-recordable row count (2^63 / 10^5 ≈ 9.2e13 rows) —
+        // an unchecked user value could overflow the drift comparison
+        // into arbitrary results instead of failing loudly.
+        require(p > 0 && p <= 100000,
+          s"$AutoAnalyzeProp must be a percent in (0, 100000], got $p")
         p
       } catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
@@ -751,8 +795,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * cannot auto-sync (a closure is not recordable) and are skipped. */
   private[sinks] def maybeAutoSyncRollups(spark: SparkSession,
                                           root: String,
-                                          committed: Long): Unit = try {
-    val props = tablePropertiesMap(spark, root)
+                                          committed: Long,
+                                          props: Map[String, String]): Unit = try {
     val registered = props.get("graft.rollup.autoSync")
       .toSeq.flatMap(_.split(",")).map(_.trim)
       .filter(r => r.nonEmpty && r != root)
@@ -924,6 +968,24 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * selected partitions (same as a global sort) + a min/max rank
     * pass; untouched partitions are carried by reference, and the
     * usual optimistic-commit loop makes it crash-safe/non-blocking. */
+  /** Layout-rewrite output file count: ⌈selected bytes /
+    * graft.targetFileSize⌉ when the table sizes by bytes (the bytes
+    * are sidecar-exact — the selected files are on disk); the
+    * caller's files-per-partition count otherwise. Loud on a
+    * malformed property, like every targetFileSize consumer. */
+  private def sizedFileCount(spark: SparkSession, root: String, cur: Long,
+                             replaced: Seq[ManifestEntry],
+                             fallback: Int): Int =
+    SnapshotStore.targetFileSize(
+      scala.util.Try(tableProperties(spark, root, cur).toMap)
+        .getOrElse(Map.empty)).flatMap { t =>
+      val sizes = statsFor(spark, root, cur)
+      val bytes = replaced.flatMap(e => sizes.get(e.path)).map(_.len).sum
+      if (bytes > 0)
+        Some(math.max(1L, (bytes + t - 1) / t).min(Int.MaxValue.toLong).toInt)
+      else None
+    }.getOrElse(fallback)
+
   def compactZOrder(spark: SparkSession, root: String, partitionCols: ColSpec,
                     zKeys: Seq[String], filesPerPartition: Int = 4,
                     bits: Int = 8, partitions: Option[Seq[String]] = None,
@@ -958,7 +1020,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val laid =
         if (bucketed) raw
         else graft.operators.Layout.zorderBy(raw, zCols,
-          numFiles = filesPerPartition * nParts, bits = bits)
+          numFiles = sizedFileCount(spark, root, cur, replaced,
+            filesPerPartition * nParts), bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
         partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,
@@ -1066,7 +1129,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val laid =
         if (bucketed) raw
         else graft.operators.Layout.zorderBy(raw, zCols,
-          numFiles = filesPerPartition * nParts, bits = bits)
+          numFiles = sizedFileCount(spark, root, cur, replaced,
+            filesPerPartition * nParts), bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
         partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,

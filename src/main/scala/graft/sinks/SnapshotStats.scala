@@ -280,12 +280,20 @@ object SnapshotStats {
   private[graft] def catalogTableFor(spark: SparkSession, root: String,
                                      version: Long, idx: GraftFileIndex,
                                      entries: Seq[SnapshotStore.ManifestEntry],
-                                     physicalSchema: StructType): Option[CatalogTable] = {
+                                     physicalSchema: StructType,
+                                     physicalRows: Boolean = false): Option[CatalogTable] = {
     if (!statsConsumable(spark)) return None
     val props = SnapshotStore.tableProperties(spark, root, version).toMap
     val mapping = SnapshotStore.mappingAt(spark, root, version)
     val colStats = recordedColStats(props, physicalSchema, mapping._2)
-    val rowCount = idx.totalRows.map(_ - entries.map(_.dvRows).sum)
+    // `physicalRows`: the caller attaches these stats to the BARE scan
+    // UNDER a DV anti-join wrapper, which physically emits the pre-DV
+    // count — the wrapper's own filter selectivity then nets out the
+    // deletes in costing. Subtracting dvRows here too would
+    // double-count delete selectivity (plans only, never results).
+    val rowCount =
+      if (physicalRows) idx.totalRows
+      else idx.totalRows.map(_ - entries.map(_.dvRows).sum)
     if (rowCount.isEmpty && colStats.isEmpty) None
     else Some(CatalogTable(
       identifier = TableIdentifier(new Path(root).getName),

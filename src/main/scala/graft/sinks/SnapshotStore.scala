@@ -601,10 +601,18 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * invariant, and re-proving it would double their read. */
   private[sinks] def enforceConstraints(spark: SparkSession, root: String,
                                  df: DataFrame): Unit = {
-    val cs = currentVersion(spark, root)
-      .map(v => tableConstraints(spark, root, v)).getOrElse(Nil)
+    val v = currentVersion(spark, root)
+    val cs = v.map(tableConstraints(spark, root, _)).getOrElse(Nil)
+    if (cs.isEmpty) return
+    // Generated columns absent from the batch are computed downstream
+    // by writeDataFiles — check the POST-computation batch (what
+    // actually lands), or the auto-registered gen_ CHECK would throw
+    // an unresolved-column error on every column-omitting insert.
+    val gens = v.map(ver => generatedColumns(
+      tableProperties(spark, root, ver).toMap)).getOrElse(Nil)
+    val checked = withGeneratedColumns(df, gens)
     cs.foreach { case (name, e) =>
-      val bad = df.filter(!coalesce(expr(e), lit(true))).limit(1).collect()
+      val bad = checked.filter(!coalesce(expr(e), lit(true))).limit(1).collect()
       if (bad.nonEmpty) throw new IllegalStateException(
         s"CHECK constraint $name ($e) violated by row: ${bad.head}")
     }
@@ -626,6 +634,81 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * the batch by the partition columns before writing (see
     * [[writeDataFiles]]) — Delta's optimizeWrite. */
   val OptimizeWriteProp = "graft.optimizeWrite"
+
+  /** `graft.targetFileSize = <bytes>`: advisory on-disk file size
+    * (Delta sizes by bytes; this store's thresholds were previously
+    * file-COUNT-only). Consumed by every write through
+    * [[writeDataFiles]] (rows-per-file derived from the predecessor
+    * sidecar's measured bytes-per-row), by
+    * [[SnapshotMaintenance.compact]]'s conformance test (a partition
+    * is rewritten when fragmented ≫ ⌈bytes/target⌉ files OR any
+    * single file exceeds 2× target — so OPTIMIZE also SPLITS
+    * oversized files), and by
+    * [[SnapshotMaintenance.clusterIncremental]]'s output file count.
+    * Engaged bucket layouts are exempt: the sorted-bucket read
+    * contract needs one file per bucket. A malformed value fails the
+    * write LOUDLY — silently ignoring a sizing property is the
+    * silent-fragmentation failure mode the error ledger exists to
+    * prevent. */
+  val TargetFileSizeProp = "graft.targetFileSize"
+
+  /** GENERATED PARTITION COLUMNS (Delta's `GENERATED ALWAYS AS`, the
+    * biggest partition-pruning ergonomic on a lake): recorded at
+    * CREATE TABLE as `graft.generated.<col> = <expr sql>` properties
+    * (properties ARE per-version manifest headers, carried forward by
+    * every commit exactly like `#partcol`). Consumed by
+    * [[writeDataFiles]] — every CONTENT write computes an ABSENT
+    * generated column from its expression before partition routing —
+    * and by [[enforceConstraints]], which pre-computes absent ones so
+    * the auto-registered `gen_<col>` CHECK (`col <=> expr`) refuses
+    * EXPLICIT values that contradict the expression. Renaming a
+    * column referenced by a generation expression is unsupported
+    * (the recorded SQL names it logically — same boundary as CHECK
+    * constraints). */
+  private[sinks] val GeneratedPropPrefix = "graft.generated."
+
+  /** (column → generation expr sql) recorded at `version` — the SQL
+    * surface (INSERT alignment, DESCRIBE) reads through this. */
+  def generatedColumnsAt(spark: SparkSession, root: String,
+                         version: Long): Seq[(String, String)] =
+    generatedColumns(tableProperties(spark, root, version).toMap)
+
+  /** (column → generation expr sql), from a property map. */
+  private[sinks] def generatedColumns(props: Map[String, String]): Seq[(String, String)] =
+    props.collect { case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+      (k.stripPrefix(GeneratedPropPrefix), v)
+    }.toSeq.sortBy(_._1)
+
+  /** Compute any generated column ABSENT from `df` (present columns
+    * are the caller's explicit values — the gen_ CHECK judges them). */
+  private[sinks] def withGeneratedColumns(df: DataFrame,
+                                          gens: Seq[(String, String)]): DataFrame =
+    gens.foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+
+  /** [[withGeneratedColumns]] against the table's CURRENT tip — the
+    * content entry points apply this EARLY so partition-touch probes
+    * and the merge union see the column materialized (a null-filled
+    * union would claim explicit nulls the gen_ CHECK refuses). */
+  private[sinks] def applyGenerated(spark: SparkSession, root: String,
+                                    df: DataFrame): DataFrame =
+    currentVersion(spark, root)
+      .map(v => withGeneratedColumns(df, generatedColumnsAt(spark, root, v)))
+      .getOrElse(df)
+
+  /** Parse [[TargetFileSizeProp]] from a property map; loud on
+    * garbage, None when unset. */
+  private[sinks] def targetFileSize(props: Map[String, String]): Option[Long] =
+    props.get(TargetFileSizeProp).map { raw =>
+      val t = try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$TargetFileSizeProp must be a positive byte count, got '$raw'")
+      }
+      require(t > 0,
+        s"$TargetFileSizeProp must be a positive byte count, got $t")
+      t
+    }
 
   /** Pending ledger: value = the encoded error to set, or the empty
     * string = CLEAR the property (maintenance for its component
@@ -1204,9 +1287,14 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Optimizer-statistics rider ([[SnapshotStats]]): exact live
     // rowCount + last-ANALYZE column stats on the scan's catalogTable
     // hook. Plans only, never results — any failure here degrades to
-    // the bare (stats-free) frame.
+    // the bare (stats-free) frame. The stats land on the BARE scan
+    // under the DV wrapper, which physically emits the pre-DV count —
+    // so `physicalRows` (the wrapper's own selectivity nets out the
+    // deletes; attaching the adjusted count there would double-count).
+    // Identical values for DV-free tables.
     val withStats =
-      try SnapshotStats.catalogTableFor(spark, root, v, idx, entries, rel.schema)
+      try SnapshotStats.catalogTableFor(spark, root, v, idx, entries, rel.schema,
+          physicalRows = true)
         .map { ct =>
           org.apache.spark.sql.graft.GraftPlans.dataFrame(spark,
             df.queryExecution.analyzed.transform {
@@ -1445,6 +1533,15 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       if (v <= 1) Map.empty
       else scala.util.Try(tableProperties(spark, root, v - 1).toMap)
         .getOrElse(Map.empty)
+    // Generated columns (graft.generated.*): a content batch missing
+    // one gets it computed HERE — before partition-dir derivation and
+    // bucket routing, the two consumers that need it materialized.
+    // Layout rewrites (translate = false) re-write files that already
+    // carry it. A PRESENT column is the caller's explicit claim; the
+    // auto-registered gen_ CHECK already judged it at enforce time.
+    val dfg =
+      if (!translate) df
+      else withGeneratedColumns(df, generatedColumns(priorProps))
     val spec = if (bucketOverride.isDefined) None
       else priorProps.get(BucketSpecProp).flatMap(parseBucketSpec)
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(
@@ -1455,7 +1552,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         if (sp.sortCols.isEmpty) Nil
         else resolveTyped(sp.sortCols).map(_.map(col)).getOrElse(Nil))
     val bucketed = bucketCols match {
-      case Some((n, cols)) => df.repartition(n, cols.map(col): _*)
+      case Some((n, cols)) => dfg.repartition(n, cols.map(col): _*)
       // Optimized writes (Delta's optimizeWrite, opt-in per table):
       // an AQE REBALANCE shuffle keyed by the partition columns, so a
       // fragmented batch (N upstream tasks × M partition values) lands
@@ -1469,8 +1566,8 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       // distribution.
       case None if translate &&
           priorProps.get(OptimizeWriteProp).contains("true") =>
-        df.hint("rebalance", partitionCols.map(col): _*)
-      case None => df
+        dfg.hint("rebalance", partitionCols.map(col): _*)
+      case None => dfg
     }
     val withDirs = partitionCols.zip(dirs).foldLeft(bucketed) {
       case (d, (c, dir)) => d.withColumn(dir, col(c))
@@ -1494,8 +1591,23 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     val physical =
       if (!translate) ordered
       else toPhysical(ordered, mappingAt(spark, root, v - 1))
-    physical
-      .write.mode("error").partitionBy(dirs: _*)
+    // Advisory file sizing (graft.targetFileSize): rows-per-file from
+    // the PREDECESSOR sidecar's measured bytes-per-row — same data
+    // shape, same codec, no write-time guessing. One extra sidecar
+    // read, gated on the property. Bucketed layouts are exempt (the
+    // sorted-bucket reader contract needs one file per bucket); a
+    // fresh v=1 table has no measurement yet and writes unsized.
+    val maxRecords: Option[Long] =
+      if (bucketCols.isDefined || v <= 1) None
+      else targetFileSize(priorProps).flatMap { t =>
+        val st = statsSidecar(spark, root, v - 1)._1.values
+        val (bytes, rows) = (st.map(_.len).sum, st.map(_.rows).sum)
+        if (bytes > 0 && rows > 0) Some(math.max(1L, t * rows / bytes))
+        else None
+      }
+    maxRecords.foldLeft(physical.write.mode("error")) { (w, n) =>
+      w.option("maxRecordsPerFile", n)
+    }.partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)
     val f = fs(spark, root)
     // Walk exactly k directory levels, accumulating the partition

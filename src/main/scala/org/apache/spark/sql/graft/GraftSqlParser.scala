@@ -1834,13 +1834,29 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // arity check and trip the reserved-physical-name guard.
     val target = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
       SnapshotStore.readVersion(spark, root, cur).schema)
+    // GENERATED columns (graft.generated.*) may be OMITTED — the write
+    // path computes them from their recorded expression. An omitted
+    // one must stay ABSENT from the aligned frame (a null-fill would
+    // be an explicit null claim the gen_ CHECK rightly refuses).
+    val gens = SnapshotStore.generatedColumnsAt(spark, root, cur)
+      .map(_._1).toSet
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {
       case None =>
-        require(df.columns.length == target.fields.length,
+        val nonGen = target.fields.filterNot(f => gens(f.name))
+        // Positional alignment accepts the full schema (explicit
+        // generated values, judged by the CHECK) or the schema minus
+        // every generated column (computed at write).
+        val fields =
+          if (nonGen.length != target.fields.length &&
+              df.columns.length == nonGen.length) nonGen.toSeq
+          else target.fields.toSeq
+        require(df.columns.length == fields.length,
           s"INSERT INTO provides ${df.columns.length} columns but the table " +
-            s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})")
-        df.select(df.columns.toSeq.zip(target.fields).map {
+            s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})" +
+            (if (gens.nonEmpty) s"; generated (${gens.mkString(", ")}) may be omitted"
+             else ""))
+        df.select(df.columns.toSeq.zip(fields).map {
           case (c, f) =>
             org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
         }: _*)
@@ -1856,17 +1872,19 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
             s"${cols.length} listed columns (${cols.mkString(", ")})")
         // Omitting a partition column would route every inserted row to
         // the null-sentinel partition — almost certainly a statement
-        // bug; require it listed.
+        // bug; require it listed. A GENERATED partition column is the
+        // exception: omitting it is the feature.
         val partColsOfTable = SnapshotStore.partitionColumns(spark, root, cur)
-        partColsOfTable.foreach(c => require(cols.contains(c),
+        partColsOfTable.filterNot(gens).foreach(c => require(cols.contains(c),
           s"INSERT INTO column list must include partition column '$c'"))
         val byListed = cols.zip(df.columns.toSeq).toMap
-        df.select(target.fields.toSeq.map { f =>
+        df.select(target.fields.toSeq.flatMap { f =>
           byListed.get(f.name) match {
-            case Some(src) => org.apache.spark.sql.functions.col(src)
-              .cast(f.dataType).as(f.name)
-            case None => org.apache.spark.sql.functions.lit(null)
-              .cast(f.dataType).as(f.name)
+            case Some(src) => Some(org.apache.spark.sql.functions.col(src)
+              .cast(f.dataType).as(f.name))
+            case None if gens(f.name) => None // computed at write
+            case None => Some(org.apache.spark.sql.functions.lit(null)
+              .cast(f.dataType).as(f.name))
           }
         }: _*)
     }
@@ -2073,9 +2091,45 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
       nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
+  /** Split a schema DDL blob at TOP-LEVEL commas (paren/quote-aware —
+    * a generation expression may contain both). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var start = 0; var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' | '`' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Extract `col TYPE GENERATED ALWAYS AS (expr)` clauses: returns
+    * (plain DDL for StructType.fromDDL, (col → expr) pairs). */
+  private def extractGenerated(ddl: String): (String, Seq[(String, String)]) = {
+    val Gen = "(?is)^(.*?)\\s+GENERATED\\s+ALWAYS\\s+AS\\s*\\((.*)\\)\\s*$".r
+    val (plain, gens) = splitTop(ddl).map {
+      case Gen(colDef, e) =>
+        val name = colDef.trim.split("\\s+").head.stripPrefix("`").stripSuffix("`")
+        (colDef.trim, Some(name -> e.trim))
+      case other => (other, None)
+    }.unzip
+    (plain.mkString(", "), gens.flatten)
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val (plainDdl, generated) = extractGenerated(schemaDdl)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
     require(partitionCols.nonEmpty,
       "CREATE TABLE … USING graft-snapshot needs PARTITIONED BY (…)")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
@@ -2083,10 +2137,33 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
         s"(${schema.fieldNames.mkString(", ")})"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
+    // Generation expressions must resolve against the declared schema,
+    // produce EXACTLY the declared type (an implicit cast at write
+    // time would make the gen_ CHECK judge values the reader never
+    // sees), and be deterministic (the expression re-computes on
+    // every write path — nondeterminism would make the CHECK refuse
+    // the writer's own values).
+    generated.foreach { case (c, e) =>
+      require(schema.fieldNames.contains(c),
+        s"generated column '$c' is not in the declared schema")
+      val probe = try empty.select(org.apache.spark.sql.functions.expr(e).as("p"))
+      catch { case scala.util.control.NonFatal(ex) =>
+        throw new IllegalArgumentException(
+          s"generated column '$c': expression '$e' does not resolve " +
+            s"against the schema: ${ex.getMessage}")
+      }
+      val got = probe.schema.head.dataType
+      val want = schema(schema.fieldIndex(c)).dataType
+      require(got == want,
+        s"generated column '$c' is declared $want but '$e' produces $got")
+      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"generated column '$c': '$e' is nondeterministic — it " +
+          "re-computes on every write path")
+    }
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.
     SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
-        bucketBy = bucket) match {
+        bucketBy = bucket, generated = generated) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE failed: $root already holds a snapshot — " +

@@ -108,6 +108,46 @@ class DataSkippingSpec extends SparkSpec {
     assert(idx3.lastCandidateFiles == 1)
   }
 
+  test("NESTED struct-field predicates prune files; array-element predicates refuse conservatively") {
+    val root = freshRoot()
+    // supplier.id range-correlates with the layout; variants is an
+    // array-of-structs (the reference's own nested index spec:
+    // supplier.id / variants.sku — unified_product_schema.py:229-248).
+    val df = spark.range(1000)
+      .select(col("id"),
+        struct(format_string("S%04d", col("id")).as("sid"),
+          (col("id") % 25).as("nation")).as("supplier"),
+        array(struct(format_string("V%04d", col("id")).as("sku"),
+          (col("id") * 2).as("qty"))).as("variants"),
+        lit("x").as("p"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions(col("id"))
+    SnapshotStore.commit(spark, df, root, "p")
+    // The sidecar harvested dot-path leaf stats.
+    val stats = SnapshotStore.statsFor(spark, root, 1)
+    assert(stats.values.forall(_.cols.contains("supplier.sid")),
+      s"dot-path leaf stats missing: ${stats.values.head.cols.keySet}")
+    val (t1, idx) = SnapshotStore.tableWithIndex(spark, root)
+    // Struct-leaf point lookup: 1 of 4 files.
+    val got = t1.filter(col("supplier.sid") === "S0123").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 123L)
+    assert(idx.lastCandidateFiles == 1,
+      s"supplier.sid lookup must open 1 file, opened ${idx.lastCandidateFiles}")
+    // Struct-leaf range: strictly fewer than all files, values exact.
+    val (t2, idx2) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t2.filter(col("supplier.sid") >= "S0900").count() == 100)
+    assert(idx2.lastCandidateFiles == 1,
+      s"supplier.sid range must prune: ${idx2.lastCandidateFiles}/4")
+    // Array-element predicate: NOT translatable (a lambda, not a
+    // comparison) — the conservative boundary keeps every file and
+    // the row filter still answers exactly.
+    val (t3, idx3) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t3.filter(exists(col("variants"),
+      v => v.getField("sku") === "V0042")).count() == 1)
+    assert(idx3.lastCandidateFiles == idx3.totalFiles,
+      "an exists() predicate must refuse pruning, never guess")
+  }
+
   test("mergeCommit carries stats for untouched partitions and stats new files") {
     val root = freshRoot()
     SnapshotStore.commit(spark,

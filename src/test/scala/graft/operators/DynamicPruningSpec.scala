@@ -101,6 +101,122 @@ class DynamicPruningSpec extends graft.SparkSpec {
     assert(engaged && pruned.count() == 0)
   }
 
+  // ---- the TRANSPARENT rule (graft.sinks.DynamicPruningRule) ----
+
+  /** Run `body` with the opt-in rule armed. */
+  private def withRule[A](maxKeys: Option[Int] = None)(body: => A): A = {
+    spark.conf.set(graft.sinks.DynamicPruningRule.EnabledConf, "true")
+    maxKeys.foreach(k => spark.conf.set(
+      graft.sinks.DynamicPruningRule.MaxKeysConf, k.toString))
+    try body finally {
+      spark.conf.unset(graft.sinks.DynamicPruningRule.EnabledConf)
+      spark.conf.unset(graft.sinks.DynamicPruningRule.MaxKeysConf)
+    }
+  }
+
+  /** A fresh ranged fact + its index, registered as temp view `fact`. */
+  private def sqlFixture(): graft.sinks.GraftFileIndex = {
+    val root = freshRoot()
+    seedRanged(root)
+    val (df, idx) = SnapshotStore.tableWithIndex(spark, root)
+    df.createOrReplaceTempView("fact")
+    idx
+  }
+
+  test("rule: a PLAIN SQL equi-join gets file skipping with zero API calls — values identical to the unpruned run") {
+    val idx = sqlFixture()
+    dimSlice(8000, 8500).createOrReplaceTempView("dim")
+    val q = "SELECT k, v, dv FROM fact JOIN dim ON k = dk ORDER BY k"
+    val plain = spark.sql(q).collect().toSeq
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "rule must be OFF by default — plans elsewhere stay untouched")
+    val got = withRule() { spark.sql(q).collect().toSeq }
+    assert(got == plain && got.size == 500)
+    assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+      s"transparent pruning must engage: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+  }
+
+  test("rule: DataFrame .join gets the same treatment; left_semi prunes the left fact") {
+    val root = freshRoot()
+    seedRanged(root)
+    val (fact, idx) = SnapshotStore.tableWithIndex(spark, root)
+    val dim = dimSlice(3000, 3200)
+    val got = withRule() {
+      fact.join(dim, col("k") === col("dk"), "left_semi")
+        .orderBy("k").collect().toSeq
+    }
+    assert(got.size == 200)
+    assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+      s"semi-join pruning: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+    val plain = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .orderBy("k").collect().toSeq
+    assert(got == plain)
+  }
+
+  test("rule: over-limit dims fall back to ALL files — never a partial filter") {
+    val idx = sqlFixture()
+    dimSlice(0, 5000).createOrReplaceTempView("dim")
+    val got = withRule(maxKeys = Some(100)) {
+      spark.sql("SELECT count(*) AS n FROM fact JOIN dim ON k = dk")
+        .collect()(0).getLong(0)
+    }
+    assert(got == 5000)
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "over-limit fallback must not sneak a partial filter in")
+  }
+
+  test("rule: outer joins never match — unmatched fact rows survive") {
+    val idx = sqlFixture()
+    dimSlice(8000, 8010).createOrReplaceTempView("dim")
+    val got = withRule() {
+      spark.sql("SELECT count(*) AS n FROM fact LEFT JOIN dim ON k = dk")
+        .collect()(0).getLong(0)
+    }
+    assert(got == 10000, "every fact row must survive the left join")
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "an outer join must not be pruned")
+  }
+
+  test("rule: nondeterministic dims are refused — probe and join could disagree") {
+    val idx = sqlFixture()
+    val dim = dimSlice(8000, 9000)
+      .filter(rand(42) >= 0.0) // always true, but nondeterministic
+    val got = withRule() {
+      SnapshotStore.table(spark,
+        idx.tableRoot.get).join(dim, col("k") === col("dk")).count()
+    }
+    assert(got == 1000)
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "a nondeterministic dim must not be probed")
+  }
+
+  test("rule: empty (post-filter) dim collapses the join to empty — no scan work") {
+    sqlFixture()
+    dimSlice(0, 100).filter(col("dk") > 1000000).createOrReplaceTempView("dim")
+    val got = withRule() {
+      spark.sql("SELECT count(*) AS n FROM fact JOIN dim ON k = dk")
+        .collect()(0).getLong(0)
+    }
+    assert(got == 0)
+  }
+
+  test("rule: idempotent under the fixed-point batch — exactly one In-list reaches the scan") {
+    sqlFixture()
+    dimSlice(500, 600).createOrReplaceTempView("dim")
+    withRule() {
+      val plan = spark.sql("SELECT k, dv FROM fact JOIN dim ON k = dk")
+        .queryExecution.optimizedPlan
+      val inLists = plan.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case i: org.apache.spark.sql.catalyst.expressions.In => i
+          case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+        }.size
+      }.sum
+      assert(inLists == 1,
+        s"the rewrite must fire exactly once, got $inLists In-lists:\n$plan")
+    }
+  }
+
   test("bloom sidecars prune scattered keys min/max ranges cannot") {
     val root = freshRoot()
     // SCATTERED layout: every file spans the full key range, so

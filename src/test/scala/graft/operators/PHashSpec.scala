@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal.ImageCodec
+
+/** Perceptual image hashing (E132): 64-bit DCT pHash on the guarded
+  * raster path, banded-Hamming pairing via the generalized L3
+  * machinery. Exact-hash dedup misses re-encodes by construction;
+  * pHash pairs them and keeps distinct content apart. */
+class PHashSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("a lossy JPEG re-encode stays within a tight Hamming ball; distinct images stay far") {
+    val hashes = ImageCodec.patternSeeds(24).map { seed =>
+      val png = ImageCodec.pHash(ImageCodec.encodePattern(96, 96, seed, "png")).get
+      val jpg = ImageCodec.pHash(ImageCodec.encodePattern(96, 96, seed, "jpeg")).get
+      (seed, png, jpg)
+    }
+    hashes.foreach { case (seed, png, jpg) =>
+      val d = java.lang.Long.bitCount(png ^ jpg)
+      assert(d <= 6, s"seed $seed: png↔jpeg Hamming $d — re-encode must be near")
+    }
+    for {
+      (sa, pa, _) <- hashes
+      (sb, pb, _) <- hashes if sa < sb
+    } {
+      val d = java.lang.Long.bitCount(pa ^ pb)
+      assert(d > 10, s"seeds $sa/$sb: Hamming $d — distinct content must be far")
+    }
+  }
+
+  test("corrupt bytes and oversized headers hash to None — data, never a failure") {
+    assert(ImageCodec.pHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.pHash(Array.empty[Byte]).isEmpty)
+    // A real image refused by the pixel guard BEFORE any raster work.
+    val img = ImageCodec.encodePattern(64, 64, 7L, "png")
+    assert(ImageCodec.pHash(img, maxPixels = 100).isEmpty,
+      "the maxPixels guard must refuse before rasterizing")
+    assert(ImageCodec.pHash(img).isDefined)
+  }
+
+  test("hammingPairs generalizes the banded machinery: exact at maxHamming < bands, null sigs drop") {
+    val sigs = Seq(
+      (1L, Some(0x0F0F0F0F0F0F0F0FL)),
+      (2L, Some(0x0F0F0F0F0F0F0F0EL)), // Hamming 1 from id 1
+      (3L, Some(0x7777000011110000L)), // far from both
+      (4L, None)                       // undecodable media
+    ).toDF("media_id", "phash")
+    val pairs = Dedup.hammingPairs(sigs, col("media_id"), col("phash"),
+      bands = 16, maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L &&
+      pairs(0).getInt(2) == 1)
+  }
+
+  test("perceptualHashes: the DataFrame boundary — nulls surface as null hashes") {
+    val media = Seq(
+      (10L, ImageCodec.encodePattern(64, 64, 1L, "png")),
+      (11L, Array[Byte](9, 9, 9))
+    ).toDF("media_id", "content")
+    val got = Multimodal.perceptualHashes(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(10L).isDefined && got(11L).isEmpty)
+  }
+}

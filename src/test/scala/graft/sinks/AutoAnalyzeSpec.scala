@@ -128,6 +128,25 @@ class AutoAnalyzeSpec extends graft.SparkSpec {
       "the rollup cursor must track the tip PAST the analyze's property commit")
   }
 
+  test("an absurd threshold fails loudly into the ledger — never an overflowed comparison") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rows(0, 100), root, "part")
+    SnapshotStats.analyze(spark, root)
+    // Unclamped, base * pct would overflow Long for large pct and turn
+    // the drift comparison into noise (round-13 ADVICE); the bound
+    // makes misconfiguration a ledger entry instead.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoAnalyzeProp -> Long.MaxValue.toString))
+    SnapshotStore.appendCommit(spark, rows(100, 300), root, "part")
+    SnapshotStore.appendCommit(spark, rows(300, 310), root, "part")
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.MaintenanceErrorProp)
+      .exists(e => e.startsWith("component=autoAnalyze;") &&
+        e.contains("100000")),
+      "an out-of-bounds percent must ride the ledger with the bound in the message")
+    assert(SnapshotStore.table(spark, root).count() == 310)
+  }
+
   test("a malformed threshold records the failure without failing the commit; fixing it clears") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rows(0, 100), root, "part")

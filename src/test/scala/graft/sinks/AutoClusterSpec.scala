@@ -104,6 +104,35 @@ class AutoClusterSpec extends graft.SparkSpec {
     assert(baseline(root).contains(tip.toString))
   }
 
+  test("a FAILING cluster pass falls back to auto-compact — the table never loses all layout maintenance") {
+    val root = s"${freshDir()}/t"
+    SnapshotStore.commit(spark, rows(0 until 300), root, "part")
+    // Misconfigured cluster key + a compact threshold: the cluster
+    // pass fails every commit (ledger-visible), but the round-13
+    // ADVICE failure mode — neither clustering NOR compaction, the
+    // table silently fragmenting — must not happen: compact takes
+    // over when the cluster rider errors.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.AutoClusterProp -> "no_such_col",
+        "graft.autoCompact.minFiles" -> "2"))
+    // rows() repartitions to 4 upstream tasks × 2 partition values —
+    // over the threshold without compaction.
+    SnapshotStore.appendCommit(spark, rows(300 until 500), root, "part")
+    val tip = SnapshotStore.currentVersion(spark, root).get
+    val perPartition = SnapshotStore.manifest(spark, root, tip)
+      .groupBy(_.partition).map(_._2.size)
+    assert(perPartition.forall(_ <= 2),
+      s"compact must take over when clustering fails: $perPartition files/partition")
+    // The failure itself stays ledger-visible (compact's own recovery
+    // must not clear ANOTHER component's pending error).
+    SnapshotStore.appendCommit(spark, rows(500 until 600), root, "part")
+    assert(SnapshotStore.tablePropertiesMap(spark, root)
+      .get(SnapshotStore.MaintenanceErrorProp)
+      .exists(_.startsWith("component=autoCluster;")),
+      "the cluster failure must still ride the ledger")
+    assert(SnapshotStore.table(spark, root).count() == 600)
+  }
+
   test("duplicate cluster keys land in the error ledger on the first commit") {
     val root = s"${freshDir()}/t"
     SnapshotStore.commit(spark, rows(0 until 300), root, "part")

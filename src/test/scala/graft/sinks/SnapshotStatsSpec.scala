@@ -59,10 +59,14 @@ class SnapshotStatsSpec extends graft.SparkSpec {
     seed(root, 100)
     withCbo {
       assert(relStats(SnapshotStore.table(spark, root)).rowCount.contains(BigInt(100)))
-      // A DV delete touches no data file — the row count still tracks
-      // LIVE rows (physical minus deletion-vector cardinality).
+      // A DV delete touches no data file. The INNER bare scan under
+      // the DV anti-join wrapper physically emits the pre-DV count, so
+      // that is the count its stats must carry — the wrapper's own
+      // filter selectivity nets out the deletes in costing (attaching
+      // the DV-adjusted 90 there would double-count delete
+      // selectivity: the round-13 ADVICE finding).
       SnapshotStore.deleteWhereDv(spark, root, "k < 10")
-      assert(relStats(SnapshotStore.table(spark, root)).rowCount.contains(BigInt(90)))
+      assert(relStats(SnapshotStore.table(spark, root)).rowCount.contains(BigInt(100)))
       // Time travel: the PINNED version's count, not the tip's.
       assert(relStats(SnapshotStore.table(spark, root, Some(1L)))
         .rowCount.contains(BigInt(100)))
@@ -217,6 +221,67 @@ class SnapshotStatsSpec extends graft.SparkSpec {
     assert(SnapshotStats.decode("") .isEmpty)
     assert(SnapshotStats.decode("tpe=bigint|ndv=3|nulls=0|min=|max=|avgLen=|maxLen=")
       .exists(s => s.ndv == 3 && s.min.isEmpty))
+  }
+
+  test("CBO join reorder fires only FROM recorded stats — a never-ANALYZEd star keeps its written order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = Files.createTempDirectory("reorder").toString
+    val factR = s"$dir/fact"; val dimOR = s"$dir/dimO"; val dimSR = s"$dir/dimS"
+    SnapshotStore.commit(spark, (0 until 4000)
+      .map(i => (i.toLong, (i % 40).toLong, (i % 2).toString))
+      .toDF("k", "sk", "part"), factR, "part")
+    SnapshotStore.commit(spark, (0 until 2000)
+      .map(i => (i.toLong, s"o$i", (i % 2).toString))
+      .toDF("ok", "ov", "part"), dimOR, "part")
+    SnapshotStore.commit(spark, (0 until 40)
+      .map(i => (i.toLong, i % 10, "0")).toDF("sk2", "nat", "part"),
+      dimSR, "part")
+    def q(): DataFrame =
+      SnapshotStore.table(spark, factR)
+        .join(SnapshotStore.table(spark, dimOR), col("k") === col("ok"))
+        .join(SnapshotStore.table(spark, dimSR).filter(col("nat") <= 2),
+          col("sk") === col("sk2"))
+        .groupBy(col("ov")).agg(count(lit(1)).as("n"))
+    def bottomRoots(df: DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      val bottom = joins.find(j =>
+        j.collect { case jj: LJoin => jj }.size == 1).get
+      bottom.collectLeaves().collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location match {
+            case g: GraftFileIndex => g.tableRoot.getOrElse("")
+            case _ => ""
+          }
+      }.toSet
+    }
+    // WITHOUT the CBO flags (declared intent), no statistics reach
+    // plan costing and the star keeps its written order — reordering
+    // must never be an ambient behavior change.
+    val plain = q()
+    assert(bottomRoots(plain).contains(dimOR) &&
+      !bottomRoots(plain).contains(dimSR),
+      s"without CBO the written order must hold: ${bottomRoots(plain)}")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try withCbo {
+      // On THIS store "stats absent" cannot happen: the exact live
+      // rowCount is manifest-derived and attaches to every scan under
+      // the CBO flags with ZERO ANALYZE calls — and relative row
+      // counts alone (|dimS slice| ≪ |dimO|) already reorder the
+      // star. ANALYZE then adds join-key NDVs for the cardinality
+      // estimates; the chosen order is the same here.
+      val cold = q()
+      assert(bottomRoots(cold).contains(dimSR) &&
+        !bottomRoots(cold).contains(dimOR),
+        s"manifest rowCounts alone must reorder: ${bottomRoots(cold)}")
+      Seq(factR, dimOR, dimSR).foreach(r => SnapshotStats.analyze(spark, r))
+      val hot = q()
+      assert(bottomRoots(hot).contains(dimSR) &&
+        !bottomRoots(hot).contains(dimOR),
+        s"ANALYZE'd NDVs must keep the selective-dim-first order: ${bottomRoots(hot)}")
+      assert(hot.orderBy("ov").collect().toSeq ==
+        plain.orderBy("ov").collect().toSeq)
+    } finally spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
   }
 
   test("DV-adjusted NDV/nulls: ANALYZE reads the LIVE view") {
