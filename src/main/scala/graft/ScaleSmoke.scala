@@ -969,16 +969,28 @@ object ScaleSmoke {
             graft.sinks.SnapshotStore.AutoAnalyzeProp -> "1",
             "graft.rollup.autoSync" -> Seq(hkR1, hkR2, hkR3).mkString(",")))
           append(7) // priming cluster pass, untimed
+          val rowsBefore = graft.sinks.SnapshotStore
+            .tablePropertiesMap(spark, hkRoot)
+            .get(graft.sinks.SnapshotStats.AnalyzedRowsProp)
           time("commit_all_hooks_armed") {
             val v = append(8)
             val cur = graft.sinks.SnapshotStore
               .currentVersion(spark, hkRoot).get
             val props = graft.sinks.SnapshotStore
               .tablePropertiesMap(spark, hkRoot)
+            // Rider evidence, hook by hook. The tip is PAST the
+            // cluster commit (the analyze rider publishes a property
+            // commit after it — the pinned hook order), so the
+            // clustering pin is "advanced past the data commit", not
+            // "== tip".
             require(cur > v &&
               props.get(graft.sinks.SnapshotStore.ClusteredAtProp)
-                .contains(cur.toString),
-              s"all-hooks probe: riders did not fire (v=$v cur=$cur)")
+                .exists(_.toLong > v),
+              s"all-hooks probe: cluster rider did not fire (v=$v cur=$cur)")
+            require(props.get(graft.sinks.SnapshotStats.AnalyzedRowsProp)
+                .exists(r => !rowsBefore.contains(r)),
+              s"all-hooks probe: analyze rider did not re-base " +
+                s"(before=$rowsBefore)")
             val rollCursor = graft.sinks.SnapshotStore
               .tablePropertiesMap(spark, hkR1)
               .get(graft.operators.Rollup.CursorProp)

@@ -147,16 +147,31 @@ case class DynamicPruningRule(spark: SparkSession)
         core(p).isInstanceOf[LocalRelation])
   }
 
+  /** A key-membership predicate already on the fact path means the
+    * probe has nothing to add: this rule's own In-list from a prior
+    * fixed-point iteration, the explicit operator's, a user's own —
+    * AND the single-key degenerations. `OptimizeIn` folds a 1-element
+    * In to EqualTo in the SAME batch, so without the equality cases a
+    * point-lookup dim would re-probe on every iteration of both
+    * operator-optimization batches (and a user's own `k = 42` /
+    * constraint-inferred equality already prunes statically — a probe
+    * there is pure waste). */
   private def alreadyPruned(onPath: Seq[Expression], factKey: AttributeReference,
-                            scanKey: AttributeReference): Boolean =
+                            scanKey: AttributeReference): Boolean = {
+    def isKey(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        a.exprId == factKey.exprId || a.exprId == scanKey.exprId
+      case _ => false
+    }
     onPath.exists {
-      case In(a: AttributeReference, _) =>
-        a.exprId == factKey.exprId || a.exprId == scanKey.exprId
-      case InSet(a: AttributeReference, _) =>
-        a.exprId == factKey.exprId || a.exprId == scanKey.exprId
+      case In(a, _) => isKey(a)
+      case InSet(a, _) => isKey(a)
+      case EqualTo(a, _: Literal) => isKey(a)
+      case EqualTo(_: Literal, a) => isKey(a)
       case Literal(false, _) => true
       case _ => false
     }
+  }
 
   private def tryPrune(j: Join): Option[Join] = {
     // A refused probe (over-limit dim) leaves the plan unchanged, so

@@ -257,7 +257,9 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     // Generated columns materialize EARLY: the partition-touch probe
     // below selects the partition columns (possibly generated), and
     // the merge union must not null-fill an absent generated column.
-    val incoming = applyGenerated(spark, root, incoming0)
+    // ONE tip read feeds both this and constraint enforcement.
+    val tip = tipVersionAndProps(spark, root)
+    val incoming = applyGenerated(spark, root, incoming0, tip)
     // Touched partitions: one small distinct-collect (bounded by the
     // partition cardinality of the incoming batch, e.g. suppliers),
     // computed ONCE — it depends only on `incoming`. NULL partition
@@ -269,7 +271,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     val touched = incoming
       .select(partValueColumn(partitionCols.cols))
       .distinct().collect().map(_.getString(0)).toSet
-    enforceConstraints(spark, root, incoming)
+    enforceConstraints(spark, root, incoming, Some(tip))
     enforceSchemaCompatible(spark, root, incoming)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -362,8 +364,9 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     require(keys.nonEmpty, "upsertDeleteCommit needs at least one key column")
     require(partitionCols.nonEmpty, "upsertDeleteCommit needs a partition spec")
     // Same early-materialization rationale as [[mergeCommitOrdered]].
-    val upserts = applyGenerated(spark, root, upserts0)
-    enforceConstraints(spark, root, upserts)
+    val tip = tipVersionAndProps(spark, root)
+    val upserts = applyGenerated(spark, root, upserts0, tip)
+    enforceConstraints(spark, root, upserts, Some(tip))
     enforceSchemaCompatible(spark, root, upserts)
     val upTouched = upserts.select(partValueColumn(partitionCols.cols))
       .distinct().collect().map(_.getString(0)).toSet

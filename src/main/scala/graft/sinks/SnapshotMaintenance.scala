@@ -975,10 +975,9 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * malformed property, like every targetFileSize consumer. */
   private def sizedFileCount(spark: SparkSession, root: String, cur: Long,
                              replaced: Seq[ManifestEntry],
-                             fallback: Int): Int =
-    SnapshotStore.targetFileSize(
-      scala.util.Try(tableProperties(spark, root, cur).toMap)
-        .getOrElse(Map.empty)).flatMap { t =>
+                             fallback: Int,
+                             props: Map[String, String]): Int =
+    SnapshotStore.targetFileSize(props).flatMap { t =>
       val sizes = statsFor(spark, root, cur)
       val bytes = replaced.flatMap(e => sizes.get(e.path)).map(_.len).sum
       if (bytes > 0)
@@ -995,6 +994,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $root"))
+      val props = scala.util.Try(tableProperties(spark, root, cur).toMap)
+        .getOrElse(Map.empty[String, String])
       val entries = manifest(spark, root, cur)
       val sel = partitions.map(_.toSet).getOrElse(entries.map(_.partition).toSet)
       val (replaced, kept) = entries.partition(e => sel(e.partition))
@@ -1021,7 +1022,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         if (bucketed) raw
         else graft.operators.Layout.zorderBy(raw, zCols,
           numFiles = sizedFileCount(spark, root, cur, replaced,
-            filesPerPartition * nParts), bits = bits)
+            filesPerPartition * nParts, props), bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
         partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,
@@ -1035,8 +1036,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // — properties carry forward untouched.
       val stamped: Option[Seq[(String, String)]] =
         if (partitions.isDefined) None
-        else Some((tableProperties(spark, root, cur).toMap
-          - ClusteredAtProp - ClusterKeysProp).toSeq ++
+        else Some((props - ClusteredAtProp - ClusterKeysProp).toSeq ++
           Seq(ClusteredAtProp -> v.toString,
             ClusterKeysProp -> zKeys.mkString(",")))
       if (writeManifest(spark, root, v, kept ++ newEntries, "zorder",
@@ -1130,7 +1130,7 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         if (bucketed) raw
         else graft.operators.Layout.zorderBy(raw, zCols,
           numFiles = sizedFileCount(spark, root, cur, replaced,
-            filesPerPartition * nParts), bits = bits)
+            filesPerPartition * nParts, props), bits = bits)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, laid, root, v,
         partitionCols.cols.map(physicalNameOf(renames, _)), translate = false,

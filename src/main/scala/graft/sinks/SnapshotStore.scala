@@ -600,16 +600,20 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * rewrites (compact/zorder) skip this — content is unchanged by
     * invariant, and re-proving it would double their read. */
   private[sinks] def enforceConstraints(spark: SparkSession, root: String,
-                                 df: DataFrame): Unit = {
-    val v = currentVersion(spark, root)
-    val cs = v.map(tableConstraints(spark, root, _)).getOrElse(Nil)
+                                 df: DataFrame,
+                                 tip: Option[Option[(Long, Map[String, String])]] = None): Unit = {
+    // `tip`: outer None = resolve here (direct callers); Some(resolved)
+    // = the entry point already read the tip once — don't read again.
+    val resolved = tip.getOrElse(tipVersionAndProps(spark, root))
+    val cs = resolved.map { case (v, _) =>
+      tableConstraints(spark, root, v) }.getOrElse(Nil)
     if (cs.isEmpty) return
     // Generated columns absent from the batch are computed downstream
     // by writeDataFiles — check the POST-computation batch (what
     // actually lands), or the auto-registered gen_ CHECK would throw
     // an unresolved-column error on every column-omitting insert.
-    val gens = v.map(ver => generatedColumns(
-      tableProperties(spark, root, ver).toMap)).getOrElse(Nil)
+    val gens = resolved.map { case (_, props) =>
+      generatedColumns(props) }.getOrElse(Nil)
     val checked = withGeneratedColumns(df, gens)
     cs.foreach { case (name, e) =>
       val bad = checked.filter(!coalesce(expr(e), lit(true))).limit(1).collect()
@@ -687,15 +691,26 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
     }
 
-  /** [[withGeneratedColumns]] against the table's CURRENT tip — the
-    * content entry points apply this EARLY so partition-touch probes
-    * and the merge union see the column materialized (a null-filled
-    * union would claim explicit nulls the gen_ CHECK refuses). */
+  /** The tip (version, property map) in ONE read — the content entry
+    * points resolve it once and thread it into [[applyGenerated]] and
+    * [[enforceConstraints]] (the postCommit props-once discipline,
+    * applied to the commit entry too). None for a fresh table. */
+  private[sinks] def tipVersionAndProps(spark: SparkSession,
+                                        root: String): Option[(Long, Map[String, String])] =
+    currentVersion(spark, root).map(v =>
+      (v, scala.util.Try(tableProperties(spark, root, v).toMap)
+        .getOrElse(Map.empty[String, String])))
+
+  /** [[withGeneratedColumns]] against the table's tip — the content
+    * entry points apply this EARLY so partition-touch probes and the
+    * merge union see the column materialized (a null-filled union
+    * would claim explicit nulls the gen_ CHECK refuses). */
   private[sinks] def applyGenerated(spark: SparkSession, root: String,
-                                    df: DataFrame): DataFrame =
-    currentVersion(spark, root)
-      .map(v => withGeneratedColumns(df, generatedColumnsAt(spark, root, v)))
-      .getOrElse(df)
+                                    df: DataFrame,
+                                    tip: Option[(Long, Map[String, String])]): DataFrame =
+    tip.map { case (_, props) =>
+      withGeneratedColumns(df, generatedColumns(props))
+    }.getOrElse(df)
 
   /** Parse [[TargetFileSizeProp]] from a property map; loud on
     * garbage, None when unset. */

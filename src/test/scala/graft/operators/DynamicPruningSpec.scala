@@ -217,6 +217,38 @@ class DynamicPruningSpec extends graft.SparkSpec {
     }
   }
 
+  test("rule: a SINGLE-key dim stays idempotent — OptimizeIn folds the In to EqualTo and the rule must recognize it") {
+    val idx = sqlFixture()
+    // One dim row, filtered on the NON-key column so neither
+    // constraint propagation nor the user supplies a key predicate —
+    // only the probe can. The injected 1-element In-list becomes
+    // EqualTo within the same optimizer batch; without the equality
+    // case in the idempotence check the rule would re-probe on every
+    // fixed-point iteration and stack duplicate predicates.
+    Seq((8400L, "hot"), (1L, "cold")).toDF("dk", "dv")
+      .filter(col("dv") === "hot").createOrReplaceTempView("dim")
+    withRule() {
+      val q = spark.sql("SELECT k, v FROM fact JOIN dim ON k = dk")
+      val keyPreds = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
+            case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
+            case e @ org.apache.spark.sql.catalyst.expressions.EqualTo(
+              _: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              _: org.apache.spark.sql.catalyst.expressions.Literal) => e: Any
+          }.size
+      }.sum
+      assert(keyPreds == 1,
+        s"exactly one key predicate must survive, got $keyPreds:\n" +
+          q.queryExecution.optimizedPlan)
+      val got = q.collect()
+      assert(got.length == 1 && got(0).getLong(0) == 8400L)
+      assert(idx.lastCandidateFiles == 1,
+        s"single-key pruning must open 1 file: ${idx.lastCandidateFiles}")
+    }
+  }
+
   test("bloom sidecars prune scattered keys min/max ranges cannot") {
     val root = freshRoot()
     // SCATTERED layout: every file spans the full key range, so
