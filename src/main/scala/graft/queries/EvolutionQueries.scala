@@ -2122,12 +2122,14 @@ private[graft] object EvolutionQueries {
       require(idx.lastCandidateFiles == idx.totalFiles,
         s"with the rule off the plain join must open ALL files: " +
           s"${idx.lastCandidateFiles}/${idx.totalFiles}")
-      // ON: SF-relative key bound (the slice holds ≤ maxk/10 + 1
-      // distinct integer keys — exact at any SF).
+      // ON: SF-relative key bound. The slice holds ~maxk/10 keys but
+      // NOT exactly (integer-division cutoff + orders keys above the
+      // even-lineitem max add a few) — maxk/5 gives the pin 2× margin
+      // at every SF where the 10k floor doesn't already cover it.
       s.conf.set(DynamicPruningRule.EnabledConf, "true")
       s.conf.set(DynamicPruningRule.MaxKeysConf,
         math.max(DynamicPruningRule.DefaultMaxKeys.toLong,
-          math.min(Int.MaxValue.toLong, maxk / 10 + 1)).toString)
+          math.min(Int.MaxValue.toLong, maxk / 5)).toString)
       try {
         val on = s.sql(sql)
         on.persist(); on.count() // plan + listFiles inside the window
