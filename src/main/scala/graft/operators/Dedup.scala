@@ -315,6 +315,11 @@ object Dedup {
                    bits: Int = 64, bands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     require(bits >= 2 && bits <= 64, s"bits must be in [2,64], got $bits")
+    // A non-positive band count that happens to divide bits would
+    // build ZERO bands and return a silently EMPTY pair set — total
+    // recall loss, the worst possible failure mode for a dedup API.
+    require(bands >= 1 && bands <= bits,
+      s"bands must be in [1,$bits], got $bands")
     require(bits % bands == 0,
       s"bands ($bands) must divide bits ($bits): a remainder would leave the top " +
         "bits outside every band and silently void the pigeonhole recall guarantee")

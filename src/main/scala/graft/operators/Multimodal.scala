@@ -342,13 +342,17 @@ object Multimodal {
                 u += 1
               }
               // Median over the 63 AC coefficients; DC (block(0)) is
-              // brightness and would bias every bit the same way.
+              // brightness — excluded from the median AND the hash
+              // (its magnitude dwarfs the AC median, so its bit would
+              // be constant 1 across any corpus: a wasted signature
+              // bit and a systematically half-selective band bucket).
+              // Bits 0..62 are the AC signs; bit 63 stays 0.
               val ac = block.drop(1).sorted
               val median = (ac(30) + ac(31)) / 2.0
               var sig = 0L
-              var b = 0
+              var b = 1
               while (b < 64) {
-                if (block(b) > median) sig |= (1L << b)
+                if (block(b) > median) sig |= (1L << (b - 1))
                 b += 1
               }
               Some(sig)

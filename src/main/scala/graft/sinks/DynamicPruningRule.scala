@@ -133,17 +133,29 @@ case class DynamicPruningRule(spark: SparkSession)
   /** The selective-dim gate + safety gates: batch, deterministic
     * everywhere (the probe is a SECOND evaluation of this subtree),
     * and visibly filtered — or a literal relation, possibly under the
-    * bare Project column pruning leaves behind mid-batch. */
+    * bare Project column pruning leaves behind mid-batch.
+    *
+    * "Filtered" means a filter with at least one conjunct BEYOND
+    * IsNotNull: InferFiltersFromConstraints stamps
+    * `IsNotNull(joinKey)` onto every inner equi-join's children
+    * before this rule runs, so counting those would make EVERY
+    * unfiltered dim "selective" and fire a wasted planning-time probe
+    * (plus an unselective In-list) on every plain join. */
   private def dimQualifies(p: LogicalPlan): Boolean = {
     def core(q: LogicalPlan): LogicalPlan = q match {
       case Project(list, child) if list.forall(_.deterministic) => core(child)
       case other => other
     }
+    def selective(f: Filter): Boolean =
+      splitConjunctivePredicates(f.condition).exists {
+        case IsNotNull(_) => false
+        case _ => true
+      }
     !p.isStreaming &&
       p.collectFirst {
         case n if n.expressions.exists(e => !e.deterministic) => n
       }.isEmpty &&
-      (p.collectFirst { case f: Filter => f }.isDefined ||
+      (p.collectFirst { case f: Filter if selective(f) => f }.isDefined ||
         core(p).isInstanceOf[LocalRelation])
   }
 

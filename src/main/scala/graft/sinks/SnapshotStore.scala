@@ -720,8 +720,13 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"$TargetFileSizeProp must be a positive byte count, got '$raw'")
       }
-      require(t > 0,
-        s"$TargetFileSizeProp must be a positive byte count, got $t")
+      // Upper bound (1 PiB) keeps every consumer's arithmetic inside
+      // Long (`2 * t`, `bytes + t - 1`) — an unbounded value would
+      // wrap negative and flip EVERY partition non-conformant,
+      // turning each OPTIMIZE into a non-converging full rewrite
+      // (the driftPct overflow lesson, applied to bytes).
+      require(t > 0 && t <= (1L << 50),
+        s"$TargetFileSizeProp must be a byte count in (0, 2^50], got $t")
       t
     }
 
@@ -1617,7 +1622,12 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       else targetFileSize(priorProps).flatMap { t =>
         val st = statsSidecar(spark, root, v - 1)._1.values
         val (bytes, rows) = (st.map(_.len).sum, st.map(_.rows).sum)
-        if (bytes > 0 && rows > 0) Some(math.max(1L, t * rows / bytes))
+        // Double math: `t * rows` overflows Long for PiB-scale tables
+        // (t=128 MB × 7e10 rows ≈ 9e18), which would silently emit one
+        // row per file; a double's 15 digits are far beyond what a
+        // rows-per-file ESTIMATE needs.
+        if (bytes > 0 && rows > 0)
+          Some(math.max(1L, (t.toDouble * rows / bytes).toLong))
         else None
       }
     maxRecords.foldLeft(physical.write.mode("error")) { (w, n) =>

@@ -2137,28 +2137,49 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
         s"(${schema.fieldNames.mkString(", ")})"))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    // Generation expressions must resolve against the declared schema,
-    // produce EXACTLY the declared type (an implicit cast at write
-    // time would make the gen_ CHECK judge values the reader never
-    // sees), and be deterministic (the expression re-computes on
-    // every write path — nondeterminism would make the CHECK refuse
-    // the writer's own values).
+    // Generation expressions must resolve against the NON-generated
+    // columns only (a generated column referencing another would pass
+    // a full-schema probe here and then brick every omitting write —
+    // the fold computes them independently), produce EXACTLY the
+    // declared type (an implicit cast at write time would make the
+    // gen_ CHECK judge values the reader never sees), and be
+    // re-computable: neither nondeterministic NOR query-scoped
+    // time functions (current_date()/current_timestamp() report
+    // deterministic but freeze per QUERY — the CHECK probe and the
+    // write materialization are separate queries, so a midnight-
+    // spanning write would land rows the CHECK never validated).
+    val genNames = generated.map(_._1).toSet
+    val probeBase = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => genNames(f.name))))
     generated.foreach { case (c, e) =>
       require(schema.fieldNames.contains(c),
         s"generated column '$c' is not in the declared schema")
-      val probe = try empty.select(org.apache.spark.sql.functions.expr(e).as("p"))
+      val probe = try probeBase.select(org.apache.spark.sql.functions.expr(e).as("p"))
       catch { case scala.util.control.NonFatal(ex) =>
         throw new IllegalArgumentException(
           s"generated column '$c': expression '$e' does not resolve " +
-            s"against the schema: ${ex.getMessage}")
+            s"against the non-generated columns: ${ex.getMessage}")
       }
       val got = probe.schema.head.dataType
       val want = schema(schema.fieldIndex(c)).dataType
       require(got == want,
         s"generated column '$c' is declared $want but '$e' produces $got")
-      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+      val analyzed = probe.queryExecution.analyzed
+      require(analyzed.expressions.forall(_.deterministic),
         s"generated column '$c': '$e' is nondeterministic — it " +
           "re-computes on every write path")
+      val timeDependent = analyzed.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+        case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+        case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+        case _ => false
+      })
+      require(!timeDependent,
+        s"generated column '$c': '$e' is query-scoped (current date/" +
+          "timestamp) — separate write-path queries would compute " +
+          "different values")
     }
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.

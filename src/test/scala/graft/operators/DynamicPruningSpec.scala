@@ -249,6 +249,32 @@ class DynamicPruningSpec extends graft.SparkSpec {
     }
   }
 
+  test("rule: an UNFILTERED dim never probes — inferred IsNotNull is not selectivity") {
+    sqlFixture()
+    // A plain parquet dim with NO user filter: constraint inference
+    // will stamp IsNotNull(dk) on the join child, which must not
+    // count as "filtered" — probing an unfiltered dim is wasted
+    // planning work and injects an unselective In-list.
+    val dimPath = java.nio.file.Files.createTempDirectory("dfp_nofilter")
+      .toString + "/dim"
+    dimSlice(0, 500).write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dim")
+    withRule() {
+      val q = spark.sql("SELECT count(*) AS n FROM fact JOIN dim ON k = dk")
+      val keyLists = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
+            case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
+          }.size
+      }.sum
+      assert(keyLists == 0,
+        s"no In-list may be injected for an unfiltered dim:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect()(0).getLong(0) == 500)
+    }
+  }
+
   test("bloom sidecars prune scattered keys min/max ranges cannot") {
     val root = freshRoot()
     // SCATTERED layout: every file spans the full key range, so

@@ -54,6 +54,25 @@ class PHashSpec extends graft.SparkSpec {
       pairs(0).getInt(2) == 1)
   }
 
+  test("hammingPairs refuses non-positive band counts loudly — never a silently empty pair set") {
+    val sigs = Seq((1L, Some(1L)), (2L, Some(3L))).toDF("media_id", "phash")
+    val e = intercept[IllegalArgumentException](
+      Dedup.hammingPairs(sigs, col("media_id"), col("phash"), bands = -4))
+    assert(e.getMessage.contains("bands"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.hammingPairs(sigs, col("media_id"), col("phash"), bands = 0))
+    assert(e2.getMessage.contains("bands"))
+  }
+
+  test("the DC coefficient never reaches the signature — bit 63 is structurally 0") {
+    // DC is ~constant-1 across any corpus; hashing it would waste a
+    // bit and halve chunk-0 bucket selectivity.
+    (0L until 12L).foreach { seed =>
+      val h = ImageCodec.pHash(ImageCodec.encodePattern(64, 64, seed, "png")).get
+      assert((h >>> 63) == 0L, s"seed $seed: top bit set: ${h.toBinaryString}")
+    }
+  }
+
   test("perceptualHashes: the DataFrame boundary — nulls surface as null hashes") {
     val media = Seq(
       (10L, ImageCodec.encodePattern(64, 64, 1L, "png")),

@@ -106,6 +106,23 @@ class GeneratedColumnSpec extends graft.SparkSpec {
         d DATE GENERATED ALWAYS AS (ts)
       ) USING graft-snapshot PARTITIONED BY (d)"""))
     assert(bad3.getMessage.contains("declared"))
+    // A generated column referencing ANOTHER generated column would
+    // pass a full-schema probe and then brick every omitting write
+    // (the fold computes each independently) — refused at CREATE.
+    val bad4 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`${freshRoot()}` (ts TIMESTAMP,
+        a DATE GENERATED ALWAYS AS (CAST(date_trunc('YEAR', z) AS DATE)),
+        z DATE GENERATED ALWAYS AS (CAST(ts AS DATE))
+      ) USING graft-snapshot PARTITIONED BY (a)"""))
+    assert(bad4.getMessage.contains("non-generated"), bad4.getMessage)
+    // current_date() reports deterministic but freezes per QUERY —
+    // the CHECK probe and the write materialization are separate
+    // queries, so it must refuse like nondeterminism does.
+    val bad5 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.`${freshRoot()}` (k BIGINT,
+        d DATE GENERATED ALWAYS AS (current_date())
+      ) USING graft-snapshot PARTITIONED BY (d)"""))
+    assert(bad5.getMessage.contains("query-scoped"), bad5.getMessage)
   }
 
   test("merge/upsert paths compute it as well — one mechanism, every content write") {

@@ -119,5 +119,13 @@ class TargetFileSizeSpec extends graft.SparkSpec {
     val e = intercept[IllegalArgumentException](
       SnapshotStore.appendCommit(spark, rows(100 until 200), root, "part"))
     assert(e.getMessage.contains("graft.targetFileSize"))
+    // An absurdly large value is refused too: unbounded, `2 * t`
+    // would wrap negative and flip every partition non-conformant —
+    // each OPTIMIZE a non-converging full rewrite.
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.TargetFileSizeProp -> Long.MaxValue.toString))
+    val e2 = intercept[IllegalArgumentException](
+      SnapshotStore.appendCommit(spark, rows(100 until 200), root, "part"))
+    assert(e2.getMessage.contains("2^50"))
   }
 }
