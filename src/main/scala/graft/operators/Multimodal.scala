@@ -285,7 +285,17 @@ object Multimodal {
       * re-encode/resize and differ for genuinely different content —
       * Hamming distance on the 64 bits is the classic similarity.
       * Corrupt/undecodable/oversized bytes → None (data, never a
-      * task failure). */
+      * task failure) — and so do STRUCTURELESS images (solid/flat
+      * frames, ~zero AC energy): pHash has no signal there, and
+      * without the guard every pair of solid frames (black vs white!)
+      * would collide at Hamming 0.
+      *
+      * The signature is effectively 63-bit: bits 0–62 carry the AC
+      * signs, bit 63 is structurally 0 (DC excluded). Band it as 63
+      * bits (`bands ∈ {3, 7, 9, 21, 63}`) in
+      * [[graft.operators.Dedup.hammingPairs]] — banding 64 bits would
+      * give one chunk a constant bit and make its buckets
+      * systematically 2× more collision-prone. */
     def pHash(bytes: Array[Byte], maxPixels: Long = 1L << 22): Option[Long] = {
       decodeDims(bytes) match {
         case Some((_, w, h)) if w > 0 && h > 0 && w.toLong * h <= maxPixels =>
@@ -348,14 +358,26 @@ object Multimodal {
               // bit and a systematically half-selective band bucket).
               // Bits 0..62 are the AC signs; bit 63 stays 0.
               val ac = block.drop(1).sorted
-              val median = (ac(30) + ac(31)) / 2.0
-              var sig = 0L
-              var b = 1
-              while (b < 64) {
-                if (block(b) > median) sig |= (1L << (b - 1))
-                b += 1
+              // Low-variance guard: a flat image (solid color, blank
+              // frame) has ~zero AC energy, so '> median' would hash
+              // EVERY such image to sig=0 — black and white frames
+              // would pair at Hamming 0 as "near-dups". Structureless
+              // content has no perceptual signature; drop it like
+              // undecodable bytes (None = data, never a failure).
+              // Threshold is absolute: AC coefficients of real
+              // content sit in the hundreds-to-thousands range for
+              // 0–255 gray values; float noise is ~1e-10.
+              if (ac.last - ac.head < 1e-6) None
+              else {
+                val median = (ac(30) + ac(31)) / 2.0
+                var sig = 0L
+                var b = 1
+                while (b < 64) {
+                  if (block(b) > median) sig |= (1L << (b - 1))
+                  b += 1
+                }
+                Some(sig)
               }
-              Some(sig)
             }
           } catch { case scala.util.control.NonFatal(_) => None }
         case _ => None
@@ -383,8 +405,13 @@ object Multimodal {
       val out = scala.collection.mutable.ArrayBuffer[Long]()
       var s = 0L
       while (out.size < n && s < 1000000L) {
-        if (out.forall(o => java.lang.Long.bitCount(
-            patternBits(o) ^ patternBits(s)) >= minDist)) out += s
+        val bits = patternBits(s)
+        // Degenerate codewords (all-dark / all-bright) render a SOLID
+        // image — structureless content [[pHash]]'s low-variance
+        // guard rightly refuses. A "patterned" fixture must pattern.
+        if (bits != 0L && bits != 0xFFFFL &&
+            out.forall(o => java.lang.Long.bitCount(
+              patternBits(o) ^ bits) >= minDist)) out += s
         s += 1
       }
       require(out.size == n,
@@ -522,12 +549,15 @@ object Multimodal {
       })
   }
 
-  /** Per-media 64-bit perceptual hash ([[ImageCodec.pHash]]) over a
+  /** Per-media perceptual hash ([[ImageCodec.pHash]]) over a
     * `(media_id, content)` frame — mapPartitions at the codec library
-    * boundary, like [[extractFeatures]]. Undecodable/oversized rows
-    * surface as null hashes (filter, don't fail). Feed the result to
-    * [[Dedup.hammingPairs]] for banded image near-dup at corpus
-    * scale. */
+    * boundary, like [[extractFeatures]]. Undecodable/oversized/flat
+    * rows surface as null hashes (filter, don't fail). Feed the
+    * result to [[Dedup.hammingPairs]] for banded image near-dup at
+    * corpus scale — as a 63-BIT signature (`bits = 63`, bands from
+    * {3, 7, 9, 21, 63}): bit 63 is structurally 0 (DC exclusion), so
+    * 64-bit banding would hand one chunk a constant bit and make its
+    * buckets systematically 2× more collision-prone. */
   def perceptualHashes(df: DataFrame,
                        maxPixels: Long = 1L << 22): DataFrame = {
     val spark = df.sparkSession

@@ -81,7 +81,7 @@ object FileStats {
     val merged = scala.collection.mutable.Map[String, Option[(String, org.apache.parquet.column.statistics.Statistics[_])]]()
     blocks.foreach { b =>
       b.getColumns.asScala.foreach { cc =>
-        val name = cc.getPath.toDotString
+        val name = statKey(cc.getPath.toArray.toSeq)
         val tag = typeTag(cc.getPrimitiveType)
           .map { case "str" if !exactStrings => "str~"; case t => t }
         val st: org.apache.parquet.column.statistics.Statistics[_] =
@@ -147,22 +147,54 @@ object FileStats {
     * a conjunct is conservative-correct. */
   def translate(e: Expression): Option[Filter] = translate0(normalizeNested(e))
 
+  /** Stats-key escaping: a FLAT column literally named `supplier.id`
+    * must not collide with the struct leaf `supplier` → `id` (same
+    * parquet dot-string!) — a predicate on one would prune files with
+    * the OTHER's min/max and silently drop rows. Path ELEMENTS get
+    * their literal dots/backslashes escaped before joining, on both
+    * the recording side ([[fromFooter]]) and the translation side
+    * ([[normalizeNested]]); ordinary names are untouched. */
+  private[sinks] def escapeKeyPart(s: String): String =
+    if (s.indexOf('.') < 0 && s.indexOf('\\') < 0) s
+    else s.replace("\\", "\\\\").replace(".", "\\.")
+
+  /** Sidecar stats key for a parquet column path (leaf-field chain). */
+  private[sinks] def statKey(parts: Seq[String]): String =
+    parts.map(escapeKeyPart).mkString(".")
+
+  /** Marks a synthetic attribute whose name is ALREADY a composed
+    * stats key (so a parent struct step must not re-escape it). */
+  private val DotKeyMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean("graft.dotkey", true).build()
+  private def isDotKey(a: expressions.AttributeReference): Boolean =
+    a.metadata.contains("graft.dotkey")
+
   /** Rewrite nested STRUCT-field references into synthetic attributes
     * named by their dot path (`GetStructField(supplier, id)` →
     * `supplier.id`) — exactly the key [[fromFooter]] records leaf
-    * stats under (parquet's `ColumnPath.toDotString`), so predicates
-    * into top-level structs prune files like flat columns do (the
-    * reference's own index spec is nested: supplier.id, variants.sku
-    * — unified_product_schema.py:229-248). Bottom-up, so chains
-    * compose (`a.b.c`). ARRAY-element predicates never reach this
-    * shape — `exists(variants, v -> v.sku = ?)` is a lambda, not a
-    * comparison, and is refused at translation (the conservative
-    * boundary: the scan proceeds, rows still filter correctly). */
+    * stats under (parquet's column path, dot-joined with literal dots
+    * escaped — see [[statKey]]), so predicates into top-level structs
+    * prune files like flat columns do (the reference's own index spec
+    * is nested: supplier.id, variants.sku —
+    * unified_product_schema.py:229-248). Bottom-up, so chains compose
+    * (`a.b.c`). Flat attributes whose NAME contains a literal dot are
+    * escaped to their own distinct key, so they can never borrow a
+    * struct leaf's stats (or vice versa). ARRAY-element predicates
+    * never reach this shape — `exists(variants, v -> v.sku = ?)` is a
+    * lambda, not a comparison, and is refused at translation (the
+    * conservative boundary: the scan proceeds, rows still filter
+    * correctly). */
   private def normalizeNested(e: Expression): Expression = e.transformUp {
+    case a: expressions.AttributeReference
+        if !isDotKey(a) && (a.name.indexOf('.') >= 0 || a.name.indexOf('\\') >= 0) =>
+      expressions.AttributeReference(
+        escapeKeyPart(a.name), a.dataType, a.nullable, DotKeyMeta)()
     case g: expressions.GetStructField => g.child match {
       case a: expressions.AttributeReference =>
+        val base = if (isDotKey(a)) a.name else escapeKeyPart(a.name)
         expressions.AttributeReference(
-          s"${a.name}.${g.extractFieldName}", g.dataType, g.nullable)()
+          s"$base.${escapeKeyPart(g.extractFieldName)}",
+          g.dataType, g.nullable, DotKeyMeta)()
       case _ => g
     }
   }

@@ -489,9 +489,17 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       // fragmented well past ⌈bytes/target⌉ files (the +1 tolerance
       // absorbs the rows-per-byte estimate's rounding so a just-
       // rewritten partition never re-rewrites) OR any single file
-      // exceeds 2× target — so OPTIMIZE also SPLITS oversized files,
-      // not just merges small ones. Unknown sizes (legacy sidecar)
-      // degrade to the count-only rule.
+      // exceeds 2.5× target — so OPTIMIZE also SPLITS oversized
+      // files, not just merges small ones. The split threshold
+      // carries a 25% margin over the 2× split point for the same
+      // reason the count rule carries +1: the writer sizes files
+      // from a rows-per-byte ESTIMATE, so a rewrite can land a file
+      // just past 2× (re-clustering shifts the compression ratio) —
+      // without the margin that partition would be permanently
+      // non-conformant and every subsequent OPTIMIZE/auto-compact
+      // would re-rewrite it, full-partition I/O with no convergence.
+      // Unknown sizes (legacy sidecar) degrade to the count-only
+      // rule.
       val target = if (engaged.isDefined) None
         else SnapshotStore.targetFileSize(
           scala.util.Try(tableProperties(spark, root, cur).toMap)
@@ -502,7 +510,8 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         case Some(t) if es.forall(e => sizes.contains(e.path)) =>
           val bytes = es.map(e => sizes(e.path).len).sum
           val want = math.max(1L, (bytes + t - 1) / t)
-          es.size <= want + 1 && !es.exists(e => sizes(e.path).len > 2 * t)
+          es.size <= want + 1 &&
+            !es.exists(e => sizes(e.path).len > 2 * t + t / 2)
         case _ => es.size <= effMax
       }
       val oversizedEff = entries.groupBy(_.partition)

@@ -646,8 +646,9 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * sidecar's measured bytes-per-row), by
     * [[SnapshotMaintenance.compact]]'s conformance test (a partition
     * is rewritten when fragmented ≫ ⌈bytes/target⌉ files OR any
-    * single file exceeds 2× target — so OPTIMIZE also SPLITS
-    * oversized files), and by
+    * single file exceeds 2.5× target — so OPTIMIZE also SPLITS
+    * oversized files; the margin past the 2× split point absorbs the
+    * rows-per-byte estimate's drift), and by
     * [[SnapshotMaintenance.clusterIncremental]]'s output file count.
     * Engaged bucket layouts are exempt: the sorted-bucket read
     * contract needs one file per bucket. A malformed value fails the

@@ -67,10 +67,55 @@ class PHashSpec extends graft.SparkSpec {
   test("the DC coefficient never reaches the signature — bit 63 is structurally 0") {
     // DC is ~constant-1 across any corpus; hashing it would waste a
     // bit and halve chunk-0 bucket selectivity.
-    (0L until 12L).foreach { seed =>
+    ImageCodec.patternSeeds(12).foreach { seed =>
       val h = ImageCodec.pHash(ImageCodec.encodePattern(64, 64, seed, "png")).get
       assert((h >>> 63) == 0L, s"seed $seed: top bit set: ${h.toBinaryString}")
     }
+  }
+
+  test("flat images hash to None — solid black and solid white must not pair at Hamming 0") {
+    // A structureless image has ~zero AC energy; '> median' over
+    // all-zero coefficients would hash EVERY solid frame to sig=0,
+    // pairing black with white as perceptual near-dups. The
+    // low-variance guard drops them like undecodable bytes.
+    val black = ImageCodec.encode(64, 64, 0x000000, "png")
+    val white = ImageCodec.encode(64, 64, 0xFFFFFF, "png")
+    val gray = ImageCodec.encode(64, 64, 0x808080, "png")
+    assert(ImageCodec.pHash(black).isEmpty, "solid black must hash None")
+    assert(ImageCodec.pHash(white).isEmpty, "solid white must hash None")
+    assert(ImageCodec.pHash(gray).isEmpty, "solid gray must hash None")
+    // Patterned content still hashes.
+    assert(ImageCodec.pHash(ImageCodec.encodePattern(64, 64, 3L, "png")).isDefined)
+  }
+
+  test("band the 63-bit signature as 63 bits: 64-bit banding has a structurally skewed chunk") {
+    val sigs = ImageCodec.patternSeeds(24).map(seed =>
+      ImageCodec.pHash(ImageCodec.encodePattern(96, 96, seed, "png")).get)
+    // 64-bit banding at bands=16: chunk 15 covers bits 60..63, and
+    // bit 63 never varies — at most 2^3 distinct buckets instead of
+    // 2^4, a systematically 2× more collision-prone band.
+    val top16 = sigs.map(s => (s >>> 60) & 0xFL).distinct
+    assert(top16.forall(c => (c & 0x8L) == 0L),
+      s"bit 63 must be constant 0 in every 64-bit top chunk: $top16")
+    // 63-bit banding at bands=21 (3-bit chunks): every chunk is pure
+    // AC signs — no position is structurally constant across content
+    // (the pattern code flips ~half the blocks between seeds).
+    val varied = (0 until 21).count { b =>
+      sigs.map(s => (s >>> (b * 3)) & 0x7L).distinct.size > 1
+    }
+    assert(varied == 21,
+      s"all 21 3-bit chunks must vary across distinct content, got $varied")
+    // And the exactness contract carries over: identical pair sets
+    // from both bandings at a threshold below both band counts.
+    import spark.implicits._
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("media_id", "phash")
+    def pairSet(bits: Int, bands: Int) =
+      Dedup.hammingPairs(df, col("media_id"), col("phash"),
+        bits = bits, bands = bands, maxHamming = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(63, 21) == pairSet(64, 16),
+      "pigeonhole-exact bandings must agree on the pair set")
   }
 
   test("perceptualHashes: the DataFrame boundary — nulls surface as null hashes") {

@@ -54,6 +54,32 @@ class TargetFileSizeSpec extends graft.SparkSpec {
     assert(SnapshotStore.table(spark, root).count() == 4000)
   }
 
+  test("a file just past 2× target is tolerated — no non-converging re-rewrite loop") {
+    // The writer sizes files from a rows-per-byte ESTIMATE, so a
+    // rewrite can land a file slightly over 2× target (re-clustering
+    // shifts the compression ratio). The conformance gate carries a
+    // 25% margin past the 2× split point: a 2.2×-target file is left
+    // alone instead of being re-rewritten on every OPTIMIZE forever.
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rows(0 until 4000).coalesce(1), root, "part")
+    val bytes = fileLens(root).sum
+    val target = math.max(1L, (bytes / 2.2).toLong)
+    assert(bytes > 2 * target && bytes <= 2 * target + target / 2,
+      s"fixture must land in the tolerance band: $bytes vs target $target")
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.TargetFileSizeProp -> target.toString))
+    val v = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.compact(spark, root, ColSpec(Seq("part"))) == v,
+      "a file inside the (2t, 2.5t] tolerance band must not re-rewrite")
+    // Past the band the split DOES fire.
+    val tight = math.max(1L, (bytes / 2.8).toLong)
+    SnapshotStore.setProperties(spark, root,
+      Seq(SnapshotStore.TargetFileSizeProp -> tight.toString))
+    val v2 = SnapshotStore.currentVersion(spark, root).get
+    assert(SnapshotStore.compact(spark, root, ColSpec(Seq("part"))) > v2,
+      "a file past 2.5× target must still split")
+  }
+
   test("fragmented appends converge to ~target-sized files through auto-compact") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rows(0 until 4000).coalesce(1), root, "part")
