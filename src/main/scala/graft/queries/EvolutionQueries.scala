@@ -1971,19 +1971,21 @@ private[graft] object EvolutionQueries {
       import graft.sinks.SnapshotStore
       val dir = java.nio.file.Files.createTempDirectory("graft_q217").toString
       val root = s"$dir/orders"
-      // Deterministic third — same rationale as q212/q215: the pins
-      // are structural (baseline == tip, <half the files), the
-      // lifecycle's wall time is the bench suite's noise amplifier.
-      // Keyed on CUSTKEY: the commits below split on o_orderkey % 3,
-      // so an orderkey-modulus subset would empty two of them.
+      // Deterministic quarter at write-width 3 — same rationale as
+      // q212/q215 (round-15 trim: the pins are structural — baseline
+      // == tip, <half the files — and k=3 appends at half the file
+      // count prove the identical invariant; this lifecycle was the
+      // bench suite's worst-query noise amplifier). Keyed on CUSTKEY:
+      // the commits below split on o_orderkey % 3, so an
+      // orderkey-modulus subset would empty two of them.
       val orders = t(s, d, "orders")
-        .filter(pmod(col("o_custkey"), lit(3)) === 0)
+        .filter(pmod(col("o_custkey"), lit(4)) === 0)
         .select(col("o_orderkey"),
         col("o_custkey"), col("o_totalprice"),
         pmod(col("o_custkey"), lit(8)).cast("string").as("part"))
       SnapshotStore.commit(s,
         orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-          .repartition(6), root, "part")
+          .repartition(3), root, "part")
       SnapshotStore.setProperties(s, root,
         Seq(SnapshotStore.AutoClusterProp -> "o_orderkey"))
       def tipIsBaseline(): Unit = {
@@ -1994,11 +1996,11 @@ private[graft] object EvolutionQueries {
       }
       SnapshotStore.appendCommit(s,
         orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
-          .repartition(6), root, "part")
+          .repartition(3), root, "part")
       tipIsBaseline()
       SnapshotStore.appendCommit(s,
         orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
-          .repartition(6), root, "part")
+          .repartition(3), root, "part")
       tipIsBaseline()
       val (df, idx) = SnapshotStore.tableWithIndex(s, root)
       val maxk = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
@@ -2013,7 +2015,7 @@ private[graft] object EvolutionQueries {
           s"${idx.lastCandidateFiles}/${idx.totalFiles}")
       out
     }, Some("""
-      WITH sub AS (SELECT * FROM orders WHERE o_custkey % 3 = 0)
+      WITH sub AS (SELECT * FROM orders WHERE o_custkey % 4 = 0)
       SELECT COUNT(*) AS n,
         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
           AS DOUBLE) AS sp
@@ -2100,13 +2102,19 @@ private[graft] object EvolutionQueries {
       // the join (a `o_orderkey >= cutoff` filter would prune
       // statically without any DFP — that case needs no rule). Only
       // the runtime probe can discover the keys. This is the classic
-      // date-sliced-dim star-join shape.
-      val dimPath = s"$dir/dim_hot"
-      t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          lit("hot").as("tag"))
-        .write.parquet(dimPath)
-      s.read.parquet(dimPath).filter(col("tag") === "hot")
+      // date-sliced-dim star-join shape. The slice is committed as a
+      // GRAFT SNAPSHOT (not a bare parquet dir): the rule freezes the
+      // probe's keys into the plan, so it only probes dims whose
+      // leaves are immutable by construction — a version-pinned
+      // snapshot qualifies, an overwritable parquet directory is
+      // refused.
+      val dimRoot = s"$dir/dim_hot"
+      SnapshotStore.commit(s,
+        t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("hot").as("tag")),
+        dimRoot, "tag")
+      SnapshotStore.table(s, dimRoot).filter(col("tag") === "hot")
         .select(col("o_orderkey"), col("o_orderstatus"))
         .createOrReplaceTempView("q218_dim")
       val sql = """
@@ -2393,10 +2401,14 @@ private[graft] object EvolutionQueries {
       val hashes = Multimodal.perceptualHashes(media)
       require(hashes.filter(col("phash").isNull).count() == 1,
         "exactly the corrupt row must hash null")
-      // bands=16 (4-bit chunks): pigeonhole-exact to Hamming 15, well
-      // above the re-encode threshold used here.
+      // The signature is 63-bit (DC excluded, bit 63 structurally 0),
+      // so band it as 63 bits: bands=21 (3-bit chunks) is
+      // pigeonhole-exact to Hamming 20, well above the re-encode
+      // threshold here — and every chunk carries 3 INFORMATIVE bits
+      // (64-bit banding would give one chunk a constant bit and 2×
+      // collision-prone buckets).
       val pairs = Dedup.hammingPairs(hashes, col("media_id"), col("phash"),
-        bands = 16, maxHamming = 10)
+        bits = 63, bands = 21, maxHamming = 10)
       val keyed = pairs
         .withColumn("key_a", (col("id_a") / 10).cast("long"))
         .withColumn("key_b", (col("id_b") / 10).cast("long"))
@@ -2412,6 +2424,142 @@ private[graft] object EvolutionQueries {
     }, Some("""
       SELECT o_orderkey AS image_key, CAST(1 AS BIGINT) AS near_dup_pairs
       FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 40)
-      ORDER BY image_key"""))
+      ORDER BY image_key""")),
+
+    // TRANSPARENT DFP through the DELETION-VECTOR read boundary
+    // (round-15 headline): q218's shape, but the fact has absorbed a
+    // sparse DV DELETE first — the NORMAL state of a long-lived
+    // 100 TB fact — so its reads go through the merge-on-read
+    // anti-join wrapper. The rule resolves through the wrapper to
+    // the skipping index; the In-list pushes BELOW it, DV row
+    // filtering still applies above. A/B require-pinned in-query:
+    // rule off → ALL files; on → strictly fewer than half, values
+    // identical to the plain DV read (the oracle replays the delete
+    // as a predicate in DuckDB — deleted rows provably absent).
+    ("q223_dfp_dv_fact", (s: SparkSession, d: String) => {
+      import graft.sinks.{DynamicPruningRule, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q223").toString
+      val fact = s"$dir/lineitem"
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val maxk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val width = math.max(1L, maxk / 16 + 1)
+      SnapshotStore.commit(s,
+        li.withColumn("part", (col("l_orderkey") / lit(width))
+          .cast("long").cast("string")), fact, "part")
+      // Sparse delete: ~1/10 of the even keys, scattered across every
+      // range partition — a position-list DV on each file, never a
+      // partition drop (the predicate is not partition-only).
+      SnapshotStore.deleteWhereDv(s, fact, "l_orderkey % 20 = 6")
+      val (factDf, idx) = SnapshotStore.tableWithIndex(s, fact)
+      factDf.createOrReplaceTempView("q223_fact")
+      val cutoff = maxk * 9 / 10
+      val dimRoot = s"$dir/dim_hot"
+      SnapshotStore.commit(s,
+        t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            lit("hot").as("tag")),
+        dimRoot, "tag")
+      SnapshotStore.table(s, dimRoot).filter(col("tag") === "hot")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("q223_dim")
+      val sql = """
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+            AS DOUBLE) AS sq
+        FROM q223_fact JOIN q223_dim ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      val offRows = s.sql(sql).collect().toSeq
+      require(idx.lastCandidateFiles == idx.totalFiles,
+        s"rule off: the plain DV join must open ALL files: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      s.conf.set(DynamicPruningRule.EnabledConf, "true")
+      s.conf.set(DynamicPruningRule.MaxKeysConf,
+        math.max(DynamicPruningRule.DefaultMaxKeys.toLong,
+          math.min(Int.MaxValue.toLong, maxk / 5)).toString)
+      try {
+        val on = s.sql(sql)
+        on.persist(); on.count()
+        require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+          s"the rule must prune THROUGH the DV wrapper: " +
+            s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+        require(on.collect().toSeq == offRows,
+          "pruned and plain DV joins must be value-identical")
+        on
+      } finally {
+        s.conf.unset(DynamicPruningRule.EnabledConf)
+        s.conf.unset(DynamicPruningRule.MaxKeysConf)
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 2 = 0 AND l_orderkey % 20 <> 6
+        AND o_orderkey >= (SELECT (MAX(CASE WHEN l_orderkey % 2 = 0
+              THEN l_orderkey END) * 9) // 10 FROM lineitem)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")),
+
+    // DERIVED PARTITION PREDICATES from generated columns (round 15):
+    // q221's table shape written with INT96 timestamps — Spark's
+    // DEFAULT physical type, which is order-ambiguous so the stats
+    // sidecar refuses ev_ts entirely (require-pinned in-query:
+    // statsEntries provably carry no ev_ts). Under q221's footer-stats
+    // mechanism this table scans EVERYTHING; here the recorded
+    // monotone generation expression rewrites `ts >= X AND ts < Y`
+    // onto the generated partition column (`yr >= E(X) AND yr <=
+    // E(Y−1µs)` — strict bounds tightened one unit before E collapses
+    // them), pruning at the listing level with exact partition-column
+    // stats. Delta derives the same predicates; this is that algebra.
+    ("q224_generated_derive_int96", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q224").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        ev_ts TIMESTAMP, ev_key BIGINT, price DOUBLE,
+        yr DATE GENERATED ALWAYS AS (CAST(date_trunc('YEAR', ev_ts) AS DATE))
+      ) USING graft-snapshot PARTITIONED BY (yr)""")
+      t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(
+          expr("CAST(o_orderdate AS TIMESTAMP) + " +
+            "make_interval(0, 0, 0, 0, CAST(o_orderkey % 24 AS INT), 0, 0)")
+            .as("ev_ts"),
+          col("o_orderkey").as("ev_key"),
+          col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("q224_src")
+      // INT96 on purpose (and explicitly — a sibling query may have
+      // switched the shared session to MICROS): the point is a
+      // stats-OPAQUE input column.
+      s.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try s.sql(
+        s"INSERT INTO graft.`$root` SELECT ev_ts, ev_key, price FROM q224_src")
+      finally s.conf.unset("spark.sql.parquet.outputTimestampType")
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      require(idx.statsEntries.exists(_.nonEmpty) &&
+          idx.statsEntries.get.forall(!_.cols.contains("ev_ts")),
+        "fixture must be stats-opaque on ev_ts (INT96) — otherwise this " +
+          "query proves nothing beyond q221")
+      val out = df.filter(col("ev_ts") >= lit("1996-01-01").cast("timestamp") &&
+          col("ev_ts") < lit("1997-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+      out.persist(); out.count() // plan + listFiles inside this call
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"the DERIVED yr predicate must prune where footer stats cannot: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      out
+    }, Some("""
+      WITH sub AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM sub
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'"""))
   )
 }

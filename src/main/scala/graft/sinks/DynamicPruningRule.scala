@@ -2,11 +2,13 @@ package graft.sinks
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, ExprId, Expression, In, InSet, IsNotNull, Literal, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LocalRelation, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.GraftPlans
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** TRANSPARENT dynamic file pruning (Delta's DFP shape): the opt-in
   * optimizer rule behind `spark.graft.dynamicFilePruning=true` that
@@ -42,23 +44,51 @@ import org.apache.spark.sql.graft.GraftPlans
   *   - a nondeterministic dim subtree: the probe and the join would
   *     evaluate it twice and could disagree, so a pushed In-list
   *     might drop fact rows the join-time dim still matches;
+  *   - a dim whose LEAVES are not immutable-by-construction (graft
+  *     snapshot scans pinned to a version, literal/local relations,
+  *     cached InMemoryRelations). The probe runs at OPTIMIZATION time
+  *     and freezes its keys into the plan; a dim over a mutable
+  *     source (an overwritable parquet directory, a refreshed view)
+  *     could change between planning and a cached Dataset's
+  *     re-execution, and the frozen In-list would then silently drop
+  *     fact rows the live join would match. Version-pinned snapshots
+  *     make the planning-time probe sound — the same reasoning that
+  *     lets Delta's DFP trust its own table versions;
   *   - streaming subtrees, join keys that do not resolve through
   *     direct aliases to the scan's own output (a computed key cannot
   *     reach the sidecar stats), and type-mismatched keys (Catalyst
   *     inserts casts, which break the attribute = attribute pattern);
-  *   - a fact path already carrying an IN/InSet on the key (this
-  *     rule's own output on a later fixed-point iteration, or the
-  *     explicit operator's) — the rewrite is idempotent by
-  *     inspection, not by tags.
+  *   - a fact path already carrying an IN/InSet on ANY of the join's
+  *     keys (this rule's own output on a later fixed-point iteration,
+  *     or the explicit operator's) — the rewrite is idempotent by
+  *     inspection, not by tags, and injects at most ONE In-list per
+  *     join.
   *
   * An empty (post-filter) dim injects `false` — the inner/semi join
   * is empty by definition and Catalyst's empty-relation propagation
   * collapses the whole subtree.
   *
-  * DV-carrying or column-mapped snapshots read through wrapper plans
-  * (anti-join / rename projection) that this rule deliberately does
-  * not look through — they simply never match (conservative; the
-  * explicit operator prunes those through [[SnapshotStore.table]]).
+  * COMPOSITE equi-keys: the rule probes the candidate key with the
+  * highest recorded NDV (the last ANALYZE's column stats, free at
+  * planning time) — an In-list of ≤ maxKeys values on the
+  * highest-cardinality key covers the smallest row fraction, so it is
+  * the one worth freezing into the plan. Keys without recorded stats
+  * rank lowest; on a tie (or no stats at all) the first resolvable
+  * key wins, the pre-E128 behavior.
+  *
+  * WRAPPED snapshots: a fact that ever absorbed a DV DELETE reads
+  * through the merge-on-read anti-join wrapper
+  * ([[SnapshotStore.applyDvs]] — the NORMAL state of a long-lived
+  * fact table), and a renamed/dropped-column table reads through the
+  * column-mapping alias projection. The fact-side descent recognizes
+  * both (the DV wrapper by its `__graft_dv_fn`/`__graft_dv_pos` join
+  * keys, the mapping by its plain alias Project) and resolves to the
+  * underlying [[GraftFileIndex]]; the injected In-list sits above the
+  * wrapper and the same batch's pushdown rules carry it below the
+  * anti-join's left side to the scan — DV row filtering still applies
+  * above, so deleted rows stay deleted. A DV-wrapped DIM stays
+  * refused (its vector read is a plain parquet leaf — see the
+  * immutability gate), conservative and rare.
   *
   * 100 TB rationale: the probe costs one bounded dim sub-query at
   * planning time, flat in fact-table size; the plain join's scan cost
@@ -96,16 +126,33 @@ case class DynamicPruningRule(spark: SparkSession)
       case j: Join => tryPrune(j).getOrElse(j)
     }
 
-  /** Strip deterministic Project/Filter down to a graft-indexed scan,
-    * collecting the filter conjuncts passed on the way (the
-    * idempotence check inspects them — after pushdown, this rule's
-    * own In-list lives on that path). */
+  /** The merge-on-read DV wrapper is a LeftAnti join whose condition
+    * references ONLY the wrapper's own sentinel key columns
+    * ([[SnapshotStore.applyDvs]]) — the shape signature that lets the
+    * fact descent look through it. Anything else keeping those names
+    * would have to be deliberately adversarial; the traversal stays
+    * correct regardless (the In-list is injected ABOVE and only
+    * pushed, never bypassing the anti-join's row filtering). */
+  private def isDvWrapper(j: Join): Boolean = j match {
+    case Join(_, _, LeftAnti, Some(cond), _) =>
+      val names = cond.references.map(_.name).toSet
+      names.nonEmpty &&
+        names.subsetOf(Set(SnapshotStore.DvFileCol, SnapshotStore.DvPosCol))
+    case _ => false
+  }
+
+  /** Strip deterministic Project/Filter — and the DV anti-join
+    * wrapper — down to a graft-indexed scan, collecting the filter
+    * conjuncts passed on the way (the idempotence check inspects
+    * them — after pushdown, this rule's own In-list lives on that
+    * path, BELOW the wrapper). */
   private def factCore(p: LogicalPlan, seen: Seq[Expression])
       : Option[(LogicalRelation, GraftFileIndex, Seq[Expression])] = p match {
     case Filter(cond, child) if cond.deterministic =>
       factCore(child, seen ++ splitConjunctivePredicates(cond))
     case Project(list, child) if list.forall(_.deterministic) =>
       factCore(child, seen)
+    case j: Join if isDvWrapper(j) => factCore(j.left, seen)
     case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       fs.location match {
         case idx: GraftFileIndex => Some((lr, idx, seen))
@@ -116,7 +163,9 @@ case class DynamicPruningRule(spark: SparkSession)
 
   /** Follow `id` down through pass-through attributes / direct
     * aliases to the relation's own output attribute (the name the
-    * sidecar stats are keyed under). Computed columns → None. */
+    * sidecar stats are keyed under). Left-semi/anti joins pass their
+    * left output through unchanged (the DV wrapper path). Computed
+    * columns → None. */
   private def resolveToScan(p: LogicalPlan, id: ExprId): Option[AttributeReference] =
     p match {
       case Filter(_, child) => resolveToScan(child, id)
@@ -125,6 +174,7 @@ case class DynamicPruningRule(spark: SparkSession)
         case Alias(ar: AttributeReference, _) => resolveToScan(child, ar.exprId)
         case _ => None
       }
+      case Join(left, _, LeftAnti | LeftSemi, _, _) => resolveToScan(left, id)
       case r: LogicalRelation =>
         r.output.collectFirst { case a: AttributeReference if a.exprId == id => a }
       case _ => None
@@ -151,10 +201,26 @@ case class DynamicPruningRule(spark: SparkSession)
         case IsNotNull(_) => false
         case _ => true
       }
+    // Immutability gate: the probe's keys FREEZE into the plan at
+    // optimization time, so every dim leaf must be a source that
+    // cannot change under a cached/re-executed Dataset — a literal
+    // relation, a cached in-memory relation, or a version-pinned
+    // graft snapshot scan. A plain parquet directory (overwritable
+    // between planning and re-execution) is refused: result-identity
+    // would otherwise depend on the dim holding still.
+    def immutable(q: LogicalPlan): Boolean = q.collectLeaves().forall {
+      case _: LocalRelation | _: OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case _: InMemoryRelation => true
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.isInstanceOf[GraftFileIndex]
+      case _ => false
+    }
     !p.isStreaming &&
       p.collectFirst {
         case n if n.expressions.exists(e => !e.deterministic) => n
       }.isEmpty &&
+      immutable(p) &&
       (p.collectFirst { case f: Filter if selective(f) => f }.isDefined ||
         core(p).isInstanceOf[LocalRelation])
   }
@@ -205,14 +271,21 @@ case class DynamicPruningRule(spark: SparkSession)
       (factChild, dimChild) <- orientations
       if !factChild.isStreaming && dimQualifies(dimChild)
       (_, idx, onPath) <- factCore(factChild, Nil).toSeq
-      (factKey, dimKey) <- conjuncts.collectFirst {
+      // ALL resolvable equi-keys of this join (composite keys give
+      // several); one In-list per join — any key already pruned means
+      // a prior iteration (or the user) handled it, so the whole
+      // orientation stands down, keeping the rewrite idempotent.
+      resolved = conjuncts.collect {
         case EqualTo(a: AttributeReference, b: AttributeReference)
           if factChild.outputSet.contains(a) && dimChild.outputSet.contains(b) => (a, b)
         case EqualTo(a: AttributeReference, b: AttributeReference)
           if factChild.outputSet.contains(b) && dimChild.outputSet.contains(a) => (b, a)
-      }.toSeq
-      scanKey <- resolveToScan(factChild, factKey.exprId).toSeq
-      if !alreadyPruned(onPath, factKey, scanKey)
+      }.flatMap { case (f, dk) =>
+        resolveToScan(factChild, f.exprId).map(sk => (f, dk, sk))
+      }
+      if resolved.nonEmpty &&
+        !resolved.exists { case (f, _, sk) => alreadyPruned(onPath, f, sk) }
+      (factKey, dimKey, _) <- Seq(pickKey(resolved, idx))
     } yield (factChild, dimChild, idx, factKey, dimKey)
     // Both sides graft-indexed and both orientations valid: prune the
     // LARGER fact — that is where skipping pays.
@@ -231,6 +304,38 @@ case class DynamicPruningRule(spark: SparkSession)
       else if (factChild eq j.left) j.copy(left = filtered)
       else j.copy(right = filtered)
     }.filter(_ ne j)
+  }
+
+  /** Of a composite key's resolvable candidates, probe the one with
+    * the highest recorded NDV (E121's ANALYZE stats, a metadata read
+    * at planning time): an In-list of ≤ maxKeys values on the
+    * highest-cardinality fact column covers the smallest row
+    * fraction — on a (tenant_id, event_id) layout the 2-value
+    * tenant probe would prune nothing while the event probe prunes
+    * nearly everything. Unranked keys (no stats, stats read failure)
+    * sort lowest; single candidates and full ties keep written
+    * order. The stats read is gated on there being a real choice. */
+  private def pickKey(
+      resolved: Seq[(AttributeReference, AttributeReference, AttributeReference)],
+      idx: GraftFileIndex)
+      : (AttributeReference, AttributeReference, AttributeReference) = {
+    if (resolved.sizeIs <= 1) return resolved.head
+    val ndv: Map[String, BigInt] = (for {
+      root <- idx.tableRoot
+      v <- idx.version
+    } yield try {
+      val props = SnapshotStore.tableProperties(spark, root, v).toMap
+      val dropped = SnapshotStore.mappingAt(spark, root, v)._2
+      val schema = StructType(resolved.map { case (_, _, sk) =>
+        StructField(sk.name, sk.dataType) })
+      SnapshotStats.recordedColStats(props, schema, dropped)
+        .flatMap { case (n, cs) => cs.distinctCount.map(n -> _) }
+    } catch { case scala.util.control.NonFatal(_) =>
+      Map.empty[String, BigInt]
+    }).getOrElse(Map.empty)
+    if (ndv.isEmpty) resolved.head
+    else resolved.maxBy { case (_, _, sk) =>
+      ndv.getOrElse(sk.name, BigInt(-1)) }
   }
 
   /** Bounded distinct-key probe of the dim side — one sub-query at

@@ -239,6 +239,193 @@ object FileStats {
     case _ => None
   }
 
+  // ---------------------------------------------------------------- //
+  // Derived partition predicates from GENERATED columns               //
+  // ---------------------------------------------------------------- //
+
+  /** A generated partition column whose recorded expression is a
+    * MONOTONE chain over a single input column — the precondition
+    * for rewriting input-range predicates onto the generated column
+    * ([[deriveGenerated]]). Built once per planning pass by
+    * [[generatedDerivers]]; `expr` is the ANALYZED expression, its
+    * single [[expressions.AttributeReference]] standing for the
+    * input. */
+  case class GeneratedDeriver(genCol: String, inputName: String,
+                              inputType: org.apache.spark.sql.types.DataType,
+                              expr: Expression)
+
+  /** Build [[GeneratedDeriver]]s from the recorded `graft.generated.*`
+    * expressions that qualify: resolvable against the PHYSICAL schema
+    * (a renamed input column simply stops deriving — conservative),
+    * exactly one input column, and a monotone non-decreasing
+    * expression chain (cast between chrono types / integral widening,
+    * `date_trunc`/`trunc`, `year`). Anything else is refused — a
+    * non-monotone rewrite (`month(ts) >= month(X)`!) would wrongly
+    * skip files.
+    *
+    * Why this exists: footer stats cannot bound every physical type
+    * (INT96 timestamps are order-ambiguous and the sidecar refuses
+    * them — [[fromFooter]]), but a table partitioned by a GENERATED
+    * `yr = cast(date_trunc('YEAR', ts) as date)` still has perfect
+    * pruning structure: `ts >= X` implies `yr >= E(X)`, and `yr` is
+    * per-file constant with exact stats. Delta derives the same
+    * partition predicates from its generated-column expressions; this
+    * is that algebra at the [[GraftFileIndex]] listing level. */
+  def generatedDerivers(spark: org.apache.spark.sql.SparkSession,
+                        gens: Seq[(String, String)],
+                        physicalSchema: org.apache.spark.sql.types.StructType)
+      : Seq[GeneratedDeriver] =
+    gens.flatMap { case (g, sql) =>
+      try {
+        if (!physicalSchema.fieldNames.contains(g)) None
+        else {
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+            Seq(expressions.Alias(parsed, g)()),
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+              org.apache.spark.sql.catalyst.types.DataTypeUtils
+                .toAttributes(physicalSchema)))
+          val analyzed = spark.sessionState.analyzer.execute(plan)
+          analyzed.collectFirst {
+            case org.apache.spark.sql.catalyst.plans.logical.Project(
+              Seq(a: expressions.Alias), _) if a.resolved => a.child
+          }.flatMap { e =>
+            val refs = e.references.toSeq
+            refs match {
+              case Seq(one: expressions.AttributeReference)
+                if monotone(e) && e.deterministic =>
+                Some(GeneratedDeriver(g, one.name, one.dataType, e))
+              case _ => None
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Monotone non-decreasing over its single input? Conservative
+    * whitelist — refusing a monotone expression costs pruning,
+    * accepting a non-monotone one costs ROWS. */
+  private def monotone(e: Expression): Boolean = e match {
+    case _: expressions.AttributeReference => true
+    case c: expressions.Cast =>
+      monotoneCast(c.child.dataType, c.dataType) && monotone(c.child)
+    case t: expressions.TruncTimestamp =>
+      t.format.isInstanceOf[Literal] && monotone(t.timestamp)
+    case t: expressions.TruncDate =>
+      t.format.isInstanceOf[Literal] && monotone(t.date)
+    case y: expressions.Year => monotone(y.child)
+    case _ => false
+  }
+
+  private def monotoneCast(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (TimestampType, DateType) => true // floor to day — monotone
+      case (DateType, TimestampType) => true // midnight — monotone
+      case _ => (for { a <- rank(from); b <- rank(to) } yield a <= b)
+        .getOrElse(false)
+    }
+  }
+
+  /** Rewrite range/point predicates on a deriver's INPUT column into
+    * predicates on its GENERATED column: for monotone non-decreasing
+    * E, `in >= X ⟹ g >= E(X)`, `in <= X ⟹ g <= E(X)`,
+    * `in = X ⟹ g = E(X)`. STRICT input bounds first tighten the
+    * literal by one unit of the input's discrete domain
+    * (`in < X ⟺ in <= X − 1µs` for timestamps, −1 day for dates,
+    * −1 for integrals) before applying E — otherwise `ts <
+    * '2022-01-01'` would derive `yr <= 2022` and keep the entire
+    * boundary year E collapsed the bound into. Non-discrete or
+    * overflowing literals fall back to the inclusive (still correct,
+    * just looser) bound. The derived filters prune through the same
+    * conservative [[mayMatch]] as pushed ones; any evaluation hiccup
+    * skips that derivation, never the scan. */
+  def deriveGenerated(dataFilters: Seq[Expression],
+                      derivers: Seq[GeneratedDeriver]): Seq[Filter] = {
+    if (derivers.isEmpty) return Nil
+    def ev(d: GeneratedDeriver, l: Literal): Option[Any] =
+      try {
+        if (l.value == null || l.dataType != d.inputType) None
+        else {
+          val bound = d.expr.transform {
+            case _: expressions.AttributeReference =>
+              Literal.create(l.value, d.inputType)
+          }
+          Option(bound.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+            .flatMap(externalValue)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // One discrete unit off the literal's INTERNAL value (micros for
+    // timestamps, days for dates) — None when the domain isn't
+    // discrete or the step would overflow, and the caller then uses
+    // the inclusive bound.
+    def step(d: GeneratedDeriver, l: Literal, delta: Int): Option[Literal] = {
+      import org.apache.spark.sql.types._
+      if (l.value == null || l.dataType != d.inputType) None
+      else (d.inputType, l.value) match {
+        case (TimestampType | TimestampNTZType | LongType, v: Long)
+          if (delta > 0 && v != Long.MaxValue) || (delta < 0 && v != Long.MinValue) =>
+          Some(Literal.create(v + delta, d.inputType))
+        case (DateType | IntegerType, v: Int)
+          if (delta > 0 && v != Int.MaxValue) || (delta < 0 && v != Int.MinValue) =>
+          Some(Literal.create(v + delta, d.inputType))
+        case (ShortType, v: Short)
+          if (delta > 0 && v != Short.MaxValue) || (delta < 0 && v != Short.MinValue) =>
+          Some(Literal.create((v + delta).toShort, d.inputType))
+        case (ByteType, v: Byte)
+          if (delta > 0 && v != Byte.MaxValue) || (delta < 0 && v != Byte.MinValue) =>
+          Some(Literal.create((v + delta).toByte, d.inputType))
+        case _ => None
+      }
+    }
+    // `in < X`: tightened to `<= X − 1 unit` when the domain allows.
+    def evLt(d: GeneratedDeriver, l: Literal): Option[Any] =
+      step(d, l, -1).flatMap(ev(d, _)).orElse(ev(d, l))
+    // `in > X`: tightened to `>= X + 1 unit` when the domain allows.
+    def evGt(d: GeneratedDeriver, l: Literal): Option[Any] =
+      step(d, l, 1).flatMap(ev(d, _)).orElse(ev(d, l))
+    for {
+      d <- derivers
+      f <- dataFilters
+      out <- f match {
+        case expressions.GreaterThanOrEqual(a: expressions.AttributeReference, l: Literal)
+          if a.name == d.inputName => ev(d, l).map(sources.GreaterThanOrEqual(d.genCol, _))
+        case expressions.GreaterThan(a: expressions.AttributeReference, l: Literal)
+          if a.name == d.inputName => evGt(d, l).map(sources.GreaterThanOrEqual(d.genCol, _))
+        case expressions.LessThanOrEqual(a: expressions.AttributeReference, l: Literal)
+          if a.name == d.inputName => ev(d, l).map(sources.LessThanOrEqual(d.genCol, _))
+        case expressions.LessThan(a: expressions.AttributeReference, l: Literal)
+          if a.name == d.inputName => evLt(d, l).map(sources.LessThanOrEqual(d.genCol, _))
+        case expressions.EqualTo(a: expressions.AttributeReference, l: Literal)
+          if a.name == d.inputName => ev(d, l).map(sources.EqualTo(d.genCol, _))
+        case expressions.EqualTo(l: Literal, a: expressions.AttributeReference)
+          if a.name == d.inputName => ev(d, l).map(sources.EqualTo(d.genCol, _))
+        case expressions.GreaterThanOrEqual(l: Literal, a: expressions.AttributeReference)
+          if a.name == d.inputName => ev(d, l).map(sources.LessThanOrEqual(d.genCol, _))
+        case expressions.GreaterThan(l: Literal, a: expressions.AttributeReference)
+          if a.name == d.inputName => evLt(d, l).map(sources.LessThanOrEqual(d.genCol, _))
+        case expressions.LessThanOrEqual(l: Literal, a: expressions.AttributeReference)
+          if a.name == d.inputName => ev(d, l).map(sources.GreaterThanOrEqual(d.genCol, _))
+        case expressions.LessThan(l: Literal, a: expressions.AttributeReference)
+          if a.name == d.inputName => evGt(d, l).map(sources.GreaterThanOrEqual(d.genCol, _))
+        case expressions.In(a: expressions.AttributeReference, vs)
+          if a.name == d.inputName && vs.forall(_.isInstanceOf[Literal]) =>
+          val ext = vs.map(v => ev(d, v.asInstanceOf[Literal]))
+          if (ext.nonEmpty && ext.forall(_.isDefined))
+            Some(sources.In(d.genCol, ext.map(_.get).toArray))
+          else None
+        case _ => None
+      }
+    } yield out
+  }
+
   private def external(l: Literal): Option[Any] =
     if (l.value == null) None else externalValue(l.value)
 

@@ -41,7 +41,14 @@ class GraftFileIndex(root: Path,
                        * or not fire. */
                      val tableRoot: Option[String] = None,
                      val version: Option[Long] = None,
-                     val prunedPartitions: Option[Seq[String]] = None)
+                     val prunedPartitions: Option[Seq[String]] = None,
+                     /** Monotone generated-column rewrites
+                       * ([[FileStats.generatedDerivers]]): predicates
+                       * on a generation INPUT derive predicates on
+                       * the generated PARTITION column, which has
+                       * exact per-file stats even when the input's
+                       * physical type is stats-opaque (INT96). */
+                     val derivers: Seq[FileStats.GeneratedDeriver] = Nil)
     extends FileIndex {
 
   /** Whether the listing is a partition subset of the table. */
@@ -59,7 +66,8 @@ class GraftFileIndex(root: Path,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val filters = dataFilters.flatMap(FileStats.translate)
+    val filters = dataFilters.flatMap(FileStats.translate) ++
+      FileStats.deriveGenerated(dataFilters, derivers)
     val kept =
       if (filters.isEmpty) files.map(_._1)
       else files.collect {

@@ -502,9 +502,10 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       lastProbeCandidates.set(-1); return entries
     }
     if (values.isEmpty) { lastProbeCandidates.set(0); return Nil }
-    // Stats/blooms are keyed by PHYSICAL column names.
-    val statsName = mappingAt(spark, root, cur)._1
-      .getOrElse(keyCols.head, keyCols.head)
+    // Stats/blooms are keyed by PHYSICAL column names, literal dots
+    // escaped ([[FileStats.statKey]]).
+    val statsName = FileStats.statKey(Seq(mappingAt(spark, root, cur)._1
+      .getOrElse(keyCols.head, keyCols.head)))
     val filter = org.apache.spark.sql.sources.In(statsName, values)
     val stats = statsFor(spark, root, cur)
     val blooms = bloomFor(spark, root, cur)

@@ -16,6 +16,13 @@ import graft.operators.Upsert
   * the single `SnapshotStore` object (same API). */
 private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
 
+  /** Join-key column names of the merge-on-read anti-join wrapper
+    * [[applyDvs]] builds — the shape signature [[DynamicPruningRule]]
+    * uses to recognize (and traverse through) a DV-wrapped snapshot
+    * scan. Renaming these is a plan-shape API change. */
+  private[sinks] val DvFileCol = "__graft_dv_fn"
+  private[sinks] val DvPosCol = "__graft_dv_pos"
+
   /** Row-identity key of a data file: its last TWO path components
     * (`__part=<value>/part-….parquet`). A bare file name is NOT unique
     * — one write job stamps the same task/job UUID name into every
@@ -108,11 +115,11 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
       case None => df
       case Some(dv) =>
         val cols = df.columns.toSeq
-        df.withColumn("__graft_dv_fn", dvKeyExpr(col("_metadata.file_path")))
-          .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-          .join(broadcast(dv.select(col("file_key").as("__graft_dv_fn"),
-            col("pos").as("__graft_dv_pos"))),
-            Seq("__graft_dv_fn", "__graft_dv_pos"), "left_anti")
+        df.withColumn(DvFileCol, dvKeyExpr(col("_metadata.file_path")))
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(broadcast(dv.select(col("file_key").as(DvFileCol),
+            col("pos").as(DvPosCol))),
+            Seq(DvFileCol, DvPosCol), "left_anti")
           .select(cols.map(col): _*)
     }
 
@@ -300,12 +307,17 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
         // Updated copies: assignments against the OLD row (all rows
         // here match by construction), cast back to existing types.
         val assign = assignments.toMap
-        val updated = live.select(dataCols.map { c =>
+        val assignedOnly = live.select(dataCols.map { c =>
           assign.get(c) match {
             case Some(e) => expr(e).cast(types(c)).as(c)
             case None => col(c)
           }
         }: _*)
+        // Refresh generated columns the SET did not assign — a SET on
+        // a generation input would otherwise strand the stale value
+        // against its gen_ CHECK ([[SnapshotStore.recomputeGenerated]]).
+        val updated = recomputeGenerated(spark, root, cur, assignedOnly,
+          assign.keySet)
         enforceConstraints(spark, root, updated)
         val v = cur + 1
         val dvDir = s"dv/v_$v-${java.util.UUID.randomUUID().toString.take(8)}"

@@ -692,6 +692,27 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
     }
 
+  /** UPDATE-side generated-column maintenance: recompute every
+    * generated column the SET clause did NOT explicitly assign. A SET
+    * that changes a generation INPUT (`SET ev_ts = …`) would otherwise
+    * leave the stale generated value to trip the auto-registered
+    * `gen_` CHECK with a generic violation — Delta recomputes instead,
+    * and so do we. Sound unconditionally: committed rows satisfy
+    * `col <=> expr` by the CHECK's induction, so recomputation is the
+    * identity wherever the inputs didn't change (and the fresh value
+    * exactly where they did). An EXPLICIT `SET gen = …` stays the
+    * caller's claim — the CHECK judges it. */
+  private[sinks] def recomputeGenerated(spark: SparkSession, root: String,
+                                        version: Long, df: DataFrame,
+                                        assigned: Set[String]): DataFrame = {
+    val gens = scala.util.Try(generatedColumnsAt(spark, root, version))
+      .getOrElse(Nil)
+    gens.filterNot { case (c, _) => assigned(c) }.foldLeft(df) {
+      case (d, (c, e)) =>
+        if (d.columns.contains(c)) d.withColumn(c, expr(e)) else d
+    }
+  }
+
   /** The tip (version, property map) in ONE read — the content entry
     * points resolve it once and thread it into [[applyGenerated]] and
     * [[enforceConstraints]] (the postCommit props-once discipline,
@@ -737,6 +758,15 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * removed when it wins. */
   private val pendingMaintenanceErrors =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The unflushed ledger entry for `root`, if any — an encoded error,
+    * or the empty-string clear sentinel. The async maintenance worker
+    * reads this to decide whether a failure needs its OWN property
+    * commit (an idle table never commits again, so riding "the next
+    * commit" would lose the attribution — the async-sync design
+    * note's break #2). */
+  private[sinks] def pendingMaintenanceFor(root: String): Option[String] =
+    Option(pendingMaintenanceErrors.get(root))
 
   private[sinks] def recordMaintenanceError(root: String, component: String,
                                             version: Long, e: Throwable): Unit =
@@ -1192,14 +1222,45 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           need.map(_.path).find(uri.endsWith).getOrElse(
             throw new IllegalStateException(s"scanned file not in manifest: $uri"))
         val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        // Resolve a requested column to (selection, leaf type, sidecar
+        // key): a TOP-LEVEL field wins verbatim (its key escapes any
+        // literal dots — [[FileStats.statKey]] discipline), otherwise
+        // the name is a DOT PATH into nested structs (`supplier.id`,
+        // `variants.sku`-style leaves — the reference's own index spec,
+        // unified_product_schema.py:229-248), registered under the
+        // same dot-joined key [[FileStats.normalizeNested]] translates
+        // predicates to, so nested point lookups get Bloom skipping
+        // exactly like flat ones. Array elements are refused: an
+        // `exists()` lambda never translates to a pushable equality.
+        def resolve(c: String): (org.apache.spark.sql.Column,
+            org.apache.spark.sql.types.DataType, String) =
+          df.schema.fields.find(_.name == c) match {
+            case Some(f) =>
+              (col(s"`$c`"), f.dataType, FileStats.statKey(Seq(c)))
+            case None =>
+              val parts = c.split("\\.").toSeq
+              val leaf = parts.foldLeft(
+                  Option(df.schema: org.apache.spark.sql.types.DataType)) {
+                case (Some(org.apache.spark.sql.types.StructType(fields)), p) =>
+                  fields.find(_.name == p).map(_.dataType)
+                case _ => None
+              }
+              val dt = leaf.getOrElse(throw new IllegalArgumentException(
+                s"bloom column '$c' is neither a top-level field nor a " +
+                  s"struct-leaf dot path of ${df.schema.fieldNames.mkString(", ")}"))
+              (col(parts.map(p => s"`$p`").mkString(".")), dt,
+                FileStats.statKey(parts))
+          }
         cols.flatMap { c =>
-          val tpe = df.schema(c).dataType.simpleString
+          val (selection, leafType, statsKey) = resolve(c)
+          val tpe = leafType.simpleString
           require(Set("int", "bigint", "double", "string")(tpe),
             s"bloom filters support int/bigint/double/string, '$c' is $tpe")
-          val src = df.select(input_file_name().as("__f"), col(c))
-            .where(col(c).isNotNull)
+          val src = df.select(input_file_name().as("__f"),
+              selection.as("__v"))
+            .where(col("__v").isNotNull)
           val mByFile: Map[String, Long] = src
-            .groupBy(col("__f")).agg(approx_count_distinct(col(c)).as("__ndv"))
+            .groupBy(col("__f")).agg(approx_count_distinct(col("__v")).as("__ndv"))
             .collect()
             .map { r =>
               val m = math.max(512L, ((r.getLong(1) * bitsPerValue + 63) / 64) * 64)
@@ -1223,7 +1284,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
                 org.apache.spark.sql.types.StructField("__m", org.apache.spark.sql.types.LongType)))))
             val words = src.join(mDf, "__f")
               .select(col("__f"), explode(array((0 until k).map(s =>
-                pmod(xxhash64(lit(s), col(c)), col("__m"))): _*)).as("__pos"))
+                pmod(xxhash64(lit(s), col("__v")), col("__m"))): _*)).as("__pos"))
               .select(col("__f"),
                 shiftrightunsigned(col("__pos"), 6).cast("int").as("__w"),
                 expr("shiftleft(1L, CAST(__pos % 64 AS INT))").as("__b"))
@@ -1233,7 +1294,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
               val m = mByFile(uri).toInt
               val arr = new Array[Long](m / 64)
               rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-              (relOf(uri), c, FileStats.BloomStats(tpe, m, k, arr.toIndexedSeq))
+              (relOf(uri), statsKey, FileStats.BloomStats(tpe, m, k, arr.toIndexedSeq))
             }
           }
         }.groupBy(_._1).map { case (p, xs) => p -> xs.map(x => x._2 -> x._3).toMap }
@@ -1264,7 +1325,8 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * (see [[tableWithIndex]] and the sidecarReads spec). */
   private[sinks] def fileIndexFrom(spark: SparkSession, root: String, v: Long,
                             partitions: Option[Seq[String]],
-                            stats: Map[String, FileStats.FileStatsEntry]): GraftFileIndex = {
+                            stats: Map[String, FileStats.FileStatsEntry],
+                            derivers: Seq[FileStats.GeneratedDeriver] = Nil): GraftFileIndex = {
     val all = manifest(spark, root, v)
     val wanted = partitions match {
       case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
@@ -1283,7 +1345,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }
     new GraftFileIndex(new Path(root), files,
       tableRoot = Some(root), version = Some(v),
-      prunedPartitions = partitions)
+      prunedPartitions = partitions, derivers = derivers)
   }
 
   /** Read a snapshot THROUGH the planning-time file-skipping index:
@@ -1344,8 +1406,20 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       case Some(ps) => val keep = ps.toSet; all.filter(e => keep(e.partition))
       case None => all
     }
-    val idx = fileIndexFrom(spark, root, v, partitions, stats)
     val schema = recorded.getOrElse(readEntries(spark, root, all).schema)
+    // Generated-column partition predicates ([[FileStats
+    // .generatedDerivers]]): the recorded monotone expressions let
+    // the index derive generated-column bounds from input-column
+    // predicates — the pruning that survives stats-opaque physical
+    // types (INT96 timestamps). Failure here sheds the derivation,
+    // never the read.
+    val derivers =
+      try {
+        val gens = generatedColumns(tableProperties(spark, root, v).toMap)
+        if (gens.isEmpty) Nil
+        else FileStats.generatedDerivers(spark, gens, schema)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    val idx = fileIndexFrom(spark, root, v, partitions, stats, derivers)
     // Present the bucket layout when the property is set AND every
     // selected file provably participates: parseable bucket id under
     // the recorded width, and every bucket column still present at its

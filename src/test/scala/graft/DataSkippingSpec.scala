@@ -148,6 +148,41 @@ class DataSkippingSpec extends SparkSpec {
       "an exists() predicate must refuse pruning, never guess")
   }
 
+  test("NESTED-leaf Bloom: supplier.id point lookups skip on scattered layouts where min/max is powerless") {
+    val root = freshRoot()
+    // SCATTERED layout: every file spans nearly the whole sid range
+    // (arrival order), so min/max cannot prune an in-range point
+    // lookup — the exact case the reference indexes supplier.id for.
+    // All sids are EVEN: an odd in-range probe is provably absent,
+    // and only a Bloom can certify that per file.
+    val df = (0 until 8000).map(i =>
+        (i.toLong, ((i.toLong * 13) % 4986) * 2, (i % 8).toString))
+      .toDF("k", "sid", "part")
+      .select(col("k"), struct(col("sid").as("id")).as("supplier"),
+        col("part"))
+    SnapshotStore.commit(spark, df, root, "part")
+    // Sized for a ZERO-candidate pin: at the default 10 bits/value the
+    // per-file false-positive rate (~1.7%) makes one deterministic FP
+    // across this many files likely; 32/6 drops it to ~2.5e-5.
+    SnapshotStore.addBloomFilters(spark, root, Seq("supplier.id"),
+      bitsPerValue = 32, k = 6)
+    // Absent-but-in-range key: ZERO candidates via the nested bloom.
+    val (t1, idx1) = SnapshotStore.tableWithIndex(spark, root)
+    assert(t1.filter(col("supplier.id") === 4987L).count() == 0)
+    assert(idx1.lastCandidateFiles == 0,
+      s"nested bloom must certify absence: ${idx1.lastCandidateFiles} kept " +
+        s"of ${idx1.totalFiles}")
+    // Present key: found, and never a false negative.
+    val (t2, idx2) = SnapshotStore.tableWithIndex(spark, root)
+    val present = ((123L * 13) % 4986) * 2
+    assert(t2.filter(col("supplier.id") === present).count() >= 1)
+    assert(idx2.lastCandidateFiles >= 1)
+    // A non-leaf / non-existent dot path is refused loudly.
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.addBloomFilters(spark, root, Seq("supplier.nope")))
+    assert(e.getMessage.contains("supplier.nope"))
+  }
+
   test("mergeCommit carries stats for untouched partitions and stats new files") {
     val root = freshRoot()
     SnapshotStore.commit(spark,

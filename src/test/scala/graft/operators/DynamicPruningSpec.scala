@@ -275,6 +275,110 @@ class DynamicPruningSpec extends graft.SparkSpec {
     }
   }
 
+  test("rule: a DV-wrapped fact still prunes — the descent resolves through the anti-join wrapper") {
+    // A fact that ever absorbed a DELETE reads through the
+    // merge-on-read anti-join (the NORMAL state of a long-lived
+    // table). The rule resolves through it to the GraftFileIndex;
+    // the In-list pushes below the wrapper, and DV row filtering
+    // still applies above — deleted rows stay deleted.
+    val root = freshRoot()
+    seedRanged(root)
+    graft.sinks.SnapshotStore.deleteWhereDv(spark, root, "k % 1000 = 7")
+    val (fact, idx) = SnapshotStore.tableWithIndex(spark, root)
+    fact.createOrReplaceTempView("fact")
+    dimSlice(8000, 8500).createOrReplaceTempView("dim")
+    val q = "SELECT k, v, dv FROM fact JOIN dim ON k = dk ORDER BY k"
+    val plain = spark.sql(q).collect().toSeq
+    assert(plain.size == 499, "the DV must have removed k=8007 from the plain join")
+    val got = withRule() { spark.sql(q).collect().toSeq }
+    assert(got == plain, "pruned and plain DV reads must be value-identical")
+    assert(!got.exists(_.getLong(0) == 8007L), "deleted rows must stay deleted")
+    assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+      s"DV wrapper must not defeat pruning: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+  }
+
+  test("rule: a column-mapped (renamed-key) fact still prunes through the alias projection") {
+    val root = freshRoot()
+    seedRanged(root)
+    SnapshotStore.renameColumn(spark, root, "k", "kk")
+    val (fact, idx) = SnapshotStore.tableWithIndex(spark, root)
+    fact.createOrReplaceTempView("fact")
+    dimSlice(4000, 4300).createOrReplaceTempView("dim")
+    val q = "SELECT kk, v, dv FROM fact JOIN dim ON kk = dk ORDER BY kk"
+    val plain = spark.sql(q).collect().toSeq
+    val got = withRule() { spark.sql(q).collect().toSeq }
+    assert(got == plain && got.size == 300)
+    assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+      s"column mapping must not defeat pruning: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+  }
+
+  test("rule: a MUTABLE dim source is refused — planning-time keys must not freeze over a replaceable directory") {
+    // The probe runs at optimization time and freezes its keys into
+    // the plan as an In-list; a dim over a plain parquet directory
+    // can be overwritten between planning and a cached Dataset's
+    // re-execution, so the frozen list could silently drop fact rows
+    // the live join would match. Only immutable leaves (graft
+    // snapshots, local/cached relations) are probed.
+    val idx = sqlFixture()
+    val dimPath = java.nio.file.Files.createTempDirectory("dfp_mutable")
+      .toString + "/dim"
+    dimSlice(8000, 8500).withColumn("tag", lit("hot"))
+      .write.parquet(dimPath)
+    spark.read.parquet(dimPath).filter(col("tag") === "hot")
+      .createOrReplaceTempView("dim")
+    withRule() {
+      val q = spark.sql("SELECT k, v FROM fact JOIN dim ON k = dk")
+      val keyLists = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
+            case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
+          }.size
+      }.sum
+      assert(keyLists == 0,
+        s"a mutable dim must not be probed:\n${q.queryExecution.optimizedPlan}")
+      assert(q.count() == 500)
+      assert(idx.lastCandidateFiles == idx.totalFiles,
+        "refusal must leave the plain join untouched")
+    }
+  }
+
+  test("rule: composite keys probe the highest-NDV candidate, not the first written") {
+    // (tenant, k) composite join: tenant has NDV 2 — an In-list on it
+    // prunes nothing; k has NDV ~10000 — its In-list prunes nearly
+    // everything. E121's recorded stats rank the candidates for free.
+    val root = freshRoot()
+    val df = (0 until 10000).map(i =>
+      (i.toLong % 2, i.toLong, i % 97, (i / 1000).toString))
+      .toDF("tenant", "k", "v", "part")
+    SnapshotStore.commit(spark, df, root, "part")
+    graft.sinks.SnapshotStats.analyze(spark, root, Some(Seq("tenant", "k")))
+    val (fact, idx) = SnapshotStore.tableWithIndex(spark, root)
+    fact.createOrReplaceTempView("fact")
+    (8000L until 8200L).map(i => (i % 2, i, s"d$i")).toSeq
+      .toDF("dt", "dk", "dv").createOrReplaceTempView("dim")
+    val q = "SELECT k, v, dv FROM fact JOIN dim ON tenant = dt AND k = dk ORDER BY k"
+    val plain = spark.sql(q).collect().toSeq
+    val got = withRule() {
+      val run = spark.sql(q)
+      val inCols = run.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case org.apache.spark.sql.catalyst.expressions.In(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) => a.name
+            case org.apache.spark.sql.catalyst.expressions.InSet(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) => a.name
+          }
+      }.flatten
+      assert(inCols == Seq("k"),
+        s"exactly one In-list, on the high-NDV key, expected; got $inCols")
+      run.collect().toSeq
+    }
+    assert(got == plain && got.size == 200)
+    assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+      s"the selective key must prune: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+  }
+
   test("bloom sidecars prune scattered keys min/max ranges cannot") {
     val root = freshRoot()
     // SCATTERED layout: every file spans the full key range, so
