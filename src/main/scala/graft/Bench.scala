@@ -124,7 +124,17 @@ object Bench {
       s"${jstr(k)}:${vs.mkString("[", ",", "]")}" }.mkString("{", ",", "}")
     val ps = passStarts.mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"pass_starts_ms":$ps,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}}"""
+    // Per-class subtotals (scan / lifecycle / streaming — see
+    // Queries.benchClass): lifecycle fixtures swing ±1.5–3 s between
+    // same-code runs, so a cross-round comparison needs the scan-class
+    // subtotal to judge drift. Emitted in the artifact so it
+    // self-adjudicates.
+    def classTotal(c: String): Double = results.collect {
+      case (n, v) if SparkEntry.benchClass.getOrElse(n, "scan") == c => v
+    }.sum
+    val (scanS, lifeS, streamS) =
+      (classTotal("scan"), classTotal("lifecycle"), classTotal("streaming"))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","scan_s":$scanS,"lifecycle_s":$lifeS,"streaming_s":$streamS,"queries":$qs,"samples":$ss,"pass_starts_ms":$ps,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
     // The driver's tail capture truncates the head of long stdout; the
     // FULL artifact (every query, every sample) persists to a file so

@@ -111,4 +111,20 @@ object Queries {
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
   def oracleSql: Map[String, String] =
     all.collect { case (n, _, Some(sql)) => n -> sql.stripMargin.trim }.toMap
+
+  /** Bench class per query, keyed off the family that registered it:
+    * "lifecycle" = snapshot-store fixtures whose wall time is N atomic
+    * commits + rider machinery (swings ±1.5–3 s between same-code runs
+    * on a contended host); "streaming" = MemoryStream micro-batch
+    * fixtures; "scan" = everything else (pure scans, functions,
+    * operators over parquet — the class whose drift IS a code-change
+    * signal). Bench emits per-class subtotals so a cross-round
+    * artifact self-adjudicates host noise vs regression instead of
+    * needing a hand-built per-class decomposition every round. */
+  val benchClass: Map[String, String] =
+    ((ParityQueries.all ++ CorpusQueries.all ++ SupplierQueries.all ++
+        MediaQueries.all).map(x => x._1 -> "scan") ++
+      (SnapshotQueries.all ++ EvolutionQueries.all)
+        .map(x => x._1 -> "lifecycle") ++
+      StreamingQueries.all.map(x => x._1 -> "streaming")).toMap
 }

@@ -84,6 +84,7 @@ object ScaleSmoke {
     var hllSrcRoot = ""; var hllSkRoot = "" // round-11 sketch sync
     var ruRollRoot = "" // round-11 rollup sync
     var hkRoot = ""; var hkR1 = ""; var hkR2 = ""; var hkR3 = "" // round-13 hook pricing
+    var asyncV9 = 0L // round-15 async probe: the data commit the drain row verifies
 
     // Skewed event log for the as-of measurement: 80% of facts on one
     // hot key, timestamps spread over amp×12 hours, dims every 50th.
@@ -998,6 +999,46 @@ object ScaleSmoke {
               s"all-hooks probe: rollup cursor $rollCursor is not at tip $cur")
             cur
           }
+        },
+        {
+          // ASYNC RIDERS (round 15 — the design note, implemented):
+          // the SAME fully-armed table with graft.maintenance.async —
+          // the timed commit returns at ~bare latency (compare
+          // commit_append_0_rollups; the +7 s of rider work is queued,
+          // not paid on the writer), and the drain probe prices the
+          // rider work happening off the writer path, with the same
+          // per-rider evidence as the synchronous probe.
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot, Seq(
+            graft.sinks.SnapshotStore.MaintenanceAsyncProp -> "true"))
+          // Settle the property commit's own queued pass so the timed
+          // append prices exactly one commit's enqueue.
+          graft.sinks.SnapshotStore.drainAsyncMaintenance()
+          time("commit_all_hooks_async") {
+            asyncV9 = append(9); asyncV9
+          }
+        },
+        {
+          val drained = time("async_riders_drain") {
+            graft.sinks.SnapshotStore.drainAsyncMaintenance()
+            val cur = graft.sinks.SnapshotStore
+              .currentVersion(spark, hkRoot).get
+            val props = graft.sinks.SnapshotStore
+              .tablePropertiesMap(spark, hkRoot)
+            require(cur > asyncV9 &&
+              props.get(graft.sinks.SnapshotStore.ClusteredAtProp)
+                .exists(_.toLong > asyncV9),
+              s"async probe: cluster rider did not fire (v=$asyncV9 cur=$cur)")
+            val rollCursor = graft.sinks.SnapshotStore
+              .tablePropertiesMap(spark, hkR1)
+              .get(graft.operators.Rollup.CursorProp)
+            require(rollCursor.contains(cur.toString),
+              s"async probe: rollup cursor $rollCursor is not at tip $cur")
+            cur
+          }
+          // Back to the synchronous contract for anything after us.
+          graft.sinks.SnapshotStore.setProperties(spark, hkRoot, Seq(
+            graft.sinks.SnapshotStore.MaintenanceAsyncProp -> ""))
+          drained
         })
     }
 

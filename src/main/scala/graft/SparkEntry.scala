@@ -11,4 +11,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracleSql
+  /** "scan" | "lifecycle" | "streaming" per query — Bench's per-class
+    * subtotals (see [[Queries.benchClass]]). */
+  def benchClass: Map[String, String] = Queries.benchClass
 }

@@ -72,13 +72,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         s"UPDATE SET targets unknown column '$c' " +
           s"(columns: ${current.columns.mkString(", ")})") }
       val assign = assignments.toMap
-      val updated = current.select(current.columns.toSeq.map { c =>
+      val assignedOnly = current.select(current.columns.toSeq.map { c =>
         assign.get(c) match {
           case Some(e) =>
             when(hit, expr(e).cast(types(c))).otherwise(col(c)).as(c)
           case None => col(c)
         }
       }: _*)
+      // A SET touching a generation input must refresh the generated
+      // column too (Delta parity) — identity wherever inputs didn't
+      // change, see [[SnapshotStore.recomputeGenerated]].
+      val updated = recomputeGenerated(spark, root, cur, assignedOnly,
+        assign.keySet)
       enforceConstraints(spark, root, updated)
       val v = cur + 1
       val newEntries = writeDataFiles(spark, updated, root, v, partCols)
@@ -611,21 +616,43 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * exit: opt-in auto-compaction ([[maybeAutoCompact]]) and opt-in
     * rollup auto-sync ([[maybeAutoSyncRollups]]). Derived maintenance
     * over an already-won commit — errors degrade to "not this round",
-    * never fail the commit. */
+    * never fail the commit.
+    *
+    * `graft.maintenance.async = true` moves the whole pass off the
+    * writer thread ([[enqueueAsyncMaintenance]]): the commit returns
+    * at ~bare latency and the riders drain on the maintenance worker.
+    * The tradeoffs are exactly the SCALE.md design note's — the
+    * synchronous default is a freshness CONTRACT (read-your-own-
+    * dashboard never scans), async is the explicit deployment choice
+    * for writers that cannot absorb the rider latency. */
   private[sinks] def postCommit(spark: SparkSession, root: String,
                                 committed: Long,
                                 compactEligible: Boolean = true): Unit =
     if (!inPostCommit.get()(root)) {
-      inPostCommit.set(inPostCommit.get() + root)
-      try {
-        // ONE tip property read feeds every hook (they used to read
-        // the map once each — up to five manifest-header scans per
-        // data commit even with no feature configured). The keys each
-        // hook consults are never mutated by a preceding hook in this
-        // pass; the only in-pass property churn is the error ledger,
-        // whose recovery clears are putIfAbsent-idempotent.
-        val props = scala.util.Try(tablePropertiesMap(spark, root))
-          .getOrElse(Map.empty[String, String])
+      // ONE tip property read feeds the async decision and every
+      // hook (they used to read the map once each — up to five
+      // manifest-header scans per data commit even with no feature
+      // configured). The keys each hook consults are never mutated
+      // by a preceding hook in this pass; the only in-pass property
+      // churn is the error ledger, whose recovery clears are
+      // putIfAbsent-idempotent.
+      val props = scala.util.Try(tablePropertiesMap(spark, root))
+        .getOrElse(Map.empty[String, String])
+      if (props.get(MaintenanceAsyncProp).contains("true"))
+        enqueueAsyncMaintenance(spark, root, committed, compactEligible)
+      else {
+        inPostCommit.set(inPostCommit.get() + root)
+        try runMaintenanceHooks(spark, root, committed, compactEligible, props)
+        finally inPostCommit.set(inPostCommit.get() - root)
+      }
+    }
+
+  /** The hook chain itself — one pass, synchronous in the calling
+    * thread (the writer in the default mode, the maintenance worker
+    * in async mode). Caller holds the [[inPostCommit]] guard. */
+  private def runMaintenanceHooks(spark: SparkSession, root: String,
+                                  committed: Long, compactEligible: Boolean,
+                                  props: Map[String, String]): Unit = {
         // Layout commits (compact itself, z-order, cluster-by,
         // re-spec, purge) pass compactEligible = false: their
         // multi-file layouts are INTENTIONAL, and auto-compacting a
@@ -662,8 +689,127 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // closes). Same reason the layout hooks run first.
         maybeAutoAnalyze(spark, root, committed, props)
         maybeAutoSyncRollups(spark, root, committed, props)
-      } finally inPostCommit.set(inPostCommit.get() - root)
+  }
+
+  /** `graft.maintenance.async = true`: post-commit riders run on the
+    * maintenance worker instead of the writer thread. */
+  val MaintenanceAsyncProp = "graft.maintenance.async"
+
+  /** Coalescing queue for [[enqueueAsyncMaintenance]]: root → the
+    * newest requested (committed, compactEligible). One queued pass
+    * covers every commit that landed before it drained — the pass
+    * reads the TIP properties at run time, so it maintains the state
+    * all of them produced. compactEligible folds with OR: if ANY
+    * coalesced commit was a content commit, the layout hooks run. */
+  private val asyncQueued =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Boolean)]()
+
+  /** Submitted-but-unfinished pass count — [[drainAsyncMaintenance]]
+    * is quiescent only when this is zero AND the queue is empty. */
+  private val asyncInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** One daemon worker, shared by every async-opted table. Single-
+    * threaded on purpose: maintenance passes are already coalesced
+    * per root, and serializing across roots bounds the background
+    * I/O to one pass at a time — the backpressure the synchronous
+    * default provided implicitly. (On a real cluster this is a
+    * driver-side thread issuing Spark jobs; the heavy lifting stays
+    * distributed.) */
+  private lazy val asyncWorker =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-maintenance-async")
+        t.setDaemon(true); t
+      })
+
+  /** Queue (coalescing) a maintenance pass for `root`. A commit
+    * landing while a pass is QUEUED folds into it; one landing while
+    * a pass is RUNNING re-queues (the running pass removed its entry
+    * first), so no commit's maintenance is ever lost. Failure
+    * discipline on the worker is identical to the synchronous hooks —
+    * swallowed, ledger-recorded — plus the ledger flush below. */
+  private def enqueueAsyncMaintenance(spark: SparkSession, root: String,
+                                      committed: Long,
+                                      compactEligible: Boolean): Unit = {
+    asyncQueued.merge(root, (committed, compactEligible),
+      (a, b) => (math.max(a._1, b._1), a._2 || b._2))
+    // Submit a drain task only when none is pending for this root.
+    // The task clears its [[asyncSubmitted]] mark BEFORE taking the
+    // queued work, so a commit landing mid-pass re-submits and is
+    // never lost; one landing while still queued merges above and
+    // rides the pending task.
+    if (asyncSubmitted.putIfAbsent(root, java.lang.Boolean.TRUE) == null) {
+      asyncInFlight.incrementAndGet()
+      asyncWorker.execute(() => try {
+        asyncTestGate.foreach(_.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        asyncSubmitted.remove(root)
+        val work = asyncQueued.remove(root)
+        if (work != null) {
+          val (c, eligible) = work
+          val props = scala.util.Try(tablePropertiesMap(spark, root))
+            .getOrElse(Map.empty[String, String])
+          inPostCommit.set(inPostCommit.get() + root)
+          try {
+            runMaintenanceHooks(spark, root, c, eligible, props)
+            // Async break #2 (SCALE.md design note): a rider failure
+            // must not wait for "the next commit" — an idle table
+            // never makes one, and the attribution vanishes. Flush
+            // the pending ledger entry (error OR recovery-clear) as
+            // its own property commit; [[writeManifest]]'s injection
+            // applies and clears the pending entry when it wins.
+            pendingMaintenanceFor(root).foreach { pending =>
+              val flushed = scala.util.Try(setProperties(spark, root,
+                Seq(MaintenanceErrorProp -> pending)))
+              // A recovery-CLEAR flush lands after a SUCCESSFUL pass,
+              // so it spends a version the just-synced rollup cursors
+              // don't cover — advance them over the metadata-only
+              // commit (the same property-commit sync the hook does
+              // for SET TBLPROPERTIES) or the MV rewrite goes dark
+              // until the next writer commit. An ERROR flush skips
+              // this: the failed pass left the cursor stale anyway,
+              // and re-running the failing sync here would just
+              // re-record the error it flushed.
+              flushed.foreach { v =>
+                if (pending.isEmpty) {
+                  val fresh = scala.util.Try(tablePropertiesMap(spark, root))
+                    .getOrElse(Map.empty[String, String])
+                  maybeAutoSyncRollups(spark, root, v, fresh)
+                }
+              }
+            }
+          } finally inPostCommit.set(inPostCommit.get() - root)
+        }
+      } catch { case scala.util.control.NonFatal(_) => ()
+      } finally asyncInFlight.decrementAndGet())
     }
+  }
+
+  /** root → a pass is submitted (queued or running) — the dedupe
+    * that keeps N quick commits from queueing N full passes. */
+  private val asyncSubmitted =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Test seam: when set, the worker awaits the latch before taking
+    * any work — specs use it to HOLD the lagging state (commit done,
+    * riders not yet run) deterministically instead of racing the
+    * worker. Never set outside tests; a 60 s ceiling keeps a leaked
+    * latch from wedging the worker. */
+  @volatile private[sinks] var asyncTestGate:
+      Option[java.util.concurrent.CountDownLatch] = None
+
+  /** Block until every queued/running async pass has drained — the
+    * deterministic barrier specs and benches use. NOT part of the
+    * read/write contract: readers never need it (a lagging rollup
+    * degrades to the scan; the table itself is always consistent). */
+  def drainAsyncMaintenance(timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while ((asyncInFlight.get() > 0 || !asyncQueued.isEmpty) &&
+           System.nanoTime() < deadline)
+      Thread.sleep(20)
+    require(asyncInFlight.get() == 0 && asyncQueued.isEmpty,
+      s"async maintenance did not drain within ${timeoutMs}ms " +
+        s"(inFlight=${asyncInFlight.get()}, queued=${asyncQueued.size()})")
+  }
 
   /** Z-keys for [[maybeAutoCluster]]: comma-joined LOGICAL columns. */
   val AutoClusterProp = "graft.autoCluster.keys"
