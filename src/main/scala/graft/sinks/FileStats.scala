@@ -254,6 +254,52 @@ object FileStats {
                               inputType: org.apache.spark.sql.types.DataType,
                               expr: Expression)
 
+  /** Analyze each recorded generation expression against the PHYSICAL
+    * schema. Unresolvable expressions (renamed-away input, typo) drop
+    * out silently — callers decide what unresolvable means for them. */
+  private[sinks] def analyzedGenerated(
+      spark: org.apache.spark.sql.SparkSession,
+      gens: Seq[(String, String)],
+      physicalSchema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Expression)] =
+    gens.flatMap { case (g, sql) =>
+      try {
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(expressions.Alias(parsed, g)()),
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(physicalSchema)))
+        val analyzed = spark.sessionState.analyzer.execute(plan)
+        analyzed.collectFirst {
+          case org.apache.spark.sql.catalyst.plans.logical.Project(
+            Seq(a: expressions.Alias), _) if a.resolved => g -> a.child
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Does evaluating `e` depend on `spark.sql.session.timeZone`?
+    * Instant→local conversions do: a Cast between TimestampType and
+    * DateType (either direction — `cast(ts as date)` floors to the
+    * SESSION's local day, `year(ts)` analyzes through the same cast)
+    * and `date_trunc` over a timestamp (local boundaries). Chrono
+    * work over DateType / TimestampNTZType and integral arithmetic
+    * are zone-free. Conservative direction: flagging a zone-free
+    * expression costs pruning, missing a zone-dependent one costs
+    * ROWS. */
+  private[sinks] def tzDependent(e: Expression): Boolean = {
+    import org.apache.spark.sql.types._
+    e.exists {
+      case c: expressions.Cast =>
+        (c.child.dataType, c.dataType) match {
+          case (TimestampType, DateType) | (DateType, TimestampType) => true
+          case _ => false
+        }
+      case _: expressions.TruncTimestamp => true
+      case _ => false
+    }
+  }
+
   /** Build [[GeneratedDeriver]]s from the recorded `graft.generated.*`
     * expressions that qualify: resolvable against the PHYSICAL schema
     * (a renamed input column simply stops deriving — conservative),
@@ -262,6 +308,17 @@ object FileStats {
     * `date_trunc`/`trunc`, `year`). Anything else is refused — a
     * non-monotone rewrite (`month(ts) >= month(X)`!) would wrongly
     * skip files.
+    *
+    * TIMEZONE soundness: the stored generated values were computed
+    * under the WRITER's `spark.sql.session.timeZone` (recorded at
+    * CREATE as [[SnapshotStore.GeneratedTzProp]] and enforced on
+    * every content write), and this derivation evaluates E under the
+    * READER's. A zone-dependent expression ([[tzDependent]]) derives
+    * ONLY when the reader's session zone equals the recorded one AND
+    * that zone is fixed-offset — a DST zone whose fall-back crosses
+    * midnight makes instant→local-date genuinely non-monotone, so
+    * even a consistent zone is not enough. Anything else sheds the
+    * deriver (pruning lost, rows never).
     *
     * Why this exists: footer stats cannot bound every physical type
     * (INT96 timestamps are order-ambiguous and the sidecar refuses
@@ -273,34 +330,24 @@ object FileStats {
     * is that algebra at the [[GraftFileIndex]] listing level. */
   def generatedDerivers(spark: org.apache.spark.sql.SparkSession,
                         gens: Seq[(String, String)],
-                        physicalSchema: org.apache.spark.sql.types.StructType)
-      : Seq[GeneratedDeriver] =
-    gens.flatMap { case (g, sql) =>
-      try {
-        if (!physicalSchema.fieldNames.contains(g)) None
-        else {
-          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-          val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
-            Seq(expressions.Alias(parsed, g)()),
-            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-              org.apache.spark.sql.catalyst.types.DataTypeUtils
-                .toAttributes(physicalSchema)))
-          val analyzed = spark.sessionState.analyzer.execute(plan)
-          analyzed.collectFirst {
-            case org.apache.spark.sql.catalyst.plans.logical.Project(
-              Seq(a: expressions.Alias), _) if a.resolved => a.child
-          }.flatMap { e =>
-            val refs = e.references.toSeq
-            refs match {
-              case Seq(one: expressions.AttributeReference)
-                if monotone(e) && e.deterministic =>
-                Some(GeneratedDeriver(g, one.name, one.dataType, e))
-              case _ => None
-            }
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+                        physicalSchema: org.apache.spark.sql.types.StructType,
+                        recordedTz: Option[String])
+      : Seq[GeneratedDeriver] = {
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    def zoneSound: Boolean = recordedTz.contains(sessionTz) &&
+      (try java.time.ZoneId.of(sessionTz).getRules.isFixedOffset
+       catch { case scala.util.control.NonFatal(_) => false })
+    analyzedGenerated(spark, gens, physicalSchema).flatMap { case (g, e) =>
+      if (!physicalSchema.fieldNames.contains(g)) None
+      else e.references.toSeq match {
+        case Seq(one: expressions.AttributeReference)
+          if monotone(e) && e.deterministic &&
+            (!tzDependent(e) || zoneSound) =>
+          Some(GeneratedDeriver(g, one.name, one.dataType, e))
+        case _ => None
+      }
     }
+  }
 
   /** Monotone non-decreasing over its single input? Conservative
     * whitelist — refusing a monotone expression costs pruning,

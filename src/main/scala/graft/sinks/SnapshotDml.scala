@@ -86,7 +86,12 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     // values that contradict it are refused by the existing
     // constraint machinery — Delta's GENERATED ALWAYS AS contract.
     val genProps = generated.map { case (c, e) =>
-      s"$GeneratedPropPrefix$c" -> e }
+      s"$GeneratedPropPrefix$c" -> e } ++
+      // The creation session's zone is the contract zone-dependent
+      // expressions are computed and derived under (GeneratedTzProp).
+      (if (generated.nonEmpty)
+        Seq(GeneratedTzProp -> spark.conf.get("spark.sql.session.timeZone"))
+      else Nil)
     val genChecks = generated.map { case (c, e) =>
       s"gen_$c" -> s"`$c` <=> ($e)" }
     val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols,

@@ -504,6 +504,19 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   def setProperties(spark: SparkSession, root: String,
                     props: Seq[(String, String)], maxAttempts: Int = 5): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one key")
+    // Generated-column expressions are CREATE TABLE metadata: the
+    // recording rides v1 together with the gen_ CHECK whose induction
+    // is what makes recomputation and derived-predicate pruning sound.
+    // A post-hoc SET would attach an expression the existing rows were
+    // never validated against — the derivation would then prune with
+    // bounds the data does not satisfy and silently drop rows.
+    props.find(p => p._1.startsWith(GeneratedPropPrefix) ||
+        p._1 == GeneratedTzProp).foreach { case (k, _) =>
+      throw new IllegalArgumentException(
+        s"'$k' is CREATE TABLE metadata (GENERATED ALWAYS AS) — it " +
+          s"cannot be SET post-hoc: existing rows were never validated " +
+          s"against the expression, so derived pruning would be unsound")
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -671,6 +684,44 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * (the recorded SQL names it logically — same boundary as CHECK
     * constraints). */
   private[sinks] val GeneratedPropPrefix = "graft.generated."
+
+  /** The `spark.sql.session.timeZone` of the CREATE TABLE session,
+    * recorded alongside any generated columns (deliberately OUTSIDE
+    * the [[GeneratedPropPrefix]] namespace so [[generatedColumns]]
+    * never mistakes it for a column). Zone-DEPENDENT generation
+    * expressions (`cast(ts as date)`, `date_trunc` — instant→local
+    * conversions) produce different values under different session
+    * zones, which would make the stored column inconsistent across
+    * writers and the derived-predicate rewrite unsound: content
+    * writes from a session whose zone differs are REFUSED
+    * ([[enforceGeneratedTz]]), and the reader-side derivation
+    * ([[FileStats.generatedDerivers]]) only fires when its session
+    * zone matches this record. Zone-free expressions are exempt. */
+  private[sinks] val GeneratedTzProp = "graft.generatedTimeZone"
+
+  /** Content-write guard for zone-dependent generation expressions:
+    * the recorded creation zone is the contract every writer must
+    * compute under, or two sessions would route the same row to
+    * different partitions and store values that contradict each
+    * other's gen_ CHECK probes. Absent record (pre-existing tables)
+    * or zone-free expressions: no refusal — the derivation stays
+    * conservative on its own. */
+  private[sinks] def enforceGeneratedTz(spark: SparkSession,
+                                        props: Map[String, String],
+                                        schema: org.apache.spark.sql.types.StructType): Unit = {
+    val gens = generatedColumns(props)
+    if (gens.nonEmpty) props.get(GeneratedTzProp).foreach { recorded =>
+      val session = spark.conf.get("spark.sql.session.timeZone")
+      if (session != recorded &&
+          FileStats.analyzedGenerated(spark, gens, schema)
+            .exists { case (_, e) => FileStats.tzDependent(e) })
+        throw new IllegalArgumentException(
+          s"this table's generated columns use zone-dependent expressions " +
+            s"recorded under spark.sql.session.timeZone=$recorded; writing " +
+            s"from a session with timeZone=$session would store " +
+            s"inconsistent values — set the session zone to match")
+    }
+  }
 
   /** (column → generation expr sql) recorded at `version` — the SQL
     * surface (INSERT alignment, DESCRIBE) reads through this. */
@@ -1415,9 +1466,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // never the read.
     val derivers =
       try {
-        val gens = generatedColumns(tableProperties(spark, root, v).toMap)
+        val props = tableProperties(spark, root, v).toMap
+        val gens = generatedColumns(props)
         if (gens.isEmpty) Nil
-        else FileStats.generatedDerivers(spark, gens, schema)
+        else FileStats.generatedDerivers(spark, gens, schema,
+          props.get(GeneratedTzProp))
       } catch { case scala.util.control.NonFatal(_) => Nil }
     val idx = fileIndexFrom(spark, root, v, partitions, stats, derivers)
     // Present the bucket layout when the property is set AND every
@@ -1636,7 +1689,13 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // auto-registered gen_ CHECK already judged it at enforce time.
     val dfg =
       if (!translate) df
-      else withGeneratedColumns(df, generatedColumns(priorProps))
+      else {
+        // Zone-dependent expressions only compute consistently under
+        // the recorded creation zone — refuse a mismatched writer
+        // BEFORE any file lands ([[enforceGeneratedTz]]).
+        enforceGeneratedTz(spark, priorProps, df.schema)
+        withGeneratedColumns(df, generatedColumns(priorProps))
+      }
     val spec = if (bucketOverride.isDefined) None
       else priorProps.get(BucketSpecProp).flatMap(parseBucketSpec)
     val bucketCols: Option[(Int, Seq[String])] = bucketOverride.orElse(

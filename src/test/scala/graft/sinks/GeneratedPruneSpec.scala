@@ -9,32 +9,40 @@ import org.apache.spark.sql.functions._
   * (`yr >= E(X)`) at the file-listing level — the pruning that
   * survives stats-opaque physical types (INT96 timestamps, which the
   * sidecar refuses). Non-monotone or multi-input expressions refuse
-  * the rewrite: deriving through `month(ts)` would wrongly skip
-  * files. */
+  * the rewrite (deriving through `month(ts)` would wrongly skip
+  * files), and ZONE-DEPENDENT expressions derive only under the
+  * recorded fixed-offset creation zone — `cast(ts as date)` floors to
+  * the SESSION's local day, so a reader in another zone (or any DST
+  * zone) would compute bounds the stored values never satisfied. */
 class GeneratedPruneSpec extends graft.SparkSpec {
   import spark.implicits._
 
   private def freshRoot(): String =
     s"${Files.createTempDirectory("genprune").toString}/t"
 
-  /** Three years of hourly-ish events, committed with the generated
-    * `yr` property recorded — TIMESTAMPS WRITTEN AS INT96 (Spark's
-    * default), so the sidecar carries NO ev_ts stats and any pruning
-    * must come from the derived predicate. */
+  /** Three years of hourly-ish events committed through the DDL
+    * surface (the ONLY way to record a generation expression — the
+    * post-hoc property path is refused, see the last test), written
+    * as INT96 (Spark's default), so the sidecar carries NO ev_ts
+    * stats and any pruning must come from the derived predicate. */
   private def seed(root: String): Unit = {
-    // Force INT96 (Spark's default, but another spec in the shared
-    // session may have switched to MICROS) — the whole point is a
-    // stats-opaque input column.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
-    val df = (0 until 3000).map { i =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"""CREATE TABLE graft.`$root` (
+      ev_ts TIMESTAMP, k BIGINT, v DOUBLE,
+      yr DATE GENERATED ALWAYS AS (CAST(date_trunc('YEAR', ev_ts) AS DATE))
+    ) USING graft-snapshot PARTITIONED BY (yr)""")
+    (0 until 3000).map { i =>
       (java.sql.Timestamp.valueOf(f"${2020 + i % 3}-0${i % 9 + 1}-1${i % 3} 0${i % 9}:00:00"),
         i.toLong, i * 1.5)
-    }.toDF("ev_ts", "k", "v")
-      .withColumn("yr", date_trunc("YEAR", col("ev_ts")).cast("date"))
-    SnapshotStore.commit(spark, df, root, "yr")
-    SnapshotStore.setProperties(spark, root, Seq(
-      s"${SnapshotStore.GeneratedPropPrefix}yr" ->
-        "CAST(date_trunc('YEAR', ev_ts) AS DATE)"))
+    }.toDF("ev_ts", "k", "v").createOrReplaceTempView("genprune_src")
+    // Force INT96 (Spark's default, but another spec in the shared
+    // session may have switched to MICROS) — the whole point is a
+    // stats-opaque input column. Restored after the write: this is
+    // shared-session config.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try spark.sql(
+      s"INSERT INTO graft.`$root` SELECT ev_ts, k, v FROM genprune_src")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
   }
 
   test("a ts-range predicate prunes via the derived yr bound on an INT96 table — footer stats provably absent") {
@@ -69,16 +77,60 @@ class GeneratedPruneSpec extends graft.SparkSpec {
       s"equality must derive: ${idx.lastCandidateFiles}/${idx.totalFiles}")
   }
 
+  test("a reader in a DIFFERENT session zone sheds the zone-dependent deriver — all files, never wrong skipping") {
+    val root = freshRoot()
+    seed(root) // recorded creation zone: UTC (the suite session)
+    // The zone gate lives at deriver-BUILD time (the expression's
+    // evaluation zone is baked when the index analyzes it): a plan
+    // built under Tokyo would evaluate E with Tokyo day boundaries
+    // against UTC-floored stored values, so the build must shed. (An
+    // index built under the recorded zone stays sound under any later
+    // query-time zone — both the stored column and the derived bound
+    // use the baked zone over instants.)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val (df, idx) = SnapshotStore.tableWithIndex(spark, root)
+      df.filter(col("ev_ts") >= lit("2021-06-01").cast("timestamp")).count()
+      assert(idx.lastCandidateFiles == idx.totalFiles,
+        "cast(ts as date) floors to the SESSION's local day — a Tokyo-" +
+          "built plan over a UTC-written layout must not derive: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("a content write from a mismatched session zone is REFUSED before any file lands") {
+    val root = freshRoot()
+    seed(root)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.appendCommit(spark,
+          Seq((java.sql.Timestamp.valueOf("2022-06-01 10:00:00"), 9999L, 1.0))
+            .toDF("ev_ts", "k", "v"), root, "yr")
+      }
+      assert(e.getMessage.contains("timeZone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Back in the recorded zone, the same append lands.
+    SnapshotStore.appendCommit(spark,
+      Seq((java.sql.Timestamp.valueOf("2022-06-01 10:00:00"), 9999L, 1.0))
+        .toDF("ev_ts", "k", "v"), root, "yr")
+    assert(SnapshotStore.read(spark, root).filter(col("k") === 9999L)
+      .select(col("yr").cast("string")).collect()
+      .map(_.getString(0)).toSeq == Seq("2022-01-01"))
+  }
+
   test("non-monotone generation (month) refuses the rewrite — all files kept, never wrong skipping") {
     val root = freshRoot()
-    val df = (0 until 600).map { i =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"""CREATE TABLE graft.`$root` (
+      ev_ts TIMESTAMP, k BIGINT,
+      mo INT GENERATED ALWAYS AS (month(ev_ts))
+    ) USING graft-snapshot PARTITIONED BY (mo)""")
+    (0 until 600).map { i =>
       (java.sql.Timestamp.valueOf(f"${2020 + i % 3}-0${i % 9 + 1}-10 00:00:00"),
         i.toLong)
-    }.toDF("ev_ts", "k")
-      .withColumn("mo", month(col("ev_ts")))
-    SnapshotStore.commit(spark, df, root, "mo")
-    SnapshotStore.setProperties(spark, root, Seq(
-      s"${SnapshotStore.GeneratedPropPrefix}mo" -> "month(ev_ts)"))
+    }.toDF("ev_ts", "k").createOrReplaceTempView("genprune_mo")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT ev_ts, k FROM genprune_mo")
     val (t, idx) = SnapshotStore.tableWithIndex(spark, root)
     t.filter(col("ev_ts") >= lit("2022-01-01").cast("timestamp")).count()
     assert(idx.lastCandidateFiles == idx.totalFiles,
@@ -86,23 +138,59 @@ class GeneratedPruneSpec extends graft.SparkSpec {
         s"(kept ${idx.lastCandidateFiles}/${idx.totalFiles})")
   }
 
-  test("deriver construction refuses multi-input, non-monotone, unresolvable, and nondeterministic expressions") {
+  test("deriver construction refuses multi-input, non-monotone, unresolvable, zone-unsound, and nondeterministic expressions") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("ev_ts", TimestampType), StructField("k", LongType),
       StructField("yr", DateType), StructField("mo", IntegerType),
       StructField("s", LongType)))
-    def derive(gens: (String, String)*) =
-      FileStats.generatedDerivers(spark, gens.toSeq, schema)
-    assert(derive("yr" -> "CAST(date_trunc('YEAR', ev_ts) AS DATE)").size == 1)
-    assert(derive("yr" -> "CAST(ev_ts AS DATE)").size == 1)
-    assert(derive("mo" -> "month(ev_ts)").isEmpty, "non-monotone")
-    assert(derive("s" -> "k + year(ev_ts)").isEmpty, "multi-input")
-    assert(derive("s" -> "k * -1").isEmpty, "sign flip is not whitelisted")
-    assert(derive("yr" -> "CAST(date_trunc('YEAR', gone) AS DATE)").isEmpty,
+    def derive(tz: Option[String], gens: (String, String)*) =
+      FileStats.generatedDerivers(spark, gens.toSeq, schema, tz)
+    val utc = Some("UTC")
+    assert(derive(utc, "yr" -> "CAST(date_trunc('YEAR', ev_ts) AS DATE)").size == 1)
+    assert(derive(utc, "yr" -> "CAST(ev_ts AS DATE)").size == 1)
+    assert(derive(utc, "mo" -> "month(ev_ts)").isEmpty, "non-monotone")
+    assert(derive(utc, "s" -> "k + year(ev_ts)").isEmpty, "multi-input")
+    assert(derive(utc, "s" -> "k * -1").isEmpty, "sign flip is not whitelisted")
+    assert(derive(utc, "yr" -> "CAST(date_trunc('YEAR', gone) AS DATE)").isEmpty,
       "unresolvable input (renamed away) must shed the deriver")
-    assert(derive("gone" -> "CAST(ev_ts AS DATE)").isEmpty,
+    assert(derive(utc, "gone" -> "CAST(ev_ts AS DATE)").isEmpty,
       "generated column absent from the physical schema must shed")
+    // Zone soundness: a zone-dependent expression needs the recorded
+    // zone to MATCH the session's (UTC here) and be fixed-offset.
+    assert(derive(None, "yr" -> "CAST(ev_ts AS DATE)").isEmpty,
+      "no recorded creation zone (pre-existing table) must shed")
+    assert(derive(Some("Asia/Tokyo"), "yr" -> "CAST(ev_ts AS DATE)").isEmpty,
+      "recorded zone != session zone must shed")
+    // A DST zone is unsound even when recorded == session: fall-back
+    // across midnight makes instant→local-date non-monotone.
+    spark.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    try assert(derive(Some("America/Sao_Paulo"),
+        "yr" -> "CAST(ev_ts AS DATE)").isEmpty,
+      "a non-fixed-offset zone must shed even when consistent")
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Zone-FREE expressions derive regardless of the record.
+    assert(derive(None, "s" -> "CAST(k AS BIGINT)").size == 1,
+      "integral chains are zone-free — no record needed")
+  }
+
+  test("generation expressions cannot be attached post-hoc via SET TBLPROPERTIES") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      (0 until 100).map(i => (i.toLong, (i % 4).toString)).toDF("k", "part"),
+      root, "part")
+    // The rows above were never validated against any expression —
+    // attaching one now would make derived pruning trust a lie.
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(spark, root, Seq(
+        s"${SnapshotStore.GeneratedPropPrefix}part" -> "CAST(k % 4 AS STRING)"))
+    }
+    assert(e.getMessage.contains("CREATE TABLE metadata"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.setProperties(spark, root, Seq(
+        SnapshotStore.GeneratedTzProp -> "UTC"))
+    }
+    assert(e2.getMessage.contains("CREATE TABLE metadata"), e2.getMessage)
   }
 
   test("UPDATE that SETs a generation input refreshes the generated column instead of tripping its CHECK") {
