@@ -2561,5 +2561,66 @@ private[graft] object EvolutionQueries {
       FROM sub
       WHERE o_orderdate >= DATE '1996-01-01'
         AND o_orderdate < DATE '1997-01-01'"""))
+    ,
+
+    // IDENTITY COLUMNS (Delta's GENERATED ALWAYS AS IDENTITY, E137):
+    // the table owns the column — two omitting INSERTs allocate
+    // contiguous gap-free ranges (batch 2 continues exactly at the
+    // mark), an explicit value is require-pinned REFUSED, a delete
+    // never reopens ids (the mark is monotone metadata: batch 3
+    // starts past the deleted range). Output is the id-set algebra —
+    // count/distinct/min/max/sum — which the oracle reproduces in
+    // closed form from the batch sizes (ids are {1..n1+n2} minus the
+    // deleted multiples of 7, plus {n1+n2+1..n1+n2+n3}).
+    ("q225_identity_column", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q225").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        id BIGINT GENERATED ALWAYS AS IDENTITY,
+        ok BIGINT, part STRING
+      ) USING graft-snapshot PARTITIONED BY (part)""")
+      def slice(m: Int) = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === m)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(4)).cast("string").as("part"))
+      slice(0).createOrReplaceTempView("q225_s0")
+      slice(1).createOrReplaceTempView("q225_s1")
+      slice(2).createOrReplaceTempView("q225_s2")
+      s.sql(s"INSERT INTO graft.`$root` SELECT ok, part FROM q225_s0")
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q225_s1")
+      // Explicit identity values are REFUSED — the allocator owns the
+      // column (GENERATED ALWAYS).
+      val refused = try {
+        s.sql(s"INSERT INTO graft.`$root` SELECT CAST(1 AS BIGINT), ok, part FROM q225_s0")
+        false
+      } catch { case e: Exception => e.getMessage.contains("IDENTITY") }
+      require(refused, "an explicit identity INSERT must refuse loudly")
+      // Delete a scatter of ids, then insert again: the mark is
+      // monotone metadata — batch 3 allocates PAST the deleted range.
+      SnapshotStore.deleteWhere(s, root, "id % 7 = 0")
+      s.sql(s"INSERT INTO graft.`$root` SELECT ok, part FROM q225_s2")
+      SnapshotStore.table(s, root).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("id")).as("sum_id"))
+    }, Some("""
+      WITH c AS (SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n1,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 1) AS BIGINT) AS n2,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 2) AS BIGINT) AS n3
+      FROM orders)
+      SELECT
+        CAST(n1 + n2 + n3 - (n1 + n2) // 7 AS BIGINT) AS n,
+        CAST(n1 + n2 + n3 - (n1 + n2) // 7 AS BIGINT) AS nd,
+        CAST(1 AS BIGINT) AS min_id,
+        CAST(n1 + n2 + n3 AS BIGINT) AS max_id,
+        CAST((n1 + n2 + n3) * (n1 + n2 + n3 + 1) // 2
+          - 7 * ((n1 + n2) // 7) * ((n1 + n2) // 7 + 1) // 2 AS BIGINT) AS sum_id
+      FROM c"""))
   )
 }

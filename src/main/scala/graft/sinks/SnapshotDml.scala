@@ -67,7 +67,8 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
   def commitIfAbsent(spark: SparkSession, df: DataFrame, root: String,
                      partitionCols: ColSpec,
                      bucketBy: Option[(Seq[String], Seq[String], Int)] = None,
-                     generated: Seq[(String, String)] = Nil): Option[Long] = {
+                     generated: Seq[(String, String)] = Nil,
+                     identity: Seq[(String, Long, Long)] = Nil): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
     val bucketProps = bucketBy.map { case (cols, sortCols, n) =>
       require(n >= 2, s"INTO n BUCKETS needs n >= 2, got $n")
@@ -91,7 +92,21 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       // expressions are computed and derived under (GeneratedTzProp).
       (if (generated.nonEmpty)
         Seq(GeneratedTzProp -> spark.conf.get("spark.sql.session.timeZone"))
-      else Nil)
+      else Nil) ++
+      // Identity columns: recorded with `last = start − step`, so the
+      // first allocation starts exactly at `start`. Declared type
+      // travels with the record — the write-path allocator has only
+      // the incoming frame (which omits the column) to look at.
+      identity.map { case (c, start, step) =>
+        require(step != 0, s"identity '$c': INCREMENT BY must be non-zero")
+        val tpe = df.schema.find(_.name == c).map(_.dataType.sql).getOrElse(
+          throw new IllegalArgumentException(
+            s"identity column '$c' is not in the declared schema"))
+        require(Set("INT", "BIGINT")(tpe.toUpperCase),
+          s"identity column '$c' must be INT or BIGINT, got $tpe")
+        formatIdentity(IdentitySpec(c, start, step,
+          Math.subtractExact(start, step), tpe))
+      }
     val genChecks = generated.map { case (c, e) =>
       s"gen_$c" -> s"`$c` <=> ($e)" }
     val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols,
@@ -292,10 +307,26 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
           // so the key/order comparison and the union see one naming;
           // writeDataFiles translates back to physical names at write.
           val m = if (replaced.isEmpty) incoming
-            else Upsert.merge(
-              applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
-                mappingAt(spark, root, cur)),
-              incoming, keys.cols, orderBy)
+            else {
+              val existing = applyColumnMapping(
+                readEntriesAt(spark, root, replaced, cur),
+                mappingAt(spark, root, cur))
+              // Identity inheritance (Delta's MERGE contract): an
+              // incoming batch that OMITS an identity column inherits
+              // the matched row's id — the update keeps the identity,
+              // only genuinely new keys reach the write-path
+              // allocator (as null slots). One equi-join on the keys
+              // the merge already shuffles on, identity tables only.
+              val inheritCols = identityColumns(
+                tip.map(_._2).getOrElse(Map.empty)).map(_.col)
+                .filterNot(incoming.columns.contains)
+              val incomingW =
+                if (inheritCols.isEmpty) incoming
+                else incoming.join(
+                  existing.select((keys.cols ++ inheritCols).map(col): _*),
+                  keys.cols, "left")
+              Upsert.merge(existing, incomingW, keys.cols, orderBy)
+            }
           (keptEntries, m, cur + 1)
       }
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)

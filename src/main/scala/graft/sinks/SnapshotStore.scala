@@ -511,11 +511,13 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // never validated against — the derivation would then prune with
     // bounds the data does not satisfy and silently drop rows.
     props.find(p => p._1.startsWith(GeneratedPropPrefix) ||
+        p._1.startsWith(IdentityPropPrefix) ||
         p._1 == GeneratedTzProp).foreach { case (k, _) =>
       throw new IllegalArgumentException(
         s"'$k' is CREATE TABLE metadata (GENERATED ALWAYS AS) — it " +
           s"cannot be SET post-hoc: existing rows were never validated " +
-          s"against the expression, so derived pruning would be unsound")
+          s"against it (and an identity mark set by hand could reopen " +
+          s"allocated ids), so pruning/allocation would be unsound")
     }
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -723,6 +725,130 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }
   }
 
+  /** IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY`):
+    * recorded at CREATE as `graft.identity.<col> =
+    * start;step;last;type` — `last` is the LAST ALLOCATED value
+    * (start − step before any allocation) and advances atomically
+    * with each allocating content commit: the allocation happens
+    * inside [[writeDataFiles]] per OCC attempt, the new high-water
+    * mark rides THAT attempt's manifest ([[pendingIdentityAllocs]] →
+    * [[writeManifest]] injection), and a lost race re-runs the whole
+    * attempt against the winner's recorded `last` — so two racing
+    * writers can never allocate the same ids, and a delete of the
+    * max row never causes reuse (the mark is monotone metadata, not
+    * derived from data). Values are allocated GAP-FREE per batch
+    * (contiguous from `last + step`) via `zipWithIndex` — one extra
+    * count-class pass over the batch, paid only by identity tables. */
+  private[sinks] val IdentityPropPrefix = "graft.identity."
+
+  /** A recorded identity column: `last` is the last ALLOCATED value. */
+  private[sinks] case class IdentitySpec(col: String, start: Long,
+                                         step: Long, last: Long,
+                                         sqlType: String)
+
+  private[sinks] def formatIdentity(s: IdentitySpec): (String, String) =
+    s"$IdentityPropPrefix${s.col}" ->
+      s"start=${s.start};step=${s.step};last=${s.last};type=${s.sqlType}"
+
+  /** Parse every recorded identity column — LOUD on garbage (the
+    * deriveSpecFromProps rule: silently ignoring a recorded identity
+    * would null-fill or duplicate ids, the worst failure mode). */
+  private[sinks] def identityColumns(props: Map[String, String]): Seq[IdentitySpec] =
+    props.collect { case (k, v) if k.startsWith(IdentityPropPrefix) =>
+      val c = k.stripPrefix(IdentityPropPrefix)
+      val m = v.split(";").iterator.map(_.split("=", 2)).collect {
+        case Array(a, b) => a -> b }.toMap
+      try IdentitySpec(c, m("start").toLong, m("step").toLong,
+        m("last").toLong, m("type"))
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new IllegalStateException(
+          s"garbled identity record for '$c': '$v'")
+      }
+    }.toSeq.sortBy(_.col)
+
+  /** Allocations made by [[writeDataFiles]], awaiting their manifest:
+    * (root, col → new `last`). THREAD-LOCAL because allocation and
+    * publish always run on the caller's thread within one attempt —
+    * and the merge REBASE path publishes the same data files under a
+    * LATER manifest number than the allocating attempt's, so a
+    * version-keyed map would lose the mark exactly when concurrency
+    * makes it matter. Each content writeDataFiles OVERWRITES the slot
+    * (clearing any residue an exception-abandoned attempt left); the
+    * manifest injection applies it under a MONOTONE guard (the mark
+    * only moves in step direction — stale residue can at worst burn a
+    * gap, never regress into reallocation) and clears it when the
+    * commit wins. */
+  private val pendingIdentityAllocs =
+    new ThreadLocal[(String, Map[String, Long])]()
+
+  /** Fill one identity column: ABSENT → allocate for every row; NULL
+    * slots (the merge union's null-fill of an absent incoming column)
+    * → allocate for exactly those rows, existing ids untouched; fully
+    * valued → no-op. Allocation is contiguous from `last + step` via
+    * `zipWithIndex` (deterministic as a SET; per-row order follows
+    * partition order) — one count-class extra pass over the rows
+    * needing ids, paid only by identity tables. Returns the frame and
+    * the new `last` (== old when nothing was allocated). An
+    * IntegerType identity that would overflow Int refuses loudly —
+    * silent wraparound would alias live ids. */
+  private[sinks] def assignIdentity(spark: SparkSession, d: DataFrame,
+                                    s: IdentitySpec): (DataFrame, Long) = {
+    import org.apache.spark.sql.types._
+    val declared: DataType =
+      if (s.sqlType.equalsIgnoreCase("INT") ||
+          s.sqlType.equalsIgnoreCase("INTEGER")) IntegerType else LongType
+    def alloc(rows: DataFrame, appendAt: Option[Int]): (DataFrame, Long) = {
+      val n = rows.count()
+      if (n == 0) return (rows, s.last)
+      // Exact arithmetic: a mark near Long's edge must refuse loudly,
+      // not wrap into reallocation.
+      val newLast = Math.addExact(s.last, Math.multiplyExact(s.step, n))
+      if (declared == IntegerType)
+        require(newLast >= Int.MinValue && newLast <= Int.MaxValue &&
+            s.last + s.step >= Int.MinValue && s.last + s.step <= Int.MaxValue,
+          s"identity '${s.col}' is INT and the next range " +
+            s"(${s.last + s.step}..$newLast) leaves Int — declare BIGINT")
+      val base = s.last; val step = s.step
+      val zipped = rows.rdd.zipWithIndex()
+      val schema = appendAt match {
+        case None => rows.schema.add(StructField(s.col, declared))
+        case Some(_) => rows.schema
+      }
+      val idx = appendAt
+      val out = spark.createDataFrame(zipped.map { case (r, i) =>
+        val v: Any =
+          if (declared == IntegerType) (base + step * (i + 1)).toInt
+          else base + step * (i + 1)
+        idx match {
+          case None => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+          case Some(p) => org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(p, v))
+        }
+      }, schema)
+      (out, newLast)
+    }
+    if (!d.columns.contains(s.col)) alloc(d, None)
+    else {
+      val p = d.schema.fieldIndex(s.col)
+      val needs = d.filter(col(s.col).isNull)
+      if (needs.isEmpty) (d, s.last)
+      else {
+        val (filled, newLast) = alloc(needs, Some(p))
+        (d.filter(col(s.col).isNotNull).unionByName(filled), newLast)
+      }
+    }
+  }
+
+  private[sinks] def recordIdentityAlloc(root: String,
+                                         allocs: Map[String, Long]): Unit =
+    pendingIdentityAllocs.set((root, allocs))
+
+  /** Identity column NAMES recorded at `version` — the SQL surface
+    * (INSERT alignment: omission allowed, explicit values refused)
+    * reads through this. */
+  def identityColumnsAt(spark: SparkSession, root: String,
+                        version: Long): Seq[String] =
+    identityColumns(tableProperties(spark, root, version).toMap).map(_.col)
+
   /** (column → generation expr sql) recorded at `version` — the SQL
     * surface (INSERT alignment, DESCRIBE) reads through this. */
   def generatedColumnsAt(spark: SparkSession, root: String,
@@ -888,18 +1014,53 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // legitimate pending error.
     val maintErr =
       if (version == 1) None else Option(pendingMaintenanceErrors.get(root))
+    // Identity allocations made by this thread's writeDataFiles: the
+    // advanced `last` marks must ride the same manifest the data files
+    // do — a later commit of their own could be lost to a crash,
+    // reopening the ids for reallocation under a reader that already
+    // saw them. Root-matched (a residue for another table never
+    // applies), monotone-guarded below.
+    val idAllocs: Map[String, Long] =
+      Option(pendingIdentityAllocs.get()) match {
+        case Some((r, a)) if r == root => a
+        case _ => Map.empty[String, Long]
+      }
     val effectiveProperties = {
       val base = properties.getOrElse(
         if (version > 1)
           try tableProperties(spark, root, version - 1)
           catch { case _: java.io.IOException => Nil }
         else Nil)
-      maintErr match {
+      val withErr = maintErr match {
         case Some("") => base.filterNot(_._1 == MaintenanceErrorProp)
         case Some(err) =>
           base.filterNot(_._1 == MaintenanceErrorProp) :+
             (MaintenanceErrorProp -> err)
         case None => base
+      }
+      if (idAllocs.isEmpty) withErr
+      else withErr.map {
+        case (k, v0) if k.startsWith(IdentityPropPrefix) &&
+            idAllocs.contains(k.stripPrefix(IdentityPropPrefix)) =>
+          // MONOTONE guard: the mark only moves in step direction.
+          // A fresh allocation is always ahead of the base it was
+          // computed from; an exception-abandoned residue might not
+          // be ahead of a mark another attempt advanced meanwhile —
+          // applying it would regress the mark into REALLOCATION, so
+          // it is dropped (its unpublished ids become a benign gap).
+          val fields = v0.split(";").iterator
+            .map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
+          val cur = fields.get("last").flatMap(s => scala.util.Try(s.toLong).toOption)
+          val step = fields.get("step").flatMap(s => scala.util.Try(s.toLong).toOption)
+          val next = idAllocs(k.stripPrefix(IdentityPropPrefix))
+          val ahead = (for { c <- cur; st <- step } yield
+            if (st > 0) next > c else next < c).getOrElse(false)
+          if (!ahead) k -> v0
+          else k -> v0.split(";").map {
+            case s if s.startsWith("last=") => s"last=$next"
+            case s => s
+          }.mkString(";")
+        case other => other
       }
     }
     // Column mapping carries forward exactly like constraints unless
@@ -997,6 +1158,12 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     if (won && version == 1) pendingMaintenanceErrors.remove(root)
     if (won) maintErr.foreach(err =>
       pendingMaintenanceErrors.remove(root, err))
+    // A WON commit made the allocation durable — clear the slot. A
+    // LOST one keeps it: the merge REBASE path re-publishes the same
+    // data files under a later manifest number and still needs the
+    // mark; a full-recompute retry overwrites the slot in its own
+    // writeDataFiles.
+    if (won && idAllocs.nonEmpty) pendingIdentityAllocs.remove()
     won
   }
 
@@ -1687,7 +1854,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Layout rewrites (translate = false) re-write files that already
     // carry it. A PRESENT column is the caller's explicit claim; the
     // auto-registered gen_ CHECK already judged it at enforce time.
-    val dfg =
+    val dfg0 =
       if (!translate) df
       else {
         // Zone-dependent expressions only compute consistently under
@@ -1695,6 +1862,30 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         // BEFORE any file lands ([[enforceGeneratedTz]]).
         enforceGeneratedTz(spark, priorProps, df.schema)
         withGeneratedColumns(df, generatedColumns(priorProps))
+      }
+    // Identity columns (graft.identity.*): a content batch missing one
+    // (or carrying NULL slots — the merge union null-fills an absent
+    // incoming column) gets contiguous values allocated from the
+    // recorded mark; the advanced mark rides THIS version's manifest
+    // ([[recordIdentityAlloc]] → writeManifest injection), so a lost
+    // OCC race re-allocates against the winner's mark and ids are
+    // never duplicated or reused. Layout rewrites (translate = false)
+    // re-write rows that already carry their ids.
+    val dfg =
+      if (!translate) dfg0
+      else {
+        val specs = identityColumns(priorProps)
+        if (specs.isEmpty) dfg0
+        else {
+          var allocs = Map.empty[String, Long]
+          val out = specs.foldLeft(dfg0) { case (d, s0) =>
+            val (d2, newLast) = assignIdentity(spark, d, s0)
+            if (newLast != s0.last) allocs += s0.col -> newLast
+            d2
+          }
+          recordIdentityAlloc(root, allocs)
+          out
+        }
       }
     val spec = if (bucketOverride.isDefined) None
       else priorProps.get(BucketSpecProp).flatMap(parseBucketSpec)

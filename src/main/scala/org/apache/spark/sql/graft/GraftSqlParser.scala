@@ -1838,24 +1838,34 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // path computes them from their recorded expression. An omitted
     // one must stay ABSENT from the aligned frame (a null-fill would
     // be an explicit null claim the gen_ CHECK rightly refuses).
+    // IDENTITY columns (graft.identity.*) MUST be omitted — GENERATED
+    // ALWAYS AS IDENTITY refuses explicit values (Delta's contract:
+    // the allocator owns the column), and an omitted one likewise
+    // stays absent so the write path allocates.
     val gens = SnapshotStore.generatedColumnsAt(spark, root, cur)
       .map(_._1).toSet
+    val idents = SnapshotStore.identityColumnsAt(spark, root, cur).toSet
+    val auto = gens ++ idents
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {
       case None =>
-        val nonGen = target.fields.filterNot(f => gens(f.name))
+        val nonAuto = target.fields.filterNot(f => auto(f.name))
         // Positional alignment accepts the full schema (explicit
-        // generated values, judged by the CHECK) or the schema minus
-        // every generated column (computed at write).
+        // generated values, judged by the CHECK — but never explicit
+        // identity values) or the schema minus every auto column
+        // (computed/allocated at write).
         val fields =
-          if (nonGen.length != target.fields.length &&
-              df.columns.length == nonGen.length) nonGen.toSeq
+          if (nonAuto.length != target.fields.length &&
+              df.columns.length == nonAuto.length) nonAuto.toSeq
           else target.fields.toSeq
         require(df.columns.length == fields.length,
           s"INSERT INTO provides ${df.columns.length} columns but the table " +
             s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})" +
-            (if (gens.nonEmpty) s"; generated (${gens.mkString(", ")}) may be omitted"
+            (if (auto.nonEmpty) s"; generated/identity (${auto.mkString(", ")}) may be omitted"
              else ""))
+        require(idents.isEmpty || fields.lengthCompare(nonAuto.length) == 0,
+          s"GENERATED ALWAYS AS IDENTITY column(s) ${idents.mkString(", ")} " +
+            "cannot be assigned — omit them and the table allocates")
         df.select(df.columns.toSeq.zip(fields).map {
           case (c, f) =>
             org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
@@ -1867,6 +1877,9 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
         cols.foreach(c => require(target.fieldNames.contains(c),
           s"INSERT INTO column list names unknown column '$c' " +
             s"(columns: ${target.fieldNames.mkString(", ")})"))
+        cols.filter(idents).foreach(c => throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS IDENTITY column '$c' cannot be assigned — " +
+            "omit it from the column list and the table allocates"))
         require(df.columns.length == cols.length,
           s"INSERT INTO provides ${df.columns.length} values for " +
             s"${cols.length} listed columns (${cols.mkString(", ")})")
@@ -1875,14 +1888,14 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
         // bug; require it listed. A GENERATED partition column is the
         // exception: omitting it is the feature.
         val partColsOfTable = SnapshotStore.partitionColumns(spark, root, cur)
-        partColsOfTable.filterNot(gens).foreach(c => require(cols.contains(c),
+        partColsOfTable.filterNot(auto).foreach(c => require(cols.contains(c),
           s"INSERT INTO column list must include partition column '$c'"))
         val byListed = cols.zip(df.columns.toSeq).toMap
         df.select(target.fields.toSeq.flatMap { f =>
           byListed.get(f.name) match {
             case Some(src) => Some(org.apache.spark.sql.functions.col(src)
               .cast(f.dataType).as(f.name))
-            case None if gens(f.name) => None // computed at write
+            case None if auto(f.name) => None // computed/allocated at write
             case None => Some(org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name))
           }
@@ -2113,6 +2126,27 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Extract `col TYPE GENERATED ALWAYS AS IDENTITY [(START WITH n
+    * INCREMENT BY k)]` clauses: returns (plain DDL, (col, start,
+    * step) triples; start defaults 1, step defaults 1). Run on the
+    * extractGenerated REMAINDER — the expression form requires `AS (`
+    * so the two patterns never both match a clause. */
+  private def extractIdentity(ddl: String): (String, Seq[(String, Long, Long)]) = {
+    val Id = ("(?is)^(.*?)\\s+GENERATED\\s+ALWAYS\\s+AS\\s+IDENTITY" +
+      "\\s*(?:\\(\\s*(?:START\\s+WITH\\s+(-?\\d+)\\s*)?" +
+      "(?:INCREMENT\\s+BY\\s+(-?\\d+)\\s*)?\\))?\\s*$").r
+    val (plain, ids) = splitTop(ddl).map {
+      case Id(colDef, start, step) =>
+        val name = colDef.trim.split("\\s+").head
+          .stripPrefix("`").stripSuffix("`")
+        (colDef.trim, Some((name,
+          Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L))))
+      case other => (other, None)
+    }.unzip
+    (plain.mkString(", "), ids.flatten)
+  }
+
   /** Extract `col TYPE GENERATED ALWAYS AS (expr)` clauses: returns
     * (plain DDL for StructType.fromDDL, (col → expr) pairs). */
   private def extractGenerated(ddl: String): (String, Seq[(String, String)]) = {
@@ -2128,7 +2162,8 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    val (plainDdl, generated) = extractGenerated(schemaDdl)
+    val (plainDdl0, generated) = extractGenerated(schemaDdl)
+    val (plainDdl, identity) = extractIdentity(plainDdl0)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
     require(partitionCols.nonEmpty,
       "CREATE TABLE … USING graft-snapshot needs PARTITIONED BY (…)")
@@ -2149,10 +2184,17 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     // write materialization are separate queries, so a midnight-
     // spanning write would land rows the CHECK never validated).
     val genNames = generated.map(_._1).toSet
+    // Identity columns are excluded from the generation-expression
+    // probe base too: at write time the generated fold runs BEFORE
+    // identity allocation, so an expression referencing an identity
+    // column would brick every omitting write.
+    val identNames = identity.map(_._1).toSet
+    require(identNames.intersect(genNames).isEmpty,
+      "a column cannot be both GENERATED ALWAYS AS (expr) and IDENTITY")
     val probeBase = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType(
-        schema.filterNot(f => genNames(f.name))))
+        schema.filterNot(f => genNames(f.name) || identNames(f.name))))
     generated.foreach { case (c, e) =>
       require(schema.fieldNames.contains(c),
         s"generated column '$c' is not in the declared schema")
@@ -2184,7 +2226,7 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.
     SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
-        bucketBy = bucket, generated = generated) match {
+        bucketBy = bucket, generated = generated, identity = identity) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE failed: $root already holds a snapshot — " +
