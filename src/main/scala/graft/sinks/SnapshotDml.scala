@@ -92,31 +92,46 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       // expressions are computed and derived under (GeneratedTzProp).
       (if (generated.nonEmpty)
         Seq(GeneratedTzProp -> spark.conf.get("spark.sql.session.timeZone"))
-      else Nil) ++
-      // Identity columns: recorded with `last = start − step`, so the
-      // first allocation starts exactly at `start`. Declared type
-      // travels with the record — the write-path allocator has only
-      // the incoming frame (which omits the column) to look at.
-      identity.map { case (c, start, step) =>
-        require(step != 0, s"identity '$c': INCREMENT BY must be non-zero")
-        val tpe = df.schema.find(_.name == c).map(_.dataType.sql).getOrElse(
-          throw new IllegalArgumentException(
-            s"identity column '$c' is not in the declared schema"))
-        require(Set("INT", "BIGINT")(tpe.toUpperCase),
-          s"identity column '$c' must be INT or BIGINT, got $tpe")
-        formatIdentity(IdentitySpec(c, start, step,
-          Math.subtractExact(start, step), tpe))
-      }
+      else Nil)
+    // Identity columns: version 1's OWN rows allocate HERE (a CTAS or
+    // non-empty API create has data before the property exists, so the
+    // writeDataFiles allocator — keyed off the PREDECESSOR's props —
+    // cannot see it), and the recorded `last` is the post-allocation
+    // mark. An empty create allocates nothing and records
+    // `last = start − step`, so the first INSERT starts at `start`.
+    // Declared type travels with the record — later writes have only
+    // the incoming frame (which omits the column) to look at.
+    // Same one-materialization discipline as writeDataFiles' own
+    // allocator: the counting jobs and the write must see identical
+    // rows.
+    val cachedDf = if (identity.isEmpty) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dfId = cachedDf
+    val identProps = identity.map { case (c, start, step) =>
+      require(step != 0, s"identity '$c': INCREMENT BY must be non-zero")
+      val tpe = df.schema.find(_.name == c).map(_.dataType.sql).getOrElse(
+        throw new IllegalArgumentException(
+          s"identity column '$c' is not in the declared schema"))
+      require(Set("INT", "BIGINT")(tpe.toUpperCase),
+        s"identity column '$c' must be INT or BIGINT, got $tpe")
+      val spec0 = IdentitySpec(c, start, step,
+        Math.subtractExact(start, step), tpe)
+      val (d2, newLast) = assignIdentity(spark, dfId, spec0)
+      dfId = d2
+      formatIdentity(spec0.copy(last = newLast))
+    }
     val genChecks = generated.map { case (c, e) =>
       s"gen_$c" -> s"`$c` <=> ($e)" }
-    val entries = writeDataFiles(spark, df, root, 1L, partitionCols.cols,
-      bucketOverride = bucketBy.map { case (cols, _, n) => (n, cols) },
-      sortWithin = bucketBy.toSeq.flatMap(_._2).map(col))
+    val entries =
+      try writeDataFiles(spark, dfId, root, 1L, partitionCols.cols,
+        bucketOverride = bucketBy.map { case (cols, _, n) => (n, cols) },
+        sortWithin = bucketBy.toSeq.flatMap(_._2).map(col))
+      finally if (identity.nonEmpty) cachedDf.unpersist(false)
     if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header,
-        properties = Some(bucketProps.getOrElse(Nil) ++ genProps)
+        properties = Some(bucketProps.getOrElse(Nil) ++ genProps ++ identProps)
           .filter(_.nonEmpty),
         constraints = Some(genChecks).filter(_.nonEmpty))) {
-      writeStats(spark, root, 1L, Nil, entries, Some(df.schema))
+      writeStats(spark, root, 1L, Nil, entries, Some(dfId.schema))
       postCommit(spark, root, 1L)
       Some(1L)
     } else None
@@ -363,7 +378,27 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
             else Set.empty[String]
           } catch { case _: java.io.FileNotFoundException => None }
         rebases += 1
-        if (head >= publishV && rebases <= maxAttempts &&
+        // Identity safety: the rebase republishes data files whose ids
+        // were allocated against OUR base mark (v−1). If an interloper
+        // ALSO allocated (its commit advanced any identity mark), those
+        // files may carry the same ids — partition disjointness says
+        // nothing about id disjointness — so the fast path is only
+        // sound when every identity mark is unmoved between base and
+        // head. Anything else (moved marks, unreadable manifests)
+        // degrades to the full recompute, which re-allocates against
+        // the winner's mark.
+        val identitySafe =
+          identityColumns(tip.map(_._2).getOrElse(Map.empty)).isEmpty || {
+            try {
+              def marks(at: Long): Map[String, Long] =
+                if (at >= 1) identityColumns(
+                  tableProperties(spark, root, at).toMap)
+                  .map(s => s.col -> s.last).toMap
+                else Map.empty
+              marks(v - 1) == marks(head)
+            } catch { case scala.util.control.NonFatal(_) => false }
+          }
+        if (head >= publishV && rebases <= maxAttempts && identitySafe &&
             interloperParts.exists(parts => !parts.exists(touched))) {
           // Disjoint: our touched partitions are byte-identical between
           // base and head, so head-minus-touched plus our files IS the
@@ -441,7 +476,19 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
             case Some(d) => existing.join(d, keys.cols, "left_anti")
             case None => existing
           }
-          Upsert.merge(survivors, upserts, keys.cols, Nil)
+          // Identity inheritance — the same UPDATE-keeps-identity
+          // contract [[mergeCommitOrdered]] applies: an id-omitting
+          // upsert batch inherits the surviving row's id for matched
+          // keys; only genuinely new keys reach the allocator.
+          val inheritCols = identityColumns(
+            tip.map(_._2).getOrElse(Map.empty)).map(_.col)
+            .filterNot(upserts.columns.contains)
+          val upsertsW =
+            if (inheritCols.isEmpty) upserts
+            else upserts.join(
+              survivors.select((keys.cols ++ inheritCols).map(col): _*),
+              keys.cols, "left")
+          Upsert.merge(survivors, upsertsW, keys.cols, Nil)
         }
       val v = cur + 1
       val newEntries = writeDataFiles(spark, merged, root, v, partitionCols.cols)

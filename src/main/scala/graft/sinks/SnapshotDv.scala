@@ -288,6 +288,12 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
         c != "__fk" && c != "__pos",
         s"UPDATE SET targets unknown column '$c' " +
           s"(columns: ${dataCols.mkString(", ")})") }
+      // Allocator-owned on every surface, same as [[updateWhere]].
+      val identCols = identityColumnsAt(spark, root, cur).toSet
+      assignments.map(_._1).filter(identCols).foreach(c =>
+        throw new IllegalArgumentException(
+          s"UPDATE cannot SET identity column '$c' — GENERATED ALWAYS " +
+            "AS IDENTITY is allocator-owned"))
       val matched = raw.filter(hit)
       val existing = dvRowsFor(spark, root, entries)
       val live = existing.map(e => matched.join(

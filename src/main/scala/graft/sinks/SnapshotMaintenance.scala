@@ -71,6 +71,14 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       assignments.foreach { case (c, _) => require(types.contains(c),
         s"UPDATE SET targets unknown column '$c' " +
           s"(columns: ${current.columns.mkString(", ")})") }
+      // GENERATED ALWAYS AS IDENTITY: the allocator owns the column on
+      // every surface — SET id = … would reassign (possibly duplicate)
+      // ids the table already vended.
+      val idents = identityColumnsAt(spark, root, cur).toSet
+      assignments.map(_._1).filter(idents).foreach(c =>
+        throw new IllegalArgumentException(
+          s"UPDATE cannot SET identity column '$c' — GENERATED ALWAYS " +
+            "AS IDENTITY is allocator-owned"))
       val assign = assignments.toMap
       val assignedOnly = current.select(current.columns.toSeq.map { c =>
         assign.get(c) match {
@@ -211,6 +219,13 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         throw new IllegalStateException(
           s"cannot rename column '$from': CHECK constraint $n references " +
             s"it; DROP the constraint first and re-ADD it against the new name"))
+      // Identity records name the LOGICAL column; a rename would
+      // strand the record pointing at nothing and every later write
+      // would resurrect a phantom column under the old name. Same
+      // boundary as CHECK constraints.
+      require(!identityColumnsAt(spark, root, cur).contains(from),
+        s"cannot rename identity column '$from' — the identity record " +
+          "names it (same boundary as CHECK constraints)")
       val (renames, dropped) = mappingAt(spark, root, cur)
       val physical = physicalNameOf(renames, from)
       require(!dropped(to),
@@ -261,6 +276,11 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         throw new IllegalStateException(
           s"cannot drop column '$name': CHECK constraint $n references it; " +
             "DROP the constraint first"))
+      // An identity record outliving its column would resurrect it on
+      // every later write (the allocator sees "absent" and appends).
+      require(!identityColumnsAt(spark, root, cur).contains(name),
+        s"cannot drop identity column '$name' — the identity record " +
+          "names it")
       val (renames, dropped) = mappingAt(spark, root, cur)
       val physical = physicalNameOf(renames, name)
       val entries = manifest(spark, root, cur)

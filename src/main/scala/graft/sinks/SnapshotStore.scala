@@ -582,6 +582,19 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   def unsetProperties(spark: SparkSession, root: String,
                       keys: Seq[String], maxAttempts: Int = 5): Long = {
     require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    // Symmetric with the SET-side guard: removing a generation
+    // expression or an identity record silently changes write
+    // semantics (null ids, uncomputed partitions) and the allocation
+    // mark is irrecoverable once dropped — CREATE TABLE metadata
+    // cannot be unset either.
+    keys.find(k => k.startsWith(GeneratedPropPrefix) ||
+        k.startsWith(IdentityPropPrefix) || k == GeneratedTzProp)
+      .foreach { k =>
+        throw new IllegalArgumentException(
+          s"'$k' is CREATE TABLE metadata (GENERATED ALWAYS AS) — it " +
+            "cannot be UNSET: later writes would silently null-fill or " +
+            "reallocate what existing rows already carry")
+      }
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -848,6 +861,15 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   def identityColumnsAt(spark: SparkSession, root: String,
                         version: Long): Seq[String] =
     identityColumns(tableProperties(spark, root, version).toMap).map(_.col)
+
+  /** (generated names, identity names) in ONE properties read — the
+    * INSERT alignment consults both on the hot SQL path. */
+  def autoColumnsAt(spark: SparkSession, root: String,
+                    version: Long): (Set[String], Set[String]) = {
+    val props = tableProperties(spark, root, version).toMap
+    (generatedColumns(props).map(_._1).toSet,
+      identityColumns(props).map(_.col).toSet)
+  }
 
   /** (column → generation expr sql) recorded at `version` — the SQL
     * surface (INSERT alignment, DESCRIBE) reads through this. */
@@ -1842,10 +1864,17 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         Some(named.map(_._1))
       else None
     }
-    // ONE header read serves both write-shaping properties (bucket
-    // spec, optimized writes) — this is the hot write path.
+    // ONE header read serves every write-shaping property (bucket
+    // spec, optimized writes, sizing, generated/identity columns) —
+    // this is the hot write path. CONTENT writes (translate = true)
+    // read it LOUDLY: a swallowed transient failure here would
+    // silently skip identity allocation / generated computation /
+    // bucket stamping for this batch — null ids and unstamped files
+    // that no later read can repair. Layout rewrites tolerate the
+    // miss (they re-write rows as-is).
     val priorProps: Map[String, String] =
       if (v <= 1) Map.empty
+      else if (translate) tableProperties(spark, root, v - 1).toMap
       else scala.util.Try(tableProperties(spark, root, v - 1).toMap)
         .getOrElse(Map.empty)
     // Generated columns (graft.generated.*): a content batch missing
@@ -1871,14 +1900,25 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // OCC race re-allocates against the winner's mark and ids are
     // never duplicated or reused. Layout rewrites (translate = false)
     // re-write rows that already carry their ids.
+    var identityCache: Option[DataFrame] = None
     val dfg =
       if (!translate) dfg0
       else {
         val specs = identityColumns(priorProps)
         if (specs.isEmpty) dfg0
         else {
+          // ONE materialization serves the allocator's counting jobs
+          // AND the write below: without it a non-deterministic
+          // upstream could disagree between the count that advances
+          // the mark and the rows actually written (ghost or
+          // duplicate ids), and even a deterministic plan would
+          // recompute in full for every allocator job. Unpersisted
+          // right after the parquet write. Identity tables only.
+          val src = dfg0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          identityCache = Some(src)
           var allocs = Map.empty[String, Long]
-          val out = specs.foldLeft(dfg0) { case (d, s0) =>
+          val out = specs.foldLeft(src: DataFrame) { case (d, s0) =>
             val (d2, newLast) = assignIdentity(spark, d, s0)
             if (newLast != s0.last) allocs += s0.col -> newLast
             d2
@@ -1955,10 +1995,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           Some(math.max(1L, (t.toDouble * rows / bytes).toLong))
         else None
       }
-    maxRecords.foldLeft(physical.write.mode("error")) { (w, n) =>
+    try maxRecords.foldLeft(physical.write.mode("error")) { (w, n) =>
       w.option("maxRecordsPerFile", n)
     }.partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)
+    finally identityCache.foreach(_.unpersist(false))
     val f = fs(spark, root)
     // Walk exactly k directory levels, accumulating the partition
     // components (Hive-unescaped) and the on-disk subpath.

@@ -1307,6 +1307,26 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
       throw new IllegalStateException(
         s"no committed snapshot under $root — MERGE needs an existing " +
           "table (create one with df.write.format(\"graft-snapshot\"))"))
+    // GENERATED ALWAYS AS IDENTITY is allocator-owned on EVERY DML
+    // surface: a source column shadowing it would flow through
+    // UPDATE SET * / INSERT * into the target (arbitrary, possibly
+    // duplicate ids), and an explicit SET or INSERT column list is
+    // the same bypass spelled out. Matched rows inherit their ids;
+    // inserted rows allocate — drop the column from the source.
+    val identCols = SnapshotStore.identityColumnsAt(spark, root, cur).toSet
+    src.columns.filter(identCols).foreach(c =>
+      throw new IllegalArgumentException(
+        s"MERGE source carries identity column '$c' — GENERATED ALWAYS " +
+          "AS IDENTITY is allocator-owned; drop it from the source " +
+          "(matched rows keep their ids, inserted rows allocate)"))
+    clauses.foreach {
+      case GraftSqlParser.NotMatchedInsert(_, Some((cols, _)))
+        if cols.exists(c => identCols(c.stripPrefix("`").stripSuffix("`"))) =>
+        throw new IllegalArgumentException(
+          "MERGE INSERT column list names an identity column — " +
+            "GENERATED ALWAYS AS IDENTITY is allocator-owned; omit it")
+      case _ => ()
+    }
     val partCols = SnapshotStore.partitionColumns(spark, root, cur)
     if (partCols.isEmpty) throw new IllegalStateException(
       s"manifest v$cur under $root predates partition-column metadata; " +
@@ -1353,6 +1373,9 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
       .getOrElse("__graft_merge_src")
     val target = SnapshotStore.table(spark, root)
     val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val identSet = SnapshotStore.currentVersion(spark, root)
+      .map(SnapshotStore.identityColumnsAt(spark, root, _).toSet)
+      .getOrElse(Set.empty[String])
     val matchedClauses = clauses.collect {
       case u: MatchedUpdate => u: GraftSqlParser.MergeClause
       case d: MatchedDelete => d
@@ -1373,7 +1396,10 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
         // key/partition co-location contract, like the upsert path.
         require(!partCols.contains(c),
           s"$what cannot target partition column '$c' — " +
-            "UPDATE … SET moves rows across partitions; MERGE cannot") }
+            "UPDATE … SET moves rows across partitions; MERGE cannot")
+        require(!identSet(c),
+          s"$what cannot target identity column '$c' — GENERATED ALWAYS " +
+            "AS IDENTITY is allocator-owned") }
     matchedClauses.foreach {
       case MatchedUpdate(_, Some(set)) => validateSet(set, "MERGE UPDATE SET")
       case _ => ()
@@ -1842,9 +1868,7 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // ALWAYS AS IDENTITY refuses explicit values (Delta's contract:
     // the allocator owns the column), and an omitted one likewise
     // stays absent so the write path allocates.
-    val gens = SnapshotStore.generatedColumnsAt(spark, root, cur)
-      .map(_._1).toSet
-    val idents = SnapshotStore.identityColumnsAt(spark, root, cur).toSet
+    val (gens, idents) = SnapshotStore.autoColumnsAt(spark, root, cur)
     val auto = gens ++ idents
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {

@@ -134,6 +134,61 @@ class IdentityColumnSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("CREATE TABLE metadata"), e.getMessage)
   }
 
+  test("every other DML surface refuses explicit identity values too — UPDATE, DV UPDATE, MERGE source/SET, UNSET, RENAME, DROP") {
+    val root = freshRoot()
+    create(root)
+    src(0 until 20).createOrReplaceTempView("idsrc_guard")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_guard")
+    // UPDATE SET id — copy-on-write and merge-on-read paths.
+    val e1 = intercept[Exception](SnapshotStore.updateWhere(spark, root,
+      Seq("id" -> "42"), Some("k = 3")))
+    assert(e1.getMessage.contains("allocator-owned"), e1.getMessage)
+    val e2 = intercept[Exception](SnapshotStore.updateWhereDv(spark, root,
+      Seq("id" -> "42"), Some("k = 3")))
+    assert(e2.getMessage.contains("allocator-owned"), e2.getMessage)
+    // MERGE with a source CARRYING the column (would flow through
+    // SET * / INSERT *), and an explicit SET targeting it.
+    Seq((99L, 3L, "0")).toDF("id", "k", "part")
+      .createOrReplaceTempView("idsrc_carry")
+    val e3 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$root` USING idsrc_carry ON k = k " +
+        "WHEN MATCHED THEN UPDATE SET *"))
+    assert(e3.getMessage.contains("allocator-owned") ||
+      e3.getMessage.contains("identity"), e3.getMessage)
+    Seq((3L, "0")).toDF("k", "part").createOrReplaceTempView("idsrc_clean")
+    val e4 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$root` t USING idsrc_clean s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET id = 42"))
+    assert(e4.getMessage.contains("allocator-owned"), e4.getMessage)
+    // The record is CREATE TABLE metadata end to end.
+    val e5 = intercept[Exception](SnapshotStore.unsetProperties(spark, root,
+      Seq(s"${SnapshotStore.IdentityPropPrefix}id")))
+    assert(e5.getMessage.contains("cannot be UNSET"), e5.getMessage)
+    val e6 = intercept[Exception](
+      SnapshotStore.renameColumn(spark, root, "id", "oid"))
+    assert(e6.getMessage.contains("identity"), e6.getMessage)
+    val e7 = intercept[Exception](SnapshotStore.dropColumn(spark, root, "id"))
+    assert(e7.getMessage.contains("identity"), e7.getMessage)
+  }
+
+  test("a NON-EMPTY create (CTAS shape) allocates version 1's own rows and records the advanced mark") {
+    val root = freshRoot()
+    val df = src(0 until 25)
+      .withColumn("id", lit(null).cast("bigint"))
+      .select(col("id"), col("k"), col("part"))
+    val v = SnapshotStore.commitIfAbsent(spark, df, root, ColSpec(Seq("part")),
+      identity = Seq(("id", 1L, 1L)))
+    assert(v.contains(1L))
+    assert(ids(root) == (1L to 25L),
+      "v1's own rows must be allocated — the property lands in the " +
+        "same manifest, after the data exists")
+    // And the next batch continues from the recorded mark.
+    src(100 until 110).createOrReplaceTempView("idsrc_ctas2")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_ctas2")
+    assert(ids(root) == (1L to 35L))
+  }
+
   test("a garbled identity record fails loudly, never null-fills or re-allocates") {
     import org.apache.spark.sql.types._
     val garbled = Map(s"${SnapshotStore.IdentityPropPrefix}id" -> "start=1;stp=?")
