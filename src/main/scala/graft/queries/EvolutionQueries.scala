@@ -2621,6 +2621,84 @@ private[graft] object EvolutionQueries {
         CAST(n1 + n2 + n3 AS BIGINT) AS max_id,
         CAST((n1 + n2 + n3) * (n1 + n2 + n3 + 1) // 2
           - 7 * ((n1 + n2) // 7) * ((n1 + n2) // 7 + 1) // 2 AS BIGINT) AS sum_id
-      FROM c"""))
+      FROM c""")),
+
+    // EQUI-HEIGHT HISTOGRAM STATISTICS (E138, Spark's
+    // `spark.sql.statistics.histogram.enabled` contract): RANGE
+    // selectivity on a SKEWED column — 99% of dim values dense in
+    // [0, 100), 1% outliers at ~1e6+key — where NDV-uniform min/max
+    // interpolation estimates `v > 5e5` at ~50% of rows while the
+    // histogram bins see a near-empty range. A/B require-pinned
+    // in-query with a SELF-CALIBRATING threshold (a quarter of the
+    // no-histogram estimate, so the pin is SF-free): NDV-only stats →
+    // shuffle join stays; histogram ANALYZE → broadcast. Values are
+    // plan-invariant, oracled vs DuckDB's replay of the CASE.
+    ("q226_histogram_selectivity", (s: SparkSession, d: String) => {
+      import graft.sinks.{SnapshotStats, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q226").toString
+      val root = s"$dir/dim"
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          when(pmod(col("o_orderkey"), lit(100)) === 0,
+            lit(1000000L) + col("o_orderkey"))
+            .otherwise(pmod(col("o_custkey"), lit(100))).as("v"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        root, "part")
+      val fact = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag"), col("l_quantity"))
+      def q(): DataFrame = SnapshotStore.table(s, root)
+        .filter(col("v") > 500000L)
+        .join(fact, col("k") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sq"))
+        .orderBy(col("l_returnflag"))
+      SnapshotStats.analyze(s, root) // NDV/bounds only — no histogram
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      try {
+        val uniformEst = q().queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.stats.sizeInBytes
+        }.head
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (uniformEst / 4).max(BigInt(1)).toString)
+        try {
+          val noHist = q()
+          require(!noHist.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin"),
+            "uniform interpolation must overestimate the skewed range")
+          val offRows = noHist.collect().toSeq
+          s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+          try SnapshotStats.analyze(s, root)
+          finally s.conf.unset("spark.sql.statistics.histogram.enabled")
+          val hist = q()
+          require(hist.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin"),
+            "histogram bins must expose the near-empty range and flip " +
+              "the join to broadcast")
+          hist.persist(); hist.count()
+          require(hist.collect().toSeq == offRows,
+            "histograms steer plans, never results")
+          hist
+        } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.planStats.enabled")
+      }
+    }, Some("""
+      WITH dim AS (SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 100 = 0 THEN 1000000 + o_orderkey
+             ELSE o_custkey % 100 END AS v
+      FROM orders)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM dim JOIN lineitem ON k = l_orderkey
+      WHERE v > 500000
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
   )
 }

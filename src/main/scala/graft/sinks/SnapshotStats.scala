@@ -74,10 +74,14 @@ object SnapshotStats {
     * `CatalogColumnStat.toExternalString` form for the RUNNING Spark
     * version (recorded and replayed under `CatalogColumnStat.VERSION`,
     * so format and parse can never disagree) — the read side hands
-    * them to Spark verbatim. */
+    * them to Spark verbatim. `hist` is an equi-height histogram in
+    * `HistogramSerializer` form (base64-gzipped, Spark's own catalog
+    * encoding), recorded only when the ANALYZE session had
+    * `spark.sql.statistics.histogram.enabled` on. */
   case class ColStat(tpe: String, ndv: Long, nulls: Long,
                      min: Option[String], max: Option[String],
-                     avgLen: Option[Long], maxLen: Option[Long])
+                     avgLen: Option[Long], maxLen: Option[Long],
+                     hist: Option[String] = None)
 
   /** Whether the SESSION can consume the attach at all:
     * `LogicalRelation.computeStats` consults the catalog stats only
@@ -106,7 +110,10 @@ object SnapshotStats {
       "min=" + c.min.map(URLEncoder.encode(_, UTF_8)).getOrElse(""),
       "max=" + c.max.map(URLEncoder.encode(_, UTF_8)).getOrElse(""),
       "avgLen=" + c.avgLen.map(_.toString).getOrElse(""),
-      "maxLen=" + c.maxLen.map(_.toString).getOrElse("")).mkString("|")
+      "maxLen=" + c.maxLen.map(_.toString).getOrElse("")).mkString("|") +
+      // Appended (not a fixed field) so pre-histogram records decode
+      // unchanged and histogram-less records stay byte-identical.
+      c.hist.map(h => "|hist=" + URLEncoder.encode(h, UTF_8)).getOrElse("")
 
   /** None on an unrecognized shape: a garbled estimate must degrade to
     * "no stats" (plans fall back to size-only costing), never break
@@ -126,7 +133,8 @@ object SnapshotStats {
     } yield ColStat(tpe, ndv, nulls,
       opt("min").map(URLDecoder.decode(_, UTF_8)),
       opt("max").map(URLDecoder.decode(_, UTF_8)),
-      opt("avgLen").map(_.toLong), opt("maxLen").map(_.toLong))
+      opt("avgLen").map(_.toLong), opt("maxLen").map(_.toLong),
+      opt("hist").map(URLDecoder.decode(_, UTF_8)))
     catch {
       // URLDecoder throws IllegalArgumentException on a torn %-escape
       // — that garbled ENTRY must shed like a garbled number, not
@@ -204,6 +212,86 @@ object SnapshotStats {
         case v => v
       }, colName, dt))
     }
+    // EQUI-HEIGHT HISTOGRAMS (Spark's `spark.sql.statistics.histogram
+    // .enabled` contract, E138): when the session opts in, ordered
+    // (numeric/date/timestamp) columns additionally record Spark's own
+    // `Histogram` — the statistic that makes RANGE selectivity honest
+    // on skew, where NDV-uniform interpolation can be off by orders of
+    // magnitude. Same two extra scans vanilla ANALYZE pays: one
+    // percentile pass for the bin endpoints (all columns in ONE agg),
+    // one ApproxCountDistinctForIntervals pass for per-bin NDVs — both
+    // over the internal numeric form (`boundExpr`'s days/micros
+    // mapping, the same convention FilterEstimation converts predicate
+    // literals with). Degenerate columns (all null) record no
+    // histogram; NDV/bounds still ride.
+    val histEnabled = spark.conf
+      .get("spark.sql.statistics.histogram.enabled", "false")
+      .equalsIgnoreCase("true")
+    val histTargets = targets.zipWithIndex.filter { case (f, _) =>
+      f.dataType match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      }
+    }
+    val histograms: Map[Int, String] =
+      if (!histEnabled || histTargets.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+        import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin, HistogramSerializer}
+        import org.apache.spark.sql.graftshim.Shim
+        val numBins = math.max(2, spark.conf
+          .get("spark.sql.statistics.histogram.numBins", "254").toInt)
+        def internalDouble(f: StructField) =
+          boundExpr(f.name, f.dataType, identity).cast("double")
+        val pcts = array((0 to numBins).map(j =>
+          lit(j.toDouble / numBins)): _*)
+        val epAggs = histTargets.map { case (f, i) =>
+          percentile_approx(internalDouble(f), pcts, lit(10000)).as(s"ep_$i") }
+        val epRow = df.agg(epAggs.head, epAggs.tail: _*).collect()(0)
+        val endpointsByIdx: Map[Int, Array[Double]] = histTargets.flatMap {
+          case (_, i) =>
+            val at = epRow.fieldIndex(s"ep_$i")
+            if (epRow.isNullAt(at)) None
+            else {
+              val eps = epRow.getSeq[Any](at).map {
+                case null => Double.NaN
+                case d: Double => d
+                case n: Number => n.doubleValue()
+              }.toArray
+              if (eps.length == numBins + 1 && !eps.exists(_.isNaN))
+                Some(i -> eps)
+              else None
+            }
+        }.toMap
+        if (endpointsByIdx.isEmpty) Map.empty
+        else {
+          val ndvAggs = endpointsByIdx.toSeq.sortBy(_._1).map { case (i, eps) =>
+            val f = targets(i)
+            val acdi = new ApproxCountDistinctForIntervals(
+              Shim.eagerExpression(internalDouble(f)),
+              Literal.create(eps, ArrayType(DoubleType)))
+            Shim.column(acdi.toAggregateExpression()).as(s"binndv_$i")
+          }
+          val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect()(0)
+          endpointsByIdx.flatMap { case (i, eps) =>
+            val at = ndvRow.fieldIndex(s"binndv_$i")
+            if (ndvRow.isNullAt(at)) None
+            else {
+              val binNdvs = ndvRow.getSeq[Long](at)
+              if (binNdvs.length != numBins) None
+              else {
+                val nonNull = row.getLong(row.fieldIndex("live_rows")) -
+                  lng(s"nulls_$i").getOrElse(0L)
+                val bins = (0 until numBins).map(b =>
+                  HistogramBin(eps(b), eps(b + 1), binNdvs(b))).toArray
+                Some(i -> HistogramSerializer.serialize(
+                  Histogram(nonNull.toDouble / numBins, bins)))
+              }
+            }
+          }
+        }
+      }
     val stats = targets.zipWithIndex.map { case (f, i) =>
       val (mn, mx, al, ml) = f.dataType match {
         case StringType | BinaryType =>
@@ -213,7 +301,7 @@ object SnapshotStats {
       }
       f.name -> ColStat(f.dataType.catalogString,
         lng(s"ndv_$i").getOrElse(0L), lng(s"nulls_$i").getOrElse(0L),
-        mn, mx, al, ml)
+        mn, mx, al, ml, histograms.get(i))
     }
     // Keyed by PHYSICAL column name: physical identity is stable
     // across renames, so stats recorded before an `ALTER … RENAME`
@@ -257,7 +345,12 @@ object SnapshotStats {
         min = st.min, max = st.max,
         nullCount = Some(BigInt(st.nulls)),
         avgLen = st.avgLen, maxLen = st.maxLen,
-        histogram = None, version = CatalogColumnStat.VERSION)
+        // A torn histogram sheds ALONE — NDV/bounds still cost the
+        // column (the conservative direction for a plans-only input).
+        histogram = st.hist.flatMap(h => scala.util.Try(
+          org.apache.spark.sql.catalyst.plans.logical.HistogramSerializer
+            .deserialize(h)).toOption),
+        version = CatalogColumnStat.VERSION)
     }.toMap
 
   /** The `CatalogTable` attached to a read relation of (root,

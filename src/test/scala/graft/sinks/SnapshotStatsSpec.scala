@@ -300,4 +300,114 @@ class SnapshotStatsSpec extends graft.SparkSpec {
       assert(g.distinctCount.contains(BigInt(3)))
     }
   }
+
+  private def withHistograms[A](bins: Int)(body: => A): A = {
+    spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    spark.conf.set("spark.sql.statistics.histogram.numBins", bins.toString)
+    try body finally {
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
+      spark.conf.unset("spark.sql.statistics.histogram.numBins")
+    }
+  }
+
+  test("histograms: recorded only under the session flag, equi-height over the live rows, round-tripped to plan stats") {
+    val root = freshRoot()
+    seed(root, 200)
+    // Flag OFF (the default): no histogram recorded, plans unchanged.
+    SnapshotStats.analyze(spark, root)
+    withCbo {
+      val cs = colStat(SnapshotStore.table(spark, root), "k").get
+      assert(cs.histogram.isEmpty,
+        "without the session flag ANALYZE must not pay the histogram scans")
+    }
+    // Flag ON: ordered columns get Spark's own equi-height Histogram;
+    // strings never do (no ordering to bin).
+    withHistograms(bins = 8) { SnapshotStats.analyze(spark, root) }
+    withCbo {
+      val t = SnapshotStore.table(spark, root)
+      val k = colStat(t, "k").get
+      assert(k.histogram.isDefined, "numeric column must record a histogram")
+      val h = k.histogram.get
+      assert(h.bins.length == 8, s"recorded numBins must replay: ${h.bins.length}")
+      assert(math.abs(h.height * h.bins.length - 200.0) <= 1.0,
+        s"equi-height: height × bins ≈ non-null rows, got ${h.height}")
+      assert(h.bins.head.lo == 0.0 && h.bins.last.hi == 199.0,
+        s"bin endpoints must span the live range: " +
+          s"${h.bins.head.lo}..${h.bins.last.hi}")
+      assert(h.bins.forall(b => b.lo <= b.hi && b.ndv >= 1),
+        "bins must be ordered with live NDVs")
+      // Date/timestamp bin in their INTERNAL numeric form (days /
+      // micros) — the convention FilterEstimation converts predicate
+      // literals with.
+      val d = colStat(t, "d").get
+      assert(d.histogram.isDefined, "date column must record a histogram")
+      assert(d.histogram.get.bins.head.lo == 1000.0,
+        s"date bins are epoch days, got ${d.histogram.get.bins.head.lo}")
+      assert(colStat(t, "name").get.histogram.isEmpty,
+        "string columns have no ordering to bin — never a histogram")
+    }
+  }
+
+  test("histograms fix RANGE selectivity on skew: the same filter flips to broadcast only once bins see the gap") {
+    val root = freshRoot()
+    // SKEWED value column: 99% of rows dense in [0, 100), 1% outliers
+    // at ~1e6 — uniform min/max interpolation estimates `v > 5e5` at
+    // ~50% of rows; the histogram knows the range is nearly empty.
+    val df = (0 until 5000).map { i =>
+      (i.toLong,
+        if (i % 100 == 0) 1000000L + i else (i % 100).toLong,
+        (i % 4).toString)
+    }.toDF("k", "v", "part")
+    SnapshotStore.commit(spark, df, root, "part")
+    val fact = (0 until 5000).map(i => (i.toLong, (i % 13).toLong))
+      .toDF("fk", "m")
+    def q(): DataFrame = SnapshotStore.table(spark, root)
+      .filter(col("v") > 500000L)
+      .join(fact, col("k") === col("fk"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+    val expected = q().collect().toSeq // plain run, no CBO — ground truth
+    SnapshotStats.analyze(spark, root)
+    withCbo {
+      // Self-calibrating threshold: a quarter of the NDV-only
+      // (uniform-interpolation) estimate of the filtered dim — so the
+      // no-histogram plan must NOT broadcast at any SF, and only a
+      // ~100× tighter histogram estimate can cross under it.
+      val uniformEst = q().queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.stats.sizeInBytes
+      }.head
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (uniformEst / 4).max(BigInt(1)).toString)
+      try {
+        val noHist = q()
+        assert(!noHist.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "uniform interpolation must overestimate the skewed range " +
+            "and keep the shuffle join")
+        withHistograms(bins = 64) { SnapshotStats.analyze(spark, root) }
+        val hist = q()
+        assert(hist.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          s"histogram bins must expose the near-empty range and flip " +
+            s"to broadcast:\n${hist.queryExecution.executedPlan}")
+        assert(hist.collect().toSeq == expected &&
+          noHist.collect().toSeq == expected,
+          "histograms steer plans, never results")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("a torn histogram record sheds alone — NDV and bounds still cost the column") {
+    val stat = SnapshotStats.ColStat("bigint", 10, 0, Some("0"), Some("9"),
+      None, None, Some("NOT-A-HISTOGRAM"))
+    val decoded = SnapshotStats.decode(SnapshotStats.encode(stat))
+    assert(decoded.exists(_.hist.contains("NOT-A-HISTOGRAM")),
+      "encode/decode round-trips the payload verbatim")
+    import org.apache.spark.sql.types._
+    val out = SnapshotStats.recordedColStats(
+      Map("graft.stats.col.v" -> SnapshotStats.encode(stat)),
+      StructType(Seq(StructField("v", LongType))), Set.empty)
+    assert(out.contains("v"), "the column's stats must survive")
+    assert(out("v").histogram.isEmpty, "the torn histogram must shed alone")
+    assert(out("v").distinctCount.contains(BigInt(10)))
+  }
 }
