@@ -946,7 +946,12 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
                   .filter(n => fields.get(n).exists(SnapshotStats.supportsType))
                 if (mapped.isEmpty) None else Some(Some(mapped))
             }
-          replay.foreach(sel => SnapshotStats.analyze(spark, root, sel))
+          // The HISTOGRAM intent replays from the record too — the
+          // rider session's conf is irrelevant; without this, one
+          // drift refresh would silently strip every histogram the
+          // explicit ANALYZE recorded.
+          replay.foreach(sel => SnapshotStats.analyze(spark, root, sel,
+            histBinsOverride = SnapshotStats.recordedHistBins(props)))
         }
       }
     }

@@ -61,6 +61,17 @@ object SnapshotStats {
     * them back through the then-current column mapping. */
   val AnalyzedColsProp = "graft.stats.analyzed.cols"
 
+  /** The histogram intent of the last ANALYZE (bin count; empty =
+    * none), replayed by the auto-analyze rider so a drift refresh
+    * never strips recorded histograms. */
+  val AnalyzedHistBinsProp = "graft.stats.analyzed.histBins"
+
+  /** Decode [[AnalyzedHistBinsProp]] — garbage sheds to None (the
+    * refresh then records NDV/bounds only, conservative). */
+  private[sinks] def recordedHistBins(props: Map[String, String]): Option[Int] =
+    props.get(AnalyzedHistBinsProp).filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 2)
+
   private val ColPrefix = "graft.stats.col."
 
   /** Decode [[AnalyzedColsProp]] back into [[analyze]]'s `cols` —
@@ -134,7 +145,10 @@ object SnapshotStats {
       opt("min").map(URLDecoder.decode(_, UTF_8)),
       opt("max").map(URLDecoder.decode(_, UTF_8)),
       opt("avgLen").map(_.toLong), opt("maxLen").map(_.toLong),
-      opt("hist").map(URLDecoder.decode(_, UTF_8)))
+      // Its OWN Try: a torn %-escape in the appended histogram must
+      // shed the histogram alone, not take NDV/bounds with it.
+      opt("hist").flatMap(h =>
+        scala.util.Try(URLDecoder.decode(h, UTF_8)).toOption))
     catch {
       // URLDecoder throws IllegalArgumentException on a torn %-escape
       // — that garbled ENTRY must shed like a garbled number, not
@@ -166,7 +180,8 @@ object SnapshotStats {
     * validates existence and support loudly (analyzing a misspelled
     * column must not silently no-op). */
   def analyze(spark: SparkSession, root: String,
-              cols: Option[Seq[String]] = None): (Long, Seq[String]) = {
+              cols: Option[Seq[String]] = None,
+              histBinsOverride: Option[Int] = None): (Long, Seq[String]) = {
     val cur = SnapshotStore.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val df = SnapshotStore.table(spark, root, Some(cur))
@@ -185,7 +200,71 @@ object SnapshotStats {
     }
     require(targets.nonEmpty,
       s"ANALYZE: no supported columns under $root — nothing to record")
-    val aggs = count(lit(1)).as("live_rows") +:
+    // EQUI-HEIGHT HISTOGRAMS (Spark's `spark.sql.statistics.histogram
+    // .enabled` contract, E138): when the session opts in — or the
+    // auto-analyze rider replays a RECORDED intent
+    // ([[AnalyzedHistBinsProp]] → `histBinsOverride`) — ordered
+    // (numeric/date/timestamp) columns additionally record Spark's own
+    // `Histogram`: the statistic that makes RANGE selectivity honest
+    // on skew, where NDV-uniform interpolation can be off by orders of
+    // magnitude. Cost matches vanilla ANALYZE exactly: ONE percentile
+    // pass for the bin endpoints (all columns in one agg), then the
+    // per-bin `ApproxCountDistinctForIntervals` aggregates RIDE THE
+    // MAIN stats pass — two scans total, paid only under the flag.
+    // Everything bins over the internal numeric form (`boundExpr`'s
+    // days/micros mapping, the same convention FilterEstimation
+    // converts predicate literals with). Degenerate columns (all
+    // null) record no histogram; NDV/bounds still ride.
+    val histBins: Option[Int] = histBinsOverride.orElse {
+      if (spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
+          .equalsIgnoreCase("true"))
+        Some(spark.conf.get("spark.sql.statistics.histogram.numBins", "254").toInt)
+      else None
+    }.map(b => math.max(2, b))
+    val histTargets =
+      if (histBins.isEmpty) Nil
+      else targets.zipWithIndex.filter { case (f, _) =>
+        f.dataType match {
+          case _: NumericType | DateType | TimestampType => true
+          case _ => false
+        }
+      }
+    def internalDouble(f: StructField) =
+      boundExpr(f.name, f.dataType, identity).cast("double")
+    // Histogram pass 1 of 2: equi-percentile bin endpoints.
+    val endpointsByIdx: Map[Int, Array[Double]] =
+      if (histTargets.isEmpty) Map.empty
+      else {
+        val n = histBins.get
+        val pcts = array((0 to n).map(j => lit(j.toDouble / n)): _*)
+        val epAggs = histTargets.map { case (f, i) =>
+          percentile_approx(internalDouble(f), pcts, lit(10000)).as(s"ep_$i") }
+        val epRow = df.agg(epAggs.head, epAggs.tail: _*).collect()(0)
+        histTargets.flatMap { case (_, i) =>
+          val at = epRow.fieldIndex(s"ep_$i")
+          if (epRow.isNullAt(at)) None
+          else {
+            val eps = epRow.getSeq[Any](at).map {
+              case null => Double.NaN
+              case d: Double => d
+              case x: Number => x.doubleValue()
+            }.toArray
+            if (eps.length == n + 1 && !eps.exists(_.isNaN)) Some(i -> eps)
+            else None
+          }
+        }.toMap
+      }
+    // Main pass: base stats + (histogram pass 2 of 2) per-bin NDVs.
+    val ndvAggs = endpointsByIdx.toSeq.sortBy(_._1).map { case (i, eps) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+      import org.apache.spark.sql.graftshim.Shim
+      val acdi = new ApproxCountDistinctForIntervals(
+        Shim.eagerExpression(internalDouble(targets(i))),
+        Literal.create(eps, ArrayType(DoubleType)))
+      Shim.column(acdi.toAggregateExpression()).as(s"binndv_$i")
+    }
+    val aggs = (count(lit(1)).as("live_rows") +:
       targets.zipWithIndex.flatMap { case (f, i) =>
       val base = Seq(
         approx_count_distinct(col(f.name)).as(s"ndv_$i"),
@@ -198,7 +277,7 @@ object SnapshotStats {
           boundExpr(f.name, dt, min).as(s"min_$i"),
           boundExpr(f.name, dt, max).as(s"max_$i"))
       }
-    }
+    }) ++ ndvAggs
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     def lng(n: String): Option[Long] = {
       val i = row.fieldIndex(n)
@@ -212,86 +291,24 @@ object SnapshotStats {
         case v => v
       }, colName, dt))
     }
-    // EQUI-HEIGHT HISTOGRAMS (Spark's `spark.sql.statistics.histogram
-    // .enabled` contract, E138): when the session opts in, ordered
-    // (numeric/date/timestamp) columns additionally record Spark's own
-    // `Histogram` — the statistic that makes RANGE selectivity honest
-    // on skew, where NDV-uniform interpolation can be off by orders of
-    // magnitude. Same two extra scans vanilla ANALYZE pays: one
-    // percentile pass for the bin endpoints (all columns in ONE agg),
-    // one ApproxCountDistinctForIntervals pass for per-bin NDVs — both
-    // over the internal numeric form (`boundExpr`'s days/micros
-    // mapping, the same convention FilterEstimation converts predicate
-    // literals with). Degenerate columns (all null) record no
-    // histogram; NDV/bounds still ride.
-    val histEnabled = spark.conf
-      .get("spark.sql.statistics.histogram.enabled", "false")
-      .equalsIgnoreCase("true")
-    val histTargets = targets.zipWithIndex.filter { case (f, _) =>
-      f.dataType match {
-        case _: NumericType | DateType | TimestampType => true
-        case _ => false
-      }
-    }
-    val histograms: Map[Int, String] =
-      if (!histEnabled || histTargets.isEmpty) Map.empty
+    val histograms: Map[Int, String] = endpointsByIdx.flatMap { case (i, eps) =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin, HistogramSerializer}
+      val n = histBins.get
+      val at = row.fieldIndex(s"binndv_$i")
+      if (row.isNullAt(at)) None
       else {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
-        import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin, HistogramSerializer}
-        import org.apache.spark.sql.graftshim.Shim
-        val numBins = math.max(2, spark.conf
-          .get("spark.sql.statistics.histogram.numBins", "254").toInt)
-        def internalDouble(f: StructField) =
-          boundExpr(f.name, f.dataType, identity).cast("double")
-        val pcts = array((0 to numBins).map(j =>
-          lit(j.toDouble / numBins)): _*)
-        val epAggs = histTargets.map { case (f, i) =>
-          percentile_approx(internalDouble(f), pcts, lit(10000)).as(s"ep_$i") }
-        val epRow = df.agg(epAggs.head, epAggs.tail: _*).collect()(0)
-        val endpointsByIdx: Map[Int, Array[Double]] = histTargets.flatMap {
-          case (_, i) =>
-            val at = epRow.fieldIndex(s"ep_$i")
-            if (epRow.isNullAt(at)) None
-            else {
-              val eps = epRow.getSeq[Any](at).map {
-                case null => Double.NaN
-                case d: Double => d
-                case n: Number => n.doubleValue()
-              }.toArray
-              if (eps.length == numBins + 1 && !eps.exists(_.isNaN))
-                Some(i -> eps)
-              else None
-            }
-        }.toMap
-        if (endpointsByIdx.isEmpty) Map.empty
+        val binNdvs = row.getSeq[Long](at)
+        if (binNdvs.length != n) None
         else {
-          val ndvAggs = endpointsByIdx.toSeq.sortBy(_._1).map { case (i, eps) =>
-            val f = targets(i)
-            val acdi = new ApproxCountDistinctForIntervals(
-              Shim.eagerExpression(internalDouble(f)),
-              Literal.create(eps, ArrayType(DoubleType)))
-            Shim.column(acdi.toAggregateExpression()).as(s"binndv_$i")
-          }
-          val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).collect()(0)
-          endpointsByIdx.flatMap { case (i, eps) =>
-            val at = ndvRow.fieldIndex(s"binndv_$i")
-            if (ndvRow.isNullAt(at)) None
-            else {
-              val binNdvs = ndvRow.getSeq[Long](at)
-              if (binNdvs.length != numBins) None
-              else {
-                val nonNull = row.getLong(row.fieldIndex("live_rows")) -
-                  lng(s"nulls_$i").getOrElse(0L)
-                val bins = (0 until numBins).map(b =>
-                  HistogramBin(eps(b), eps(b + 1), binNdvs(b))).toArray
-                Some(i -> HistogramSerializer.serialize(
-                  Histogram(nonNull.toDouble / numBins, bins)))
-              }
-            }
-          }
+          val nonNull = row.getLong(row.fieldIndex("live_rows")) -
+            lng(s"nulls_$i").getOrElse(0L)
+          val bins = (0 until n).map(b =>
+            HistogramBin(eps(b), eps(b + 1), binNdvs(b))).toArray
+          Some(i -> HistogramSerializer.serialize(
+            Histogram(nonNull.toDouble / n, bins)))
         }
       }
+    }
     val stats = targets.zipWithIndex.map { case (f, i) =>
       val (mn, mx, al, ml) = f.dataType match {
         case StringType | BinaryType =>
@@ -311,6 +328,11 @@ object SnapshotStats {
     val props = Seq(
       AnalyzedVersionProp -> cur.toString,
       AnalyzedRowsProp -> row.getLong(row.fieldIndex("live_rows")).toString,
+      // Histograms are part of the recorded ANALYZE intent: the
+      // auto-analyze rider replays THIS, not the rider session's
+      // conf — otherwise one drift-triggered refresh would silently
+      // strip every histogram the explicit ANALYZE recorded.
+      AnalyzedHistBinsProp -> histBins.map(_.toString).getOrElse(""),
       AnalyzedColsProp -> cols.toSeq.flatten
         .map(c => URLEncoder.encode(
           SnapshotStore.physicalNameOf(renames, c), UTF_8)).mkString(",")) ++

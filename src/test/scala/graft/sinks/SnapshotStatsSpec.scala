@@ -409,5 +409,46 @@ class SnapshotStatsSpec extends graft.SparkSpec {
     assert(out.contains("v"), "the column's stats must survive")
     assert(out("v").histogram.isEmpty, "the torn histogram must shed alone")
     assert(out("v").distinctCount.contains(BigInt(10)))
+    // A torn %-ESCAPE in the hist field (truncated property) must also
+    // shed alone — not take NDV/bounds with it through the decoder.
+    val torn = SnapshotStats.encode(stat.copy(hist = None)) + "|hist=H4sIA%2"
+    val out2 = SnapshotStats.recordedColStats(
+      Map("graft.stats.col.v" -> torn),
+      StructType(Seq(StructField("v", LongType))), Set.empty)
+    assert(out2.contains("v") && out2("v").histogram.isEmpty &&
+      out2("v").distinctCount.contains(BigInt(10)),
+      "a torn escape in hist must shed the histogram alone")
+  }
+
+  test("the auto-analyze rider replays the HISTOGRAM intent — a drift refresh never strips recorded bins") {
+    val root = freshRoot()
+    seed(root, 200)
+    withHistograms(bins = 8) { SnapshotStats.analyze(spark, root) }
+    SnapshotStore.setProperties(spark, root, Seq(
+      SnapshotStore.AutoAnalyzeProp -> "1"))
+    // A >1% append from a session with the histogram flag OFF: the
+    // rider must replay the RECORDED intent, not this session's conf.
+    SnapshotStore.appendCommit(spark,
+      (1000 until 1100).map { i =>
+        (i.toLong, s"name_$i", (i % 7).toString, i % 2 == 0,
+          new java.math.BigDecimal(s"$i.25"),
+          Date.valueOf(java.time.LocalDate.ofEpochDay(1000 + i)),
+          new Timestamp(1700000000000L + i * 1000L))
+      }.toDF("k", "name", "part", "flag", "price", "d", "ts")
+        .withColumn("price", col("price").cast("decimal(12,2)")),
+      root, "part")
+    val props = SnapshotStore.tablePropertiesMap(spark, root)
+    assert(props(SnapshotStats.AnalyzedRowsProp).toLong == 300,
+      "the drift rider must have re-analyzed")
+    withCbo {
+      val k = colStat(SnapshotStore.table(spark, root), "k").get
+      assert(k.histogram.isDefined,
+        "the refresh must keep recording histograms — the intent is " +
+          "the TABLE's, not the rider session's")
+      assert(k.histogram.get.bins.length == 8,
+        s"and with the recorded bin count, got ${k.histogram.get.bins.length}")
+      assert(k.histogram.get.bins.last.hi == 1099.0,
+        "over the POST-append live range")
+    }
   }
 }
