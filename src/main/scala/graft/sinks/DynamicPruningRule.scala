@@ -44,16 +44,6 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *   - a nondeterministic dim subtree: the probe and the join would
   *     evaluate it twice and could disagree, so a pushed In-list
   *     might drop fact rows the join-time dim still matches;
-  *   - a dim whose LEAVES are not immutable-by-construction (graft
-  *     snapshot scans pinned to a version, literal/local relations,
-  *     cached InMemoryRelations). The probe runs at OPTIMIZATION time
-  *     and freezes its keys into the plan; a dim over a mutable
-  *     source (an overwritable parquet directory, a refreshed view)
-  *     could change between planning and a cached Dataset's
-  *     re-execution, and the frozen In-list would then silently drop
-  *     fact rows the live join would match. Version-pinned snapshots
-  *     make the planning-time probe sound — the same reasoning that
-  *     lets Delta's DFP trust its own table versions;
   *   - streaming subtrees, join keys that do not resolve through
   *     direct aliases to the scan's own output (a computed key cannot
   *     reach the sidecar stats), and type-mismatched keys (Catalyst
@@ -67,6 +57,28 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * An empty (post-filter) dim injects `false` — the inner/semi join
   * is empty by definition and Catalyst's empty-relation propagation
   * collapses the whole subtree.
+  *
+  * PROBE SCHEDULING (E139): an IMMUTABLE dim — version-pinned graft
+  * scans, literal/local relations, caches over those (recursively:
+  * a lost cache block recomputes from source, so the cache is only
+  * as stable as what it caches) — probes at OPTIMIZATION time and
+  * freezes the In-list into the plan, where every later rule,
+  * row-group filter, and EXPLAIN sees it (the fast path). Any OTHER
+  * deterministic batch dim — a filtered plain-parquet directory, the
+  * most common dim shape in a mixed lake — engages at EXECUTION time
+  * instead: the fact scan's [[GraftFileIndex]] gets a
+  * [[GraftFileIndex.withRuntimeProbe]] rider that runs the same
+  * bounded probe over the join's own captured dim subtree when the
+  * physical scan first lists its files, after which the ordinary
+  * stats/Bloom translation prunes the listing. Nothing freezes at
+  * planning, so a dim overwritten between planning and a cached
+  * plan's (re-)execution cannot strand stale keys — the same
+  * soundness argument as Spark's own DPP, extended to data columns
+  * (which OSS FileSourceScanExec cannot runtime-prune on its own).
+  * Delta's DFP runs this probe as a physical-planning subquery;
+  * riding the FileIndex reaches the identical listing decision
+  * through the machinery every other skipping feature here already
+  * uses.
   *
   * COMPOSITE equi-keys: the rule probes the candidate key with the
   * highest recorded NDV (the last ANALYZE's column stats, free at
@@ -180,49 +192,66 @@ case class DynamicPruningRule(spark: SparkSession)
       case _ => None
     }
 
-  /** The selective-dim gate + safety gates: batch, deterministic
-    * everywhere (the probe is a SECOND evaluation of this subtree),
-    * and visibly filtered — or a literal relation, possibly under the
-    * bare Project column pruning leaves behind mid-batch.
-    *
-    * "Filtered" means a filter with at least one conjunct BEYOND
-    * IsNotNull: InferFiltersFromConstraints stamps
-    * `IsNotNull(joinKey)` onto every inner equi-join's children
-    * before this rule runs, so counting those would make EVERY
-    * unfiltered dim "selective" and fire a wasted planning-time probe
-    * (plus an unselective In-list) on every plain join. */
-  private def dimQualifies(p: LogicalPlan): Boolean = {
+  /** How a qualifying dim side may be probed:
+    * [[DynamicPruningRule.PlanTime]] = immutable-by-construction
+    * leaves, keys frozen into the plan at optimization (the fast
+    * path); [[DynamicPruningRule.RunTime]] = anything else sound —
+    * the probe defers to scan time via
+    * [[GraftFileIndex.withRuntimeProbe]], so a MUTABLE dim (plain
+    * parquet, the most common shape in a mixed lake) engages too. */
+  private def dimMode(p: LogicalPlan): Option[DimMode] = {
     def core(q: LogicalPlan): LogicalPlan = q match {
       case Project(list, child) if list.forall(_.deterministic) => core(child)
       case other => other
     }
+    // "Filtered" means a filter with at least one conjunct BEYOND
+    // IsNotNull: InferFiltersFromConstraints stamps
+    // `IsNotNull(joinKey)` onto every inner equi-join's children
+    // before this rule runs, so counting those would make EVERY
+    // unfiltered dim "selective" and fire a wasted probe (plus an
+    // unselective In-list) on every plain join.
     def selective(f: Filter): Boolean =
       splitConjunctivePredicates(f.condition).exists {
         case IsNotNull(_) => false
         case _ => true
       }
-    // Immutability gate: the probe's keys FREEZE into the plan at
+    // Plan-time eligibility: the probe's keys FREEZE into the plan at
     // optimization time, so every dim leaf must be a source that
     // cannot change under a cached/re-executed Dataset — a literal
-    // relation, a cached in-memory relation, or a version-pinned
-    // graft snapshot scan. A plain parquet directory (overwritable
-    // between planning and re-execution) is refused: result-identity
-    // would otherwise depend on the dim holding still.
+    // relation, or a version-pinned graft snapshot scan. A CACHED
+    // relation qualifies only when the plan it caches is itself
+    // immutable (recursively): Spark caches are best-effort — a lost
+    // block recomputes from the (possibly rewritten) source, which
+    // would put a cached-over-mutable-parquet dim out of sync with
+    // keys frozen at planning. Anything mutable still engages, at
+    // RUN time.
+    def immutablePhysical(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      q.collectLeaves().forall {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.isInstanceOf[GraftFileIndex]
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _: org.apache.spark.sql.execution.RangeExec => true
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          immutablePhysical(im.relation.cachedPlan)
+        case _ => false
+      }
     def immutable(q: LogicalPlan): Boolean = q.collectLeaves().forall {
       case _: LocalRelation | _: OneRowRelation => true
       case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
-      case _: InMemoryRelation => true
+      case imr: InMemoryRelation => immutablePhysical(imr.cachedPlan)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.isInstanceOf[GraftFileIndex]
       case _ => false
     }
-    !p.isStreaming &&
+    val qualifies = !p.isStreaming &&
       p.collectFirst {
         case n if n.expressions.exists(e => !e.deterministic) => n
       }.isEmpty &&
-      immutable(p) &&
       (p.collectFirst { case f: Filter if selective(f) => f }.isDefined ||
         core(p).isInstanceOf[LocalRelation])
+    if (!qualifies) None
+    else if (immutable(p)) Some(PlanTime)
+    else Some(RunTime)
   }
 
   /** A key-membership predicate already on the fact path means the
@@ -269,11 +298,13 @@ case class DynamicPruningRule(spark: SparkSession)
     val conjuncts = splitConjunctivePredicates(cond)
     val candidates = for {
       (factChild, dimChild) <- orientations
-      if !factChild.isStreaming && dimQualifies(dimChild)
+      if !factChild.isStreaming
+      mode <- dimMode(dimChild).toSeq
       (_, idx, onPath) <- factCore(factChild, Nil).toSeq
       // ALL resolvable equi-keys of this join (composite keys give
-      // several); one In-list per join — any key already pruned means
-      // a prior iteration (or the user) handled it, so the whole
+      // several); one probe per join and key — any key already pruned
+      // (an In-list from a prior iteration, a user's own equality, or
+      // a runtime rider already on the index) means the whole
       // orientation stands down, keeping the rewrite idempotent.
       resolved = conjuncts.collect {
         case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -284,26 +315,62 @@ case class DynamicPruningRule(spark: SparkSession)
         resolveToScan(factChild, f.exprId).map(sk => (f, dk, sk))
       }
       if resolved.nonEmpty &&
-        !resolved.exists { case (f, _, sk) => alreadyPruned(onPath, f, sk) }
-      (factKey, dimKey, _) <- Seq(pickKey(resolved, idx))
-    } yield (factChild, dimChild, idx, factKey, dimKey)
+        !resolved.exists { case (f, _, sk) =>
+          alreadyPruned(onPath, f, sk) || idx.probeKeyNames.contains(sk.name) }
+      keyTriple <- Seq(pickKey(resolved, idx))
+    } yield (factChild, dimChild, idx, keyTriple, mode)
     // Both sides graft-indexed and both orientations valid: prune the
     // LARGER fact — that is where skipping pays.
     val chosen = candidates.sortBy(-_._3.sizeInBytes).headOption
-    chosen.map { case (factChild, dimChild, _, factKey, dimKey) =>
+    chosen.map { case (factChild, dimChild, idx, (factKey, dimKey, scanKey), mode) =>
       val bound = maxKeys
-      val keys = probe(dimChild, dimKey, bound)
-      if (keys.length > bound) j.setTagValue(RefusedTag, true)
-      val filtered =
-        if (keys.length > bound) factChild // over-limit: ALL files, no partial filter
-        else if (keys.isEmpty) Filter(Literal(false), factChild)
-        else Filter(
-          In(factKey, keys.toIndexedSeq.map(Literal.create(_, dimKey.dataType))),
-          factChild)
-      if (filtered eq factChild) j
-      else if (factChild eq j.left) j.copy(left = filtered)
-      else j.copy(right = filtered)
+      mode match {
+        case PlanTime =>
+          val keys = probe(dimChild, dimKey, bound)
+          if (keys.length > bound) j.setTagValue(RefusedTag, true)
+          val filtered =
+            if (keys.length > bound) factChild // over-limit: ALL files, no partial filter
+            else if (keys.isEmpty) Filter(Literal(false), factChild)
+            else Filter(
+              In(factKey, keys.toIndexedSeq.map(Literal.create(_, dimKey.dataType))),
+              factChild)
+          if (filtered eq factChild) j
+          else if (factChild eq j.left) j.copy(left = filtered)
+          else j.copy(right = filtered)
+        case RunTime =>
+          // MUTABLE dim: nothing freezes into the plan. The scan's
+          // index gets a runtime rider that probes the join's OWN dim
+          // subtree when the physical scan first lists files — sound
+          // for any dim, Delta's DFP shape. The join above re-filters
+          // rows, so the rider can only cut I/O.
+          val wrapped = idx.withRuntimeProbe(scanKey.name, dimKey.dataType,
+            runtimeProbeThunk(dimChild, dimKey, bound))
+          val newFact = factChild.transformUp {
+            case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+                if fs.location eq idx =>
+              lr.copy(relation = fs.copy(location = wrapped)(spark))
+          }
+          if (factChild eq j.left) j.copy(left = newFact)
+          else j.copy(right = newFact)
+      }
     }.filter(_ ne j)
+  }
+
+  /** Deferred, MEMOIZED probe for the runtime path: one bounded
+    * distinct-key sub-query, executed at most once per physical plan
+    * (every `listFiles` call and cached re-execution reuses the
+    * result — the same freeze-at-first-execution semantics the scan's
+    * own file listing has). `None` = no pruning: over-limit, or ANY
+    * probe failure — a broken dim must surface through the join's own
+    * read, never through a pruning rider. */
+  private def runtimeProbeThunk(dim: LogicalPlan, key: AttributeReference,
+                                bound: Int): () => Option[Array[Any]] = {
+    lazy val result: Option[Array[Any]] =
+      try {
+        val keys = probe(dim, key, bound)
+        if (keys.length > bound) None else Some(keys)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    () => result
   }
 
   /** Of a composite key's resolvable candidates, probe the one with
@@ -353,6 +420,12 @@ case class DynamicPruningRule(spark: SparkSession)
 }
 
 object DynamicPruningRule {
+  /** Probe scheduling for a qualifying dim — see
+    * [[DynamicPruningRule.dimMode]]. */
+  private[sinks] sealed trait DimMode
+  private[sinks] case object PlanTime extends DimMode
+  private[sinks] case object RunTime extends DimMode
+
   /** Opt-in switch — default OFF, so plans elsewhere stay
     * byte-for-byte what they were (the stats-attach lesson: every
     * planner rider must be gated). */

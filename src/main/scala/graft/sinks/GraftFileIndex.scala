@@ -59,8 +59,61 @@ class GraftFileIndex(root: Path,
     * under concurrent plans over a shared index — strictly a probe for
     * tests and measurements, never an input to planning. */
   val totalFiles: Int = files.size
-  private val lastCandidate = new java.util.concurrent.atomic.AtomicInteger(files.size)
+  private[sinks] val lastCandidate = new java.util.concurrent.atomic.AtomicInteger(files.size)
   def lastCandidateFiles: Int = lastCandidate.get
+
+  /** Names of join keys a RUNTIME probe rider already covers on this
+    * index ([[withRuntimeProbe]] chains accumulate) — the idempotence
+    * input for [[DynamicPruningRule]]'s execution-time path. */
+  def probeKeyNames: Set[String] = Set.empty
+
+  /** EXECUTION-TIME dynamic file pruning rider (E139 — the DPP-style
+    * half of [[DynamicPruningRule]]): returns an index that, at
+    * `listFiles` time (Spark forces a scan's `selectedPartitions`
+    * lazily, when the physical plan first materializes its input —
+    * i.e. at execution, after every optimizer pass is done), runs
+    * `probe` ONCE and — when it yields a bounded key set — appends a
+    * synthesized `key IN (…)` to the pushed data filters, so the
+    * same stats/Bloom translation path that serves pushed predicates
+    * prunes the listing by the DIM'S ACTUAL KEYS. `None` from the
+    * probe (over-limit, or any probe failure) delegates untouched —
+    * the rider can only reduce I/O, never change results (the join
+    * above re-filters rows, exactly the planning-time path's
+    * contract).
+    *
+    * Why a rider instead of a frozen In-list: a MUTABLE dim (a plain
+    * parquet directory, a refreshed view) may change between
+    * optimization and a cached plan's re-execution, so keys frozen at
+    * planning could disagree with what the join's own dim side reads.
+    * The probe here executes the join's OWN captured dim subtree — the
+    * same relation objects, hence the same (listing-cached) file
+    * sources the join will read — in the same execution window, so
+    * probe and join can only disagree if the underlying FILES mutate
+    * in place mid-query, which breaks any Spark plan. Chaining
+    * composes: a second rider (another join key) wraps the first. */
+  def withRuntimeProbe(keyName: String,
+                       keyType: org.apache.spark.sql.types.DataType,
+                       probe: () => Option[Array[Any]]): GraftFileIndex = {
+    val self = this
+    new GraftFileIndex(root, files, partitionSchema, tableRoot, version,
+        prunedPartitions, derivers) {
+      private lazy val probed: Option[Array[Any]] = probe()
+      override def probeKeyNames: Set[String] = self.probeKeyNames + keyName
+      override def listFiles(partitionFilters: Seq[Expression],
+                             dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+        val augmented = probed match {
+          case None => dataFilters
+          case Some(keys) =>
+            import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+            dataFilters :+ In(AttributeReference(keyName, keyType)(),
+              keys.toIndexedSeq.map(Literal.create(_, keyType)))
+        }
+        val r = self.listFiles(partitionFilters, augmented)
+        lastCandidate.set(r.map(_.files.length).sum)
+        r
+      }
+    }
+  }
 
   override def rootPaths: Seq[Path] = Seq(root)
 

@@ -312,13 +312,24 @@ class DynamicPruningSpec extends graft.SparkSpec {
       s"column mapping must not defeat pruning: ${idx.lastCandidateFiles}/${idx.totalFiles}")
   }
 
-  test("rule: a MUTABLE dim source is refused — planning-time keys must not freeze over a replaceable directory") {
-    // The probe runs at optimization time and freezes its keys into
-    // the plan as an In-list; a dim over a plain parquet directory
-    // can be overwritten between planning and a cached Dataset's
-    // re-execution, so the frozen list could silently drop fact rows
-    // the live join would match. Only immutable leaves (graft
-    // snapshots, local/cached relations) are probed.
+  /** Count frozen In/InSet predicates in a query's optimized plan —
+    * zero proves the runtime path (not a planning-time freeze) did
+    * any pruning observed. */
+  private def frozenInLists(q: DataFrame): Int =
+    q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
+          case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
+        }.size
+    }.sum
+
+  test("rule: a MUTABLE (plain parquet) dim engages at EXECUTION time — no frozen keys, files still pruned, values identical") {
+    // The plan-time path must never freeze keys over a replaceable
+    // directory — but refusing pruning entirely (the pre-E139
+    // behavior) gave the most common dim shape in a mixed lake no
+    // skipping at all. The runtime rider probes at listFiles time,
+    // after all planning: nothing freezes, the listing still prunes.
     val idx = sqlFixture()
     val dimPath = java.nio.file.Files.createTempDirectory("dfp_mutable")
       .toString + "/dim"
@@ -326,21 +337,118 @@ class DynamicPruningSpec extends graft.SparkSpec {
       .write.parquet(dimPath)
     spark.read.parquet(dimPath).filter(col("tag") === "hot")
       .createOrReplaceTempView("dim")
+    val q = "SELECT k, v, dv FROM fact JOIN dim ON k = dk ORDER BY k"
+    val plain = spark.sql(q).collect().toSeq
     withRule() {
-      val q = spark.sql("SELECT k, v FROM fact JOIN dim ON k = dk")
-      val keyLists = q.queryExecution.optimizedPlan.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition.collect {
-            case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
-            case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
-          }.size
-      }.sum
-      assert(keyLists == 0,
-        s"a mutable dim must not be probed:\n${q.queryExecution.optimizedPlan}")
-      assert(q.count() == 500)
-      assert(idx.lastCandidateFiles == idx.totalFiles,
-        "refusal must leave the plain join untouched")
+      val run = spark.sql(q)
+      assert(frozenInLists(run) == 0,
+        s"a mutable dim must not freeze keys into the plan:\n" +
+          s"${run.queryExecution.optimizedPlan}")
+      val got = run.collect().toSeq
+      assert(got == plain && got.size == 500,
+        "runtime-pruned and plain joins must be value-identical")
+      assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"the runtime probe must prune the listing: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
     }
+  }
+
+  test("rule: a dim overwritten between planning and a cached plan's re-execution stays consistent") {
+    // The rider executes the join's OWN captured dim subtree, whose
+    // relation objects (and their cached file listings) are exactly
+    // what the join reads — so probe and join can never disagree, no
+    // matter what happens to the directory after planning. And a
+    // FRESH query over the changed directory sees the new content
+    // with a fresh probe.
+    val root = freshRoot()
+    seedRanged(root)
+    val (fact, idx) = SnapshotStore.tableWithIndex(spark, root)
+    val dimPath = java.nio.file.Files.createTempDirectory("dfp_swap")
+      .toString + "/dim"
+    dimSlice(8000, 8100).withColumn("tag", lit("hot")).write.parquet(dimPath)
+    def dim() = spark.read.parquet(dimPath).filter(col("tag") === "hot")
+    withRule() {
+      val cached = fact.join(dim(), col("k") === col("dk")).orderBy("k")
+      val first = cached.collect().toSeq
+      assert(first.size == 100)
+      assert(idx.lastCandidateFiles * 2 < idx.totalFiles)
+      // APPEND new keys to the directory: the cached plan's dim
+      // listing (frozen at its planning, standard Spark semantics)
+      // still sees only the old files — the probe saw the same, so
+      // re-execution must reproduce the first result, not lose rows
+      // to stale-vs-live disagreement.
+      dimSlice(2000, 2050).withColumn("tag", lit("hot"))
+        .write.mode("append").parquet(dimPath)
+      assert(cached.collect().toSeq == first,
+        "a cached plan must replay its own frozen listing+probe, " +
+          "never a torn mix")
+      // A freshly planned query sees the appended keys, fresh probe.
+      val fresh = fact.join(dim(), col("k") === col("dk")).orderBy("k")
+        .collect().toSeq
+      assert(fresh.size == 150,
+        s"a fresh plan must read the appended dim, got ${fresh.size}")
+    }
+  }
+
+  test("rule: a CACHE over a mutable source probes at runtime; a cache over immutable leaves keeps the plan-time freeze") {
+    // Spark caches are best-effort — a lost block recomputes from the
+    // (possibly rewritten) source — so a cache is only as immutable
+    // as what it caches. Over plain parquet: runtime path (no frozen
+    // In-list, pruning still engages). Over a literal relation:
+    // plan-time freeze as before.
+    val idx = sqlFixture()
+    val dimPath = java.nio.file.Files.createTempDirectory("dfp_cache")
+      .toString + "/dim"
+    dimSlice(8000, 8400).withColumn("tag", lit("hot")).write.parquet(dimPath)
+    // The FILTER stays outside the cache: the selective-dim gate
+    // needs a visible Filter above the (cached) leaf.
+    val cachedMutable = spark.read.parquet(dimPath).cache()
+    try {
+      cachedMutable.count() // materialize the cache
+      cachedMutable.filter(col("tag") === "hot")
+        .createOrReplaceTempView("dim")
+      val q = "SELECT k, v, dv FROM fact JOIN dim ON k = dk ORDER BY k"
+      val plain = spark.sql(q).collect().toSeq
+      withRule() {
+        val run = spark.sql(q)
+        assert(frozenInLists(run) == 0,
+          "a cache over mutable parquet must NOT freeze keys at planning")
+        assert(run.collect().toSeq == plain)
+        assert(idx.lastCandidateFiles * 2 < idx.totalFiles,
+          s"…but must still prune at runtime: " +
+            s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      }
+      // Immutable-leaf cache: the fast path still freezes at planning.
+      val cachedLocal = dimSlice(8000, 8400).cache()
+      try {
+        cachedLocal.count()
+        cachedLocal.filter(col("dk") >= 8000)
+          .createOrReplaceTempView("dim2")
+        withRule() {
+          val run2 = spark.sql(
+            "SELECT k, v, dv FROM fact JOIN dim2 ON k = dk ORDER BY k")
+          run2.collect()
+          assert(frozenInLists(run2) > 0,
+            "an immutable-leaf cache keeps the plan-time In-list path")
+        }
+      } finally cachedLocal.unpersist()
+    } finally cachedMutable.unpersist()
+  }
+
+  test("rule: an over-limit runtime probe degrades to ALL files — never a partial filter") {
+    val idx = sqlFixture()
+    val dimPath = java.nio.file.Files.createTempDirectory("dfp_over")
+      .toString + "/dim"
+    dimSlice(0, 5000).withColumn("tag", lit("hot")).write.parquet(dimPath)
+    spark.read.parquet(dimPath).filter(col("tag") === "hot")
+      .createOrReplaceTempView("dim")
+    val got = withRule(maxKeys = Some(100)) {
+      spark.sql("SELECT count(*) AS n FROM fact JOIN dim ON k = dk")
+        .collect()(0).getLong(0)
+    }
+    assert(got == 5000)
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "an over-limit runtime probe must list everything, not a subset")
   }
 
   test("rule: composite keys probe the highest-NDV candidate, not the first written") {
