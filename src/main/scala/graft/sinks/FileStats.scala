@@ -279,26 +279,26 @@ object FileStats {
     }
 
   /** Does evaluating `e` depend on `spark.sql.session.timeZone`?
-    * Instant→local conversions do: a Cast between TimestampType and
-    * DateType (either direction — `cast(ts as date)` floors to the
-    * SESSION's local day, `year(ts)` analyzes through the same cast)
-    * and `date_trunc` over a timestamp (local boundaries). Chrono
-    * work over DateType / TimestampNTZType and integral arithmetic
-    * are zone-free. Conservative direction: flagging a zone-free
-    * expression costs pruning, missing a zone-dependent one costs
-    * ROWS. */
-  private[sinks] def tzDependent(e: Expression): Boolean = {
-    import org.apache.spark.sql.types._
+    * Any [[expressions.TimeZoneAwareExpression]] may — casts ask
+    * Spark's own `Cast.needsTimeZone` (a string→int cast is
+    * zone-aware by trait but zone-FREE in fact; TIMESTAMP↔DATE/STRING
+    * conversions are not), every other zone-aware expression
+    * (`hour`/`minute`, `date_format`, `from_unixtime`, `date_trunc`
+    * over timestamps, …) counts as dependent outright: these analyze
+    * WITHOUT any cast in the tree, so a shape whitelist would let a
+    * cross-zone writer store inconsistent generated values that
+    * [[SnapshotStore.recomputeGenerated]] later silently rewrites
+    * under the updater's zone. Chrono work over DateType /
+    * TimestampNTZType and integral arithmetic are zone-free.
+    * Conservative direction: flagging a zone-free expression costs
+    * pruning, missing a zone-dependent one costs ROWS. */
+  private[sinks] def tzDependent(e: Expression): Boolean =
     e.exists {
       case c: expressions.Cast =>
-        (c.child.dataType, c.dataType) match {
-          case (TimestampType, DateType) | (DateType, TimestampType) => true
-          case _ => false
-        }
-      case _: expressions.TruncTimestamp => true
+        expressions.Cast.needsTimeZone(c.child.dataType, c.dataType)
+      case _: expressions.TimeZoneAwareExpression => true
       case _ => false
     }
-  }
 
   /** Build [[GeneratedDeriver]]s from the recorded `graft.generated.*`
     * expressions that qualify: resolvable against the PHYSICAL schema
@@ -394,9 +394,77 @@ object FileStats {
     * just looser) bound. The derived filters prune through the same
     * conservative [[mayMatch]] as pushed ones; any evaluation hiccup
     * skips that derivation, never the scan. */
-  def deriveGenerated(dataFilters: Seq[Expression],
+  /** Narrow a `cast(attr) cmp literal` comparison back onto the bare
+    * attribute when the cast is a pure INTEGRAL WIDENING and the
+    * literal fits the input domain: `cast(i AS BIGINT) >= 3000L ⟺
+    * i >= 3000` exactly, so the deriver match below (which needs the
+    * bare `attr cmp literal` shape) fires on the mixed-type
+    * predicates type coercion produces. Chrono casts stay wrapped —
+    * `cast(ts AS DATE) >= X` inverts through the SESSION zone, which
+    * this planning-time rewrite must not bake in. A literal outside
+    * the input domain leaves the predicate untouched (no derivation —
+    * conservative, and such a predicate matches nothing or everything
+    * anyway). */
+  private def narrowWidenedCast(f: Expression): Expression = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    def widened(c: expressions.Cast): Option[expressions.AttributeReference] =
+      c.child match {
+        case a: expressions.AttributeReference =>
+          (for { fr <- rank(a.dataType); tr <- rank(c.dataType) } yield fr < tr)
+            .filter(identity).map(_ => a)
+        case _ => None
+      }
+    def narrow(l: Literal, to: DataType): Option[Literal] = {
+      val v: Option[Long] = l.value match {
+        case n: Long => Some(n); case n: Int => Some(n.toLong)
+        case n: Short => Some(n.toLong); case n: Byte => Some(n.toLong)
+        case _ => None
+      }
+      v.flatMap { n =>
+        to match {
+          case IntegerType if n >= Int.MinValue && n <= Int.MaxValue =>
+            Some(Literal(n.toInt))
+          case ShortType if n >= Short.MinValue && n <= Short.MaxValue =>
+            Some(Literal(n.toShort))
+          case ByteType if n >= Byte.MinValue && n <= Byte.MaxValue =>
+            Some(Literal(n.toByte))
+          case _ => None
+        }
+      }
+    }
+    f match {
+      case b: expressions.BinaryComparison => (b.left, b.right) match {
+        case (c: expressions.Cast, l: Literal) if l.value != null =>
+          (for { a <- widened(c); nl <- narrow(l, a.dataType) }
+            yield b.withNewChildren(Seq(a, nl))).getOrElse(f)
+        case (l: Literal, c: expressions.Cast) if l.value != null =>
+          (for { a <- widened(c); nl <- narrow(l, a.dataType) }
+            yield b.withNewChildren(Seq(nl, a))).getOrElse(f)
+        case _ => f
+      }
+      case expressions.In(c: expressions.Cast, vs)
+          if vs.forall(v => v.isInstanceOf[Literal] &&
+            v.asInstanceOf[Literal].value != null) =>
+        (for {
+          a <- widened(c)
+          narrowed <- {
+            val ns = vs.map(v => narrow(v.asInstanceOf[Literal], a.dataType))
+            if (ns.forall(_.isDefined)) Some(ns.map(_.get)) else None
+          }
+        } yield expressions.In(a, narrowed)).getOrElse(f)
+      case _ => f
+    }
+  }
+
+  def deriveGenerated(dataFilters0: Seq[Expression],
                       derivers: Seq[GeneratedDeriver]): Seq[Filter] = {
     if (derivers.isEmpty) return Nil
+    val dataFilters = dataFilters0.map(narrowWidenedCast)
     def ev(d: GeneratedDeriver, l: Literal): Option[Any] =
       try {
         if (l.value == null || l.dataType != d.inputType) None

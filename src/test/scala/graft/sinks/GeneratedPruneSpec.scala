@@ -119,6 +119,47 @@ class GeneratedPruneSpec extends graft.SparkSpec {
       .map(_.getString(0)).toSeq == Seq("2022-01-01"))
   }
 
+  test("integral-widening casts on the predicate side unwrap and derive; chrono and overflowing ones refuse") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.sources
+    import org.apache.spark.sql.types._
+    // Deriver for g = CAST(i AS BIGINT) over an INT input — the shape
+    // type coercion leaves when an INT column meets a LONG literal:
+    // the predicate arrives as `cast(i AS BIGINT) >= 3000L`, which
+    // the bare attr-vs-literal match alone would never fire on.
+    val attr = AttributeReference("i", IntegerType)()
+    val d = FileStats.GeneratedDeriver("g", "i", IntegerType,
+      Cast(attr, LongType))
+    def p(e: Expression) = FileStats.deriveGenerated(Seq(e), Seq(d))
+    assert(p(GreaterThanOrEqual(Cast(attr, LongType), Literal(3000L)))
+        == Seq(sources.GreaterThanOrEqual("g", 3000L)),
+      "a widened >= must unwrap and derive")
+    // Strict bound keeps the one-unit tightening discipline — in the
+    // NARROWED (input) domain: i < 3000L ⟺ i <= 2999.
+    assert(p(LessThan(Cast(attr, LongType), Literal(3000L)))
+        == Seq(sources.LessThanOrEqual("g", 2999L)),
+      "a widened strict < must tighten in the input domain")
+    p(In(Cast(attr, LongType), Seq(Literal(5L), Literal(9L)))) match {
+      case Seq(sources.In("g", vs)) => assert(vs.toSeq == Seq(5L, 9L),
+        s"a widened In must derive the narrowed values, got ${vs.toSeq}")
+      case other => fail(s"a widened In must unwrap and derive, got $other")
+    }
+    // A literal outside the input domain refuses (no derivation, the
+    // conservative boundary).
+    assert(p(GreaterThanOrEqual(Cast(attr, LongType),
+        Literal(Long.MaxValue))).isEmpty,
+      "an overflowing literal must refuse")
+    // A chrono cast stays wrapped — inverting it would bake the
+    // session zone into a planning-time rewrite.
+    val ts = AttributeReference("ev", TimestampType)()
+    val dts = FileStats.GeneratedDeriver("g2", "ev", TimestampType,
+      Cast(ts, DateType))
+    assert(FileStats.deriveGenerated(
+        Seq(GreaterThanOrEqual(Cast(ts, DateType), Literal(18000, DateType))),
+        Seq(dts)).isEmpty,
+      "a chrono predicate-side cast must refuse the unwrap")
+  }
+
   test("non-monotone generation (month) refuses the rewrite — all files kept, never wrong skipping") {
     val root = freshRoot()
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
