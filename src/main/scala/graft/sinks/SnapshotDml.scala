@@ -17,6 +17,20 @@ import graft.operators.Upsert
   * object (same API). */
 private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
 
+  /** key → inherited-id projection for identity inheritance: ONE row
+    * per key, deterministically (min per id column). The existing
+    * side can legitimately hold duplicate rows per merge key (an
+    * [[SnapshotStore.appendCommit]] history never deduplicated) — a
+    * plain join against it would fan the incoming batch out BEFORE
+    * [[Upsert.merge]] dedups, making which duplicate survives
+    * order-dependent. Aggregating first keeps the join 1:1 and the
+    * surviving id stable across replans. */
+  private def inheritanceIds(existing: DataFrame, keys: Seq[String],
+                             inheritCols: Seq[String]): DataFrame =
+    existing.groupBy(keys.map(col): _*)
+      .agg(min(inheritCols.head).as(inheritCols.head),
+        inheritCols.tail.map(c => min(c).as(c)): _*)
+
   /** Commit `df` as a full new snapshot (CTAS / backup path).
     * `properties` (when given) REPLACES the table property set
     * atomically with this commit — the mirror's initial-copy leg
@@ -68,7 +82,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
                      partitionCols: ColSpec,
                      bucketBy: Option[(Seq[String], Seq[String], Int)] = None,
                      generated: Seq[(String, String)] = Nil,
-                     identity: Seq[(String, Long, Long)] = Nil): Option[Long] = {
+                     identity: Seq[(String, Long, Long, Boolean)] = Nil): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
     val bucketProps = bucketBy.map { case (cols, sortCols, n) =>
       require(n >= 2, s"INTO n BUCKETS needs n >= 2, got $n")
@@ -107,7 +121,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     val cachedDf = if (identity.isEmpty) df
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dfId = cachedDf
-    val identProps = identity.map { case (c, start, step) =>
+    val identProps = identity.map { case (c, start, step, byDefault) =>
       require(step != 0, s"identity '$c': INCREMENT BY must be non-zero")
       val tpe = df.schema.find(_.name == c).map(_.dataType.sql).getOrElse(
         throw new IllegalArgumentException(
@@ -115,7 +129,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       require(Set("INT", "BIGINT")(tpe.toUpperCase),
         s"identity column '$c' must be INT or BIGINT, got $tpe")
       val spec0 = IdentitySpec(c, start, step,
-        Math.subtractExact(start, step), tpe)
+        Math.subtractExact(start, step), tpe, byDefault)
       val (d2, newLast) = assignIdentity(spark, dfId, spec0)
       dfId = d2
       formatIdentity(spec0.copy(last = newLast))
@@ -338,7 +352,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
               val incomingW =
                 if (inheritCols.isEmpty) incoming
                 else incoming.join(
-                  existing.select((keys.cols ++ inheritCols).map(col): _*),
+                  inheritanceIds(existing, keys.cols, inheritCols),
                   keys.cols, "left")
               Upsert.merge(existing, incomingW, keys.cols, orderBy)
             }
@@ -486,7 +500,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
           val upsertsW =
             if (inheritCols.isEmpty) upserts
             else upserts.join(
-              survivors.select((keys.cols ++ inheritCols).map(col): _*),
+              inheritanceIds(survivors, keys.cols, inheritCols),
               keys.cols, "left")
           Upsert.merge(survivors, upsertsW, keys.cols, Nil)
         }

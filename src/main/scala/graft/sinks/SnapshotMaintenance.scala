@@ -203,6 +203,65 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * own restriction — the stored expression would silently break) or
     * when the new name collides with a reserved physical name.
     * Returns the new version. */
+  /** `ALTER TABLE t SYNC IDENTITY` (Delta parity): re-base every
+    * recorded identity mark onto the values ACTUALLY PRESENT — per
+    * column, `last` becomes the table's step-direction extremum (max
+    * for a positive step, min for a negative one), or `start − step`
+    * when no non-null value exists (the next allocation restarts at
+    * `start`). FORWARD moves happen automatically on every write
+    * ([[SnapshotStore.assignIdentity]]'s mark-advance past carried
+    * values), so on a healthy table this is a no-op; SYNC is the one
+    * sanctioned way to move a mark BACKWARD — reclaiming id space
+    * after large deletes, an explicit administrative decision to
+    * reopen those ids (the regular DML paths never do). Both
+    * identity modes accept it.
+    *
+    * OCC: the extremum recomputes per attempt against that attempt's
+    * tip, and the updated records ride a metadata-only commit. A
+    * concurrent allocating writer either lands before (this attempt
+    * re-reads its rows and re-races) or after (it allocates from the
+    * synced mark its own attempt re-reads) — marks can never
+    * interleave into reallocation. Returns the committed version
+    * (the current one when every mark already matches). */
+  def syncIdentity(spark: SparkSession, root: String,
+                   maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val existing = tableProperties(spark, root, cur)
+      val specs = identityColumns(existing.toMap)
+      require(specs.nonEmpty,
+        s"SYNC IDENTITY: no identity column is recorded on $root")
+      val data = readVersion(spark, root, cur)
+      val aggs = specs.map { s =>
+        (if (s.step > 0) max(col(s.col)) else min(col(s.col)))
+          .cast("long").as(s.col)
+      }
+      val row = data.agg(aggs.head, aggs.tail: _*).head()
+      val updated = specs.zipWithIndex.map { case (s, i) =>
+        val observed =
+          if (row.isNullAt(i)) Math.subtractExact(s.start, s.step)
+          else row.getLong(i)
+        formatIdentity(s.copy(last = observed))
+      }
+      val keys = updated.map(_._1).toSet
+      val merged = existing.filterNot(p => keys(p._1)) ++ updated
+      if (merged.toMap == existing.toMap) return cur
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "set-properties",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          properties = Some(merged))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        postCommit(spark, root, cur + 1, compactEligible = false)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the sync-identity race $maxAttempts times under $root")
+  }
+
   def renameColumn(spark: SparkSession, root: String, from: String,
                    to: String, maxAttempts: Int = 5): Long = {
     require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
@@ -709,6 +768,53 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         // closes). Same reason the layout hooks run first.
         maybeAutoAnalyze(spark, root, committed, props)
         maybeAutoSyncRollups(spark, root, committed, props)
+        // Auto-bloom LAST: every earlier rider that rewrites files
+        // (cluster/compact) or publishes a property commit (analyze)
+        // moves the tip, and the bloom sidecar must land at the tip
+        // readers will actually resolve — blooming `committed` would
+        // index a version a layout pass already superseded.
+        maybeAutoBloom(spark, root, committed, props)
+  }
+
+  /** Columns (flat, or struct-leaf dot paths — exactly
+    * [[SnapshotStore.addBloomFilters]]' forms) to keep Bloom
+    * sidecars current for, comma-joined; optional
+    * [[AutoBloomBitsProp]] overrides the per-value sizing. */
+  val AutoBloomProp = "graft.autoBloom.cols"
+  val AutoBloomBitsProp = "graft.autoBloom.bitsPerValue"
+
+  /** SELF-MAINTAINING Bloom sidecars (the last index family that
+    * still needed a manual call after every commit): when
+    * `graft.autoBloom.cols` names columns, every maintenance pass
+    * re-runs the INCREMENTAL [[SnapshotStore.addBloomFilters]] build
+    * at the current TIP — carried files' filters copy forward, so
+    * the per-commit price is one NDV + one build pass over the new
+    * batch, and point-lookup skipping never drifts stale between
+    * manual calls. A layout rewrite's new files re-bloom on the same
+    * pass (this rider runs after the layout hooks, against the tip
+    * they produced). Failures (a misspelled column, a type the
+    * filters refuse) degrade to "no bloom skipping this round" and
+    * ride the error ledger; a clean pass clears the flag. Composes
+    * with [[MaintenanceAsyncProp]] like every other rider. */
+  private[sinks] def maybeAutoBloom(spark: SparkSession, root: String,
+                                    committed: Long,
+                                    props: Map[String, String]): Unit = try {
+    props.get(AutoBloomProp).filter(_.nonEmpty).foreach { raw =>
+      val cols = raw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty,
+        s"$AutoBloomProp is set but names no columns: '$raw'")
+      val bits = props.get(AutoBloomBitsProp).map { b =>
+        val n = b.trim.toInt
+        require(n > 0, s"$AutoBloomBitsProp must be positive, got $n")
+        n
+      }.getOrElse(10)
+      val tip = currentVersion(spark, root).getOrElse(committed)
+      addBloomFilters(spark, root, cols, bitsPerValue = bits,
+        version = Some(tip))
+    }
+    recordMaintenanceRecovery(root, "autoBloom", props)
+  } catch { case scala.util.control.NonFatal(e) =>
+    recordMaintenanceError(root, "autoBloom", committed, e)
   }
 
   /** `graft.maintenance.async = true`: post-commit riders run on the

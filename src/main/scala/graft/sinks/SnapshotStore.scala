@@ -754,25 +754,39 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * count-class pass over the batch, paid only by identity tables. */
   private[sinks] val IdentityPropPrefix = "graft.identity."
 
-  /** A recorded identity column: `last` is the last ALLOCATED value. */
+  /** A recorded identity column: `last` is the last ALLOCATED value.
+    * `byDefault` distinguishes `GENERATED BY DEFAULT AS IDENTITY`
+    * (explicit values sanctioned on every surface — the migration-
+    * ingest mode) from the ALWAYS form (SQL surfaces refuse explicit
+    * values). Both modes mark-advance past carried values in
+    * [[assignIdentity]], so BY DEFAULT here is STRICTLY safer than
+    * Delta's (where explicit inserts leave the watermark behind until
+    * a manual SYNC IDENTITY): an omitting insert after a carried one
+    * can never collide. SYNC IDENTITY remains the sanctioned way to
+    * move the mark BACKWARD (reclaim id space after deletes). */
   private[sinks] case class IdentitySpec(col: String, start: Long,
                                          step: Long, last: Long,
-                                         sqlType: String)
+                                         sqlType: String,
+                                         byDefault: Boolean = false)
 
   private[sinks] def formatIdentity(s: IdentitySpec): (String, String) =
     s"$IdentityPropPrefix${s.col}" ->
-      s"start=${s.start};step=${s.step};last=${s.last};type=${s.sqlType}"
+      (s"start=${s.start};step=${s.step};last=${s.last};type=${s.sqlType}" +
+        (if (s.byDefault) ";mode=default" else ""))
 
   /** Parse every recorded identity column — LOUD on garbage (the
     * deriveSpecFromProps rule: silently ignoring a recorded identity
-    * would null-fill or duplicate ids, the worst failure mode). */
+    * would null-fill or duplicate ids, the worst failure mode). An
+    * absent `mode` reads as ALWAYS — pre-E140 records keep their
+    * semantics byte-for-byte. */
   private[sinks] def identityColumns(props: Map[String, String]): Seq[IdentitySpec] =
     props.collect { case (k, v) if k.startsWith(IdentityPropPrefix) =>
       val c = k.stripPrefix(IdentityPropPrefix)
       val m = v.split(";").iterator.map(_.split("=", 2)).collect {
         case Array(a, b) => a -> b }.toMap
       try IdentitySpec(c, m("start").toLong, m("step").toLong,
-        m("last").toLong, m("type"))
+        m("last").toLong, m("type"),
+        byDefault = m.get("mode").contains("default"))
       catch { case scala.util.control.NonFatal(_) =>
         throw new IllegalStateException(
           s"garbled identity record for '$c': '$v'")
@@ -797,31 +811,46 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   /** Fill one identity column: ABSENT → allocate for every row; NULL
     * slots (the merge union's null-fill of an absent incoming column)
     * → allocate for exactly those rows, existing ids untouched; fully
-    * valued → no-op. Allocation is contiguous from `last + step` via
-    * `zipWithIndex` (deterministic as a SET; per-row order follows
-    * partition order) — one count-class extra pass over the rows
-    * needing ids, paid only by identity tables. Returns the frame and
-    * the new `last` (== old when nothing was allocated). An
-    * IntegerType identity that would overflow Int refuses loudly —
-    * silent wraparound would alias live ids. */
+    * valued → no allocation, but the mark still ADVANCES past the
+    * carried values' step-direction extremum (below). Allocation is
+    * contiguous from `last + step` via `zipWithIndex` (deterministic
+    * as a SET; per-row order follows partition order) — one
+    * count-class extra pass over the rows needing ids, paid only by
+    * identity tables. Returns the frame and the new `last` (== old
+    * when nothing was allocated or carried). An IntegerType identity
+    * that would overflow Int refuses loudly — silent wraparound would
+    * alias live ids.
+    *
+    * CARRIED NON-NULL VALUES ADVANCE THE MARK: a programmatic write
+    * (DataFrame writer, commit/appendCommit, a merge source, a
+    * [[graft.operators.Replicate]] mirror applying a source table's
+    * ids) that brings its own id values is accepted — but the
+    * recorded `last` moves to max(last, max(carried)) (min for a
+    * negative step), so a LATER omitting write can never re-vend a
+    * carried id. For merge inheritance this is a no-op (inherited ids
+    * are ≤ the mark by construction); for migration ingest it is the
+    * thing that makes the table safe afterwards. SQL surfaces layer
+    * their own GENERATED-ALWAYS refusal on top — this is the API
+    * floor that holds even where explicit values are sanctioned. */
   private[sinks] def assignIdentity(spark: SparkSession, d: DataFrame,
                                     s: IdentitySpec): (DataFrame, Long) = {
     import org.apache.spark.sql.types._
     val declared: DataType =
       if (s.sqlType.equalsIgnoreCase("INT") ||
           s.sqlType.equalsIgnoreCase("INTEGER")) IntegerType else LongType
-    def alloc(rows: DataFrame, appendAt: Option[Int]): (DataFrame, Long) = {
+    def alloc(rows: DataFrame, appendAt: Option[Int],
+              base: Long): (DataFrame, Long) = {
       val n = rows.count()
-      if (n == 0) return (rows, s.last)
+      if (n == 0) return (rows, base)
       // Exact arithmetic: a mark near Long's edge must refuse loudly,
       // not wrap into reallocation.
-      val newLast = Math.addExact(s.last, Math.multiplyExact(s.step, n))
+      val newLast = Math.addExact(base, Math.multiplyExact(s.step, n))
       if (declared == IntegerType)
         require(newLast >= Int.MinValue && newLast <= Int.MaxValue &&
-            s.last + s.step >= Int.MinValue && s.last + s.step <= Int.MaxValue,
+            base + s.step >= Int.MinValue && base + s.step <= Int.MaxValue,
           s"identity '${s.col}' is INT and the next range " +
-            s"(${s.last + s.step}..$newLast) leaves Int — declare BIGINT")
-      val base = s.last; val step = s.step
+            s"(${base + s.step}..$newLast) leaves Int — declare BIGINT")
+      val step = s.step
       val zipped = rows.rdd.zipWithIndex()
       val schema = appendAt match {
         case None => rows.schema.add(StructField(s.col, declared))
@@ -839,13 +868,31 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       }, schema)
       (out, newLast)
     }
-    if (!d.columns.contains(s.col)) alloc(d, None)
+    if (!d.columns.contains(s.col)) alloc(d, None, s.last)
     else {
       val p = d.schema.fieldIndex(s.col)
-      val needs = d.filter(col(s.col).isNull)
-      if (needs.isEmpty) (d, s.last)
+      // ONE aggregate answers both questions the fill needs: how many
+      // NULL slots want allocation, and how far carried explicit
+      // values reach (the mark-advance input). Cheap — this path only
+      // runs on identity tables, over a frame the caller persisted.
+      val probe = d.agg(
+        count(lit(1)).as("__n"),
+        count(col(s.col)).as("__nn"),
+        max(col(s.col).cast(LongType)).as("__mx"),
+        min(col(s.col).cast(LongType)).as("__mn")).head()
+      val total = probe.getLong(0)
+      val carried = probe.getLong(1)
+      val rebased =
+        if (carried == 0L) s.last
+        else if (s.step > 0) math.max(s.last, probe.getLong(2))
+        else math.min(s.last, probe.getLong(3))
+      if (carried == total) (d, rebased)
       else {
-        val (filled, newLast) = alloc(needs, Some(p))
+        // Null slots allocate from the REBASED mark, so values
+        // allocated in this very batch can never collide with ids it
+        // carried alongside them.
+        val needs = d.filter(col(s.col).isNull)
+        val (filled, newLast) = alloc(needs, Some(p), rebased)
         (d.filter(col(s.col).isNotNull).unionByName(filled), newLast)
       }
     }
@@ -855,20 +902,32 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
                                          allocs: Map[String, Long]): Unit =
     pendingIdentityAllocs.set((root, allocs))
 
-  /** Identity column NAMES recorded at `version` — the SQL surface
-    * (INSERT alignment: omission allowed, explicit values refused)
-    * reads through this. */
+  /** Identity column NAMES recorded at `version` (both modes) — the
+    * UPDATE/rename/drop guards read through this: the allocator owns
+    * the column's MUTATION surface regardless of mode. */
   def identityColumnsAt(spark: SparkSession, root: String,
                         version: Long): Seq[String] =
     identityColumns(tableProperties(spark, root, version).toMap).map(_.col)
 
-  /** (generated names, identity names) in ONE properties read — the
-    * INSERT alignment consults both on the hot SQL path. */
+  /** GENERATED ALWAYS identity names only — the explicit-value
+    * refusal sites read through this (a BY DEFAULT column accepts
+    * caller-supplied values by contract). */
+  def alwaysIdentityColumnsAt(spark: SparkSession, root: String,
+                              version: Long): Seq[String] =
+    identityColumns(tableProperties(spark, root, version).toMap)
+      .filterNot(_.byDefault).map(_.col)
+
+  /** (generated names, ALWAYS identity names, all identity names) in
+    * ONE properties read — the INSERT alignment consults all three on
+    * the hot SQL path: generated and identity columns may be omitted;
+    * only ALWAYS identity columns refuse explicit values. */
   def autoColumnsAt(spark: SparkSession, root: String,
-                    version: Long): (Set[String], Set[String]) = {
+                    version: Long): (Set[String], Set[String], Set[String]) = {
     val props = tableProperties(spark, root, version).toMap
+    val ids = identityColumns(props)
     (generatedColumns(props).map(_._1).toSet,
-      identityColumns(props).map(_.col).toSet)
+      ids.filterNot(_.byDefault).map(_.col).toSet,
+      ids.map(_.col).toSet)
   }
 
   /** (column → generation expr sql) recorded at `version` — the SQL
@@ -1448,7 +1507,23 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     val entries = manifest(spark, root, v)
-    val prior = bloomFor(spark, root, v - 1) ++ bloomFor(spark, root, v)
+    // Carry-forward walks PAST bloom-less predecessors: metadata-only
+    // commits (ANALYZE refresh, SET TBLPROPERTIES, the async ledger
+    // flush) never copy the bloom sidecar, so `v − 1` alone would
+    // force a FULL rebuild after every one of them. Filters are keyed
+    // by manifest-relative path and files are immutable, so a sidecar
+    // any distance back is valid for every path still listed. Bounded
+    // walk — a pathological all-metadata history degrades to a
+    // rebuild, never an error.
+    val prior = {
+      var carried = Map.empty[String, Map[String, FileStats.BloomStats]]
+      var back = v - 1
+      while (carried.isEmpty && back >= math.max(1L, v - 1000)) {
+        carried = bloomFor(spark, root, back)
+        back -= 1
+      }
+      carried ++ bloomFor(spark, root, v)
+    }
     val need = entries.filter(e =>
       !cols.forall(c => prior.get(e.path).exists(_.contains(c))))
     val f = fs(spark, root)

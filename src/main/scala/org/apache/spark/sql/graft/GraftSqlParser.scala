@@ -522,6 +522,9 @@ object GraftSqlParser {
                 .map(col => DropColumnCommand(parts(t), col))
             else if (u.kw("ADD", "COLUMNS") || u.kw("ADD", "COLUMN"))
               u.rest().map(tail => AddColumnCommand(parts(t), parseAddColumns(tail)))
+            else if (u.kw("SYNC", "IDENTITY"))
+              Some(()).filter(_ => u.done)
+                .map(_ => SyncIdentityCommand(parts(t)))
             else None
           case _ => None
         }
@@ -1313,7 +1316,9 @@ case class MergeIntoSnapshotCommand(table: Seq[String],
     // duplicate ids), and an explicit SET or INSERT column list is
     // the same bypass spelled out. Matched rows inherit their ids;
     // inserted rows allocate — drop the column from the source.
-    val identCols = SnapshotStore.identityColumnsAt(spark, root, cur).toSet
+    // BY DEFAULT identity columns are exempt: explicit values are
+    // their contract, and the write path mark-advances past them.
+    val identCols = SnapshotStore.alwaysIdentityColumnsAt(spark, root, cur).toSet
     src.columns.filter(identCols).foreach(c =>
       throw new IllegalArgumentException(
         s"MERGE source carries identity column '$c' — GENERATED ALWAYS " +
@@ -1864,20 +1869,23 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // path computes them from their recorded expression. An omitted
     // one must stay ABSENT from the aligned frame (a null-fill would
     // be an explicit null claim the gen_ CHECK rightly refuses).
-    // IDENTITY columns (graft.identity.*) MUST be omitted — GENERATED
-    // ALWAYS AS IDENTITY refuses explicit values (Delta's contract:
-    // the allocator owns the column), and an omitted one likewise
-    // stays absent so the write path allocates.
-    val (gens, idents) = SnapshotStore.autoColumnsAt(spark, root, cur)
+    // IDENTITY columns (graft.identity.*): ALWAYS columns MUST be
+    // omitted — GENERATED ALWAYS AS IDENTITY refuses explicit values
+    // (Delta's contract: the allocator owns the column). BY DEFAULT
+    // columns may be provided (explicit values are their contract —
+    // the write path mark-advances past them) or omitted; an omitted
+    // one stays absent so the write path allocates.
+    val (gens, alwaysIdents, idents) = SnapshotStore.autoColumnsAt(spark, root, cur)
     val auto = gens ++ idents
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {
       case None =>
         val nonAuto = target.fields.filterNot(f => auto(f.name))
         // Positional alignment accepts the full schema (explicit
-        // generated values, judged by the CHECK — but never explicit
-        // identity values) or the schema minus every auto column
-        // (computed/allocated at write).
+        // generated/BY-DEFAULT-identity values, judged by the CHECK /
+        // mark-advance — but never explicit ALWAYS identity values)
+        // or the schema minus every auto column (computed/allocated
+        // at write).
         val fields =
           if (nonAuto.length != target.fields.length &&
               df.columns.length == nonAuto.length) nonAuto.toSeq
@@ -1887,8 +1895,8 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
             s"has ${target.fields.length} (${target.fieldNames.mkString(", ")})" +
             (if (auto.nonEmpty) s"; generated/identity (${auto.mkString(", ")}) may be omitted"
              else ""))
-        require(idents.isEmpty || fields.lengthCompare(nonAuto.length) == 0,
-          s"GENERATED ALWAYS AS IDENTITY column(s) ${idents.mkString(", ")} " +
+        require(alwaysIdents.isEmpty || fields.lengthCompare(nonAuto.length) == 0,
+          s"GENERATED ALWAYS AS IDENTITY column(s) ${alwaysIdents.mkString(", ")} " +
             "cannot be assigned — omit them and the table allocates")
         df.select(df.columns.toSeq.zip(fields).map {
           case (c, f) =>
@@ -1901,7 +1909,7 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
         cols.foreach(c => require(target.fieldNames.contains(c),
           s"INSERT INTO column list names unknown column '$c' " +
             s"(columns: ${target.fieldNames.mkString(", ")})"))
-        cols.filter(idents).foreach(c => throw new IllegalArgumentException(
+        cols.filter(alwaysIdents).foreach(c => throw new IllegalArgumentException(
           s"GENERATED ALWAYS AS IDENTITY column '$c' cannot be assigned — " +
             "omit it from the column list and the table allocates"))
         require(df.columns.length == cols.length,
@@ -2150,22 +2158,26 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Extract `col TYPE GENERATED ALWAYS AS IDENTITY [(START WITH n
-    * INCREMENT BY k)]` clauses: returns (plain DDL, (col, start,
-    * step) triples; start defaults 1, step defaults 1). Run on the
-    * extractGenerated REMAINDER — the expression form requires `AS (`
-    * so the two patterns never both match a clause. */
-  private def extractIdentity(ddl: String): (String, Seq[(String, Long, Long)]) = {
-    val Id = ("(?is)^(.*?)\\s+GENERATED\\s+ALWAYS\\s+AS\\s+IDENTITY" +
+  /** Extract `col TYPE GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY
+    * [(START WITH n INCREMENT BY k)]` clauses: returns (plain DDL,
+    * (col, start, step, byDefault) tuples; start defaults 1, step
+    * defaults 1). Run on the extractGenerated REMAINDER — the
+    * expression form requires `AS (` so the two patterns never both
+    * match a clause. */
+  private def extractIdentity(ddl: String)
+      : (String, Seq[(String, Long, Long, Boolean)]) = {
+    val Id = ("(?is)^(.*?)\\s+GENERATED\\s+(ALWAYS|BY\\s+DEFAULT)\\s+AS\\s+IDENTITY" +
       "\\s*(?:\\(\\s*(?:START\\s+WITH\\s+(-?\\d+)\\s*)?" +
       "(?:INCREMENT\\s+BY\\s+(-?\\d+)\\s*)?\\))?\\s*$").r
     val (plain, ids) = splitTop(ddl).map {
-      case Id(colDef, start, step) =>
+      case Id(colDef, mode, start, step) =>
         val name = colDef.trim.split("\\s+").head
           .stripPrefix("`").stripSuffix("`")
         (colDef.trim, Some((name,
           Option(start).map(_.toLong).getOrElse(1L),
-          Option(step).map(_.toLong).getOrElse(1L))))
+          Option(step).map(_.toLong).getOrElse(1L),
+          mode.trim.equalsIgnoreCase("BY DEFAULT") ||
+            mode.trim.toUpperCase.startsWith("BY"))))
       case other => (other, None)
     }.unzip
     (plain.mkString(", "), ids.flatten)
@@ -2272,6 +2284,23 @@ case class RenameColumnCommand(table: Seq[String], from: String, to: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(root, SnapshotStore.renameColumn(spark, root, from, to)))
+  }
+}
+
+/** `ALTER TABLE t SYNC IDENTITY` — re-base every identity mark onto
+  * the values actually present ([[SnapshotStore.syncIdentity]]): the
+  * sanctioned migration-ingest closer and the only way a mark moves
+  * backward. Returns (path, version). */
+case class SyncIdentityCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root, SnapshotStore.syncIdentity(spark, root)))
   }
 }
 

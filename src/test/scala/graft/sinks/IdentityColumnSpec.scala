@@ -177,7 +177,7 @@ class IdentityColumnSpec extends graft.SparkSpec {
       .withColumn("id", lit(null).cast("bigint"))
       .select(col("id"), col("k"), col("part"))
     val v = SnapshotStore.commitIfAbsent(spark, df, root, ColSpec(Seq("part")),
-      identity = Seq(("id", 1L, 1L)))
+      identity = Seq(("id", 1L, 1L, false)))
     assert(v.contains(1L))
     assert(ids(root) == (1L to 25L),
       "v1's own rows must be allocated — the property lands in the " +
@@ -187,6 +187,175 @@ class IdentityColumnSpec extends graft.SparkSpec {
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_ctas2")
     assert(ids(root) == (1L to 35L))
+  }
+
+  test("API writes carrying explicit ids ADVANCE THE MARK — a later omitting INSERT never collides") {
+    val root = freshRoot()
+    create(root)
+    // Migration-shaped ingest through the programmatic surface (the
+    // DataFrame writer / appendCommit path the SQL refusal does not
+    // cover): the batch brings its own ids, far above the mark.
+    SnapshotStore.appendCommit(spark,
+      Seq((500L, 1L, "0"), (510L, 2L, "1"), (520L, 3L, "2"))
+        .toDF("id", "k", "part"),
+      root, ColSpec(Seq("part")))
+    val mark = SnapshotStore.identityColumns(
+      SnapshotStore.tablePropertiesMap(spark, root)).head
+    assert(mark.last == 520L,
+      s"carried ids must re-base the recorded mark to their max, got ${mark.last}")
+    src(0 until 5).createOrReplaceTempView("idsrc_api")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_api")
+    val all = ids(root)
+    assert(all == Seq(500L, 510L, 520L, 521L, 522L, 523L, 524L, 525L),
+      s"the omitting insert must allocate ABOVE the carried range, got $all")
+  }
+
+  test("one batch mixing carried ids and null slots allocates the slots above the carried max") {
+    val root = freshRoot()
+    create(root)
+    SnapshotStore.appendCommit(spark,
+      Seq((Some(100L), 1L, "0"), (None, 2L, "1"), (None, 3L, "2"))
+        .toDF("id", "k", "part"),
+      root, ColSpec(Seq("part")))
+    val all = ids(root)
+    assert(all == Seq(100L, 101L, 102L),
+      s"null slots must fill from the REBASED mark (past the carried " +
+        s"100), never from the stale one, got $all")
+  }
+
+  test("negative step: carried ids re-base the mark DOWNWARD (step direction), allocation continues below") {
+    val root = freshRoot()
+    create(root, " (START WITH -1 INCREMENT BY -1)")
+    SnapshotStore.appendCommit(spark,
+      Seq((-50L, 1L, "0")).toDF("id", "k", "part"),
+      root, ColSpec(Seq("part")))
+    src(0 until 3).createOrReplaceTempView("idsrc_neg")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_neg")
+    val all = ids(root)
+    assert(all == Seq(-53L, -52L, -51L, -50L),
+      s"a negative-step mark must move to min(carried) and keep " +
+        s"descending, got $all")
+  }
+
+  test("inheritance stays deterministic when the existing side holds duplicate rows per merge key") {
+    val root = freshRoot()
+    create(root)
+    // appendCommit twice with the SAME key — a legitimate history no
+    // merge ever deduplicated. Each append allocates fresh ids, so key
+    // k=7 now has TWO rows with ids 1 and 2.
+    SnapshotStore.appendCommit(spark,
+      Seq((7L, "1")).toDF("k", "part"), root, ColSpec(Seq("part")))
+    SnapshotStore.appendCommit(spark,
+      Seq((7L, "1")).toDF("k", "part"), root, ColSpec(Seq("part")))
+    assert(ids(root) == Seq(1L, 2L))
+    // An id-omitting keyed merge on k must join 1:1 (the aggregated
+    // key→id projection), keep-first through Upsert.merge, and the
+    // surviving id must be the DETERMINISTIC min — never a fan-out
+    // that leaves two rows or picks per-run.
+    SnapshotStore.mergeCommitOrdered(spark,
+      Seq((7L, "1")).toDF("k", "part"), root,
+      ColSpec(Seq("k")), Nil, ColSpec(Seq("part")))
+    val rows = SnapshotStore.read(spark, root)
+      .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((7L, 1L)),
+      s"duplicate-key inheritance must resolve to ONE row with the " +
+        s"min id, got ${rows.toSeq}")
+  }
+
+  test("a mirror of an identity table converges — carried replica ids are accepted and never refused") {
+    val root = freshRoot()
+    create(root)
+    src(0 until 12).createOrReplaceTempView("idsrc_mir")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_mir")
+    val dst = s"${Files.createTempDirectory("identity-mirror").toString}/r"
+    graft.operators.Replicate.mirror(spark, root, dst, "k")
+    // A later source window replays through the replica with explicit
+    // ids (the change feed carries them) — must apply, not refuse.
+    SnapshotStore.deleteWhere(spark, root, "k = 3")
+    src(100 until 103).createOrReplaceTempView("idsrc_mir2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_mir2")
+    graft.operators.Replicate.mirror(spark, root, dst, "k")
+    val srcIds = ids(root)
+    val dstIds = SnapshotStore.read(spark, dst).select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(dstIds == srcIds,
+      s"replica must converge to the source's exact id set, got $dstIds vs $srcIds")
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY: explicit SQL values are sanctioned, omissions allocate above them") {
+    val root = freshRoot()
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"""CREATE TABLE graft.`$root` (
+      id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+      k BIGINT, part STRING
+    ) USING graft-snapshot PARTITIONED BY (part)""")
+    // Migration ingest straight through SQL — refused on an ALWAYS
+    // table, the contract here.
+    Seq((1000L, 1L, "0"), (1010L, 2L, "1")).toDF("id", "k", "part")
+      .createOrReplaceTempView("idsrc_bd")
+    spark.sql(s"INSERT INTO graft.`$root` (id, k, part) SELECT id, k, part FROM idsrc_bd")
+    // Omitting insert allocates ABOVE the carried range (mark-advance
+    // — stricter than Delta, where this collides until a SYNC).
+    src(5 until 8).createOrReplaceTempView("idsrc_bd2")
+    spark.sql(s"INSERT INTO graft.`$root` (k, part) SELECT k, part FROM idsrc_bd2")
+    assert(ids(root) == Seq(1000L, 1010L, 1011L, 1012L, 1013L),
+      s"BY DEFAULT: omitted rows must continue past the explicit max, got ${ids(root)}")
+    // A MERGE source may carry the column too.
+    Seq((2000L, 2L, "1")).toDF("id", "k", "part")
+      .createOrReplaceTempView("idsrc_bd3")
+    spark.sql(s"MERGE INTO graft.`$root` USING idsrc_bd3 ON k = k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(SnapshotStore.read(spark, root).filter(col("k") === 2)
+        .select("id").collect().head.getLong(0) == 2000L,
+      "a BY DEFAULT merge source's explicit id must flow through")
+    // But UPDATE SET still refuses — the mutation surface stays
+    // allocator-owned in both modes.
+    val e = intercept[Exception](SnapshotStore.updateWhere(spark, root,
+      Seq("id" -> "9"), Some("k = 1")))
+    assert(e.getMessage.contains("allocator-owned"), e.getMessage)
+  }
+
+  test("ALTER TABLE … SYNC IDENTITY re-bases the mark onto the values present — backward included") {
+    val root = freshRoot()
+    create(root) // ALWAYS mode accepts SYNC too
+    src(0 until 30).createOrReplaceTempView("idsrc_sync")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_sync")
+    SnapshotStore.deleteWhere(spark, root, "id > 10")
+    // Without SYNC the mark stays at 30 (delete never reopens ids) —
+    // SYNC is the explicit administrative reclaim.
+    spark.sql(s"ALTER TABLE graft.`$root` SYNC IDENTITY")
+    assert(SnapshotStore.identityColumns(
+        SnapshotStore.tablePropertiesMap(spark, root)).head.last == 10L,
+      "SYNC must move the mark back to max(id) = 10")
+    src(100 until 105).createOrReplaceTempView("idsrc_sync2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_sync2")
+    assert(ids(root) == (1L to 15L),
+      s"the next allocation must reuse the reclaimed range, got ${ids(root)}")
+    // No-op when already in sync: version must not advance.
+    val before = SnapshotStore.currentVersion(spark, root)
+    spark.sql(s"ALTER TABLE graft.`$root` SYNC IDENTITY")
+    assert(SnapshotStore.currentVersion(spark, root) == before,
+      "an in-sync SYNC IDENTITY must be a metadata no-op")
+    // And loud on a table with no identity record.
+    val plain = freshRoot()
+    SnapshotStore.commit(spark, src(0 until 3), plain, ColSpec(Seq("part")))
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$plain` SYNC IDENTITY"))
+    assert(e.getMessage.contains("no identity column"), e.getMessage)
+  }
+
+  test("SYNC IDENTITY on an emptied table restarts allocation at START WITH") {
+    val root = freshRoot()
+    create(root, " (START WITH 7 INCREMENT BY 3)")
+    src(0 until 4).createOrReplaceTempView("idsrc_empty")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_empty")
+    SnapshotStore.deleteWhere(spark, root, "id IS NOT NULL")
+    spark.sql(s"ALTER TABLE graft.`$root` SYNC IDENTITY")
+    src(0 until 2).createOrReplaceTempView("idsrc_empty2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_empty2")
+    assert(ids(root) == Seq(7L, 10L),
+      s"an emptied+synced table must restart at START WITH, got ${ids(root)}")
   }
 
   test("a garbled identity record fails loudly, never null-fills or re-allocates") {
