@@ -2103,11 +2103,11 @@ private[graft] object EvolutionQueries {
       // statically without any DFP — that case needs no rule). Only
       // the runtime probe can discover the keys. This is the classic
       // date-sliced-dim star-join shape. The slice is committed as a
-      // GRAFT SNAPSHOT (not a bare parquet dir): the rule freezes the
-      // probe's keys into the plan, so it only probes dims whose
-      // leaves are immutable by construction — a version-pinned
-      // snapshot qualifies, an overwritable parquet directory is
-      // refused.
+      // GRAFT SNAPSHOT (not a bare parquet dir): version-pinned
+      // leaves are immutable by construction, so the rule takes the
+      // PLAN-TIME path and freezes the probe's keys into the plan; an
+      // overwritable parquet directory takes the runtime-probe path
+      // instead (q227).
       val dimRoot = s"$dir/dim_hot"
       SnapshotStore.commit(s,
         t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
@@ -2699,6 +2699,168 @@ private[graft] object EvolutionQueries {
       FROM dim JOIN lineitem ON k = l_orderkey
       WHERE v > 500000
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""))
+      ORDER BY l_returnflag""")),
+
+    // GENERATED BY DEFAULT AS IDENTITY + SYNC IDENTITY (E140, Delta's
+    // migration-ingest pair): batch 1 brings its OWN ids (ok*10 — the
+    // lift-and-shift load ALWAYS mode refuses), and the mark advances
+    // past their max M in the same commit (require-pinned — stricter
+    // than Delta, where the watermark lags until a manual SYNC);
+    // batch 2 omits and allocates M+1..M+n2 with no collision; a
+    // delete of exactly that range followed by ALTER TABLE … SYNC
+    // IDENTITY moves the mark BACK to M (require-pinned — the one
+    // sanctioned backward move), so batch 3 REUSES the reclaimed
+    // range. Output is the id-set algebra, reproduced by the oracle
+    // in closed form from the slices.
+    ("q228_identity_by_default", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q228").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        ok BIGINT, part STRING
+      ) USING graft-snapshot PARTITIONED BY (part)""")
+      def slice(m: Int) = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === m)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(4)).cast("string").as("part"))
+      slice(0).selectExpr("ok * 10 AS id", "ok", "part")
+        .createOrReplaceTempView("q228_a")
+      slice(1).createOrReplaceTempView("q228_b")
+      slice(2).createOrReplaceTempView("q228_c")
+      def mark(): Long = {
+        val rec = SnapshotStore.tablePropertiesMap(s, root)("graft.identity.id")
+        rec.split(";").collectFirst {
+          case f if f.startsWith("last=") => f.stripPrefix("last=").toLong
+        }.get
+      }
+      // Migration ingest: explicit ids through plain SQL (BY DEFAULT's
+      // contract), mark-advanced to their max in the same commit.
+      s.sql(s"INSERT INTO graft.`$root` (id, ok, part) SELECT id, ok, part FROM q228_a")
+      val m = s.table("q228_a").agg(max(col("id"))).head().getLong(0)
+      require(mark() == m,
+        s"carried ids must advance the mark to their max $m, got ${mark()}")
+      // Omitting batch: allocates M+1.. with no collision.
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q228_b")
+      // Reclaim: drop exactly the allocated range, SYNC the mark back.
+      SnapshotStore.deleteWhere(s, root, s"id > $m")
+      s.sql(s"ALTER TABLE graft.`$root` SYNC IDENTITY")
+      require(mark() == m,
+        s"SYNC IDENTITY must re-base the mark to max(id) = $m, got ${mark()}")
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q228_c")
+      SnapshotStore.table(s, root).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("nd"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        sum(col("id")).as("sum_id"))
+    }, Some("""
+      WITH a AS (SELECT o_orderkey * 10 AS id FROM orders
+                 WHERE o_orderkey % 3 = 0),
+      ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                    CAST(MIN(id) AS BIGINT) AS mn,
+                    CAST(MAX(id) AS BIGINT) AS m,
+                    CAST(SUM(id) AS BIGINT) AS sa FROM a),
+      cn AS (SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 2) AS BIGINT) AS n3
+      FROM orders)
+      SELECT CAST(n1 + n3 AS BIGINT) AS n,
+             CAST(n1 + n3 AS BIGINT) AS nd,
+             mn AS min_id,
+             CAST(m + n3 AS BIGINT) AS max_id,
+             CAST(sa + n3 * m + n3 * (n3 + 1) // 2 AS BIGINT) AS sum_id
+      FROM ca, cn""")),
+
+    // EXECUTION-TIME dynamic file pruning (E139 — the runtime half of
+    // the transparent DFP rule): q218's star join with the dim as a
+    // PLAIN PARQUET DIRECTORY — the most common dim shape in a mixed
+    // lake, which the plan-time path must never freeze keys over (the
+    // directory is overwritable between planning and a cached plan's
+    // re-execution). The rule instead mounts a runtime probe rider on
+    // the fact scan's file index: the bounded dim probe runs when the
+    // physical scan first lists files — after all planning — and the
+    // key set prunes the listing through the ordinary stats/Bloom
+    // translation. Require-pinned three ways: (a) the OFF run opens
+    // ALL files; (b) the ON run's OPTIMIZED PLAN carries ZERO frozen
+    // In-lists (proving the runtime path did the work, not a
+    // planning-time freeze); (c) the ON run opens strictly fewer than
+    // half the files and returns the plain join's values (DuckDB
+    // replays the join).
+    ("q227_dfp_runtime_dim", (s: SparkSession, d: String) => {
+      import graft.sinks.{DynamicPruningRule, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q227").toString
+      val fact = s"$dir/lineitem"
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val maxk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val width = math.max(1L, maxk / 16 + 1)
+      SnapshotStore.commit(s,
+        li.withColumn("part", (col("l_orderkey") / lit(width))
+          .cast("long").cast("string")), fact, "part")
+      val cutoff = maxk * 9 / 10
+      val (factDf, idx) = SnapshotStore.tableWithIndex(s, fact)
+      factDf.createOrReplaceTempView("q227_fact")
+      // The dim: a bare parquet write, filtered on a non-key column —
+      // no graft metadata, no version pin, nothing immutable about it.
+      val dimPath = s"$dir/dim_parquet"
+      t(s, d, "orders").filter(col("o_orderkey") >= cutoff)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit("hot").as("tag"))
+        .write.parquet(dimPath)
+      s.read.parquet(dimPath).filter(col("tag") === "hot")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("q227_dim")
+      val sql = """
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+            AS DOUBLE) AS sq
+        FROM q227_fact JOIN q227_dim ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      val offRows = s.sql(sql).collect().toSeq
+      require(idx.lastCandidateFiles == idx.totalFiles,
+        s"with the rule off the plain join must open ALL files: " +
+          s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+      s.conf.set(DynamicPruningRule.EnabledConf, "true")
+      s.conf.set(DynamicPruningRule.MaxKeysConf,
+        math.max(DynamicPruningRule.DefaultMaxKeys.toLong,
+          math.min(Int.MaxValue.toLong, maxk / 5)).toString)
+      try {
+        val on = s.sql(sql)
+        // Nothing froze at planning: the mutable dim's keys must NOT
+        // appear as an In/InSet anywhere in the optimized plan.
+        val frozen = on.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case i: org.apache.spark.sql.catalyst.expressions.In => i: Any
+              case i: org.apache.spark.sql.catalyst.expressions.InSet => i: Any
+            }.size
+        }.sum
+        require(frozen == 0,
+          "a mutable dim's keys must never freeze into the plan — the " +
+            "runtime rider owns this shape")
+        on.persist(); on.count() // execution forces listFiles + probe
+        require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+          s"the runtime probe must skip files for a plain-parquet dim: " +
+            s"${idx.lastCandidateFiles}/${idx.totalFiles}")
+        require(on.collect().toSeq == offRows,
+          "runtime-pruned and plain joins must be value-identical")
+        on
+      } finally {
+        s.conf.unset(DynamicPruningRule.EnabledConf)
+        s.conf.unset(DynamicPruningRule.MaxKeysConf)
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey % 2 = 0
+        AND o_orderkey >= (SELECT (MAX(CASE WHEN l_orderkey % 2 = 0
+              THEN l_orderkey END) * 9) // 10 FROM lineitem)
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
   )
 }
