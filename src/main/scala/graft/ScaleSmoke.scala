@@ -1043,6 +1043,7 @@ object ScaleSmoke {
     }
 
     var dfpFiles = (0, 0) // (candidate, total) — set by join_dfp_topslice
+    var rtDfpFiles = (0, 0) // (candidate, total) — set by join_runtime_dfp_topslice
     val results13 = {
       // ROUND-13 probes: incremental clustering (maintenance ∝ delta,
       // not table), dynamic file pruning (join-time file skipping),
@@ -1112,13 +1113,37 @@ object ScaleSmoke {
         // The one scan column stats cost (rowCount/size need none).
         time("analyze_columns") {
           graft.sinks.SnapshotStats.analyze(spark, clRoot)._1
+        },
+        // ROUND-16: the RUNTIME half of transparent DFP (E139) — the
+        // same top-slice dim as a MUTABLE plain-parquet directory,
+        // which the plan-time path must refuse; the index rider
+        // probes it at listFiles time with zero API calls. Same wide
+        // aggregate, same pruning target as join_dfp_topslice.
+        time("runtime_dfp_dim_setup_untimed") {
+          dim.withColumn("tag", lit("hot"))
+            .write.parquet(s"$base/dim_pq")
+          0L
+        },
+        time("join_runtime_dfp_topslice") {
+          val pdim = spark.read.parquet(s"$base/dim_pq")
+            .filter(col("tag") === "hot")
+          spark.conf.set(graft.sinks.DynamicPruningRule.EnabledConf, "true")
+          try {
+            val (fact, idx) =
+              graft.sinks.SnapshotStore.tableWithIndex(spark, clRoot)
+            val n = fact.join(pdim, col("doc_id") === col("dk"))
+              .agg(sum(length(col("text")))).collect()(0).getLong(0)
+            rtDfpFiles = (idx.lastCandidateFiles, idx.totalFiles)
+            n
+          } finally spark.conf.unset(
+            graft.sinks.DynamicPruningRule.EnabledConf)
         })
     }
 
     val nDocs = docs.count(); val nVecs = embs.count()
     val parts = (results ++ results13)
       .map { case (n, s, c) => s""""$n":{"sec":$s,"rows":$c}""" }
-    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},"bloom_files_before":${bloomFiles._1},"bloom_files_total":${bloomFiles._2},"bloom_files_after":${bloomFiles._3},"dfp_candidate_files":${dfpFiles._1},"dfp_total_files":${dfpFiles._2},${parts.mkString(",")}}""")
+    println(s"""{"amplification":$amp,"docs":$nDocs,"vectors":$nVecs,"skip_candidate_files":${skipFiles._1},"skip_total_files":${skipFiles._2},"bloom_files_before":${bloomFiles._1},"bloom_files_total":${bloomFiles._2},"bloom_files_after":${bloomFiles._3},"dfp_candidate_files":${dfpFiles._1},"dfp_total_files":${dfpFiles._2},"runtime_dfp_candidate_files":${rtDfpFiles._1},"runtime_dfp_total_files":${rtDfpFiles._2},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -2861,6 +2861,158 @@ private[graft] object EvolutionQueries {
         AND o_orderkey >= (SELECT (MAX(CASE WHEN l_orderkey % 2 = 0
               THEN l_orderkey END) * 9) // 10 FROM lineitem)
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      ORDER BY o_orderstatus""")),
+
+    // SELF-MAINTAINING BLOOM SIDECARS (E141, `graft.autoBloom.cols`):
+    // a SCATTERED layout (partition uncorrelated with the key, so
+    // every file spans the whole key range and min/max is powerless)
+    // built from THREE ordinary appends with ZERO manual
+    // addBloomFilters calls — the rider keeps per-file blooms current
+    // on every commit. Require-pinned in-query: an ABSENT-but-in-range
+    // probe (only even keys are committed; the probe key is odd, mid
+    // range) opens strictly fewer than half the files purely via the
+    // rider-built blooms. Values are the committed content's
+    // aggregate, oracled vs DuckDB.
+    ("q229_auto_bloom", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q229").toString
+      val root = s"$dir/fact"
+      val li = t(s, d, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          // Partition UNCORRELATED with the key: arrival-order shape.
+          pmod(col("l_partkey"), lit(4)).cast("string").as("part"))
+      def slice(m: Int) = li.filter(pmod(col("l_orderkey"), lit(6)) === m * 2)
+      SnapshotStore.commit(s, slice(0), root, "part")
+      SnapshotStore.setProperties(s, root, Seq(
+        SnapshotStore.AutoBloomProp -> "l_orderkey",
+        SnapshotStore.AutoBloomBitsProp -> "64"))
+      SnapshotStore.appendCommit(s, slice(1), root,
+        graft.sinks.ColSpec(Seq("part")))
+      SnapshotStore.appendCommit(s, slice(2), root,
+        graft.sinks.ColSpec(Seq("part")))
+      // Absent-but-in-range: an ODD key near the middle of an
+      // all-even domain. Min/max keeps every file; only the
+      // rider-built blooms can certify absence per file.
+      val maxk = li.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+      val probe = (maxk / 2) | 1L
+      val (df, idx) = SnapshotStore.tableWithIndex(s, root)
+      require(df.filter(col("l_orderkey") === probe).count() == 0,
+        "the probe key must be absent (odd in an even-only table)")
+      require(idx.lastCandidateFiles * 2 < idx.totalFiles,
+        s"rider-built blooms must certify absence with zero manual " +
+          s"calls: ${idx.lastCandidateFiles}/${idx.totalFiles}")
+      SnapshotStore.table(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sq"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM lineitem
+      WHERE l_orderkey % 2 = 0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // HISTOGRAM-DRIVEN JOIN ESTIMATION (E138 completed to the
+    // multiplicative half of the CBO story — q226 proved Filter
+    // selectivity, this proves the attach reaches JoinEstimation): a
+    // dense dim A (v uniform in [0,100)) equi-joined to a dim B whose
+    // v is dense for ~0.1% of rows and far-away unique for the rest.
+    // NDV arithmetic estimates |A ⋈ B| ≈ nA·nB/ndv(B.v) ≈ nA — blind
+    // to the near-disjoint RANGES — while equi-height bins see that
+    // A's whole domain overlaps a sliver of B's first bin. A/B
+    // require-pinned with a SELF-CALIBRATING threshold (1/64 of the
+    // NDV-only join estimate — the plan's column pruning shrinks the
+    // estimate ~4× below the calibration query's unpruned stats, and
+    // the binned estimate collapses ~4 orders of magnitude further,
+    // so /64 sits cleanly between them at any SF): NDV-only stats →
+    // zero broadcast joins in the initial plan; histogram ANALYZE →
+    // the (A ⋈ B) output broadcasts into the fact join. Values are
+    // plan-invariant, oracled vs DuckDB's replay of the star.
+    ("q230_histogram_join_estimation", (s: SparkSession, d: String) => {
+      import graft.sinks.{SnapshotStats, SnapshotStore}
+      val dir = java.nio.file.Files.createTempDirectory("graft_q230").toString
+      val rootA = s"$dir/dim_a"; val rootB = s"$dir/dim_b"
+      val rootC = s"$dir/fact"
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(
+          col("o_orderkey").as("ak"),
+          pmod(col("o_custkey"), lit(100)).as("av"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        rootA, "part")
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(
+          col("o_orderkey").as("bk"),
+          when(pmod(col("o_orderkey"), lit(1000)) === 0,
+            pmod(col("o_custkey"), lit(100)))
+            .otherwise(lit(1000000L) + col("o_orderkey")).as("bv"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        rootB, "part")
+      SnapshotStore.commit(s,
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_returnflag"), col("l_quantity"),
+          pmod(col("l_orderkey"), lit(4)).cast("string").as("part")),
+        rootC, "part")
+      def q(): DataFrame = SnapshotStore.table(s, rootA)
+        .join(SnapshotStore.table(s, rootB), col("av") === col("bv"))
+        .join(SnapshotStore.table(s, rootC), col("ak") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sq"))
+        .orderBy(col("l_returnflag"))
+      def bhjCount(df: DataFrame): Int =
+        "BroadcastHashJoin".r.findAllIn(
+          df.queryExecution.executedPlan.toString).length
+      SnapshotStats.analyze(s, rootA) // NDV/bounds only
+      SnapshotStats.analyze(s, rootB)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      try {
+        // Calibrate off the NDV-only estimate of the (A ⋈ B) output.
+        val ndvEst = SnapshotStore.table(s, rootA)
+          .join(SnapshotStore.table(s, rootB), col("av") === col("bv"))
+          .queryExecution.optimizedPlan.stats.sizeInBytes
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (ndvEst / 64).max(BigInt(1)).toString)
+        try {
+          val noHist = q()
+          require(bhjCount(noHist) == 0,
+            "NDV arithmetic must miss the range disjointness — no " +
+              "broadcast anywhere in the initial plan")
+          val offRows = noHist.collect().toSeq
+          s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+          try { SnapshotStats.analyze(s, rootA); SnapshotStats.analyze(s, rootB) }
+          finally s.conf.unset("spark.sql.statistics.histogram.enabled")
+          val hist = q()
+          require(bhjCount(hist) >= 1,
+            "equi-height bins must expose the near-disjoint ranges " +
+              "and broadcast the (A ⋈ B) output into the fact join")
+          hist.persist(); hist.count()
+          require(hist.collect().toSeq == offRows,
+            "histograms steer plans, never results")
+          hist
+        } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      } finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.planStats.enabled")
+      }
+    }, Some("""
+      WITH a AS (SELECT o_orderkey AS ak, o_custkey % 100 AS av
+                 FROM orders),
+      b AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN o_custkey % 100
+                        ELSE 1000000 + o_orderkey END AS bv
+            FROM orders)
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sq
+      FROM a JOIN b ON av = bv
+             JOIN lineitem ON ak = l_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
   )
 }
