@@ -1128,6 +1128,12 @@ object ScaleSmoke {
           val pdim = spark.read.parquet(s"$base/dim_pq")
             .filter(col("tag") === "hot")
           spark.conf.set(graft.sinks.DynamicPruningRule.EnabledConf, "true")
+          // Amplification-proof bound: the top-slice dim holds ~1% of
+          // the key space — above the 10k default at high amp, which
+          // would silently over-limit and measure the plain join.
+          spark.conf.set(graft.sinks.DynamicPruningRule.MaxKeysConf,
+            math.max(graft.sinks.DynamicPruningRule.DefaultMaxKeys.toLong,
+              maxId / 50).toString)
           try {
             val (fact, idx) =
               graft.sinks.SnapshotStore.tableWithIndex(spark, clRoot)
@@ -1135,8 +1141,10 @@ object ScaleSmoke {
               .agg(sum(length(col("text")))).collect()(0).getLong(0)
             rtDfpFiles = (idx.lastCandidateFiles, idx.totalFiles)
             n
-          } finally spark.conf.unset(
-            graft.sinks.DynamicPruningRule.EnabledConf)
+          } finally {
+            spark.conf.unset(graft.sinks.DynamicPruningRule.EnabledConf)
+            spark.conf.unset(graft.sinks.DynamicPruningRule.MaxKeysConf)
+          }
         })
     }
 

@@ -243,6 +243,35 @@ case class DynamicPruningRule(spark: SparkSession)
         fs.location.isInstanceOf[GraftFileIndex]
       case _ => false
     }
+    // Run-time eligibility: the rider's soundness argument is that the
+    // probe executes the join's OWN dim subtree, whose file LISTING is
+    // snapshotted in the relation — so probe and join read identical
+    // immutable files even if the directory changes mid-query. That
+    // holds for file sources listed at relation build
+    // (InMemoryFileIndex — `spark.read.parquet` — and graft indexes)
+    // and for caches over those; it does NOT hold for sources that
+    // re-read live state per execution (CatalogFileIndex re-lists the
+    // metastore path, JDBC re-queries, DSv2 scans re-plan) — a row
+    // inserted between the probe and the join's read could match fact
+    // files the probe already pruned. Those stay refused.
+    def runtimeSafePhysical(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      q.collectLeaves().forall {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          snapshottedListing(f.relation.location)
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _: org.apache.spark.sql.execution.RangeExec => true
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          runtimeSafePhysical(im.relation.cachedPlan)
+        case _ => false
+      }
+    def runtimeSafe(q: LogicalPlan): Boolean = q.collectLeaves().forall {
+      case _: LocalRelation | _: OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case imr: InMemoryRelation => runtimeSafePhysical(imr.cachedPlan)
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        snapshottedListing(fs.location)
+      case _ => false
+    }
     val qualifies = !p.isStreaming &&
       p.collectFirst {
         case n if n.expressions.exists(e => !e.deterministic) => n
@@ -251,8 +280,18 @@ case class DynamicPruningRule(spark: SparkSession)
         core(p).isInstanceOf[LocalRelation])
     if (!qualifies) None
     else if (immutable(p)) Some(PlanTime)
-    else Some(RunTime)
+    else if (runtimeSafe(p)) Some(RunTime)
+    else None
   }
+
+  /** Is this index's file listing frozen in the relation object?
+    * `InMemoryFileIndex` lists at construction and caches;
+    * [[GraftFileIndex]] IS the (version-pinned) listing. A
+    * `CatalogFileIndex` re-lists per execution — not snapshotted. */
+  private def snapshottedListing(
+      idx: org.apache.spark.sql.execution.datasources.FileIndex): Boolean =
+    idx.isInstanceOf[GraftFileIndex] ||
+      idx.isInstanceOf[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]
 
   /** A key-membership predicate already on the fact path means the
     * probe has nothing to add: this rule's own In-list from a prior

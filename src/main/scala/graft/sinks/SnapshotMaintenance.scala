@@ -225,6 +225,14 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * (the current one when every mark already matches). */
   def syncIdentity(spark: SparkSession, root: String,
                    maxAttempts: Int = 5): Long = {
+    // An exception-abandoned allocation attempt on THIS thread may
+    // have left a forward mark in the pending hand-off; the manifest
+    // injection's monotone guard would silently re-apply it OVER the
+    // backward value this commit exists to publish (30 > 10 reads as
+    // "ahead"). The residue describes ids that never published —
+    // dropping it costs at most a gap, and SYNC is about to re-derive
+    // the mark from the data anyway.
+    clearPendingIdentityAlloc(root)
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(

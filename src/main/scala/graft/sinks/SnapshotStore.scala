@@ -902,6 +902,15 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
                                          allocs: Map[String, Long]): Unit =
     pendingIdentityAllocs.set((root, allocs))
 
+  /** Drop THIS thread's pending allocation hand-off for `root` — the
+    * SYNC IDENTITY entry point clears abandoned-attempt residue so
+    * its deliberate backward move cannot be overridden by the
+    * monotone injection guard. */
+  private[sinks] def clearPendingIdentityAlloc(root: String): Unit =
+    Option(pendingIdentityAllocs.get()).foreach { case (r, _) =>
+      if (r == root) pendingIdentityAllocs.remove()
+    }
+
   /** Identity column NAMES recorded at `version` (both modes) — the
     * UPDATE/rename/drop guards read through this: the allocator owns
     * the column's MUTATION surface regardless of mode. */
@@ -1456,6 +1465,32 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Only the manifest winner reaches here, so a plain rename is fine.
     f.delete(statsPath(root, v), false)
     f.rename(tmp, statsPath(root, v))
+    // BLOOM sidecar carry: filters are path-keyed over immutable
+    // files, so the predecessor's sidecar stays valid for every
+    // carried path — copying it forward keeps point-lookup skipping
+    // alive at the version readers actually resolve (without this,
+    // ONE metadata-only commit — ANALYZE refresh, SET TBLPROPERTIES —
+    // silently reverted every reader to stats-only skipping until the
+    // next manual/rider build). Fresh files simply have no entry and
+    // are kept conservatively until the next build. Cost: one sidecar
+    // byte-copy per commit, the same cost class as the stats encode
+    // above. The short walk covers a failed predecessor write; deep
+    // historic gaps heal at the next [[addBloomFilters]] build.
+    if (!f.exists(bloomPath(root, v))) {
+      var back = pv
+      var src: Option[Path] = None
+      while (src.isEmpty && back >= math.max(1L, pv - 8)) {
+        val p = bloomPath(root, back)
+        if (f.exists(p)) src = Some(p)
+        back -= 1
+      }
+      src.foreach { p =>
+        val btmp = new Path(root,
+          s"manifests/.v_$v.bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+        org.apache.hadoop.fs.FileUtil.copy(f, p, f, btmp, false, conf)
+        f.rename(btmp, bloomPath(root, v))
+      }
+    }
   } catch {
     case scala.util.control.NonFatal(e) =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

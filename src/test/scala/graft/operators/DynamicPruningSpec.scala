@@ -435,6 +435,35 @@ class DynamicPruningSpec extends graft.SparkSpec {
     } finally cachedMutable.unpersist()
   }
 
+  test("rule: a LIVE-READ (DSv2) dim is refused even at runtime — probe and join could read different state") {
+    // The runtime rider is sound because the probe re-executes a dim
+    // whose file LISTING is snapshotted in the relation (parquet
+    // reads, graft scans, caches over those). A DSv2 source re-plans
+    // its scan per execution — a row arriving between the probe and
+    // the join's own read could match fact files the probe pruned —
+    // so it must stay refused, plan-time AND run-time.
+    val idx = sqlFixture()
+    val dir = java.nio.file.Files.createTempDirectory("dfp_v2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/page_1.json"),
+      """[{"id": 8000}, {"id": 8001}]""".getBytes("UTF-8"))
+    import org.apache.spark.sql.types._
+    spark.read.format("graft-paged")
+      .option("urlTemplate", s"$dir/page_{page}.json")
+      .option("pages", "1").option("transport", "file").load()
+      .select(explode(from_json(col("body"),
+        ArrayType(StructType(Seq(StructField("id", LongType)))))).as("item"))
+      .select(col("item.id").as("dk"))
+      .filter(col("dk") >= 0)
+      .createOrReplaceTempView("dim")
+    val got = withRule() {
+      spark.sql("SELECT count(*) AS n FROM fact JOIN dim ON k = dk")
+        .collect()(0).getLong(0)
+    }
+    assert(got == 2)
+    assert(idx.lastCandidateFiles == idx.totalFiles,
+      "a live-read source must never drive pruning")
+  }
+
   test("rule: an over-limit runtime probe degrades to ALL files — never a partial filter") {
     val idx = sqlFixture()
     val dimPath = java.nio.file.Files.createTempDirectory("dfp_over")

@@ -107,6 +107,34 @@ class AutoBloomSpec extends graft.SparkSpec {
       "…and the fixed registration must actually bloom")
   }
 
+  test("a MANUAL bloom survives metadata-only commits — the sidecar carries at commit time, no rider needed") {
+    // The reader resolves the bloom sidecar at the exact tip version;
+    // without the commit-time carry, ONE property commit (ANALYZE,
+    // SET TBLPROPERTIES) stranded a manually-built sidecar one
+    // version behind and silently reverted every point lookup to
+    // stats-only skipping.
+    val root = freshRoot()
+    SnapshotStore.commit(spark, rows(0 until 2000), root, "part")
+    SnapshotStore.addBloomFilters(spark, root, Seq("sid"),
+      bitsPerValue = 32, k = 6)
+    assert(probeAbsent(root, "sid") == 0)
+    SnapshotStore.setProperties(spark, root, Seq("graft.unrelated" -> "y"))
+    assert(probeAbsent(root, "sid") == 0,
+      "a property commit must not strand the sidecar behind the tip")
+    SnapshotStats.analyze(spark, root)
+    assert(probeAbsent(root, "sid") == 0,
+      "an ANALYZE property commit must carry it too")
+    // A DATA commit carries the old files' filters as well — the new
+    // batch's files are simply unbloomed (kept conservatively) until
+    // the next manual/rider build.
+    SnapshotStore.appendCommit(spark, rows(2000 until 2100), root,
+      ColSpec(Seq("part")))
+    val (df, idx) = SnapshotStore.tableWithIndex(spark, root)
+    assert(df.filter(col("sid") === 4987L).count() == 0)
+    assert(idx.lastCandidateFiles < idx.totalFiles,
+      "carried filters must still rule out the pre-append files")
+  }
+
   test("composes with the async worker: blooms land after drain, commits never wait on the build") {
     val root = freshRoot()
     SnapshotStore.commit(spark, rows(0 until 1500), root, "part")

@@ -344,6 +344,28 @@ class IdentityColumnSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("no identity column"), e.getMessage)
   }
 
+  test("SYNC IDENTITY's backward move survives an abandoned allocation residue on the calling thread") {
+    val root = freshRoot()
+    create(root)
+    src(0 until 20).createOrReplaceTempView("idsrc_resid")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_resid")
+    SnapshotStore.deleteWhere(spark, root, "id > 5")
+    // Simulate an exception-abandoned allocation attempt's hand-off: a
+    // FORWARD mark for this root left in the thread-local. Without the
+    // entry-point clear, the manifest injection's monotone guard would
+    // re-apply it OVER the backward value SYNC is about to publish —
+    // and report success.
+    SnapshotStore.recordIdentityAlloc(root, Map("id" -> 1000L))
+    spark.sql(s"ALTER TABLE graft.`$root` SYNC IDENTITY")
+    assert(SnapshotStore.identityColumns(
+        SnapshotStore.tablePropertiesMap(spark, root)).head.last == 5L,
+      "the residue must not override the deliberate backward move")
+    src(100 until 102).createOrReplaceTempView("idsrc_resid2")
+    spark.sql(s"INSERT INTO graft.`$root` SELECT k, part FROM idsrc_resid2")
+    assert(ids(root) == (1L to 7L),
+      s"allocation must continue from the SYNCED mark, got ${ids(root)}")
+  }
+
   test("SYNC IDENTITY on an emptied table restarts allocation at START WITH") {
     val root = freshRoot()
     create(root, " (START WITH 7 INCREMENT BY 3)")
