@@ -3013,6 +3013,56 @@ private[graft] object EvolutionQueries {
       FROM a JOIN b ON av = bv
              JOIN lineitem ON ak = l_orderkey
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""))
+      ORDER BY l_returnflag""")),
+
+    // COLUMN DEFAULT VALUES (E142, Delta's `DEFAULT` clause): columns
+    // OMITTED from an INSERT column list fill from their recorded
+    // constant expression; an explicitly listed value (slice 1's real
+    // o_orderstatus) flows untouched; and `ALTER TABLE … ALTER COLUMN
+    // … SET DEFAULT` changes FUTURE inserts only — slice 0 keeps
+    // 'new' while slice 2 lands as 'held'. The oracle replays the
+    // per-batch defaults in closed form (order statuses O/F/P are
+    // disjoint from the default strings by construction).
+    ("q231_column_defaults", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q231").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        ok BIGINT, status STRING DEFAULT 'new',
+        score BIGINT DEFAULT 40 + 2, part STRING
+      ) USING graft-snapshot PARTITIONED BY (part)""")
+      def slice(m: Int) = t(s, d, "orders")
+        .filter(pmod(col("o_orderkey"), lit(3)) === m)
+        .select(col("o_orderkey").as("ok"), col("o_orderstatus"),
+          pmod(col("o_custkey"), lit(4)).cast("string").as("part"))
+      slice(0).createOrReplaceTempView("q231_s0")
+      slice(1).createOrReplaceTempView("q231_s1")
+      slice(2).createOrReplaceTempView("q231_s2")
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q231_s0")
+      s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN status SET DEFAULT 'held'")
+      // Slice 1 lists status explicitly — the caller's value wins.
+      s.sql(s"INSERT INTO graft.`$root` (ok, status, part) " +
+        "SELECT ok, o_orderstatus, part FROM q231_s1")
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q231_s2")
+      SnapshotStore.table(s, root)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score")).as("sum_score"),
+          sum(col("ok")).as("sum_ok"))
+        .orderBy(col("status"))
+    }, Some("""
+      WITH u AS (
+        SELECT 'new' AS status, o_orderkey AS ok FROM orders
+          WHERE o_orderkey % 3 = 0
+        UNION ALL SELECT o_orderstatus, o_orderkey FROM orders
+          WHERE o_orderkey % 3 = 1
+        UNION ALL SELECT 'held', o_orderkey FROM orders
+          WHERE o_orderkey % 3 = 2)
+      SELECT status, COUNT(*) AS n,
+        CAST(COUNT(*) * 42 AS BIGINT) AS sum_score,
+        CAST(SUM(ok) AS BIGINT) AS sum_ok
+      FROM u GROUP BY status ORDER BY status"""))
   )
 }

@@ -82,8 +82,24 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
                      partitionCols: ColSpec,
                      bucketBy: Option[(Seq[String], Seq[String], Int)] = None,
                      generated: Seq[(String, String)] = Nil,
-                     identity: Seq[(String, Long, Long, Boolean)] = Nil): Option[Long] = {
+                     identity: Seq[(String, Long, Long, Boolean)] = Nil,
+                     defaults: Seq[(String, String)] = Nil): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
+    // Column DEFAULTs (E142): validated here, recorded with v1; the
+    // same constraints the post-hoc ALTER path enforces.
+    val defaultProps = defaults.map { case (c, e) =>
+      val field = df.schema.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"DEFAULT column '$c' is not in the declared schema"))
+      require(!generated.exists(_._1 == c) && !identity.exists(_._1 == c),
+        s"'$c' is a generated/identity column — its value is computed, " +
+          "a DEFAULT would never apply")
+      require(!partitionCols.cols.contains(c),
+        s"'$c' is a partition column — INSERT requires it listed, so " +
+          "a DEFAULT could never fill it")
+      validateDefault(spark, c, field.dataType, e)
+      s"$DefaultPropPrefix$c" -> e
+    }
     val bucketProps = bucketBy.map { case (cols, sortCols, n) =>
       require(n >= 2, s"INTO n BUCKETS needs n >= 2, got $n")
       require(cols.nonEmpty, "CLUSTER BY needs at least one column")
@@ -142,7 +158,8 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
         sortWithin = bucketBy.toSeq.flatMap(_._2).map(col))
       finally if (identity.nonEmpty) cachedDf.unpersist(false)
     if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header,
-        properties = Some(bucketProps.getOrElse(Nil) ++ genProps ++ identProps)
+        properties = Some(bucketProps.getOrElse(Nil) ++ genProps ++
+            identProps ++ defaultProps)
           .filter(_.nonEmpty),
         constraints = Some(genChecks).filter(_.nonEmpty))) {
       writeStats(spark, root, 1L, Nil, entries, Some(dfId.schema))

@@ -270,6 +270,56 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       s"lost the sync-identity race $maxAttempts times under $root")
   }
 
+  /** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr` / `DROP DEFAULT`
+    * (Delta's post-hoc default management — sound because a default
+    * affects only FUTURE inserts, nothing about existing rows): the
+    * VALIDATED way a `graft.default.<col>` record changes (raw
+    * SET/UNSET TBLPROPERTIES refuses the prefix). Refused for
+    * generated/identity columns (their machinery owns the fill) and
+    * for partition columns (the INSERT column-list guard requires
+    * them listed, so a recorded default would be dead metadata —
+    * refuse loudly instead). `None` drops; dropping an absent
+    * default is a version no-op. Returns the committed version. */
+  def setColumnDefault(spark: SparkSession, root: String, colName: String,
+                       exprSql: Option[String],
+                       maxAttempts: Int = 5): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val schema = logicalSchemaAt(spark, root, cur).getOrElse(
+        readVersion(spark, root, cur).schema)
+      val field = schema.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN: unknown column '$colName' " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})"))
+      val (gens, _, idents, _) = autoColumnsAt(spark, root, cur)
+      require(!gens(colName) && !idents(colName),
+        s"'$colName' is a generated/identity column — its value is " +
+          "computed, a DEFAULT would never apply")
+      require(!partitionColumns(spark, root, cur).contains(colName),
+        s"'$colName' is a partition column — INSERT requires it " +
+          "listed, so a DEFAULT could never fill it")
+      exprSql.foreach(e => validateDefault(spark, colName, field.dataType, e))
+      val existing = tableProperties(spark, root, cur)
+      val key = s"$DefaultPropPrefix$colName"
+      val merged = existing.filterNot(_._1 == key) ++
+        exprSql.map(key -> _).toSeq
+      if (merged.toMap == existing.toMap) return cur
+      val entries = manifest(spark, root, cur)
+      if (writeManifest(spark, root, cur + 1, entries, "set-properties",
+          partitionColumn(spark, root, cur).getOrElse(""),
+          properties = Some(merged))) {
+        writeStats(spark, root, cur + 1, entries, Nil, None)
+        postCommit(spark, root, cur + 1, compactEligible = false)
+        return cur + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the set-default race $maxAttempts times under $root")
+  }
+
   def renameColumn(spark: SparkSession, root: String, from: String,
                    to: String, maxAttempts: Int = 5): Long = {
     require(from != to, s"RENAME COLUMN $from TO $from is a no-op")
@@ -308,8 +358,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         case other => other.getOrElse("")
       }
       val entries = manifest(spark, root, cur)
+      // A recorded DEFAULT follows the rename — metadata names the
+      // LOGICAL column, and unlike identity records (create-only,
+      // allocation-bearing) a default is freely rewritable metadata.
+      val defaultKey = s"$DefaultPropPrefix$from"
+      val renamedProps: Option[Seq[(String, String)]] = {
+        val existing = tableProperties(spark, root, cur)
+        existing.collectFirst { case (k, v) if k == defaultKey => v }
+          .map(v => existing.filterNot(_._1 == defaultKey) :+
+            (s"$DefaultPropPrefix$to" -> v))
+      }
       if (writeManifest(spark, root, cur + 1, entries, "rename-column",
-          newPartCol,
+          newPartCol, properties = renamedProps,
           columnMapping = Some((newRenames.toSeq, dropped.toSeq)))) {
         writeStats(spark, root, cur + 1, entries, Nil, None)
         postCommit(spark, root, cur + 1, compactEligible = false)
@@ -351,8 +411,18 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       val (renames, dropped) = mappingAt(spark, root, cur)
       val physical = physicalNameOf(renames, name)
       val entries = manifest(spark, root, cur)
+      // A recorded DEFAULT dies with its column — an orphaned record
+      // would spring back if the name is ever re-added.
+      val droppedProps: Option[Seq[(String, String)]] = {
+        val existing = tableProperties(spark, root, cur)
+        val key = s"$DefaultPropPrefix$name"
+        if (existing.exists(_._1 == key))
+          Some(existing.filterNot(_._1 == key))
+        else None
+      }
       if (writeManifest(spark, root, cur + 1, entries, "drop-column",
           partitionColumn(spark, root, cur).getOrElse(""),
+          properties = droppedProps,
           columnMapping = Some(((renames - name).toSeq, (dropped + physical).toSeq)))) {
         writeStats(spark, root, cur + 1, entries, Nil, None)
         postCommit(spark, root, cur + 1, compactEligible = false)

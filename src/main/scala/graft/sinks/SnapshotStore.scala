@@ -519,6 +519,15 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           s"against it (and an identity mark set by hand could reopen " +
           s"allocated ids), so pruning/allocation would be unsound")
     }
+    // Defaults ARE changeable post-hoc — but only through the
+    // VALIDATED path (ALTER TABLE … ALTER COLUMN … SET/DROP DEFAULT);
+    // a raw property write could record an unparseable or
+    // wrongly-typed expression every later INSERT would trip over.
+    props.find(_._1.startsWith(DefaultPropPrefix)).foreach { case (k, _) =>
+      throw new IllegalArgumentException(
+        s"'$k' is managed metadata — use ALTER TABLE … ALTER COLUMN " +
+          "… SET DEFAULT / DROP DEFAULT, which validates the expression")
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -595,6 +604,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
             "cannot be UNSET: later writes would silently null-fill or " +
             "reallocate what existing rows already carry")
       }
+    keys.find(_.startsWith(DefaultPropPrefix)).foreach { k =>
+      throw new IllegalArgumentException(
+        s"'$k' is managed metadata — use ALTER TABLE … ALTER COLUMN " +
+          "… DROP DEFAULT")
+    }
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -926,17 +940,20 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     identityColumns(tableProperties(spark, root, version).toMap)
       .filterNot(_.byDefault).map(_.col)
 
-  /** (generated names, ALWAYS identity names, all identity names) in
-    * ONE properties read — the INSERT alignment consults all three on
-    * the hot SQL path: generated and identity columns may be omitted;
-    * only ALWAYS identity columns refuse explicit values. */
-  def autoColumnsAt(spark: SparkSession, root: String,
-                    version: Long): (Set[String], Set[String], Set[String]) = {
+  /** (generated names, ALWAYS identity names, all identity names,
+    * column defaults) in ONE properties read — the INSERT alignment
+    * consults all four on the hot SQL path: generated and identity
+    * columns may be omitted; only ALWAYS identity columns refuse
+    * explicit values; omitted DEFAULT columns fill from their
+    * recorded expression. */
+  def autoColumnsAt(spark: SparkSession, root: String, version: Long)
+      : (Set[String], Set[String], Set[String], Map[String, String]) = {
     val props = tableProperties(spark, root, version).toMap
     val ids = identityColumns(props)
     (generatedColumns(props).map(_._1).toSet,
       ids.filterNot(_.byDefault).map(_.col).toSet,
-      ids.map(_.col).toSet)
+      ids.map(_.col).toSet,
+      defaultColumns(props).toMap)
   }
 
   /** (column → generation expr sql) recorded at `version` — the SQL
@@ -944,6 +961,79 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   def generatedColumnsAt(spark: SparkSession, root: String,
                          version: Long): Seq[(String, String)] =
     generatedColumns(tableProperties(spark, root, version).toMap)
+
+  /** COLUMN DEFAULT VALUES (Delta's `DEFAULT` clause, E142): recorded
+    * as `graft.default.<col> = <sql>`. A default fills a column
+    * OMITTED from an INSERT column list (an explicit NULL stays NULL
+    * — SQL semantics); the API write paths are untouched (a frame
+    * writes what it carries, Delta's contract too). Unlike
+    * generated/identity metadata, defaults affect only FUTURE inserts
+    * — so `ALTER TABLE … ALTER COLUMN … SET/DROP DEFAULT` may change
+    * them post-hoc through the VALIDATED path
+    * ([[setColumnDefault]]); raw SET/UNSET TBLPROPERTIES of the
+    * prefix stays refused so an unvalidated expression can never be
+    * recorded. */
+  private[sinks] val DefaultPropPrefix = "graft.default."
+
+  private[sinks] def defaultColumns(props: Map[String, String]): Seq[(String, String)] =
+    props.collect { case (k, v) if k.startsWith(DefaultPropPrefix) =>
+      k.stripPrefix(DefaultPropPrefix) -> v }.toSeq.sortBy(_._1)
+
+  /** (column → default expr sql) recorded at `version`. */
+  def defaultColumnsAt(spark: SparkSession, root: String,
+                       version: Long): Seq[(String, String)] =
+    defaultColumns(tableProperties(spark, root, version).toMap)
+
+  /** Validate a DEFAULT expression for column `name : dt`: must
+    * parse, resolve with ZERO column references, be FOLDABLE (a
+    * literal-class constant — `current_date()` et al. refuse: they
+    * report deterministic but drift per query, so "what did this
+    * insert write" would depend on wall clock, the same trap the
+    * generated-column probe refuses), and sit in a safe upcast
+    * relationship with the declared type (a lossy cast would record a
+    * default the column silently mangles). */
+  private[sinks] def validateDefault(spark: SparkSession, name: String,
+                                     dt: org.apache.spark.sql.types.DataType,
+                                     sql: String): Unit = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"DEFAULT for '$name' does not parse: '$sql' (${e.getMessage})")
+      }
+    val analyzed = try {
+      val probe = spark.emptyDataFrame
+        .select(org.apache.spark.sql.functions.expr(sql).as("d"))
+      probe.queryExecution.analyzed.expressions.head
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+    } catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalArgumentException(
+        s"DEFAULT for '$name' must be a constant expression over no " +
+          s"columns: '$sql' (${e.getMessage})")
+    }
+    require(parsed.references.isEmpty && analyzed.references.isEmpty,
+      s"DEFAULT for '$name' references columns — defaults must be " +
+        s"constants: '$sql'")
+    // Query-scoped time functions REPORT foldable (constant per
+    // query) — the same trap the generated-column probe refuses: a
+    // default of current_date() would make "what did this insert
+    // write" depend on wall clock.
+    val timeScoped = analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
+      case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
+      case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
+      case _ => false
+    }
+    require(analyzed.foldable && !timeScoped,
+      s"DEFAULT for '$name' is not a constant ('$sql') — query-scoped " +
+        "or nondeterministic expressions would make inserted values " +
+        "depend on when the INSERT ran")
+    val got = analyzed.dataType
+    require(got == dt ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got, dt),
+      s"DEFAULT for '$name' has type ${got.sql}, which does not safely " +
+        s"widen to the declared ${dt.sql}")
+  }
 
   /** (column → generation expr sql), from a property map. */
   private[sinks] def generatedColumns(props: Map[String, String]): Seq[(String, String)] =

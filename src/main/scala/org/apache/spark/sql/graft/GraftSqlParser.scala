@@ -525,6 +525,19 @@ object GraftSqlParser {
             else if (u.kw("SYNC", "IDENTITY"))
               Some(()).filter(_ => u.done)
                 .map(_ => SyncIdentityCommand(parts(t)))
+            else if (u.kw("ALTER", "COLUMN"))
+              for {
+                c <- u.column()
+                d <- {
+                  val m = u.mark
+                  if (u.kw("SET", "DEFAULT")) u.rest().map(Option(_))
+                  else { u.reset(m)
+                    if (u.kw("DROP", "DEFAULT") && u.done)
+                      Some(Option.empty[String])
+                    else None
+                  }
+                }
+              } yield AlterColumnDefaultCommand(parts(t), c, d)
             else None
           case _ => None
         }
@@ -1875,7 +1888,8 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // columns may be provided (explicit values are their contract —
     // the write path mark-advances past them) or omitted; an omitted
     // one stays absent so the write path allocates.
-    val (gens, alwaysIdents, idents) = SnapshotStore.autoColumnsAt(spark, root, cur)
+    val (gens, alwaysIdents, idents, defaults) =
+      SnapshotStore.autoColumnsAt(spark, root, cur)
     val auto = gens ++ idents
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {
@@ -1928,6 +1942,14 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
             case Some(src) => Some(org.apache.spark.sql.functions.col(src)
               .cast(f.dataType).as(f.name))
             case None if auto(f.name) => None // computed/allocated at write
+            // Column DEFAULTs (E142): an OMITTED column with a
+            // recorded default fills from its (validated, foldable)
+            // expression — Catalyst constant-folds it, so the fill is
+            // literal-priced. An explicitly LISTED column is the
+            // caller's value even when NULL: SQL semantics.
+            case None if defaults.contains(f.name) =>
+              Some(org.apache.spark.sql.functions.expr(defaults(f.name))
+                .cast(f.dataType).as(f.name))
             case None => Some(org.apache.spark.sql.functions.lit(null)
               .cast(f.dataType).as(f.name))
           }
@@ -2183,6 +2205,24 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     (plain.mkString(", "), ids.flatten)
   }
 
+  /** Extract `col TYPE DEFAULT <expr>` clauses (E142): returns (plain
+    * DDL, (col → default sql) pairs). Runs on the extractIdentity
+    * REMAINDER, so `GENERATED BY DEFAULT AS IDENTITY` — the other
+    * DEFAULT keyword in column DDL — is already stripped and can
+    * never half-match here. The expression is everything after the
+    * keyword (validated for parse/fold/type at create). */
+  private def extractDefaults(ddl: String): (String, Seq[(String, String)]) = {
+    val Def = "(?is)^(.*?)\\s+DEFAULT\\s+(.+)$".r
+    val (plain, defs) = splitTop(ddl).map {
+      case Def(colDef, e) =>
+        val name = colDef.trim.split("\\s+").head
+          .stripPrefix("`").stripSuffix("`")
+        (colDef.trim, Some(name -> e.trim))
+      case other => (other, None)
+    }.unzip
+    (plain.mkString(", "), defs.flatten)
+  }
+
   /** Extract `col TYPE GENERATED ALWAYS AS (expr)` clauses: returns
     * (plain DDL for StructType.fromDDL, (col → expr) pairs). */
   private def extractGenerated(ddl: String): (String, Seq[(String, String)]) = {
@@ -2199,7 +2239,8 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     val (plainDdl0, generated) = extractGenerated(schemaDdl)
-    val (plainDdl, identity) = extractIdentity(plainDdl0)
+    val (plainDdl1, identity) = extractIdentity(plainDdl0)
+    val (plainDdl, defaults) = extractDefaults(plainDdl1)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
     require(partitionCols.nonEmpty,
       "CREATE TABLE … USING graft-snapshot needs PARTITIONED BY (…)")
@@ -2262,7 +2303,8 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.
     SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
-        bucketBy = bucket, generated = generated, identity = identity) match {
+        bucketBy = bucket, generated = generated, identity = identity,
+        defaults = defaults) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE failed: $root already holds a snapshot — " +
@@ -2284,6 +2326,24 @@ case class RenameColumnCommand(table: Seq[String], from: String, to: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
     Seq(Row(root, SnapshotStore.renameColumn(spark, root, from, to)))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT` —
+  * validated column-default management
+  * ([[SnapshotStore.setColumnDefault]]). Returns (path, version). */
+case class AlterColumnDefaultCommand(table: Seq[String], column: String,
+                                     exprSql: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    Seq(Row(root,
+      SnapshotStore.setColumnDefault(spark, root, column, exprSql)))
   }
 }
 
