@@ -3063,6 +3063,72 @@ private[graft] object EvolutionQueries {
       SELECT status, COUNT(*) AS n,
         CAST(COUNT(*) * 42 AS BIGINT) AS sum_score,
         CAST(SUM(ok) AS BIGINT) AS sum_ok
-      FROM u GROUP BY status ORDER BY status"""))
+      FROM u GROUP BY status ORDER BY status""")),
+
+    // INSERT OVERWRITE / replaceWhere (E143, the versioned SQL
+    // overwrite family): seed four partitions from orders; a STATIC
+    // `PARTITION (part = '1')` overwrite replaces exactly that
+    // partition (the untouched partitions' manifest entries
+    // require-pinned BYTE-IDENTICAL — carried by reference, zero data
+    // movement); a DYNAMIC `PARTITION (part)` overwrite replaces only
+    // the partition its output holds. Both are single atomic commits;
+    // the oracle rebuilds the final state per-partition in closed
+    // form.
+    ("q232_insert_overwrite", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q232").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        root, "part")
+      val v1 = SnapshotStore.currentVersion(s, root).get
+      val untouched = SnapshotStore.manifest(s, root, v1)
+        .filterNot(e => e.partition == "1" || e.partition == "2")
+        .map(_.path).toSet
+      // STATIC: replace partition 1 with the tripled slice, the query
+      // omitting the partition column (the clause supplies it).
+      t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("ok"),
+          (col("o_totalprice") * 3).cast("double").as("price"))
+        .createOrReplaceTempView("q232_static")
+      s.sql(s"INSERT OVERWRITE graft.`$root` PARTITION (part = '1') " +
+        "SELECT ok, price FROM q232_static")
+      // DYNAMIC: the output lands wholly in partition 2.
+      t(s, d, "orders").filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey").as("ok"),
+          (col("o_totalprice") * 5).cast("double").as("price"),
+          lit("2").as("part"))
+        .createOrReplaceTempView("q232_dynamic")
+      s.sql(s"INSERT OVERWRITE graft.`$root` PARTITION (part) " +
+        "SELECT ok, price, part FROM q232_dynamic")
+      val cur = SnapshotStore.currentVersion(s, root).get
+      require(cur == v1 + 2, s"two overwrites = two commits, got $cur")
+      require(SnapshotStore.manifest(s, root, cur)
+          .filterNot(e => e.partition == "1" || e.partition == "2")
+          .map(_.path).toSet == untouched,
+        "untouched partitions must carry byte-identical file references " +
+          "through BOTH overwrites")
+      SnapshotStore.table(s, root)
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+        .orderBy(col("part"))
+    }, Some("""
+      WITH u AS (
+        SELECT o_orderkey % 4 AS part, o_totalprice AS price FROM orders
+          WHERE o_orderkey % 4 IN (0, 3)
+        UNION ALL SELECT 1, o_totalprice * 3 FROM orders
+          WHERE o_orderkey % 3 = 0
+        UNION ALL SELECT 2, o_totalprice * 5 FROM orders
+          WHERE o_orderkey % 5 = 0)
+      SELECT CAST(part AS VARCHAR) AS part, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM u GROUP BY part ORDER BY part"""))
   )
 }

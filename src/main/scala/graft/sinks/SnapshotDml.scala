@@ -888,6 +888,77 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       s"lost the delete-where race $maxAttempts times under $root")
   }
 
+  /** Delta's `replaceWhere` (E143): ONE atomic commit that deletes
+    * every row matching `predicate` and inserts `df0` — the
+    * idempotent backfill/restatement primitive (re-running a day's
+    * pipeline REPLACES the day, never duplicates it; a reader sees
+    * the old day or the new one, never both or neither). Every
+    * INCOMING row must satisfy the predicate (refused loudly before
+    * anything lands — Delta's contract: the write is scoped to what
+    * it replaces). Partitions holding neither a predicate match nor
+    * an incoming row carry by reference; surviving rows in touched
+    * partitions (predicate FALSE or NULL) are kept. A
+    * partition-value-only predicate (the `INSERT OVERWRITE …
+    * PARTITION` shape) replaces whole partitions with ZERO existing
+    * data read — manifest arithmetic plus the new batch's write, at
+    * any table size. Returns the committed version. */
+  def replaceWhere(spark: SparkSession, root: String, df0: DataFrame,
+                   predicate: String, maxAttempts: Int = 10): Long = {
+    val hit = coalesce(expr(predicate), lit(false))
+    val tip = tipVersionAndProps(spark, root)
+    val incoming = applyGenerated(spark, root, df0, tip)
+    enforceConstraints(spark, root, incoming, Some(tip))
+    enforceSchemaCompatible(spark, root, incoming)
+    val stray = incoming.filter(!hit).limit(1).collect()
+    if (stray.nonEmpty) throw new IllegalArgumentException(
+      s"replaceWhere: an incoming row does not satisfy '$predicate' " +
+        s"(${stray.head}) — the write must be scoped to what it replaces")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val partCols = requirePartitionCols(spark, root, cur)
+      val entries = manifest(spark, root, cur)
+      val newParts: Set[String] = incoming
+        .select(partValueColumn(partCols)).distinct()
+        .collect().map(_.getString(0)).toSet
+      // Partition-only predicates: the doomed set is decided from
+      // partition VALUES (zero data reads), every row in those
+      // partitions matches, and the incoming batch (all rows
+      // predicate-true) can only land inside them — whole-partition
+      // replacement, the INSERT OVERWRITE … PARTITION fast path.
+      val partitionOnly = partitionOnlyDoomed(spark, root, cur, partCols,
+        entries, predicate).filter(newParts.subsetOf)
+      val (merged, touched) = partitionOnly match {
+        case Some(doomed) => (incoming, doomed ++ newParts)
+        case None =>
+          val matchParts: Set[String] = table(spark, root, Some(cur))
+            .filter(hit).select(partValueColumn(partCols)).distinct()
+            .collect().map(_.getString(0)).toSet
+          val touched = matchParts ++ newParts
+          val replaced = entries.filter(e => touched(e.partition))
+          val m =
+            if (replaced.isEmpty) incoming
+            else applyColumnMapping(readEntriesAt(spark, root, replaced, cur),
+              mappingAt(spark, root, cur)).filter(!hit)
+              .unionByName(incoming, allowMissingColumns = true)
+          (m, touched)
+      }
+      val kept = entries.filterNot(e => touched(e.partition))
+      val v = cur + 1
+      val newEntries = writeDataFiles(spark, merged, root, v, partCols)
+      if (writeManifest(spark, root, v, kept ++ newEntries, "replace-where",
+          partCols.mkString(","))) {
+        writeStats(spark, root, v, kept, newEntries, Some(merged.schema))
+        postCommit(spark, root, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the replace-where race $maxAttempts times under $root")
+  }
+
   /** `TRUNCATE TABLE t` — remove every row as ONE metadata commit:
     * the new manifest lists no files (they stay on disk for time
     * travel until vacuumed), the recorded schema carries via the

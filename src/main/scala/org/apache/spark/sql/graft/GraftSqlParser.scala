@@ -465,6 +465,33 @@ object GraftSqlParser {
         } yield InsertIntoSnapshotCommand(parts(t), query)
       }
 
+      def insertOverwrite: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("INSERT", "OVERWRITE"))
+          _ = u.kw("TABLE") // optional noise word
+          t <- u.multipart()
+          spec <- {
+            if (u.kw("PARTITION")) u.parens().map(partitionSpecList)
+            else Some(Seq.empty[(String, Option[String])])
+          }
+          _ <- Some(()).filter(_ =>
+            u.peekKw("SELECT", "VALUES", "WITH", "TABLE") || u.peekPunct("("))
+          query <- u.rest()
+          _ <- Some(()).filter(_ => gated(t))
+        } yield InsertOverwriteSnapshotCommand(parts(t), query, spec)
+      }
+
+      /** `p = v, q, r = w` → (col, Some(raw value sql) | None). */
+      def partitionSpecList(inner: String): Seq[(String, Option[String])] =
+        splitTopLevel(inner).map { part =>
+          part.split("=", 2) match {
+            case Array(c, v) =>
+              (c.trim.stripPrefix("`").stripSuffix("`"), Some(v.trim))
+            case Array(c) =>
+              (c.trim.stripPrefix("`").stripSuffix("`"), None)
+          }
+        }
+
       def copyInto: Option[LogicalPlan] = { val u = c()
         for {
           _ <- Some(()).filter(_ => u.kw("COPY", "INTO"))
@@ -606,7 +633,8 @@ object GraftSqlParser {
 
       restore.orElse(describe).orElse(vacuum).orElse(createTable)
         .orElse(optimize).orElse(generate).orElse(merge).orElse(delete)
-        .orElse(update).orElse(insert).orElse(copyInto).orElse(alterTable)
+        .orElse(update).orElse(insert).orElse(insertOverwrite)
+        .orElse(copyInto).orElse(alterTable)
         .orElse(showCmd).orElse(truncate).orElse(reorg).orElse(analyzeTable)
     }
 
@@ -1837,12 +1865,31 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val root = GraftSqlParser.resolveRoot(spark, table)
-    // `INSERT INTO t (SELECT …)` is a parenthesized QUERY (valid SQL,
-    // handed to spark.sql as-is); `INSERT INTO t (a, b) SELECT …` is a
+    val (aligned, partCol, _) =
+      InsertAlignment(spark, root, query, Set.empty)
+    Seq(Row(root, SnapshotStore.appendCommit(spark, aligned, root, partCol)))
+  }
+}
+
+/** The INSERT alignment engine, shared by INSERT INTO and INSERT
+  * OVERWRITE: parses an optional leading column list off `rawQuery`,
+  * aligns the query's output to the table's LOGICAL schema
+  * (positional or by-list), applies the auto-column rules (generated
+  * and identity may be omitted; ALWAYS identity must be; omitted
+  * DEFAULT columns fill), and returns (aligned frame, partition
+  * header, current version). `excluded` columns (a PARTITION
+  * clause's) are treated like auto columns — absent from the frame,
+  * the caller supplies them — and may not ALSO appear in a column
+  * list. */
+private[graft] object InsertAlignment {
+  def apply(spark: SparkSession, root: String, rawQuery: String,
+            excluded: Set[String]): (org.apache.spark.sql.DataFrame, String, Long) = {
+    // `INSERT … t (SELECT …)` is a parenthesized QUERY (valid SQL,
+    // handed to spark.sql as-is); `INSERT … t (a, b) SELECT …` is a
     // COLUMN LIST — provided columns map positionally to the list,
     // every other table column null-fills — told apart by whether
     // anything follows the balanced parenthesis group.
-    val trimmed = query.trim
+    val trimmed = rawQuery.trim
     var columnList: Option[Seq[String]] = None
     var effectiveQuery = trimmed
     if (trimmed.startsWith("(")) {
@@ -1890,7 +1937,10 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
     // one stays absent so the write path allocates.
     val (gens, alwaysIdents, idents, defaults) =
       SnapshotStore.autoColumnsAt(spark, root, cur)
-    val auto = gens ++ idents
+    // PARTITION-clause columns behave like auto columns here: absent
+    // from the aligned frame (the caller supplies their values), and
+    // never fillable from a DEFAULT.
+    val auto = gens ++ idents ++ excluded
     val df = spark.sql(effectiveQuery)
     val aligned = columnList match {
       case None =>
@@ -1926,6 +1976,9 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
         cols.filter(alwaysIdents).foreach(c => throw new IllegalArgumentException(
           s"GENERATED ALWAYS AS IDENTITY column '$c' cannot be assigned — " +
             "omit it from the column list and the table allocates"))
+        cols.filter(excluded).foreach(c => throw new IllegalArgumentException(
+          s"column '$c' appears in both the PARTITION clause and the " +
+            "column list — provide it once"))
         require(df.columns.length == cols.length,
           s"INSERT INTO provides ${df.columns.length} values for " +
             s"${cols.length} listed columns (${cols.mkString(", ")})")
@@ -1955,7 +2008,88 @@ case class InsertIntoSnapshotCommand(table: Seq[String], query: String)
           }
         }: _*)
     }
-    Seq(Row(root, SnapshotStore.appendCommit(spark, aligned, root, partCol)))
+    (aligned, partCol, cur)
+  }
+}
+
+/** `INSERT OVERWRITE [TABLE] t [PARTITION (p = v | p, …)] <query>`
+  * (E143): the versioned SQL overwrite family.
+  *   - No PARTITION clause → a FULL overwrite:
+  *     [[SnapshotStore.commit]] publishes a complete new snapshot
+  *     version (the old stays time-travelable).
+  *   - STATIC spec (`PARTITION (part = '3')`) → whole-partition
+  *     replacement through [[SnapshotStore.replaceWhere]]'s
+  *     partition-only fast path: the query omits the listed columns,
+  *     their literal values extend every row, and the predicate
+  *     replaces exactly those partitions with ZERO existing data
+  *     read.
+  *   - DYNAMIC spec (`PARTITION (part)`) → Spark's dynamic
+  *     partition-overwrite semantics: only the partitions present in
+  *     the query's output are replaced, everything else carries.
+  * All three are ONE atomic commit; the INSERT alignment rules
+  * (generated/identity omission, DEFAULT fill, column lists) apply
+  * to the non-partition columns exactly as in INSERT INTO. */
+case class InsertOverwriteSnapshotCommand(table: Seq[String], query: String,
+                                          partitionSpec: Seq[(String, Option[String])])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val staticSpec = partitionSpec.collect { case (c, Some(v)) => c -> v }
+    val dynamicCols = partitionSpec.collect { case (c, None) => c }
+    require(partitionSpec.map(_._1).distinct.size == partitionSpec.size,
+      "PARTITION clause repeats a column")
+    val (aligned0, partCol, cur) = InsertAlignment(spark, root, query,
+      excluded = staticSpec.map(_._1).toSet)
+    val tableParts = SnapshotStore.partitionColumns(spark, root, cur)
+    partitionSpec.map(_._1).foreach(c => require(tableParts.contains(c),
+      s"PARTITION clause names '$c', which is not a partition column " +
+        s"of the table (${tableParts.mkString(", ")})"))
+    val target = SnapshotStore.logicalSchemaAt(spark, root, cur).getOrElse(
+      SnapshotStore.readVersion(spark, root, cur).schema)
+    // Static values extend every row, cast to the declared type.
+    val aligned = staticSpec.foldLeft(aligned0) { case (d, (c, v)) =>
+      d.withColumn(c, org.apache.spark.sql.functions.expr(v)
+        .cast(target(target.fieldIndex(c)).dataType))
+    }
+    if (partitionSpec.isEmpty) {
+      Seq(Row(root, SnapshotStore.commit(spark, aligned, root, partCol)))
+    } else {
+      val staticPred = staticSpec.map { case (c, v) => s"`$c` <=> ($v)" }
+      // Dynamic semantics: replace exactly the partitions the output
+      // holds. The distinct value set is partition-bounded; rendering
+      // covers the types partitions realistically are — anything else
+      // refuses rather than risking a mis-quoted predicate.
+      val dynamicPred: Seq[String] =
+        if (dynamicCols.isEmpty) Nil
+        else {
+          val combos = aligned
+            .select(dynamicCols.map(org.apache.spark.sql.functions.col): _*)
+            .distinct().limit(10001).collect()
+          require(combos.length <= 10000,
+            "dynamic INSERT OVERWRITE output spans >10000 partitions — " +
+              "scope the write or use replaceWhere directly")
+          if (combos.isEmpty) return Seq(Row(root, cur)) // empty write, nothing to replace
+          def render(v: Any): String = v match {
+            case null => "NULL"
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+            case other => throw new IllegalArgumentException(
+              s"dynamic INSERT OVERWRITE cannot render a partition value " +
+                s"of ${other.getClass.getSimpleName}; use replaceWhere")
+          }
+          Seq(combos.map { r =>
+            dynamicCols.zipWithIndex.map { case (c, i) =>
+              s"`$c` <=> ${render(r.get(i))}" }.mkString("(", " AND ", ")")
+          }.mkString("(", " OR ", ")"))
+        }
+      val predicate = (staticPred ++ dynamicPred).mkString(" AND ")
+      Seq(Row(root, SnapshotStore.replaceWhere(spark, root, aligned, predicate)))
+    }
   }
 }
 
