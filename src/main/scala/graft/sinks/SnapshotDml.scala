@@ -906,13 +906,29 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
                    predicate: String, maxAttempts: Int = 10): Long = {
     val hit = coalesce(expr(predicate), lit(false))
     val tip = tipVersionAndProps(spark, root)
+    // ONE materialization serves the scope check, the partition probe,
+    // and the write — the writeDataFiles discipline: a nondeterministic
+    // source must not pass the scope check with one row set and write
+    // another (rows outside `touched` would duplicate against the
+    // carried files), and even a deterministic query should not
+    // recompute three times.
     val incoming = applyGenerated(spark, root, df0, tip)
-    enforceConstraints(spark, root, incoming, Some(tip))
-    enforceSchemaCompatible(spark, root, incoming)
-    val stray = incoming.filter(!hit).limit(1).collect()
-    if (stray.nonEmpty) throw new IllegalArgumentException(
-      s"replaceWhere: an incoming row does not satisfy '$predicate' " +
-        s"(${stray.head}) — the write must be scoped to what it replaces")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enforceConstraints(spark, root, incoming, Some(tip))
+      enforceSchemaCompatible(spark, root, incoming)
+      val stray = incoming.filter(!hit).limit(1).collect()
+      if (stray.nonEmpty) throw new IllegalArgumentException(
+        s"replaceWhere: an incoming row does not satisfy '$predicate' " +
+          s"(${stray.head}) — the write must be scoped to what it replaces")
+      replaceWhereLoop(spark, root, incoming, hit, predicate, maxAttempts)
+    } finally incoming.unpersist(false)
+  }
+
+  private def replaceWhereLoop(spark: SparkSession, root: String,
+                               incoming: DataFrame,
+                               hit: org.apache.spark.sql.Column,
+                               predicate: String, maxAttempts: Int): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val cur = currentVersion(spark, root).getOrElse(
@@ -957,6 +973,50 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
     }
     throw new java.util.ConcurrentModificationException(
       s"lost the replace-where race $maxAttempts times under $root")
+  }
+
+  /** DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` semantics, E143): ONE atomic
+    * commit replacing EXACTLY the partitions `df0`'s rows land in —
+    * computed AFTER generated-column materialization, so a table
+    * partitioned by a GENERATED column overwrites correctly too. No
+    * predicate text is synthesized (value quoting can never misfire);
+    * whole partitions are replaced, everything else carries by
+    * reference. The empty batch is a version no-op. */
+  def overwritePartitions(spark: SparkSession, root: String, df0: DataFrame,
+                          maxAttempts: Int = 10): Long = {
+    val tip = tipVersionAndProps(spark, root)
+    // Same one-materialization discipline as [[replaceWhere]]: the
+    // partition probe and the write must see identical rows.
+    val incoming = applyGenerated(spark, root, df0, tip)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      enforceConstraints(spark, root, incoming, Some(tip))
+      enforceSchemaCompatible(spark, root, incoming)
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        val cur = currentVersion(spark, root).getOrElse(
+          throw new IllegalStateException(s"no committed snapshot under $root"))
+        val partCols = requirePartitionCols(spark, root, cur)
+        val touched: Set[String] = incoming
+          .select(partValueColumn(partCols)).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (touched.isEmpty) return cur
+        val entries = manifest(spark, root, cur)
+        val kept = entries.filterNot(e => touched(e.partition))
+        val v = cur + 1
+        val newEntries = writeDataFiles(spark, incoming, root, v, partCols)
+        if (writeManifest(spark, root, v, kept ++ newEntries, "replace-where",
+            partCols.mkString(","))) {
+          writeStats(spark, root, v, kept, newEntries, Some(incoming.schema))
+          postCommit(spark, root, v)
+          return v
+        }
+        attempt += 1
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"lost the overwrite-partitions race $maxAttempts times under $root")
+    } finally incoming.unpersist(false)
   }
 
   /** `TRUNCATE TABLE t` — remove every row as ONE metadata commit:

@@ -1014,17 +1014,34 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     require(parsed.references.isEmpty && analyzed.references.isEmpty,
       s"DEFAULT for '$name' references columns — defaults must be " +
         s"constants: '$sql'")
-    // Query-scoped time functions REPORT foldable (constant per
-    // query) — the same trap the generated-column probe refuses: a
-    // default of current_date() would make "what did this insert
-    // write" depend on wall clock.
+    // Query- and SESSION-scoped functions REPORT foldable (constant
+    // per query) — the same trap the generated-column probe refuses:
+    // a default of current_date() or current_user() would make "what
+    // did this insert write" depend on when/where/by-whom the INSERT
+    // ran. The session-scoped family can be resolved to a plain
+    // Literal during ANALYSIS (invisible to a class match on the
+    // analyzed tree), so the guard matches the PARSED function names
+    // too.
     val timeScoped = analyzed.exists {
       case _: org.apache.spark.sql.catalyst.expressions.CurrentDate => true
       case _: org.apache.spark.sql.catalyst.expressions.CurrentTimestampLike => true
       case _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp => true
       case _ => false
     }
-    require(analyzed.foldable && !timeScoped,
+    val sessionScopedNames = Set("current_date", "current_timestamp", "now",
+      "localtimestamp", "current_user", "user", "session_user",
+      "current_database", "current_schema", "current_catalog",
+      "current_timezone", "version")
+    val sessionScoped = parsed.exists {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.nameParts.lastOption.exists(n =>
+          sessionScopedNames(n.toLowerCase(java.util.Locale.ROOT)))
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        // Bare `current_date` / `current_user` parse as ATTRIBUTES.
+        sessionScopedNames(a.name.toLowerCase(java.util.Locale.ROOT))
+      case _ => false
+    }
+    require(analyzed.foldable && !timeScoped && !sessionScoped,
       s"DEFAULT for '$name' is not a constant ('$sql') — query-scoped " +
         "or nondeterministic expressions would make inserted values " +
         "depend on when the INSERT ran")

@@ -481,9 +481,26 @@ object GraftSqlParser {
         } yield InsertOverwriteSnapshotCommand(parts(t), query, spec)
       }
 
-      /** `p = v, q, r = w` → (col, Some(raw value sql) | None). */
-      def partitionSpecList(inner: String): Seq[(String, Option[String])] =
-        splitTopLevel(inner).map { part =>
+      /** `p = v, q, r = w` → (col, Some(raw value sql) | None).
+        * Splits on top-level commas respecting BOTH quote kinds
+        * (Spark reads double-quoted literals as strings by default,
+        * so `p = "a,b"` must stay one entry). */
+      def partitionSpecList(inner: String): Seq[(String, Option[String])] = {
+        val out = Seq.newBuilder[String]
+        val buf = new StringBuilder
+        var q: Char = 0; var i = 0
+        while (i < inner.length) {
+          val ch = inner.charAt(i)
+          if (q != 0) { buf += ch; if (ch == q) q = 0 }
+          else ch match {
+            case '\'' | '"' => q = ch; buf += ch
+            case ',' => out += buf.toString; buf.clear()
+            case x => buf += x
+          }
+          i += 1
+        }
+        out += buf.toString
+        out.result().map(_.trim).filter(_.nonEmpty).map { part =>
           part.split("=", 2) match {
             case Array(c, v) =>
               (c.trim.stripPrefix("`").stripSuffix("`"), Some(v.trim))
@@ -491,6 +508,7 @@ object GraftSqlParser {
               (c.trim.stripPrefix("`").stripSuffix("`"), None)
           }
         }
+      }
 
       def copyInto: Option[LogicalPlan] = { val u = c()
         for {
@@ -1945,6 +1963,15 @@ private[graft] object InsertAlignment {
     val aligned = columnList match {
       case None =>
         val nonAuto = target.fields.filterNot(f => auto(f.name))
+        // A PARTITION clause's columns can never arrive positionally:
+        // full-arity alignment would map a query column onto them and
+        // the clause's literal would then CLOBBER it — every row
+        // silently re-routed to the static partition. Refuse the
+        // arity instead (Spark refuses the same statement).
+        require(excluded.isEmpty || df.columns.length <= nonAuto.length,
+          s"the query provides ${df.columns.length} columns but " +
+            s"${excluded.mkString(", ")} is supplied by the PARTITION " +
+            s"clause — provide at most ${nonAuto.length}")
         // Positional alignment accepts the full schema (explicit
         // generated/BY-DEFAULT-identity values, judged by the CHECK /
         // mark-advance — but never explicit ALWAYS identity values)
@@ -2058,36 +2085,20 @@ case class InsertOverwriteSnapshotCommand(table: Seq[String], query: String,
     }
     if (partitionSpec.isEmpty) {
       Seq(Row(root, SnapshotStore.commit(spark, aligned, root, partCol)))
+    } else if (dynamicCols.nonEmpty) {
+      // Any dynamic column → Spark's dynamic-overwrite semantics via
+      // the dedicated primitive: it replaces exactly the partitions
+      // the MATERIALIZED output holds (generated partition columns
+      // included — they compute inside), with no predicate text to
+      // mis-quote. Static values already extend every row, so a
+      // mixed spec scopes itself through partition identity.
+      Seq(Row(root, SnapshotStore.overwritePartitions(spark, root, aligned)))
     } else {
-      val staticPred = staticSpec.map { case (c, v) => s"`$c` <=> ($v)" }
-      // Dynamic semantics: replace exactly the partitions the output
-      // holds. The distinct value set is partition-bounded; rendering
-      // covers the types partitions realistically are — anything else
-      // refuses rather than risking a mis-quoted predicate.
-      val dynamicPred: Seq[String] =
-        if (dynamicCols.isEmpty) Nil
-        else {
-          val combos = aligned
-            .select(dynamicCols.map(org.apache.spark.sql.functions.col): _*)
-            .distinct().limit(10001).collect()
-          require(combos.length <= 10000,
-            "dynamic INSERT OVERWRITE output spans >10000 partitions — " +
-              "scope the write or use replaceWhere directly")
-          if (combos.isEmpty) return Seq(Row(root, cur)) // empty write, nothing to replace
-          def render(v: Any): String = v match {
-            case null => "NULL"
-            case s: String => "'" + s.replace("'", "''") + "'"
-            case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-            case other => throw new IllegalArgumentException(
-              s"dynamic INSERT OVERWRITE cannot render a partition value " +
-                s"of ${other.getClass.getSimpleName}; use replaceWhere")
-          }
-          Seq(combos.map { r =>
-            dynamicCols.zipWithIndex.map { case (c, i) =>
-              s"`$c` <=> ${render(r.get(i))}" }.mkString("(", " AND ", ")")
-          }.mkString("(", " OR ", ")"))
-        }
-      val predicate = (staticPred ++ dynamicPred).mkString(" AND ")
+      // All-static: whole-partition replacement on replaceWhere's
+      // partition-only fast path (zero existing data read). The
+      // values are the user's own SQL literals, passed through.
+      val predicate = staticSpec.map { case (c, v) => s"`$c` <=> ($v)" }
+        .mkString(" AND ")
       Seq(Row(root, SnapshotStore.replaceWhere(spark, root, aligned, predicate)))
     }
   }

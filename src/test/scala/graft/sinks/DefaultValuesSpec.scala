@@ -80,6 +80,13 @@ class DefaultValuesSpec extends graft.SparkSpec {
       "not a constant")
     refuse(s"ALTER TABLE graft.`$root` ALTER COLUMN status SET DEFAULT current_date()",
       "not a constant")
+    // SESSION-scoped functions report foldable too (and some resolve
+    // to a literal during analysis) — the parsed-name guard catches
+    // them.
+    refuse(s"ALTER TABLE graft.`$root` ALTER COLUMN status SET DEFAULT current_user()",
+      "not a constant")
+    refuse(s"ALTER TABLE graft.`$root` ALTER COLUMN status SET DEFAULT current_database()",
+      "not a constant")
     refuse(s"ALTER TABLE graft.`$root` ALTER COLUMN status SET DEFAULT k + 1",
       "columns")
     refuse(s"ALTER TABLE graft.`$root` ALTER COLUMN score SET DEFAULT 'abc'",

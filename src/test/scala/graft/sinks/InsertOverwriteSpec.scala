@@ -102,6 +102,56 @@ class InsertOverwriteSpec extends graft.SparkSpec {
       "other partitions untouched")
   }
 
+  test("a positional query cannot smuggle the PARTITION clause's column — full arity refuses instead of clobbering") {
+    // `PARTITION (part = '1') SELECT k, v, part` would positionally
+    // map the query's part values and then silently overwrite them
+    // with '1', re-routing every row. Refuse the arity (Spark does).
+    val root = freshRoot()
+    seed(root)
+    rows(0 until 5).createOrReplaceTempView("ow_smuggle")
+    val e = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE graft.`$root` PARTITION (part = '1') " +
+        "SELECT k, v, part FROM ow_smuggle"))
+    assert(e.getMessage.contains("PARTITION"), e.getMessage)
+  }
+
+  test("dynamic overwrite on a GENERATED partition column computes the routing inside the primitive") {
+    val root = freshRoot()
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.sql(s"""CREATE TABLE graft.`$root` (
+      k BIGINT, tag STRING,
+      grp STRING GENERATED ALWAYS AS (substring(tag, 1, 1))
+    ) USING graft-snapshot PARTITIONED BY (grp)""")
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "tag")
+      .createOrReplaceTempView("ow_gen1")
+    spark.sql(s"INSERT INTO graft.`$root` (k, tag) SELECT k, tag FROM ow_gen1")
+    // Dynamic overwrite whose output lands only in grp='a': the
+    // generated column is OMITTED (computed at write), so the
+    // partition set must be derived after generation, not before.
+    Seq((10L, "apex"), (11L, "axiom")).toDF("k", "tag")
+      .createOrReplaceTempView("ow_gen2")
+    spark.sql(s"INSERT OVERWRITE graft.`$root` PARTITION (grp) " +
+      "(k, tag) SELECT k, tag FROM ow_gen2")
+    val got = SnapshotStore.read(spark, root).select("k", "grp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((10L, "a"), (11L, "a"), (2L, "b")),
+      s"grp='a' replaced, grp='b' carried, got $got")
+  }
+
+  test("a static value containing a comma inside double quotes stays one spec entry") {
+    val root = freshRoot()
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    SnapshotStore.commit(spark,
+      Seq((1L, "x,y"), (2L, "z")).toDF("k", "part"), root, "part")
+    Seq(5L, 6L).toDF("k").createOrReplaceTempView("ow_comma")
+    spark.sql(s"""INSERT OVERWRITE graft.`$root` PARTITION (part = "x,y") """ +
+      "(k) SELECT k FROM ow_comma")
+    val got = SnapshotStore.read(spark, root).select("k", "part")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((5L, "x,y"), (6L, "x,y"), (2L, "z")),
+      s"the quoted comma value must scope the overwrite, got $got")
+  }
+
   test("alignment composes: DEFAULT fill + column list under a static PARTITION; clause/list double-listing refuses") {
     val root = freshRoot()
     spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
