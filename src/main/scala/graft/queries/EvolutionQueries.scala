@@ -3129,6 +3129,56 @@ private[graft] object EvolutionQueries {
       SELECT CAST(part AS VARCHAR) AS part, COUNT(*) AS n,
         CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(22,2))
           AS DOUBLE) AS sp
-      FROM u GROUP BY part ORDER BY part"""))
+      FROM u GROUP BY part ORDER BY part""")),
+
+    // FSCK REPAIR TABLE (E144, Delta's operational repair): partition
+    // 2's data files are deleted OUT-OF-BAND (the misfired-lifecycle
+    // shape) — require-pinned to break a full scan; DRY RUN
+    // require-pinned to list exactly the missing files WITHOUT
+    // committing; the repair publishes a version without them and the
+    // table reads again. The oracle replays the visible data loss
+    // (everything except partition 2) in closed form.
+    ("q233_fsck_repair", (s: SparkSession, d: String) => {
+      import graft.sinks.SnapshotStore
+      val dir = java.nio.file.Files.createTempDirectory("graft_q233").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      SnapshotStore.commit(s,
+        t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast("double").as("price"),
+          pmod(col("o_orderkey"), lit(4)).cast("string").as("part")),
+        root, "part")
+      val doomed = SnapshotStore.manifest(s, root, 1)
+        .filter(_.partition == "2").map(_.path)
+      require(doomed.nonEmpty, "fixture must land files in partition 2")
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      doomed.foreach(p =>
+        f.delete(new org.apache.hadoop.fs.Path(root, p), false))
+      val broken = try { SnapshotStore.read(s, root).count(); false }
+        catch { case _: Exception => true }
+      require(broken, "a scan over the missing files must fail loudly")
+      val dry = s.sql(s"FSCK REPAIR TABLE graft.`$root` DRY RUN").collect()
+      require(dry.map(_.getString(0)).toSet == doomed.toSet,
+        s"DRY RUN must list exactly the missing files, got ${dry.length}")
+      require(SnapshotStore.currentVersion(s, root).contains(1L),
+        "DRY RUN must not commit")
+      s.sql(s"FSCK REPAIR TABLE graft.`$root`")
+      require(SnapshotStore.currentVersion(s, root).contains(2L),
+        "the repair must publish one new version")
+      SnapshotStore.table(s, root)
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("decimal(22,2)").cast("double").as("sp"))
+        .orderBy(col("part"))
+    }, Some("""
+      SELECT CAST(o_orderkey % 4 AS VARCHAR) AS part, COUNT(*) AS n,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(22,2))
+          AS DOUBLE) AS sp
+      FROM orders
+      WHERE o_orderkey % 4 <> 2
+      GROUP BY part ORDER BY part"""))
   )
 }

@@ -203,6 +203,64 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * own restriction — the stored expression would silently break) or
     * when the new name collides with a reserved physical name.
     * Returns the new version. */
+  /** `FSCK REPAIR TABLE t [DRY RUN]` (Delta's operational repair,
+    * E144): find manifest entries whose DATA FILE — or attached
+    * deletion-vector file — no longer exists on storage (deleted
+    * out-of-band: a misfired lifecycle rule, a manual rm, a botched
+    * restore) and, unless `dryRun`, publish a new version WITHOUT
+    * them, so the table reads again instead of failing every scan at
+    * the first missing split. An entry with a missing DV drops WHOLE
+    * (resurrecting its deleted rows by dropping just the DV would be
+    * silently wrong; losing its surviving rows is at least the
+    * documented, visible semantics — Delta's choice too). The
+    * existence sweep is a DISTRIBUTED job over the file list (one
+    * namenode call per file, fanned across executors — a 100k-file
+    * table sweeps in one task wave, never a driver loop). Returns
+    * (dropped (path, reason) pairs, resulting version — the current
+    * one for DRY RUN or a clean table). */
+  def fsckRepair(spark: SparkSession, root: String, dryRun: Boolean,
+                 maxAttempts: Int = 5): (Seq[(String, String)], Long) = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val cur = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot under $root"))
+      val entries = manifest(spark, root, cur)
+      val paths = (entries.map(_.path) ++
+        entries.filter(_.dv.nonEmpty).map(_.dv)).distinct
+      val missing: Set[String] =
+        if (paths.isEmpty) Set.empty
+        else {
+          val rootStr = root
+          spark.sparkContext
+            .parallelize(paths, math.min(64, 1 + paths.size / 1000))
+            .mapPartitions { it =>
+              val f = new Path(rootStr).getFileSystem(conf.value)
+              it.filterNot(p => f.exists(new Path(rootStr, p)))
+            }.collect().toSet
+        }
+      val dropped = entries.flatMap { e =>
+        if (missing(e.path)) Some(e.path -> "missing data file")
+        else if (e.dv.nonEmpty && missing(e.dv))
+          Some(e.path -> s"missing deletion vector ${e.dv}")
+        else None
+      }
+      if (dropped.isEmpty || dryRun) return (dropped, cur)
+      val doomed = dropped.map(_._1).toSet
+      val kept = entries.filterNot(e => doomed(e.path))
+      if (writeManifest(spark, root, cur + 1, kept, "fsck",
+          partitionColumn(spark, root, cur).getOrElse(""))) {
+        writeStats(spark, root, cur + 1, kept, Nil, None)
+        postCommit(spark, root, cur + 1)
+        return (dropped, cur + 1)
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the fsck race $maxAttempts times under $root")
+  }
+
   /** `ALTER TABLE t SYNC IDENTITY` (Delta parity): re-base every
     * recorded identity mark onto the values ACTUALLY PRESENT — per
     * column, `last` becomes the table's step-direction extremum (max

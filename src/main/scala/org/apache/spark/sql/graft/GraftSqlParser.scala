@@ -599,6 +599,19 @@ object GraftSqlParser {
         else None
       }
 
+      def fsck: Option[LogicalPlan] = { val u = c()
+        for {
+          _ <- Some(()).filter(_ => u.kw("FSCK", "REPAIR", "TABLE"))
+          t <- u.multipart()
+          dry <- {
+            if (u.done) Some(false)
+            else if (u.kw("DRY", "RUN") && u.done) Some(true)
+            else None
+          }
+          _ <- Some(()).filter(_ => gated(t))
+        } yield FsckRepairCommand(parts(t), dry)
+      }
+
       def truncate: Option[LogicalPlan] = { val u = c()
         for {
           _ <- Some(()).filter(_ => u.kw("TRUNCATE", "TABLE"))
@@ -654,6 +667,7 @@ object GraftSqlParser {
         .orElse(update).orElse(insert).orElse(insertOverwrite)
         .orElse(copyInto).orElse(alterTable)
         .orElse(showCmd).orElse(truncate).orElse(reorg).orElse(analyzeTable)
+        .orElse(fsck)
     }
 
   /** `USING graft-snapshot` / `graft_snapshot`, bare or backticked —
@@ -1755,6 +1769,27 @@ case class ShowPartitionsCommand(table: Seq[String])
   * ([[SnapshotStore.truncate]]); the files stay on disk for time
   * travel until vacuumed and the schema carries, so the empty table
   * remains readable and writable. Returns (path, version). */
+/** `FSCK REPAIR TABLE t [DRY RUN]` — drop manifest references to
+  * data/DV files deleted out-of-band
+  * ([[SnapshotStore.fsckRepair]]); DRY RUN reports without
+  * committing. One row per affected file. */
+case class FsckRepairCommand(table: Seq[String], dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("reason", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("removed", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val (dropped, _) = SnapshotStore.fsckRepair(spark, root, dryRun)
+    dropped.map { case (p, r) => Row(p, r, !dryRun) }
+  }
+}
+
 case class TruncateSnapshotCommand(table: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
