@@ -3179,6 +3179,52 @@ private[graft] object EvolutionQueries {
           AS DOUBLE) AS sp
       FROM orders
       WHERE o_orderkey % 4 <> 2
-      GROUP BY part ORDER BY part"""))
+      GROUP BY part ORDER BY part""")),
+
+    // SHOW CREATE TABLE (E145): the CREATE statement reconstructed
+    // from metadata, with clauses (IDENTITY / DEFAULT), the partition
+    // spec, and CREATE-time TBLPROPERTIES — round-trip fidelity is
+    // spec-pinned (ShowCreateSpec re-runs the output); here the
+    // emitted text itself is the oracle (root path substituted for
+    // determinism). In-query require: the identity ALLOCATION MARK
+    // must never print — a copy-paste re-create reopening allocated
+    // ids is the failure mode the managed-state exclusion exists for.
+    ("q234_show_create_table", (s: SparkSession, d: String) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q234").toString
+      val root = s"$dir/events"
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sinks.GraftCatalog].getName)
+      s.sql(s"""CREATE TABLE graft.`$root` (
+        id BIGINT GENERATED ALWAYS AS IDENTITY,
+        ok BIGINT,
+        status STRING DEFAULT 'new',
+        part STRING
+      ) USING graft-snapshot PARTITIONED BY (part)
+      TBLPROPERTIES ('team' = 'ingest')""")
+      // Rows land (allocating ids, moving the mark) BEFORE the SHOW —
+      // the emitted DDL must be insert-count-invariant.
+      t(s, d, "orders").limit(100)
+        .select(col("o_orderkey").as("ok"),
+          pmod(col("o_custkey"), lit(4)).cast("string").as("part"))
+        .createOrReplaceTempView("q234_src")
+      s.sql(s"INSERT INTO graft.`$root` (ok, part) SELECT ok, part FROM q234_src")
+      val stmt = s.sql(s"SHOW CREATE TABLE graft.`$root`")
+        .collect().head.getString(0)
+      require(!stmt.contains("last=") && !stmt.contains("graft.identity"),
+        s"the allocation mark must never print:\n$stmt")
+      import s.implicits._
+      Seq(stmt.replace(root, "<root>")).toDF("createtab_stmt")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('CREATE TABLE `graft`.`<root>` (
+  `id` BIGINT GENERATED ALWAYS AS IDENTITY,
+  `ok` BIGINT,
+  `status` STRING DEFAULT ''new'',
+  `part` STRING
+) USING graft-snapshot
+PARTITIONED BY (`part`)
+TBLPROPERTIES (''team'' = ''ingest'')')
+      ) AS t(createtab_stmt)
+      ORDER BY createtab_stmt"""))
   )
 }

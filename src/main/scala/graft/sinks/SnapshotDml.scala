@@ -83,7 +83,8 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
                      bucketBy: Option[(Seq[String], Seq[String], Int)] = None,
                      generated: Seq[(String, String)] = Nil,
                      identity: Seq[(String, Long, Long, Boolean)] = Nil,
-                     defaults: Seq[(String, String)] = Nil): Option[Long] = {
+                     defaults: Seq[(String, String)] = Nil,
+                     properties: Seq[(String, String)] = Nil): Option[Long] = {
     if (currentVersion(spark, root).isDefined) return None
     // Column DEFAULTs (E142): validated here, recorded with v1; the
     // same constraints the post-hoc ALTER path enforces.
@@ -159,7 +160,7 @@ private[sinks] trait SnapshotDml { this: SnapshotStore.type =>
       finally if (identity.nonEmpty) cachedDf.unpersist(false)
     if (writeManifest(spark, root, 1L, entries, "commit", partitionCols.header,
         properties = Some(bucketProps.getOrElse(Nil) ++ genProps ++
-            identProps ++ defaultProps)
+            identProps ++ defaultProps ++ properties)
           .filter(_.nonEmpty),
         constraints = Some(genChecks).filter(_.nonEmpty))) {
       writeStats(spark, root, 1L, Nil, entries, Some(dfId.schema))

@@ -203,6 +203,75 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     * own restriction — the stored expression would silently break) or
     * when the new name collides with a reserved physical name.
     * Returns the new version. */
+  /** `SHOW CREATE TABLE t` (E145): reconstruct the CREATE statement
+    * from the table's own metadata — the logical schema with its
+    * GENERATED / IDENTITY / DEFAULT clauses, the partition spec, the
+    * creation-time bucket layout, and the USER-facing table
+    * properties. Round-trip fidelity is the contract (spec-pinned):
+    * running the emitted statement against a fresh root reproduces
+    * the schema, every column clause, the layout, and the properties.
+    * MANAGED state is deliberately absent: clause-expressed records
+    * (generated/identity/default/bucket) print as clauses, not
+    * properties; allocation marks, ANALYZE records, layout baselines,
+    * the error ledger, and the creation-zone pin are runtime state a
+    * re-created table must derive for itself — printing an identity
+    * mark, say, would let a copy-paste re-create REOPEN allocated
+    * ids. CHECK constraints are ALTER-surface metadata (DESCRIBE
+    * DETAIL / SHOW TBLPROPERTIES territory), not CREATE syntax in
+    * this dialect. */
+  def showCreateTable(spark: SparkSession, root: String,
+                      ident: String): String = {
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val schema = logicalSchemaAt(spark, root, cur).getOrElse(
+      readVersion(spark, root, cur).schema)
+    val props = tableProperties(spark, root, cur).toMap
+    val gens = generatedColumns(props).toMap
+    val idents = identityColumns(props).map(s => s.col -> s).toMap
+    val defaults = defaultColumns(props).toMap
+    val partCols = partitionColumns(spark, root, cur)
+    val bucket = props.get(BucketSpecProp).flatMap(parseBucketSpec)
+    val colLines = schema.fields.map { f =>
+      val base = s"`${f.name}` ${f.dataType.sql}"
+      gens.get(f.name).map(e => s"$base GENERATED ALWAYS AS ($e)")
+        .orElse(idents.get(f.name).map { s =>
+          val mode = if (s.byDefault) "BY DEFAULT" else "ALWAYS"
+          val sizing =
+            if (s.start == 1L && s.step == 1L) ""
+            else s" (START WITH ${s.start} INCREMENT BY ${s.step})"
+          s"$base GENERATED $mode AS IDENTITY$sizing"
+        })
+        .orElse(defaults.get(f.name).map(d => s"$base DEFAULT $d"))
+        .getOrElse(base)
+    }
+    // Managed records never print: clause-expressed ones are already
+    // clauses above; runtime state must not survive a copy-paste.
+    val managedPrefixes = Seq(GeneratedPropPrefix, IdentityPropPrefix,
+      DefaultPropPrefix, "graft.stats.")
+    val managedKeys = Set(GeneratedTzProp, BucketSpecProp,
+      MaintenanceErrorProp, ClusteredAtProp)
+    val visible = props.toSeq
+      .filterNot { case (k, _) =>
+        managedKeys(k) || managedPrefixes.exists(k.startsWith) }
+      .sortBy(_._1)
+    val sb = new StringBuilder
+    sb ++= s"CREATE TABLE $ident (\n"
+    sb ++= colLines.map("  " + _).mkString(",\n")
+    sb ++= "\n) USING graft-snapshot\n"
+    sb ++= s"PARTITIONED BY (${partCols.map(c => s"`$c`").mkString(", ")})"
+    bucket.foreach { b =>
+      sb ++= s"\nCLUSTER BY (${b.cols.map(c => s"`${c._1}`").mkString(", ")})"
+      if (b.sortCols.nonEmpty)
+        sb ++= s" SORTED BY (${b.sortCols.map(c => s"`${c._1}`").mkString(", ")})"
+      sb ++= s" INTO ${b.n} BUCKETS"
+    }
+    if (visible.nonEmpty)
+      sb ++= visible.map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (", ", ", ")")
+    sb.toString
+  }
+
   /** `FSCK REPAIR TABLE t [DRY RUN]` (Delta's operational repair,
     * E144): find manifest entries whose DATA FILE — or attached
     * deletion-vector file — no longer exists on storage (deleted

@@ -344,9 +344,14 @@ object GraftSqlParser {
               _ <- Some(()).filter(_ => u.kw("PARTITIONED", "BY"))
               pb <- u.parens()
               cb <- clusterBy(u)
+              tp <- {
+                if (u.kw("TBLPROPERTIES"))
+                  u.parens().map(p => propertyAssignments(p))
+                else Some(Seq.empty[(String, String)])
+              }
               _ <- Some(()).filter(_ => u.done && gated(t))
             } yield CreateSnapshotTableCommand(parts(t), schemaDdl.trim,
-              identifierList(pb), cb)
+              identifierList(pb), cb, tp)
           else if (u.kw("PARTITIONED", "BY"))
             for {
               pb <- u.parens()
@@ -596,6 +601,9 @@ object GraftSqlParser {
         else if (u.kw("PARTITIONS"))
           u.multipart().filter(t => u.done && gated(t))
             .map(t => ShowPartitionsCommand(parts(t)))
+        else if (u.kw("CREATE", "TABLE"))
+          u.multipart().filter(t => u.done && gated(t))
+            .map(t => ShowCreateTableCommand(parts(t)))
         else None
       }
 
@@ -1769,6 +1777,24 @@ case class ShowPartitionsCommand(table: Seq[String])
   * ([[SnapshotStore.truncate]]); the files stay on disk for time
   * travel until vacuumed and the schema carries, so the empty table
   * remains readable and writable. Returns (path, version). */
+/** `SHOW CREATE TABLE t` — the CREATE statement reconstructed from
+  * the table's own metadata ([[SnapshotStore.showCreateTable]]):
+  * schema with GENERATED/IDENTITY/DEFAULT clauses, partition spec,
+  * bucket layout, user-facing properties. Round-trip: running the
+  * output against a fresh root reproduces the table's DDL surface. */
+case class ShowCreateTableCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = GraftSqlParser.resolveRoot(spark, table)
+    val ident = table.map(p => s"`$p`").mkString(".")
+    Seq(Row(SnapshotStore.showCreateTable(spark, root, ident)))
+  }
+}
+
 /** `FSCK REPAIR TABLE t [DRY RUN]` — drop manifest references to
   * data/DV files deleted out-of-band
   * ([[SnapshotStore.fsckRepair]]); DRY RUN reports without
@@ -2331,7 +2357,8 @@ case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
   * racing CTAS/CREATE cannot slip through. Returns (path, version). */
 case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
                                       partitionCols: Seq[String],
-                                      bucket: Option[(Seq[String], Seq[String], Int)] = None)
+                                      bucket: Option[(Seq[String], Seq[String], Int)] = None,
+                                      tblProperties: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -2482,9 +2509,20 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     }
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.
+    // CREATE-time TBLPROPERTIES ride version 1 atomically; managed
+    // records arrive through their CLAUSES, never raw keys (the same
+    // funnel discipline as the post-hoc SET TBLPROPERTIES guard).
+    tblProperties.map(_._1).find(k =>
+        k.startsWith("graft.generated.") || k.startsWith("graft.identity.") ||
+        k.startsWith("graft.default.") || k == "graft.generatedTimeZone" ||
+        k == SnapshotStore.BucketSpecProp).foreach { k =>
+      throw new IllegalArgumentException(
+        s"'$k' is managed metadata — express it as a column clause " +
+          "(GENERATED / IDENTITY / DEFAULT) or CLUSTER BY, not a raw property")
+    }
     SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
         bucketBy = bucket, generated = generated, identity = identity,
-        defaults = defaults) match {
+        defaults = defaults, properties = tblProperties) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE failed: $root already holds a snapshot — " +

@@ -58,21 +58,27 @@ class FsckSpec extends graft.SparkSpec {
     // DV-delete a scatter inside partition '1', then lose the vector.
     SnapshotStore.deleteWhereDv(spark, root, "part = '1' AND k < 50")
     val cur = SnapshotStore.currentVersion(spark, root).get
-    val dvEntry = SnapshotStore.manifest(spark, root, cur)
-      .find(e => e.partition == "1" && e.dv.nonEmpty).get
+    val dvEntries = SnapshotStore.manifest(spark, root, cur)
+      .filter(e => e.partition == "1" && e.dv.nonEmpty)
+    assert(dvEntries.nonEmpty)
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.delete(new Path(root, dvEntry.dv), false)
+    // ONE DV parquet directory serves every file the delete touched —
+    // losing it dooms all of them.
+    f.delete(new Path(root, dvEntries.head.dv), true)
     val (dropped, v) = SnapshotStore.fsckRepair(spark, root, dryRun = false)
-    assert(dropped.map(_._1) == Seq(dvEntry.path) &&
-      dropped.head._2.contains("deletion vector"),
-      s"the DV-less entry must drop whole, got $dropped")
+    assert(dropped.map(_._1).toSet == dvEntries.map(_.path).toSet &&
+      dropped.forall(_._2.contains("deletion vector")),
+      s"every DV-less entry must drop whole, got $dropped")
     assert(v == cur + 1)
     val got = SnapshotStore.read(spark, root)
       .select("k").collect().map(_.getLong(0)).toSet
-    // Partition 1's file is gone entirely: neither its DV-deleted rows
-    // (resurrection would be silent wrongness) nor its survivors.
-    assert(got == (0 until 100).filter(_ % 4 != 1).map(_.toLong).toSet,
-      s"the DV-less file's rows must all be gone, got ${got.size}")
+    // The DV-deleted rows must NEVER resurrect (dropping just the
+    // vector instead of the whole entry would silently bring them
+    // back) — and every row outside the doomed files survives.
+    assert(!got.exists(k => k % 4 == 1 && k < 50),
+      s"DV-deleted rows resurrected: ${got.filter(k => k % 4 == 1 && k < 50)}")
+    assert((0 until 100).filter(_ % 4 != 1).map(_.toLong).toSet.subsetOf(got),
+      "rows outside the doomed partition must all survive")
   }
 
   test("a healthy table is a version no-op with empty output") {
