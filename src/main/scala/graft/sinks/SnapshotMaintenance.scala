@@ -245,14 +245,11 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
         .getOrElse(base)
     }
     // Managed records never print: clause-expressed ones are already
-    // clauses above; runtime state must not survive a copy-paste.
-    val managedPrefixes = Seq(GeneratedPropPrefix, IdentityPropPrefix,
-      DefaultPropPrefix, "graft.stats.")
-    val managedKeys = Set(GeneratedTzProp, BucketSpecProp,
-      MaintenanceErrorProp, ClusteredAtProp)
+    // clauses above; runtime state must not survive a copy-paste —
+    // the SAME predicate the CREATE-time guard refuses with, so the
+    // printer and the guard cannot drift.
     val visible = props.toSeq
-      .filterNot { case (k, _) =>
-        managedKeys(k) || managedPrefixes.exists(k.startsWith) }
+      .filterNot { case (k, _) => managedPropertyKey(k) }
       .sortBy(_._1)
     val sb = new StringBuilder
     sb ++= s"CREATE TABLE $ident (\n"

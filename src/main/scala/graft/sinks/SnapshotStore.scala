@@ -975,6 +975,28 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * recorded. */
   private[sinks] val DefaultPropPrefix = "graft.default."
 
+  /** Is `k` a MANAGED table property — engine-written runtime state
+    * or clause-expressed metadata? ONE predicate shared by the SHOW
+    * CREATE TABLE printer and the CREATE-time TBLPROPERTIES guard, so
+    * the two surfaces can never drift about what "managed" means:
+    * clause metadata (generated/identity/default/bucket) arrives as
+    * CLAUSES; runtime state (allocation marks, ANALYZE records,
+    * layout baselines, rollup/sketch/mirror self-descriptions and
+    * sync cursors, the error ledger, the creation-zone pin) must
+    * neither be seeded by hand at CREATE nor survive a copy-paste
+    * re-create — a re-created rollup carrying its source's cursor
+    * would satisfy the MV rewrite's freshness check while holding
+    * ZERO rows. User-facing CONFIG (maintenance riders, sizing,
+    * vacuum floors, `graft.maintenance.async`) is NOT managed: it
+    * prints, and CREATE accepts it. */
+  def managedPropertyKey(k: String): Boolean = {
+    val prefixes = Seq(GeneratedPropPrefix, IdentityPropPrefix,
+      DefaultPropPrefix, "graft.stats.", "graft.rollup.",
+      "graft.layout.", "graft.sketch.", "graft.mirror.")
+    k == GeneratedTzProp || k == BucketSpecProp ||
+      k == MaintenanceErrorProp || prefixes.exists(k.startsWith)
+  }
+
   private[sinks] def defaultColumns(props: Map[String, String]): Seq[(String, String)] =
     props.collect { case (k, v) if k.startsWith(DefaultPropPrefix) =>
       k.stripPrefix(DefaultPropPrefix) -> v }.toSeq.sortBy(_._1)

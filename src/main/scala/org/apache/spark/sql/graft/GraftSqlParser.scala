@@ -356,11 +356,16 @@ object GraftSqlParser {
             for {
               pb <- u.parens()
               cb <- clusterBy(u)
+              tp <- {
+                if (u.kw("TBLPROPERTIES"))
+                  u.parens().map(p => propertyAssignments(p))
+                else Some(Seq.empty[(String, String)])
+              }
               _ <- Some(()).filter(_ => u.kw("AS"))
               query <- u.rest()
               _ <- Some(()).filter(_ => gated(t))
             } yield CtasSnapshotCommand(parts(t),
-              identifierList(pb).mkString(","), query.trim, cb)
+              identifierList(pb).mkString(","), query.trim, cb, tp)
           else None
         }
       }
@@ -2323,7 +2328,8 @@ case class DropConstraintCommand(table: Seq[String], name: String)
   * day one could write directly. Returns (path, version). */
 case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
                                query: String,
-                               bucket: Option[(Seq[String], Seq[String], Int)] = None)
+                               bucket: Option[(Seq[String], Seq[String], Int)] = None,
+                               tblProperties: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
@@ -2337,8 +2343,14 @@ case class CtasSnapshotCommand(table: Seq[String], partitionCol: String,
       require(df.columns.contains(c),
         s"CTAS query lacks the declared partition column '$c' " +
           s"(columns: ${df.columns.mkString(", ")})"))
+    tblProperties.map(_._1).find(SnapshotStore.managedPropertyKey)
+      .foreach { k =>
+        throw new IllegalArgumentException(
+          s"'$k' is managed metadata — engine state cannot be seeded " +
+            "by hand at CTAS")
+      }
     SnapshotStore.commitIfAbsent(spark, df, root, partitionCol,
-        bucketBy = bucket) match {
+        bucketBy = bucket, properties = tblProperties) match {
       case Some(v) => Seq(Row(root, v))
       case None => throw new IllegalStateException(
         s"CREATE TABLE AS failed: $root already holds a snapshot — " +
@@ -2509,17 +2521,18 @@ case class CreateSnapshotTableCommand(table: Seq[String], schemaDdl: String,
     }
     // The CLUSTER BY spec rides version 1, so the FIRST data commit
     // already writes bucketed — no day-two layout rewrite.
-    // CREATE-time TBLPROPERTIES ride version 1 atomically; managed
-    // records arrive through their CLAUSES, never raw keys (the same
-    // funnel discipline as the post-hoc SET TBLPROPERTIES guard).
-    tblProperties.map(_._1).find(k =>
-        k.startsWith("graft.generated.") || k.startsWith("graft.identity.") ||
-        k.startsWith("graft.default.") || k == "graft.generatedTimeZone" ||
-        k == SnapshotStore.BucketSpecProp).foreach { k =>
-      throw new IllegalArgumentException(
-        s"'$k' is managed metadata — express it as a column clause " +
-          "(GENERATED / IDENTITY / DEFAULT) or CLUSTER BY, not a raw property")
-    }
+    // CREATE-time TBLPROPERTIES ride version 1 atomically; MANAGED
+    // records (clause metadata AND engine runtime state — the one
+    // shared predicate SHOW CREATE also prints by) arrive through
+    // their clauses or the engine, never raw keys.
+    tblProperties.map(_._1).find(SnapshotStore.managedPropertyKey)
+      .foreach { k =>
+        throw new IllegalArgumentException(
+          s"'$k' is managed metadata — express clause metadata as a " +
+            "column clause (GENERATED / IDENTITY / DEFAULT) or CLUSTER " +
+            "BY; engine state (stats, cursors, baselines, marks) " +
+            "cannot be seeded by hand")
+      }
     SnapshotStore.commitIfAbsent(spark, empty, root, partitionCols,
         bucketBy = bucket, generated = generated, identity = identity,
         defaults = defaults, properties = tblProperties) match {
