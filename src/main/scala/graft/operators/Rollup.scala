@@ -353,14 +353,23 @@ object Rollup {
     // next window would apply those changes AGAIN.
     SnapshotStore.currentVersion(spark, rollupRoot) match {
       case None =>
-        SnapshotStore.commit(spark,
+        // The source read is consumed up to three times on this path —
+        // an eager derive-guard probe (FreqGuard's distinct-count
+        // action), the profile aggregation, and the commit's own
+        // write — and without materialization each is a full source
+        // scan. One persist turns that into one scan + cache reads
+        // (measured in the q212 profile as repeated
+        // resolveDerive→FreqGuard.apply stacks).
+        val src = SnapshotStore.readVersion(spark, srcRoot, cur).persist()
+        try SnapshotStore.commit(spark,
           withBucket(profile(
-            deriveFn(SnapshotStore.readVersion(spark, srcRoot, cur)),
+            deriveFn(src),
             groupCols, sumCols, minMaxCols)),
           rollupRoot, Bucket,
           properties = Some((CursorProp -> cur.toString) +:
             metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
               derivedFlag, deriveSpec)))
+        finally src.unpersist()
         cur
       case Some(_) =>
         val props = SnapshotStore.tablePropertiesMap(spark, rollupRoot)
@@ -371,8 +380,16 @@ object Rollup {
         if (cursor == cur) return cur
         require(cursor < cur,
           s"rollup cursor v$cursor is ahead of source v$cur — wrong source?")
-        val feed = deriveFn(SnapshotStore.changes(spark, srcRoot, cursor, cur,
-          srcKeys, preImages = true)).persist()
+        // Persist the RAW change window, then derive over the cached
+        // frame: an eager derive guard (FreqGuard's distinct-count
+        // action) otherwise executes the full CDC diff once on its
+        // own BEFORE the persist below could serve it — the guard's
+        // probe now materializes the cache that every later consumer
+        // (null check, delta aggregation, rebuild scoping) reads.
+        val window = SnapshotStore.changes(spark, srcRoot, cursor, cur,
+          srcKeys, preImages = true).persist()
+        val feed = deriveFn(window)
+        var mergedRowsCache: Option[DataFrame] = None
         try {
           require(feed.filter(groupCols.map(col(_).isNull).reduce(_ || _))
               .isEmpty,
@@ -439,8 +456,16 @@ object Rollup {
               Seq(least(old(s"${c}_min"), col(s"${c}_min")).as(s"${c}_min"),
                 greatest(old(s"${c}_max"), col(s"${c}_max")).as(s"${c}_max"))
             }: _*)
-          val keepAdditive = mergedRows.filter(col("row_count") =!= 0)
-          val goneAdditive = mergedRows.filter(col("row_count") === 0)
+          // The merged frame feeds FOUR downstream actions inside
+          // upsertDeleteCommit (touched-partition collect, doomed-key
+          // probe, survivor anti-join, the data write) — persist the
+          // few-groups result once instead of replaying the
+          // delta-agg + stored join per action. Unpersisted in the
+          // shared finally.
+          val mergedCached = mergedRows.persist()
+          mergedRowsCache = Some(mergedCached)
+          val keepAdditive = mergedCached.filter(col("row_count") =!= 0)
+          val goneAdditive = mergedCached.filter(col("row_count") === 0)
             .select(groupCols.map(col): _*)
           val (rebuilt, goneRebuilt) = negGroups match {
             case None => (None, None)
@@ -471,7 +496,13 @@ object Rollup {
                 metaProps(srcRoot, srcKeys, groupCols, sumCols, minMaxCols,
                   derivedFlag, deriveSpec))
           cur
-        } finally feed.unpersist()
+        } finally {
+          window.unpersist()
+          // Best-effort: mergedRows may not have been reached if an
+          // earlier require threw; sweep via the plan-object handle.
+          try mergedRowsCache.foreach(_.unpersist())
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
   }
 

@@ -683,14 +683,46 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
     require(keyCols.nonEmpty, "change feed needs at least one key column")
     require(fromVersion != toVersion,
       s"change feed needs two distinct versions, got $fromVersion twice")
-    val parts = changedPartitions(spark, root, fromVersion, toVersion)
+    // FILE-level diff scoping (Delta CDF's add/remove-file principle;
+    // guide §2.4 "remove shuffles/passes outright"): an entry present
+    // IDENTICALLY in both manifests — same path, same deletion vector
+    // — is an immutable file read the same way on both sides, so
+    // under the keyed contract its rows pair with themselves in the
+    // full-outer diff and cancel exactly (a key row in a common file
+    // on one side is that same row in that same file on the other;
+    // keyed tables hold one row per key per version). Diffing only
+    // the SYMMETRIC DIFFERENCE of entries makes the window's cost
+    // ∝ changed files instead of ∝ touched partitions: an append's
+    // window reads just the appended files (the from side is empty),
+    // where the previous partition-level scoping re-read and
+    // re-diffed every carried file of every touched partition. A
+    // same-path entry whose DV changed lands on BOTH sides (its
+    // versions read differently) and diffs row-wise as before.
+    val fromAll = manifest(spark, root, fromVersion)
+    val toAll = manifest(spark, root, toVersion)
+    val fromSet = fromAll.toSet
+    val toSet = toAll.toSet
+    val fromDiff = fromAll.filterNot(toSet)
+    val toDiff = toAll.filterNot(fromSet)
     // Both sides read under the NEWER version's column mapping (Delta
     // CDF's latest-schema convention): physical names are stable, so a
     // rename between the versions diffs the same columns under their
     // new names instead of fabricating a drop+add.
-    val mv = Some(math.max(fromVersion, toVersion))
-    val from = readVersion(spark, root, fromVersion, Some(parts), mappingVersion = mv)
-    val to = readVersion(spark, root, toVersion, Some(parts), mappingVersion = mv)
+    val mvv = math.max(fromVersion, toVersion)
+    val mapping = SnapshotStore.columnMappingAt(spark, root, mvv)
+    def side(diff: Seq[SnapshotStore.ManifestEntry],
+             all: Seq[SnapshotStore.ManifestEntry], v: Long): DataFrame =
+      if (diff.nonEmpty)
+        SnapshotStore.presentLogical(
+          SnapshotStore.readEntriesAt(spark, root, diff, v), mapping)
+      else if (all.nonEmpty)
+        // Empty selection keeps the version's schema: limit(0) over
+        // the full set, the same convention readVersion applies.
+        SnapshotStore.presentLogical(
+          SnapshotStore.readEntriesAt(spark, root, all, v).limit(0), mapping)
+      else readVersion(spark, root, v, mappingVersion = Some(mvv))
+    val from = side(fromDiff, fromAll, fromVersion)
+    val to = side(toDiff, toAll, toVersion)
     val toCols = to.columns.toSeq
     val cols = toCols ++ from.columns.toSeq.filterNot(toCols.contains)
     val dataCols = cols.filterNot(keyCols.contains)

@@ -232,6 +232,53 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     }.toSeq
   }
 
+  /** EVERY header line of a version's manifest in one read (headers
+    * are written before any entry line, so the scan stops at the
+    * first entry without holding a large manifest). The single-read
+    * building block behind [[manifestHeader]]/[[manifestHeaderAll]]
+    * and the one-open metadata fan-in in [[writeManifest]] — a commit
+    * used to open its predecessor five times for ts / constraints /
+    * properties / mapping / copied-ledger, five metadata round-trips
+    * per commit on an object store. */
+  private[sinks] def manifestHeaderLines(spark: SparkSession, root: String,
+                                         version: Long): Seq[String] = {
+    val f = fs(spark, root)
+    val in = f.open(manifestPath(root, version))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .takeWhile(_.startsWith("#")).toList
+    finally in.close()
+  }
+
+  private def headerFirst(lines: Seq[String], name: String): Option[String] = {
+    val prefix = s"#$name\t"
+    lines.collectFirst { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }
+  }
+
+  private def headerAll(lines: Seq[String], name: String): Seq[String] = {
+    val prefix = s"#$name\t"
+    lines.collect { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }
+  }
+
+  private def parseConstraintHeaders(lines: Seq[String]): Seq[(String, String)] =
+    headerAll(lines, "constraint").map { l =>
+      val Array(n, e) = l.split("\t", 2)
+      (n, URLDecoder.decode(e, UTF_8))
+    }
+
+  private def parsePropHeaders(lines: Seq[String]): Seq[(String, String)] =
+    headerAll(lines, "prop").map { l =>
+      val Array(k, v) = l.split("\t", 2)
+      (URLDecoder.decode(k, UTF_8), URLDecoder.decode(v, UTF_8))
+    }
+
+  private def parseMappingHeaders(lines: Seq[String])
+      : (Seq[(String, String)], Seq[String]) = (
+    headerAll(lines, "colmap").map { l =>
+      val Array(lg, ph) = l.split("\t", 2)
+      (URLDecoder.decode(lg, UTF_8), URLDecoder.decode(ph, UTF_8))
+    },
+    headerAll(lines, "coldrop").map(URLDecoder.decode(_, UTF_8)))
+
   /** One header value from a version's manifest. Headers are written
     * first, so the scan stops at the first match without holding more
     * than a line at a time. */
@@ -1201,24 +1248,29 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // timestamp order agree even across clock skew between writers
     // (Delta's in-commit-timestamp clamp). Predecessor missing
     // (first commit, vacuumed, or pre-#ts) → the clock as-is.
+    // ONE read of the predecessor's header block serves every
+    // carried-forward metadata family below (ts clamp, constraints,
+    // properties, column mapping, the COPY INTO ledger) — this path
+    // used to open the same file five times per commit. A missing or
+    // unreadable predecessor (first commit, vacuumed) carries nothing,
+    // exactly as each individual read used to degrade.
+    val prevHeaders: Seq[String] =
+      if (version > 1)
+        try manifestHeaderLines(spark, root, version - 1)
+        catch { case _: java.io.IOException => Nil }
+      else Nil
     val ts = {
       val now = System.currentTimeMillis()
-      val prev = if (version > 1)
-        try commitTimestamp(spark, root, version - 1) catch {
-          case _: java.io.IOException => None
-        }
-      else None
+      val prev = headerFirst(prevHeaders, "ts")
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
       prev.map(p => math.max(now, p + 1)).getOrElse(now)
     }
     // Constraints carry forward automatically (they are table
     // metadata, like #partcol) unless the caller REPLACES the set
     // (ALTER ADD/DROP CONSTRAINT). A missing predecessor (first
     // commit, vacuumed) carries nothing.
-    val effectiveConstraints = constraints.getOrElse(
-      if (version > 1)
-        try tableConstraints(spark, root, version - 1)
-        catch { case _: java.io.IOException => Nil }
-      else Nil)
+    val effectiveConstraints =
+      constraints.getOrElse(parseConstraintHeaders(prevHeaders))
     // Table properties carry forward exactly like constraints unless
     // the caller REPLACES the set (ALTER TABLE SET/UNSET TBLPROPERTIES).
     // A pending swallowed-maintenance failure (or recovery-clear)
@@ -1245,11 +1297,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
         case _ => Map.empty[String, Long]
       }
     val effectiveProperties = {
-      val base = properties.getOrElse(
-        if (version > 1)
-          try tableProperties(spark, root, version - 1)
-          catch { case _: java.io.IOException => Nil }
-        else Nil)
+      val base = properties.getOrElse(parsePropHeaders(prevHeaders))
       val withErr = maintErr match {
         case Some("") => base.filterNot(_._1 == MaintenanceErrorProp)
         case Some(err) =>
@@ -1285,11 +1333,8 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Column mapping carries forward exactly like constraints unless
     // the caller REPLACES it (ALTER TABLE RENAME/DROP COLUMN, restore,
     // clone).
-    val effectiveMapping = columnMapping.getOrElse(
-      if (version > 1)
-        try columnMapping0(spark, root, version - 1)
-        catch { case _: java.io.IOException => (Nil, Nil) }
-      else (Nil, Nil))
+    val effectiveMapping =
+      columnMapping.getOrElse(parseMappingHeaders(prevHeaders))
     // The COPY INTO loaded-file ledger carries forward like every
     // other piece of table metadata: if it lived only in the manifest
     // of the version that loaded the files, a routine VACUUM would
@@ -1297,11 +1342,8 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Cost: ledger size × ~1 line per manifest — proportional to the
     // table's copied-file count, the price of the idempotence
     // contract surviving maintenance.
-    val carriedCopied = (
-      if (version > 1)
-        try manifestHeaderAll(spark, root, version - 1, "copied")
-        catch { case _: java.io.IOException => Nil }
-      else Nil).map(c => s"#copied\t$c").filterNot(extraHeaders.contains)
+    val carriedCopied = headerAll(prevHeaders, "copied")
+      .map(c => s"#copied\t$c").filterNot(extraHeaders.contains)
     // Reader-mandatory features of THIS manifest (see the gate in
     // [[manifest]]): derived per version rather than carried — a
     // version that stopped using a feature (REORG PURGE dropped every
@@ -1568,11 +1610,38 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     val priorSchema = (if (pv >= 1) schemaFor(spark, root, pv) else None)
       .orElse(if (carried.isEmpty) None
               else Some(readEntries(spark, root, carried).schema))
+    // Footer stats for files missing a prior entry (the fresh batch,
+    // plus legacy gaps) read in PARALLEL on a bounded driver pool: the
+    // reads are independent metadata fetches (a partitioned commit
+    // easily writes ~100 files), and the sequential loop was a
+    // measured slice of every commit's wall time (guide §1 profile;
+    // the method's own sizing note asked for exactly this). Any
+    // failure propagates to the outer degrade-to-no-sidecar handler,
+    // as before.
+    val missing = (carried ++ fresh).filterNot(e => prior.contains(e.path))
+    val computed: Map[String, FileStats.FileStatsEntry] =
+      if (missing.isEmpty) Map.empty
+      else if (missing.size == 1) {
+        val p = new Path(root, missing.head.path)
+        Map(missing.head.path ->
+          FileStats.fromFooter(conf, p, f.getFileStatus(p).getLen))
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, missing.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[(String, FileStats.FileStatsEntry)]] =
+            missing.map { e =>
+              (() => {
+                val p = new Path(root, e.path)
+                e.path -> FileStats.fromFooter(conf, p, f.getFileStatus(p).getLen)
+              }): java.util.concurrent.Callable[(String, FileStats.FileStatsEntry)]
+            }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
     val all = (carried ++ fresh).map { e =>
-      e.path -> prior.getOrElse(e.path, {
-        val p = new Path(root, e.path)
-        FileStats.fromFooter(conf, p, f.getFileStatus(p).getLen)
-      })
+      e.path -> prior.getOrElse(e.path, computed(e.path))
     }
     // Carried files keep reading through the evolved schema, so the
     // recorded schema is the running union across versions — except
@@ -2234,7 +2303,22 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           Some(math.max(1L, (t.toDouble * rows / bytes).toLong))
         else None
       }
-    try maxRecords.foldLeft(physical.write.mode("error")) { (w, n) =>
+    // Commit-protocol cost (guide §7.3 "commit-protocol/rename frames",
+    // §6 small files): FileOutputCommitter v1 renames every task's
+    // files ON THE DRIVER during commitJob — serialized, and measured
+    // here as a visible slice of each write job (a partitioned commit
+    // writes tasks × partition-values files). v2 moves the rename into
+    // each task's own commitTask (parallel, and the standard
+    // recommendation on object stores where driver-side rename is a
+    // COPY). Safe under this store's protocol: the data directory is
+    // private until writeManifest publishes it atomically, and a
+    // failed/partial write job leaves only unreferenced files that
+    // VACUUM collects — same as v1's leftover _temporary. The
+    // _SUCCESS marker is dead weight here (the manifest IS the commit
+    // marker), so skip writing it.
+    try maxRecords.foldLeft(physical.write.mode("error")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")) { (w, n) =>
       w.option("maxRecordsPerFile", n)
     }.partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)

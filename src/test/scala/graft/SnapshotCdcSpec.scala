@@ -220,4 +220,28 @@ class SnapshotCdcSpec extends SparkSpec {
       .as[Map[String, String]].head()
     assert(p2 == Map("en" -> "two", "de" -> "zwei"))
   }
+
+  test("change feed reads only the versions' differing files, not carried ones") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark,
+      table(("p1", "a", 1), ("p2", "a", 1), ("p3", "b", 1)), root, "supplier")
+    // Append into partition a: v2 = v1's files (carried by reference)
+    // plus the appended file(s).
+    SnapshotStore.appendCommit(spark, table(("p9", "a", 1)), root, "supplier")
+    val carried = SnapshotStore.manifest(spark, root, 1).map(_.path).toSet
+    val appended = SnapshotStore.manifest(spark, root, 2).map(_.path).toSet -- carried
+    assert(appended.nonEmpty)
+    val feed = SnapshotStore.changes(spark, root, 1, 2, "product_id")
+    // Values: exactly the appended row, as an insert.
+    assert(feed.select("product_id", "_change_type").as[(String, String)]
+      .collect().toMap == Map("p9" -> "insert"))
+    // Cost shape: the diff's scan set is the SYMMETRIC DIFFERENCE of
+    // the manifests — an append window must read only the appended
+    // files, never re-read the carried ones (CDC cost ∝ changed
+    // files, the Delta-CDF add/remove-file scoping).
+    val scanned = feed.inputFiles.map(f =>
+      f.substring(f.indexOf("data/v_"))).toSet
+    assert(scanned == appended,
+      s"expected only appended files $appended, scanned $scanned")
+  }
 }
