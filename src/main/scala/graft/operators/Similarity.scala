@@ -458,7 +458,9 @@ object Similarity {
         .select(col("__cell"), col("neighbor_id"), col("neighbor_scale"),
           Vectors.int8Codes(col("__v"), col("neighbor_scale")).as("neighbor_codes"),
           col("__srcfile").as("file"))
-        .write.mode("append").parquet(indexPath)
+        .write.mode("append")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(indexPath)
     }
   }
 
@@ -743,7 +745,9 @@ object Similarity {
         .select(col("__cell"), col("neighbor_id"), col("neighbor_norm"),
           pqCodesExpr(col("__v"), ds).as("pq_codes"),
           col("__srcfile").as("file"))
-        .write.mode("append").parquet(indexPath)
+        .write.mode("append")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(indexPath)
     }
   }
 

@@ -140,14 +140,19 @@ object Sketches {
               .select((groupCols ++ skCols).map(col): _*)
               .select(groupCols.map(col) ++
                 skCols.map(c => col(c).as(s"__old_$c")): _*)
+            // Persist across upsertDeleteCommit's multiple consumers
+            // (touched-partition collect + data write) — the few-group
+            // result is tiny, and without it the delta-sketch + stored
+            // join replays per action (same fix as Rollup.sync).
             val unioned = delta.join(stored, groupCols, "left")
               .select(groupCols.map(col) ++ cols.map { c =>
                 val d = col(sketchCol(c)); val o = col(s"__old_${sketchCol(c)}")
                 when(o.isNull, d).otherwise(hll_union(o, d)).as(sketchCol(c))
-              }: _*)
-            committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
+              }: _*).persist()
+            try committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
               withBucket(unioned), None, groupCols, Bucket,
               properties = Some(merged))
+            finally unioned.unpersist()
           } else {
             // Deletes/updates: HLL cannot subtract — rebuild exactly
             // the touched groups from the current snapshot; groups
@@ -157,14 +162,20 @@ object Sketches {
             // skipping bound the rebuild SCAN, not just the rows — a
             // semi-join alone would filter after reading every file.
             val touched = feed.select(groupCols.map(col): _*).distinct()
+            // Persist: the rebuild scan feeds the upsert write, the
+            // vanished-group anti-join, AND upsertDeleteCommit's
+            // touched/probe collects — one source scan instead of one
+            // per action.
             val rebuilt = hllProfile(
               GroupScope.scope(SnapshotStore.readVersion(spark, srcRoot, cur),
                 touched, groupCols),
-              groupCols, cols, storedLgK)
-            val vanished = touched.join(rebuilt, groupCols, "left_anti")
-            committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
-              withBucket(rebuilt), Some(vanished), groupCols, Bucket,
-              properties = Some(merged))
+              groupCols, cols, storedLgK).persist()
+            try {
+              val vanished = touched.join(rebuilt, groupCols, "left_anti")
+              committed = SnapshotStore.upsertDeleteCommit(spark, sketchRoot,
+                withBucket(rebuilt), Some(vanished), groupCols, Bucket,
+                properties = Some(merged))
+            } finally rebuilt.unpersist()
           }
           // A content-no-op window (layout-only source commits) makes
           // the merge above RETURN the unchanged version without

@@ -57,7 +57,9 @@ object TextIndex {
     tokenRows(spark.read.parquet(tablePath), textCol)
       .repartitionByRange(col("token"))
       .sortWithinPartitions(col("token"))
-      .write.mode("overwrite").parquet(indexPath)
+      .write.mode("overwrite")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(indexPath)
   }
 
   /** Incremental maintenance: index ONLY `newFiles` (data files added
@@ -72,7 +74,9 @@ object TextIndex {
       tokenRows(spark.read.parquet(newFiles: _*), textCol)
         .repartitionByRange(col("token"))
         .sortWithinPartitions(col("token"))
-        .write.mode("append").parquet(indexPath)
+        .write.mode("append")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(indexPath)
   }
 
   /** Snapshot-store maintenance: index exactly the data files version
@@ -200,10 +204,14 @@ object TextIndex {
         .select(col("token"), col("file"), col("n_docs"))
         .repartitionByRange(col("token"))
         .sortWithinPartitions(col("token"))
-        .write.mode("overwrite").parquet(indexPath)
+        .write.mode("overwrite")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(indexPath)
       grouped.filter(col("token") === sentinel)
         .select(sum(col("n_docs")).as("n"), sum(col("dl_sum")).as("total_dl"))
-        .write.mode("overwrite").parquet(bm25StatsPath(indexPath))
+        .write.mode("overwrite")
+        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+        .parquet(bm25StatsPath(indexPath))
     } finally grouped.unpersist()
   }
 

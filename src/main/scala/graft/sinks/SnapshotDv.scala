@@ -75,7 +75,8 @@ private[sinks] trait SnapshotDv { this: SnapshotStore.type =>
     val perFile = 10L * 1000 * 1000
     val parts = math.max(1L, (rows + perFile - 1) / perFile).toInt
     (if (parts == 1) newDv.coalesce(1) else newDv.repartition(parts))
-      .write.parquet(new Path(root, dvDir).toString)
+      .write.options(SnapshotStore.fastCommitterOptions)
+      .parquet(new Path(root, dvDir).toString)
   }
 
   /** The deletion-vector rows attached to `entries`, as one

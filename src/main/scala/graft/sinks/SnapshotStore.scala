@@ -279,6 +279,22 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     },
     headerAll(lines, "coldrop").map(URLDecoder.decode(_, UTF_8)))
 
+  /** Write-job commit-protocol options for the repo's append/error-mode
+    * parquet writes (data files, DV sidecars, index shards):
+    * FileOutputCommitter v2 commits each task's files from the task
+    * itself instead of a serialized driver-side rename pass at
+    * commitJob — the measured rename slice of every small commit here,
+    * and the standard setting on object stores where a driver rename
+    * is a COPY. Only for writes whose output dir is private until a
+    * separate atomic publish (or append-only index dirs whose readers
+    * tolerate partial files being re-listed — none do reads mid-write
+    * here); NOT for dynamic-partition-overwrite writes, which have
+    * their own staging protocol. `_SUCCESS` markers are skipped —
+    * nothing in this store reads them. */
+  val fastCommitterOptions: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
   /** One header value from a version's manifest. Headers are written
     * first, so the scan stops at the first match without holding more
     * than a line at a time. */
@@ -2317,8 +2333,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // _SUCCESS marker is dead weight here (the manifest IS the commit
     // marker), so skip writing it.
     try maxRecords.foldLeft(physical.write.mode("error")
-        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")) { (w, n) =>
+        .options(fastCommitterOptions)) { (w, n) =>
       w.option("maxRecordsPerFile", n)
     }.partitionBy(dirs: _*)
       .parquet(new Path(root, dataDir).toString)
