@@ -134,15 +134,21 @@ object Bench {
     }.sum
     val (scanS, lifeS, streamS) =
       (classTotal("scan"), classTotal("lifecycle"), classTotal("streaming"))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","scan_s":$scanS,"lifecycle_s":$lifeS,"streaming_s":$streamS,"queries":$qs,"samples":$ss,"pass_starts_ms":$ps,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}}"""
-    println(line)
-    // The driver's tail capture truncates the head of long stdout; the
-    // FULL artifact (every query, every sample) persists to a file so
-    // a stall diagnosis never needs a re-run.
+    // The driver's tail capture truncates the HEAD of long stdout; in
+    // round 16 the bulky per-sample map pushed the line past the capture
+    // window and the round-over-round comparison was lost. The printed
+    // line therefore stays compact (total, per-class, per-query min,
+    // errors, plus the run's cpus/sf so the scaling runs are
+    // self-describing); the per-sample detail and pass timestamps live
+    // only in the file artifact below, which has no size limit.
+    val common = s""""metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf_dir":${jstr(sfDir)},"scan_s":$scanS,"lifecycle_s":$lifeS,"streaming_s":$streamS,"queries":$qs,"errors":$es,"error_count":${errors.size},"sf":${jstr(sfDir)}"""
+    println(s"{$common}")
+    // The FULL artifact (every query, every sample, pass start times)
+    // persists to a file so a stall diagnosis never needs a re-run.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes("UTF-8"))
+        (s"""{$common,"samples":$ss,"pass_starts_ms":$ps}""" + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

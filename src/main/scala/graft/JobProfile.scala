@@ -20,8 +20,13 @@ object JobProfile {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Defaults MUST match Bench's session config (which uses Spark's
+      // AQE defaults): round 16 measured parallelismFirst=false +64 MB
+      // advisory as 33% WORSE on q212, so profiling under it mis-ranks
+      // bottlenecks vs what the bench actually pays. Env overrides stay
+      // available for explicit A/B experiments.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64") + "m")
       .config("spark.sql.session.timeZone", "UTC")

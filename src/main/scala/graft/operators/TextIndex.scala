@@ -49,18 +49,54 @@ object TextIndex {
         coalesce(col("tk"), lit(CoveredSentinel)).as("token"))
       .distinct()
 
+  /** Stage-and-swap for the one-shot OVERWRITE index builds: the job
+    * writes a PRIVATE tmp directory (task-side committer v2 is safe
+    * there — the dir is invisible until the swap below), and only a
+    * COMPLETED tree replaces the live path. A mid-job failure leaves
+    * the previous index fully intact (plus a tmp orphan the next
+    * build sweeps) — it can never leave a PARTIAL live index, which
+    * committer v2 writing straight into the live dir could: a reader
+    * would silently search a half-built index (the round-16 audit's
+    * failure-visibility hole). */
+  private[graft] def overwriteViaSwap(spark: SparkSession, dest: String)
+      (write: String => Unit): Unit = {
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val f = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Sweep orphans of previously crashed builds for this dest.
+    if (f.exists(destPath.getParent))
+      f.listStatus(destPath.getParent).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(s".${destPath.getName}.tmp-") ||
+            n.startsWith(s".${destPath.getName}.old-"))
+          f.delete(s.getPath, true)
+      }
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(destPath.getParent,
+      s".${destPath.getName}.tmp-$suffix")
+    write(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(destPath.getParent,
+      s".${destPath.getName}.old-$suffix")
+    val had = f.exists(destPath)
+    if (had && !f.rename(destPath, old))
+      throw new IllegalStateException(s"swap set-aside rename failed for $dest")
+    if (!f.rename(tmp, destPath))
+      throw new IllegalStateException(s"swap publish rename failed for $dest")
+    if (had) f.delete(old, true)
+  }
+
   /** Build the (token, file) index for `tablePath`'s `textCol`,
     * written to `indexPath` range-laid-out on token (one-token
     * lookups then prune row groups via min/max stats). */
   def buildWordIndex(spark: SparkSession, tablePath: String,
-                     textCol: String, indexPath: String): Unit = {
-    tokenRows(spark.read.parquet(tablePath), textCol)
-      .repartitionByRange(col("token"))
-      .sortWithinPartitions(col("token"))
-      .write.mode("overwrite")
-        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
-        .parquet(indexPath)
-  }
+                     textCol: String, indexPath: String): Unit =
+    overwriteViaSwap(spark, indexPath) { tmp =>
+      tokenRows(spark.read.parquet(tablePath), textCol)
+        .repartitionByRange(col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("error")
+          .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+          .parquet(tmp)
+    }
 
   /** Incremental maintenance: index ONLY `newFiles` (data files added
     * since the last build — e.g. the new entries of a SnapshotStore
@@ -200,18 +236,27 @@ object TextIndex {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      grouped.filter(col("token") =!= sentinel)
-        .select(col("token"), col("file"), col("n_docs"))
-        .repartitionByRange(col("token"))
-        .sortWithinPartitions(col("token"))
-        .write.mode("overwrite")
-        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
-        .parquet(indexPath)
-      grouped.filter(col("token") === sentinel)
-        .select(sum(col("n_docs")).as("n"), sum(col("dl_sum")).as("total_dl"))
-        .write.mode("overwrite")
-        .options(graft.sinks.SnapshotStore.fastCommitterOptions)
-        .parquet(bm25StatsPath(indexPath))
+      // Each surface stages privately and swaps only when complete
+      // (see [[overwriteViaSwap]]): no failure can leave a PARTIAL
+      // live index or stats sidecar. A failure between the two swaps
+      // leaves new index + old stats — both internally complete; the
+      // re-run converges (one-shot build surface).
+      overwriteViaSwap(spark, indexPath) { tmp =>
+        grouped.filter(col("token") =!= sentinel)
+          .select(col("token"), col("file"), col("n_docs"))
+          .repartitionByRange(col("token"))
+          .sortWithinPartitions(col("token"))
+          .write.mode("error")
+          .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+          .parquet(tmp)
+      }
+      overwriteViaSwap(spark, bm25StatsPath(indexPath)) { tmp =>
+        grouped.filter(col("token") === sentinel)
+          .select(sum(col("n_docs")).as("n"), sum(col("dl_sum")).as("total_dl"))
+          .write.mode("error")
+          .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+          .parquet(tmp)
+      }
     } finally grouped.unpersist()
   }
 

@@ -2089,5 +2089,10 @@ private[sinks] trait SnapshotMaintenance { this: SnapshotStore.type =>
       f.delete(statsPath(root, v), false)
       f.delete(bloomPath(root, v), false)
     }
+    // Vacuum is the one in-engine path that DELETES published
+    // metadata files — drop every cached parse for the root so a
+    // vacuumed version reads exactly like an uncached one (missing
+    // manifest throws; missing sidecars degrade to no-skipping).
+    if (drop.nonEmpty) invalidateMetadataCache(root)
   }
 }

@@ -112,6 +112,101 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   private[sinks] def bloomPath(root: String, v: Long) =
     new Path(root, f"manifests/v_$v%06d.bloom")
 
+  // ------------------------------------------------------------------
+  // (root, version)-keyed READ-PATH metadata cache (guide §6 metadata
+  // round-trips). One planning pass through [[table]] used to open the
+  // SAME manifest 6-8 times (entries once per file-index build, headers
+  // once each for properties / column mapping / bucket spec / CBO
+  // stats) and the stats sidecar up to twice — the read-side analogue
+  // of the one-open-per-commit fan-in writeManifest already has.
+  // Manifests and sidecars are IMMUTABLE once published under this
+  // store's protocol, so a parsed copy keyed by (root, version) is
+  // valid until something out-of-protocol happens. Every hit is
+  // re-validated against the file's (modificationTime, length)
+  // fingerprint — one getFileStatus instead of open + full read +
+  // parse — which catches the out-of-protocol cases (DROP + recreate
+  // at the same path, an external rewrite) even from another process;
+  // in-JVM mutation points (vacuum's manifest deletes, writeStats /
+  // addBloomFilters rewriting a version's sidecar in place) ALSO
+  // invalidate explicitly, closing the same-millisecond/same-length
+  // fingerprint aliasing window for every path this engine controls.
+  // Absence is NEVER cached: a missing sidecar stays a per-access
+  // probe (it legitimately appears after the manifest), and a missing
+  // manifest throws exactly as the uncached open did. Capacity is
+  // bounded by entry count AND total parsed weight, so a 100 TB
+  // table's million-entry manifests cannot pin the driver heap.
+  // `spark.graft.metaCache.enabled=false` bypasses it entirely.
+  private[sinks] final case class MetaKey(root: String, version: Long)
+  private[sinks] final case class MetaFp(modTime: Long, len: Long)
+
+  private[sinks] final class MetaLru[V](maxEntries: Int, maxWeight: Long,
+                                        weigh: V => Long) {
+    private case class Slot(fp: MetaFp, value: V, w: Long)
+    private val map = new java.util.LinkedHashMap[MetaKey, Slot](64, 0.75f, true)
+    private var weight = 0L
+    def get(k: MetaKey, fp: MetaFp): Option[V] = synchronized {
+      map.get(k) match {
+        case null => None
+        case s if s.fp == fp => Some(s.value)
+        case s => map.remove(k); weight -= s.w; None // stale fingerprint
+      }
+    }
+    def put(k: MetaKey, fp: MetaFp, v: V): Unit = synchronized {
+      val w = math.max(1L, weigh(v))
+      Option(map.remove(k)).foreach(s => weight -= s.w)
+      map.put(k, Slot(fp, v, w))
+      weight += w
+      val it = map.entrySet().iterator()
+      while ((map.size > maxEntries || weight > maxWeight) && it.hasNext) {
+        val e = it.next(); weight -= e.getValue.w; it.remove()
+      }
+    }
+    def invalidate(k: MetaKey): Unit = synchronized {
+      Option(map.remove(k)).foreach(s => weight -= s.w)
+    }
+    def invalidateRoot(root: String): Unit = synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.root == root) { weight -= e.getValue.w; it.remove() }
+      }
+    }
+  }
+
+  // Weights are parsed-entry counts (≈ proportional to heap), not
+  // bytes: 2M manifest entries ≈ a few hundred MB worst case across
+  // ALL cached versions — the deliberate ceiling.
+  private val manifestCache =
+    new MetaLru[(Seq[String], Seq[ManifestEntry])](256, 2L << 20, _._2.size.toLong)
+  private val headerCache =
+    new MetaLru[Seq[String]](1024, 1L << 20, _.size.toLong)
+  private val statsCache = new MetaLru[(Map[String, FileStats.FileStatsEntry],
+    Option[org.apache.spark.sql.types.StructType])](256, 2L << 20, _._1.size.toLong)
+  private val bloomCache =
+    new MetaLru[Map[String, Map[String, FileStats.BloomStats]]](128, 1L << 20,
+      m => m.valuesIterator.map(_.size.toLong).sum)
+
+  private def metaCacheEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.metaCache.enabled", "true")
+      .equalsIgnoreCase("true")
+
+  private def metaFp(f: FileSystem, p: Path): MetaFp = {
+    val st = f.getFileStatus(p) // FileNotFoundException, like open()
+    MetaFp(st.getModificationTime, st.getLen)
+  }
+
+  /** Drop every cached parse for `root` — the hook the in-JVM
+    * mutation points (vacuum; anything that deletes or replaces
+    * published metadata files) call so a recreated table at the same
+    * path can never be served a predecessor's parse even inside the
+    * fingerprint's ms/length granularity. Public to graft for specs. */
+  private[graft] def invalidateMetadataCache(root: String): Unit = {
+    manifestCache.invalidateRoot(root)
+    headerCache.invalidateRoot(root)
+    statsCache.invalidateRoot(root)
+    bloomCache.invalidateRoot(root)
+  }
+
   /** Committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(root, "manifests")
@@ -202,8 +297,17 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * `#` are metadata headers (committer token), not entries. */
   def manifest(spark: SparkSession, root: String, version: Long): Seq[ManifestEntry] = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
+    val p = manifestPath(root, version)
+    val key = MetaKey(root, version)
+    val cache = metaCacheEnabled(spark)
+    val fp = metaFp(f, p)
+    if (cache) manifestCache.get(key, fp) match {
+      case Some((_, entries)) => return entries
+      case None => ()
+    }
+    val in = f.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val headers = text.linesIterator.takeWhile(_.startsWith("#")).toList
     // Protocol gate (Delta's minReaderVersion/table-features design):
     // `#require` names a feature this manifest's files CANNOT be read
     // correctly without. Every other header is advisory — a reader
@@ -211,25 +315,34 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // REQUIRED feature means silently-wrong results (physical names
     // after a rename, resurrected DV-deleted rows, mis-decoded
     // composite partition values), so it must be a loud refusal here,
-    // the single parse point every read path funnels through.
-    val unknown = text.linesIterator.takeWhile(_.startsWith("#"))
+    // the single parse point every read path funnels through. A
+    // gate-failing manifest is never cached — the refusal re-derives
+    // from the file every time, like every other parse error.
+    val unknown = headers
       .filter(_.startsWith("#require\t"))
       .map(_.stripPrefix("#require\t").trim)
-      .filterNot(SupportedReaderFeatures).toSeq
+      .filterNot(SupportedReaderFeatures)
     if (unknown.nonEmpty) throw new IllegalStateException(
       s"manifest v$version under $root requires reader feature(s) " +
         s"${unknown.mkString(", ")} that this reader does not support " +
         s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
         "refusing to read rather than silently misread")
-    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+    val entries = text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
       line.split("\t", 4) match {
-        case Array(p, path) => ManifestEntry(URLDecoder.decode(p, UTF_8), path)
-        case Array(p, path, dv, dvRows) =>
-          ManifestEntry(URLDecoder.decode(p, UTF_8), path, dv, dvRows.toLong)
+        case Array(p0, path) => ManifestEntry(URLDecoder.decode(p0, UTF_8), path)
+        case Array(p0, path, dv, dvRows) =>
+          ManifestEntry(URLDecoder.decode(p0, UTF_8), path, dv, dvRows.toLong)
         case other => throw new IllegalStateException(
           s"malformed manifest line under $root v$version: ${other.mkString("\\t")}")
       }
     }.toSeq
+    if (cache) {
+      // A full parse subsumes the header block — seed BOTH caches so
+      // the first header probe after an entry read is already a hit.
+      manifestCache.put(key, fp, (headers, entries))
+      headerCache.put(key, fp, headers)
+    }
+    entries
   }
 
   /** EVERY header line of a version's manifest in one read (headers
@@ -243,10 +356,22 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   private[sinks] def manifestHeaderLines(spark: SparkSession, root: String,
                                          version: Long): Seq[String] = {
     val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    val p = manifestPath(root, version)
+    val key = MetaKey(root, version)
+    val cache = metaCacheEnabled(spark)
+    val fp = metaFp(f, p)
+    if (cache) headerCache.get(key, fp) match {
+      case Some(headers) => return headers
+      case None => ()
+    }
+    val in = f.open(p)
+    val headers = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .takeWhile(_.startsWith("#")).toList
     finally in.close()
+    // Headers alone (the prefix read) — entry parses stay lazy: a
+    // header probe over a million-entry manifest must not read it all.
+    if (cache) headerCache.put(key, fp, headers)
+    headers
   }
 
   private def headerFirst(lines: Seq[String], name: String): Option[String] = {
@@ -299,17 +424,11 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * first, so the scan stops at the first match without holding more
     * than a line at a time. */
   private[sinks] def manifestHeader(spark: SparkSession, root: String, version: Long,
-                             name: String): Option[String] = {
-    val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
-    val prefix = s"#$name\t"
-    // Headers are written before any entry line, so both lookups stop
-    // at the first entry — a header read never scans a large manifest.
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .takeWhile(_.startsWith("#"))
-      .collectFirst { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }
-    finally in.close()
-  }
+                             name: String): Option[String] =
+    // Routed through the cached header block: the ts / op / partcol /
+    // committer probes of one planning or commit pass all parse the
+    // SAME prefix — one open per (root, version), not one per probe.
+    headerFirst(manifestHeaderLines(spark, root, version), name)
 
   private[sinks] def manifestCommitter(spark: SparkSession, root: String, version: Long): Option[String] =
     manifestHeader(spark, root, version, "committer")
@@ -317,15 +436,8 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
   /** Every value of a repeatable header (`#copied`) in a version's
     * manifest — unlike [[manifestHeader]], which stops at the first. */
   private[sinks] def manifestHeaderAll(spark: SparkSession, root: String, version: Long,
-                                name: String): Seq[String] = {
-    val f = fs(spark, root)
-    val in = f.open(manifestPath(root, version))
-    val prefix = s"#$name\t"
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .takeWhile(_.startsWith("#"))
-      .collect { case l if l.startsWith(prefix) => l.stripPrefix(prefix) }.toList
-    finally in.close()
-  }
+                                name: String): Seq[String] =
+    headerAll(manifestHeaderLines(spark, root, version), name)
 
   /** The operation tag a version's committer recorded (`commit`,
     * `merge`, `delete`, `compact`, `zorder`, `restore`). None for
@@ -1458,20 +1570,40 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
       (Map[String, FileStats.FileStatsEntry], Option[org.apache.spark.sql.types.StructType]) = {
     val f = fs(spark, root)
     val p = statsPath(root, version)
-    if (!f.exists(p)) (Map.empty, None)
-    else try {
-      sidecarReads.incrementAndGet()
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      val schema = try text.linesIterator.collectFirst {
-        case l if l.startsWith("#schema\t") =>
-          org.apache.spark.sql.types.DataType.fromJson(
-            URLDecoder.decode(l.stripPrefix("#schema\t"), UTF_8))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-      } catch { case scala.util.control.NonFatal(_) => None }
-      (FileStats.decode(text), schema)
-    } catch {
-      case scala.util.control.NonFatal(_) => (Map.empty, None)
+    // getFileStatus doubles as the existence probe (same single RPC
+    // the old exists() was) AND the cache fingerprint. ABSENCE is
+    // never cached: the sidecar legitimately appears after its
+    // manifest (writeStats runs post-publish), so a reader landing in
+    // that window must keep probing.
+    val fp = try Some(metaFp(f, p))
+    catch { case _: java.io.FileNotFoundException => None }
+    fp match {
+      case None => (Map.empty, None)
+      case Some(fpv) =>
+        val key = MetaKey(root, version)
+        val cache = metaCacheEnabled(spark)
+        if (cache) statsCache.get(key, fpv) match {
+          case Some(v) => return v
+          case None => ()
+        }
+        try {
+          sidecarReads.incrementAndGet()
+          val in = f.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val schema = try text.linesIterator.collectFirst {
+            case l if l.startsWith("#schema\t") =>
+              org.apache.spark.sql.types.DataType.fromJson(
+                URLDecoder.decode(l.stripPrefix("#schema\t"), UTF_8))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+          } catch { case scala.util.control.NonFatal(_) => None }
+          val parsed = (FileStats.decode(text), schema)
+          // A torn parse degrades below WITHOUT caching — it keeps
+          // being re-probed, exactly the old per-access behavior.
+          if (cache) statsCache.put(key, fpv, parsed)
+          parsed
+        } catch {
+          case scala.util.control.NonFatal(_) => (Map.empty, None)
+        }
     }
   }
 
@@ -1679,6 +1811,10 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     // Only the manifest winner reaches here, so a plain rename is fine.
     f.delete(statsPath(root, v), false)
     f.rename(tmp, statsPath(root, v))
+    // This version's sidecar just changed IN PLACE — drop any cached
+    // parse (the fingerprint would catch it too; the explicit hook
+    // closes the same-ms/same-length aliasing window).
+    statsCache.invalidate(MetaKey(root, v))
     // BLOOM sidecar carry: filters are path-keyed over immutable
     // files, so the predecessor's sidecar stays valid for every
     // carried path — copying it forward keeps point-lookup skipping
@@ -1703,6 +1839,7 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
           s"manifests/.v_$v.bloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
         org.apache.hadoop.fs.FileUtil.copy(f, p, f, btmp, false, conf)
         f.rename(btmp, bloomPath(root, v))
+        bloomCache.invalidate(MetaKey(root, v))
       }
     }
   } catch {
@@ -1716,16 +1853,30 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * [[addBloomFilters]]), keyed by manifest-relative path then
     * column. Empty when none were built. */
   def bloomFor(spark: SparkSession, root: String, version: Long): Map[String, Map[String, FileStats.BloomStats]] = {
+    if (version < 1) return Map.empty
     val f = fs(spark, root)
     val p = bloomPath(root, version)
-    if (version < 1 || !f.exists(p)) Map.empty
-    else try {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      FileStats.decodeBlooms(text)
-    } catch {
-      // Same degradation contract as statsFor: derived metadata only.
-      case scala.util.control.NonFatal(_) => Map.empty
+    val fp = try Some(metaFp(f, p))
+    catch { case _: java.io.FileNotFoundException => None }
+    fp match {
+      case None => Map.empty // absence never cached, same as stats
+      case Some(fpv) =>
+        val key = MetaKey(root, version)
+        val cache = metaCacheEnabled(spark)
+        if (cache) bloomCache.get(key, fpv) match {
+          case Some(v) => return v
+          case None => ()
+        }
+        try {
+          val in = f.open(p)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          val parsed = FileStats.decodeBlooms(text)
+          if (cache) bloomCache.put(key, fpv, parsed)
+          parsed
+        } catch {
+          // Same degradation contract as statsFor: derived metadata only.
+          case scala.util.control.NonFatal(_) => Map.empty
+        }
     }
   }
 
@@ -1871,6 +2022,9 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     try out.write(FileStats.encodeBlooms(merged).getBytes(UTF_8)) finally out.close()
     f.delete(bloomPath(root, v), false)
     f.rename(tmp, bloomPath(root, v))
+    // In-place rewrite of this version's bloom sidecar — see the
+    // stats-sidecar invalidation note in [[writeStats]].
+    bloomCache.invalidate(MetaKey(root, v))
   }
 
   /** Manifest-backed [[GraftFileIndex]] for a version: the file
@@ -1926,8 +2080,13 @@ object SnapshotStore extends SnapshotDml with SnapshotDv with SnapshotMaintenanc
     * many files the most recent planning pass kept (specs + SCALE). */
   def tableWithIndex(spark: SparkSession, root: String, version: Option[Long] = None,
                      partitions: Option[Seq[String]] = None): (DataFrame, GraftFileIndex) = {
-    val (rel, idx, entries) = relationWithIndex(spark, root, version, partitions)
-    val v = version.orElse(currentVersion(spark, root)).get
+    // Resolve the tip ONCE and pin it: the uncached shape resolved
+    // currentVersion here AND inside relationWithIndex — two
+    // checkpoint reads + existence walks per planning pass (and a
+    // race window where they could disagree about the tip).
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    val (rel, idx, entries) = relationWithIndex(spark, root, Some(v), partitions)
     val df = applyColumnMapping(applyDvs(spark, root,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .baseRelationToDataFrame(rel), entries), mappingAt(spark, root, v))

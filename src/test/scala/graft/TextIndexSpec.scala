@@ -244,4 +244,44 @@ class TextIndexSpec extends SparkSpec {
       spark, bm25TableDir, bm25IndexDir, "text", "id", Seq("nonexistentword"))
     assert(none.count() == 0)
   }
+
+  test("a failed index rebuild never leaves a partial live index") {
+    // The overwrite-mode builds run with task-side commit (committer
+    // v2), which commits files AS TASKS FINISH — writing straight into
+    // the live dir, a mid-job failure would leave a PARTIAL index a
+    // later reader silently serves. The stage-and-swap contract: the
+    // live path either keeps the complete OLD index or gets the
+    // complete NEW one, never a mix, never a fragment.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tix_swap").toString
+    val docs = (0 until 100).map(i => (i.toLong, s"alpha beta doc $i")).toDF("id", "text")
+    docs.write.parquet(s"$dir/table")
+    TextIndex.buildWordIndex(spark, s"$dir/table", "text", s"$dir/index")
+    val before = spark.read.parquet(s"$dir/index").collect().toSet
+    assert(before.nonEmpty)
+    // Inject a rebuild that writes PARTIAL output, then dies mid-job —
+    // exactly what a lost executor / killed driver leaves behind.
+    val boom = intercept[RuntimeException] {
+      TextIndex.overwriteViaSwap(spark, s"$dir/index") { tmp =>
+        docs.limit(3).select(col("text").as("token"),
+            lit("partial").as("file"))
+          .write.mode("error")
+          .options(graft.sinks.SnapshotStore.fastCommitterOptions)
+          .parquet(tmp)
+        throw new RuntimeException("simulated mid-rebuild crash")
+      }
+    }
+    assert(boom.getMessage.contains("simulated"))
+    // The live index is byte-for-byte the old one — no partial rows.
+    val after = spark.read.parquet(s"$dir/index").collect().toSet
+    assert(after == before, "failed rebuild mutated the live index")
+    // And a subsequent successful rebuild converges (orphan swept).
+    TextIndex.buildWordIndex(spark, s"$dir/table", "text", s"$dir/index")
+    assert(TextIndex.searchWord(spark, s"$dir/table", s"$dir/index",
+      "text", "alpha").count() == 100)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+    assert(leftovers.isEmpty, s"swap left orphans: ${leftovers.mkString(", ")}")
+  }
 }
