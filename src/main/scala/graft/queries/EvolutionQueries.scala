@@ -224,12 +224,28 @@ private[graft] object EvolutionQueries {
             "rows_added", "rows_removed"),
         graft.sinks.SnapshotStore.changes(s, root, 1L, 5L, "o_orderkey"))
       val (ra, ha, ca) = surface(a); val (rb, hb, cb) = surface(b)
-      require(ra.except(rb).isEmpty && rb.except(ra).isEmpty,
-        "reads diverged under checkpointing")
-      require(ha.except(hb).isEmpty && hb.except(ha).isEmpty,
-        "history diverged under checkpointing")
-      require(ca.except(cb).isEmpty && cb.except(ca).isEmpty,
-        "CDC replay diverged under checkpointing")
+      // SET equality per surface pair in ONE pass: tag each side,
+      // union, group by every value column — a row value present in
+      // only one side groups with one distinct tag. Exactly the
+      // two-way `x.except(y).isEmpty && y.except(x).isEmpty` proof
+      // (except() is set-based symmetric-difference membership, and
+      // Spark normalizes NaN/-0.0 identically in both operators), at
+      // half the passes: one shuffle of both sides instead of two
+      // anti-join actions each scanning both sides.
+      def requireSetEqual(x: org.apache.spark.sql.DataFrame,
+                          y: org.apache.spark.sql.DataFrame,
+                          what: String): Unit = {
+        val oneSided = x.withColumn("__side", lit(1))
+          .unionByName(y.withColumn("__side", lit(2)))
+          .groupBy(x.columns.map(col): _*)
+          .agg(countDistinct(col("__side")).as("__sides"))
+          .filter(col("__sides") < 2)
+          .limit(1).collect()
+        require(oneSided.isEmpty, s"$what diverged under checkpointing")
+      }
+      requireSetEqual(ra, rb, "reads")
+      requireSetEqual(ha, hb, "history")
+      requireSetEqual(ca, cb, "CDC replay")
       ra.orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey, o_orderstatus,

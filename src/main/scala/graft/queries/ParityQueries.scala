@@ -867,6 +867,56 @@ private[graft] object ParityQueries {
         (SELECT dd.level FROM d dd
           WHERE dd.user_id = e.user_id AND dd.us <= e.us
           ORDER BY dd.us DESC, dd.level DESC LIMIT 1) AS level
-      FROM e ORDER BY event_id"""))
+      FROM e ORDER BY event_id""")),
+
+
+    // COMPUTE-BOUND scaling probe (round-17 measurement legibility):
+    // at sf0.1 every other query is per-job-overhead-bound, so the
+    // driver's low-core vs 32-core comparison reads flat ("cores
+    // ignored") even though the env contract is honored. This query
+    // gives the scaling block something to grip: ~1.8 B elements of
+    // pure 64-bit modular arithmetic (explode a 3072-long sequence
+    // per lineitem row, fold each element through a 3-step LCG) —
+    // codegen'd, allocation-free, lock-free, embarrassingly parallel.
+    // NOT sha2/md5: Spark's digest expressions construct a
+    // MessageDigest per call and measured NEGATIVE core scaling under
+    // contention (196 core-seconds at 32 threads vs 43 at 8). The
+    // grouping key derives from the computed value, so Bench's
+    // `result.count()` cannot prune the arithmetic (count() over an
+    // aggregate drops aggregate-only expressions — measured). All
+    // operands stay positive and far below 2^63 (ANSI mode throws on
+    // overflow), and `%` on positives agrees between Spark and DuckDB.
+    ("q235_compute_scaling_probe", (s: SparkSession, d: String) => {
+      val v = "((((((l_orderkey % 1000003) * 2654435761 + i) % 1000000007) " +
+        "* 48271 + 11) % 1000000007) * 16807 + 7) % 1000000007"
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"))
+        // Spread BEFORE the explode: lineitem is one row group, so
+        // without this the whole amplified generate runs in a single
+        // scan task (measured: 48 s flat at 8 AND 32 cores). The
+        // EXPLICIT partition count pins one partition per core —
+        // derived from the session (defaultParallelism follows the
+        // local[N] master / executor fleet), never a constant — and
+        // opts this exchange out of AQE coalescing, which would fold
+        // the ~10 MB shuffle to ~10 tasks and cap the measurable
+        // parallelism at 10 regardless of cores (measured 0.61
+        // ratio32/8 coalesced vs ~0.35 pinned).
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .select(col("l_orderkey"),
+          explode(sequence(lit(1L), lit(3072L))).as("i"))
+        .select(expr(v).as("v"))
+        .groupBy(expr("v % 32").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      WITH e AS (
+        SELECT ((((((l_orderkey % 1000003) * 2654435761 + i) % 1000000007)
+          * 48271 + 11) % 1000000007) * 16807 + 7) % 1000000007 AS v
+        FROM lineitem, range(1, 3073) r(i))
+      SELECT v % 32 AS bucket, count(*) AS n,
+        CAST(sum(v) AS BIGINT) AS sum_v,
+        min(v) AS min_v, max(v) AS max_v
+      FROM e GROUP BY bucket ORDER BY bucket"""))
   )
 }
